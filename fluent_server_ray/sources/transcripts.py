@@ -1,0 +1,181 @@
+"""Transcript-turn source.
+
+The engine's primary input is a Parquet table of multi-turn
+conversation / agent transcripts with columns
+``(conv_id: string, turn_idx: int32, role: string, text: string,
+tool: string, ts: timestamp)`` — one row per turn ≙ one reference
+*event* (reference ``message/message.go:11-15``: ``(tag, ts, record)``;
+the tag is derived later by parsing, reference
+``defaultreader/reader.go:86-96``).
+
+Two ways to obtain such a table:
+
+1. ``read_transcripts(path)`` — read an existing transcripts Parquet
+   (produced by :mod:`fluent_server_ray.sources.synth` or by a user).
+
+2. ``read_transcripts(sf_dir)`` pointed at a driver testdata dir —
+   derives a deterministic transcripts table **row-wise** from the
+   shared ``events`` table. The exact same derivation is expressed as
+   the DuckDB SQL CTE :data:`TRANSCRIPTS_SQL_CTE`, so an independent
+   SQL oracle can reproduce the input bit-for-bit. Every expression is
+   integer/string-only (no float formatting) so Arrow and DuckDB agree
+   byte-for-byte.
+
+Derivation spec (row-wise over
+``events(event_id, ts, user_id, event_type, value, props)``):
+
+- ``conv_id  = 'conv-' || user_id``
+- ``turn_idx = int32(event_id)`` (unique, monotone per conv; stable
+  order key — density is not required by any downstream semantics)
+- ``role     = ROLES[(event_id + user_id) % 4]``
+- ``m = event_id % 10`` selects the text template:
+    - ``m < 3``  → tool call   ``CALL tool=<t> args={"q":"<event_type>"}``
+    - ``m in (3,4)`` → error   ``ERR-<nnn> <event_type> failed``
+    - ``m == 5`` → empty text  (heartbeat ≙ msgpack nil frame,
+      reference ``message/session.go:124-137``)
+    - else       → message     ``msg=<event_type> user=<u> k=<k>``
+- ``tool = TOOLS[(event_id // 10) % 3]`` for tool-call rows else ``''``
+- ``ts`` passed through unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ROLES = ("user", "assistant", "system", "tool")
+TOOLS = ("search", "bash", "browser")
+
+TRANSCRIPT_SCHEMA_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+# DuckDB mirror of derive_transcripts_batch. Keep in lockstep — the
+# equality is pinned by tests/test_transcripts_derivation.py.
+TRANSCRIPTS_SQL_CTE = """
+transcripts AS (
+  SELECT
+    'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+    CAST(event_id AS INTEGER) AS turn_idx,
+    CASE (event_id + user_id) % 4
+      WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+      WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+    CASE
+      WHEN event_id % 10 < 3 THEN
+        'CALL tool=' ||
+        CASE (event_id // 10) % 3
+          WHEN 0 THEN 'search' WHEN 1 THEN 'bash' ELSE 'browser' END ||
+        ' args={"q":"' || event_type || '"}'
+      WHEN event_id % 10 < 5 THEN
+        'ERR-' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') ||
+        ' ' || event_type || ' failed'
+      WHEN event_id % 10 = 5 THEN ''
+      ELSE
+        'msg=' || event_type || ' user=' || CAST(user_id AS VARCHAR) ||
+        ' k=' || CAST(event_id % 7 AS VARCHAR)
+    END AS text,
+    CASE WHEN event_id % 10 < 3 THEN
+      CASE (event_id // 10) % 3
+        WHEN 0 THEN 'search' WHEN 1 THEN 'bash' ELSE 'browser' END
+    ELSE '' END AS tool,
+    ts
+  FROM events
+)
+""".strip()
+
+
+def _mod(arr, n: int):
+    """Integer modulo for non-negative ints (pyarrow 16 lacks pc.modulo;
+    integer pc.divide truncates, so sub(x, mul(div(x,n), n)) is exact)."""
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, n), n))
+
+
+def _floordiv(arr, n: int):
+    return pc.divide(arr, n)
+
+
+def _take_vocab(vocab: tuple[str, ...], idx: pa.Array) -> pa.Array:
+    """Vectorized vocab[i] via dictionary take (no Python row loop)."""
+    return pc.take(pa.array(vocab, type=pa.string()), pc.cast(idx, pa.int64()))
+
+
+def _int_str(arr) -> pa.Array:
+    return pc.cast(arr, pa.string())
+
+
+def derive_transcripts_batch(batch: pa.Table) -> pa.Table:
+    """events batch (Arrow) → transcripts batch (Arrow). Zero Python row loops.
+
+    Mirrors :data:`TRANSCRIPTS_SQL_CTE` exactly.
+    """
+    eid = batch["event_id"]
+    uid = batch["user_id"]
+    etype = batch["event_type"]
+
+    conv_id = pc.binary_join_element_wise("conv-", _int_str(uid), "")
+    turn_idx = pc.cast(eid, pa.int32())
+    role = _take_vocab(ROLES, _mod(pc.add(eid, uid), 4))
+
+    m = _mod(eid, 10)
+    tool_name = _take_vocab(TOOLS, _mod(_floordiv(eid, 10), 3))
+    is_tool = pc.less(m, 3)
+    tool = pc.if_else(is_tool, tool_name, "")
+
+    call_text = pc.binary_join_element_wise(
+        "CALL tool=", tool_name, ' args={"q":"', etype, '"}', ""
+    )
+    err_text = pc.binary_join_element_wise(
+        "ERR-",
+        pc.utf8_lpad(_int_str(_mod(eid, 1000)), 3, "0"),
+        " ",
+        etype,
+        " failed",
+        "",
+    )
+    msg_text = pc.binary_join_element_wise(
+        "msg=", etype, " user=", _int_str(uid), " k=", _int_str(_mod(eid, 7)), ""
+    )
+    text = pc.if_else(
+        is_tool,
+        call_text,
+        pc.if_else(
+            pc.less(m, 5),
+            err_text,
+            pc.if_else(pc.equal(m, 5), pa.scalar("", type=pa.string()), msg_text),
+        ),
+    )
+
+    return pa.table(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn_idx,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": batch["ts"],
+        }
+    )
+
+
+def read_transcripts(path: str, **read_kwargs):
+    """Return a ``ray.data.Dataset`` of transcript turns.
+
+    - ``path`` ending in ``.parquet`` or a dir of transcript parquet →
+      read directly (column-pruned to the transcript schema).
+    - a driver testdata dir containing ``events.parquet`` → read the
+      events table (only the 4 needed columns leave storage) and derive
+      transcripts via one zero-copy ``map_batches``.
+    """
+    import ray.data as rd
+
+    events = os.path.join(path, "events.parquet")
+    if os.path.isdir(path) and os.path.exists(events):
+        ds = rd.read_parquet(
+            events,
+            columns=["event_id", "ts", "user_id", "event_type"],
+            **read_kwargs,
+        )
+        return ds.map_batches(
+            derive_transcripts_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return rd.read_parquet(path, columns=TRANSCRIPT_SCHEMA_COLS, **read_kwargs)

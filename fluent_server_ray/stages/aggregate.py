@@ -1,0 +1,74 @@
+"""Grouped aggregation with partial (combiner) pre-aggregation.
+
+The reference's only true aggregation is the mirror's group-by-tag
+collect behind one global mutex (reference ``mirror/mirror.go:26-39``)
+— the exact anti-pattern at scale. Here the grouped counts are computed
+the scalable way:
+
+1. **partial**: inside ``map_batches``, each Arrow batch is collapsed
+   to one row per key via ``Table.group_by`` (pure C++), so what enters
+   the shuffle is ~|keys| rows per batch, not every event;
+2. **final**: a small ``groupby(keys).sum`` over the partials.
+
+Counts are algebraic, so the two-level aggregate is exact; this is also
+the skew treatment — a Zipf-hot ``tag`` contributes ONE partial row per
+batch regardless of how many events carry it, which bounds the shuffle
+fan-in of a hot key by the number of blocks (the classic salting
+argument, pre-applied). An optional explicit salt column is provided
+for group-bys whose per-group payload (not count) is hot.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+
+def _partial_counts(keys: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {**{k: pa.array([], type=pa.string()) for k in keys},
+                 "n": pa.array([], type=pa.int64())}
+            )
+        out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["n"])
+
+    return fn
+
+
+def grouped_counts(ds, keys: list[str], batch_size: int = 65536):
+    """``ds.groupby(keys).count()`` with partial pre-aggregation.
+
+    Returns a Dataset with columns ``keys + ['n']`` (int64).
+    """
+    partial = ds.map_batches(
+        _partial_counts(keys),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    out = partial.groupby(keys).aggregate(Sum("n", alias_name="n"))
+    return out
+
+
+def add_salt(ds, key_col: str, n_salts: int = 16, salt_col: str = "_salt"):
+    """Add ``salt = hash(key) % n_salts`` for two-level aggregation of
+    hot keys (reference's hot-tag list under one mutex,
+    ``mirror/mirror.go:30-38``, is the failure mode this avoids)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        # pandas hash_array is SipHash with a FIXED key — deterministic
+        # across processes/nodes (python's hash() is NOT; never use it
+        # in the data plane).
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(vals, dtype=object))
+        salt = pa.array((h % n_salts).astype("int64"))
+        return batch.append_column(salt_col, salt)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,145 @@
+"""Vectorized grok/regex parse stage.
+
+The Ray-native restatement of the reference's per-session frame parsing
+(reference ``message/session.go:79-122`` dispatcher,
+``message/mode.go:11-54`` mode dispatch, ``message/entry.go:11-35``
+entry decode, ``defaultreader/reader.go:79-115`` forward-mode reader):
+instead of peeking msgpack codes per event on a socket, one
+``map_batches`` stage runs RE2 kernels (``pyarrow.compute``) over the
+whole ``text`` column of a zero-copy Arrow batch and emits the parsed
+struct columns:
+
+- ``parsed_tool``  — tool name from ``CALL tool=<name> ...``
+- ``error_code``   — 3-digit code from ``ERR-<nnn>``
+- ``msg``          — payload word from ``msg=<word>``
+- ``is_heartbeat`` — empty-text rows ≙ msgpack nil heartbeat frames
+  (reference ``message/session.go:124-137``; consumed, never routed)
+- ``is_valid``     — null ``conv_id``/``text`` ≙ malformed frames
+  (arity guards, reference ``message/session.go:139-147``); invalid
+  rows flow to the reject sink, mirroring the reference's error reply
+  rather than a crash
+- ``kind``         — ``tool`` | ``err`` | ``msg`` (the parse branch that
+  fired, ≙ mode dispatch in ``message/mode.go:11-54``)
+- ``tag``          — derived dotted routing key
+  ``<kind>.<role>[.<parsed_tool>]``, mirroring client-side tag
+  assignment (reference ``contrib/js/index.js:4,21,34`` tag prefixing)
+
+``ParseStage`` is a callable class so per-actor setup happens once per
+worker (≙ the per-session reader factory, reference
+``message/session.go:57-60``); the regex kernels themselves are RE2,
+identical semantics to DuckDB's ``regexp_extract`` — the SQL mirror is
+:data:`PARSE_SQL_CTES`.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOOL_RE = r"CALL tool=(\w+)"
+ERR_RE = r"ERR-([0-9]{3})"
+MSG_RE = r"msg=([^ ]+)"
+
+# DuckDB mirror (composes on top of a `transcripts` CTE).
+PARSE_SQL_CTES = f"""
+parsed0 AS (
+  SELECT conv_id, turn_idx, role, tool, text, ts,
+    COALESCE(regexp_extract(text, 'CALL tool=(\\w+)', 1), '') AS parsed_tool,
+    COALESCE(regexp_extract(text, 'ERR-([0-9]{{3}})', 1), '') AS error_code,
+    COALESCE(regexp_extract(text, 'msg=([^ ]+)', 1), '') AS msg,
+    COALESCE(text, '') = '' AS is_heartbeat,
+    conv_id IS NOT NULL AND text IS NOT NULL AS is_valid
+  FROM transcripts
+),
+parsed AS (
+  SELECT *,
+    CASE WHEN parsed_tool <> '' THEN 'tool'
+         WHEN error_code <> '' THEN 'err'
+         ELSE 'msg' END AS kind,
+    CASE WHEN parsed_tool <> '' THEN 'tool.' || role || '.' || parsed_tool
+         WHEN error_code <> '' THEN 'err.' || role
+         ELSE 'msg.' || role END AS tag
+  FROM parsed0
+)
+""".strip()
+
+
+def _extract(text: pa.ChunkedArray | pa.Array, pattern: str, group: str) -> pa.Array:
+    """regexp_extract with DuckDB semantics ('' when no match or null input)."""
+    named = pattern.replace("(", f"(?P<{group}>", 1)
+    hit = pc.struct_field(pc.extract_regex(text, named), group)
+    return pc.fill_null(hit, "")
+
+
+def parse_batch(batch: pa.Table) -> pa.Table:
+    """Arrow in → Arrow out; no Python row loops."""
+    text = batch["text"]
+    role = batch["role"]
+
+    parsed_tool = _extract(text, TOOL_RE, "t")
+    error_code = _extract(text, ERR_RE, "e")
+    msg = _extract(text, MSG_RE, "m")
+    is_heartbeat = pc.equal(pc.fill_null(text, ""), "")
+    is_valid = pc.and_(pc.is_valid(batch["conv_id"]), pc.is_valid(text))
+
+    has_tool = pc.not_equal(parsed_tool, "")
+    has_err = pc.not_equal(error_code, "")
+    kind = pc.if_else(
+        has_tool,
+        pa.scalar("tool"),
+        pc.if_else(has_err, pa.scalar("err"), pa.scalar("msg")),
+    )
+    role_f = pc.fill_null(role, "")
+    tag = pc.if_else(
+        has_tool,
+        pc.binary_join_element_wise("tool.", role_f, ".", parsed_tool, ""),
+        pc.if_else(
+            has_err,
+            pc.binary_join_element_wise("err.", role_f, ""),
+            pc.binary_join_element_wise("msg.", role_f, ""),
+        ),
+    )
+
+    out = batch
+    for name, col in (
+        ("parsed_tool", parsed_tool),
+        ("error_code", error_code),
+        ("msg", msg),
+        ("is_heartbeat", is_heartbeat),
+        ("is_valid", is_valid),
+        ("kind", kind),
+        ("tag", tag),
+    ):
+        out = out.append_column(name, col)
+    return out
+
+
+class ParseStage:
+    """Callable-class form for ``map_batches(ParseStage, concurrency=N)``.
+
+    Setup-once-per-actor slot (≙ reader factory per session, reference
+    ``options/options.go:29-35``); the body is :func:`parse_batch`.
+    """
+
+    def __init__(self) -> None:
+        # RE2 patterns are compiled lazily by Arrow's kernel cache; this
+        # __init__ exists as the per-worker setup hook for subclasses
+        # (custom grammars load their pattern tables here).
+        self.patterns = (TOOL_RE, ERR_RE, MSG_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return parse_batch(batch)
+
+
+def apply_parse(ds, batch_size: int = 32768, concurrency=None):
+    """Attach the parse stage to a Dataset (zero-copy Arrow batches)."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        parse_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        **kwargs,
+    )

@@ -1,0 +1,137 @@
+"""Tag-match router: fluentd ``<match>`` first-match-wins semantics.
+
+The reference routes every event through a single configured handler
+(reference ``defaultreader/reader.go:22,48,71,99``) while its client
+configs show the general tag-``Match`` pattern language
+(reference ``contrib/config/A.cfg`` ``[OUTPUT] Match *``, ``B.cfg``,
+``C.cfg``). This module implements the full fluentd match-pattern
+semantics over the derived ``tag`` column:
+
+- patterns are ordered; the FIRST matching pattern wins;
+- ``*`` matches exactly one dotted tag part (``a.*`` matches ``a.b``
+  but not ``a.b.c`` nor ``a``);
+- ``**`` matches zero or more parts (``a.**`` matches ``a``, ``a.b``,
+  ``a.b.c``); bare ``**`` matches everything;
+- unmatched rows fall through to the ``reject.unmatched`` sink,
+  invalid rows (failed arity guards ≙ reference
+  ``message/session.go:139-147``) always go to ``reject.invalid``.
+
+Patterns compile once (per actor) to anchored RE2 regexes; routing is
+vectorized: one ``match_substring_regex`` pass per pattern over the
+still-unassigned rows — O(patterns) kernel calls per batch, no Python
+row loop. ``routes_sql_case`` emits the equivalent DuckDB ``CASE``
+expression *from the same compiled regexes*, so the SQL oracle and the
+Ray stage cannot drift.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+UNMATCHED_SINK = "reject.unmatched"
+INVALID_SINK = "reject.invalid"
+
+# Default route table for the flagship pipeline. Ordered, first match
+# wins; overlapping patterns (tool.*.search before tool.**) pin the
+# first-match semantics; ** is the catch-all (≙ `Match *` in
+# contrib/config/A.cfg).
+DEFAULT_ROUTES: list[tuple[str, str]] = [
+    ("err.**", "errors"),
+    ("tool.*.search", "search_tools"),
+    ("tool.**", "tools"),
+    ("msg.user", "user_msgs"),
+    ("**", "catchall"),
+]
+
+
+def glob_to_regex(pattern: str) -> str:
+    """fluentd match glob → anchored RE2 regex (shared by Ray + SQL oracle)."""
+    if pattern == "**":
+        return "^.*$"
+    return "^" + _join(pattern.split(".")) + "$"
+
+
+def _join(parts: list[str]) -> str:
+    """Compose regex for dotted glob parts with correct separators."""
+    segs: list[str] = []
+    n = len(parts)
+    for i, part in enumerate(parts):
+        last = i == n - 1
+        if part == "**":
+            if last:
+                segs.append("(?:\\..*)?" if segs else ".*")
+            else:
+                segs.append("\\.(?:[^.]+\\.)*" if segs else "(?:[^.]+\\.)*")
+            continue
+        body = "[^.]+" if part == "*" else re.escape(part)
+        prev_dstar = i > 0 and parts[i - 1] == "**"
+        if segs and not prev_dstar:
+            segs.append("\\.")
+        segs.append(body)
+    return "".join(segs)
+
+
+class RouteStage:
+    """Callable class: compiles the route table once per actor
+    (≙ per-session reader factory, reference ``message/session.go:57-60``),
+    then assigns a ``sink`` column per batch, first match wins.
+    """
+
+    def __init__(self, routes: list[tuple[str, str]] | None = None) -> None:
+        routes = routes if routes is not None else DEFAULT_ROUTES
+        self.compiled: list[tuple[str, str]] = [
+            (glob_to_regex(p), sink) for p, sink in routes
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tag = pc.fill_null(batch["tag"], "")
+        n = len(batch)
+        sink = pa.nulls(n, pa.string())
+        unassigned = pa.array([True] * n) if n else pa.array([], type=pa.bool_())
+        for regex, sink_name in self.compiled:
+            hit = pc.and_(unassigned, pc.match_substring_regex(tag, regex))
+            sink = pc.if_else(hit, pa.scalar(sink_name), sink)
+            unassigned = pc.and_(unassigned, pc.invert(hit))
+        sink = pc.fill_null(sink, UNMATCHED_SINK)
+        if "is_valid" in batch.column_names:
+            sink = pc.if_else(batch["is_valid"], sink, pa.scalar(INVALID_SINK))
+        return batch.append_column("sink", sink)
+
+
+def routes_sql_case(routes: list[tuple[str, str]] | None = None) -> str:
+    """DuckDB CASE expression equivalent to :class:`RouteStage`, built
+    from the SAME compiled regexes (single source of truth)."""
+    routes = routes if routes is not None else DEFAULT_ROUTES
+    whens = []
+    for pattern, sink in routes:
+        rx = glob_to_regex(pattern).replace("'", "''")
+        whens.append(f"WHEN regexp_full_match(tag, '{rx[1:-1]}') THEN '{sink}'")
+    return (
+        "CASE WHEN NOT is_valid THEN 'reject.invalid' "
+        + " ".join(whens)
+        + f" ELSE '{UNMATCHED_SINK}' END"
+    )
+
+
+def apply_route(ds, routes: list[tuple[str, str]] | None = None, batch_size: int = 32768):
+    """Filter heartbeats (consumed, produce nothing — reference
+    ``message/session.go:124-137``) then assign sinks via an actor-pool
+    stage."""
+    def drop_heartbeats(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t["is_heartbeat"]))
+
+    ds = ds.map_batches(
+        drop_heartbeats, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    return ds.map_batches(
+        RouteStage,
+        fn_constructor_kwargs={"routes": routes},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )

@@ -1,0 +1,109 @@
+"""End-to-end flagship pipeline over the synthetic sharded corpus:
+sinks on disk, lineage manifests, resume semantics (≙ the reference's
+chunk-ack / client-replay protocol, message/mode.go:56-68), reject
+sinks for malformed rows, and the per-turn text invariant.
+"""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _load_sinks(out_dir):
+    files = sorted(glob.glob(os.path.join(out_dir, "sinks", "**", "*.parquet"),
+                             recursive=True))
+    frames = []
+    for f in files:
+        df = pq.read_table(f).to_pandas()
+        # hive partition column
+        for part in f.split(os.sep):
+            if part.startswith("sink="):
+                df["sink"] = part[len("sink="):]
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+def test_flagship_run_and_invariants(ray_session, synth_dir, out_dir):
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+
+    summary = run_pipeline(synth_dir, out_dir)
+    assert summary["shards"] == 4
+    assert summary["rows"] > 0
+
+    sinks = _load_sinks(out_dir)
+    # reject sinks caught the malformed rows
+    assert (sinks["sink"] == "reject.invalid").sum() > 0
+    # no heartbeat (empty-text) rows were routed
+    routed_valid = sinks[sinks["sink"] != "reject.invalid"]
+    assert not (routed_valid["text"].fillna("") == "").any()
+
+    # per-turn text equality under stable (conv_id, turn_idx) order vs raw input
+    raw = pd.concat(
+        [pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{synth_dir}/*.parquet"))],
+        ignore_index=True,
+    )
+    expect = raw[raw["text"].notna() & (raw["text"] != "") & raw["conv_id"].notna()]
+    got = sinks[sinks["sink"] != "reject.invalid"]
+    a = expect[["conv_id", "turn_idx", "text"]].sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = got[["conv_id", "turn_idx", "text"]].sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # summary totals == sink row counts
+    assert summary["rows"] == len(sinks)
+    by_sink = sinks.groupby("sink").size().to_dict()
+    assert summary["sinks"] == by_sink
+
+
+def test_resume_skips_committed_and_is_idempotent(ray_session, synth_dir, out_dir):
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+    from fluent_server_ray.state.lineage import committed_shards
+
+    shards = sorted(glob.glob(f"{synth_dir}/*.parquet"))
+
+    # "crash" after two shards: run only a prefix
+    run_pipeline(synth_dir, out_dir, shards=shards[:2])
+    assert len(committed_shards(out_dir)) == 2
+    partial = _load_sinks(out_dir)
+
+    # resume: full shard list; committed shards must be skipped
+    summary = run_pipeline(synth_dir, out_dir, shards=shards)
+    assert len(committed_shards(out_dir)) == 4
+
+    full = _load_sinks(out_dir)
+    # no duplicates, no loss: every (conv_id, turn_idx) exactly once
+    keys = full[full["conv_id"].notna()][["conv_id", "turn_idx"]]
+    assert not keys.duplicated().any()
+    assert len(full) > len(partial)
+    assert summary["rows"] == len(full)
+
+    # a third run is a complete no-op (byte-identical manifests)
+    before = json.dumps(summary, sort_keys=True)
+    again = run_pipeline(synth_dir, out_dir, shards=shards)
+    assert json.dumps(again, sort_keys=True) == before
+
+
+def test_replayed_shard_does_not_duplicate(ray_session, synth_dir, out_dir):
+    """Replay of an uncommitted shard overwrites its output (idempotent
+    deterministic paths), mirroring at-least-once + ack."""
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+    from fluent_server_ray.state.lineage import _lineage_dir
+
+    shards = sorted(glob.glob(f"{synth_dir}/*.parquet"))
+    run_pipeline(synth_dir, out_dir, shards=shards[:1])
+    # simulate crash-after-write-before-ack: delete the lineage record
+    for f in os.listdir(_lineage_dir(out_dir)):
+        os.remove(os.path.join(_lineage_dir(out_dir), f))
+    n_before = len(_load_sinks(out_dir))
+    run_pipeline(synth_dir, out_dir, shards=shards[:1])  # replay
+    assert len(_load_sinks(out_dir)) == n_before
