@@ -1,0 +1,140 @@
+"""Benchmark harness for the flagship pipeline.
+
+Headline metric: parsed+routed turns/sec through
+parse → enrich → route → grouped-counts over a deterministic synthetic
+transcripts corpus sized by the input sf (cached under /tmp so both
+parallelism levels of --scaling see the identical bytes).
+
+Usage:
+    python bench.py              # one run; RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs,
+                                 # prints throughput at both + efficiency
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus sizing: sf0.1 → ~2M turns (sandbox stand-in for the 10^12 target)
+N_CONVS = {"sf0.001": 2_000, "sf0.01": 20_000}.get(
+    os.path.basename(SF_DIR.rstrip("/")), 480_000
+)
+CACHE = f"/tmp/fsr_bench_corpus/{os.path.basename(SF_DIR.rstrip('/'))}"
+
+
+def ensure_corpus() -> str:
+    marker = os.path.join(CACHE, "_DONE")
+    if not os.path.exists(marker):
+        from fluent_server_ray.sources.synth import generate_transcripts
+
+        generate_transcripts(
+            CACHE, n_convs=N_CONVS, mean_turns=12, seed=42, n_files=32
+        )
+        open(marker, "w").write("ok")
+    return CACHE
+
+
+def run_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from fluent_server_ray.pipelines.flagship import build_routed
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    corpus = ensure_corpus()
+
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    import ray.data as rd
+
+    rd.read_parquet(corpus).count()
+
+    queries: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    routed = build_routed(corpus)
+    counts = grouped_counts(routed, ["sink", "role", "tool", "tag"]).to_pandas()
+    t_counts = time.perf_counter() - t0
+    n_turns = int(counts["n"].sum())  # routed turns (post-heartbeat-filter)
+    queries["flagship_counts"] = round(t_counts, 3)
+
+    t0 = time.perf_counter()
+    out = f"/tmp/fsr_bench_out/{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    build_routed(corpus).write_parquet(out, partition_cols=["sink"])
+    queries["flagship_sinks_write"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "flagship parse+enrich+route+aggregate wall sec",
+        "value": queries["flagship_counts"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / t_counts, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = sub(lo), sub(hi)
+    tput_lo, tput_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency N->4N (turns/sec ratio / cpu ratio)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"turns_per_sec_{lo}cpu": tput_lo,
+            f"turns_per_sec_{hi}cpu": tput_hi,
+            f"sec_{lo}cpu": r_lo["value"],
+            f"sec_{hi}cpu": r_hi["value"],
+        },
+        "sf": r_hi["sf"],
+        "num_cpus": hi,
+        "turns": r_hi["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -42,20 +42,71 @@ from fluent_server_ray.stages.aggregate import grouped_counts
 COUNT_KEYS = ["sink", "role", "tool", "tag"]
 
 
-def build_routed(source, tenant_lookup=None, routes=None, batch_size: int = 32768):
+def build_routed(
+    source,
+    tenant_lookup=None,
+    routes=None,
+    batch_size: int | None = None,
+    fused: bool = True,
+):
     """source (path or Dataset) → routed Dataset (lazy).
 
     Columns out: transcript cols + parsed struct cols + tenant + sink.
     Heartbeat rows are consumed (dropped) before routing, mirroring the
     reference heartbeat path (``message/session.go:124-137``).
+
+    ``fused=True`` (default): parse + enrich + route run as ONE
+    ``map_batches`` stage — one pass over each Arrow block, no
+    inter-stage object-store hops; the enrichment table travels as a
+    broadcast ObjectRef (zero-copy per worker), never inside the task
+    closure. This is the narrow-path layout for 100 TB: the only wide
+    operations downstream are the grouped counts and the optional
+    output sort.
+
+    ``fused=False``: the three stages run as separate operators (the
+    enrich stage as a real actor pool) — the layout to use when the
+    enrichment state is heavy (models) and deserves its own resources.
     """
+    import ray
+
     ds = read_transcripts(source) if isinstance(source, str) else source
-    ds = apply_parse(ds, batch_size=batch_size)
     if tenant_lookup is None:
         tenant_lookup = build_tenant_map()
-    ds = apply_enrich(ds, tenant_lookup, batch_size=batch_size)
-    ds = apply_route(ds, routes=routes, batch_size=batch_size)
-    return ds
+
+    if not fused:
+        bs = batch_size or 32768
+        ds = apply_parse(ds, batch_size=bs)
+        ds = apply_enrich(ds, tenant_lookup, batch_size=bs)
+        ds = apply_route(ds, routes=routes, batch_size=bs)
+        return ds
+
+    from fluent_server_ray.stages.enrich import lookup_column, put_lookup
+    from fluent_server_ray.stages.parse import parse_batch
+    from fluent_server_ray.stages.route import RouteStage
+
+    tenant_ref = (
+        put_lookup(tenant_lookup)
+        if isinstance(tenant_lookup, dict)
+        else tenant_lookup
+    )
+    route_stage = RouteStage(routes)  # tiny: ships in the closure
+
+    def process(batch):
+        import pyarrow.compute as pc2
+
+        batch = parse_batch(batch)
+        batch = batch.append_column(
+            "tenant", lookup_column(batch["conv_id"], tenant_ref)
+        )
+        batch = batch.filter(pc2.invert(batch["is_heartbeat"]))
+        return route_stage(batch)
+
+    kwargs = {}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    return ds.map_batches(
+        process, batch_format="pyarrow", zero_copy_batch=True, **kwargs
+    )
 
 
 def _write_sinks(routed, sink_dir: str) -> None:

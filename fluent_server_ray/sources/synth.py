@@ -33,6 +33,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from fluent_server_ray.sources.transcripts import ROLES, TOOLS
@@ -59,31 +60,38 @@ def generate_transcripts(
     n = int(turns_per_conv.sum())
 
     conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
-    turn_idx = np.concatenate([np.arange(k) for k in turns_per_conv]).astype(np.int32)
+    # vectorized per-conv 0..k-1: global index minus each conv's start offset
+    starts = np.concatenate(([0], np.cumsum(turns_per_conv)[:-1]))
+    turn_idx = (np.arange(n) - np.repeat(starts, turns_per_conv)).astype(np.int32)
 
-    conv_id = np.char.add("conv-", conv_idx.astype("U12"))
-    role = np.array(ROLES)[rng.integers(0, len(ROLES), size=n)]
+    # string assembly via Arrow kernels — np.char.* is ~100x slower
+    pcj = pc.binary_join_element_wise
+    conv_id = pcj("conv-", pc.cast(pa.array(conv_idx), pa.string()), "")
+    role = pa.array(np.array(ROLES)[rng.integers(0, len(ROLES), size=n)])
 
     m = rng.integers(0, 10, size=n)
-    tool_pick = np.array(TOOLS)[rng.integers(0, len(TOOLS), size=n)]
-    word = np.array(WORDS)[rng.integers(0, len(WORDS), size=n)]
+    tool_pick = pa.array(np.array(TOOLS)[rng.integers(0, len(TOOLS), size=n)])
+    word = pa.array(np.array(WORDS)[rng.integers(0, len(WORDS), size=n)])
     code = rng.integers(0, 1000, size=n)
 
-    call_text = np.char.add(
-        np.char.add("CALL tool=", tool_pick),
-        np.char.add(' args={"q":"', np.char.add(word, '"}')),
+    call_text = pcj("CALL tool=", tool_pick, ' args={"q":"', word, '"}', "")
+    err_text = pcj(
+        "ERR-",
+        pc.utf8_lpad(pc.cast(pa.array(code), pa.string()), 3, "0"),
+        " ",
+        word,
+        " failed",
+        "",
     )
-    err_text = np.char.add(
-        np.char.add("ERR-", np.char.zfill(code.astype("U3"), 3)),
-        np.char.add(" ", np.char.add(word, " failed")),
+    msg_text = pcj(
+        "msg=", word, " k=", pc.cast(pa.array(code % 7), pa.string()), ""
     )
-    msg_text = np.char.add(
-        np.char.add("msg=", word),
-        np.char.add(" k=", (code % 7).astype("U1")),
-    )
-    text = np.where(m < 3, call_text, np.where(m < 5, err_text, msg_text))
-    text = np.where(m == 5, "", text)  # heartbeats
-    tool = np.where(m < 3, tool_pick, "")
+    is_call = pa.array(m < 3)
+    is_err = pa.array((m >= 3) & (m < 5))
+    is_hb = pa.array(m == 5)
+    text = pc.if_else(is_call, call_text, pc.if_else(is_err, err_text, msg_text))
+    text = pc.if_else(is_hb, pa.scalar("", type=pa.string()), text)
+    tool = pc.if_else(is_call, tool_pick, pa.scalar("", type=pa.string()))
 
     # event time: golden epoch + per-conv offset + per-turn increment;
     # half the turns second-aligned, half carry microsecond precision.
@@ -95,37 +103,35 @@ def generate_transcripts(
     sub_us = rng.integers(0, 1_000_000, size=n) * (rng.integers(0, 2, size=n))
     ts = (base_us + sub_us).astype("datetime64[us]")
 
-    tbl = pa.table(
-        {
-            "conv_id": pa.array(conv_id, type=pa.string()),
-            "turn_idx": pa.array(turn_idx, type=pa.int32()),
-            "role": pa.array(role, type=pa.string()),
-            "text": pa.array(text, type=pa.string()),
-            "tool": pa.array(tool, type=pa.string()),
-            "ts": pa.array(ts),
-        }
-    )
-
     # malformed frames: null text / null conv_id on a deterministic subset
     if frac_bad > 0 and n > 0:
         n_bad = max(2, int(n * frac_bad))
         bad_rows = rng.choice(n, size=n_bad, replace=False)
-        text_col = tbl["text"].to_numpy(zero_copy_only=False).astype(object)
-        conv_col = tbl["conv_id"].to_numpy(zero_copy_only=False).astype(object)
         half = n_bad // 2
-        text_col[bad_rows[:half]] = None
-        conv_col[bad_rows[half:]] = None
-        tbl = tbl.set_column(0, "conv_id", pa.array(conv_col, type=pa.string()))
-        tbl = tbl.set_column(3, "text", pa.array(text_col, type=pa.string()))
+        null_s = pa.scalar(None, type=pa.string())
+        text_mask = np.zeros(n, dtype=bool)
+        text_mask[bad_rows[:half]] = True
+        conv_mask = np.zeros(n, dtype=bool)
+        conv_mask[bad_rows[half:]] = True
+        text = pc.if_else(pa.array(text_mask), null_s, text)
+        conv_id = pc.if_else(pa.array(conv_mask), null_s, conv_id)
+
+    tbl = pa.table(
+        {
+            "conv_id": conv_id,
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": pa.array(ts),
+        }
+    )
 
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     # shard by conversation (not by row) so a conversation never spans files
     bounds = np.linspace(0, n_convs, n_files + 1).astype(int)
-    conv_arr = tbl["conv_id"]
     for i in range(n_files):
-        import pyarrow.compute as pc
-
         lo, hi = bounds[i], bounds[i + 1]
         mask = pa.array((conv_idx >= lo) & (conv_idx < hi))
         shard = tbl.filter(mask)

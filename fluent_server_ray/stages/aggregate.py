@@ -28,30 +28,41 @@ from ray.data.aggregate import Sum
 
 def _partial_counts(keys: list[str]):
     def fn(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {**{k: pa.array([], type=pa.string()) for k in keys},
-                 "n": pa.array([], type=pa.int64())}
-            )
+        # group_by on an empty table yields an empty result with the
+        # correct schema, so no special case is needed
         out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         return out.rename_columns(keys + ["n"])
 
     return fn
 
 
-def grouped_counts(ds, keys: list[str], batch_size: int = 65536):
+def grouped_counts(ds, keys: list[str], batch_size: int | None = None,
+                   final: str = "driver"):
     """``ds.groupby(keys).count()`` with partial pre-aggregation.
 
-    Returns a Dataset with columns ``keys + ['n']`` (int64).
+    Per-batch combiner (Arrow ``Table.group_by``, fuses into the
+    upstream map stage — no shuffle of raw rows), then a final merge of
+    the tiny partials. ``final='driver'``: stream the ≤ |keys|×|blocks|
+    partial rows to the driver and merge there (grouped-count
+    cardinality is bounded, so this is a constant-size reduce — Ray's
+    Aggregate operator costs seconds of fixed serial time we don't
+    need). ``final='ray'``: use the native groupby (for unbounded key
+    cardinality).
+
+    Returns a pyarrow Table (driver) or Dataset (ray) with columns
+    ``keys + ['n']`` (int64).
     """
-    partial = ds.map_batches(
-        _partial_counts(keys),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-    )
-    out = partial.groupby(keys).aggregate(Sum("n", alias_name="n"))
-    return out
+    kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    partial = ds.map_batches(_partial_counts(keys), **kwargs)
+    if final == "ray":
+        return partial.groupby(keys).aggregate(Sum("n", alias_name="n"))
+    # stream partial blocks to the driver; merge with one Arrow group_by
+    tables = [b for b in partial.iter_batches(batch_size=None, batch_format="pyarrow")]
+    merged = pa.concat_tables(t for t in tables if len(t) >= 0)
+    out = merged.group_by(keys).aggregate([("n", "sum")])
+    return out.rename_columns(keys + ["n"])
 
 
 def add_salt(ds, key_col: str, n_salts: int = 16, salt_col: str = "_salt"):

@@ -116,22 +116,27 @@ def routes_sql_case(routes: list[tuple[str, str]] | None = None) -> str:
     )
 
 
-def apply_route(ds, routes: list[tuple[str, str]] | None = None, batch_size: int = 32768):
+def apply_route(ds, routes: list[tuple[str, str]] | None = None,
+                batch_size: int = 32768, concurrency=None):
     """Filter heartbeats (consumed, produce nothing — reference
     ``message/session.go:124-137``) then assign sinks via an actor-pool
-    stage."""
-    def drop_heartbeats(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(t["is_heartbeat"]))
+    stage. The heartbeat filter is fused into the routing batch fn (one
+    pass, no extra stage)."""
+    if concurrency is None:
+        from fluent_server_ray.stages.enrich import pool_limits
 
-    ds = ds.map_batches(
-        drop_heartbeats, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size,
-    )
+        concurrency = pool_limits()
+
+    class RouteAndFilter(RouteStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.invert(batch["is_heartbeat"]))
+            return super().__call__(batch)
+
     return ds.map_batches(
-        RouteStage,
+        RouteAndFilter,
         fn_constructor_kwargs={"routes": routes},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(1, 8),
+        concurrency=concurrency,
     )
