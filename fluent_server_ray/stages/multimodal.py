@@ -1,0 +1,98 @@
+"""Multimodal column plumbing (binary payloads + typed metadata).
+
+Treats image/audio/video as opaque ``binary`` columns with metadata,
+processed by actor-pool ``map_batches`` stages — the same shape the
+reference uses for opaque PackedForward blobs (reference
+``message/mode.go:32-36``: a binary payload whose decode happens in a
+dedicated reader, ``defaultreader/reader.go:51-77``).
+
+The actual codec decode is STUBBED (this container ships no
+image/audio libraries): ``DecodeStub`` raises ``NotImplementedError``
+if asked for a real decode and otherwise produces a deterministic fake
+(dimensions derived from payload bytes). The Ray-side plumbing —
+schema, batch sizing for large binary rows, actor signature, output
+layout — is real and tested.
+
+Memory note for real payloads: image/audio rows are MBs each, so these
+stages run with small ``batch_size`` (e.g. 32) and bounded actor
+concurrency so batch × concurrency fits the worker heap; blocks stay
+bounded via ``DataContext.target_max_block_size``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def attach_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Demo payload synthesis: utf-8 bytes of the text as the opaque
+    binary column (stand-in for real image/audio bytes)."""
+    payload = pc.cast(batch[text_col], pa.binary())
+    return batch.append_column("payload", payload)
+
+
+class DecodeStub:
+    """Actor-pool 'decoder' for binary payloads.
+
+    ``real=False`` (default): deterministic fake decode — width/height
+    derived from byte length, crc32 checksum. ``real=True``: would
+    need an image library; raises ``NotImplementedError`` (clearly
+    marked stub per the build spec).
+    """
+
+    def __init__(self, real: bool = False):
+        if real:
+            raise NotImplementedError(
+                "real image/audio decode requires codec libraries not "
+                "present in this environment; plumbing is exercised via "
+                "the deterministic fake (real=False)"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n_bytes = np.array([len(p or b"") for p in payloads], dtype=np.int64)
+        width = n_bytes % 640 + 1
+        height = (n_bytes * 7) % 480 + 1
+        checksum = np.array(
+            [zlib.crc32(p or b"") for p in payloads], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(n_bytes),
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "checksum": pa.array(checksum),
+            }
+        )
+
+
+def decode_documents(ds, batch_size: int = 256, concurrency=(1, 4)):
+    """documents → payload → decoded metadata (the full multimodal
+    plumbing path: attach binary, actor-pool decode, typed output)."""
+    ds = ds.map_batches(
+        attach_payload, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.map_batches(
+        DecodeStub,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,  # small batches: binary rows are wide
+        concurrency=concurrency,
+    )
+
+
+def decode_documents_sql() -> str:
+    """SQL mirror of the fake decode (checksum omitted — no crc32 in
+    DuckDB; the Ray-side checksum is covered by unit tests instead)."""
+    return """
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+  CAST((strlen(text) * 7) % 480 + 1 AS BIGINT) AS height
+FROM documents
+""".strip()

@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns.
+
+- ``ann_topk`` — brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``); each batch does one float64 numpy
+  matmul against it and emits only its local top-k per query (a
+  combiner), so the driver merge sees ``O(num_blocks * Q * k)`` rows,
+  never the corpus. This is the exact baseline.
+- ``lsh_bucket_candidates`` — the scale path: sign-random-projection
+  LSH buckets (one groupby shuffle on the bucket key); queries then
+  search only their bucket. Recall < 1 by construction → no SQL oracle.
+- ``cosine_dupes`` — embedding near-duplicate pairs (cosine ≥ t)
+  within LSH buckets, or exact within blocks for oracle checking.
+
+Float determinism note: all scores are computed in float64 with
+per-row reductions (numpy dot), matching what an independent engine
+computes; outputs expose only integer ids ordered by (score desc, id)
+so ulp-level differences cannot flip set equality except at exact
+ties, which the synthetic data does not contain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (flat zero-copy read;
+    flatten() respects list offsets after slicing)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def ann_topk(ds, query_ids: list[int], k: int = 5, id_col: str = "vec_id",
+             emb_col: str = "embedding"):
+    """Exact cosine top-k neighbors for each query id (self excluded).
+
+    Returns a pandas DataFrame (query_id, neighbor_id, rank) with rank
+    1..k by (cosine desc, neighbor_id asc).
+    """
+    import ray
+
+    # fetch the query vectors (tiny: filter on an int set, no shuffle)
+    qset = set(query_ids)
+
+    def grab_queries(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(t[id_col], value_set=pa.array(list(qset)))
+        return t.filter(mask)
+
+    qtab = pa.concat_tables(
+        ds.map_batches(grab_queries, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    qid_np = qtab[id_col].to_numpy()
+    order = np.argsort(qid_np)
+    qids = qid_np[order]
+    qmat = _normalize(_batch_matrix(qtab, emb_col)[order])
+    qref = ray.put((qids, qmat))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(qref)  # zero-copy numpy from plasma
+        ids = t[id_col].to_numpy().astype(np.int64)
+        mat = _normalize(_batch_matrix(t, emb_col))
+        sims = mat_q @ mat.T  # (Q, n)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])  # +1 in case self is in this batch
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(-row, kk - 1)[:kk]
+            for j in top:
+                if ids[j] != ids_q[qi]:
+                    out_q.append(int(ids_q[qi]))
+                    out_n.append(int(ids[j]))
+                    out_s.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas()
+    # final merge: per query, global top-k with deterministic tie-break
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def ann_topk_sql(query_ids: list[int], k: int = 5,
+                 table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    return f"""
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cosine
+  FROM {table} q JOIN {table} c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+class LSHBucketStage:
+    """Sign-random-projection bucket key per vector (the scale path:
+    vectors sharing all `n_planes` signs land in one bucket; search
+    within buckets only)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 11,
+                 emb_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, self.emb_col)
+        signs = (mat @ self.planes) > 0
+        bucket = signs @ (1 << np.arange(signs.shape[1]))
+        return batch.append_column(
+            "bucket", pa.array(bucket.astype(np.int64))
+        )
+
+
+def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                 emb_col: str = "embedding", exact: bool = True,
+                 n_planes: int = 8, dim: int | None = None):
+    """Embedding near-duplicate pairs (cosine >= threshold, a < b).
+
+    exact=True: all-pairs within the whole set via block-cross products
+    (oracle-checkable; fine up to ~10^5 vectors). exact=False: pairs
+    only within LSH buckets (recall<1; the 100 TB path — one shuffle).
+    """
+    if exact:
+        tab = pa.concat_tables(
+            ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        ids = tab[id_col].to_numpy().astype(np.int64)
+        mat = _normalize(_batch_matrix(tab, emb_col))
+        sims = mat @ mat.T
+        iu, ju = np.where(np.triu(sims >= threshold, k=1))
+        order_ids = ids
+        a = np.minimum(order_ids[iu], order_ids[ju])
+        b = np.maximum(order_ids[iu], order_ids[ju])
+        df = pd.DataFrame({"vec_a": a, "vec_b": b}).sort_values(
+            ["vec_a", "vec_b"]
+        )
+        return df.reset_index(drop=True)
+
+    if dim is None:
+        first = next(ds.iter_batches(batch_size=1, batch_format="pyarrow"))
+        dim = len(first[emb_col][0])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        mat = _normalize(np.stack(g[emb_col].to_numpy()))
+        sims = mat @ mat.T
+        iu, ju = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids[iu], ids[ju]),
+                "vec_b": np.maximum(ids[iu], ids[ju]),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            LSHBucketStage,
+            fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                                   "emb_col": emb_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+def cosine_dupes_sql(threshold: float = 0.95, table: str = "embeddings") -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+""".strip()

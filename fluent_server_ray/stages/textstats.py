@@ -1,0 +1,156 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Operations over a document table (``doc_id``, ``text``, …) expressed as
+vectorized ``map_batches`` transforms:
+
+- token counting (regex token scan, no Python row loop)
+- quality scoring (length / alpha / digit / whitespace ratios; all
+  per-row arithmetic, so an independent SQL engine reproduces the
+  doubles bit-for-bit)
+- language ID (marker-word n-gram heuristic, deterministic argmax)
+- document fingerprinting (md5 content hash)
+
+Every function has a DuckDB SQL mirror built from the SAME
+pattern/marker constants so the driver oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[^ ]+"
+
+# language → marker regex (word-boundary alternation). Scores are
+# occurrence counts; prediction is argmax with deterministic tie-break
+# in LANG_ORDER; all-zero → 'unknown'.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|and|of|to|is)\b",
+    "de": r"\b(der|die|das|und|ist|ein)\b",
+    "fr": r"\b(le|la|les|et|est|un)\b",
+    "es": r"\b(el|los|las|es|y|un)\b",
+    "zh": r"[\x{4e00}-\x{9fff}]",
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    n = pc.count_substring_regex(batch["text"], TOKEN_RE)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
+    )
+
+
+def token_count_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)"
+        " AS n_tokens FROM documents"
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality ratios; denominators guarded with max(len,1)."""
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64())
+    n_space = pc.cast(pc.count_substring_regex(text, " "), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+    denom = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars2": n_chars,
+            "n_tokens": n_tokens,
+            "n_alpha": n_alpha,
+            "n_digit": n_digit,
+            "alpha_ratio": pc.divide(pc.cast(n_alpha, pa.float64()), denom),
+            "space_ratio": pc.divide(pc.cast(n_space, pa.float64()), denom),
+        }
+    )
+
+
+def quality_sql() -> str:
+    return """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars2,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+    / GREATEST(length(text), 1) AS alpha_ratio,
+  CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE)
+    / GREATEST(length(text), 1) AS space_ratio
+FROM documents
+""".strip()
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Marker-count language ID (the classic stopword heuristic)."""
+    text = batch["text"]
+    scores = {
+        lang: pc.cast(pc.count_substring_regex(text, rx), pa.int64())
+        for lang, rx in LANG_MARKERS.items()
+    }
+    best = pa.nulls(len(batch), pa.string())
+    best_score = pa.array([0] * len(batch), type=pa.int64())
+    # iterate in LANG_ORDER: strictly-greater keeps the earlier lang on
+    # ties — the same deterministic tie-break as the SQL mirror
+    for lang in LANG_ORDER:
+        s = scores[lang]
+        hit = pc.greater(s, best_score)
+        best = pc.if_else(hit, pa.scalar(lang), best)
+        best_score = pc.max_element_wise(best_score, s)
+    best = pc.fill_null(best, "unknown")
+    return pa.table({"doc_id": batch["doc_id"], "lang_pred": best})
+
+
+def langid_sql() -> str:
+    """Same argmax, same tie-break, generated from LANG_MARKERS."""
+    # DuckDB RE2 uses \x{4e00} syntax too; markers are shared verbatim
+    score = {
+        lang: f"len(regexp_extract_all(text, '{rx}'))"
+        for lang, rx in LANG_MARKERS.items()
+    }
+    # fold in LANG_ORDER: pick first lang whose score > all later ones
+    # and >= all earlier ones — equivalently, recompute the running
+    # argmax exactly as the Arrow loop does.
+    expr = "'unknown'"
+    best = "0"
+    cases = []
+    for lang in LANG_ORDER:
+        cases.append((lang, score[lang]))
+    # build nested CASE mirroring the sequential strictly-greater scan
+    sql = "0"
+    lang_expr = "'unknown'"
+    for lang, s in cases:
+        lang_expr = f"CASE WHEN {s} > ({sql}) THEN '{lang}' ELSE {lang_expr} END"
+        sql = f"GREATEST({sql}, {s})"
+    return f"SELECT doc_id, {lang_expr} AS lang_pred FROM documents"
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """md5 content fingerprint.
+
+    Note: the md5 itself is per-row Python (Arrow ships no md5 kernel);
+    the C hash dominates, and at scale this runs inside parallel
+    map_batches tasks, so the driver never loops.
+    """
+    texts = batch["text"].to_pylist()
+    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fp": pa.array(fps, type=pa.string())}
+    )
+
+
+def fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def apply_doc_stage(ds, batch_fn, batch_size: int | None = None):
+    kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    return ds.map_batches(batch_fn, **kwargs)

@@ -1,0 +1,95 @@
+"""Windowed / sessionized aggregation over an ordered event log.
+
+Ray Data has no event-time windows; the idiomatic shape (per the Ray
+Data docs guidance for stream-shaped workloads) is: partition by key,
+sort within partition, window inside ``groupby(key).map_groups``.
+The reference carries event time but never windows (the mirror
+accumulates forever, reference ``mirror/mirror.go:26-39``); these
+operators are the streaming-analytics capability a log pipeline needs
+on top.
+
+Ordering assumption: within a key, rows are processed in
+``(ts, event_id)`` order — the deterministic strengthening of the
+reference's per-chunk wire order (``defaultreader/reader.go:85-103``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def sessionize(ds, gap_seconds: int = 1800, key_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id"):
+    """Session windows: a new session starts when the gap from the
+    previous event of the same key exceeds ``gap_seconds``.
+
+    Returns one row per session: (user_id, session_id, n_events,
+    first_event, last_event) with session_id numbered 0.. per key in
+    time order.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        gap = g[ts_col].diff().dt.total_seconds().fillna(0.0)
+        sid = (gap > gap_seconds).cumsum()
+        out = g.groupby(sid).agg(
+            n_events=(id_col, "size"),
+            first_event=(id_col, "min"),
+            last_event=(id_col, "max"),
+        )
+        out.insert(0, "session_id", np.arange(len(out), dtype=np.int64))
+        out.insert(0, key_col, g[key_col].iloc[0])
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def sessionize_sql(gap_seconds: int = 1800, table: str = "events") -> str:
+    return f"""
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch(ts - lag(ts) OVER w) > {gap_seconds} THEN 1 ELSE 0 END AS new_s
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gapped
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  count(*) AS n_events,
+  min(event_id) AS first_event, max(event_id) AS last_event
+FROM sessions GROUP BY user_id, session_id
+""".strip()
+
+
+def tumbling_counts(ds, width_seconds: int = 3600, key_col: str = "event_type",
+                    ts_col: str = "ts"):
+    """Tumbling event-time windows: count per (key, window_start).
+    Expressed without map_groups: the window id is a row-wise column,
+    then it's a plain grouped count (partial+final via grouped_counts'
+    combiner pattern) — the fully-shuffle-minimal shape."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def add_window(t: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(secs, width_seconds), width_seconds)
+        return pa.table({key_col: t[key_col], "window_start": win})
+
+    win_ds = ds.map_batches(add_window, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return grouped_counts(win_ds, [key_col, "window_start"])
+
+
+def tumbling_counts_sql(width_seconds: int = 3600, table: str = "events") -> str:
+    return f"""
+SELECT event_type,
+  ((epoch_us(ts) // 1000000) // {width_seconds}) * {width_seconds} AS window_start,
+  count(*) AS n
+FROM {table} GROUP BY 1, 2
+""".strip()

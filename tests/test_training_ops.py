@@ -1,0 +1,139 @@
+"""Training-data operators (dedup / textstats / similarity / multimodal
+/ windows) vs DuckDB oracles at sf0.001, plus behavior tests for the
+probabilistic ops on constructed near-duplicate fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMALL
+from tests.test_ray_entry import _con, _to_df
+
+
+ORACLE_QUERIES = [
+    "doc_token_counts",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_prefix_block",
+    "ann_cosine_topk",
+    "embedding_dupes",
+    "multimodal_decode",
+    "sessionize",
+    "tumbling_counts",
+    "lineitem_agg",
+    "orders_by_nation",
+    "top_orders",
+    "distinct_event_types",
+    "union_high_low",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_training_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as e
+
+    ray_df = _to_df(e.queries()[name](SF_SMALL))
+    duck_df = _con(SF_SMALL).execute(e.oracle_sql()[name]).df()
+    assert sorted(ray_df.columns) == sorted(duck_df.columns), name
+    assert len(ray_df) == len(duck_df), f"{name}: {len(ray_df)} vs {len(duck_df)}"
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = duck_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_minhash_finds_constructed_near_dups(ray_session):
+    """MinHash+LSH must recover pairs that share ~90% of their words."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (
+        minhash_lsh_candidates,
+        verify_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=60, replace=False))
+        docs.append({"doc_id": 2 * i, "text": " ".join(words)})
+        near = words.copy()
+        near[0], near[1] = "zz1", "zz2"  # ~97% overlap
+        docs.append({"doc_id": 2 * i + 1, "text": " ".join(near)})
+    df = pd.DataFrame(docs)
+    ds = rd.from_pandas(df)
+    cand = minhash_lsh_candidates(ds).to_pandas()
+    found = verify_jaccard_pairs(cand, df, threshold=0.8)
+    got = set(zip(found["doc_a"], found["doc_b"]))
+    want = {(2 * i, 2 * i + 1) for i in range(40)}
+    # LSH with 16 bands x 4 rows at J~0.94 has recall ~1-1e-9 per pair
+    assert want <= got
+    # and no wildly-wrong pairs survive verification
+    assert all(b - a == 1 for a, b in got)
+
+
+def test_simhash_near_dups_collide(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import simhash_signatures
+
+    rng = np.random.default_rng(5)
+    words = list(rng.choice([f"w{i}" for i in range(500)], size=60, replace=False))
+    near = words.copy()
+    near[0], near[1] = "zz1", "zz2"
+    other = list(rng.choice([f"v{i}" for i in range(500)], size=60, replace=False))
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [" ".join(words), " ".join(near), " ".join(other)],
+        }
+    )
+    sigs = simhash_signatures(rd.from_pandas(df)).to_pandas()
+    s = sigs.set_index("doc_id")["simhash"]
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    # ~97% word overlap → few flipped bits; unrelated docs → ~32
+    assert ham(s[0], s[1]) <= 12
+    assert ham(s[0], s[2]) >= 20
+
+
+def test_exact_dedup_removes_constructed_dups(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 3, 9, 7, 1],
+            "text": ["same", "same", "same", "other", "third"],
+        }
+    )
+    out = exact_dedup(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 3, 7]  # min id wins per text
+
+
+def test_decode_stub_real_raises():
+    from fluent_server_ray.stages.multimodal import DecodeStub
+
+    with pytest.raises(NotImplementedError):
+        DecodeStub(real=True)
+
+
+def test_lsh_bucketed_cosine_dupes_subset_of_exact(ray_session):
+    """The LSH-bucketed scale path returns a subset of the exact pairs
+    (recall<1 by design, precision 1 after in-bucket verification)."""
+    from fluent_server_ray.stages.similarity import cosine_dupes
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = cosine_dupes(ds, threshold=0.42, exact=True)
+    approx = cosine_dupes(
+        rd.read_parquet(f"{SF_SMALL}/embeddings.parquet"),
+        threshold=0.42, exact=False, n_planes=3, dim=64,
+    ).to_pandas()
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    a = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert a <= e
+    assert len(e) > 0
+    assert len(a) > 0  # with 3 planes the buckets are coarse enough
