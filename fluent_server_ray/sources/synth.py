@@ -22,9 +22,11 @@ increments; a mix of second-aligned and microsecond-offset values
 mirrors the reference's dual second/EventTime encodings
 (reference ``message/time.go:19-53``).
 
-Generation is vectorized numpy; writing shards the output into
-``n_files`` Parquet files so downstream file-level lineage/resume has
-real shards to work with.
+Each output file is generated independently from a per-shard seed
+(``seed + shard``), so generation parallelizes over shards (Ray tasks
+when a Ray session exists) and a shard's bytes never depend on how many
+workers produced the corpus. String assembly uses Arrow kernels —
+``np.char.*`` is ~100x slower.
 """
 
 from __future__ import annotations
@@ -42,29 +44,30 @@ WORDS = ("foo", "bar", "beuha", "aussi", "magic", "follow", "bof", "hello", "wor
 GOLDEN_EPOCH_S = 1441588984  # reference message/entry_test.go:26
 
 
-def generate_transcripts(
-    out_dir: str,
-    n_convs: int = 200,
-    mean_turns: int = 10,
-    seed: int = 42,
-    n_files: int = 4,
-    zipf_a: float = 1.5,
-    frac_bad: float = 0.002,
-) -> list[str]:
-    """Write a deterministic transcripts corpus; return the file paths."""
+def _generate_shard(
+    path: str,
+    conv_lo: int,
+    conv_hi: int,
+    seed: int,
+    mean_turns: int,
+    zipf_a: float,
+    frac_bad: float,
+) -> str:
+    """Generate conversations [conv_lo, conv_hi) into one parquet file.
+    Fully determined by the arguments."""
     rng = np.random.default_rng(seed)
+    n_convs = conv_hi - conv_lo
 
     turns_per_conv = np.minimum(
         rng.zipf(zipf_a, size=n_convs) * max(1, mean_turns // 3), mean_turns * 200
     ).astype(np.int64)
     n = int(turns_per_conv.sum())
 
-    conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
+    conv_idx = np.repeat(np.arange(conv_lo, conv_hi), turns_per_conv)
     # vectorized per-conv 0..k-1: global index minus each conv's start offset
     starts = np.concatenate(([0], np.cumsum(turns_per_conv)[:-1]))
     turn_idx = (np.arange(n) - np.repeat(starts, turns_per_conv)).astype(np.int32)
 
-    # string assembly via Arrow kernels — np.char.* is ~100x slower
     pcj = pc.binary_join_element_wise
     conv_id = pcj("conv-", pc.cast(pa.array(conv_idx), pa.string()), "")
     role = pa.array(np.array(ROLES)[rng.integers(0, len(ROLES), size=n)])
@@ -126,16 +129,51 @@ def generate_transcripts(
             "ts": pa.array(ts),
         }
     )
+    pq.write_table(tbl, path)
+    return path
 
+
+def generate_transcripts(
+    out_dir: str,
+    n_convs: int = 200,
+    mean_turns: int = 10,
+    seed: int = 42,
+    n_files: int = 4,
+    zipf_a: float = 1.5,
+    frac_bad: float = 0.002,
+    parallel: bool | None = None,
+) -> list[str]:
+    """Write a deterministic transcripts corpus; return the file paths.
+
+    ``parallel=None`` auto-detects: shards generate as Ray tasks when a
+    Ray session is up (corpus bytes are identical either way — each
+    shard is a pure function of (range, seed+shard))."""
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
-    # shard by conversation (not by row) so a conversation never spans files
     bounds = np.linspace(0, n_convs, n_files + 1).astype(int)
-    for i in range(n_files):
-        lo, hi = bounds[i], bounds[i + 1]
-        mask = pa.array((conv_idx >= lo) & (conv_idx < hi))
-        shard = tbl.filter(mask)
-        p = os.path.join(out_dir, f"transcripts-{i:04d}.parquet")
-        pq.write_table(shard, p)
-        paths.append(p)
-    return paths
+    jobs = [
+        (
+            os.path.join(out_dir, f"transcripts-{i:04d}.parquet"),
+            int(bounds[i]),
+            int(bounds[i + 1]),
+            seed + i,
+            mean_turns,
+            zipf_a,
+            frac_bad,
+        )
+        for i in range(n_files)
+    ]
+
+    if parallel is None:
+        try:
+            import ray
+
+            parallel = ray.is_initialized() and n_files > 1
+        except ImportError:
+            parallel = False
+
+    if parallel:
+        import ray
+
+        gen = ray.remote(_generate_shard)
+        return ray.get([gen.remote(*j) for j in jobs])
+    return [_generate_shard(*j) for j in jobs]
