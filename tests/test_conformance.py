@@ -1,0 +1,203 @@
+"""Reference-conformance fixtures: the exact golden literals from the
+reference's test suite (FIXTURES.md §4 / SURVEY.md §5.2), decoded by
+the from-scratch forward-protocol reader and the admission functions.
+"""
+
+import gzip
+import hashlib
+
+import msgpack
+import pytest
+
+from fluent_server_ray.sources.fluentfmt import (
+    FrameError,
+    decode_frame,
+    event_time_ext,
+    frames_to_table,
+    pack_frames,
+)
+
+GOLDEN_TS = 1441588984  # reference message/entry_test.go:26
+GOLDEN_CHUNK = "p8n9gmxTQVC8/nh2wlKKeQ=="  # reference session_test.go:146
+
+
+def test_message_mode_single_event():
+    """≙ reference defaultreader/reader_test.go:63-69 (message mode)."""
+    entries, opt = decode_frame(["myTag", GOLDEN_TS, {"message": "foo"}])
+    assert entries == [("myTag", GOLDEN_TS, 0, {"message": "foo"})]
+
+
+def test_forward_mode_order_preserved():
+    """≙ reference reader_test.go:71-85: 2 entries, input order kept."""
+    entries, _ = decode_frame(
+        [
+            "tag.name",
+            [[GOLDEN_TS, {"message": "foo"}], [GOLDEN_TS + 1, {"message": "bar"}]],
+        ]
+    )
+    assert [e[3]["message"] for e in entries] == ["foo", "bar"]
+    assert [e[1] for e in entries] == [GOLDEN_TS, GOLDEN_TS + 1]
+
+
+def test_packed_forward_blob():
+    """≙ reference reader_test.go:87-104: concatenated msgpack entries."""
+    blob = msgpack.packb([GOLDEN_TS, {"message": "foo"}]) + msgpack.packb(
+        [GOLDEN_TS + 1, {"message": "bar"}]
+    )
+    entries, opt = decode_frame(["myTag", blob, {"size": 2}])
+    assert len(entries) == 2
+    assert opt["size"] == 2
+
+
+def test_compressed_packed_forward():
+    """≙ reference defaultreader/reader.go:53-59 (gzip blob)."""
+    blob = msgpack.packb([GOLDEN_TS, {"beuha": "aussi", "age": 42}])
+    entries, _ = decode_frame(
+        ["beuha", gzip.compress(blob), {"compressed": "gzip"}]
+    )
+    assert entries == [("beuha", GOLDEN_TS, 0, {"beuha": "aussi", "age": 42})]
+
+
+def test_event_time_ext_round_trip():
+    """≙ reference message/time_test.go:32-38 (ext 0, 8B BE sec+nsec)."""
+    ext = event_time_ext(GOLDEN_TS, 123_456_789)
+    entries, _ = decode_frame(["t", [[ext, {"k": "v"}]]])
+    assert entries[0][1] == GOLDEN_TS
+    assert entries[0][2] == 123_456_789
+
+
+def test_chunk_id_surfaces_in_table():
+    """≙ reference session_test.go:124-159: chunk option → ack/lineage id."""
+    raw = pack_frames(
+        [
+            [
+                "tag.name",
+                [[GOLDEN_TS, {"message": "foo"}]],
+                {"chunk": GOLDEN_CHUNK, "size": 1},
+            ]
+        ]
+    )
+    t = frames_to_table(raw)
+    assert t["chunk"].to_pylist() == [GOLDEN_CHUNK]
+    assert t["tag"].to_pylist() == ["tag.name"]
+    # golden timestamp: 1441588984 = 2015-09-07T01:23:04Z
+    assert str(t["ts"][0].as_py()) == "2015-09-07 01:23:04"
+
+
+def test_heartbeat_produces_nothing():
+    """≙ reference message/session.go:124-137 (msgpack nil frame)."""
+    assert decode_frame(None) == ([], {})
+    t = frames_to_table(pack_frames([None, None]))
+    assert len(t) == 0
+
+
+@pytest.mark.parametrize(
+    "frame,msg",
+    [
+        (["t", [[1, {}]], {}, {}, {}, {}], "flood"),  # arity > 5
+        (["t"], "too short"),  # arity < 2
+        (["t", "legacy-str-blob"], "PackedForward is old"),
+        (["t", [[GOLDEN_TS, {"k": 1}, "extra"]]], "bad array length"),
+    ],
+)
+def test_invalid_frames_rejected(frame, msg):
+    """≙ reference message/session.go:139-147 + mode.go:29-31."""
+    with pytest.raises(FrameError, match=msg):
+        decode_frame(frame)
+
+
+def test_invalid_frame_routes_to_reject_row():
+    raw = pack_frames([["t"], ["ok", GOLDEN_TS, {"name": "Bob", "age": 42}]])
+    t = frames_to_table(raw)
+    assert t["is_valid"].to_pylist() == [False, True]
+
+
+def test_fixed_ext_rejected():
+    """≙ reference message/time.go:54-55 (FixedExt refused)."""
+    import struct
+
+    bad = msgpack.ExtType(0, struct.pack(">I", 1))  # wrong length (4B)
+    with pytest.raises(FrameError, match="size"):
+        decode_frame(["t", [[bad, {}]]])
+    with pytest.raises(FrameError, match="unknown ext id"):
+        decode_frame(["t", [[msgpack.ExtType(3, b"12345678"), {}]]])
+
+
+def test_forward_frames_dataset(ray_session, tmp_path):
+    """End-to-end: msgpack frame files → Dataset of events (S1 ≙
+    read path; ordered entry_idx ≙ intra-chunk order O2)."""
+    from fluent_server_ray.sources.fluentfmt import read_forward_frames
+
+    raw = pack_frames(
+        [
+            ["tag_prefix.my_tag", [[GOLDEN_TS, {"from": "userA", "to": "userB"}],
+                                   [GOLDEN_TS + 1, {"magic": 0.5}]],
+             {"chunk": GOLDEN_CHUNK}],
+            None,  # heartbeat
+            ["follow", GOLDEN_TS + 2, {"beuha": "aussi"}],
+        ]
+    )
+    p = tmp_path / "frames-000.msgpack"
+    p.write_bytes(raw)
+    df = read_forward_frames([str(p)]).to_pandas()
+    assert len(df) == 3
+    assert list(df["tag"]) == ["tag_prefix.my_tag", "tag_prefix.my_tag", "follow"]
+    assert list(df["entry_idx"]) == [0, 1, 0]
+    assert df["chunk"].iloc[0] == GOLDEN_CHUNK
+
+
+# ----- admission (control-plane) conformance -----
+
+def test_shared_key_digest_matches_reference_algebra():
+    """≙ reference session_test.go:190-204 + ping.go:63-74:
+    sha512(salt + hostname + nonce + shared_key)."""
+    from fluent_server_ray.functions.admission import (
+        shared_key_hexdigest,
+        validate_shared_key,
+    )
+
+    nonce = b"0123456789abcdef"
+    want = hashlib.sha512(
+        b"my_salt" + b"client.example.com" + nonce + b"beuha"
+    ).hexdigest()
+    assert shared_key_hexdigest("my_salt", "client.example.com", nonce, "beuha") == want
+
+    ping = {
+        "shared_key_salt": "my_salt",
+        "client_hostname": "client.example.com",
+        "shared_key_hexdigest": want,
+    }
+    validate_shared_key(ping, nonce, "beuha")  # no raise
+    with pytest.raises(ValueError, match="shared key mismatch"):
+        validate_shared_key(ping, nonce, "wrong")
+
+
+def test_password_digest_matches_reference_algebra():
+    """≙ reference ping_test.go:11-34: sha512(salt + user + password)."""
+    from fluent_server_ray.functions.admission import (
+        password_hexdigest,
+        validate_password,
+    )
+
+    digest = hashlib.sha512(b"salt" + b"bob" + b"sponge").hexdigest()
+    assert password_hexdigest(b"salt", "bob", b"sponge") == digest
+
+    users = lambda u: b"sponge" if u == "bob" else None
+    validate_password(
+        {"username": "bob", "password": digest}, b"salt", users
+    )
+    with pytest.raises(ValueError, match="unknown user"):
+        validate_password({"username": "eve", "password": digest}, b"salt", users)
+    with pytest.raises(ValueError, match="username is mandatory"):
+        validate_password({"username": "", "password": digest}, b"salt", users)
+
+
+def test_pong_shape():
+    """≙ reference session_test.go:206-223: 5-ary PONG with server proof."""
+    from fluent_server_ray.functions.admission import pong, shared_key_hexdigest
+
+    nonce = b"n" * 16
+    p = pong(True, "", "server.example.com", "my_salt", nonce, "beuha")
+    assert p[:4] == ["PONG", True, "", "server.example.com"]
+    assert p[4] == shared_key_hexdigest("my_salt", "server.example.com", nonce, "beuha")
+    assert pong(False, "nope", "s", "", nonce, "k")[1:3] == [False, "nope"]
