@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": rel.top_orders,
         "distinct_event_types": rel.distinct_event_types,
         "union_high_low": rel.union_high_low_value,
+        "join_revenue_by_priority": rel.revenue_by_priority,
+        "dedup_replayed_turns": rel.dedup_replayed_turns,
     }
 
 
@@ -262,4 +264,6 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": rel.top_orders_sql(),
         "distinct_event_types": rel.distinct_event_types_sql(),
         "union_high_low": rel.union_high_low_value_sql(),
+        "join_revenue_by_priority": rel.revenue_by_priority_sql(),
+        "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
     }

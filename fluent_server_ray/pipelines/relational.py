@@ -242,3 +242,117 @@ UNION ALL
 SELECT event_id, event_type, CAST(round(value * 100.0) AS BIGINT) AS value_cents
 FROM events WHERE value < 10.0
 """.strip()
+
+
+# ------------------------------------------- large-large bucketed join
+
+def revenue_by_priority(sf_dir: str, use_native: bool = False):
+    """orders ⋈ lineitem (both large) → revenue per order priority.
+
+    One co-located shuffle on the order key via the explicit bucketed
+    hash join (or Ray's native hash join with use_native=True), then a
+    combiner-style grouped aggregate of integer cents.
+    """
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import bucketed_hash_join, native_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    if use_native:
+        joined = native_join(
+            orders, lineitem.add_column(
+                "o_orderkey", lambda df: df["l_orderkey"], batch_format="pandas"
+            ), "o_orderkey", n_partitions=16,
+        )
+    else:
+        joined = bucketed_hash_join(
+            orders, lineitem, key="o_orderkey", right_key="l_orderkey",
+            n_buckets=16,
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        prep = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "rev_cents": _cents(rev),
+            }
+        )
+        out = prep.group_by(["o_orderpriority"]).aggregate(
+            [("rev_cents", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(["o_orderpriority", "sum_rev_cents", "n_items"])
+
+    partials = pa.concat_tables(
+        joined.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    out = partials.group_by(["o_orderpriority"]).aggregate(
+        [("sum_rev_cents", "sum"), ("n_items", "sum")]
+    )
+    return out.rename_columns(["o_orderpriority", "sum_rev_cents", "n_items"])
+
+
+def revenue_by_priority_sql() -> str:
+    return """
+SELECT o.o_orderpriority,
+  sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT))
+    AS sum_rev_cents,
+  count(*) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""".strip()
+
+
+# ---------------------------------------- at-least-once replay dedup
+
+def dedup_replayed_turns(sf_dir: str):
+    """O3: exact dedup of a replayed (at-least-once) transcript stream.
+
+    Simulates a client re-sending every chunk (union of the input with
+    itself — reference clients replay unacked chunks,
+    message/mode.go:56-68), then hash-partitions by (conv_id, turn_idx)
+    and keeps the first row per key. The preferred production path is
+    manifest-level skip (state/lineage.py); this is the shuffle
+    fallback when lineage is unavailable.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.sources.transcripts import read_transcripts
+
+    once = read_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"]
+    )
+    replayed = once.union(
+        read_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+    )
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return replayed.groupby(["conv_id", "turn_idx"]).map_groups(
+        first_row, batch_format="pandas"
+    )
+
+
+def dedup_replayed_turns_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH "
+        + TRANSCRIPTS_SQL_CTE
+        + """
+SELECT DISTINCT conv_id, turn_idx, text FROM (
+  SELECT conv_id, turn_idx, text FROM transcripts
+  UNION ALL
+  SELECT conv_id, turn_idx, text FROM transcripts
+)
+""".rstrip()
+    )

@@ -1,0 +1,109 @@
+"""Large-large joins: explicit bucketed hash join + the native path.
+
+The reference has no data-data joins (SURVEY.md §2.4) — its lookups are
+broadcast dictionaries (see :mod:`fluent_server_ray.stages.enrich`).
+For two genuinely large sides this module provides:
+
+- ``bucketed_hash_join`` — the portable, partitioning-explicit pattern:
+  add ``_bucket = siphash(key) % B`` to both sides, one ``groupby``
+  shuffle each, then join matching buckets pairwise inside
+  ``map_groups``. B controls per-task memory (size B so the smaller
+  side's bucket fits a worker heap); skewed keys can be salted into
+  sub-buckets upstream (``stages/aggregate.add_salt``). This is the
+  documented 100 TB layout: both sides shuffle exactly once, on the
+  same key.
+- ``native_join`` — Ray Data's hash-partitioned ``Dataset.join``
+  (Ray ≥ 2.46): preferred when available; same partitioning story,
+  engine-managed.
+
+Both produce identical rows; tests pin them against each other and
+against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _with_bucket(ds, key: str, n_buckets: int):
+    def add(t: pa.Table) -> pa.Table:
+        vals = t[key].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.ascontiguousarray(vals))
+        return t.append_column("_bucket", pa.array((h % n_buckets).astype("int64")))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    key: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+    right_key: str | None = None,
+):
+    """Partitioned hash join via per-bucket pandas merges.
+
+    Each side is shuffled once on ``siphash(key) % n_buckets``; a
+    per-bucket ``map_groups`` merges the two bucket halves. Rows carry
+    a ``_side`` marker through one unioned shuffle so both sides
+    co-locate with a single exchange.
+    """
+    right_key = right_key or key
+
+    # normalize both sides to Arrow blocks so schema() yields Arrow types
+    # (pandas-backed datasets report numpy dtypes otherwise)
+    left = left.map_batches(lambda t: t, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = right.map_batches(lambda t: t, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    lsch, rsch = left.schema(), right.schema()
+    lcols, rcols = list(lsch.names), list(rsch.names)
+    lfields = [pa.field(n, t) for n, t in zip(lsch.names, lsch.types)]
+    rfields = [pa.field(n, t) for n, t in zip(rsch.names, rsch.types)]
+    # union needs one schema: pad each side with the other's columns as
+    # typed nulls (cost: null buffers only)
+    all_fields = lfields + [f for f in rfields if f.name not in lcols]
+
+    def pad(side: int, have: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for f in all_fields:
+                cols[f.name] = (
+                    t[f.name] if f.name in have else pa.nulls(n, f.type)
+                )
+            out = pa.table(cols)
+            return out.append_column(
+                "_side", pa.array(np.full(n, side, dtype=np.int8))
+            )
+
+        return fn
+
+    l = _with_bucket(
+        left.map_batches(pad(0, lcols), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key, n_buckets,
+    )
+    r = _with_bucket(
+        right.map_batches(pad(1, rcols), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        right_key, n_buckets,
+    )
+    both = l.union(r)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols]
+        rg = g[g["_side"] == 1][rcols]
+        return lg.merge(rg, left_on=key, right_on=right_key, how=how)
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def native_join(left, right, key: str, n_partitions: int = 32,
+                how: str = "inner"):
+    """Ray Data's built-in hash-partitioned join."""
+    return left.join(right, join_type=how, num_partitions=n_partitions,
+                     on=(key,))

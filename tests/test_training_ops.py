@@ -27,6 +27,8 @@ ORACLE_QUERIES = [
     "top_orders",
     "distinct_event_types",
     "union_high_low",
+    "join_revenue_by_priority",
+    "dedup_replayed_turns",
 ]
 
 
