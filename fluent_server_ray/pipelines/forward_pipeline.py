@@ -1,0 +1,134 @@
+"""End-to-end pipeline over fluentd Forward wire data.
+
+The closest analogue to running the reference server itself: input is
+files of msgpack forward frames (≙ the byte streams connections would
+deliver, reference ``server/server.go:97-115``), output is per-sink
+Parquet plus grouped counts, with chunk-level ack bookkeeping:
+
+decode (``sources/fluentfmt``) → at-least-once chunk dedup → tag-match
+route (``stages/route``, the wire tag routes directly — no parsing
+needed) → per-sink write + lineage manifest that records the **acked
+chunk ids** (≙ the server's ``{"ack": <chunk>}`` replies, reference
+``message/ack.go:5-20``; a replayed chunk in a later shard is dropped
+because its id is already acked).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fluent_server_ray.sources.fluentfmt import read_forward_frames
+from fluent_server_ray.stages.aggregate import grouped_counts
+from fluent_server_ray.stages.route import RouteStage
+from fluent_server_ray.pipelines.flagship import _write_sinks
+
+
+def dedup_chunks(ds, acked: set[str]):
+    """At-least-once input dedup, two levels:
+
+    1. drop rows whose chunk id is already acked (manifest-level skip,
+       vectorized ``is_in`` against the broadcast acked set);
+    2. within this run, keep the first occurrence of each
+       (chunk, entry_idx) — a client may have re-sent a chunk inside
+       the same stream before seeing the ack.
+    """
+    import ray
+
+    acked_ref = ray.put(pa.array(sorted(acked), type=pa.string()))
+
+    def drop_acked(t: pa.Table) -> pa.Table:
+        acked_arr = ray.get(acked_ref)
+        has_chunk = pc.not_equal(t["chunk"], "")
+        replay = pc.and_(has_chunk, pc.is_in(t["chunk"], value_set=acked_arr))
+        return t.filter(pc.invert(replay))
+
+    ds = ds.map_batches(drop_acked, batch_format="pyarrow")
+
+    def first_per_entry(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    chunked = ds.filter(expr="chunk != ''")
+    unchunked = ds.filter(expr="chunk == ''")
+    deduped = chunked.groupby(["chunk", "entry_idx"]).map_groups(
+        first_per_entry, batch_format="pandas"
+    )
+    return deduped.union(unchunked)
+
+
+def run_forward_pipeline(
+    frame_files: list[str],
+    out_dir: str,
+    routes: list[tuple[str, str]] | None = None,
+    dedup: bool = True,
+) -> dict:
+    """Process forward-frame shards into routed sinks with ack lineage."""
+    from fluent_server_ray.state.lineage import (
+        commit_shard,
+        committed_shards,
+        load_manifests,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = committed_shards(out_dir)
+    acked: set[str] = set()
+    for m in load_manifests(out_dir):
+        acked.update(m.get("acked_chunks", []))
+
+    for path in sorted(frame_files):
+        shard_id = os.path.splitext(os.path.basename(path))[0]
+        if shard_id in done:
+            continue
+        ds = read_forward_frames([path])
+        if dedup:
+            ds = dedup_chunks(ds, acked)
+        routed = ds.map_batches(
+            RouteStage,
+            fn_constructor_kwargs={"routes": routes},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        routed_m = routed.materialize()
+        sink_dir = os.path.join(out_dir, "sinks", f"shard={shard_id}")
+        _write_sinks(routed_m, sink_dir)
+        counts = grouped_counts(routed_m, ["sink", "tag"]).to_pandas()
+        chunk_tbl = pa.concat_tables(
+            routed_m.select_columns(["chunk"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        new_acks = sorted(
+            {c for c in chunk_tbl["chunk"].to_pylist() if c}
+        )
+        acked.update(new_acks)
+        commit_shard(
+            out_dir,
+            shard_id,
+            {
+                "input_file": path,
+                "row_count": int(counts["n"].sum()),
+                "per_sink_counts": {
+                    s: int(g["n"].sum()) for s, g in counts.groupby("sink")
+                },
+                "acked_chunks": new_acks,  # ≙ the ack replies
+            },
+        )
+
+    manifests = load_manifests(out_dir)
+    totals: dict[str, int] = {}
+    for m in manifests:
+        for s, n in m["per_sink_counts"].items():
+            totals[s] = totals.get(s, 0) + n
+    summary = {
+        "sinks": totals,
+        "rows": sum(m["row_count"] for m in manifests),
+        "shards": len(manifests),
+        "acked_chunks": sorted(acked),
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, sort_keys=True, indent=1)
+    return summary
