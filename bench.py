@@ -101,6 +101,21 @@ def run_once() -> dict:
     queries["flagship_sinks_write"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(out, ignore_errors=True)
 
+    # training-data ops over the driver tables at this sf (small but
+    # representative; the driver compares rounds on these too)
+    import __ray_entry__ as entrymod
+
+    for qname in ("dedup_exact", "dedup_minhash", "ann_cosine_topk",
+                  "sessionize", "join_revenue_by_priority"):
+        try:
+            t0 = time.perf_counter()
+            res = entrymod.queries()[qname](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            queries[qname] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            queries[qname] = -1.0
+
     result = {
         "metric": "flagship parse+enrich+route+aggregate wall sec",
         "value": queries["flagship_counts"],

@@ -11,10 +11,11 @@ shape:
   (``groupby(block).map_groups``); exact w.r.t. its blocking rule, so
   it is SQL-mirrorable (DuckDB's ``jaccard`` is the same char-set
   measure).
-- **MinHash + LSH** — per-doc minhash signature (vectorized numpy over
-  word hashes), banded into ``(band_id, band_hash)`` keys, candidate
-  groups via one groupby shuffle, candidates verified with true
-  word-set Jaccard. Probabilistic recall → no SQL oracle.
+- **MinHash + LSH** — per-doc minhash signature over k-word shingles
+  (vectorized numpy), banded into ``(band_id, band_hash)`` keys,
+  candidate groups via one groupby shuffle (oversized buckets capped
+  via a min-id representative), candidates verified with true
+  shingle-set Jaccard. Probabilistic recall → no SQL oracle.
 - **SimHash** — 64-bit simhash of word hashes; near-dup candidates =
   identical simhash bucket (optionally rotated bands for hamming<=k).
 - **embedding cosine** — see :mod:`fluent_server_ray.stages.similarity`.
@@ -149,19 +150,41 @@ def _word_hashes(text: str) -> np.ndarray:
     return pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
 
 
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of the distinct k-word shingles (standard MinHash input:
+    shingles keep word ORDER, so documents sharing a small vocabulary
+    but differing in sequence stay dissimilar — unigram sets would
+    collapse every doc of a narrow-vocab corpus into one near-dup
+    cluster)."""
+    toks = text.split()
+    if len(toks) < k:
+        return _word_hashes(text)
+    sh = list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
+    return pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+
+
+def shingle_set(text: str, k: int = 3) -> set:
+    toks = text.split()
+    if len(toks) < k:
+        return set(toks)
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
 class MinHashStage:
     """Per-batch minhash signatures + LSH band keys (callable class so
     the permutation parameters are built once per worker)."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 7):
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 7,
+                 shingle_k: int = 3):
         assert num_perm % bands == 0
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
         self.a, self.b = _minhash_params(num_perm, seed)
 
     def signature(self, text: str) -> np.ndarray:
-        h = _word_hashes(text)
+        h = _shingle_hashes(text, self.shingle_k)
         # (n_words, num_perm) permuted hashes → column-min
         ph = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return ph.min(axis=0)
@@ -189,17 +212,31 @@ class MinHashStage:
         )
 
 
-def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16):
+def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
+                           max_bucket: int = 256):
     """Candidate near-dup pairs via banded MinHash LSH. One shuffle on
-    (band_id, band_hash); pair explosion per bucket, deduped."""
+    (band_id, band_hash); pair explosion per bucket, deduped.
+
+    ``max_bucket`` bounds the O(n^2) per-bucket pair explosion: a
+    bucket larger than this (a degenerate hash collision or a corpus
+    of near-identical docs) emits only each member paired with the
+    bucket's min-id representative — candidates stay connected through
+    the representative while work stays O(n) for the pathological
+    bucket (the skew-cap pattern; same spirit as salting hot keys)."""
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].unique())
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        if len(ids) > max_bucket:
+            rep = ids[0]
+            for j in ids[1:]:
+                a_out.append(rep)
+                b_out.append(j)
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
 
     cand = (
@@ -217,14 +254,22 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16):
 
 
 def verify_jaccard_pairs(cand_df: pd.DataFrame, docs_df: pd.DataFrame,
-                         threshold: float = 0.8) -> pd.DataFrame:
-    """Driver-side verification of candidate pairs with true word-set
-    Jaccard (candidate sets are small by construction)."""
+                         threshold: float = 0.8, shingle_k: int = 3) -> pd.DataFrame:
+    """Driver-side verification of candidate pairs with true shingle-set
+    Jaccard (candidate sets are small by construction; shingle sets are
+    memoized per doc)."""
     texts = docs_df.set_index("doc_id")["text"]
     uniq = cand_df.drop_duplicates(["doc_a", "doc_b"])
+    cache: dict = {}
+
+    def sset(d):
+        if d not in cache:
+            cache[d] = shingle_set(str(texts[d]), shingle_k)
+        return cache[d]
+
     keep_a, keep_b, sims = [], [], []
     for a, b in zip(uniq["doc_a"], uniq["doc_b"]):
-        sa, sb = set(str(texts[a]).split()), set(str(texts[b]).split())
+        sa, sb = sset(a), sset(b)
         sim = len(sa & sb) / max(1, len(sa | sb))
         if sim >= threshold:
             keep_a.append(a)
