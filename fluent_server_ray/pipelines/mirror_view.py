@@ -1,0 +1,72 @@
+"""Mirror view: the reference's HTTP JSON sink, re-expressed.
+
+The reference's only sink is an in-memory ``map[tag][]Event`` served as
+one JSON object ``{tag: [events...]}`` (reference ``mirror/mirror.go:14-47``,
+mounted at ``main.go:48-53``). That design collapses all parallelism
+into one mutex and loses everything on restart; here the same *view*
+is derived on demand from the durable per-sink Parquet output:
+
+- ``mirror_json(out_dir)`` — group the routed events by tag into the
+  reference's exact JSON shape (``{tag: [{"ts": ..., "record": {...}}]}``,
+  per ``event/event.go:9-12``); bounded use only (it materializes — the
+  same caveat as the reference serving its whole store per request).
+- ``mirror_counts(out_dir)`` — the scalable variant: per-tag counts
+  from the lineage manifests (no data read at all).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+
+
+def mirror_json(out_dir: str, limit_per_tag: int | None = None) -> dict:
+    """{tag: [ {ts, record}, ... ]} over all routed sink output, events
+    ordered by (conv_id, turn_idx) within a tag (deterministic, unlike
+    the reference's arrival order)."""
+    files = sorted(
+        glob.glob(os.path.join(out_dir, "sinks", "**", "*.parquet"),
+                  recursive=True)
+    )
+    out: dict[str, list] = {}
+    for f in files:
+        t = pq.read_table(f)
+        df = t.to_pandas()
+        sort_cols = [c for c in ("conv_id", "turn_idx", "chunk", "entry_idx")
+                     if c in df.columns]
+        if sort_cols:
+            df = df.sort_values(sort_cols)
+        for _, row in df.iterrows():
+            tag = row.get("tag", "")
+            record = {
+                k: v
+                for k, v in row.items()
+                if k not in ("tag", "ts") and v is not None
+            }
+            ev = {"ts": str(row["ts"]) if "ts" in row else None,
+                  "record": record}
+            out.setdefault(tag, []).append(ev)
+            if limit_per_tag and len(out[tag]) > limit_per_tag:
+                out[tag] = out[tag][:limit_per_tag]
+    return out
+
+
+def mirror_counts(out_dir: str) -> dict:
+    """Per-sink totals straight from lineage manifests (O(manifests))."""
+    from fluent_server_ray.state.lineage import load_manifests
+
+    totals: dict[str, int] = {}
+    for m in load_manifests(out_dir):
+        for s, n in m["per_sink_counts"].items():
+            totals[s] = totals.get(s, 0) + n
+    return totals
+
+
+def write_mirror_json(out_dir: str, path: str | None = None) -> str:
+    path = path or os.path.join(out_dir, "mirror.json")
+    with open(path, "w") as f:
+        json.dump(mirror_json(out_dir), f, sort_keys=True, default=str)
+    return path

@@ -1,0 +1,42 @@
+"""Mirror JSON view ≙ reference mirror HTTP endpoint + the JS client's
+`magic` round-trip probe (reference contrib/js/index.js:33-44: emit a
+sentinel, query the mirror, find it under the expected tag)."""
+
+import json
+
+
+def test_magic_round_trip(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.forward_pipeline import run_forward_pipeline
+    from fluent_server_ray.pipelines.mirror_view import (
+        mirror_counts,
+        mirror_json,
+        write_mirror_json,
+    )
+    from fluent_server_ray.sources.fluentfmt import pack_frames
+
+    magic = 0.4215
+    p = tmp_path / "conn.msgpack"
+    p.write_bytes(
+        pack_frames(
+            [
+                ["tag_prefix.my_tag", [[1441588984,
+                                        {"name": "Bob", "age": 42, "magic": magic}]],
+                 {"chunk": "cc"}],
+                ["other", 1441588985, {"x": 1}],
+            ]
+        )
+    )
+    out = tmp_path / "out"
+    run_forward_pipeline([str(p)], str(out), routes=[("**", "all")])
+
+    view = mirror_json(str(out))
+    assert "tag_prefix.my_tag" in view
+    events = view["tag_prefix.my_tag"]
+    assert len(events) == 1
+    record = json.loads(events[0]["record"]["record_json"])
+    assert record["magic"] == magic  # the sentinel survived end-to-end
+    assert events[0]["ts"].startswith("2015-09-07")
+
+    assert mirror_counts(str(out)) == {"all": 2}
+    path = write_mirror_json(str(out))
+    assert json.load(open(path))["other"][0]["record"]["record_json"]
