@@ -49,9 +49,17 @@ DEFAULT_ROUTES: list[tuple[str, str]] = [
 
 def glob_to_regex(pattern: str) -> str:
     """fluentd match glob → anchored RE2 regex (shared by Ray + SQL oracle)."""
-    if pattern == "**":
+    parts = pattern.split(".")
+    # consecutive '**' parts are semantically one (zero-or-more twice);
+    # collapsing them keeps the translation below correct ('**.**')
+    collapsed: list[str] = []
+    for p in parts:
+        if p == "**" and collapsed and collapsed[-1] == "**":
+            continue
+        collapsed.append(p)
+    if collapsed == ["**"]:
         return "^.*$"
-    return "^" + _join(pattern.split(".")) + "$"
+    return "^" + _join(collapsed) + "$"
 
 
 def _join(parts: list[str]) -> str:

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): the router's glob semantics and
+the forward-protocol codec hold for arbitrary inputs, not just the
+golden fixtures."""
+
+import re
+
+import msgpack
+from hypothesis import given, settings, strategies as st
+
+from fluent_server_ray.sources.fluentfmt import (
+    decode_frame,
+    event_time_ext,
+    frames_to_table,
+    pack_frames,
+)
+from fluent_server_ray.stages.route import glob_to_regex
+
+tag_part = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=6
+)
+tags = st.lists(tag_part, min_size=1, max_size=4).map(".".join)
+pattern_part = st.one_of(tag_part, st.just("*"), st.just("**"))
+patterns = st.lists(pattern_part, min_size=1, max_size=4).map(".".join)
+
+
+def _oracle_match(pattern: str, tag: str) -> bool:
+    """Independent reference implementation of fluentd glob matching
+    via recursive part-walk (no regex)."""
+    pp, tp = pattern.split("."), tag.split(".")
+
+    def walk(i: int, j: int) -> bool:
+        if i == len(pp):
+            return j == len(tp)
+        if pp[i] == "**":
+            # zero or more parts
+            return any(walk(i + 1, k) for k in range(j, len(tp) + 1))
+        if j >= len(tp):
+            return False
+        if pp[i] == "*" or pp[i] == tp[j]:
+            return walk(i + 1, j + 1)
+        return False
+
+    return walk(0, 0)
+
+
+@settings(max_examples=300, deadline=None)
+@given(pattern=patterns, tag=tags)
+def test_glob_regex_equals_recursive_oracle(pattern, tag):
+    rx = glob_to_regex(pattern)
+    got = re.fullmatch(rx[1:-1], tag) is not None
+    assert got == _oracle_match(pattern, tag), (pattern, tag, rx)
+
+
+json_scalars = st.one_of(
+    st.text(max_size=12),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+)
+records = st.dictionaries(st.text(min_size=1, max_size=8), json_scalars,
+                          min_size=0, max_size=5)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    tag=tags,
+    entries=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2**31 - 1), records),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_forward_round_trip(tag, entries):
+    """pack(forward frame) → decode == original, order preserved."""
+    frame = [tag, [[ts, rec] for ts, rec in entries]]
+    got, _ = decode_frame(msgpack.unpackb(
+        msgpack.packb(frame, use_bin_type=True), raw=False,
+        strict_map_key=False,
+    ))
+    assert len(got) == len(entries)
+    for (want_ts, want_rec), (gtag, gsec, gnsec, grec) in zip(entries, got):
+        assert gtag == tag
+        assert gsec == want_ts and gnsec == 0
+        assert grec == want_rec
+
+
+@settings(max_examples=100, deadline=None)
+@given(sec=st.integers(min_value=0, max_value=2**32 - 1),
+       nsec=st.integers(min_value=0, max_value=999_999_999))
+def test_event_time_round_trip(sec, nsec):
+    entries, _ = decode_frame(["t", [[event_time_ext(sec, nsec), {"k": 1}]]])
+    assert entries[0][1] == sec and entries[0][2] == nsec
+
+
+@settings(max_examples=50, deadline=None)
+@given(n_heartbeats=st.integers(min_value=0, max_value=5),
+       tag=tags)
+def test_heartbeats_never_produce_rows(n_heartbeats, tag):
+    frames = [None] * n_heartbeats + [[tag, [[1, {"a": 1}]]]]
+    t = frames_to_table(pack_frames(frames))
+    assert len(t) == 1
+    assert t["tag"][0].as_py() == tag
