@@ -127,10 +127,16 @@ def run_pipeline(
     routes=None,
     shards: list[str] | None = None,
     batch_size: int = 32768,
+    shard_group_size: int = 1,
 ) -> dict:
     """Run the flagship pipeline; returns the summary dict
     (per-sink totals — the engine's equivalent of the mirror's HTTP
-    JSON view, reference ``mirror/mirror.go:41-47``)."""
+    JSON view, reference ``mirror/mirror.go:41-47``).
+
+    ``shard_group_size`` groups input files into one commit unit —
+    lineage granularity vs per-shard fixed cost is a knob: at 100 TB a
+    commit unit should be minutes of work, not one tiny file.
+    """
     from fluent_server_ray.state.lineage import (
         commit_shard,
         committed_shards,
@@ -152,13 +158,32 @@ def run_pipeline(
         else:
             shards = [input_path]
 
+    if shard_group_size > 1:
+        shards = [
+            shards[i : i + shard_group_size]
+            for i in range(0, len(shards), shard_group_size)
+        ]
+
     done = committed_shards(out_dir)
     for shard_path in shards:
-        shard_id = os.path.splitext(os.path.basename(shard_path.rstrip("/")))[0]
+        group = shard_path if isinstance(shard_path, list) else [shard_path]
+        first = os.path.splitext(os.path.basename(group[0].rstrip("/")))[0]
+        shard_id = (
+            first if len(group) == 1
+            else f"{first}--{os.path.splitext(os.path.basename(group[-1]))[0]}"
+        )
         if shard_id in done:
             continue
+        from fluent_server_ray.sources.transcripts import TRANSCRIPT_SCHEMA_COLS
+        import ray.data as rd
+
+        src = (
+            group[0]
+            if len(group) == 1
+            else rd.read_parquet(group, columns=TRANSCRIPT_SCHEMA_COLS)
+        )
         routed = build_routed(
-            shard_path, tenant_lookup=tenant_lookup, routes=routes,
+            src, tenant_lookup=tenant_lookup, routes=routes,
             batch_size=batch_size,
         )
         sink_dir = os.path.join(out_dir, "sinks", f"shard={shard_id}")
@@ -172,7 +197,7 @@ def run_pipeline(
             out_dir,
             shard_id,
             {
-                "input_file": shard_path,
+                "input_file": group if len(group) > 1 else group[0],
                 "row_count": int(counts["n"].sum()),
                 "per_sink_counts": {
                     s: int(g["n"].sum()) for s, g in counts.groupby("sink")
@@ -200,8 +225,19 @@ def routed_sorted(routed):
     """Stable (conv_id, turn_idx) ordering before sink writes (north
     rule: per-turn text equality under stable turn ordering; ≙ the
     reference's intra-chunk order preservation,
-    ``defaultreader/reader.go:85-103``, strengthened to determinism)."""
-    return routed.sort(["conv_id", "turn_idx"])
+    ``defaultreader/reader.go:85-103``, strengthened to determinism).
+
+    Sorts on a null-safe key column (Ray's sort comparator chokes on
+    None vs str — malformed rows have null conv_id and must still land
+    deterministically in the reject sink)."""
+    import pyarrow as pa
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_ck", pc.fill_null(t["conv_id"], ""))
+
+    s = routed.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return s.sort(["_ck", "turn_idx"]).drop_columns(["_ck"])
 
 
 def read_back(sink_dir: str):
