@@ -185,6 +185,14 @@ def _q_sessionize(sf_dir: str):
     return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_asof(sf_dir: str):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import asof_prior_event
+
+    return asof_prior_event(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_tumbling(sf_dir: str):
     import ray.data as rd
 
@@ -224,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed
         "sessionize": _q_sessionize,
         "tumbling_counts": _q_tumbling,
+        "asof_prior_click": _q_asof,
         # relational coverage
         "lineitem_agg": rel.lineitem_agg,
         "orders_by_nation": rel.orders_by_nation,
@@ -259,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": multimodal.decode_documents_sql(),
         "sessionize": windows.sessionize_sql(),
         "tumbling_counts": windows.tumbling_counts_sql(),
+        "asof_prior_click": windows.asof_prior_event_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),
         "orders_by_nation": rel.orders_by_nation_sql(),
         "top_orders": rel.top_orders_sql(),

@@ -93,3 +93,54 @@ SELECT event_type,
   count(*) AS n
 FROM {table} GROUP BY 1, 2
 """.strip()
+
+
+def asof_prior_event(ds, left_type: str = "error", right_type: str = "click",
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id"):
+    """As-of join within a key: for each `left_type` event, the most
+    recent `right_type` event of the same key at-or-before its
+    timestamp (≤, pandas merge_asof semantics = SQL ASOF JOIN).
+
+    Partitioning: one groupby shuffle on the key; both sides co-locate
+    in the same group (rows carry their type), then a per-group sorted
+    merge_asof. Assumes timestamps are unique per key (ties would be
+    engine-dependent); the reference carries event time but never
+    compares it (SURVEY.md §2.10) — this is a beyond-reference
+    streaming-analytics operator.
+    """
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["event_type"] == left_type].sort_values(ts_col)
+        rg = g[g["event_type"] == right_type].sort_values(ts_col)
+        if lg.empty:
+            return pd.DataFrame({id_col: [], "prior_" + right_type: []})
+        if rg.empty:
+            out = pd.DataFrame({id_col: lg[id_col],
+                                "prior_" + right_type: pd.array([None] * len(lg), dtype="Int64")})
+            return out
+        m = pd.merge_asof(
+            lg[[ts_col, id_col]],
+            rg[[ts_col, id_col]].rename(columns={id_col: "prior_" + right_type}),
+            on=ts_col,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return m[[id_col, "prior_" + right_type]].astype(
+            {("prior_" + right_type): "Int64"}
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def asof_prior_event_sql(left_type: str = "error", right_type: str = "click",
+                         table: str = "events") -> str:
+    """LEFT ASOF JOIN so lefts with no prior right survive with NULL
+    (matching merge_asof)."""
+    return f"""
+SELECT e.event_id, c.event_id AS prior_{right_type}
+FROM (SELECT * FROM {table} WHERE event_type = '{left_type}') e
+ASOF LEFT JOIN (SELECT * FROM {table} WHERE event_type = '{right_type}') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+""".strip()

@@ -29,6 +29,7 @@ ORACLE_QUERIES = [
     "union_high_low",
     "join_revenue_by_priority",
     "dedup_replayed_turns",
+    "asof_prior_click",
 ]
 
 
