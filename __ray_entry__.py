@@ -124,6 +124,17 @@ def _q_fingerprint(sf_dir: str):
     return apply_doc_stage(_docs(sf_dir), fingerprint_batch)
 
 
+def _q_winnow(sf_dir: str):
+    """Winnowed rolling-hash fingerprints (MOSS scheme) — one row per
+    (doc_id, fingerprint). Not SQL-expressible → rows-only check."""
+    from fluent_server_ray.stages.textstats import (
+        apply_doc_stage,
+        winnow_fingerprints_batch,
+    )
+
+    return apply_doc_stage(_docs(sf_dir), winnow_fingerprints_batch)
+
+
 def _q_dedup_exact(sf_dir: str):
     from fluent_server_ray.stages.dedup import exact_dedup
 
@@ -219,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_quality,
         "doc_langid": _q_langid,
         "doc_fingerprint": _q_fingerprint,
+        "doc_winnow_fingerprints": _q_winnow,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix_block": _q_dedup_prefix_block,

@@ -8,7 +8,8 @@ vectorized ``map_batches`` transforms:
   per-row arithmetic, so an independent SQL engine reproduces the
   doubles bit-for-bit)
 - language ID (marker-word n-gram heuristic, deterministic argmax)
-- document fingerprinting (md5 content hash)
+- document fingerprinting (md5 content hash; winnowed Rabin-Karp
+  rolling-hash fingerprints for shared-content detection)
 
 Every function has a DuckDB SQL mirror built from the SAME
 pattern/marker constants so the driver oracle cannot drift.
@@ -154,3 +155,44 @@ def apply_doc_stage(ds, batch_fn, batch_size: int | None = None):
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     return ds.map_batches(batch_fn, **kwargs)
+
+
+def winnow_fingerprints_batch(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
+    """Winnowed rolling-hash document fingerprints (the MOSS scheme):
+    Rabin-Karp rolling hash over k-char grams, then the minimum hash of
+    each sliding window of `window` gram-hashes — a compact, position-
+    robust signature set; two documents sharing enough fingerprints
+    share k-char content. Vectorized per row with numpy (polynomial
+    rolling hash computed over the whole byte array at once).
+
+    Output: one row per (doc_id, fingerprint) — explode-style, ready
+    for a groupby("fp") to find cross-document shared content.
+    """
+    import numpy as np
+
+    B = np.uint64(1_000_003)  # polynomial base
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_id, out_fp = [], []
+    for doc_id, text in zip(ids, texts):
+        data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+        n = len(data)
+        if n < k:
+            continue
+        # polynomial hash of every k-gram in one vectorized matmul
+        grams = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        gram_pows = B ** np.arange(k, dtype=np.uint64)[::-1]
+        h = (grams * gram_pows).sum(axis=1)  # mod 2^64 wraparound
+        if len(h) >= window:
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        else:
+            mins = np.array([h.min()], dtype=np.uint64)
+        fps = np.unique(mins)
+        out_id.extend([doc_id] * len(fps))
+        out_fp.extend((fps & np.uint64(0x7FFFFFFFFFFFFFFF)).tolist())
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "fp": pa.array(out_fp, type=pa.int64()),
+        }
+    )

@@ -140,3 +140,38 @@ def test_lsh_bucketed_cosine_dupes_subset_of_exact(ray_session):
     assert a <= e
     assert len(e) > 0
     assert len(a) > 0  # with 3 planes the buckets are coarse enough
+
+
+def test_winnow_fingerprints_shared_content(ray_session):
+    """Docs sharing a phrase share fingerprints; unrelated docs don't."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (
+        apply_doc_stage,
+        winnow_fingerprints_batch,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog and runs far away",
+                "PREFIX the quick brown fox jumps over the lazy dog SUFFIX!!",
+                "completely unrelated content with nothing in common whatsoever",
+            ],
+        }
+    )
+    out = apply_doc_stage(
+        rd.from_pandas(df), winnow_fingerprints_batch
+    ).to_pandas()
+    s = {i: set(out[out["doc_id"] == i]["fp"]) for i in (1, 2, 3)}
+    assert len(s[1] & s[2]) >= 5
+    assert len(s[1] & s[3]) == 0
+    # deterministic across runs
+    out2 = apply_doc_stage(
+        rd.from_pandas(df), winnow_fingerprints_batch
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["doc_id", "fp"]).reset_index(drop=True),
+        out2.sort_values(["doc_id", "fp"]).reset_index(drop=True),
+    )
