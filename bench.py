@@ -81,9 +81,9 @@ def run_once() -> dict:
         routed = build_routed(src)
         return grouped_counts(routed, ["sink", "role", "tool", "tag"]).to_pandas()
 
-    # 2 reps, min: steady-state number, robust to scheduler jitter
+    # 3 reps, min: steady-state number, robust to scheduler jitter
     reps = []
-    for _ in range(2):
+    for _ in range(3 if os.environ.get("FSR_COUNTS_ONLY") else 2):
         t0 = time.perf_counter()
         counts = counts_once()
         reps.append(time.perf_counter() - t0)
@@ -91,21 +91,22 @@ def run_once() -> dict:
     n_turns = int(counts["n"].sum())  # routed turns (post-heartbeat-filter)
     queries["flagship_counts"] = round(t_counts, 3)
 
-    t0 = time.perf_counter()
-    out = f"/tmp/fsr_bench_out/{NUM_CPUS}"
-    import shutil
+    if not os.environ.get("FSR_COUNTS_ONLY"):
+        t0 = time.perf_counter()
+        out = f"/tmp/fsr_bench_out/{NUM_CPUS}"
+        import shutil
 
-    shutil.rmtree(out, ignore_errors=True)
-    src = read_transcripts(corpus, override_num_blocks=num_blocks)
-    build_routed(src).write_parquet(out, partition_cols=["sink"])
-    queries["flagship_sinks_write"] = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        src = read_transcripts(corpus, override_num_blocks=num_blocks)
+        build_routed(src).write_parquet(out, partition_cols=["sink"])
+        queries["flagship_sinks_write"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(out, ignore_errors=True)
 
     # training-data ops over the driver tables at this sf (small but
     # representative; the driver compares rounds on these too)
     import __ray_entry__ as entrymod
 
-    for qname in ("dedup_exact", "dedup_minhash", "ann_cosine_topk",
+    for qname in () if os.environ.get("FSR_COUNTS_ONLY") else ("dedup_exact", "dedup_minhash", "ann_cosine_topk",
                   "sessionize", "join_revenue_by_priority"):
         try:
             t0 = time.perf_counter()
@@ -132,7 +133,10 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # counts only: the 8 GB sink write would leave dirty pages
+        # flushing through the NEXT subprocess's timed section, and the
+        # side-query timings are measured by the plain bench run
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FSR_COUNTS_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -148,10 +152,17 @@ def run_scaling() -> dict:
     # of adding nodes, each with its own memory bandwidth); 8->32 also
     # saturates the socket's shared bandwidth and understates a real
     # 4x-node cluster. Both are reported; headline = 4->16.
+    # best-of-2 fresh processes per point: this VM shows ±20%
+    # process-level noise (host neighbors); min wall = steady-state
+    def best(ncpu: int) -> dict:
+        a, b = sub(ncpu), sub(ncpu)
+        return a if a["turns_per_sec"] >= b["turns_per_sec"] else b
+
     results = {}
     queries: dict[str, float] = {}
+    measured = {n: best(n) for n in (4, 8, 16, 32)}
     for lo, hi in ((4, 16), (8, 32)):
-        r_lo, r_hi = sub(lo), sub(hi)
+        r_lo, r_hi = measured[lo], measured[hi]
         eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo)
         results[(lo, hi)] = (r_lo, r_hi, eff)
         queries[f"turns_per_sec_{lo}cpu"] = r_lo["turns_per_sec"]

@@ -94,16 +94,28 @@ class RouteStage:
             (glob_to_regex(p), sink) for p, sink in routes
         ]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tag = pc.fill_null(batch["tag"], "")
-        n = len(batch)
+    def route_values(self, tags: pa.Array) -> pa.Array:
+        """First-match routing of a (small) array of tag values."""
+        n = len(tags)
         sink = pa.nulls(n, pa.string())
         unassigned = pa.array([True] * n) if n else pa.array([], type=pa.bool_())
         for regex, sink_name in self.compiled:
-            hit = pc.and_(unassigned, pc.match_substring_regex(tag, regex))
+            hit = pc.and_(unassigned, pc.match_substring_regex(tags, regex))
             sink = pc.if_else(hit, pa.scalar(sink_name), sink)
             unassigned = pc.and_(unassigned, pc.invert(hit))
-        sink = pc.fill_null(sink, UNMATCHED_SINK)
+        return pc.fill_null(sink, UNMATCHED_SINK)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tag = pc.fill_null(batch["tag"], "")
+        # tag cardinality ≪ row count in a log stream: dictionary-encode
+        # and run the pattern regexes over the DISTINCT tags only, then
+        # broadcast the verdicts back through the indices — O(uniques ×
+        # patterns) instead of O(rows × patterns)
+        if isinstance(tag, pa.ChunkedArray):
+            tag = tag.combine_chunks()
+        enc = pc.dictionary_encode(tag)
+        sink_per_value = self.route_values(enc.dictionary)
+        sink = pc.take(sink_per_value, enc.indices)
         if "is_valid" in batch.column_names:
             sink = pc.if_else(batch["is_valid"], sink, pa.scalar(INVALID_SINK))
         return batch.append_column("sink", sink)
