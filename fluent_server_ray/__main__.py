@@ -1,0 +1,100 @@
+"""CLI: the standalone-engine surface (≙ the reference's server binary,
+``main.go`` configured via env/flags).
+
+    python -m fluent_server_ray run      --input DIR --out DIR [--routes CFG] [--resume]
+    python -m fluent_server_ray forward  --frames GLOB --out DIR [--routes CFG]
+    python -m fluent_server_ray mirror   --out DIR           # print the mirror JSON view
+    python -m fluent_server_ray counts   --out DIR           # per-sink totals from lineage
+
+Owns its Ray session (guarded init) — library code never calls
+``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _ray_up():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fluent_server_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="transcripts parquet → routed sinks")
+    run.add_argument("--input", required=True)
+    run.add_argument("--out", required=True)
+    run.add_argument("--routes", help="routes config (.json or fluent-bit .cfg)")
+    run.add_argument("--shard-group-size", type=int, default=1)
+
+    fwd = sub.add_parser("forward", help="msgpack forward frames → routed sinks")
+    fwd.add_argument("--frames", required=True, help="glob of frame files")
+    fwd.add_argument("--out", required=True)
+    fwd.add_argument("--routes")
+
+    mir = sub.add_parser("mirror", help="print the mirror JSON view")
+    mir.add_argument("--out", required=True)
+
+    cnt = sub.add_parser("counts", help="per-sink totals from lineage")
+    cnt.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    routes = None
+    if getattr(args, "routes", None):
+        from fluent_server_ray.config import load_routes
+
+        routes = load_routes(args.routes)
+
+    if args.cmd == "run":
+        ray = _ray_up()
+        from fluent_server_ray.pipelines.flagship import run_pipeline
+
+        summary = run_pipeline(
+            args.input, args.out, routes=routes,
+            shard_group_size=args.shard_group_size,
+        )
+        print(json.dumps(summary, sort_keys=True))
+        ray.shutdown()
+    elif args.cmd == "forward":
+        ray = _ray_up()
+        from fluent_server_ray.pipelines.forward_pipeline import run_forward_pipeline
+
+        files = sorted(glob.glob(args.frames))
+        if not files:
+            print(f"no files match {args.frames!r}", file=sys.stderr)
+            return 2
+        summary = run_forward_pipeline(files, args.out, routes=routes)
+        print(json.dumps(summary, sort_keys=True))
+        ray.shutdown()
+    elif args.cmd == "mirror":
+        from fluent_server_ray.pipelines.mirror_view import mirror_json
+
+        print(json.dumps(mirror_json(args.out), sort_keys=True, default=str))
+    elif args.cmd == "counts":
+        from fluent_server_ray.pipelines.mirror_view import mirror_counts
+
+        print(json.dumps(mirror_counts(args.out), sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
