@@ -48,18 +48,27 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the min-id row per distinct text. Returns (id, text) rows."""
+    """Keep the min-id row per distinct text. Returns (id, text) rows.
+
+    Two-level, combiner-first: each batch collapses to one (hash,
+    min_id, text) row per distinct text BEFORE the shuffle, so what
+    moves is O(distinct-per-block), and a text duplicated millions of
+    times (the hot-key case — mass-duplicated boilerplate is exactly
+    what dedup exists for) contributes one row per block instead of
+    flooding one reducer. min-of-mins is exact.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, text_col).select(["_h", id_col, text_col])
+        out = t.group_by(["_h", text_col]).aggregate([(id_col, "min")])
+        return out.rename_columns(["_h", text_col, id_col])
 
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
         return g.head(1)[[id_col, text_col]]
 
     return (
-        ds.map_batches(
-            lambda t: add_content_hash(t, text_col).select(["_h", id_col, text_col]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_h")
         .map_groups(first_per_group, batch_format="pandas")
     )
