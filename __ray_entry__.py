@@ -60,24 +60,32 @@ def _q_heartbeat_stats(sf_dir: str):
 def _q_first_turn(sf_dir: str):
     """First turn per conversation under stable (conv_id, turn_idx)
     order — pins the ordering invariant (north rule / reference
-    intra-chunk order, defaultreader/reader.go:85-103)."""
-    import pandas as pd
+    intra-chunk order, defaultreader/reader.go:85-103).
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx")
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "first_text": [g["text"].iloc[0]],
-                "first_turn": [g["turn_idx"].iloc[0]],
-            }
+    Combiner-first: each batch collapses to one row per conv (sorted
+    batch + Arrow group_by 'first'), then the same min-merge over the
+    tiny partials — 'first under an order' is associative, so raw rows
+    never shuffle."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(["conv_id", "turn_idx", "text"]).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
+        out = t.group_by("conv_id", use_threads=False).aggregate(
+            [("text", "first"), ("turn_idx", "first")]
+        )
+        return out.rename_columns(["conv_id", "first_text", "first_turn"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("first_turn").head(1)
 
     return (
         build_routed(sf_dir)
-        .select_columns(["conv_id", "turn_idx", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("conv_id")
-        .map_groups(first_row, batch_format="pandas")
+        .map_groups(merge, batch_format="pandas")
     )
 
 

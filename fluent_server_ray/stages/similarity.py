@@ -5,9 +5,9 @@
   matmul against it and emits only its local top-k per query (a
   combiner), so the driver merge sees ``O(num_blocks * Q * k)`` rows,
   never the corpus. This is the exact baseline.
-- ``lsh_bucket_candidates`` — the scale path: sign-random-projection
-  LSH buckets (one groupby shuffle on the bucket key); queries then
-  search only their bucket. Recall < 1 by construction → no SQL oracle.
+- ``LSHBucketStage`` — the scale path: sign-random-projection LSH
+  bucket keys (one groupby shuffle on the bucket key); search happens
+  within buckets only. Recall < 1 by construction → no SQL oracle.
 - ``cosine_dupes`` — embedding near-duplicate pairs (cosine ≥ t)
   within LSH buckets, or exact within blocks for oracle checking.
 
