@@ -213,13 +213,20 @@ def distinct_event_types_sql() -> str:
 
 def union_high_low_value(sf_dir: str):
     """UNION ALL of two filtered projections (reference: many input
-    connections merging into one stream, server/server.go:97-115)."""
+    connections merging into one stream, server/server.go:97-115).
+
+    Both predicates are pushed into the read (pyarrow dataset filter →
+    Parquet row-group pruning + scan-level filtering), so non-matching
+    data never leaves storage — the prune-at-the-read pattern."""
+    import pyarrow.dataset as pads
     import ray.data as rd
 
     cols = ["event_id", "event_type", "value"]
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
-    hi = ds.filter(expr="value > 150.0")
-    lo = ds.filter(expr="value < 10.0")
+    path = f"{sf_dir}/events.parquet"
+    hi = rd.read_parquet(path, columns=cols,
+                         filter=pads.field("value") > 150.0)
+    lo = rd.read_parquet(path, columns=cols,
+                         filter=pads.field("value") < 10.0)
     u = hi.union(lo)
 
     def project(t: pa.Table) -> pa.Table:
