@@ -222,6 +222,19 @@ def _q_tumbling(sf_dir: str):
     )
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct users (mergeable sketch; rows-only —
+    a probabilistic estimate has no exact SQL oracle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sketches import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"approx_distinct_users": pa.array([round(est)], type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -261,6 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_high_low": rel.union_high_low_value,
         "join_revenue_by_priority": rel.revenue_by_priority,
         "dedup_replayed_turns": rel.dedup_replayed_turns,
+        "anti_join_customers": rel.customers_without_orders,
+        "topk_per_customer": rel.top_orders_per_customer,
+        "approx_distinct_users": _q_approx_distinct,
     }
 
 
@@ -296,4 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "union_high_low": rel.union_high_low_value_sql(),
         "join_revenue_by_priority": rel.revenue_by_priority_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
+        "anti_join_customers": rel.customers_without_orders_sql(),
+        "topk_per_customer": rel.top_orders_per_customer_sql(),
+        # approx_distinct_users: probabilistic sketch — rows-only
     }

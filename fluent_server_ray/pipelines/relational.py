@@ -363,3 +363,110 @@ SELECT DISTINCT conv_id, turn_idx, text FROM (
 )
 """.rstrip()
     )
+
+
+# --------------------------------------------------- anti join (semi/anti)
+
+def customers_without_orders(sf_dir: str):
+    """Anti join: customers having no orders. The key set of the right
+    side is broadcast (distinct custkeys — at 100 TB, a Bloom filter of
+    the keys); the left side streams through one vectorized is_in."""
+    import ray
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    # distinct keys via the combiner pattern (small result to driver)
+    keys_tbl = grouped_counts(orders, ["o_custkey"])
+    key_arr = keys_tbl["o_custkey"].combine_chunks()
+    key_ref = ray.put(key_arr)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
+        return t.filter(mask)
+
+    out = cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    # an all-filtered result must keep its schema (a bare to_pandas of
+    # an empty Dataset loses it); concat of per-batch tables preserves it
+    tables = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if tables:
+        return pa.concat_tables(tables)
+    return pa.table(
+        {"c_custkey": pa.array([], type=pa.int64()),
+         "c_name": pa.array([], type=pa.string())}
+    )
+
+
+def customers_without_orders_sql() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""".strip()
+
+
+# ------------------------------------------- per-key top-k (window rank)
+
+def top_orders_per_customer(sf_dir: str, k: int = 2):
+    """Top-k orders per customer by price (window-rank shape).
+
+    Combiner-first: per-batch top-k per customer (sorted pandas
+    group-head — top-k under an order is associative), then the same
+    merge over partials; raw rows shuffle only as the small partials.
+    Deterministic tie-break (price desc, orderkey asc).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        ).to_pandas()
+        df = df.sort_values(
+            ["o_custkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", sort=False).head(k), preserve_index=False
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
+        out = g.head(k).copy()
+        out["rank"] = range(1, len(out) + 1)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def top_orders_per_customer_sql(k: int = 2) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+    CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY round(o_totalprice * 100.0) DESC, o_orderkey)
+      AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_cents, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()

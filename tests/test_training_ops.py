@@ -30,6 +30,8 @@ ORACLE_QUERIES = [
     "join_revenue_by_priority",
     "dedup_replayed_turns",
     "asof_prior_click",
+    "anti_join_customers",
+    "topk_per_customer",
 ]
 
 
