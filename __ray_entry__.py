@@ -180,6 +180,17 @@ def _q_ann(sf_dir: str):
     return ann_topk(_embs(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
+def _q_ivf(sf_dir: str):
+    """IVF (k-means coarse quantizer) approximate top-k — the ANN scale
+    path; recall<1 by design (measured 0.825 at n_probe=8/16 on the
+    test corpus) → rows-only check; recall pinned vs brute force in
+    tests."""
+    from fluent_server_ray.stages.similarity import ivf_topk
+
+    return ivf_topk(_embs(sf_dir), ANN_QUERY_IDS, k=ANN_K,
+                    n_centroids=16, n_probe=8)
+
+
 def _q_embedding_dupes(sf_dir: str):
     from fluent_server_ray.stages.similarity import cosine_dupes
 
@@ -259,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         # similarity search
         "ann_cosine_topk": _q_ann,
+        "ann_ivf_topk": _q_ivf,
         "embedding_dupes": _q_embedding_dupes,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,

@@ -207,3 +207,100 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
 """.strip()
+
+
+# ----------------------------------------------------------- IVF index
+
+def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
+            seed: int = 17) -> np.ndarray:
+    """Deterministic spherical k-means (numpy; fixed seed + iterations)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(n_iter):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             emb_col: str = "embedding", sample_size: int = 10_000,
+             seed: int = 17):
+    """IVF approximate top-k: k-means coarse quantizer trained on a
+    sample, centroids broadcast; each batch scores a query ONLY against
+    rows assigned to that query's `n_probe` nearest centroids.
+
+    At scale the assignment is a persisted partition key (write the
+    corpus bucketed by centroid once; queries touch n_probe/n_centroids
+    of the data). Recall < 1 → no SQL oracle; tests pin recall vs the
+    exact brute-force baseline.
+    """
+    import ray
+
+    first = pa.concat_tables(
+        ds.limit(sample_size).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    centroids = _kmeans(_batch_matrix(first, emb_col), n_centroids, seed=seed)
+
+    qset = set(query_ids)
+
+    def grab_queries(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[id_col], value_set=pa.array(list(qset))))
+
+    qtab = pa.concat_tables(
+        ds.map_batches(grab_queries, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    qid_np = qtab[id_col].to_numpy()
+    order = np.argsort(qid_np)
+    qids = qid_np[order]
+    qmat = _normalize(_batch_matrix(qtab, emb_col)[order])
+    # each query probes its n_probe nearest centroids
+    qprobe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qmat, centroids, qprobe))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids_q, mat_q, cents, probes = ray.get(ref)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        mat = _normalize(_batch_matrix(t, emb_col))
+        assign = (mat @ cents.T).argmax(axis=1)
+        sims = mat_q @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            mask = np.isin(assign, probes[qi])
+            mask &= ids != ids_q[qi]
+            cand = np.where(mask)[0]
+            if not len(cand):
+                continue
+            row = sims[qi][cand]
+            kk = min(k, len(cand))
+            top = cand[np.argpartition(-row, kk - 1)[:kk]]
+            for j in top:
+                out_q.append(int(ids_q[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[qi][j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)

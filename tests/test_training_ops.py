@@ -177,3 +177,21 @@ def test_winnow_fingerprints_shared_content(ray_session):
         out.sort_values(["doc_id", "fp"]).reset_index(drop=True),
         out2.sort_values(["doc_id", "fp"]).reset_index(drop=True),
     )
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session):
+    """IVF with n_probe=8/16 centroids must recover most of the exact
+    top-k (probabilistic scale path; recall pinned, not equality)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import ann_topk, ivf_topk
+
+    path = f"{SF_SMALL}/embeddings.parquet"
+    qids = list(range(8))
+    exact = ann_topk(rd.read_parquet(path), qids, k=5)
+    approx = ivf_topk(rd.read_parquet(path), qids, k=5,
+                      n_centroids=16, n_probe=8)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
