@@ -205,6 +205,26 @@ def _q_multimodal(sf_dir: str):
     )
 
 
+def _q_frames(sf_dir: str):
+    from fluent_server_ray.stages.multimodal import FrameSampleStub
+
+    return _docs(sf_dir).map_batches(
+        FrameSampleStub, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256, concurrency=(1, 4),
+    )
+
+
+def _q_embed_stub(sf_dir: str):
+    """Multimodal feature-extract stub: payload → deterministic fake
+    embedding (rows-only; the real model would replace the vector fn)."""
+    from fluent_server_ray.stages.multimodal import EmbedStub
+
+    return _docs(sf_dir).map_batches(
+        EmbedStub, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256, concurrency=(1, 4),
+    )
+
+
 # ----- windowed / relational -----
 
 def _q_sessionize(sf_dir: str):
@@ -274,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dupes": _q_embedding_dupes,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,
+        "multimodal_frames": _q_frames,
+        "multimodal_embed": _q_embed_stub,
         # windowed
         "sessionize": _q_sessionize,
         "tumbling_counts": _q_tumbling,
@@ -314,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": similarity.ann_topk_sql(ANN_QUERY_IDS, k=ANN_K),
         "embedding_dupes": similarity.cosine_dupes_sql(COSINE_DUP_T),
         "multimodal_decode": multimodal.decode_documents_sql(),
+        "multimodal_frames": multimodal.frame_sample_sql(),
         "sessionize": windows.sessionize_sql(),
         "tumbling_counts": windows.tumbling_counts_sql(),
         "asof_prior_click": windows.asof_prior_event_sql(),

@@ -96,3 +96,89 @@ SELECT doc_id,
   CAST((strlen(text) * 7) % 480 + 1 AS BIGINT) AS height
 FROM documents
 """.strip()
+
+
+class FrameSampleStub:
+    """Frame sampling for video-shaped payloads: one binary payload row
+    explodes into ``n_frames`` frame rows (the flat-map/explode shape —
+    ≙ PackedForward blob → many entries, reference
+    ``defaultreader/reader.go:63-75``). The 'frames' are deterministic
+    equal slices of the payload (codec stub); real frame decode would
+    replace ``_slice`` only — the Ray-side explode plumbing is what's
+    exercised.
+    """
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        out_id, out_frame, out_len, out_head = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            t = text or ""
+            n = len(t)
+            for f in range(self.n_frames):
+                lo = f * n // self.n_frames
+                hi = (f + 1) * n // self.n_frames
+                frame = t[lo:hi]
+                out_id.append(doc_id)
+                out_frame.append(f)
+                out_len.append(len(frame))
+                out_head.append(frame[:8])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_frame, type=pa.int32()),
+                "frame_chars": pa.array(out_len, type=pa.int64()),
+                "frame_head": pa.array(out_head, type=pa.string()),
+            }
+        )
+
+
+def frame_sample_sql(n_frames: int = 4) -> str:
+    """SQL mirror of the deterministic frame slicing (character-based,
+    matching Python slicing on the same strings)."""
+    selects = []
+    for f in range(n_frames):
+        selects.append(f"""
+SELECT doc_id, CAST({f} AS INTEGER) AS frame_idx,
+  CAST(({f + 1} * length(text) // {n_frames}) - ({f} * length(text) // {n_frames}) AS BIGINT)
+    AS frame_chars,
+  substr(text, {f} * length(text) // {n_frames} + 1,
+         LEAST(8, ({f + 1} * length(text) // {n_frames}) - ({f} * length(text) // {n_frames})))
+    AS frame_head
+FROM documents""".strip())
+    return "\nUNION ALL\n".join(selects)
+
+
+class EmbedStub:
+    """Feature-extract stub: payload bytes → deterministic fake
+    embedding (hash-seeded unit vector). Real models would replace the
+    vector function; batch-level inference shape is what's exercised
+    (one vectorized call per batch, actor-pool residency for weights).
+    """
+
+    def __init__(self, dim: int = 16):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch["text"].to_pylist()
+        h = pd.util.hash_array(np.asarray([t or "" for t in texts], dtype=object))
+        # expand each 64-bit hash into `dim` floats deterministically
+        mat = np.empty((len(texts), self.dim), dtype=np.float64)
+        x = h.copy()
+        for d in range(self.dim):
+            x = x * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+            mat[:, d] = (x >> np.uint64(11)).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "embedding": pa.array(list(mat), type=pa.list_(pa.float64())),
+            }
+        )

@@ -32,6 +32,7 @@ ORACLE_QUERIES = [
     "asof_prior_click",
     "anti_join_customers",
     "topk_per_customer",
+    "multimodal_frames",
 ]
 
 
