@@ -367,16 +367,25 @@ SELECT DISTINCT conv_id, turn_idx, text FROM (
 
 # --------------------------------------------------- anti join (semi/anti)
 
-def customers_without_orders(sf_dir: str):
-    """Anti join: customers having no orders. The key set of the right
-    side is broadcast (distinct custkeys — at 100 TB, a Bloom filter of
-    the keys); the left side streams through one vectorized is_in."""
+ANTI_JOIN_PRICE = 450_000.0
+
+
+def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE):
+    """Anti join: customers having no high-value order (o_totalprice >
+    min_price). The key set of the right side is broadcast (distinct
+    custkeys — at 100 TB, a Bloom filter of the keys); the left side
+    streams through one vectorized is_in. The price predicate is pushed
+    into the read."""
+    import pyarrow.dataset as pads
     import ray
     import ray.data as rd
 
     from fluent_server_ray.stages.aggregate import grouped_counts
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > min_price,
+    )
     # distinct keys via the combiner pattern (small result to driver)
     keys_tbl = grouped_counts(orders, ["o_custkey"])
     key_arr = keys_tbl["o_custkey"].combine_chunks()
@@ -403,10 +412,10 @@ def customers_without_orders(sf_dir: str):
     )
 
 
-def customers_without_orders_sql() -> str:
-    return """
+def customers_without_orders_sql(min_price: float = ANTI_JOIN_PRICE) -> str:
+    return f"""
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > {min_price})
 """.strip()
 
 
