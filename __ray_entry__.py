@@ -253,6 +253,16 @@ def _q_tumbling(sf_dir: str):
     )
 
 
+def _q_sliding(sf_dir: str):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import sliding_counts
+
+    return sliding_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    )
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate distinct users (mergeable sketch; rows-only —
     a probabilistic estimate has no exact SQL oracle)."""
@@ -299,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed
         "sessionize": _q_sessionize,
         "tumbling_counts": _q_tumbling,
+        "sliding_counts": _q_sliding,
         "asof_prior_click": _q_asof,
         # relational coverage
         "lineitem_agg": rel.lineitem_agg,
@@ -339,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": multimodal.frame_sample_sql(),
         "sessionize": windows.sessionize_sql(),
         "tumbling_counts": windows.tumbling_counts_sql(),
+        "sliding_counts": windows.sliding_counts_sql(),
         "asof_prior_click": windows.asof_prior_event_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),
         "orders_by_nation": rel.orders_by_nation_sql(),

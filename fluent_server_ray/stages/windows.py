@@ -144,3 +144,58 @@ FROM (SELECT * FROM {table} WHERE event_type = '{left_type}') e
 ASOF LEFT JOIN (SELECT * FROM {table} WHERE event_type = '{right_type}') c
   ON e.user_id = c.user_id AND e.ts >= c.ts
 """.strip()
+
+
+def sliding_counts(ds, width_seconds: int = 3600, slide_seconds: int = 1800,
+                   key_col: str = "event_type", ts_col: str = "ts"):
+    """Sliding event-time windows: count per (key, window_start) where
+    each row belongs to width/slide overlapping windows.
+
+    Row-wise explode, fully vectorized: for each of the width//slide
+    phase shifts, the row's window start is one integer expression —
+    the explode is a concat of per-phase projections (no Python rows),
+    then the combiner-counts pattern. width must be a multiple of
+    slide.
+    """
+    assert width_seconds % slide_seconds == 0
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    n_phases = width_seconds // slide_seconds
+
+    def explode(t: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000)
+        parts = []
+        for phase in range(n_phases):
+            shift = phase * slide_seconds
+            base = pc.subtract(secs, shift)
+            win = pc.add(
+                pc.multiply(pc.divide(base, width_seconds), width_seconds),
+                shift,
+            )
+            parts.append(pa.table({key_col: t[key_col], "window_start": win}))
+        return pa.concat_tables(parts)
+
+    win_ds = ds.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return grouped_counts(win_ds, [key_col, "window_start"])
+
+
+def sliding_counts_sql(width_seconds: int = 3600, slide_seconds: int = 1800,
+                       table: str = "events") -> str:
+    n_phases = width_seconds // slide_seconds
+    selects = []
+    for phase in range(n_phases):
+        shift = phase * slide_seconds
+        selects.append(
+            f"SELECT event_type, "
+            f"(((epoch_us(ts) // 1000000) - {shift}) // {width_seconds})"
+            f" * {width_seconds} + {shift} AS window_start FROM {table}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        f"SELECT event_type, window_start, count(*) AS n FROM (\n{union}\n)"
+        " GROUP BY event_type, window_start"
+    )

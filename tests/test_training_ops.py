@@ -33,6 +33,7 @@ ORACLE_QUERIES = [
     "anti_join_customers",
     "topk_per_customer",
     "multimodal_frames",
+    "sliding_counts",
 ]
 
 
