@@ -132,6 +132,12 @@ def _q_fingerprint(sf_dir: str):
     return apply_doc_stage(_docs(sf_dir), fingerprint_batch)
 
 
+def _q_bpe_tokens(sf_dir: str):
+    from fluent_server_ray.stages.textstats import apply_doc_stage, bpe_token_count_batch
+
+    return apply_doc_stage(_docs(sf_dir), bpe_token_count_batch)
+
+
 def _q_winnow(sf_dir: str):
     """Winnowed rolling-hash fingerprints (MOSS scheme) — one row per
     (doc_id, fingerprint). Not SQL-expressible → rows-only check."""
@@ -202,6 +208,15 @@ def _q_multimodal(sf_dir: str):
 
     return decode_documents(_docs(sf_dir)).select_columns(
         ["doc_id", "n_bytes", "width", "height"]
+    )
+
+
+def _q_resize(sf_dir: str):
+    from fluent_server_ray.stages.multimodal import ResizeStub, decode_documents
+
+    return decode_documents(_docs(sf_dir)).map_batches(
+        ResizeStub, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256, concurrency=(1, 4),
     )
 
 
@@ -293,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_langid,
         "doc_fingerprint": _q_fingerprint,
         "doc_winnow_fingerprints": _q_winnow,
+        "doc_bpe_token_counts": _q_bpe_tokens,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix_block": _q_dedup_prefix_block,
@@ -305,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,
         "multimodal_frames": _q_frames,
+        "multimodal_resize": _q_resize,
         "multimodal_embed": _q_embed_stub,
         # windowed
         "sessionize": _q_sessionize,
@@ -340,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": textstats.quality_sql(),
         "doc_langid": textstats.langid_sql(),
         "doc_fingerprint": textstats.fingerprint_sql(),
+        "doc_bpe_token_counts": textstats.bpe_token_count_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_prefix_block": dedup.prefix_block_dupes_sql(),
         # dedup_minhash / dedup_simhash: probabilistic signatures —
@@ -348,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dupes": similarity.cosine_dupes_sql(COSINE_DUP_T),
         "multimodal_decode": multimodal.decode_documents_sql(),
         "multimodal_frames": multimodal.frame_sample_sql(),
+        "multimodal_resize": multimodal.resize_sql(),
         "sessionize": windows.sessionize_sql(),
         "tumbling_counts": windows.tumbling_counts_sql(),
         "sliding_counts": windows.sliding_counts_sql(),

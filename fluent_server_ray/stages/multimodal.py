@@ -182,3 +182,53 @@ class EmbedStub:
                 "embedding": pa.array(list(mat), type=pa.list_(pa.float64())),
             }
         )
+
+
+class ResizeStub:
+    """Resize stage stub: consumes decoded frame metadata and computes
+    target dimensions under an aspect-preserving max-side constraint —
+    the integer math a real resampler would use (the pixel resample
+    itself needs an image library; clearly stubbed per the build spec).
+    """
+
+    def __init__(self, max_side: int = 224, real: bool = False):
+        if real:
+            raise NotImplementedError(
+                "real pixel resampling requires an image library not "
+                "present in this environment"
+            )
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch["width"]
+        h = batch["height"]
+        longer = pc.max_element_wise(w, h)
+        # scale = max_side / longer, applied in integer math:
+        # out = dim * max_side // longer  (floor, matching SQL //)
+        out_w = pc.divide(pc.multiply(w, self.max_side), longer)
+        out_h = pc.divide(pc.multiply(h, self.max_side), longer)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "out_width": pc.cast(out_w, pa.int64()),
+                "out_height": pc.cast(out_h, pa.int64()),
+            }
+        )
+
+
+def resize_sql(max_side: int = 224) -> str:
+    """Composes over the fake-decode dims (decode_documents_sql)."""
+    return f"""
+WITH decoded AS (
+  SELECT doc_id,
+    CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+    CAST((strlen(text) * 7) % 480 + 1 AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id,
+  CAST(width * {max_side} // GREATEST(width, height) AS BIGINT) AS out_width,
+  CAST(height * {max_side} // GREATEST(width, height) AS BIGINT) AS out_height
+FROM decoded
+""".strip()

@@ -196,3 +196,28 @@ def winnow_fingerprints_batch(batch: pa.Table, k: int = 8, window: int = 4) -> p
             "fp": pa.array(out_fp, type=pa.int64()),
         }
     )
+
+
+# GPT2-style pre-tokenizer pattern (BPE-ish token segmentation) —
+# identical RE2 semantics in Arrow and DuckDB (\p{L}/\p{N} classes).
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace tokens + BPE-ish pre-tokenizer counts side by side
+    (the two token-counting bases a training pipeline budgets with)."""
+    ws = pc.cast(pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64())
+    bpe = pc.cast(pc.count_substring_regex(batch["text"], BPE_RE), pa.int64())
+    return pa.table(
+        {"doc_id": batch["doc_id"], "n_ws_tokens": ws, "n_bpe_tokens": bpe}
+    )
+
+
+def bpe_token_count_sql() -> str:
+    rx = BPE_RE.replace("'", "''")
+    return (
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_ws_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents"
+    )

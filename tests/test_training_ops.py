@@ -34,6 +34,8 @@ ORACLE_QUERIES = [
     "topk_per_customer",
     "multimodal_frames",
     "sliding_counts",
+    "doc_bpe_token_counts",
+    "multimodal_resize",
 ]
 
 
