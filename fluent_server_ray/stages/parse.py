@@ -47,7 +47,7 @@ parsed0 AS (
     COALESCE(regexp_extract(text, 'CALL tool=(\\w+)', 1), '') AS parsed_tool,
     COALESCE(regexp_extract(text, 'ERR-([0-9]{{3}})', 1), '') AS error_code,
     COALESCE(regexp_extract(text, 'msg=([^ ]+)', 1), '') AS msg,
-    COALESCE(text, '') = '' AS is_heartbeat,
+    COALESCE(text = '', FALSE) AS is_heartbeat,
     conv_id IS NOT NULL AND text IS NOT NULL AS is_valid
   FROM transcripts
 ),
@@ -79,7 +79,9 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     parsed_tool = _extract(text, TOOL_RE, "t")
     error_code = _extract(text, ERR_RE, "e")
     msg = _extract(text, MSG_RE, "m")
-    is_heartbeat = pc.equal(pc.fill_null(text, ""), "")
+    # null text is a MALFORMED frame (reject sink), not a heartbeat —
+    # only a genuinely empty text is the nil-frame analogue
+    is_heartbeat = pc.fill_null(pc.equal(text, ""), False)
     is_valid = pc.and_(pc.is_valid(batch["conv_id"]), pc.is_valid(text))
 
     has_tool = pc.not_equal(parsed_tool, "")
