@@ -243,3 +243,72 @@ def ts_to_datetime(sec: int, nsec: int) -> datetime:
     return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
         tzinfo=None
     ) + timedelta(microseconds=nsec / 1000)
+
+
+# ------------------------------------------------------------- writer
+
+def table_to_frames(t: pa.Table, chunk_size: int = 500,
+                    compress: bool = False) -> bytes:
+    """Events table (tag, ts, record_json[, ...]) → msgpack Forward
+    frames, one frame per (tag, ≤chunk_size entries) run, each with a
+    chunk option carrying a deterministic chunk id and declared size
+    (the format the reference serves; enables engine → fluentd-consumer
+    export and byte-level round-trip tests). ``compress=True`` emits
+    CompressedPackedForward (gzip blob + ``compressed: "gzip"``)."""
+    import hashlib
+
+    if msgpack is None:
+        raise ImportError("msgpack not available")
+    tags = t["tag"].to_pylist()
+    ts_col = t["ts"].to_pylist()
+    recs = t["record_json"].to_pylist()
+    frames = b""
+    i = 0
+    n = len(t)
+    while i < n:
+        tag = tags[i]
+        j = i
+        entries = []
+        while j < n and tags[j] == tag and len(entries) < chunk_size:
+            ts = ts_col[j]
+            if ts is None:
+                ev_time = 0
+            else:
+                ns = int(ts.value) if hasattr(ts, "value") else int(
+                    ts.timestamp() * 1e9
+                )
+                sec, nsec = divmod(ns, 1_000_000_000)
+                ev_time = event_time_ext(sec, nsec) if nsec else sec
+            entries.append([ev_time, json.loads(recs[j] or "{}")])
+            j += 1
+        chunk_id = hashlib.md5(
+            f"{tag}:{i}:{j}".encode()
+        ).hexdigest()[:22] + "=="
+        opt = {"chunk": chunk_id, "size": len(entries)}
+        if compress:
+            blob = b"".join(
+                msgpack.packb(e, use_bin_type=True) for e in entries
+            )
+            frame = [tag, _gzip.compress(blob), {**opt, "compressed": "gzip"}]
+        else:
+            frame = [tag, entries, opt]
+        frames += msgpack.packb(frame, use_bin_type=True)
+        i = j
+    return frames
+
+
+def write_forward_frames(ds, out_dir: str, compress: bool = False) -> list[str]:
+    """Dataset of events → one frame file per block (shard-addressed,
+    deterministic names)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for bi, batch in enumerate(
+        ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        p = os.path.join(out_dir, f"frames-{bi:05d}.msgpack")
+        with open(p, "wb") as f:
+            f.write(table_to_frames(batch, compress=compress))
+        paths.append(p)
+    return paths

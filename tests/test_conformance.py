@@ -201,3 +201,35 @@ def test_pong_shape():
     assert p[:4] == ["PONG", True, "", "server.example.com"]
     assert p[4] == shared_key_hexdigest("my_salt", "server.example.com", nonce, "beuha")
     assert pong(False, "nope", "s", "", nonce, "k")[1:3] == [False, "nope"]
+
+
+def test_writer_round_trip(ray_session, tmp_path):
+    """table → forward frames → reader == original (incl. ns timestamps
+    and gzip PackedForward), completing wire-format round-tripping."""
+    import pyarrow as pa
+
+    from fluent_server_ray.sources.fluentfmt import (
+        frames_to_table,
+        table_to_frames,
+    )
+
+    src = pa.table(
+        {
+            "tag": ["a.b", "a.b", "c"],
+            "ts": pa.array(
+                [GOLDEN_TS * 1_000_000_000 + 123, GOLDEN_TS * 1_000_000_000,
+                 (GOLDEN_TS + 5) * 1_000_000_000],
+                type=pa.timestamp("ns"),
+            ),
+            "record_json": ['{"m": "x"}', '{"m": "y"}', '{"z": 1}'],
+        }
+    )
+    for compress in (False, True):
+        frames = table_to_frames(src, compress=compress)
+        back = frames_to_table(frames)
+        assert back["tag"].to_pylist() == ["a.b", "a.b", "c"]
+        assert back["record_json"].to_pylist() == [
+            '{"m": "x"}', '{"m": "y"}', '{"z": 1}'
+        ]
+        assert back["ts"].to_pylist() == src["ts"].to_pylist()
+        assert all(c.endswith("==") for c in back["chunk"].to_pylist())
