@@ -291,6 +291,20 @@ def _q_approx_distinct(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([round(est)], type=pa.int64())})
 
 
+VALUE_QUANTILE_ARGS = dict(lo=0.0, hi=500000.0, bins=1000)
+
+
+def _q_value_quantiles(sf_dir: str):
+    """Distributed histogram quantiles of order prices (combiner =
+    additive histograms; deterministic bucket outputs, exact oracle)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sketches import binned_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return binned_quantiles(ds, "o_totalprice", **VALUE_QUANTILE_ARGS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -339,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": rel.customers_without_orders,
         "topk_per_customer": rel.top_orders_per_customer,
         "approx_distinct_users": _q_approx_distinct,
+        "price_quantiles": _q_value_quantiles,
     }
 
 
@@ -381,4 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_customers": rel.customers_without_orders_sql(),
         "topk_per_customer": rel.top_orders_per_customer_sql(),
         # approx_distinct_users: probabilistic sketch — rows-only
+        "price_quantiles": __import__(
+            "fluent_server_ray.stages.sketches", fromlist=["binned_quantiles_sql"]
+        ).binned_quantiles_sql("o_totalprice", table="orders",
+                               **VALUE_QUANTILE_ARGS),
     }

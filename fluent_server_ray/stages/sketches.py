@@ -91,3 +91,79 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
         for blob in batch["sketch"].to_pylist():
             merged.merge(HyperLogLog.deserialize(blob))
     return merged.estimate()
+
+
+def binned_quantiles(ds, col: str, lo: float, hi: float, bins: int = 1000,
+                     qs: tuple[float, ...] = (0.5, 0.95, 0.99)):
+    """Distributed histogram quantiles: per-batch fixed-edge histograms
+    (the combiner — histograms add), one tiny vector to merge per
+    block, quantile = lower edge of the first bin whose cumulative
+    count reaches ceil(q*n). Deterministic integer outputs, so an SQL
+    engine reproduces it exactly (unlike interpolated quantiles).
+
+    Returns a pyarrow Table (q, bucket_idx, bucket_lo, n_total).
+    """
+    import pyarrow as pa
+
+    width = (hi - lo) / bins
+
+    def hist_batch(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.floor((vals - lo) / width).astype(np.int64)
+        idx = np.clip(idx, 0, bins - 1)
+        counts = np.bincount(idx, minlength=bins).astype(np.int64)
+        return pa.table({"hist": pa.array([counts.tobytes()], type=pa.binary())})
+
+    total = np.zeros(bins, dtype=np.int64)
+    for batch in ds.map_batches(
+        hist_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob in batch["hist"].to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64)
+
+    n = int(total.sum())
+    cum = np.cumsum(total)
+    out_q, out_idx, out_lo = [], [], []
+    for q in qs:
+        target = int(np.ceil(q * n))
+        bucket = int(np.searchsorted(cum, target))
+        out_q.append(q)
+        out_idx.append(bucket)
+        out_lo.append(lo + bucket * width)
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "bucket_idx": pa.array(out_idx, type=pa.int64()),
+            "bucket_lo": pa.array(out_lo, type=pa.float64()),
+            "n_total": pa.array([n] * len(qs), type=pa.int64()),
+        }
+    )
+
+
+def binned_quantiles_sql(col: str, lo: float, hi: float, bins: int = 1000,
+                         qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                         table: str = "events") -> str:
+    """Exact SQL mirror of the histogram-quantile rule."""
+    width = (hi - lo) / bins
+    q_rows = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH buckets AS (
+  SELECT LEAST(GREATEST(CAST(floor(({col} - {lo}) / {width}) AS BIGINT), 0),
+               {bins - 1}) AS bucket_idx,
+         count(*) AS c
+  FROM {table} GROUP BY 1
+), cum AS (
+  SELECT bucket_idx, sum(c) OVER (ORDER BY bucket_idx
+                                  ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM buckets
+), totals AS (SELECT sum(c) AS n FROM buckets),
+qs(q) AS (VALUES {q_rows})
+SELECT q,
+  (SELECT min(bucket_idx) FROM cum
+    WHERE cum_c >= CAST(ceil(q * totals.n) AS BIGINT)) AS bucket_idx,
+  {lo} + (SELECT min(bucket_idx) FROM cum
+           WHERE cum_c >= CAST(ceil(q * totals.n) AS BIGINT)) * {width}
+    AS bucket_lo,
+  CAST(totals.n AS BIGINT) AS n_total
+FROM qs, totals
+""".strip()

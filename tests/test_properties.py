@@ -100,3 +100,47 @@ def test_heartbeats_never_produce_rows(n_heartbeats, tag):
     t = frames_to_table(pack_frames(frames))
     assert len(t) == 1
     assert t["tag"][0].as_py() == tag
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    entries=st.lists(
+        st.tuples(tags,
+                  st.integers(min_value=0, max_value=2**31 - 1),
+                  records),
+        min_size=1,
+        max_size=8,
+    ),
+    compress=st.booleans(),
+)
+def test_writer_reader_round_trip_property(entries, compress):
+    """write_forward_frames' encoder round-trips arbitrary event tables
+    (tags, second-precision timestamps, scalar records, both plain and
+    gzip PackedForward)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from fluent_server_ray.sources.fluentfmt import (
+        frames_to_table,
+        table_to_frames,
+    )
+
+    src = pa.table(
+        {
+            "tag": [t for t, _, _ in entries],
+            "ts": pa.array(
+                [s * 1_000_000_000 for _, s, _ in entries],
+                type=pa.timestamp("ns"),
+            ),
+            "record_json": [
+                _json.dumps(r, sort_keys=True) for _, _, r in entries
+            ],
+        }
+    )
+    back = frames_to_table(table_to_frames(src, compress=compress))
+    assert back["tag"].to_pylist() == src["tag"].to_pylist()
+    assert back["ts"].to_pylist() == src["ts"].to_pylist()
+    got = [_json.loads(x) for x in back["record_json"].to_pylist()]
+    want = [r for _, _, r in entries]
+    assert got == want

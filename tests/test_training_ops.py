@@ -36,6 +36,7 @@ ORACLE_QUERIES = [
     "sliding_counts",
     "doc_bpe_token_counts",
     "multimodal_resize",
+    "price_quantiles",
 ]
 
 
