@@ -128,6 +128,7 @@ def run_pipeline(
     shards: list[str] | None = None,
     batch_size: int = 32768,
     shard_group_size: int = 1,
+    max_concurrent_shards: int = 1,
 ) -> dict:
     """Run the flagship pipeline; returns the summary dict
     (per-sink totals — the engine's equivalent of the mirror's HTTP
@@ -165,7 +166,8 @@ def run_pipeline(
         ]
 
     done = committed_shards(out_dir)
-    for shard_path in shards:
+
+    def process_shard(shard_path) -> None:
         group = shard_path if isinstance(shard_path, list) else [shard_path]
         first = os.path.splitext(os.path.basename(group[0].rstrip("/")))[0]
         shard_id = (
@@ -173,7 +175,7 @@ def run_pipeline(
             else f"{first}--{os.path.splitext(os.path.basename(group[-1]))[0]}"
         )
         if shard_id in done:
-            continue
+            return
         from fluent_server_ray.sources.transcripts import TRANSCRIPT_SCHEMA_COLS
         import ray.data as rd
 
@@ -204,6 +206,22 @@ def run_pipeline(
                 },
             },
         )
+
+    if max_concurrent_shards > 1:
+        # overlap commit units: each shard's Dataset pipeline executes
+        # independently (own streaming executor); lineage commits stay
+        # per-shard atomic, so a crash still resumes cleanly
+        from concurrent.futures import ThreadPoolExecutor
+
+        _stub_fsspec_http()  # see docstring: concurrent-import safety
+
+
+
+        with ThreadPoolExecutor(max_workers=max_concurrent_shards) as pool:
+            list(pool.map(process_shard, shards))
+    else:
+        for shard_path in shards:
+            process_shard(shard_path)
 
     # summary = merge of all shard manifests (pure driver-side, tiny)
     manifests = load_manifests(out_dir)
@@ -245,3 +263,37 @@ def read_back(sink_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(sink_dir)
+
+
+def _stub_fsspec_http() -> None:
+    """Make ``from fsspec.implementations.http import HTTPFileSystem``
+    deterministic when aiohttp is absent.
+
+    Ray's path resolution attempts that import on EVERY read/write
+    (failed imports are never cached), catching only
+    ``ModuleNotFoundError``; under concurrent Dataset construction two
+    threads can interleave the failing import and one of them observes
+    a bare ``ImportError`` that escapes Ray's handler. Registering a
+    stub module with a placeholder class makes the import succeed once
+    and be cached; the only use is an ``isinstance`` check, which is
+    correctly False for every real (local) filesystem.
+    """
+    import sys
+    import types
+
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        import aiohttp  # noqa: F401
+
+        return  # real module importable; no stub needed
+    except ImportError:
+        pass
+    mod = types.ModuleType(name)
+
+    class HTTPFileSystem:  # placeholder for isinstance checks only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules[name] = mod

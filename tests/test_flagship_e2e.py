@@ -107,3 +107,19 @@ def test_replayed_shard_does_not_duplicate(ray_session, synth_dir, out_dir):
     n_before = len(_load_sinks(out_dir))
     run_pipeline(synth_dir, out_dir, shards=shards[:1])  # replay
     assert len(_load_sinks(out_dir)) == n_before
+
+
+def test_concurrent_shards_equal_sequential(ray_session, synth_dir, tmp_path):
+    """Overlapped commit units produce identical manifests and sinks."""
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+
+    seq = run_pipeline(synth_dir, str(tmp_path / "seq"))
+    par = run_pipeline(synth_dir, str(tmp_path / "par"), max_concurrent_shards=3)
+    assert seq == par
+    a = _load_sinks(str(tmp_path / "seq")).sort_values(
+        ["conv_id", "turn_idx"], na_position="first").reset_index(drop=True)
+    b = _load_sinks(str(tmp_path / "par")).sort_values(
+        ["conv_id", "turn_idx"], na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a.sort_index(axis=1), b.sort_index(axis=1), check_dtype=False
+    )
