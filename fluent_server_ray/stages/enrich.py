@@ -55,10 +55,38 @@ def get_lookup(ref) -> tuple[pa.Array, pa.Array]:
     return hit
 
 
+_LARGE_SET = 500_000
+
+
 def lookup_column(batch_col, ref, default: str = DEFAULT_TENANT) -> pa.Array:
-    """Vectorized dict lookup of a column against a broadcast table."""
+    """Vectorized dict lookup of a column against a broadcast table.
+
+    Small sets: ``pc.index_in`` (cheap even though Arrow rebuilds the
+    value-set hash table per call). Large sets (multi-million keys):
+    that rebuild costs ~0.75 s PER BATCH, so a ``pandas.Index`` hash
+    table is built ONCE per worker (cached next to the broadcast
+    arrays) and each batch pays only an O(batch) probe (~16× faster).
+    """
     keys, values = get_lookup(ref)
-    idx = pc.index_in(batch_col, value_set=keys)
+    if len(keys) <= _LARGE_SET:
+        idx = pc.index_in(batch_col, value_set=keys)
+        return pc.fill_null(pc.take(values, idx), default)
+
+    import pandas as pd
+
+    cache_key = (ref.hex() if hasattr(ref, "hex") else str(id(ref))) + ".idx"
+    index = _BROADCAST_CACHE.get(cache_key)
+    if index is None:
+        index = pd.Index(keys.to_numpy(zero_copy_only=False))
+        index.get_indexer(index[:1])  # force hash-table build once
+        _BROADCAST_CACHE[cache_key] = index
+    pos = index.get_indexer(
+        batch_col.to_numpy(zero_copy_only=False)
+        if not isinstance(batch_col, pa.ChunkedArray)
+        else batch_col.combine_chunks().to_numpy(zero_copy_only=False)
+    )
+    idx = pa.array(pos, type=pa.int64())
+    idx = pc.if_else(pc.equal(idx, -1), pa.scalar(None, type=pa.int64()), idx)
     return pc.fill_null(pc.take(values, idx), default)
 
 # DuckDB mirror of the *default* tenant map built by build_tenant_map():

@@ -55,3 +55,26 @@ def test_salt_deterministic_across_workers(ray_session):
     local = add_salt(rd.from_pandas(df), "k", n_salts=8).to_pandas()
     remote = ray.get(salts_in_subprocess.remote())
     assert local["_salt"].tolist() == remote
+
+
+def test_large_lookup_set_fast_path(ray_session):
+    """Multi-million-key broadcast lookup uses the cached-index path
+    and returns identical results to the small-set path."""
+    import pyarrow as pa
+
+    from fluent_server_ray.stages import enrich
+
+    big = {f"k-{i}": f"v-{i % 5}" for i in range(600_000)}
+    ref = enrich.put_lookup(big)
+    batch = pa.array([f"k-{i}" for i in range(0, 1200_000, 2)])  # half missing
+    out = enrich.lookup_column(batch, ref, default="dflt")
+    # spot-check: present keys map, absent keys default
+    got = out.to_pylist()
+    assert got[0] == "v-0" and got[1] == "v-2"
+    assert got[-1] == "dflt"  # k-1199998 not in the map
+    # small-set path parity on a subset
+    small_ref = enrich.put_lookup({k: big[k] for k in list(big)[:1000]})
+    sub = pa.array(list(big)[:1000])
+    a = enrich.lookup_column(sub, small_ref).to_pylist()
+    b = [big[k] for k in list(big)[:1000]]
+    assert a == b
