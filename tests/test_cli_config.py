@@ -41,3 +41,42 @@ def test_load_routes_cfg(tmp_path):
     p = tmp_path / "fluentbit.cfg"
     p.write_text("[OUTPUT]\n Match beuha\n Name beuha_sink\n")
     assert load_routes(str(p)) == [("beuha", "beuha_sink")]
+
+
+def test_cli_run_counts_mirror_end_to_end(tmp_path):
+    """Drive the actual CLI (subprocess): run -> counts -> mirror."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    out = str(tmp_path / "cli_out")
+
+    routes = tmp_path / "routes.cfg"
+    routes.write_text("[OUTPUT]\n Match err.**\n Name errs\n[OUTPUT]\n Match **\n Name rest\n")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "fluent_server_ray", "run",
+         "--input", "/root/testdata/sf0.001", "--out", out,
+         "--routes", str(routes)],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 900
+    assert summary["sinks"]["errs"] == 200
+
+    c = subprocess.run(
+        [sys.executable, "-m", "fluent_server_ray", "counts", "--out", out],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert json.loads(c.stdout.strip()) == summary["sinks"]
+
+    m = subprocess.run(
+        [sys.executable, "-m", "fluent_server_ray", "mirror", "--out", out],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=120,
+    )
+    view = json.loads(m.stdout.strip())
+    assert sum(len(v) for v in view.values()) == 900
