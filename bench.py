@@ -7,8 +7,8 @@ parallelism levels of --scaling see the identical bytes).
 
 Usage:
     python bench.py              # one run; RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling    # fresh processes at 8 and 32 CPUs,
-                                 # prints throughput at both + efficiency
+    python bench.py --scaling    # fresh processes at 4/16 and 8/32 CPUs
+                                 # (both N->4N pairs + efficiencies)
 
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
