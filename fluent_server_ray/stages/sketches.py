@@ -167,3 +167,45 @@ SELECT q,
   CAST(totals.n AS BIGINT) AS n_total
 FROM qs, totals
 """.strip()
+
+
+class BloomFilter:
+    """Numpy-backed Bloom filter: the broadcast-side structure for
+    semi/anti joins whose key set is too large to ship exactly (the
+    100 TB path noted in relational.customers_without_orders). Mergeable
+    by OR; deterministic (fixed-key SipHash double hashing).
+
+    False positives only: a semi join keeps a few extra rows (verify
+    downstream); an anti join may drop a few matches — callers choose
+    fpr accordingly.
+    """
+
+    def __init__(self, n_items: int, fpr: float = 0.01):
+        m = int(np.ceil(-n_items * np.log(fpr) / (np.log(2) ** 2)))
+        self.m = max(64, m)
+        self.k = max(1, int(round((self.m / max(1, n_items)) * np.log(2))))
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        h1 = pd.util.hash_array(values)
+        h2 = pd.util.hash_array(values, hash_key="fedcba9876543210")
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(self.m)).astype(
+            np.int64
+        )
+
+    def add(self, values: np.ndarray) -> None:
+        pos = self._positions(np.asarray(values, dtype=object)).ravel()
+        np.bitwise_or.at(
+            self.bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+        )
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(values, dtype=object))
+        got = (self.bits[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+        return got.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self

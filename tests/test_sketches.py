@@ -53,3 +53,26 @@ def test_approx_distinct_dataset(ray_session):
     ).fetchone()[0]
     est = approx_distinct(ds, "user_id")
     assert abs(est - exact) / exact < 0.05
+
+
+def test_bloom_filter_no_false_negatives_and_low_fpr():
+    from fluent_server_ray.stages.sketches import BloomFilter
+
+    members = np.asarray([f"in-{i}" for i in range(20_000)], dtype=object)
+    others = np.asarray([f"out-{i}" for i in range(20_000)], dtype=object)
+    bf = BloomFilter(n_items=len(members), fpr=0.01)
+    bf.add(members)
+    assert bf.contains(members).all()  # Bloom property: zero false negatives
+    fpr = bf.contains(others).mean()
+    assert fpr < 0.03, fpr
+
+
+def test_bloom_merge_is_union():
+    from fluent_server_ray.stages.sketches import BloomFilter
+
+    a_vals = np.asarray([f"a{i}" for i in range(5000)], dtype=object)
+    b_vals = np.asarray([f"b{i}" for i in range(5000)], dtype=object)
+    a = BloomFilter(10_000, 0.01); a.add(a_vals)
+    b = BloomFilter(10_000, 0.01); b.add(b_vals)
+    a.merge(b)
+    assert a.contains(a_vals).all() and a.contains(b_vals).all()
