@@ -168,6 +168,9 @@ def run_pipeline(
     done = committed_shards(out_dir)
 
     def process_shard(shard_path) -> None:
+        import time
+
+        t_start = time.perf_counter()
         group = shard_path if isinstance(shard_path, list) else [shard_path]
         first = os.path.splitext(os.path.basename(group[0].rstrip("/")))[0]
         shard_id = (
@@ -195,6 +198,9 @@ def run_pipeline(
         _write_sinks(routed_m, sink_dir)
         # lineage record: per-sink counts for this shard (small result)
         counts = grouped_counts(routed_m, COUNT_KEYS, batch_size=batch_size).to_pandas()
+        input_bytes = sum(
+            os.path.getsize(p) for p in group if os.path.isfile(p)
+        )
         commit_shard(
             out_dir,
             shard_id,
@@ -204,6 +210,9 @@ def run_pipeline(
                 "per_sink_counts": {
                     s: int(g["n"].sum()) for s, g in counts.groupby("sink")
                 },
+                # per-partition metrics (north rule: lineage + metrics)
+                "elapsed_sec": round(time.perf_counter() - t_start, 3),
+                "input_bytes": input_bytes,
             },
         )
 
