@@ -144,3 +144,67 @@ def test_writer_reader_round_trip_property(entries, compress):
     got = [_json.loads(x) for x in back["record_json"].to_pylist()]
     want = [r for _, _, r in entries]
     assert got == want
+
+
+text_like = st.one_of(
+    st.text(max_size=40),  # arbitrary unicode incl. regex metachars
+    st.builds(lambda t, w: f"CALL tool={t} args={w}", tag_part, st.text(max_size=10)),
+    st.builds(lambda n, w: f"ERR-{n:03d} {w} failed",
+              st.integers(min_value=0, max_value=999), st.text(max_size=10)),
+    st.builds(lambda w: f"msg={w}", st.text(min_size=1, max_size=10)),
+    st.just(""),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=st.lists(text_like, min_size=1, max_size=25),
+       roles=st.lists(tag_part, min_size=1, max_size=25))
+def test_parse_batch_matches_duckdb_on_arbitrary_text(texts, roles):
+    """The vectorized RE2 parse agrees with DuckDB's regexp_extract on
+    ANY text — quotes, unicode, regex metacharacters, empties — not
+    just the grammar's happy path (the single-source-of-truth guard)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.parse import parse_batch
+
+    n = min(len(texts), len(roles))
+    texts, roles = texts[:n], roles[:n]
+    batch = pa.table(
+        {
+            "conv_id": [f"c{i}" for i in range(n)],
+            "turn_idx": list(range(n)),
+            "role": roles,
+            "text": texts,
+            "tool": [""] * n,
+            "ts": [0] * n,
+        }
+    )
+    got = parse_batch(batch).to_pandas()[
+        ["parsed_tool", "error_code", "msg", "is_heartbeat", "kind", "tag"]
+    ]
+
+    con = duckdb.connect()
+    df_in = pd.DataFrame({"text": texts, "role": roles})
+    con.register("t_in", df_in)
+    want = con.execute(r"""
+      WITH p0 AS (
+        SELECT role, text,
+          COALESCE(regexp_extract(text, 'CALL tool=(\w+)', 1), '') AS parsed_tool,
+          COALESCE(regexp_extract(text, 'ERR-([0-9]{3})', 1), '') AS error_code,
+          COALESCE(regexp_extract(text, 'msg=([^ ]+)', 1), '') AS msg,
+          COALESCE(text = '', FALSE) AS is_heartbeat
+        FROM t_in)
+      SELECT parsed_tool, error_code, msg, is_heartbeat,
+        CASE WHEN parsed_tool <> '' THEN 'tool'
+             WHEN error_code <> '' THEN 'err' ELSE 'msg' END AS kind,
+        CASE WHEN parsed_tool <> '' THEN 'tool.' || role || '.' || parsed_tool
+             WHEN error_code <> '' THEN 'err.' || role
+             ELSE 'msg.' || role END AS tag
+      FROM p0
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
