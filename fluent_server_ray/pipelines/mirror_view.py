@@ -70,3 +70,35 @@ def write_mirror_json(out_dir: str, path: str | None = None) -> str:
     with open(path, "w") as f:
         json.dump(mirror_json(out_dir), f, sort_keys=True, default=str)
     return path
+
+
+def read_sink(out_dir: str, sink: str, ordered: bool = True):
+    """Dataset over one sink's routed output across all shards.
+
+    ``ordered=True`` re-establishes the stable (conv_id, turn_idx)
+    global order (files hold per-shard sorted runs; a cross-shard
+    consumer re-sorts — cheap because runs are pre-sorted).
+    """
+    import glob as _glob
+
+    import ray.data as rd
+
+    files = sorted(
+        _glob.glob(
+            os.path.join(out_dir, "sinks", "*", f"sink={sink}", "*.parquet")
+        )
+    )
+    if not files:
+        raise FileNotFoundError(f"no output for sink {sink!r} under {out_dir}")
+    ds = rd.read_parquet(files)
+    if ordered and "conv_id" in ds.schema().names:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def add_key(t: pa.Table) -> pa.Table:
+            return t.append_column("_ck", pc.fill_null(t["conv_id"], ""))
+
+        ds = ds.map_batches(add_key, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        ds = ds.sort(["_ck", "turn_idx"]).drop_columns(["_ck"])
+    return ds

@@ -40,3 +40,21 @@ def test_magic_round_trip(ray_session, tmp_path):
     assert mirror_counts(str(out)) == {"all": 2}
     path = write_mirror_json(str(out))
     assert json.load(open(path))["other"][0]["record"]["record_json"]
+
+
+def test_read_sink_ordered(ray_session, synth_dir, tmp_path):
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+    from fluent_server_ray.pipelines.mirror_view import read_sink
+
+    out = str(tmp_path / "o")
+    run_pipeline(synth_dir, out)
+    df = read_sink(out, "errors").to_pandas()
+    assert len(df) > 0
+    assert (df["sink"] == "errors").all() if "sink" in df.columns else True
+    key = list(zip(df["conv_id"], df["turn_idx"]))
+    assert key == sorted(key)  # stable global order re-established
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_sink(out, "no.such.sink")
