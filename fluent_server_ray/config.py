@@ -25,6 +25,7 @@ fluent-bit-style INI form (order preserved)::
 from __future__ import annotations
 
 import json
+import re
 
 
 def load_routes(path: str) -> list[tuple[str, str]]:
@@ -35,9 +36,23 @@ def load_routes(path: str) -> list[tuple[str, str]]:
     return parse_fluentbit_outputs(text)
 
 
+def fluentbit_match_to_regex(pattern: str) -> str:
+    """fluent-bit ``Match`` wildcard → anchored regex.
+
+    fluent-bit's ``*`` matches ANY run of characters (dots included):
+    ``Match *`` matches every tag, ``Match a.*`` matches ``a.b.c``.
+    That is NOT fluentd glob semantics (where ``*`` is one dotted
+    part), so these patterns are translated to raw regexes — which the
+    router passes through verbatim (``route.glob_to_regex`` treats a
+    leading ``^`` as pre-compiled regex)."""
+    return "^" + ".*".join(re.escape(seg) for seg in pattern.split("*")) + "$"
+
+
 def parse_fluentbit_outputs(text: str) -> list[tuple[str, str]]:
     """Minimal fluent-bit config reader: ordered [OUTPUT] sections with
-    ``Match`` and ``Name`` keys (≙ reference contrib/config/A.cfg)."""
+    ``Match`` and ``Name`` keys (≙ reference contrib/config/A.cfg).
+    ``Match`` wildcards keep fluent-bit semantics (``*`` = any chars)
+    via :func:`fluentbit_match_to_regex`."""
     routes: list[tuple[str, str]] = []
     section = None
     match = name = None
@@ -47,7 +62,10 @@ def parse_fluentbit_outputs(text: str) -> list[tuple[str, str]]:
             continue
         if line.startswith("["):
             if section == "OUTPUT" and match is not None:
-                routes.append((match, name or f"sink{len(routes)}"))
+                routes.append(
+                    (fluentbit_match_to_regex(match),
+                     name or f"sink{len(routes)}")
+                )
             section = line.strip("[]").upper()
             match = name = None
             continue
@@ -60,5 +78,7 @@ def parse_fluentbit_outputs(text: str) -> list[tuple[str, str]]:
                 elif key == "name":
                     name = val
     if section == "OUTPUT" and match is not None:
-        routes.append((match, name or f"sink{len(routes)}"))
+        routes.append(
+            (fluentbit_match_to_regex(match), name or f"sink{len(routes)}")
+        )
     return routes

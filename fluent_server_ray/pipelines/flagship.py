@@ -109,6 +109,25 @@ def build_routed(
     )
 
 
+def _shard_id(shard_path, group_size: int) -> str:
+    """Deterministic, collision-free commit-unit id: human-readable
+    basename(s) + 8 hex chars of sha1 over the FULL path list and the
+    grouping knob (two equal basenames in different dirs, or a resume
+    with a different ``shard_group_size``, must not share an id)."""
+    import hashlib
+
+    group = shard_path if isinstance(shard_path, list) else [shard_path]
+    first = os.path.splitext(os.path.basename(group[0].rstrip("/")))[0]
+    base = (
+        first if len(group) == 1
+        else f"{first}--{os.path.splitext(os.path.basename(group[-1]))[0]}"
+    )
+    h = hashlib.sha1(
+        ("\x00".join(group) + f"\x00gs={group_size}").encode()
+    ).hexdigest()[:8]
+    return f"{base}-{h}"
+
+
 def _write_sinks(routed, sink_dir: str) -> None:
     """Write per-sink partitioned Parquet atomically (tmp + rename)."""
     tmp = sink_dir + ".tmp"
@@ -167,16 +186,26 @@ def run_pipeline(
 
     done = committed_shards(out_dir)
 
-    def process_shard(shard_path) -> None:
+    # shard ids are computed up front: basename + a short hash of the
+    # full input path(s) and the grouping, so two shards with equal
+    # basenames in different directories — or a rerun with a different
+    # shard_group_size — can never collide on (and silently overwrite)
+    # one sink directory / lineage manifest. Duplicates fail fast.
+    work = [
+        (_shard_id(shard_path, shard_group_size), shard_path)
+        for shard_path in shards
+    ]
+    ids = [sid for sid, _ in work]
+    if len(set(ids)) != len(ids):
+        dupes = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(f"duplicate shard ids in one run: {dupes}")
+
+    def process_shard(item) -> None:
         import time
 
         t_start = time.perf_counter()
+        shard_id, shard_path = item
         group = shard_path if isinstance(shard_path, list) else [shard_path]
-        first = os.path.splitext(os.path.basename(group[0].rstrip("/")))[0]
-        shard_id = (
-            first if len(group) == 1
-            else f"{first}--{os.path.splitext(os.path.basename(group[-1]))[0]}"
-        )
         if shard_id in done:
             return
         from fluent_server_ray.sources.transcripts import TRANSCRIPT_SCHEMA_COLS
@@ -227,10 +256,10 @@ def run_pipeline(
 
 
         with ThreadPoolExecutor(max_workers=max_concurrent_shards) as pool:
-            list(pool.map(process_shard, shards))
+            list(pool.map(process_shard, work))
     else:
-        for shard_path in shards:
-            process_shard(shard_path)
+        for item in work:
+            process_shard(item)
 
     # summary = merge of all shard manifests (pure driver-side, tiny)
     manifests = load_manifests(out_dir)

@@ -77,83 +77,135 @@ def lineitem_agg(sf_dir: str):
         [("sum_qty_cents", "sum"), ("sum_price_cents", "sum"),
          ("sum_disc_price_cents", "sum"), ("n", "sum")]
     )
-    return out.rename_columns(
+    out = out.rename_columns(
         ["l_returnflag", "l_linestatus", "sum_qty_cents",
          "sum_price_cents", "sum_disc_price_cents", "n"]
     )
+    # Arrow group_by output order is nondeterministic; pin it (and keep
+    # the SQL mirror's ORDER BY identical) so value hashes are stable.
+    return out.sort_by([("l_returnflag", "ascending"),
+                        ("l_linestatus", "ascending")])
 
 
 def lineitem_agg_sql() -> str:
+    # sums are CAST back to BIGINT: DuckDB's sum(BIGINT) yields HUGEINT,
+    # which lands in pandas as float64 and breaks dtype-exact comparison
+    # with the engine's int64 sums.
     return """
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS sum_qty_cents,
-  sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents,
-  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+  CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT)
     AS sum_disc_price_cents,
   count(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """.strip()
 
 
 # ------------------------------------------------- broadcast dim joins
 
-def orders_by_nation(sf_dir: str):
-    """orders ⋈ customer ⋈ nation via two broadcast hash joins (dim
-    tables ship once as Arrow arrays; the fact table streams)."""
+# Above this many customer rows the dim side no longer broadcasts: fall
+# back to one bucketed shuffle join of orders⋈customer (nation, 25 rows,
+# always broadcasts). ~64B/row → ~1.3 GB of broadcast state at the cap.
+BROADCAST_DIM_MAX_ROWS = 20_000_000
+
+
+def orders_by_nation(sf_dir: str,
+                     broadcast_threshold: int = BROADCAST_DIM_MAX_ROWS):
+    """orders ⋈ customer ⋈ nation → grouped totals per nation.
+
+    Small-dim path: the two dims pre-join on the driver with vectorized
+    Arrow kernels (``index_in``/``take`` — no Python row loop) and ship
+    once via ``ray.put``; the fact table streams. Above
+    ``broadcast_threshold`` customer rows, orders⋈customer runs as one
+    bucketed shuffle join instead, and only nation broadcasts.
+    """
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    # pre-join the two dims on the driver (dims are small by contract)
-    nk = cust["c_nationkey"].to_numpy()
-    nidx = {int(k): i for i, k in enumerate(nation["n_nationkey"].to_numpy())}
-    names = nation["n_name"].to_pylist()
-    cust_names = pa.array(
-        [names[nidx[int(k)]] for k in nk], type=pa.string()
-    )
-    dim_ref = ray.put((cust["c_custkey"].combine_chunks(), cust_names))
+    cust_rows = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
 
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    def partial(t: pa.Table) -> pa.Table:
-        keys, nation_of_cust = ray.get(dim_ref)
-        idx = pc.index_in(t["o_custkey"], value_set=keys)
-        n_name = pc.take(nation_of_cust, idx)
-        prep = pa.table(
-            {"n_name": n_name, "price_cents": _cents(t["o_totalprice"])}
+    if cust_rows <= broadcast_threshold:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         )
-        out = prep.group_by(["n_name"]).aggregate(
-            [("price_cents", "sum"), ([], "count_all")]
+        # vectorized dim pre-join: nation name per customer in two kernels
+        nidx = pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"])
+        cust_names = pc.take(nation["n_name"], nidx).combine_chunks()
+        dim_ref = ray.put((cust["c_custkey"].combine_chunks(), cust_names))
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, nation_of_cust = ray.get(dim_ref)
+            idx = pc.index_in(t["o_custkey"], value_set=keys)
+            n_name = pc.take(nation_of_cust, idx)
+            prep = pa.table(
+                {"n_name": n_name, "price_cents": _cents(t["o_totalprice"])}
+            )
+            out = prep.group_by(["n_name"]).aggregate(
+                [("price_cents", "sum"), ([], "count_all")]
+            )
+            return out.rename_columns(["n_name", "sum_price_cents", "n_orders"])
+
+        joined = ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        # big-dim fallback: one co-located shuffle on the customer key
+        from fluent_server_ray.stages.joins import bucketed_hash_join
+
+        cust_ds = rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         )
-        return out.rename_columns(["n_name", "sum_price_cents", "n_orders"])
+        nation_ref = ray.put(
+            (nation["n_nationkey"].combine_chunks(),
+             nation["n_name"].combine_chunks())
+        )
+        j = bucketed_hash_join(ds, cust_ds, key="o_custkey",
+                               right_key="c_custkey", n_buckets=32)
+
+        def partial(t: pa.Table) -> pa.Table:
+            nkeys, nnames = ray.get(nation_ref)
+            idx = pc.index_in(t["c_nationkey"], value_set=nkeys)
+            prep = pa.table(
+                {"n_name": pc.take(nnames, idx),
+                 "price_cents": _cents(t["o_totalprice"])}
+            )
+            out = prep.group_by(["n_name"]).aggregate(
+                [("price_cents", "sum"), ([], "count_all")]
+            )
+            return out.rename_columns(["n_name", "sum_price_cents", "n_orders"])
+
+        joined = j.map_batches(partial, batch_format="pyarrow")
 
     partials = pa.concat_tables(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+        joined.iter_batches(batch_size=None, batch_format="pyarrow")
     )
     out = partials.group_by(["n_name"]).aggregate(
         [("sum_price_cents", "sum"), ("n_orders", "sum")]
     )
-    return out.rename_columns(["n_name", "sum_price_cents", "n_orders"])
+    out = out.rename_columns(["n_name", "sum_price_cents", "n_orders"])
+    return out.sort_by([("n_name", "ascending")])
 
 
 def orders_by_nation_sql() -> str:
     return """
 SELECT n.n_name,
-  sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS sum_price_cents,
+  CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+    AS sum_price_cents,
   count(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+ORDER BY n.n_name
 """.strip()
 
 
@@ -304,31 +356,37 @@ def revenue_by_priority(sf_dir: str, use_native: bool = False):
     out = partials.group_by(["o_orderpriority"]).aggregate(
         [("sum_rev_cents", "sum"), ("n_items", "sum")]
     )
-    return out.rename_columns(["o_orderpriority", "sum_rev_cents", "n_items"])
+    out = out.rename_columns(["o_orderpriority", "sum_rev_cents", "n_items"])
+    return out.sort_by([("o_orderpriority", "ascending")])
 
 
 def revenue_by_priority_sql() -> str:
     return """
 SELECT o.o_orderpriority,
-  sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT))
+  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT)
     AS sum_rev_cents,
   count(*) AS n_items
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
 """.strip()
 
 
 # ---------------------------------------- at-least-once replay dedup
 
-def dedup_replayed_turns(sf_dir: str):
+def dedup_replayed_turns(sf_dir: str, n_buckets: int = 1024):
     """O3: exact dedup of a replayed (at-least-once) transcript stream.
 
     Simulates a client re-sending every chunk (union of the input with
     itself — reference clients replay unacked chunks,
-    message/mode.go:56-68), then hash-partitions by (conv_id, turn_idx)
-    and keeps the first row per key. The preferred production path is
-    manifest-level skip (state/lineage.py); this is the shuffle
-    fallback when lineage is unavailable.
+    message/mode.go:56-68). Combiner-first (the ``exact_dedup`` shape,
+    stages/dedup.py): each block collapses to its distinct
+    (conv_id, turn_idx, text) rows BEFORE the shuffle, then one groupby
+    on ``siphash(conv_id) % n_buckets`` — a few thousand balanced
+    buckets, each deduped with one vectorized ``drop_duplicates`` —
+    instead of millions of per-turn pandas groups. The preferred
+    production path is manifest-level skip (state/lineage.py); this is
+    the shuffle fallback when lineage is unavailable.
     """
     import pandas as pd
 
@@ -341,11 +399,25 @@ def dedup_replayed_turns(sf_dir: str):
         read_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
     )
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.group_by(["conv_id", "turn_idx", "text"]).aggregate([])
+        h = pd.util.hash_array(
+            u["conv_id"].to_numpy(zero_copy_only=False)
+        )
+        return u.append_column(
+            "_bucket", pa.array((h % n_buckets).astype("int64"))
+        )
 
-    return replayed.groupby(["conv_id", "turn_idx"]).map_groups(
-        first_row, batch_format="pandas"
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["conv_id", "turn_idx"])[
+            ["conv_id", "turn_idx", "text"]
+        ]
+
+    return (
+        replayed.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
     )
 
 

@@ -51,7 +51,8 @@ TOOLS = ("search", "bash", "browser")
 TRANSCRIPT_SCHEMA_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 # DuckDB mirror of derive_transcripts_batch. Keep in lockstep — the
-# equality is pinned by tests/test_transcripts_derivation.py.
+# equality is pinned by tests/test_pipeline_oracle.py (parse/route
+# stages vs the TRANSCRIPTS_SQL_CTE mirror) and tests/test_properties.py.
 TRANSCRIPTS_SQL_CTE = """
 transcripts AS (
   SELECT

@@ -63,14 +63,20 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         out = t.group_by(["_h", text_col]).aggregate([(id_col, "min")])
         return out.rename_columns(["_h", text_col, id_col])
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def min_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        # re-group on the TEXT inside the hash group: two distinct texts
+        # colliding on the 64-bit hash (expected near the 2^32 birthday
+        # bound at trillion-row scale) must each keep their winner —
+        # only true duplicates collapse (matches the SQL GROUP BY text).
         g = g.sort_values(id_col)
-        return g.head(1)[[id_col, text_col]]
+        return g.groupby(text_col, sort=False, as_index=False).head(1)[
+            [id_col, text_col]
+        ]
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_h")
-        .map_groups(first_per_group, batch_format="pandas")
+        .map_groups(min_per_text, batch_format="pandas")
     )
 
 
@@ -95,10 +101,18 @@ def prefix_block_dupes(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_block: int = 512,
 ):
     """Near-dup pairs among docs sharing a text prefix (blocking key),
     scored by char-set Jaccard (DuckDB's ``jaccard`` semantics, so the
-    result is oracle-checkable). Returns (doc_a, doc_b) with a < b."""
+    result is oracle-checkable). Returns (doc_a, doc_b) with a < b.
+
+    ``max_block`` bounds the per-block O(n²) pair scan: a hot prefix
+    (boilerplate headers) above the cap compares each member only to the
+    block's min-id representative — O(n) for the pathological block,
+    candidates stay connected through the representative (same skew-cap
+    pattern as ``minhash_lsh_candidates``). Blocks under the cap are
+    exact w.r.t. the blocking rule."""
 
     def add_block(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -114,11 +128,18 @@ def prefix_block_dupes(
         ids = g[id_col].to_numpy()
         txts = g[text_col].to_numpy()
         a_out, b_out = [], []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                if _charset_jaccard(txts[i], txts[j]) >= threshold:
-                    a_out.append(ids[i])
+        if len(g) > max_block:
+            rep_id, rep_txt = ids[0], txts[0]
+            for j in range(1, len(g)):
+                if _charset_jaccard(rep_txt, txts[j]) >= threshold:
+                    a_out.append(rep_id)
                     b_out.append(ids[j])
+        else:
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    if _charset_jaccard(txts[i], txts[j]) >= threshold:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
 
     return (

@@ -48,7 +48,15 @@ DEFAULT_ROUTES: list[tuple[str, str]] = [
 
 
 def glob_to_regex(pattern: str) -> str:
-    """fluentd match glob → anchored RE2 regex (shared by Ray + SQL oracle)."""
+    """fluentd match glob → anchored RE2 regex (shared by Ray + SQL oracle).
+
+    A pattern already starting with ``^`` is treated as a raw anchored
+    regex and passed through verbatim — the escape hatch used by the
+    fluent-bit config loader (``config.parse_fluentbit_outputs``), whose
+    ``Match`` wildcards (``*`` = any characters, not one dotted part)
+    don't fit fluentd glob semantics."""
+    if pattern.startswith("^"):
+        return pattern
     parts = pattern.split(".")
     # consecutive '**' parts are semantically one (zero-or-more twice);
     # collapsing them keeps the translation below correct ('**.**')

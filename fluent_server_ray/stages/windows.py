@@ -111,38 +111,51 @@ def asof_prior_event(ds, left_type: str = "error", right_type: str = "click",
     """
     import pandas as pd
 
+    pcol = "prior_" + right_type
+
+    # dtype canonicalization: the prior-event id is float64 (NaN for
+    # "no prior"), matching what a nullable BIGINT becomes in pandas —
+    # so the engine and any SQL oracle produce byte-identical frames.
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["event_type"] == left_type].sort_values(ts_col)
         rg = g[g["event_type"] == right_type].sort_values(ts_col)
         if lg.empty:
-            return pd.DataFrame({id_col: [], "prior_" + right_type: []})
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 pcol: pd.Series(dtype="float64")}
+            )
         if rg.empty:
-            out = pd.DataFrame({id_col: lg[id_col],
-                                "prior_" + right_type: pd.array([None] * len(lg), dtype="Int64")})
-            return out
+            return pd.DataFrame(
+                {id_col: lg[id_col].to_numpy(dtype="int64"),
+                 pcol: np.full(len(lg), np.nan)}
+            )
         m = pd.merge_asof(
             lg[[ts_col, id_col]],
-            rg[[ts_col, id_col]].rename(columns={id_col: "prior_" + right_type}),
+            rg[[ts_col, id_col]].rename(columns={id_col: pcol}),
             on=ts_col,
             direction="backward",
             allow_exact_matches=True,
         )
-        return m[[id_col, "prior_" + right_type]].astype(
-            {("prior_" + right_type): "Int64"}
-        )
+        return m[[id_col, pcol]].astype({id_col: "int64", pcol: "float64"})
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    out = ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    # map_groups emits groups in nondeterministic order; pin the output
+    # order (id_col is unique — a total order) so value hashes are stable.
+    return out.sort(id_col)
 
 
 def asof_prior_event_sql(left_type: str = "error", right_type: str = "click",
                          table: str = "events") -> str:
     """LEFT ASOF JOIN so lefts with no prior right survive with NULL
-    (matching merge_asof)."""
+    (matching merge_asof). The prior id is CAST to DOUBLE and the rows
+    ORDERed so dtype + row order match the engine exactly (nullable
+    BIGINT → float64 with NaN in pandas)."""
     return f"""
-SELECT e.event_id, c.event_id AS prior_{right_type}
+SELECT e.event_id, CAST(c.event_id AS DOUBLE) AS prior_{right_type}
 FROM (SELECT * FROM {table} WHERE event_type = '{left_type}') e
 ASOF LEFT JOIN (SELECT * FROM {table} WHERE event_type = '{right_type}') c
   ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
 """.strip()
 
 

@@ -1,9 +1,17 @@
 """Config loaders + CLI parsing (fluent-bit [OUTPUT] Match blocks ≙
-reference contrib/config/A.cfg; first-match order preserved)."""
+reference contrib/config/A.cfg; first-match order preserved).
+
+fluent-bit ``Match`` wildcards are fluent-bit-semantic: ``*`` matches
+ANY characters (dots included), unlike fluentd globs — the loader
+translates them to raw regexes the router passes through."""
 
 import json
 
-from fluent_server_ray.config import load_routes, parse_fluentbit_outputs
+from fluent_server_ray.config import (
+    fluentbit_match_to_regex,
+    load_routes,
+    parse_fluentbit_outputs,
+)
 
 
 def test_parse_fluentbit_outputs_order_preserved():
@@ -14,7 +22,7 @@ def test_parse_fluentbit_outputs_order_preserved():
     Interval_Sec 1
 
 [OUTPUT]
-    Match  err.**
+    Match  err.*
     Name   errors
 
 [OUTPUT]
@@ -25,7 +33,43 @@ def test_parse_fluentbit_outputs_order_preserved():
     Match  **
 """
     routes = parse_fluentbit_outputs(cfg)
-    assert routes == [("err.**", "errors"), ("*", "catch_one"), ("**", "sink2")]
+    assert routes == [
+        (fluentbit_match_to_regex("err.*"), "errors"),
+        (fluentbit_match_to_regex("*"), "catch_one"),
+        (fluentbit_match_to_regex("**"), "sink2"),
+    ]
+
+
+def test_fluentbit_match_star_matches_dotted_tags():
+    """fluent-bit `Match *` matches every tag, dotted included (its `*`
+    is any-chars) — previously this compiled to fluentd's one-part `*`
+    and silently rejected every dotted tag."""
+    from fluent_server_ray.stages.route import RouteStage
+
+    import pyarrow as pa
+
+    stage = RouteStage(parse_fluentbit_outputs("[OUTPUT]\n Match *\n Name all\n"))
+    tags = pa.array(["a", "a.b", "err.timeout.x", ""])
+    assert stage.route_values(tags).to_pylist() == ["all"] * 4
+
+
+def test_fluentbit_match_prefix_wildcard_any_chars():
+    """fluent-bit `a.*` matches `a.b.c` (any chars), and `a*` matches
+    `abc` — neither is expressible as a fluentd one-part glob."""
+    from fluent_server_ray.stages.route import RouteStage
+
+    import pyarrow as pa
+
+    stage = RouteStage(
+        parse_fluentbit_outputs(
+            "[OUTPUT]\n Match a.*\n Name dotted\n"
+            "[OUTPUT]\n Match a*\n Name prefixed\n"
+        )
+    )
+    tags = pa.array(["a.b", "a.b.c", "abc", "b.a"])
+    assert stage.route_values(tags).to_pylist() == [
+        "dotted", "dotted", "prefixed", "reject.unmatched"
+    ]
 
 
 def test_load_routes_json(tmp_path):
@@ -40,7 +84,7 @@ def test_load_routes_json(tmp_path):
 def test_load_routes_cfg(tmp_path):
     p = tmp_path / "fluentbit.cfg"
     p.write_text("[OUTPUT]\n Match beuha\n Name beuha_sink\n")
-    assert load_routes(str(p)) == [("beuha", "beuha_sink")]
+    assert load_routes(str(p)) == [("^beuha$", "beuha_sink")]
 
 
 def test_cli_run_counts_mirror_end_to_end(tmp_path):
