@@ -162,16 +162,14 @@ def _q_dedup_prefix_block(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs, LSH candidates verified with true
-    word-set Jaccard. Probabilistic recall → rows-only driver check."""
-    from fluent_server_ray.stages.dedup import (
-        minhash_lsh_candidates,
-        verify_jaccard_pairs,
-    )
+    """MinHash+LSH near-dup pairs, candidates verified IN-CLUSTER with
+    true shingle-set Jaccard (texts ship for candidate ids only; the
+    corpus never materializes on the driver). Probabilistic recall →
+    rows-only driver check; equality with the driver-side verifier is
+    pinned in tests."""
+    from fluent_server_ray.stages.dedup import minhash_near_dupes
 
-    cand = minhash_lsh_candidates(_docs(sf_dir)).to_pandas()
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).to_pandas()
-    return verify_jaccard_pairs(cand, docs)[["doc_a", "doc_b"]]
+    return minhash_near_dupes(_docs(sf_dir))[["doc_a", "doc_b"]]
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -198,9 +196,14 @@ def _q_ivf(sf_dir: str):
 
 
 def _q_embedding_dupes(sf_dir: str):
+    """Embedding near-dup pairs via the bucketed multi-table-LSH scale
+    path (exact in-bucket verification → precision 1; recall ≈ 1 at the
+    tuned plane/table counts, so the exact SQL oracle still matches).
+    The exact all-pairs path survives only in tests as the recall
+    baseline."""
     from fluent_server_ray.stages.similarity import cosine_dupes
 
-    return cosine_dupes(_embs(sf_dir), threshold=COSINE_DUP_T)
+    return cosine_dupes(_embs(sf_dir), threshold=COSINE_DUP_T, exact=False)
 
 
 def _q_multimodal(sf_dir: str):

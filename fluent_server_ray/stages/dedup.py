@@ -267,7 +267,12 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
                 for j in range(i + 1, len(ids)):
                     a_out.append(ids[i])
                     b_out.append(ids[j])
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+        # explicit dtypes: an empty Python list would otherwise become a
+        # float64 column and flip the block schema (executor warning)
+        return pd.DataFrame(
+            {"doc_a": np.asarray(a_out, dtype=np.int64),
+             "doc_b": np.asarray(b_out, dtype=np.int64)}
+        )
 
     cand = (
         ds.map_batches(
@@ -283,11 +288,146 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
     return cand
 
 
+def distinct_pairs(pairs_ds, n_buckets: int = 256):
+    """Distributed DISTINCT over (doc_a, doc_b) pair rows: one groupby
+    on ``siphash(doc_a) % n_buckets`` (balanced small-int key), each
+    bucket deduped with one vectorized ``drop_duplicates`` — never one
+    group per pair, never a driver materialization."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.ascontiguousarray(t["doc_a"].to_numpy(zero_copy_only=False))
+        )
+        return t.append_column(
+            "_pbucket", pa.array((h % n_buckets).astype("int64"))
+        )
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("_pbucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
+    )
+
+
+def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
+                       bands: int = 16, max_bucket: int = 256,
+                       shingle_k: int = 3, n_buckets: int = 64):
+    """MinHash+LSH near-dup pairs with IN-CLUSTER verification — the
+    100 TB shape (no full-table driver materialization anywhere):
+
+    1. banded-LSH candidate pairs (one shuffle on the band key,
+       oversized buckets capped — :func:`minhash_lsh_candidates`);
+    2. distributed DISTINCT of the pair rows (:func:`distinct_pairs`);
+    3. texts ship for CANDIDATE ids only: the distinct candidate id set
+       (ints, O(near-dup docs)) broadcasts via ``ray.put``; the docs
+       table streams through one vectorized ``is_in`` filter. (If even
+       the id set outgrew the driver, the mergeable
+       ``sketches.BloomFilter`` slots in here — false positives are
+       dropped by the inner join below.)
+    4. two bucketed hash joins attach text_a / text_b to each pair
+       (pair rows + candidate texts shuffle; the corpus does not);
+    5. true shingle-set Jaccard verifies each pair inside parallel
+       ``map_batches`` tasks.
+
+    Returns a pandas DataFrame (doc_a, doc_b) sorted, Jaccard-verified
+    at ``threshold`` — identical to the driver-side
+    :func:`verify_jaccard_pairs` result, computed without collecting
+    the corpus.
+    """
+    import ray
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    cand = distinct_pairs(
+        minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands,
+                               max_bucket=max_bucket),
+        n_buckets=n_buckets,
+    )
+
+    # distinct candidate ids (small: only docs appearing in some pair)
+    def explode_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        u = pc.unique(both)
+        return pa.table({"doc_id": u})
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    ids_tbl = grouped_counts(
+        cand.map_batches(explode_ids, batch_format="pyarrow"), ["doc_id"]
+    )
+    id_arr = ids_tbl["doc_id"].combine_chunks()
+    id_ref = ray.put(id_arr)
+
+    def grab_texts(t: pa.Table) -> pa.Table:
+        keys = ray.get(id_ref)
+        mask = pc.is_in(t["doc_id"], value_set=keys)
+        out = t.filter(mask)
+        return out.select(["doc_id", "text"])
+
+    cand_docs = ds.map_batches(grab_texts, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def rename(cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({new: t[old] for old, new in cols.items()})
+
+        return fn
+
+    docs_a = cand_docs.map_batches(
+        rename({"doc_id": "doc_a", "text": "text_a"}), batch_format="pyarrow"
+    )
+    docs_b = cand_docs.map_batches(
+        rename({"doc_id": "doc_b", "text": "text_b"}), batch_format="pyarrow"
+    )
+    j1 = bucketed_hash_join(cand, docs_a, key="doc_a", n_buckets=n_buckets)
+    j2 = bucketed_hash_join(j1, docs_b, key="doc_b", n_buckets=n_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_ids = t["doc_a"].to_pylist()
+        b_ids = t["doc_b"].to_pylist()
+        keep_a, keep_b, sims = [], [], []
+        cache: dict = {}
+
+        def sset(doc_id, text):
+            if doc_id not in cache:
+                cache[doc_id] = shingle_set(str(text), shingle_k)
+            return cache[doc_id]
+
+        for a, b, ta, tb in zip(a_ids, b_ids, t["text_a"].to_pylist(),
+                                t["text_b"].to_pylist()):
+            sa, sb = sset(a, ta), sset(b, tb)
+            sim = len(sa & sb) / max(1, len(sa | sb))
+            if sim >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(sim)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(keep_a, dtype=np.int64)),
+                "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64)),
+                "jaccard": pa.array(np.asarray(sims, dtype=np.float64)),
+            }
+        )
+
+    out = pa.concat_tables(
+        j2.map_batches(verify, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def verify_jaccard_pairs(cand_df: pd.DataFrame, docs_df: pd.DataFrame,
                          threshold: float = 0.8, shingle_k: int = 3) -> pd.DataFrame:
     """Driver-side verification of candidate pairs with true shingle-set
-    Jaccard (candidate sets are small by construction; shingle sets are
-    memoized per doc)."""
+    Jaccard — the small-data testing baseline that
+    :func:`minhash_near_dupes` must reproduce (tests pin equality)."""
     texts = docs_df.set_index("doc_id")["text"]
     uniq = cand_df.drop_duplicates(["doc_a", "doc_b"])
     cache: dict = {}

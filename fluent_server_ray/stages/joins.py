@@ -94,10 +94,20 @@ def bucketed_hash_join(
     )
     both = l.union(r)
 
+    # canonical output dtypes: an empty or one-sided bucket would
+    # otherwise emit object/float64 columns and flip the block schema
+    # (the "RefBundle with a different schema" executor warning)
+    out_fields = lfields + [f for f in rfields if f.name not in lcols
+                            or f.name == right_key != key]
+    dtype_map = {f.name: f.type.to_pandas_dtype() for f in out_fields
+                 if not pa.types.is_string(f.type)
+                 and not pa.types.is_large_string(f.type)}
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0][lcols]
         rg = g[g["_side"] == 1][rcols]
-        return lg.merge(rg, left_on=key, right_on=right_key, how=how)
+        m = lg.merge(rg, left_on=key, right_on=right_key, how=how)
+        return m.astype({c: d for c, d in dtype_map.items() if c in m.columns})
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 

@@ -127,33 +127,62 @@ FROM ranked WHERE rank <= {k}
 
 
 class LSHBucketStage:
-    """Sign-random-projection bucket key per vector (the scale path:
-    vectors sharing all `n_planes` signs land in one bucket; search
-    within buckets only)."""
+    """Sign-random-projection bucket keys per vector.
 
-    def __init__(self, dim: int, n_planes: int = 8, seed: int = 11,
-                 emb_col: str = "embedding"):
+    ``n_tables == 1``: appends one ``bucket`` column (vectors sharing
+    all ``n_planes`` signs collide). ``n_tables > 1``: the multi-table
+    LSH used for near-dup RECALL — each vector explodes into
+    ``n_tables`` rows keyed ``(table_id, bucket)`` with independent
+    plane sets; a pair is a candidate if it collides in ANY table.
+    Collision prob per pair: ``1 - (1 - p^k)^L`` with
+    ``p = 1 - acos(cos) / pi`` — pick ``n_planes`` (k) for bucket
+    granularity and ``n_tables`` (L) for recall; low thresholds need
+    small k / larger L (shuffle volume is L × corpus)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, n_tables: int = 1,
+                 seed: int = 11, emb_col: str = "embedding"):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+        self.planes = rng.standard_normal((n_tables, dim, n_planes))
+        self.n_tables = n_tables
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _batch_matrix(batch, self.emb_col)
-        signs = (mat @ self.planes) > 0
-        bucket = signs @ (1 << np.arange(signs.shape[1]))
-        return batch.append_column(
-            "bucket", pa.array(bucket.astype(np.int64))
-        )
+        weights = 1 << np.arange(self.planes.shape[2])
+        if self.n_tables == 1:
+            bucket = ((mat @ self.planes[0]) > 0) @ weights
+            return batch.append_column(
+                "bucket", pa.array(bucket.astype(np.int64))
+            )
+        parts = []
+        for ti in range(self.n_tables):
+            bucket = ((mat @ self.planes[ti]) > 0) @ weights
+            parts.append(
+                batch.append_column(
+                    "table_id", pa.array(np.full(len(batch), ti, dtype=np.int64))
+                ).append_column("bucket", pa.array(bucket.astype(np.int64)))
+            )
+        return pa.concat_tables(parts)
 
 
 def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                 emb_col: str = "embedding", exact: bool = True,
-                 n_planes: int = 8, dim: int | None = None):
+                 emb_col: str = "embedding", exact: bool = False,
+                 n_planes: int = 2, n_tables: int = 24,
+                 dim: int | None = None, n_buckets: int = 64):
     """Embedding near-duplicate pairs (cosine >= threshold, a < b).
 
-    exact=True: all-pairs within the whole set via block-cross products
-    (oracle-checkable; fine up to ~10^5 vectors). exact=False: pairs
-    only within LSH buckets (recall<1; the 100 TB path — one shuffle).
+    exact=False (default — the scale path): multi-table
+    sign-projection LSH, candidate pairs generated ONLY within
+    ``(table_id, bucket)`` groups (one shuffle of L × corpus rows),
+    each candidate verified with the exact cosine inside its group —
+    precision is exact, recall is ``1-(1-p^k)^L`` (≈1 - 3e-6 per pair
+    at the defaults for cosine 0.43). Duplicate discoveries across
+    tables collapse via a distributed distinct keyed on
+    ``hash(vec_a) % n_buckets``. The corpus never concatenates on the
+    driver.
+
+    exact=True: all-pairs O(n²) matmul on the driver — the recall
+    baseline for tests (fine to ~10^5 vectors; never the scale path).
     """
     if exact:
         tab = pa.concat_tables(
@@ -172,7 +201,7 @@ def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
         return df.reset_index(drop=True)
 
     if dim is None:
-        first = next(ds.iter_batches(batch_size=1, batch_format="pyarrow"))
+        first = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
         dim = len(first[emb_col][0])
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -180,25 +209,51 @@ def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
         mat = _normalize(np.stack(g[emb_col].to_numpy()))
         sims = mat @ mat.T
         iu, ju = np.where(np.triu(sims >= threshold, k=1))
+        keep = ids[iu] != ids[ju]  # same id may recur across blocks
         return pd.DataFrame(
             {
-                "vec_a": np.minimum(ids[iu], ids[ju]),
-                "vec_b": np.maximum(ids[iu], ids[ju]),
+                "vec_a": np.minimum(ids[iu][keep], ids[ju][keep]),
+                "vec_b": np.maximum(ids[iu][keep], ids[ju][keep]),
             }
         )
 
-    return (
+    cand = (
         ds.map_batches(
             LSHBucketStage,
             fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
-                                   "emb_col": emb_col},
+                                   "n_tables": n_tables, "emb_col": emb_col},
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=(1, 8),
         )
-        .groupby("bucket")
+        .groupby(["table_id", "bucket"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+    # distributed distinct over pair rows (same-pair hits from several
+    # tables); pairs are verified already, so this is the final result
+    from fluent_server_ray.stages.dedup import distinct_pairs
+
+    tables = list(
+        distinct_pairs(
+            cand.map_batches(
+                lambda t: pa.table({"doc_a": t["vec_a"], "doc_b": t["vec_b"]}),
+                batch_format="pyarrow",
+            ),
+            n_buckets=n_buckets,
+        )
+        .map_batches(
+            lambda t: pa.table({"vec_a": t["doc_a"], "vec_b": t["doc_b"]}),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if not tables:
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64")}
+        )
+    out = pa.concat_tables(tables).to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 def cosine_dupes_sql(threshold: float = 0.95, table: str = "embeddings") -> str:
