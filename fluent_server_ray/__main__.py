@@ -50,8 +50,11 @@ def main(argv=None) -> int:
     fwd.add_argument("--out", required=True)
     fwd.add_argument("--routes")
 
-    mir = sub.add_parser("mirror", help="print the mirror JSON view")
+    mir = sub.add_parser("mirror", help="print (or serve) the mirror JSON view")
     mir.add_argument("--out", required=True)
+    mir.add_argument("--serve", type=int, metavar="PORT",
+                     help="serve the view over HTTP instead of printing "
+                          "(GET / = grouped store, GET /counts = totals)")
 
     cnt = sub.add_parser("counts", help="per-sink totals from lineage")
     cnt.add_argument("--out", required=True)
@@ -86,9 +89,24 @@ def main(argv=None) -> int:
         print(json.dumps(summary, sort_keys=True))
         ray.shutdown()
     elif args.cmd == "mirror":
-        from fluent_server_ray.pipelines.mirror_view import mirror_json
+        if args.serve is not None:
+            from fluent_server_ray.pipelines.mirror_view import serve_mirror
 
-        print(json.dumps(mirror_json(args.out), sort_keys=True, default=str))
+            srv = serve_mirror(args.out, port=args.serve)
+            print(f"mirror on http://{srv.server_address[0]}:"
+                  f"{srv.server_address[1]}/ (Ctrl-C to stop)",
+                  file=sys.stderr)
+            try:
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.server_close()
+        else:
+            from fluent_server_ray.pipelines.mirror_view import mirror_json
+
+            print(json.dumps(mirror_json(args.out), sort_keys=True,
+                             default=str))
     elif args.cmd == "counts":
         from fluent_server_ray.pipelines.mirror_view import mirror_counts
 

@@ -72,6 +72,50 @@ def write_mirror_json(out_dir: str, path: str | None = None) -> str:
     return path
 
 
+def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1"):
+    """Serve the mirror view over HTTP — the live counterpart of the
+    reference's JSON sink endpoint (``mirror/mirror.go:41-47``, mounted
+    ``main.go:48-53``; probed by the JS client,
+    ``contrib/js/index.js:33-44``).
+
+    Routes:
+      - ``GET /``        → the whole grouped store, one JSON object
+        ``{tag: [{"ts":..., "record":{...}}]}`` — re-derived from the
+        durable sink Parquet on every request, exactly as the reference
+        re-encodes its in-memory map per request (and with the same
+        "bounded use" caveat: the response materializes the store).
+      - ``GET /counts``  → per-sink totals from lineage manifests only
+        (the scalable probe; no data files touched).
+
+    Returns the started ``ThreadingHTTPServer`` (``server_address``
+    carries the bound port when ``port=0``); caller runs
+    ``serve_forever()`` (blocking) or drives it from a thread in tests.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            if self.path.rstrip("/") == "/counts":
+                body = json.dumps(mirror_counts(out_dir), sort_keys=True)
+            elif self.path == "/" or self.path == "":
+                body = json.dumps(mirror_json(out_dir), sort_keys=True,
+                                  default=str)
+            else:
+                self.send_error(404)
+                return
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def read_sink(out_dir: str, sink: str, ordered: bool = True):
     """Dataset over one sink's routed output across all shards.
 

@@ -282,6 +282,131 @@ def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
     return centroids
 
 
+def ivf_build(ds, index_dir: str, n_centroids: int = 16,
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              sample_size: int = 10_000, seed: int = 17) -> np.ndarray:
+    """Persist an IVF index: train the coarse quantizer on a sample,
+    assign every vector to its nearest centroid in one streamed pass,
+    and WRITE THE CORPUS PARTITIONED BY CENTROID ID (hive dirs
+    ``lists/centroid=<c>/``) plus ``centroids.npy``.
+
+    This is the promised scale path for :func:`ivf_topk`: the
+    assignment becomes a durable partition key, so a query batch later
+    reads only its probed lists — ``n_probe / n_centroids`` of the
+    files — instead of streaming the whole corpus
+    (:func:`ivf_search` + the file-pruning test pin this).
+    """
+    import os
+
+    import ray
+
+    first = pa.concat_tables(
+        ds.limit(sample_size).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+    )
+    centroids = _kmeans(_batch_matrix(first, emb_col), n_centroids, seed=seed)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    cent_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _normalize(_batch_matrix(t, emb_col))
+        a = pa.array((mat @ cents.T).argmax(axis=1).astype(np.int64))
+        # `centroid` partitions the files (hive dirs = the prunable
+        # layout); a plain copy stays IN the files so per-file reads
+        # don't depend on hive-column reconstruction
+        return t.append_column("centroid", a).append_column("centroid_id", a)
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True) \
+        .write_parquet(os.path.join(index_dir, "lists"),
+                       partition_cols=["centroid"])
+    return centroids
+
+
+def ivf_search(index_dir: str, query_ids: list[int], query_mat: np.ndarray,
+               k: int = 5, n_probe: int = 4, id_col: str = "vec_id",
+               emb_col: str = "embedding", return_stats: bool = False):
+    """Query a persisted IVF index reading ONLY the probed lists.
+
+    ``query_mat`` is the (Q, d) raw query matrix aligned with
+    ``query_ids``. Each query probes its ``n_probe`` nearest centroids;
+    the union of probed centroid partitions (and nothing else) is read
+    via ``read_parquet`` path selection — Parquet-level pruning, not a
+    post-read filter. Returns the same (query_id, neighbor_id, rank)
+    frame as :func:`ivf_topk`; with ``return_stats=True`` also a dict
+    ``{n_lists_total, n_lists_read}`` (the pruning evidence).
+    """
+    import glob as _glob
+    import os
+
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    order = np.argsort(np.asarray(query_ids))
+    qids = np.asarray(query_ids)[order]
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64)[order])
+    qprobe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+
+    all_lists = sorted(
+        _glob.glob(os.path.join(index_dir, "lists", "centroid=*"))
+    )
+    probed = sorted(set(int(c) for c in qprobe.ravel()))
+    dirs = [
+        p for p in all_lists
+        if int(os.path.basename(p).split("=", 1)[1]) in probed
+    ]
+    paths = sorted(
+        f for d in dirs for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    stats = {"n_lists_total": len(all_lists), "n_lists_read": len(dirs)}
+
+    import ray
+
+    ref = ray.put((qids, qmat, qprobe))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids_q, mat_q, probes = ray.get(ref)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        assign = t["centroid_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_batch_matrix(t, emb_col))
+        sims = mat_q @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            mask = np.isin(assign, probes[qi])
+            mask &= ids != ids_q[qi]
+            cand = np.where(mask)[0]
+            if not len(cand):
+                continue
+            row = sims[qi][cand]
+            kk = min(k, len(cand))
+            top = cand[np.argpartition(-row, kk - 1)[:kk]]
+            for j in top:
+                out_q.append(int(ids_q[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[qi][j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        rd.read_parquet(paths)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return (out, stats) if return_stats else out
+
+
 def ivf_topk(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
              n_probe: int = 4, id_col: str = "vec_id",
              emb_col: str = "embedding", sample_size: int = 10_000,
@@ -290,10 +415,11 @@ def ivf_topk(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
     sample, centroids broadcast; each batch scores a query ONLY against
     rows assigned to that query's `n_probe` nearest centroids.
 
-    At scale the assignment is a persisted partition key (write the
-    corpus bucketed by centroid once; queries touch n_probe/n_centroids
-    of the data). Recall < 1 → no SQL oracle; tests pin recall vs the
-    exact brute-force baseline.
+    At scale use :func:`ivf_build` + :func:`ivf_search` instead: the
+    assignment is persisted as a partition key and queries READ only
+    n_probe/n_centroids of the files (tests pin both the pruning and
+    result equality with this in-stream variant). Recall < 1 → no SQL
+    oracle; tests pin recall vs the exact brute-force baseline.
     """
     import ray
 

@@ -42,6 +42,52 @@ def test_magic_round_trip(ray_session, tmp_path):
     assert json.load(open(path))["other"][0]["record"]["record_json"]
 
 
+def test_mirror_http_magic_round_trip(ray_session, tmp_path):
+    """The reference's live probe, end-to-end over real HTTP: run the
+    pipeline, GET the mirror endpoint, find the emitted `magic` record
+    under its tag (reference contrib/js/index.js:33-44 against
+    mirror/mirror.go:41-47)."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from fluent_server_ray.pipelines.forward_pipeline import run_forward_pipeline
+    from fluent_server_ray.pipelines.mirror_view import serve_mirror
+    from fluent_server_ray.sources.fluentfmt import pack_frames
+
+    magic = 0.777
+    p = tmp_path / "conn.msgpack"
+    p.write_bytes(
+        pack_frames(
+            [["tag_prefix.my_tag",
+              [[1441588984, {"name": "Bob", "magic": magic}]],
+              {"chunk": "cc"}]]
+        )
+    )
+    out = tmp_path / "out"
+    run_forward_pipeline([str(p)], str(out), routes=[("**", "all")])
+
+    srv = serve_mirror(str(out), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        view = json.loads(urllib.request.urlopen(f"{base}/").read())
+        events = view["tag_prefix.my_tag"]
+        assert json.loads(events[0]["record"]["record_json"])["magic"] == magic
+        counts = json.loads(urllib.request.urlopen(f"{base}/counts").read())
+        assert counts == {"all": 1}
+        try:
+            urllib.request.urlopen(f"{base}/nope")
+            assert False, "404 expected"
+        except urllib.error.HTTPError as err:
+            assert err.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+
 def test_read_sink_ordered(ray_session, synth_dir, tmp_path):
     from fluent_server_ray.pipelines.flagship import run_pipeline
     from fluent_server_ray.pipelines.mirror_view import read_sink

@@ -230,3 +230,45 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.6, recall
+
+
+def test_ivf_persisted_index_prunes_reads(ray_session, tmp_path):
+    """ivf_build writes the corpus partitioned by centroid id;
+    ivf_search reads ONLY the probed lists (n_probe/n_centroids of the
+    files) and returns exactly what the in-stream ivf_topk returns for
+    the same quantizer (same kmeans seed)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import (
+        _batch_matrix,
+        ivf_build,
+        ivf_search,
+        ivf_topk,
+    )
+
+    path = f"{SF_SMALL}/embeddings.parquet"
+    index_dir = str(tmp_path / "ivf")
+    ivf_build(rd.read_parquet(path), index_dir, n_centroids=16)
+
+    qids = list(range(8))
+    tab = pq.read_table(path)
+    mask = np.isin(tab["vec_id"].to_numpy(), qids)
+    qtab = tab.filter(mask)
+    order = np.argsort(qtab["vec_id"].to_numpy())
+    qmat = _batch_matrix(qtab)[order]
+
+    got, stats = ivf_search(index_dir, qids, qmat, k=5, n_probe=4,
+                            return_stats=True)
+    # pruning evidence: strictly fewer lists read than exist, bounded
+    # by the union of per-query probes
+    assert stats["n_lists_total"] == 16
+    assert 0 < stats["n_lists_read"] < 16
+    assert stats["n_lists_read"] <= 4 * len(qids)
+
+    want = ivf_topk(rd.read_parquet(path), qids, k=5, n_centroids=16,
+                    n_probe=4)
+    assert set(zip(got["query_id"], got["neighbor_id"])) == set(
+        zip(want["query_id"], want["neighbor_id"])
+    )
