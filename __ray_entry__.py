@@ -40,17 +40,18 @@ def _q_parse(sf_dir: str):
 
 
 def _q_route(sf_dir: str):
-    return build_routed(sf_dir).select_columns(
-        ["conv_id", "turn_idx", "tag", "tenant", "sink"]
+    return build_routed(
+        sf_dir, columns=["conv_id", "turn_idx", "tag", "tenant", "sink"]
     )
 
 
 def _q_sink_counts(sf_dir: str):
-    return grouped_counts(build_routed(sf_dir), ["sink", "role", "tool", "tag"])
+    cols = ["sink", "role", "tool", "tag"]
+    return grouped_counts(build_routed(sf_dir, columns=cols), cols)
 
 
 def _q_tenant_counts(sf_dir: str):
-    return grouped_counts(build_routed(sf_dir), ["tenant"])
+    return grouped_counts(build_routed(sf_dir, columns=["tenant"]), ["tenant"])
 
 
 def _q_heartbeat_stats(sf_dir: str):

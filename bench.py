@@ -77,8 +77,14 @@ def run_once() -> dict:
     queries: dict[str, float] = {}
 
     def counts_once():
-        src = read_transcripts(corpus, override_num_blocks=num_blocks)
-        routed = build_routed(src)
+        # prune at the read (ts/turn_idx never decoded) + projected
+        # pipeline: only the kernels feeding the count keys run, and
+        # the heartbeat-filter copy carries 5 narrow columns
+        src = read_transcripts(
+            corpus, override_num_blocks=num_blocks,
+            columns=["conv_id", "role", "text", "tool"],
+        )
+        routed = build_routed(src, columns=["sink", "role", "tool", "tag"])
         return grouped_counts(routed, ["sink", "role", "tool", "tag"]).to_pandas()
 
     # 3 reps, min: steady-state number, robust to scheduler jitter

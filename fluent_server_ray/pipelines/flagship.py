@@ -48,10 +48,15 @@ def build_routed(
     routes=None,
     batch_size: int | None = None,
     fused: bool = True,
+    columns: list[str] | None = None,
 ):
     """source (path or Dataset) → routed Dataset (lazy).
 
-    Columns out: transcript cols + parsed struct cols + tenant + sink.
+    Columns out: transcript cols + parsed struct cols + tenant + sink —
+    or exactly ``columns`` when given (the projected fast path: only
+    the parse kernels feeding the requested columns run, and the
+    heartbeat-filter copy touches only those columns — the bytes/row
+    knob for aggregate-only consumers like the grouped counts).
     Heartbeat rows are consumed (dropped) before routing, mirroring the
     reference heartbeat path (``message/session.go:124-137``).
 
@@ -78,6 +83,8 @@ def build_routed(
         ds = apply_parse(ds, batch_size=bs)
         ds = apply_enrich(ds, tenant_lookup, batch_size=bs)
         ds = apply_route(ds, routes=routes, batch_size=bs)
+        if columns is not None:
+            ds = ds.select_columns(columns)
         return ds
 
     from fluent_server_ray.stages.enrich import lookup_column, put_lookup
@@ -91,15 +98,36 @@ def build_routed(
     )
     route_stage = RouteStage(routes)  # tiny: ships in the closure
 
+    if columns is None:
+        parse_cols = None
+        need_tenant = need_route = True
+    else:
+        # helpers the pipeline itself consumes: the heartbeat filter,
+        # the router (tag + validity — only when a sink is requested),
+        # the tenant lookup key
+        need_tenant = "tenant" in columns
+        need_route = "sink" in columns
+        helpers = {"is_heartbeat"}
+        if need_route:
+            helpers |= {"tag", "is_valid"}
+        if need_tenant:
+            helpers.add("conv_id")
+        parse_cols = sorted(set(columns) - {"tenant", "sink"} | helpers)
+
     def process(batch):
         import pyarrow.compute as pc2
 
-        batch = parse_batch(batch)
-        batch = batch.append_column(
-            "tenant", lookup_column(batch["conv_id"], tenant_ref)
-        )
+        batch = parse_batch(batch, columns=parse_cols)
+        if need_tenant:
+            batch = batch.append_column(
+                "tenant", lookup_column(batch["conv_id"], tenant_ref)
+            )
         batch = batch.filter(pc2.invert(batch["is_heartbeat"]))
-        return route_stage(batch)
+        if need_route:
+            batch = route_stage(batch)
+        if columns is not None:
+            batch = batch.select(columns)
+        return batch
 
     kwargs = {}
     if batch_size is not None:

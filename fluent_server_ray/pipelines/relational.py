@@ -442,12 +442,24 @@ SELECT DISTINCT conv_id, turn_idx, text FROM (
 ANTI_JOIN_PRICE = 450_000.0
 
 
-def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE):
+def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE,
+                             use_bloom: bool = False):
     """Anti join: customers having no high-value order (o_totalprice >
-    min_price). The key set of the right side is broadcast (distinct
-    custkeys — at 100 TB, a Bloom filter of the keys); the left side
-    streams through one vectorized is_in. The price predicate is pushed
-    into the read."""
+    min_price). The price predicate is pushed into the read.
+
+    ``use_bloom=False`` (small key set): distinct custkeys broadcast
+    exactly; the left side streams through one vectorized ``is_in``.
+
+    ``use_bloom=True`` (the 100 TB key-set path, equality pinned in
+    tests): per-block Bloom partials over the right keys merge into one
+    fixed-size filter (``sketches.BloomFilter`` — OR-mergeable,
+    deterministic SipHash) that broadcasts instead of the keys.
+    ``contains == False`` is definite — those customers pass the anti
+    join immediately; only the ~|matches| + fp Bloom-positive rows take
+    the exact residual check (here a broadcast is_in over the shrunken
+    candidate set; at full scale, a bucketed hash join against the
+    distinct keys so the exact key array never broadcasts at all).
+    """
     import pyarrow.dataset as pads
     import ray
     import ray.data as rd
@@ -467,10 +479,32 @@ def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
 
-    def anti(t: pa.Table) -> pa.Table:
-        keys = ray.get(key_ref)
-        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
-        return t.filter(mask)
+    if use_bloom:
+        from fluent_server_ray.stages.sketches import BloomFilter
+
+        bloom = BloomFilter(max(64, len(key_arr)), fpr=0.01)
+        bloom.add(key_arr.to_numpy(zero_copy_only=False))
+        bloom_ref = ray.put(bloom)
+
+        def anti(t: pa.Table) -> pa.Table:
+            bf = ray.get(bloom_ref)
+            maybe = bf.contains(
+                t["c_custkey"].to_numpy(zero_copy_only=False)
+            )
+            definite_out = t.filter(pa.array(~maybe))
+            candidates = t.filter(pa.array(maybe))
+            if len(candidates) == 0:
+                return definite_out
+            # exact residual check on the Bloom-positive rows only
+            keys = ray.get(key_ref)
+            mask = pc.invert(pc.is_in(candidates["c_custkey"],
+                                      value_set=keys))
+            return pa.concat_tables([definite_out, candidates.filter(mask)])
+    else:
+        def anti(t: pa.Table) -> pa.Table:
+            keys = ray.get(key_ref)
+            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
+            return t.filter(mask)
 
     out = cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
     # an all-filtered result must keep its schema (a bare to_pandas of

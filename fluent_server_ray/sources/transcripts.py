@@ -146,37 +146,52 @@ def derive_transcripts_batch(batch: pa.Table) -> pa.Table:
         ),
     )
 
-    return pa.table(
-        {
-            "conv_id": conv_id,
-            "turn_idx": turn_idx,
-            "role": role,
-            "text": text,
-            "tool": tool,
-            "ts": batch["ts"],
-        }
-    )
+    cols = {
+        "conv_id": conv_id,
+        "turn_idx": turn_idx,
+        "role": role,
+        "text": text,
+        "tool": tool,
+    }
+    if "ts" in batch.column_names:  # absent when pruned at the read
+        cols["ts"] = batch["ts"]
+    return pa.table(cols)
 
 
-def read_transcripts(path: str, **read_kwargs):
+def read_transcripts(path: str, columns: list[str] | None = None,
+                     **read_kwargs):
     """Return a ``ray.data.Dataset`` of transcript turns.
 
     - ``path`` ending in ``.parquet`` or a dir of transcript parquet →
-      read directly (column-pruned to the transcript schema).
+      read directly (column-pruned to the transcript schema, or to
+      ``columns`` — prune-at-the-read: a counts-only consumer that
+      never touches ``ts``/``turn_idx`` should not decode them).
     - a driver testdata dir containing ``events.parquet`` → read the
-      events table (only the 4 needed columns leave storage) and derive
+      events table (only the needed columns leave storage) and derive
       transcripts via one zero-copy ``map_batches``.
+
+    ``**read_kwargs`` pass through to ``ray.data.read_parquet`` — in
+    particular ``filesystem=`` carries an authenticated
+    ``pyarrow.fs.FileSystem`` (S3 credentials, mTLS-fronted object
+    store): the engine's analogue of the reference's TLS listener
+    credentials (``server/tls.go:9-38`` — transport auth happens at the
+    storage layer here, not per connection).
     """
     import ray.data as rd
 
     events = os.path.join(path, "events.parquet")
     if os.path.isdir(path) and os.path.exists(events):
-        ds = rd.read_parquet(
-            events,
-            columns=["event_id", "ts", "user_id", "event_type"],
-            **read_kwargs,
-        )
+        ev_cols = ["event_id", "user_id", "event_type"]
+        if columns is None or "ts" in columns:
+            ev_cols.append("ts")
+        ds = rd.read_parquet(events, columns=ev_cols, **read_kwargs)
+
+        def derive(batch: pa.Table) -> pa.Table:
+            out = derive_transcripts_batch(batch)
+            return out.select(columns) if columns is not None else out
+
         return ds.map_batches(
-            derive_transcripts_batch, batch_format="pyarrow", zero_copy_batch=True
+            derive, batch_format="pyarrow", zero_copy_batch=True
         )
-    return rd.read_parquet(path, columns=TRANSCRIPT_SCHEMA_COLS, **read_kwargs)
+    return rd.read_parquet(path, columns=columns or TRANSCRIPT_SCHEMA_COLS,
+                           **read_kwargs)

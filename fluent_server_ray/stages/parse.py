@@ -71,49 +71,72 @@ def _extract(text: pa.ChunkedArray | pa.Array, pattern: str, group: str) -> pa.A
     return pc.fill_null(hit, "")
 
 
-def parse_batch(batch: pa.Table) -> pa.Table:
-    """Arrow in → Arrow out; no Python row loops."""
+def parse_batch(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
+    """Arrow in → Arrow out; no Python row loops.
+
+    ``columns=None``: full output (input cols + all 7 parsed cols).
+    ``columns=[...]``: projected fast path — only the kernels whose
+    outputs are (transitively) requested run, and only the requested
+    columns survive, which cuts bytes/row through every downstream
+    copy (filter, shuffle). ``tag`` pulls in the tool/err extracts;
+    ``msg`` / ``kind`` are skipped unless asked for. Same kernels, same
+    values — parity with the full path is pinned in tests.
+    """
     text = batch["text"]
     role = batch["role"]
+    need = None if columns is None else set(columns)
 
-    parsed_tool = _extract(text, TOOL_RE, "t")
-    error_code = _extract(text, ERR_RE, "e")
-    msg = _extract(text, MSG_RE, "m")
-    # null text is a MALFORMED frame (reject sink), not a heartbeat —
-    # only a genuinely empty text is the nil-frame analogue
-    is_heartbeat = pc.fill_null(pc.equal(text, ""), False)
-    is_valid = pc.and_(pc.is_valid(batch["conv_id"]), pc.is_valid(text))
+    def wanted(*names: str) -> bool:
+        return need is None or bool(need.intersection(names))
 
-    has_tool = pc.not_equal(parsed_tool, "")
-    has_err = pc.not_equal(error_code, "")
-    kind = pc.if_else(
-        has_tool,
-        pa.scalar("tool"),
-        pc.if_else(has_err, pa.scalar("err"), pa.scalar("msg")),
-    )
-    role_f = pc.fill_null(role, "")
-    tag = pc.if_else(
-        has_tool,
-        pc.binary_join_element_wise("tool.", role_f, ".", parsed_tool, ""),
-        pc.if_else(
-            has_err,
-            pc.binary_join_element_wise("err.", role_f, ""),
-            pc.binary_join_element_wise("msg.", role_f, ""),
-        ),
-    )
+    cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+    for name in batch.column_names:
+        if need is None or name in need:
+            cols[name] = batch[name]
 
-    out = batch
-    for name, col in (
-        ("parsed_tool", parsed_tool),
-        ("error_code", error_code),
-        ("msg", msg),
-        ("is_heartbeat", is_heartbeat),
-        ("is_valid", is_valid),
-        ("kind", kind),
-        ("tag", tag),
-    ):
-        out = out.append_column(name, col)
-    return out
+    need_tag = wanted("tag")
+    parsed_tool = error_code = None
+    if need_tag or wanted("parsed_tool", "kind"):
+        parsed_tool = _extract(text, TOOL_RE, "t")
+    if need_tag or wanted("error_code", "kind"):
+        error_code = _extract(text, ERR_RE, "e")
+    if wanted("parsed_tool"):
+        cols["parsed_tool"] = parsed_tool
+    if wanted("error_code"):
+        cols["error_code"] = error_code
+    if wanted("msg"):
+        cols["msg"] = _extract(text, MSG_RE, "m")
+    if wanted("is_heartbeat"):
+        # null text is a MALFORMED frame (reject sink), not a heartbeat —
+        # only a genuinely empty text is the nil-frame analogue
+        cols["is_heartbeat"] = pc.fill_null(pc.equal(text, ""), False)
+    if wanted("is_valid"):
+        cols["is_valid"] = pc.and_(
+            pc.is_valid(batch["conv_id"]), pc.is_valid(text)
+        )
+
+    if parsed_tool is not None:
+        has_tool = pc.not_equal(parsed_tool, "")
+    if error_code is not None:
+        has_err = pc.not_equal(error_code, "")
+    if wanted("kind"):
+        cols["kind"] = pc.if_else(
+            has_tool,
+            pa.scalar("tool"),
+            pc.if_else(has_err, pa.scalar("err"), pa.scalar("msg")),
+        )
+    if need_tag:
+        role_f = pc.fill_null(role, "")
+        cols["tag"] = pc.if_else(
+            has_tool,
+            pc.binary_join_element_wise("tool.", role_f, ".", parsed_tool, ""),
+            pc.if_else(
+                has_err,
+                pc.binary_join_element_wise("err.", role_f, ""),
+                pc.binary_join_element_wise("msg.", role_f, ""),
+            ),
+        )
+    return pa.table(cols)
 
 
 class ParseStage:

@@ -123,3 +123,19 @@ def test_concurrent_shards_equal_sequential(ray_session, synth_dir, tmp_path):
     pd.testing.assert_frame_equal(
         a.sort_index(axis=1), b.sort_index(axis=1), check_dtype=False
     )
+
+
+def test_read_transcripts_filesystem_passthrough(ray_session):
+    """S2 (TLS listener → storage credentials): read_transcripts accepts
+    an explicit authenticated pyarrow FileSystem and reads through it
+    (reference server/tls.go:9-38 re-expressed at the storage layer).
+    LocalFileSystem stands in for a credentialed S3FileSystem — same
+    injection point."""
+    from pyarrow import fs as pafs
+
+    from fluent_server_ray.sources.transcripts import read_transcripts
+    from tests.conftest import SF_SMALL
+
+    via_fs = read_transcripts(SF_SMALL, filesystem=pafs.LocalFileSystem())
+    plain = read_transcripts(SF_SMALL)
+    assert via_fs.count() == plain.count() > 0

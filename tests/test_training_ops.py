@@ -272,3 +272,46 @@ def test_ivf_persisted_index_prunes_reads(ray_session, tmp_path):
     assert set(zip(got["query_id"], got["neighbor_id"])) == set(
         zip(want["query_id"], want["neighbor_id"])
     )
+
+
+def test_anti_join_bloom_path_matches_exact(ray_session):
+    """The Bloom-prefiltered anti join (the big-key-set path) returns
+    exactly the broadcast-exact result: Bloom negatives are definite,
+    positives take the exact residual check."""
+    from fluent_server_ray.pipelines.relational import customers_without_orders
+
+    exact = customers_without_orders(SF_SMALL).to_pandas()
+    bloom = customers_without_orders(SF_SMALL, use_bloom=True).to_pandas()
+    cols = ["c_custkey", "c_name"]
+    pd.testing.assert_frame_equal(
+        exact[cols].sort_values(cols).reset_index(drop=True),
+        bloom[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_prefix_block_hot_prefix_stays_linear(ray_session):
+    """10^4 docs sharing one prefix (the boilerplate-header hot block)
+    must complete via the representative cap in O(n) — and the capped
+    pairs are still verified true near-dups."""
+    import time
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import prefix_block_dupes
+
+    n = 10_000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            # same 12-char prefix; identical text → charset jaccard 1.0
+            "text": ["BOILERPLATE: terms apply " + str(i % 7) for i in range(n)],
+        }
+    )
+    t0 = time.perf_counter()
+    out = prefix_block_dupes(rd.from_pandas(df), max_block=512).to_pandas()
+    wall = time.perf_counter() - t0
+    # O(n) via representative pairing: ~n pairs, not n^2/2 (~5*10^7)
+    assert len(out) <= n
+    assert len(out) > 0
+    assert (out["doc_a"] == 0).all()  # min-id representative anchors
+    assert wall < 60, wall  # the uncapped scan would take minutes
