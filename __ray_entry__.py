@@ -83,7 +83,7 @@ def _q_first_turn(sf_dir: str):
         return g.sort_values("first_turn").head(1)
 
     return (
-        build_routed(sf_dir)
+        build_routed(sf_dir, columns=["conv_id", "turn_idx", "text"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("conv_id")
         .map_groups(merge, batch_format="pandas")
@@ -100,7 +100,12 @@ COSINE_DUP_T = 0.42
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    # the test tables are single small parquet files that Ray reads as
+    # ONE block — which would serialize every per-doc stage (signature
+    # loops especially) onto one task; real corpora have thousands of
+    # natural blocks. Split so doc stages parallelize here too.
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           override_num_blocks=32)
 
 
 def _embs(sf_dir: str):
@@ -295,6 +300,43 @@ def _q_approx_distinct(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([round(est)], type=pa.int64())})
 
 
+def _q_anti_join_bloom(sf_dir: str):
+    """The big-key-set anti-join path: Bloom broadcast + definite-negative
+    short-circuit + exact residual check. Same oracle as the exact path
+    (the Bloom never changes the result, only what ships)."""
+    from fluent_server_ray.pipelines import relational as rel
+
+    return rel.customers_without_orders(sf_dir, use_bloom=True)
+
+
+def _q_ivf_persisted(sf_dir: str):
+    """Persisted-IVF ANN: build the centroid-partitioned index under
+    /tmp, then answer the standard query batch reading ONLY probed
+    lists (rows-only check; parity with in-stream IVF and the pruning
+    itself are pinned in tests)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fluent_server_ray.stages.similarity import (
+        _batch_matrix,
+        ivf_build,
+        ivf_search,
+    )
+
+    index_dir = f"/tmp/fsr_ivf_index/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ivf_build(_embs(sf_dir), index_dir, n_centroids=16)
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mask = np.isin(tab["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qtab = tab.filter(mask)
+    order = np.argsort(qtab["vec_id"].to_numpy())
+    qmat = _batch_matrix(qtab)[order]
+    return ivf_search(index_dir, ANN_QUERY_IDS, qmat, k=ANN_K, n_probe=8)
+
+
 VALUE_QUANTILE_ARGS = dict(lo=0.0, hi=500000.0, bins=1000)
 
 
@@ -355,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_priority": rel.revenue_by_priority,
         "dedup_replayed_turns": rel.dedup_replayed_turns,
         "anti_join_customers": rel.customers_without_orders,
+        "anti_join_customers_bloom": _q_anti_join_bloom,
+        "ann_ivf_persisted": _q_ivf_persisted,
         "topk_per_customer": rel.top_orders_per_customer,
         "approx_distinct_users": _q_approx_distinct,
         "price_quantiles": _q_value_quantiles,
@@ -398,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
         "join_revenue_by_priority": rel.revenue_by_priority_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
+        "anti_join_customers_bloom": rel.customers_without_orders_sql(),
+        # ann_ivf_persisted: probabilistic (recall<1) — rows-only
         "topk_per_customer": rel.top_orders_per_customer_sql(),
         # approx_distinct_users: probabilistic sketch — rows-only
         "price_quantiles": __import__(

@@ -3,8 +3,9 @@
 
     python -m fluent_server_ray run      --input DIR --out DIR [--routes CFG] [--resume]
     python -m fluent_server_ray forward  --frames GLOB --out DIR [--routes CFG]
-    python -m fluent_server_ray mirror   --out DIR           # print the mirror JSON view
+    python -m fluent_server_ray mirror   --out DIR [--serve PORT]  # print or serve the view
     python -m fluent_server_ray counts   --out DIR           # per-sink totals from lineage
+    python -m fluent_server_ray udp-echo [--port N]          # health-check echo (S3)
 
 Owns its Ray session (guarded init) — library code never calls
 ``ray.init``.
@@ -59,6 +60,9 @@ def main(argv=None) -> int:
     cnt = sub.add_parser("counts", help="per-sink totals from lineage")
     cnt.add_argument("--out", required=True)
 
+    udp = sub.add_parser("udp-echo", help="UDP heartbeat echo (health check)")
+    udp.add_argument("--port", type=int, default=0)
+
     args = p.parse_args(argv)
 
     routes = None
@@ -111,6 +115,19 @@ def main(argv=None) -> int:
         from fluent_server_ray.pipelines.mirror_view import mirror_counts
 
         print(json.dumps(mirror_counts(args.out), sort_keys=True))
+    elif args.cmd == "udp-echo":
+        import time
+
+        from fluent_server_ray.functions.udp_echo import serve_udp_echo
+
+        sock, stop, _ = serve_udp_echo(port=args.port)
+        print(f"udp echo on {sock.getsockname()[0]}:{sock.getsockname()[1]}"
+              " (Ctrl-C to stop)", file=sys.stderr)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            stop()
     return 0
 
 

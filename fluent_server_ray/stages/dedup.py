@@ -220,24 +220,45 @@ class MinHashStage:
         return ph.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Explode each doc into `bands` rows: (band_id, band_hash, doc_id)."""
-        ids = batch["doc_id"].to_pylist()
+        """Explode each doc into `bands` rows: (band_id, band_hash, doc_id).
+
+        Batch-vectorized: the shingle hashes of EVERY doc in the batch
+        concatenate into one array, the permutation family applies as a
+        single (total_shingles, num_perm) computation, and per-doc
+        column-mins fall out of one ``np.minimum.reduceat`` over the doc
+        boundaries — identical values to the per-doc ``signature()``
+        (min is associative; the uint64 wrap-around arithmetic is
+        elementwise), pinned by a parity test.
+        """
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch["text"].to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = self.signature(text or "")
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
-                # fold the band's minhashes into one 64-bit bucket key
-                out_band.append(bi)
-                folded = int(np.bitwise_xor.reduce(chunk.astype(np.uint64)))
-                out_hash.append(folded & 0x7FFFFFFFFFFFFFFF)
-                out_id.append(doc_id)
+        per_doc = [_shingle_hashes(t or "", self.shingle_k) for t in texts]
+        lengths = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
+                              count=n)
+        H = np.concatenate(per_doc)
+        ph = (H[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        sigs = np.minimum.reduceat(ph, starts, axis=0)  # (n, num_perm)
+        folded = np.bitwise_xor.reduce(
+            sigs.reshape(n, self.bands, self.rows_per_band).astype(np.uint64),
+            axis=2,
+        ) & np.uint64(0x7FFFFFFFFFFFFFFF)  # (n, bands)
         return pa.table(
             {
-                "band_id": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
-                "doc_id": pa.array(out_id, type=pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(folded.reshape(-1).astype(np.int64)),
+                "doc_id": pa.array(np.repeat(ids, self.bands)),
             }
         )
 
@@ -274,13 +295,15 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
              "doc_b": np.asarray(b_out, dtype=np.int64)}
         )
 
+    from fluent_server_ray.stages.enrich import pool_limits
+
     cand = (
         ds.map_batches(
             MinHashStage,
             fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
+            concurrency=pool_limits(),  # signature pass scales with cpus
         )
         .groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
@@ -315,112 +338,157 @@ def distinct_pairs(pairs_ds, n_buckets: int = 256):
 
 def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
                        bands: int = 16, max_bucket: int = 256,
-                       shingle_k: int = 3, n_buckets: int = 64):
+                       shingle_k: int = 3, n_buckets: int = 64,
+                       broadcast_bytes: int = 256 << 20):
     """MinHash+LSH near-dup pairs with IN-CLUSTER verification — the
-    100 TB shape (no full-table driver materialization anywhere):
+    100 TB shape (the CORPUS never materializes on the driver):
 
     1. banded-LSH candidate pairs (one shuffle on the band key,
        oversized buckets capped — :func:`minhash_lsh_candidates`);
-    2. distributed DISTINCT of the pair rows (:func:`distinct_pairs`);
-    3. texts ship for CANDIDATE ids only: the distinct candidate id set
-       (ints, O(near-dup docs)) broadcasts via ``ray.put``; the docs
-       table streams through one vectorized ``is_in`` filter. (If even
-       the id set outgrew the driver, the mergeable
-       ``sketches.BloomFilter`` slots in here — false positives are
-       dropped by the inner join below.)
-    4. two bucketed hash joins attach text_a / text_b to each pair
-       (pair rows + candidate texts shuffle; the corpus does not);
-    5. true shingle-set Jaccard verifies each pair inside parallel
-       ``map_batches`` tasks.
+    2. the distinct candidate id set (ints, O(near-dup docs))
+       broadcasts via ``ray.put``; the docs table streams through one
+       vectorized ``is_in`` filter → candidate texts only. (If even the
+       id set outgrew the driver, the mergeable ``sketches.BloomFilter``
+       slots in — false positives drop out in the join/verify.)
+    3. size-adaptive verification, equality of both paths pinned:
+       - candidate texts ≤ ``broadcast_bytes``: texts broadcast once
+         (``ray.put``), pairs verified with true shingle-set Jaccard
+         inside parallel ``map_batches`` over the pair rows — zero
+         extra shuffles;
+       - larger: distributed DISTINCT of the pair rows
+         (:func:`distinct_pairs`), then two bucketed hash joins attach
+         text_a / text_b (pair rows + candidate texts shuffle; the
+         corpus does not) and the same verify runs per bucket.
 
-    Returns a pandas DataFrame (doc_a, doc_b) sorted, Jaccard-verified
-    at ``threshold`` — identical to the driver-side
-    :func:`verify_jaccard_pairs` result, computed without collecting
-    the corpus.
+    Returns a pandas DataFrame (doc_a, doc_b, jaccard) sorted,
+    identical to the driver-side :func:`verify_jaccard_pairs` result,
+    computed without collecting the corpus.
     """
     import ray
-    import ray.data as rd
 
-    from fluent_server_ray.stages.joins import bucketed_hash_join
+    from fluent_server_ray.stages.aggregate import grouped_counts
 
-    cand = distinct_pairs(
-        minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands,
-                               max_bucket=max_bucket),
-        n_buckets=n_buckets,
-    )
+    # materialize the small-by-construction candidate pairs: Ray
+    # Datasets re-execute their upstream DAG per consumer, and the id
+    # extraction + verification both consume this (pinning avoids
+    # re-running the corpus-wide signature pass).
+    raw_cand = minhash_lsh_candidates(
+        ds, num_perm=num_perm, bands=bands, max_bucket=max_bucket
+    ).materialize()
 
     # distinct candidate ids (small: only docs appearing in some pair)
     def explode_ids(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
             [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
         )
-        u = pc.unique(both)
-        return pa.table({"doc_id": u})
-
-    from fluent_server_ray.stages.aggregate import grouped_counts
+        return pa.table({"doc_id": pc.unique(both)})
 
     ids_tbl = grouped_counts(
-        cand.map_batches(explode_ids, batch_format="pyarrow"), ["doc_id"]
+        raw_cand.map_batches(explode_ids, batch_format="pyarrow"), ["doc_id"]
     )
     id_arr = ids_tbl["doc_id"].combine_chunks()
     id_ref = ray.put(id_arr)
 
     def grab_texts(t: pa.Table) -> pa.Table:
         keys = ray.get(id_ref)
-        mask = pc.is_in(t["doc_id"], value_set=keys)
-        out = t.filter(mask)
-        return out.select(["doc_id", "text"])
-
-    cand_docs = ds.map_batches(grab_texts, batch_format="pyarrow",
-                               zero_copy_batch=True)
-
-    def rename(cols: dict):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table({new: t[old] for old, new in cols.items()})
-
-        return fn
-
-    docs_a = cand_docs.map_batches(
-        rename({"doc_id": "doc_a", "text": "text_a"}), batch_format="pyarrow"
-    )
-    docs_b = cand_docs.map_batches(
-        rename({"doc_id": "doc_b", "text": "text_b"}), batch_format="pyarrow"
-    )
-    j1 = bucketed_hash_join(cand, docs_a, key="doc_a", n_buckets=n_buckets)
-    j2 = bucketed_hash_join(j1, docs_b, key="doc_b", n_buckets=n_buckets)
-
-    def verify(t: pa.Table) -> pa.Table:
-        a_ids = t["doc_a"].to_pylist()
-        b_ids = t["doc_b"].to_pylist()
-        keep_a, keep_b, sims = [], [], []
-        cache: dict = {}
-
-        def sset(doc_id, text):
-            if doc_id not in cache:
-                cache[doc_id] = shingle_set(str(text), shingle_k)
-            return cache[doc_id]
-
-        for a, b, ta, tb in zip(a_ids, b_ids, t["text_a"].to_pylist(),
-                                t["text_b"].to_pylist()):
-            sa, sb = sset(a, ta), sset(b, tb)
-            sim = len(sa & sb) / max(1, len(sa | sb))
-            if sim >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                sims.append(sim)
-        return pa.table(
-            {
-                "doc_a": pa.array(np.asarray(keep_a, dtype=np.int64)),
-                "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64)),
-                "jaccard": pa.array(np.asarray(sims, dtype=np.float64)),
-            }
+        return t.filter(pc.is_in(t["doc_id"], value_set=keys)).select(
+            ["doc_id", "text"]
         )
 
+    cand_docs = ds.map_batches(grab_texts, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    def make_verify(text_of):
+        """Pair-batch verifier; ``text_of(table) -> (texts_a, texts_b)``."""
+
+        def verify(t: pa.Table) -> pa.Table:
+            a_ids = t["doc_a"].to_pylist()
+            b_ids = t["doc_b"].to_pylist()
+            texts_a, texts_b = text_of(t)
+            keep_a, keep_b, sims = [], [], []
+            seen: set = set()
+            cache: dict = {}
+
+            def sset(doc_id, text):
+                if doc_id not in cache:
+                    cache[doc_id] = shingle_set(str(text), shingle_k)
+                return cache[doc_id]
+
+            for a, b, ta, tb in zip(a_ids, b_ids, texts_a, texts_b):
+                if (a, b) in seen:  # band-duplicate within this batch
+                    continue
+                seen.add((a, b))
+                sa, sb = sset(a, ta), sset(b, tb)
+                sim = len(sa & sb) / max(1, len(sa | sb))
+                if sim >= threshold:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    sims.append(sim)
+            return pa.table(
+                {
+                    "doc_a": pa.array(np.asarray(keep_a, dtype=np.int64)),
+                    "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64)),
+                    "jaccard": pa.array(np.asarray(sims, dtype=np.float64)),
+                }
+            )
+
+        return verify
+
+    if cand_docs.size_bytes() <= broadcast_bytes:
+        # broadcast path: candidate texts ship once; the raw pair rows
+        # stream straight into verification (cross-batch band dupes are
+        # dropped in the final result-sized dedup)
+        texts_tbl = pa.concat_tables(
+            cand_docs.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        texts_ref = ray.put(texts_tbl)
+
+        def text_of(t: pa.Table):
+            tt = ray.get(texts_ref)
+            ids, texts = tt["doc_id"], tt["text"]
+            ta = pc.take(texts, pc.index_in(t["doc_a"], value_set=ids))
+            tb = pc.take(texts, pc.index_in(t["doc_b"], value_set=ids))
+            return ta.to_pylist(), tb.to_pylist()
+
+        verified = raw_cand.map_batches(
+            make_verify(text_of), batch_format="pyarrow"
+        )
+    else:
+        from fluent_server_ray.stages.joins import bucketed_hash_join
+
+        cand = distinct_pairs(raw_cand, n_buckets=n_buckets).materialize()
+
+        def rename(cols: dict):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({new: t[old] for old, new in cols.items()})
+
+            return fn
+
+        docs_a = cand_docs.map_batches(
+            rename({"doc_id": "doc_a", "text": "text_a"}),
+            batch_format="pyarrow",
+        )
+        docs_b = cand_docs.map_batches(
+            rename({"doc_id": "doc_b", "text": "text_b"}),
+            batch_format="pyarrow",
+        )
+        j1 = bucketed_hash_join(cand, docs_a, key="doc_a",
+                                n_buckets=n_buckets).materialize()
+        j2 = bucketed_hash_join(j1, docs_b, key="doc_b", n_buckets=n_buckets)
+
+        def text_of(t: pa.Table):
+            return t["text_a"].to_pylist(), t["text_b"].to_pylist()
+
+        verified = j2.map_batches(make_verify(text_of), batch_format="pyarrow")
+
     out = pa.concat_tables(
-        j2.map_batches(verify, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+        verified.iter_batches(batch_size=None, batch_format="pyarrow")
     ).to_pandas()
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return (
+        out.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 def verify_jaccard_pairs(cand_df: pd.DataFrame, docs_df: pd.DataFrame,

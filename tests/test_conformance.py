@@ -233,3 +233,29 @@ def test_writer_round_trip(ray_session, tmp_path):
         ]
         assert back["ts"].to_pylist() == src["ts"].to_pylist()
         assert all(c.endswith("==") for c in back["chunk"].to_pylist())
+
+
+def test_udp_echo_round_trip():
+    """S3: a datagram comes back verbatim from the echo socket —
+    the reference's own test shape (server/server_test.go:59-84 sends
+    one byte and asserts the identical byte returns)."""
+    import socket
+
+    from fluent_server_ray.functions.udp_echo import serve_udp_echo
+
+    srv, stop, _ = serve_udp_echo(port=0)
+    try:
+        port = srv.getsockname()[1]
+        client = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        client.settimeout(5)
+        client.sendto(b"h", ("127.0.0.1", port))
+        data, _ = client.recvfrom(1024)
+        assert data == b"h"
+        # multi-byte payload up to the reference's 1024-byte cap
+        payload = bytes(range(256)) * 4
+        client.sendto(payload, ("127.0.0.1", port))
+        data, _ = client.recvfrom(2048)
+        assert data == payload
+        client.close()
+    finally:
+        stop()

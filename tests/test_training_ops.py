@@ -315,3 +315,30 @@ def test_prefix_block_hot_prefix_stays_linear(ray_session):
     assert len(out) > 0
     assert (out["doc_a"] == 0).all()  # min-id representative anchors
     assert wall < 60, wall  # the uncapped scan would take minutes
+
+
+def test_minhash_batch_vectorized_matches_per_doc():
+    """The batched reduceat signature path emits exactly the per-doc
+    signature() bands for every doc (values and grouping keys)."""
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.dedup import MinHashStage
+
+    stage = MinHashStage()
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one two",
+        "a b c d e f g h i j k l m n o p",
+        "the quick brown fox jumps over the lazy cat",
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = stage(batch).to_pandas()
+    for i, text in enumerate(texts):
+        sig = stage.signature(text)
+        rows = out[out["doc_id"] == i].sort_values("band_id")
+        assert len(rows) == stage.bands
+        for bi, bh in zip(rows["band_id"], rows["band_hash"]):
+            chunk = sig[bi * stage.rows_per_band:(bi + 1) * stage.rows_per_band]
+            want = int(np.bitwise_xor.reduce(chunk.astype(np.uint64))) & 0x7FFFFFFFFFFFFFFF
+            assert bh == want, (i, bi)
