@@ -184,6 +184,23 @@ def _q_dedup_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def _q_dedup_simhash_pairs(sf_dir: str):
+    """SimHash hamming-ball near-dup pairs (pigeonhole blocks, exact
+    in-group verify). Signature is probabilistic → rows-only check;
+    recall-1-within-radius pinned in tests."""
+    from fluent_server_ray.stages.dedup import simhash_near_dupes
+
+    return simhash_near_dupes(_docs(sf_dir), max_hamming=3, n_blocks=4)
+
+
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    """EXACT all-pairs 3-word-shingle Jaccard (block-cross-product) —
+    oracle-checked against DuckDB list algebra."""
+    from fluent_server_ray.stages.dedup import ngram_jaccard_dupes
+
+    return ngram_jaccard_dupes(_docs(sf_dir), threshold=0.8)
+
+
 def _q_ann(sf_dir: str):
     from fluent_server_ray.stages.similarity import ann_topk
 
@@ -374,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix_block": _q_dedup_prefix_block,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         # similarity search
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf,
@@ -423,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_token_counts": textstats.bpe_token_count_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_prefix_block": dedup.prefix_block_dupes_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_dupes_sql(threshold=0.8),
         # dedup_minhash / dedup_simhash: probabilistic signatures —
         # intentionally no SQL oracle (rows-only check)
         "ann_cosine_topk": similarity.ann_topk_sql(ANN_QUERY_IDS, k=ANN_K),

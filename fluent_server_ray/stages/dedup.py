@@ -518,25 +518,30 @@ def verify_jaccard_pairs(cand_df: pd.DataFrame, docs_df: pd.DataFrame,
 
 # ------------------------------------------------------------- SimHash
 
+def simhash_batch(batch: pa.Table) -> np.ndarray:
+    """64-bit simhash per doc (vectorized bit-vote over word hashes);
+    returns an int64 array aligned with the batch rows."""
+    texts = batch["text"].to_pylist()
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        h = _word_hashes(text or "")
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        # signed! a uint64 vote count would wrap negatives to huge
+        # positives and set nearly every bit
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)  # >0 → bit set
+        sim = np.uint64(0)
+        for bit_idx in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(bit_idx)
+        out[i] = np.int64(sim & np.uint64(0x7FFFFFFFFFFFFFFF))
+    return out
+
+
 class SimHashStage:
-    """64-bit simhash per doc (vectorized bit-vote over word hashes)."""
+    """64-bit simhash per doc (see :func:`simhash_batch`)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out = np.empty(len(ids), dtype=np.int64)
-        for i, text in enumerate(texts):
-            h = _word_hashes(text or "")
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            # signed! a uint64 vote count would wrap negatives to huge
-            # positives and set nearly every bit
-            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)  # >0 → bit set
-            sim = np.uint64(0)
-            for bit_idx in np.nonzero(votes > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(bit_idx)
-            out[i] = np.int64(sim & np.uint64(0x7FFFFFFFFFFFFFFF))
         return pa.table(
-            {"doc_id": batch["doc_id"], "simhash": pa.array(out)}
+            {"doc_id": batch["doc_id"], "simhash": pa.array(simhash_batch(batch))}
         )
 
 
@@ -545,3 +550,200 @@ def simhash_signatures(ds):
         SimHashStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
+                       n_buckets: int = 64):
+    """SimHash near-dup pairs: all (doc_a, doc_b) whose 64-bit simhashes
+    differ in at most ``max_hamming`` bits.
+
+    The pigeonhole blocking standard for hamming search: split the
+    signature into ``n_blocks`` contiguous blocks — two signatures
+    within hamming distance d < n_blocks MUST agree exactly on at
+    least one block — so grouping by ``(block_id, block_value)`` and
+    pairing within groups has recall 1 for d ≤ n_blocks - 1. Pairs are
+    verified exactly (popcount of the XOR) inside the group, then
+    deduped across blocks with the distributed distinct. One shuffle of
+    ``n_blocks`` small-int rows per doc; the corpus text never moves.
+
+    Requires ``max_hamming < n_blocks`` (else recall < 1 — asserted).
+    """
+    assert max_hamming < n_blocks, "pigeonhole needs d < n_blocks"
+    assert 64 % n_blocks == 0
+    width = 64 // n_blocks
+
+    def explode_blocks(t: pa.Table) -> pa.Table:
+        sigs = simhash_batch(t)
+        n = len(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sigs.astype(np.uint64)
+        mask = np.uint64((1 << width) - 1)
+        blocks = np.stack(
+            [(u >> np.uint64(bi * width)) & mask for bi in range(n_blocks)],
+            axis=1,
+        )  # (n, n_blocks)
+        return pa.table(
+            {
+                "block_id": pa.array(
+                    np.tile(np.arange(n_blocks, dtype=np.int32), n)
+                ),
+                "block_val": pa.array(blocks.reshape(-1).astype(np.int64)),
+                "doc_id": pa.array(np.repeat(ids, n_blocks)),
+                "simhash": pa.array(np.repeat(sigs, n_blocks)),
+            }
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sig = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_a": np.asarray([], dtype=np.int64),
+                 "doc_b": np.asarray([], dtype=np.int64)}
+            )
+        x = sig[:, None] ^ sig[None, :]
+        # vectorized popcount over the XOR matrix (byte-table lookup)
+        ham = np.zeros(x.shape, dtype=np.int64)
+        for shift in range(0, 64, 8):
+            ham += _POPCOUNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+        iu, ju = np.where(np.triu(ham <= max_hamming, k=1))
+        return pd.DataFrame(
+            {"doc_a": ids[iu], "doc_b": ids[ju]}
+        )
+
+    cand = (
+        ds.map_batches(explode_blocks, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["block_id", "block_val"])
+        .map_groups(group_pairs, batch_format="pandas")
+    )
+    out = pa.concat_tables(
+        distinct_pairs(cand, n_buckets=n_buckets).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+# ------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_parts: int = 8):
+    """EXACT all-pairs k-word-shingle Jaccard near-dup pairs (a < b).
+
+    Exact set-similarity semantics require every pair examined — O(n²)
+    by definition. This is the verification-pool operator (bounded
+    corpora: post-clustering pools, candidate audits); open-corpus
+    near-dedup belongs to :func:`minhash_near_dupes`. Distribution is
+    the block-cross-product: each doc's distinct shingle-hash set is
+    computed once in a vectorized pass and materialized as Arrow block
+    refs (never concatenated on the driver); one Ray task per unordered
+    block pair compares its two blocks — P·(P+1)/2 independent tasks,
+    the shape the Dataset API cannot express (a self cross join), so
+    this is one of the few sanctioned raw-``ray.remote`` stages.
+
+    Sets compare by 64-bit SipHash of the shingle strings: a hash
+    collision could perturb a Jaccard value by ~|union|/2^64 — below
+    any realistic threshold granularity.
+    """
+    import ray
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        def hset(s: str) -> np.ndarray:
+            sh = sorted(shingle_set(s or "", shingle_k))
+            if not sh:  # empty doc → empty set (union-0 pairs excluded,
+                return np.asarray([], dtype=np.uint64)  # matching SQL NULL)
+            return np.unique(pd.util.hash_array(np.asarray(sh, dtype=object)))
+
+        hsets = [hset(s) for s in texts]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "sh": pa.array([h.astype(np.int64) for h in hsets],
+                               type=pa.list_(pa.int64())),
+            }
+        )
+
+    # n_parts bounds both per-task memory (two parts' shingle sets) and
+    # task count (P(P+1)/2): size it so a part fits a worker heap; more
+    # parts = more parallelism but re-unpacks each part more often.
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow",
+                        zero_copy_batch=True).repartition(n_parts).materialize()
+    refs = sh.to_arrow_refs()
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        def unpack(t):
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sets = [set(x) for x in t["sh"].to_pylist()]
+            return ids, sets
+
+        ia, sa = unpack(ta)
+        ib, sb = unpack(tb)
+        out_a, out_b = [], []
+        for x in range(len(ia)):
+            start = x + 1 if same else 0
+            for y in range(start, len(ib)):
+                if ia[x] == ib[y]:
+                    continue
+                inter = len(sa[x] & sb[y])
+                union = len(sa[x]) + len(sb[y]) - inter
+                if union and inter / union >= threshold:
+                    out_a.append(min(ia[x], ib[y]))
+                    out_b.append(max(ia[x], ib[y]))
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(out_a, dtype=np.int64)),
+                "doc_b": pa.array(np.asarray(out_b, dtype=np.int64)),
+            }
+        )
+
+    futures = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futures.append(block_pair.remote(refs[i], refs[j], i == j))
+    tables = [t for t in ray.get(futures) if len(t)]
+    if not tables:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64")}
+        )
+    out = pa.concat_tables(tables).to_pandas()
+    return (
+        out.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def ngram_jaccard_dupes_sql(threshold: float = 0.8, shingle_k: int = 3,
+                            table: str = "documents") -> str:
+    """DuckDB mirror: same whitespace tokenization as Python
+    ``str.split()`` (runs of whitespace, ends stripped), same
+    short-text fallback (docs with < k words use their word set)."""
+    assert shingle_k == 3, "SQL mirror written for k=3"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM {table}
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) < 3 THEN list_distinct(w)
+         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) END AS s
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
+ORDER BY doc_a, doc_b
+""".strip()

@@ -17,6 +17,7 @@ ORACLE_QUERIES = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_prefix_block",
+    "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "embedding_dupes",
     "multimodal_decode",
@@ -342,3 +343,52 @@ def test_minhash_batch_vectorized_matches_per_doc():
             chunk = sig[bi * stage.rows_per_band:(bi + 1) * stage.rows_per_band]
             want = int(np.bitwise_xor.reduce(chunk.astype(np.uint64))) & 0x7FFFFFFFFFFFFFFF
             assert bh == want, (i, bi)
+
+
+def test_simhash_pairs_recall_one_within_radius(ray_session):
+    """Pigeonhole blocking has recall 1 for hamming <= n_blocks-1: the
+    distributed pairs equal the brute-force hamming scan over the
+    signatures, exactly."""
+    import itertools
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (
+        simhash_near_dupes,
+        simhash_signatures,
+    )
+
+    docs = rd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    got = simhash_near_dupes(docs, max_hamming=3, n_blocks=4)
+    sigs = simhash_signatures(
+        rd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    ).to_pandas()
+    s = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    want = set()
+    for a, b in itertools.combinations(sorted(s), 2):
+        if bin(int(s[a]) ^ int(s[b])).count("1") <= 3:
+            want.add((a, b))
+    assert set(zip(got["doc_a"], got["doc_b"])) == want
+    assert len(want) > 0
+
+
+def test_ngram_jaccard_superset_of_minhash(ray_session):
+    """Exact all-pairs Jaccard at the same threshold/shingles contains
+    every MinHash-verified pair (LSH recall <= 1, verification equal)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (
+        minhash_near_dupes,
+        ngram_jaccard_dupes,
+    )
+
+    exact = ngram_jaccard_dupes(
+        rd.read_parquet(f"{SF_SMALL}/documents.parquet"), threshold=0.8
+    )
+    mh = minhash_near_dupes(
+        rd.read_parquet(f"{SF_SMALL}/documents.parquet"), threshold=0.8
+    )
+    e = set(zip(exact["doc_a"], exact["doc_b"]))
+    m = set(zip(mh["doc_a"], mh["doc_b"]))
+    assert m <= e
+    assert len(e) > 0
