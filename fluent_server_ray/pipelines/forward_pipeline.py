@@ -28,36 +28,57 @@ from fluent_server_ray.stages.route import RouteStage
 from fluent_server_ray.pipelines.flagship import _write_sinks
 
 
-def dedup_chunks(ds, acked: set[str]):
+def dedup_chunks(ds, acked: set[str], n_buckets: int = 256):
     """At-least-once input dedup, two levels:
 
     1. drop rows whose chunk id is already acked (manifest-level skip,
        vectorized ``is_in`` against the broadcast acked set);
-    2. within this run, keep the first occurrence of each
-       (chunk, entry_idx) — a client may have re-sent a chunk inside
-       the same stream before seeing the ack.
+    2. within this run, keep one copy of each (chunk, entry_idx) — a
+       client may have re-sent a chunk inside the same stream before
+       seeing the ack (re-sent entries are byte-identical by the
+       protocol's chunk-id contract).
+
+    Combiner-first, one pass, one shuffle: each block drops acked rows,
+    locally dedups its chunked rows, and buckets by
+    ``siphash(chunk) % n_buckets`` (unchunked rows scatter by position —
+    they are never deduped, only carried); each bucket then dedups with
+    one vectorized ``drop_duplicates``. Never one pandas group per
+    entry, and the decode stage executes exactly once (the old
+    split-into-two-filters shape re-ran it per branch).
     """
+    import numpy as np
     import ray
 
     acked_ref = ray.put(pa.array(sorted(acked), type=pa.string()))
 
-    def drop_acked(t: pa.Table) -> pa.Table:
+    def local(t: pa.Table) -> pa.Table:
         acked_arr = ray.get(acked_ref)
         has_chunk = pc.not_equal(t["chunk"], "")
         replay = pc.and_(has_chunk, pc.is_in(t["chunk"], value_set=acked_arr))
-        return t.filter(pc.invert(replay))
+        t = t.filter(pc.invert(replay))
+        df = t.to_pandas()
+        ch = df[df["chunk"] != ""].sort_values(["chunk", "entry_idx"])
+        ch = ch.drop_duplicates(["chunk", "entry_idx"])
+        un = df[df["chunk"] == ""]
+        h = pd.util.hash_array(ch["chunk"].to_numpy()) % n_buckets
+        out = pd.concat([ch, un], ignore_index=True)
+        out["_bucket"] = np.concatenate(
+            [h.astype("int64"),
+             np.arange(len(un), dtype=np.int64) % n_buckets]
+        )
+        return out
 
-    ds = ds.map_batches(drop_acked, batch_format="pyarrow")
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g[g["chunk"] != ""].sort_values(["chunk", "entry_idx"])
+        ch = ch.drop_duplicates(["chunk", "entry_idx"])
+        out = pd.concat([ch, g[g["chunk"] == ""]], ignore_index=True)
+        return out.drop(columns=["_bucket"])
 
-    def first_per_entry(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    chunked = ds.filter(expr="chunk != ''")
-    unchunked = ds.filter(expr="chunk == ''")
-    deduped = chunked.groupby(["chunk", "entry_idx"]).map_groups(
-        first_per_entry, batch_format="pandas"
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
     )
-    return deduped.union(unchunked)
 
 
 def run_forward_pipeline(
@@ -79,9 +100,11 @@ def run_forward_pipeline(
     for m in load_manifests(out_dir):
         acked.update(m.get("acked_chunks", []))
 
+    from fluent_server_ray.pipelines.flagship import _shard_id
+
     for path in sorted(frame_files):
-        shard_id = os.path.splitext(os.path.basename(path))[0]
-        if shard_id in done:
+        shard_id = _shard_id(path, 1)  # path-hashed: equal basenames in
+        if shard_id in done:           # different dirs can't collide
             continue
         ds = read_forward_frames([path])
         if dedup:
@@ -101,9 +124,8 @@ def run_forward_pipeline(
                 batch_size=None, batch_format="pyarrow"
             )
         )
-        new_acks = sorted(
-            {c for c in chunk_tbl["chunk"].to_pylist() if c}
-        )
+        uniq = pc.unique(chunk_tbl["chunk"].combine_chunks())
+        new_acks = sorted(c for c in uniq.to_pylist() if c)
         acked.update(new_acks)
         commit_shard(
             out_dir,

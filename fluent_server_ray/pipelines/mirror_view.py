@@ -39,7 +39,7 @@ def mirror_json(out_dir: str, limit_per_tag: int | None = None) -> dict:
                      if c in df.columns]
         if sort_cols:
             df = df.sort_values(sort_cols)
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):  # bounded use; no iterrows
             tag = row.get("tag", "")
             record = {
                 k: v
