@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     run.add_argument("--out", required=True)
     run.add_argument("--routes", help="routes config (.json or fluent-bit .cfg)")
     run.add_argument("--shard-group-size", type=int, default=1)
+    run.add_argument("--conv-buckets", type=int, default=None,
+                     help="also partition sinks by hash(conv_id) %% N "
+                          "(co-locates conversations for downstream "
+                          "per-conv consumers)")
 
     fwd = sub.add_parser("forward", help="msgpack forward frames → routed sinks")
     fwd.add_argument("--frames", required=True, help="glob of frame files")
@@ -78,6 +82,7 @@ def main(argv=None) -> int:
         summary = run_pipeline(
             args.input, args.out, routes=routes,
             shard_group_size=args.shard_group_size,
+            conv_buckets=args.conv_buckets,
         )
         print(json.dumps(summary, sort_keys=True))
         ray.shutdown()

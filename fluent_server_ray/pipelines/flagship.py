@@ -156,12 +156,13 @@ def _shard_id(shard_path, group_size: int) -> str:
     return f"{base}-{h}"
 
 
-def _write_sinks(routed, sink_dir: str) -> None:
+def _write_sinks(routed, sink_dir: str,
+                 partition_cols: list[str] | None = None) -> None:
     """Write per-sink partitioned Parquet atomically (tmp + rename)."""
     tmp = sink_dir + ".tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    routed.write_parquet(tmp, partition_cols=["sink"])
+    routed.write_parquet(tmp, partition_cols=partition_cols or ["sink"])
     if os.path.isdir(sink_dir):
         shutil.rmtree(sink_dir)
     os.replace(tmp, sink_dir)
@@ -176,6 +177,7 @@ def run_pipeline(
     batch_size: int = 32768,
     shard_group_size: int = 1,
     max_concurrent_shards: int = 1,
+    conv_buckets: int | None = None,
 ) -> dict:
     """Run the flagship pipeline; returns the summary dict
     (per-sink totals — the engine's equivalent of the mirror's HTTP
@@ -184,6 +186,14 @@ def run_pipeline(
     ``shard_group_size`` groups input files into one commit unit —
     lineage granularity vs per-shard fixed cost is a knob: at 100 TB a
     commit unit should be minutes of work, not one tiny file.
+
+    ``conv_buckets=N`` additionally partitions every sink's output by
+    ``siphash(conv_id) % N`` (hive dirs ``cbucket=<k>``, value also
+    kept as a ``conv_bucket`` data column) — the persisted
+    one-partitioning-key layout: all turns of a conversation co-locate
+    in one bucket across every sink and shard, so conversation-keyed
+    consumers (sessionization, replay dedup, per-conv analytics) read
+    aligned buckets instead of shuffling the corpus.
     """
     from fluent_server_ray.state.lineage import (
         commit_shard,
@@ -249,10 +259,15 @@ def run_pipeline(
             batch_size=batch_size,
         )
         sink_dir = os.path.join(out_dir, "sinks", f"shard={shard_id}")
+        if conv_buckets:
+            routed = add_conv_bucket(routed, conv_buckets)
         # one shard is bounded (that's what a shard IS at 100 TB), so
         # pinning it briefly lets the write and the count share one pass
         routed_m = routed_sorted(routed).materialize()
-        _write_sinks(routed_m, sink_dir)
+        _write_sinks(
+            routed_m, sink_dir,
+            partition_cols=["sink", "cbucket"] if conv_buckets else None,
+        )
         # lineage record: per-sink counts for this shard (small result)
         counts = grouped_counts(routed_m, COUNT_KEYS, batch_size=batch_size).to_pandas()
         input_bytes = sum(
@@ -303,6 +318,26 @@ def run_pipeline(
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, sort_keys=True, indent=1)
     return summary
+
+
+def add_conv_bucket(routed, n_buckets: int):
+    """Append the persisted conversation-bucket key: ``cbucket`` (used
+    as a hive partition column, consumed by the writer) and
+    ``conv_bucket`` (the same value kept INSIDE the files, so direct
+    per-file readers don't depend on hive-path reconstruction).
+    Deterministic SipHash — the same conv lands in the same bucket on
+    every node, every run."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.where(pd.isna(conv), "", conv).astype(object))
+        b = pa.array((h % n_buckets).astype("int64"))
+        return t.append_column("cbucket", b).append_column("conv_bucket", b)
+
+    return routed.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def routed_sorted(routed):

@@ -116,20 +116,30 @@ def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1"):
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def read_sink(out_dir: str, sink: str, ordered: bool = True):
+def read_sink(out_dir: str, sink: str, ordered: bool = True,
+              conv_bucket: int | None = None):
     """Dataset over one sink's routed output across all shards.
 
     ``ordered=True`` re-establishes the stable (conv_id, turn_idx)
     global order (files hold per-shard sorted runs; a cross-shard
     consumer re-sorts — cheap because runs are pre-sorted).
+
+    ``conv_bucket=k`` (output written with
+    ``run_pipeline(conv_buckets=N)``) reads ONLY that conversation
+    bucket's files across all shards — the prune-at-the-read path for
+    conversation-keyed consumers: a bucket holds every turn of its
+    conversations, so per-conv work on it needs no shuffle.
     """
     import glob as _glob
 
     import ray.data as rd
 
+    sub = f"cbucket={conv_bucket}" if conv_bucket is not None else "**"
     files = sorted(
         _glob.glob(
-            os.path.join(out_dir, "sinks", "*", f"sink={sink}", "*.parquet")
+            os.path.join(out_dir, "sinks", "*", f"sink={sink}", sub,
+                         "*.parquet"),
+            recursive=conv_bucket is None,
         )
     )
     if not files:

@@ -139,3 +139,62 @@ def test_read_transcripts_filesystem_passthrough(ray_session):
     via_fs = read_transcripts(SF_SMALL, filesystem=pafs.LocalFileSystem())
     plain = read_transcripts(SF_SMALL)
     assert via_fs.count() == plain.count() > 0
+
+
+def test_duplicate_shard_ids_fail_fast(ray_session, tmp_path):
+    """Two identical input paths in one run would silently overwrite one
+    sink dir/manifest — the run must refuse up front."""
+    import pytest
+
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+    from tests.conftest import SF_SMALL
+
+    p = f"{SF_SMALL}/events.parquet"
+    with pytest.raises(ValueError, match="duplicate shard ids"):
+        run_pipeline(SF_SMALL, str(tmp_path / "out"), shards=[p, p])
+
+
+def test_conv_bucketed_sink_layout(ray_session, synth_dir, tmp_path):
+    """conv_buckets=N: every sink partitions by the persisted
+    conversation bucket; a bucket holds ALL turns of its conversations
+    (the one-partitioning-key co-location invariant), buckets union to
+    the exact unbucketed output, and read_sink(conv_bucket=k) prunes to
+    one bucket's files."""
+    import glob
+
+    import pandas as pd
+
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+    from fluent_server_ray.pipelines.mirror_view import read_sink
+
+    flat_out = str(tmp_path / "flat")
+    bck_out = str(tmp_path / "bucketed")
+    s1 = run_pipeline(synth_dir, flat_out)
+    s2 = run_pipeline(synth_dir, bck_out, conv_buckets=4)
+    assert s1["sinks"] == s2["sinks"]  # bucketing never changes counts
+
+    assert glob.glob(f"{bck_out}/sinks/*/sink=*/cbucket=*/*.parquet")
+
+    whole = read_sink(bck_out, "errors").to_pandas()
+    parts = [
+        read_sink(bck_out, "errors", conv_bucket=k).to_pandas()
+        for k in range(4)
+        if glob.glob(f"{bck_out}/sinks/*/sink=errors/cbucket={k}/*.parquet")
+    ]
+    got = pd.concat(parts, ignore_index=True)
+    cols = ["conv_id", "turn_idx", "text"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        whole[cols].sort_values(cols).reset_index(drop=True),
+    )
+    # co-location: no conversation spans two buckets
+    seen: dict = {}
+    for k, p in enumerate(parts):
+        for c in p["conv_id"].unique():
+            assert seen.setdefault(c, k) == k
+    # and matches the flat output exactly
+    flat = read_sink(flat_out, "errors").to_pandas()
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        flat[cols].sort_values(cols).reset_index(drop=True),
+    )

@@ -208,3 +208,32 @@ def test_parse_batch_matches_duckdb_on_arbitrary_text(texts, roles):
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def _fluentbit_oracle_match(pattern: str, tag: str) -> bool:
+    """Recursive reference implementation of fluent-bit's Match
+    wildcard: '*' = any run of characters (dots included)."""
+    if not pattern:
+        return not tag
+    if pattern[0] == "*":
+        return any(
+            _fluentbit_oracle_match(pattern[1:], tag[i:])
+            for i in range(len(tag) + 1)
+        )
+    return bool(tag) and pattern[0] == tag[0] and _fluentbit_oracle_match(
+        pattern[1:], tag[1:]
+    )
+
+
+@given(
+    pattern=st.text(alphabet="ab.*", min_size=0, max_size=8),
+    tag=st.text(alphabet="ab.", min_size=0, max_size=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_fluentbit_match_regex_equals_recursive_oracle(pattern, tag):
+    from fluent_server_ray.config import fluentbit_match_to_regex
+
+    rx = re.compile(fluentbit_match_to_regex(pattern))
+    assert bool(rx.fullmatch(tag)) == _fluentbit_oracle_match(pattern, tag), (
+        pattern, tag,
+    )
