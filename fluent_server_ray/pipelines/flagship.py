@@ -156,6 +156,31 @@ def _shard_id(shard_path, group_size: int) -> str:
     return f"{base}-{h}"
 
 
+def _check_stale_lineage(out_dir: str, current_ids: set, inputs) -> None:
+    """Refuse to resume over lineage written under a DIFFERENT shard-id
+    scheme for the SAME inputs: the old commits would not match, every
+    shard would re-run into new sink dirs beside the stale ones, and
+    the manifest merge would double-count every sink. Fail with the
+    remedy instead of silently duplicating."""
+    from fluent_server_ray.state.lineage import load_manifests
+
+    flat_inputs = set()
+    for g in inputs:
+        for p in (g if isinstance(g, list) else [g]):
+            flat_inputs.add(p)
+    for m in load_manifests(out_dir):
+        mid = m.get("shard_id", "")
+        mf = m.get("input_file")
+        files = mf if isinstance(mf, list) else [mf]
+        if mid not in current_ids and any(p in flat_inputs for p in files):
+            raise ValueError(
+                f"out_dir {out_dir!r} has lineage for input {files[0]!r} "
+                f"under a different shard-id scheme ({mid!r}); wipe the "
+                "out_dir (or keep the engine version that wrote it) "
+                "before resuming — mixing schemes would double-count."
+            )
+
+
 def _write_sinks(routed, sink_dir: str,
                  partition_cols: list[str] | None = None) -> None:
     """Write per-sink partitioned Parquet atomically (tmp + rename)."""
@@ -237,6 +262,7 @@ def run_pipeline(
     if len(set(ids)) != len(ids):
         dupes = sorted({i for i in ids if ids.count(i) > 1})
         raise ValueError(f"duplicate shard ids in one run: {dupes}")
+    _check_stale_lineage(out_dir, set(ids), [g for _, g in work])
 
     def process_shard(item) -> None:
         import time
@@ -327,14 +353,12 @@ def add_conv_bucket(routed, n_buckets: int):
     per-file readers don't depend on hive-path reconstruction).
     Deterministic SipHash — the same conv lands in the same bucket on
     every node, every run."""
-    import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
+    from fluent_server_ray.stages.aggregate import hash_bucket_array
+
     def fn(t: pa.Table) -> pa.Table:
-        conv = t["conv_id"].to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(np.where(pd.isna(conv), "", conv).astype(object))
-        b = pa.array((h % n_buckets).astype("int64"))
+        b = pa.array(hash_bucket_array(t["conv_id"], n_buckets))
         return t.append_column("cbucket", b).append_column("conv_bucket", b)
 
     return routed.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -49,6 +49,8 @@ def dedup_chunks(ds, acked: set[str], n_buckets: int = 256):
     import numpy as np
     import ray
 
+    from fluent_server_ray.stages.aggregate import hash_bucket_array
+
     acked_ref = ray.put(pa.array(sorted(acked), type=pa.string()))
 
     def local(t: pa.Table) -> pa.Table:
@@ -60,10 +62,9 @@ def dedup_chunks(ds, acked: set[str], n_buckets: int = 256):
         ch = df[df["chunk"] != ""].sort_values(["chunk", "entry_idx"])
         ch = ch.drop_duplicates(["chunk", "entry_idx"])
         un = df[df["chunk"] == ""]
-        h = pd.util.hash_array(ch["chunk"].to_numpy()) % n_buckets
         out = pd.concat([ch, un], ignore_index=True)
         out["_bucket"] = np.concatenate(
-            [h.astype("int64"),
+            [hash_bucket_array(ch["chunk"].to_numpy(), n_buckets),
              np.arange(len(un), dtype=np.int64) % n_buckets]
         )
         return out
@@ -100,9 +101,16 @@ def run_forward_pipeline(
     for m in load_manifests(out_dir):
         acked.update(m.get("acked_chunks", []))
 
-    from fluent_server_ray.pipelines.flagship import _shard_id
+    from fluent_server_ray.pipelines.flagship import (
+        _check_stale_lineage,
+        _shard_id,
+    )
 
-    for path in sorted(frame_files):
+    files_sorted = sorted(frame_files)
+    _check_stale_lineage(
+        out_dir, {_shard_id(p, 1) for p in files_sorted}, files_sorted
+    )
+    for path in files_sorted:
         shard_id = _shard_id(path, 1)  # path-hashed: equal basenames in
         if shard_id in done:           # different dirs can't collide
             continue

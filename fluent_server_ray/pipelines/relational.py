@@ -399,13 +399,12 @@ def dedup_replayed_turns(sf_dir: str, n_buckets: int = 1024):
         read_transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
     )
 
+    from fluent_server_ray.stages.aggregate import hash_bucket_array
+
     def partial(t: pa.Table) -> pa.Table:
         u = t.group_by(["conv_id", "turn_idx", "text"]).aggregate([])
-        h = pd.util.hash_array(
-            u["conv_id"].to_numpy(zero_copy_only=False)
-        )
         return u.append_column(
-            "_bucket", pa.array((h % n_buckets).astype("int64"))
+            "_bucket", pa.array(hash_bucket_array(u["conv_id"], n_buckets))
         )
 
     def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:

@@ -60,9 +60,43 @@ def grouped_counts(ds, keys: list[str], batch_size: int | None = None,
         return partial.groupby(keys).aggregate(Sum("n", alias_name="n"))
     # stream partial blocks to the driver; merge with one Arrow group_by
     tables = [b for b in partial.iter_batches(batch_size=None, batch_format="pyarrow")]
+    if not tables:  # zero input blocks: typed empty result, not a crash
+        sch = partial.schema()
+        if sch is not None:
+            return pa.table(
+                {n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)}
+            )
+        return pa.table(
+            {**{k: pa.array([], type=pa.string()) for k in keys},
+             "n": pa.array([], type=pa.int64())}
+        )
     merged = pa.concat_tables(t for t in tables if len(t) >= 0)
     out = merged.group_by(keys).aggregate([("n", "sum")])
     return out.rename_columns(keys + ["n"])
+
+
+def hash_bucket_array(values, n_buckets: int):
+    """``siphash(value) % n_buckets`` as an int64 numpy array — THE
+    bucket-key primitive every combiner-first distinct/join/salt stage
+    shares (deterministic fixed-key SipHash via pandas; Python's
+    ``hash()`` is process-seeded and never used in the data plane).
+    ``values``: numpy array or pyarrow (Chunked)Array; nulls hash as ''.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
+    values = np.asarray(values)
+    if values.dtype == object:  # strings (and mixed): null-safe path
+        mask = pd.isna(values)
+        if mask.any():
+            values = values.copy()
+            values[mask] = ""
+        h = pd.util.hash_array(values)
+    else:  # numeric: hash natively (no object boxing)
+        h = pd.util.hash_array(np.ascontiguousarray(values))
+    return (h % n_buckets).astype("int64")
 
 
 def add_salt(ds, key_col: str, n_salts: int = 16, salt_col: str = "_salt"):

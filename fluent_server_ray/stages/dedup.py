@@ -311,22 +311,23 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
     return cand
 
 
-def distinct_pairs(pairs_ds, n_buckets: int = 256):
-    """Distributed DISTINCT over (doc_a, doc_b) pair rows: one groupby
-    on ``siphash(doc_a) % n_buckets`` (balanced small-int key), each
+def distinct_pairs(pairs_ds, n_buckets: int = 256,
+                   cols: tuple[str, str] = ("doc_a", "doc_b")):
+    """Distributed DISTINCT over id-pair rows: one groupby on
+    ``siphash(first col) % n_buckets`` (balanced small-int key), each
     bucket deduped with one vectorized ``drop_duplicates`` — never one
     group per pair, never a driver materialization."""
+    from fluent_server_ray.stages.aggregate import hash_bucket_array
+
+    a_col, b_col = cols
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            np.ascontiguousarray(t["doc_a"].to_numpy(zero_copy_only=False))
-        )
         return t.append_column(
-            "_pbucket", pa.array((h % n_buckets).astype("int64"))
+            "_pbucket", pa.array(hash_bucket_array(t[a_col], n_buckets))
         )
 
     def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+        return g.drop_duplicates([a_col, b_col])[[a_col, b_col]]
 
     return (
         pairs_ds.map_batches(add_bucket, batch_format="pyarrow",
@@ -375,6 +376,16 @@ def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
     raw_cand = minhash_lsh_candidates(
         ds, num_perm=num_perm, bands=bands, max_bucket=max_bucket
     ).materialize()
+
+    def _empty():
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+
+    if raw_cand.count() == 0:  # no near-dups — the common corpus case
+        return _empty()
 
     # distinct candidate ids (small: only docs appearing in some pair)
     def explode_ids(t: pa.Table) -> pa.Table:
@@ -481,9 +492,12 @@ def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
 
         verified = j2.map_batches(make_verify(text_of), batch_format="pyarrow")
 
-    out = pa.concat_tables(
+    tables = list(
         verified.iter_batches(batch_size=None, batch_format="pyarrow")
-    ).to_pandas()
+    )
+    if not tables:  # candidates existed but none verified
+        return _empty()
+    out = pa.concat_tables(tables).to_pandas()
     return (
         out.drop_duplicates(["doc_a", "doc_b"])
         .sort_values(["doc_a", "doc_b"])
@@ -553,7 +567,7 @@ def simhash_signatures(ds):
 
 
 def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
-                       n_buckets: int = 64):
+                       n_buckets: int = 64, max_group: int = 4096):
     """SimHash near-dup pairs: all (doc_a, doc_b) whose 64-bit simhashes
     differ in at most ``max_hamming`` bits.
 
@@ -567,6 +581,9 @@ def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
     ``n_blocks`` small-int rows per doc; the corpus text never moves.
 
     Requires ``max_hamming < n_blocks`` (else recall < 1 — asserted).
+    Groups above ``max_group`` (a degenerate signature collision —
+    thousands of empty/boilerplate docs) fall back to min-id
+    representative pairing: O(n) instead of an n×n XOR matrix.
     """
     assert max_hamming < n_blocks, "pigeonhole needs d < n_blocks"
     assert 64 % n_blocks == 0
@@ -595,6 +612,24 @@ def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) > max_group:
+            # skew cap (the module-wide pattern — cf. minhash max_bucket,
+            # prefix max_block): a degenerate group (e.g. thousands of
+            # empty/identical docs share one simhash) pairs each member
+            # with the min-id representative only — O(n), connected
+            # through the representative; recall<1 only for such groups
+            g = pd.concat([g.head(1), g.iloc[1:]]).reset_index(drop=True)
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            sig = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+            x = sig[0] ^ sig[1:]
+            ham = np.zeros(x.shape, dtype=np.int64)
+            for shift in range(0, 64, 8):
+                ham += _POPCOUNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+            hit = np.where(ham <= max_hamming)[0] + 1
+            return pd.DataFrame(
+                {"doc_a": np.minimum(ids[0], ids[hit]),
+                 "doc_b": np.maximum(ids[0], ids[hit])}
+            )
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         sig = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
         if len(ids) < 2:
@@ -618,11 +653,17 @@ def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
         .groupby(["block_id", "block_val"])
         .map_groups(group_pairs, batch_format="pandas")
     )
-    out = pa.concat_tables(
+    tables = list(
         distinct_pairs(cand, n_buckets=n_buckets).iter_batches(
             batch_size=None, batch_format="pyarrow"
         )
-    ).to_pandas()
+    )
+    if not tables:  # no pair within the radius — the common case
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64")}
+        )
+    out = pa.concat_tables(tables).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -681,6 +722,10 @@ def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
     @ray.remote
     def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
         def unpack(t):
+            # a repartition of a tiny input can emit schema-less empty
+            # blocks — treat them as zero docs
+            if t.num_rows == 0 or id_col not in t.column_names:
+                return np.asarray([], dtype=np.int64), []
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             sets = [set(x) for x in t["sh"].to_pylist()]
             return ids, sets

@@ -28,10 +28,12 @@ import pyarrow as pa
 
 
 def _with_bucket(ds, key: str, n_buckets: int):
+    from fluent_server_ray.stages.aggregate import hash_bucket_array
+
     def add(t: pa.Table) -> pa.Table:
-        vals = t[key].to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(np.ascontiguousarray(vals))
-        return t.append_column("_bucket", pa.array((h % n_buckets).astype("int64")))
+        return t.append_column(
+            "_bucket", pa.array(hash_bucket_array(t[key], n_buckets))
+        )
 
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -107,7 +109,16 @@ def bucketed_hash_join(
         lg = g[g["_side"] == 0][lcols]
         rg = g[g["_side"] == 1][rcols]
         m = lg.merge(rg, left_on=key, right_on=right_key, how=how)
-        return m.astype({c: d for c, d in dtype_map.items() if c in m.columns})
+        safe = {}
+        for c, d in dtype_map.items():
+            if c not in m.columns:
+                continue
+            # outer/left joins fill unmatched int columns with NaN —
+            # those must stay float64 (astype to int would raise)
+            if np.issubdtype(np.dtype(d), np.integer) and m[c].isna().any():
+                continue
+            safe[c] = d
+        return m.astype(safe)
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 

@@ -234,17 +234,7 @@ def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
     from fluent_server_ray.stages.dedup import distinct_pairs
 
     tables = list(
-        distinct_pairs(
-            cand.map_batches(
-                lambda t: pa.table({"doc_a": t["vec_a"], "doc_b": t["vec_b"]}),
-                batch_format="pyarrow",
-            ),
-            n_buckets=n_buckets,
-        )
-        .map_batches(
-            lambda t: pa.table({"vec_a": t["doc_a"], "vec_b": t["doc_b"]}),
-            batch_format="pyarrow",
-        )
+        distinct_pairs(cand, n_buckets=n_buckets, cols=("vec_a", "vec_b"))
         .iter_batches(batch_size=None, batch_format="pyarrow")
     )
     if not tables:
@@ -361,6 +351,14 @@ def ivf_search(index_dir: str, query_ids: list[int], query_mat: np.ndarray,
     )
     stats = {"n_lists_total": len(all_lists), "n_lists_read": len(dirs)}
 
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype="int64"),
+         "neighbor_id": pd.Series(dtype="int64"),
+         "rank": pd.Series(dtype="int64")}
+    )
+    if not paths:  # every probed centroid was an empty kmeans cluster
+        return (empty, stats) if return_stats else empty
+
     import ray
 
     ref = ray.put((qids, qmat, qprobe))
@@ -393,11 +391,14 @@ def ivf_search(index_dir: str, query_ids: list[int], query_mat: np.ndarray,
             }
         )
 
-    partials = pa.concat_tables(
+    tables = list(
         rd.read_parquet(paths)
         .map_batches(local_topk, batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")
-    ).to_pandas()
+    )
+    if not tables:  # probed lists held only the query vectors themselves
+        return (empty, stats) if return_stats else empty
+    partials = pa.concat_tables(tables).to_pandas()
     partials = partials.sort_values(
         ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
     )

@@ -116,6 +116,10 @@ def asof_prior_event(ds, left_type: str = "error", right_type: str = "click",
     # dtype canonicalization: the prior-event id is float64 (NaN for
     # "no prior"), matching what a nullable BIGINT becomes in pandas —
     # so the engine and any SQL oracle produce byte-identical frames.
+    # Caveat: float64 is exact only up to 2^53 — ids beyond that
+    # (snowflake-style) need a nullable-Int64 variant on BOTH sides;
+    # the pandas representation of the oracle's nullable BIGINT is the
+    # binding constraint here.
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["event_type"] == left_type].sort_values(ts_col)
         rg = g[g["event_type"] == right_type].sort_values(ts_col)

@@ -198,3 +198,21 @@ def test_conv_bucketed_sink_layout(ray_session, synth_dir, tmp_path):
         got[cols].sort_values(cols).reset_index(drop=True),
         flat[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_stale_lineage_scheme_fails_fast(ray_session, tmp_path):
+    """Lineage committed under a different shard-id scheme for the same
+    input must refuse to resume (silent double-counting guard)."""
+    import pytest
+
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+    from fluent_server_ray.state.lineage import commit_shard
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "out")
+    commit_shard(out, "legacy-id", {
+        "input_file": f"{SF_SMALL}/events.parquet",
+        "row_count": 1, "per_sink_counts": {"x": 1},
+    })
+    with pytest.raises(ValueError, match="different shard-id scheme"):
+        run_pipeline(SF_SMALL, out, shards=[f"{SF_SMALL}/events.parquet"])

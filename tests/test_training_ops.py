@@ -392,3 +392,48 @@ def test_ngram_jaccard_superset_of_minhash(ray_session):
     m = set(zip(mh["doc_a"], mh["doc_b"]))
     assert m <= e
     assert len(e) > 0
+
+
+def test_near_dup_ops_empty_result_corpora(ray_session):
+    """A corpus with NO near-dups (the common case) must return empty
+    frames, not crash on zero-batch concat — for every pair operator."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (
+        minhash_near_dupes,
+        ngram_jaccard_dupes,
+        simhash_near_dupes,
+    )
+    from fluent_server_ray.stages.similarity import cosine_dupes
+
+    rng = np.random.default_rng(11)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice([f"w{i}{j}" for i in range(200)], size=40,
+                                    replace=False))
+                for j in range(6)
+            ],
+        }
+    )
+    mh = minhash_near_dupes(rd.from_pandas(docs))
+    assert len(mh) == 0 and list(mh.columns) == ["doc_a", "doc_b", "jaccard"]
+    sh = simhash_near_dupes(rd.from_pandas(docs), max_hamming=1, n_blocks=4)
+    assert len(sh) == 0 and list(sh.columns) == ["doc_a", "doc_b"]
+    ng = ngram_jaccard_dupes(rd.from_pandas(docs), threshold=0.99)
+    assert len(ng) == 0
+    import pyarrow as pa
+
+    embs = pa.table(
+        {
+            "vec_id": pa.array(np.arange(6, dtype=np.int64)),
+            "embedding": pa.array(
+                [rng.standard_normal(16).tolist() for _ in range(6)],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    cd = cosine_dupes(rd.from_arrow(embs), threshold=0.9999, exact=False,
+                      dim=16)
+    assert len(cd) == 0
