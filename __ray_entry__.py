@@ -354,6 +354,85 @@ def _q_ivf_persisted(sf_dir: str):
     return ivf_search(index_dir, ANN_QUERY_IDS, qmat, k=ANN_K, n_probe=8)
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking of the multimodal binary payloads —
+    one row per (doc, chunk) with offset/length/md5. Boundaries are a
+    rolling-hash function of the bytes (not SQL-expressible) →
+    rows-only; determinism, reassembly, and insertion-shift robustness
+    are pinned in tests."""
+    from fluent_server_ray.stages.cdc import cdc_chunks
+    from fluent_server_ray.stages.multimodal import attach_payload
+
+    payloads = _docs(sf_dir).map_batches(
+        attach_payload, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return cdc_chunks(payloads)
+
+
+def _q_sample_convs(sf_dir: str):
+    """Deterministic conversation-stratified sample (~25% of convs, all
+    turns of a kept conv together) — md5-rule exactly mirrored in SQL."""
+    from fluent_server_ray.stages.sampling import sample_by_key
+
+    return sample_by_key(
+        read_transcripts(sf_dir), "conv_id", hex_threshold="40"
+    ).select_columns(["conv_id", "turn_idx", "text"])
+
+
+def _sample_convs_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+    from fluent_server_ray.stages.sampling import sample_by_key_sql_predicate
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE
+        + "\nSELECT conv_id, turn_idx, text FROM transcripts WHERE "
+        + sample_by_key_sql_predicate("conv_id", "40")
+    )
+
+
+def _q_event_value_stats(sf_dir: str):
+    """Generic grouped aggregates (sum/min/max/count/mean) via the
+    combiner-first grouped_agg — cents-exact integer math, mean as
+    exact sum/count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_server_ray.pipelines.relational import _cents
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"], "value_cents": _cents(t["value"])}
+        )
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("value_cents", "sum"), ("value_cents", "min"),
+         ("value_cents", "max"), ("value_cents", "count"),
+         ("value_cents", "mean")],
+    )
+
+
+def _event_value_stats_sql() -> str:
+    return """
+WITH prep AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS c FROM events
+)
+SELECT event_type,
+  CAST(sum(c) AS BIGINT) AS value_cents_sum,
+  min(c) AS value_cents_min,
+  max(c) AS value_cents_max,
+  count(c) AS value_cents_count,
+  CAST(sum(c) AS DOUBLE) / count(c) AS value_cents_mean
+FROM prep GROUP BY event_type ORDER BY event_type
+""".strip()
+
+
 VALUE_QUANTILE_ARGS = dict(lo=0.0, hi=500000.0, bins=1000)
 
 
@@ -402,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_frames,
         "multimodal_resize": _q_resize,
         "multimodal_embed": _q_embed_stub,
+        "multimodal_cdc_chunks": _q_cdc_chunks,
         # windowed
         "sessionize": _q_sessionize,
         "tumbling_counts": _q_tumbling,
@@ -421,6 +501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_customer": rel.top_orders_per_customer,
         "approx_distinct_users": _q_approx_distinct,
         "price_quantiles": _q_value_quantiles,
+        "event_value_stats": _q_event_value_stats,
+        "transcripts_sample_convs": _q_sample_convs,
     }
 
 
@@ -470,4 +552,6 @@ def oracle_sql() -> dict[str, str]:
             "fluent_server_ray.stages.sketches", fromlist=["binned_quantiles_sql"]
         ).binned_quantiles_sql("o_totalprice", table="orders",
                                **VALUE_QUANTILE_ARGS),
+        "event_value_stats": _event_value_stats_sql(),
+        "transcripts_sample_convs": _sample_convs_sql(),
     }

@@ -75,6 +75,74 @@ def grouped_counts(ds, keys: list[str], batch_size: int | None = None,
     return out.rename_columns(keys + ["n"])
 
 
+# merge rule per aggregate: how partial results combine (algebraic
+# aggregates only — mean decomposes into sum+count)
+_MERGE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
+                batch_size: int | None = None):
+    """Generic grouped aggregation with partial (combiner)
+    pre-aggregation — the multi-function sibling of
+    :func:`grouped_counts`.
+
+    ``aggs``: list of (column, fn) with fn ∈ {sum, min, max, count,
+    mean}. Each batch collapses to one row per key via Arrow
+    ``Table.group_by`` (pure C++), so the shuffle carries ~|keys| rows
+    per block; partials merge on the driver with the matching algebraic
+    rule (sum→sum, min→min, max→max, count→sum; mean = merged sum /
+    merged count — exact, order-free for integer inputs). Output
+    columns are named ``<col>_<fn>``; rows sorted by the keys
+    (deterministic for value-hash comparison).
+    """
+    # mean decomposes: request sum+count partials, divide at the end
+    phys: list[tuple[str, str]] = []
+    means: list[str] = []
+    for col, fn in aggs:
+        if fn == "mean":
+            means.append(col)
+            for sub in (("sum"), ("count")):
+                if (col, sub) not in phys:
+                    phys.append((col, sub))
+        else:
+            phys.append((col, fn))
+    phys = list(dict.fromkeys(phys))
+    out_names = [f"{c}_{f}" for c, f in phys]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = keys + [c for c, _ in phys]
+        t = batch.select(list(dict.fromkeys(cols)))
+        out = t.group_by(keys).aggregate([(c, f) for c, f in phys])
+        # Arrow names results "<col>_<fn>" already, but keep explicit
+        return out.rename_columns(keys + out_names)
+
+    kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    parts = ds.map_batches(partial, **kwargs)
+    tables = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tables:
+        sch = parts.schema()
+        return pa.table(
+            {n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)}
+        )
+    merged = pa.concat_tables(tables)
+    final = merged.group_by(keys).aggregate(
+        [(f"{c}_{f}", _MERGE_FN[f]) for c, f in phys]
+    ).rename_columns(keys + out_names)
+    for col in means:
+        final = final.append_column(
+            f"{col}_mean",
+            pc.divide(
+                pc.cast(final[f"{col}_sum"], pa.float64()),
+                pc.cast(final[f"{col}_count"], pa.float64()),
+            ),
+        )
+    requested = keys + [f"{c}_{f}" for c, f in aggs]
+    final = final.select(list(dict.fromkeys(requested)))
+    return final.sort_by([(k, "ascending") for k in keys])
+
+
 def hash_bucket_array(values, n_buckets: int):
     """``siphash(value) % n_buckets`` as an int64 numpy array — THE
     bucket-key primitive every combiner-first distinct/join/salt stage

@@ -437,3 +437,56 @@ def test_near_dup_ops_empty_result_corpora(ray_session):
     cd = cosine_dupes(rd.from_arrow(embs), threshold=0.9999, exact=False,
                       dim=16)
     assert len(cd) == 0
+
+
+def test_cdc_chunks_reassemble_and_shift_robust(ray_session):
+    """CDC invariants: (1) chunks partition each payload exactly;
+    (2) inserting a prefix shifts alignment but preserves most chunk
+    hashes of the shared suffix (the property fixed-size blocking
+    lacks); (3) fully deterministic across runs; (4) dedup stats see
+    the sharing."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.cdc import cdc_chunks, cdc_dedup_stats
+
+    rng = np.random.default_rng(9)
+    base = bytes(rng.integers(0, 256, size=4096, dtype=np.uint8))
+    shifted = b"INSERTED-PREFIX-BYTES!" + base
+    df = pd.DataFrame({"doc_id": [1, 2], "payload": [base, shifted]})
+
+    chunks = cdc_chunks(rd.from_pandas(df)).to_pandas()
+    for doc_id, payload in [(1, base), (2, shifted)]:
+        c = chunks[chunks["doc_id"] == doc_id].sort_values("chunk_idx")
+        assert c["offset"].iloc[0] == 0
+        assert (c["offset"] + c["length"]).iloc[-1] == len(payload)
+        assert (c["offset"].iloc[1:].to_numpy()
+                == (c["offset"] + c["length"]).iloc[:-1].to_numpy()).all()
+
+    h1 = set(chunks[chunks["doc_id"] == 1]["chunk_hash"])
+    h2 = set(chunks[chunks["doc_id"] == 2]["chunk_hash"])
+    # content-defined boundaries re-synchronize after the insertion:
+    # the majority of doc 1's chunks survive verbatim in doc 2
+    assert len(h1 & h2) / len(h1) > 0.5
+
+    again = cdc_chunks(rd.from_pandas(df)).to_pandas()
+    pd.testing.assert_frame_equal(
+        chunks.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
+        again.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
+    )
+
+    stats = cdc_dedup_stats(cdc_chunks(rd.from_pandas(df))).to_pandas()
+    assert stats["stored_bytes"][0] < stats["total_bytes"][0]
+    assert stats["distinct_chunks"][0] < stats["total_chunks"][0]
+    assert 0 < stats["dedup_ratio"][0] < 1
+
+
+def test_cdc_chunk_size_bounds(ray_session):
+    from fluent_server_ray.stages.cdc import chunk_boundaries
+
+    rng = np.random.default_rng(3)
+    payload = bytes(rng.integers(0, 256, size=10_000, dtype=np.uint8))
+    cuts = chunk_boundaries(payload, min_size=32, avg_size=64, max_size=256)
+    sizes = np.diff([0] + cuts)
+    assert cuts[-1] == len(payload)
+    assert (sizes[:-1] >= 32).all() and (sizes <= 256).all()
+    assert 64 / 2 < sizes.mean() < 64 * 3  # mask hits near the target rate
