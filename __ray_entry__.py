@@ -354,6 +354,14 @@ def _q_ivf_persisted(sf_dir: str):
     return ivf_search(index_dir, ANN_QUERY_IDS, qmat, k=ANN_K, n_probe=8)
 
 
+def _q_curation(sf_dir: str):
+    """Composite curation chain (dedup → quality gate → deterministic
+    sample) as one lazy Dataset graph, oracle-checked END-TO-END."""
+    from fluent_server_ray.pipelines.curation import curate_documents
+
+    return curate_documents(_docs(sf_dir))
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking of the multimodal binary payloads —
     one row per (doc, chunk) with offset/length/md5. Boundaries are a
@@ -503,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_value_quantiles,
         "event_value_stats": _q_event_value_stats,
         "transcripts_sample_convs": _q_sample_convs,
+        "curation_pipeline": _q_curation,
     }
 
 
@@ -554,4 +563,8 @@ def oracle_sql() -> dict[str, str]:
                                **VALUE_QUANTILE_ARGS),
         "event_value_stats": _event_value_stats_sql(),
         "transcripts_sample_convs": _sample_convs_sql(),
+        "curation_pipeline": __import__(
+            "fluent_server_ray.pipelines.curation",
+            fromlist=["curate_documents_sql"],
+        ).curate_documents_sql(),
     }

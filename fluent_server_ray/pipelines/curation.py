@@ -1,0 +1,87 @@
+"""Composite training-data curation pipeline.
+
+The document-side flagship: the canonical corpus-curation chain a
+100 TB training-data run performs, composed from the engine's own
+stages into ONE lazy Dataset graph (no driver materialization between
+steps — blocks stream stage to stage):
+
+    exact dedup (min-id per text, combiner-first shuffle)
+      → quality gate (vectorized token / alpha-ratio kernels)
+      → deterministic key-stratified sample (md5 rule)
+      → curated (doc_id, text, n_tokens)
+
+Every step is SQL-expressible, so — unlike most composite pipelines —
+the WHOLE chain carries a DuckDB oracle built from the same constants
+(`curate_documents_sql`), and the driver checks the composition
+end-to-end, not just the pieces.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fluent_server_ray.stages.dedup import exact_dedup
+from fluent_server_ray.stages.sampling import (
+    sample_by_key,
+    sample_by_key_sql_predicate,
+)
+from fluent_server_ray.stages.textstats import TOKEN_RE
+
+MIN_TOKENS = 20
+MIN_ALPHA = 0.5
+SAMPLE_HEX = "80"  # ≈ 50% of surviving doc ids
+
+
+def curate_documents(ds, min_tokens: int = MIN_TOKENS,
+                     min_alpha: float = MIN_ALPHA,
+                     hex_threshold: str = SAMPLE_HEX):
+    """documents Dataset → curated Dataset (doc_id, text, n_tokens)."""
+    deduped = exact_dedup(ds)
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE),
+                           pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"),
+                          pa.int64())
+        alpha_ratio = pc.divide(
+            pc.cast(n_alpha, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+        )
+        keep = pc.and_(
+            pc.greater_equal(n_tokens, min_tokens),
+            pc.greater_equal(alpha_ratio, min_alpha),
+        )
+        out = pa.table(
+            {"doc_id": t["doc_id"], "text": text, "n_tokens": n_tokens}
+        )
+        return out.filter(keep)
+
+    gated = deduped.map_batches(quality_gate, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return sample_by_key(gated, "doc_id", hex_threshold)
+
+
+def curate_documents_sql(min_tokens: int = MIN_TOKENS,
+                         min_alpha: float = MIN_ALPHA,
+                         hex_threshold: str = SAMPLE_HEX,
+                         table: str = "documents") -> str:
+    """DuckDB mirror of the full chain (same regexes/thresholds; the
+    ratio expressions are the ones `textstats.quality_sql` pins against
+    the Arrow kernels)."""
+    return f"""
+WITH dedup AS (
+  SELECT min(doc_id) AS doc_id, text FROM {table} GROUP BY text
+), gated AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS alpha_ratio
+  FROM dedup
+)
+SELECT doc_id, text, n_tokens FROM gated
+WHERE n_tokens >= {min_tokens} AND alpha_ratio >= {min_alpha}
+  AND {sample_by_key_sql_predicate("doc_id", hex_threshold)}
+""".strip()

@@ -18,6 +18,9 @@ ORACLE_QUERIES = [
     "dedup_exact",
     "dedup_prefix_block",
     "dedup_ngram_jaccard",
+    "event_value_stats",
+    "transcripts_sample_convs",
+    "curation_pipeline",
     "ann_cosine_topk",
     "embedding_dupes",
     "multimodal_decode",
