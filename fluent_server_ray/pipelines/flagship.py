@@ -150,8 +150,12 @@ def _shard_id(shard_path, group_size: int) -> str:
         first if len(group) == 1
         else f"{first}--{os.path.splitext(os.path.basename(group[-1]))[0]}"
     )
+    # hash the ABSOLUTE paths: the id must be spelling-stable (relative
+    # vs absolute, cwd changes) or a resume under a different spelling
+    # would silently reprocess and double-count
     h = hashlib.sha1(
-        ("\x00".join(group) + f"\x00gs={group_size}").encode()
+        ("\x00".join(os.path.abspath(p) for p in group)
+         + f"\x00gs={group_size}").encode()
     ).hexdigest()[:8]
     return f"{base}-{h}"
 
@@ -167,12 +171,14 @@ def _check_stale_lineage(out_dir: str, current_ids: set, inputs) -> None:
     flat_inputs = set()
     for g in inputs:
         for p in (g if isinstance(g, list) else [g]):
-            flat_inputs.add(p)
+            flat_inputs.add(os.path.abspath(p))
     for m in load_manifests(out_dir):
         mid = m.get("shard_id", "")
         mf = m.get("input_file")
         files = mf if isinstance(mf, list) else [mf]
-        if mid not in current_ids and any(p in flat_inputs for p in files):
+        if mid not in current_ids and any(
+            p and os.path.abspath(p) in flat_inputs for p in files
+        ):
             raise ValueError(
                 f"out_dir {out_dir!r} has lineage for input {files[0]!r} "
                 f"under a different shard-id scheme ({mid!r}); wipe the "
@@ -241,6 +247,10 @@ def run_pipeline(
         else:
             shards = [input_path]
 
+    # normalize spellings so shard ids, manifests, and the stale-lineage
+    # check all agree regardless of how the caller wrote the paths
+    shards = [os.path.abspath(p) for p in shards]
+
     if shard_group_size > 1:
         shards = [
             shards[i : i + shard_group_size]
@@ -263,6 +273,17 @@ def run_pipeline(
         dupes = sorted({i for i in ids if ids.count(i) > 1})
         raise ValueError(f"duplicate shard ids in one run: {dupes}")
     _check_stale_lineage(out_dir, set(ids), [g for _, g in work])
+    # the sink LAYOUT is part of the output contract too: resuming a
+    # flat out_dir with conv_buckets (or with a different N) would mix
+    # layouts and make bucket-pruned reads silently incomplete
+    for m in load_manifests(out_dir):
+        prev = m.get("conv_buckets")
+        if prev != conv_buckets:
+            raise ValueError(
+                f"out_dir {out_dir!r} was written with conv_buckets="
+                f"{prev!r}; resuming with conv_buckets={conv_buckets!r} "
+                "would mix sink layouts — wipe the out_dir or match it."
+            )
 
     def process_shard(item) -> None:
         import time
@@ -311,7 +332,8 @@ def run_pipeline(
                 # per-partition metrics (north rule: lineage + metrics)
                 "elapsed_sec": round(time.perf_counter() - t_start, 3),
                 "input_bytes": input_bytes,
-            },
+                "conv_buckets": conv_buckets,  # layout contract (checked
+            },                                  # on resume)
         )
 
     if max_concurrent_shards > 1:

@@ -59,8 +59,9 @@ def dedup_chunks(ds, acked: set[str], n_buckets: int = 256):
         replay = pc.and_(has_chunk, pc.is_in(t["chunk"], value_set=acked_arr))
         t = t.filter(pc.invert(replay))
         df = t.to_pandas()
-        ch = df[df["chunk"] != ""].sort_values(["chunk", "entry_idx"])
-        ch = ch.drop_duplicates(["chunk", "entry_idx"])
+        # duplicates are byte-identical by the chunk-id contract, so
+        # which copy survives is immaterial — no sort needed
+        ch = df[df["chunk"] != ""].drop_duplicates(["chunk", "entry_idx"])
         un = df[df["chunk"] == ""]
         out = pd.concat([ch, un], ignore_index=True)
         out["_bucket"] = np.concatenate(
@@ -70,8 +71,7 @@ def dedup_chunks(ds, acked: set[str], n_buckets: int = 256):
         return out
 
     def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        ch = g[g["chunk"] != ""].sort_values(["chunk", "entry_idx"])
-        ch = ch.drop_duplicates(["chunk", "entry_idx"])
+        ch = g[g["chunk"] != ""].drop_duplicates(["chunk", "entry_idx"])
         out = pd.concat([ch, g[g["chunk"] == ""]], ignore_index=True)
         return out.drop(columns=["_bucket"])
 
@@ -106,7 +106,7 @@ def run_forward_pipeline(
         _shard_id,
     )
 
-    files_sorted = sorted(frame_files)
+    files_sorted = sorted(os.path.abspath(p) for p in frame_files)
     _check_stale_lineage(
         out_dir, {_shard_id(p, 1) for p in files_sorted}, files_sorted
     )

@@ -142,6 +142,20 @@ def read_sink(out_dir: str, sink: str, ordered: bool = True,
             recursive=conv_bucket is None,
         )
     )
+    if not files and conv_bucket is not None:
+        # a sparse bucket is a legitimate empty result (small corpora
+        # leave hash buckets unpopulated) — return a TYPED empty
+        # Dataset using a sibling bucket's schema, not an error
+        siblings = sorted(
+            _glob.glob(
+                os.path.join(out_dir, "sinks", "*", f"sink={sink}", "**",
+                             "*.parquet"),
+                recursive=True,
+            )
+        )
+        if siblings:
+            sch = pq.read_schema(siblings[0])
+            return rd.from_arrow(sch.empty_table())
     if not files:
         raise FileNotFoundError(f"no output for sink {sink!r} under {out_dir}")
     ds = rd.read_parquet(files)

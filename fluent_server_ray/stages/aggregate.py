@@ -122,11 +122,21 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
     parts = ds.map_batches(partial, **kwargs)
     tables = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not tables:
+        # typed empty partials, then fall through the SAME final path so
+        # the empty result has exactly the requested columns (mean
+        # included, decomposed sum/count projected away)
         sch = parts.schema()
-        return pa.table(
-            {n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)}
-        )
-    merged = pa.concat_tables(tables)
+        if sch is not None:
+            merged = pa.table(
+                {n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)}
+            )
+        else:
+            merged = pa.table(
+                {**{k: pa.array([], type=pa.string()) for k in keys},
+                 **{n: pa.array([], type=pa.int64()) for n in out_names}}
+            )
+    else:
+        merged = pa.concat_tables(tables)
     final = merged.group_by(keys).aggregate(
         [(f"{c}_{f}", _MERGE_FN[f]) for c, f in phys]
     ).rename_columns(keys + out_names)
@@ -154,6 +164,15 @@ def hash_bucket_array(values, n_buckets: int):
     import pandas as pd
 
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        # an int column with ANY null converts to float64 — which would
+        # hash the same key differently than in null-free batches and
+        # scatter equal keys across buckets. Fill nulls (0 — collisions
+        # only co-locate a few extra rows, never mis-route) so ints stay
+        # ints in every batch.
+        if pa.types.is_integer(values.type) and values.null_count:
+            import pyarrow.compute as pc
+
+            values = pc.fill_null(values, 0)
         values = values.to_numpy(zero_copy_only=False)
     values = np.asarray(values)
     if values.dtype == object:  # strings (and mixed): null-safe path

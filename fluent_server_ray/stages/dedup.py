@@ -311,6 +311,15 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
     return cand
 
 
+def _empty_pairs(with_jaccard: bool = False) -> pd.DataFrame:
+    """Typed empty pair frame — the shared zero-duplicates result shape."""
+    cols = {"doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64")}
+    if with_jaccard:
+        cols["jaccard"] = pd.Series(dtype="float64")
+    return pd.DataFrame(cols)
+
+
 def distinct_pairs(pairs_ds, n_buckets: int = 256,
                    cols: tuple[str, str] = ("doc_a", "doc_b")):
     """Distributed DISTINCT over id-pair rows: one groupby on
@@ -377,15 +386,8 @@ def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
         ds, num_perm=num_perm, bands=bands, max_bucket=max_bucket
     ).materialize()
 
-    def _empty():
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"),
-             "doc_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
-
     if raw_cand.count() == 0:  # no near-dups — the common corpus case
-        return _empty()
+        return _empty_pairs(with_jaccard=True)
 
     # distinct candidate ids (small: only docs appearing in some pair)
     def explode_ids(t: pa.Table) -> pa.Table:
@@ -496,7 +498,7 @@ def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
         verified.iter_batches(batch_size=None, batch_format="pyarrow")
     )
     if not tables:  # candidates existed but none verified
-        return _empty()
+        return _empty_pairs(with_jaccard=True)
     out = pa.concat_tables(tables).to_pandas()
     return (
         out.drop_duplicates(["doc_a", "doc_b"])
@@ -659,10 +661,7 @@ def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
         )
     )
     if not tables:  # no pair within the radius — the common case
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"),
-             "doc_b": pd.Series(dtype="int64")}
-        )
+        return _empty_pairs()
     out = pa.concat_tables(tables).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -756,10 +755,7 @@ def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
             futures.append(block_pair.remote(refs[i], refs[j], i == j))
     tables = [t for t in ray.get(futures) if len(t)]
     if not tables:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"),
-             "doc_b": pd.Series(dtype="int64")}
-        )
+        return _empty_pairs()
     out = pa.concat_tables(tables).to_pandas()
     return (
         out.drop_duplicates(["doc_a", "doc_b"])
@@ -768,16 +764,27 @@ def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
     )
 
 
+# Python str.split() splits on UNICODE whitespace; RE2's \s is ASCII
+# only. This class enumerates exactly the code points str.isspace()
+# accepts (web text carries \xa0 etc.), keeping the mirror byte-exact.
+_PY_WHITESPACE_RE2 = (
+    r"[\t\n\x0B\x0C\r\x1C-\x1F \x{0085}\x{00A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+
+
 def ngram_jaccard_dupes_sql(threshold: float = 0.8, shingle_k: int = 3,
                             table: str = "documents") -> str:
     """DuckDB mirror: same whitespace tokenization as Python
-    ``str.split()`` (runs of whitespace, ends stripped), same
-    short-text fallback (docs with < k words use their word set)."""
+    ``str.split()`` (runs of UNICODE whitespace, ends stripped —
+    parity pinned in tests incl. \\xa0), same short-text fallback
+    (docs with < k words use their word set)."""
     assert shingle_k == 3, "SQL mirror written for k=3"
     return f"""
 WITH toks AS (
   SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+    list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                x -> x <> '') AS w
   FROM {table}
 ), sh AS (
   SELECT doc_id,

@@ -98,27 +98,35 @@ def bucketed_hash_join(
 
     # canonical output dtypes: an empty or one-sided bucket would
     # otherwise emit object/float64 columns and flip the block schema
-    # (the "RefBundle with a different schema" executor warning)
+    # (the "RefBundle with a different schema" executor warning).
+    # The policy must be COLUMN-level, identical in every bucket — a
+    # per-bucket data-dependent choice would itself flip schemas — so
+    # for non-inner joins the fill side's int columns are float64
+    # everywhere (NaN-capable), exactly as pandas merge emits them.
     out_fields = lfields + [f for f in rfields if f.name not in lcols
                             or f.name == right_key != key]
-    dtype_map = {f.name: f.type.to_pandas_dtype() for f in out_fields
-                 if not pa.types.is_string(f.type)
-                 and not pa.types.is_large_string(f.type)}
+    if how == "inner":
+        nullable = set()
+    elif how == "left":
+        nullable = set(rcols)
+    elif how == "right":
+        nullable = set(lcols)
+    else:  # outer & friends
+        nullable = set(lcols) | set(rcols)
+    dtype_map = {}
+    for f in out_fields:
+        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            continue
+        d = f.type.to_pandas_dtype()
+        if f.name in nullable and np.issubdtype(np.dtype(d), np.integer):
+            d = np.float64
+        dtype_map[f.name] = d
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0][lcols]
         rg = g[g["_side"] == 1][rcols]
         m = lg.merge(rg, left_on=key, right_on=right_key, how=how)
-        safe = {}
-        for c, d in dtype_map.items():
-            if c not in m.columns:
-                continue
-            # outer/left joins fill unmatched int columns with NaN —
-            # those must stay float64 (astype to int would raise)
-            if np.issubdtype(np.dtype(d), np.integer) and m[c].isna().any():
-                continue
-            safe[c] = d
-        return m.astype(safe)
+        return m.astype({c: d for c, d in dtype_map.items() if c in m.columns})
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
