@@ -49,3 +49,24 @@ def test_bucketed_join_different_key_names(ray_session):
     got = bucketed_hash_join(l, r, key="a", right_key="b").to_pandas()
     assert len(got) == 1
     assert got.iloc[0]["x"] == "q" and got.iloc[0]["y"] == "r"
+
+
+def test_bucketed_left_join_schema_stable(ray_session, sides):
+    """how='left': the fill side's int columns are float64 in EVERY
+    bucket (NaN-capable, no per-bucket schema drift), values match
+    pandas merge."""
+    import pandas as pd
+
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    l, r, lpd, rpd = sides
+    got = bucketed_hash_join(l, r, key="k", n_buckets=4, how="left").to_pandas()
+    want = lpd.merge(rpd, on="k", how="left")
+    assert str(got["rv"].dtype) == "float64"
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert got["rv"].isna().sum() == want["rv"].isna().sum() > 0

@@ -493,3 +493,37 @@ def test_cdc_chunk_size_bounds(ray_session):
     assert cuts[-1] == len(payload)
     assert (sizes[:-1] >= 32).all() and (sizes <= 256).all()
     assert 64 / 2 < sizes.mean() < 64 * 3  # mask hits near the target rate
+
+
+def test_ngram_jaccard_unicode_whitespace_parity(ray_session, tmp_path):
+    """The SQL mirror tokenizes exactly like Python str.split() on
+    Unicode whitespace (NBSP, ideographic space, line sep) — scraped
+    web text is full of it."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (
+        ngram_jaccard_dupes,
+        ngram_jaccard_dupes_sql,
+    )
+
+    texts = [
+        "alpha\xa0beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",       # same tokens
+        "alpha　beta gamma delta epsilon eta",  # one token differs
+        "totally different words here now ok",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+
+    got = ngram_jaccard_dupes(rd.read_parquet(p), threshold=0.5)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(ngram_jaccard_dupes_sql(threshold=0.5)).df()
+    assert set(zip(got["doc_a"], got["doc_b"])) == set(
+        zip(want["doc_a"], want["doc_b"])
+    )
+    assert (0, 1) in set(zip(got["doc_a"], got["doc_b"]))  # NBSP == space
