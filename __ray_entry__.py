@@ -54,6 +54,25 @@ def _q_tenant_counts(sf_dir: str):
     return grouped_counts(build_routed(sf_dir, columns=["tenant"]), ["tenant"])
 
 
+def _q_tenant_counts_salted(sf_dir: str):
+    """The hot-key treatment as a driver-checked path: salt the key,
+    count per (key, salt) — a two-level exact aggregate whose partials
+    for one hot tenant spread over n_salts reducers — then merge the
+    salt level out. Same oracle as the unsalted counts (salting never
+    changes results)."""
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.aggregate import add_salt
+
+    salted = add_salt(build_routed(sf_dir, columns=["tenant"]), "tenant",
+                      n_salts=8)
+    two_level = grouped_counts(salted, ["tenant", "_salt"])
+    out = two_level.group_by(["tenant"]).aggregate([("n", "sum")])
+    return out.rename_columns(["tenant", "n"]).sort_by(
+        [("tenant", "ascending")]
+    )
+
+
 def _q_heartbeat_stats(sf_dir: str):
     return grouped_counts(apply_parse(read_transcripts(sf_dir)), ["is_heartbeat"])
 
@@ -464,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_route": _q_route,
         "transcripts_sink_counts": _q_sink_counts,
         "transcripts_tenant_counts": _q_tenant_counts,
+        "transcripts_tenant_counts_salted": _q_tenant_counts_salted,
         "transcripts_heartbeat_stats": _q_heartbeat_stats,
         "transcripts_first_turn": _q_first_turn,
         # text analysis
@@ -524,6 +544,8 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_route": oracle.route_sql(),
         "transcripts_sink_counts": oracle.sink_counts_sql(),
         "transcripts_tenant_counts": oracle.tenant_counts_sql(),
+        "transcripts_tenant_counts_salted": oracle.tenant_counts_sql()
+        + " ORDER BY tenant",
         "transcripts_heartbeat_stats": oracle.heartbeat_stats_sql(),
         "transcripts_first_turn": oracle.first_turn_sql(),
         "doc_token_counts": textstats.token_count_sql(),

@@ -124,7 +124,8 @@ def run_once() -> dict:
     import __ray_entry__ as entrymod
 
     for qname in () if os.environ.get("FSR_COUNTS_ONLY") else ("dedup_exact", "dedup_minhash", "ann_cosine_topk",
-                  "sessionize", "join_revenue_by_priority"):
+                  "sessionize", "join_revenue_by_priority",
+                  "curation_pipeline"):
         try:
             t0 = time.perf_counter()
             res = entrymod.queries()[qname](SF_DIR)

@@ -21,6 +21,7 @@ ORACLE_QUERIES = [
     "event_value_stats",
     "transcripts_sample_convs",
     "curation_pipeline",
+    "transcripts_tenant_counts_salted",
     "ann_cosine_topk",
     "embedding_dupes",
     "multimodal_decode",
