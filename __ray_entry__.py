@@ -323,6 +323,64 @@ def _q_sliding(sf_dir: str):
     )
 
 
+RANGE_JOIN_HALF_WIDTH_S = 3600
+
+
+def _q_range_join(sf_dir: str):
+    """Keyed range join: each click matched to the ±1 h windows
+    around the same user's purchases (one co-located shuffle,
+    searchsorted in-bucket matching — never an E×W expansion)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import range_join
+
+    half = pa.scalar(RANGE_JOIN_HALF_WIDTH_S * 1_000_000,
+                     type=pa.duration("us"))
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "win_id": t["event_id"],
+                "user_id": t["user_id"],
+                "lo": pc.subtract(t["ts"], half),
+                "hi": pc.add(t["ts"], half),
+            }
+        )
+
+    left = ev.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
+    right = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    out = range_join(left, right, key_col="user_id")
+    return out.select_columns(["event_id", "win_id"])
+
+
+def _range_join_sql() -> str:
+    w = RANGE_JOIN_HALF_WIDTH_S
+    return f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), win AS (
+  SELECT event_id AS win_id, user_id,
+         ts - INTERVAL {w} SECOND AS lo, ts + INTERVAL {w} SECOND AS hi
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, w.win_id
+FROM clicks c JOIN win w
+  ON c.user_id = w.user_id AND c.ts >= w.lo AND c.ts < w.hi
+""".strip()
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate distinct users (mergeable sketch; rows-only —
     a probabilistic estimate has no exact SQL oracle)."""
@@ -515,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_counts": _q_tumbling,
         "sliding_counts": _q_sliding,
         "asof_prior_click": _q_asof,
+        "range_join_purchase_windows": _q_range_join,
         # relational coverage
         "lineitem_agg": rel.lineitem_agg,
         "orders_by_nation": rel.orders_by_nation,
@@ -567,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": windows.tumbling_counts_sql(),
         "sliding_counts": windows.sliding_counts_sql(),
         "asof_prior_click": windows.asof_prior_event_sql(),
+        "range_join_purchase_windows": _range_join_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),
         "orders_by_nation": rel.orders_by_nation_sql(),
         "top_orders": rel.top_orders_sql(),

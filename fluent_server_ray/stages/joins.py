@@ -38,21 +38,16 @@ def _with_bucket(ds, key: str, n_buckets: int):
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def bucketed_hash_join(
-    left,
-    right,
-    key: str,
-    n_buckets: int = 32,
-    how: str = "inner",
-    right_key: str | None = None,
-):
-    """Partitioned hash join via per-bucket pandas merges.
+def cogrouped(left, right, key: str, right_key: str | None = None,
+              n_buckets: int = 32):
+    """Co-locate two Datasets by ``siphash(key) % n_buckets`` with ONE
+    unioned exchange (rows carry a ``_side`` marker; each side is
+    null-padded to the union schema — null buffers only).
 
-    Each side is shuffled once on ``siphash(key) % n_buckets``; a
-    per-bucket ``map_groups`` merges the two bucket halves. Rows carry
-    a ``_side`` marker through one unioned shuffle so both sides
-    co-locate with a single exchange.
-    """
+    Returns ``(both, lcols, rcols, lfields, rfields)``; callers group
+    ``both`` by ``_bucket`` and split each group on ``_side``. This is
+    the shared substrate of every keyed two-sided operator here
+    (hash join, range join)."""
     right_key = right_key or key
 
     # normalize both sides to Arrow blocks so schema() yields Arrow types
@@ -65,8 +60,6 @@ def bucketed_hash_join(
     lcols, rcols = list(lsch.names), list(rsch.names)
     lfields = [pa.field(n, t) for n, t in zip(lsch.names, lsch.types)]
     rfields = [pa.field(n, t) for n, t in zip(rsch.names, rsch.types)]
-    # union needs one schema: pad each side with the other's columns as
-    # typed nulls (cost: null buffers only)
     all_fields = lfields + [f for f in rfields if f.name not in lcols]
 
     def pad(side: int, have: list[str]):
@@ -94,7 +87,28 @@ def bucketed_hash_join(
                           zero_copy_batch=True),
         right_key, n_buckets,
     )
-    both = l.union(r)
+    return l.union(r), lcols, rcols, lfields, rfields
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    key: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+    right_key: str | None = None,
+):
+    """Partitioned hash join via per-bucket pandas merges.
+
+    Each side is shuffled once on ``siphash(key) % n_buckets``; a
+    per-bucket ``map_groups`` merges the two bucket halves. Rows carry
+    a ``_side`` marker through one unioned shuffle so both sides
+    co-locate with a single exchange.
+    """
+    right_key = right_key or key
+    both, lcols, rcols, lfields, rfields = cogrouped(
+        left, right, key, right_key, n_buckets
+    )
 
     # canonical output dtypes: an empty or one-sided bucket would
     # otherwise emit object/float64 columns and flip the block schema

@@ -163,6 +163,86 @@ ORDER BY e.event_id
 """.strip()
 
 
+def range_join(left_ds, right_ds, key_col: str, ts_col: str = "ts",
+               lo_col: str = "lo", hi_col: str = "hi", n_buckets: int = 32):
+    """Keyed range join: left rows matched to right INTERVALS of the
+    same key where ``lo <= ts < hi`` (the "which window contains this
+    event" primitive).
+
+    Layout: ONE co-located shuffle on the key (the shared
+    ``joins.cogrouped`` exchange — both sides move once), then
+    per-key vectorized matching inside each bucket: intervals sort by
+    ``lo`` and each event's candidate window span comes from two
+    ``np.searchsorted`` probes against ``[ts - max_width, ts]`` —
+    O((E+W)·log W + matches) per key, never the E×W cross product a
+    join-then-filter would expand before filtering. Output: left
+    columns + the matched interval's columns (inner semantics; events
+    in no window drop out).
+
+    Skew note: a key whose deeply-overlapping windows each contain
+    most events has output ~E×W — that blowup is the answer itself,
+    not an artifact; salt upstream if one key dominates.
+    """
+    from fluent_server_ray.stages.joins import cogrouped
+
+    both, lcols, rcols, lfields, rfields = cogrouped(
+        left_ds, right_ds, key_col, key_col, n_buckets
+    )
+    rcols_out = [c for c in rcols if c != key_col]
+    # column-level canonical dtypes (same policy as bucketed_hash_join:
+    # empty buckets must not flip the block schema)
+    dtype_map = {}
+    for f in lfields + rfields:
+        import pyarrow as pa_
+
+        if pa_.types.is_string(f.type) or pa_.types.is_large_string(f.type):
+            continue
+        dtype_map[f.name] = f.type.to_pandas_dtype()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols]
+        rg = g[g["_side"] == 1][rcols]
+        outs = []
+        rg_by_key = dict(tuple(rg.groupby(key_col, sort=False)))
+        for key, le in lg.groupby(key_col, sort=False):
+            ri = rg_by_key.get(key)
+            if ri is None or not len(ri):
+                continue
+            ri = ri.sort_values(lo_col)
+            los = ri[lo_col].to_numpy()
+            his = ri[hi_col].to_numpy()
+            max_w = (his - los).max()
+            ts = le[ts_col].to_numpy()
+            # candidate windows: lo in (ts - max_width, ts]
+            a = np.searchsorted(los, ts - max_w, side="right")
+            b = np.searchsorted(los, ts, side="right")
+            n_cand = b - a
+            if not n_cand.sum():
+                continue
+            li = np.repeat(np.arange(len(le)), n_cand)
+            wi = np.concatenate(
+                [np.arange(x, y) for x, y in zip(a, b) if y > x]
+            ) if n_cand.sum() else np.array([], dtype=np.int64)
+            hit = his[wi] > ts[li]  # lo <= ts already by construction
+            li, wi = li[hit], wi[hit]
+            out = le.iloc[li].reset_index(drop=True)
+            for c in rcols_out:
+                out[c] = ri[c].to_numpy()[wi]
+            outs.append(out)
+        if not outs:
+            empty = pd.DataFrame(columns=lcols + rcols_out)
+            return empty.astype(
+                {c: d for c, d in dtype_map.items() if c in empty.columns}
+            )
+        res = pd.concat(outs, ignore_index=True)
+        return res.astype(
+            {c: d for c, d in dtype_map.items() if c in res.columns}
+        )
+
+    return both.groupby("_bucket").map_groups(per_bucket,
+                                              batch_format="pandas")
+
+
 def sliding_counts(ds, width_seconds: int = 3600, slide_seconds: int = 1800,
                    key_col: str = "event_type", ts_col: str = "ts"):
     """Sliding event-time windows: count per (key, window_start) where

@@ -22,6 +22,7 @@ ORACLE_QUERIES = [
     "transcripts_sample_convs",
     "curation_pipeline",
     "transcripts_tenant_counts_salted",
+    "range_join_purchase_windows",
     "ann_cosine_topk",
     "embedding_dupes",
     "multimodal_decode",
