@@ -381,6 +381,51 @@ FROM clicks c JOIN win w
 """.strip()
 
 
+def _q_tumbling_value_agg(sf_dir: str):
+    """Windowed VALUE aggregate (beyond counts): per (event_type,
+    tumbling hour) sum/mean of cents — window id as a row-wise column,
+    then the generic combiner-first grouped_agg."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_server_ray.pipelines.relational import _cents
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(secs, 3600), 3600)
+        return pa.table(
+            {"event_type": t["event_type"], "window_start": win,
+             "value_cents": _cents(t["value"])}
+        )
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "window_start"],
+        [("value_cents", "sum"), ("value_cents", "mean")],
+    )
+
+
+def _tumbling_value_agg_sql() -> str:
+    return """
+WITH prep AS (
+  SELECT event_type,
+    ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+    CAST(round(value * 100.0) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_type, window_start,
+  CAST(sum(c) AS BIGINT) AS value_cents_sum,
+  CAST(sum(c) AS DOUBLE) / count(c) AS value_cents_mean
+FROM prep GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+""".strip()
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate distinct users (mergeable sketch; rows-only —
     a probabilistic estimate has no exact SQL oracle)."""
@@ -572,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "tumbling_counts": _q_tumbling,
         "sliding_counts": _q_sliding,
+        "tumbling_value_agg": _q_tumbling_value_agg,
         "asof_prior_click": _q_asof,
         "range_join_purchase_windows": _q_range_join,
         # relational coverage
@@ -625,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": windows.sessionize_sql(),
         "tumbling_counts": windows.tumbling_counts_sql(),
         "sliding_counts": windows.sliding_counts_sql(),
+        "tumbling_value_agg": _tumbling_value_agg_sql(),
         "asof_prior_click": windows.asof_prior_event_sql(),
         "range_join_purchase_windows": _range_join_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),

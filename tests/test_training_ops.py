@@ -23,6 +23,7 @@ ORACLE_QUERIES = [
     "curation_pipeline",
     "transcripts_tenant_counts_salted",
     "range_join_purchase_windows",
+    "tumbling_value_agg",
     "ann_cosine_topk",
     "embedding_dupes",
     "multimodal_decode",
