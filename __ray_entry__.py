@@ -60,8 +60,6 @@ def _q_tenant_counts_salted(sf_dir: str):
     for one hot tenant spread over n_salts reducers — then merge the
     salt level out. Same oracle as the unsalted counts (salting never
     changes results)."""
-    import pyarrow as pa
-
     from fluent_server_ray.stages.aggregate import add_salt
 
     salted = add_salt(build_routed(sf_dir, columns=["tenant"]), "tenant",
@@ -357,10 +355,8 @@ def _q_range_join(sf_dir: str):
         )
 
     left = ev.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
-    right = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "event_type", "ts"],
-    ).map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(windows, batch_format="pyarrow",
+                           zero_copy_batch=True)
     out = range_join(left, right, key_col="user_id")
     return out.select_columns(["event_id", "win_id"])
 

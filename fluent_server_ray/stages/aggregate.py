@@ -187,9 +187,18 @@ def hash_bucket_array(values, n_buckets: int):
 
 
 def add_salt(ds, key_col: str, n_salts: int = 16, salt_col: str = "_salt"):
-    """Add ``salt = hash(key) % n_salts`` for two-level aggregation of
-    hot keys (reference's hot-tag list under one mutex,
-    ``mirror/mirror.go:30-38``, is the failure mode this avoids)."""
+    """Add ``salt = (hash(key) + row_position) % n_salts`` for
+    two-level aggregation of hot keys (reference's hot-tag list under
+    one mutex, ``mirror/mirror.go:30-38``, is the failure mode this
+    avoids).
+
+    The row-position term is what makes this a real skew treatment: a
+    SINGLE hot key's rows cycle through all ``n_salts`` values within
+    every batch, so its partials spread over ``n_salts`` reducers —
+    a pure ``hash(key) % n`` would give every row of the hot key the
+    same salt and spread nothing. The salt never reaches results (the
+    second aggregation level merges it out), so its batch-relative
+    component costs no determinism where it matters."""
 
     def fn(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -200,7 +209,8 @@ def add_salt(ds, key_col: str, n_salts: int = 16, salt_col: str = "_salt"):
         # in the data plane).
         vals = batch[key_col].to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(np.asarray(vals, dtype=object))
-        salt = pa.array((h % n_salts).astype("int64"))
+        spread = h + np.arange(len(batch), dtype=np.uint64)
+        salt = pa.array((spread % n_salts).astype("int64"))
         return batch.append_column(salt_col, salt)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -90,6 +90,23 @@ def cogrouped(left, right, key: str, right_key: str | None = None,
     return l.union(r), lcols, rcols, lfields, rfields
 
 
+def canonical_dtype_map(fields, nullable: set | None = None) -> dict:
+    """Column-level pandas dtypes for schema-stable per-bucket output:
+    identical in every bucket (a data-dependent per-bucket choice would
+    flip block schemas). Columns in ``nullable`` that are integers
+    become float64 (NaN-capable); string columns stay untouched."""
+    nullable = nullable or set()
+    out = {}
+    for f in fields:
+        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            continue
+        d = f.type.to_pandas_dtype()
+        if f.name in nullable and np.issubdtype(np.dtype(d), np.integer):
+            d = np.float64
+        out[f.name] = d
+    return out
+
+
 def bucketed_hash_join(
     left,
     right,
@@ -127,14 +144,7 @@ def bucketed_hash_join(
         nullable = set(lcols)
     else:  # outer & friends
         nullable = set(lcols) | set(rcols)
-    dtype_map = {}
-    for f in out_fields:
-        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
-            continue
-        d = f.type.to_pandas_dtype()
-        if f.name in nullable and np.issubdtype(np.dtype(d), np.integer):
-            d = np.float64
-        dtype_map[f.name] = d
+    dtype_map = canonical_dtype_map(out_fields, nullable)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0][lcols]

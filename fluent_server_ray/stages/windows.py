@@ -183,21 +183,22 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str = "ts",
     most events has output ~E×W — that blowup is the answer itself,
     not an artifact; salt upstream if one key dominates.
     """
-    from fluent_server_ray.stages.joins import cogrouped
+    from fluent_server_ray.stages.joins import canonical_dtype_map, cogrouped
 
     both, lcols, rcols, lfields, rfields = cogrouped(
         left_ds, right_ds, key_col, key_col, n_buckets
     )
+    overlap = (set(lcols) & set(rcols)) - {key_col}
+    if overlap:
+        raise ValueError(
+            f"range_join: columns {sorted(overlap)} exist on BOTH sides; "
+            "the co-grouped union schema would collapse them (silent "
+            "overwrite) — rename the right side's copies first"
+        )
     rcols_out = [c for c in rcols if c != key_col]
-    # column-level canonical dtypes (same policy as bucketed_hash_join:
-    # empty buckets must not flip the block schema)
-    dtype_map = {}
-    for f in lfields + rfields:
-        import pyarrow as pa_
-
-        if pa_.types.is_string(f.type) or pa_.types.is_large_string(f.type):
-            continue
-        dtype_map[f.name] = f.type.to_pandas_dtype()
+    # column-level canonical dtypes (shared policy with
+    # bucketed_hash_join: empty buckets must not flip the block schema)
+    dtype_map = canonical_dtype_map(lfields + rfields)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0][lcols]
@@ -208,7 +209,11 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str = "ts",
             ri = rg_by_key.get(key)
             if ri is None or not len(ri):
                 continue
-            ri = ri.sort_values(lo_col)
+            # null bounds never match (SQL comparison semantics) and
+            # would poison max_w/searchsorted — drop them up front
+            ri = ri.dropna(subset=[lo_col, hi_col]).sort_values(lo_col)
+            if not len(ri):
+                continue
             los = ri[lo_col].to_numpy()
             his = ri[hi_col].to_numpy()
             max_w = (his - los).max()
@@ -222,7 +227,7 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str = "ts",
             li = np.repeat(np.arange(len(le)), n_cand)
             wi = np.concatenate(
                 [np.arange(x, y) for x, y in zip(a, b) if y > x]
-            ) if n_cand.sum() else np.array([], dtype=np.int64)
+            )
             hit = his[wi] > ts[li]  # lo <= ts already by construction
             li, wi = li[hit], wi[hit]
             out = le.iloc[li].reset_index(drop=True)

@@ -70,3 +70,31 @@ def test_bucketed_left_join_schema_stable(ray_session, sides):
         check_dtype=False,
     )
     assert got["rv"].isna().sum() == want["rv"].isna().sum() > 0
+
+
+def test_range_join_overlap_guard_and_null_intervals(ray_session):
+    """Same-named non-key columns on both sides fail fast (the union
+    schema would silently collapse them); null interval bounds drop out
+    like SQL NULL comparisons instead of crashing the matcher."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import range_join
+
+    left = pd.DataFrame({"k": [1, 1, 2], "event_id": [10, 11, 20],
+                         "ts": [5.0, 15.0, 5.0]})
+    right = pd.DataFrame({"k": [1, 1, 2], "win_id": [100, 101, 200],
+                          "lo": [0.0, 10.0, np.nan],
+                          "hi": [10.0, 20.0, np.nan]})
+
+    out = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                     key_col="k", ts_col="ts").to_pandas()
+    got = set(zip(out["event_id"], out["win_id"]))
+    assert got == {(10, 100), (11, 101)}  # null window matches nothing
+
+    clash = right.rename(columns={"win_id": "ts"})  # ts on both sides
+    with pytest.raises(ValueError, match="BOTH sides"):
+        range_join(rd.from_pandas(left), rd.from_pandas(clash),
+                   key_col="k", ts_col="ts").to_pandas()

@@ -32,29 +32,19 @@ def test_salted_two_level_counts_equal_plain(ray_session):
     assert int(a.loc[a["tag"] == "hot", "n"].iloc[0]) == 5000
 
 
-def test_salt_deterministic_across_workers(ray_session):
-    """pd.util.hash_array is fixed-key SipHash — same salt everywhere
-    (python hash() would differ per process and break repartitioning)."""
-    import ray
-
-    from fluent_server_ray.stages.aggregate import add_salt
+def test_salt_spreads_single_hot_key(ray_session):
+    """THE point of salting: one hot key's rows must land on many
+    salts (a per-key-constant salt would keep the hot key on one
+    reducer and spread nothing)."""
     import ray.data as rd
 
-    df = pd.DataFrame({"k": [f"key-{i}" for i in range(100)]})
+    from fluent_server_ray.stages.aggregate import add_salt
 
-    @ray.remote
-    def salts_in_subprocess():
-        import pandas as pd_
-        import numpy as np
-
-        h = pd_.util.hash_array(
-            np.asarray([f"key-{i}" for i in range(100)], dtype=object)
-        )
-        return (h % 8).tolist()
-
-    local = add_salt(rd.from_pandas(df), "k", n_salts=8).to_pandas()
-    remote = ray.get(salts_in_subprocess.remote())
-    assert local["_salt"].tolist() == remote
+    df = pd.DataFrame({"k": ["hot"] * 1000})
+    out = add_salt(rd.from_pandas(df), "k", n_salts=8).to_pandas()
+    counts = out["_salt"].value_counts()
+    assert len(counts) == 8  # all salts used
+    assert counts.max() <= 1000 // 8 + 8  # ~uniform spread
 
 
 def test_large_lookup_set_fast_path(ray_session):
