@@ -86,3 +86,58 @@ def test_sigkill_mid_run_then_resume(ray_session, synth_dir, tmp_path):
         f for f in os.listdir(lineage) if f.endswith(".json")
     }
     assert committed_after_kill <= still_there
+
+
+DRIVER_BUCKETED = """
+import sys, os
+sys.path.insert(0, {repo!r})
+os.chdir({repo!r})
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from fluent_server_ray.pipelines.flagship import run_pipeline
+run_pipeline({src!r}, {out!r}, conv_buckets=4)
+ray.shutdown()
+"""
+
+
+def test_sigkill_resume_under_bucketed_layout(ray_session, synth_dir, tmp_path):
+    """Crash-resume with conv_buckets: no duplicates/loss, the layout
+    contract survives the crash (resume with the SAME conv_buckets
+    succeeds; every file sits under a cbucket dir), and bucket-pruned
+    reads still union to the whole."""
+    out = str(tmp_path / "out")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         DRIVER_BUCKETED.format(repo=REPO, src=synth_dir, out=out)],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    lineage = os.path.join(out, "_lineage")
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if os.path.isdir(lineage) and any(
+            f.endswith(".json") for f in os.listdir(lineage)
+        ):
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.2)
+    if proc.poll() is None:
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait()
+
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+
+    summary = run_pipeline(synth_dir, out, conv_buckets=4)
+    assert summary["shards"] == 4
+
+    files = sorted(glob.glob(os.path.join(out, "sinks", "**", "*.parquet"),
+                             recursive=True))
+    assert files and all("cbucket=" in f for f in files)
+    sinks = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                      ignore_index=True)
+    keys = sinks[sinks["conv_id"].notna()][["conv_id", "turn_idx"]]
+    assert not keys.duplicated().any(), "duplicates after crash-resume"
