@@ -516,6 +516,33 @@ def _sample_convs_sql() -> str:
     )
 
 
+TOKEN_QUANTILE_ARGS = dict(lo=0.0, hi=512.0, bins=512)
+
+
+def _q_token_quantiles(sf_dir: str):
+    """Histogram quantiles of a COMPUTED column — per-doc token counts
+    feed the additive-histogram sketch (read → vectorized count →
+    combiner histograms; the sketch composes with any upstream map)."""
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.sketches import binned_quantiles
+    from fluent_server_ray.stages.textstats import token_count_batch
+
+    toks = _docs(sf_dir).map_batches(
+        token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return binned_quantiles(toks, "n_tokens", **TOKEN_QUANTILE_ARGS)
+
+
+def _token_quantiles_sql() -> str:
+    from fluent_server_ray.stages.sketches import binned_quantiles_sql
+
+    sub = ("(SELECT CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)"
+           " AS n_tokens FROM documents)")
+    return binned_quantiles_sql("n_tokens", table=sub,
+                                **TOKEN_QUANTILE_ARGS)
+
+
 def _q_event_value_stats(sf_dir: str):
     """Generic grouped aggregates (sum/min/max/count/mean) via the
     combiner-first grouped_agg — cents-exact integer math, mean as
@@ -630,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_customer": rel.top_orders_per_customer,
         "approx_distinct_users": _q_approx_distinct,
         "price_quantiles": _q_value_quantiles,
+        "doc_token_quantiles": _q_token_quantiles,
         "event_value_stats": _q_event_value_stats,
         "transcripts_sample_convs": _q_sample_convs,
         "curation_pipeline": _q_curation,
@@ -686,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
             "fluent_server_ray.stages.sketches", fromlist=["binned_quantiles_sql"]
         ).binned_quantiles_sql("o_totalprice", table="orders",
                                **VALUE_QUANTILE_ARGS),
+        "doc_token_quantiles": _token_quantiles_sql(),
         "event_value_stats": _event_value_stats_sql(),
         "transcripts_sample_convs": _sample_convs_sql(),
         "curation_pipeline": __import__(

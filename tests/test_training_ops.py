@@ -24,6 +24,7 @@ ORACLE_QUERIES = [
     "transcripts_tenant_counts_salted",
     "range_join_purchase_windows",
     "tumbling_value_agg",
+    "doc_token_quantiles",
     "ann_cosine_topk",
     "embedding_dupes",
     "multimodal_decode",
