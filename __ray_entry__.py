@@ -516,6 +516,25 @@ def _sample_convs_sql() -> str:
     )
 
 
+def _q_heavy_hitter_tags(sf_dir: str):
+    """Top-10 hottest tags via the mergeable Misra-Gries summary —
+    per-block exact partials reduce into one bounded sketch (capacity
+    >= distinct tags here, so the result is exact and oracle-checked;
+    the same path bounds memory at unbounded tag cardinality)."""
+    from fluent_server_ray.stages.sketches import heavy_hitters
+
+    return heavy_hitters(build_routed(sf_dir, columns=["tag"]), "tag",
+                         k=10, capacity=256)
+
+
+def _heavy_hitter_tags_sql() -> str:
+    return (
+        oracle.with_pipeline_ctes()
+        + "\nSELECT tag, count(*) AS n FROM routed GROUP BY tag"
+          " ORDER BY n DESC, tag LIMIT 10"
+    )
+
+
 TOKEN_QUANTILE_ARGS = dict(lo=0.0, hi=512.0, bins=512)
 
 
@@ -658,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct,
         "price_quantiles": _q_value_quantiles,
         "doc_token_quantiles": _q_token_quantiles,
+        "heavy_hitter_tags": _q_heavy_hitter_tags,
         "event_value_stats": _q_event_value_stats,
         "transcripts_sample_convs": _q_sample_convs,
         "curation_pipeline": _q_curation,
@@ -715,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         ).binned_quantiles_sql("o_totalprice", table="orders",
                                **VALUE_QUANTILE_ARGS),
         "doc_token_quantiles": _token_quantiles_sql(),
+        "heavy_hitter_tags": _heavy_hitter_tags_sql(),
         "event_value_stats": _event_value_stats_sql(),
         "transcripts_sample_convs": _sample_convs_sql(),
         "curation_pipeline": __import__(

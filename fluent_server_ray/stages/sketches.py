@@ -209,3 +209,85 @@ class BloomFilter:
         assert self.m == other.m and self.k == other.k
         np.bitwise_or(self.bits, other.bits, out=self.bits)
         return self
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters sketch (weighted, mergeable).
+
+    Capacity-``m`` counter summary of a weighted key stream: every key
+    whose true weight exceeds ``W/(m+1)`` (W = total weight) is
+    GUARANTEED present, and each estimate undercounts its true weight
+    by at most ``W/(m+1)`` — the classic deterministic frequent-items
+    bound. Mergeable: combine two summaries by summing counters, then
+    subtracting the (m+1)-th largest value and dropping non-positives
+    (Agarwal et al.'s mergeable-summaries rule), so per-block partials
+    reduce like any combiner. With ``m`` ≥ distinct-keys the sketch
+    degenerates to EXACT counts — which makes the driver query
+    oracle-checkable at test scale while the same code path bounds
+    memory at 100 TB tag cardinalities.
+    """
+
+    def __init__(self, capacity: int):
+        assert capacity >= 1
+        self.capacity = capacity
+        self.counters: dict = {}
+
+    def update_counts(self, keys, weights) -> "MisraGries":
+        for k, w in zip(keys, weights):
+            c = self.counters
+            if k in c:
+                c[k] += int(w)
+            else:
+                c[k] = int(w)
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        c = self.counters
+        if len(c) <= self.capacity:
+            return
+        # subtract the (capacity+1)-th largest count from everyone,
+        # drop the non-positive — one deterministic pass
+        vals = sorted(c.values(), reverse=True)
+        dec = vals[self.capacity]
+        self.counters = {k: v - dec for k, v in c.items() if v - dec > 0}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        assert self.capacity == other.capacity
+        for k, w in other.counters.items():
+            self.counters[k] = self.counters.get(k, 0) + w
+        self._shrink()
+        return self
+
+    def top(self, k: int) -> list[tuple[str, int]]:
+        """(key, estimate) sorted by (estimate desc, key asc)."""
+        return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256):
+    """Top-k keys of ``col`` by count via per-block EXACT partial counts
+    (bounded by per-block cardinality) merged through a Misra-Gries
+    summary of ``capacity`` counters — the shuffle-free heavy-hitter
+    path: what reaches the driver is one bounded summary per block, no
+    matter the key cardinality. Exact (oracle-checkable) whenever
+    ``capacity`` ≥ distinct keys; otherwise estimates carry the
+    deterministic W/(capacity+1) undercount bound.
+
+    Returns a pyarrow Table (key, n) sorted by (n desc, key asc).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.select([col]).group_by([col]).aggregate([([], "count_all")])
+        return out.rename_columns([col, "n"])
+
+    sketch = MisraGries(capacity)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        sketch.update_counts(b[col].to_pylist(), b["n"].to_pylist())
+    top = sketch.top(k)
+    return pa.table(
+        {
+            col: pa.array([t[0] for t in top], type=pa.string()),
+            "n": pa.array([t[1] for t in top], type=pa.int64()),
+        }
+    )

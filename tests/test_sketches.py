@@ -76,3 +76,41 @@ def test_bloom_merge_is_union():
     b = BloomFilter(10_000, 0.01); b.add(b_vals)
     a.merge(b)
     assert a.contains(a_vals).all() and a.contains(b_vals).all()
+
+
+def test_misra_gries_guarantees():
+    """MG bound: every key above W/(m+1) survives, and estimates
+    undercount by at most W/(m+1) — checked against exact counts on a
+    skewed stream with capacity << distinct keys; merge order
+    consistency checked by splitting the stream."""
+    import numpy as np
+
+    from fluent_server_ray.stages.sketches import MisraGries
+
+    rng = np.random.default_rng(13)
+    keys = [f"k{int(z)}" for z in rng.zipf(1.3, size=20_000) % 2000]
+    exact: dict = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+    W = len(keys)
+    m = 64
+
+    whole = MisraGries(m).update_counts(keys, [1] * len(keys))
+    half = MisraGries(m).update_counts(keys[:10_000], [1] * 10_000)
+    half.merge(MisraGries(m).update_counts(keys[10_000:], [1] * 10_000))
+
+    for sk in (whole, half):
+        err = W / (m + 1)
+        for k, true_n in exact.items():
+            est = sk.counters.get(k, 0)
+            assert est <= true_n  # never overcounts
+            assert true_n - est <= err, (k, true_n, est)
+            if true_n > err:
+                assert k in sk.counters  # heavy keys always survive
+
+
+def test_misra_gries_exact_when_capacity_suffices():
+    from fluent_server_ray.stages.sketches import MisraGries
+
+    mg = MisraGries(100).update_counts(list("aabbbc"), [1] * 6)
+    assert mg.top(3) == [("b", 3), ("a", 2), ("c", 1)]

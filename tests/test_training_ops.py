@@ -25,6 +25,7 @@ ORACLE_QUERIES = [
     "range_join_purchase_windows",
     "tumbling_value_agg",
     "doc_token_quantiles",
+    "heavy_hitter_tags",
     "ann_cosine_topk",
     "embedding_dupes",
     "multimodal_decode",
