@@ -255,31 +255,34 @@ def _q_multimodal(sf_dir: str):
 
 
 def _q_resize(sf_dir: str):
+    from fluent_server_ray.stages.enrich import pool_limits
     from fluent_server_ray.stages.multimodal import ResizeStub, decode_documents
 
     return decode_documents(_docs(sf_dir)).map_batches(
         ResizeStub, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=256, concurrency=(1, 4),
+        batch_size=256, concurrency=pool_limits(),
     )
 
 
 def _q_frames(sf_dir: str):
+    from fluent_server_ray.stages.enrich import pool_limits
     from fluent_server_ray.stages.multimodal import FrameSampleStub
 
     return _docs(sf_dir).map_batches(
         FrameSampleStub, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=256, concurrency=(1, 4),
+        batch_size=256, concurrency=pool_limits(),
     )
 
 
 def _q_embed_stub(sf_dir: str):
     """Multimodal feature-extract stub: payload → deterministic fake
     embedding (rows-only; the real model would replace the vector fn)."""
+    from fluent_server_ray.stages.enrich import pool_limits
     from fluent_server_ray.stages.multimodal import EmbedStub
 
     return _docs(sf_dir).map_batches(
         EmbedStub, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=256, concurrency=(1, 4),
+        batch_size=256, concurrency=pool_limits(),
     )
 
 

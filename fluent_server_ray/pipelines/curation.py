@@ -5,10 +5,15 @@ The document-side flagship: the canonical corpus-curation chain a
 stages into ONE lazy Dataset graph (no driver materialization between
 steps — blocks stream stage to stage):
 
-    exact dedup (min-id per text, combiner-first shuffle)
-      → quality gate (vectorized token / alpha-ratio kernels)
+    quality gate (vectorized token / alpha-ratio kernels)
+      → exact dedup (min-id per text, combiner-first shuffle)
       → deterministic key-stratified sample (md5 rule)
       → curated (doc_id, text, n_tokens)
+
+Stage order is filter-FIRST: the gate is a pure function of ``text``,
+so every copy of a text passes or fails together and the min-id winner
+is unchanged — gating before the dedup is semantically identical (same
+oracle) while the full-corpus hash shuffle moves only surviving rows.
 
 Every step is SQL-expressible, so — unlike most composite pipelines —
 the WHOLE chain carries a DuckDB oracle built from the same constants
@@ -37,7 +42,6 @@ def curate_documents(ds, min_tokens: int = MIN_TOKENS,
                      min_alpha: float = MIN_ALPHA,
                      hex_threshold: str = SAMPLE_HEX):
     """documents Dataset → curated Dataset (doc_id, text, n_tokens)."""
-    deduped = exact_dedup(ds)
 
     def quality_gate(t: pa.Table) -> pa.Table:
         text = t["text"]
@@ -54,14 +58,23 @@ def curate_documents(ds, min_tokens: int = MIN_TOKENS,
             pc.greater_equal(n_tokens, min_tokens),
             pc.greater_equal(alpha_ratio, min_alpha),
         )
-        out = pa.table(
-            {"doc_id": t["doc_id"], "text": text, "n_tokens": n_tokens}
-        )
-        return out.filter(keep)
+        return pa.table({"doc_id": t["doc_id"], "text": text}).filter(keep)
 
-    gated = deduped.map_batches(quality_gate, batch_format="pyarrow",
-                                zero_copy_batch=True)
-    return sample_by_key(gated, "doc_id", hex_threshold)
+    def attach_tokens(t: pa.Table) -> pa.Table:
+        # recomputed on the (dedup+sample-reduced) survivor set only —
+        # cheaper than shuffling a carried column through the dedup
+        n_tokens = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE),
+                           pa.int64())
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": t["text"], "n_tokens": n_tokens}
+        )
+
+    gated = ds.map_batches(quality_gate, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    deduped = exact_dedup(gated)
+    sampled = sample_by_key(deduped, "doc_id", hex_threshold)
+    return sampled.map_batches(attach_tokens, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 def curate_documents_sql(min_tokens: int = MIN_TOKENS,
@@ -72,16 +85,19 @@ def curate_documents_sql(min_tokens: int = MIN_TOKENS,
     ratio expressions are the ones `textstats.quality_sql` pins against
     the Arrow kernels)."""
     return f"""
-WITH dedup AS (
-  SELECT min(doc_id) AS doc_id, text FROM {table} GROUP BY text
-), gated AS (
+WITH gated AS (
   SELECT doc_id, text,
     CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
     CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
       / GREATEST(length(text), 1) AS alpha_ratio
-  FROM dedup
+  FROM {table}
+), kept AS (
+  SELECT doc_id, text, n_tokens FROM gated
+  WHERE n_tokens >= {min_tokens} AND alpha_ratio >= {min_alpha}
+), dedup AS (
+  SELECT min(doc_id) AS doc_id, text, min(n_tokens) AS n_tokens
+  FROM kept GROUP BY text
 )
-SELECT doc_id, text, n_tokens FROM gated
-WHERE n_tokens >= {min_tokens} AND alpha_ratio >= {min_alpha}
-  AND {sample_by_key_sql_predicate("doc_id", hex_threshold)}
+SELECT doc_id, text, n_tokens FROM dedup
+WHERE {sample_by_key_sql_predicate("doc_id", hex_threshold)}
 """.strip()

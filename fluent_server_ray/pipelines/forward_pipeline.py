@@ -58,17 +58,29 @@ def dedup_chunks(ds, acked: set[str], n_buckets: int = 256):
         has_chunk = pc.not_equal(t["chunk"], "")
         replay = pc.and_(has_chunk, pc.is_in(t["chunk"], value_set=acked_arr))
         t = t.filter(pc.invert(replay))
-        df = t.to_pandas()
-        # duplicates are byte-identical by the chunk-id contract, so
-        # which copy survives is immaterial — no sort needed
-        ch = df[df["chunk"] != ""].drop_duplicates(["chunk", "entry_idx"])
-        un = df[df["chunk"] == ""]
-        out = pd.concat([ch, un], ignore_index=True)
-        out["_bucket"] = np.concatenate(
-            [hash_bucket_array(ch["chunk"].to_numpy(), n_buckets),
-             np.arange(len(un), dtype=np.int64) % n_buckets]
+        has_chunk = pc.not_equal(t["chunk"], "")
+        ch = t.filter(has_chunk)
+        un = t.filter(pc.invert(has_chunk))
+        if ch.num_rows:
+            # Arrow-native drop_duplicates: min row index per
+            # (chunk, entry_idx), then take — duplicates are
+            # byte-identical by the chunk-id contract, so which copy
+            # survives is immaterial (min is just deterministic)
+            idx = pa.array(np.arange(ch.num_rows, dtype=np.int64))
+            keep = (
+                ch.append_column("_idx", idx)
+                .group_by(["chunk", "entry_idx"])
+                .aggregate([("_idx", "min")])["_idx_min"]
+            )
+            ch = ch.take(keep)
+        ch = ch.append_column(
+            "_bucket", pa.array(hash_bucket_array(ch["chunk"], n_buckets))
         )
-        return out
+        un = un.append_column(
+            "_bucket",
+            pa.array(np.arange(un.num_rows, dtype=np.int64) % n_buckets),
+        )
+        return pa.concat_tables([ch, un])
 
     def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
         ch = g[g["chunk"] != ""].drop_duplicates(["chunk", "entry_idx"])
@@ -76,7 +88,7 @@ def dedup_chunks(ds, acked: set[str], n_buckets: int = 256):
         return out.drop(columns=["_bucket"])
 
     return (
-        ds.map_batches(local, batch_format="pyarrow")
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
         .map_groups(bucket_distinct, batch_format="pandas")
     )
@@ -117,11 +129,13 @@ def run_forward_pipeline(
         ds = read_forward_frames([path])
         if dedup:
             ds = dedup_chunks(ds, acked)
+        from fluent_server_ray.stages.enrich import pool_limits
+
         routed = ds.map_batches(
             RouteStage,
             fn_constructor_kwargs={"routes": routes},
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=pool_limits(),
         )
         routed_m = routed.materialize()
         sink_dir = os.path.join(out_dir, "sinks", f"shard={shard_id}")

@@ -72,18 +72,25 @@ def write_mirror_json(out_dir: str, path: str | None = None) -> str:
     return path
 
 
-def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1"):
+DEFAULT_LIMIT_PER_TAG = 1000
+
+
+def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1",
+                 limit_per_tag: int = DEFAULT_LIMIT_PER_TAG):
     """Serve the mirror view over HTTP — the live counterpart of the
     reference's JSON sink endpoint (``mirror/mirror.go:41-47``, mounted
     ``main.go:48-53``; probed by the JS client,
     ``contrib/js/index.js:33-44``).
 
     Routes:
-      - ``GET /``        → the whole grouped store, one JSON object
+      - ``GET /``        → the grouped store, one JSON object
         ``{tag: [{"ts":..., "record":{...}}]}`` — re-derived from the
         durable sink Parquet on every request, exactly as the reference
-        re-encodes its in-memory map per request (and with the same
-        "bounded use" caveat: the response materializes the store).
+        re-encodes its in-memory map per request. Capped at
+        ``limit_per_tag`` events per tag by default so an accidental
+        GET against a large corpus can't materialize it;
+        ``GET /?full=1`` overrides the cap explicitly (the reference's
+        unbounded behavior, ``mirror/mirror.go:41-47``).
       - ``GET /counts``  → per-sink totals from lineage manifests only
         (the scalable probe; no data files touched).
 
@@ -93,13 +100,20 @@ def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1"):
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    from urllib.parse import parse_qs, urlparse
+
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib naming)
-            if self.path.rstrip("/") == "/counts":
+            parsed = urlparse(self.path)
+            route = parsed.path.rstrip("/")
+            if route == "/counts":
                 body = json.dumps(mirror_counts(out_dir), sort_keys=True)
-            elif self.path == "/" or self.path == "":
-                body = json.dumps(mirror_json(out_dir), sort_keys=True,
-                                  default=str)
+            elif route == "":
+                qs = parse_qs(parsed.query)
+                full = qs.get("full", ["0"])[-1] in ("1", "true")
+                cap = None if full else limit_per_tag
+                body = json.dumps(mirror_json(out_dir, limit_per_tag=cap),
+                                  sort_keys=True, default=str)
             else:
                 self.send_error(404)
                 return

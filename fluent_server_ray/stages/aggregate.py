@@ -81,7 +81,7 @@ _MERGE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 
 
 def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
-                batch_size: int | None = None):
+                batch_size: int | None = None, final: str = "driver"):
     """Generic grouped aggregation with partial (combiner)
     pre-aggregation — the multi-function sibling of
     :func:`grouped_counts`.
@@ -89,11 +89,17 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
     ``aggs``: list of (column, fn) with fn ∈ {sum, min, max, count,
     mean}. Each batch collapses to one row per key via Arrow
     ``Table.group_by`` (pure C++), so the shuffle carries ~|keys| rows
-    per block; partials merge on the driver with the matching algebraic
-    rule (sum→sum, min→min, max→max, count→sum; mean = merged sum /
-    merged count — exact, order-free for integer inputs). Output
-    columns are named ``<col>_<fn>``; rows sorted by the keys
-    (deterministic for value-hash comparison).
+    per block; partials merge with the matching algebraic rule
+    (sum→sum, min→min, max→max, count→sum; mean = merged sum / merged
+    count — exact, order-free for integer inputs). Output columns are
+    named ``<col>_<fn>``.
+
+    ``final='driver'`` (bounded key cardinality): stream the tiny
+    partials to the driver and merge with one Arrow group_by; returns a
+    sorted pyarrow Table. ``final='ray'`` (UNBOUNDED key cardinality —
+    per-conversation / per-user stats where |keys| is O(rows)): the
+    merge is Ray's distributed groupby over the partial rows; returns a
+    Dataset and the driver never holds the result.
     """
     # mean decomposes: request sum+count partials, divide at the end
     phys: list[tuple[str, str]] = []
@@ -120,6 +126,33 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     parts = ds.map_batches(partial, **kwargs)
+
+    if final == "ray":
+        from ray.data.aggregate import Max, Min
+
+        _RAY_AGG = {"sum": Sum, "min": Min, "max": Max, "count": Sum}
+        merged_ds = parts.groupby(keys).aggregate(
+            *[
+                _RAY_AGG[f](f"{c}_{f}", alias_name=f"{c}_{f}")
+                for c, f in phys
+            ]
+        )
+        requested = list(dict.fromkeys(keys + [f"{c}_{f}" for c, f in aggs]))
+
+        def finish(t: pa.Table) -> pa.Table:
+            for col in means:
+                t = t.append_column(
+                    f"{col}_mean",
+                    pc.divide(
+                        pc.cast(t[f"{col}_sum"], pa.float64()),
+                        pc.cast(t[f"{col}_count"], pa.float64()),
+                    ),
+                )
+            return t.select(requested)
+
+        return merged_ds.map_batches(finish, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
     tables = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not tables:
         # typed empty partials, then fall through the SAME final path so
@@ -158,18 +191,27 @@ def hash_bucket_array(values, n_buckets: int):
     bucket-key primitive every combiner-first distinct/join/salt stage
     shares (deterministic fixed-key SipHash via pandas; Python's
     ``hash()`` is process-seeded and never used in the data plane).
-    ``values``: numpy array or pyarrow (Chunked)Array; nulls hash as ''.
+    ``values``: numpy array or pyarrow (Chunked)Array; nulls hash as ''
+    (strings) / 0 (numerics).
+
+    Numeric keys hash by their FLOAT64 bit pattern regardless of the
+    stored dtype: the same key value in int32 / int64 / float64 form
+    (e.g. a key column float64-ified by an upstream non-inner
+    ``bucketed_hash_join``, or mixed parquet schemas) must land in the
+    same bucket, or a chained join/distinct on it would silently drop
+    matches. Integers beyond 2^53 can collide into one bucket after
+    the cast — harmless: bucketing only co-locates; every downstream
+    operator still compares exact key values inside the bucket.
     """
     import numpy as np
     import pandas as pd
 
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        # an int column with ANY null converts to float64 — which would
-        # hash the same key differently than in null-free batches and
-        # scatter equal keys across buckets. Fill nulls (0 — collisions
-        # only co-locate a few extra rows, never mis-route) so ints stay
-        # ints in every batch.
-        if pa.types.is_integer(values.type) and values.null_count:
+        # a numeric column with ANY null converts to float64-with-NaN —
+        # fill nulls (0 — collisions only co-locate a few extra rows,
+        # never mis-route) so null-free and nully batches agree.
+        if (pa.types.is_integer(values.type)
+                or pa.types.is_floating(values.type)) and values.null_count:
             import pyarrow.compute as pc
 
             values = pc.fill_null(values, 0)
@@ -181,8 +223,11 @@ def hash_bucket_array(values, n_buckets: int):
             values = values.copy()
             values[mask] = ""
         h = pd.util.hash_array(values)
-    else:  # numeric: hash natively (no object boxing)
-        h = pd.util.hash_array(np.ascontiguousarray(values))
+    else:  # numeric: canonicalize to float64 so dtype never splits keys
+        v = np.ascontiguousarray(values)
+        if np.issubdtype(v.dtype, np.number) or v.dtype == bool:
+            v = np.nan_to_num(v.astype(np.float64), nan=0.0)
+        h = pd.util.hash_array(v)
     return (h % n_buckets).astype("int64")
 
 

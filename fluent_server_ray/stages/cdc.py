@@ -108,9 +108,15 @@ def cdc_chunk_batch(batch: pa.Table, payload_col: str = "payload",
 
 def cdc_chunks(ds, payload_col: str = "payload", id_col: str = "doc_id",
                min_size: int = 32, avg_size: int = 64, max_size: int = 256,
-               batch_size: int = 256, concurrency=(1, 4)):
+               batch_size: int = 256, concurrency=None):
     """Dataset of payload rows → Dataset of chunk rows (actor pool:
-    binary rows are large, so small batches + bounded concurrency)."""
+    binary rows are large, so SMALL batches bound per-task memory while
+    concurrency autoscale­s with the cluster — a fixed cap would starve
+    a big cluster's CPU-bound chunking pass)."""
+    if concurrency is None:
+        from fluent_server_ray.stages.enrich import pool_limits
+
+        concurrency = pool_limits()
 
     class Chunker:
         def __call__(self, batch: pa.Table) -> pa.Table:

@@ -101,18 +101,21 @@ def prefix_block_dupes(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_block: int = 512,
+    max_block: int | None = None,
 ):
     """Near-dup pairs among docs sharing a text prefix (blocking key),
     scored by char-set Jaccard (DuckDB's ``jaccard`` semantics, so the
     result is oracle-checkable). Returns (doc_a, doc_b) with a < b.
 
-    ``max_block`` bounds the per-block O(n²) pair scan: a hot prefix
-    (boilerplate headers) above the cap compares each member only to the
-    block's min-id representative — O(n) for the pathological block,
-    candidates stay connected through the representative (same skew-cap
-    pattern as ``minhash_lsh_candidates``). Blocks under the cap are
-    exact w.r.t. the blocking rule."""
+    ``max_block`` (OPT-IN; default None = exact) bounds the per-block
+    O(n²) pair scan: a hot prefix (boilerplate headers) above the cap
+    compares each member only to the block's min-id representative —
+    O(n) for the pathological block, candidates stay connected through
+    the representative (same skew-cap pattern as
+    ``minhash_lsh_candidates``). The cap is deliberately NOT the
+    default: above it the result diverges from the SQL oracle
+    (recall < 1 inside the capped block), so oracle-checked paths stay
+    exact unless a caller opts into the scale cap explicitly."""
 
     def add_block(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -128,7 +131,7 @@ def prefix_block_dupes(
         ids = g[id_col].to_numpy()
         txts = g[text_col].to_numpy()
         a_out, b_out = [], []
-        if len(g) > max_block:
+        if max_block is not None and len(g) > max_block:
             rep_id, rep_txt = ids[0], txts[0]
             for j in range(1, len(g)):
                 if _charset_jaccard(rep_txt, txts[j]) >= threshold:
@@ -562,9 +565,11 @@ class SimHashStage:
 
 
 def simhash_signatures(ds):
+    from fluent_server_ray.stages.enrich import pool_limits
+
     return ds.map_batches(
         SimHashStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=pool_limits(),  # per-doc signature pass scales with cpus
     )
 
 

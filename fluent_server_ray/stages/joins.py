@@ -57,6 +57,25 @@ def cogrouped(left, right, key: str, right_key: str | None = None,
     right = right.map_batches(lambda t: t, batch_format="pyarrow",
                               zero_copy_batch=True)
     lsch, rsch = left.schema(), right.schema()
+
+    # key-kind sanity: numeric keys hash dtype-canonically (see
+    # aggregate.hash_bucket_array), but a string key on one side and a
+    # numeric on the other can never co-bucket — fail loudly instead of
+    # silently joining nothing.
+    def _kind(t: pa.DataType) -> str:
+        if pa.types.is_integer(t) or pa.types.is_floating(t) \
+                or pa.types.is_boolean(t):
+            return "numeric"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        return str(t)
+
+    lk = lsch.types[lsch.names.index(key)]
+    rk = rsch.types[rsch.names.index(right_key)]
+    if _kind(lk) != _kind(rk):
+        raise ValueError(
+            f"cogrouped key dtype mismatch: {key}:{lk} vs {right_key}:{rk}"
+        )
     lcols, rcols = list(lsch.names), list(rsch.names)
     lfields = [pa.field(n, t) for n, t in zip(lsch.names, lsch.types)]
     rfields = [pa.field(n, t) for n, t in zip(rsch.names, rsch.types)]
@@ -94,11 +113,17 @@ def canonical_dtype_map(fields, nullable: set | None = None) -> dict:
     """Column-level pandas dtypes for schema-stable per-bucket output:
     identical in every bucket (a data-dependent per-bucket choice would
     flip block schemas). Columns in ``nullable`` that are integers
-    become float64 (NaN-capable); string columns stay untouched."""
+    become float64 (NaN-capable); nullable BOOLS become pandas
+    ``boolean`` (masked) — ``.astype(bool)`` on a no-match object
+    column would coerce NaN to True, silently fabricating values;
+    string columns stay untouched."""
     nullable = nullable or set()
     out = {}
     for f in fields:
         if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            continue
+        if pa.types.is_boolean(f.type):
+            out[f.name] = "boolean" if f.name in nullable else np.bool_
             continue
         d = f.type.to_pandas_dtype()
         if f.name in nullable and np.issubdtype(np.dtype(d), np.integer):

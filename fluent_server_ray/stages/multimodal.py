@@ -71,9 +71,15 @@ class DecodeStub:
         )
 
 
-def decode_documents(ds, batch_size: int = 256, concurrency=(1, 4)):
+def decode_documents(ds, batch_size: int = 256, concurrency=None):
     """documents → payload → decoded metadata (the full multimodal
-    plumbing path: attach binary, actor-pool decode, typed output)."""
+    plumbing path: attach binary, actor-pool decode, typed output).
+    Small batches bound per-task memory for wide binary rows; the pool
+    autoscales with the cluster (``pool_limits``)."""
+    if concurrency is None:
+        from fluent_server_ray.stages.enrich import pool_limits
+
+        concurrency = pool_limits()
     ds = ds.map_batches(
         attach_payload, batch_format="pyarrow", zero_copy_batch=True
     )

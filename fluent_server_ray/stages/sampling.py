@@ -41,13 +41,21 @@ def _keep_mask(keys: pa.Array, hex_threshold: str) -> pa.Array:
     return pc.take(keep_per_value, enc.indices)
 
 
-def sample_by_key(ds, key_col: str, hex_threshold: str = "40"):
+def sample_by_key(ds, key_col: str, hex_threshold: str | None = "40"):
     """Keep all rows whose ``key_col`` hashes under the threshold
     (``'40'`` ≈ 25%, ``'80'`` ≈ 50% of keys — of KEYS, not rows: a hot
-    key contributes all or none of its rows)."""
+    key contributes all or none of its rows).
+
+    ``hex_threshold=None`` is the keep-all sentinel (the stage becomes
+    a no-op) — two hex chars cannot express 100%: even ``'ff'`` drops
+    keys whose md5 starts with ``'ff'`` (~1/256)."""
+    if hex_threshold is None:
+        return ds
     if not (len(hex_threshold) == 2
             and all(c in "0123456789abcdef" for c in hex_threshold)):
-        raise ValueError("hex_threshold must be two lowercase hex chars")
+        raise ValueError(
+            "hex_threshold must be two lowercase hex chars, or None to keep all"
+        )
 
     def fn(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -60,8 +68,11 @@ def sample_by_key(ds, key_col: str, hex_threshold: str = "40"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sample_by_key_sql_predicate(key_col: str, hex_threshold: str = "40") -> str:
+def sample_by_key_sql_predicate(key_col: str,
+                                hex_threshold: str | None = "40") -> str:
     """The DuckDB WHERE predicate mirroring :func:`sample_by_key`."""
+    if hex_threshold is None:  # keep-all sentinel, same as the stage
+        return "TRUE"
     return (
         f"substr(md5(COALESCE(CAST({key_col} AS VARCHAR), '')), 1, 2)"
         f" < '{hex_threshold}'"

@@ -217,6 +217,8 @@ def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
             }
         )
 
+    from fluent_server_ray.stages.enrich import pool_limits
+
     cand = (
         ds.map_batches(
             LSHBucketStage,
@@ -224,7 +226,7 @@ def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
                                    "n_tables": n_tables, "emb_col": emb_col},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
+            concurrency=pool_limits(),  # per-vec bucket pass scales with cpus
         )
         .groupby(["table_id", "bucket"])
         .map_groups(bucket_pairs, batch_format="pandas")

@@ -116,11 +116,20 @@ def asof_prior_event(ds, left_type: str = "error", right_type: str = "click",
     # dtype canonicalization: the prior-event id is float64 (NaN for
     # "no prior"), matching what a nullable BIGINT becomes in pandas —
     # so the engine and any SQL oracle produce byte-identical frames.
-    # Caveat: float64 is exact only up to 2^53 — ids beyond that
-    # (snowflake-style) need a nullable-Int64 variant on BOTH sides;
-    # the pandas representation of the oracle's nullable BIGINT is the
-    # binding constraint here.
+    # float64 is exact only up to 2^53 — ids beyond that
+    # (snowflake-style) would silently corrupt, so the cast asserts and
+    # fails LOUDLY; such corpora need a nullable-Int64 variant on BOTH
+    # sides (engine + oracle CAST).
+    _ID_MAX = float(1 << 53)
+
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        nums = pd.to_numeric(g[id_col], errors="coerce").abs()
+        if (nums > _ID_MAX).any():
+            raise ValueError(
+                f"asof_prior_event: {id_col} exceeds 2^53; the float64 "
+                "prior-id representation would lose precision — use a "
+                "nullable-Int64 variant on both engine and oracle sides"
+            )
         lg = g[g["event_type"] == left_type].sort_values(ts_col)
         rg = g[g["event_type"] == right_type].sort_values(ts_col)
         if lg.empty:

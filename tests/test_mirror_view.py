@@ -88,6 +88,37 @@ def test_mirror_http_magic_round_trip(ray_session, tmp_path):
         t.join(timeout=5)
 
 
+def test_mirror_http_limit_per_tag_cap(ray_session, tmp_path):
+    """GET / is capped per tag by default (an accidental full-corpus
+    GET can't materialize the store); ?full=1 explicitly overrides."""
+    import threading
+    import urllib.request
+
+    from fluent_server_ray.pipelines.forward_pipeline import run_forward_pipeline
+    from fluent_server_ray.pipelines.mirror_view import serve_mirror
+    from fluent_server_ray.sources.fluentfmt import pack_frames
+
+    p = tmp_path / "conn.msgpack"
+    entries = [[1441588984 + i, {"i": i}] for i in range(10)]
+    p.write_bytes(pack_frames([["t.a", entries, {"chunk": "cc"}]]))
+    out = tmp_path / "out"
+    run_forward_pipeline([str(p)], str(out), routes=[("**", "all")])
+
+    srv = serve_mirror(str(out), port=0, limit_per_tag=3)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        capped = json.loads(urllib.request.urlopen(f"{base}/").read())
+        assert len(capped["t.a"]) == 3
+        full = json.loads(urllib.request.urlopen(f"{base}/?full=1").read())
+        assert len(full["t.a"]) == 10
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+
 def test_read_sink_ordered(ray_session, synth_dir, tmp_path):
     from fluent_server_ray.pipelines.flagship import run_pipeline
     from fluent_server_ray.pipelines.mirror_view import read_sink
