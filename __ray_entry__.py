@@ -17,6 +17,7 @@ from collections.abc import Callable
 from typing import Any
 
 from fluent_server_ray import oracle
+from fluent_server_ray.sources.pq import read_parquet_clean
 from fluent_server_ray.pipelines.flagship import build_routed
 from fluent_server_ray.sources.transcripts import read_transcripts
 from fluent_server_ray.stages.aggregate import grouped_counts
@@ -115,20 +116,16 @@ COSINE_DUP_T = 0.42
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
-
     # the test tables are single small parquet files that Ray reads as
     # ONE block — which would serialize every per-doc stage (signature
     # loops especially) onto one task; real corpora have thousands of
     # natural blocks. Split so doc stages parallelize here too.
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           override_num_blocks=32)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              override_num_blocks=32)
 
 
 def _embs(sf_dir: str):
-    import ray.data as rd
-
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _q_token_counts(sf_dir: str):
@@ -189,10 +186,13 @@ def _q_dedup_minhash(sf_dir: str):
     true shingle-set Jaccard (texts ship for candidate ids only; the
     corpus never materializes on the driver). Probabilistic recall →
     rows-only driver check; equality with the driver-side verifier is
-    pinned in tests."""
+    pinned in tests. Returns a Dataset — the pair set itself stays in
+    the object store."""
     from fluent_server_ray.stages.dedup import minhash_near_dupes
 
-    return minhash_near_dupes(_docs(sf_dir))[["doc_a", "doc_b"]]
+    return minhash_near_dupes(_docs(sf_dir)).select_columns(
+        ["doc_a", "doc_b"]
+    )
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -216,6 +216,20 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
     from fluent_server_ray.stages.dedup import ngram_jaccard_dupes
 
     return ngram_jaccard_dupes(_docs(sf_dir), threshold=0.8)
+
+
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: connected components (distributed hash-min
+    label propagation) over the exact n-gram-Jaccard pair set — the
+    keep-one-per-component corpus-dedup rule. Oracle: recursive-CTE
+    transitive closure over the same SQL pair query."""
+    from fluent_server_ray.stages.dedup import (
+        ngram_jaccard_dupes,
+        pair_components,
+    )
+
+    pairs = ngram_jaccard_dupes(_docs(sf_dir), threshold=0.8)
+    return pair_components(pairs)
 
 
 def _q_ann(sf_dir: str):
@@ -293,7 +307,7 @@ def _q_sessionize(sf_dir: str):
 
     from fluent_server_ray.stages.windows import sessionize
 
-    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return sessionize(read_parquet_clean(f"{sf_dir}/events.parquet"))
 
 
 def _q_asof(sf_dir: str):
@@ -301,7 +315,7 @@ def _q_asof(sf_dir: str):
 
     from fluent_server_ray.stages.windows import asof_prior_event
 
-    return asof_prior_event(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return asof_prior_event(read_parquet_clean(f"{sf_dir}/events.parquet"))
 
 
 def _q_tumbling(sf_dir: str):
@@ -310,7 +324,7 @@ def _q_tumbling(sf_dir: str):
     from fluent_server_ray.stages.windows import tumbling_counts
 
     return tumbling_counts(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     )
 
 
@@ -320,7 +334,7 @@ def _q_sliding(sf_dir: str):
     from fluent_server_ray.stages.windows import sliding_counts
 
     return sliding_counts(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
     )
 
 
@@ -339,7 +353,7 @@ def _q_range_join(sf_dir: str):
 
     half = pa.scalar(RANGE_JOIN_HALF_WIDTH_S * 1_000_000,
                      type=pa.duration("us"))
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "event_type", "ts"])
 
     def clicks(t: pa.Table) -> pa.Table:
@@ -391,7 +405,7 @@ def _q_tumbling_value_agg(sf_dir: str):
     from fluent_server_ray.pipelines.relational import _cents
     from fluent_server_ray.stages.aggregate import grouped_agg
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -433,7 +447,7 @@ def _q_approx_distinct(sf_dir: str):
 
     from fluent_server_ray.stages.sketches import approx_distinct
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
     return pa.table({"approx_distinct_users": pa.array([round(est)], type=pa.int64())})
 
@@ -576,7 +590,7 @@ def _q_event_value_stats(sf_dir: str):
     from fluent_server_ray.pipelines.relational import _cents
     from fluent_server_ray.stages.aggregate import grouped_agg
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -608,6 +622,49 @@ FROM prep GROUP BY event_type ORDER BY event_type
 """.strip()
 
 
+def _q_conv_value_stats(sf_dir: str):
+    """Per-CONVERSATION value stats via ``grouped_agg(final='ray')`` —
+    the unbounded-key-cardinality path: |convs| is O(rows), so the
+    merge of partials runs as Ray's distributed groupby and the driver
+    never holds the partials (unlike ``final='driver'``, which is for
+    bounded key spaces like event_type)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"conv_id": t["conv_id"],
+             "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+        )
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_id"],
+        [("n_chars", "sum"), ("n_chars", "max"), ("n_chars", "count"),
+         ("n_chars", "mean")],
+        final="ray",
+    )
+
+
+def _conv_value_stats_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE
+        + """
+SELECT conv_id,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars_sum,
+  CAST(max(length(text)) AS BIGINT) AS n_chars_max,
+  count(text) AS n_chars_count,
+  CAST(sum(length(text)) AS DOUBLE) / count(text) AS n_chars_mean
+FROM transcripts GROUP BY conv_id ORDER BY conv_id"""
+    )
+
+
 VALUE_QUANTILE_ARGS = dict(lo=0.0, hi=500000.0, bins=1000)
 
 
@@ -618,7 +675,7 @@ def _q_value_quantiles(sf_dir: str):
 
     from fluent_server_ray.stages.sketches import binned_quantiles
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
     return binned_quantiles(ds, "o_totalprice", **VALUE_QUANTILE_ARGS)
 
 
@@ -648,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         # similarity search
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf,
@@ -682,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quantiles": _q_token_quantiles,
         "heavy_hitter_tags": _q_heavy_hitter_tags,
         "event_value_stats": _q_event_value_stats,
+        "conv_value_stats": _q_conv_value_stats,
         "transcripts_sample_convs": _q_sample_convs,
         "curation_pipeline": _q_curation,
     }
@@ -708,6 +767,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_prefix_block": dedup.prefix_block_dupes_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dupes_sql(threshold=0.8),
+        "dedup_clusters": dedup.pair_components_sql(
+            dedup.ngram_jaccard_dupes_sql(threshold=0.8)
+        ),
         # dedup_minhash / dedup_simhash: probabilistic signatures —
         # intentionally no SQL oracle (rows-only check)
         "ann_cosine_topk": similarity.ann_topk_sql(ANN_QUERY_IDS, k=ANN_K),
@@ -740,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_quantiles": _token_quantiles_sql(),
         "heavy_hitter_tags": _heavy_hitter_tags_sql(),
         "event_value_stats": _event_value_stats_sql(),
+        "conv_value_stats": _conv_value_stats_sql(),
         "transcripts_sample_convs": _sample_convs_sql(),
         "curation_pipeline": __import__(
             "fluent_server_ray.pipelines.curation",

@@ -18,10 +18,37 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import subprocess
 import sys
 import time
+
+
+class _EmptySchemaNoiseFilter(logging.Filter):
+    """Drop the executor's empty-new-schema divergence warning.
+
+    Ray's sort materializes empty range partitions as 0-COLUMN blocks
+    (``ray/data/_internal/arrow_block.py`` — ``sort()`` /
+    ``sort_and_partition()`` return ``_empty_table()`` for zero rows),
+    and the streaming executor then warns ``RefBundle with a different
+    schema ... new schema: .`` once per consuming operator. The engine
+    already skips zero-row blocks it produces itself
+    (``stages.aggregate.skip_empty``), but empty partitions born INSIDE
+    Ray's shuffle (boundaries > rows, e.g. a 25-pair result across 32
+    sort partitions) are not reachable from user code. Values are
+    unaffected (oracle-checked); only the empty-schema variant is
+    filtered — a real (typed) schema divergence still warns.
+    """
+
+    def filter(self, record):  # noqa: A003 (logging API)
+        msg = record.getMessage()
+        return not ("different schema" in msg and "new schema: ." in msg)
+
+
+logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySchemaNoiseFilter())
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -33,6 +33,7 @@ import shutil
 
 import pyarrow.compute as pc
 
+from fluent_server_ray.sources.pq import read_parquet_clean as _rpq
 from fluent_server_ray.sources.transcripts import read_transcripts
 from fluent_server_ray.stages.parse import apply_parse
 from fluent_server_ray.stages.enrich import apply_enrich, build_tenant_map
@@ -299,7 +300,7 @@ def run_pipeline(
         src = (
             group[0]
             if len(group) == 1
-            else rd.read_parquet(group, columns=TRANSCRIPT_SCHEMA_COLS)
+            else _rpq(group, columns=TRANSCRIPT_SCHEMA_COLS)
         )
         routed = build_routed(
             src, tenant_lookup=tenant_lookup, routes=routes,

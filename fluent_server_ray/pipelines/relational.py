@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from fluent_server_ray.sources.pq import read_parquet_clean
+
 
 def _cents(col) -> pa.Array:
     """round(x*100) → int64 cents; per-row double math is deterministic
@@ -41,7 +43,7 @@ def lineitem_agg(sf_dir: str):
     """Grouped pricing summary (TPC-H Q1 shape) with cents-exact sums."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -130,7 +132,7 @@ def orders_by_nation(sf_dir: str,
     )
     cust_rows = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -161,7 +163,7 @@ def orders_by_nation(sf_dir: str,
         # big-dim fallback: one co-located shuffle on the customer key
         from fluent_server_ray.stages.joins import bucketed_hash_join
 
-        cust_ds = rd.read_parquet(
+        cust_ds = read_parquet_clean(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         )
         nation_ref = ray.put(
@@ -216,7 +218,7 @@ def top_orders(sf_dir: str, k: int = 10):
     Deterministic tie-break on o_orderkey."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
 
@@ -253,7 +255,7 @@ def distinct_event_types(sf_dir: str):
 
     from fluent_server_ray.stages.aggregate import grouped_counts
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
     counts = grouped_counts(ds, ["event_type"])
     return counts.select(["event_type"]).to_pandas().sort_values(
         "event_type").reset_index(drop=True)
@@ -275,9 +277,9 @@ def union_high_low_value(sf_dir: str):
 
     cols = ["event_id", "event_type", "value"]
     path = f"{sf_dir}/events.parquet"
-    hi = rd.read_parquet(path, columns=cols,
+    hi = read_parquet_clean(path, columns=cols,
                          filter=pads.field("value") > 150.0)
-    lo = rd.read_parquet(path, columns=cols,
+    lo = read_parquet_clean(path, columns=cols,
                          filter=pads.field("value") < 10.0)
     u = hi.union(lo)
 
@@ -316,10 +318,10 @@ def revenue_by_priority(sf_dir: str, use_native: bool = False):
 
     from fluent_server_ray.stages.joins import bucketed_hash_join, native_join
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    lineitem = rd.read_parquet(
+    lineitem = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -465,7 +467,7 @@ def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE,
 
     from fluent_server_ray.stages.aggregate import grouped_counts
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"],
         filter=pads.field("o_totalprice") > min_price,
     )
@@ -474,7 +476,7 @@ def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE,
     key_arr = keys_tbl["o_custkey"].combine_chunks()
     key_ref = ray.put(key_arr)
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
 
@@ -537,7 +539,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 2):
     import pandas as pd
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_totalprice"],
     )

@@ -1,0 +1,59 @@
+"""Metadata-clean Parquet reads.
+
+Pandas-written parquet embeds a ``pandas`` metadata blob in the file
+schema that makes ``pyarrow.Schema`` unhashable; Ray Data's block
+schema unification hashes schemas for deduplication
+(``ray/data/_internal/arrow_ops/transform_pyarrow.py::unify_schemas``)
+and logs ``Failed to hash the schemas (for deduplication)`` per read
+task otherwise. Passing an explicit metadata-stripped schema to
+``read_parquet`` silences the warning AND lets Ray dedupe the schema
+copies across blocks (less driver memory per block metadata).
+
+Use this for any read of externally-written parquet (the driver's
+testdata tables); files this engine writes itself (Arrow tables via
+``write_parquet``) carry no pandas metadata and don't need it.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def read_parquet_clean(paths, **kwargs):
+    """``ray.data.read_parquet`` with the file schema's metadata
+    stripped (see module docstring). Only applies when a single
+    ``.parquet`` file path is given and no explicit ``schema`` is
+    passed; composes with ``columns=`` pruning (the schema names the
+    FILE's columns, ``columns`` selects the subset to decode)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    # a pushed-down `filter` may reference columns outside `columns`
+    # (filter-then-prune) — a subset schema would unresolve them at the
+    # fragment scan, so leave those reads untouched
+    if ("schema" not in kwargs and "filesystem" not in kwargs
+            and "filter" not in kwargs):
+        first = paths[0] if isinstance(paths, (list, tuple)) else paths
+        if (isinstance(first, str) and first.endswith(".parquet")
+                and os.path.isfile(first)):
+            try:
+                schemas = (
+                    [pq.read_schema(p).remove_metadata() for p in paths]
+                    if isinstance(paths, (list, tuple))
+                    else [pq.read_schema(paths).remove_metadata()]
+                )
+                if len({tuple(s.names) for s in schemas}) == 1:
+                    schema = schemas[0]
+                    cols = kwargs.get("columns")
+                    if cols is not None:
+                        # the declared schema must match the PRUNED
+                        # block layout, in selection order
+                        import pyarrow as pa
+
+                        schema = pa.schema(
+                            [schema.field(c) for c in cols]
+                        )
+                    kwargs["schema"] = schema
+            except Exception:
+                pass  # unreadable footer → let read_parquet report it
+    return rd.read_parquet(paths, **kwargs)

@@ -177,14 +177,14 @@ def read_transcripts(path: str, columns: list[str] | None = None,
     credentials (``server/tls.go:9-38`` — transport auth happens at the
     storage layer here, not per connection).
     """
-    import ray.data as rd
+    from fluent_server_ray.sources.pq import read_parquet_clean
 
     events = os.path.join(path, "events.parquet")
     if os.path.isdir(path) and os.path.exists(events):
         ev_cols = ["event_id", "user_id", "event_type"]
         if columns is None or "ts" in columns:
             ev_cols.append("ts")
-        ds = rd.read_parquet(events, columns=ev_cols, **read_kwargs)
+        ds = read_parquet_clean(events, columns=ev_cols, **read_kwargs)
 
         def derive(batch: pa.Table) -> pa.Table:
             out = derive_transcripts_batch(batch)
@@ -193,5 +193,5 @@ def read_transcripts(path: str, columns: list[str] | None = None,
         return ds.map_batches(
             derive, batch_format="pyarrow", zero_copy_batch=True
         )
-    return rd.read_parquet(path, columns=columns or TRANSCRIPT_SCHEMA_COLS,
+    return read_parquet_clean(path, columns=columns or TRANSCRIPT_SCHEMA_COLS,
                            **read_kwargs)

@@ -26,6 +26,25 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 
+def skip_empty(fn):
+    """Wrap a table→table batch fn into a generator that yields nothing
+    for zero-row outputs. Zero-row blocks entering a Ray ``sort`` /
+    ``groupby`` come back as 0-COLUMN tables
+    (``ArrowBlockAccessor.sort`` returns ``_empty_table()`` for empty
+    input, ray/data/_internal/arrow_block.py), whose empty schema then
+    trips the executor's "RefBundle with a different schema" warning on
+    every shuffle consuming a filtered stream. Skipping the empty
+    output block entirely is semantics-free (no rows) and keeps every
+    bundle schema-typed."""
+
+    def gen(batch: pa.Table):
+        out = fn(batch)
+        if len(out):
+            yield out
+
+    return gen
+
+
 def _partial_counts(keys: list[str]):
     def fn(batch: pa.Table) -> pa.Table:
         # group_by on an empty table yields an empty result with the
@@ -33,7 +52,7 @@ def _partial_counts(keys: list[str]):
         out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         return out.rename_columns(keys + ["n"])
 
-    return fn
+    return skip_empty(fn)
 
 
 def grouped_counts(ds, keys: list[str], batch_size: int | None = None,
@@ -125,7 +144,7 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
     kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
-    parts = ds.map_batches(partial, **kwargs)
+    parts = ds.map_batches(skip_empty(partial), **kwargs)
 
     if final == "ray":
         from ray.data.aggregate import Max, Min

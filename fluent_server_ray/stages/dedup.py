@@ -58,6 +58,8 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     flooding one reducer. min-of-mins is exact.
     """
 
+    from fluent_server_ray.stages.aggregate import skip_empty
+
     def partial(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, text_col).select(["_h", id_col, text_col])
         out = t.group_by(["_h", text_col]).aggregate([(id_col, "min")])
@@ -74,7 +76,8 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         ]
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby("_h")
         .map_groups(min_per_text, batch_format="pandas")
     )
@@ -117,6 +120,9 @@ def prefix_block_dupes(
     (recall < 1 inside the capped block), so oracle-checked paths stay
     exact unless a caller opts into the scale cap explicitly."""
 
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    @skip_empty
     def add_block(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -314,13 +320,19 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
     return cand
 
 
-def _empty_pairs(with_jaccard: bool = False) -> pd.DataFrame:
-    """Typed empty pair frame — the shared zero-duplicates result shape."""
-    cols = {"doc_a": pd.Series(dtype="int64"),
-            "doc_b": pd.Series(dtype="int64")}
+def _empty_pairs_ds(with_jaccard: bool = False,
+                    cols: tuple[str, str] = ("doc_a", "doc_b")):
+    """Typed zero-row pair Dataset — the shared zero-duplicates result
+    shape (typed so downstream ``select_columns``/``to_pandas`` see the
+    contract columns even with no blocks)."""
+    import ray.data as rd
+
+    a_col, b_col = cols
+    fields = {a_col: pa.array([], type=pa.int64()),
+              b_col: pa.array([], type=pa.int64())}
     if with_jaccard:
-        cols["jaccard"] = pd.Series(dtype="float64")
-    return pd.DataFrame(cols)
+        fields["jaccard"] = pa.array([], type=pa.float64())
+    return rd.from_arrow(pa.table(fields))
 
 
 def distinct_pairs(pairs_ds, n_buckets: int = 256,
@@ -328,8 +340,11 @@ def distinct_pairs(pairs_ds, n_buckets: int = 256,
     """Distributed DISTINCT over id-pair rows: one groupby on
     ``siphash(first col) % n_buckets`` (balanced small-int key), each
     bucket deduped with one vectorized ``drop_duplicates`` — never one
-    group per pair, never a driver materialization."""
-    from fluent_server_ray.stages.aggregate import hash_bucket_array
+    group per pair, never a driver materialization. Columns beyond the
+    pair key (e.g. a verified similarity score — identical across
+    duplicate discoveries of one pair, so any surviving copy is the
+    same) are carried through."""
+    from fluent_server_ray.stages.aggregate import hash_bucket_array, skip_empty
 
     a_col, b_col = cols
 
@@ -339,10 +354,10 @@ def distinct_pairs(pairs_ds, n_buckets: int = 256,
         )
 
     def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates([a_col, b_col])[[a_col, b_col]]
+        return g.drop_duplicates([a_col, b_col]).drop(columns=["_pbucket"])
 
     return (
-        pairs_ds.map_batches(add_bucket, batch_format="pyarrow",
+        pairs_ds.map_batches(skip_empty(add_bucket), batch_format="pyarrow",
                              zero_copy_batch=True)
         .groupby("_pbucket")
         .map_groups(bucket_distinct, batch_format="pandas")
@@ -373,9 +388,13 @@ def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
          text_a / text_b (pair rows + candidate texts shuffle; the
          corpus does not) and the same verify runs per bucket.
 
-    Returns a pandas DataFrame (doc_a, doc_b, jaccard) sorted,
-    identical to the driver-side :func:`verify_jaccard_pairs` result,
-    computed without collecting the corpus.
+    Returns a **Dataset** (doc_a, doc_b, jaccard) — the verified,
+    deduped pair set stays in the object store: on a boilerplate-heavy
+    crawl the near-dup PAIR SET itself is corpus-scale, so it must
+    never concat onto the driver (write it to a sink or reduce it
+    downstream; tests compare a sorted ``to_pandas`` at test scale
+    only). Row-set equality with the driver-side
+    :func:`verify_jaccard_pairs` baseline is pinned in tests.
     """
     import ray
 
@@ -390,7 +409,7 @@ def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
     ).materialize()
 
     if raw_cand.count() == 0:  # no near-dups — the common corpus case
-        return _empty_pairs(with_jaccard=True)
+        return _empty_pairs_ds(with_jaccard=True)
 
     # distinct candidate ids (small: only docs appearing in some pair)
     def explode_ids(t: pa.Table) -> pa.Table:
@@ -497,17 +516,13 @@ def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
 
         verified = j2.map_batches(make_verify(text_of), batch_format="pyarrow")
 
-    tables = list(
-        verified.iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    if not tables:  # candidates existed but none verified
-        return _empty_pairs(with_jaccard=True)
-    out = pa.concat_tables(tables).to_pandas()
-    return (
-        out.drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
+    # distributed distinct (cross-batch band duplicates); materialize so
+    # the count() guard doesn't force a re-execution for the caller —
+    # pair blocks pin in the OBJECT STORE, never on the driver
+    out = distinct_pairs(verified).materialize()
+    if out.count() == 0:  # candidates existed but none verified
+        return _empty_pairs_ds(with_jaccard=True)
+    return out
 
 
 def verify_jaccard_pairs(cand_df: pd.DataFrame, docs_df: pd.DataFrame,
@@ -586,6 +601,8 @@ def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
     verified exactly (popcount of the XOR) inside the group, then
     deduped across blocks with the distributed distinct. One shuffle of
     ``n_blocks`` small-int rows per doc; the corpus text never moves.
+    Returns a **Dataset** (doc_a, doc_b) — the pair set stays in the
+    object store (corpus-scale on boilerplate-heavy corpora).
 
     Requires ``max_hamming < n_blocks`` (else recall < 1 — asserted).
     Groups above ``max_group`` (a degenerate signature collision —
@@ -660,15 +677,10 @@ def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
         .groupby(["block_id", "block_val"])
         .map_groups(group_pairs, batch_format="pandas")
     )
-    tables = list(
-        distinct_pairs(cand, n_buckets=n_buckets).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    )
-    if not tables:  # no pair within the radius — the common case
-        return _empty_pairs()
-    out = pa.concat_tables(tables).to_pandas()
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out = distinct_pairs(cand, n_buckets=n_buckets).materialize()
+    if out.count() == 0:  # no pair within the radius — the common case
+        return _empty_pairs_ds()
+    return out
 
 
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
@@ -690,7 +702,10 @@ def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
     refs (never concatenated on the driver); one Ray task per unordered
     block pair compares its two blocks — P·(P+1)/2 independent tasks,
     the shape the Dataset API cannot express (a self cross join), so
-    this is one of the few sanctioned raw-``ray.remote`` stages.
+    this is one of the few sanctioned raw-``ray.remote`` stages. The
+    per-task pair tables re-enter Ray Data via ``from_arrow_refs`` —
+    the result is a **Dataset** whose blocks stay in the object store
+    (the driver never concatenates the pair set).
 
     Sets compare by 64-bit SipHash of the shingle strings: a hash
     collision could perturb a Jaccard value by ~|union|/2^64 — below
@@ -754,19 +769,170 @@ def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
             }
         )
 
+    import ray.data as rd
+
     futures = []
     for i in range(len(refs)):
         for j in range(i, len(refs)):
             futures.append(block_pair.remote(refs[i], refs[j], i == j))
-    tables = [t for t in ray.get(futures) if len(t)]
-    if not tables:
-        return _empty_pairs()
-    out = pa.concat_tables(tables).to_pandas()
-    return (
-        out.drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
+    # each doc lives in exactly one part, so a pair is examined by
+    # exactly one task — the refs are already distinct; distinct_pairs
+    # still runs as a cheap invariant (and normalizes empty blocks)
+    pairs = rd.from_arrow_refs(futures)
+    out = distinct_pairs(pairs, n_buckets=min(64, n_parts * 8)).materialize()
+    if out.count() == 0:
+        return _empty_pairs_ds()
+    return out
+
+
+# ------------------------------------------- connected components
+
+def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
+                    cols: tuple[str, str] = ("doc_a", "doc_b")):
+    """Connected components over an undirected pair Dataset — the
+    near-dup CLUSTERING step (a near-dup relation is not transitive;
+    keeping one doc per *component* is the actual corpus-dedup rule,
+    cf. MinHash-dedup practice in large-crawl pipelines).
+
+    Algorithm: distributed hash-min label propagation. Every node
+    starts labeled with itself; each round, every node takes the min
+    label among itself and its neighbors (one bucketed hash join of
+    edges against labels + one distributed min-aggregate — both keyed
+    shuffles on the SAME hash-bucket primitive). Labels only decrease,
+    so the process converges in at most *diameter* rounds — near-dup
+    components are LSH cliques or short chains, so 2-4 rounds in
+    practice; ``max_iters`` bounds adversarial chains. Convergence is
+    detected distributedly: a round that changes no label (checked with
+    a bucketed join old-vs-new and a ``count()``) ends the loop.
+
+    Returns a Dataset ``(doc_id, component)`` with ``component`` = min
+    doc id of the component, for every doc that appears in some pair
+    (singletons are their own trivial component and are omitted —
+    union them in from the corpus if needed).
+    """
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    a_col, b_col = cols
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        src = pa.concat_arrays(
+            [t[a_col].combine_chunks().cast(pa.int64()),
+             t[b_col].combine_chunks().cast(pa.int64())]
+        )
+        dst = pa.concat_arrays(
+            [t[b_col].combine_chunks().cast(pa.int64()),
+             t[a_col].combine_chunks().cast(pa.int64())]
+        )
+        return pa.table({"src": src, "dst": dst})
+
+    edges = pairs_ds.map_batches(skip_empty(both_dirs),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "component": pa.array([], type=pa.int64())})
+        )
+
+    def seed(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["src"])
+        return pa.table({"node": u, "label": u})
+
+    def node_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["label"].min()
+        return out.astype({"node": "int64", "label": "int64"})
+
+    def bucket_min(ds):
+        from fluent_server_ray.stages.aggregate import hash_bucket_array
+
+        def add_b(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_nb", pa.array(hash_bucket_array(t["node"], n_buckets))
+            )
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return node_min(g.drop(columns=["_nb"]))
+
+        return (
+            ds.map_batches(skip_empty(add_b), batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_nb")
+            .map_groups(per_bucket, batch_format="pandas")
+        )
+
+    # initial labels: one row per distinct node (per-block unique →
+    # distributed distinct-min, reusing the same bucketed reduction)
+    labels = bucket_min(
+        edges.map_batches(skip_empty(seed), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ).materialize()
+
+    for _ in range(max_iters):
+        # neighbor labels: edges(src,dst) ⋈ labels(node=src) → (dst, label)
+        joined = bucketed_hash_join(edges, labels, key="src",
+                                    right_key="node", n_buckets=n_buckets)
+
+        def to_cand(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["dst"], "label": t["label"]})
+
+        cand = joined.map_batches(skip_empty(to_cand),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        new_labels = bucket_min(cand.union(labels)).materialize()
+
+        # distributed convergence check: any node whose label shrank?
+        def relabeled(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"], "new_label": t["label"]})
+
+        cmp = bucketed_hash_join(
+            new_labels.map_batches(skip_empty(relabeled),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True),
+            labels, key="node", n_buckets=n_buckets,
+        )
+
+        def changed_only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t["new_label"], t["label"]))
+
+        n_changed = cmp.map_batches(
+            skip_empty(changed_only), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).count()
+        labels = new_labels
+        if n_changed == 0:
+            break
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "component": t["label"]})
+
+    return labels.map_batches(skip_empty(finish), batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def pair_components_sql(pairs_sql: str) -> str:
+    """Recursive-CTE oracle: min-label transitive closure over the
+    (exact, SQL-expressible) pair query given by ``pairs_sql`` — the
+    same component rule the distributed propagation computes."""
+    return f"""
+WITH RECURSIVE base AS (
+  {pairs_sql}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM base
+  UNION ALL
+  SELECT doc_b, doc_a FROM base
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS component FROM reach
+GROUP BY node ORDER BY doc_id
+""".strip()
 
 
 # Python str.split() splits on UNICODE whitespace; RE2's \s is ASCII

@@ -28,14 +28,19 @@ import pyarrow as pa
 
 
 def _with_bucket(ds, key: str, n_buckets: int):
-    from fluent_server_ray.stages.aggregate import hash_bucket_array
+    from fluent_server_ray.stages.aggregate import hash_bucket_array, skip_empty
 
     def add(t: pa.Table) -> pa.Table:
         return t.append_column(
             "_bucket", pa.array(hash_bucket_array(t[key], n_buckets))
         )
 
-    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+    # skip_empty: this is the last map before the groupby shuffle —
+    # zero-row blocks (an upstream filter that dropped a whole block)
+    # would come back from the shuffle's sort as 0-column tables and
+    # trip the executor's schema-divergence warning
+    return ds.map_batches(skip_empty(add), batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def cogrouped(left, right, key: str, right_key: str | None = None,

@@ -178,11 +178,13 @@ def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
     precision is exact, recall is ``1-(1-p^k)^L`` (≈1 - 3e-6 per pair
     at the defaults for cosine 0.43). Duplicate discoveries across
     tables collapse via a distributed distinct keyed on
-    ``hash(vec_a) % n_buckets``. The corpus never concatenates on the
-    driver.
+    ``hash(vec_a) % n_buckets``. Returns a **Dataset** (vec_a, vec_b):
+    neither the corpus NOR the result pair set (corpus-scale on
+    near-dup-heavy corpora) ever concatenates on the driver.
 
-    exact=True: all-pairs O(n²) matmul on the driver — the recall
-    baseline for tests (fine to ~10^5 vectors; never the scale path).
+    exact=True: all-pairs O(n²) matmul on the driver, returning a
+    pandas DataFrame — the recall baseline for tests (fine to ~10^5
+    vectors; never the scale path).
     """
     if exact:
         tab = pa.concat_tables(
@@ -232,20 +234,16 @@ def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # distributed distinct over pair rows (same-pair hits from several
-    # tables); pairs are verified already, so this is the final result
-    from fluent_server_ray.stages.dedup import distinct_pairs
+    # tables); pairs are verified already, so this is the final result —
+    # materialized into the OBJECT STORE (never the driver)
+    from fluent_server_ray.stages.dedup import _empty_pairs_ds, distinct_pairs
 
-    tables = list(
-        distinct_pairs(cand, n_buckets=n_buckets, cols=("vec_a", "vec_b"))
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    if not tables:
-        return pd.DataFrame(
-            {"vec_a": pd.Series(dtype="int64"),
-             "vec_b": pd.Series(dtype="int64")}
-        )
-    out = pa.concat_tables(tables).to_pandas()
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    out = distinct_pairs(
+        cand, n_buckets=n_buckets, cols=("vec_a", "vec_b")
+    ).materialize()
+    if out.count() == 0:
+        return _empty_pairs_ds(cols=("vec_a", "vec_b"))
+    return out
 
 
 def cosine_dupes_sql(threshold: float = 0.95, table: str = "embeddings") -> str:
@@ -257,6 +255,46 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
 
 
 # ----------------------------------------------------------- IVF index
+
+def _bottomk_sample_matrix(ds, sample_size: int, id_col: str = "vec_id",
+                           emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic UNIFORM sample of ``sample_size`` embedding rows:
+    the global bottom-k rows by ``siphash(id)`` (classic bottom-k /
+    minwise sampling). Each batch keeps its local bottom-k (a
+    combiner), the driver merges the O(blocks × k) partials and takes
+    the global bottom-k — so the sample is a fixed pseudo-random subset
+    of the CORPUS, independent of row/block order. ``ds.limit(k)``
+    (the old path) takes the stream HEAD instead: on a corpus ordered
+    by time or source the k-means quantizer then trains only on the
+    head's distribution and tail queries degrade — pinned by the
+    clustered-corpus recall test."""
+    import pandas as pd_
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, emb_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if ids.dtype == object:
+            h = pd_.util.hash_array(ids)
+        else:
+            h = pd_.util.hash_array(np.ascontiguousarray(ids))
+        kk = min(sample_size, len(t))
+        idx = (np.argpartition(h, kk - 1)[:kk]
+               if kk < len(t) else np.arange(len(t)))
+        return t.take(pa.array(idx)).append_column(
+            "_hs", pa.array(h[idx], type=pa.uint64())
+        )
+
+    parts = pa.concat_tables(
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    h = parts["_hs"].to_numpy(zero_copy_only=False)
+    kk = min(sample_size, len(parts))
+    idx = np.argpartition(h, kk - 1)[:kk] if kk < len(parts) else np.arange(
+        len(parts)
+    )
+    return _batch_matrix(parts.take(pa.array(idx)), emb_col)
+
 
 def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
             seed: int = 17) -> np.ndarray:
@@ -277,10 +315,13 @@ def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
 def ivf_build(ds, index_dir: str, n_centroids: int = 16,
               id_col: str = "vec_id", emb_col: str = "embedding",
               sample_size: int = 10_000, seed: int = 17) -> np.ndarray:
-    """Persist an IVF index: train the coarse quantizer on a sample,
-    assign every vector to its nearest centroid in one streamed pass,
-    and WRITE THE CORPUS PARTITIONED BY CENTROID ID (hive dirs
-    ``lists/centroid=<c>/``) plus ``centroids.npy``.
+    """Persist an IVF index: train the coarse quantizer on a
+    deterministic UNIFORM hash-sample (:func:`_bottomk_sample_matrix`
+    — not the stream head, which would bias the centroids on
+    time/source-ordered corpora), assign every vector to its nearest
+    centroid in one streamed pass, and WRITE THE CORPUS PARTITIONED BY
+    CENTROID ID (hive dirs ``lists/centroid=<c>/``) plus
+    ``centroids.npy``.
 
     This is the promised scale path for :func:`ivf_topk`: the
     assignment becomes a durable partition key, so a query batch later
@@ -292,11 +333,8 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16,
 
     import ray
 
-    first = pa.concat_tables(
-        ds.limit(sample_size).iter_batches(batch_size=None,
-                                           batch_format="pyarrow")
-    )
-    centroids = _kmeans(_batch_matrix(first, emb_col), n_centroids, seed=seed)
+    sample = _bottomk_sample_matrix(ds, sample_size, id_col, emb_col)
+    centroids = _kmeans(sample, n_centroids, seed=seed)
     os.makedirs(index_dir, exist_ok=True)
     np.save(os.path.join(index_dir, "centroids.npy"), centroids)
     cent_ref = ray.put(centroids)
@@ -426,10 +464,8 @@ def ivf_topk(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
     """
     import ray
 
-    first = pa.concat_tables(
-        ds.limit(sample_size).iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    centroids = _kmeans(_batch_matrix(first, emb_col), n_centroids, seed=seed)
+    sample = _bottomk_sample_matrix(ds, sample_size, id_col, emb_col)
+    centroids = _kmeans(sample, n_centroids, seed=seed)
 
     qset = set(query_ids)
 

@@ -18,7 +18,9 @@ ORACLE_QUERIES = [
     "dedup_exact",
     "dedup_prefix_block",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "event_value_stats",
+    "conv_value_stats",
     "transcripts_sample_convs",
     "curation_pipeline",
     "transcripts_tenant_counts_salted",
@@ -154,7 +156,7 @@ def test_lsh_bucketed_cosine_dupes_matches_exact(ray_session):
     approx = cosine_dupes(
         rd.read_parquet(f"{SF_SMALL}/embeddings.parquet"),
         threshold=0.42, exact=False,
-    )
+    ).to_pandas()  # pair ops return Datasets; collect at test scale only
     e = set(zip(exact["vec_a"], exact["vec_b"]))
     a = set(zip(approx["vec_a"], approx["vec_b"]))
     assert len(e) > 0
@@ -174,7 +176,7 @@ def test_minhash_near_dupes_matches_driver_baseline(ray_session):
     )
 
     ds = rd.read_parquet(f"{SF_SMALL}/documents.parquet")
-    dist = minhash_near_dupes(ds)
+    dist = minhash_near_dupes(ds).to_pandas()
     cand = minhash_lsh_candidates(
         rd.read_parquet(f"{SF_SMALL}/documents.parquet")
     ).to_pandas()
@@ -283,6 +285,83 @@ def test_ivf_persisted_index_prunes_reads(ray_session, tmp_path):
     )
 
 
+def test_pair_components_chain_and_convergence(ray_session):
+    """Hash-min label propagation: a CHAIN (worst-case diameter) and
+    disjoint cliques resolve to min-id components; empty input returns
+    a typed empty Dataset."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import pair_components
+
+    # chain 10-11-12-13-14 (diameter 4) + clique {20,21,22} + pair {30,31}
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [10, 11, 12, 13, 20, 20, 21, 30],
+            "doc_b": [11, 12, 13, 14, 21, 22, 22, 31],
+        }
+    )
+    out = pair_components(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+    empty = pair_components(
+        rd.from_arrow(
+            pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64())})
+        )
+    )
+    assert empty.count() == 0
+    assert empty.schema().names == ["doc_id", "component"]
+
+
+def test_ivf_quantizer_sample_uniform_on_clustered_corpus(ray_session):
+    """A corpus ORDERED by distribution (head drawn from cluster A,
+    tail from cluster B) must yield a quantizer sample containing both
+    — ds.limit() took the stream head and biased the centroids to A —
+    and IVF recall for tail (B) queries must hold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import (
+        _bottomk_sample_matrix,
+        ann_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    n_a, n_b, d = 3000, 1000, 16
+    a = rng.standard_normal((n_a, d))
+    a[:, :8] += 6.0
+    b = rng.standard_normal((n_b, d))
+    b[:, 8:] -= 6.0
+    mat = np.vstack([a, b])
+    tab = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_a + n_b, dtype=np.int64)),
+            "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(16)
+
+    sample = _bottomk_sample_matrix(ds, 1000)
+    assert len(sample) == 1000
+    frac_b = float((sample[:, 8:].sum(axis=1) < -20).mean())
+    # uniform over the corpus → ~25% from the tail cluster
+    assert 0.15 < frac_b < 0.35, frac_b
+
+    # recall for TAIL queries with the sampled quantizer
+    qids = list(range(n_a + n_b - 8, n_a + n_b))
+    exact = ann_topk(rd.from_arrow(tab), qids, k=5)
+    approx = ivf_topk(rd.from_arrow(tab).repartition(16), qids, k=5,
+                      n_centroids=16, n_probe=4, sample_size=1000)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    ap = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & ap) / len(e)
+    assert recall >= 0.8, recall
+
+
 def test_anti_join_bloom_path_matches_exact(ray_session):
     """The Bloom-prefiltered anti join (the big-key-set path) returns
     exactly the broadcast-exact result: Bloom negatives are definite,
@@ -367,7 +446,7 @@ def test_simhash_pairs_recall_one_within_radius(ray_session):
     )
 
     docs = rd.read_parquet(f"{SF_SMALL}/documents.parquet")
-    got = simhash_near_dupes(docs, max_hamming=3, n_blocks=4)
+    got = simhash_near_dupes(docs, max_hamming=3, n_blocks=4).to_pandas()
     sigs = simhash_signatures(
         rd.read_parquet(f"{SF_SMALL}/documents.parquet")
     ).to_pandas()
@@ -392,10 +471,10 @@ def test_ngram_jaccard_superset_of_minhash(ray_session):
 
     exact = ngram_jaccard_dupes(
         rd.read_parquet(f"{SF_SMALL}/documents.parquet"), threshold=0.8
-    )
+    ).to_pandas()
     mh = minhash_near_dupes(
         rd.read_parquet(f"{SF_SMALL}/documents.parquet"), threshold=0.8
-    )
+    ).to_pandas()
     e = set(zip(exact["doc_a"], exact["doc_b"]))
     m = set(zip(mh["doc_a"], mh["doc_b"]))
     assert m <= e
@@ -425,12 +504,16 @@ def test_near_dup_ops_empty_result_corpora(ray_session):
             ],
         }
     )
+    # pair ops return Datasets; an empty one still carries the typed
+    # contract schema (ray's to_pandas drops columns at zero rows, so
+    # assert on schema().names)
     mh = minhash_near_dupes(rd.from_pandas(docs))
-    assert len(mh) == 0 and list(mh.columns) == ["doc_a", "doc_b", "jaccard"]
+    assert mh.count() == 0
+    assert mh.schema().names == ["doc_a", "doc_b", "jaccard"]
     sh = simhash_near_dupes(rd.from_pandas(docs), max_hamming=1, n_blocks=4)
-    assert len(sh) == 0 and list(sh.columns) == ["doc_a", "doc_b"]
+    assert sh.count() == 0 and sh.schema().names == ["doc_a", "doc_b"]
     ng = ngram_jaccard_dupes(rd.from_pandas(docs), threshold=0.99)
-    assert len(ng) == 0
+    assert ng.count() == 0 and ng.schema().names == ["doc_a", "doc_b"]
     import pyarrow as pa
 
     embs = pa.table(
@@ -444,7 +527,7 @@ def test_near_dup_ops_empty_result_corpora(ray_session):
     )
     cd = cosine_dupes(rd.from_arrow(embs), threshold=0.9999, exact=False,
                       dim=16)
-    assert len(cd) == 0
+    assert cd.count() == 0 and cd.schema().names == ["vec_a", "vec_b"]
 
 
 def test_cdc_chunks_reassemble_and_shift_robust(ray_session):
@@ -524,7 +607,7 @@ def test_ngram_jaccard_unicode_whitespace_parity(ray_session, tmp_path):
     p = str(tmp_path / "docs.parquet")
     pq.write_table(t, p)
 
-    got = ngram_jaccard_dupes(rd.read_parquet(p), threshold=0.5)
+    got = ngram_jaccard_dupes(rd.read_parquet(p), threshold=0.5).to_pandas()
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
     want = con.execute(ngram_jaccard_dupes_sql(threshold=0.5)).df()
