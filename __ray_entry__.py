@@ -497,6 +497,19 @@ def _q_curation(sf_dir: str):
     return curate_documents(_docs(sf_dir))
 
 
+def _q_curation_near_dedup(sf_dir: str):
+    """The full large-crawl curation chain: quality gate → exact dedup
+    → MinHash near-dup pairs → connected components → keep min-id per
+    component. MinHash recall is probabilistic → rows-only; the
+    exact-pair variant of the same composition (`dedup_clusters`) is
+    oracle-checked, and the keep-rule is pinned in pytest."""
+    from fluent_server_ray.pipelines.curation import (
+        curate_documents_near_dedup,
+    )
+
+    return curate_documents_near_dedup(_docs(sf_dir))
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking of the multimodal binary payloads —
     one row per (doc, chunk) with offset/length/md5. Boundaries are a
@@ -743,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_value_stats": _q_conv_value_stats,
         "transcripts_sample_convs": _q_sample_convs,
         "curation_pipeline": _q_curation,
+        "curation_near_dedup": _q_curation_near_dedup,
     }
 
 

@@ -103,9 +103,16 @@ def run_once() -> dict:
 
     corpus = ensure_corpus()  # parallel generation (Ray is up)
 
-    # ~6 blocks per CPU: big enough to amortize per-task overhead,
-    # small enough that Zipf-skewed shard sizes don't straggle
-    num_blocks = NUM_CPUS * 6
+    # ~4 blocks per CPU (round-3 same-day matrix, 4x corpus, M turns/s):
+    #   cpus=16: 32blk 12.5 | 64blk 17.2 | 96blk 15.6 | 192blk 12.3
+    #   cpus=32: 64blk 21.3 | 128blk 17.2 | 192blk 14.4
+    #   cpus=4:   8blk  3.6 | 16blk  4.6 | 32blk  3.2
+    # and 1x corpus cpus=32: 64blk 3.52s | 128blk 3.66s | 192blk 3.85s.
+    # Fewer tasks = fewer plasma hops + less dispatch; too few starves
+    # low-cpu runs. ncpu*4 is the best uniform formula across the
+    # matrix (SURVEY §4.2's "2-4 blocks per core"); round 2's ncpu*6
+    # left ~20-30% on the table at 16-32 cpus.
+    num_blocks = NUM_CPUS * 4
 
     # warm the page cache so we measure compute+shuffle, not cold disk
     import ray.data as rd
@@ -152,7 +159,7 @@ def run_once() -> dict:
 
     for qname in () if os.environ.get("FSR_COUNTS_ONLY") else ("dedup_exact", "dedup_minhash", "ann_cosine_topk",
                   "sessionize", "join_revenue_by_priority",
-                  "curation_pipeline"):
+                  "curation_pipeline", "conv_value_stats"):
         try:
             t0 = time.perf_counter()
             res = entrymod.queries()[qname](SF_DIR)

@@ -77,6 +77,62 @@ def curate_documents(ds, min_tokens: int = MIN_TOKENS,
                                zero_copy_batch=True)
 
 
+def curate_documents_near_dedup(ds, min_tokens: int = MIN_TOKENS,
+                                min_alpha: float = MIN_ALPHA,
+                                threshold: float = 0.8):
+    """NEAR-dup-aware curation — the full large-crawl chain:
+
+        quality gate → exact dedup → MinHash+LSH near-dup pairs
+          → connected components → keep the min-id doc per component
+
+    Near-dup similarity is not transitive, so the keep-one rule runs on
+    COMPONENTS of the pair graph (``pair_components``), not on raw
+    pairs. The drop set (non-minimal members) is O(near-dup docs) —
+    broadcast once via ``ray.put`` and applied as a vectorized
+    ``is_in`` filter; the corpus streams. MinHash recall is
+    probabilistic → rows-only driver check; the exact-pair variant of
+    the same composition (``dedup_clusters``) is oracle-checked.
+
+    Returns a Dataset (doc_id, text).
+    """
+    import pyarrow.compute as _pc
+    import ray
+
+    from fluent_server_ray.stages.dedup import (
+        minhash_near_dupes,
+        pair_components,
+    )
+
+    curated = curate_documents(ds, min_tokens=min_tokens,
+                               min_alpha=min_alpha,
+                               hex_threshold=None)  # gate+dedup, no sample
+    curated = curated.materialize()  # consumed twice (pairs + final filter)
+    pairs = minhash_near_dupes(curated, threshold=threshold)
+    comp = pair_components(pairs)
+
+    def non_min(t: pa.Table) -> pa.Table:
+        keep = _pc.not_equal(t["doc_id"], t["component"])
+        return pa.table({"doc_id": t["doc_id"]}).filter(keep)
+
+    drop_tbls = list(
+        comp.map_batches(non_min, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if not drop_tbls:
+        return curated.select_columns(["doc_id", "text"])
+    drop_ids = pa.concat_tables(drop_tbls)["doc_id"].combine_chunks()
+    drop_ref = ray.put(drop_ids)
+
+    def drop_members(t: pa.Table) -> pa.Table:
+        ids = ray.get(drop_ref)
+        mask = _pc.invert(_pc.is_in(t["doc_id"], value_set=ids))
+        return t.select(["doc_id", "text"]).filter(mask)
+
+    return curated.map_batches(drop_members, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def curate_documents_sql(min_tokens: int = MIN_TOKENS,
                          min_alpha: float = MIN_ALPHA,
                          hex_threshold: str = SAMPLE_HEX,

@@ -64,3 +64,18 @@ def test_entry_smoke(ray_session):
     ds = e.entry()
     assert ds.count() > 0
     assert "sink" in [f.name for f in ds.schema().base_schema]
+
+
+def test_registry_consistency():
+    """Every oracle_sql() key must name a registered query (a typo here
+    silently downgrades a query to rows-only in the driver scorecard),
+    and every SQL string must at least parse against the sf0.001 views."""
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    missing = set(sqls) - set(qs)
+    assert not missing, missing
+    con = _con(SF_SMALL)
+    for name, sql in sqls.items():
+        con.execute(f"EXPLAIN {sql}")  # parse + bind only, no execution

@@ -316,6 +316,36 @@ def test_pair_components_chain_and_convergence(ray_session):
     assert empty.schema().names == ["doc_id", "component"]
 
 
+def test_curation_near_dedup_keeps_min_per_component(ray_session):
+    """gate → exact dedup → minhash pairs → components → keep min-id:
+    a 3-doc near-dup cluster collapses to its min id, distinct docs
+    survive, gated docs never reach the near-dup stage."""
+    import ray.data as rd
+
+    from fluent_server_ray.pipelines.curation import (
+        curate_documents_near_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"word{i}" for i in range(400)]
+    base = list(rng.choice(vocab, size=60, replace=False))
+    near1 = base.copy(); near1[0] = "changedone"
+    near2 = base.copy(); near2[-1] = "changedtwo"
+    distinct = list(rng.choice(vocab, size=60, replace=False))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 20, 30],
+            "text": [
+                " ".join(base), " ".join(near1), " ".join(near2),
+                " ".join(distinct),
+                "short low 1 2 3",  # fails the ≥20-token gate
+            ],
+        }
+    )
+    out = curate_documents_near_dedup(rd.from_pandas(docs)).to_pandas()
+    assert sorted(out["doc_id"]) == [10, 20]  # cluster→min id; gated gone
+
+
 def test_ivf_quantizer_sample_uniform_on_clustered_corpus(ray_session):
     """A corpus ORDERED by distribution (head drawn from cluster A,
     tail from cluster B) must yield a quantizer sample containing both
