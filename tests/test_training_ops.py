@@ -46,6 +46,7 @@ ORACLE_QUERIES = [
     "multimodal_frames",
     "sliding_counts",
     "doc_bpe_token_counts",
+    "doc_tfidf",
     "multimodal_resize",
     "price_quantiles",
 ]
