@@ -686,6 +686,29 @@ FROM transcripts GROUP BY conv_id ORDER BY conv_id"""
     )
 
 
+GROUPED_QUANTILE_ARGS = dict(lo=0.0, hi=500.0, bins=1000)
+
+
+def _q_value_quantiles_by_type(sf_dir: str):
+    """Per-event-type histogram quantiles (p50/p95/p99 of value) — the
+    keyed sketch: one vectorized bincount per batch over the combined
+    (group, bin) key, |groups|×bins driver merge."""
+    from fluent_server_ray.stages.sketches import grouped_binned_quantiles
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return grouped_binned_quantiles(ds, "event_type", "value",
+                                    **GROUPED_QUANTILE_ARGS)
+
+
+def _value_quantiles_by_type_sql() -> str:
+    from fluent_server_ray.stages.sketches import grouped_binned_quantiles_sql
+
+    return grouped_binned_quantiles_sql("event_type", "value",
+                                        table="events",
+                                        **GROUPED_QUANTILE_ARGS)
+
+
 VALUE_QUANTILE_ARGS = dict(lo=0.0, hi=500000.0, bins=1000)
 
 
@@ -760,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct,
         "price_quantiles": _q_value_quantiles,
         "doc_token_quantiles": _q_token_quantiles,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
         "heavy_hitter_tags": _q_heavy_hitter_tags,
         "event_value_stats": _q_event_value_stats,
         "conv_value_stats": _q_conv_value_stats,
@@ -824,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         ).binned_quantiles_sql("o_totalprice", table="orders",
                                **VALUE_QUANTILE_ARGS),
         "doc_token_quantiles": _token_quantiles_sql(),
+        "value_quantiles_by_type": _value_quantiles_by_type_sql(),
         "heavy_hitter_tags": _heavy_hitter_tags_sql(),
         "event_value_stats": _event_value_stats_sql(),
         "conv_value_stats": _conv_value_stats_sql(),

@@ -169,6 +169,128 @@ FROM qs, totals
 """.strip()
 
 
+
+def grouped_binned_quantiles(ds, group_col: str, col: str, lo: float,
+                             hi: float, bins: int = 1000,
+                             qs: tuple[float, ...] = (0.5, 0.95, 0.99)):
+    """Per-GROUP histogram quantiles — the keyed sibling of
+    :func:`binned_quantiles` (p50/p95/p99 per event type, per tenant,
+    per language: the standard curation dashboard shape).
+
+    Combiner: each batch bins its values and bincounts over the
+    COMBINED key ``group_code * bins + bin_idx`` (one vectorized
+    bincount regardless of group count), emitting one (group,
+    histogram-blob) row per group per batch. Driver merge holds
+    |groups| × bins int64 — the bounded-key-space contract (same as
+    ``grouped_counts(final='driver')``); an unbounded group column
+    belongs in a hash-bucketed ``map_groups`` variant instead.
+    Quantile rule identical to the ungrouped sketch (lower edge of the
+    first bin reaching ceil(q·n)) — deterministic integers, exact SQL
+    mirror.
+
+    Returns a pyarrow Table (group_col, q, bucket_idx, bucket_lo,
+    n_total) sorted by (group_col, q).
+    """
+    import pyarrow as pa
+
+    width = (hi - lo) / bins
+
+    def hist_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pc.dictionary_encode(
+            pc.fill_null(pc.cast(t[group_col], pa.string()), "")
+        )
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = keys.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = keys.dictionary.to_pylist()
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(
+            np.floor((vals - lo) / width).astype(np.int64), 0, bins - 1
+        )
+        combined = codes * bins + idx
+        counts = np.bincount(combined, minlength=len(uniq) * bins)
+        counts = counts.reshape(len(uniq), bins).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array(uniq, type=pa.string()),
+                "hist": pa.array([c.tobytes() for c in counts],
+                                 type=pa.binary()),
+            }
+        )
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    totals: dict = {}
+    for batch in ds.map_batches(
+        skip_empty(hist_batch), batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for g, blob in zip(batch["g"].to_pylist(), batch["hist"].to_pylist()):
+            vec = np.frombuffer(blob, dtype=np.int64)
+            if g in totals:
+                totals[g] = totals[g] + vec
+            else:
+                totals[g] = vec.copy()
+
+    out_g, out_q, out_idx, out_lo, out_n = [], [], [], [], []
+    for g in sorted(totals):
+        total = totals[g]
+        n = int(total.sum())
+        cum = np.cumsum(total)
+        for q in qs:
+            target = int(np.ceil(q * n))
+            bucket = int(np.searchsorted(cum, target))
+            out_g.append(g)
+            out_q.append(q)
+            out_idx.append(bucket)
+            out_lo.append(lo + bucket * width)
+            out_n.append(n)
+    return pa.table(
+        {
+            group_col: pa.array(out_g, type=pa.string()),
+            "q": pa.array(out_q, type=pa.float64()),
+            "bucket_idx": pa.array(out_idx, type=pa.int64()),
+            "bucket_lo": pa.array(out_lo, type=pa.float64()),
+            "n_total": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+def grouped_binned_quantiles_sql(group_col: str, col: str, lo: float,
+                                 hi: float, bins: int = 1000,
+                                 qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                                 table: str = "events") -> str:
+    """Exact SQL mirror of the per-group histogram-quantile rule."""
+    width = (hi - lo) / bins
+    q_rows = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH buckets AS (
+  SELECT CAST({group_col} AS VARCHAR) AS g,
+         LEAST(GREATEST(CAST(floor(({col} - {lo}) / {width}) AS BIGINT), 0),
+               {bins - 1}) AS bucket_idx,
+         count(*) AS c
+  FROM {table} GROUP BY 1, 2
+), cum AS (
+  SELECT g, bucket_idx,
+         sum(c) OVER (PARTITION BY g ORDER BY bucket_idx
+                      ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM buckets
+), totals AS (SELECT g, sum(c) AS n FROM buckets GROUP BY g),
+qs(q) AS (VALUES {q_rows})
+SELECT t.g AS {group_col}, q,
+  (SELECT min(bucket_idx) FROM cum
+    WHERE cum.g = t.g
+      AND cum_c >= CAST(ceil(q * t.n) AS BIGINT)) AS bucket_idx,
+  {lo} + (SELECT min(bucket_idx) FROM cum
+           WHERE cum.g = t.g
+             AND cum_c >= CAST(ceil(q * t.n) AS BIGINT)) * {width}
+    AS bucket_lo,
+  CAST(t.n AS BIGINT) AS n_total
+FROM qs, totals t
+""".strip()
+
+
 class BloomFilter:
     """Numpy-backed Bloom filter: the broadcast-side structure for
     semi/anti joins whose key set is too large to ship exactly (the

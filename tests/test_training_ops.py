@@ -49,6 +49,7 @@ ORACLE_QUERIES = [
     "doc_tfidf",
     "multimodal_resize",
     "price_quantiles",
+    "value_quantiles_by_type",
 ]
 
 
