@@ -41,16 +41,16 @@ def mirror_json(out_dir: str, limit_per_tag: int | None = None) -> dict:
             df = df.sort_values(sort_cols)
         for row in df.to_dict("records"):  # bounded use; no iterrows
             tag = row.get("tag", "")
+            events = out.setdefault(tag, [])
+            if limit_per_tag and len(events) >= limit_per_tag:
+                continue  # capped: skip the row instead of append+slice
             record = {
                 k: v
                 for k, v in row.items()
                 if k not in ("tag", "ts") and v is not None
             }
-            ev = {"ts": str(row["ts"]) if "ts" in row else None,
-                  "record": record}
-            out.setdefault(tag, []).append(ev)
-            if limit_per_tag and len(out[tag]) > limit_per_tag:
-                out[tag] = out[tag][:limit_per_tag]
+            events.append({"ts": str(row["ts"]) if "ts" in row else None,
+                           "record": record})
     return out
 
 

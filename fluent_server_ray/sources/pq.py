@@ -42,7 +42,11 @@ def read_parquet_clean(paths, **kwargs):
                     if isinstance(paths, (list, tuple))
                     else [pq.read_schema(paths).remove_metadata()]
                 )
-                if len({tuple(s.names) for s in schemas}) == 1:
+                # FULL schema equality (names AND types): pinning file
+                # 0's schema onto a type-divergent sibling would error
+                # (or silently cast) at the fragment scan, where plain
+                # read_parquet unifies
+                if all(s.equals(schemas[0]) for s in schemas[1:]):
                     schema = schemas[0]
                     cols = kwargs.get("columns")
                     if cols is not None:

@@ -52,7 +52,7 @@ def _partial_counts(keys: list[str]):
         out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         return out.rename_columns(keys + ["n"])
 
-    return skip_empty(fn)
+    return fn
 
 
 def grouped_counts(ds, keys: list[str], batch_size: int | None = None,
@@ -74,9 +74,13 @@ def grouped_counts(ds, keys: list[str], batch_size: int | None = None,
     kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
-    partial = ds.map_batches(_partial_counts(keys), **kwargs)
+    # skip_empty ONLY on the shuffle path: the driver merge needs the
+    # TYPED empty partials to keep key dtypes on all-filtered input,
+    # and without a shuffle an empty block triggers no executor warning
     if final == "ray":
+        partial = ds.map_batches(skip_empty(_partial_counts(keys)), **kwargs)
         return partial.groupby(keys).aggregate(Sum("n", alias_name="n"))
+    partial = ds.map_batches(_partial_counts(keys), **kwargs)
     # stream partial blocks to the driver; merge with one Arrow group_by
     tables = [b for b in partial.iter_batches(batch_size=None, batch_format="pyarrow")]
     if not tables:  # zero input blocks: typed empty result, not a crash
@@ -144,7 +148,12 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
     kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
-    parts = ds.map_batches(skip_empty(partial), **kwargs)
+    # same skip_empty split as grouped_counts: typed empties feed the
+    # driver merge (dtype-stable empty results); the shuffle path drops
+    # them (they'd come back 0-column from the sort)
+    parts = ds.map_batches(
+        skip_empty(partial) if final == "ray" else partial, **kwargs
+    )
 
     if final == "ray":
         from ray.data.aggregate import Max, Min
@@ -246,6 +255,8 @@ def hash_bucket_array(values, n_buckets: int):
         v = np.ascontiguousarray(values)
         if np.issubdtype(v.dtype, np.number) or v.dtype == bool:
             v = np.nan_to_num(v.astype(np.float64), nan=0.0)
+            v = v + 0.0  # -0.0 == 0.0 but their BIT patterns hash apart;
+            # +0.0 normalizes the sign so equal keys co-bucket
         h = pd.util.hash_array(v)
     return (h % n_buckets).astype("int64")
 

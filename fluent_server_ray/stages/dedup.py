@@ -860,7 +860,11 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
     components are LSH cliques or short chains, so 2-4 rounds in
     practice; ``max_iters`` bounds adversarial chains. Convergence is
     detected distributedly: a round that changes no label (checked with
-    a bucketed join old-vs-new and a ``count()``) ends the loop.
+    a bucketed join old-vs-new and a ``count()``) ends the loop. If
+    ``max_iters`` is exhausted while labels are still moving the
+    result would be silently WRONG (an interior node can still carry a
+    non-minimal label), so that case RAISES — rerun with a larger
+    ``max_iters``.
 
     Returns a Dataset ``(doc_id, component)`` with ``component`` = min
     doc id of the component, for every doc that appears in some pair
@@ -961,6 +965,12 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
         labels = new_labels
         if n_changed == 0:
             break
+    else:  # loop exhausted with labels still moving → labels are wrong
+        raise RuntimeError(
+            f"pair_components did not converge in {max_iters} rounds "
+            f"({n_changed} labels still changing) — the pair graph has "
+            "a longer chain than max_iters; rerun with a larger value"
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "component": t["label"]})

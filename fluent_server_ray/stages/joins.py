@@ -68,8 +68,10 @@ def cogrouped(left, right, key: str, right_key: str | None = None,
     # numeric on the other can never co-bucket — fail loudly instead of
     # silently joining nothing.
     def _kind(t: pa.DataType) -> str:
+        if pa.types.is_dictionary(t):  # dictionary-encoded column keys
+            t = t.value_type           # by its VALUE type (hashing sees
         if pa.types.is_integer(t) or pa.types.is_floating(t) \
-                or pa.types.is_boolean(t):
+                or pa.types.is_boolean(t):  # decoded values either way)
             return "numeric"
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             return "string"

@@ -109,6 +109,9 @@ def binned_quantiles(ds, col: str, lo: float, hi: float, bins: int = 1000,
 
     def hist_batch(t: pa.Table) -> pa.Table:
         vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[~np.isnan(vals)]  # NULL/NaN rows are no measurement —
+        # dropping matches the SQL mirror's IS NOT NULL (clipping would
+        # silently inflate bucket 0 and shift every quantile left)
         idx = np.floor((vals - lo) / width).astype(np.int64)
         idx = np.clip(idx, 0, bins - 1)
         counts = np.bincount(idx, minlength=bins).astype(np.int64)
@@ -151,7 +154,7 @@ WITH buckets AS (
   SELECT LEAST(GREATEST(CAST(floor(({col} - {lo}) / {width}) AS BIGINT), 0),
                {bins - 1}) AS bucket_idx,
          count(*) AS c
-  FROM {table} GROUP BY 1
+  FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT bucket_idx, sum(c) OVER (ORDER BY bucket_idx
                                   ROWS UNBOUNDED PRECEDING) AS cum_c
@@ -206,6 +209,8 @@ def grouped_binned_quantiles(ds, group_col: str, col: str, lo: float,
         codes = keys.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = keys.dictionary.to_pylist()
         vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(vals)  # NULL value rows drop (mirror: IS NOT NULL)
+        vals, codes = vals[ok], codes[ok]
         idx = np.clip(
             np.floor((vals - lo) / width).astype(np.int64), 0, bins - 1
         )
@@ -237,6 +242,8 @@ def grouped_binned_quantiles(ds, group_col: str, col: str, lo: float,
     for g in sorted(totals):
         total = totals[g]
         n = int(total.sum())
+        if n == 0:  # group had only NULL values → no row (mirror: the
+            continue  # WHERE filter leaves no bucket rows for it)
         cum = np.cumsum(total)
         for q in qs:
             target = int(np.ceil(q * n))
@@ -266,11 +273,11 @@ def grouped_binned_quantiles_sql(group_col: str, col: str, lo: float,
     q_rows = ", ".join(f"({q})" for q in qs)
     return f"""
 WITH buckets AS (
-  SELECT CAST({group_col} AS VARCHAR) AS g,
+  SELECT COALESCE(CAST({group_col} AS VARCHAR), '') AS g,
          LEAST(GREATEST(CAST(floor(({col} - {lo}) / {width}) AS BIGINT), 0),
                {bins - 1}) AS bucket_idx,
          count(*) AS c
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE {col} IS NOT NULL GROUP BY 1, 2
 ), cum AS (
   SELECT g, bucket_idx,
          sum(c) OVER (PARTITION BY g ORDER BY bucket_idx

@@ -261,6 +261,9 @@ def doc_tfidf(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     from fluent_server_ray.stages.aggregate import skip_empty
 
+    # consumed three times (N, df pass, score pass) — pin the blocks in
+    # the object store once instead of re-running the upstream graph
+    ds = ds.materialize()
     n_docs = ds.count()
 
     def flat_tokens(t: pa.Table):

@@ -317,6 +317,47 @@ def test_pair_components_chain_and_convergence(ray_session):
     assert empty.count() == 0
     assert empty.schema().names == ["doc_id", "component"]
 
+    # exhausting max_iters with labels still moving must raise, never
+    # return silently-wrong components
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pair_components(rd.from_pandas(pairs), max_iters=2)
+
+
+def test_grouped_quantiles_null_values_match_oracle(ray_session):
+    """NULL values must be excluded from the histogram (not clipped
+    into bucket 0), a NULL group key maps to '' on both sides, and an
+    all-NULL group yields no row — engine vs DuckDB on a nully table."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sketches import (
+        grouped_binned_quantiles,
+        grouped_binned_quantiles_sql,
+    )
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", None, "b", "b", "onlynull"]),
+            "v": pa.array([1.0, None, 9.0, 5.0, 2.0, None, None]),
+        }
+    )
+    got = grouped_binned_quantiles(
+        rd.from_arrow(t), "g", "v", lo=0.0, hi=10.0, bins=10, qs=(0.5,)
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("tbl", t)
+    want = con.execute(
+        grouped_binned_quantiles_sql("g", "v", lo=0.0, hi=10.0, bins=10,
+                                     qs=(0.5,), table="tbl")
+    ).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert "onlynull" not in set(got["g"])
+    assert "" in set(got["g"])  # the NULL group key, canonicalized
+
 
 def test_curation_near_dedup_keeps_min_per_component(ray_session):
     """gate → exact dedup → minhash pairs → components → keep min-id:
