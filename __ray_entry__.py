@@ -268,6 +268,52 @@ def _q_embedding_dupes(sf_dir: str):
     return cosine_dupes(_embs(sf_dir), threshold=COSINE_DUP_T, exact=False)
 
 
+def _q_embedding_dup_clusters(sf_dir: str):
+    """Connected components over the embedding near-dup pair graph
+    (cosine >= t), labels = min vec_id per component — the
+    keep-one-per-cluster rule on the EMBEDDING side. The LSH pair
+    recall ≈ 1 at the tuned defaults, so the recursive-CTE closure
+    over the exact SQL pair query is the oracle."""
+    from fluent_server_ray.stages.dedup import pair_components
+    from fluent_server_ray.stages.similarity import cosine_dupes
+
+    pairs = cosine_dupes(_embs(sf_dir), threshold=COSINE_DUP_T, exact=False)
+
+    def rename(t):
+        import pyarrow as pa
+
+        return pa.table({"doc_a": t["vec_a"], "doc_b": t["vec_b"]})
+
+    comp = pair_components(
+        pairs.map_batches(rename, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    )
+
+    def out_names(t):
+        import pyarrow as pa
+
+        return pa.table({"vec_id": t["doc_id"], "component": t["component"]})
+
+    return comp.map_batches(out_names, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _embedding_dup_clusters_sql() -> str:
+    from fluent_server_ray.stages import dedup, similarity
+
+    pair_sql = (
+        "SELECT vec_a AS doc_a, vec_b AS doc_b FROM ("
+        + similarity.cosine_dupes_sql(COSINE_DUP_T)
+        + ") p"
+    )
+    base = dedup.pair_components_sql(pair_sql)
+    return (
+        "SELECT doc_id AS vec_id, component FROM (" + base.replace(
+            "ORDER BY doc_id", ""
+        ) + ") c ORDER BY vec_id"
+    )
+
+
 def _q_multimodal(sf_dir: str):
     from fluent_server_ray.stages.multimodal import decode_documents
 
@@ -755,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf,
         "embedding_dupes": _q_embedding_dupes,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,
         "multimodal_frames": _q_frames,
@@ -822,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         # intentionally no SQL oracle (rows-only check)
         "ann_cosine_topk": similarity.ann_topk_sql(ANN_QUERY_IDS, k=ANN_K),
         "embedding_dupes": similarity.cosine_dupes_sql(COSINE_DUP_T),
+        "embedding_dup_clusters": _embedding_dup_clusters_sql(),
         "multimodal_decode": multimodal.decode_documents_sql(),
         "multimodal_frames": multimodal.frame_sample_sql(),
         "multimodal_resize": multimodal.resize_sql(),

@@ -19,6 +19,7 @@ ORACLE_QUERIES = [
     "dedup_prefix_block",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "embedding_dup_clusters",
     "event_value_stats",
     "conv_value_stats",
     "transcripts_sample_convs",
