@@ -859,8 +859,11 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
     so the process converges in at most *diameter* rounds — near-dup
     components are LSH cliques or short chains, so 2-4 rounds in
     practice; ``max_iters`` bounds adversarial chains. Convergence is
-    detected distributedly: a round that changes no label (checked with
-    a bucketed join old-vs-new and a ``count()``) ends the loop. If
+    detected distributedly AND for free: current-label rows enter the
+    min-reduce marked ``_old``, so the same shuffle that computes the
+    new minima also emits a per-node changed flag (2 shuffles per
+    round, no separate old-vs-new comparison join); a round that
+    changes no label ends the loop. If
     ``max_iters`` is exhausted while labels are still moving the
     result would be silently WRONG (an interior node can still carry a
     non-minimal label), so that case RAISES — rerun with a larger
@@ -870,6 +873,17 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
     doc id of the component, for every doc that appears in some pair
     (singletons are their own trivial component and are omitted —
     union them in from the corpus if needed).
+
+    Scale note (named trade-off): the Dataset formulation re-shuffles
+    the EDGE rows through the per-round join (Ray's groupby cannot
+    reuse a prior partitioning), so total edge movement is
+    O(rounds × |edges|). For the near-dup graphs this operator exists
+    for (LSH cliques / short chains, diameter 2-4) that is 2-4 edge
+    shuffles — the same order as the pair-generation shuffle itself.
+    A deep-diameter graph at corpus scale would instead want edge
+    buckets pinned in the object store with per-bucket join tasks
+    (raw ``ray.remote`` over ``to_arrow_refs``, the ngram-style
+    escape hatch).
     """
     import ray.data as rd
 
@@ -906,7 +920,7 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
         out = g.groupby("node", as_index=False)["label"].min()
         return out.astype({"node": "int64", "label": "int64"})
 
-    def bucket_min(ds):
+    def bucket_reduce(ds, per_bucket):
         from fluent_server_ray.stages.aggregate import hash_bucket_array
 
         def add_b(t: pa.Table) -> pa.Table:
@@ -914,22 +928,47 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
                 "_nb", pa.array(hash_bucket_array(t["node"], n_buckets))
             )
 
-        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            return node_min(g.drop(columns=["_nb"]))
+        def run(g: pd.DataFrame) -> pd.DataFrame:
+            return per_bucket(g.drop(columns=["_nb"]))
 
         return (
             ds.map_batches(skip_empty(add_b), batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("_nb")
-            .map_groups(per_bucket, batch_format="pandas")
+            .map_groups(run, batch_format="pandas")
         )
 
     # initial labels: one row per distinct node (per-block unique →
     # distributed distinct-min, reusing the same bucketed reduction)
-    labels = bucket_min(
+    labels = bucket_reduce(
         edges.map_batches(skip_empty(seed), batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True),
+        node_min,
     ).materialize()
+
+    def mark_old(t: pa.Table) -> pa.Table:
+        # current-label rows carry a marker so the min-reduce can emit
+        # the convergence signal in the SAME shuffle (folding the
+        # old-vs-new comparison join away: 2 shuffles/round, not 3)
+        return pa.table(
+            {"node": t["node"], "label": t["label"],
+             "_old": pa.array(np.ones(len(t), dtype=np.int8))}
+        )
+
+    def min_with_change(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("node", as_index=False)["label"].min()
+        old = g[g["_old"] == 1][["node", "label"]].rename(
+            columns={"label": "_lold"}
+        )
+        m = new.merge(old, on="node", how="left")
+        # every node is seeded, so _lold is always present; the fillna
+        # is belt-and-braces for a candidate-only node
+        chg = (m["label"] < m["_lold"].fillna(np.inf)).to_numpy()
+        return pd.DataFrame(
+            {"node": m["node"].to_numpy(dtype=np.int64),
+             "label": m["label"].to_numpy(dtype=np.int64),
+             "_chg": chg.astype(np.int8)}
+        )
 
     for _ in range(max_iters):
         # neighbor labels: edges(src,dst) ⋈ labels(node=src) → (dst, label)
@@ -937,32 +976,33 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
                                     right_key="node", n_buckets=n_buckets)
 
         def to_cand(t: pa.Table) -> pa.Table:
-            return pa.table({"node": t["dst"], "label": t["label"]})
+            return pa.table(
+                {"node": t["dst"], "label": t["label"],
+                 "_old": pa.array(np.zeros(len(t), dtype=np.int8))}
+            )
 
         cand = joined.map_batches(skip_empty(to_cand),
                                   batch_format="pyarrow",
                                   zero_copy_batch=True)
-        new_labels = bucket_min(cand.union(labels)).materialize()
+        marked = labels.map_batches(skip_empty(mark_old),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        merged = bucket_reduce(cand.union(marked),
+                               min_with_change).materialize()
 
-        # distributed convergence check: any node whose label shrank?
-        def relabeled(t: pa.Table) -> pa.Table:
-            return pa.table({"node": t["node"], "new_label": t["label"]})
+        def changed_rows(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["_chg"], 1))
 
-        cmp = bucketed_hash_join(
-            new_labels.map_batches(skip_empty(relabeled),
-                                   batch_format="pyarrow",
-                                   zero_copy_batch=True),
-            labels, key="node", n_buckets=n_buckets,
-        )
-
-        def changed_only(t: pa.Table) -> pa.Table:
-            return t.filter(pc.less(t["new_label"], t["label"]))
-
-        n_changed = cmp.map_batches(
-            skip_empty(changed_only), batch_format="pyarrow",
+        n_changed = merged.map_batches(
+            skip_empty(changed_rows), batch_format="pyarrow",
             zero_copy_batch=True,
         ).count()
-        labels = new_labels
+
+        def strip(t: pa.Table) -> pa.Table:
+            return t.select(["node", "label"])
+
+        labels = merged.map_batches(strip, batch_format="pyarrow",
+                                    zero_copy_batch=True)
         if n_changed == 0:
             break
     else:  # loop exhausted with labels still moving → labels are wrong
