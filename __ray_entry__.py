@@ -463,7 +463,8 @@ def _q_tumbling_value_agg(sf_dir: str):
                          columns=["event_type", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        secs = pc.divide(us, 1_000_000)  # unit-canonical, cf. windows.py
         win = pc.multiply(pc.divide(secs, 3600), 3600)
         return pa.table(
             {"event_type": t["event_type"], "window_start": win,

@@ -152,6 +152,12 @@ def orders_by_nation(sf_dir: str,
             prep = pa.table(
                 {"n_name": n_name, "price_cents": _cents(t["o_totalprice"])}
             )
+            # drop dangling custkeys (null n_name): INNER-join semantics,
+            # identical to the bucketed-join path and the SQL oracle —
+            # otherwise the two paths answer differently on FK-violating
+            # input depending on which side of broadcast_threshold the
+            # dim count falls
+            prep = prep.filter(pc.is_valid(prep["n_name"]))
             out = prep.group_by(["n_name"]).aggregate(
                 [("price_cents", "sum"), ([], "count_all")]
             )
@@ -180,6 +186,7 @@ def orders_by_nation(sf_dir: str,
                 {"n_name": pc.take(nnames, idx),
                  "price_cents": _cents(t["o_totalprice"])}
             )
+            prep = prep.filter(pc.is_valid(prep["n_name"]))  # inner semantics
             out = prep.group_by(["n_name"]).aggregate(
                 [("price_cents", "sum"), ([], "count_all")]
             )
@@ -410,7 +417,12 @@ def dedup_replayed_turns(sf_dir: str, n_buckets: int = 1024):
         )
 
     def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["conv_id", "turn_idx"])[
+        # distinct over ALL THREE columns, matching the SQL DISTINCT:
+        # a replay that somehow carried a DIFFERENT text for the same
+        # (conv_id, turn_idx) — corruption the chunk-id contract says
+        # cannot happen — must surface as two rows, not collapse to a
+        # nondeterministically-chosen winner
+        return g.drop_duplicates(["conv_id", "turn_idx", "text"])[
             ["conv_id", "turn_idx", "text"]
         ]
 

@@ -131,12 +131,23 @@ class RouteStage:
 
 def routes_sql_case(routes: list[tuple[str, str]] | None = None) -> str:
     """DuckDB CASE expression equivalent to :class:`RouteStage`, built
-    from the SAME compiled regexes (single source of truth)."""
+    from the SAME compiled regexes (single source of truth).
+
+    Uses ``regexp_matches`` (substring semantics) on the UNSTRIPPED
+    pattern — exactly what the engine's ``match_substring_regex``
+    evaluates. Generated glob patterns are '^...$'-anchored so the
+    semantics coincide with a full match; raw-regex escape-hatch
+    patterns (leading '^', any anchor shape) pass through verbatim
+    instead of having their first/last characters stripped. The tag is
+    COALESCEd to '' to mirror the engine's ``fill_null`` (a NULL tag
+    routes to the catchall, not the reject sink)."""
     routes = routes if routes is not None else DEFAULT_ROUTES
     whens = []
     for pattern, sink in routes:
         rx = glob_to_regex(pattern).replace("'", "''")
-        whens.append(f"WHEN regexp_full_match(tag, '{rx[1:-1]}') THEN '{sink}'")
+        whens.append(
+            f"WHEN regexp_matches(COALESCE(tag, ''), '{rx}') THEN '{sink}'"
+        )
     return (
         "CASE WHEN NOT is_valid THEN 'reject.invalid' "
         + " ".join(whens)

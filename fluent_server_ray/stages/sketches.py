@@ -125,8 +125,18 @@ def binned_quantiles(ds, col: str, lo: float, hi: float, bins: int = 1000,
             total += np.frombuffer(blob, dtype=np.int64)
 
     n = int(total.sum())
-    cum = np.cumsum(total)
     out_q, out_idx, out_lo = [], [], []
+    if n == 0:  # empty / all-NULL input → no rows (the SQL mirror's
+        # totals CTE filters the NULL-sum row away identically)
+        return pa.table(
+            {
+                "q": pa.array([], type=pa.float64()),
+                "bucket_idx": pa.array([], type=pa.int64()),
+                "bucket_lo": pa.array([], type=pa.float64()),
+                "n_total": pa.array([], type=pa.int64()),
+            }
+        )
+    cum = np.cumsum(total)
     for q in qs:
         target = int(np.ceil(q * n))
         bucket = int(np.searchsorted(cum, target))
@@ -159,7 +169,7 @@ WITH buckets AS (
   SELECT bucket_idx, sum(c) OVER (ORDER BY bucket_idx
                                   ROWS UNBOUNDED PRECEDING) AS cum_c
   FROM buckets
-), totals AS (SELECT sum(c) AS n FROM buckets),
+), totals AS (SELECT sum(c) AS n FROM buckets HAVING count(*) > 0),
 qs(q) AS (VALUES {q_rows})
 SELECT q,
   (SELECT min(bucket_idx) FROM cum
@@ -389,8 +399,13 @@ class MisraGries:
         return self
 
     def top(self, k: int) -> list[tuple[str, int]]:
-        """(key, estimate) sorted by (estimate desc, key asc)."""
-        return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        """(key, estimate) sorted by (estimate desc, key asc); a None
+        key (nulls in the counted column) sorts AFTER every string on
+        ties — SQL's NULLS-LAST — instead of raising on None < str."""
+        return sorted(
+            self.counters.items(),
+            key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+        )[:k]
 
 
 def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256):
@@ -404,9 +419,18 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256):
 
     Returns a pyarrow Table (key, n) sorted by (n desc, key asc).
     """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import _partial_counts
+
+    count_fn = _partial_counts([col])  # the shared combiner, not a copy
+
     def partial(t: pa.Table) -> pa.Table:
-        out = t.select([col]).group_by([col]).aggregate([([], "count_all")])
-        return out.rename_columns([col, "n"])
+        # canonicalize to string up front: the sketch keys and the
+        # string-typed output column must accept any input dtype, and
+        # nulls stay null (SQL groups NULL as its own key)
+        t = pa.table({col: pc.cast(t[col], pa.string())})
+        return count_fn(t)
 
     sketch = MisraGries(capacity)
     for b in ds.map_batches(partial, batch_format="pyarrow",

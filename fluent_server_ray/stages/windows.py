@@ -77,7 +77,11 @@ def tumbling_counts(ds, width_seconds: int = 3600, key_col: str = "event_type",
     from fluent_server_ray.stages.aggregate import grouped_counts
 
     def add_window(t: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000)
+        # canonicalize the STORAGE unit first: a timestamp[ns] column
+        # (the forward-protocol source emits ns) would otherwise yield
+        # 'seconds' that are off 1000x; us matches the SQL epoch_us
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        secs = pc.divide(us, 1_000_000)
         win = pc.multiply(pc.divide(secs, width_seconds), width_seconds)
         return pa.table({key_col: t[key_col], "window_start": win})
 
@@ -124,7 +128,11 @@ def asof_prior_event(ds, left_type: str = "error", right_type: str = "click",
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         nums = pd.to_numeric(g[id_col], errors="coerce").abs()
-        if (nums > _ID_MAX).any():
+        # >= not >: the comparison itself upcasts int64 to float64, so
+        # 2^53+1 rounds DOWN to exactly 2^53 and a strict > would wave
+        # through the first lossy value; rejecting the (representable)
+        # boundary too is the conservative price
+        if (nums >= _ID_MAX).any():
             raise ValueError(
                 f"asof_prior_event: {id_col} exceeds 2^53; the float64 "
                 "prior-id representation would lose precision — use a "
@@ -225,12 +233,19 @@ def range_join(left_ds, right_ds, key_col: str, ts_col: str = "ts",
                 continue
             los = ri[lo_col].to_numpy()
             his = ri[hi_col].to_numpy()
+            # inverted intervals (lo > hi) match nothing; a negative
+            # max_w would make a > b below and np.repeat(-1) crash the
+            # task, so clamp the scan width at a typed zero (hit
+            # filtering still excludes the inverted rows themselves)
             max_w = (his - los).max()
+            zero_w = max_w - max_w
+            if max_w < zero_w:
+                max_w = zero_w
             ts = le[ts_col].to_numpy()
             # candidate windows: lo in (ts - max_width, ts]
             a = np.searchsorted(los, ts - max_w, side="right")
             b = np.searchsorted(los, ts, side="right")
-            n_cand = b - a
+            n_cand = np.maximum(b - a, 0)
             if not n_cand.sum():
                 continue
             li = np.repeat(np.arange(len(le)), n_cand)
@@ -277,7 +292,11 @@ def sliding_counts(ds, width_seconds: int = 3600, slide_seconds: int = 1800,
     n_phases = width_seconds // slide_seconds
 
     def explode(t: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000)
+        # canonicalize the STORAGE unit first: a timestamp[ns] column
+        # (the forward-protocol source emits ns) would otherwise yield
+        # 'seconds' that are off 1000x; us matches the SQL epoch_us
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        secs = pc.divide(us, 1_000_000)
         parts = []
         for phase in range(n_phases):
             shift = phase * slide_seconds

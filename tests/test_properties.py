@@ -237,3 +237,27 @@ def test_fluentbit_match_regex_equals_recursive_oracle(pattern, tag):
     assert bool(rx.fullmatch(tag)) == _fluentbit_oracle_match(pattern, tag), (
         pattern, tag,
     )
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+             min_size=1, max_size=50),
+    st.sampled_from([8, 64, 256]),
+)
+@settings(max_examples=50, deadline=None)
+def test_hash_bucket_dtype_invariance(keys, n_buckets):
+    """The same key value must land in the same bucket regardless of
+    its stored dtype (int32/int64/float64 — e.g. a key column
+    float64-ified by a non-inner join), and -0.0 must co-bucket with
+    0 — otherwise a chained join/distinct silently drops matches."""
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import hash_bucket_array
+
+    a64 = hash_bucket_array(np.asarray(keys, dtype=np.int64), n_buckets)
+    a32 = hash_bucket_array(np.asarray(keys, dtype=np.int32), n_buckets)
+    af = hash_bucket_array(np.asarray(keys, dtype=np.float64), n_buckets)
+    assert (a64 == a32).all() and (a64 == af).all()
+
+    z = hash_bucket_array(np.asarray([0.0, -0.0, 0], dtype=np.float64), 256)
+    assert z[0] == z[1] == z[2]
