@@ -190,11 +190,19 @@ def _check_stale_lineage(out_dir: str, current_ids: set, inputs) -> None:
 
 def _write_sinks(routed, sink_dir: str,
                  partition_cols: list[str] | None = None) -> None:
-    """Write per-sink partitioned Parquet atomically (tmp + rename)."""
+    """Write per-sink partitioned Parquet atomically (tmp + rename).
+
+    A ZERO-row shard (all-heartbeat file, or a forward shard whose
+    chunks were all acked previously) writes an empty directory — the
+    shard must still commit its lineage record, or every resume would
+    re-crash on the same shard forever."""
     tmp = sink_dir + ".tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    routed.write_parquet(tmp, partition_cols=partition_cols or ["sink"])
+    if routed.count() == 0:  # count is free on a materialized shard
+        os.makedirs(tmp, exist_ok=True)
+    else:
+        routed.write_parquet(tmp, partition_cols=partition_cols or ["sink"])
     if os.path.isdir(sink_dir):
         shutil.rmtree(sink_dir)
     os.replace(tmp, sink_dir)
@@ -231,7 +239,18 @@ def run_pipeline(
         commit_shard,
         committed_shards,
         load_manifests,
+        summarize_manifests,
     )
+    from fluent_server_ray.stages.enrich import put_lookup
+
+    # resolve + broadcast the tenant lookup ONCE for the whole run: a
+    # per-shard build_routed would rebuild the dict and ray.put a fresh
+    # copy per shard (and each new ref pins another per-worker cache
+    # entry for the life of the process)
+    if tenant_lookup is None:
+        tenant_lookup = build_tenant_map()
+    if isinstance(tenant_lookup, dict):
+        tenant_lookup = put_lookup(tenant_lookup)
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -354,16 +373,7 @@ def run_pipeline(
             process_shard(item)
 
     # summary = merge of all shard manifests (pure driver-side, tiny)
-    manifests = load_manifests(out_dir)
-    totals: dict[str, int] = {}
-    for m in manifests:
-        for s, n in m["per_sink_counts"].items():
-            totals[s] = totals.get(s, 0) + n
-    summary = {
-        "sinks": totals,
-        "rows": sum(m["row_count"] for m in manifests),
-        "shards": len(manifests),
-    }
+    summary = summarize_manifests(out_dir)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, sort_keys=True, indent=1)
     return summary

@@ -141,13 +141,18 @@ def run_forward_pipeline(
         sink_dir = os.path.join(out_dir, "sinks", f"shard={shard_id}")
         _write_sinks(routed_m, sink_dir)
         counts = grouped_counts(routed_m, ["sink", "tag"]).to_pandas()
-        chunk_tbl = pa.concat_tables(
+        chunk_batches = list(
             routed_m.select_columns(["chunk"]).iter_batches(
                 batch_size=None, batch_format="pyarrow"
             )
         )
-        uniq = pc.unique(chunk_tbl["chunk"].combine_chunks())
-        new_acks = sorted(c for c in uniq.to_pylist() if c)
+        if chunk_batches:
+            uniq = pc.unique(
+                pa.concat_tables(chunk_batches)["chunk"].combine_chunks()
+            )
+            new_acks = sorted(c for c in uniq.to_pylist() if c)
+        else:  # fully-deduped / heartbeat-only shard: still commits
+            new_acks = []
         acked.update(new_acks)
         commit_shard(
             out_dir,
@@ -162,17 +167,9 @@ def run_forward_pipeline(
             },
         )
 
-    manifests = load_manifests(out_dir)
-    totals: dict[str, int] = {}
-    for m in manifests:
-        for s, n in m["per_sink_counts"].items():
-            totals[s] = totals.get(s, 0) + n
-    summary = {
-        "sinks": totals,
-        "rows": sum(m["row_count"] for m in manifests),
-        "shards": len(manifests),
-        "acked_chunks": sorted(acked),
-    }
+    from fluent_server_ray.state.lineage import summarize_manifests
+
+    summary = {**summarize_manifests(out_dir), "acked_chunks": sorted(acked)}
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, sort_keys=True, indent=1)
     return summary

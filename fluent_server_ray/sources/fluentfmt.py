@@ -141,10 +141,21 @@ def decode_frame(frame) -> tuple[list[tuple[int, int, dict]], dict]:
             opt = _option(frame[2])
         blob = second
         if opt.get("compressed") == "gzip":
-            blob = _gzip.decompress(blob)
-        unpacker = msgpack.Unpacker(io.BytesIO(blob), raw=False, strict_map_key=False)
-        entries = [_entry(e) for e in unpacker]
-    elif isinstance(second, (int, msgpack.ExtType)):  # Message mode
+            try:
+                blob = _gzip.decompress(blob)
+            except Exception as err:  # corrupt gzip → reject row, not a
+                raise FrameError(f"bad gzip blob: {err}")  # task crash
+        try:
+            unpacker = msgpack.Unpacker(io.BytesIO(blob), raw=False,
+                                        strict_map_key=False)
+            entries = [_entry(e) for e in unpacker]
+        except FrameError:
+            raise
+        except Exception as err:  # garbage msgpack inside the blob
+            raise FrameError(f"bad packed blob: {err}")
+    elif isinstance(second, (int, msgpack.ExtType)) \
+            and not isinstance(second, bool):  # Message mode (bool IS an
+        # int in Python but a distinct msgpack code the reference rejects)
         sec, nsec = _decode_event_time(second)
         if l < 3 or not isinstance(frame[2], dict):
             raise FrameError("message mode needs a record map")
@@ -181,9 +192,24 @@ def frames_to_table(raw: bytes, chunk_default: str = "") -> pa.Table:
             continue
         chunk = (opt or {}).get("chunk", "") or chunk_default
         for i, (tag, sec, nsec, record) in enumerate(entries):
+            try:
+                tsv = sec * 1_000_000_000 + nsec
+                if not -(2**63) < tsv < 2**63:
+                    raise ValueError("timestamp outside int64-ns range")
+                # bytes map keys (legal msgpack, strict_map_key=False)
+                # would TypeError inside json.dumps
+                rec = json.dumps(record, sort_keys=True, default=str)
+            except (TypeError, ValueError, OverflowError) as err:
+                tags.append("")
+                ts_ns.append(None)
+                recs.append(json.dumps({"error": f"bad entry: {err}"}))
+                chunks.append(chunk)
+                idxs.append(i)
+                valid.append(False)
+                continue
             tags.append(tag)
-            ts_ns.append(sec * 1_000_000_000 + nsec)
-            recs.append(json.dumps(record, sort_keys=True, default=str))
+            ts_ns.append(tsv)
+            recs.append(rec)
             chunks.append(chunk)
             idxs.append(i)
             valid.append(True)
@@ -281,14 +307,20 @@ def table_to_frames(t: pa.Table, chunk_size: int = 500,
                 ev_time = event_time_ext(sec, nsec) if nsec else sec
             entries.append([ev_time, json.loads(recs[j] or "{}")])
             j += 1
+        blob = b"".join(
+            msgpack.packb(e, use_bin_type=True) for e in entries
+        )
+        # chunk id = hash of the CONTENT (tag + packed entries), not the
+        # table-relative position: positional ids collide across
+        # blocks/files ("chunk 0 of tag t" everywhere) and the
+        # at-least-once dedup would silently drop later files' rows as
+        # replays. Content-identical chunks sharing an id is the
+        # protocol's own retry semantics (same bytes = same chunk).
         chunk_id = hashlib.md5(
-            f"{tag}:{i}:{j}".encode()
+            tag.encode() + b"\x00" + blob
         ).hexdigest()[:22] + "=="
         opt = {"chunk": chunk_id, "size": len(entries)}
         if compress:
-            blob = b"".join(
-                msgpack.packb(e, use_bin_type=True) for e in entries
-            )
             frame = [tag, _gzip.compress(blob), {**opt, "compressed": "gzip"}]
         else:
             frame = [tag, entries, opt]

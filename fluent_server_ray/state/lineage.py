@@ -61,3 +61,19 @@ def load_manifests(out_dir: str) -> list[dict]:
             with open(os.path.join(d, f)) as fh:
                 out.append(json.load(fh))
     return out
+
+
+def summarize_manifests(out_dir: str) -> dict:
+    """Merge all shard manifests into the run summary (driver-side,
+    O(shards)) — the single source both pipelines' ``summary.json``
+    derives from, so the merge rule cannot drift between them."""
+    manifests = load_manifests(out_dir)
+    totals: dict[str, int] = {}
+    for m in manifests:
+        for sink, n in m["per_sink_counts"].items():
+            totals[sink] = totals.get(sink, 0) + n
+    return {
+        "sinks": totals,
+        "rows": sum(m["row_count"] for m in manifests),
+        "shards": len(manifests),
+    }

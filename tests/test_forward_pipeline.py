@@ -91,3 +91,80 @@ def test_forward_pipeline_resume_skips_acked(ray_session, frame_dir, tmp_path):
     rows = _sink_rows(out)
     assert len(rows) == 4
     assert not rows.duplicated(["chunk", "entry_idx", "tag"]).any()
+
+
+def test_hostile_frames_become_reject_rows(ray_session):
+    """Corrupt gzip blobs, garbage packed msgpack, bytes record keys,
+    out-of-range timestamps and bool mode codes must each produce one
+    is_valid=False reject row — never crash the decode task."""
+    import msgpack
+    import pyarrow as pa
+
+    from fluent_server_ray.sources.fluentfmt import frames_to_table
+
+    frames = b"".join(
+        msgpack.packb(f, use_bin_type=True)
+        for f in [
+            ["t.ok", [[1441588984, {"k": 1}]], {}],       # good
+            ["t.gz", b"not-gzip", {"compressed": "gzip"}],  # corrupt gzip
+            ["t.pk", b"\xc1\xc1\xc1", {}],                # garbage packed
+            ["t.ts", [[2**40, {"k": 1}]], {}],            # ts overflow
+            [b"t.bk".decode(), [[1, {b"\xff\xfe": 1}]], {}],  # bytes key
+            ["t.bool", True, {}],                          # bool mode code
+        ]
+    )
+    t = frames_to_table(frames)
+    df = t.to_pandas()
+    good = df[df["is_valid"]]
+    bad = df[~df["is_valid"]]
+    assert len(good) == 1 and good.iloc[0]["tag"] == "t.ok"
+    assert len(bad) == 5  # every hostile frame surfaced, none crashed
+
+
+def test_empty_shard_commits_and_resumes(ray_session, tmp_path):
+    """A heartbeat-only shard (zero routed rows) must write an empty
+    sink dir, COMMIT its lineage record, and be skipped on resume —
+    not crash before the ack and re-crash forever."""
+    import msgpack
+
+    from fluent_server_ray.pipelines.forward_pipeline import run_forward_pipeline
+
+    p = tmp_path / "hb.msgpack"
+    p.write_bytes(msgpack.packb(None) * 3)  # heartbeats only
+    out = tmp_path / "out"
+    s1 = run_forward_pipeline([str(p)], str(out), routes=[("**", "all")])
+    assert s1["rows"] == 0 and s1["shards"] == 1
+    s2 = run_forward_pipeline([str(p)], str(out), routes=[("**", "all")])
+    assert s2["rows"] == 0 and s2["shards"] == 1  # resume no-op
+
+
+def test_chunk_ids_content_addressed(ray_session, tmp_path):
+    """Two blocks with the same tag but different events must emit
+    DIFFERENT chunk ids (positional ids collided across files and the
+    at-least-once dedup dropped the second file's rows as replays)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.pipelines.forward_pipeline import run_forward_pipeline
+    from fluent_server_ray.sources.fluentfmt import write_forward_frames
+
+    def block(vals, ts0):
+        return pd.DataFrame(
+            {
+                "tag": ["t.a"] * len(vals),
+                "ts": pd.to_datetime([ts0 + i for i in range(len(vals))],
+                                     unit="s"),
+                "record_json": [f'{{"v": {v}}}' for v in vals],
+            }
+        )
+
+    d1, d2 = block([1, 2], 1441588984), block([3, 4], 1441589984)
+    ds = rd.from_pandas(d1).union(rd.from_pandas(d2)).repartition(2)
+    frames_dir = tmp_path / "frames"
+    paths = write_forward_frames(ds, str(frames_dir))
+    assert len(paths) >= 2
+    out = tmp_path / "out"
+    summary = run_forward_pipeline(paths, str(out), routes=[("**", "all")])
+    # all 4 events survive: no cross-file chunk-id collision dropped rows
+    assert summary["rows"] == 4
+    assert len(set(summary["acked_chunks"])) == len(summary["acked_chunks"])
