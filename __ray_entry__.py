@@ -16,6 +16,25 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+def _pin_block_order() -> None:
+    """Driver correctness contract: the battery's value-hash compare is
+    row-order-sensitive, and map-stage queries mirror DuckDB's file
+    scan order. Ray's streaming executor reorders output bundles by
+    default (``preserve_order=False``) — usually in-order at small
+    scale, but NOT guaranteed (observed: 16-row blocks swapping under
+    contention). Pin it for every battery/oracle consumer of this
+    module. bench.py's flagship headline runs before this import, so
+    the unordered fast path still serves throughput measurement."""
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().execution_options.preserve_order = True
+    except Exception:  # pragma: no cover - DataContext API drift
+        pass
+
+
+_pin_block_order()
+
 from fluent_server_ray import oracle
 from fluent_server_ray.sources.pq import read_parquet_clean
 from fluent_server_ray.pipelines.flagship import build_routed
@@ -601,6 +620,104 @@ def _sample_convs_sql() -> str:
     )
 
 
+# ----- hygiene (scrub / repetition / decontamination) -----
+
+def _q_doc_pii_scrub(sf_dir: str):
+    """PII masking over documents (emails / IPs / phone numbers):
+    sequential RE2 redaction + per-pattern match counts; exact nested
+    regexp_replace oracle. (The synthetic corpus carries no PII — the
+    parity is exact on zero redactions; injected-PII behavior is
+    pinned in pytest.)"""
+    from fluent_server_ray.stages.hygiene import scrub
+
+    return scrub(_docs(sf_dir))
+
+
+def _q_scrub_uids(sf_dir: str):
+    """Log pseudonymization over transcript turns: mask ``user=<uid>``
+    and ``ERR-<nnn>`` (both occur in the flagship text templates, so
+    the scrub is non-trivially exercised at driver scale)."""
+    from fluent_server_ray.stages.hygiene import SCRUB_LOG, scrub
+
+    return scrub(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]),
+        patterns=SCRUB_LOG, id_cols=("conv_id", "turn_idx"),
+    )
+
+
+def _scrub_uids_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+    from fluent_server_ray.stages.hygiene import SCRUB_LOG, scrub_sql
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + "\n"
+        + scrub_sql(SCRUB_LOG, ("conv_id", "turn_idx"),
+                    table="transcripts")
+    )
+
+
+def _q_ngram_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (top-2-gram fraction,
+    duplicate-3-gram fraction) per document."""
+    from fluent_server_ray.stages.hygiene import ngram_repetition_batch
+    from fluent_server_ray.stages.textstats import apply_doc_stage
+
+    return apply_doc_stage(_docs(sf_dir), ngram_repetition_batch).sort(
+        "doc_id"
+    )
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark 3-gram decontamination: training docs sharing any
+    word 3-gram with the held-out slice (doc_id % 29 == 0) are
+    flagged; the benchmark gram set broadcasts once."""
+    from fluent_server_ray.stages.hygiene import decontaminate
+
+    return decontaminate(_docs(sf_dir)).sort("doc_id")
+
+
+# ----- training-set assembly -----
+
+def _q_conv_running_stats(sf_dir: str):
+    """Per-conversation ordered window functions (row_number / running
+    sum / lag) — one hash-bucket exchange, vectorized segmented
+    kernels per bucket."""
+    from fluent_server_ray.stages.assembly import running_turn_stats
+
+    return running_turn_stats(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                          "text"])
+    )
+
+
+def _q_conv_documents(sf_dir: str):
+    """Conversation → training document assembly: turns newline-joined
+    as ``role: text`` in stable turn order."""
+    from fluent_server_ray.stages.assembly import conv_to_documents
+
+    return conv_to_documents(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                          "text"])
+    )
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Deterministic concat-and-chunk sequence packing (the
+    LM-pretraining sample-packing layout) — window-cumsum assignment,
+    no sequential bin state."""
+    from fluent_server_ray.stages.assembly import pack_sequences
+
+    return pack_sequences(_docs(sf_dir))
+
+
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split by key md5 — stable across
+    runs/engines/shards; pure map stage."""
+    from fluent_server_ray.stages.assembly import split_assign
+
+    return split_assign(_docs(sf_dir))
+
+
 def _q_heavy_hitter_tags(sf_dir: str):
     """Top-10 hottest tags via the mergeable Misra-Gries summary —
     per-block exact partials reduce into one bounded sketch (capacity
@@ -838,12 +955,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_sample_convs": _q_sample_convs,
         "curation_pipeline": _q_curation,
         "curation_near_dedup": _q_curation_near_dedup,
+        # hygiene
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "transcripts_scrub_uids": _q_scrub_uids,
+        "doc_ngram_repetition": _q_ngram_repetition,
+        "doc_decontaminate": _q_decontaminate,
+        # training-set assembly
+        "conv_running_stats": _q_conv_running_stats,
+        "conv_documents": _q_conv_documents,
+        "doc_pack_sequences": _q_pack_sequences,
+        "doc_split_assign": _q_split_assign,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from fluent_server_ray.pipelines import relational as rel
-    from fluent_server_ray.stages import dedup, multimodal, similarity, textstats, windows
+    from fluent_server_ray.stages import (
+        assembly,
+        dedup,
+        hygiene,
+        multimodal,
+        similarity,
+        textstats,
+        windows,
+    )
 
     return {
         "transcripts_parse": oracle.parse_sql(),
@@ -906,4 +1041,14 @@ def oracle_sql() -> dict[str, str]:
             "fluent_server_ray.pipelines.curation",
             fromlist=["curate_documents_sql"],
         ).curate_documents_sql(),
+        "doc_pii_scrub": hygiene.scrub_sql(),
+        "transcripts_scrub_uids": _scrub_uids_sql(),
+        "doc_ngram_repetition": hygiene.ngram_repetition_sql()
+        + "\nORDER BY doc_id",
+        "doc_decontaminate": hygiene.decontaminate_sql()
+        + "\nORDER BY doc_id",
+        "conv_running_stats": assembly.running_turn_stats_sql(),
+        "conv_documents": assembly.conv_to_documents_sql(),
+        "doc_pack_sequences": assembly.pack_sequences_sql(),
+        "doc_split_assign": assembly.split_assign_sql(),
     }

@@ -1,0 +1,244 @@
+"""Training-set assembly stages: ordered window functions, conversation
+assembly, sequence packing, dataset splits.
+
+The reference preserves intra-chunk order and nothing more
+(``defaultreader/reader.go:85-103``); a training-data pipeline needs
+real per-key ORDERED computation on top. The shared physical shape
+here is ONE hash-bucket exchange on the key (``hash_bucket_array`` —
+the same primitive every combiner/join stage uses) followed by
+per-bucket VECTORIZED segmented kernels (pandas groupby cumsum/shift
+run in C over the whole bucket, never per Python group) — so the cost
+is one shuffle of exactly the needed columns regardless of key
+cardinality, and a hot conversation never exceeds a bucket.
+
+Every operator has an exact DuckDB window-function mirror.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _with_bucket(ds, key_col: str, n_buckets: int):
+    from fluent_server_ray.stages.aggregate import hash_bucket_array
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(hash_bucket_array(t[key_col], n_buckets))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def running_turn_stats(ds, n_buckets: int = 64):
+    """Per-conversation ordered window functions over transcript turns:
+    ``turn_rank`` (1-based row_number), ``cum_chars`` (running character
+    total, inclusive), ``prev_role`` (lag(role), NULL at the head) —
+    the per-key ordered primitives (row_number / running sum / lag)
+    under stable ``(conv_id, turn_idx)`` order.
+
+    One bucket exchange; inside a bucket the groupby cumsum / cumcount
+    / shift are pandas C kernels over all conversations at once."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        grp = g.groupby("conv_id", sort=False)
+        n_chars = g["text"].str.len().astype("int64")
+        prev_role = grp["role"].shift()
+        # None, not NaN: DuckDB NULL VARCHAR → None in pandas; pandas'
+        # nan-vs-None equality tolerance is deprecated — stay exact
+        prev_role = prev_role.where(prev_role.notna(), None)
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "turn_rank": (grp.cumcount() + 1).astype("int64"),
+                "cum_chars": n_chars.groupby(
+                    g["conv_id"], sort=False
+                ).cumsum(),
+                "prev_role": prev_role,
+            }
+        )
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    bucketed = _with_bucket(ds.select_columns(cols), "conv_id", n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    # deterministic output order (map_groups emits buckets in arbitrary
+    # order; (conv_id, turn_idx) is a total order over turns)
+    return out.sort(["conv_id", "turn_idx"])
+
+
+def running_turn_stats_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + """
+SELECT conv_id, turn_idx,
+  CAST(row_number() OVER w AS BIGINT) AS turn_rank,
+  CAST(sum(length(text)) OVER w AS BIGINT) AS cum_chars,
+  lag(role) OVER w AS prev_role
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+ORDER BY conv_id, turn_idx"""
+    )
+
+
+def conv_to_documents(ds, n_buckets: int = 64):
+    """Assemble one training DOCUMENT per conversation: turns sorted by
+    ``turn_idx``, rendered ``role: text`` and newline-joined — the
+    transcripts→documents step that turns a log pipeline's output into
+    model training input. Output: (conv_id, doc_text, n_turns).
+
+    Same single bucket exchange as :func:`running_turn_stats`; the
+    join runs per conversation inside the bucket."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        line = g["role"].str.cat(g["text"], sep=": ")
+        grp = line.groupby(g["conv_id"], sort=False)
+        joined = grp.agg("\n".join)
+        return pd.DataFrame(
+            {
+                "conv_id": joined.index.to_numpy(),
+                "doc_text": joined.to_numpy(),
+                "n_turns": grp.size().astype("int64").to_numpy(),
+            }
+        )
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    bucketed = _with_bucket(ds.select_columns(cols), "conv_id", n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort("conv_id")
+
+
+def conv_to_documents_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + """
+SELECT conv_id,
+  string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc_text,
+  count(*) AS n_turns
+FROM transcripts GROUP BY conv_id ORDER BY conv_id"""
+    )
+
+
+PACK_BUDGET = 1024
+PACK_BUCKETS = 8
+
+
+def pack_sequences(ds, budget: int = PACK_BUDGET,
+                   n_buckets: int = PACK_BUCKETS):
+    """Deterministic concat-and-chunk sequence packing: documents are
+    ordered by ``doc_id`` within ``bucket = doc_id % n_buckets``,
+    logically concatenated, and cut into ``budget``-token sequences —
+    each doc is assigned to the sequence where it STARTS (the standard
+    LM-pretraining packing layout; a doc straddling a boundary belongs
+    to its starting bin). Output per doc: (doc_id, bucket, seq_id,
+    seq_off) with ``seq_off`` the token offset inside its sequence.
+
+    Fully vectorized: the assignment is a window cumsum —
+    ``off = running_sum(n_tokens) - n_tokens``; ``seq_id = off //
+    budget``; no sequential bin-state loop. Buckets bound the ordered
+    scan: packing parallelism = n_buckets, so size it to the cluster
+    (each bucket's docs must co-locate — at corpus scale use thousands
+    of buckets; sequences never cross buckets)."""
+    from fluent_server_ray.stages.textstats import TOKEN_RE
+
+    def prep(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        bucket = pc.subtract(
+            did, pc.multiply(pc.divide(did, n_buckets), n_buckets)
+        )
+        return pa.table(
+            {
+                "doc_id": did,
+                "bucket": pc.cast(bucket, pa.int64()),
+                "n": pc.cast(
+                    pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        off = g["n"].cumsum() - g["n"]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "bucket": g["bucket"],
+                "seq_id": (off // budget).astype("int64"),
+                "seq_off": (off % budget).astype("int64"),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = prepped.groupby("bucket").map_groups(per_bucket,
+                                               batch_format="pandas")
+    return out.sort("doc_id")
+
+
+def pack_sequences_sql(budget: int = PACK_BUDGET,
+                       n_buckets: int = PACK_BUCKETS,
+                       table: str = "documents") -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {n_buckets} AS bucket,
+    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n
+  FROM {table}
+), c AS (
+  SELECT doc_id, bucket,
+    sum(n) OVER (PARTITION BY bucket ORDER BY doc_id) - n AS off
+  FROM t
+)
+SELECT doc_id, bucket,
+  CAST(off // {budget} AS BIGINT) AS seq_id,
+  CAST(off % {budget} AS BIGINT) AS seq_off
+FROM c ORDER BY doc_id
+""".strip()
+
+
+# thresholds on the first md5 byte: < '08' test (~3.1% of keys),
+# < '10' val (next ~3.1%), else train — same md5-rule family as
+# stages/sampling (deterministic, engine-independent, key-whole).
+SPLIT_TEST_HEX = "08"
+SPLIT_VAL_HEX = "10"
+
+
+def split_assign(ds, id_col: str = "doc_id"):
+    """Deterministic train/val/test assignment by key hash — the split
+    must be a pure function of the key (stable across runs, engines
+    and re-shards; never RNG in the data plane). Output: (doc_id,
+    split). Pure map stage, no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t[id_col], pa.string()).to_pylist()
+        h = [hashlib.md5(k.encode()).hexdigest()[:2] for k in keys]
+        split = np.where(
+            np.array(h, dtype=object) < SPLIT_TEST_HEX, "test",
+            np.where(np.array(h, dtype=object) < SPLIT_VAL_HEX, "val",
+                     "train"),
+        )
+        return pa.table(
+            {id_col: t[id_col], "split": pa.array(split, type=pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_assign_sql(id_col: str = "doc_id",
+                     table: str = "documents") -> str:
+    h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 2)"
+    return (
+        f"SELECT {id_col}, CASE WHEN {h} < '{SPLIT_TEST_HEX}' THEN 'test'"
+        f" WHEN {h} < '{SPLIT_VAL_HEX}' THEN 'val' ELSE 'train' END"
+        f" AS split FROM {table}"
+    )

@@ -1,0 +1,314 @@
+"""Corpus-hygiene stages: scrubbing, repetition filters, decontamination.
+
+The hygiene passes every large-scale training-data pipeline runs before
+training, expressed as vectorized Ray Data transforms with exact DuckDB
+mirrors (shared pattern constants — the oracle cannot drift):
+
+- **scrub** — sequential regex redaction (PII masking: emails / IPs /
+  phone numbers; log pseudonymization: user ids, error codes). Pure
+  per-row Arrow kernels (``replace_substring_regex``), zero shuffle.
+  The reference never mutates record payloads (its handler stores them
+  verbatim, ``mirror/mirror.go:26-39``); this is the record_transformer
+  -style rewrite capability a fluentd-class pipeline adds on top.
+- **ngram_repetition** — Gopher-style repetition quality signals over
+  word n-grams (top-2-gram fraction, duplicate-3-gram fraction);
+  boilerplate and spam score high and get gated out.
+- **decontaminate** — benchmark n-gram overlap: any training document
+  sharing a word k-gram with the held-out benchmark set is flagged.
+  The benchmark shingle set is the pipeline's SMALL side: it broadcasts
+  once via ``ray.put`` (a benchmark suite is KBs–MBs against a 100 TB
+  corpus) and membership runs as one Arrow ``is_in`` per batch.
+
+Tokenization parity: engine uses Python ``str.split()`` (Unicode
+whitespace); the SQL mirrors reuse :data:`dedup._PY_WHITESPACE_RE2`,
+the byte-exact RE2 enumeration of ``str.isspace()`` code points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (name, RE2 pattern, literal replacement) — applied IN ORDER; counts
+# are taken on the text state before that pattern's own replacement.
+# Patterns are RE2-valid in both Arrow and DuckDB (shared verbatim).
+SCRUB_PII = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+)
+
+# log pseudonymization: the structured fields the flagship transcripts
+# actually carry (``user=<uid>`` from the msg template, ``ERR-<nnn>``
+# codes) — masking user ids is the log-pipeline flavor of PII scrub.
+SCRUB_LOG = (
+    ("uid", r"user=[0-9]+", "user=<UID>"),
+    ("err", r"ERR-[0-9]{3}", "ERR-<NNN>"),
+)
+
+
+def make_scrub_fn(patterns, id_cols: tuple[str, ...], text_col: str):
+    def fn(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        cols = {c: t[c] for c in id_cols}
+        for name, rx, rep in patterns:
+            cols["n_" + name] = pc.cast(
+                pc.count_substring_regex(text, rx), pa.int64()
+            )
+            text = pc.replace_substring_regex(text, rx, rep)
+        cols[text_col + "_clean"] = text
+        return pa.table(cols)
+
+    return fn
+
+
+def scrub(ds, patterns=SCRUB_PII, id_cols: tuple[str, ...] = ("doc_id",),
+          text_col: str = "text"):
+    """Sequential regex redaction. Output: id cols + ``n_<name>`` match
+    counts (counted before that pattern's replacement — later patterns
+    see earlier replacements, exactly like the nested SQL mirror) +
+    ``<text_col>_clean``. Embarrassingly parallel, no shuffle."""
+    return ds.map_batches(make_scrub_fn(patterns, id_cols, text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def scrub_sql(patterns=SCRUB_PII, id_cols: tuple[str, ...] = ("doc_id",),
+              text_col: str = "text", table: str = "documents") -> str:
+    exprs = []
+    cur = text_col
+    for name, rx, rep in patterns:
+        rx_sql = rx.replace("'", "''")
+        exprs.append(
+            f"CAST(len(regexp_extract_all({cur}, '{rx_sql}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{rx_sql}', '{rep}', 'g')"
+    cols = ", ".join(id_cols)
+    return (
+        f"SELECT {cols}, {', '.join(exprs)}, {cur} AS {text_col}_clean"
+        f" FROM {table}"
+    )
+
+
+# ------------------------------------------------ token-flattening
+
+def _flat_tokens(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """(local_doc_index_per_token, flat object array of tokens) for a
+    batch — the shared shape of every token-level kernel here (cf. the
+    identical helper inside ``textstats.doc_tfidf``)."""
+    toks = [(s or "").split() for s in texts]
+    lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                       count=len(toks))
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in toks:
+        if w:
+            flat[pos:pos + len(w)] = w
+            pos += len(w)
+    return np.repeat(np.arange(len(toks), dtype=np.int64), lens), flat
+
+
+def _gram_strings(doc_of: np.ndarray, flat: np.ndarray, k: int):
+    """All within-document word k-gram strings of a flattened batch:
+    object-array elementwise concat (C loop over str +), with positions
+    whose window crosses a document boundary masked out. Returns
+    (doc_index_per_gram, gram string array); docs with < k tokens
+    contribute nothing (no fallback — a hygiene gram is k words)."""
+    total = len(flat)
+    if total < k:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+    g = flat[: total - k + 1]
+    for j in range(1, k):
+        g = g + " "
+        g = g + flat[j: total - k + 1 + j]
+    valid = doc_of[: total - k + 1] == doc_of[k - 1:]
+    return doc_of[: total - k + 1][valid], g[valid]
+
+
+# ------------------------------------------------ n-gram repetition
+
+def ngram_repetition_batch(t: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document:
+
+    - ``top2_frac``  = occurrences of the most frequent word 2-gram
+      over total 2-gram occurrences (boilerplate headers/footers and
+      keyword spam push this up);
+    - ``dup3_frac``  = fraction of 3-gram occurrences that are repeats
+      (1 − distinct/total).
+
+    One Arrow ``group_by`` over (doc, gram) per order — vectorized for
+    the whole batch; per-doc aggregates are a second tiny ``group_by``.
+    Docs with < k tokens report zero counts (ratio denominators are
+    ``max(n, 1)``)."""
+    ids = t["doc_id"]
+    doc_of, flat = _flat_tokens(t["text"].to_pylist())
+    n = len(t)
+    n2 = np.zeros(n, dtype=np.int64)
+    top2 = np.zeros(n, dtype=np.int64)
+    n3 = np.zeros(n, dtype=np.int64)
+    d3 = np.zeros(n, dtype=np.int64)
+    for k, (tot, best, dist) in ((2, (n2, top2, None)),
+                                 (3, (n3, None, d3))):
+        d_of, grams = _gram_strings(doc_of, flat, k)
+        if not len(grams):
+            continue
+        gc = pa.table(
+            {"d": pa.array(d_of), "g": pa.array(grams, type=pa.string())}
+        ).group_by(["d", "g"]).aggregate([([], "count_all")])
+        per_doc = gc.group_by("d").aggregate(
+            [("count_all", "sum"), ("count_all", "max"), ([], "count_all")]
+        )
+        di = per_doc["d"].to_numpy()
+        tot[di] = per_doc["count_all_sum"].to_numpy()
+        if best is not None:
+            best[di] = per_doc["count_all_max"].to_numpy()
+        if dist is not None:
+            dist[di] = per_doc["count_all"].to_numpy()  # the count_all of
+            # the SECOND group_by = number of distinct grams per doc
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_2grams": pa.array(n2),
+            "top2_count": pa.array(top2),
+            "top2_frac": pa.array(top2 / np.maximum(n2, 1)),
+            "n_3grams": pa.array(n3),
+            "dup3_frac": pa.array((n3 - d3) / np.maximum(n3, 1)),
+        }
+    )
+
+
+def _toks_cte(table: str) -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return (
+        f"SELECT doc_id, list_filter(regexp_split_to_array(text,"
+        f" '{_PY_WHITESPACE_RE2}'), x -> x <> '') AS w FROM {table}"
+    )
+
+
+def _gram_list_sql(k: int) -> str:
+    """DuckDB list expression for word k-grams of token list ``w``
+    (1-based slicing; empty for < k tokens — mirrors _gram_strings)."""
+    join = " || ' ' || ".join(
+        f"w[i + {j}]" if j else "w[i]" for j in range(k)
+    )
+    return (
+        f"CASE WHEN len(w) < {k} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(1, len(w) - {k - 2}), i -> {join}) END"
+    )
+
+
+def ngram_repetition_sql(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  {_toks_cte(table)}
+), g2 AS (
+  SELECT doc_id, unnest({_gram_list_sql(2)}) AS g FROM toks
+), c2 AS (
+  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+), a2 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+         CAST(max(c) AS BIGINT) AS top2 FROM c2 GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, unnest({_gram_list_sql(3)}) AS g FROM toks
+), c3 AS (
+  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g
+), a3 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+         CAST(count(*) AS BIGINT) AS d3 FROM c3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a2.n2, 0) AS n_2grams,
+  COALESCE(a2.top2, 0) AS top2_count,
+  CAST(COALESCE(a2.top2, 0) AS DOUBLE)
+    / GREATEST(COALESCE(a2.n2, 0), 1) AS top2_frac,
+  COALESCE(a3.n3, 0) AS n_3grams,
+  CAST(COALESCE(a3.n3, 0) - COALESCE(a3.d3, 0) AS DOUBLE)
+    / GREATEST(COALESCE(a3.n3, 0), 1) AS dup3_frac
+FROM {table} d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+""".strip()
+
+
+# ------------------------------------------------ decontamination
+
+BENCH_MOD = 29  # doc_id % BENCH_MOD == 0 marks the held-out benchmark
+
+
+def decontaminate(ds, k: int = 3, bench_mod: int = BENCH_MOD):
+    """Benchmark n-gram decontamination: flag every training document
+    (``doc_id % bench_mod != 0``) sharing any word ``k``-gram with the
+    benchmark slice (``== 0``). Output: (doc_id, contaminated) for the
+    training docs, in input order.
+
+    Scale shape: the benchmark gram set is collected once (distinct
+    per batch → driver union — a benchmark suite is the small side by
+    definition; for a corpus-sized "bench" use the bucketed-join path
+    of :func:`dedup.ngram_jaccard_dupes` instead), broadcast via
+    ``ray.put``, and each batch runs ONE vectorized ``is_in`` over its
+    flattened gram array. The corpus streams; nothing corpus-sized
+    ever reaches the driver."""
+    import ray
+
+    ds = ds.materialize()  # consumed twice (bench pass + flag pass)
+
+    def _is_bench(ids):
+        m = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, bench_mod),
+                                         bench_mod)),
+            0,
+        )
+        return m
+
+    def bench_grams(t: pa.Table):
+        t = t.filter(_is_bench(t["doc_id"]))
+        if not len(t):
+            return
+        _, grams = _gram_strings(*_flat_tokens(t["text"].to_pylist()), k)
+        if len(grams):
+            yield pa.table(
+                {"g": pa.array(np.unique(grams), type=pa.string())}
+            )
+
+    parts = ds.map_batches(bench_grams, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    bench: set = set()
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        bench.update(b["g"].to_pylist())
+    bench_ref = ray.put(pa.array(sorted(bench), type=pa.string()))
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(_is_bench(t["doc_id"])))
+        out_flag = np.zeros(len(t), dtype=bool)
+        if len(t):
+            d_of, grams = _gram_strings(
+                *_flat_tokens(t["text"].to_pylist()), k
+            )
+            if len(grams):
+                vs = ray.get(bench_ref)
+                hit = pc.is_in(pa.array(grams, type=pa.string()),
+                               value_set=vs).to_numpy(zero_copy_only=False)
+                np.logical_or.at(out_flag, d_of, hit)
+        return pa.table(
+            {"doc_id": t["doc_id"], "contaminated": pa.array(out_flag)}
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate_sql(k: int = 3, bench_mod: int = BENCH_MOD,
+                      table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  {_toks_cte(table)}
+), sh AS (
+  SELECT doc_id, {_gram_list_sql(k)} AS s FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {bench_mod} = 0
+), benchlist AS (
+  SELECT COALESCE(list(g), CAST([] AS VARCHAR[])) AS bl FROM bench
+)
+SELECT doc_id, len(list_intersect(s, bl)) > 0 AS contaminated
+FROM sh CROSS JOIN benchlist WHERE doc_id % {bench_mod} <> 0
+""".strip()

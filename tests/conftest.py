@@ -24,6 +24,8 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # deterministic block order — same contract as __ray_entry__
+    ctx.execution_options.preserve_order = True
     yield ray
     ray.shutdown()
 

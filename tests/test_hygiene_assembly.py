@@ -1,0 +1,205 @@
+"""Behavior tests for the hygiene (scrub / repetition / decontaminate)
+and assembly (window fns / conv docs / packing / splits) stages on
+constructed corpora — the oracle-equality checks live in
+test_training_ops.ORACLE_QUERIES; these pin the semantics the oracle
+can't see (injected PII, constructed contamination, packing
+invariants, split determinism)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+def test_pii_scrub_redacts_injected_pii(ray_session):
+    from fluent_server_ray.stages.hygiene import scrub
+
+    ds = _docs_ds(
+        [
+            (1, "contact bob@example.com or 10.0.0.1 or 555-123-4567 ok"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.org and ip 192.168.1.254"),
+        ]
+    )
+    out = scrub(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_email"] == 1
+    assert out.loc[1, "n_ip"] == 1
+    assert out.loc[1, "n_phone"] == 1
+    assert out.loc[1, "text_clean"] == "contact <EMAIL> or <IP> or <PHONE> ok"
+    assert out.loc[2, ["n_email", "n_ip", "n_phone"]].sum() == 0
+    assert out.loc[2, "text_clean"] == "no pii here"
+    assert out.loc[3, "n_email"] == 2 and out.loc[3, "n_ip"] == 1
+    assert "<EMAIL>" in out.loc[3, "text_clean"]
+    assert "a@b.io" not in out.loc[3, "text_clean"]
+
+
+def test_scrub_counts_are_sequential(ray_session):
+    """Counts are taken on the progressively-scrubbed text: a pattern
+    masked by an earlier rule must not be double-counted by a later
+    one (the SQL mirror nests regexp_replace identically)."""
+    from fluent_server_ray.stages.hygiene import scrub
+
+    # the email's domain ends in digits that would otherwise look like
+    # the start of an IP — after email masking the IP count must be 0
+    ds = _docs_ds([(1, "x 1.2.3.4@mail.com y")])
+    out = scrub(ds).to_pandas()
+    assert out.loc[0, "n_email"] == 1
+    assert out.loc[0, "n_ip"] == 0
+    assert out.loc[0, "text_clean"] == "x <EMAIL> y"
+
+
+def test_ngram_repetition_flags_boilerplate(ray_session):
+    from fluent_server_ray.stages.hygiene import ngram_repetition_batch
+    from fluent_server_ray.stages.textstats import apply_doc_stage
+
+    ds = _docs_ds(
+        [
+            (1, "buy now " * 10 + "end"),       # one dominant 2-gram
+            (2, "a b c d e f g h"),              # all distinct
+            (3, ""),                             # empty
+            (4, "x y"),                          # < 3 tokens
+        ]
+    )
+    out = (
+        apply_doc_stage(ds, ngram_repetition_batch)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc 1: tokens = [buy now]*10 + [end]; 2-grams: 20 total,
+    # 'now buy' x9, 'buy now' x10 (top), 'now end' x1
+    assert out.loc[1, "n_2grams"] == 20
+    assert out.loc[1, "top2_count"] == 10
+    assert out.loc[1, "top2_frac"] == pytest.approx(0.5)
+    assert out.loc[1, "dup3_frac"] > 0.8
+    # doc 2: no repeats at all
+    assert out.loc[2, "top2_count"] == 1
+    assert out.loc[2, "dup3_frac"] == 0.0
+    # degenerate docs report zeros, not NaN
+    assert out.loc[3, "n_2grams"] == 0 and out.loc[3, "top2_frac"] == 0.0
+    assert out.loc[4, "n_2grams"] == 1 and out.loc[4, "n_3grams"] == 0
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session):
+    from fluent_server_ray.stages.hygiene import decontaminate
+
+    bench_text = "quick brown fox jumps over the lazy dog tonight"
+    ds = _docs_ds(
+        [
+            (0, bench_text),                     # benchmark (id % 29 == 0)
+            (1, "totally unrelated words entirely separate content here"),
+            (2, "he saw the quick brown fox jumps in the field"),  # overlap
+            (3, "fox quick brown scrambled order no shared trigram"),
+            (30, "short doc"),                   # < 3 tokens never flagged
+        ]
+    )
+    out = decontaminate(ds).to_pandas().set_index("doc_id")
+    assert 0 not in out.index  # bench rows are excluded from output
+    assert not out.loc[1, "contaminated"]
+    assert out.loc[2, "contaminated"]
+    assert not out.loc[3, "contaminated"]
+    assert not out.loc[30, "contaminated"]
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    """No doc_id divisible by bench_mod → empty gram set → nothing
+    flagged (and no crash on the empty broadcast)."""
+    from fluent_server_ray.stages.hygiene import decontaminate
+
+    ds = _docs_ds([(1, "a b c d"), (2, "a b c d")])
+    out = decontaminate(ds).to_pandas()
+    assert len(out) == 2 and not out["contaminated"].any()
+
+
+def test_running_turn_stats_small(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import running_turn_stats
+
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c1", "c2"],
+            "turn_idx": pa.array([2, 0, 1, 0], type=pa.int32()),
+            "role": ["tool", "user", "assistant", "user"],
+            "text": ["zzz", "hi", "yo!!", "solo"],
+        }
+    )
+    out = (
+        running_turn_stats(rd.from_arrow(t), n_buckets=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert out["turn_rank"].tolist() == [1, 2, 3, 1]
+    assert out["cum_chars"].tolist() == [2, 6, 9, 4]
+    assert out["prev_role"].tolist()[:3] == [None, "user", "assistant"]
+    assert pd.isna(out["prev_role"].iloc[3])
+
+
+def test_conv_to_documents_order_and_join(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import conv_to_documents
+
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([5, 1, 0], type=pa.int32()),
+            "role": ["assistant", "user", "user"],
+            "text": ["fine", "how?", "lone"],
+        }
+    )
+    out = conv_to_documents(rd.from_arrow(t), n_buckets=2).to_pandas()
+    out = out.set_index("conv_id")
+    assert out.loc["c1", "doc_text"] == "user: how?\nassistant: fine"
+    assert out.loc["c1", "n_turns"] == 2
+    assert out.loc["c2", "doc_text"] == "user: lone"
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Concat-and-chunk packing: within a bucket, docs ordered by id
+    tile the token stream contiguously; every doc starts inside its
+    assigned sequence (seq_off < budget) and offsets chain exactly."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import pack_sequences
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), " ".join("w%d" % k for k in rng.integers(0, 50, size=int(n))))
+        for i, n in enumerate(rng.integers(1, 40, size=200))
+    ]
+    out = pack_sequences(_docs_ds(rows), budget=64, n_buckets=4).to_pandas()
+    assert (out["seq_off"] < 64).all() and (out["seq_off"] >= 0).all()
+    n_tok = {i: len(t.split()) for i, t in rows}
+    for b, g in out.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        run = 0
+        for r in g.itertuples():
+            assert r.seq_id == run // 64 and r.seq_off == run % 64
+            run += n_tok[r.doc_id]
+        assert (g["doc_id"] % 4 == b).all()
+
+
+def test_split_assign_deterministic_and_total(ray_session):
+    from fluent_server_ray.stages.assembly import split_assign
+
+    rows = [(i, "t") for i in range(2000)]
+    a = split_assign(_docs_ds(rows)).to_pandas()
+    b = split_assign(_docs_ds(rows)).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    frac = a["split"].value_counts(normalize=True)
+    assert frac["train"] > 0.9
+    # ~3.1% each; generous bounds at n=2000
+    assert 0.01 < frac["test"] < 0.06 and 0.01 < frac["val"] < 0.06

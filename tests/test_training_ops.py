@@ -51,6 +51,14 @@ ORACLE_QUERIES = [
     "multimodal_resize",
     "price_quantiles",
     "value_quantiles_by_type",
+    "doc_pii_scrub",
+    "transcripts_scrub_uids",
+    "doc_ngram_repetition",
+    "doc_decontaminate",
+    "conv_running_stats",
+    "conv_documents",
+    "doc_pack_sequences",
+    "doc_split_assign",
 ]
 
 
