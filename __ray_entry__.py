@@ -513,6 +513,27 @@ ORDER BY event_type, window_start
 """.strip()
 
 
+def _q_late_flags(sf_dir: str):
+    """Watermark late-data flagging (max event time − 30 min; the
+    late-arrival handling the reference lacks, SURVEY §2.10): per-batch
+    max combiner → one broadcast scalar → pure vectorized flag."""
+    from fluent_server_ray.stages.windows import late_flags
+
+    return late_flags(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts"])
+    )
+
+
+def _q_semi_join(sf_dir: str):
+    """Semi join (existence filter, no join expansion): customers with
+    at least one high-value order — distinct-key broadcast + one
+    vectorized is_in per batch."""
+    from fluent_server_ray.pipelines import relational as rel
+
+    return rel.customers_with_orders(sf_dir)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate distinct users (mergeable sketch; rows-only —
     a probabilistic estimate has no exact SQL oracle)."""
@@ -943,6 +964,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_replayed_turns": rel.dedup_replayed_turns,
         "anti_join_customers": rel.customers_without_orders,
         "anti_join_customers_bloom": _q_anti_join_bloom,
+        "semi_join_customers": _q_semi_join,
+        "events_late_flags": _q_late_flags,
         "ann_ivf_persisted": _q_ivf_persisted,
         "topk_per_customer": rel.top_orders_per_customer,
         "approx_distinct_users": _q_approx_distinct,
@@ -1024,6 +1047,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),
+        "semi_join_customers": rel.customers_with_orders_sql(),
+        "events_late_flags": windows.late_flags_sql(),
         # ann_ivf_persisted: probabilistic (recall<1) — rows-only
         "topk_per_customer": rel.top_orders_per_customer_sql(),
         # approx_distinct_users: probabilistic sketch — rows-only

@@ -538,6 +538,54 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > {min_p
 """.strip()
 
 
+def customers_with_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE):
+    """SEMI join — the existence-filter dual of
+    :func:`customers_without_orders`: customers having at least one
+    high-value order, with no order columns joined in (never a full
+    join + distinct, which would expand |matches| rows before
+    collapsing them). Same physical shape: distinct right keys via the
+    combiner pattern, broadcast once, one vectorized ``is_in`` per
+    left batch; at 100 TB key sets, the Bloom prefilter path of the
+    anti join applies unchanged (definite-negative drops immediately;
+    Bloom-positives take the exact residual check)."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > min_price,
+    )
+    keys_tbl = grouped_counts(orders, ["o_custkey"])
+    key_ref = ray.put(keys_tbl["o_custkey"].combine_chunks())
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
+
+    out = cust.map_batches(semi, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if tables:
+        return pa.concat_tables(tables)
+    return pa.table(
+        {"c_custkey": pa.array([], type=pa.int64()),
+         "c_name": pa.array([], type=pa.string())}
+    )
+
+
+def customers_with_orders_sql(min_price: float = ANTI_JOIN_PRICE) -> str:
+    return f"""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > {min_price})
+""".strip()
+
+
 # ------------------------------------------- per-key top-k (window rank)
 
 def top_orders_per_customer(sf_dir: str, k: int = 2):

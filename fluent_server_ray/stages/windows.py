@@ -313,6 +313,72 @@ def sliding_counts(ds, width_seconds: int = 3600, slide_seconds: int = 1800,
     return grouped_counts(win_ds, [key_col, "window_start"])
 
 
+def late_flags(ds, delay_seconds: int = 1800, ts_col: str = "ts",
+               id_col: str = "event_id"):
+    """Watermark late-data flagging — the late-arrival handling the
+    reference lacks entirely (it carries event time but never compares
+    it to anything, SURVEY §2.10): ``watermark = max(event_time) -
+    delay``; rows strictly before the watermark are flagged late (a
+    live pipeline would route them to a quarantine sink via the same
+    tag-router).
+
+    Two passes, both narrow: a per-batch max combiner reduces to ONE
+    timestamp on the driver (O(blocks) rows), the watermark broadcasts
+    as a plain scalar inside the flag closure, and the flag itself is
+    a pure vectorized comparison — no shuffle anywhere."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def max_part(t: pa.Table):
+        if len(t) == 0:
+            return
+        col = t[ts_col]
+        yield pa.table(
+            {ts_col: pa.array([pc.max(col).as_py()], type=col.type)}
+        )
+
+    parts = ds.map_batches(max_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    max_ts = None
+    ts_type = None
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        v = b[ts_col][0].as_py()
+        ts_type = b[ts_col].type
+        if max_ts is None or v > max_ts:
+            max_ts = v
+    if max_ts is None:
+        # empty corpus: no watermark exists — emit a TYPED empty result
+        # (mapping the empty blocks would lose the schema entirely)
+        import ray.data as rd
+
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], type=id_type),
+                      "is_late": pa.array([], type=pa.bool_())})
+        )
+    wm = max_ts - datetime.timedelta(seconds=delay_seconds)
+    wm_scalar = pa.scalar(wm, type=ts_type)
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: t[id_col],
+             "is_late": pc.less(t[ts_col], wm_scalar)}
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def late_flags_sql(delay_seconds: int = 1800, table: str = "events") -> str:
+    return (
+        f"SELECT event_id, ts < (SELECT max(ts) - INTERVAL {delay_seconds}"
+        f" SECOND FROM {table}) AS is_late FROM {table}"
+    )
+
+
 def sliding_counts_sql(width_seconds: int = 3600, slide_seconds: int = 1800,
                        table: str = "events") -> str:
     n_phases = width_seconds // slide_seconds

@@ -192,6 +192,38 @@ def test_pack_sequences_invariants(ray_session):
         assert (g["doc_id"] % 4 == b).all()
 
 
+def test_late_flags_watermark_semantics(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import late_flags
+
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "ts": pa.array(
+                [base,                                     # 1h before max → late
+                 base + datetime.timedelta(seconds=1800),  # == watermark → NOT late (strict <)
+                 base + datetime.timedelta(seconds=1801),
+                 base + datetime.timedelta(seconds=3600)],  # the max
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = late_flags(rd.from_arrow(t), delay_seconds=1800).to_pandas()
+    assert out.set_index("event_id")["is_late"].tolist() == [
+        True, False, False, False
+    ]
+    # empty input: typed empty dataset, no crash on the empty max
+    # (Ray's to_pandas() drops columns on zero-row datasets, so assert
+    # on the Dataset schema, which is what downstream stages consume)
+    empty = late_flags(rd.from_arrow(t.slice(0, 0)), delay_seconds=1800)
+    assert empty.count() == 0
+    assert empty.schema().names == ["event_id", "is_late"]
+
+
 def test_split_assign_deterministic_and_total(ray_session):
     from fluent_server_ray.stages.assembly import split_assign
 

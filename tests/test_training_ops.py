@@ -59,6 +59,8 @@ ORACLE_QUERIES = [
     "conv_documents",
     "doc_pack_sequences",
     "doc_split_assign",
+    "semi_join_customers",
+    "events_late_flags",
 ]
 
 
