@@ -534,6 +534,82 @@ def _q_semi_join(sf_dir: str):
     return rel.customers_with_orders(sf_dir)
 
 
+def _q_extract_props(sf_dir: str):
+    """Structured field extraction from JSON props strings — the
+    fluentd parser-filter analog (one vectorized Arrow extract_regex
+    kernel per field, no row loop, no shuffle)."""
+    from fluent_server_ray.stages.fields import extract_fields
+
+    return extract_fields(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "props"])
+    )
+
+
+def _q_per_source_cap(sf_dir: str):
+    """Quota sampling: at most 10 documents per source, deterministic
+    md5 rank — the domain-balancing curation step (one bucket exchange
+    of (id, key) only)."""
+    from fluent_server_ray.stages.sampling import per_key_cap
+
+    return per_key_cap(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    )
+
+
+def _q_corpus_shuffle(sf_dir: str):
+    """Deterministic global training-order shuffle: distributed
+    range-sort on md5(doc_id) — seedless, engine-independent
+    permutation; only (id, skey) move through the exchange."""
+    from fluent_server_ray.stages.sampling import shuffle_order
+
+    return shuffle_order(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    )
+
+
+def _q_sample_bottomk(sf_dir: str):
+    """Deterministic uniform bottom-k corpus sample (k smallest
+    md5(id)): per-block bottom-k partials, O(blocks·k) driver merge —
+    no shuffle."""
+    from fluent_server_ray.stages.sampling import bottomk_sample
+
+    return bottomk_sample(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    )
+
+
+def _q_funnel(sf_dir: str):
+    """signup→purchase conversion funnel within 24 h: pushed
+    two-type read filter + one bucket exchange on user_id +
+    whole-bucket pandas kernels."""
+    import pyarrow.dataset as pads
+
+    from fluent_server_ray.stages.windows import funnel
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        filter=pads.field("event_type").isin(["signup", "purchase"]),
+        filter_refs=["event_type"],
+    )
+    return funnel(ds)
+
+
+def _q_window_distinct(sf_dir: str):
+    """Exact distinct users per hourly window: per-batch pair dedup →
+    one bucketed distinct → bounded per-window combiner counts."""
+    from fluent_server_ray.stages.windows import window_distinct_users
+
+    return window_distinct_users(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"])
+    )
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL approximate distinct users (mergeable sketch; rows-only —
     a probabilistic estimate has no exact SQL oracle)."""
@@ -966,6 +1042,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers_bloom": _q_anti_join_bloom,
         "semi_join_customers": _q_semi_join,
         "events_late_flags": _q_late_flags,
+        "events_extract_props": _q_extract_props,
+        "docs_per_source_cap": _q_per_source_cap,
+        "docs_corpus_shuffle": _q_corpus_shuffle,
+        "docs_sample_bottomk": _q_sample_bottomk,
+        "user_funnel": _q_funnel,
+        "window_distinct_users": _q_window_distinct,
         "ann_ivf_persisted": _q_ivf_persisted,
         "topk_per_customer": rel.top_orders_per_customer,
         "approx_distinct_users": _q_approx_distinct,
@@ -996,8 +1078,10 @@ def oracle_sql() -> dict[str, str]:
     from fluent_server_ray.stages import (
         assembly,
         dedup,
+        fields,
         hygiene,
         multimodal,
+        sampling,
         similarity,
         textstats,
         windows,
@@ -1049,6 +1133,12 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),
         "semi_join_customers": rel.customers_with_orders_sql(),
         "events_late_flags": windows.late_flags_sql(),
+        "events_extract_props": fields.extract_fields_sql(),
+        "docs_per_source_cap": sampling.per_key_cap_sql(),
+        "docs_corpus_shuffle": sampling.shuffle_order_sql(),
+        "docs_sample_bottomk": sampling.bottomk_sample_sql(),
+        "user_funnel": windows.funnel_sql(),
+        "window_distinct_users": windows.window_distinct_users_sql(),
         # ann_ivf_persisted: probabilistic (recall<1) — rows-only
         "topk_per_customer": rel.top_orders_per_customer_sql(),
         # approx_distinct_users: probabilistic sketch — rows-only

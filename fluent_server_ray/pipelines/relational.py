@@ -285,9 +285,11 @@ def union_high_low_value(sf_dir: str):
     cols = ["event_id", "event_type", "value"]
     path = f"{sf_dir}/events.parquet"
     hi = read_parquet_clean(path, columns=cols,
-                         filter=pads.field("value") > 150.0)
+                         filter=pads.field("value") > 150.0,
+                         filter_refs=["value"])
     lo = read_parquet_clean(path, columns=cols,
-                         filter=pads.field("value") < 10.0)
+                         filter=pads.field("value") < 10.0,
+                         filter_refs=["value"])
     u = hi.union(lo)
 
     def project(t: pa.Table) -> pa.Table:
@@ -580,9 +582,14 @@ def customers_with_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE):
 
 
 def customers_with_orders_sql(min_price: float = ANTI_JOIN_PRICE) -> str:
+    # ORDER BY: DuckDB executes the IN as a parallel hash semi join and
+    # emits rows in probe-partition order; the engine's output is the
+    # customer scan order (ascending c_custkey) — pin the total order
+    # so the row-order-sensitive driver hash agrees.
     return f"""
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > {min_price})
+ORDER BY c_custkey
 """.strip()
 
 

@@ -19,20 +19,30 @@ from __future__ import annotations
 import os
 
 
-def read_parquet_clean(paths, **kwargs):
+def read_parquet_clean(paths, filter_refs=None, **kwargs):
     """``ray.data.read_parquet`` with the file schema's metadata
     stripped (see module docstring). Only applies when a single
     ``.parquet`` file path is given and no explicit ``schema`` is
     passed; composes with ``columns=`` pruning (the schema names the
-    FILE's columns, ``columns`` selects the subset to decode)."""
+    FILE's columns, ``columns`` selects the subset to decode).
+
+    ``filter_refs``: with a pushed-down ``filter``, the column names
+    the filter expression references. A pushed filter may reference
+    columns outside ``columns`` (filter-then-prune), and a schema that
+    doesn't cover them unresolves the refs at the fragment scan — so
+    filtered reads are left untouched UNLESS the caller declares the
+    refs and they are covered by ``columns`` (then the pruned-layout
+    schema is safe to pin and the read stays warning-free)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    # a pushed-down `filter` may reference columns outside `columns`
-    # (filter-then-prune) — a subset schema would unresolve them at the
-    # fragment scan, so leave those reads untouched
+    filter_ok = "filter" not in kwargs or (
+        filter_refs is not None
+        and kwargs.get("columns") is not None
+        and set(filter_refs) <= set(kwargs["columns"])
+    )
     if ("schema" not in kwargs and "filesystem" not in kwargs
-            and "filter" not in kwargs):
+            and filter_ok):
         first = paths[0] if isinstance(paths, (list, tuple)) else paths
         if (isinstance(first, str) and first.endswith(".parquet")
                 and os.path.isfile(first)):

@@ -25,14 +25,18 @@ import pyarrow.compute as pc
 
 
 def _with_bucket(ds, key_col: str, n_buckets: int):
-    from fluent_server_ray.stages.aggregate import hash_bucket_array
+    from fluent_server_ray.stages.aggregate import hash_bucket_array, skip_empty
 
     def fn(t: pa.Table) -> pa.Table:
         return t.append_column(
             "_bucket", pa.array(hash_bucket_array(t[key_col], n_buckets))
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    # skip_empty: the output feeds a groupby shuffle, where a zero-row
+    # block would come back 0-column and trip the executor's
+    # schema-mismatch warning (see aggregate.skip_empty)
+    return ds.map_batches(skip_empty(fn), batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def running_turn_stats(ds, n_buckets: int = 64):

@@ -77,3 +77,132 @@ def sample_by_key_sql_predicate(key_col: str,
         f"substr(md5(COALESCE(CAST({key_col} AS VARCHAR), '')), 1, 2)"
         f" < '{hex_threshold}'"
     )
+
+
+def _md5_hex(ids) -> list[str]:
+    """md5 hex digests of stringified ids — the shared deterministic
+    rank key of every order-sensitive sampler here (engine-independent:
+    DuckDB's ``md5(CAST(id AS VARCHAR))`` is byte-identical)."""
+    return [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+
+
+def per_key_cap(ds, key_col: str = "source", id_col: str = "doc_id",
+                cap: int = 10, n_buckets: int = 64):
+    """Quota sampling: keep at most ``cap`` rows per key, chosen
+    deterministically (rank by ``(md5(id), id)`` within the key) — the
+    domain-balancing step of web-corpus curation (cap documents per
+    source/domain so one crawl host cannot dominate the training mix).
+
+    Physical shape: ONE hash-bucket exchange on the key (a key's rows
+    must co-locate to rank) followed by a segmented pandas
+    cumcount over the whole bucket — never per-key Python. At 100 TB,
+    parallelism = n_buckets and a hot domain is bounded by its bucket;
+    rows carry only (id, key), never payloads — join the survivors
+    back by id to materialize text.
+
+    Output: (id_col, key_col) of survivors, sorted by id.
+    """
+    import pandas as pd  # noqa: F401 (per_bucket runs under pandas)
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def per_bucket(g):
+        g = g.assign(_h=_md5_hex(g[id_col]))
+        g = g.sort_values([key_col, "_h", id_col])
+        keep = g.groupby(key_col, sort=False).cumcount() < cap
+        return g.loc[keep, [id_col, key_col]]
+
+    bucketed = _with_bucket(ds.select_columns([id_col, key_col]),
+                            key_col, n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort(id_col)
+
+
+def per_key_cap_sql(key_col: str = "source", id_col: str = "doc_id",
+                    cap: int = 10, table: str = "documents") -> str:
+    h = f"md5(CAST({id_col} AS VARCHAR))"
+    return (
+        f"SELECT {id_col}, {key_col} FROM {table} "
+        f"QUALIFY row_number() OVER (PARTITION BY {key_col}"
+        f" ORDER BY {h}, {id_col}) <= {cap} ORDER BY {id_col}"
+    )
+
+
+def shuffle_order(ds, id_col: str = "doc_id"):
+    """Deterministic global corpus shuffle for training order: sort by
+    ``md5(id)`` — a seedless, engine-independent permutation (the same
+    entropy-free-data-plane discipline as :func:`sample_by_key`; an
+    epoch seed just concatenates into the hashed string). Output:
+    (id, skey) in shuffled order.
+
+    Scale shape: ONE distributed range-sort on a 32-byte key — the
+    all-to-all exchange is the operator's purpose (a global shuffle IS
+    a full repartition); only (id, skey) move, and consumers join
+    payloads back by id or iterate this as the sample-order manifest.
+    """
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.string()).to_pylist()
+        return pa.table(
+            {id_col: t[id_col],
+             "skey": pa.array(_md5_hex(ids), type=pa.string())}
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.sort(["skey", id_col])
+
+
+def shuffle_order_sql(id_col: str = "doc_id",
+                      table: str = "documents") -> str:
+    h = f"md5(CAST({id_col} AS VARCHAR))"
+    return (
+        f"SELECT {id_col}, {h} AS skey FROM {table} ORDER BY skey, {id_col}"
+    )
+
+
+def bottomk_sample(ds, id_col: str = "doc_id", k: int = 50) -> pa.Table:
+    """Deterministic uniform corpus sample: the ``k`` rows with the
+    smallest ``md5(id)`` (bottom-k minwise sampling — the same family
+    as the IVF trainer's sampler, ``similarity._bottomk_sample_matrix``,
+    exposed as a first-class row sampler for corpus
+    preview/QA). Per-block bottom-k partials (k rows per block), one
+    O(blocks·k) driver merge — no sort, no shuffle. Returns a small
+    pyarrow Table (id, skey) ordered by skey."""
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = pc.cast(t[id_col], pa.string()).to_pylist()
+        p = pa.table(
+            {id_col: t[id_col],
+             "skey": pa.array(_md5_hex(ids), type=pa.string())}
+        )
+        order = pc.sort_indices(
+            p, sort_keys=[("skey", "ascending"), (id_col, "ascending")]
+        )
+        yield p.take(order[:k])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tables:
+        sch = ds.schema(fetch_if_missing=True)
+        id_type = (dict(zip(sch.names, sch.types))[id_col]
+                   if sch is not None else pa.int64())
+        return pa.table({id_col: pa.array([], type=id_type),
+                         "skey": pa.array([], type=pa.string())})
+    merged = pa.concat_tables(tables)
+    order = pc.sort_indices(
+        merged, sort_keys=[("skey", "ascending"), (id_col, "ascending")]
+    )
+    return merged.take(order[:k])
+
+
+def bottomk_sample_sql(id_col: str = "doc_id", k: int = 50,
+                       table: str = "documents") -> str:
+    h = f"md5(CAST({id_col} AS VARCHAR))"
+    return (
+        f"SELECT {id_col}, {h} AS skey FROM {table}"
+        f" ORDER BY skey, {id_col} LIMIT {k}"
+    )

@@ -313,6 +313,137 @@ def sliding_counts(ds, width_seconds: int = 3600, slide_seconds: int = 1800,
     return grouped_counts(win_ds, [key_col, "window_start"])
 
 
+FUNNEL_WINDOW_SECONDS = 86400
+
+
+def funnel(ds, start_type: str = "signup", goal_type: str = "purchase",
+           within_seconds: int = FUNNEL_WINDOW_SECONDS,
+           key_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type", n_buckets: int = 64):
+    """Conversion-funnel analysis: for every key with at least one
+    ``start_type`` event, did a ``goal_type`` event occur within
+    ``within_seconds`` AFTER the first start? (signup→purchase,
+    error→restart, view→click — the sequence-pattern query the
+    reference's forever-accumulating mirror can never answer,
+    ``mirror/mirror.go:26-39``.)
+
+    Physical shape: the read pushes ``event_type IN (start, goal)`` so
+    only the two funnel stages leave storage; ONE hash-bucket exchange
+    on the key co-locates each key's events; inside a bucket the
+    first-start (groupby min) and the goal probe (merge + interval
+    mask + isin) are whole-bucket pandas C kernels. Output:
+    (key, first_<start>_ts, converted) sorted by key.
+    """
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    first_col = f"first_{start_type}_ts"
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = (g.loc[g[type_col] == start_type]
+                  .groupby(key_col, sort=False)[ts_col].min())
+        goals = g.loc[g[type_col] == goal_type, [key_col, ts_col]]
+        gm = goals.merge(first.rename("_a"), left_on=key_col,
+                         right_index=True)
+        hit = gm.loc[
+            (gm[ts_col] >= gm["_a"])
+            & (gm[ts_col] <= gm["_a"] + pd.Timedelta(seconds=within_seconds)),
+            key_col,
+        ].unique()
+        return pd.DataFrame(
+            {
+                key_col: first.index.to_numpy(),
+                first_col: first.to_numpy(),
+                "converted": first.index.isin(hit),
+            }
+        )
+
+    cols = [key_col, type_col, ts_col]
+    bucketed = _with_bucket(ds.select_columns(cols), key_col, n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort(key_col)
+
+
+def funnel_sql(start_type: str = "signup", goal_type: str = "purchase",
+               within_seconds: int = FUNNEL_WINDOW_SECONDS,
+               table: str = "events") -> str:
+    first_col = f"first_{start_type}_ts"
+    return f"""
+WITH fa AS (
+  SELECT user_id, min(ts) AS {first_col} FROM {table}
+  WHERE event_type = '{start_type}' GROUP BY user_id
+), hit AS (
+  SELECT DISTINCT fa.user_id FROM fa JOIN {table} e
+    ON e.user_id = fa.user_id AND e.event_type = '{goal_type}'
+   AND e.ts >= fa.{first_col}
+   AND e.ts <= fa.{first_col} + INTERVAL {within_seconds} SECOND
+)
+SELECT fa.user_id, fa.{first_col},
+  fa.user_id IN (SELECT user_id FROM hit) AS converted
+FROM fa ORDER BY fa.user_id
+""".strip()
+
+
+def window_distinct_users(ds, width_seconds: int = 3600,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          n_buckets: int = 64):
+    """EXACT distinct-count per tumbling window (distinct users per
+    hour — the cardinality dashboard query; the mergeable-sketch
+    sibling is ``sketches.hll_distinct`` when ±2% error is fine).
+
+    Two-level distinct: per-batch local dedup of (window, key) pairs
+    (Arrow ``group_by`` — collapses within-batch repeats before
+    anything moves), then one hash-bucket exchange on the key
+    (co-locating every remaining duplicate of a pair) with a
+    whole-bucket ``drop_duplicates``, then a bounded per-window count
+    via the grouped-counts combiner. Only distinct (window, key) pairs
+    ever shuffle — at 100 TB that is |windows×active users|, not rows.
+    Output: (window_start, n_users).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import (grouped_counts,
+                                                    hash_bucket_array,
+                                                    skip_empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        secs = pc.divide(us, 1_000_000)
+        win = pc.multiply(pc.divide(secs, width_seconds), width_seconds)
+        pairs = pa.table({"window_start": win, key_col: t[key_col]})
+        u = pairs.group_by(["window_start", key_col]).aggregate([])
+        return u.append_column(
+            "_bucket", pa.array(hash_bucket_array(u[key_col], n_buckets))
+        )
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["window_start", key_col])[
+            ["window_start", key_col]
+        ]
+
+    pairs = (
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
+    )
+    counts = grouped_counts(pairs, ["window_start"])
+    return counts.rename_columns(["window_start", "n_users"]).sort_by(
+        [("window_start", "ascending")]
+    )
+
+
+def window_distinct_users_sql(width_seconds: int = 3600,
+                              table: str = "events") -> str:
+    return f"""
+SELECT ((epoch_us(ts) // 1000000) // {width_seconds}) * {width_seconds}
+         AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM {table} GROUP BY 1 ORDER BY 1
+""".strip()
+
+
 def late_flags(ds, delay_seconds: int = 1800, ts_col: str = "ts",
                id_col: str = "event_id"):
     """Watermark late-data flagging — the late-arrival handling the

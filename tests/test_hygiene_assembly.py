@@ -235,3 +235,61 @@ def test_split_assign_deterministic_and_total(ray_session):
     assert frac["train"] > 0.9
     # ~3.1% each; generous bounds at n=2000
     assert 0.01 < frac["test"] < 0.06 and 0.01 < frac["val"] < 0.06
+
+
+def test_bottomk_sample_equals_full_sort(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sampling import bottomk_sample
+
+    ids = list(range(300))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(7)
+    got = bottomk_sample(ds, k=20).to_pandas()
+    want = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+    )[:20]
+    assert list(got["skey"]) == [h for h, _ in want]
+    assert list(got["doc_id"]) == [i for _, i in want]
+    # empty input: typed empty table
+    empty = bottomk_sample(rd.from_pandas(pd.DataFrame({"doc_id": ids})).filter(
+        lambda r: False), k=5)
+    assert len(empty) == 0 and empty.column_names == ["doc_id", "skey"]
+
+
+def test_per_key_cap_deterministic_and_capped(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sampling import per_key_cap
+
+    df = pd.DataFrame(
+        {"doc_id": range(100), "source": [f"s{i % 4}" for i in range(100)]}
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    a = per_key_cap(ds, cap=7).to_pandas()
+    b = per_key_cap(rd.from_pandas(df).repartition(3), cap=7).to_pandas()
+    # deterministic regardless of block layout
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("source").size() == 7).all()
+
+
+def test_funnel_no_goal_events(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import funnel
+
+    base = datetime.datetime(2024, 1, 1)
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_type": ["signup", "purchase", "signup"],
+            "ts": [base, base + datetime.timedelta(hours=25), base],
+        }
+    )
+    out = funnel(rd.from_pandas(df), within_seconds=86400).to_pandas()
+    # user 1's purchase lands outside the 24h window; user 2 never buys
+    assert out["converted"].tolist() == [False, False]
+    assert out["user_id"].tolist() == [1, 2]

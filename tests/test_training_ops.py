@@ -61,6 +61,12 @@ ORACLE_QUERIES = [
     "doc_split_assign",
     "semi_join_customers",
     "events_late_flags",
+    "events_extract_props",
+    "docs_per_source_cap",
+    "docs_corpus_shuffle",
+    "docs_sample_bottomk",
+    "user_funnel",
+    "window_distinct_users",
 ]
 
 
