@@ -534,6 +534,43 @@ def _q_semi_join(sf_dir: str):
     return rel.customers_with_orders(sf_dir)
 
 
+def _q_customer_profile(sf_dir: str):
+    """LEFT OUTER bucketed hash join: every customer + order count /
+    total spend, no-order customers kept with NULL stats (fill-side
+    float64 per joins.canonical_dtype_map; oracle casts to match)."""
+    from fluent_server_ray.pipelines import relational as rel
+
+    return rel.customer_order_profile(sf_dir)
+
+
+def _q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP in one input pass: finest-level combiner counts,
+    coarser levels re-aggregated from the bounded partial table."""
+    from fluent_server_ray.pipelines import relational as rel
+
+    return rel.rollup_order_counts(sf_dir)
+
+
+def _q_cms_event_counts(sf_dir: str):
+    """Count-min sketch point estimates per event type (mergeable
+    depth×width matrix, per-block partials). Rows-only: a probabilistic
+    overestimate has no exact SQL oracle; the estimate-vs-exact bounds
+    are pinned in pytest."""
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.sketches import cms_build, cms_query
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type"])
+    sketch = cms_build(ds, "event_type")
+    keys = ["click", "error", "purchase", "signup", "view"]
+    est = cms_query(sketch, keys)
+    return pa.table(
+        {"event_type": pa.array(keys, type=pa.string()),
+         "est_n": pa.array(est, type=pa.int64())}
+    )
+
+
 def _q_extract_props(sf_dir: str):
     """Structured field extraction from JSON props strings — the
     fluentd parser-filter analog (one vectorized Arrow extract_regex
@@ -1043,6 +1080,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers": _q_semi_join,
         "events_late_flags": _q_late_flags,
         "events_extract_props": _q_extract_props,
+        "customer_order_profile": _q_customer_profile,
+        "rollup_order_counts": _q_rollup_orders,
+        "cms_event_counts": _q_cms_event_counts,
         "docs_per_source_cap": _q_per_source_cap,
         "docs_corpus_shuffle": _q_corpus_shuffle,
         "docs_sample_bottomk": _q_sample_bottomk,
@@ -1134,6 +1174,9 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_customers": rel.customers_with_orders_sql(),
         "events_late_flags": windows.late_flags_sql(),
         "events_extract_props": fields.extract_fields_sql(),
+        "customer_order_profile": rel.customer_order_profile_sql(),
+        "rollup_order_counts": rel.rollup_order_counts_sql(),
+        # cms_event_counts: probabilistic overestimate — rows-only
         "docs_per_source_cap": sampling.per_key_cap_sql(),
         "docs_corpus_shuffle": sampling.shuffle_order_sql(),
         "docs_sample_bottomk": sampling.bottomk_sample_sql(),

@@ -593,6 +593,122 @@ ORDER BY c_custkey
 """.strip()
 
 
+def customer_order_profile(sf_dir: str, n_buckets: int = 32):
+    """LEFT OUTER join through the bucketed hash join: every customer
+    with their order count and total spend (cents), customers with no
+    orders kept with NULL stats — the non-inner join path as a
+    first-class pipeline (fill-side ints surface as float64-with-NaN
+    per ``joins.canonical_dtype_map``; the oracle casts to match).
+
+    Shape: the orders side pre-aggregates per custkey via the
+    ``grouped_agg(final='ray')`` combiner (key cardinality O(customers)
+    — partials never funnel through the driver), then ONE co-located
+    exchange joins it to the customer scan. Money math is integer
+    cents (:func:`_cents`) — float reduction order never leaks."""
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    agg = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("cents", "sum"), ("cents", "count")],
+        final="ray",
+    )
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+    joined = bucketed_hash_join(cust, agg, key="c_custkey",
+                                right_key="o_custkey", how="left",
+                                n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "n_orders": pc.cast(t["cents_count"], pa.float64()),
+                "total_cents": pc.cast(t["cents_sum"], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("c_custkey")
+
+
+def customer_order_profile_sql() -> str:
+    return """
+WITH agg AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS total_cents
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey, c_name,
+  CAST(a.n_orders AS DOUBLE) AS n_orders,
+  CAST(a.total_cents AS DOUBLE) AS total_cents
+FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey
+ORDER BY c_custkey
+""".strip()
+
+
+def rollup_order_counts(sf_dir: str) -> pa.Table:
+    """Multi-level aggregate (SQL ``GROUP BY ROLLUP``): order counts at
+    (priority, status), (priority) and grand-total levels, rolled
+    columns NULL — the report-cube shape warehouses expect. ONE pass
+    computes the finest-level combiner counts; the coarser levels are
+    pure re-aggregations of that bounded partial table (|priorities| ×
+    |statuses| rows) — the input is never rescanned or reshuffled."""
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority", "o_orderstatus"])
+    fine = grouped_counts(ds, ["o_orderpriority", "o_orderstatus"])
+    n = fine["n"]
+    levels = [fine]
+    # (priority) level
+    byp = fine.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
+    levels.append(
+        pa.table(
+            {
+                "o_orderpriority": byp["o_orderpriority"],
+                "o_orderstatus": pa.nulls(len(byp), pa.string()),
+                "n": byp["n_sum"],
+            }
+        )
+    )
+    # grand total
+    levels.append(
+        pa.table(
+            {
+                "o_orderpriority": pa.nulls(1, pa.string()),
+                "o_orderstatus": pa.nulls(1, pa.string()),
+                "n": pa.array([pc.sum(n).as_py() or 0], type=pa.int64()),
+            }
+        )
+    )
+    out = pa.concat_tables(levels)
+    order = pc.sort_indices(
+        out,
+        sort_keys=[("o_orderpriority", "ascending"),
+                   ("o_orderstatus", "ascending")],
+        null_placement="at_end",
+    )
+    return out.take(order)
+
+
+def rollup_order_counts_sql() -> str:
+    return """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST
+""".strip()
+
+
 # ------------------------------------------- per-key top-k (window rank)
 
 def top_orders_per_customer(sf_dir: str, k: int = 2):

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class HyperLogLog:
@@ -444,3 +445,72 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 256):
             "n": pa.array([t[1] for t in top], type=pa.int64()),
         }
     )
+
+
+# ------------------------------------------------ count-min sketch
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+# 16-byte SipHash keys for pandas hash_array — one independent hash
+# row per depth; fixed constants keep the sketch deterministic across
+# processes/nodes (same discipline as hash_bucket_array).
+_CMS_KEYS = [f"fsr-cms-{d:08d}" for d in range(CMS_DEPTH)]
+
+
+def _cms_batch(values, width: int = CMS_WIDTH,
+               depth: int = CMS_DEPTH) -> np.ndarray:
+    """depth×width int64 count matrix of one batch of string values —
+    the per-block combiner (count-min sketches ADD, like histograms)."""
+    import pandas as pd
+
+    vals = np.asarray(values, dtype=object)
+    m = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        h = pd.util.hash_array(vals, hash_key=_CMS_KEYS[d]) % width
+        m[d] += np.bincount(h.astype(np.int64), minlength=width)
+    return m
+
+
+def cms_build(ds, col: str, width: int = CMS_WIDTH,
+              depth: int = CMS_DEPTH) -> np.ndarray:
+    """Build a count-min sketch over a column: per-block partial
+    matrices (one depth×width int64 blob per block, independent of
+    row count or key cardinality), merged by addition on the driver —
+    O(blocks × depth × width) driver work, nothing key-sized ever
+    ships. The point-estimate upper-bounds the true count with
+    overestimate ≤ e/width · N at probability 1 − e^−depth (Cormode &
+    Muthukrishnan 2005 conventions)."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        vals = pc.fill_null(pc.cast(t[col], pa.string()), "").to_numpy(
+            zero_copy_only=False
+        )
+        yield pa.table(
+            {"m": pa.array([_cms_batch(vals, width, depth).tobytes()],
+                           type=pa.binary())}
+        )
+
+    total = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for blob in b["m"].to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    return total
+
+
+def cms_query(sketch: np.ndarray, keys: list[str],
+              width: int = CMS_WIDTH, depth: int = CMS_DEPTH):
+    """Point estimates (min over depth rows) for the given keys."""
+    import pandas as pd
+
+    vals = np.asarray([k if k is not None else "" for k in keys],
+                      dtype=object)
+    est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        h = pd.util.hash_array(vals, hash_key=_CMS_KEYS[d]) % width
+        est = np.minimum(est, sketch[d, h.astype(np.int64)])
+    return est

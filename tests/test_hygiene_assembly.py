@@ -293,3 +293,30 @@ def test_funnel_no_goal_events(ray_session):
     # user 1's purchase lands outside the 24h window; user 2 never buys
     assert out["converted"].tolist() == [False, False]
     assert out["user_id"].tolist() == [1, 2]
+
+
+def test_cms_bounds_and_merge_determinism(ray_session):
+    """Count-min estimates upper-bound true counts and never exceed
+    them by more than the e/width·N bound; block layout cannot change
+    the merged sketch (matrices add)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sketches import cms_build, cms_query
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: key k appears ~ 1000/k times
+    keys = [f"tag{k}" for k in range(1, 60) for _ in range(1000 // k)]
+    rng.shuffle(keys)
+    df = pd.DataFrame({"tag": keys})
+    true = df["tag"].value_counts().to_dict()
+    n = len(df)
+
+    s1 = cms_build(rd.from_pandas(df).repartition(7), "tag", width=512)
+    s2 = cms_build(rd.from_pandas(df).repartition(3), "tag", width=512)
+    assert (s1 == s2).all()
+
+    qkeys = sorted(true)
+    est = cms_query(s1, qkeys, width=512)
+    for k, e in zip(qkeys, est):
+        assert e >= true[k]
+        assert e <= true[k] + (np.e / 512) * n

@@ -67,6 +67,8 @@ ORACLE_QUERIES = [
     "docs_sample_bottomk",
     "user_funnel",
     "window_distinct_users",
+    "customer_order_profile",
+    "rollup_order_counts",
 ]
 
 
