@@ -571,6 +571,27 @@ def _q_cms_event_counts(sf_dir: str):
     )
 
 
+def _q_vocab(sf_dir: str):
+    """Corpus vocabulary top-100: per-batch explode + local count
+    combiner, one word-bucket exchange, per-bucket top-k, O(buckets*k)
+    driver merge — never a global sort."""
+    from fluent_server_ray.stages.textstats import vocab_top_words
+
+    return vocab_top_words(_docs(sf_dir))
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Quality-weighted deterministic downsampling: keep-prob =
+    min(n_chars, 511)/512 via md5-first-byte coin vs per-row threshold
+    (pure map, no shuffle; 1/256 quantization contract)."""
+    from fluent_server_ray.stages.sampling import weighted_sample
+
+    return weighted_sample(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    )
+
+
 def _q_extract_props(sf_dir: str):
     """Structured field extraction from JSON props strings — the
     fluentd parser-filter analog (one vectorized Arrow extract_regex
@@ -1083,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_profile": _q_customer_profile,
         "rollup_order_counts": _q_rollup_orders,
         "cms_event_counts": _q_cms_event_counts,
+        "vocab_top_words": _q_vocab,
+        "docs_weighted_sample": _q_weighted_sample,
         "docs_per_source_cap": _q_per_source_cap,
         "docs_corpus_shuffle": _q_corpus_shuffle,
         "docs_sample_bottomk": _q_sample_bottomk,
@@ -1177,6 +1200,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_profile": rel.customer_order_profile_sql(),
         "rollup_order_counts": rel.rollup_order_counts_sql(),
         # cms_event_counts: probabilistic overestimate — rows-only
+        "vocab_top_words": textstats.vocab_top_words_sql(),
+        "docs_weighted_sample": sampling.weighted_sample_sql(),
         "docs_per_source_cap": sampling.per_key_cap_sql(),
         "docs_corpus_shuffle": sampling.shuffle_order_sql(),
         "docs_sample_bottomk": sampling.bottomk_sample_sql(),

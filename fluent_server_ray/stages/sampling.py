@@ -206,3 +206,50 @@ def bottomk_sample_sql(id_col: str = "doc_id", k: int = 50,
         f"SELECT {id_col}, {h} AS skey FROM {table}"
         f" ORDER BY skey, {id_col} LIMIT {k}"
     )
+
+
+WEIGHT_CHARS_FULL = 512  # n_chars at (and beyond) which keep-prob ≈ 1
+
+
+def weighted_sample(ds, id_col: str = "doc_id",
+                    weight_col: str = "n_chars",
+                    full_at: int = WEIGHT_CHARS_FULL):
+    """Quality-weighted deterministic downsampling: keep a row with
+    probability ``min(weight, full_at-1)/full_at`` — higher-quality
+    (here: longer) documents survive preferentially, the weighted
+    flavor of the curation gate. The coin is ``md5(id)``'s first byte
+    vs a PER-ROW threshold, so the decision is a pure function of
+    (id, weight): deterministic across runs/engines, quantized to
+    1/256 (the md5-first-byte granularity — documented contract, and
+    exactly what the SQL mirror computes via ``printf('%02x', …)``).
+    Pure map stage, no shuffle. Output: (id, weight) of survivors."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select([id_col, weight_col])
+        ids = pc.cast(t[id_col], pa.string()).to_pylist()
+        first_byte = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+             for s in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        thresh = (np.minimum(w, full_at - 1) * 256) // full_at
+        return t.select([id_col, weight_col]).filter(
+            pa.array(first_byte < thresh)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample_sql(id_col: str = "doc_id",
+                        weight_col: str = "n_chars",
+                        full_at: int = WEIGHT_CHARS_FULL,
+                        table: str = "documents") -> str:
+    h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 2)"
+    thresh = (f"printf('%02x', CAST((LEAST({weight_col}, {full_at - 1})"
+              f" * 256) // {full_at} AS BIGINT))")
+    return (
+        f"SELECT {id_col}, {weight_col} FROM {table}"
+        f" WHERE {h} < {thresh}"
+    )

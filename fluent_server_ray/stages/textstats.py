@@ -352,3 +352,66 @@ SELECT tf.doc_id,
 FROM tf JOIN df USING (term) CROSS JOIN n
 GROUP BY tf.doc_id
 """.strip()
+
+
+# ------------------------------------------------ corpus vocabulary
+
+def vocab_top_words(ds, k: int = 100, n_buckets: int = 64) -> pa.Table:
+    """Corpus vocabulary: the top-``k`` words by total occurrence count
+    (ties broken by word, ascending) — the vocabulary-build step of LM
+    tokenizer prep, over an UNBOUNDED word space.
+
+    Shape: per-batch explode + LOCAL count (Arrow ``split_pattern`` →
+    ``group_by`` — the combiner: a batch contributes one row per
+    distinct word, not per token), ONE hash-bucket exchange on the
+    word, per-bucket sum + per-bucket top-k (buckets partition words
+    disjointly, so the global top-k is the top-k of the ≤ buckets×k
+    bucket winners — an O(buckets·k) driver merge, never a global
+    sort). Split is single-space, mirroring the SQL ``string_split``
+    exactly (cf. ``TOKEN_RE``)."""
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        c = (pa.table({"word": toks}).group_by("word")
+             .aggregate([([], "count_all")])
+             .rename_columns(["word", "n"]))
+        return c.append_column(
+            "_bucket", pa.array(hash_bucket_array(c["word"], n_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("word", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "word"], ascending=[False, True]).head(k)
+        return s[["word", "n"]]
+
+    tops = (
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    merged = tops.to_pandas()  # bounded: ≤ n_buckets × k rows
+    merged = merged.sort_values(["n", "word"],
+                                ascending=[False, True]).head(k)
+    return pa.table(
+        {"word": pa.array(merged["word"].to_numpy(), type=pa.string()),
+         "n": pa.array(merged["n"].to_numpy(), type=pa.int64())}
+    )
+
+
+def vocab_top_words_sql(k: int = 100, table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM {table}
+)
+SELECT word, count(*) AS n FROM toks
+GROUP BY word ORDER BY n DESC, word LIMIT {k}
+""".strip()

@@ -69,6 +69,8 @@ ORACLE_QUERIES = [
     "window_distinct_users",
     "customer_order_profile",
     "rollup_order_counts",
+    "vocab_top_words",
+    "docs_weighted_sample",
 ]
 
 
