@@ -153,13 +153,26 @@ def run_once() -> dict:
         queries["flagship_sinks_write"] = round(time.perf_counter() - t0, 3)
         shutil.rmtree(out, ignore_errors=True)
 
+        # vocabulary build over the full corpus text (~500M tokens at
+        # sf0.1): explode + local-count combiner → word-bucket exchange
+        # → per-bucket top-k — the word-space shuffle at scale
+        from fluent_server_ray.stages.textstats import vocab_top_words
+
+        t0 = time.perf_counter()
+        vocab_top_words(
+            read_transcripts(corpus, override_num_blocks=num_blocks,
+                             columns=["text"])
+        )
+        queries["vocab_corpus_top100"] = round(time.perf_counter() - t0, 3)
+
     # training-data ops over the driver tables at this sf (small but
     # representative; the driver compares rounds on these too)
     import __ray_entry__ as entrymod
 
     for qname in () if os.environ.get("FSR_COUNTS_ONLY") else ("dedup_exact", "dedup_minhash", "ann_cosine_topk",
                   "sessionize", "join_revenue_by_priority",
-                  "curation_pipeline", "conv_value_stats"):
+                  "curation_pipeline", "conv_value_stats",
+                  "user_funnel", "window_distinct_users"):
         try:
             t0 = time.perf_counter()
             res = entrymod.queries()[qname](SF_DIR)
