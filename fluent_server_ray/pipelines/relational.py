@@ -457,27 +457,26 @@ SELECT DISTINCT conv_id, turn_idx, text FROM (
 ANTI_JOIN_PRICE = 450_000.0
 
 
-def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE,
-                             use_bloom: bool = False):
-    """Anti join: customers having no high-value order (o_totalprice >
-    min_price). The price predicate is pushed into the read.
-
-    ``use_bloom=False`` (small key set): distinct custkeys broadcast
-    exactly; the left side streams through one vectorized ``is_in``.
+def _customers_key_filter(sf_dir: str, min_price: float,
+                          keep_matches: bool, use_bloom: bool = False):
+    """Shared semi/anti-join body: distinct high-value-order custkeys
+    broadcast once, customer scan streamed through one vectorized
+    ``is_in`` per batch (``keep_matches=True`` → semi join, ``False``
+    → anti join). The price predicate is pushed into the read.
 
     ``use_bloom=True`` (the 100 TB key-set path, equality pinned in
     tests): per-block Bloom partials over the right keys merge into one
     fixed-size filter (``sketches.BloomFilter`` — OR-mergeable,
     deterministic SipHash) that broadcasts instead of the keys.
-    ``contains == False`` is definite — those customers pass the anti
-    join immediately; only the ~|matches| + fp Bloom-positive rows take
-    the exact residual check (here a broadcast is_in over the shrunken
-    candidate set; at full scale, a bucketed hash join against the
-    distinct keys so the exact key array never broadcasts at all).
+    ``contains == False`` is definite NOT-in-keys — those rows resolve
+    immediately (kept by the anti join, dropped by the semi join);
+    only the ~|matches| + fp Bloom-positive rows take the exact
+    residual check (here a broadcast is_in over the shrunken candidate
+    set; at full scale, a bucketed hash join against the distinct keys
+    so the exact key array never broadcasts at all).
     """
     import pyarrow.dataset as pads
     import ray
-    import ray.data as rd
 
     from fluent_server_ray.stages.aggregate import grouped_counts
 
@@ -501,27 +500,29 @@ def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE,
         bloom.add(key_arr.to_numpy(zero_copy_only=False))
         bloom_ref = ray.put(bloom)
 
-        def anti(t: pa.Table) -> pa.Table:
+        def fn(t: pa.Table) -> pa.Table:
             bf = ray.get(bloom_ref)
             maybe = bf.contains(
                 t["c_custkey"].to_numpy(zero_copy_only=False)
             )
-            definite_out = t.filter(pa.array(~maybe))
+            definite_not = t.filter(pa.array(~maybe))
             candidates = t.filter(pa.array(maybe))
-            if len(candidates) == 0:
-                return definite_out
-            # exact residual check on the Bloom-positive rows only
-            keys = ray.get(key_ref)
-            mask = pc.invert(pc.is_in(candidates["c_custkey"],
-                                      value_set=keys))
-            return pa.concat_tables([definite_out, candidates.filter(mask)])
+            parts = [] if keep_matches else [definite_not]
+            if len(candidates):
+                # exact residual check on the Bloom-positive rows only
+                keys = ray.get(key_ref)
+                inset = pc.is_in(candidates["c_custkey"], value_set=keys)
+                parts.append(candidates.filter(
+                    inset if keep_matches else pc.invert(inset)
+                ))
+            return pa.concat_tables(parts) if parts else t.slice(0, 0)
     else:
-        def anti(t: pa.Table) -> pa.Table:
+        def fn(t: pa.Table) -> pa.Table:
             keys = ray.get(key_ref)
-            mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
-            return t.filter(mask)
+            inset = pc.is_in(t["c_custkey"], value_set=keys)
+            return t.filter(inset if keep_matches else pc.invert(inset))
 
-    out = cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    out = cust.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
     # an all-filtered result must keep its schema (a bare to_pandas of
     # an empty Dataset loses it); concat of per-batch tables preserves it
     tables = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
@@ -533,6 +534,15 @@ def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE,
     )
 
 
+def customers_without_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE,
+                             use_bloom: bool = False):
+    """Anti join: customers having no high-value order. See
+    :func:`_customers_key_filter` for the shared shape and the
+    ``use_bloom`` big-key-set path."""
+    return _customers_key_filter(sf_dir, min_price, keep_matches=False,
+                                 use_bloom=use_bloom)
+
+
 def customers_without_orders_sql(min_price: float = ANTI_JOIN_PRICE) -> str:
     return f"""
 SELECT c_custkey, c_name FROM customer
@@ -540,45 +550,16 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > {min_p
 """.strip()
 
 
-def customers_with_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE):
+def customers_with_orders(sf_dir: str, min_price: float = ANTI_JOIN_PRICE,
+                          use_bloom: bool = False):
     """SEMI join — the existence-filter dual of
     :func:`customers_without_orders`: customers having at least one
     high-value order, with no order columns joined in (never a full
     join + distinct, which would expand |matches| rows before
-    collapsing them). Same physical shape: distinct right keys via the
-    combiner pattern, broadcast once, one vectorized ``is_in`` per
-    left batch; at 100 TB key sets, the Bloom prefilter path of the
-    anti join applies unchanged (definite-negative drops immediately;
-    Bloom-positives take the exact residual check)."""
-    import pyarrow.dataset as pads
-    import ray
-
-    from fluent_server_ray.stages.aggregate import grouped_counts
-
-    orders = read_parquet_clean(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
-        filter=pads.field("o_totalprice") > min_price,
-    )
-    keys_tbl = grouped_counts(orders, ["o_custkey"])
-    key_ref = ray.put(keys_tbl["o_custkey"].combine_chunks())
-
-    cust = read_parquet_clean(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-
-    def semi(t: pa.Table) -> pa.Table:
-        keys = ray.get(key_ref)
-        return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
-
-    out = cust.map_batches(semi, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    tables = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
-    if tables:
-        return pa.concat_tables(tables)
-    return pa.table(
-        {"c_custkey": pa.array([], type=pa.int64()),
-         "c_name": pa.array([], type=pa.string())}
-    )
+    collapsing them). Shares :func:`_customers_key_filter` with the
+    anti join (a Bloom definite-negative DROPS immediately here)."""
+    return _customers_key_filter(sf_dir, min_price, keep_matches=True,
+                                 use_bloom=use_bloom)
 
 
 def customers_with_orders_sql(min_price: float = ANTI_JOIN_PRICE) -> str:

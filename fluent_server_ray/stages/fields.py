@@ -18,6 +18,8 @@ with ``NULLIF`` before the ``TRY_CAST``).
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -31,8 +33,47 @@ PROPS_FIELDS = (
 
 
 def _named(pattern_body: str, col: str) -> str:
-    # positional group -> named group (first '(' that isn't '(?')
-    return pattern_body.replace("(", f"(?P<{col}>", 1)
+    """Positional group → named group: rewrite the first CAPTURING
+    paren — one that isn't escaped (``\\(``) and isn't a ``(?``
+    construct (non-capturing / lookaround / flags) — mirroring SQL's
+    "group 1" counting exactly."""
+    out, n = re.subn(r"(?<!\\)\((?!\?)", f"(?P<{col}>", pattern_body,
+                     count=1)
+    if not n:
+        raise ValueError(
+            f"field pattern for {col!r} has no capturing group: "
+            f"{pattern_body!r}"
+        )
+    return out
+
+
+def _try_cast(arr: pa.Array | pa.ChunkedArray, typ: pa.DataType):
+    """Cast with SQL ``TRY_CAST`` semantics: a value the target type
+    cannot hold becomes NULL instead of failing the batch (the fast
+    path is one vectorized cast; the per-value fallback runs only for
+    batches that actually contain an overflowing match)."""
+    try:
+        return pc.cast(arr, typ)
+    except (pa.ArrowInvalid, pa.lib.ArrowNotImplementedError):
+        vals = arr.to_pylist()
+        conv = []
+        for v in vals:
+            if v is None:
+                conv.append(None)
+                continue
+            try:
+                if pa.types.is_integer(typ):
+                    iv = int(v)
+                    # reject out-of-range instead of wrapping
+                    pa.scalar(iv, type=typ)
+                    conv.append(iv)
+                elif pa.types.is_floating(typ):
+                    conv.append(float(v))
+                else:
+                    conv.append(v)
+            except (ValueError, OverflowError, pa.ArrowInvalid):
+                conv.append(None)
+        return pa.array(conv, type=typ)
 
 
 def extract_fields(ds, fields=PROPS_FIELDS, src_col: str = "props",
@@ -41,12 +82,16 @@ def extract_fields(ds, fields=PROPS_FIELDS, src_col: str = "props",
     id cols + one typed column per field (NULL where the pattern does
     not match). Embarrassingly parallel — a pure map stage."""
 
+    # validate + rewrite patterns EAGERLY (a bad pattern fails on the
+    # driver at build time, not as a RayTaskError mid-stream)
+    named = [(col, _named(body, col), typ) for col, body, typ, _ in fields]
+
     def fn(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in id_cols}
         src = t[src_col]
-        for col, body, typ, _ in fields:
-            st = pc.extract_regex(src, _named(body, col))
-            cols[col] = pc.cast(pc.struct_field(st, col), typ)
+        for col, rx, typ in named:
+            st = pc.extract_regex(src, rx)
+            cols[col] = _try_cast(pc.struct_field(st, col), typ)
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -502,11 +502,13 @@ def cms_build(ds, col: str, width: int = CMS_WIDTH,
     return total
 
 
-def cms_query(sketch: np.ndarray, keys: list[str],
-              width: int = CMS_WIDTH, depth: int = CMS_DEPTH):
-    """Point estimates (min over depth rows) for the given keys."""
+def cms_query(sketch: np.ndarray, keys: list[str]):
+    """Point estimates (min over depth rows) for the given keys.
+    width/depth come from ``sketch.shape`` — a build/query geometry
+    mismatch cannot silently break the overestimate bound."""
     import pandas as pd
 
+    depth, width = sketch.shape
     vals = np.asarray([k if k is not None else "" for k in keys],
                       dtype=object)
     est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)

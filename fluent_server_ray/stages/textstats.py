@@ -398,6 +398,12 @@ def vocab_top_words(ds, k: int = 100, n_buckets: int = 64) -> pa.Table:
         .map_groups(per_bucket, batch_format="pandas")
     )
     merged = tops.to_pandas()  # bounded: ≤ n_buckets × k rows
+    if merged.empty:
+        # empty / all-empty-text corpus: skip_empty emitted no blocks
+        # and Ray's to_pandas() drops columns on zero-row datasets —
+        # return the TYPED empty vocabulary (mirrors the SQL's 0 rows)
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
     merged = merged.sort_values(["n", "word"],
                                 ascending=[False, True]).head(k)
     return pa.table(

@@ -316,7 +316,53 @@ def test_cms_bounds_and_merge_determinism(ray_session):
     assert (s1 == s2).all()
 
     qkeys = sorted(true)
-    est = cms_query(s1, qkeys, width=512)
+    est = cms_query(s1, qkeys)
     for k, e in zip(qkeys, est):
         assert e >= true[k]
         assert e <= true[k] + (np.e / 512) * n
+
+
+def test_extract_fields_noncapturing_and_overflow(ray_session):
+    """Named-group rewrite must target the first CAPTURING paren
+    (skipping (?:...) and escaped parens), and overflowing matches must
+    become NULL (TRY_CAST parity), never crash the batch."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.fields import extract_fields
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "props": [
+                "level=warn k=7",
+                "lvl=info k=99999999999999999999",  # > int64
+                "no match here",
+            ],
+        }
+    )
+    fields = (
+        ("lvl", r"(?:level|lvl)=([a-z]+)", pa.string(), "VARCHAR"),
+        ("k", r"k=(-?[0-9]+)", pa.int64(), "BIGINT"),
+    )
+    out = extract_fields(rd.from_arrow(t), fields=fields).to_pandas()
+    assert out["lvl"].tolist() == ["warn", "info", None]
+    assert out["k"].tolist()[0] == 7
+    assert pd.isna(out["k"].iloc[1]) and pd.isna(out["k"].iloc[2])
+
+    with pytest.raises(ValueError, match="no capturing group"):
+        extract_fields(
+            rd.from_arrow(t),
+            fields=(("x", r"k=[0-9]+", pa.int64(), "BIGINT"),),
+        )
+
+
+def test_vocab_empty_corpus_typed(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import vocab_top_words
+
+    empty = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                      "text": ["", ""]})
+    out = vocab_top_words(rd.from_arrow(empty))
+    assert len(out) == 0
+    assert out.column_names == ["word", "n"]
