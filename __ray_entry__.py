@@ -132,6 +132,8 @@ def _q_first_turn(sf_dir: str):
 ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
 ANN_K = 5
 COSINE_DUP_T = 0.42
+GREP_INCLUDE = (r"\bspark\b", r"\bmerge\b")
+GREP_EXCLUDE = (r"\bvector\b",)
 
 
 def _docs(sf_dir: str):
@@ -601,6 +603,20 @@ def _q_extract_props(sf_dir: str):
     return extract_fields(
         read_parquet_clean(f"{sf_dir}/events.parquet",
                            columns=["event_id", "props"])
+    )
+
+
+def _q_grep_filter(sf_dir: str):
+    """fluentd ``filter_grep`` analog: AND-of-includes,
+    NOT-any-exclude regex row filter (one vectorized
+    ``match_substring_regex`` per pattern, no shuffle; RE2 patterns
+    shared verbatim with the DuckDB mirror)."""
+    from fluent_server_ray.stages.fields import grep_filter
+
+    return grep_filter(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]),
+        include=GREP_INCLUDE, exclude=GREP_EXCLUDE,
     )
 
 
@@ -1101,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers": _q_semi_join,
         "events_late_flags": _q_late_flags,
         "events_extract_props": _q_extract_props,
+        "doc_grep_filter": _q_grep_filter,
         "customer_order_profile": _q_customer_profile,
         "rollup_order_counts": _q_rollup_orders,
         "cms_event_counts": _q_cms_event_counts,
@@ -1197,6 +1214,9 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_customers": rel.customers_with_orders_sql(),
         "events_late_flags": windows.late_flags_sql(),
         "events_extract_props": fields.extract_fields_sql(),
+        "doc_grep_filter": fields.grep_filter_sql(
+            include=GREP_INCLUDE, exclude=GREP_EXCLUDE,
+            select="doc_id, text"),
         "customer_order_profile": rel.customer_order_profile_sql(),
         "rollup_order_counts": rel.rollup_order_counts_sql(),
         # cms_event_counts: probabilistic overestimate — rows-only

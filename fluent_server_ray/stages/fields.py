@@ -110,3 +110,47 @@ def extract_fields_sql(fields=PROPS_FIELDS, src_col: str = "props",
     return (
         f"SELECT {', '.join(id_cols)}, {', '.join(exprs)} FROM {table}"
     )
+
+
+# ------------------------------------------------ grep filter
+
+def grep_filter(ds, include: tuple[str, ...] = (),
+                exclude: tuple[str, ...] = (), field: str = "text"):
+    """fluentd ``filter_grep`` semantics: keep a row iff ALL
+    ``include`` patterns match the field (AND, like multiple
+    ``<regexp>`` directives) and NO ``exclude`` pattern matches (OR
+    over ``<exclude>`` directives). Pure vectorized per-batch kernel
+    (one ``match_substring_regex`` per pattern), no shuffle; NULL
+    field values never match (kept only when ``include`` is empty and
+    no exclude matches — identical to the SQL mirror's NULL-safe
+    COALESCE)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = t[field]
+        mask = pa.array([True] * len(t)) if len(t) else pa.array([], type=pa.bool_())
+        for rx in include:
+            m = pc.fill_null(pc.match_substring_regex(src, rx), False)
+            mask = pc.and_(mask, m)
+        for rx in exclude:
+            m = pc.fill_null(pc.match_substring_regex(src, rx), False)
+            mask = pc.and_(mask, pc.invert(m))
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grep_filter_sql(include: tuple[str, ...] = (),
+                    exclude: tuple[str, ...] = (), field: str = "text",
+                    select: str = "*", table: str = "documents") -> str:
+    def esc(rx: str) -> str:
+        return rx.replace("'", "''")
+
+    preds = [
+        f"COALESCE(regexp_matches({field}, '{esc(rx)}'), FALSE)"
+        for rx in include
+    ] + [
+        f"NOT COALESCE(regexp_matches({field}, '{esc(rx)}'), FALSE)"
+        for rx in exclude
+    ]
+    where = " AND ".join(preds) if preds else "TRUE"
+    return f"SELECT {select} FROM {table} WHERE {where}"

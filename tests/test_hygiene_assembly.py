@@ -356,6 +356,42 @@ def test_extract_fields_noncapturing_and_overflow(ray_session):
         )
 
 
+def test_grep_filter_semantics(ray_session):
+    """fluentd filter_grep truth table: AND over includes, NOT-any
+    over excludes, NULL field never matches (dropped by any include,
+    kept only when includes are empty and no exclude matches)."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.fields import grep_filter, grep_filter_sql
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "text": ["alpha beta", "alpha", "beta gamma",
+                     "alpha beta gamma", None],
+        }
+    )
+    out = grep_filter(rd.from_arrow(t), include=(r"\balpha\b", r"beta"),
+                      exclude=("gamma",)).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+
+    # includes empty: NULL survives (no exclude matches a NULL)
+    out2 = grep_filter(rd.from_arrow(t), exclude=("gamma",)).to_pandas()
+    assert sorted(out2["doc_id"].tolist()) == [0, 1, 4]
+
+    # SQL mirror agrees on the same table (NULL-safe COALESCE parity)
+    con = duckdb.connect()
+    con.register("documents", t)
+    for inc, exc, expect in [
+        ((r"\balpha\b", "beta"), ("gamma",), [0]),
+        ((), ("gamma",), [0, 1, 4]),
+    ]:
+        sql = grep_filter_sql(include=inc, exclude=exc, select="doc_id")
+        got = sorted(con.execute(sql).df()["doc_id"].tolist())
+        assert got == expect, (inc, exc)
+
+
 def test_vocab_empty_corpus_typed(ray_session):
     import ray.data as rd
 
