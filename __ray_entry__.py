@@ -134,6 +134,7 @@ ANN_K = 5
 COSINE_DUP_T = 0.42
 GREP_INCLUDE = (r"\bspark\b", r"\bmerge\b")
 GREP_EXCLUDE = (r"\bvector\b",)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 def _docs(sf_dir: str):
@@ -617,6 +618,53 @@ def _q_grep_filter(sf_dir: str):
         read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]),
         include=GREP_INCLUDE, exclude=GREP_EXCLUDE,
+    )
+
+
+def _q_chunk_windows(sf_dir: str):
+    """Sliding-window document chunking (flat-map explode; one
+    vectorized list_slice+join per start offset, no shuffle)."""
+    from fluent_server_ray.stages.assembly import chunk_windows
+
+    return chunk_windows(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    )
+
+
+def _q_user_pivot(sf_dir: str):
+    """Per-user event-type crosstab (declared-width pivot; indicator
+    columns + grouped_agg combiner, distributed final merge)."""
+    from fluent_server_ray.stages.features import pivot_counts
+
+    return pivot_counts(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"]),
+        "user_id", "event_type", EVENT_TYPES,
+    )
+
+
+def _q_value_zscore(sf_dir: str):
+    """Global z-score standardization of event value (two passes:
+    exact integer moments combiner → broadcast-scalar map; bit-exact
+    float contract vs the SQL mirror)."""
+    from fluent_server_ray.stages.features import zscore
+
+    return zscore(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "value"])
+    )
+
+
+def _q_docs_above_median(sf_dir: str):
+    """Percentile-threshold curation gate: keep docs at/above the
+    corpus median token count (histogram-sketch quantile broadcast
+    into a pure filter; integer-exact threshold rule)."""
+    from fluent_server_ray.stages.textstats import token_filter_above_quantile
+
+    return token_filter_above_quantile(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
     )
 
 
@@ -1118,6 +1166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_flags": _q_late_flags,
         "events_extract_props": _q_extract_props,
         "doc_grep_filter": _q_grep_filter,
+        "doc_chunk_windows": _q_chunk_windows,
+        "user_event_pivot": _q_user_pivot,
+        "events_value_zscore": _q_value_zscore,
+        "docs_above_median_tokens": _q_docs_above_median,
         "customer_order_profile": _q_customer_profile,
         "rollup_order_counts": _q_rollup_orders,
         "cms_event_counts": _q_cms_event_counts,
@@ -1158,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
     from fluent_server_ray.stages import (
         assembly,
         dedup,
+        features,
         fields,
         hygiene,
         multimodal,
@@ -1217,6 +1270,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_grep_filter": fields.grep_filter_sql(
             include=GREP_INCLUDE, exclude=GREP_EXCLUDE,
             select="doc_id, text"),
+        "doc_chunk_windows": assembly.chunk_windows_sql(),
+        "user_event_pivot": features.pivot_counts_sql(
+            "user_id", "event_type", EVENT_TYPES),
+        "events_value_zscore": features.zscore_sql(),
+        "docs_above_median_tokens":
+            textstats.token_filter_above_quantile_sql(),
         "customer_order_profile": rel.customer_order_profile_sql(),
         "rollup_order_counts": rel.rollup_order_counts_sql(),
         # cms_event_counts: probabilistic overestimate — rows-only

@@ -246,3 +246,88 @@ def split_assign_sql(id_col: str = "doc_id",
         f" WHEN {h} < '{SPLIT_VAL_HEX}' THEN 'val' ELSE 'train' END"
         f" AS split FROM {table}"
     )
+
+
+def chunk_windows(ds, window: int = 40, stride: int = 20,
+                  src_col: str = "text", id_col: str = "doc_id"):
+    """Sliding-window document chunking — the standard prep step that
+    turns long documents into overlapping fixed-size training chunks
+    (context-window packing's upstream sibling; reference keeps whole
+    records only, ``defaultreader/reader.go:85-103``).
+
+    Contract (mirrored exactly by the SQL): tokens = split on a single
+    space; one chunk per start offset ``0, stride, 2*stride, …`` while
+    ``start < n_tokens``; chunk = ``tokens[start : start+window]``
+    (tail chunks run short rather than dropping trailing tokens).
+    NULL text yields no chunks.
+
+    Pure flat-map explode, no shuffle: per batch, ONE ``split_pattern``
+    then one vectorized ``list_slice`` + ``binary_join`` per start
+    offset across ALL rows still long enough (≤ ceil(max_tokens/stride)
+    Arrow kernel passes per batch, each touching only surviving rows —
+    total work is O(output size), never a Python per-row loop)."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[src_col], " ")
+        n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()), 0)
+        ids = t[id_col]
+        max_n = pc.max(n).as_py() if len(t) else None
+        out_ids, out_idx, out_txt = [], [], []
+        start = 0
+        while max_n is not None and start < max_n:
+            mask = pc.greater(n, start)
+            sub_toks = toks.filter(mask)
+            out_ids.append(ids.filter(mask))
+            out_txt.append(
+                pc.binary_join(
+                    pc.list_slice(sub_toks, start, start + window), " "
+                )
+            )
+            out_idx.append(
+                pa.array([start // stride] * len(sub_toks), type=pa.int64())
+            )
+            start += stride
+        if not out_ids:
+            return pa.table(
+                {id_col: pa.array([], type=ids.type),
+                 "chunk_idx": pa.array([], type=pa.int64()),
+                 "chunk_text": pa.array([], type=pa.string())}
+            )
+
+        def _chunks(arrs):
+            flat = []
+            for a in arrs:
+                flat.extend(a.chunks if isinstance(a, pa.ChunkedArray) else [a])
+            return pa.chunked_array(flat)
+
+        return pa.table(
+            {id_col: _chunks(out_ids),
+             "chunk_idx": _chunks(out_idx),
+             "chunk_text": _chunks(out_txt)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_windows_sql(window: int = 40, stride: int = 20,
+                      src_col: str = "text", id_col: str = "doc_id",
+                      table: str = "documents") -> str:
+    """Exact mirror: 1-based list_slice; unnest(generate_series) over
+    start offsets < n_tokens."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split({src_col}, ' ') AS t,
+         len(string_split({src_col}, ' ')) AS n
+  FROM {table} WHERE {src_col} IS NOT NULL
+), starts AS (
+  SELECT {id_col}, t,
+         unnest(generate_series(0, CAST(n AS BIGINT) - 1, {stride})) AS s
+  FROM toks
+)
+SELECT {id_col}, CAST(s / {stride} AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(t, s + 1, s + {window}), ' ')
+         AS chunk_text
+FROM starts
+""".strip()

@@ -1,0 +1,161 @@
+"""Feature-engineering stages: wide pivot features and global
+standardization — the "turn an event log into a per-entity feature
+matrix" steps a training-data pipeline runs after routing/cleaning
+(the reference stops at grouped collection, ``mirror/mirror.go:26-39``;
+these are the analytical steps downstream of it).
+
+Both operators are combiner-first: the pivot ships one wide row per
+(key, block) through the shuffle; standardization ships two exact
+integer moments per block and broadcasts two scalars back — the corpus
+itself never moves.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str,
+                 values: tuple[str, ...], final: str = "ray"):
+    """Crosstab / wide pivot: one row per ``key_col``, one count column
+    per *declared* pivot value (``n_<value>``) — the bounded-width
+    contract that makes a distributed pivot safe (an undeclared value
+    set would need a schema-defining extra pass; callers list the
+    handful of columns they want, like SQL's ``FILTER`` clauses).
+
+    Shape: per batch, one vectorized ``pc.equal`` + cast per value adds
+    0/1 indicator columns, then :func:`grouped_agg`'s combiner collapses
+    the batch to one wide partial row per key — the shuffle carries
+    |keys-per-block| rows of small ints. ``final='ray'`` keeps the merge
+    distributed for unbounded key cardinality (per-user features).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    safe = [(v, f"n_{v}") for v in values]
+    for v, _ in safe:
+        if not v.replace("_", "").isalnum():
+            raise ValueError(f"pivot value not identifier-safe: {v!r}")
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col]}
+        src = t[pivot_col]
+        for v, name in safe:
+            cols[name] = pc.cast(
+                pc.fill_null(pc.equal(src, v), False), pa.int64()
+            )
+        return pa.table(cols)
+
+    wide = ds.map_batches(indicators, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = grouped_agg(wide, [key_col],
+                      [(name, "sum") for _, name in safe], final=final)
+    # grouped_agg names sums "<col>_sum" — restore the declared names
+    rename = {f"{name}_sum": name for _, name in safe}
+    if hasattr(out, "map_batches"):  # Dataset (final='ray')
+        def rn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([rename.get(c, c) for c in t.column_names])
+
+        return out.map_batches(rn, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return out.rename_columns([rename.get(c, c) for c in out.column_names])
+
+
+def pivot_counts_sql(key_col: str, pivot_col: str,
+                     values: tuple[str, ...], table: str = "events") -> str:
+    cols = ", ".join(
+        f"CAST(count(*) FILTER ({pivot_col} = '{v}') AS BIGINT) AS n_{v}"
+        for v in values
+    )
+    return (f"SELECT {key_col}, {cols} FROM {table} "
+            f"GROUP BY {key_col}")
+
+
+# ------------------------------------------------ standardization
+
+_SS_SPLIT = 1 << 30  # per-block sum-of-squares splits hi/lo so int64
+# partials never overflow (cents^2 ≤ 2.5e15 fits; their per-block SUM
+# does not) — the driver reassembles exact Python ints.
+
+
+def zscore(ds, value_col: str = "value", id_col: str = "event_id"):
+    """Global z-score standardization of a 2-decimal numeric column in
+    two passes: (1) combiner moments — per block one row of exact
+    integer partials (n, sum(cents), sum(cents²) split hi/lo); (2) a
+    broadcast-scalar map emits ``z = (cents - mean) / std``.
+
+    Cross-engine float contract: both engines derive mean/std from the
+    SAME exact integers with the SAME float64 expression tree
+    (``float(s)/n``, ``float(ss)/n - mean*mean``, one sqrt), and z is
+    one subtract + one divide per row — every step is a correctly
+    rounded IEEE op on identical inputs, so the doubles match
+    bit-for-bit with the SQL mirror (same discipline as doc_tfidf's
+    integer-exact contract). NULL values carry NULL z (excluded from
+    the moments).
+    """
+    def _cents(col):
+        # same rule as the emit pass AND the SQL mirror: round(x*100)
+        # half away from zero (Arrow's default is half-to-even)
+        return pc.cast(
+            pc.round(pc.multiply(col, 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = pc.drop_null(_cents(t[value_col])).to_numpy()
+        sq = cents * cents
+        return pa.table({
+            "n": pa.array([len(cents)], type=pa.int64()),
+            "s": pa.array([int(cents.sum())], type=pa.int64()),
+            "ss_hi": pa.array([int((sq // _SS_SPLIT).sum())], type=pa.int64()),
+            "ss_lo": pa.array([int((sq % _SS_SPLIT).sum())], type=pa.int64()),
+        })
+
+    parts = ds.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in parts)
+    if n == 0:
+        raise ValueError(f"zscore: no non-NULL values in {value_col!r}")
+    s = sum(r["s"] for r in parts)
+    ss = sum(r["ss_hi"] for r in parts) * _SS_SPLIT \
+        + sum(r["ss_lo"] for r in parts)
+    import math
+
+    mean = float(s) / float(n)
+    var = float(ss) / float(n) - mean * mean
+    std = math.sqrt(var)  # math.sqrt = IEEE correctly-rounded sqrt,
+    # matching SQL sqrt() exactly (x ** 0.5 goes through pow and may
+    # differ in the last ulp)
+    if std == 0.0:
+        raise ValueError("zscore: zero variance")
+
+    def emit(t: pa.Table) -> pa.Table:
+        z = pc.divide(
+            pc.subtract(pc.cast(_cents(t[value_col]), pa.float64()), mean),
+            std,
+        )
+        return pa.table({id_col: t[id_col], "z": z})
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zscore_sql(value_col: str = "value", id_col: str = "event_id",
+               table: str = "events") -> str:
+    """Mirror with the identical float64 expression tree (see
+    :func:`zscore`'s contract)."""
+    return f"""
+WITH c AS (
+  SELECT {id_col},
+         CAST(round({value_col} * 100.0) AS BIGINT) AS cents
+  FROM {table}
+), m AS (
+  SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE) AS mean,
+         CAST(sum(cents * cents) AS DOUBLE)
+           / CAST(count(cents) AS DOUBLE) AS ex2
+  FROM c WHERE cents IS NOT NULL
+)
+SELECT {id_col},
+       (CAST(cents AS DOUBLE) - mean) / sqrt(ex2 - mean * mean) AS z
+FROM c, m
+""".strip()

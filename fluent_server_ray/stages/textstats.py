@@ -421,3 +421,54 @@ WITH toks AS (
 SELECT word, count(*) AS n FROM toks
 GROUP BY word ORDER BY n DESC, word LIMIT {k}
 """.strip()
+
+
+def token_filter_above_quantile(ds, q: float = 0.5, lo: float = 0.0,
+                                hi: float = 500.0, bins: int = 500):
+    """Percentile-threshold curation: keep documents whose token count
+    reaches the corpus q-quantile — the "top-half by length" gate that
+    needs a GLOBAL statistic before a per-row filter.
+
+    Scale shape: pass 1 computes the quantile with the additive
+    histogram sketch (per-block bincount partials, one tiny vector per
+    block to the driver — :func:`sketches.binned_quantiles`'s
+    integer-exact rule, so SQL reproduces the threshold bit-for-bit);
+    the threshold scalar then broadcasts into a pure filter pass. The
+    token-count table (id + int per doc) is materialized ONCE and
+    feeds both passes — at corpus scale that is O(rows·16B) in the
+    object store, never the text itself, and never the driver.
+
+    Output: (doc_id, n_tokens) for surviving docs.
+    """
+    from fluent_server_ray.stages.sketches import binned_quantiles
+
+    tc = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    qt = binned_quantiles(tc, "n_tokens", lo=lo, hi=hi, bins=bins, qs=(q,))
+    threshold = qt["bucket_lo"][0].as_py()
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(pc.cast(t["n_tokens"], pa.float64()), threshold)
+        )
+
+    return tc.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_filter_above_quantile_sql(q: float = 0.5, lo: float = 0.0,
+                                    hi: float = 500.0, bins: int = 500,
+                                    table: str = "documents") -> str:
+    from fluent_server_ray.stages.sketches import binned_quantiles_sql
+
+    qsql = binned_quantiles_sql("n_tokens", lo=lo, hi=hi, bins=bins,
+                                qs=(q,), table="tc")
+    return f"""
+WITH tc AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+           AS n_tokens
+  FROM {table}
+), qt AS ({qsql})
+SELECT tc.doc_id, tc.n_tokens
+FROM tc, qt
+WHERE CAST(tc.n_tokens AS DOUBLE) >= qt.bucket_lo
+""".strip()

@@ -392,6 +392,104 @@ def test_grep_filter_semantics(ray_session):
         assert got == expect, (inc, exc)
 
 
+def test_chunk_windows_semantics(ray_session):
+    """Truth table: short doc → one whole-doc chunk; exact stride
+    tiling; short tail chunks kept; NULL text → no chunks; empty text
+    → one empty chunk. Engine and SQL mirror agree."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import (chunk_windows,
+                                                   chunk_windows_sql)
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "text": ["a b c", "a b c d e f", None, ""]})
+    out = chunk_windows(rd.from_arrow(t), window=4, stride=2).to_pandas()
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    assert got == [
+        (0, 0, "a b c"), (0, 1, "c"),
+        (1, 0, "a b c d"), (1, 1, "c d e f"), (1, 2, "e f"),
+        (3, 0, ""),
+    ]
+    con = duckdb.connect()
+    con.register("documents", t)
+    odf = con.execute(chunk_windows_sql(window=4, stride=2)).df()
+    assert sorted(map(tuple, odf.itertuples(index=False))) == got
+
+    with pytest.raises(ValueError):
+        chunk_windows(rd.from_arrow(t), window=0)
+
+
+def test_pivot_counts_null_and_undeclared(ray_session):
+    """NULL and undeclared pivot values count toward no declared
+    column; every declared column exists even when its value never
+    occurs (typed zero)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import pivot_counts
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 2], type=pa.int64()),
+        "event_type": ["click", None, "click", "weird", "view"],
+    })
+    out = (pivot_counts(rd.from_arrow(t), "user_id", "event_type",
+                        ("click", "view", "signup"))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["n_click"].tolist() == [1, 1]
+    assert out["n_view"].tolist() == [0, 1]
+    assert out["n_signup"].tolist() == [0, 0]
+
+    with pytest.raises(ValueError, match="identifier-safe"):
+        pivot_counts(rd.from_arrow(t), "user_id", "event_type",
+                     ("x'; DROP--",))
+
+
+def test_zscore_null_and_exactness(ray_session):
+    """NULL values are excluded from the moments and carry NULL z;
+    the float contract is BIT-exact vs DuckDB on the same table."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import zscore, zscore_sql
+
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "value": pa.array([1.25, None, 3.75, 10.00], type=pa.float64()),
+    })
+    out = (zscore(rd.from_arrow(t)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", t)
+    odf = (con.execute(zscore_sql()).df()
+           .sort_values("event_id").reset_index(drop=True))
+    a, b = out["z"].values, odf["z"].values
+    assert bool(np.isnan(a[1])) and bool(np.isnan(b[1]))
+    mask = ~np.isnan(a)
+    assert (a[mask] == b[mask]).all()  # bitwise, no tolerance
+
+    with pytest.raises(ValueError, match="zero variance"):
+        zscore(rd.from_arrow(pa.table({
+            "event_id": pa.array([0, 1], type=pa.int64()),
+            "value": pa.array([2.0, 2.0], type=pa.float64()),
+        })))
+
+
+def test_token_filter_above_quantile_small(ray_session):
+    """Median-length gate on a 4-doc corpus: ceil(0.5*4)=2nd doc's
+    histogram bucket becomes the threshold."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import token_filter_above_quantile
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "text": ["a", "a b", "a b c", "a b c d"]})
+    out = token_filter_above_quantile(
+        rd.from_arrow(t), q=0.5, lo=0.0, hi=10.0, bins=10
+    ).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 3]
+
+
 def test_vocab_empty_corpus_typed(ray_session):
     import ray.data as rd
 
