@@ -82,6 +82,15 @@ def parse_batch(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
     ``msg`` / ``kind`` are skipped unless asked for. Same kernels, same
     values — parity with the full path is pinned in tests.
     """
+    # accept dictionary-encoded string inputs (the compact-read path:
+    # `read_dictionary=` keeps low-cardinality columns dict-encoded
+    # through parquet decode and the read→process plasma hop; decode
+    # ONCE here, where the string kernels need flat arrays)
+    for i, f in enumerate(batch.schema):
+        if pa.types.is_dictionary(f.type):
+            batch = batch.set_column(
+                i, f.name, pc.cast(batch[f.name], f.type.value_type)
+            )
     text = batch["text"]
     role = batch["role"]
     need = None if columns is None else set(columns)

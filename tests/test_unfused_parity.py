@@ -75,3 +75,36 @@ def test_parse_batch_projected_matches_full(ray_session):
         ] or set(proj.column_names) == set(cols)
         for c in cols:
             assert proj[c].to_pylist() == full[c].to_pylist(), c
+
+
+def test_parse_batch_accepts_dictionary_input(ray_session):
+    """The compact-read path (`read_dictionary=` on low-cardinality
+    columns) feeds dictionary-encoded arrays into the fused stage —
+    parse_batch must decode once and produce IDENTICAL output to the
+    flat-string path (including the tag joins over role)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.parse import parse_batch
+
+    flat = pa.table(
+        {
+            "conv_id": ["a", "a", "b", "c"],
+            "role": ["user", "assistant", None, "system"],
+            "text": ["CALL tool=search args=1", "", "ERR-007 boom",
+                     "msg=hello k=1"],
+            "tool": ["", "search", "", ""],
+        }
+    )
+    dicted = pa.table(
+        {
+            "conv_id": flat["conv_id"],
+            "role": pc.dictionary_encode(flat["role"].combine_chunks()),
+            "text": flat["text"],
+            "tool": pc.dictionary_encode(flat["tool"].combine_chunks()),
+        }
+    )
+    a = parse_batch(flat)
+    b = parse_batch(dicted)
+    assert a.schema.equals(b.schema)  # decoded back to flat strings
+    assert a.equals(b)
