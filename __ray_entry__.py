@@ -135,6 +135,9 @@ COSINE_DUP_T = 0.42
 GREP_INCLUDE = (r"\bspark\b", r"\bmerge\b")
 GREP_EXCLUDE = (r"\bvector\b",)
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+# training-mixture declaration: full src0, half src1, 1/4 src2, 5%
+# src3, drop everything else (explicit universe)
+MIXTURE = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.05}
 
 
 def _docs(sf_dir: str):
@@ -668,6 +671,30 @@ def _q_docs_above_median(sf_dir: str):
     )
 
 
+def _q_zscore_by_type(sf_dir: str):
+    """Per-group z-score: exact integer moment partials per
+    (block, group) merged on the driver, (mean, std) vectors broadcast
+    into a map-side index_in/take lookup — no row shuffle."""
+    from fluent_server_ray.stages.features import grouped_zscore
+
+    return grouped_zscore(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "event_type", "value"])
+    )
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Deterministic training-mixture sampling: per-source keep
+    fraction via the md5-first-byte coin (pure map, no shuffle)."""
+    from fluent_server_ray.stages.sampling import mixture_sample
+
+    return mixture_sample(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"]),
+        MIXTURE,
+    )
+
+
 def _q_per_source_cap(sf_dir: str):
     """Quota sampling: at most 10 documents per source, deterministic
     md5 rank — the domain-balancing curation step (one bucket exchange
@@ -1169,7 +1196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_windows": _q_chunk_windows,
         "user_event_pivot": _q_user_pivot,
         "events_value_zscore": _q_value_zscore,
+        "events_zscore_by_type": _q_zscore_by_type,
         "docs_above_median_tokens": _q_docs_above_median,
+        "docs_mixture_sample": _q_mixture_sample,
         "customer_order_profile": _q_customer_profile,
         "rollup_order_counts": _q_rollup_orders,
         "cms_event_counts": _q_cms_event_counts,
@@ -1274,6 +1303,8 @@ def oracle_sql() -> dict[str, str]:
         "user_event_pivot": features.pivot_counts_sql(
             "user_id", "event_type", EVENT_TYPES),
         "events_value_zscore": features.zscore_sql(),
+        "events_zscore_by_type": features.grouped_zscore_sql(),
+        "docs_mixture_sample": sampling.mixture_sample_sql(MIXTURE),
         "docs_above_median_tokens":
             textstats.token_filter_above_quantile_sql(),
         "customer_order_profile": rel.customer_order_profile_sql(),

@@ -159,3 +159,107 @@ SELECT {id_col},
        (CAST(cents AS DOUBLE) - mean) / sqrt(ex2 - mean * mean) AS z
 FROM c, m
 """.strip()
+
+
+def grouped_zscore(ds, group_col: str = "event_type",
+                   value_col: str = "value", id_col: str = "event_id"):
+    """Per-group z-score — standardization *within* each group (the
+    "normalize features per category" step), demonstrating the
+    broadcast-small-aggregate-back-to-rows shape: pass 1 collects
+    per-(block, group) exact integer moment partials (one Arrow
+    ``group_by`` per batch, so the driver merge sees |groups|×|blocks|
+    tiny rows, merged with arbitrary-precision Python ints); the
+    per-group (mean, std) vectors then broadcast into a map-side
+    lookup (``index_in`` + ``take``) — no row-level shuffle or join.
+
+    Contract (matches the SQL mirror exactly): NULL value → NULL z;
+    NULL group → NULL z (SQL's join-on-NULL no-match); a zero-variance
+    group → NULL z for all its rows. Float derivation is the same
+    bit-exact IEEE tree as :func:`zscore`.
+    """
+    import math
+
+    def _cents(col):
+        return pc.cast(
+            pc.round(pc.multiply(col, 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = _cents(t[value_col])
+        sq = pc.multiply(cents, cents)  # ≤ 2.5e15 per row — exact int64
+        tmp = pa.table({
+            group_col: t[group_col],
+            "cents": cents,
+            "sq_hi": pc.divide(sq, _SS_SPLIT),
+            "sq_lo": pc.subtract(sq, pc.multiply(
+                pc.divide(sq, _SS_SPLIT), _SS_SPLIT)),
+        })
+        out = tmp.group_by([group_col]).aggregate(
+            [("cents", "sum"), ("cents", "count"),
+             ("sq_hi", "sum"), ("sq_lo", "sum")]
+        )
+        return out.rename_columns([group_col, "s", "n", "ss_hi", "ss_lo"])
+
+    parts = ds.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    acc: dict = {}
+    for r in parts:
+        g = r[group_col]
+        if g is None:  # NULL group never standardizes (SQL join-on-NULL)
+            continue
+        n, s, hi, lo = acc.get(g, (0, 0, 0, 0))
+        acc[g] = (n + r["n"], s + r["s"], hi + r["ss_hi"], lo + r["ss_lo"])
+
+    groups, means, stds = [], [], []
+    for g, (n, s, hi, lo) in acc.items():
+        groups.append(g)
+        if n == 0:
+            means.append(None)
+            stds.append(None)
+            continue
+        ss = hi * _SS_SPLIT + lo
+        mean = float(s) / float(n)
+        var = float(ss) / float(n) - mean * mean
+        means.append(mean)
+        stds.append(math.sqrt(var) if var > 0 else None)
+    groups_arr = pa.array(groups, type=pa.string())
+    mean_arr = pa.array(means, type=pa.float64())
+    std_arr = pa.array(stds, type=pa.float64())
+
+    def emit(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t[group_col], groups_arr)  # null grp → null idx
+        mean_g = pc.take(mean_arr, idx)
+        std_g = pc.take(std_arr, idx)
+        z = pc.divide(
+            pc.subtract(pc.cast(_cents(t[value_col]), pa.float64()), mean_g),
+            std_g,
+        )
+        return pa.table({id_col: t[id_col], group_col: t[group_col], "z": z})
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_zscore_sql(group_col: str = "event_type",
+                       value_col: str = "value", id_col: str = "event_id",
+                       table: str = "events") -> str:
+    return f"""
+WITH c AS (
+  SELECT {id_col}, {group_col},
+         CAST(round({value_col} * 100.0) AS BIGINT) AS cents
+  FROM {table}
+), m AS (
+  SELECT {group_col},
+         CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE) AS mean,
+         CAST(sum(cents * cents) AS DOUBLE)
+           / CAST(count(cents) AS DOUBLE) AS ex2
+  FROM c WHERE cents IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY {group_col}
+)
+SELECT c.{id_col}, c.{group_col},
+       CASE WHEN m.ex2 - m.mean * m.mean <= 0 THEN NULL
+            ELSE (CAST(c.cents AS DOUBLE) - m.mean)
+                   / sqrt(m.ex2 - m.mean * m.mean) END AS z
+FROM c LEFT JOIN m ON c.{group_col} = m.{group_col}
+""".strip()

@@ -253,3 +253,63 @@ def weighted_sample_sql(id_col: str = "doc_id",
         f"SELECT {id_col}, {weight_col} FROM {table}"
         f" WHERE {h} < {thresh}"
     )
+
+
+def mixture_sample(ds, fractions: dict[str, float],
+                   key_col: str = "source", id_col: str = "doc_id"):
+    """Training-mixture sampling: keep each row with its SOURCE's
+    declared fraction — the "30% web, 100% books, 5% logs" data-mixing
+    step every pretraining pipeline runs. The coin is ``md5(id)``'s
+    first byte vs a per-source threshold (pure function of (id,
+    source): deterministic across runs/engines/shards; quantized to
+    1/256 like :func:`weighted_sample` — a declared fraction ``f``
+    keeps exactly the ids whose coin < round(f*256)). Sources not in
+    ``fractions`` are dropped (explicit mixture = explicit universe);
+    a fraction ≥ 1.0 keeps all rows of that source. Pure map stage, no
+    shuffle. Output: (id, key) of survivors."""
+    for k, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction out of [0,1] for {k!r}: {f}")
+    groups = sorted(fractions)
+    groups_arr = pa.array(groups, type=pa.string())
+    thresh = np.array([int(round(fractions[g] * 256)) for g in groups],
+                      dtype=np.int64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = t.select([id_col, key_col])
+        if len(t) == 0:
+            return out
+        ids = pc.cast(t[id_col], pa.string()).to_pylist()
+        first_byte = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+             for s in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        idx = pc.index_in(t[key_col], groups_arr)
+        pos = idx.to_numpy(zero_copy_only=False)  # float64 w/ NaN
+        row_thresh = np.zeros(len(t), dtype=np.int64)  # undeclared → drop
+        hit = ~np.isnan(pos.astype(np.float64))
+        row_thresh[hit] = thresh[pos[hit].astype(np.int64)]
+        return out.filter(pa.array(first_byte < row_thresh))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_sample_sql(fractions: dict[str, float],
+                       key_col: str = "source", id_col: str = "doc_id",
+                       table: str = "documents") -> str:
+    h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 2)"
+    preds = []
+    for k in sorted(fractions):
+        esc = k.replace("'", "''")
+        t = int(round(fractions[k] * 256))
+        if t >= 256:  # keep-all: no 2-hex-char threshold can express it
+            preds.append(f"{key_col} = '{esc}'")
+        elif t <= 0:
+            continue  # keep-none: source contributes no predicate
+        else:
+            preds.append(
+                f"({key_col} = '{esc}' AND {h} < printf('%02x', {t}))"
+            )
+    where = " OR ".join(preds) if preds else "FALSE"
+    return f"SELECT {id_col}, {key_col} FROM {table} WHERE {where}"

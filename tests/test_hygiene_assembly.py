@@ -475,6 +475,69 @@ def test_zscore_null_and_exactness(ray_session):
         })))
 
 
+def test_grouped_zscore_null_and_zero_variance(ray_session):
+    """NULL group → NULL z (join-on-NULL); NULL value → NULL z;
+    zero-variance group → NULL z for all its rows; other groups
+    bit-exact vs the SQL mirror."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import (grouped_zscore,
+                                                   grouped_zscore_sql)
+
+    t = pa.table({
+        "event_id": pa.array(list(range(7)), type=pa.int64()),
+        "event_type": ["a", "a", "a", "b", "b", None, "a"],
+        "value": pa.array([1.0, 2.0, 3.0, 5.0, 5.0, 9.0, None],
+                          type=pa.float64()),
+    })
+    out = (grouped_zscore(rd.from_arrow(t)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", t)
+    odf = (con.execute(grouped_zscore_sql()).df()
+           .sort_values("event_id").reset_index(drop=True))
+    a, b = out["z"].values, odf["z"].values
+    nan_rows = [3, 4, 5, 6]  # zero-var group b, NULL group, NULL value
+    for i in nan_rows:
+        assert np.isnan(a[i]) and np.isnan(b[i]), i
+    m = ~np.isnan(a)
+    assert (a[m] == b[m]).all()  # bitwise
+
+
+def test_mixture_sample_semantics(ray_session):
+    """keep-all / fractional / keep-none / undeclared-source branches,
+    engine vs SQL mirror (incl. the f=1.0 case a 2-hex threshold
+    cannot express)."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sampling import (mixture_sample,
+                                                   mixture_sample_sql)
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(40)), type=pa.int64()),
+        "source": (["all"] * 10 + ["half"] * 10 + ["none"] * 10
+                   + ["undeclared"] * 10),
+    })
+    fr = {"all": 1.0, "half": 0.5, "none": 0.0}
+    out = mixture_sample(rd.from_arrow(t), fr).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    odf = con.execute(mixture_sample_sql(fr)).df()
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    assert got == sorted(map(tuple, odf.itertuples(index=False)))
+    by_src = out.groupby("source").size().to_dict()
+    assert by_src.get("all") == 10          # f=1.0 keeps every row
+    assert by_src.get("none", 0) == 0       # f=0 keeps none
+    assert by_src.get("undeclared", 0) == 0  # not in the mixture → dropped
+    assert 0 < by_src.get("half", 0) < 10   # coin actually splits
+
+    with pytest.raises(ValueError, match="fraction"):
+        mixture_sample(rd.from_arrow(t), {"all": 1.5})
+
+
 def test_token_filter_above_quantile_small(ray_session):
     """Median-length gate on a 4-doc corpus: ceil(0.5*4)=2nd doc's
     histogram bucket becomes the threshold."""
