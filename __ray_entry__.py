@@ -671,6 +671,20 @@ def _q_docs_above_median(sf_dir: str):
     )
 
 
+def _q_bigram_top(sf_dir: str):
+    """Top-100 adjacent word pairs (collocations / BPE merge
+    candidates): pair-forming explode (one shifted self-join of the
+    flat token array, doc-boundary masked) + local count combiner →
+    one pair-bucket exchange → per-bucket top-k → O(buckets·k)
+    driver merge."""
+    from fluent_server_ray.stages.textstats import bigram_top
+
+    return bigram_top(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    )
+
+
 def _q_zscore_by_type(sf_dir: str):
     """Per-group z-score: exact integer moment partials per
     (block, group) merged on the driver, (mean, std) vectors broadcast
@@ -1199,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_by_type": _q_zscore_by_type,
         "docs_above_median_tokens": _q_docs_above_median,
         "docs_mixture_sample": _q_mixture_sample,
+        "bigram_top_pairs": _q_bigram_top,
         "customer_order_profile": _q_customer_profile,
         "rollup_order_counts": _q_rollup_orders,
         "cms_event_counts": _q_cms_event_counts,
@@ -1305,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_zscore": features.zscore_sql(),
         "events_zscore_by_type": features.grouped_zscore_sql(),
         "docs_mixture_sample": sampling.mixture_sample_sql(MIXTURE),
+        "bigram_top_pairs": textstats.bigram_top_sql(),
         "docs_above_median_tokens":
             textstats.token_filter_above_quantile_sql(),
         "customer_order_profile": rel.customer_order_profile_sql(),

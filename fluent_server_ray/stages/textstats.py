@@ -472,3 +472,89 @@ SELECT tc.doc_id, tc.n_tokens
 FROM tc, qt
 WHERE CAST(tc.n_tokens AS DOUBLE) >= qt.bucket_lo
 """.strip()
+
+
+def bigram_top(ds, k: int = 100, n_buckets: int = 64) -> pa.Table:
+    """Top-``k`` adjacent word pairs (collocations) by corpus count —
+    the co-occurrence-statistics step of phrase/tokenizer-merge prep
+    (BPE's merge candidates ARE the most frequent adjacent pairs),
+    over an UNBOUNDED pair space.
+
+    Same physical shape as :func:`vocab_top_words` (per-batch explode
+    + local count combiner → one pair-hash bucket exchange →
+    per-bucket top-k → O(buckets·k) driver merge), but the explode is
+    pair-forming: flatten all tokens, drop empties (compacting doc
+    ownership alongside), then ONE vectorized join of the flat array
+    against itself shifted by one, masked where the two tokens belong
+    to different documents — no per-document loop, O(tokens) work.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        if len(flat) < 2:
+            return pa.table({"pair": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "_bucket": pa.array([], type=pa.int64())})
+        pair = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        )
+        same_doc = doc_of[:-1] == doc_of[1:]
+        pair = pair.filter(pa.array(same_doc))
+        c = (pa.table({"pair": pair}).group_by("pair")
+             .aggregate([([], "count_all")])
+             .rename_columns(["pair", "n"]))
+        return c.append_column(
+            "_bucket", pa.array(hash_bucket_array(c["pair"], n_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "pair"], ascending=[False, True]).head(k)
+        return s[["pair", "n"]]
+
+    tops = (
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    merged = tops.to_pandas()  # bounded: ≤ n_buckets × k rows
+    if merged.empty:
+        return pa.table({"pair": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    merged = merged.sort_values(["n", "pair"],
+                                ascending=[False, True]).head(k)
+    return pa.table(
+        {"pair": pa.array(merged["pair"].to_numpy(), type=pa.string()),
+         "n": pa.array(merged["n"].to_numpy(), type=pa.int64())}
+    )
+
+
+def bigram_top_sql(k: int = 100, table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+), pairs AS (
+  SELECT t[gs] || ' ' || t[gs + 1] AS pair
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+)
+SELECT pair, count(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair LIMIT {k}
+""".strip()

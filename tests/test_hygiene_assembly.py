@@ -553,6 +553,32 @@ def test_token_filter_above_quantile_small(ray_session):
     assert sorted(out["doc_id"].tolist()) == [1, 2, 3]
 
 
+def test_bigram_top_boundaries(ray_session):
+    """Pairs never span documents, empty tokens vanish before pairing,
+    single-word and NULL docs contribute nothing; engine == SQL."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import bigram_top, bigram_top_sql
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+                  "text": ["a b  a b", "b a", "solo", None, ""]})
+    out = bigram_top(rd.from_arrow(t), k=10).to_pandas()
+    got = list(map(tuple, out.itertuples(index=False)))
+    # "a b  a b" splits with an empty token that must vanish: pairs
+    # (a b)(b a)(a b); doc 1 adds (b a) — and NO cross-doc (b b)
+    assert got == [("a b", 2), ("b a", 2)]
+    con = duckdb.connect()
+    con.register("documents", t)
+    odf = con.execute(bigram_top_sql(k=10)).df()
+    assert list(map(tuple, odf.itertuples(index=False))) == got
+
+    empty = bigram_top(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()), "text": ["solo"]})))
+    assert len(empty) == 0
+    assert empty.column_names == ["pair", "n"]
+
+
 def test_vocab_empty_corpus_typed(ray_session):
     import ray.data as rd
 
