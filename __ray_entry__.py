@@ -685,6 +685,33 @@ def _q_bigram_top(sf_dir: str):
     )
 
 
+def _q_pct_rank(sf_dir: str):
+    """Per-row percentile rank vs the global value distribution
+    (additive histogram pass → broadcast cumulative vector → pure
+    map; two exact ints per row feed one IEEE division — bit-exact
+    vs the SQL mirror)."""
+    from fluent_server_ray.stages.features import percentile_rank
+
+    return percentile_rank(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "value"])
+    )
+
+
+def _q_word_postings(sf_dir: str):
+    """Inverted-index build: distinct (word, doc) combiner → one
+    word-bucket exchange → per-bucket sorted collect; stop-word-sized
+    posting lists capped to NULL (max_docs=400), exact counts kept.
+    Returns a Dataset — the index never lands on the driver."""
+    from fluent_server_ray.stages.textstats import word_postings
+
+    return word_postings(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]),
+        max_docs=400,
+    )
+
+
 def _q_zscore_by_type(sf_dir: str):
     """Per-group z-score: exact integer moment partials per
     (block, group) merged on the driver, (mean, std) vectors broadcast
@@ -1214,6 +1241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_median_tokens": _q_docs_above_median,
         "docs_mixture_sample": _q_mixture_sample,
         "bigram_top_pairs": _q_bigram_top,
+        "word_postings_index": _q_word_postings,
+        "events_value_pct_rank": _q_pct_rank,
         "customer_order_profile": _q_customer_profile,
         "rollup_order_counts": _q_rollup_orders,
         "cms_event_counts": _q_cms_event_counts,
@@ -1321,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore_by_type": features.grouped_zscore_sql(),
         "docs_mixture_sample": sampling.mixture_sample_sql(MIXTURE),
         "bigram_top_pairs": textstats.bigram_top_sql(),
+        "word_postings_index": textstats.word_postings_sql(max_docs=400),
+        "events_value_pct_rank": features.percentile_rank_sql(),
         "docs_above_median_tokens":
             textstats.token_filter_above_quantile_sql(),
         "customer_order_profile": rel.customer_order_profile_sql(),

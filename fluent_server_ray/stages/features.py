@@ -263,3 +263,82 @@ SELECT c.{id_col}, c.{group_col},
                    / sqrt(m.ex2 - m.mean * m.mean) END AS z
 FROM c LEFT JOIN m ON c.{group_col} = m.{group_col}
 """.strip()
+
+
+def percentile_rank(ds, value_col: str = "value",
+                    id_col: str = "event_id", lo: float = 0.0,
+                    hi: float = 1000.0, bins: int = 1000):
+    """Per-row percentile rank against the GLOBAL distribution —
+    the CDF feature ("this event's value beats X% of the corpus").
+
+    Bucket-level contract (deterministic, SQL-mirrorable — the same
+    fixed-edge histogram rule as ``sketches.binned_quantiles``):
+    ``pct = (# non-NULL values in strictly lower buckets) / n``. Pass 1
+    builds the histogram from additive per-block bincount partials;
+    the tiny cumulative vector then broadcasts into a pure map — two
+    exact integers feed one IEEE division, so the doubles match the
+    mirror bit-for-bit. NULL value → NULL pct.
+    """
+    import numpy as np
+
+    width = (hi - lo) / bins
+
+    def hist_batch(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[~np.isnan(vals)]
+        idx = np.clip(np.floor((vals - lo) / width).astype(np.int64),
+                      0, bins - 1)
+        counts = np.bincount(idx, minlength=bins).astype(np.int64)
+        return pa.table({"hist": pa.array([counts.tobytes()],
+                                          type=pa.binary())})
+
+    total = np.zeros(bins, dtype=np.int64)
+    for batch in ds.map_batches(
+        hist_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob in batch["hist"].to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64)
+    n = int(total.sum())
+    if n == 0:
+        raise ValueError(f"percentile_rank: no non-NULL {value_col!r}")
+    below = np.concatenate([[0], np.cumsum(total)[:-1]])  # strictly-lower
+    below_f = below.astype(np.float64)  # exact: counts < 2^53
+
+    def emit(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        nanmask = np.isnan(vals)
+        idx = np.clip(np.floor((np.nan_to_num(vals, nan=lo) - lo) / width)
+                      .astype(np.int64), 0, bins - 1)
+        pct = pa.array(below_f[idx] / float(n), type=pa.float64())
+        out = pc.if_else(pa.array(nanmask), pa.scalar(None, pa.float64()),
+                         pct)
+        return pa.table({id_col: t[id_col], "pct": out})
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def percentile_rank_sql(value_col: str = "value",
+                        id_col: str = "event_id", lo: float = 0.0,
+                        hi: float = 1000.0, bins: int = 1000,
+                        table: str = "events") -> str:
+    width = (hi - lo) / bins
+    bucket = (f"LEAST(GREATEST(CAST(floor(({value_col} - {lo}) / {width})"
+              f" AS BIGINT), 0), {bins - 1})")
+    return f"""
+WITH b AS (
+  SELECT {bucket} AS bucket_idx, count(*) AS c
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT bucket_idx,
+         sum(c) OVER (ORDER BY bucket_idx ROWS UNBOUNDED PRECEDING) - c
+           AS below
+  FROM b
+), tot AS (SELECT sum(c) AS n FROM b)
+SELECT t.{id_col},
+       CASE WHEN t.{value_col} IS NULL THEN NULL
+            ELSE CAST(cum.below AS DOUBLE) / CAST(tot.n AS DOUBLE) END
+         AS pct
+FROM {table} t
+LEFT JOIN cum ON {bucket.replace(value_col, 't.' + value_col)} = cum.bucket_idx
+CROSS JOIN tot
+""".strip()

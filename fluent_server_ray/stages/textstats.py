@@ -558,3 +558,91 @@ WITH toks AS (
 SELECT pair, count(*) AS n FROM pairs
 GROUP BY pair ORDER BY n DESC, pair LIMIT {k}
 """.strip()
+
+
+def word_postings(ds, max_docs: int | None = None,
+                  n_buckets: int = 64):
+    """Inverted index build: per word, the document frequency and the
+    sorted posting list (comma-joined doc ids) — the IR-side sibling
+    of :func:`vocab_top_words`, demonstrating distributed
+    collect-sorted-list aggregation.
+
+    Shape: per batch, explode to DISTINCT (word, doc_id) pairs (an
+    Arrow group_by — the combiner: a doc contributes each word once
+    regardless of term frequency), ONE word-bucket exchange, per-bucket
+    collect (sort by (word, doc_id), segmented join). Returns a
+    Dataset — the index is corpus-sized and never on the driver.
+
+    ``max_docs``: the honest scale cap — a stop-word's posting list is
+    itself corpus-sized, so words with ``n_docs > max_docs`` keep their
+    exact count but emit a NULL ``doc_list`` (the SQL mirror uses the
+    identical CASE). ``None`` collects everything (test scale).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(ids, lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        pairs = (
+            pa.table({"word": flat.filter(pa.array(keep)),
+                      "doc_id": pa.array(doc_of[keep], type=pa.int64())})
+            .group_by(["word", "doc_id"]).aggregate([])  # batch-local distinct
+        )
+        return pairs.append_column(
+            "_bucket", pa.array(hash_bucket_array(pairs["word"], n_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # global distinct within the bucket (a (word, doc) pair can
+        # arrive from several blocks), then segmented collect
+        g = (g[["word", "doc_id"]].drop_duplicates()
+             .sort_values(["word", "doc_id"]))
+        grp = g.groupby("word", sort=False)
+        out = grp.agg(
+            n_docs=("doc_id", "size"),
+            doc_list=("doc_id", lambda s: ",".join(map(str, s))),
+        ).reset_index()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        if max_docs is not None:
+            out.loc[out["n_docs"] > max_docs, "doc_list"] = None
+        return out[["word", "n_docs", "doc_list"]]
+
+    return (
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def word_postings_sql(max_docs: int | None = None,
+                      table: str = "documents") -> str:
+    cap = (f"CASE WHEN count(*) > {max_docs} THEN NULL ELSE "
+           if max_docs is not None else "(")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS word
+    FROM {table}
+  )
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n_docs,
+       {cap}string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       {'END' if max_docs is not None else ')'} AS doc_list
+FROM pairs GROUP BY word
+""".strip()

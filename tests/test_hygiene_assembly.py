@@ -579,6 +579,62 @@ def test_bigram_top_boundaries(ray_session):
     assert empty.column_names == ["pair", "n"]
 
 
+def test_word_postings_distinct_and_cap(ray_session):
+    """A repeated word counts its doc once; posting lists sort by the
+    NUMERIC doc id; lists above max_docs become NULL but keep their
+    exact count; engine == SQL."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (word_postings,
+                                                    word_postings_sql)
+
+    t = pa.table({"doc_id": pa.array([5, 2, 9, 11], type=pa.int64()),
+                  "text": ["a b a", "b c", "a  c", "a x"]})
+    out = word_postings(rd.from_arrow(t), max_docs=2).to_pandas()
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    # 'a' appears in docs 5,9,11 (> cap 2) → NULL list, exact count 3;
+    # doc 11 sorts numerically after 2 and 9
+    assert got == [("a", 3, None), ("b", 2, "2,5"), ("c", 2, "2,9"),
+                   ("x", 1, "11")]
+    con = duckdb.connect()
+    con.register("documents", t)
+    odf = con.execute(word_postings_sql(max_docs=2)).df()
+    assert sorted(
+        (w, n, None if pd.isna(dl) else dl)
+        for w, n, dl in odf.itertuples(index=False)
+    ) == got
+
+
+def test_percentile_rank_bucket_rule(ray_session):
+    """pct = strictly-lower-bucket count / n; clipping at the edges;
+    NULL → NULL; bit-exact vs DuckDB."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import (percentile_rank,
+                                                   percentile_rank_sql)
+
+    t = pa.table({"event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+                  "value": pa.array([10.0, 20.0, None, 10.4, 999999.0],
+                                    type=pa.float64())})
+    out = (percentile_rank(rd.from_arrow(t), bins=10, hi=100.0)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # buckets of width 10: {10, 10.4}→b1 (below=0), 20→b2 (below=2),
+    # 999999 clips to b9 (below=3); n=4
+    assert out["pct"].tolist()[:2] == [0.0, 0.5]
+    assert np.isnan(out["pct"].iloc[2])
+    assert out["pct"].tolist()[3:] == [0.0, 0.75]
+    con = duckdb.connect()
+    con.register("events", t)
+    odf = (con.execute(percentile_rank_sql(bins=10, hi=100.0)).df()
+           .sort_values("event_id").reset_index(drop=True))
+    a, b = out["pct"].values, odf["pct"].values
+    m = ~np.isnan(a)
+    assert (a[m] == b[m]).all() and (np.isnan(a) == np.isnan(b)).all()
+
+
 def test_vocab_empty_corpus_typed(ray_session):
     import ray.data as rd
 
