@@ -685,6 +685,21 @@ def _q_bigram_top(sf_dir: str):
     )
 
 
+def _q_token_ids(sf_dir: str):
+    """Tokenizer build→apply composite: top-20 vocabulary (bounded,
+    lands on the driver by construction) broadcast into the encode
+    map — one index_in over the flat token array, segmented re-join
+    to per-doc id CSV; OOV → -1 (exercised: the corpus has more than
+    20 distinct words)."""
+    from fluent_server_ray.stages.textstats import (encode_with_vocab,
+                                                    vocab_top_words)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    vocab = vocab_top_words(ds, k=20)["word"].to_pylist()
+    return encode_with_vocab(ds, vocab)
+
+
 def _q_pct_rank(sf_dir: str):
     """Per-row percentile rank vs the global value distribution
     (additive histogram pass → broadcast cumulative vector → pure
@@ -1243,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top_pairs": _q_bigram_top,
         "word_postings_index": _q_word_postings,
         "events_value_pct_rank": _q_pct_rank,
+        "doc_token_ids": _q_token_ids,
         "customer_order_profile": _q_customer_profile,
         "rollup_order_counts": _q_rollup_orders,
         "cms_event_counts": _q_cms_event_counts,
@@ -1352,6 +1368,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_top_pairs": textstats.bigram_top_sql(),
         "word_postings_index": textstats.word_postings_sql(max_docs=400),
         "events_value_pct_rank": features.percentile_rank_sql(),
+        "doc_token_ids": textstats.encode_with_vocab_sql(
+            textstats.vocab_top_words_sql(k=20)),
         "docs_above_median_tokens":
             textstats.token_filter_above_quantile_sql(),
         "customer_order_profile": rel.customer_order_profile_sql(),

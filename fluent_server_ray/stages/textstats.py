@@ -646,3 +646,82 @@ SELECT word, CAST(count(*) AS BIGINT) AS n_docs,
        {'END' if max_docs is not None else ')'} AS doc_list
 FROM pairs GROUP BY word
 """.strip()
+
+
+def encode_with_vocab(ds, vocab_words) -> "ray.data.Dataset":
+    """Tokenizer APPLY: map every document to its id sequence under a
+    fixed vocabulary (id = position in ``vocab_words``; out-of-vocab →
+    -1) — the encode step that follows a :func:`vocab_top_words`
+    build. The vocabulary is bounded (top-k) so it ships once in the
+    stage closure; the encode itself is a pure map: ONE ``index_in``
+    over the batch's flat token array, then a segmented re-join into
+    per-doc comma-separated ids (offsets arithmetic, no Python
+    per-doc loop). Documents with no (non-empty) tokens emit no row
+    (the SQL mirror's GROUP BY drops them identically).
+
+    Output: (doc_id, ids) — ids as a CSV string, the cross-engine
+    value-comparable form of ``list<int>``.
+    """
+    import numpy as np
+
+    vocab_arr = pa.array(list(vocab_words), type=pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        # per-doc non-empty token counts: segmented sum of the keep mask
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        new_lens = np.bincount(doc_of[keep], minlength=len(lens)) \
+            .astype(np.int64)
+        ids = pc.fill_null(
+            pc.cast(pc.index_in(flat, vocab_arr), pa.int64()), -1
+        )
+        id_str = pc.cast(ids, pa.string())
+        nonzero = new_lens > 0
+        offsets = np.concatenate(
+            [[0], np.cumsum(new_lens)]
+        ).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            id_str.combine_chunks() if isinstance(id_str, pa.ChunkedArray)
+            else id_str,
+        )
+        joined = pc.binary_join(lists, ",")
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(nonzero)),
+            "ids": joined.filter(pa.array(nonzero)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def encode_with_vocab_sql(vocab_sql: str, table: str = "documents") -> str:
+    """Mirror: the vocabulary subquery's (ORDER BY n DESC, word) rank
+    is the id; tokens keep document order via generate_series
+    position."""
+    return f"""
+WITH vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) - 1
+                    AS BIGINT) AS id
+  FROM ({vocab_sql})
+), toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+), positioned AS (
+  SELECT doc_id, gs AS pos, t[gs] AS word
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS u(gs)
+)
+SELECT p.doc_id,
+       string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ','
+                  ORDER BY p.pos) AS ids
+FROM positioned p LEFT JOIN vocab v ON p.word = v.word
+GROUP BY p.doc_id
+""".strip()

@@ -635,6 +635,20 @@ def test_percentile_rank_bucket_rule(ray_session):
     assert (a[m] == b[m]).all() and (np.isnan(a) == np.isnan(b)).all()
 
 
+def test_encode_with_vocab_semantics(ray_session):
+    """id = vocab position, OOV → -1, duplicate tokens keep order,
+    empty tokens vanish, tokenless/NULL docs emit no row."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import encode_with_vocab
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "text": ["b a  b", "zzz a", None, ""]})
+    out = encode_with_vocab(rd.from_arrow(t), ["b", "a"]).to_pandas()
+    assert sorted(map(tuple, out.itertuples(index=False))) == [
+        (0, "0,1,0"), (1, "-1,1")]
+
+
 def test_vocab_empty_corpus_typed(ray_session):
     import ray.data as rd
 
