@@ -165,6 +165,18 @@ def run_once() -> dict:
         )
         queries["vocab_corpus_top100"] = round(time.perf_counter() - t0, 3)
 
+        # adjacent-pair collocations over the same corpus text: the
+        # pair-forming explode (shifted flat-array self-join) is ~2x
+        # the vocab work at identical shuffle shape
+        from fluent_server_ray.stages.textstats import bigram_top
+
+        t0 = time.perf_counter()
+        bigram_top(
+            read_transcripts(corpus, override_num_blocks=num_blocks,
+                             columns=["text"])
+        )
+        queries["bigram_corpus_top100"] = round(time.perf_counter() - t0, 3)
+
     # training-data ops over the driver tables at this sf (small but
     # representative; the driver compares rounds on these too)
     import __ray_entry__ as entrymod
