@@ -274,19 +274,30 @@ def chunk_windows(ds, window: int = 40, stride: int = 20,
         n = pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()), 0)
         ids = t[id_col]
         max_n = pc.max(n).as_py() if len(t) else None
+        if len(t):  # NULL text (n=0) yields no chunks
+            mask0 = pc.greater(n, 0)
+            toks, ids, n = (toks.filter(mask0), ids.filter(mask0),
+                            n.filter(mask0))
         out_ids, out_idx, out_txt = [], [], []
         start = 0
+        # survivors are monotone (n > start ⟹ n > every earlier
+        # start), so each iteration filters the ALREADY-SHRUNK arrays —
+        # total filter work is O(output rows), and one pathological
+        # long document costs O(its own chunks), not O(batch × chunks)
         while max_n is not None and start < max_n:
-            mask = pc.greater(n, start)
-            sub_toks = toks.filter(mask)
-            out_ids.append(ids.filter(mask))
+            if start:
+                mask = pc.greater(n, start)
+                toks = toks.filter(mask)
+                ids = ids.filter(mask)
+                n = n.filter(mask)
+            out_ids.append(ids)
             out_txt.append(
                 pc.binary_join(
-                    pc.list_slice(sub_toks, start, start + window), " "
+                    pc.list_slice(toks, start, start + window), " "
                 )
             )
             out_idx.append(
-                pa.array([start // stride] * len(sub_toks), type=pa.int64())
+                pa.array([start // stride] * len(ids), type=pa.int64())
             )
             start += stride
         if not out_ids:

@@ -78,6 +78,18 @@ _SS_SPLIT = 1 << 30  # per-block sum-of-squares splits hi/lo so int64
 # does not) — the driver reassembles exact Python ints.
 
 
+def _cents(col):
+    """round(x*100) → int64 cents — THE cross-engine exactness rule
+    shared by every standardization pass and its SQL mirror
+    (``CAST(round({col} * 100.0) AS BIGINT)``): half away from zero,
+    because Arrow's default is half-to-even and SQL round() is not."""
+    return pc.cast(
+        pc.round(pc.multiply(col, 100.0),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
 def zscore(ds, value_col: str = "value", id_col: str = "event_id"):
     """Global z-score standardization of a 2-decimal numeric column in
     two passes: (1) combiner moments — per block one row of exact
@@ -93,15 +105,6 @@ def zscore(ds, value_col: str = "value", id_col: str = "event_id"):
     integer-exact contract). NULL values carry NULL z (excluded from
     the moments).
     """
-    def _cents(col):
-        # same rule as the emit pass AND the SQL mirror: round(x*100)
-        # half away from zero (Arrow's default is half-to-even)
-        return pc.cast(
-            pc.round(pc.multiply(col, 100.0),
-                     round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-
     def moments(t: pa.Table) -> pa.Table:
         cents = pc.drop_null(_cents(t[value_col])).to_numpy()
         sq = cents * cents
@@ -124,11 +127,14 @@ def zscore(ds, value_col: str = "value", id_col: str = "event_id"):
 
     mean = float(s) / float(n)
     var = float(ss) / float(n) - mean * mean
+    # var can come out a TINY negative from float cancellation on
+    # near-constant data — treat ≤ 0 as zero variance instead of
+    # letting math.sqrt raise a domain error
+    if var <= 0.0:
+        raise ValueError("zscore: zero variance")
     std = math.sqrt(var)  # math.sqrt = IEEE correctly-rounded sqrt,
     # matching SQL sqrt() exactly (x ** 0.5 goes through pow and may
     # differ in the last ulp)
-    if std == 0.0:
-        raise ValueError("zscore: zero variance")
 
     def emit(t: pa.Table) -> pa.Table:
         z = pc.divide(
@@ -179,13 +185,6 @@ def grouped_zscore(ds, group_col: str = "event_type",
     """
     import math
 
-    def _cents(col):
-        return pc.cast(
-            pc.round(pc.multiply(col, 100.0),
-                     round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-
     def moments(t: pa.Table) -> pa.Table:
         cents = _cents(t[value_col])
         sq = pc.multiply(cents, cents)  # ≤ 2.5e15 per row — exact int64
@@ -210,7 +209,10 @@ def grouped_zscore(ds, group_col: str = "event_type",
         if g is None:  # NULL group never standardizes (SQL join-on-NULL)
             continue
         n, s, hi, lo = acc.get(g, (0, 0, 0, 0))
-        acc[g] = (n + r["n"], s + r["s"], hi + r["ss_hi"], lo + r["ss_lo"])
+        # a partial whose batch held only NULL values for this group
+        # carries n=0 and None sums (Arrow sum of no values) — coalesce
+        acc[g] = (n + r["n"], s + (r["s"] or 0),
+                  hi + (r["ss_hi"] or 0), lo + (r["ss_lo"] or 0))
 
     groups, means, stds = [], [], []
     for g, (n, s, hi, lo) in acc.items():
@@ -281,23 +283,10 @@ def percentile_rank(ds, value_col: str = "value",
     """
     import numpy as np
 
+    from fluent_server_ray.stages.sketches import accumulate_histogram
+
     width = (hi - lo) / bins
-
-    def hist_batch(t: pa.Table) -> pa.Table:
-        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        vals = vals[~np.isnan(vals)]
-        idx = np.clip(np.floor((vals - lo) / width).astype(np.int64),
-                      0, bins - 1)
-        counts = np.bincount(idx, minlength=bins).astype(np.int64)
-        return pa.table({"hist": pa.array([counts.tobytes()],
-                                          type=pa.binary())})
-
-    total = np.zeros(bins, dtype=np.int64)
-    for batch in ds.map_batches(
-        hist_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=None, batch_format="pyarrow"):
-        for blob in batch["hist"].to_pylist():
-            total += np.frombuffer(blob, dtype=np.int64)
+    total = accumulate_histogram(ds, value_col, lo, hi, bins)
     n = int(total.sum())
     if n == 0:
         raise ValueError(f"percentile_rank: no non-NULL {value_col!r}")
@@ -322,11 +311,16 @@ def percentile_rank_sql(value_col: str = "value",
                         hi: float = 1000.0, bins: int = 1000,
                         table: str = "events") -> str:
     width = (hi - lo) / bins
-    bucket = (f"LEAST(GREATEST(CAST(floor(({value_col} - {lo}) / {width})"
-              f" AS BIGINT), 0), {bins - 1})")
+
+    def bucket(col_ref: str) -> str:
+        # one template, instantiated per reference — never a textual
+        # rewrite of an already-built expression
+        return (f"LEAST(GREATEST(CAST(floor(({col_ref} - {lo}) / {width})"
+                f" AS BIGINT), 0), {bins - 1})")
+
     return f"""
 WITH b AS (
-  SELECT {bucket} AS bucket_idx, count(*) AS c
+  SELECT {bucket(value_col)} AS bucket_idx, count(*) AS c
   FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT bucket_idx,
@@ -339,6 +333,6 @@ SELECT t.{id_col},
             ELSE CAST(cum.below AS DOUBLE) / CAST(tot.n AS DOUBLE) END
          AS pct
 FROM {table} t
-LEFT JOIN cum ON {bucket.replace(value_col, 't.' + value_col)} = cum.bucket_idx
+LEFT JOIN cum ON {bucket(f"t.{value_col}")} = cum.bucket_idx
 CROSS JOIN tot
 """.strip()

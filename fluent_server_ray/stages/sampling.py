@@ -211,6 +211,21 @@ def bottomk_sample_sql(id_col: str = "doc_id", k: int = 50,
 WEIGHT_CHARS_FULL = 512  # n_chars at (and beyond) which keep-prob ≈ 1
 
 
+def _md5_first_byte(id_col_arr) -> "np.ndarray":
+    """The deterministic sampling coin: md5(id)'s first byte as int64,
+    shared by every per-row keep/drop stage. A NULL id yields the
+    sentinel 1<<30 — larger than any expressible threshold, so the row
+    is always dropped, exactly like the SQL mirrors where
+    ``md5(NULL)`` is NULL and the comparison fails."""
+    ids = pc.cast(id_col_arr, pa.string()).to_pylist()
+    return np.fromiter(
+        ((1 << 30) if s is None
+         else int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+         for s in ids),
+        dtype=np.int64, count=len(ids),
+    )
+
+
 def weighted_sample(ds, id_col: str = "doc_id",
                     weight_col: str = "n_chars",
                     full_at: int = WEIGHT_CHARS_FULL):
@@ -227,12 +242,7 @@ def weighted_sample(ds, id_col: str = "doc_id",
     def fn(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return t.select([id_col, weight_col])
-        ids = pc.cast(t[id_col], pa.string()).to_pylist()
-        first_byte = np.fromiter(
-            (int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
-             for s in ids),
-            dtype=np.int64, count=len(ids),
-        )
+        first_byte = _md5_first_byte(t[id_col])
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
         thresh = (np.minimum(w, full_at - 1) * 256) // full_at
         return t.select([id_col, weight_col]).filter(
@@ -279,18 +289,16 @@ def mixture_sample(ds, fractions: dict[str, float],
         out = t.select([id_col, key_col])
         if len(t) == 0:
             return out
-        ids = pc.cast(t[id_col], pa.string()).to_pylist()
-        first_byte = np.fromiter(
-            (int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
-             for s in ids),
-            dtype=np.int64, count=len(ids),
-        )
+        first_byte = _md5_first_byte(t[id_col])
         idx = pc.index_in(t[key_col], groups_arr)
         pos = idx.to_numpy(zero_copy_only=False)  # float64 w/ NaN
         row_thresh = np.zeros(len(t), dtype=np.int64)  # undeclared → drop
         hit = ~np.isnan(pos.astype(np.float64))
         row_thresh[hit] = thresh[pos[hit].astype(np.int64)]
-        return out.filter(pa.array(first_byte < row_thresh))
+        # threshold 256 = the keep-all branch: no coin at all (the SQL
+        # mirror's bare `key = 'x'` predicate keeps even NULL-id rows)
+        keep = (row_thresh >= 256) | (first_byte < row_thresh)
+        return out.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -94,25 +94,23 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     return merged.estimate()
 
 
-def binned_quantiles(ds, col: str, lo: float, hi: float, bins: int = 1000,
-                     qs: tuple[float, ...] = (0.5, 0.95, 0.99)):
-    """Distributed histogram quantiles: per-batch fixed-edge histograms
-    (the combiner — histograms add), one tiny vector to merge per
-    block, quantile = lower edge of the first bin whose cumulative
-    count reaches ceil(q*n). Deterministic integer outputs, so an SQL
-    engine reproduces it exactly (unlike interpolated quantiles).
-
-    Returns a pyarrow Table (q, bucket_idx, bucket_lo, n_total).
-    """
+def accumulate_histogram(ds, col: str, lo: float, hi: float,
+                         bins: int) -> np.ndarray:
+    """THE fixed-edge histogram rule, shared by every bucket-contract
+    operator (quantiles here, ``features.percentile_rank``'s CDF):
+    per-batch bincount partials (the combiner — histograms add), one
+    tiny vector to merge per block. NULL/NaN rows are no measurement —
+    dropping matches the SQL mirrors' ``IS NOT NULL`` (clipping would
+    silently inflate bucket 0 and shift every quantile left); values
+    outside [lo, hi) clip to the edge buckets. Returns the merged
+    int64 count vector."""
     import pyarrow as pa
 
     width = (hi - lo) / bins
 
     def hist_batch(t: pa.Table) -> pa.Table:
         vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        vals = vals[~np.isnan(vals)]  # NULL/NaN rows are no measurement —
-        # dropping matches the SQL mirror's IS NOT NULL (clipping would
-        # silently inflate bucket 0 and shift every quantile left)
+        vals = vals[~np.isnan(vals)]
         idx = np.floor((vals - lo) / width).astype(np.int64)
         idx = np.clip(idx, 0, bins - 1)
         counts = np.bincount(idx, minlength=bins).astype(np.int64)
@@ -124,7 +122,23 @@ def binned_quantiles(ds, col: str, lo: float, hi: float, bins: int = 1000,
     ).iter_batches(batch_size=None, batch_format="pyarrow"):
         for blob in batch["hist"].to_pylist():
             total += np.frombuffer(blob, dtype=np.int64)
+    return total
 
+
+def binned_quantiles(ds, col: str, lo: float, hi: float, bins: int = 1000,
+                     qs: tuple[float, ...] = (0.5, 0.95, 0.99)):
+    """Distributed histogram quantiles over the shared
+    :func:`accumulate_histogram` rule: quantile = lower edge of the
+    first bin whose cumulative count reaches ceil(q*n). Deterministic
+    integer outputs, so an SQL engine reproduces it exactly (unlike
+    interpolated quantiles).
+
+    Returns a pyarrow Table (q, bucket_idx, bucket_lo, n_total).
+    """
+    import pyarrow as pa
+
+    width = (hi - lo) / bins
+    total = accumulate_histogram(ds, col, lo, hi, bins)
     n = int(total.sum())
     out_q, out_idx, out_lo = [], [], []
     if n == 0:  # empty / all-NULL input → no rows (the SQL mirror's

@@ -445,6 +445,15 @@ def token_filter_above_quantile(ds, q: float = 0.5, lo: float = 0.0,
     tc = ds.map_batches(token_count_batch, batch_format="pyarrow",
                         zero_copy_batch=True).materialize()
     qt = binned_quantiles(tc, "n_tokens", lo=lo, hi=hi, bins=bins, qs=(q,))
+    if len(qt) == 0:
+        # empty corpus: the sketch has no quantile row — the gate keeps
+        # nothing, same 0 rows the SQL mirror returns
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "n_tokens": pa.array([], type=pa.int64())}
+        ))
     threshold = qt["bucket_lo"][0].as_py()
 
     def keep(t: pa.Table) -> pa.Table:
@@ -618,7 +627,19 @@ def word_postings(ds, max_docs: int | None = None,
         out["n_docs"] = out["n_docs"].astype("int64")
         if max_docs is not None:
             out.loc[out["n_docs"] > max_docs, "doc_list"] = None
-        return out[["word", "n_docs", "doc_list"]]
+        # emit a TYPED Arrow block: a bucket where EVERY list was
+        # capped would otherwise convert its all-None object column to
+        # Arrow null type → schema mismatch against sibling blocks
+        # (and pandas StringDtype would surface pd.NA where the oracle
+        # yields None)
+        return pa.table({
+            "word": pa.array(out["word"], type=pa.string()),
+            "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+            "doc_list": pa.array(
+                [None if pd.isna(x) else x for x in out["doc_list"]],
+                type=pa.string(),
+            ),
+        })
 
     return (
         ds.map_batches(skip_empty(partial), batch_format="pyarrow",

@@ -592,7 +592,10 @@ def test_word_postings_distinct_and_cap(ray_session):
     t = pa.table({"doc_id": pa.array([5, 2, 9, 11], type=pa.int64()),
                   "text": ["a b a", "b c", "a  c", "a x"]})
     out = word_postings(rd.from_arrow(t), max_docs=2).to_pandas()
-    got = sorted(map(tuple, out.itertuples(index=False)))
+    got = sorted(
+        (w, n, None if pd.isna(dl) else dl)
+        for w, n, dl in out.itertuples(index=False)
+    )
     # 'a' appears in docs 5,9,11 (> cap 2) → NULL list, exact count 3;
     # doc 11 sorts numerically after 2 and 9
     assert got == [("a", 3, None), ("b", 2, "2,5"), ("c", 2, "2,9"),
@@ -647,6 +650,95 @@ def test_encode_with_vocab_semantics(ray_session):
     out = encode_with_vocab(rd.from_arrow(t), ["b", "a"]).to_pandas()
     assert sorted(map(tuple, out.itertuples(index=False))) == [
         (0, "0,1,0"), (1, "-1,1")]
+
+
+def test_grouped_zscore_all_null_block(ray_session):
+    """A block where one group's values are ALL NULL produces a
+    partial with None sums — the driver merge must coalesce, not
+    crash (code-review regression)."""
+    import numpy as np
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import grouped_zscore
+
+    b1 = pa.table({"event_id": pa.array([0, 1], type=pa.int64()),
+                   "event_type": ["a", "a"],
+                   "value": pa.array([1.0, 3.0], type=pa.float64())})
+    b2 = pa.table({"event_id": pa.array([2, 3], type=pa.int64()),
+                   "event_type": ["a", "a"],
+                   "value": pa.array([None, None], type=pa.float64())})
+    out = (grouped_zscore(rd.from_arrow([b1, b2])).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert out["z"].tolist()[:2] == [-1.0, 1.0]
+    assert np.isnan(out["z"].iloc[2]) and np.isnan(out["z"].iloc[3])
+
+
+def test_sampling_null_id_matches_sql(ray_session):
+    """NULL ids: dropped by any coin-gated branch (md5(NULL) is NULL
+    in SQL) but KEPT by mixture's f=1.0 keep-all branch (whose SQL
+    predicate never consults the coin) — engine == mirror on both
+    (code-review regression)."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sampling import (mixture_sample,
+                                                   mixture_sample_sql,
+                                                   weighted_sample,
+                                                   weighted_sample_sql)
+
+    t = pa.table({"doc_id": pa.array([1, None, 2, None], type=pa.int64()),
+                  "source": ["all", "all", "half", "half"]})
+    fr = {"all": 1.0, "half": 0.5}
+    out = mixture_sample(rd.from_arrow(t), fr).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    odf = con.execute(mixture_sample_sql(fr)).df()
+    key = lambda df: sorted(
+        ((-1 if pd.isna(i) else int(i), s)
+         for i, s in df.itertuples(index=False)))
+    # -1 stands in for a NULL id (sortable); no real id is negative
+    assert key(out) == key(odf)
+    assert (-1, "all") in key(out)       # keep-all keeps NULL id
+    assert (-1, "half") not in key(out)  # coin drops NULL id
+
+    t2 = pa.table({"doc_id": pa.array([None, 7], type=pa.int64()),
+                   "n_chars": pa.array([500, 500], type=pa.int64())})
+    w = weighted_sample(rd.from_arrow(t2)).to_pandas()
+    con.register("documents2", t2)
+    osql = weighted_sample_sql(table="documents2")
+    ow = con.execute(osql).df()
+    assert key(w[["doc_id", "n_chars"]]) == key(ow[["doc_id", "n_chars"]])
+    assert not w["doc_id"].isna().any()
+
+
+def test_token_filter_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import token_filter_above_quantile
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    out = token_filter_above_quantile(rd.from_arrow(empty))
+    assert out.count() == 0
+    # schema survives even though to_pandas() on a 0-row Dataset
+    # drops columns (known Ray behavior)
+    assert sorted(out.schema().names) == ["doc_id", "n_tokens"]
+
+
+def test_word_postings_all_capped_stays_string(ray_session):
+    """max_docs=0 caps EVERY posting list — the all-None column must
+    stay string-typed across blocks (code-review regression)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import word_postings
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": ["a b", "b c"]})
+    out = word_postings(rd.from_arrow(t), max_docs=0).to_pandas()
+    assert len(out) == 3
+    assert out["doc_list"].isna().all()
+    assert out["n_docs"].tolist() == [1, 1, 2] or sorted(
+        out["n_docs"].tolist()) == [1, 1, 2]
 
 
 def test_vocab_empty_corpus_typed(ray_session):
