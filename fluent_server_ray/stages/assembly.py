@@ -225,7 +225,11 @@ def split_assign(ds, id_col: str = "doc_id"):
 
     def fn(t: pa.Table) -> pa.Table:
         keys = pc.cast(t[id_col], pa.string()).to_pylist()
-        h = [hashlib.md5(k.encode()).hexdigest()[:2] for k in keys]
+        # NULL id → 'zz' (> any hex): both CASE tests fail, row lands
+        # in 'train' — exactly the SQL mirror, where md5(NULL) is NULL
+        # and `NULL < 'xx'` is not true, so CASE falls to ELSE
+        h = ["zz" if k is None
+             else hashlib.md5(k.encode()).hexdigest()[:2] for k in keys]
         split = np.where(
             np.array(h, dtype=object) < SPLIT_TEST_HEX, "test",
             np.where(np.array(h, dtype=object) < SPLIT_VAL_HEX, "val",

@@ -29,7 +29,10 @@ import pyarrow.compute as pc
 
 
 def _keep_mask(keys: pa.Array, hex_threshold: str) -> pa.Array:
-    enc = pc.dictionary_encode(pc.fill_null(pc.cast(keys, pa.string()), ""))
+    # NULL keys are NEVER kept (SQL: md5(NULL) is NULL, the comparison
+    # fails) — do not conflate them with the real empty-string key,
+    # whose md5('') the mirror also computes
+    enc = pc.dictionary_encode(pc.cast(keys, pa.string()))
     uniq = enc.dictionary.to_pylist()
     keep_per_value = pa.array(
         np.fromiter(
@@ -38,7 +41,7 @@ def _keep_mask(keys: pa.Array, hex_threshold: str) -> pa.Array:
             dtype=bool, count=len(uniq),
         )
     )
-    return pc.take(keep_per_value, enc.indices)
+    return pc.fill_null(pc.take(keep_per_value, enc.indices), False)
 
 
 def sample_by_key(ds, key_col: str, hex_threshold: str | None = "40"):
@@ -82,7 +85,17 @@ def sample_by_key_sql_predicate(key_col: str,
 def _md5_hex(ids) -> list[str]:
     """md5 hex digests of stringified ids — the shared deterministic
     rank key of every order-sensitive sampler here (engine-independent:
-    DuckDB's ``md5(CAST(id AS VARCHAR))`` is byte-identical)."""
+    DuckDB's ``md5(CAST(id AS VARCHAR))`` is byte-identical).
+
+    Raises on a NULL id: the SQL mirrors rank ``md5(NULL)`` as NULL
+    (NULLS LAST), which no finite engine-side hash can reproduce — a
+    loud error beats a silently divergent sample order."""
+    if any(v is None or v != v for v in ids):  # None, or float NaN from
+        # a nully int column round-tripped through pandas
+        raise ValueError(
+            "md5 rank key got a NULL id — rank-based samplers require "
+            "non-NULL ids (SQL would NULLS-LAST these rows)"
+        )
     return [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
 
 

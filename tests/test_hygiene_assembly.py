@@ -741,6 +741,47 @@ def test_word_postings_all_capped_stays_string(ray_session):
         out["n_docs"].tolist()) == [1, 1, 2]
 
 
+def test_null_key_contracts(ray_session):
+    """NULL keys across the md5 family: split_assign → 'train' (SQL's
+    CASE-on-NULL falls to ELSE), sample_by_key NEVER keeps a NULL key
+    (md5(NULL) comparison fails) while a REAL '' key hashes as md5(''),
+    rank-based samplers fail LOUDLY."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import split_assign
+    from fluent_server_ray.stages.sampling import per_key_cap, sample_by_key
+
+    t = pa.table({"doc_id": pa.array([1, None, 2], type=pa.int64())})
+    out = (split_assign(rd.from_arrow(t)).to_pandas())
+    null_split = out.loc[out["doc_id"].isna(), "split"].iloc[0]
+    assert null_split == "train"
+    con = duckdb.connect()
+    con.register("documents", t)
+    from fluent_server_ray.stages.assembly import split_assign_sql
+    odf = con.execute(split_assign_sql()).df()
+    assert odf.loc[odf["doc_id"].isna(), "split"].iloc[0] == "train"
+
+    # sample_by_key: NULL key dropped at ANY threshold; '' key follows
+    # md5('') = 'd41d...' (kept only when threshold > 'd4')
+    k = pa.table({"conv_id": pa.array([None, "", "x"], type=pa.string()),
+                  "v": pa.array([1, 2, 3], type=pa.int64())})
+    kept_hi = sample_by_key(rd.from_arrow(k), "conv_id",
+                            hex_threshold="ff").to_pandas()
+    assert kept_hi["conv_id"].isna().sum() == 0
+    assert "" in kept_hi["conv_id"].tolist()  # 'd4' < 'ff'
+    kept_lo = sample_by_key(rd.from_arrow(k), "conv_id",
+                            hex_threshold="40").to_pandas()
+    assert (len(kept_lo) == 0
+            or "" not in kept_lo["conv_id"].tolist())
+
+    with pytest.raises(Exception, match="NULL id"):
+        per_key_cap(rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, None], type=pa.int64()),
+            "source": ["s", "s"],
+        }))).to_pandas()
+
+
 def test_vocab_empty_corpus_typed(ray_session):
     import ray.data as rd
 
