@@ -20,16 +20,28 @@ import os
 import sys
 
 
+def _init_kwargs(env=os.environ) -> dict:
+    """Session kwargs for the CLI's Ray init. Under ``ray job submit``
+    (RAY_JOB_ID set) or with an explicit cluster RAY_ADDRESS, JOIN the
+    hosting cluster — a driver that silently starts a private
+    single-node Ray inside a job would run the whole pipeline on one
+    node. Standalone (the default here), start a local session sized
+    by RAY_GRAFT_CPUS."""
+    if env.get("RAY_JOB_ID") or env.get("RAY_ADDRESS", "local") not in (
+            "", "local"):
+        return {"address": "auto"}
+    return {
+        "address": "local",
+        "num_cpus": int(env.get("RAY_GRAFT_CPUS", "32")),
+        "include_dashboard": False,
+    }
+
+
 def _ray_up():
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        ray.init(logging_level="ERROR", **_init_kwargs())
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

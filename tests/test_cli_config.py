@@ -124,3 +124,17 @@ def test_cli_run_counts_mirror_end_to_end(tmp_path):
     )
     view = json.loads(m.stdout.strip())
     assert sum(len(v) for v in view.values()) == 900
+
+
+def test_init_kwargs_cluster_vs_local():
+    """Under `ray job submit` (RAY_JOB_ID) or an explicit cluster
+    RAY_ADDRESS the CLI must JOIN the hosting cluster; standalone it
+    starts a local session sized by RAY_GRAFT_CPUS."""
+    from fluent_server_ray.__main__ import _init_kwargs
+
+    assert _init_kwargs({"RAY_JOB_ID": "0100"}) == {"address": "auto"}
+    assert _init_kwargs({"RAY_ADDRESS": "ray://head:10001"}) == {
+        "address": "auto"}
+    local = _init_kwargs({"RAY_ADDRESS": "local", "RAY_GRAFT_CPUS": "8"})
+    assert local["address"] == "local" and local["num_cpus"] == 8
+    assert _init_kwargs({})["address"] == "local"
