@@ -261,3 +261,79 @@ def test_hash_bucket_dtype_invariance(keys, n_buckets):
 
     z = hash_bucket_array(np.asarray([0.0, -0.0, 0], dtype=np.float64), 256)
     assert z[0] == z[1] == z[2]
+
+
+# ---------------------------------------------------------------- chunking
+
+texts_or_null = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.text(alphabet="abcx", min_size=0, max_size=3),
+            min_size=0, max_size=12,
+        ).map(" ".join),
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(docs=texts_or_null, window=st.integers(1, 6), stride=st.integers(1, 6))
+@settings(max_examples=25, deadline=None)
+def test_chunk_windows_matches_pure_python_spec(ray_session, docs, window,
+                                                stride):
+    """The vectorized chunker equals the obvious per-doc Python spec:
+    one chunk per start in range(0, n_tokens, stride), chunk =
+    tokens[start : start+window] re-joined; NULL text → nothing.
+    Guards the offsets arithmetic of the monotone-shrink fast path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import chunk_windows
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+    })
+    got = sorted(map(tuple, chunk_windows(
+        rd.from_arrow(t), window=window, stride=stride
+    ).to_pandas().itertuples(index=False)))
+
+    want = []
+    for i, text in enumerate(docs):
+        if text is None:
+            continue
+        toks = text.split(" ")
+        for start in range(0, len(toks), stride):
+            want.append((i, start // stride,
+                         " ".join(toks[start:start + window])))
+    assert got == sorted(want)
+
+
+@given(docs=texts_or_null, vocab=st.lists(
+    st.text(alphabet="abcx", min_size=1, max_size=3),
+    min_size=1, max_size=6, unique=True))
+@settings(max_examples=25, deadline=None)
+def test_encode_with_vocab_matches_pure_python_spec(ray_session, docs, vocab):
+    """id = first index in vocab, OOV = -1, empty tokens vanish,
+    tokenless docs emit no row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import encode_with_vocab
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+    })
+    got = sorted(map(tuple, encode_with_vocab(rd.from_arrow(t), vocab)
+                     .to_pandas().itertuples(index=False)))
+    want = []
+    for i, text in enumerate(docs):
+        if text is None:
+            continue
+        toks = [w for w in text.split(" ") if w]
+        if not toks:
+            continue
+        ids = [vocab.index(w) if w in vocab else -1 for w in toks]
+        want.append((i, ",".join(map(str, ids))))
+    assert got == sorted(want)
