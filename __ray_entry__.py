@@ -671,6 +671,35 @@ def _q_docs_above_median(sf_dir: str):
     )
 
 
+RETAG_RULES = [
+    (r"^tool\.assistant\.(\w+)", r"hot.\1"),
+    (r"^err\.", "errors.all"),
+]
+
+
+def _q_throttle(sf_dir: str):
+    """fluentd throttle: at most 5 events per (event_type, hour),
+    deterministic first-by-(ts, id); one key-bucket exchange +
+    per-bucket vectorized rank."""
+    from fluent_server_ray.stages.windows import throttle
+
+    return throttle(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "event_type", "ts"])
+    )
+
+
+def _q_retag(sf_dir: str):
+    """fluentd rewrite_tag_filter over the routed transcripts:
+    first-matching RE2 rule rewrites the tag (\\1 backrefs), others
+    pass through — pure map after the flagship route stage."""
+    from fluent_server_ray.pipelines.flagship import build_routed
+    from fluent_server_ray.stages.route import retag
+
+    routed = build_routed(sf_dir, columns=["conv_id", "turn_idx", "tag"])
+    return retag(routed, RETAG_RULES)
+
+
 def _q_bigram_top(sf_dir: str):
     """Top-100 adjacent word pairs (collocations / BPE merge
     candidates): pair-forming explode (one shifted self-join of the
@@ -1255,6 +1284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_by_type": _q_zscore_by_type,
         "docs_above_median_tokens": _q_docs_above_median,
         "docs_mixture_sample": _q_mixture_sample,
+        "events_throttled": _q_throttle,
+        "transcripts_retag": _q_retag,
         "bigram_top_pairs": _q_bigram_top,
         "word_postings_index": _q_word_postings,
         "events_value_pct_rank": _q_pct_rank,
@@ -1365,6 +1396,12 @@ def oracle_sql() -> dict[str, str]:
         "events_value_zscore": features.zscore_sql(),
         "events_zscore_by_type": features.grouped_zscore_sql(),
         "docs_mixture_sample": sampling.mixture_sample_sql(MIXTURE),
+        "events_throttled": windows.throttle_sql(),
+        "transcripts_retag": oracle.with_pipeline_ctes()
+        + "\nSELECT conv_id, turn_idx, "
+        + __import__("fluent_server_ray.stages.route",
+                     fromlist=["retag_case_sql"]).retag_case_sql(RETAG_RULES)
+        + " AS tag FROM routed",
         "bigram_top_pairs": textstats.bigram_top_sql(),
         "word_postings_index": textstats.word_postings_sql(max_docs=400),
         "events_value_pct_rank": features.percentile_rank_sql(),

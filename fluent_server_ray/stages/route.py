@@ -179,3 +179,45 @@ def apply_route(ds, routes: list[tuple[str, str]] | None = None,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def retag(ds, rules: list[tuple[str, str]], tag_col: str = "tag"):
+    """fluentd ``rewrite_tag_filter`` semantics: the FIRST rule whose
+    RE2 pattern matches the tag rewrites it (one replacement, \\1
+    backrefs supported); unmatched tags pass through unchanged. Pure
+    vectorized per-batch kernel — one ``match_substring_regex`` +
+    masked ``replace_substring_regex`` per rule, no shuffle, no
+    Python row loop. Patterns/replacements are shared verbatim with
+    the SQL mirror's CASE chain."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tag = t[tag_col]
+        decided = pa.array([False] * len(t), type=pa.bool_())
+        result = tag
+        for rx, repl in rules:
+            m = pc.fill_null(pc.match_substring_regex(tag, rx), False)
+            apply = pc.and_(m, pc.invert(decided))
+            replaced = pc.replace_substring_regex(
+                tag, pattern=rx, replacement=repl, max_replacements=1
+            )  # ONE replacement = DuckDB regexp_replace's default
+            result = pc.if_else(apply, replaced, result)
+            decided = pc.or_(decided, m)
+        idx = t.column_names.index(tag_col)
+        return t.set_column(idx, tag_col, result)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def retag_case_sql(rules: list[tuple[str, str]],
+                   tag_col: str = "tag") -> str:
+    """The CASE expression mirroring :func:`retag` (first match wins),
+    to be SELECTed in place of the tag column."""
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    branches = "\n       ".join(
+        f"WHEN regexp_matches({tag_col}, '{esc(rx)}') "
+        f"THEN regexp_replace({tag_col}, '{esc(rx)}', '{esc(repl)}')"
+        for rx, repl in rules
+    )
+    return f"CASE {branches}\n       ELSE {tag_col} END"

@@ -526,3 +526,60 @@ def sliding_counts_sql(width_seconds: int = 3600, slide_seconds: int = 1800,
         f"SELECT event_type, window_start, count(*) AS n FROM (\n{union}\n)"
         " GROUP BY event_type, window_start"
     )
+
+
+def throttle(ds, key_col: str = "event_type", ts_col: str = "ts",
+             id_col: str = "event_id", width_seconds: int = 3600,
+             limit: int = 5, n_buckets: int = 64):
+    """fluentd ``throttle`` semantics: keep at most ``limit`` events
+    per (key, tumbling window), chosen deterministically as the FIRST
+    by (ts, id) — the log-pipeline rate limiter (a misbehaving tag
+    cannot flood its sink).
+
+    Shape: the window id is a row-wise column (same epoch_us // width
+    rule as every tumbling operator here), then ONE hash-bucket
+    exchange on the key and a per-bucket vectorized rank
+    (groupby-cumcount over the whole bucket, C kernels, never a
+    Python per-group loop). A hot key stays inside one bucket; the
+    exchange carries only (id, key, window, ts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        win = pc.divide(pc.divide(us, 1_000_000), width_seconds)
+        return pa.table({
+            id_col: t[id_col], key_col: t[key_col], ts_col: t[ts_col],
+            "_win": win,
+            "_bucket": pa.array(hash_bucket_array(t[key_col], n_buckets)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_win", ts_col, id_col])
+        keep = g.groupby([key_col, "_win"], sort=False).cumcount() < limit
+        return g.loc[keep, [id_col, key_col, ts_col]]
+
+    return (
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def throttle_sql(key_col: str = "event_type", ts_col: str = "ts",
+                 id_col: str = "event_id", width_seconds: int = 3600,
+                 limit: int = 5, table: str = "events") -> str:
+    return f"""
+SELECT {id_col}, {key_col}, {ts_col} FROM (
+  SELECT {id_col}, {key_col}, {ts_col},
+         row_number() OVER (
+           PARTITION BY {key_col},
+                        (epoch_us({ts_col}) // 1000000) // {width_seconds}
+           ORDER BY {ts_col}, {id_col}) AS rn
+  FROM {table}
+) WHERE rn <= {limit}
+""".strip()

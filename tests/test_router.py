@@ -87,3 +87,49 @@ def test_empty_batch():
         )
     )
     assert len(out) == 0 and "sink" in out.column_names
+
+
+def test_retag_first_match_wins_and_backrefs(ray_session):
+    """fluentd rewrite_tag_filter: first matching rule applies (later
+    matches ignored), \\1 backrefs work, one replacement only,
+    unmatched and NULL tags pass through."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.route import retag
+
+    t = pa.table({"tag": ["tool.assistant.search", "err.user",
+                          "msg.user", None, "err.err."]})
+    rules = [(r"^tool\.assistant\.(\w+)", r"hot.\1"),
+             (r"^err\.", "errors.all"),
+             (r"hot\.", "never.reached")]  # would match rule-1 output,
+    # but rewriting is on the ORIGINAL tag and first match wins
+    out = retag(rd.from_arrow(t), rules).to_pandas()["tag"].tolist()
+    assert out == ["hot.search", "errors.alluser", "msg.user", None,
+                   "errors.allerr."]
+
+
+def test_throttle_limit_and_determinism(ray_session):
+    """≤ limit survivors per (key, window); the survivors are the
+    FIRST by (ts, id) — ties on ts broken by id."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import throttle
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):  # all in one hour window, same ts → id ties
+        rows.append((i, "a", base))
+    rows.append((100, "a", base + dt.timedelta(hours=2)))  # new window
+    rows.append((200, "b", base))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], type=pa.string()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+    })
+    out = throttle(rd.from_arrow(t), limit=3).to_pandas()
+    kept = sorted(out["event_id"].tolist())
+    assert kept == [0, 1, 2, 100, 200]
