@@ -700,6 +700,17 @@ def _q_retag(sf_dir: str):
     return retag(routed, RETAG_RULES)
 
 
+def _q_multiline(sf_dir: str):
+    """fluent-plugin-concat: ERR- continuation turns merge into their
+    nearest earlier leader within the conversation (multiline-log
+    reassembly; one conv bucket exchange + segmented cumsum)."""
+    from fluent_server_ray.stages.assembly import concat_multiline
+
+    return concat_multiline(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    )
+
+
 def _q_bigram_top(sf_dir: str):
     """Top-100 adjacent word pairs (collocations / BPE merge
     candidates): pair-forming explode (one shifted self-join of the
@@ -1286,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_sample": _q_mixture_sample,
         "events_throttled": _q_throttle,
         "transcripts_retag": _q_retag,
+        "transcripts_multiline": _q_multiline,
         "bigram_top_pairs": _q_bigram_top,
         "word_postings_index": _q_word_postings,
         "events_value_pct_rank": _q_pct_rank,
@@ -1397,6 +1409,8 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore_by_type": features.grouped_zscore_sql(),
         "docs_mixture_sample": sampling.mixture_sample_sql(MIXTURE),
         "events_throttled": windows.throttle_sql(),
+        "transcripts_multiline": oracle.with_pipeline_ctes() + "\n"
+        + assembly.concat_multiline_sql(),
         "transcripts_retag": oracle.with_pipeline_ctes()
         + "\nSELECT conv_id, turn_idx, "
         + __import__("fluent_server_ray.stages.route",

@@ -346,3 +346,81 @@ SELECT {id_col}, CAST(s / {stride} AS BIGINT) AS chunk_idx,
          AS chunk_text
 FROM starts
 """.strip()
+
+
+def concat_multiline(ds, cont_pattern: str = r"^ERR-",
+                     n_buckets: int = 64):
+    """fluent-plugin-concat semantics: a turn whose text matches
+    ``cont_pattern`` is a CONTINUATION and merges into the nearest
+    earlier non-continuation turn of its conversation (stack-trace /
+    multiline-log reassembly). A conversation that *starts* with
+    continuations groups them under group 0 (no leader) — same rule
+    both engines.
+
+    Shape: the start/continuation flag is a vectorized per-batch regex;
+    ONE bucket exchange on conv_id; inside a bucket the group id is a
+    pandas segmented cumsum and the merge is a groupby-agg (the text
+    join is per MERGED EVENT — the collect step itself). NULL texts
+    count toward ``n_lines`` but are skipped by the join (SQL
+    ``string_agg`` semantics; an all-NULL group has NULL text).
+
+    Output: (conv_id, turn_start, n_lines, text).
+    """
+
+    def mark(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.match_substring_regex(t["text"], cont_pattern), False
+        )
+        return pa.table({
+            "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+            "text": t["text"],
+            "is_start": pc.cast(pc.invert(m), pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        g = g.assign(_grp=g.groupby("conv_id", sort=False)["is_start"]
+                     .cumsum())
+
+        def join(s):
+            vals = s.dropna().tolist()
+            return "\n".join(vals) if vals else None
+
+        out = (g.groupby(["conv_id", "_grp"], sort=False)
+               .agg(turn_start=("turn_idx", "min"),
+                    n_lines=("turn_idx", "size"),
+                    text=("text", join))
+               .reset_index())
+        out["n_lines"] = out["n_lines"].astype("int64")
+        out["turn_start"] = out["turn_start"].astype("int64")
+        return out[["conv_id", "turn_start", "n_lines", "text"]]
+
+    marked = _with_bucket(
+        ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True),
+        "conv_id", n_buckets,
+    )
+    return marked.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+def concat_multiline_sql(cont_pattern: str = r"^ERR-",
+                         source_cte: str = "transcripts") -> str:
+    """SELECT to append after the pipeline CTEs (reads the raw
+    ``transcripts`` CTE)."""
+    esc = cont_pattern.replace("'", "''")
+    return f"""
+SELECT conv_id, turn_start, n_lines, text FROM (
+  SELECT conv_id, grp,
+         min(turn_idx) AS turn_start,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS text
+  FROM (
+    SELECT conv_id, turn_idx, text,
+           sum(CASE WHEN regexp_matches(text, '{esc}') THEN 0 ELSE 1 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS UNBOUNDED PRECEDING) AS grp
+    FROM {source_cte}
+  ) GROUP BY conv_id, grp
+)
+""".strip()

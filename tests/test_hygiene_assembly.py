@@ -792,3 +792,43 @@ def test_vocab_empty_corpus_typed(ray_session):
     out = vocab_top_words(rd.from_arrow(empty))
     assert len(out) == 0
     assert out.column_names == ["word", "n"]
+
+
+def test_concat_multiline_semantics(ray_session):
+    """Continuations merge into the nearest earlier leader; a conv
+    STARTING with continuations forms a leaderless group 0; NULL text
+    counts toward n_lines but is skipped by the join (string_agg
+    semantics), an all-NULL group has NULL text."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import (concat_multiline,
+                                                   concat_multiline_sql)
+
+    t = pa.table({
+        "conv_id": ["c1"] * 5 + ["c2"] * 2 + ["c3"],
+        "turn_idx": pa.array([0, 1, 2, 3, 4, 0, 1, 0], type=pa.int32()),
+        "text": ["boom", "ERR-1 a", "ERR-2 b", "ok", None,
+                 "ERR-9 leaderless", "lead", None],
+    })
+    out = concat_multiline(rd.from_arrow(t)).to_pandas()
+    got = sorted(
+        (c, s, n, None if pd.isna(x) else x)
+        for c, s, n, x in out.itertuples(index=False)
+    )
+    assert got == [
+        ("c1", 0, 3, "boom\nERR-1 a\nERR-2 b"),
+        ("c1", 3, 1, "ok"),
+        ("c1", 4, 1, None),          # NULL text can't match the
+        # continuation pattern → it's a leader of its own NULL group
+        ("c2", 0, 1, "ERR-9 leaderless"),  # leaderless group 0
+        ("c2", 1, 1, "lead"),
+        ("c3", 0, 1, None),
+    ]
+    con = duckdb.connect()
+    con.register("transcripts", t)
+    odf = con.execute(concat_multiline_sql(source_cte="transcripts")).df()
+    assert sorted(
+        (c, s, n, None if pd.isna(x) else x)
+        for c, s, n, x in odf.itertuples(index=False)
+    ) == got
