@@ -711,6 +711,17 @@ def _q_multiline(sf_dir: str):
     )
 
 
+def _q_suppress(sf_dir: str):
+    """fluent-plugin-suppress: drop a turn whose text repeats any of
+    the previous 3 turns' texts in its conversation (flood control;
+    one conv bucket exchange + vectorized lag compares)."""
+    from fluent_server_ray.stages.assembly import suppress
+
+    return suppress(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    )
+
+
 def _q_bigram_top(sf_dir: str):
     """Top-100 adjacent word pairs (collocations / BPE merge
     candidates): pair-forming explode (one shifted self-join of the
@@ -1298,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_throttled": _q_throttle,
         "transcripts_retag": _q_retag,
         "transcripts_multiline": _q_multiline,
+        "transcripts_suppress": _q_suppress,
         "bigram_top_pairs": _q_bigram_top,
         "word_postings_index": _q_word_postings,
         "events_value_pct_rank": _q_pct_rank,
@@ -1411,6 +1423,8 @@ def oracle_sql() -> dict[str, str]:
         "events_throttled": windows.throttle_sql(),
         "transcripts_multiline": oracle.with_pipeline_ctes() + "\n"
         + assembly.concat_multiline_sql(),
+        "transcripts_suppress": oracle.with_pipeline_ctes() + "\n"
+        + assembly.suppress_sql(),
         "transcripts_retag": oracle.with_pipeline_ctes()
         + "\nSELECT conv_id, turn_idx, "
         + __import__("fluent_server_ray.stages.route",

@@ -424,3 +424,54 @@ SELECT conv_id, turn_start, n_lines, text FROM (
   ) GROUP BY conv_id, grp
 )
 """.strip()
+
+
+def suppress(ds, lookback: int = 3, n_buckets: int = 64):
+    """fluent-plugin-suppress semantics: within a conversation, a turn
+    whose text EQUALS any of the previous ``lookback`` turns' texts is
+    suppressed (repeated-message flood control — the reference's event
+    stream has no such filter; fluentd deployments bolt it on before
+    the forward output). NULL text never matches (SQL equality), so
+    NULL turns always survive; empty-string heartbeats DO collapse.
+
+    Shape: ONE conv bucket exchange; inside a bucket the ``lookback``
+    comparisons are pandas groupby-shift C kernels over the whole
+    bucket (``lookback`` vectorized passes, never per-row Python).
+    Output: surviving (conv_id, turn_idx, text) rows.
+    """
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        grp = g.groupby("conv_id", sort=False)["text"]
+        dup = pd.Series(False, index=g.index)
+        notna = g["text"].notna()
+        for k in range(1, lookback + 1):
+            prev = grp.shift(k)
+            dup |= notna & prev.notna() & (g["text"] == prev)
+        return g.loc[~dup, ["conv_id", "turn_idx", "text"]]
+
+    cols = ["conv_id", "turn_idx", "text"]
+    bucketed = _with_bucket(ds.select_columns(cols), "conv_id", n_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
+def suppress_sql(lookback: int = 3,
+                 source_cte: str = "transcripts") -> str:
+    """SELECT to append after the pipeline CTEs. COALESCE keeps the
+    NULL-text rows (text = lag(text) is NULL-not-true in SQL; the
+    engine's notna mask is the same contract)."""
+    lags = ", ".join(
+        f"lag(text, {k}) OVER w AS p{k}" for k in range(1, lookback + 1)
+    )
+    keep = " AND ".join(
+        f"COALESCE(text = p{k}, false) = false"
+        for k in range(1, lookback + 1)
+    )
+    return f"""
+SELECT conv_id, turn_idx, text FROM (
+  SELECT conv_id, turn_idx, text, {lags}
+  FROM {source_cte}
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+) WHERE {keep}
+""".strip()

@@ -832,3 +832,56 @@ def test_concat_multiline_semantics(ray_session):
         (c, s, n, None if pd.isna(x) else x)
         for c, s, n, x in odf.itertuples(index=False)
     ) == got
+
+
+def test_suppress_semantics(ray_session):
+    """A turn equal to any of the previous `lookback` texts in its conv
+    is dropped; NULL text never matches (always survives); empty-string
+    heartbeats DO collapse; a repeat farther back than the lookback
+    window survives. Engine == hand-derived == DuckDB mirror."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import suppress, suppress_sql
+
+    t = pa.table({
+        "conv_id": ["c1"] * 8 + ["c2"] * 3,
+        "turn_idx": pa.array(list(range(8)) + [0, 1, 2], type=pa.int32()),
+        "text": ["a", "a",          # consecutive dup -> drop idx1
+                 "b", "a",          # 'a' at distance 2 -> drop idx3
+                 None, None,        # NULLs never match -> both survive
+                 "", "",            # empty heartbeat collapses -> drop idx7
+                 "x", "y", "x"],    # c2: 'x' at distance 2 -> drop idx2
+    })
+    out = suppress(rd.from_arrow(t), lookback=3).to_pandas()
+    got = sorted(
+        (c, i, None if pd.isna(x) else x)
+        for c, i, x in out.itertuples(index=False)
+    )
+    assert got == [
+        ("c1", 0, "a"), ("c1", 2, "b"), ("c1", 4, None), ("c1", 5, None),
+        ("c1", 6, ""), ("c2", 0, "x"), ("c2", 1, "y"),
+    ]
+    con = duckdb.connect()
+    con.register("transcripts", t)
+    odf = con.execute(suppress_sql(source_cte="transcripts")).df()
+    assert sorted(
+        (c, i, None if pd.isna(x) else x)
+        for c, i, x in odf.itertuples(index=False)
+    ) == got
+
+
+def test_suppress_lookback_window(ray_session):
+    """A repeat farther back than the window survives (lookback=1 keeps
+    the alternating pattern intact)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import suppress
+
+    t = pa.table({
+        "conv_id": ["c"] * 4,
+        "turn_idx": pa.array([0, 1, 2, 3], type=pa.int32()),
+        "text": ["a", "b", "a", "b"],
+    })
+    out = suppress(rd.from_arrow(t), lookback=1).to_pandas()
+    assert len(out) == 4
