@@ -549,6 +549,16 @@ def _q_customer_profile(sf_dir: str):
     return rel.customer_order_profile(sf_dir)
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: two chained bucketed hash joins (custkey then
+    orderkey exchange, filters pushed to the reads), per-order revenue
+    through the distributed grouped_agg merge, block-local top-k +
+    O(blocks·k) driver merge."""
+    from fluent_server_ray.pipelines import relational as rel
+
+    return rel.shipping_priority(sf_dir)
+
+
 def _q_rollup_orders(sf_dir: str):
     """GROUP BY ROLLUP in one input pass: finest-level combiner counts,
     coarser levels re-aggregated from the bounded partial table."""
@@ -1315,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_pct_rank": _q_pct_rank,
         "doc_token_ids": _q_token_ids,
         "customer_order_profile": _q_customer_profile,
+        "shipping_priority": _q_shipping_priority,
         "rollup_order_counts": _q_rollup_orders,
         "cms_event_counts": _q_cms_event_counts,
         "vocab_top_words": _q_vocab,
@@ -1438,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_above_median_tokens":
             textstats.token_filter_above_quantile_sql(),
         "customer_order_profile": rel.customer_order_profile_sql(),
+        "shipping_priority": rel.shipping_priority_sql(),
         "rollup_order_counts": rel.rollup_order_counts_sql(),
         # cms_event_counts: probabilistic overestimate — rows-only
         "vocab_top_words": textstats.vocab_top_words_sql(),

@@ -750,3 +750,107 @@ WITH ranked AS (
 SELECT o_custkey, o_orderkey, price_cents, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------- TPC-H Q3 shape (chained joins)
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+
+
+def shipping_priority(sf_dir: str, k: int = 10, n_buckets: int = 32):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem → top-k orders by
+    revenue within a market segment and date window — the canonical
+    chained-join + top-k pipeline.
+
+    Scale shape: segment/date filters are PUSHED to the reads (row
+    groups that can't match never leave storage); two chained bucketed
+    hash joins (one custkey exchange, one orderkey exchange — each side
+    shuffled exactly once); revenue collapses per batch via the Arrow
+    group_by combiner keyed on the join's co-location key, merges
+    through Ray's distributed groupby (key cardinality is O(orders) —
+    never a driver merge), and the global top-k is a per-block local
+    top-k + O(blocks·k) driver merge. Ties broken (revenue DESC,
+    o_orderkey ASC) for a deterministic result set.
+    """
+    import pyarrow.dataset as pads
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == Q3_SEGMENT,
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff,
+        filter_refs=["o_orderdate"],
+    )
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff,
+    )
+
+    co = bucketed_hash_join(cust, orders, key="c_custkey",
+                            right_key="o_custkey", n_buckets=n_buckets)
+    col = bucketed_hash_join(co, lineitem, key="o_orderkey",
+                             right_key="l_orderkey", n_buckets=n_buckets)
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+            "rev_cents": _cents(r),
+        })
+
+    per_order = grouped_agg(
+        col.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        aggs=[("rev_cents", "sum")],
+        final="ray",
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("rev_cents_sum", "descending"),
+                          ("o_orderkey", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    blocks = per_order.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow")
+    merged = pa.concat_tables(b for b in blocks if b.num_rows)
+    idx = pc.sort_indices(
+        merged, sort_keys=[("rev_cents_sum", "descending"),
+                           ("o_orderkey", "ascending")]
+    )
+    out = merged.take(idx[:k])
+    return out.select(
+        ["o_orderkey", "rev_cents_sum", "o_orderdate", "o_orderpriority"]
+    )
+
+
+def shipping_priority_sql(k: int = 10) -> str:
+    return f"""
+SELECT o.o_orderkey,
+  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+      AS BIGINT)) AS BIGINT) AS rev_cents_sum,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY rev_cents_sum DESC, o.o_orderkey
+LIMIT {k}
+""".strip()

@@ -98,3 +98,28 @@ def test_range_join_overlap_guard_and_null_intervals(ray_session):
     with pytest.raises(ValueError, match="BOTH sides"):
         range_join(rd.from_pandas(left), rd.from_pandas(clash),
                    key_col="k", ts_col="ts").to_pandas()
+
+
+def test_shipping_priority_matches_oracle(ray_session):
+    """TPC-H Q3 shape (chained custkey→orderkey bucketed joins, pushed
+    segment/date filters, distributed per-order revenue, block-local
+    top-k): exact equality vs DuckDB at sf0.001, including the
+    (revenue DESC, o_orderkey) tie-break order."""
+    import duckdb
+
+    from fluent_server_ray.pipelines import relational as rel
+    from tests.conftest import SF_SMALL
+
+    out = rel.shipping_priority(SF_SMALL).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    odf = con.execute(rel.shipping_priority_sql()).df()
+    assert list(out.columns) == list(odf.columns)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), odf.reset_index(drop=True),
+        check_dtype=False,
+    )
