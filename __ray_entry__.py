@@ -282,6 +282,18 @@ def _q_ivf(sf_dir: str):
                     n_centroids=16, n_probe=8)
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the embedding corpus
+    (cluster-composition summary): driver-side init on a deterministic
+    bottom-k hash sample, Lloyd rounds as map_batches partial-sum
+    passes (k×d per block) with broadcast centroids — the corpus never
+    lands on the driver. Rows-only (iterative, not SQL-expressible);
+    blob-recovery + bit-determinism pinned in pytest."""
+    from fluent_server_ray.stages.similarity import kmeans_cluster_sizes
+
+    return kmeans_cluster_sizes(_embs(sf_dir), n_clusters=8, n_iter=3)
+
+
 def _q_embedding_dupes(sf_dir: str):
     """Embedding near-dup pairs via the bucketed multi-table-LSH scale
     path (exact in-bucket verification → precision 1; recall ≈ 1 at the
@@ -1282,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf,
         "embedding_dupes": _q_embedding_dupes,
+        "embedding_kmeans": _q_embedding_kmeans,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,

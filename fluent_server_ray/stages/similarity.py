@@ -524,3 +524,95 @@ def ivf_topk(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
     out = partials.groupby("query_id", sort=True).head(k).copy()
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------- distributed k-means
+
+def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 4,
+               sample_size: int = 512, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Distributed spherical k-means over the FULL embedding corpus
+    (the clustering step of cluster-balanced data curation; the IVF
+    quantizer's :func:`_kmeans` trains on a sample only).
+
+    Init: driver k-means on the deterministic bottom-k hash sample
+    (order-independent). Refine: ``n_iter`` Lloyd rounds, each ONE
+    ``map_batches`` pass emitting per-block (cluster, sum-vector,
+    count) partials — k×d floats per block, merged on the driver into
+    new centroids, re-broadcast via ``ray.put``. The corpus never
+    lands on the driver and is re-read from storage each round (the
+    scale-safe choice: pinning a 100 TB projection in the object
+    store is not an option; small corpora can ``materialize()``
+    upstream). Assignment inside a block is one BLAS matmul
+    (block × k·d) plus a k×n one-hot matmul for the sums — no Python
+    row loop. Empty clusters keep their previous centroid.
+
+    Returns ``(centroids, sizes)``: a normalized (k, d) float64 array
+    and an int64 length-k member-count array from the LAST assignment
+    pass. Deterministic for a fixed corpus and parameters.
+    """
+    import ray
+
+    pruned = ds.select_columns([id_col, emb_col])
+    sample = _bottomk_sample_matrix(pruned, sample_size, id_col, emb_col)
+    k = min(n_clusters, len(sample))
+    centroids = _kmeans(sample, k)
+    d = centroids.shape[1]
+
+    sizes = np.zeros(k, dtype=np.int64)
+    for _ in range(n_iter):
+        cref = ray.put(centroids)
+
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            mat = _normalize(_batch_matrix(t, emb_col))
+            assign = (mat @ c.T).argmax(axis=1)
+            onehot = (assign == np.arange(len(c))[:, None]).astype(
+                np.float64
+            )
+            sums = onehot @ mat                      # k×d
+            counts = onehot.sum(axis=1).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "vecsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                "n": pa.array(counts, type=pa.int64()),
+            })
+
+        parts = pa.concat_tables(
+            pruned.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        cl = parts["cluster"].to_numpy(zero_copy_only=False)
+        ns = parts["n"].to_numpy(zero_copy_only=False)
+        vs = np.stack(parts["vecsum"].to_pylist()).reshape(-1, d)
+        # canonical merge order: iter_batches block order varies run to
+        # run, and float addition doesn't commute — sort the partials
+        # by a content key so the driver sum is bit-stable (equal rows
+        # commute exactly, so residual ties are harmless)
+        order = np.lexsort((vs[:, 0], ns, cl))
+        cl, ns, vs = cl[order], ns[order], vs[order]
+        sums = np.zeros((k, d))
+        np.add.at(sums, cl, vs)
+        sizes = np.zeros(k, dtype=np.int64)
+        np.add.at(sizes, cl, ns)
+        nonempty = sizes > 0
+        new_c = centroids.copy()
+        new_c[nonempty] = sums[nonempty] / sizes[nonempty, None]
+        centroids = _normalize(new_c)
+
+    return centroids, sizes
+
+
+def kmeans_cluster_sizes(ds, n_clusters: int = 8, n_iter: int = 4,
+                         sample_size: int = 512, id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> pa.Table:
+    """Fit + report: (cluster_id, n_members) per cluster, sorted by
+    cluster_id — the corpus-composition summary a curation pipeline
+    reads before cluster-balanced sampling."""
+    centroids, sizes = kmeans_fit(ds, n_clusters, n_iter, sample_size,
+                                  id_col, emb_col)
+    return pa.table({
+        "cluster_id": pa.array(np.arange(len(sizes), dtype=np.int64)),
+        "n_members": pa.array(sizes, type=pa.int64()),
+    })

@@ -709,3 +709,38 @@ def test_ngram_jaccard_unicode_whitespace_parity(ray_session, tmp_path):
         zip(want["doc_a"], want["doc_b"])
     )
     assert (0, 1) in set(zip(got["doc_a"], got["doc_b"]))  # NBSP == space
+
+
+def test_kmeans_recovers_blob_sizes(ray_session):
+    """Distributed Lloyd's over 3 well-separated blobs recovers the
+    exact member counts, and two full runs are bit-identical (the
+    partial merge is canonically ordered)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import (kmeans_cluster_sizes,
+                                                     kmeans_fit)
+
+    rng = np.random.default_rng(7)
+    blobs = []
+    for center, n in (((10.0, 0, 0), 50), ((0, 10.0, 0), 30),
+                      ((0, 0, 10.0), 20)):
+        blobs.append(np.asarray(center) + rng.normal(0, 0.1, size=(n, 3)))
+    mat = np.vstack(blobs)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+
+    out = kmeans_cluster_sizes(ds, n_clusters=3, n_iter=3,
+                               sample_size=64)
+    sizes = sorted(out["n_members"].to_pylist())
+    assert sizes == [20, 30, 50]
+
+    c1, s1 = kmeans_fit(ds, n_clusters=3, n_iter=3, sample_size=64)
+    c2, s2 = kmeans_fit(ds, n_clusters=3, n_iter=3, sample_size=64)
+    assert (s1 == s2).all()
+    assert (c1 == c2).all()
