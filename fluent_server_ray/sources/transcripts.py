@@ -195,3 +195,49 @@ def read_transcripts(path: str, columns: list[str] | None = None,
         )
     return read_parquet_clean(path, columns=columns or TRANSCRIPT_SCHEMA_COLS,
                            **read_kwargs)
+
+
+def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
+                           **read_kwargs):
+    """Transcript turns from newline-delimited JSON — the fluentd-side
+    ingestion format (``in_tail`` + json parser emits one JSON record
+    per line; reference deployments front the forward protocol with
+    exactly such tails). One record per turn with the transcript
+    schema's keys; ``ts`` as an ISO-8601 string or epoch timestamp.
+
+    Arrow's JSON reader infers per-block types, so the batch is coerced
+    to the canonical transcript schema (conv_id/role/text/tool:string,
+    turn_idx:int32, ts:timestamp[us]) in one vectorized cast pass —
+    downstream stages see bit-identical input whether the turns arrived
+    as Parquet or JSONL. Missing keys raise; extra keys are dropped."""
+    import ray.data as rd
+
+    ds = rd.read_json(path, **read_kwargs)
+
+    want = columns or TRANSCRIPT_SCHEMA_COLS
+    target = {
+        "conv_id": pa.string(), "turn_idx": pa.int32(),
+        "role": pa.string(), "text": pa.string(), "tool": pa.string(),
+        "ts": pa.timestamp("us"),
+    }
+
+    def coerce(t: pa.Table) -> pa.Table:
+        missing = [c for c in want if c not in t.column_names]
+        if missing:
+            raise ValueError(
+                f"jsonl transcript record lacks keys {missing}; "
+                f"got {t.column_names}"
+            )
+        cols = {}
+        for c in want:
+            arr = t[c]
+            ty = target[c]
+            # ISO-8601 strings cast directly to timestamp (Arrow's
+            # cast accepts fractional seconds; strptime's %f doesn't)
+            if arr.type != ty:
+                arr = pc.cast(arr, ty)
+            cols[c] = arr
+        return pa.table(cols)
+
+    return ds.map_batches(coerce, batch_format="pyarrow",
+                          zero_copy_batch=True)

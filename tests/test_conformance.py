@@ -259,3 +259,35 @@ def test_udp_echo_round_trip():
         client.close()
     finally:
         stop()
+
+
+def test_jsonl_source_matches_parquet_source(ray_session, tmp_path):
+    """The same turns arriving as newline-delimited JSON (fluentd
+    in_tail+json shape) coerce to a bit-identical transcript table:
+    per-turn text equality under (conv_id, turn_idx) order, schema
+    included — so every downstream stage is source-agnostic."""
+    import pandas as pd
+
+    from fluent_server_ray.sources.transcripts import (
+        read_transcripts, read_transcripts_jsonl)
+    from tests.conftest import SF_SMALL
+
+    ref = read_transcripts(SF_SMALL).to_pandas()
+    p = tmp_path / "turns.jsonl"
+    ref.to_json(p, orient="records", lines=True,
+                date_format="iso", date_unit="us")
+
+    got = read_transcripts_jsonl(str(p)).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = ref.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+    # column pruning works and missing keys fail loudly
+    pruned = read_transcripts_jsonl(str(p), columns=["conv_id", "text"])
+    assert pruned.schema().names == ["conv_id", "text"]
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"conv_id": "c", "text": "t"}\n')
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="lacks keys"):
+        read_transcripts_jsonl(str(bad)).materialize()
