@@ -330,51 +330,79 @@ class MinHashStage:
 
 
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
-                           max_bucket: int = 256):
+                           max_bucket: int = 256, n_buckets: int = 256):
     """Candidate near-dup pairs via banded MinHash LSH. One shuffle on
-    (band_id, band_hash); pair explosion per bucket, deduped.
+    ``band_hash % n_buckets`` (band_hash is already uniform — it IS a
+    hash — so the exchange key is a bounded small int, never one Ray
+    group per band value: a native groupby on (band_id, band_hash)
+    makes ~bands×docs singleton pandas groups and its per-group
+    dispatch dominates the whole dedup wall). Inside a bucket the pair
+    explosion is fully vectorized: drop singleton bands with one
+    ``transform('size')``, form pairs for surviving SMALL bands with
+    one self-merge (C kernels over every band in the bucket at once).
 
-    ``max_bucket`` bounds the O(n^2) per-bucket pair explosion: a
-    bucket larger than this (a degenerate hash collision or a corpus
+    ``max_bucket`` bounds the O(n^2) per-band pair explosion: a band
+    group larger than this (a degenerate hash collision or a corpus
     of near-identical docs) emits only each member paired with the
-    bucket's min-id representative — candidates stay connected through
+    group's min-id representative — candidates stay connected through
     the representative while work stays O(n) for the pathological
-    bucket (the skew-cap pattern; same spirit as salting hot keys)."""
+    group (the skew-cap pattern; same spirit as salting hot keys)."""
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        a_out, b_out = [], []
-        if len(ids) > max_bucket:
-            rep = ids[0]
-            for j in ids[1:]:
-                a_out.append(rep)
-                b_out.append(j)
-        else:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-        # explicit dtypes: an empty Python list would otherwise become a
-        # float64 column and flip the block schema (executor warning)
-        return pd.DataFrame(
-            {"doc_a": np.asarray(a_out, dtype=np.int64),
-             "doc_b": np.asarray(b_out, dtype=np.int64)}
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bucket", pa.array((bh % n_buckets).astype(np.int64))
         )
 
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = ["band_id", "band_hash"]
+        g = g.drop_duplicates(key + ["doc_id"])
+        size = g.groupby(key)["doc_id"].transform("size")
+        g = g[size > 1]
+        empty = pd.DataFrame(
+            {"doc_a": np.asarray([], dtype=np.int64),
+             "doc_b": np.asarray([], dtype=np.int64)}
+        )
+        if not len(g):
+            return empty
+        size = g.groupby(key)["doc_id"].transform("size")
+        outs = []
+        small = g[size <= max_bucket]
+        if len(small):
+            m = small.merge(small, on=key)
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            outs.append(pd.DataFrame(
+                {"doc_a": m["doc_id_x"].to_numpy(np.int64),
+                 "doc_b": m["doc_id_y"].to_numpy(np.int64)}
+            ))
+        big = g[size > max_bucket]
+        if len(big):
+            rep = big.groupby(key)["doc_id"].transform("min").to_numpy(
+                np.int64
+            )
+            ids = big["doc_id"].to_numpy(np.int64)
+            mask = ids != rep
+            outs.append(pd.DataFrame(
+                {"doc_a": rep[mask], "doc_b": ids[mask]}
+            ))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    from fluent_server_ray.stages.aggregate import skip_empty
     from fluent_server_ray.stages.enrich import pool_limits
 
-    cand = (
-        ds.map_batches(
-            MinHashStage,
-            fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=pool_limits(),  # signature pass scales with cpus
-        )
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    sig = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_limits(),  # signature pass scales with cpus
     )
-    return cand
+    bucketed = sig.map_batches(skip_empty(add_bucket),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
 
 
 def _empty_pairs_ds(with_jaccard: bool = False,
@@ -691,48 +719,79 @@ def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
             }
         )
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) > max_group:
-            # skew cap (the module-wide pattern — cf. minhash max_bucket,
-            # prefix max_block): a degenerate group (e.g. thousands of
-            # empty/identical docs share one simhash) pairs each member
-            # with the min-id representative only — O(n), connected
-            # through the representative; recall<1 only for such groups
-            g = pd.concat([g.head(1), g.iloc[1:]]).reset_index(drop=True)
-            ids = g["doc_id"].to_numpy(dtype=np.int64)
-            sig = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-            x = sig[0] ^ sig[1:]
-            ham = np.zeros(x.shape, dtype=np.int64)
-            for shift in range(0, 64, 8):
-                ham += _POPCOUNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
-            hit = np.where(ham <= max_hamming)[0] + 1
-            return pd.DataFrame(
-                {"doc_a": np.minimum(ids[0], ids[hit]),
-                 "doc_b": np.maximum(ids[0], ids[hit])}
-            )
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        sig = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": np.asarray([], dtype=np.int64),
-                 "doc_b": np.asarray([], dtype=np.int64)}
-            )
-        x = sig[:, None] ^ sig[None, :]
-        # vectorized popcount over the XOR matrix (byte-table lookup)
-        ham = np.zeros(x.shape, dtype=np.int64)
-        for shift in range(0, 64, 8):
-            ham += _POPCOUNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
-        iu, ju = np.where(np.triu(ham <= max_hamming, k=1))
-        return pd.DataFrame(
-            {"doc_a": ids[iu], "doc_b": ids[ju]}
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bv = t["block_val"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bucket", pa.array((bv % 256).astype(np.int64))
         )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized over every (block_id, block_val) group in the
+        bucket at once: singleton groups drop with one
+        ``transform('size')``; surviving SMALL groups pair via one
+        self-merge + one flat popcount pass; groups over ``max_group``
+        take the skew cap (cf. minhash max_bucket, prefix max_block —
+        each member vs the min-id representative only: O(n), connected
+        through the representative; recall<1 only for such degenerate
+        groups). A native groupby on (block_id, block_val) would make
+        one pandas group per block value — per-group dispatch dominates
+        at corpus scale."""
+        key = ["block_id", "block_val"]
+        g = g.drop_duplicates(key + ["doc_id"])
+        size = g.groupby(key)["doc_id"].transform("size")
+        g = g[size > 1]
+        empty = pd.DataFrame(
+            {"doc_a": np.asarray([], dtype=np.int64),
+             "doc_b": np.asarray([], dtype=np.int64)}
+        )
+        if not len(g):
+            return empty
+        size = g.groupby(key)["doc_id"].transform("size")
+        outs = []
+        small = g[size <= max_group]
+        if len(small):
+            m = small.merge(small, on=key)
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            if len(m):
+                x = (m["simhash_x"].to_numpy(np.int64).astype(np.uint64)
+                     ^ m["simhash_y"].to_numpy(np.int64).astype(np.uint64))
+                keep = _hamming64(x) <= max_hamming
+                outs.append(pd.DataFrame(
+                    {"doc_a": m["doc_id_x"].to_numpy(np.int64)[keep],
+                     "doc_b": m["doc_id_y"].to_numpy(np.int64)[keep]}
+                ))
+        big = g[size > max_group]
+        if len(big):
+            reps = (big.sort_values("doc_id")
+                    .groupby(key, as_index=False).first()
+                    [key + ["doc_id", "simhash"]]
+                    .rename(columns={"doc_id": "rep_id",
+                                     "simhash": "rep_sig"}))
+            m = big.merge(reps, on=key)
+            m = m[m["doc_id"] != m["rep_id"]]
+            if len(m):
+                x = (m["simhash"].to_numpy(np.int64).astype(np.uint64)
+                     ^ m["rep_sig"].to_numpy(np.int64).astype(np.uint64))
+                keep = _hamming64(x) <= max_hamming
+                ids = m["doc_id"].to_numpy(np.int64)[keep]
+                rep = m["rep_id"].to_numpy(np.int64)[keep]
+                outs.append(pd.DataFrame(
+                    {"doc_a": np.minimum(rep, ids),
+                     "doc_b": np.maximum(rep, ids)}
+                ))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    from fluent_server_ray.stages.aggregate import skip_empty
 
     cand = (
         ds.map_batches(explode_blocks, batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby(["block_id", "block_val"])
-        .map_groups(group_pairs, batch_format="pandas")
+        .map_batches(skip_empty(add_bucket), batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
     out = distinct_pairs(cand, n_buckets=n_buckets).materialize()
     if out.count() == 0:  # no pair within the radius — the common case
@@ -741,6 +800,16 @@ def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
 
 
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _hamming64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (byte-table lookup) over an XOR array."""
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for shift in range(0, 64, 8):
+        ham += _POPCOUNT8[
+            ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)
+        ]
+    return ham
 
 
 # ------------------------------------------- exact n-gram Jaccard
