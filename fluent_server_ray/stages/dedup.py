@@ -914,7 +914,8 @@ def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
 # ------------------------------------------- connected components
 
 def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
-                    cols: tuple[str, str] = ("doc_a", "doc_b")):
+                    cols: tuple[str, str] = ("doc_a", "doc_b"),
+                    driver_max_edges: int = 1 << 20):
     """Connected components over an undirected pair Dataset — the
     near-dup CLUSTERING step (a near-dup relation is not transitive;
     keeping one doc per *component* is the actual corpus-dedup rule,
@@ -975,10 +976,46 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
     edges = pairs_ds.map_batches(skip_empty(both_dirs),
                                  batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(
             pa.table({"doc_id": pa.array([], type=pa.int64()),
                       "component": pa.array([], type=pa.int64())})
+        )
+
+    # size-adaptive (the minhash-verify pattern): the EDGE set — not
+    # the corpus — is already materialized and counted; a bounded pair
+    # graph resolves on the driver in pure numpy (each round one
+    # minimum.at over the edge arrays — no per-round executor fixed
+    # cost), the distributed propagation below is the corpus-scale
+    # path. Identical fixpoint by construction: both iterate
+    # label[dst] = min(label[dst], label[src]) to convergence.
+    if n_edges <= driver_max_edges:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        nodes = np.unique(src)  # both directions present → all nodes
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        labels = nodes.copy()
+        for _ in range(max_iters):
+            new = labels.copy()
+            np.minimum.at(new, di, labels[si])
+            if (new == labels).all():
+                break
+            labels = new
+        else:  # same contract as the distributed path: never return
+            # silently-wrong interior labels
+            raise RuntimeError(
+                f"pair_components did not converge in {max_iters} "
+                f"rounds — the pair graph has a longer chain than "
+                f"expected; rerun with a larger max_iters"
+            )
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(nodes, type=pa.int64()),
+                      "component": pa.array(labels, type=pa.int64())})
         )
 
     def seed(t: pa.Table) -> pa.Table:

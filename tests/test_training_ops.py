@@ -343,6 +343,15 @@ def test_pair_components_chain_and_convergence(ray_session):
     with pytest.raises(RuntimeError, match="did not converge"):
         pair_components(rd.from_pandas(pairs), max_iters=2)
 
+    # the DISTRIBUTED propagation (corpus-scale path, forced by
+    # driver_max_edges=0) computes the identical fixpoint
+    dist = pair_components(rd.from_pandas(pairs),
+                           driver_max_edges=0).to_pandas()
+    assert dict(zip(dist["doc_id"], dist["component"])) == got
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pair_components(rd.from_pandas(pairs), max_iters=2,
+                        driver_max_edges=0)
+
 
 def test_grouped_quantiles_null_values_match_oracle(ray_session):
     """NULL values must be excluded from the histogram (not clipped
