@@ -294,6 +294,17 @@ def _q_embedding_kmeans(sf_dir: str):
     return kmeans_cluster_sizes(_embs(sf_dir), n_clusters=8, n_iter=3)
 
 
+def _q_embedding_balanced(sf_dir: str):
+    """Cluster-balanced sample: k-means fit + broadcast-centroid
+    assignment + per-cluster md5-rank quota (≤25/cluster) — semantic
+    diversity balancing. Rows-only (k-means); exact-cap + determinism
+    pinned in pytest."""
+    from fluent_server_ray.stages.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(_embs(sf_dir), n_clusters=8, cap=25,
+                                   n_iter=3)
+
+
 def _q_embedding_dupes(sf_dir: str):
     """Embedding near-dup pairs via the bucketed multi-table-LSH scale
     path (exact in-bucket verification → precision 1; recall ≈ 1 at the
@@ -1295,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ivf,
         "embedding_dupes": _q_embedding_dupes,
         "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_balanced_sample": _q_embedding_balanced,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,

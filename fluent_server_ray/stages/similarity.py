@@ -298,10 +298,24 @@ def _bottomk_sample_matrix(ds, sample_size: int, id_col: str = "vec_id",
 
 def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
             seed: int = 17) -> np.ndarray:
-    """Deterministic spherical k-means (numpy; fixed seed + iterations)."""
-    rng = np.random.default_rng(seed)
+    """Deterministic spherical k-means (numpy; fixed iterations).
+
+    Init is farthest-first traversal (the deterministic k-means++
+    variant: start from sample row 0 — the sample itself is already a
+    pseudo-random bottom-k-by-hash subset — then repeatedly take the
+    point LEAST cosine-similar to every chosen centroid). Random init
+    can seed two centroids inside one dense blob and leave a small
+    separated blob with no centroid — an empty cluster Lloyd never
+    recovers (empty clusters keep their previous centroid).
+    ``seed`` is kept for API stability; the init consumes no RNG."""
     sample = _normalize(sample)
-    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    chosen = [0]
+    sims = sample @ sample[0]
+    for _ in range(1, n_centroids):
+        nxt = int(np.argmin(sims))
+        chosen.append(nxt)
+        sims = np.maximum(sims, sample @ sample[nxt])
+    centroids = sample[chosen]
     for _ in range(n_iter):
         assign = (sample @ centroids.T).argmax(axis=1)
         for c in range(n_centroids):
@@ -616,3 +630,41 @@ def kmeans_cluster_sizes(ds, n_clusters: int = 8, n_iter: int = 4,
         "cluster_id": pa.array(np.arange(len(sizes), dtype=np.int64)),
         "n_members": pa.array(sizes, type=pa.int64()),
     })
+
+
+def cluster_balanced_sample(ds, n_clusters: int = 8, cap: int = 100,
+                            n_iter: int = 3, sample_size: int = 512,
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding"):
+    """Cluster-balanced curation sampling: fit :func:`kmeans_fit`,
+    assign every vector map-side against the broadcast centroids (one
+    BLAS matmul per batch), then keep at most ``cap`` members per
+    cluster by the deterministic md5 rank
+    (:func:`fluent_server_ray.stages.sampling.per_key_cap` over the
+    cluster key) — the semantic-diversity counterpart of the
+    per-domain quota cap (one dense region of embedding space cannot
+    dominate the training mix).
+
+    Shape: the k-means passes plus ONE hash-bucket exchange on
+    (id, cluster_id) — embeddings never re-shuffle and payloads never
+    move; join survivors back by id to materialize text. Output:
+    (id_col, cluster_id) survivors, sorted by id. Deterministic for a
+    fixed corpus and parameters."""
+    import ray
+
+    from fluent_server_ray.stages.sampling import per_key_cap
+
+    centroids, _ = kmeans_fit(ds, n_clusters, n_iter, sample_size,
+                              id_col, emb_col)
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _normalize(_batch_matrix(t, emb_col))
+        a = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({id_col: t[id_col], "cluster_id": pa.array(a)})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return per_key_cap(assigned, key_col="cluster_id", id_col=id_col,
+                       cap=cap)

@@ -753,3 +753,37 @@ def test_kmeans_recovers_blob_sizes(ray_session):
     c2, s2 = kmeans_fit(ds, n_clusters=3, n_iter=3, sample_size=64)
     assert (s1 == s2).all()
     assert (c1 == c2).all()
+
+
+def test_cluster_balanced_sample_caps_every_cluster(ray_session):
+    """Over 3 well-separated blobs (50/30/20), cap=10 keeps exactly 10
+    per cluster, chosen deterministically; a cluster under the cap
+    keeps all members."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import cluster_balanced_sample
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for center, n in (((10.0, 0, 0), 50), ((0, 10.0, 0), 30),
+                      ((0, 0, 10.0), 8)):
+        rows.append(np.asarray(center) + rng.normal(0, 0.1, size=(n, 3)))
+    mat = np.vstack(rows)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(6)
+
+    out = cluster_balanced_sample(ds, n_clusters=3, cap=10, n_iter=3,
+                                  sample_size=64).to_pandas()
+    sizes = sorted(out.groupby("cluster_id").size().tolist())
+    assert sizes == [8, 10, 10]  # under-cap cluster keeps all 8
+
+    out2 = cluster_balanced_sample(ds, n_clusters=3, cap=10, n_iter=3,
+                                   sample_size=64).to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
