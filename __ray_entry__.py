@@ -744,6 +744,17 @@ def _q_multiline(sf_dir: str):
     )
 
 
+def _q_trending_tags(sf_dir: str):
+    """Trending tags: top-3 tags per tumbling hour over the routed
+    stream — grouped-count combiner partials merged distributedly,
+    per-window rank via one window bucket exchange."""
+    from fluent_server_ray.pipelines.flagship import build_routed
+    from fluent_server_ray.stages.windows import window_topk
+
+    routed = build_routed(sf_dir, columns=["tag", "ts"])
+    return window_topk(routed, key_col="tag", k=3)
+
+
 def _q_suppress(sf_dir: str):
     """fluent-plugin-suppress: drop a turn whose text repeats any of
     the previous 3 turns' texts in its conversation (flood control;
@@ -1345,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_retag": _q_retag,
         "transcripts_multiline": _q_multiline,
         "transcripts_suppress": _q_suppress,
+        "trending_tags": _q_trending_tags,
         "bigram_top_pairs": _q_bigram_top,
         "word_postings_index": _q_word_postings,
         "events_value_pct_rank": _q_pct_rank,
@@ -1461,6 +1473,8 @@ def oracle_sql() -> dict[str, str]:
         + assembly.concat_multiline_sql(),
         "transcripts_suppress": oracle.with_pipeline_ctes() + "\n"
         + assembly.suppress_sql(),
+        "trending_tags": oracle.with_pipeline_ctes() + "\n"
+        + windows.window_topk_sql(),
         "transcripts_retag": oracle.with_pipeline_ctes()
         + "\nSELECT conv_id, turn_idx, "
         + __import__("fluent_server_ray.stages.route",

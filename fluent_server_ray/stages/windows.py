@@ -583,3 +583,65 @@ SELECT {id_col}, {key_col}, {ts_col} FROM (
   FROM {table}
 ) WHERE rn <= {limit}
 """.strip()
+
+
+def window_topk(ds, key_col: str = "tag", ts_col: str = "ts",
+                width_seconds: int = 3600, k: int = 3,
+                n_buckets: int = 64):
+    """Trending keys: top-``k`` keys per tumbling event-time window by
+    count (the dashboard/alerting shape over the routed stream).
+
+    Scale shape: row-wise window id + the grouped-count combiner
+    (shuffle carries (key, window, n) partials, never raw rows) merged
+    through Ray's distributed groupby (windows are unbounded over a
+    10^12-turn stream — never a driver merge), then ONE hash-bucket
+    exchange on ``window_start`` with a per-bucket vectorized rank
+    (segmented cumcount over every window in the bucket at once).
+    Deterministic tie-break (n DESC, key ASC). Output:
+    (key_col, window_start, n, rank)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def add_window(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        secs = pc.divide(us, 1_000_000)
+        win = pc.multiply(pc.divide(secs, width_seconds), width_seconds)
+        return pa.table({key_col: t[key_col], "window_start": win})
+
+    win_ds = ds.map_batches(add_window, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    counts = grouped_counts(win_ds, [key_col, "window_start"], final="ray")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["window_start", "n", key_col],
+                          ascending=[True, False, True])
+        rank = g.groupby("window_start", sort=False).cumcount() + 1
+        g = g.assign(rank=rank.astype("int64"))
+        return g.loc[g["rank"] <= k,
+                     [key_col, "window_start", "n", "rank"]]
+
+    bucketed = _with_bucket(counts, "window_start", n_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
+def window_topk_sql(key_col: str = "tag", ts_col: str = "ts",
+                    width_seconds: int = 3600, k: int = 3,
+                    table: str = "routed") -> str:
+    return f"""
+SELECT {key_col}, window_start, n, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT {key_col}, window_start, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, {key_col}) AS rank
+  FROM (
+    SELECT {key_col},
+      ((epoch_us({ts_col}) // 1000000) // {width_seconds}) * {width_seconds}
+        AS window_start,
+      count(*) AS n
+    FROM {table} GROUP BY 1, 2
+  )
+) WHERE rank <= {k}
+""".strip()

@@ -71,6 +71,8 @@ ORACLE_QUERIES = [
     "rollup_order_counts",
     "vocab_top_words",
     "docs_weighted_sample",
+    "trending_tags",
+    "transcripts_suppress",
 ]
 
 
