@@ -54,6 +54,49 @@ def mirror_json(out_dir: str, limit_per_tag: int | None = None) -> dict:
     return out
 
 
+def mirror_tag_page(out_dir: str, tag: str, offset: int = 0,
+                    limit: int = 1000) -> list:
+    """One tag's events, paged — the scalable per-tag read the
+    reference's one-object endpoint lacks. Iterates the sink files in
+    the same deterministic order as :func:`mirror_json`, filters the
+    tag with one vectorized Arrow ``equal`` per file, and STOPS as soon
+    as the page is filled — a page request never materializes the
+    store."""
+    import pyarrow.compute as pc
+
+    files = sorted(
+        glob.glob(os.path.join(out_dir, "sinks", "**", "*.parquet"),
+                  recursive=True)
+    )
+    need = offset + limit
+    events: list = []
+    for f in files:
+        t = pq.read_table(f)
+        if "tag" not in t.column_names:
+            continue
+        t = t.filter(pc.equal(t["tag"], tag))
+        if t.num_rows == 0:
+            continue
+        df = t.to_pandas()
+        sort_cols = [c for c in ("conv_id", "turn_idx", "chunk",
+                                 "entry_idx") if c in df.columns]
+        if sort_cols:
+            df = df.sort_values(sort_cols)
+        for row in df.to_dict("records"):  # bounded by the page size
+            record = {
+                k: v
+                for k, v in row.items()
+                if k not in ("tag", "ts") and v is not None
+            }
+            events.append({"ts": str(row["ts"]) if "ts" in row else None,
+                           "record": record})
+            if len(events) >= need:
+                break
+        if len(events) >= need:
+            break
+    return events[offset:offset + limit]
+
+
 def mirror_counts(out_dir: str) -> dict:
     """Per-sink totals straight from lineage manifests (O(manifests))."""
     from fluent_server_ray.state.lineage import load_manifests
@@ -93,6 +136,9 @@ def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1",
         unbounded behavior, ``mirror/mirror.go:41-47``).
       - ``GET /counts``  → per-sink totals from lineage manifests only
         (the scalable probe; no data files touched).
+      - ``GET /tag/<name>?offset=N&limit=M`` → one tag's events, paged
+        (early-stopping file scan; a page never materializes the
+        store).
 
     Returns the started ``ThreadingHTTPServer`` (``server_address``
     carries the bound port when ``port=0``); caller runs
@@ -108,6 +154,21 @@ def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1",
             route = parsed.path.rstrip("/")
             if route == "/counts":
                 body = json.dumps(mirror_counts(out_dir), sort_keys=True)
+            elif route.startswith("/tag/"):
+                qs = parse_qs(parsed.query)
+
+                def qint(key, default):
+                    try:
+                        return max(0, int(qs.get(key, [default])[-1]))
+                    except ValueError:
+                        return default
+
+                page = mirror_tag_page(
+                    out_dir, route[len("/tag/"):],
+                    offset=qint("offset", 0),
+                    limit=qint("limit", limit_per_tag),
+                )
+                body = json.dumps(page, sort_keys=True, default=str)
             elif route == "":
                 qs = parse_qs(parsed.query)
                 full = qs.get("full", ["0"])[-1] in ("1", "true")

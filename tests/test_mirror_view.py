@@ -113,6 +113,18 @@ def test_mirror_http_limit_per_tag_cap(ray_session, tmp_path):
         assert len(capped["t.a"]) == 3
         full = json.loads(urllib.request.urlopen(f"{base}/?full=1").read())
         assert len(full["t.a"]) == 10
+        # paged per-tag route: pages tile the full tag list in order
+        p1 = json.loads(urllib.request.urlopen(
+            f"{base}/tag/t.a?offset=0&limit=4").read())
+        p2 = json.loads(urllib.request.urlopen(
+            f"{base}/tag/t.a?offset=4&limit=4").read())
+        p3 = json.loads(urllib.request.urlopen(
+            f"{base}/tag/t.a?offset=8&limit=4").read())
+        assert [len(p1), len(p2), len(p3)] == [4, 4, 2]
+        assert p1 + p2 + p3 == full["t.a"]
+        none = json.loads(urllib.request.urlopen(
+            f"{base}/tag/absent?limit=4").read())
+        assert none == []
     finally:
         srv.shutdown()
         srv.server_close()
