@@ -208,6 +208,35 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental dedup against a PERSISTED text index (the
+    continuous-ingestion shape): the even-doc_id half of the corpus is
+    indexed (hive-partitioned distinct text set), the odd half arrives
+    as a new shard and anti-joins against it — each shard bucket reads
+    ONLY its own index partition."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.dedup import (build_text_index,
+                                                dedup_against_index)
+
+    def half(parity: int):
+        ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+        def f(t):
+            keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity)
+            return t.filter(pc.fill_null(keep, False))
+
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    idx = tempfile.mkdtemp(prefix="fsr_txtidx_")
+    build_text_index(half(0), idx, n_parts=16)
+    return dedup_against_index(half(1), idx, n_parts=16)
+
+
 def _q_dedup_prefix_block(sf_dir: str):
     from fluent_server_ray.stages.dedup import prefix_block_dupes
 
@@ -1306,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf": _q_tfidf,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_prefix_block": _q_dedup_prefix_block,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1428,6 +1458,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_token_counts": textstats.bpe_token_count_sql(),
         "doc_tfidf": textstats.doc_tfidf_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_incremental": """
+SELECT doc_id, text FROM documents
+WHERE doc_id % 2 = 1
+  AND (text IS NULL OR text NOT IN
+       (SELECT text FROM documents
+        WHERE doc_id % 2 = 0 AND text IS NOT NULL))
+""".strip(),
         "dedup_prefix_block": dedup.prefix_block_dupes_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dupes_sql(threshold=0.8),
         "dedup_clusters": dedup.pair_components_sql(

@@ -47,15 +47,26 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("_h", pa.array(h))
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 256):
     """Keep the min-id row per distinct text. Returns (id, text) rows.
 
-    Two-level, combiner-first: each batch collapses to one (hash,
+    Two-level, combiner-first: each batch collapses to one (bucket,
     min_id, text) row per distinct text BEFORE the shuffle, so what
     moves is O(distinct-per-block), and a text duplicated millions of
     times (the hot-key case — mass-duplicated boilerplate is exactly
     what dedup exists for) contributes one row per block instead of
     flooding one reducer. min-of-mins is exact.
+
+    The exchange key is ``hash(text) % n_buckets`` — a BOUNDED small
+    int (a groupby on the raw hash makes one pandas group per distinct
+    text; per-group dispatch dominates at corpus scale). All copies of
+    a text share its hash, so they co-locate; inside a bucket the
+    winner is one segmented sort + groupby-head over every text in the
+    bucket at once, grouped on the TEXT itself (two texts colliding
+    into one bucket — or even one 64-bit hash, expected near the 2^32
+    birthday bound at trillion-row scale — each keep their own winner,
+    matching the SQL GROUP BY text).
     """
 
     from fluent_server_ray.stages.aggregate import skip_empty
@@ -63,13 +74,14 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     def partial(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, text_col).select(["_h", id_col, text_col])
         out = t.group_by(["_h", text_col]).aggregate([(id_col, "min")])
-        return out.rename_columns(["_h", text_col, id_col])
+        h = out["_h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_b": pa.array((h % n_buckets).astype(np.int64)),
+            text_col: out[text_col],
+            id_col: out[f"{id_col}_min"],
+        })
 
     def min_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        # re-group on the TEXT inside the hash group: two distinct texts
-        # colliding on the 64-bit hash (expected near the 2^32 birthday
-        # bound at trillion-row scale) must each keep their winner —
-        # only true duplicates collapse (matches the SQL GROUP BY text).
         g = g.sort_values(id_col)
         return g.groupby(text_col, sort=False, as_index=False).head(1)[
             [id_col, text_col]
@@ -78,7 +90,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return (
         ds.map_batches(skip_empty(partial), batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby("_h")
+        .groupby("_b")
         .map_groups(min_per_text, batch_format="pandas")
     )
 
@@ -1183,3 +1195,103 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
 ORDER BY doc_a, doc_b
 """.strip()
+
+
+# ------------------------------------- persisted incremental dedup index
+
+def build_text_index(ds, index_dir: str, text_col: str = "text",
+                     n_parts: int = 64):
+    """Persist a corpus's DISTINCT text set as a dedup INDEX,
+    hive-partitioned by hash part (``hpart = hash(text) % n_parts``) —
+    the durable state a CONTINUOUS ingestion pipeline dedups each new
+    shard against (the batch-side analogue of the reference's
+    at-least-once chunk-ack store, ``message/session.go:139-160``:
+    state that makes re-delivered content drop instead of duplicate).
+
+    One bucket exchange of (text, hpart); each partition's distinct
+    set is one vectorized ``drop_duplicates`` over the whole bucket.
+    NULL texts are not indexed (SQL equality: NULL matches nothing).
+    Calling it again with rows already deduped against the index
+    EXTENDS it (new files land in the same hive layout; the
+    per-partition-distinct invariant holds because survivors are by
+    construction absent from the index).
+    """
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        t = add_content_hash(t, text_col)
+        h = t["_h"].to_numpy(zero_copy_only=False)
+        out = pa.table({
+            text_col: t[text_col],
+            "hpart": pa.array((h % n_parts).astype(np.int64)),
+        })
+        # batch-local distinct first: the shuffle carries one row per
+        # distinct (text, part) per block
+        return out.group_by([text_col, "hpart"]).aggregate([])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(text_col)[[text_col, "hpart"]]
+
+    (ds.map_batches(skip_empty(part), batch_format="pyarrow",
+                    zero_copy_batch=True)
+     .groupby("hpart")
+     .map_groups(per_part, batch_format="pandas")
+     .write_parquet(index_dir, partition_cols=["hpart"]))
+    return index_dir
+
+
+def dedup_against_index(ds, index_dir: str, id_col: str = "doc_id",
+                        text_col: str = "text", n_parts: int = 64):
+    """Anti-join a NEW shard against a persisted
+    :func:`build_text_index`: keep rows whose text does NOT appear in
+    the index (plus NULL-text rows — NULL equals nothing). The
+    incremental-ingestion dedup step: the corpus index is NEVER
+    rescanned in full; the shard shuffles once on its hash part and
+    each bucket task reads ONLY its own index partition (Parquet path
+    pruning) and filters with one vectorized ``isin`` on the TEXT
+    itself (the hash only routes — collisions cannot drop rows).
+
+    Within-shard duplicates are deliberately NOT collapsed here (run
+    :func:`exact_dedup` on the shard first); output: (id, text)
+    survivors — feed them back through :func:`build_text_index` to
+    extend the index.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, text_col)
+        h = t["_h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col], text_col: t[text_col],
+            "_b": pa.array(
+                np.where(pc.is_valid(t[text_col]).to_numpy(
+                    zero_copy_only=False),
+                    (h % n_parts).astype(np.int64), -1)
+            ),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["_b"].iloc[0])
+        if k < 0:  # NULL-text rows: never duplicates, all survive
+            return g[[id_col, text_col]]
+        fs = sorted(_glob.glob(
+            os.path.join(index_dir, f"hpart={k}", "*.parquet")
+        ))
+        if not fs:
+            return g[[id_col, text_col]]
+        idx = pa.concat_tables(
+            [_pq.read_table(f, columns=[text_col]) for f in fs]
+        )
+        keep = ~g[text_col].isin(idx[text_col].to_pandas())
+        return g.loc[keep, [id_col, text_col]]
+
+    bucketed = ds.map_batches(skip_empty(add_part), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("_b").map_groups(per_bucket,
+                                             batch_format="pandas")

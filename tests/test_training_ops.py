@@ -789,3 +789,43 @@ def test_cluster_balanced_sample_caps_every_cluster(ray_session):
                                    sample_size=64).to_pandas()
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   out2.reset_index(drop=True))
+
+
+def test_dedup_against_index_and_extension(ray_session, tmp_path):
+    """Persisted-index incremental dedup: a new shard keeps only texts
+    absent from the index; NULL text is never a duplicate (SQL
+    equality); feeding survivors back through build_text_index EXTENDS
+    the index so the next shard dedups against both generations."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (build_text_index,
+                                                dedup_against_index)
+
+    idx = str(tmp_path / "txtidx")
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha", "beta", "alpha"],  # distinct set {alpha, beta}
+    })
+    build_text_index(rd.from_pandas(corpus), idx, n_parts=4)
+
+    shard1 = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["alpha", "gamma", None, "beta"],
+    })
+    out1 = dedup_against_index(rd.from_pandas(shard1), idx,
+                               n_parts=4).to_pandas()
+    got1 = sorted(zip(out1["doc_id"],
+                      (None if pd.isna(t) else t for t in out1["text"])))
+    assert got1 == [(11, "gamma"), (12, None)]
+
+    # extend with the survivors; 'gamma' now dedups, NULL still passes
+    build_text_index(rd.from_pandas(out1), idx, n_parts=4)
+    shard2 = pd.DataFrame({
+        "doc_id": [20, 21, 22],
+        "text": ["gamma", "delta", None],
+    })
+    out2 = dedup_against_index(rd.from_pandas(shard2), idx,
+                               n_parts=4).to_pandas()
+    got2 = sorted(zip(out2["doc_id"],
+                      (None if pd.isna(t) else t for t in out2["text"])))
+    assert got2 == [(21, "delta"), (22, None)]
