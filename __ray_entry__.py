@@ -214,6 +214,8 @@ def _q_dedup_incremental(sf_dir: str):
     indexed (hive-partitioned distinct text set), the odd half arrives
     as a new shard and anti-joins against it — each shard bucket reads
     ONLY its own index partition."""
+    import os
+    import shutil
     import tempfile
 
     import pyarrow.compute as pc
@@ -232,7 +234,13 @@ def _q_dedup_incremental(sf_dir: str):
         return ds.map_batches(f, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    idx = tempfile.mkdtemp(prefix="fsr_txtidx_")
+    # deterministic scratch path, rebuilt per call (mkdtemp would leak
+    # one even-half index per invocation across conformance sweeps)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "fsr_txtidx_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(idx, ignore_errors=True)
     build_text_index(half(0), idx, n_parts=16)
     return dedup_against_index(half(1), idx, n_parts=16)
 

@@ -23,6 +23,28 @@ import os
 import pyarrow.parquet as pq
 
 
+_SORT_COLS = ("conv_id", "turn_idx", "chunk", "entry_idx")
+
+
+def _df_events(df):
+    """Yield (tag, event) in the canonical deterministic order — the
+    ONE place the mirror's event JSON shape is built (the full view and
+    the paged view must tile identically, so they share it)."""
+    sort_cols = [c for c in _SORT_COLS if c in df.columns]
+    if sort_cols:
+        df = df.sort_values(sort_cols)
+    for row in df.to_dict("records"):  # bounded use; no iterrows
+        record = {
+            k: v
+            for k, v in row.items()
+            if k not in ("tag", "ts") and v is not None
+        }
+        yield row.get("tag", ""), {
+            "ts": str(row["ts"]) if "ts" in row else None,
+            "record": record,
+        }
+
+
 def mirror_json(out_dir: str, limit_per_tag: int | None = None) -> dict:
     """{tag: [ {ts, record}, ... ]} over all routed sink output, events
     ordered by (conv_id, turn_idx) within a tag (deterministic, unlike
@@ -33,24 +55,12 @@ def mirror_json(out_dir: str, limit_per_tag: int | None = None) -> dict:
     )
     out: dict[str, list] = {}
     for f in files:
-        t = pq.read_table(f)
-        df = t.to_pandas()
-        sort_cols = [c for c in ("conv_id", "turn_idx", "chunk", "entry_idx")
-                     if c in df.columns]
-        if sort_cols:
-            df = df.sort_values(sort_cols)
-        for row in df.to_dict("records"):  # bounded use; no iterrows
-            tag = row.get("tag", "")
+        df = pq.read_table(f).to_pandas()
+        for tag, event in _df_events(df):
             events = out.setdefault(tag, [])
             if limit_per_tag and len(events) >= limit_per_tag:
                 continue  # capped: skip the row instead of append+slice
-            record = {
-                k: v
-                for k, v in row.items()
-                if k not in ("tag", "ts") and v is not None
-            }
-            events.append({"ts": str(row["ts"]) if "ts" in row else None,
-                           "record": record})
+            events.append(event)
     return out
 
 
@@ -77,19 +87,8 @@ def mirror_tag_page(out_dir: str, tag: str, offset: int = 0,
         t = t.filter(pc.equal(t["tag"], tag))
         if t.num_rows == 0:
             continue
-        df = t.to_pandas()
-        sort_cols = [c for c in ("conv_id", "turn_idx", "chunk",
-                                 "entry_idx") if c in df.columns]
-        if sort_cols:
-            df = df.sort_values(sort_cols)
-        for row in df.to_dict("records"):  # bounded by the page size
-            record = {
-                k: v
-                for k, v in row.items()
-                if k not in ("tag", "ts") and v is not None
-            }
-            events.append({"ts": str(row["ts"]) if "ts" in row else None,
-                           "record": record})
+        for _, event in _df_events(t.to_pandas()):
+            events.append(event)
             if len(events) >= need:
                 break
         if len(events) >= need:
@@ -146,7 +145,7 @@ def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1",
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    from urllib.parse import parse_qs, urlparse
+    from urllib.parse import parse_qs, unquote, urlparse
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib naming)
@@ -163,8 +162,10 @@ def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1",
                     except ValueError:
                         return default
 
+                # unquote: a tag a client must percent-encode (space,
+                # unicode, '/') would otherwise never match its stored key
                 page = mirror_tag_page(
-                    out_dir, route[len("/tag/"):],
+                    out_dir, unquote(route[len("/tag/"):]),
                     offset=qint("offset", 0),
                     limit=qint("limit", limit_per_tag),
                 )

@@ -779,10 +779,15 @@ def shipping_priority(sf_dir: str, k: int = 10, n_buckets: int = 32):
     from fluent_server_ray.stages.joins import bucketed_hash_join
 
     cutoff = pd.Timestamp(Q3_CUTOFF)
+    # filter refs are covered by columns= on every read so the pinned
+    # schema survives even when a filter eliminates ALL rows (an
+    # empty-after-filter dataset with no schema would crash the join's
+    # key-dtype check instead of producing a typed empty result)
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
-        columns=["c_custkey"],
+        columns=["c_custkey", "c_mktsegment"],
         filter=pads.field("c_mktsegment") == Q3_SEGMENT,
+        filter_refs=["c_mktsegment"],
     )
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
@@ -792,12 +797,30 @@ def shipping_priority(sf_dir: str, k: int = 10, n_buckets: int = 32):
     )
     lineitem = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pads.field("l_shipdate") > cutoff,
+        filter_refs=["l_shipdate"],
     )
+
+    def empty_result() -> pa.Table:
+        return pa.table({
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "rev_cents_sum": pa.array([], type=pa.int64()),
+            "o_orderdate": pa.array([], type=pa.timestamp("us")),
+            "o_orderpriority": pa.array([], type=pa.string()),
+        })
 
     co = bucketed_hash_join(cust, orders, key="c_custkey",
                             right_key="o_custkey", n_buckets=n_buckets)
+    # a filter that matched nothing empties the first join, and an
+    # empty DERIVED dataset has no discoverable Arrow schema (the
+    # probe below returns None) — that's a typed-empty result, not an
+    # input to another join. A non-empty co probes fine (the same
+    # probe cogrouped itself would run).
+    probe = co.map_batches(lambda t: t, batch_format="pyarrow",
+                           zero_copy_batch=True).schema()
+    if probe is None:
+        return empty_result()
     col = bucketed_hash_join(co, lineitem, key="o_orderkey",
                              right_key="l_orderkey", n_buckets=n_buckets)
 
@@ -824,10 +847,15 @@ def shipping_priority(sf_dir: str, k: int = 10, n_buckets: int = 32):
         )
         return t.take(idx[:k])
 
-    blocks = per_order.map_batches(
-        local_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=None, batch_format="pyarrow")
-    merged = pa.concat_tables(b for b in blocks if b.num_rows)
+    blocks = [
+        b for b in per_order.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not blocks:  # zero matching rows: typed empty result, not a crash
+        return empty_result()
+    merged = pa.concat_tables(blocks)
     idx = pc.sort_indices(
         merged, sort_keys=[("rev_cents_sum", "descending"),
                            ("o_orderkey", "ascending")]

@@ -203,7 +203,10 @@ def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
     ingestion format (``in_tail`` + json parser emits one JSON record
     per line; reference deployments front the forward protocol with
     exactly such tails). One record per turn with the transcript
-    schema's keys; ``ts`` as an ISO-8601 string or epoch timestamp.
+    schema's keys; ``ts`` as an ISO-8601 string (with or without a
+    zone offset — offsets normalize to UTC wall time) or a numeric
+    epoch in SECONDS (the fluentd ``time`` convention; fractional
+    seconds kept to µs).
 
     Arrow's JSON reader infers per-block types, so the batch is coerced
     to the canonical transcript schema (conv_id/role/text/tool:string,
@@ -232,9 +235,28 @@ def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
         for c in want:
             arr = t[c]
             ty = target[c]
-            # ISO-8601 strings cast directly to timestamp (Arrow's
-            # cast accepts fractional seconds; strptime's %f doesn't)
-            if arr.type != ty:
+            if pa.types.is_timestamp(ty) and not pa.types.is_timestamp(
+                    arr.type):
+                if pa.types.is_integer(arr.type) or pa.types.is_floating(
+                        arr.type):
+                    # numeric epoch = SECONDS (a bare int64→timestamp
+                    # cast would reinterpret them as µs and silently
+                    # produce 1970 dates)
+                    us = pc.round(pc.multiply(
+                        pc.cast(arr, pa.float64()), 1_000_000.0))
+                    arr = pc.cast(pc.cast(us, pa.int64()), ty)
+                else:
+                    # ISO-8601: Arrow's cast handles fractional seconds
+                    # (strptime's %f doesn't) but rejects zone offsets
+                    # on a naive target — normalize via tz=UTC
+                    try:
+                        arr = pc.cast(arr, ty)
+                    except pa.ArrowInvalid:
+                        arr = pc.cast(
+                            pc.cast(arr, pa.timestamp(ty.unit, tz="UTC")),
+                            ty,
+                        )
+            elif arr.type != ty:
                 arr = pc.cast(arr, ty)
             cols[c] = arr
         return pa.table(cols)

@@ -442,7 +442,11 @@ def suppress(ds, lookback: int = 3, n_buckets: int = 64):
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"])
-        grp = g.groupby("conv_id", sort=False)["text"]
+        # dropna=False: SQL's PARTITION BY groups every NULL conv_id
+        # into ONE partition (their repeats suppress like any other
+        # conversation's); pandas would silently drop the NaN group
+        # and never suppress among NULL-conv rows
+        grp = g.groupby("conv_id", sort=False, dropna=False)["text"]
         dup = pd.Series(False, index=g.index)
         notna = g["text"].notna()
         for k in range(1, lookback + 1):

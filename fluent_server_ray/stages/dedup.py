@@ -83,9 +83,11 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def min_per_text(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
-        return g.groupby(text_col, sort=False, as_index=False).head(1)[
-            [id_col, text_col]
-        ]
+        # dropna=False: SQL's GROUP BY text keeps one min-id NULL-text
+        # row (all NULLs hash alike, so they share a bucket and the
+        # global winner is exact); pandas would drop the NaN group
+        return g.groupby(text_col, sort=False, as_index=False,
+                         dropna=False).head(1)[[id_col, text_col]]
 
     return (
         ds.map_batches(skip_empty(partial), batch_format="pyarrow",
@@ -1256,9 +1258,21 @@ def dedup_against_index(ds, index_dir: str, id_col: str = "doc_id",
     :func:`exact_dedup` on the shard first); output: (id, text)
     survivors — feed them back through :func:`build_text_index` to
     extend the index.
+
+    ``index_dir`` must exist (checked — a typo'd path would otherwise
+    glob empty in every bucket and silently disable dedup) and, on a
+    multi-node cluster, must live on storage every worker can read
+    (object store / NFS); a driver-local tempdir is invisible to
+    remote bucket tasks.
     """
     import glob as _glob
     import os
+
+    if not os.path.isdir(index_dir):
+        raise FileNotFoundError(
+            f"dedup index dir not found: {index_dir!r} — build it with "
+            f"build_text_index() on shared storage first"
+        )
 
     import pyarrow.parquet as _pq
 

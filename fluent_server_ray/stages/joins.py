@@ -43,6 +43,22 @@ def _with_bucket(ds, key: str, n_buckets: int):
                           zero_copy_batch=True)
 
 
+def arrow_schema(ds):
+    """``ds.schema()`` if present AND carrying real Arrow types, else
+    None. A pandas-derived dataset (e.g. a map_groups output) can
+    report Python ``type`` entries instead of ``pa.DataType`` —
+    unusable for typed padding or key-dtype checks. ``cogrouped`` uses
+    this to validate its schema probes; note a PYTHON-typed schema
+    does not imply emptiness (probe through an identity pyarrow
+    map_batches for that — None there means zero blocks)."""
+    s = ds.schema()
+    if s is None:
+        return None
+    if not all(isinstance(t, pa.DataType) for t in s.types):
+        return None
+    return s
+
+
 def cogrouped(left, right, key: str, right_key: str | None = None,
               n_buckets: int = 32):
     """Co-locate two Datasets by ``siphash(key) % n_buckets`` with ONE
@@ -57,11 +73,34 @@ def cogrouped(left, right, key: str, right_key: str | None = None,
 
     # normalize both sides to Arrow blocks so schema() yields Arrow types
     # (pandas-backed datasets report numpy dtypes otherwise)
+    raw_left, raw_right = left, right
     left = left.map_batches(lambda t: t, batch_format="pyarrow",
                             zero_copy_batch=True)
     right = right.map_batches(lambda t: t, batch_format="pyarrow",
                               zero_copy_batch=True)
-    lsch, rsch = left.schema(), right.schema()
+
+    def probe_schema(wrapped, raw, side: str):
+        # the identity wrap normalizes pandas-block schemas to Arrow
+        # types, but a UDF's schema is only discoverable by EXECUTING a
+        # block — an empty input probes to None through it. Fall back
+        # to the raw dataset's schema (a pinned parquet read keeps its
+        # Arrow schema even at zero rows); a schema-less empty derived
+        # dataset fails loudly instead of crashing on .types below.
+        s = arrow_schema(wrapped)
+        if s is not None:
+            return s
+        s = arrow_schema(raw)
+        if s is None:
+            raise ValueError(
+                f"{side} join side has no usable Arrow schema (empty "
+                f"derived dataset?) — check emptiness upstream "
+                f"(joins.arrow_schema(ds) is None) and return a typed "
+                f"empty result instead"
+            )
+        return s
+
+    lsch = probe_schema(left, raw_left, "left")
+    rsch = probe_schema(right, raw_right, "right")
 
     # key-kind sanity: numeric keys hash dtype-canonically (see
     # aggregate.hash_bucket_array), but a string key on one side and a

@@ -602,9 +602,13 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 4,
         vs = np.stack(parts["vecsum"].to_pylist()).reshape(-1, d)
         # canonical merge order: iter_batches block order varies run to
         # run, and float addition doesn't commute — sort the partials
-        # by a content key so the driver sum is bit-stable (equal rows
-        # commute exactly, so residual ties are harmless)
-        order = np.lexsort((vs[:, 0], ns, cl))
+        # by their FULL content (cluster, count, every sum component:
+        # a prefix key isn't a total order, and two unequal partials
+        # tying on it would still reorder across runs; fully-equal rows
+        # commute exactly) so the driver sum is bit-stable
+        order = np.lexsort(
+            tuple(vs[:, j] for j in range(d - 1, -1, -1)) + (ns, cl)
+        )
         cl, ns, vs = cl[order], ns[order], vs[order]
         sums = np.zeros((k, d))
         np.add.at(sums, cl, vs)

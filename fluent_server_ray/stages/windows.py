@@ -618,7 +618,11 @@ def window_topk(ds, key_col: str = "tag", ts_col: str = "ts",
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["window_start", "n", key_col],
                           ascending=[True, False, True])
-        rank = g.groupby("window_start", sort=False).cumcount() + 1
+        # dropna=False: a NULL-ts row yields a NULL window, which SQL's
+        # PARTITION BY ranks as its own partition — pandas would DROP
+        # the NaN group and the later astype(int64) would crash on NaN
+        rank = g.groupby("window_start", sort=False,
+                         dropna=False).cumcount() + 1
         g = g.assign(rank=rank.astype("int64"))
         return g.loc[g["rank"] <= k,
                      [key_col, "window_start", "n", "rank"]]

@@ -291,3 +291,30 @@ def test_jsonl_source_matches_parquet_source(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="lacks keys"):
         read_transcripts_jsonl(str(bad)).materialize()
+
+
+def test_jsonl_source_ts_shapes(ray_session, tmp_path):
+    """ts arrives as epoch SECONDS (fluentd time convention — a bare
+    int64→timestamp cast would read them as µs and produce 1970
+    dates), fractional seconds, or ISO-8601 WITH a zone offset
+    (normalized to UTC wall time). One convention per stream — a JSON
+    column can't mix number and string types."""
+    from fluent_server_ray.sources.transcripts import read_transcripts_jsonl
+
+    def row(idx, ts):
+        return (f'{{"conv_id":"c","turn_idx":{idx},"role":"user",'
+                f'"text":"x","tool":"","ts":{ts}}}')
+
+    cases = [
+        (row(0, "1700000000"), "2023-11-14 22:13:20"),
+        (row(1, "1700000000.5"), "2023-11-14 22:13:20.500000"),
+        (row(2, '"2023-11-14T22:13:20.25+02:00"'),
+         "2023-11-14 20:13:20.250000"),  # +02:00 → UTC wall time
+        (row(3, '"2023-11-14T22:13:20.25"'),
+         "2023-11-14 22:13:20.250000"),  # naive stays as-is
+    ]
+    for i, (line, want) in enumerate(cases):
+        p = tmp_path / f"t{i}.jsonl"
+        p.write_text(line + "\n")
+        got = read_transcripts_jsonl(str(p)).to_pandas()
+        assert str(got["ts"].iloc[0]) == want, (line, want)

@@ -885,3 +885,34 @@ def test_suppress_lookback_window(ray_session):
     })
     out = suppress(rd.from_arrow(t), lookback=1).to_pandas()
     assert len(out) == 4
+
+
+def test_suppress_null_conv_partition_matches_sql(ray_session):
+    """All NULL conv_ids form ONE partition (SQL PARTITION BY
+    semantics): their repeated texts suppress exactly like a real
+    conversation's — pandas' default NaN-group drop must not leak
+    them through."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import suppress, suppress_sql
+
+    t = pa.table({
+        "conv_id": pa.array([None, None, None, "c"], type=pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 0], type=pa.int32()),
+        "text": ["dup", "dup", "dup", "dup"],
+    })
+    out = suppress(rd.from_arrow(t), lookback=3).to_pandas()
+
+    def norm(df):
+        return sorted(
+            ("" if pd.isna(c) else c, i, x)
+            for c, i, x in df.itertuples(index=False)
+        )
+
+    got = norm(out)
+    assert got == [("", 0, "dup"), ("c", 0, "dup")]
+    con = duckdb.connect()
+    con.register("transcripts", t)
+    odf = con.execute(suppress_sql(source_cte="transcripts")).df()
+    assert norm(odf) == got

@@ -123,3 +123,38 @@ def test_shipping_priority_matches_oracle(ray_session):
         out.reset_index(drop=True), odf.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_shipping_priority_empty_match_is_typed(ray_session, tmp_path):
+    """Zero matching rows (no customer in the segment) returns a typed
+    empty table with the contract schema, never an ArrowInvalid from an
+    empty concat."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluent_server_ray.pipelines import relational as rel
+
+    d = tmp_path
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], type=pa.int64()),
+        "c_mktsegment": ["MACHINERY"],  # never BUILDING
+    }), d / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10], type=pa.int64()),
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1997-01-01")],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT"],
+    }), d / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10], type=pa.int64()),
+        "l_extendedprice": [100.0],
+        "l_discount": [0.0],
+        "l_shipdate": pa.array([pd.Timestamp("1999-01-01")],
+                               type=pa.timestamp("us")),
+    }), d / "lineitem.parquet")
+
+    out = rel.shipping_priority(str(d))
+    assert out.num_rows == 0
+    assert out.column_names == ["o_orderkey", "rev_cents_sum",
+                                "o_orderdate", "o_orderpriority"]

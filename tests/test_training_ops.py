@@ -829,3 +829,73 @@ def test_dedup_against_index_and_extension(ray_session, tmp_path):
     got2 = sorted(zip(out2["doc_id"],
                       (None if pd.isna(t) else t for t in out2["text"])))
     assert got2 == [(21, "delta"), (22, None)]
+
+
+def test_exact_dedup_keeps_one_null_text_row(ray_session):
+    """SQL GROUP BY text keeps one min-id NULL-text row; the engine
+    must too (pandas' NaN-group drop would silently delete them)."""
+    import duckdb
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.dedup import exact_dedup, exact_dedup_sql
+
+    t = pa.table({
+        "doc_id": pa.array([5, 2, 9, 1], type=pa.int64()),
+        "text": pa.array([None, None, "x", "x"], type=pa.string()),
+    })
+    out = exact_dedup(rd.from_arrow(t)).to_pandas()
+    got = sorted(
+        (i, None if pd.isna(x) else x)
+        for i, x in out.itertuples(index=False)
+    )
+    assert got == [(1, "x"), (2, None)]
+    con = duckdb.connect()
+    con.register("docs_null", t)
+    odf = con.execute(exact_dedup_sql(table="docs_null")).df()
+    assert sorted(
+        (i, None if pd.isna(x) else x)
+        for i, x in odf.itertuples(index=False)
+    ) == got
+
+
+def test_window_topk_null_ts_matches_sql(ray_session):
+    """A NULL-ts row lands in the NULL window partition and is ranked
+    there (SQL PARTITION BY semantics) — never a NaN-rank crash."""
+    import duckdb
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.windows import window_topk, window_topk_sql
+
+    t = pa.table({
+        "tag": ["a", "b", "a", "c"],
+        "ts": pa.array([1_700_000_000_000_000, None,
+                        1_700_000_100_000_000, None],
+                       type=pa.timestamp("us")),
+    })
+    out = window_topk(rd.from_arrow(t), key_col="tag", k=2).to_pandas()
+    con = duckdb.connect()
+    con.register("routed", t)
+    odf = con.execute(window_topk_sql(table="routed")).df()
+    key = lambda df: sorted(
+        (g, None if pd.isna(w) else int(w), int(n), int(r))
+        for g, w, n, r in df.itertuples(index=False)
+    )
+    assert key(out) == key(odf)
+    # a×2 in one real window (rank 1); b,c ranked 1,2 in the NULL window
+    assert len(out) == 3
+
+
+def test_dedup_against_missing_index_raises(ray_session, tmp_path):
+    """A typo'd / non-shared index path must fail loudly — an empty
+    glob in every bucket would silently disable dedup."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import dedup_against_index
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(FileNotFoundError, match="index dir not found"):
+        dedup_against_index(ds, str(tmp_path / "nope"))
