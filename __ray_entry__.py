@@ -457,6 +457,19 @@ def _q_asof(sf_dir: str):
     return asof_prior_event(read_parquet_clean(f"{sf_dir}/events.parquet"))
 
 
+def _q_asof_next(sf_dir: str):
+    """Forward as-of with tolerance: earliest click at-or-after each
+    error within 30 min, per user (one key-bucket exchange + one
+    merge_asof(by=) per bucket)."""
+    from fluent_server_ray.stages.windows import asof_next_event
+
+    return asof_next_event(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts",
+                                    "event_type"])
+    )
+
+
 def _q_tumbling(sf_dir: str):
     import ray.data as rd
 
@@ -1369,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_counts": _q_sliding,
         "tumbling_value_agg": _q_tumbling_value_agg,
         "asof_prior_click": _q_asof,
+        "asof_next_click": _q_asof_next,
         "range_join_purchase_windows": _q_range_join,
         # relational coverage
         "lineitem_agg": rel.lineitem_agg,
@@ -1491,6 +1505,7 @@ WHERE doc_id % 2 = 1
         "sliding_counts": windows.sliding_counts_sql(),
         "tumbling_value_agg": _tumbling_value_agg_sql(),
         "asof_prior_click": windows.asof_prior_event_sql(),
+        "asof_next_click": windows.asof_next_event_sql(),
         "range_join_purchase_windows": _range_join_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),
         "orders_by_nation": rel.orders_by_nation_sql(),

@@ -126,43 +126,116 @@ def asof_prior_event(ds, left_type: str = "error", right_type: str = "click",
     # sides (engine + oracle CAST).
     _ID_MAX = float(1 << 53)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    return _asof_event(ds, left_type, right_type, key_col, ts_col,
+                       id_col, pcol, direction="backward",
+                       tolerance=None, id_max=_ID_MAX)
+
+
+def _asof_event(ds, left_type: str, right_type: str, key_col: str,
+                ts_col: str, id_col: str, out_col: str, direction: str,
+                tolerance, id_max: float, n_buckets: int = 64):
+    """Shared as-of body: ONE hash-bucket exchange on the key, then a
+    single ``pd.merge_asof(by=key)`` per bucket — every key in the
+    bucket merges in one C pass (a native groupby(key) would dispatch
+    one pandas group per key; per-group overhead dominates at corpus
+    scale). ``tolerance`` (seconds, optional) bounds the match
+    distance; right-side ties on ts break by (ts, id) sort order."""
+    import pandas as pd
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         nums = pd.to_numeric(g[id_col], errors="coerce").abs()
         # >= not >: the comparison itself upcasts int64 to float64, so
         # 2^53+1 rounds DOWN to exactly 2^53 and a strict > would wave
         # through the first lossy value; rejecting the (representable)
         # boundary too is the conservative price
-        if (nums >= _ID_MAX).any():
+        if (nums >= id_max).any():
             raise ValueError(
-                f"asof_prior_event: {id_col} exceeds 2^53; the float64 "
-                "prior-id representation would lose precision — use a "
-                "nullable-Int64 variant on both engine and oracle sides"
+                f"asof join: {id_col} exceeds 2^53; the float64 "
+                "matched-id representation would lose precision — use "
+                "a nullable-Int64 variant on both engine and oracle "
+                "sides"
             )
-        lg = g[g["event_type"] == left_type].sort_values(ts_col)
-        rg = g[g["event_type"] == right_type].sort_values(ts_col)
+        lg = g[g["event_type"] == left_type].sort_values([ts_col, id_col])
+        rg = g[g["event_type"] == right_type].sort_values([ts_col, id_col])
         if lg.empty:
             return pd.DataFrame(
                 {id_col: pd.Series(dtype="int64"),
-                 pcol: pd.Series(dtype="float64")}
+                 out_col: pd.Series(dtype="float64")}
             )
         if rg.empty:
             return pd.DataFrame(
                 {id_col: lg[id_col].to_numpy(dtype="int64"),
-                 pcol: np.full(len(lg), np.nan)}
+                 out_col: np.full(len(lg), np.nan)}
             )
         m = pd.merge_asof(
-            lg[[ts_col, id_col]],
-            rg[[ts_col, id_col]].rename(columns={id_col: pcol}),
+            lg[[key_col, ts_col, id_col]],
+            rg[[key_col, ts_col, id_col]].rename(columns={id_col: out_col}),
             on=ts_col,
-            direction="backward",
+            by=key_col,
+            direction=direction,
+            tolerance=tolerance,
             allow_exact_matches=True,
         )
-        return m[[id_col, pcol]].astype({id_col: "int64", pcol: "float64"})
+        return m[[id_col, out_col]].astype(
+            {id_col: "int64", out_col: "float64"}
+        )
 
-    out = ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
-    # map_groups emits groups in nondeterministic order; pin the output
+    cols = [key_col, ts_col, id_col, "event_type"]
+    bucketed = _with_bucket(ds.select_columns(cols), key_col, n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    # map_groups emits buckets in nondeterministic order; pin the output
     # order (id_col is unique — a total order) so value hashes are stable.
     return out.sort(id_col)
+
+
+def asof_next_event(ds, left_type: str = "error", right_type: str = "click",
+                    tolerance_seconds: int = 1800,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id"):
+    """FORWARD as-of join with a match-distance bound: for each
+    `left_type` event, the EARLIEST `right_type` event of the same key
+    at-or-after its timestamp and within ``tolerance_seconds`` — the
+    "did a click follow this error soon enough" remediation probe (the
+    time-reversed sibling of :func:`asof_prior_event`; DuckDB's ASOF
+    JOIN can't carry the tolerance, so the oracle is the exact
+    row_number formulation)."""
+    import pandas as pd
+
+    return _asof_event(ds, left_type, right_type, key_col, ts_col,
+                       id_col, "next_" + right_type,
+                       direction="forward",
+                       tolerance=pd.Timedelta(seconds=tolerance_seconds),
+                       id_max=float(1 << 53))
+
+
+def asof_next_event_sql(left_type: str = "error",
+                        right_type: str = "click",
+                        tolerance_seconds: int = 1800,
+                        table: str = "events") -> str:
+    """Exact forward-asof-with-tolerance oracle: rank candidate rights
+    per left by (ts, id) and keep rank 1 (ASOF JOIN allows only one
+    inequality, so the tolerance needs the general formulation)."""
+    return f"""
+WITH lefts AS (SELECT * FROM {table} WHERE event_type = '{left_type}'),
+rights AS (SELECT * FROM {table} WHERE event_type = '{right_type}'),
+pairs AS (
+  SELECT e.event_id, c.event_id AS cid,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY c.ts, c.event_id) AS rn
+  FROM lefts e JOIN rights c
+    ON c.user_id = e.user_id
+   AND c.ts >= e.ts
+   AND c.ts <= e.ts + INTERVAL {tolerance_seconds} SECOND
+)
+SELECT e.event_id,
+       CAST(p.cid AS DOUBLE) AS next_{right_type}
+FROM lefts e LEFT JOIN (SELECT event_id, cid FROM pairs WHERE rn = 1) p
+  USING (event_id)
+ORDER BY e.event_id
+""".strip()
 
 
 def asof_prior_event_sql(left_type: str = "error", right_type: str = "click",

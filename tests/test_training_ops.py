@@ -73,6 +73,9 @@ ORACLE_QUERIES = [
     "docs_weighted_sample",
     "trending_tags",
     "transcripts_suppress",
+    "asof_next_click",
+    "dedup_incremental",
+    "shipping_priority",
 ]
 
 
