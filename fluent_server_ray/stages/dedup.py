@@ -1309,3 +1309,62 @@ def dedup_against_index(ds, index_dir: str, id_col: str = "doc_id",
                               zero_copy_batch=True)
     return bucketed.groupby("_b").map_groups(per_bucket,
                                              batch_format="pandas")
+
+
+def compact_text_index(index_dir: str, text_col: str = "text",
+                       n_parts: int = 64):
+    """Compact a :func:`build_text_index` layout: every EXTEND appends
+    new files to the hive partitions, so read amplification grows with
+    shard count — compaction rewrites the layout with a bounded file
+    count (one per reduce block) and re-deduplicates. One distributed
+    pass (the same distinct-per-partition pipeline as the builder) into
+    a sibling directory, then an atomic swap — readers racing the swap
+    see either the old or the new complete layout, never a mix.
+    Returns (n_rows, n_files_before, n_files_after)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    if not os.path.isdir(index_dir):
+        raise FileNotFoundError(f"dedup index dir not found: {index_dir!r}")
+    before = _glob.glob(os.path.join(index_dir, "hpart=*", "*.parquet"))
+    ds = rd.read_parquet(index_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        # re-derive hpart from the text (hive column dtypes can read
+        # back as dictionary/string; the hash is the source of truth)
+        t = t.filter(pc.is_valid(t[text_col]))
+        t = add_content_hash(t, text_col)
+        h = t["_h"].to_numpy(zero_copy_only=False)
+        out = pa.table({
+            text_col: t[text_col],
+            "hpart": pa.array((h % n_parts).astype(np.int64)),
+        })
+        return out.group_by([text_col, "hpart"]).aggregate([])
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(text_col)[[text_col, "hpart"]]
+
+    tmp = index_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (ds.map_batches(skip_empty(part), batch_format="pyarrow",
+                    zero_copy_batch=True)
+     .groupby("hpart")
+     .map_groups(per_part, batch_format="pandas")
+     .write_parquet(tmp, partition_cols=["hpart"]))
+
+    old = index_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+    import pyarrow.parquet as _pq
+
+    after = _glob.glob(os.path.join(index_dir, "hpart=*", "*.parquet"))
+    n_rows = sum(_pq.read_metadata(f).num_rows for f in after)
+    return n_rows, len(before), len(after)

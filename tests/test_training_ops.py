@@ -902,3 +902,37 @@ def test_dedup_against_missing_index_raises(ray_session, tmp_path):
     ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
     with pytest.raises(FileNotFoundError, match="index dir not found"):
         dedup_against_index(ds, str(tmp_path / "nope"))
+
+
+def test_compact_text_index(ray_session, tmp_path):
+    """After two extensions the partitions hold multiple files;
+    compaction re-deduplicates, bounds the file count, and dedup
+    behavior against the compacted index is unchanged."""
+    import glob
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (build_text_index,
+                                                compact_text_index,
+                                                dedup_against_index)
+
+    idx = str(tmp_path / "idx")
+    texts = [f"t{i}" for i in range(20)]
+    build_text_index(
+        rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(20), "text": texts})), idx, n_parts=4)
+    build_text_index(  # extension: 10 new texts
+        rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(20, 30),
+             "text": [f"u{i}" for i in range(10)]})), idx, n_parts=4)
+    before = glob.glob(f"{idx}/hpart=*/*.parquet")
+
+    n_rows, n_before, n_after = compact_text_index(idx, n_parts=4)
+    assert n_before == len(before)
+    assert n_after <= n_before
+    assert n_rows == 30  # distinct texts preserved exactly
+
+    shard = pd.DataFrame({"doc_id": [100, 101, 102],
+                          "text": ["t3", "u5", "fresh"]})
+    out = dedup_against_index(rd.from_pandas(shard), idx,
+                              n_parts=4).to_pandas()
+    assert sorted(out["doc_id"]) == [102]
