@@ -725,16 +725,25 @@ def top_orders_per_customer(sf_dir: str, k: int = 2):
         )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
-        out = g.head(k).copy()
-        out["rank"] = range(1, len(out) + 1)
-        return out
+        # one segmented rank over every customer in the bucket (a
+        # native groupby(o_custkey) would dispatch one pandas group per
+        # customer — per-group overhead at O(customers) cardinality)
+        g = g.sort_values(["o_custkey", "price_cents", "o_orderkey"],
+                          ascending=[True, False, True])
+        rank = g.groupby("o_custkey", sort=False).cumcount() + 1
+        g = g.assign(rank=rank.astype("int64"))
+        return g.loc[g["rank"] <= k,
+                     ["o_custkey", "o_orderkey", "price_cents", "rank"]]
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .map_groups(merge, batch_format="pandas")
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    bucketed = _with_bucket(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "o_custkey", 64,
     )
+    return bucketed.groupby("_bucket").map_groups(merge,
+                                                  batch_format="pandas")
 
 
 def top_orders_per_customer_sql(k: int = 2) -> str:

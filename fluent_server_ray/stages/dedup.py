@@ -146,30 +146,43 @@ def prefix_block_dupes(
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        txts = g[text_col].to_numpy()
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # blocks co-locate via hash(block) % n — a native groupby on
+        # the raw prefix makes one pandas group per distinct prefix
+        # (O(docs) dispatch). The verification loop itself is the
+        # oracle-exact per-pair scan either way; singleton blocks drop
+        # vectorized first.
+        size = g.groupby("block", sort=False)[text_col].transform("size")
+        g = g[size > 1]
         a_out, b_out = [], []
-        if max_block is not None and len(g) > max_block:
-            rep_id, rep_txt = ids[0], txts[0]
-            for j in range(1, len(g)):
-                if _charset_jaccard(rep_txt, txts[j]) >= threshold:
-                    a_out.append(rep_id)
-                    b_out.append(ids[j])
-        else:
-            for i in range(len(g)):
-                for j in range(i + 1, len(g)):
-                    if _charset_jaccard(txts[i], txts[j]) >= threshold:
-                        a_out.append(ids[i])
+        for _, sub in g.groupby("block", sort=False):
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            txts = sub[text_col].to_numpy()
+            if max_block is not None and len(sub) > max_block:
+                rep_id, rep_txt = ids[0], txts[0]
+                for j in range(1, len(sub)):
+                    if _charset_jaccard(rep_txt, txts[j]) >= threshold:
+                        a_out.append(rep_id)
                         b_out.append(ids[j])
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+            else:
+                for i in range(len(sub)):
+                    for j in range(i + 1, len(sub)):
+                        if _charset_jaccard(txts[i], txts[j]) >= threshold:
+                            a_out.append(ids[i])
+                            b_out.append(ids[j])
+        return pd.DataFrame(
+            {"doc_a": np.asarray(a_out, dtype=np.int64),
+             "doc_b": np.asarray(b_out, dtype=np.int64)}
+        )
 
-    return (
-        ds.map_batches(add_block, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("block")
-        .map_groups(pairs, batch_format="pandas")
-    )
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    blocked = ds.map_batches(add_block, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    bucketed = _with_bucket(blocked, "block", 256)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
 
 
 def prefix_block_dupes_sql(

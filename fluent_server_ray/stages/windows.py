@@ -27,22 +27,37 @@ def sessionize(ds, gap_seconds: int = 1800, key_col: str = "user_id",
     Returns one row per session: (user_id, session_id, n_events,
     first_event, last_event) with session_id numbered 0.. per key in
     time order.
+
+    Shape: ONE hash-bucket exchange on the key, then segmented pandas
+    kernels over every key in the bucket at once (groupby-diff →
+    per-key cumsum → one grouped agg) — a native groupby(key) would
+    dispatch one pandas group per key, and per-group overhead
+    dominates at corpus-scale key cardinality. NULL keys form one
+    partition (SQL PARTITION BY semantics, dropna=False).
     """
+    from fluent_server_ray.stages.assembly import _with_bucket
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        gap = g[ts_col].diff().dt.total_seconds().fillna(0.0)
-        sid = (gap > gap_seconds).cumsum()
-        out = g.groupby(sid).agg(
-            n_events=(id_col, "size"),
-            first_event=(id_col, "min"),
-            last_event=(id_col, "max"),
-        )
-        out.insert(0, "session_id", np.arange(len(out), dtype=np.int64))
-        out.insert(0, key_col, g[key_col].iloc[0])
-        return out.reset_index(drop=True)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col])
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        gap = grp[ts_col].diff().dt.total_seconds().fillna(0.0)
+        new_s = gap > gap_seconds
+        sid = new_s.groupby(g[key_col], sort=False,
+                            dropna=False).cumsum().astype("int64")
+        out = (g.assign(_sid=sid)
+               .groupby([key_col, "_sid"], sort=False, dropna=False)
+               .agg(n_events=(id_col, "size"),
+                    first_event=(id_col, "min"),
+                    last_event=(id_col, "max"))
+               .reset_index()
+               .rename(columns={"_sid": "session_id"}))
+        return out[[key_col, "session_id", "n_events",
+                    "first_event", "last_event"]]
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    cols = [key_col, ts_col, id_col]
+    bucketed = _with_bucket(ds.select_columns(cols), key_col, 64)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
 
 
 def sessionize_sql(gap_seconds: int = 1800, table: str = "events") -> str:
