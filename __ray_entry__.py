@@ -805,6 +805,24 @@ def _q_trending_tags(sf_dir: str):
     return window_topk(routed, key_col="tag", k=3)
 
 
+COPY_ROUTES = [
+    ("tool.**", "tools_copy"),
+    ("*.*.search", "search_copy"),  # overlaps tool.** on search calls
+    ("err.**", "errors_copy"),
+]
+
+
+def _q_copy_route(sf_dir: str):
+    """fluentd copy-output fan-out: one row per (turn, MATCHING route)
+    — tool.search turns land in BOTH tools_copy and search_copy;
+    unmatched tags fall through once."""
+    from fluent_server_ray.pipelines.flagship import build_routed
+    from fluent_server_ray.stages.route import copy_route
+
+    routed = build_routed(sf_dir, columns=["conv_id", "turn_idx", "tag"])
+    return copy_route(routed, COPY_ROUTES)
+
+
 def _q_suppress(sf_dir: str):
     """fluent-plugin-suppress: drop a turn whose text repeats any of
     the previous 3 turns' texts in its conversation (flood control;
@@ -1409,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_multiline": _q_multiline,
         "transcripts_suppress": _q_suppress,
         "trending_tags": _q_trending_tags,
+        "transcripts_copy_route": _q_copy_route,
         "bigram_top_pairs": _q_bigram_top,
         "word_postings_index": _q_word_postings,
         "events_value_pct_rank": _q_pct_rank,
@@ -1535,6 +1554,10 @@ WHERE doc_id % 2 = 1
         + assembly.suppress_sql(),
         "trending_tags": oracle.with_pipeline_ctes() + "\n"
         + windows.window_topk_sql(),
+        "transcripts_copy_route": oracle.with_pipeline_ctes() + "\n"
+        + __import__("fluent_server_ray.stages.route",
+                     fromlist=["copy_route_sql"]).copy_route_sql(
+                         COPY_ROUTES),
         "transcripts_retag": oracle.with_pipeline_ctes()
         + "\nSELECT conv_id, turn_idx, "
         + __import__("fluent_server_ray.stages.route",

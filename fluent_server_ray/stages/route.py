@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -221,3 +222,76 @@ def retag_case_sql(rules: list[tuple[str, str]],
         for rx, repl in rules
     )
     return f"CASE {branches}\n       ELSE {tag_col} END"
+
+
+def copy_route(ds, routes: list[tuple[str, str]], tag_col: str = "tag"):
+    """fluentd ``copy``-output fan-out: one output row per (input row,
+    MATCHING route) — every route whose pattern matches gets a copy
+    (the multi-store ``<match> @type copy`` shape), unlike
+    :class:`RouteStage`'s first-match-wins. A row matching nothing
+    falls through to ``reject.unmatched`` exactly once.
+
+    Vectorized like the router: patterns evaluate over the
+    dictionary-encoded DISTINCT tags only; each route contributes one
+    filtered slice per batch (output size is the fan-out — the
+    operator's purpose — but pattern work stays O(uniques×patterns)).
+    """
+    compiled = [(glob_to_regex(p), sink) for p, sink in routes]
+
+    def fn(t: pa.Table) -> pa.Table:
+        tag = pc.fill_null(t[tag_col], "")
+        if isinstance(tag, pa.ChunkedArray):
+            tag = tag.combine_chunks()
+        enc = pc.dictionary_encode(tag)
+        parts = []
+        matched = pa.array(np.zeros(len(t), dtype=bool))
+        for rx, sink in compiled:
+            hit_u = pc.match_substring_regex(enc.dictionary, rx)
+            hit = pc.fill_null(pc.take(hit_u, enc.indices), False)
+            sub = t.filter(hit)
+            if sub.num_rows:
+                parts.append(sub.append_column(
+                    "sink", pa.array([sink] * sub.num_rows,
+                                     type=pa.string())
+                ))
+            matched = pc.or_(matched, hit)
+        un = t.filter(pc.invert(matched))
+        if un.num_rows:
+            parts.append(un.append_column(
+                "sink", pa.array([UNMATCHED_SINK] * un.num_rows,
+                                 type=pa.string())
+            ))
+        if not parts:
+            return t.slice(0, 0).append_column(
+                "sink", pa.array([], type=pa.string())
+            )
+        return pa.concat_tables(parts)
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    return ds.map_batches(skip_empty(fn), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def copy_route_sql(routes: list[tuple[str, str]], tag_col: str = "tag",
+                   source: str = "routed",
+                   cols: str = "conv_id, turn_idx, tag") -> str:
+    """Per-route UNION ALL mirror built from the SAME compiled regexes
+    (single source of truth with the engine)."""
+    def esc(rx: str) -> str:
+        return glob_to_regex(rx).replace("'", "''")
+
+    t = f"COALESCE({tag_col}, '')"
+    selects = [
+        f"SELECT {cols}, '{sink}' AS sink FROM {source} "
+        f"WHERE regexp_matches({t}, '{esc(p)}')"
+        for p, sink in routes
+    ]
+    none = " AND ".join(
+        f"NOT regexp_matches({t}, '{esc(p)}')" for p, _ in routes
+    )
+    selects.append(
+        f"SELECT {cols}, '{UNMATCHED_SINK}' AS sink FROM {source} "
+        f"WHERE {none}"
+    )
+    return "\nUNION ALL\n".join(selects)

@@ -133,3 +133,27 @@ def test_throttle_limit_and_determinism(ray_session):
     out = throttle(rd.from_arrow(t), limit=3).to_pandas()
     kept = sorted(out["event_id"].tolist())
     assert kept == [0, 1, 2, 100, 200]
+
+
+def test_copy_route_fan_out_semantics(ray_session):
+    """All-matches fan-out: a tag matching two routes emits two rows;
+    unmatched (and NULL) tags fall through to reject.unmatched exactly
+    once; pattern work is per distinct tag."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.route import UNMATCHED_SINK, copy_route
+
+    t = pa.table({
+        "i": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "tag": ["tool.user.search", "tool.user.bash", "msg.user", None],
+    })
+    routes = [("tool.**", "tools"), ("*.*.search", "search")]
+    out = copy_route(rd.from_arrow(t), routes).to_pandas()
+    got = sorted(zip(out["i"], out["sink"]))
+    assert got == [
+        (0, "search"), (0, "tools"),       # two copies
+        (1, "tools"),
+        (2, UNMATCHED_SINK),
+        (3, UNMATCHED_SINK),               # NULL tag matches nothing
+    ]

@@ -76,6 +76,7 @@ ORACLE_QUERIES = [
     "asof_next_click",
     "dedup_incremental",
     "shipping_priority",
+    "transcripts_copy_route",
 ]
 
 
