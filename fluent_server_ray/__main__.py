@@ -6,6 +6,7 @@
     python -m fluent_server_ray mirror   --out DIR [--serve PORT]  # print or serve the view
     python -m fluent_server_ray counts   --out DIR           # per-sink totals from lineage
     python -m fluent_server_ray udp-echo [--port N]          # health-check echo (S3)
+    python -m fluent_server_ray index build|dedup|compact --index DIR [--input PQ] [--out DIR]
 
 Owns its Ray session (guarded init) — library code never calls
 ``ray.init``.
@@ -79,6 +80,19 @@ def main(argv=None) -> int:
     udp = sub.add_parser("udp-echo", help="UDP heartbeat echo (health check)")
     udp.add_argument("--port", type=int, default=0)
 
+    idx = sub.add_parser(
+        "index",
+        help="persisted dedup index: build/extend, dedup a shard "
+             "against it, or compact it",
+    )
+    idx.add_argument("action", choices=["build", "dedup", "compact"])
+    idx.add_argument("--index", required=True, help="index directory")
+    idx.add_argument("--input", help="documents parquet (build/dedup)")
+    idx.add_argument("--out", help="survivor parquet dir (dedup)")
+    idx.add_argument("--n-parts", type=int, default=64)
+    idx.add_argument("--id-col", default="doc_id")
+    idx.add_argument("--text-col", default="text")
+
     args = p.parse_args(argv)
 
     routes = None
@@ -132,6 +146,50 @@ def main(argv=None) -> int:
         from fluent_server_ray.pipelines.mirror_view import mirror_counts
 
         print(json.dumps(mirror_counts(args.out), sort_keys=True))
+    elif args.cmd == "index":
+        ray = _ray_up()
+        from fluent_server_ray.sources.pq import read_parquet_clean
+        from fluent_server_ray.stages.dedup import (build_text_index,
+                                                    compact_text_index,
+                                                    dedup_against_index)
+
+        if args.action == "build":
+            if not args.input:
+                print("index build requires --input", file=sys.stderr)
+                return 2
+            build_text_index(
+                read_parquet_clean(args.input,
+                                   columns=[args.id_col, args.text_col]),
+                args.index, text_col=args.text_col, n_parts=args.n_parts,
+            )
+            print(json.dumps({"index": args.index, "built": True}))
+        elif args.action == "dedup":
+            if not (args.input and args.out):
+                print("index dedup requires --input and --out",
+                      file=sys.stderr)
+                return 2
+            survivors = dedup_against_index(
+                read_parquet_clean(args.input,
+                                   columns=[args.id_col, args.text_col]),
+                args.index, id_col=args.id_col, text_col=args.text_col,
+                n_parts=args.n_parts,
+            )
+            survivors = survivors.materialize()
+            survivors.write_parquet(args.out)
+            # survivors extend the index so the NEXT shard dedups
+            # against this one too (the invariant build_text_index
+            # documents)
+            build_text_index(survivors, args.index,
+                             text_col=args.text_col, n_parts=args.n_parts)
+            print(json.dumps({"survivors": survivors.count(),
+                              "out": args.out}))
+        else:  # compact
+            n_rows, n_before, n_after = compact_text_index(
+                args.index, text_col=args.text_col, n_parts=args.n_parts
+            )
+            print(json.dumps({"rows": n_rows, "files_before": n_before,
+                              "files_after": n_after}))
+        ray.shutdown()
     elif args.cmd == "udp-echo":
         import time
 

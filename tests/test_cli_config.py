@@ -138,3 +138,45 @@ def test_init_kwargs_cluster_vs_local():
     local = _init_kwargs({"RAY_ADDRESS": "local", "RAY_GRAFT_CPUS": "8"})
     assert local["address"] == "local" and local["num_cpus"] == 8
     assert _init_kwargs({})["address"] == "local"
+
+
+def test_cli_index_build_dedup_compact(tmp_path):
+    """Drive the index CLI (subprocess): build -> dedup(+extend) ->
+    compact; survivors are exactly the texts absent from the corpus,
+    and the extension makes them dedup next time."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    pd.DataFrame({"doc_id": range(6),
+                  "text": ["a", "b", "c", "a", "b", "x"]}).to_parquet(
+        tmp_path / "corpus.parquet")
+    pd.DataFrame({"doc_id": [10, 11, 12],
+                  "text": ["a", "new", "x"]}).to_parquet(
+        tmp_path / "shard.parquet")
+    idx = str(tmp_path / "idx")
+
+    def cli(*a):
+        r = subprocess.run(
+            [sys.executable, "-m", "fluent_server_ray", "index", *a],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=240,
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    cli("build", "--index", idx,
+        "--input", str(tmp_path / "corpus.parquet"), "--n-parts", "4")
+    d = cli("dedup", "--index", idx,
+            "--input", str(tmp_path / "shard.parquet"),
+            "--out", str(tmp_path / "survivors"), "--n-parts", "4")
+    assert d["survivors"] == 1
+    surv = pd.read_parquet(tmp_path / "survivors")
+    assert list(surv["text"]) == ["new"]
+    c = cli("compact", "--index", idx, "--n-parts", "4")
+    assert c["rows"] == 5  # {a,b,c,x} + extended {new}
+    assert c["files_after"] <= c["files_before"]
