@@ -1352,6 +1352,75 @@ def _q_value_quantiles(sf_dir: str):
     return binned_quantiles(ds, "o_totalprice", **VALUE_QUANTILE_ARGS)
 
 
+def _q_dedup_substring(sf_dir: str):
+    """EXACT shared-substring pairs (docs sharing an 8-token run) —
+    the window-granular substring dedup of Lee et al. 2022, one
+    rolling-hash combiner + one bucket exchange + collision-exact
+    verification. Strict oracle: DuckDB window self-join."""
+    from fluent_server_ray.stages.dedup import substring_dupes
+
+    return substring_dupes(_docs(sf_dir), window_k=8)
+
+
+def _q_unigram_logprob(sf_dir: str):
+    """Perplexity-style LM quality score: per-doc mean unigram
+    log-probability under the corpus's own unigram model
+    (integer-exact millionths contract, cf. doc_tfidf)."""
+    from fluent_server_ray.stages.textstats import doc_unigram_logprob
+
+    return doc_unigram_logprob(_docs(sf_dir))
+
+
+def _q_embedding_quantize(sf_dir: str):
+    """Per-dimension int8 scalar quantization of the embedding column
+    (long-form codes; bit-exact float64 expression-tree contract)."""
+    from fluent_server_ray.stages.similarity import embedding_quantize
+
+    return embedding_quantize(
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           override_num_blocks=8))
+
+
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA projection to 8 dims (second-moment combiners →
+    driver eigh → broadcast projection). Eigenbasis is not
+    SQL-expressible → rows-only; numpy-equality pinned in pytest."""
+    from fluent_server_ray.stages.similarity import pca_project
+
+    return pca_project(
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           override_num_blocks=8), n_components=8)
+
+
+def _q_retention(sf_dir: str):
+    """Weekly cohort retention triangle over events (distinct
+    (user, week) combiner → one user exchange → bounded merge)."""
+    from fluent_server_ray.stages.windows import retention_cohorts
+
+    return retention_cohorts(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"]))
+
+
+def _q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: customers by order count incl. zero-order
+    customers (grouped_agg(final='ray') + LEFT bucketed join)."""
+    from fluent_server_ray.pipelines.relational import \
+        order_count_distribution
+
+    return order_count_distribution(sf_dir)
+
+
+def _q_rank_in_group(sf_dir: str):
+    """dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC)
+    via one group-key bucket exchange + whole-bucket segmented rank."""
+    from fluent_server_ray.stages.features import rank_in_group
+
+    return rank_in_group(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "event_type", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -1381,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_substring": _q_dedup_substring,
         # similarity search
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf,
@@ -1388,6 +1458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_balanced_sample": _q_embedding_balanced,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "embedding_quantize": _q_embedding_quantize,
+        "embedding_pca": _q_embedding_pca,
         # multimodal plumbing
         "multimodal_decode": _q_multimodal,
         "multimodal_frames": _q_frames,
@@ -1465,6 +1537,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_documents": _q_conv_documents,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_split_assign": _q_split_assign,
+        # LM-quality / feature / cohort additions (round-3 session 5)
+        "doc_unigram_logprob": _q_unigram_logprob,
+        "user_retention_cohorts": _q_retention,
+        "order_count_distribution": _q_order_count_distribution,
+        "events_value_rank_in_type": _q_rank_in_group,
     }
 
 
@@ -1608,4 +1685,14 @@ WHERE doc_id % 2 = 1
         "conv_documents": assembly.conv_to_documents_sql(),
         "doc_pack_sequences": assembly.pack_sequences_sql(),
         "doc_split_assign": assembly.split_assign_sql(),
+        # round-3 session-5 additions
+        "dedup_substring": dedup.substring_dupes_sql(window_k=8),
+        "doc_unigram_logprob": textstats.doc_unigram_logprob_sql()
+        + "\nORDER BY doc_id",
+        "embedding_quantize": similarity.embedding_quantize_sql()
+        + "\nORDER BY vec_id, dim",
+        # embedding_pca: eigenbasis not SQL-expressible — rows-only
+        "user_retention_cohorts": windows.retention_cohorts_sql(),
+        "order_count_distribution": rel.order_count_distribution_sql(),
+        "events_value_rank_in_type": features.rank_in_group_sql(),
     }

@@ -637,6 +637,59 @@ ORDER BY c_custkey
 """.strip()
 
 
+def order_count_distribution(sf_dir: str, n_buckets: int = 32) -> pa.Table:
+    """Customer-distribution query (the TPC-H Q13 shape): how many
+    customers placed exactly N orders, INCLUDING the zero-order
+    customers a plain GROUP BY over orders can never see.
+
+    Two-level aggregate around one co-located exchange: per-custkey
+    order counts via the ``grouped_agg(final='ray')`` combiner (key
+    cardinality O(customers) — never a driver merge), LEFT bucketed
+    join to the customer key scan (zero-order customers surface as the
+    fill side's NULL → 0), then the count-of-counts is a bounded
+    ``grouped_counts`` (distinct order counts are tiny). Output:
+    (c_count, custdist) sorted by custdist DESC, c_count DESC —
+    Q13's ordering."""
+    from fluent_server_ray.stages.aggregate import grouped_agg, grouped_counts
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+    per_cust = grouped_agg(orders, ["o_custkey"],
+                           [("o_custkey", "count")], final="ray")
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    joined = bucketed_hash_join(cust, per_cust, key="c_custkey",
+                                right_key="o_custkey", how="left",
+                                n_buckets=n_buckets)
+
+    def c_count(t: pa.Table) -> pa.Table:
+        # fill-side count is float64-with-NaN after a non-inner join
+        # (joins.canonical_dtype_map); NULL = no orders = 0
+        n = pc.cast(pc.fill_null(t["o_custkey_count"], 0.0), pa.int64())
+        return pa.table({"c_count": n})
+
+    counts = joined.map_batches(c_count, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = grouped_counts(counts, ["c_count"], final="driver")
+    out = out.rename_columns(["c_count", "custdist"])
+    return out.sort_by([("custdist", "descending"),
+                        ("c_count", "descending")])
+
+
+def order_count_distribution_sql() -> str:
+    return """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""".strip()
+
+
 def rollup_order_counts(sf_dir: str) -> pa.Table:
     """Multi-level aggregate (SQL ``GROUP BY ROLLUP``): order counts at
     (priority, status), (priority) and grand-total levels, rolled

@@ -1381,3 +1381,203 @@ def compact_text_index(index_dir: str, text_col: str = "text",
     after = _glob.glob(os.path.join(index_dir, "hpart=*", "*.parquet"))
     n_rows = sum(_pq.read_metadata(f).num_rows for f in after)
     return n_rows, len(before), len(after)
+
+
+# ------------------------------------------- exact shared-substring dedup
+
+# Horner multiplier for the k-window rolling mix (odd → bijective per
+# step); windows of ANY length fold through the same constant, unlike
+# the fixed-length _SH_C family.
+_WIN_P = np.uint64(0x100000001B3)  # FNV-ish odd prime
+
+
+def _window_hashes(texts: list, ids: np.ndarray, window_k: int):
+    """Exact k-token-window hashes for a batch: each token hashed once
+    (one ``pd.util.hash_array`` over the batch's flat token array),
+    window hash = Horner fold ``((h0·P + h1)·P + h2)…`` over k shifted
+    vector ops (mod 2^64). Windows never cross a document boundary
+    (validity mask on the repeated doc-id array). Docs with < k tokens
+    emit nothing — a short doc HAS no k-token run, unlike the shingle
+    fallback in :func:`_batch_shingle_hashes`.
+
+    Returns ``(win_hash uint64, win_doc int64)`` flat arrays.
+    """
+    toks = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                       count=len(toks))
+    total = int(lens.sum())
+    if total < window_k:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in toks:
+        if w:
+            flat[pos:pos + len(w)] = w
+            pos += len(w)
+    wh = pd.util.hash_array(flat).astype(np.uint64)
+    n_win = total - window_k + 1
+    comb = wh[:n_win].copy()
+    for j in range(1, window_k):
+        comb = comb * _WIN_P + wh[j:n_win + j]
+    doc_of = np.repeat(ids, lens)
+    valid = doc_of[:n_win] == doc_of[window_k - 1:]
+    return comb[valid], doc_of[:n_win][valid]
+
+
+def window_set(text: str, window_k: int) -> set:
+    """The exact k-token windows of a document (space-joined) — the
+    verification primitive :func:`substring_dupes` uses to make its
+    hash-candidate pairs collision-free."""
+    toks = (text or "").split()
+    return {" ".join(toks[i:i + window_k])
+            for i in range(len(toks) - window_k + 1)}
+
+
+def substring_dupes(ds, window_k: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text", n_buckets: int = 256,
+                    broadcast_bytes: int = 256 << 20):
+    """EXACT shared-substring duplicate pairs: documents that share at
+    least one identical run of ``window_k`` consecutive tokens — the
+    window-granular form of the suffix-array substring dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), re-expressed as a Ray Data exchange.
+
+    Shape (the 100 TB story):
+
+    1. **window pass** (combiner): one vectorized rolling-hash pass per
+       batch (:func:`_window_hashes`), collapsed to DISTINCT
+       ``(hash, doc)`` rows (Arrow ``group_by``) — a doc repeating one
+       window many times contributes it once per block;
+    2. **one exchange** on ``hash % n_buckets`` (uniform 64-bit key →
+       balanced buckets); per bucket, hash-groups with ≥ 2 docs pair up
+       via one vectorized self-merge. A window shared by q docs yields
+       q(q-1)/2 pairs — output-size work, exactly what the SQL
+       self-join produces.
+    3. **verification** makes the result collision-exact: candidate
+       ids broadcast (``ray.put``), candidate TEXTS only stream out of
+       the corpus, and each pair must share an actual window STRING
+       (at trillion-window scale 64-bit hashes collide near the 2^32
+       birthday bound, so the exact operator cannot trust raw hashes).
+       Same broadcast-size guard as :func:`minhash_near_dupes`.
+
+    Returns a **Dataset** (doc_a, doc_b) — distinct verified pairs;
+    stays in the object store (pair sets are corpus-scale on
+    boilerplate-heavy crawls).
+    """
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        wh, wd = _window_hashes(t[text_col].to_pylist(), ids, window_k)
+        tbl = pa.table({"_h": wh.view(np.int64), id_col: wd})
+        uniq = tbl.group_by(["_h", id_col]).aggregate([])
+        b = uniq["_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return uniq.append_column(
+            "_b", pa.array((b % np.uint64(n_buckets)).astype(np.int64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["_h", id_col])  # cross-block window dupes
+        sz = g.groupby("_h")["_h"].transform("size")
+        g = g[sz >= 2]
+        if not len(g):
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        m = g.merge(g, on="_h")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
+        out.columns = ["doc_a", "doc_b"]
+        return out
+
+    cand = (
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    ).materialize()
+    if cand.count() == 0:
+        return _empty_pairs_ds()
+
+    def explode_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])
+        return pa.table({id_col: pc.unique(both)})
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    ids_tbl = grouped_counts(
+        cand.map_batches(explode_ids, batch_format="pyarrow"), [id_col])
+    id_ref = ray.put(ids_tbl[id_col].combine_chunks())
+
+    def grab_texts(t: pa.Table) -> pa.Table:
+        keys = ray.get(id_ref)
+        return t.filter(pc.is_in(t[id_col], value_set=keys)).select(
+            [id_col, text_col])
+
+    cand_docs = ds.map_batches(grab_texts, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    if cand_docs.size_bytes() > broadcast_bytes:  # pragma: no cover
+        # candidate texts beyond broadcast size: attach texts with the
+        # two bucketed joins exactly as minhash_near_dupes' large path
+        # does. The synthetic corpora never get here; guard loudly
+        # rather than silently driver-collect.
+        raise NotImplementedError(
+            "substring_dupes candidate texts exceed broadcast_bytes; "
+            "use the bucketed-join attach path (cf. minhash_near_dupes)")
+    texts_tbl = pa.concat_tables(
+        cand_docs.iter_batches(batch_size=None, batch_format="pyarrow"))
+    texts_ref = ray.put(texts_tbl)
+
+    def verify(t: pa.Table) -> pa.Table:
+        tt = ray.get(texts_ref)
+        ids, texts = tt[id_col], tt[text_col]
+        ta = pc.take(texts, pc.index_in(t["doc_a"], value_set=ids))
+        tb = pc.take(texts, pc.index_in(t["doc_b"], value_set=ids))
+        cache: dict = {}
+
+        def wset(d, s):
+            if d not in cache:
+                cache[d] = window_set(str(s), window_k)
+            return cache[d]
+
+        keep_a, keep_b = [], []
+        for a, b, sa, sb in zip(t["doc_a"].to_pylist(),
+                                t["doc_b"].to_pylist(),
+                                ta.to_pylist(), tb.to_pylist()):
+            if wset(a, sa) & wset(b, sb):
+                keep_a.append(a)
+                keep_b.append(b)
+        return pa.table({
+            "doc_a": pa.array(np.asarray(keep_a, dtype=np.int64)),
+            "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64)),
+        })
+
+    out = distinct_pairs(
+        cand.map_batches(skip_empty(verify),
+                         batch_format="pyarrow")).materialize()
+    if out.count() == 0:
+        return _empty_pairs_ds()
+    return out
+
+
+def substring_dupes_sql(window_k: int = 8, table: str = "documents") -> str:
+    """DuckDB mirror: same Unicode-whitespace tokenization
+    (``_PY_WHITESPACE_RE2`` parity with Python ``str.split()``), same
+    space-joined exact k-token windows via list slicing; docs shorter
+    than k tokens generate no windows (``generate_series(1, n)`` is
+    empty for n < 1, and NULL text propagates to no rows)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                x -> x <> '') AS t
+  FROM {table}
+), wins AS (
+  SELECT doc_id, array_to_string(t[i:i + {window_k - 1}], ' ') AS w
+  FROM toks, unnest(generate_series(1, len(t) - {window_k - 1})) AS g(i)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""".strip()

@@ -336,3 +336,54 @@ FROM {table} t
 LEFT JOIN cum ON {bucket(f"t.{value_col}")} = cum.bucket_idx
 CROSS JOIN tot
 """.strip()
+
+
+def rank_in_group(ds, group_col: str = "event_type",
+                  value_col: str = "value", id_col: str = "event_id",
+                  n_buckets: int = 64):
+    """``dense_rank() OVER (PARTITION BY group ORDER BY value DESC)``
+    as a distributed operator — the per-partition leaderboard feature
+    (rank of an event's value within its type; rank of a doc's quality
+    within its source, …).
+
+    Shape: ONE hash-bucket exchange on the group key co-locates each
+    partition, then the whole bucket ranks in two C kernels (pandas
+    ``groupby.rank(method='dense')`` over every group in the bucket at
+    once — never one Python group per key). NULL values rank NULLS
+    LAST as SQL does: their rank is NULL here and the oracle filters
+    identically (``dense_rank`` over a NULL-containing partition is
+    engine-defined; the NULL-value rows emit NULL rank on both sides).
+    Output: one row per input row (id, group, value, rk).
+    """
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a NULL group is its own SQL partition
+        rk = (g.groupby(group_col, sort=False, dropna=False)[value_col]
+               .rank(method="dense", ascending=False))
+        out = g[[id_col, group_col, value_col]].copy()
+        # NULL values get NaN rank from pandas — keep as nullable int64
+        out["rk"] = rk.astype("Int64")
+        return out
+
+    cols = [id_col, group_col, value_col]
+    bucketed = _with_bucket(ds.select_columns(cols), group_col, n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort(id_col)
+
+
+def rank_in_group_sql(group_col: str = "event_type",
+                      value_col: str = "value", id_col: str = "event_id",
+                      table: str = "events") -> str:
+    return f"""
+SELECT {id_col}, {group_col}, {value_col},
+  CASE WHEN {value_col} IS NULL THEN NULL
+       ELSE CAST(dense_rank() OVER (
+              PARTITION BY {group_col}
+              ORDER BY CASE WHEN {value_col} IS NULL THEN 1 ELSE 0 END,
+                       {value_col} DESC) AS BIGINT)
+  END AS rk
+FROM {table}
+ORDER BY {id_col}
+""".strip()

@@ -672,3 +672,190 @@ def cluster_balanced_sample(ds, n_clusters: int = 8, cap: int = 100,
                               zero_copy_batch=True)
     return per_key_cap(assigned, key_col="cluster_id", id_col=id_col,
                        cap=cap)
+
+
+# ------------------------------------------- scalar (int8) quantization
+
+def embedding_quantize(ds, id_col: str = "vec_id",
+                       emb_col: str = "embedding", levels: int = 256):
+    """Per-dimension scalar quantization of an embedding column to
+    ``levels`` integer codes (the int8 storage shrink every
+    embedding-heavy pipeline applies before indexing: 4× smaller than
+    float32, recall loss negligible for ANN candidate generation).
+
+    ``code = floor((x - min_d) / (max_d - min_d) * (levels-1) + 0.5)``
+    (half-away rounding spelled as floor(+0.5) so numpy and SQL agree;
+    a constant dimension quantizes to 0). Per-dimension min/max are an
+    ELEMENTWISE combiner — each batch emits one (d,) min and max
+    vector, the driver folds them (min/max selection is exact in any
+    order) and broadcasts the scale once. All arithmetic is float64 on
+    exactly-converted float32 inputs with one fixed expression tree, so
+    codes are bit-exact across engines and partitionings (floor
+    boundaries are IEEE-exact equalities, not wobble).
+
+    Output: LONG form (id, dim 1-based, code int64) — the layout a
+    columnar code store or a SQL mirror can both express. At 100 TB
+    you'd write the packed uint8 list column instead; the long form
+    here is the oracle-checkable contract, the codes are identical.
+    """
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    ds = ds.materialize()  # consumed twice: min/max pass + encode pass
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, emb_col)
+        return pa.table({
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0)),
+        })
+
+    mn = None
+    mx = None
+    for part in ds.map_batches(
+            skip_empty(mm_partial), batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        pmn = part["mn"].to_numpy(zero_copy_only=False)
+        pmx = part["mx"].to_numpy(zero_copy_only=False)
+        mn = pmn if mn is None else np.minimum(mn, pmn)
+        mx = pmx if mx is None else np.maximum(mx, pmx)
+    if mn is None:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "dim": pa.array([], type=pa.int64()),
+            "code": pa.array([], type=pa.int64()),
+        }))
+    span = mx - mn
+    scale_ref = ray.put((mn, span))
+
+    def encode(t: pa.Table) -> pa.Table:
+        lo, sp = ray.get(scale_ref)
+        m = _batch_matrix(t, emb_col)
+        n, d = m.shape
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = (m - lo) / sp * (levels - 1)
+        codes = np.floor(v + 0.5)
+        codes = np.where(sp == 0, 0.0, codes)
+        codes = np.clip(codes, 0, levels - 1).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "code": pa.array(codes.reshape(-1)),
+        })
+
+    return ds.map_batches(skip_empty(encode), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def embedding_quantize_sql(table: str = "embeddings",
+                           levels: int = 256) -> str:
+    """Mirror: unnest to (id, dim, x), per-dim min/max, the same
+    float64 expression tree (CASTs make the float32 column double
+    BEFORE arithmetic, as the engine's matrix load does)."""
+    return f"""
+WITH d AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+  FROM {table}
+), mm AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim
+)
+SELECT vec_id, d.dim,
+  CAST(CASE WHEN mx = mn THEN 0
+       ELSE least({levels - 1}, greatest(0,
+            floor((x - mn) / (mx - mn) * {levels - 1} + 0.5))) END
+       AS BIGINT) AS code
+FROM d JOIN mm USING (dim)
+""".strip()
+
+
+# --------------------------------------------------- distributed PCA
+
+def pca_fit(ds, n_components: int = 8, emb_col: str = "embedding"):
+    """Fit PCA over an embedding column with ONE streaming pass of
+    second-moment combiners: each batch emits ``(n, Σx, XᵀX)`` — a
+    (1 + d + d²)-float partial regardless of batch size — and the
+    driver folds them into the covariance ``(ΣXᵀX − n·μμᵀ)/(n−1)``
+    and eigendecomposes (``numpy.linalg.eigh`` on the d×d symmetric
+    matrix; d is the embedding width, never the corpus). This is the
+    textbook method-of-moments PCA — the corpus never materializes,
+    only d² floats per block move.
+
+    Component signs are canonicalized (largest-|loading| coordinate
+    made positive) so the fit is deterministic up to block summation
+    order. Returns ``(mean (d,), components (n_components, d),
+    explained_variance (n_components,))``.
+    """
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, emb_col)
+        g = m.T @ m
+        return pa.table({
+            "n": pa.array([m.shape[0]], type=pa.int64()),
+            "s": pa.array([m.sum(axis=0)]),
+            "g": pa.array([g.reshape(-1)]),
+        })
+
+    n_total = 0
+    s = None
+    g = None
+    for part in ds.map_batches(
+            skip_empty(moments), batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for i in range(len(part)):
+            n_total += part["n"][i].as_py()
+            ps = np.asarray(part["s"][i].as_py())
+            pg = np.asarray(part["g"][i].as_py())
+            s = ps if s is None else s + ps
+            g = pg if g is None else g + pg
+    if n_total < 2:
+        raise ValueError("pca_fit needs at least 2 rows")
+    d = s.shape[0]
+    mean = s / n_total
+    cov = (g.reshape(d, d) - n_total * np.outer(mean, mean)) / (n_total - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    # deterministic sign: the largest-|loading| coordinate is positive
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return mean, comps, evals[order]
+
+
+def pca_project(ds, n_components: int = 8, id_col: str = "vec_id",
+                emb_col: str = "embedding"):
+    """Dimensionality reduction for embedding pipelines: fit
+    :func:`pca_fit`, broadcast ``(mean, components)`` once
+    (``ray.put``), and project every batch with one BLAS matmul —
+    the standard pre-indexing shrink (IVF/LSH over 8-32 PCA dims
+    instead of raw 768). Rows-only driver check (an eigenbasis is not
+    SQL-expressible); pytest pins equality with numpy's full PCA up to
+    component sign and the variance-ordering invariant.
+
+    Output: (id, proj list<double>[n_components]).
+    """
+    import ray
+
+    mean, comps, _ = pca_fit(ds, n_components, emb_col)
+    ref = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, c = ray.get(ref)
+        m = _batch_matrix(t, emb_col)
+        proj = (m - mu) @ c.T
+        return pa.table({
+            id_col: t[id_col],
+            "proj": pa.array(list(proj)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)

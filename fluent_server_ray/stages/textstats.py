@@ -746,3 +746,139 @@ SELECT p.doc_id,
 FROM positioned p LEFT JOIN vocab v ON p.word = v.word
 GROUP BY p.doc_id
 """.strip()
+
+
+# ------------------------------------- corpus unigram-LM quality score
+
+def doc_unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document average unigram log-probability under the corpus's
+    OWN unigram language model — the perplexity-style quality gate of
+    training-data curation (cf. CCNet/Gopher LM filtering) with the
+    corpus itself as the model: gibberish and rare-token soup scores
+    low, repetitive boilerplate scores high.
+
+    ``logp(t) = ln(count(t) / total_tokens)`` (token counts WITH
+    multiplicity — this is the LM distribution, unlike
+    :func:`doc_tfidf`'s document frequency), per-doc score
+    ``Σ_tokens logp`` and its per-token mean.
+
+    Integer-exact contract (same device as :func:`doc_tfidf`): logp is
+    floored to int64 MILLIONTHS, the doc score is a sum of int64
+    products — order-free, so partitioning can never flip the hash.
+    The exposed mean divides the int sum by the int token count in one
+    float64 division (one IEEE op = bit-exact across engines).
+
+    Two combiner-first passes over one materialized input: (1) term
+    counts per batch → driver merge (vocab-sized; the 100 TB variant
+    swaps the driver merge for ``final='ray'`` + a persisted vocab
+    sink, as with doc_tfidf); (2) the (term → logp_millionths) map
+    broadcasts once, each batch segment-sums its tokens' logp. Docs
+    with zero tokens emit no row (SQL inner join drops them too).
+
+    Returns a Dataset (doc_id, n_tokens, logprob_millionths,
+    avg_logprob).
+    """
+    import numpy as np
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    ds = ds.materialize()
+
+    def flat_tokens(t: pa.Table):
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        return np.repeat(ids, lens), flat
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        _, flat = flat_tokens(t)
+        terms = pa.table({"term": pa.array(flat, type=pa.string())})
+        out = terms.group_by("term").aggregate([([], "count_all")])
+        return out.rename_columns(["term", "n"])
+
+    parts = ds.map_batches(skip_empty(tf_partial), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tables:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "logprob_millionths": pa.array([], type=pa.int64()),
+            "avg_logprob": pa.array([], type=pa.float64()),
+        }))
+    tf_tbl = pa.concat_tables(tables).group_by("term").aggregate(
+        [("n", "sum")])
+    terms = tf_tbl["term"].combine_chunks()
+    counts = tf_tbl["n_sum"].to_numpy(zero_copy_only=False).astype("float64")
+    total = float(counts.sum())
+    logp_m = np.floor(np.log(counts / total) * 1_000_000).astype("int64")
+    lp_ref = ray.put((terms, pa.array(logp_m)))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, lp = ray.get(lp_ref)
+        doc_of, flat = flat_tokens(t)
+        pairs = pa.table({
+            "d": pa.array(doc_of),
+            "term": pa.array(flat, type=pa.string()),
+        })
+        tf = pairs.group_by(["d", "term"]).aggregate([([], "count_all")])
+        tf = tf.rename_columns(["d", "term", "tf"])
+        idx = pc.index_in(tf["term"], value_set=vocab)
+        w = pc.multiply(pc.cast(tf["tf"], pa.int64()), pc.take(lp, idx))
+        scored = pa.table({"d": tf["d"], "w": w,
+                           "tf": pc.cast(tf["tf"], pa.int64())})
+        out = scored.group_by("d").aggregate([("w", "sum"), ("tf", "sum")])
+        avg = pc.divide(pc.cast(out["w_sum"], pa.float64()),
+                        pc.cast(out["tf_sum"], pa.float64()))
+        return pa.table({
+            id_col: out["d"],
+            "n_tokens": out["tf_sum"],
+            "logprob_millionths": out["w_sum"],
+            "avg_logprob": avg,
+        })
+
+    return ds.map_batches(skip_empty(score), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def doc_unigram_logprob_sql(table: str = "documents") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS term
+  FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), lm AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+), tot AS (
+  SELECT count(*) AS total FROM toks
+), lp AS (
+  SELECT term,
+    CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp_m
+  FROM lm CROSS JOIN tot
+), doc AS (
+  SELECT tf.doc_id,
+    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+    CAST(sum(tf.tf * lp.lp_m) AS BIGINT) AS logprob_millionths
+  FROM tf JOIN lp USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tokens, logprob_millionths,
+  CAST(logprob_millionths AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+    AS avg_logprob
+FROM doc
+""".strip()

@@ -737,3 +737,77 @@ SELECT {key_col}, window_start, n, CAST(rank AS BIGINT) AS rank FROM (
   )
 ) WHERE rank <= {k}
 """.strip()
+
+
+def retention_cohorts(ds, width_seconds: int = 604800,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      n_buckets: int = 64):
+    """Cohort retention: users grouped by the window of their FIRST
+    event (the cohort), counted in every later window they appear in —
+    the (cohort, offset) retention triangle every growth dashboard
+    draws, and for training-data pipelines the contributor-churn view
+    of a crawl (how long a source keeps producing).
+
+    Scale shape (user cardinality is O(rows) — no driver merge of
+    per-user state): per-batch DISTINCT (key, window) pairs via Arrow
+    ``group_by`` (the combiner — a user's thousandth event this week
+    moves nothing), ONE hash-bucket exchange on the key co-locates
+    each user's windows, and inside a bucket the cohort (min window,
+    a ``transform('min')``) and offsets are whole-bucket C kernels
+    emitting (cohort, offset) partial counts. The final merge is the
+    grouped-counts combiner over a BOUNDED key space (windows²/2).
+    Output: (cohort_window, window_offset, n_users) sorted.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        win = pc.divide(us, width_seconds * 1_000_000)
+        pairs = pa.table({key_col: t[key_col], "_w": win})
+        return pairs.group_by([key_col, "_w"]).aggregate([])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key_col, "_w"])
+        cohort = g.groupby(key_col, sort=False)["_w"].transform("min")
+        out = pd.DataFrame({
+            "cohort_window": cohort.to_numpy(),
+            "window_offset": (g["_w"] - cohort).to_numpy(),
+        })
+        part = out.value_counts(["cohort_window", "window_offset"],
+                                sort=False).reset_index(name="n_users")
+        part["n_users"] = part["n_users"].astype("int64")
+        return part
+
+    pairs = ds.select_columns([key_col, ts_col]).map_batches(
+        skip_empty(partial), batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = _with_bucket(pairs, key_col, n_buckets)
+    parts = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                   batch_format="pandas")
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    out = grouped_agg(parts, ["cohort_window", "window_offset"],
+                      [("n_users", "sum")], final="driver")
+    return out.rename_columns(
+        ["cohort_window", "window_offset", "n_users"])
+
+
+def retention_cohorts_sql(width_seconds: int = 604800,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          table: str = "events") -> str:
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT {key_col},
+    (epoch_us({ts_col}) // 1000000) // {width_seconds} AS w
+  FROM {table}
+), c AS (
+  SELECT {key_col}, min(w) AS cohort_window FROM uw GROUP BY {key_col}
+)
+SELECT c.cohort_window, uw.w - c.cohort_window AS window_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING ({key_col})
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

@@ -77,6 +77,12 @@ ORACLE_QUERIES = [
     "dedup_incremental",
     "shipping_priority",
     "transcripts_copy_route",
+    "dedup_substring",
+    "doc_unigram_logprob",
+    "embedding_quantize",
+    "user_retention_cohorts",
+    "order_count_distribution",
+    "events_value_rank_in_type",
 ]
 
 
@@ -937,3 +943,171 @@ def test_compact_text_index(ray_session, tmp_path):
     out = dedup_against_index(rd.from_pandas(shard), idx,
                               n_parts=4).to_pandas()
     assert sorted(out["doc_id"]) == [102]
+
+
+def test_substring_dupes_constructed(ray_session):
+    """Exact shared 8-token runs pair; shorter overlaps and short docs
+    never do; the verification step kills a structural hash collision
+    candidate only if one existed (set equality with brute force)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import substring_dupes, window_set
+
+    run = " ".join(f"r{i}" for i in range(8))          # the shared run
+    short = " ".join(f"r{i}" for i in range(7))        # 7-token sub-run
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            f"a b c {run} d e",                        # carries run
+            f"x y {run} z",                            # carries run
+            f"p q {short} s t",                        # only 7 shared
+            "tiny doc",                                # < 8 tokens
+            " ".join(f"u{i}" for i in range(30)),      # unrelated
+            None,                                      # NULL text
+        ],
+    })
+    ds = rd.from_pandas(docs)
+    got = substring_dupes(ds, window_k=8).to_pandas()
+    assert set(zip(got["doc_a"], got["doc_b"])) == {(1, 2)}
+
+    # brute-force parity on a random corpus with planted runs
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(30)]
+    texts[7] = texts[3][:]                              # exact dup
+    texts[12] = "lead in " + " ".join(texts[5].split()[10:25]) + " tail"
+    df = pd.DataFrame({"doc_id": range(30), "text": texts})
+    got = substring_dupes(rd.from_pandas(df), window_k=8).to_pandas()
+    want = set()
+    ws = {r.doc_id: window_set(r.text, 8) for r in df.itertuples()}
+    for a in range(30):
+        for b in range(a + 1, 30):
+            if ws[a] & ws[b]:
+                want.add((a, b))
+    assert set(zip(got["doc_a"], got["doc_b"])) == want
+    assert (3, 7) in want and (5, 12) in want
+
+
+def test_substring_dupes_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import substring_dupes
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["too short", "also tiny"]}))
+    out = substring_dupes(ds, window_k=8)
+    assert out.count() == 0
+    # typed empty Dataset: schema keeps the pair contract columns
+    assert out.schema().names == ["doc_a", "doc_b"]
+
+
+def test_pca_matches_numpy(ray_session):
+    """Distributed moment-combiner PCA equals numpy's full-matrix PCA
+    (same covariance, eigh, sign canonicalization) regardless of block
+    split; projection matches (X-mu)@C.T."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import pca_fit, pca_project
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    # anisotropic cloud so the spectrum is well separated
+    base = rng.normal(size=(300, 6)) * np.array([10, 5, 2, 1, .5, .1])
+    # list<float32> layout — the embeddings.parquet storage type
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(300), type=pa.int64()),
+        "embedding": pa.array(list(base.astype(np.float32)),
+                              type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(7)
+    mean, comps, evar = pca_fit(ds, n_components=3, emb_col="embedding")
+
+    X = base.astype(np.float32).astype(np.float64)
+    cov = np.cov(X, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order].T
+    flip = np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])
+    ref = ref * flip[:, None]
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-8)
+    assert np.allclose(evar, w[order], atol=1e-9)
+    # orthonormal rows
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-10)
+
+    proj = pca_project(ds, n_components=3).to_pandas()
+    proj = proj.sort_values("vec_id").reset_index(drop=True)
+    got = np.stack([np.asarray(p) for p in proj["proj"]])
+    assert np.allclose(got, (X - X.mean(axis=0)) @ ref.T, atol=1e-8)
+
+
+def test_embedding_quantize_bounds_and_reconstruction(ray_session):
+    """Codes live in [0, 255]; a constant dimension quantizes to 0;
+    dequantization error is bounded by half a step per dimension."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import embedding_quantize
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(50, 4)) * np.array([1.0, 100.0, 0.01, 1.0])
+    X[:, 3] = 7.5  # constant dim
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(50), type=pa.int64()),
+        "embedding": pa.array(list(X.astype(np.float32)),
+                              type=pa.list_(pa.float32())),
+    })
+    out = embedding_quantize(rd.from_arrow(tbl).repartition(5)).to_pandas()
+    assert len(out) == 200
+    assert out["code"].between(0, 255).all()
+    assert (out.loc[out["dim"] == 4, "code"] == 0).all()
+    Xf = X.astype("float32").astype("float64")
+    mn, mx = Xf.min(axis=0), Xf.max(axis=0)
+    for d in range(3):
+        sub = out[out["dim"] == d + 1].sort_values("vec_id")
+        recon = mn[d] + sub["code"].to_numpy() / 255.0 * (mx[d] - mn[d])
+        step = (mx[d] - mn[d]) / 255.0
+        assert np.abs(recon - Xf[:, d]).max() <= step / 2 + 1e-12
+
+
+def test_rank_in_group_null_semantics(ray_session):
+    """NULL values rank NULL; a NULL group key is its own partition
+    (SQL PARTITION BY NULL-groups semantics)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import rank_in_group
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "event_type": ["a", "a", "a", None, None, "b"],
+        "value": [10.0, 30.0, None, 5.0, 9.0, 2.0],
+    })
+    out = rank_in_group(rd.from_pandas(df)).to_pandas()
+    out = out.set_index("event_id")
+    assert out.loc[2, "rk"] == 1 and out.loc[1, "rk"] == 2  # desc
+    assert pd.isna(out.loc[3, "rk"])                        # NULL value
+    assert out.loc[5, "rk"] == 1 and out.loc[4, "rk"] == 2  # NULL group
+    assert out.loc[6, "rk"] == 1
+
+
+def test_retention_cohorts_constructed(ray_session):
+    """Hand-built triangle: cohorts by first-week, distinct users per
+    (cohort, offset); repeat events within a week count once."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import retention_cohorts
+
+    week = 604800
+    rows = []
+    # user 1: weeks 0, 1, 1, 3   user 2: weeks 0, 3   user 3: week 1
+    for uid, wks in [(1, [0, 1, 1, 3]), (2, [0, 3]), (3, [1])]:
+        for w in wks:
+            rows.append({"user_id": uid,
+                         "ts": pd.Timestamp(w * week + 30, unit="s")})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = retention_cohorts(ds).to_pandas()
+    got = {(r.cohort_window, r.window_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 2, (1, 0): 1}
