@@ -1411,6 +1411,14 @@ def _q_order_count_distribution(sf_dir: str):
     return order_count_distribution(sf_dir)
 
 
+def _q_lm_prep(sf_dir: str):
+    """End-to-end LM training-set prep (scrub → gate → dedup → split)
+    composed in one lazy graph; the whole chain is oracle-checked."""
+    from fluent_server_ray.pipelines.curation import lm_prep_documents
+
+    return lm_prep_documents(_docs(sf_dir))
+
+
 def _q_rank_in_group(sf_dir: str):
     """dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC)
     via one group-key bucket exchange + whole-bucket segmented rank."""
@@ -1542,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": _q_retention,
         "order_count_distribution": _q_order_count_distribution,
         "events_value_rank_in_type": _q_rank_in_group,
+        "lm_prep_pipeline": _q_lm_prep,
     }
 
 
@@ -1695,4 +1704,8 @@ WHERE doc_id % 2 = 1
         "user_retention_cohorts": windows.retention_cohorts_sql(),
         "order_count_distribution": rel.order_count_distribution_sql(),
         "events_value_rank_in_type": features.rank_in_group_sql(),
+        "lm_prep_pipeline": __import__(
+            "fluent_server_ray.pipelines.curation",
+            fromlist=["lm_prep_documents_sql"],
+        ).lm_prep_documents_sql(),
     }

@@ -133,6 +133,72 @@ def curate_documents_near_dedup(ds, min_tokens: int = MIN_TOKENS,
                                zero_copy_batch=True)
 
 
+def lm_prep_documents(ds, min_tokens: int = MIN_TOKENS,
+                      min_alpha: float = MIN_ALPHA):
+    """The END-TO-END LM training-set prep chain, one lazy graph:
+
+        PII scrub (sequential regex redaction, zero shuffle)
+          → quality gate (vectorized token / alpha-ratio kernels)
+          → exact dedup (min-id per scrubbed text, ONE combiner-first
+            shuffle — the chain's only exchange)
+          → deterministic train/val/test split (md5 rule, key-pure)
+          → (doc_id, text, n_tokens, split)
+
+    The gate runs on the SCRUBBED text (redaction can only shrink a
+    doc below the gate, never inflate it past one), dedup collapses
+    docs whose cleaned forms collide (two docs differing only in their
+    PII are duplicates after scrubbing — exactly the curation intent),
+    and the split is a pure function of the surviving doc_id. The
+    WHOLE chain carries a DuckDB oracle from the same constants
+    (:func:`lm_prep_documents_sql`)."""
+    from fluent_server_ray.stages.assembly import split_of
+    from fluent_server_ray.stages.hygiene import SCRUB_PII, make_scrub_fn
+
+    scrub_fn = make_scrub_fn(SCRUB_PII, ("doc_id",), "text")
+
+    def scrub_only(t: pa.Table) -> pa.Table:
+        out = scrub_fn(t)
+        return pa.table({"doc_id": out["doc_id"],
+                         "text": out["text_clean"]})
+
+    def attach_split(t: pa.Table) -> pa.Table:
+        return t.append_column("split", split_of(t["doc_id"]))
+
+    scrubbed = ds.map_batches(scrub_only, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    curated = curate_documents(scrubbed, min_tokens=min_tokens,
+                               min_alpha=min_alpha, hex_threshold=None)
+    return curated.map_batches(attach_split, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def lm_prep_documents_sql(min_tokens: int = MIN_TOKENS,
+                          min_alpha: float = MIN_ALPHA,
+                          table: str = "documents") -> str:
+    from fluent_server_ray.stages.assembly import split_case_sql
+    from fluent_server_ray.stages.hygiene import SCRUB_PII, scrub_expr_sql
+
+    return f"""
+WITH scrubbed AS (
+  SELECT doc_id, {scrub_expr_sql(SCRUB_PII, "text")} AS text FROM {table}
+), gated AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS alpha_ratio
+  FROM scrubbed
+), kept AS (
+  SELECT doc_id, text, n_tokens FROM gated
+  WHERE n_tokens >= {min_tokens} AND alpha_ratio >= {min_alpha}
+), dedup AS (
+  SELECT min(doc_id) AS doc_id, text, min(n_tokens) AS n_tokens
+  FROM kept GROUP BY text
+)
+SELECT doc_id, text, n_tokens, {split_case_sql("doc_id")} AS split
+FROM dedup
+""".strip()
+
+
 def curate_documents_sql(min_tokens: int = MIN_TOKENS,
                          min_alpha: float = MIN_ALPHA,
                          hex_threshold: str = SAMPLE_HEX,

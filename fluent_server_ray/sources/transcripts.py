@@ -197,27 +197,14 @@ def read_transcripts(path: str, columns: list[str] | None = None,
                            **read_kwargs)
 
 
-def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
-                           **read_kwargs):
-    """Transcript turns from newline-delimited JSON — the fluentd-side
-    ingestion format (``in_tail`` + json parser emits one JSON record
-    per line; reference deployments front the forward protocol with
-    exactly such tails). One record per turn with the transcript
-    schema's keys; ``ts`` as an ISO-8601 string (with or without a
-    zone offset — offsets normalize to UTC wall time) or a numeric
-    epoch in SECONDS (the fluentd ``time`` convention; fractional
-    seconds kept to µs).
-
-    Arrow's JSON reader infers per-block types, so the batch is coerced
-    to the canonical transcript schema (conv_id/role/text/tool:string,
-    turn_idx:int32, ts:timestamp[us]) in one vectorized cast pass —
-    downstream stages see bit-identical input whether the turns arrived
-    as Parquet or JSONL. Missing keys raise; extra keys are dropped."""
-    import ray.data as rd
-
-    ds = rd.read_json(path, **read_kwargs)
-
-    want = columns or TRANSCRIPT_SCHEMA_COLS
+def _coerce_transcripts(want: list[str]):
+    """Batch fn coercing an inferred-schema source (JSONL / CSV) to the
+    canonical transcript schema in one vectorized cast pass — one
+    shared contract so downstream stages see bit-identical input
+    regardless of wire format. ``ts`` accepts ISO-8601 strings (zone
+    offsets normalize to UTC wall time) or numeric epoch SECONDS (the
+    fluentd ``time`` convention; fractional seconds kept to µs).
+    Missing keys raise; extra keys are dropped."""
     target = {
         "conv_id": pa.string(), "turn_idx": pa.int32(),
         "role": pa.string(), "text": pa.string(), "tool": pa.string(),
@@ -228,7 +215,7 @@ def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
         missing = [c for c in want if c not in t.column_names]
         if missing:
             raise ValueError(
-                f"jsonl transcript record lacks keys {missing}; "
+                f"transcript record lacks keys {missing}; "
                 f"got {t.column_names}"
             )
         cols = {}
@@ -261,5 +248,54 @@ def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
             cols[c] = arr
         return pa.table(cols)
 
-    return ds.map_batches(coerce, batch_format="pyarrow",
+    return coerce
+
+
+def read_transcripts_csv(path: str, columns: list[str] | None = None,
+                         **read_kwargs):
+    """Transcript turns from CSV with a header row — the fluentd
+    ``in_tail`` + csv-parser ingestion format (one record per line,
+    ``keys`` from the header). NULL vs empty string follows the only
+    convention CSV can express both under: an UNQUOTED empty field is
+    NULL (the Parquet source's null ``tool``), a QUOTED ``""`` is the
+    empty string (heartbeat turns have empty ``text``) — i.e. write
+    with QUOTE_NONNUMERIC. The batch is coerced to the canonical
+    transcript schema by the same shared cast pass as the JSONL source
+    (:func:`_coerce_transcripts`) — conv_id/role/text/tool:string,
+    turn_idx:int32, ts:timestamp[us] from ISO-8601 or epoch seconds."""
+    from pyarrow import csv as pacsv
+    import ray.data as rd
+
+    read_kwargs.setdefault(
+        "convert_options",
+        pacsv.ConvertOptions(strings_can_be_null=True,
+                             quoted_strings_can_be_null=False),
+    )
+    ds = rd.read_csv(path, **read_kwargs)
+    want = columns or TRANSCRIPT_SCHEMA_COLS
+    return ds.map_batches(_coerce_transcripts(want), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
+                           **read_kwargs):
+    """Transcript turns from newline-delimited JSON — the fluentd-side
+    ingestion format (``in_tail`` + json parser emits one JSON record
+    per line; reference deployments front the forward protocol with
+    exactly such tails). One record per turn with the transcript
+    schema's keys; ``ts`` as an ISO-8601 string (with or without a
+    zone offset — offsets normalize to UTC wall time) or a numeric
+    epoch in SECONDS (the fluentd ``time`` convention; fractional
+    seconds kept to µs).
+
+    Arrow's JSON reader infers per-block types, so the batch is coerced
+    to the canonical transcript schema (conv_id/role/text/tool:string,
+    turn_idx:int32, ts:timestamp[us]) in one vectorized cast pass —
+    downstream stages see bit-identical input whether the turns arrived
+    as Parquet or JSONL. Missing keys raise; extra keys are dropped."""
+    import ray.data as rd
+
+    ds = rd.read_json(path, **read_kwargs)
+    want = columns or TRANSCRIPT_SCHEMA_COLS
+    return ds.map_batches(_coerce_transcripts(want), batch_format="pyarrow",
                           zero_copy_batch=True)

@@ -224,32 +224,40 @@ def split_assign(ds, id_col: str = "doc_id"):
     split). Pure map stage, no shuffle."""
 
     def fn(t: pa.Table) -> pa.Table:
-        keys = pc.cast(t[id_col], pa.string()).to_pylist()
-        # NULL id → 'zz' (> any hex): both CASE tests fail, row lands
-        # in 'train' — exactly the SQL mirror, where md5(NULL) is NULL
-        # and `NULL < 'xx'` is not true, so CASE falls to ELSE
-        h = ["zz" if k is None
-             else hashlib.md5(k.encode()).hexdigest()[:2] for k in keys]
-        split = np.where(
-            np.array(h, dtype=object) < SPLIT_TEST_HEX, "test",
-            np.where(np.array(h, dtype=object) < SPLIT_VAL_HEX, "val",
-                     "train"),
-        )
-        return pa.table(
-            {id_col: t[id_col], "split": pa.array(split, type=pa.string())}
-        )
+        return pa.table({id_col: t[id_col], "split": split_of(t[id_col])})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def split_of(ids) -> pa.Array:
+    """train/val/test label array for a key column — the md5 split
+    rule as a composable piece (:func:`split_assign` and composite
+    pipelines attach it without re-deriving the rule)."""
+    keys = pc.cast(ids, pa.string()).to_pylist()
+    # NULL id → 'zz' (> any hex): both CASE tests fail, row lands
+    # in 'train' — exactly the SQL mirror, where md5(NULL) is NULL
+    # and `NULL < 'xx'` is not true, so CASE falls to ELSE
+    h = ["zz" if k is None
+         else hashlib.md5(k.encode()).hexdigest()[:2] for k in keys]
+    split = np.where(
+        np.array(h, dtype=object) < SPLIT_TEST_HEX, "test",
+        np.where(np.array(h, dtype=object) < SPLIT_VAL_HEX, "val",
+                 "train"),
+    )
+    return pa.array(split, type=pa.string())
+
+
+def split_case_sql(id_col: str = "doc_id") -> str:
+    """The split rule's CASE expression (composable mirror piece)."""
+    h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 2)"
+    return (f"CASE WHEN {h} < '{SPLIT_TEST_HEX}' THEN 'test'"
+            f" WHEN {h} < '{SPLIT_VAL_HEX}' THEN 'val' ELSE 'train' END")
+
+
 def split_assign_sql(id_col: str = "doc_id",
                      table: str = "documents") -> str:
-    h = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 2)"
-    return (
-        f"SELECT {id_col}, CASE WHEN {h} < '{SPLIT_TEST_HEX}' THEN 'test'"
-        f" WHEN {h} < '{SPLIT_VAL_HEX}' THEN 'val' ELSE 'train' END"
-        f" AS split FROM {table}"
-    )
+    return (f"SELECT {id_col}, {split_case_sql(id_col)}"
+            f" AS split FROM {table}")
 
 
 def chunk_windows(ds, window: int = 40, stride: int = 20,

@@ -73,6 +73,18 @@ def scrub(ds, patterns=SCRUB_PII, id_cols: tuple[str, ...] = ("doc_id",),
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def scrub_expr_sql(patterns=SCRUB_PII, text_col: str = "text") -> str:
+    """The nested ``regexp_replace`` SQL expression applying
+    ``patterns`` in order — the composable mirror piece (used by
+    :func:`scrub_sql` and by composite-pipeline oracles that scrub as
+    their first stage)."""
+    cur = text_col
+    for _, rx, rep in patterns:
+        rx_sql = rx.replace("'", "''")
+        cur = f"regexp_replace({cur}, '{rx_sql}', '{rep}', 'g')"
+    return cur
+
+
 def scrub_sql(patterns=SCRUB_PII, id_cols: tuple[str, ...] = ("doc_id",),
               text_col: str = "text", table: str = "documents") -> str:
     exprs = []

@@ -318,3 +318,44 @@ def test_jsonl_source_ts_shapes(ray_session, tmp_path):
         p.write_text(line + "\n")
         got = read_transcripts_jsonl(str(p)).to_pandas()
         assert str(got["ts"].iloc[0]) == want, (line, want)
+
+
+def test_csv_source_matches_parquet_source(ray_session, tmp_path):
+    """The same turns arriving as CSV (fluentd in_tail+csv shape)
+    coerce to a bit-identical transcript table through the shared
+    coercion pass — incl. NULL tool (empty field) and ISO timestamps."""
+    import pandas as pd
+
+    from fluent_server_ray.sources.transcripts import (
+        read_transcripts, read_transcripts_csv)
+    from tests.conftest import SF_SMALL
+
+    ref = read_transcripts(SF_SMALL).to_pandas()
+    p = tmp_path / "turns.csv"
+    out = ref.copy()
+    out["ts"] = out["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    # QUOTE_NONNUMERIC: quoted "" = empty string, bare empty = NULL —
+    # the one convention that round-trips both (see source docstring)
+    import csv as _csv
+    out.to_csv(p, index=False, quoting=_csv.QUOTE_NONNUMERIC)
+
+    got = read_transcripts_csv(str(p)).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = ref.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+    # epoch-seconds ts + pruning + loud missing keys
+    p2 = tmp_path / "epoch.csv"
+    p2.write_text("conv_id,turn_idx,role,text,tool,ts\n"
+                  "c,0,user,x,,1700000000.5\n")
+    got = read_transcripts_csv(str(p2)).to_pandas()
+    assert str(got["ts"].iloc[0]) == "2023-11-14 22:13:20.500000"
+    assert got["tool"].isna().all()  # empty CSV field = NULL
+    pruned = read_transcripts_csv(str(p2), columns=["conv_id", "text"])
+    assert pruned.schema().names == ["conv_id", "text"]
+    bad = tmp_path / "bad.csv"
+    bad.write_text("conv_id,text\nc,t\n")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="lacks keys"):
+        read_transcripts_csv(str(bad)).materialize()

@@ -83,6 +83,7 @@ ORACLE_QUERIES = [
     "user_retention_cohorts",
     "order_count_distribution",
     "events_value_rank_in_type",
+    "lm_prep_pipeline",
 ]
 
 
