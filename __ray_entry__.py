@@ -1411,6 +1411,26 @@ def _q_order_count_distribution(sf_dir: str):
     return order_count_distribution(sf_dir)
 
 
+def _q_normalize(sf_dir: str):
+    """Canonical text normalization (control-strip → whitespace
+    collapse → trim → lowercase), the pre-dedup cleanup pass."""
+    from fluent_server_ray.stages.hygiene import normalize_text
+
+    return normalize_text(_docs(sf_dir))
+
+
+def _q_users_per_type(sf_dir: str):
+    """EXACT count(DISTINCT user) per event type — the generic
+    two-level distinct (combiner → one value-hash exchange → bounded
+    merge)."""
+    from fluent_server_ray.stages.aggregate import grouped_distinct_count
+
+    return grouped_distinct_count(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
 def _q_lm_prep(sf_dir: str):
     """End-to-end LM training-set prep (scrub → gate → dedup → split)
     composed in one lazy graph; the whole chain is oracle-checked."""
@@ -1551,6 +1571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": _q_order_count_distribution,
         "events_value_rank_in_type": _q_rank_in_group,
         "lm_prep_pipeline": _q_lm_prep,
+        "doc_normalize": _q_normalize,
+        "users_per_event_type": _q_users_per_type,
     }
 
 
@@ -1708,4 +1730,9 @@ WHERE doc_id % 2 = 1
             "fluent_server_ray.pipelines.curation",
             fromlist=["lm_prep_documents_sql"],
         ).lm_prep_documents_sql(),
+        "doc_normalize": hygiene.normalize_text_sql(),
+        "users_per_event_type": __import__(
+            "fluent_server_ray.stages.aggregate",
+            fromlist=["grouped_distinct_count_sql"],
+        ).grouped_distinct_count_sql("event_type", "user_id"),
     }

@@ -184,7 +184,8 @@ def run_once() -> dict:
     for qname in () if os.environ.get("FSR_COUNTS_ONLY") else ("dedup_exact", "dedup_minhash", "ann_cosine_topk",
                   "sessionize", "join_revenue_by_priority",
                   "curation_pipeline", "conv_value_stats",
-                  "user_funnel", "window_distinct_users"):
+                  "user_funnel", "window_distinct_users",
+                  "lm_prep_pipeline", "dedup_substring"):
         try:
             t0 = time.perf_counter()
             res = entrymod.queries()[qname](SF_DIR)

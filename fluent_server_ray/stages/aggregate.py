@@ -141,6 +141,18 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str]],
     def partial(batch: pa.Table) -> pa.Table:
         cols = keys + [c for c, _ in phys]
         t = batch.select(list(dict.fromkeys(cols)))
+        if final == "ray":
+            for k in keys:
+                if t[k].null_count:
+                    # Ray's distributed groupby sorts the key and its
+                    # boundary sampling crashes on None-vs-str — fail
+                    # loudly instead (a silent crash deep in the sort
+                    # is the alternative; cf. NOTES gotcha)
+                    raise ValueError(
+                        f"grouped_agg(final='ray'): key {k!r} has NULLs"
+                        " — canonicalize them upstream (e.g. fill with"
+                        " a sentinel) or use final='driver'"
+                    )
         out = t.group_by(keys).aggregate([(c, f) for c, f in phys])
         # Arrow names results "<col>_<fn>" already, but keep explicit
         return out.rename_columns(keys + out_names)
@@ -289,3 +301,62 @@ def add_salt(ds, key_col: str, n_salts: int = 16, salt_col: str = "_salt"):
         return batch.append_column(salt_col, salt)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_distinct_count(ds, group_col: str, value_col: str,
+                           n_buckets: int = 64, final: str = "driver"):
+    """EXACT ``count(DISTINCT value) GROUP BY group`` — the generic
+    form of the two-level distinct (cf. ``windows.window_distinct_users``):
+
+    1. per-batch local dedup of (group, value) pairs (Arrow
+       ``group_by`` — the combiner: within-block repeats never move);
+    2. ONE hash-bucket exchange on the VALUE (all surviving copies of
+       one (group, value) pair share its value hash, so they
+       co-locate; the bucket key is a bounded small int, never one
+       group per distinct pair);
+    3. whole-bucket ``drop_duplicates`` + per-group partial counts;
+    4. the final merge is :func:`grouped_counts`-shaped over a
+       |groups|-bounded key space (``final='ray'`` for unbounded).
+
+    Only distinct pairs ever shuffle — at 100 TB that is
+    |groups × distinct values|, not rows. NULL group is its own group
+    (SQL GROUP BY); NULL values are not counted (SQL count(DISTINCT)
+    ignores NULLs). Output: (group_col, n_distinct).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).filter(
+            pc.is_valid(t[value_col]))
+        uniq = t.group_by([group_col, value_col]).aggregate([])
+        b = hash_bucket_array(uniq[value_col], n_buckets)
+        return uniq.append_column("_vbucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([group_col, value_col])
+        out = g.groupby(group_col, sort=False, dropna=False,
+                        as_index=False).size()
+        out.columns = [group_col, "n_partial"]
+        out["n_partial"] = out["n_partial"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_vbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    out = grouped_agg(parts, [group_col], [("n_partial", "sum")],
+                      final=final)
+    if final == "driver":
+        return out.rename_columns([group_col, "n_distinct"])
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n_distinct"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_distinct_count_sql(group_col: str, value_col: str,
+                               table: str = "events") -> str:
+    return (f"SELECT {group_col}, CAST(count(DISTINCT {value_col}) "
+            f"AS BIGINT) AS n_distinct FROM {table} "
+            f"GROUP BY {group_col} ORDER BY {group_col}")

@@ -324,3 +324,50 @@ WITH toks AS (
 SELECT doc_id, len(list_intersect(s, bl)) > 0 AS contaminated
 FROM sh CROSS JOIN benchlist WHERE doc_id % {bench_mod} <> 0
 """.strip()
+
+
+# ------------------------------------------------ text normalization
+
+def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Canonical text normalization — the pre-dedup cleanup pass that
+    makes trivially-different copies (case, spacing, stray control
+    bytes) collide in downstream exact/near dedup:
+
+        1. strip NON-whitespace control chars (C0 minus \\t \\n \\v
+           \\f \\r, plus DEL) — whitespace controls survive into step
+           2 and become spaces, never glue words together
+        2. collapse every Unicode-whitespace run to one space
+           (``dedup._PY_WHITESPACE_RE2`` — the byte-exact RE2 class for
+           Python ``str.isspace()``)
+        3. trim leading/trailing spaces
+        4. lowercase (Unicode simple case-folding — Arrow
+           ``utf8_lower`` and DuckDB ``lower()`` agree, pinned in
+           tests incl. non-ASCII)
+
+    Pure per-row Arrow kernels, zero shuffle; NULL text stays NULL.
+    Output: (id, text_norm)."""
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        text = pc.replace_substring_regex(
+            text, r"[\x00-\x08\x0E-\x1B\x7F]", "")
+        text = pc.replace_substring_regex(text, _PY_WHITESPACE_RE2, " ")
+        text = pc.utf8_trim(text, " ")
+        text = pc.utf8_lower(text)
+        return pa.table({id_col: t[id_col], "text_norm": text})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_text_sql(id_col: str = "doc_id", text_col: str = "text",
+                       table: str = "documents") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+SELECT {id_col},
+  lower(trim(regexp_replace(regexp_replace({text_col},
+    '[\\x00-\\x08\\x0E-\\x1B\\x7F]', '', 'g'),
+    '{_PY_WHITESPACE_RE2}', ' ', 'g'), ' ')) AS text_norm
+FROM {table}
+""".strip()

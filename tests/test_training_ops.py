@@ -84,6 +84,8 @@ ORACLE_QUERIES = [
     "order_count_distribution",
     "events_value_rank_in_type",
     "lm_prep_pipeline",
+    "doc_normalize",
+    "users_per_event_type",
 ]
 
 
@@ -1112,3 +1114,71 @@ def test_retention_cohorts_constructed(ray_session):
     got = {(r.cohort_window, r.window_offset): r.n_users
            for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 2, (1, 0): 1}
+
+
+def test_normalize_text_edge_parity(ray_session, tmp_path):
+    """Engine normalization equals the SQL mirror on adversarial text:
+    control bytes, unicode whitespace (\\xa0, ideographic space),
+    non-ASCII case (ß, É), NULL text."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.hygiene import (normalize_text,
+                                                  normalize_text_sql)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "  Hello\tWORLD  ",
+            "a\x00b\x1fc\x7fd",
+            "cafÉ NAP　 end",
+            None,
+            "MiXeD   Line Sep",
+        ],
+    })
+    p = tmp_path / "docs.parquet"
+    df.to_parquet(p, index=False)
+    got = normalize_text(rd.read_parquet(str(p))).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{p}')")
+    want = con.execute(normalize_text_sql() + " ORDER BY doc_id").df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got.loc[0, "text_norm"] == "hello world"
+    # \x00 and \x7f strip; \x1f is Python whitespace → collapses to ' '
+    assert got.loc[1, "text_norm"] == "ab cd"
+    assert pd.isna(got.loc[3, "text_norm"])
+
+
+def test_grouped_distinct_count_null_semantics(ray_session):
+    """NULL group is its own group; NULL values are never counted
+    (SQL count(DISTINCT) semantics); cross-block duplicates collapse."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import grouped_distinct_count
+
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "a", None, None, "b", "b"],
+        "user_id": [1.0, 1.0, 2.0, 3.0, None, None, 4.0],
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    out = grouped_distinct_count(ds, "event_type", "user_id").to_pandas()
+    got = {(None if pd.isna(k) else k): v
+           for k, v in zip(out["event_type"], out["n_distinct"])}
+    assert got == {"a": 2, None: 1, "b": 1}
+
+    # final='ray' path returns a Dataset with identical content on
+    # null-free keys…
+    clean = df[df["event_type"].notna()]
+    out2 = grouped_distinct_count(
+        rd.from_pandas(clean).repartition(4), "event_type", "user_id",
+        final="ray").to_pandas()
+    got2 = {k: v for k, v in zip(out2["event_type"], out2["n_distinct"])}
+    assert got2 == {"a": 2, "b": 1}
+    # …and fails LOUDLY on a NULL key (Ray sort boundary sampling
+    # crashes on None-vs-str; the guard names the fix)
+    with pytest.raises(Exception, match="has NULLs"):
+        grouped_distinct_count(
+            rd.from_pandas(df).repartition(4), "event_type", "user_id",
+            final="ray").to_pandas()
