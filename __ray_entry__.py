@@ -245,6 +245,42 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_against_index(half(1), idx, n_parts=16)
 
 
+def _q_dedup_incremental_minhash(sf_dir: str):
+    """Incremental NEAR-dup detection against a persisted MinHash
+    index (the signature-store design): even-doc_id half indexed
+    (bands routed by hash part, signatures by id part), odd half
+    probes reading ONLY its colliding partitions; pairs verified by
+    signature-estimated Jaccard. Probabilistic (LSH recall, estimated
+    Jaccard) → rows-only; recall/precision pinned in pytest."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.dedup import (build_minhash_index,
+                                                near_dups_against_index)
+
+    def half(parity: int):
+        ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+        def f(t):
+            keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity)
+            return t.filter(pc.fill_null(keep, False))
+
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "fsr_mhidx_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    build_minhash_index(half(0), idx, n_parts=16)
+    return near_dups_against_index(half(1), idx, threshold=0.8)
+
+
 def _q_dedup_prefix_block(sf_dir: str):
     from fluent_server_ray.stages.dedup import prefix_block_dupes
 
@@ -1472,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_minhash": _q_dedup_incremental_minhash,
         "dedup_prefix_block": _q_dedup_prefix_block,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,

@@ -304,28 +304,17 @@ class MinHashStage:
         ph = h[:, None] * self.a[None, :] + self.b[None, :]
         return ph.min(axis=0)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        """Explode each doc into `bands` rows: (band_id, band_hash, doc_id).
-
-        Batch-vectorized end to end: word hashes via ONE
+    def sigs_batch(self, batch: pa.Table):
+        """(ids int64 (n,), signatures uint64 (n, num_perm)) for a
+        batch — batch-vectorized end to end: word hashes via ONE
         ``hash_array`` over the batch's flat token array, numeric
         rolling shingle mixes (:func:`_batch_shingle_hashes`), the
-        permutation family as a single (total_shingles, num_perm)
-        multiply-add over Z_2^64, and per-doc column-mins from one
-        ``np.minimum.reduceat`` over the doc boundaries — identical
-        values to the per-doc ``signature()`` (min is associative;
-        the wraparound arithmetic is elementwise), pinned by a parity
-        test.
-        """
+        permutation family as a single multiply-add over Z_2^64, and
+        per-doc column-mins from one ``np.minimum.reduceat`` over the
+        doc boundaries — identical values to the per-doc
+        ``signature()`` (min is associative; the wraparound arithmetic
+        is elementwise), pinned by a parity test."""
         n = len(batch)
-        if n == 0:
-            return pa.table(
-                {
-                    "band_id": pa.array([], type=pa.int32()),
-                    "band_hash": pa.array([], type=pa.int64()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                }
-            )
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch["text"].to_pylist()
         H, lengths = _batch_shingle_hashes(texts, self.shingle_k)
@@ -340,17 +329,38 @@ class MinHashStage:
             np.multiply(H, self.a[j], out=buf)
             np.add(buf, self.b[j], out=buf)
             sigs_t[j] = np.minimum.reduceat(buf, starts)
-        sigs = sigs_t.T  # (n, num_perm)
+        return ids, sigs_t.T  # (n, num_perm)
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, bands) int64 band keys from (n, num_perm) signatures
+        (XOR fold per band, masked non-negative)."""
+        n = sigs.shape[0]
         folded = np.bitwise_xor.reduce(
             sigs.reshape(n, self.bands, self.rows_per_band).astype(np.uint64),
             axis=2,
         ) & np.uint64(0x7FFFFFFFFFFFFFFF)  # (n, bands)
+        return folded.astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Explode each doc into `bands` rows: (band_id, band_hash,
+        doc_id) — :meth:`sigs_batch` + :meth:`band_hashes`."""
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        ids, sigs = self.sigs_batch(batch)
+        folded = self.band_hashes(sigs)
         return pa.table(
             {
                 "band_id": pa.array(
                     np.tile(np.arange(self.bands, dtype=np.int32), n)
                 ),
-                "band_hash": pa.array(folded.reshape(-1).astype(np.int64)),
+                "band_hash": pa.array(folded.reshape(-1)),
                 "doc_id": pa.array(np.repeat(ids, self.bands)),
             }
         )
@@ -1559,6 +1569,214 @@ def substring_dupes(ds, window_k: int = 8, id_col: str = "doc_id",
     if out.count() == 0:
         return _empty_pairs_ds()
     return out
+
+
+def build_minhash_index(ds, index_dir: str, num_perm: int = 64,
+                        bands: int = 16, seed: int = 7, shingle_k: int = 3,
+                        n_parts: int = 64):
+    """Persist a corpus's MinHash state as a NEAR-dup INDEX — the
+    probabilistic sibling of :func:`build_text_index` for continuous
+    ingestion (new shards probe it instead of re-signing the corpus):
+
+    - ``<dir>/bands/bpart=K/``: (band_id, band_hash, doc_id) rows,
+      hive-partitioned by ``band_hash % n_parts`` — the ROUTING side
+      (a probe reads only the partitions its own band keys hash to);
+    - ``<dir>/sigs/spart=K/``: (doc_id, sig list<int64>[num_perm]),
+      partitioned by ``doc_id % n_parts`` — the VERIFICATION side
+      (candidate pairs fetch only the partitions holding their ids and
+      estimate Jaccard from signature agreement, the standard
+      signature-store design).
+
+    Calling it again with NEW docs EXTENDS both layouts (files append
+    into the same hive dirs). Deterministic for fixed params (the
+    probe must be built with the SAME num_perm/bands/seed/shingle_k —
+    stored in ``<dir>/params.json`` and checked at probe time).
+    """
+    import json
+    import os
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    params = {"num_perm": num_perm, "bands": bands, "seed": seed,
+              "shingle_k": shingle_k, "n_parts": n_parts}
+    pfile = os.path.join(index_dir, "params.json")
+    if os.path.exists(pfile):
+        stored = json.load(open(pfile))
+        if stored != params:
+            raise ValueError(
+                f"minhash index at {index_dir!r} was built with "
+                f"{stored}; refusing to extend with {params}")
+    stage = MinHashStage(num_perm, bands, seed, shingle_k)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        out = stage(t)
+        bh = out["band_hash"].to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "bpart", pa.array((bh % n_parts).astype(np.int64)))
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.list_(pa.int64())),
+                "spart": pa.array([], type=pa.int64()),
+            })
+        ids, sigs = stage.sigs_batch(t)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "sig": pa.array(list(sigs.view(np.int64))),
+            "spart": pa.array(ids % n_parts),
+        })
+
+    (ds.map_batches(skip_empty(band_rows), batch_format="pyarrow",
+                    zero_copy_batch=True)
+     .write_parquet(os.path.join(index_dir, "bands"),
+                    partition_cols=["bpart"]))
+    (ds.map_batches(skip_empty(sig_rows), batch_format="pyarrow",
+                    zero_copy_batch=True)
+     .write_parquet(os.path.join(index_dir, "sigs"),
+                    partition_cols=["spart"]))
+    if not os.path.exists(pfile):
+        json.dump(params, open(pfile, "w"))
+    return index_dir
+
+
+def near_dups_against_index(ds, index_dir: str, threshold: float = 0.8):
+    """Probe a NEW shard against a persisted
+    :func:`build_minhash_index`: pairs (shard doc, indexed doc) whose
+    banded LSH keys collide AND whose signature-estimated Jaccard
+    (fraction of agreeing minhash components — the textbook unbiased
+    estimator) clears ``threshold``. The index is NEVER rescanned in
+    full: the shard's band rows shuffle once on their band-hash part
+    and each bucket task reads ONLY its own ``bands/bpart=K``
+    partition; candidate signatures come from ONLY the ``sigs/spart``
+    partitions holding candidate ids. Probabilistic recall (LSH) and
+    estimated Jaccard → rows-only checks; recall/precision pinned in
+    pytest on constructed near-dups.
+
+    Returns a Dataset (doc_a = shard id, doc_b = indexed id,
+    est_jaccard), distinct pairs. Same shared-storage caveat as
+    :func:`dedup_against_index`.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    pfile = os.path.join(index_dir, "params.json")
+    if not os.path.exists(pfile):
+        raise FileNotFoundError(
+            f"minhash index params not found: {pfile!r} — build the "
+            f"index with build_minhash_index() on shared storage first")
+    p = json.load(open(pfile))
+    n_parts = p["n_parts"]
+    stage = MinHashStage(p["num_perm"], p["bands"], p["seed"],
+                         p["shingle_k"])
+
+    # shard signatures: small-by-construction relative to the corpus —
+    # pinned in the object store once, consumed by the verify step
+    def sig_rows(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "sig": pa.array([], type=pa.list_(pa.int64()))})
+        ids, sigs = stage.sigs_batch(t)
+        return pa.table({"doc_id": pa.array(ids),
+                         "sig": pa.array(list(sigs.view(np.int64)))})
+
+    shard_sigs = ds.map_batches(skip_empty(sig_rows), batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        out = stage(t)
+        bh = out["band_hash"].to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "bpart", pa.array((bh % n_parts).astype(np.int64)))
+
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["bpart"].iloc[0])
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64")})
+        fs = sorted(_glob.glob(
+            os.path.join(index_dir, "bands", f"bpart={k}", "*.parquet")))
+        if not fs:
+            return empty
+        idx = pa.concat_tables([_pq.read_table(f) for f in fs]).to_pandas()
+        m = g.merge(idx, on=["band_id", "band_hash"],
+                    suffixes=("_a", "_b"))
+        if not len(m):
+            return empty
+        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        out.columns = ["doc_a", "doc_b"]
+        return out
+
+    cand = (
+        ds.map_batches(skip_empty(band_rows), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bpart")
+        .map_groups(probe_bucket, batch_format="pandas")
+    )
+    cand = distinct_pairs(cand).materialize()
+    if cand.count() == 0:
+        return _empty_pairs_ds(with_jaccard=False).map_batches(
+            lambda t: t.append_column(
+                "est_jaccard", pa.array([], type=pa.float64())),
+            batch_format="pyarrow")
+
+    shard_sig_tbl = pa.concat_tables(
+        shard_sigs.iter_batches(batch_size=None, batch_format="pyarrow"))
+    sig_ref = ray.put(shard_sig_tbl)
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One verify task per sigs partition: ``g`` carries every
+        candidate pair whose INDEXED id lives in this spart."""
+        k = int(g["_spart"].iloc[0])
+        fs = sorted(_glob.glob(
+            os.path.join(index_dir, "sigs", f"spart={k}", "*.parquet")))
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "est_jaccard": pd.Series(dtype="float64")})
+        if not fs:
+            return empty
+        idx = pa.concat_tables([_pq.read_table(f) for f in fs])
+        idx_ids = idx["doc_id"].combine_chunks()
+        idx_sigs = np.stack(
+            [np.asarray(s, dtype=np.int64) for s in idx["sig"].to_pylist()])
+        st = ray.get(sig_ref)
+        a_pos = pc.index_in(pa.array(g["doc_a"].to_numpy()),
+                            value_set=st["doc_id"].combine_chunks())
+        b_pos = pc.index_in(pa.array(g["doc_b"].to_numpy()),
+                            value_set=idx_ids)
+        a_sig_list = st["sig"].to_pylist()
+        a_idx = a_pos.to_numpy(zero_copy_only=False)
+        b_idx = b_pos.to_numpy(zero_copy_only=False)
+        ok = ~(pd.isna(a_idx) | pd.isna(b_idx))
+        if not ok.any():
+            return empty
+        a_sigs = np.stack([np.asarray(a_sig_list[int(i)], dtype=np.int64)
+                           for i in a_idx[ok]])
+        b_sigs = idx_sigs[b_idx[ok].astype(np.int64)]
+        est = (a_sigs == b_sigs).mean(axis=1)
+        keep = est >= threshold
+        sub = g.loc[ok, ["doc_a", "doc_b"]].reset_index(drop=True)
+        out = sub.loc[keep].copy()
+        out["est_jaccard"] = est[keep]
+        return out
+
+    def add_spart(t: pa.Table) -> pa.Table:
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_spart", pa.array((b % n_parts).astype(np.int64)))
+
+    return (
+        cand.map_batches(add_spart, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("_spart")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
 
 
 def substring_dupes_sql(window_k: int = 8, table: str = "documents") -> str:

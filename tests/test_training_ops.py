@@ -1182,3 +1182,84 @@ def test_grouped_distinct_count_null_semantics(ray_session):
         grouped_distinct_count(
             rd.from_pandas(df).repartition(4), "event_type", "user_id",
             final="ray").to_pandas()
+
+
+def test_ann_over_pca_projection_anisotropic(ray_session):
+    """ANN composes with PCA reduction (emb_col='proj'): on a corpus
+    whose variance concentrates in a few directions, top-k over the
+    3-dim projection reproduces most full-dim cosine neighbors. (On an
+    ISOTROPIC corpus — like the synthetic test embeddings — PCA
+    reduction destroys neighborhoods; that is a property of the data,
+    measured at recall<0.3, which is why no driver query ships this
+    composite.)"""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import ann_topk, pca_project
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(400, 24)) * np.concatenate(
+        [[20, 10, 5], np.full(21, 0.1)])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(400), type=pa.int64()),
+        "embedding": pa.array(list(base.astype(np.float32)),
+                              type=pa.list_(pa.float32())),
+    })
+    qids = [3, 50, 111, 222, 333]
+    proj = pca_project(rd.from_arrow(tbl).repartition(5),
+                       n_components=3).materialize()
+    red = ann_topk(proj, qids, k=5, emb_col="proj")
+    full = ann_topk(rd.from_arrow(tbl).repartition(5), qids, k=5)
+    fs = set(zip(full["query_id"], full["neighbor_id"]))
+    rs = set(zip(red["query_id"], red["neighbor_id"]))
+    assert len(fs & rs) / len(fs) >= 0.8
+
+
+def test_minhash_index_build_probe_extend(ray_session, tmp_path):
+    """Persisted near-dup index: probing a new shard finds its
+    near-dups of INDEXED docs only (index never rescanned in full),
+    exact copies estimate 1.0, unrelated docs don't pair; survivors
+    extend the index; mismatched params refuse loudly."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (build_minhash_index,
+                                                near_dups_against_index)
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(800)]
+    base_texts = [" ".join(rng.choice(vocab, size=60, replace=False))
+                  for _ in range(30)]
+    idx_df = pd.DataFrame({"doc_id": range(30), "text": base_texts})
+    idx_dir = str(tmp_path / "mhidx")
+    build_minhash_index(rd.from_pandas(idx_df), idx_dir, n_parts=8)
+
+    # shard: one exact copy, one ~97% near-dup, three unrelated
+    near = base_texts[4].split()
+    near[0], near[1] = "zz1", "zz2"
+    shard = pd.DataFrame({
+        "doc_id": [100, 101, 102, 103, 104],
+        "text": [base_texts[7], " ".join(near)]
+        + [" ".join(rng.choice([f"v{i}" for i in range(800)], size=60,
+                               replace=False)) for _ in range(3)],
+    })
+    out = near_dups_against_index(
+        rd.from_pandas(shard), idx_dir, threshold=0.5).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["est_jaccard"])}
+    assert got.get((100, 7)) == 1.0          # exact copy
+    assert (101, 4) in got and got[(101, 4)] >= 0.5
+    assert all(a in (100, 101) for a, _ in got)  # unrelated never pair
+
+    # extension: index the unrelated survivors, re-probe an exact copy
+    survivors = shard[shard["doc_id"].isin([102, 103, 104])]
+    build_minhash_index(rd.from_pandas(survivors), idx_dir, n_parts=8)
+    probe2 = pd.DataFrame({"doc_id": [200],
+                           "text": [shard["text"].iloc[2]]})
+    out2 = near_dups_against_index(
+        rd.from_pandas(probe2), idx_dir, threshold=0.9).to_pandas()
+    assert {(200, 102)} == set(zip(out2["doc_a"], out2["doc_b"]))
+
+    # param drift refuses
+    with pytest.raises(Exception, match="refusing to extend"):
+        build_minhash_index(rd.from_pandas(probe2), idx_dir,
+                            num_perm=32, bands=8, n_parts=8)
