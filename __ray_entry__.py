@@ -1467,6 +1467,40 @@ def _q_users_per_type(sf_dir: str):
         "event_type", "user_id")
 
 
+LINE_DEDUP_MIN_COUNT = 4
+
+
+def _q_conv_line_dedup(sf_dir: str):
+    """Bulk corpus-level LINE dedup (RefinedWeb/C4 pre-training
+    staple) over the conversation-document corpus: every ``role:
+    text`` line occurring >= min_count times corpus-wide is removed
+    from every document — repeated boilerplate turns vanish, unique
+    content stays."""
+    from fluent_server_ray.stages.assembly import conv_to_documents
+    from fluent_server_ray.stages.hygiene import line_dedup
+
+    docs = conv_to_documents(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                          "text"])
+    ).select_columns(["conv_id", "doc_text"])
+    return line_dedup(docs, id_col="conv_id", text_col="doc_text",
+                      min_count=LINE_DEDUP_MIN_COUNT)
+
+
+def _conv_line_dedup_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+    from fluent_server_ray.stages.hygiene import line_dedup_sql
+
+    docs_cte = (
+        "WITH " + TRANSCRIPTS_SQL_CTE +
+        " SELECT conv_id, string_agg(role || ': ' || text, chr(10)"
+        " ORDER BY turn_idx) AS doc_text FROM transcripts"
+        " GROUP BY conv_id"
+    )
+    return line_dedup_sql(docs_cte, "conv_id", "doc_text",
+                          min_count=LINE_DEDUP_MIN_COUNT)
+
+
 def _q_lm_prep(sf_dir: str):
     """End-to-end LM training-set prep (scrub → gate → dedup → split)
     composed in one lazy graph; the whole chain is oracle-checked."""
@@ -1610,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_prep_pipeline": _q_lm_prep,
         "doc_normalize": _q_normalize,
         "users_per_event_type": _q_users_per_type,
+        "conv_line_dedup": _q_conv_line_dedup,
     }
 
 
@@ -1772,4 +1807,5 @@ WHERE doc_id % 2 = 1
             "fluent_server_ray.stages.aggregate",
             fromlist=["grouped_distinct_count_sql"],
         ).grouped_distinct_count_sql("event_type", "user_id"),
+        "conv_line_dedup": _conv_line_dedup_sql(),
     }

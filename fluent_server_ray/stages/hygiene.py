@@ -371,3 +371,123 @@ SELECT {id_col},
     '{_PY_WHITESPACE_RE2}', ' ', 'g'), ' ')) AS text_norm
 FROM {table}
 """.strip()
+
+
+# ------------------------------------------- corpus-level line dedup
+
+def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+               min_count: int = 2):
+    """Bulk LINE-level deduplication (the RefinedWeb/C4 pre-training
+    staple, distinct from document dedup): every line whose exact text
+    occurs at least ``min_count`` times across the WHOLE corpus
+    (counted with multiplicity) is removed from every document —
+    navigation bars, cookie banners, and (in transcript corpora)
+    repeated assistant boilerplate vanish while unique content stays.
+
+    Scale shape: (1) per-batch line-count combiner (ONE Arrow
+    ``split_pattern`` + ``group_by`` per batch, so the shuffle carries
+    ~|distinct lines per block| rows, not lines); (2)
+    :func:`aggregate.grouped_agg(final='ray')` merges partials in a
+    distributed groupby — the full line-frequency table never exists
+    in one place; (3) only lines AT/ABOVE the threshold (the
+    boilerplate set — corpus-sublinear by construction; an adversarial
+    all-duplicate corpus would need the bucketed anti-join of
+    :func:`dedup.build_text_index` instead) come back to the driver
+    and broadcast once via ``ray.put``; (4) each batch masks + rejoins
+    with one vectorized pass (``is_in`` → filter → ``binary_join``).
+
+    NULL text is treated as '' (one empty line, like the SQL mirror's
+    COALESCE). Docs whose every line was boilerplate keep their row
+    with ``text = ''``. Output: (id, text, n_lines, n_removed), input
+    row order preserved.
+    """
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    ds = ds.materialize()  # consumed twice: count pass + clean pass
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(pc.fill_null(t[text_col], ""), "\n")
+        flat = pc.list_flatten(lines)
+        out = pa.table({"line": flat}).group_by("line").aggregate(
+            [([], "count_all")])
+        return out.rename_columns(["line", "n"])
+
+    parts = ds.map_batches(skip_empty(count_partial), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    freq = grouped_agg(parts, ["line"], [("n", "sum")], final="ray")
+
+    def over_threshold(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["n_sum"], pa.scalar(int(min_count)))
+        ).select(["line"])
+
+    dup_tbls = list(
+        freq.map_batches(skip_empty(over_threshold), batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    dup_lines = (
+        pa.concat_tables(dup_tbls)["line"].combine_chunks()
+        if dup_tbls else pa.array([], type=pa.string())
+    )
+    dup_ref = ray.put(dup_lines)
+
+    def clean(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.fill_null(t[text_col], ""), "\n")
+        lists = lists.combine_chunks() if isinstance(
+            lists, pa.ChunkedArray) else lists
+        flat = pc.list_flatten(lists)
+        keep = pc.invert(pc.is_in(flat, value_set=ray.get(dup_ref)))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype("int64")
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        new_lens = np.bincount(
+            doc_of[keep_np], minlength=len(lens)).astype("int64")
+        offsets = np.concatenate([[0], np.cumsum(new_lens)]).astype("int32")
+        kept = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat.filter(keep))
+        return pa.table({
+            id_col: t[id_col],
+            text_col: pc.binary_join(kept, "\n"),
+            "n_lines": pa.array(lens),
+            "n_removed": pa.array(lens - new_lens),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def line_dedup_sql(docs_cte: str, id_col: str, text_col: str,
+                   min_count: int = 2) -> str:
+    """Mirror over a caller-supplied ``docs`` CTE body (must yield
+    ``(id_col, text_col)``): split → corpus line frequency → anti-join
+    kept lines → positional re-join, all-removed docs COALESCE to ''."""
+    return f"""
+WITH docs AS ({docs_cte}),
+split AS (
+  SELECT {id_col}, string_split(COALESCE({text_col}, ''), chr(10)) AS ls
+  FROM docs
+), lines AS (
+  SELECT {id_col}, gs AS pos, ls[gs] AS line
+  FROM split CROSS JOIN unnest(generate_series(1, len(ls))) AS u(gs)
+), freq AS (
+  SELECT line FROM lines GROUP BY line HAVING count(*) >= {int(min_count)}
+), kept AS (
+  SELECT l.{id_col}, l.pos, l.line
+  FROM lines l ANTI JOIN freq f ON l.line = f.line
+), agg AS (
+  SELECT {id_col}, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY {id_col}
+), tot AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lines GROUP BY {id_col}
+)
+SELECT t.{id_col}, COALESCE(a.text, '') AS {text_col}, t.n_lines,
+       CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a USING ({id_col})
+ORDER BY t.{id_col}
+""".strip()

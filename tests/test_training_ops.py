@@ -1263,3 +1263,47 @@ def test_minhash_index_build_probe_extend(ray_session, tmp_path):
     with pytest.raises(Exception, match="refusing to extend"):
         build_minhash_index(rd.from_pandas(probe2), idx_dir,
                             num_perm=32, bands=8, n_parts=8)
+
+
+def test_line_dedup_parity_and_edges(ray_session, tmp_path):
+    """Corpus-level line dedup equals the SQL mirror on a corpus with
+    shared boilerplate lines, an all-boilerplate doc (keeps its row
+    with text=''), a NULL text (treated as ''), and threshold-boundary
+    lines (count == min_count removed, count == min_count-1 kept)."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.hygiene import line_dedup, line_dedup_sql
+
+    boiler = "assistant: How can I help?"
+    twice = "user: hello"  # appears exactly min_count=3 - 1 times → kept
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            f"{boiler}\nunique line one\n{twice}",
+            f"{boiler}\n{boiler}\nunique two",   # within-doc repeats count
+            f"{twice}\nunique three",
+            boiler,                                # all lines boilerplate
+            None,                                  # NULL → '' (one line)
+        ],
+    })
+    p = tmp_path / "docs.parquet"
+    df.to_parquet(p, index=False)
+    got = line_dedup(rd.read_parquet(str(p)), min_count=3).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    sql = line_dedup_sql(
+        f"SELECT doc_id, text FROM read_parquet('{p}')",
+        "doc_id", "text", min_count=3)
+    want = con.execute(sql).df()
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_lines": "int64", "n_removed": "int64"}))
+
+    by_id = got.set_index("doc_id")
+    # boiler occurs 4 times (>=3) → removed everywhere; twice occurs 2
+    assert by_id.loc[1, "text"] == f"unique line one\n{twice}"
+    assert by_id.loc[2, "text"] == "unique two"
+    assert by_id.loc[4, "text"] == "" and by_id.loc[4, "n_removed"] == 1
+    # the NULL doc's single '' line is unique → kept as ''
+    assert by_id.loc[5, "text"] == "" and by_id.loc[5, "n_removed"] == 0
