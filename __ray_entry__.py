@@ -1501,6 +1501,18 @@ def _conv_line_dedup_sql() -> str:
                           min_count=LINE_DEDUP_MIN_COUNT)
 
 
+def _q_conv_structure(sf_dir: str):
+    """Per-conversation structure validation (chat-data quality gate):
+    role alternation, first/last speaker, and agent-loop detection
+    (longest identical (role,text) run) — one conv_id bucket exchange
+    + whole-bucket gaps-and-islands kernels."""
+    from fluent_server_ray.stages.assembly import conv_structure
+
+    return conv_structure(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                          "text"]))
+
+
 def _q_lm_prep(sf_dir: str):
     """End-to-end LM training-set prep (scrub → gate → dedup → split)
     composed in one lazy graph; the whole chain is oracle-checked."""
@@ -1645,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": _q_normalize,
         "users_per_event_type": _q_users_per_type,
         "conv_line_dedup": _q_conv_line_dedup,
+        "conv_structure_flags": _q_conv_structure,
     }
 
 
@@ -1808,4 +1821,5 @@ WHERE doc_id % 2 = 1
             fromlist=["grouped_distinct_count_sql"],
         ).grouped_distinct_count_sql("event_type", "user_id"),
         "conv_line_dedup": _conv_line_dedup_sql(),
+        "conv_structure_flags": assembly.conv_structure_sql(),
     }

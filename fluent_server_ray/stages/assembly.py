@@ -487,3 +487,95 @@ SELECT conv_id, turn_idx, text FROM (
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 ) WHERE {keep}
 """.strip()
+
+
+def conv_structure(ds, n_buckets: int = 64):
+    """Per-conversation STRUCTURE validation — the chat-training-data
+    quality gate that document-level filters can't see: is the
+    conversation well-formed dialogue, or a broken/looping agent
+    trace?
+
+    Per conversation (turns in stable ``turn_idx`` order):
+
+    - ``n_turns``
+    - ``first_role`` / ``last_role`` — e.g. gate on "starts with
+      user, ends with assistant"
+    - ``n_role_repeats`` — adjacent turns with the SAME role (0 ⇔
+      strictly alternating speakers)
+    - ``max_repeat_run`` — longest run of consecutive IDENTICAL
+      (role, text) turns: >1 flags an agent stuck in a loop
+      re-issuing the same call (the classic trace pathology)
+
+    One hash-bucket exchange on ``conv_id``; inside a bucket the
+    run-length encoding is the gaps-and-islands cumsum over the whole
+    bucket (pandas C kernels, never per-group Python). NULL text
+    participates in identity via a sentinel-free pandas equality on
+    (role, text) pairs — two NULLs are NOT a repeat (SQL ``=`` on NULL
+    is never TRUE; mirrored with an explicit NOT-DISTINCT-free
+    predicate)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        grp = g.groupby("conv_id", sort=False)
+        same_conv = g["conv_id"].eq(g["conv_id"].shift())
+        # SQL-equality semantics: NULL = NULL is not TRUE
+        same_role = g["role"].eq(g["role"].shift()) & g["role"].notna()
+        same_text = g["text"].eq(g["text"].shift()) & g["text"].notna()
+        role_repeat = (same_conv & same_role).astype("int64")
+        # islands: a new run starts where (role, text) differs from the
+        # previous turn (or at a conversation head)
+        brk = (~(same_conv & same_role & same_text)).astype("int64")
+        run_id = brk.cumsum()
+        run_len = run_id.groupby(run_id, sort=False).transform("size")
+        first = grp["role"].transform("first")
+        out = pd.DataFrame({
+            "conv_id": g["conv_id"],
+            "n_turns": grp["turn_idx"].transform("size").astype("int64"),
+            "first_role": first,
+            "last_role": grp["role"].transform("last"),
+            "n_role_repeats": role_repeat.groupby(
+                g["conv_id"], sort=False).transform("sum"),
+            "max_repeat_run": run_len.groupby(
+                g["conv_id"], sort=False).transform("max").astype("int64"),
+        })
+        return out.drop_duplicates("conv_id")
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    bucketed = _with_bucket(ds.select_columns(cols), "conv_id", n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort("conv_id")
+
+
+def conv_structure_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + """,
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+    CASE WHEN role = lag(role) OVER win THEN 1 ELSE 0 END AS role_rep,
+    CASE WHEN role = lag(role) OVER win AND text = lag(text) OVER win
+         THEN 0 ELSE 1 END AS brk
+  FROM transcripts
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
+), runs AS (
+  SELECT conv_id, turn_idx, role, role_rep,
+    sum(brk) OVER (ORDER BY conv_id, turn_idx
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM w
+), runlen AS (
+  SELECT conv_id, run_id, count(*) AS rl FROM runs GROUP BY conv_id, run_id
+), per_conv AS (
+  SELECT conv_id,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    arg_min(role, turn_idx) AS first_role,
+    arg_max(role, turn_idx) AS last_role,
+    CAST(sum(role_rep) AS BIGINT) AS n_role_repeats
+  FROM runs GROUP BY conv_id
+)
+SELECT p.conv_id, p.n_turns, p.first_role, p.last_role, p.n_role_repeats,
+  (SELECT CAST(max(rl) AS BIGINT) FROM runlen r
+   WHERE r.conv_id = p.conv_id) AS max_repeat_run
+FROM per_conv p ORDER BY conv_id"""
+    )

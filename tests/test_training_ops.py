@@ -1307,3 +1307,65 @@ def test_line_dedup_parity_and_edges(ray_session, tmp_path):
     assert by_id.loc[4, "text"] == "" and by_id.loc[4, "n_removed"] == 1
     # the NULL doc's single '' line is unique → kept as ''
     assert by_id.loc[5, "text"] == "" and by_id.loc[5, "n_removed"] == 0
+
+
+def test_conv_structure_edges(ray_session, tmp_path):
+    """conv_structure on adversarial shapes: a single-turn conv, an
+    agent loop (identical (role,text) repeated), same-role-different-
+    text adjacency, and NULL texts (NULL = NULL is never a repeat,
+    SQL equality semantics). Engine equals a DuckDB window mirror."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import conv_structure
+
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "a", "b", "c", "c", "c"],
+        "turn_idx": [1, 2, 3, 4, 1, 1, 2, 3],
+        "role": ["user", "tool", "tool", "tool", "user",
+                 "user", "user", "assistant"],
+        "text": ["hi", "CALL x", "CALL x", "CALL x", "solo",
+                 None, None, "ok"],
+    })
+    p = tmp_path / "t.parquet"
+    df.to_parquet(p, index=False)
+    got = conv_structure(rd.read_parquet(str(p))).to_pandas()
+    by = got.set_index("conv_id")
+    # conv a: tool repeats 2 adjacents same role; loop run of 3
+    assert by.loc["a", "n_role_repeats"] == 2
+    assert by.loc["a", "max_repeat_run"] == 3
+    assert by.loc["a", "first_role"] == "user"
+    assert by.loc["a", "last_role"] == "tool"
+    # conv b: singleton
+    assert by.loc["b", "n_turns"] == 1 and by.loc["b", "max_repeat_run"] == 1
+    # conv c: two NULL texts, same role — role repeat counts, but the
+    # NULL texts are NOT an identical run (SQL NULL = NULL)
+    assert by.loc["c", "n_role_repeats"] == 1
+    assert by.loc["c", "max_repeat_run"] == 1
+
+    con = duckdb.connect()
+    want = con.execute("""
+WITH w AS (
+  SELECT conv_id, turn_idx, role, text,
+    CASE WHEN role = lag(role) OVER win THEN 1 ELSE 0 END AS role_rep,
+    CASE WHEN role = lag(role) OVER win AND text = lag(text) OVER win
+         THEN 0 ELSE 1 END AS brk
+  FROM read_parquet(?) WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
+), runs AS (
+  SELECT *, sum(brk) OVER (ORDER BY conv_id, turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS run_id FROM w
+), runlen AS (
+  SELECT conv_id, run_id, count(*) AS rl FROM runs GROUP BY conv_id, run_id
+), pc AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+    arg_min(role, turn_idx) AS first_role,
+    arg_max(role, turn_idx) AS last_role,
+    CAST(sum(role_rep) AS BIGINT) AS n_role_repeats
+  FROM runs GROUP BY conv_id)
+SELECT p.conv_id, p.n_turns, p.first_role, p.last_role, p.n_role_repeats,
+  (SELECT CAST(max(rl) AS BIGINT) FROM runlen r
+   WHERE r.conv_id = p.conv_id) AS max_repeat_run
+FROM pc p ORDER BY conv_id
+""", [str(p)]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()))
