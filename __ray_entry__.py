@@ -1501,6 +1501,15 @@ def _conv_line_dedup_sql() -> str:
                           min_count=LINE_DEDUP_MIN_COUNT)
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Bigram-LM quality score under the corpus's own conditional
+    bigram model: word order now matters (vs the unigram bag-of-words
+    score); integer-millionths contract, bit-exact vs SQL."""
+    from fluent_server_ray.stages.textstats import doc_bigram_logprob
+
+    return doc_bigram_logprob(_docs(sf_dir))
+
+
 def _q_conv_structure(sf_dir: str):
     """Per-conversation structure validation (chat-data quality gate):
     role alternation, first/last speaker, and agent-loop detection
@@ -1658,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_event_type": _q_users_per_type,
         "conv_line_dedup": _q_conv_line_dedup,
         "conv_structure_flags": _q_conv_structure,
+        "doc_bigram_logprob": _q_bigram_logprob,
     }
 
 
@@ -1822,4 +1832,5 @@ WHERE doc_id % 2 = 1
         ).grouped_distinct_count_sql("event_type", "user_id"),
         "conv_line_dedup": _conv_line_dedup_sql(),
         "conv_structure_flags": assembly.conv_structure_sql(),
+        "doc_bigram_logprob": textstats.doc_bigram_logprob_sql(),
     }

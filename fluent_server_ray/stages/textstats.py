@@ -882,3 +882,165 @@ SELECT doc_id, n_tokens, logprob_millionths,
     AS avg_logprob
 FROM doc
 """.strip()
+
+
+# ------------------------------------ corpus bigram-LM quality score
+
+_BIGRAM_SEP = "\x1f"  # U+001F is Python/RE2 whitespace on BOTH engines
+#                       (str.split and _PY_WHITESPACE_RE2 both split on
+#                       it), so no token can ever contain it — the
+#                       joined bigram key is collision-free by
+#                       construction, not by assumption.
+
+
+def doc_bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document average BIGRAM log-probability under the corpus's
+    own bigram LM — the next step up from
+    :func:`doc_unigram_logprob`'s bag-of-words score: word-salad that
+    uses common words in uncommon ORDER now scores low, fluent
+    boilerplate scores high. ``logp(w1,w2) = ln(c(w1,w2) /
+    c_prefix(w1))`` where ``c_prefix`` counts occurrences of ``w1`` as
+    a bigram START (doc-final tokens excluded) — a proper conditional:
+    probabilities over each prefix sum to 1. Under the self-trained
+    model every observed bigram has count ≥ 1, so no backoff branch
+    exists to diverge on.
+
+    Same integer-exact contract and scale shape as
+    :func:`doc_unigram_logprob`: one count pass whose per-batch
+    combiner emits (bigram, n) partials (the shuffle carries distinct
+    bigrams per block), driver merge (bigram-vocab-sized; the 100 TB
+    variant swaps it for ``grouped_agg(final='ray')`` + a bucketed
+    scoring join, as documented on doc_tfidf), prefix counts derived
+    from the merged table (no second corpus pass), the (bigram →
+    logp_millionths) map broadcast once, then one vectorized scoring
+    pass. Docs with < 2 tokens emit no row (SQL inner join drops them
+    too).
+
+    Returns a Dataset (doc_id, n_bigrams, logprob_millionths,
+    avg_logprob).
+    """
+    import numpy as np
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    ds = ds.materialize()
+
+    def flat_bigrams(t: pa.Table):
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        doc_of = np.repeat(ids, lens)
+        if len(flat) < 2:
+            e = pa.array([], type=pa.string())
+            return np.empty(0, dtype=np.int64), e
+        same = doc_of[1:] == doc_of[:-1]
+        # doc ids can repeat across batches but never interleave within
+        # one (each doc is one row) — adjacency within doc_of is exact
+        w1 = pa.array(flat[:-1][same], type=pa.string())
+        w2 = pa.array(flat[1:][same], type=pa.string())
+        b = pc.binary_join_element_wise(w1, w2, _BIGRAM_SEP)
+        return doc_of[1:][same], b
+
+    def bg_partial(t: pa.Table):
+        _, b = flat_bigrams(t)
+        if not len(b):
+            return
+        out = pa.table({"b": b}).group_by("b").aggregate([([], "count_all")])
+        yield out.rename_columns(["b", "n"])
+
+    parts = ds.map_batches(bg_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    empty = pa.table({
+        id_col: pa.array([], type=pa.int64()),
+        "n_bigrams": pa.array([], type=pa.int64()),
+        "logprob_millionths": pa.array([], type=pa.int64()),
+        "avg_logprob": pa.array([], type=pa.float64()),
+    })
+    if not tables:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    cb = pa.concat_tables(tables).group_by("b").aggregate([("n", "sum")])
+    b_terms = cb["b"].combine_chunks()
+    n_b = cb["n_sum"].to_numpy(zero_copy_only=False).astype("float64")
+    # prefix counts fold out of the bigram table — no second corpus pass
+    w1 = pc.list_element(pc.split_pattern(b_terms, _BIGRAM_SEP), 0)
+    pref = pa.table({"w1": w1, "n": cb["n_sum"]}).group_by("w1").aggregate(
+        [("n", "sum")])
+    idx = pc.index_in(w1, value_set=pref["w1"].combine_chunks())
+    n_p = pc.take(pref["n_sum"], idx).to_numpy(
+        zero_copy_only=False).astype("float64")
+    lp_m = np.floor(np.log(n_b / n_p) * 1_000_000).astype("int64")
+    lp_ref = ray.put((b_terms, pa.array(lp_m)))
+
+    def score(t: pa.Table):
+        doc_of, b = flat_bigrams(t)
+        if not len(b):
+            return
+        vocab, lp = ray.get(lp_ref)
+        tf = pa.table({"d": pa.array(doc_of), "b": b}).group_by(
+            ["d", "b"]).aggregate([([], "count_all")])
+        tf = tf.rename_columns(["d", "b", "tf"])
+        w = pc.multiply(pc.cast(tf["tf"], pa.int64()),
+                        pc.take(lp, pc.index_in(tf["b"], value_set=vocab)))
+        scored = pa.table({"d": tf["d"], "w": w,
+                           "tf": pc.cast(tf["tf"], pa.int64())})
+        out = scored.group_by("d").aggregate([("w", "sum"), ("tf", "sum")])
+        avg = pc.divide(pc.cast(out["w_sum"], pa.float64()),
+                        pc.cast(out["tf_sum"], pa.float64()))
+        yield pa.table({
+            id_col: out["d"],
+            "n_bigrams": out["tf_sum"],
+            "logprob_millionths": out["w_sum"],
+            "avg_logprob": avg,
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return scored
+
+
+def doc_bigram_logprob_sql(table: str = "documents") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+), pos AS (
+  SELECT doc_id, t[gs] AS w1, t[gs] || chr(31) || t[gs + 1] AS b
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+), tf AS (
+  SELECT doc_id, b, count(*) AS tf FROM pos GROUP BY doc_id, b
+), cb AS (
+  SELECT b, count(*) AS n FROM pos GROUP BY b
+), cp AS (
+  SELECT w1, count(*) AS np FROM pos GROUP BY w1
+), lp AS (
+  SELECT b,
+    CAST(floor(ln(CAST(cb.n AS DOUBLE) / cp.np) * 1000000) AS BIGINT)
+      AS lp_m
+  FROM cb JOIN cp ON split_part(cb.b, chr(31), 1) = cp.w1
+), doc AS (
+  SELECT tf.doc_id,
+    CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+    CAST(sum(tf.tf * lp.lp_m) AS BIGINT) AS logprob_millionths
+  FROM tf JOIN lp USING (b)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_bigrams, logprob_millionths,
+  CAST(logprob_millionths AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+    AS avg_logprob
+FROM doc
+""".strip()

@@ -1369,3 +1369,36 @@ FROM pc p ORDER BY conv_id
 """, [str(p)]).df()
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.astype(got.dtypes.to_dict()))
+
+
+def test_bigram_logprob_edges(ray_session, tmp_path):
+    """Bigram LM score vs SQL on edge shapes: 0/1-token docs emit no
+    row, a 2-token doc scores its single bigram, NULL text drops, and
+    order sensitivity (same bag of words, different order → different
+    score) — the property the unigram score can't see."""
+    import duckdb
+    import math
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (doc_bigram_logprob,
+                                                    doc_bigram_logprob_sql)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["a b c a b", "b a c b a", "x", "", None, "a b"],
+    })
+    p = tmp_path / "docs.parquet"
+    df.to_parquet(p, index=False)
+    got = doc_bigram_logprob(rd.read_parquet(str(p))).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(doc_bigram_logprob_sql() + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    assert set(got.doc_id) == {1, 2, 6}  # <2 tokens → no row
+    by = got.set_index("doc_id")
+    # docs 1 and 2 share the unigram bag but differ in bigram order
+    assert by.loc[1, "avg_logprob"] != by.loc[2, "avg_logprob"]
+    # doc 6's single bigram 'a b': c(a b)=3 of c_prefix(a)=4 starts
+    assert by.loc[6, "logprob_millionths"] == math.floor(
+        math.log(3 / 4) * 1_000_000)
