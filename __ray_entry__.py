@@ -1501,6 +1501,18 @@ def _conv_line_dedup_sql() -> str:
                           min_count=LINE_DEDUP_MIN_COUNT)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-then-dedup): k-means partition + per-cluster
+    exact cosine with keep-lowest-id — paraphrase-level dedup text
+    hashing can't see. Rows-only (k-means is iterative, not
+    SQL-expressible); within-cluster equality vs the brute-force
+    survivor set is pinned in pytest."""
+    from fluent_server_ray.stages.similarity import semantic_dedup
+
+    return semantic_dedup(_embs(sf_dir), threshold=COSINE_DUP_T,
+                          n_clusters=8, n_iter=3)
+
+
 def _q_bigram_logprob(sf_dir: str):
     """Bigram-LM quality score under the corpus's own conditional
     bigram model: word order now matters (vs the unigram bag-of-words
@@ -1668,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_line_dedup": _q_conv_line_dedup,
         "conv_structure_flags": _q_conv_structure,
         "doc_bigram_logprob": _q_bigram_logprob,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 

@@ -859,3 +859,75 @@ def pca_project(ds, n_components: int = 8, id_col: str = "vec_id",
 
     return ds.map_batches(project, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ------------------------------------------------- SemDeDup composite
+
+def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 8,
+                   n_iter: int = 4, sample_size: int = 512,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate REMOVAL over an embedding corpus — cluster with
+    k-means, then compare pairs only WITHIN each cluster and keep one
+    representative of every near-duplicate set. Catches paraphrase
+    duplicates that exact/MinHash text dedup cannot see, at k-partition
+    cost instead of O(n²).
+
+    Pipeline: :func:`kmeans_fit` (distributed Lloyd; corpus never on
+    the driver) → one assignment ``map_batches`` pass (one BLAS matmul
+    per block against the broadcast centroids) → per-cluster exact
+    pairwise cosine with the deterministic keep rule: a vector is
+    DROPPED iff some SMALLER id in its cluster has cosine >=
+    threshold with it (keep-lowest-id, the same rule as
+    ``exact_dedup``; one-shot, not transitive — chain removal wants
+    :func:`dedup.pair_components` over :func:`cosine_dupes`).
+
+    Scale contract: the per-cluster comparison is exact and
+    cluster-sized (|cluster|² sims in one worker) — ``n_clusters`` is
+    the knob that bounds it, and SemDeDup's own design scales k WITH
+    the corpus (the paper uses 50k clusters for LAION) so clusters
+    stay worker-sized; the groupby key is ``cluster`` (bounded
+    cardinality = k). Recall boundary (same as the paper): a
+    near-duplicate pair straddling a cluster boundary is missed.
+
+    Returns the survivor Dataset (vec_id, cluster), sorted by vec_id.
+    """
+    import ray
+
+    centroids, _ = kmeans_fit(ds, n_clusters, n_iter, sample_size,
+                              id_col, emb_col)
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _normalize(_batch_matrix(t, emb_col))
+        cl = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            emb_col: t[emb_col],
+            "cluster": pa.array(cl),
+        })
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = _normalize(np.stack(g[emb_col].to_numpy())[order])
+        sims = mat @ mat.T
+        # dominated[j]: some i<j (smaller id) with sim >= threshold
+        dom = (np.triu(sims >= threshold, k=1)).any(axis=0)
+        keep = ~dom
+        return pd.DataFrame({
+            id_col: ids[keep],
+            "cluster": np.full(int(keep.sum()), int(g["cluster"].iloc[0]),
+                               dtype=np.int64),
+        })
+
+    pruned = ds.select_columns([id_col, emb_col])
+    out = (
+        pruned.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(survivors, batch_format="pandas")
+    )
+    return out.sort(id_col)

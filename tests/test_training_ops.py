@@ -1402,3 +1402,50 @@ def test_bigram_logprob_edges(ray_session, tmp_path):
     # doc 6's single bigram 'a b': c(a b)=3 of c_prefix(a)=4 starts
     assert by.loc[6, "logprob_millionths"] == math.floor(
         math.log(3 / 4) * 1_000_000)
+
+
+def test_semantic_dedup_matches_bruteforce(ray_session):
+    """SemDeDup with n_clusters=1 equals the brute-force keep-lowest-id
+    survivor set exactly; with separated clusters and within-cluster
+    dups it still equals brute force (no cross-cluster pair exists to
+    miss), and every dropped vector has a smaller-id near neighbor."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import (_normalize,
+                                                     semantic_dedup)
+
+    rng = np.random.default_rng(7)
+    # two well-separated blobs, each with planted near-duplicate pairs
+    base = rng.normal(size=(2, 16))
+    rows = []
+    vid = 0
+    for b in range(2):
+        for i in range(30):
+            v = base[b] * 10 + rng.normal(scale=0.5, size=16)
+            rows.append((vid, v))
+            vid += 1
+            if i % 5 == 0:  # planted near-dup of the row just added
+                rows.append((vid, v + rng.normal(scale=1e-3, size=16)))
+                vid += 1
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([r[1] for r in rows])
+    import pyarrow as pa
+
+    tab = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(mat.astype(np.float32).tolist(),
+                              type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tab)
+
+    t = 0.9999
+    sims = _normalize(mat.astype(np.float32).astype(np.float64))
+    sims = sims @ sims.T
+    dom = np.triu(sims >= t, k=1).any(axis=0)
+    want = set(ids[~dom])
+
+    for k in (1, 2):
+        got = semantic_dedup(ds, threshold=t, n_clusters=k,
+                             n_iter=3).to_pandas()
+        assert set(got.vec_id) == want, k
+    assert len(want) < len(ids)  # the planted dups actually dropped
