@@ -1501,6 +1501,27 @@ def _conv_line_dedup_sql() -> str:
                           min_count=LINE_DEDUP_MIN_COUNT)
 
 
+def _q_median_by_type(sf_dir: str):
+    """EXACT per-group median via distributed selection over
+    (key, value) COUNTS — one key-bucket exchange + one vectorized
+    searchsorted; the exact counterpart of the histogram quantiles."""
+    from fluent_server_ray.stages.aggregate import grouped_exact_median
+
+    return grouped_exact_median(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]),
+        "event_type", "value")
+
+
+def _q_conv_windows(sf_dir: str):
+    """Chat-LM context-window assignment: per-conversation integer
+    char-budget packing that never splits a turn."""
+    from fluent_server_ray.stages.assembly import conv_context_windows
+
+    return conv_context_windows(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]))
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (cluster-then-dedup): k-means partition + per-cluster
     exact cosine with keep-lowest-id — paraphrase-level dedup text
@@ -1681,6 +1702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_structure_flags": _q_conv_structure,
         "doc_bigram_logprob": _q_bigram_logprob,
         "semantic_dedup": _q_semantic_dedup,
+        "median_value_by_type": _q_median_by_type,
+        "conv_context_windows": _q_conv_windows,
     }
 
 
@@ -1846,4 +1869,9 @@ WHERE doc_id % 2 = 1
         "conv_line_dedup": _conv_line_dedup_sql(),
         "conv_structure_flags": assembly.conv_structure_sql(),
         "doc_bigram_logprob": textstats.doc_bigram_logprob_sql(),
+        "median_value_by_type": __import__(
+            "fluent_server_ray.stages.aggregate",
+            fromlist=["grouped_exact_median_sql"],
+        ).grouped_exact_median_sql("event_type", "value", "events"),
+        "conv_context_windows": assembly.conv_context_windows_sql(),
     }

@@ -360,3 +360,85 @@ def grouped_distinct_count_sql(group_col: str, value_col: str,
     return (f"SELECT {group_col}, CAST(count(DISTINCT {value_col}) "
             f"AS BIGINT) AS n_distinct FROM {table} "
             f"GROUP BY {group_col} ORDER BY {group_col}")
+
+
+def grouped_exact_median(ds, key_col: str, value_col: str,
+                         n_buckets: int = 64):
+    """EXACT per-group median (DuckDB ``median()`` semantics over
+    DOUBLE: for even counts, ``lo + (hi - lo) * 0.5`` between the two
+    middle values) — the exact counterpart of
+    :func:`sketches.grouped_binned_quantiles`.
+
+    Distributed selection, never a per-group collect of raw rows:
+    each batch collapses to per-``(key, value)`` COUNTS (one Arrow
+    group_by — duplicate values merge right there), ONE key-bucket
+    exchange co-locates each group's count rows, and the in-bucket
+    selection is fully vectorized: global cumsum over the
+    (key, value)-sorted counts + ONE ``searchsorted`` call for all
+    groups' two middle positions. Per-bucket state is the DISTINCT
+    (key, value) pairs of its groups — for continuous unbounded values
+    that degrades toward group size (use the histogram quantiles
+    instead); for discrete/rounded values it is far smaller.
+
+    NULL values are ignored (SQL ``median``); NULL group keys
+    canonicalize to ``''`` on both sides (same convention as
+    grouped_binned_quantiles). Returns a Dataset (key, median) sorted
+    by key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = pc.fill_null(pc.cast(t[key_col], pa.string()), "")
+        sel = pa.table({key_col: keys, value_col: t[value_col]})
+        sel = sel.filter(pc.is_valid(sel[value_col]))
+        out = sel.group_by([key_col, value_col]).aggregate(
+            [([], "count_all")])
+        return out.rename_columns([key_col, value_col, "n"])
+
+    parts = ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(hash_bucket_array(t[key_col], n_buckets)))
+
+    bucketed = parts.map_batches(skip_empty(with_bucket),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([key_col, value_col], as_index=False, sort=True,
+                      dropna=False)["n"].sum()
+        keys = g[key_col].to_numpy()
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        ns = g["n"].to_numpy(dtype=np.int64)
+        gcum = np.cumsum(ns)
+        # segment starts: first row of each key (rows already key-sorted)
+        new_key = np.ones(len(g), dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_key)
+        base = np.where(starts > 0, gcum[starts - 1], 0)
+        tot = np.append(gcum[starts[1:] - 1], gcum[-1]) - base
+        # two middle positions (0-based) per group; global targets stay
+        # inside the segment because pos < tot
+        lo_idx = np.searchsorted(gcum, base + (tot - 1) // 2, side="right")
+        hi_idx = np.searchsorted(gcum, base + tot // 2, side="right")
+        v_lo, v_hi = vals[lo_idx], vals[hi_idx]
+        return pd.DataFrame({
+            key_col: keys[starts],
+            "median": v_lo + (v_hi - v_lo) * 0.5,
+        })
+
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort(key_col)
+
+
+def grouped_exact_median_sql(key_col: str, value_col: str,
+                             table: str) -> str:
+    return f"""
+SELECT COALESCE(CAST({key_col} AS VARCHAR), '') AS {key_col},
+       median({value_col}) AS median
+FROM {table} GROUP BY 1 ORDER BY 1
+""".strip()

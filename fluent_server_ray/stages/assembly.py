@@ -579,3 +579,59 @@ SELECT p.conv_id, p.n_turns, p.first_role, p.last_role, p.n_role_repeats,
    WHERE r.conv_id = p.conv_id) AS max_repeat_run
 FROM per_conv p ORDER BY conv_id"""
     )
+
+
+def conv_context_windows(ds, budget: int = 512, n_buckets: int = 64):
+    """Chat-LM context-window assignment: each conversation's turns
+    (stable ``turn_idx`` order) are packed into consecutive training
+    windows of at most ``budget`` characters — a turn belongs to the
+    window where it STARTS (the :func:`pack_sequences` convention at
+    conversation granularity; a single turn longer than the budget
+    still occupies one window slot). Turn boundaries are never split —
+    the property chat fine-tuning needs and flat document chunking
+    (:func:`chunk_windows`) destroys.
+
+    Pure integer window arithmetic — ``window_id = exclusive running
+    char sum // budget``, ``win_off`` the offset inside the window —
+    so the mirror is bit-exact. One conv_id bucket exchange; in-bucket
+    cumsum/shift are whole-bucket pandas C kernels. NULL text counts 0
+    chars (SQL COALESCE). Output: (conv_id, turn_idx, window_id,
+    win_off) sorted by (conv_id, turn_idx)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        chars = g["text"].str.len().fillna(0).astype("int64")
+        cum = chars.groupby(g["conv_id"], sort=False).cumsum()
+        prior = cum - chars
+        win = prior // budget
+        return pd.DataFrame({
+            "conv_id": g["conv_id"],
+            "turn_idx": g["turn_idx"],
+            "window_id": win.astype("int64"),
+            "win_off": (prior - win * budget).astype("int64"),
+        })
+
+    cols = ["conv_id", "turn_idx", "text"]
+    bucketed = _with_bucket(ds.select_columns(cols), "conv_id", n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort(["conv_id", "turn_idx"])
+
+
+def conv_context_windows_sql(budget: int = 512) -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + f""",
+w AS (
+  SELECT conv_id, turn_idx,
+    sum(COALESCE(length(text), 0)) OVER
+      (PARTITION BY conv_id ORDER BY turn_idx
+       ROWS UNBOUNDED PRECEDING) - COALESCE(length(text), 0) AS prior
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+  CAST(prior // {budget} AS BIGINT) AS window_id,
+  CAST(prior - (prior // {budget}) * {budget} AS BIGINT) AS win_off
+FROM w ORDER BY conv_id, turn_idx"""
+    )

@@ -1449,3 +1449,71 @@ def test_semantic_dedup_matches_bruteforce(ray_session):
                              n_iter=3).to_pandas()
         assert set(got.vec_id) == want, k
     assert len(want) < len(ids)  # the planted dups actually dropped
+
+
+def test_grouped_exact_median_edges(ray_session):
+    """Exact median vs DuckDB bit-for-bit: odd/even counts, duplicate
+    values spanning the middle, NULL values ignored, NULL group key
+    canonicalized to ''."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import (
+        grouped_exact_median, grouped_exact_median_sql)
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 5 + ["c"] + [None] * 2,
+        "v": [1.0, 1.0, 2.0, 5.0,
+              0.1, 0.2, 0.2, 0.2, 9.0,
+              42.0,
+              3.0, None],
+    })
+    got = grouped_exact_median(rd.from_pandas(df), "k", "v").to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(grouped_exact_median_sql("k", "v", "t")).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_exact=True)
+    by = got.set_index("k")["median"]
+    assert by["a"] == 1.5      # even: (1.0+2.0)/2
+    assert by["b"] == 0.2      # duplicates span the middle
+    assert by["c"] == 42.0     # singleton
+    assert by[""] == 3.0       # NULL key → ''; NULL value ignored
+
+
+def test_conv_context_windows_never_splits_turns(ray_session, tmp_path):
+    """Window assignment: a turn belongs to the window where it starts,
+    oversized turns occupy one slot, NULL text counts 0 chars, and
+    windows are per-conversation (reset across convs)."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import conv_context_windows
+
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "a", "b"],
+        "turn_idx": [1, 2, 3, 4, 1],
+        "text": ["x" * 6, "y" * 3, "z" * 20, None, "q" * 9],
+    })
+    p = tmp_path / "t.parquet"
+    df.to_parquet(p, index=False)
+    got = conv_context_windows(rd.read_parquet(str(p)),
+                               budget=8).to_pandas()
+    # priors: a → 0, 6, 9, 29 → windows 0, 0, 1, 3; b resets → 0
+    assert got.window_id.tolist() == [0, 0, 1, 3, 0]
+    assert got.win_off.tolist() == [0, 6, 1, 5, 0]
+
+    want = duckdb.connect().execute("""
+WITH w AS (
+  SELECT conv_id, turn_idx,
+    sum(COALESCE(length(text), 0)) OVER
+      (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+    - COALESCE(length(text), 0) AS prior
+  FROM read_parquet(?))
+SELECT conv_id, turn_idx, CAST(prior // 8 AS BIGINT) AS window_id,
+  CAST(prior - (prior // 8) * 8 AS BIGINT) AS win_off
+FROM w ORDER BY conv_id, turn_idx
+""", [str(p)]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype(got.dtypes.to_dict()))
