@@ -1522,6 +1522,15 @@ def _q_conv_windows(sf_dir: str):
         read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
+def _q_quality_curriculum(sf_dir: str):
+    """Quality-curriculum data mixing: unigram-LM score → fixed-
+    threshold tier → per-tier deterministic md5-coin rates (upsample
+    quality, downsample noise) — pure map after the score pass."""
+    from fluent_server_ray.pipelines.curation import quality_curriculum
+
+    return quality_curriculum(_docs(sf_dir))
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (cluster-then-dedup): k-means partition + per-cluster
     exact cosine with keep-lowest-id — paraphrase-level dedup text
@@ -1704,6 +1713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "median_value_by_type": _q_median_by_type,
         "conv_context_windows": _q_conv_windows,
+        "quality_curriculum_mix": _q_quality_curriculum,
     }
 
 
@@ -1874,4 +1884,8 @@ WHERE doc_id % 2 = 1
             fromlist=["grouped_exact_median_sql"],
         ).grouped_exact_median_sql("event_type", "value", "events"),
         "conv_context_windows": assembly.conv_context_windows_sql(),
+        "quality_curriculum_mix": __import__(
+            "fluent_server_ray.pipelines.curation",
+            fromlist=["quality_curriculum_sql"],
+        ).quality_curriculum_sql(),
     }

@@ -223,3 +223,69 @@ WITH gated AS (
 SELECT doc_id, text, n_tokens FROM dedup
 WHERE {sample_by_key_sql_predicate("doc_id", hex_threshold)}
 """.strip()
+
+
+# ---------------------------------------- quality-curriculum mixing
+
+CURRICULUM_T_HI = -3_400_000  # avg_logprob millionths ≈ corpus tercile
+CURRICULUM_T_LO = -3_404_000
+CURRICULUM_RATES = {"high": 1.0, "mid": 0.5, "low": 0.125}
+
+
+def quality_curriculum(ds, t_hi: int = CURRICULUM_T_HI,
+                       t_lo: int = CURRICULUM_T_LO,
+                       rates: dict | None = None):
+    """Quality-weighted data mixing (the CCNet/DoReMi-style curriculum
+    step): score every document with the corpus's own unigram LM
+    (:func:`textstats.doc_unigram_logprob`), tier it against FIXED
+    avg-logprob thresholds (high/mid/low; thresholds are calibrated
+    offline from the histogram quantile sketch — keeping them
+    parameters keeps this stage a pure map, no global rank pass), and
+    keep each tier at its declared rate with the shared deterministic
+    md5 coin (:func:`sampling.mixture_sample`) — upsample-quality /
+    downsample-noise without ever materializing a sorted corpus.
+
+    The tier compare runs on ``avg_logprob`` (one IEEE division of two
+    int64s — bit-exact across engines, so the tier boundary can never
+    flip between engine and oracle). Output: (doc_id, tier) of
+    survivors.
+    """
+    from fluent_server_ray.stages.sampling import mixture_sample
+    from fluent_server_ray.stages.textstats import doc_unigram_logprob
+
+    rates = dict(CURRICULUM_RATES if rates is None else rates)
+    scored = doc_unigram_logprob(ds)
+
+    def tier(t: pa.Table) -> pa.Table:
+        avg = t["avg_logprob"]
+        hi = pc.greater_equal(avg, pa.scalar(float(t_hi)))
+        lo = pc.less(avg, pa.scalar(float(t_lo)))
+        tiers = pc.if_else(hi, "high", pc.if_else(lo, "low", "mid"))
+        return pa.table({"doc_id": t["doc_id"], "tier": tiers})
+
+    tiered = scored.map_batches(tier, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return mixture_sample(tiered, rates, key_col="tier", id_col="doc_id")
+
+
+def quality_curriculum_sql(t_hi: int = CURRICULUM_T_HI,
+                           t_lo: int = CURRICULUM_T_LO,
+                           rates: dict | None = None,
+                           table: str = "documents") -> str:
+    from fluent_server_ray.stages.sampling import mixture_sample_sql
+    from fluent_server_ray.stages.textstats import doc_unigram_logprob_sql
+
+    rates = dict(CURRICULUM_RATES if rates is None else rates)
+    inner = mixture_sample_sql(rates, key_col="tier", id_col="doc_id",
+                               table="tiered")
+    return f"""
+WITH scored AS ({doc_unigram_logprob_sql(table)}),
+tiered AS (
+  SELECT doc_id,
+    CASE WHEN avg_logprob >= {float(t_hi)} THEN 'high'
+         WHEN avg_logprob < {float(t_lo)} THEN 'low'
+         ELSE 'mid' END AS tier
+  FROM scored
+)
+{inner}
+""".strip()

@@ -1517,3 +1517,24 @@ FROM w ORDER BY conv_id, turn_idx
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True),
         want.astype(got.dtypes.to_dict()))
+
+
+def test_quality_curriculum_tiers_and_rates(ray_session):
+    """Curriculum mix on sf0.001: all three tiers survive, the high
+    tier keeps every doc (rate 1.0 → no coin), and survivors per tier
+    never exceed that tier's population."""
+    from fluent_server_ray.pipelines.curation import quality_curriculum
+    from fluent_server_ray.stages.textstats import doc_unigram_logprob
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_SMALL}/documents.parquet",
+                         columns=["doc_id", "text"])
+    got = quality_curriculum(ds).to_pandas()
+    counts = got.tier.value_counts()
+    assert set(counts.index) == {"high", "mid", "low"}
+
+    scored = doc_unigram_logprob(ds).to_pandas()
+    n_high = int((scored.avg_logprob >= -3_400_000).sum())
+    assert counts["high"] == n_high  # rate 1.0 keeps all
+    n_low = int((scored.avg_logprob < -3_404_000).sum())
+    assert 0 < counts["low"] < n_low  # rate 0.125 actually thins
