@@ -1522,6 +1522,15 @@ def _q_conv_windows(sf_dir: str):
         read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-doc Shannon token entropy (within-doc distribution signal):
+    integer-millionths ln(tf) contract, pure per-batch map — no corpus
+    pass, no shuffle."""
+    from fluent_server_ray.stages.textstats import doc_token_entropy
+
+    return doc_token_entropy(_docs(sf_dir))
+
+
 def _q_quality_curriculum(sf_dir: str):
     """Quality-curriculum data mixing: unigram-LM score → fixed-
     threshold tier → per-tier deterministic md5-coin rates (upsample
@@ -1714,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_by_type": _q_median_by_type,
         "conv_context_windows": _q_conv_windows,
         "quality_curriculum_mix": _q_quality_curriculum,
+        "doc_token_entropy": _q_token_entropy,
     }
 
 
@@ -1884,6 +1894,7 @@ WHERE doc_id % 2 = 1
             fromlist=["grouped_exact_median_sql"],
         ).grouped_exact_median_sql("event_type", "value", "events"),
         "conv_context_windows": assembly.conv_context_windows_sql(),
+        "doc_token_entropy": textstats.doc_token_entropy_sql(),
         "quality_curriculum_mix": __import__(
             "fluent_server_ray.pipelines.curation",
             fromlist=["quality_curriculum_sql"],

@@ -1044,3 +1044,83 @@ SELECT doc_id, n_bigrams, logprob_millionths,
     AS avg_logprob
 FROM doc
 """.strip()
+
+
+def doc_token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon token entropy (nats) — the WITHIN-document
+    distribution signal that complements the corpus-LM scores:
+    keyword-stuffing and single-phrase spam score near 0, varied text
+    scores near ``ln(n_tokens)``. ``H = ln(n) - (Σ_t tf·ln(tf)) / n``
+    over the doc's term frequencies.
+
+    Integer-exact contract: ``ln(tf)`` floors to int64 millionths, so
+    ``Σ tf·lp`` is an order-free int64 sum; the final float derivation
+    ``ln(n) - (sum/1e6)/n`` is ONE fixed expression tree mirrored
+    verbatim in SQL. Pure per-batch map (term frequencies are per-doc
+    — no corpus pass, no shuffle, unlike doc_unigram_logprob). Docs
+    with zero tokens emit no row. Returns (doc_id, n_tokens,
+    entropy)."""
+    import numpy as np
+
+    def fn(t: pa.Table):
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        if not len(flat):
+            return
+        doc_of = np.repeat(ids, lens)
+        tf = pa.table({
+            "d": pa.array(doc_of),
+            "term": pa.array(flat, type=pa.string()),
+        }).group_by(["d", "term"]).aggregate([([], "count_all")])
+        tf = tf.rename_columns(["d", "term", "tf"])
+        cnt = tf["tf"].to_numpy(zero_copy_only=False).astype("float64")
+        lp_m = np.floor(np.log(cnt) * 1_000_000).astype("int64")
+        w = pc.multiply(pc.cast(tf["tf"], pa.int64()), pa.array(lp_m))
+        agg = pa.table({
+            "d": tf["d"], "w": w,
+            "tf": pc.cast(tf["tf"], pa.int64()),
+        }).group_by("d").aggregate([("w", "sum"), ("tf", "sum")])
+        n = agg["tf_sum"].to_numpy(zero_copy_only=False).astype("float64")
+        s = agg["w_sum"].to_numpy(zero_copy_only=False).astype("float64")
+        ent = np.log(n) - (s / 1_000_000.0) / n
+        yield pa.table({
+            id_col: agg["d"],
+            "n_tokens": agg["tf_sum"],
+            "entropy": pa.array(ent, type=pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_token_entropy_sql(table: str = "documents") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS term
+  FROM {table}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), doc AS (
+  SELECT doc_id,
+    CAST(sum(tf) AS BIGINT) AS n_tokens,
+    CAST(sum(tf * CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000) AS BIGINT))
+         AS BIGINT) AS s_m
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+  ln(CAST(n_tokens AS DOUBLE))
+    - (CAST(s_m AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE)
+    AS entropy
+FROM doc
+""".strip()

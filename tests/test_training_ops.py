@@ -1538,3 +1538,35 @@ def test_quality_curriculum_tiers_and_rates(ray_session):
     assert counts["high"] == n_high  # rate 1.0 keeps all
     n_low = int((scored.avg_logprob < -3_404_000).sum())
     assert 0 < counts["low"] < n_low  # rate 0.125 actually thins
+
+
+def test_doc_token_entropy_edges(ray_session, tmp_path):
+    """Entropy vs SQL bit-for-bit on edges: single-token doc (H=0),
+    all-identical tokens (H=0), uniform tokens (H=ln k via the
+    millionths contract), empty/NULL text emits no row."""
+    import duckdb
+    import math
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (doc_token_entropy,
+                                                    doc_token_entropy_sql)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x", "a a a a", "a b c d", "", None],
+    })
+    p = tmp_path / "docs.parquet"
+    df.to_parquet(p, index=False)
+    got = doc_token_entropy(rd.read_parquet(str(p))).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(doc_token_entropy_sql() + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()),
+                                  check_exact=True)
+    by = got.set_index("doc_id")["entropy"]
+    assert set(got.doc_id) == {1, 2, 3}
+    assert by[1] == 0.0
+    assert by[2] == math.log(4.0) - (math.floor(
+        math.log(4.0) * 1e6) / 1e6 * 4) / 4
+    assert abs(by[3] - math.log(4.0)) < 1e-12  # uniform: ln(tf)=ln(1)=0
