@@ -1522,6 +1522,14 @@ def _q_conv_windows(sf_dir: str):
         read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
+def _q_tool_transitions(sf_dir: str):
+    """Agent tool-flow mining: (prev tool -> next tool) Markov counts
+    over each conversation's tool-call turns."""
+    from fluent_server_ray.stages.assembly import tool_transitions
+
+    return tool_transitions(apply_parse(read_transcripts(sf_dir)))
+
+
 def _q_token_entropy(sf_dir: str):
     """Per-doc Shannon token entropy (within-doc distribution signal):
     integer-millionths ln(tf) contract, pure per-batch map — no corpus
@@ -1724,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context_windows": _q_conv_windows,
         "quality_curriculum_mix": _q_quality_curriculum,
         "doc_token_entropy": _q_token_entropy,
+        "tool_transition_counts": _q_tool_transitions,
     }
 
 
@@ -1895,6 +1904,7 @@ WHERE doc_id % 2 = 1
         ).grouped_exact_median_sql("event_type", "value", "events"),
         "conv_context_windows": assembly.conv_context_windows_sql(),
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
+        "tool_transition_counts": assembly.tool_transitions_sql(),
         "quality_curriculum_mix": __import__(
             "fluent_server_ray.pipelines.curation",
             fromlist=["quality_curriculum_sql"],

@@ -635,3 +635,62 @@ SELECT conv_id, turn_idx,
   CAST(prior - (prior // {budget}) * {budget} AS BIGINT) AS win_off
 FROM w ORDER BY conv_id, turn_idx"""
     )
+
+
+def tool_transitions(ds, n_buckets: int = 64):
+    """Agent tool-flow mining: the (previous tool → next tool)
+    transition counts over each conversation's tool-CALL turns in
+    stable ``turn_idx`` order — the first-order Markov summary of how
+    agents chain tools ("search → browser → bash"), the log-pipeline
+    analytic that plain per-tool counts can't express.
+
+    ``ds``: PARSED transcripts (needs conv_id, turn_idx, parsed_tool,
+    kind — i.e. :func:`parse.apply_parse` output). Non-call turns are
+    dropped BEFORE the exchange (transitions skip over messages /
+    errors between calls); one conv_id bucket exchange orders each
+    conversation, the lag + pair-count run as whole-bucket pandas C
+    kernels, and the per-bucket partials (≤ |tools|² rows each) merge
+    in one bounded driver pass. Output: (prev_tool, tool, n) sorted.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "tool"))
+        return t.select(["conv_id", "turn_idx", "parsed_tool"])
+
+    calls = ds.map_batches(skip_empty(pre), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        prev = g.groupby("conv_id", sort=False)["parsed_tool"].shift()
+        mask = prev.notna()
+        pairs = pd.DataFrame({
+            "prev_tool": prev[mask].to_numpy(),
+            "tool": g.loc[mask, "parsed_tool"].to_numpy(),
+        })
+        out = pairs.groupby(["prev_tool", "tool"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    bucketed = _with_bucket(calls, "conv_id", n_buckets)
+    parts = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                   batch_format="pandas")
+    merged = grouped_agg(parts, ["prev_tool", "tool"], [("n", "sum")],
+                         final="driver")
+    return merged.rename_columns(["prev_tool", "tool", "n"])
+
+
+def tool_transitions_sql() -> str:
+    from fluent_server_ray.oracle import with_pipeline_ctes
+
+    return with_pipeline_ctes("""calls AS (
+  SELECT conv_id, turn_idx, parsed_tool FROM parsed WHERE kind = 'tool'
+), trans AS (
+  SELECT parsed_tool AS tool,
+    lag(parsed_tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS prev_tool
+  FROM calls
+)""") + """
+SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+FROM trans WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool ORDER BY prev_tool, tool"""

@@ -1570,3 +1570,24 @@ def test_doc_token_entropy_edges(ray_session, tmp_path):
     assert by[2] == math.log(4.0) - (math.floor(
         math.log(4.0) * 1e6) / 1e6 * 4) / 4
     assert abs(by[3] - math.log(4.0)) < 1e-12  # uniform: ln(tf)=ln(1)=0
+
+
+def test_tool_transitions_skip_non_calls(ray_session):
+    """Transitions chain over intervening non-call turns, reset across
+    conversations, and a single-call conv contributes nothing."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import tool_transitions
+
+    df = pd.DataFrame({
+        "conv_id": ["a"] * 5 + ["b"] * 2 + ["c"],
+        "turn_idx": [1, 2, 3, 4, 5, 1, 2, 1],
+        "kind": ["tool", "msg", "tool", "error", "tool",
+                 "tool", "tool", "tool"],
+        "parsed_tool": ["search", "", "bash", "", "search",
+                        "bash", "bash", "browser"],
+    })
+    got = tool_transitions(rd.from_pandas(df)).to_pandas()
+    want = {("search", "bash"): 1, ("bash", "search"): 1,
+            ("bash", "bash"): 1}
+    assert {(r.prev_tool, r.tool): r.n for r in got.itertuples()} == want
