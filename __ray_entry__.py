@@ -1522,6 +1522,16 @@ def _q_conv_windows(sf_dir: str):
         read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
+def _q_dup_ngram_frac(sf_dir: str):
+    """Cross-corpus duplicated-3-gram fraction per doc (RefinedWeb/
+    Dolma boilerplate signal): no broadcast — gram df merges
+    distributed, occurrences join the dup-gram set via one bucketed
+    hash join, totals attach with a doc-bucketed LEFT join."""
+    from fluent_server_ray.stages.hygiene import dup_ngram_fraction
+
+    return dup_ngram_fraction(_docs(sf_dir))
+
+
 def _q_tool_transitions(sf_dir: str):
     """Agent tool-flow mining: (prev tool -> next tool) Markov counts
     over each conversation's tool-call turns."""
@@ -1733,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_curriculum_mix": _q_quality_curriculum,
         "doc_token_entropy": _q_token_entropy,
         "tool_transition_counts": _q_tool_transitions,
+        "doc_dup_ngram_frac": _q_dup_ngram_frac,
     }
 
 
@@ -1905,6 +1916,7 @@ WHERE doc_id % 2 = 1
         "conv_context_windows": assembly.conv_context_windows_sql(),
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
         "tool_transition_counts": assembly.tool_transitions_sql(),
+        "doc_dup_ngram_frac": hygiene.dup_ngram_fraction_sql(),
         "quality_curriculum_mix": __import__(
             "fluent_server_ray.pipelines.curation",
             fromlist=["quality_curriculum_sql"],

@@ -491,3 +491,139 @@ SELECT t.{id_col}, COALESCE(a.text, '') AS {text_col}, t.n_lines,
 FROM tot t LEFT JOIN agg a USING ({id_col})
 ORDER BY t.{id_col}
 """.strip()
+
+
+# -------------------------------- cross-corpus duplicated-gram signal
+
+def dup_ngram_fraction(ds, k: int = 3, min_df: int = 2,
+                       n_buckets: int = 64):
+    """Per-document DUPLICATED-n-gram fraction — the cross-corpus
+    boilerplate signal of the RefinedWeb/Dolma quality suite: what
+    fraction of a document's word ``k``-gram occurrences belong to
+    grams appearing in at least ``min_df`` distinct documents
+    corpus-wide. High fraction ⇒ the doc is mostly shared boilerplate
+    even when no single document duplicates it (the signal
+    :func:`ngram_repetition` — within-doc — cannot see).
+
+    Scale shape, no broadcast anywhere (the duplicated-gram set is
+    corpus-scale, unlike :func:`decontaminate`'s benchmark set):
+    per-batch (doc, gram) COUNT combiner (docs never straddle blocks,
+    so per-doc totals and document frequency partials are both exact
+    map-side); gram df merges through ``grouped_agg(final='ray')``;
+    occurrences join the ``df >= min_df`` grams with ONE bucketed hash
+    join on the gram; per-doc dup counts merge distributed; one final
+    doc_id-bucketed LEFT join attaches totals. Output: (doc_id,
+    n_grams, n_dup, dup_frac) for docs with >= k tokens, sorted by
+    doc_id; ``dup_frac`` is one float64 division.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    def occ_partial(t: pa.Table):
+        d_of, grams = _gram_strings(*_flat_tokens(t["text"].to_pylist()), k)
+        if not len(grams):
+            return
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        out = pa.table({
+            "doc_id": pa.array(ids[d_of]),
+            "gram": pa.array(grams, type=pa.string()),
+        }).group_by(["doc_id", "gram"]).aggregate([([], "count_all")])
+        yield out.rename_columns(["doc_id", "gram", "cnt"])
+
+    occ = ds.map_batches(occ_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("doc_id").aggregate([("cnt", "sum")])
+        return out.rename_columns(["doc_id", "n_grams"])
+
+    totals = occ.map_batches(skip_empty(tot_partial), batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    # occ rows ARE distinct (doc, gram) pairs → df partial = per-batch
+    # gram count; distributed merge handles unbounded gram cardinality
+    def df_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("gram").aggregate([([], "count_all")])
+        return out.rename_columns(["gram", "df"])
+
+    df_parts = occ.map_batches(skip_empty(df_partial),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    df = grouped_agg(df_parts, ["gram"], [("df", "sum")], final="ray")
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["df_sum"], pa.scalar(int(min_df)))
+        ).select(["gram"])
+
+    from fluent_server_ray.stages.aggregate import skip_empty as _se
+
+    dup_grams = df.map_batches(_se(dup_only), batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    if dup_grams.count() == 0:
+        def all_zero(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "n_grams": t["n_grams"],
+                "n_dup": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "dup_frac": pa.array(np.zeros(len(t), dtype=np.float64)),
+            })
+
+        return totals.map_batches(all_zero, batch_format="pyarrow",
+                                  zero_copy_batch=True).sort("doc_id")
+
+    dup_occ = bucketed_hash_join(occ, dup_grams, key="gram",
+                                 n_buckets=n_buckets, how="inner")
+    n_dup = grouped_agg(dup_occ.select_columns(["doc_id", "cnt"]),
+                        ["doc_id"], [("cnt", "sum")], final="ray")
+
+    def rename_dup(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "n_dup"])
+
+    n_dup = n_dup.map_batches(_se(rename_dup), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = bucketed_hash_join(totals, n_dup, key="doc_id",
+                                n_buckets=n_buckets, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = pc.cast(pc.fill_null(t["n_dup"], 0), pa.int64())
+        frac = pc.divide(pc.cast(nd, pa.float64()),
+                         pc.cast(t["n_grams"], pa.float64()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": t["n_grams"],
+            "n_dup": nd,
+            "dup_frac": frac,
+        })
+
+    return joined.map_batches(_se(finish), batch_format="pyarrow",
+                              zero_copy_batch=True).sort("doc_id")
+
+
+def dup_ngram_fraction_sql(k: int = 3, min_df: int = 2,
+                           table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  {_toks_cte(table)}
+), grams AS (
+  SELECT doc_id, unnest({_gram_list_sql(k)}) AS gram FROM toks
+), occ AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+), df AS (
+  SELECT gram, count(*) AS df FROM occ GROUP BY gram
+), tot AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams
+  FROM occ GROUP BY doc_id
+), dup AS (
+  SELECT o.doc_id, CAST(sum(o.cnt) AS BIGINT) AS n_dup
+  FROM occ o JOIN df USING (gram)
+  WHERE df.df >= {int(min_df)}
+  GROUP BY o.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+  COALESCE(d.n_dup, 0) AS n_dup,
+  CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+    AS dup_frac
+FROM tot t LEFT JOIN dup d USING (doc_id)
+ORDER BY t.doc_id
+""".strip()

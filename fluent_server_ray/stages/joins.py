@@ -198,32 +198,43 @@ def bucketed_hash_join(
         left, right, key, right_key, n_buckets
     )
 
-    # canonical output dtypes: an empty or one-sided bucket would
-    # otherwise emit object/float64 columns and flip the block schema
-    # (the "RefBundle with a different schema" executor warning).
-    # The policy must be COLUMN-level, identical in every bucket — a
-    # per-bucket data-dependent choice would itself flip schemas — so
-    # for non-inner joins the fill side's int columns are float64
-    # everywhere (NaN-capable), exactly as pandas merge emits them.
+    # canonical output SCHEMA: every bucket — empty, one-sided or
+    # matched — is coerced to it (stages/groups.py), so block schemas
+    # never flip and an all-NaN pandas column can never surface as an
+    # Arrow null-typed column. Fill-side integer columns are float64
+    # everywhere (NaN-capable, the dtype pandas merge emits for them in
+    # matched buckets); a SAME-NAME join key is taken from the keep
+    # side by pandas merge and is therefore never null — it keeps its
+    # integer type.
     out_fields = lfields + [f for f in rfields if f.name not in lcols
                             or f.name == right_key != key]
+    same_key = {key} if right_key == key else set()
     if how == "inner":
         nullable = set()
     elif how == "left":
-        nullable = set(rcols)
+        nullable = set(rcols) - same_key
     elif how == "right":
-        nullable = set(lcols)
-    else:  # outer & friends
-        nullable = set(lcols) | set(rcols)
-    dtype_map = canonical_dtype_map(out_fields, nullable)
+        nullable = set(lcols) - same_key
+    else:  # outer & friends: same-name key is coalesced, never null
+        nullable = (set(lcols) | set(rcols)) - same_key
+    out_schema = pa.schema([
+        pa.field(
+            f.name,
+            pa.float64()
+            if f.name in nullable and pa.types.is_integer(f.type)
+            else f.type,
+        )
+        for f in out_fields
+    ])
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0][lcols]
         rg = g[g["_side"] == 1][rcols]
-        m = lg.merge(rg, left_on=key, right_on=right_key, how=how)
-        return m.astype({c: d for c, d in dtype_map.items() if c in m.columns})
+        return lg.merge(rg, left_on=key, right_on=right_key, how=how)
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    from fluent_server_ray.stages.groups import map_buckets
+
+    return map_buckets(both, join_bucket, out_schema)
 
 
 def native_join(left, right, key: str, n_partitions: int = 32,

@@ -1591,3 +1591,40 @@ def test_tool_transitions_skip_non_calls(ray_session):
     want = {("search", "bash"): 1, ("bash", "search"): 1,
             ("bash", "bash"): 1}
     assert {(r.prev_tool, r.tool): r.n for r in got.itertuples()} == want
+
+
+def test_dup_ngram_fraction_edges(ray_session, tmp_path):
+    """Dup-gram fraction vs SQL: a doc sharing every 3-gram with
+    another scores 1.0, a unique doc scores 0.0, within-doc repeats
+    count toward df only once (df is per-DISTINCT-doc), <k-token docs
+    emit no row."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.hygiene import (dup_ngram_fraction,
+                                                  dup_ngram_fraction_sql)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "the cat sat down",          # shares all grams with doc 2
+            "the cat sat down",
+            "a wholly unique document here",
+            "x y",                        # < 3 tokens → no row
+            "rep rep rep rep",            # within-doc repeat, df=1 → 0.0
+        ],
+    })
+    p = tmp_path / "docs.parquet"
+    df.to_parquet(p, index=False)
+    got = dup_ngram_fraction(rd.read_parquet(str(p))).to_pandas()
+    got = got.reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(dup_ngram_fraction_sql()).df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()),
+                                  check_exact=True)
+    by = got.set_index("doc_id")["dup_frac"]
+    assert by[1] == 1.0 and by[2] == 1.0
+    assert by[3] == 0.0
+    assert 4 not in by.index
+    assert by[5] == 0.0
