@@ -1532,6 +1532,44 @@ def _q_dup_ngram_frac(sf_dir: str):
     return dup_ngram_fraction(_docs(sf_dir))
 
 
+BM25_QUERY_TERMS = ["window", "scan", "merge"]
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-20 retrieval for a fixed query over the document
+    corpus: one tokenize pass, broadcast query set, distributed
+    matched-row scoring, O(blocks·k) top-k merge. Integer-millionths
+    score contract keeps the DuckDB oracle bit-exact."""
+    from fluent_server_ray.stages.textstats import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), BM25_QUERY_TERMS, k=20)
+
+
+def _q_pmi_pairs(sf_dir: str):
+    """Top-50 adjacent-pair collocations by PMI (phrase-vocabulary
+    induction): distributed unigram/pair count merges, min-count gate
+    before two bucketed unigram joins, millionths contract."""
+    from fluent_server_ray.stages.textstats import pmi_top_pairs
+
+    return pmi_top_pairs(_docs(sf_dir), k=50, min_count=5)
+
+
+def _q_orders_segment_salted(sf_dir: str):
+    """Order counts per market segment through the SKEW-SAFE salted
+    replicated join (hot o_custkey rows cycle across n_salts buckets;
+    the customer side replicates once per salt) — identical semantics
+    to the plain inner join, pinned by the shared oracle."""
+    from fluent_server_ray.stages.joins import salted_replicated_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = salted_replicated_join(orders, cust, key="o_custkey",
+                                    right_key="c_custkey")
+    return grouped_counts(joined, ["c_mktsegment"]).sort_by("c_mktsegment")
+
+
 def _q_tool_transitions(sf_dir: str):
     """Agent tool-flow mining: (prev tool -> next tool) Markov counts
     over each conversation's tool-call turns."""
@@ -1744,6 +1782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": _q_token_entropy,
         "tool_transition_counts": _q_tool_transitions,
         "doc_dup_ngram_frac": _q_dup_ngram_frac,
+        "doc_bm25_topk": _q_bm25_topk,
+        "bigram_pmi_top": _q_pmi_pairs,
+        "orders_segment_counts_salted": _q_orders_segment_salted,
     }
 
 
@@ -1917,6 +1958,13 @@ WHERE doc_id % 2 = 1
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
         "tool_transition_counts": assembly.tool_transitions_sql(),
         "doc_dup_ngram_frac": hygiene.dup_ngram_fraction_sql(),
+        "doc_bm25_topk": textstats.bm25_topk_sql(BM25_QUERY_TERMS, k=20),
+        "bigram_pmi_top": textstats.pmi_top_pairs_sql(k=50, min_count=5),
+        "orders_segment_counts_salted": (
+            "SELECT c_mktsegment, count(*) AS n FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
         "quality_curriculum_mix": __import__(
             "fluent_server_ray.pipelines.curation",
             fromlist=["quality_curriculum_sql"],

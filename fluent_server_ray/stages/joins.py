@@ -242,3 +242,103 @@ def native_join(left, right, key: str, n_partitions: int = 32,
     """Ray Data's built-in hash-partitioned join."""
     return left.join(right, join_type=how, num_partitions=n_partitions,
                      on=(key,))
+
+
+def salted_replicated_join(
+    big,
+    small,
+    key: str,
+    right_key: str | None = None,
+    n_salts: int = 8,
+    n_sub: int = 8,
+):
+    """Skew-safe inner join of a LARGE, hot-keyed fact side against a
+    MEDIUM dim side — the join-shaped sibling of
+    ``aggregate.add_salt``'s two-level aggregation: a plain hash join
+    sends every row of a hot key to ONE bucket/task (the straggler
+    that stalls a 256-node cluster), so instead
+
+    - each big-side row gets ``salt = (siphash(key) + row_pos) %
+      n_salts`` — a single hot key's rows cycle across all salts;
+    - the small side is REPLICATED once per salt (×``n_salts`` blowup —
+      the documented cost: use this when the dim side is too big to
+      broadcast but ``n_salts`` copies still fit the object store;
+      broadcast enrichment (``stages/enrich``) stays the right tool
+      for truly tiny sides);
+    - the shuffle key is ``(siphash(key) % n_sub) * n_salts + salt``
+      (``n_sub × n_salts`` buckets) so the hot key occupies
+      ``n_salts`` buckets instead of one; each bucket holds exactly
+      one salt's replica of the dim rows, so an in-bucket merge on the
+      key alone is exact (the matching replica is co-located by
+      construction, every other replica is elsewhere).
+
+    Inner-join semantics identical to ``bucketed_hash_join(...,
+    how='inner')``; tests pin row-set equality. Non-key column names
+    must be disjoint across sides (asserted)."""
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import hash_bucket_array
+    from fluent_server_ray.stages.groups import map_buckets
+
+    right_key = right_key or key
+    both_probe, lcols, rcols, lfields, rfields = cogrouped(
+        big, small, key, right_key, n_buckets=1
+    )  # reuse the schema probe + dtype checks; the 1-bucket exchange
+    # is never executed — we rebuild the union below with salted buckets
+    del both_probe
+    overlap = (set(lcols) & set(rcols)) - ({key} if right_key == key
+                                           else set())
+    if overlap:
+        raise ValueError(
+            f"salted_replicated_join: non-key column overlap {overlap}"
+        )
+
+    all_fields = lfields + [f for f in rfields if f.name not in lcols]
+
+    def pad(side: int, have: list[str], salted: bool):
+        def fn(t: pa.Table):
+            if len(t) == 0:  # generator UDF: yield nothing; map_buckets
+                return       # emits typed empties for hollow partitions
+            ks = key if side == 0 else right_key
+            h = hash_bucket_array(t[ks], n_sub)
+            if salted:  # big side: one salt per row, position-cycled
+                salt = (
+                    hash_bucket_array(t[ks], n_salts)
+                    + np.arange(len(t), dtype=np.int64)
+                ) % n_salts
+                reps = [(t, salt)]
+            else:  # small side: every salt's replica
+                reps = [(t, np.full(len(t), s, dtype=np.int64))
+                        for s in range(n_salts)]
+            for tab, salt_arr in reps:
+                cols = {}
+                for f in all_fields:
+                    cols[f.name] = (
+                        tab[f.name] if f.name in have
+                        else pa.nulls(len(tab), f.type)
+                    )
+                out = pa.table(cols)
+                out = out.append_column(
+                    "_side", pa.array(np.full(len(tab), side, dtype=np.int8))
+                )
+                yield out.append_column(
+                    "_bucket", pa.array(h * n_salts + salt_arr)
+                )
+
+        return fn
+
+    l = big.map_batches(pad(0, lcols, True),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    r = small.map_batches(pad(1, rcols, False),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+    out_fields = lfields + [f for f in rfields if f.name not in lcols
+                            or f.name == right_key != key]
+    out_schema = pa.schema(out_fields)  # inner join: no fill columns
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols]
+        rg = g[g["_side"] == 1][rcols]
+        return lg.merge(rg, left_on=key, right_on=right_key, how="inner")
+
+    return map_buckets(l.union(r), join_bucket, out_schema)

@@ -1124,3 +1124,408 @@ SELECT doc_id, n_tokens,
     AS entropy
 FROM doc
 """.strip()
+
+
+# --------------------------------------------------- BM25 retrieval
+
+def bm25_topk(ds, query_terms, k: int = 10, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> pa.Table:
+    """Okapi BM25 top-``k`` retrieval for a fixed query term set — the
+    scoring sibling of the inverted index (:func:`word_postings`); on
+    a training-data pipeline this is the targeted-subset selector
+    ("find the docs about X") that runs BEFORE an expensive stage.
+
+    Scale shape, one tokenize pass over the corpus:
+
+    - per-batch combiner emits (doc_id, term, tf, dl) for docs
+      containing a query term (``is_in`` against the tiny broadcast
+      query set — never the vocabulary) plus ONE sentinel stats row
+      per batch (term='', tf=#docs, dl=#tokens) so corpus N / avgdl
+      need no second pass;
+    - the matched-row table is materialized in the OBJECT STORE (it is
+      O(docs containing a query term) — corpus-scale for stopword-like
+      terms, so it never concats to the driver);
+    - df per term and the N/avgdl scalars reduce through tiny
+      per-batch partials (≤ |query|+1 rows each) merged on the driver;
+    - scoring is a pure vectorized map over the matched rows with the
+      broadcast idf table, summed per doc via
+      ``grouped_agg(final='ray')`` (unbounded matched-doc cardinality),
+      then per-block top-k partials merge on the driver (≤ blocks × k
+      rows — the same O(blocks·k) merge as :func:`vocab_top_words`).
+
+    Scores are integer ``bm25_millionths`` = Σ_t floor(idf_t · tf-norm
+    · 1e6): per-term floor in BOTH engines (cf. ``doc_tfidf``) makes
+    the sum integer-exact across engines, so the DuckDB oracle matches
+    bit-for-bit. Ties break by doc_id ascending. Tokenization is the
+    single-space split of :func:`vocab_top_words` (SQL
+    ``string_split``)."""
+    import numpy as np
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    terms_sorted = sorted(set(query_terms))
+    if not terms_sorted or any(t == "" for t in terms_sorted):
+        raise ValueError("query_terms must be non-empty, no empty string")
+    q_ref = ray.put(pa.array(terms_sorted, type=pa.string()))
+
+    def partial(t: pa.Table):
+        q = ray.get(q_ref)
+        toks = pc.split_pattern(t[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        d_of = doc_idx[keep]
+        dl = np.bincount(d_of, minlength=len(lens)).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        flat_k = flat.filter(pa.array(keep))
+        m = pc.is_in(flat_k, value_set=q).to_numpy(zero_copy_only=False)
+        rows = pa.table({
+            "doc_id": pa.array(ids[d_of[m]]),
+            "term": flat_k.filter(pa.array(m)),
+            "dl": pa.array(dl[d_of[m]]),
+        }).group_by(["doc_id", "term", "dl"]).aggregate([([], "count_all")])
+        rows = rows.rename_columns(["doc_id", "term", "dl", "tf"])
+        stats = pa.table({
+            "doc_id": pa.array([-1], type=pa.int64()),
+            "term": pa.array([""], type=pa.string()),
+            "dl": pa.array([int(dl.sum())], type=pa.int64()),
+            "tf": pa.array([len(t)], type=pa.int64()),
+        })
+        return pa.concat_tables(
+            [rows.select(["doc_id", "term", "dl", "tf"]), stats]
+        )
+
+    rows_ds = ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "bm25_millionths": pa.array([], type=pa.int64())})
+
+    def small_partial(t: pa.Table) -> pa.Table:
+        # one tiny row set per block: the batch's stats sentinel(s)
+        # + per-term df partials (each (doc,term) row is one doc)
+        is_stats = pc.equal(t["term"], "")
+        st = t.filter(is_stats)
+        n = pc.sum(st["tf"]).as_py() or 0
+        tok = pc.sum(st["dl"]).as_py() or 0
+        tf_rows = t.filter(pc.invert(is_stats))
+        d = (tf_rows.select(["term"]).group_by("term")
+             .aggregate([([], "count_all")])
+             .rename_columns(["term", "df"]))
+        head = pa.table({"term": pa.array([""], type=pa.string()),
+                         "df": pa.array([0], type=pa.int64()),
+                         "n": pa.array([n], type=pa.int64()),
+                         "tok": pa.array([tok], type=pa.int64())})
+        d = d.append_column("n", pa.array(np.zeros(len(d), dtype=np.int64)))
+        d = d.append_column("tok", pa.array(np.zeros(len(d), dtype=np.int64)))
+        return pa.concat_tables([head, d])
+
+    small_tables = list(
+        rows_ds.map_batches(skip_empty(small_partial),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if not small_tables:  # zero input blocks
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "bm25_millionths": pa.array([], type=pa.int64())})
+    small = pa.concat_tables(small_tables)
+    n_docs = int(pc.sum(small["n"]).as_py() or 0)
+    n_tokens = int(pc.sum(small["tok"]).as_py() or 0)
+    if n_docs == 0:
+        return empty
+    avgdl = float(n_tokens) / float(n_docs)
+    dfs = (small.filter(pc.not_equal(small["term"], ""))
+           .group_by("term").aggregate([("df", "sum")]))
+    if len(dfs) == 0:
+        return empty
+    df_terms = dfs["term"].combine_chunks()
+    df_np = dfs["df_sum"].to_numpy(zero_copy_only=False).astype("float64")
+    # identical eval order to the SQL mirror: ln(((N-df)+0.5)/(df+0.5)+1)
+    idf = np.log(((float(n_docs) - df_np) + 0.5) / (df_np + 0.5) + 1.0)
+    idf_ref = ray.put((df_terms, pa.array(idf, type=pa.float64())))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["term"], ""))
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        vocab, idf_arr = ray.get(idf_ref)
+        idx = pc.index_in(t["term"], value_set=vocab)
+        idf_row = pc.take(idf_arr, idx).to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype("float64")
+        dl_row = t["dl"].to_numpy(zero_copy_only=False).astype("float64")
+        den = tf + k1 * ((1.0 - b) + (b * dl_row) / avgdl)
+        c = np.floor((idf_row * (tf * (1.0 + k1))) / den * 1_000_000.0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "c": pa.array(c.astype(np.int64))})
+
+    scored = grouped_agg(
+        rows_ds.map_batches(skip_empty(contrib), batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["doc_id"], [("c", "sum")], final="ray",
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("c_sum", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(order.slice(0, k))
+
+    part_tables = list(
+        scored.map_batches(skip_empty(local_topk), batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if not part_tables:
+        return empty
+    parts = pa.concat_tables(part_tables)
+    if len(parts) == 0:
+        return empty
+    order = pc.sort_indices(
+        parts, sort_keys=[("c_sum", "descending"), ("doc_id", "ascending")]
+    )
+    out = parts.take(order.slice(0, k))
+    return pa.table({id_col: out["doc_id"],
+                     "bm25_millionths": out["c_sum"]})
+
+
+def bm25_topk_sql(query_terms, k: int = 10, k1: float = 1.2,
+                  b: float = 0.75, table: str = "documents") -> str:
+    terms = sorted(set(query_terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM {table} WHERE text IS NOT NULL
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM {table}) AS n,
+         (SELECT count(*) FROM toks) AS tok
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      (ln(((CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+          / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+       * (CAST(tf.tf AS DOUBLE) * (1.0 + {k1})))
+      / (CAST(tf.tf AS DOUBLE)
+         + {k1} * ((1.0 - {b}) + ({b} * CAST(dl.dl AS DOUBLE))
+                   / (CAST(stats.tok AS DOUBLE) / CAST(stats.n AS DOUBLE))))
+      * 1000000.0) AS BIGINT) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25_millionths
+FROM contrib GROUP BY doc_id
+ORDER BY bm25_millionths DESC, doc_id LIMIT {int(k)}
+""".strip()
+
+
+# ---------------------------------------------- PMI collocation mining
+
+def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
+                  n_buckets: int = 64, text_col: str = "text") -> pa.Table:
+    """Top-``k`` adjacent word pairs by pointwise mutual information —
+    the collocation detector behind phrase-vocabulary induction
+    (word2vec phrase pass, tokenizer merge seeding): PMI(a,b) =
+    ln( p(ab) / (p(a)·p(b)) ) with p from corpus counts, restricted to
+    pairs seen ≥ ``min_count`` times (raw PMI is noise-dominated at
+    low counts).
+
+    Scale shape — both count tables are UNBOUNDED (vocab / pair
+    space), so everything merges distributed:
+
+    - per-batch combiners emit local unigram counts, local pair counts
+      (the :func:`bigram_top` shift-join explode — O(tokens), no doc
+      loop) and a one-row totals partial;
+    - unigram and pair counts merge via ``grouped_agg(final='ray')``;
+    - the ``min_count`` gate runs BEFORE the joins (the surviving pair
+      table is the small side of everything downstream);
+    - two ``bucketed_hash_join``s attach c1(w1) and c1(w2) — the
+      unigram table shuffles once per join side, the corpus never;
+    - PMI is one vectorized float64 expression; integer
+      ``pmi_millionths`` (floor, cf. ``doc_tfidf``) keeps the DuckDB
+      oracle bit-exact; per-block top-k partials merge on the driver
+      (O(blocks·k)).
+
+    Output: (w1, w2, n, pmi_millionths), ordered by PMI desc then
+    (w1, w2). Tokenization = single-space split (SQL string_split)."""
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    def explode(t: pa.Table):
+        toks = pc.split_pattern(t[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        return flat, doc_of[keep]
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _ = explode(t)
+        out = (pa.table({"word": flat}).group_by("word")
+               .aggregate([([], "count_all")]))
+        return out.rename_columns(["word", "c1"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flat, doc_of = explode(t)
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "c2": pa.array([], type=pa.int64())})
+        if len(flat) < 2:
+            return empty
+        same = pa.array(doc_of[:-1] == doc_of[1:])
+        out = (pa.table({
+            "w1": flat.slice(0, len(flat) - 1).filter(same),
+            "w2": flat.slice(1).filter(same),
+        }).group_by(["w1", "w2"]).aggregate([([], "count_all")]))
+        return out.rename_columns(["w1", "w2", "c2"])
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        flat, doc_of = explode(t)
+        n_pairs = int((doc_of[:-1] == doc_of[1:]).sum()) if len(flat) > 1 else 0
+        return pa.table({"tok": pa.array([len(flat)], type=pa.int64()),
+                         "np": pa.array([n_pairs], type=pa.int64())})
+
+    totals_tables = list(
+        ds.map_batches(skip_empty(totals_partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    empty = pa.table({"w1": pa.array([], type=pa.string()),
+                      "w2": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "pmi_millionths": pa.array([], type=pa.int64())})
+    if not totals_tables:  # zero input blocks
+        return empty
+    totals = pa.concat_tables(totals_tables)
+    n_tok = int(pc.sum(totals["tok"]).as_py() or 0)
+    n_pairs = int(pc.sum(totals["np"]).as_py() or 0)
+    if n_pairs == 0:
+        return empty
+
+    uni = grouped_agg(
+        ds.map_batches(skip_empty(uni_partial), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["word"], [("c1", "sum")], final="ray",
+    )
+    big = grouped_agg(
+        ds.map_batches(skip_empty(pair_partial), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["w1", "w2"], [("c2", "sum")], final="ray",
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["c2_sum"], pa.scalar(int(min_count)))
+        )
+
+    big = big.map_batches(skip_empty(gate), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def rename_uni(new: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["word", new])
+
+        return fn
+
+    u1 = uni.map_batches(skip_empty(rename_uni("c1a")),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    u2 = uni.map_batches(skip_empty(rename_uni("c1b")),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    j1 = bucketed_hash_join(big, u1, key="w1", right_key="word",
+                            n_buckets=n_buckets).drop_columns(["word"])
+    j2 = bucketed_hash_join(j1, u2, key="w2", right_key="word",
+                            n_buckets=n_buckets).drop_columns(["word"])
+
+    T = float(n_tok)
+    B = float(n_pairs)
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        c2 = t["c2_sum"].to_numpy(zero_copy_only=False).astype("float64")
+        c1a = t["c1a"].to_numpy(zero_copy_only=False).astype("float64")
+        c1b = t["c1b"].to_numpy(zero_copy_only=False).astype("float64")
+        # identical eval order to the SQL mirror: (c2*T*T)/(B*c1a*c1b)
+        pmi = np.floor(np.log((c2 * T * T) / (B * c1a * c1b)) * 1_000_000.0)
+        out = pa.table({
+            "w1": t["w1"], "w2": t["w2"],
+            "n": pc.cast(t["c2_sum"], pa.int64()),
+            "pmi_millionths": pa.array(pmi.astype(np.int64)),
+        })
+        order = pc.sort_indices(out, sort_keys=[
+            ("pmi_millionths", "descending"),
+            ("w1", "ascending"), ("w2", "ascending"),
+        ])
+        return out.take(order.slice(0, k))
+
+    part_tables = list(
+        j2.map_batches(skip_empty(score_topk), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if not part_tables:
+        return empty
+    parts = pa.concat_tables(part_tables)
+    if len(parts) == 0:
+        return empty
+    order = pc.sort_indices(parts, sort_keys=[
+        ("pmi_millionths", "descending"),
+        ("w1", "ascending"), ("w2", "ascending"),
+    ])
+    return parts.take(order.slice(0, k))
+
+
+def pmi_top_pairs_sql(k: int = 50, min_count: int = 5,
+                      table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+), flat AS (
+  SELECT unnest(t) AS w FROM toks
+), uni AS (
+  SELECT w, count(*) AS c1 FROM flat GROUP BY w
+), pairs AS (
+  SELECT t[gs] AS w1, t[gs + 1] AS w2
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+), stats AS (
+  SELECT (SELECT count(*) FROM flat) AS tok,
+         (SELECT count(*) FROM pairs) AS np
+), big AS (
+  SELECT w1, w2, count(*) AS c2 FROM pairs
+  GROUP BY w1, w2 HAVING count(*) >= {int(min_count)}
+)
+SELECT b.w1, b.w2, b.c2 AS n,
+  CAST(floor(ln(
+    (CAST(b.c2 AS DOUBLE) * CAST(stats.tok AS DOUBLE)
+       * CAST(stats.tok AS DOUBLE))
+    / (CAST(stats.np AS DOUBLE) * CAST(u1.c1 AS DOUBLE)
+       * CAST(u2.c1 AS DOUBLE))) * 1000000.0) AS BIGINT)
+    AS pmi_millionths
+FROM big b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN stats
+ORDER BY pmi_millionths DESC, w1, w2 LIMIT {int(k)}
+""".strip()

@@ -1628,3 +1628,120 @@ def test_dup_ngram_fraction_edges(ray_session, tmp_path):
     assert by[3] == 0.0
     assert 4 not in by.index
     assert by[5] == 0.0
+
+
+def test_bm25_topk_vs_oracle(ray_session, tmp_path):
+    """BM25 vs the SQL mirror: integer-millionths equality, absent
+    query terms yield zero rows, doc-length normalization favors the
+    shorter doc at equal tf, empty-text docs count toward N/avgdl."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import bm25_topk, bm25_topk_sql
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "apple banana apple cherry",
+            "apple banana",                       # shorter, same terms
+            "banana banana banana banana banana banana",
+            "cherry date elderberry fig grape melon",
+            "",                                    # counts toward N only
+        ],
+    })
+    p = tmp_path / "docs.parquet"
+    df.to_parquet(p, index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    terms = ["apple", "banana"]
+    got = bm25_topk(rd.read_parquet(str(p)), terms, k=10).to_pandas()
+    want = con.execute(bm25_topk_sql(terms, k=10)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()),
+        check_exact=True,
+    )
+    # dl-normalization: doc 2 (tf 1+1, dl 2) outranks doc 1 (tf 2+1, dl 4)
+    # only if BM25's length penalty engages — assert both present, and
+    # the absent-term query returns the typed empty
+    assert set(got.doc_id) >= {1, 2, 3}
+    none = bm25_topk(rd.read_parquet(str(p)), ["zzz"], k=3).to_pandas()
+    assert len(none) == 0 and list(none.columns) == [
+        "doc_id", "bm25_millionths"]
+
+
+def test_pmi_top_pairs_vs_oracle(ray_session, tmp_path):
+    """PMI vs the SQL mirror: min_count gates rare pairs, an
+    always-together pair outranks a frequent-word pair, doc boundaries
+    never form pairs."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (pmi_top_pairs,
+                                                    pmi_top_pairs_sql)
+
+    rows = []
+    for i in range(6):  # 'zig zag' always adjacent, rare elsewhere
+        rows.append((i, "zig zag common common common common"))
+    for i in range(6, 12):  # frequent pair of frequent words
+        rows.append((i, "common common filler words here"))
+    rows.append((12, "zig"))  # boundary: no pair with next doc's 'zag'
+    rows.append((13, "zag"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    p = tmp_path / "docs.parquet"
+    df.to_parquet(p, index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    got = pmi_top_pairs(rd.read_parquet(str(p)), k=20, min_count=5).to_pandas()
+    want = con.execute(pmi_top_pairs_sql(k=20, min_count=5)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()),
+        check_exact=True,
+    )
+    ranked = list(zip(got.w1, got.w2))
+    # exclusivity beats raw frequency: 'zig zag' (pair 6, words 7 each)
+    # outranks 'common common' (pair ~18, word 36)
+    assert ranked.index(("zig", "zag")) < ranked.index(("common", "common"))
+    assert not ((got.w1 == "zig") & (got.w2 == "zig")).any()
+
+
+def test_salted_replicated_join_matches_plain(ray_session):
+    """Salted replicated join == bucketed hash join row set, including
+    a pathological hot key (80% of the big side on one key) and
+    unmatched keys on both sides."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import (bucketed_hash_join,
+                                                salted_replicated_join)
+
+    big = pd.DataFrame({
+        "k": [7] * 800 + list(range(100)),
+        "v": np.arange(900, dtype=np.int64),
+    })
+    small = pd.DataFrame({
+        "k": list(range(0, 120, 2)),   # half the keys match; 7 is odd →
+        "w": [f"w{i}" for i in range(0, 120, 2)],  # hot key UNmatched
+    })
+    small.loc[len(small)] = [7, "hot"]  # now the hot key matches too
+    l, r = rd.from_pandas(big), rd.from_pandas(small)
+    got = salted_replicated_join(l, r, key="k", n_salts=4,
+                                 n_sub=4).to_pandas()
+    want = bucketed_hash_join(rd.from_pandas(big), rd.from_pandas(small),
+                              key="k").to_pandas()
+    cols = ["k", "v", "w"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()),
+                                  check_exact=True)
+    # hot key joined exactly once per big row (800 hot + 1 from range)
+    assert (g.k == 7).sum() == 801
+
+
+def test_salted_replicated_join_rejects_overlap(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import salted_replicated_join
+
+    l = rd.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
+    r = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="overlap"):
+        salted_replicated_join(l, r, key="k")
