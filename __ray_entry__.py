@@ -1570,6 +1570,45 @@ def _q_orders_segment_salted(sf_dir: str):
     return grouped_counts(joined, ["c_mktsegment"]).sort_by("c_mktsegment")
 
 
+VALUE_TIERS = ([5.0, 20.0], ["low", "mid", "high"])
+
+
+def _q_value_tier_counts(sf_dir: str):
+    """Interval-table enrichment (fluentd geoip/CIDR-filter shape):
+    broadcast boundary table + vectorized searchsorted per batch, then
+    bounded grouped counts."""
+    from fluent_server_ray.stages.enrich import range_lookup
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    tiered = range_lookup(ev, "value", *VALUE_TIERS, out_col="tier")
+    return grouped_counts(tiered.select_columns(["event_type", "tier"]),
+                          ["event_type", "tier"]).sort_by(
+        [("event_type", "ascending"), ("tier", "ascending")])
+
+
+def _q_latest_per_user(sf_dir: str):
+    """CDC upsert compaction: each user's latest event by (ts,
+    event_id) — combiner-first argmax, one key exchange."""
+    from fluent_server_ray.stages.aggregate import latest_by_key
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"])
+    return latest_by_key(ev, "user_id", ["ts", "event_id"])
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge-table training (8 merges): word counts
+    collapse the corpus to a vocab Dataset; each merge is a parallel
+    pair-count pass + one broadcast regex merge. Iterative — not
+    SQL-expressible; pinned in pytest against a pure-Python reference
+    trainer."""
+    from fluent_server_ray.stages.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=8)
+
+
 def _q_tool_transitions(sf_dir: str):
     """Agent tool-flow mining: (prev tool -> next tool) Markov counts
     over each conversation's tool-call turns."""
@@ -1785,12 +1824,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_topk": _q_bm25_topk,
         "bigram_pmi_top": _q_pmi_pairs,
         "orders_segment_counts_salted": _q_orders_segment_salted,
+        "events_value_tier_counts": _q_value_tier_counts,
+        "events_latest_per_user": _q_latest_per_user,
+        "bpe_merge_table": _q_bpe_merges,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from fluent_server_ray.pipelines import relational as rel
     from fluent_server_ray.stages import (
+        aggregate,
         assembly,
         dedup,
         features,
@@ -1965,6 +2008,17 @@ WHERE doc_id % 2 = 1
             "JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
+        "events_value_tier_counts": (
+            "SELECT event_type, "
+            + __import__(
+                "fluent_server_ray.stages.enrich", fromlist=["x"]
+            ).range_lookup_sql_case("value", *VALUE_TIERS, out_col="tier")
+            + ", count(*) AS n FROM events GROUP BY event_type, tier "
+            "ORDER BY event_type, tier"
+        ),
+        "events_latest_per_user": aggregate.latest_by_key_sql(
+            ["user_id", "event_id", "ts", "event_type", "value"],
+            "user_id", ["ts", "event_id"], "events"),
         "quality_curriculum_mix": __import__(
             "fluent_server_ray.pipelines.curation",
             fromlist=["quality_curriculum_sql"],

@@ -442,3 +442,64 @@ SELECT COALESCE(CAST({key_col} AS VARCHAR), '') AS {key_col},
        median({value_col}) AS median
 FROM {table} GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def latest_by_key(ds, key: str, order_cols: list[str], n_buckets: int = 64):
+    """Upsert compaction: keep each key's row with the MAXIMUM
+    ``order_cols`` tuple — the CDC "latest version wins" reduction
+    (log pipelines: the current state of every session/device from an
+    append-only event stream; reference analogue: the mirror store
+    keeping the latest tag state, ``mirror/mirror.go:30-38``, here
+    without the single mutexed map).
+
+    Combiner-first: each batch keeps its local per-key winner (one
+    vectorized sort + ``drop_duplicates`` — never a per-key loop),
+    ONE key-hash exchange co-locates the ≤ blocks-per-key survivors,
+    and the per-bucket pass repeats the same argmax. Output schema ==
+    input schema (declared, bucket-occupancy-independent via
+    ``groups.map_buckets``), sorted by ``key``."""
+    import pandas as pd
+
+    from fluent_server_ray.stages.groups import map_buckets
+    from fluent_server_ray.stages.joins import arrow_schema
+
+    sch = arrow_schema(
+        ds.map_batches(lambda t: t, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    ) or arrow_schema(ds)
+    if sch is None:
+        raise ValueError("latest_by_key: input has no usable Arrow schema")
+    sch = pa.schema(  # ray Schema wrapper -> real pa.Schema
+        [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+    )
+    cols = list(sch.names)
+    by = [key] + list(order_cols)
+    asc = [True] + [False] * len(order_cols)
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(by, ascending=asc)
+        out = pa.Table.from_pandas(df.drop_duplicates(key)[cols],
+                                   preserve_index=False)
+        return out.append_column(
+            "_bucket", pa.array(hash_bucket_array(out[key], n_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc).drop_duplicates(key)[cols]
+
+    compacted = ds.map_batches(skip_empty(local), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return map_buckets(compacted, per_bucket, sch).sort(key)
+
+
+def latest_by_key_sql(select_cols: list[str], key: str,
+                      order_cols: list[str], table: str) -> str:
+    order = ", ".join(f"{c} DESC" for c in order_cols)
+    cols = ", ".join(select_cols)
+    return f"""
+SELECT {cols} FROM (
+  SELECT {cols},
+    row_number() OVER (PARTITION BY {key} ORDER BY {order}) AS _rn
+  FROM {table}
+) WHERE _rn = 1 ORDER BY {key}
+""".strip()

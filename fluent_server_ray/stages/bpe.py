@@ -1,0 +1,224 @@
+"""Distributed byte-pair-encoding (BPE) merge-table training.
+
+The tokenizer-training step of LM data prep (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — a
+public textbook algorithm): repeatedly merge the most frequent
+adjacent symbol pair. The classic trainer operates on the WORD
+FREQUENCY table, not the raw corpus — one distributed word count
+collapses a 100 TB corpus to a vocabulary-sized working set, and every
+merge iteration is then a cheap parallel pass over that vocab Dataset:
+
+- pair counts: per-batch vectorized explode (Arrow split + the
+  shift-join trick of ``textstats.bigram_top``) weighted by word
+  count, merged distributed (``grouped_agg(final='ray')`` — the pair
+  space is unbounded), global argmax via per-block top-1 partials
+  (O(blocks) driver merge, never a full pair table on the driver);
+- merge application: ONE compiled-regex pass per batch over a
+  newline-joined symbol column (Python ``re`` lookarounds reproduce
+  the reference implementation's non-consuming, left-to-right
+  non-overlapping replace exactly — RE2/Arrow lacks lookbehind, and a
+  separator-consuming literal replace groups runs differently);
+- the vocab re-materializes between iterations (object store, never
+  the driver), so the loop is n_merges × (map + tiny reduce).
+
+Iterative and therefore not SQL-expressible — correctness is pinned in
+pytest against a from-scratch pure-Python reference trainer.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+END_OF_WORD = "</w>"
+
+
+def _word_counts(ds, text_col: str):
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        out = (pa.table({"word": toks}).group_by("word")
+               .aggregate([([], "count_all")]))
+        return out.rename_columns(["word", "n"])
+
+    parts = ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return grouped_agg(parts, ["word"], [("n", "sum")], final="ray")
+
+
+def _to_symbols(vocab):
+    """(word, n_sum) -> (syms, n): space-joined characters + the
+    end-of-word marker, the classic BPE working representation."""
+    def fn(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        syms = [" ".join(list(w) + [END_OF_WORD]) for w in words]
+        return pa.table({
+            "syms": pa.array(syms, type=pa.string()),
+            "n": pc.cast(t["n_sum"], pa.int64()),
+        })
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    return vocab.map_batches(skip_empty(fn), batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _pair_counts_partial(t: pa.Table) -> pa.Table:
+    """Weighted adjacent-pair counts for one vocab block — vectorized:
+    explode symbols with row ownership, shift-join, weight by the
+    row's word count."""
+    toks = pc.split_pattern(t["syms"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    empty = pa.table({"left": pa.array([], type=pa.string()),
+                      "right": pa.array([], type=pa.string()),
+                      "w": pa.array([], type=pa.int64())})
+    if len(flat) < 2:
+        return empty
+    same = row_of[:-1] == row_of[1:]
+    wts = t["n"].to_numpy(zero_copy_only=False).astype("int64")
+    out = pa.table({
+        "left": flat.slice(0, len(flat) - 1).filter(pa.array(same)),
+        "right": flat.slice(1).filter(pa.array(same)),
+        "w": pa.array(wts[row_of[:-1][same]]),
+    })
+    agg = out.group_by(["left", "right"]).aggregate([("w", "sum")])
+    return agg.rename_columns(["left", "right", "w"])
+
+
+def _best_pair(vocab_syms):
+    """Global argmax pair: distributed pair-count merge, then
+    per-block top-1 partials to the driver. Tie-break (w desc, left
+    asc, right asc) — deterministic."""
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    merged = grouped_agg(
+        vocab_syms.map_batches(skip_empty(_pair_counts_partial),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True),
+        ["left", "right"], [("w", "sum")], final="ray",
+    )
+
+    def top1(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[
+            ("w_sum", "descending"),
+            ("left", "ascending"), ("right", "ascending"),
+        ])
+        return t.take(order.slice(0, 1))
+
+    parts = list(
+        merged.map_batches(skip_empty(top1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if not parts:
+        return None
+    best = pa.concat_tables(parts)
+    if len(best) == 0:
+        return None
+    order = pc.sort_indices(best, sort_keys=[
+        ("w_sum", "descending"),
+        ("left", "ascending"), ("right", "ascending"),
+    ])
+    row = best.take(order.slice(0, 1))
+    return (row["left"][0].as_py(), row["right"][0].as_py(),
+            int(row["w_sum"][0].as_py()))
+
+
+def _apply_merge(vocab_syms, left: str, right: str):
+    """One merge over the whole vocab: join the block's rows with
+    newlines (whitespace — invisible to the \\S lookarounds), ONE
+    compiled-regex pass, split back. Exactly the reference trainer's
+    replace semantics (non-consuming boundaries, left-to-right
+    non-overlapping)."""
+    pattern = (r"(?<!\S)" + re.escape(left) + r" " + re.escape(right)
+               + r"(?!\S)")
+    merged_sym = left + right
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def fn(t: pa.Table) -> pa.Table:
+        rx = re.compile(pattern)
+        mega = "\n".join(t["syms"].to_pylist())
+        out = rx.sub(merged_sym, mega).split("\n")
+        return pa.table({"syms": pa.array(out, type=pa.string()),
+                         "n": t["n"]})
+
+    return vocab_syms.map_batches(skip_empty(fn), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def bpe_train(ds, n_merges: int = 32, min_count: int = 2,
+              text_col: str = "text") -> pa.Table:
+    """Train a BPE merge table over a document corpus.
+
+    Returns (rank, left, right, merged, w) — one row per learned
+    merge, rank 0 first; stops early when no pair reaches
+    ``min_count``. Tokenization: single-space word split (cf.
+    ``textstats.vocab_top_words``), char-level initial symbols with an
+    ``</w>`` end-of-word marker (Sennrich's setup)."""
+    vocab = _to_symbols(_word_counts(ds, text_col)).materialize()
+    out = {"rank": [], "left": [], "right": [], "merged": [], "w": []}
+    for rank in range(n_merges):
+        best = _best_pair(vocab)
+        if best is None or best[2] < min_count:
+            break
+        left, right, w = best
+        out["rank"].append(rank)
+        out["left"].append(left)
+        out["right"].append(right)
+        out["merged"].append(left + right)
+        out["w"].append(w)
+        vocab = _apply_merge(vocab, left, right).materialize()
+    return pa.table({
+        "rank": pa.array(out["rank"], type=pa.int64()),
+        "left": pa.array(out["left"], type=pa.string()),
+        "right": pa.array(out["right"], type=pa.string()),
+        "merged": pa.array(out["merged"], type=pa.string()),
+        "w": pa.array(out["w"], type=pa.int64()),
+    })
+
+
+def bpe_train_reference(texts, n_merges: int = 32,
+                        min_count: int = 2) -> list[tuple[str, str, int]]:
+    """From-scratch pure-Python reference trainer (the textbook
+    algorithm, driver-side) — the test oracle for :func:`bpe_train`."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                words[w] += 1
+    vocab = {" ".join(list(w) + [END_OF_WORD]): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            parts = syms.split(" ")
+            for a, b in zip(parts[:-1], parts[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), w = best
+        if w < min_count:
+            break
+        merges.append((a, b, w))
+        rx = re.compile(r"(?<!\S)" + re.escape(a) + r" " + re.escape(b)
+                        + r"(?!\S)")
+        vocab = {rx.sub(a + b, syms): c for syms, c in vocab.items()}
+    return merges

@@ -169,3 +169,54 @@ def apply_enrich(ds, lookup, batch_size: int = 32768, concurrency=None):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def range_lookup(ds, col: str, boundaries, labels, out_col: str):
+    """Interval (range-table) enrichment — the fluentd ``geoip`` /
+    CIDR-table filter shape (reference analogue: the static lookup
+    enrichment family, cf. ``mirror/mirror.go`` tag tables): map a
+    numeric column to the label of its half-open interval.
+
+    ``boundaries`` = sorted inner cut points ``[b0 < b1 < ...]``;
+    ``labels`` has ``len(boundaries)+1`` entries — value < b0 → labels
+    [0], b0 <= value < b1 → labels[1], ... The table broadcasts ONCE
+    via ``ray.put`` (never re-ships per batch); each batch is one
+    vectorized ``np.searchsorted`` — the right shape for a
+    million-entry IP-range table just as for three tiers. NULL values
+    map to NULL labels (SQL comparison semantics)."""
+    import numpy as np
+    import ray
+
+    b = np.asarray(boundaries, dtype=np.float64)
+    if len(labels) != len(b) + 1:
+        raise ValueError("need len(boundaries)+1 labels")
+    if np.any(np.diff(b) <= 0):
+        raise ValueError("boundaries must be strictly increasing")
+    ref = ray.put((b, pa.array(list(labels), type=pa.string())))
+
+    def fn(t: pa.Table) -> pa.Table:
+        bounds, labs = ray.get(ref)
+        v = t[col]
+        nulls = pc.is_null(v)
+        vn = pc.fill_null(pc.cast(v, pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.searchsorted(bounds, vn, side="right")
+        picked = pc.take(labs, pa.array(idx.astype(np.int64)))
+        picked = pc.if_else(nulls, pa.scalar(None, type=pa.string()), picked)
+        return t.append_column(out_col, picked)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def range_lookup_sql_case(col: str, boundaries, labels,
+                          out_col: str) -> str:
+    """CASE-expression mirror of :func:`range_lookup` (a SQL range
+    JOIN would express the same table; the CASE keeps the oracle
+    one-pass)."""
+    parts = ["CASE"]
+    parts.append(f"WHEN {col} IS NULL THEN NULL")
+    for b, lab in zip(boundaries, labels[:-1]):
+        parts.append(f"WHEN {col} < {float(b)!r} THEN '{lab}'")
+    parts.append(f"ELSE '{labels[-1]}' END AS {out_col}")
+    return " ".join(parts)

@@ -1745,3 +1745,96 @@ def test_salted_replicated_join_rejects_overlap(ray_session):
     r = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
     with pytest.raises(ValueError, match="overlap"):
         salted_replicated_join(l, r, key="k")
+
+
+def test_range_lookup_edges(ray_session):
+    """Interval enrich: boundary values go RIGHT (b0 <= v < b1 is the
+    middle tier), NULL maps to NULL, out-of-order boundaries rejected."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.enrich import range_lookup
+
+    df = pd.DataFrame({"v": [-1.0, 0.0, 4.99, 5.0, 19.99, 20.0, None]})
+    got = range_lookup(rd.from_pandas(df), "v", [5.0, 20.0],
+                       ["low", "mid", "high"], "tier").to_pandas()
+    assert list(got.tier) == ["low", "low", "low", "mid", "mid",
+                              "high", None]
+    with pytest.raises(ValueError, match="increasing"):
+        range_lookup(rd.from_pandas(df), "v", [5.0, 5.0],
+                     ["a", "b", "c"], "t")
+    with pytest.raises(ValueError, match="labels"):
+        range_lookup(rd.from_pandas(df), "v", [5.0], ["a"], "t")
+
+
+def test_latest_by_key_vs_oracle(ray_session, tmp_path):
+    """Upsert compaction == SQL row_number()=1: ts tie broken by the
+    second order column, single-row keys pass through."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import (latest_by_key,
+                                                    latest_by_key_sql)
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00",  # k=1: later wins
+        "2024-01-05 00:00:00", "2024-01-05 00:00:00",  # k=2: ts TIE ->
+        "2024-01-03 00:00:00",                          # higher id wins
+    ])
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 3],
+        "event_id": [10, 11, 20, 21, 30],
+        "ts": ts,
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    p = tmp_path / "ev.parquet"
+    df.to_parquet(p, index=False)
+    got = latest_by_key(rd.read_parquet(str(p)), "user_id",
+                        ["ts", "event_id"]).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(latest_by_key_sql(
+        ["user_id", "event_id", "ts", "value"], "user_id",
+        ["ts", "event_id"], "events")).df()
+    pd.testing.assert_frame_equal(
+        got[want.columns].reset_index(drop=True),
+        want.astype(got[want.columns].dtypes.to_dict()), check_exact=True)
+    assert list(got.event_id) == [11, 21, 30]
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed BPE == the pure-Python textbook trainer: same merge
+    sequence incl. count TIES (broken (w desc, left, right)), same
+    early stop at min_count, end-of-word marker participates."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.bpe import bpe_train, bpe_train_reference
+
+    texts = ["low low low low low", "lower lower",
+             "newest newest newest newest newest newest",
+             "widest widest widest", "new new newer"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = bpe_train(rd.from_pandas(df), n_merges=12).to_pandas()
+    ref = bpe_train_reference(texts, n_merges=12)
+    assert list(zip(got.left, got.right, got.w)) == ref
+    assert list(got.merged) == [a + b for a, b, _ in ref]
+    assert list(got["rank"]) == list(range(len(ref)))
+    # early stop: singleton corpus has no pair with count >= 2
+    tiny = bpe_train(rd.from_pandas(
+        pd.DataFrame({"doc_id": [0], "text": ["ab cd"]})), n_merges=5)
+    assert len(tiny) == 0
+
+
+def test_bpe_repeated_symbol_runs(ray_session):
+    """Greedy left-to-right non-overlap on symbol runs ('aaaa' merging
+    (a,a) gives aa+aa, 'aaa' gives aa+a) — the replace-semantics edge
+    where a separator-consuming substitution diverges."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.bpe import bpe_train, bpe_train_reference
+
+    texts = ["aaaa aaaa aaa", "aaaa aa"]
+    got = bpe_train(rd.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1], "text": texts})),
+        n_merges=6).to_pandas()
+    ref = bpe_train_reference(texts, n_merges=6)
+    assert list(zip(got.left, got.right, got.w)) == ref
