@@ -1598,6 +1598,25 @@ def _q_latest_per_user(sf_dir: str):
     return latest_by_key(ev, "user_id", ["ts", "event_id"])
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (Dolma/Gopher redundancy gate):
+    per-row C zlib inside parallel map_batches; no SQL zlib, so
+    rows-only with byte-exact pytest pins."""
+    from fluent_server_ray.stages.textstats import doc_compression_ratio
+
+    return doc_compression_ratio(_docs(sf_dir))
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (nearest-class-mean prototypes):
+    integer-millionths per-dim sums merge order-free; one exact final
+    division."""
+    from fluent_server_ray.stages.similarity import label_centroids
+
+    return label_centroids(
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE merge-table training (8 merges): word counts
     collapse the corpus to a vocab Dataset; each merge is a parallel
@@ -1827,6 +1846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_tier_counts": _q_value_tier_counts,
         "events_latest_per_user": _q_latest_per_user,
         "bpe_merge_table": _q_bpe_merges,
+        "doc_compression_ratio": _q_compression_ratio,
+        "embedding_label_centroids": _q_label_centroids,
     }
 
 
@@ -2019,6 +2040,7 @@ WHERE doc_id % 2 = 1
         "events_latest_per_user": aggregate.latest_by_key_sql(
             ["user_id", "event_id", "ts", "event_type", "value"],
             "user_id", ["ts", "event_id"], "events"),
+        "embedding_label_centroids": similarity.label_centroids_sql(),
         "quality_curriculum_mix": __import__(
             "fluent_server_ray.pipelines.curation",
             fromlist=["quality_curriculum_sql"],

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -931,3 +932,91 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 8,
         .map_groups(survivors, batch_format="pandas")
     )
     return out.sort(id_col)
+
+
+# ------------------------------------------- per-label class centroids
+
+def label_centroids(ds, label_col: str = "label",
+                    emb_col: str = "embedding") -> pa.Table:
+    """Per-label mean embedding (nearest-class-mean prototypes — the
+    cheap domain/quality classifier of data-curation stacks: label a
+    seed set, average, assign the corpus by cosine-to-centroid).
+
+    Combiner-first and integer-exact: each batch contributes one
+    (label, dim) partial of ``sum(floor(val·1e6))`` as int64 plus a
+    count — integer sums are order-independent, so the driver merge
+    and the SQL mirror agree bit-for-bit (a float64 sum would depend
+    on reduction order). Output: (label, dim, n, sum_millionths,
+    mean_millionths = sum/n in one exact division), sorted — bounded
+    by |labels|·d rows."""
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.floor(
+            _batch_matrix(t, emb_col).astype(np.float64) * 1_000_000.0
+        ).astype(np.int64)
+        labels = t[label_col]
+        # one vectorized groupby over (label) for all dims: build the
+        # (label, dim) long form with repeat/tile — d is small (≤ few k)
+        n, d = m.shape
+        lab_idx = pc.dictionary_encode(labels.combine_chunks()
+                                       if isinstance(labels, pa.ChunkedArray)
+                                       else labels)
+        codes = lab_idx.indices.to_numpy(zero_copy_only=False)
+        uniq = lab_idx.dictionary
+        k = len(uniq)
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, codes, m)
+        counts = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pc.take(uniq, pa.array(
+                np.repeat(np.arange(k, dtype=np.int64), d))),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, d)),
+        })
+
+    parts = list(
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    empty = pa.table({"label": pa.array([], type=pa.string()),
+                      "dim": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "sum_millionths": pa.array([], type=pa.int64()),
+                      "mean_millionths": pa.array([], type=pa.float64())})
+    if not parts:
+        return empty
+    merged = (pa.concat_tables(parts).group_by(["label", "dim"])
+              .aggregate([("s", "sum"), ("n", "sum")]))
+    mean = pc.divide(pc.cast(merged["s_sum"], pa.float64()),
+                     pc.cast(merged["n_sum"], pa.float64()))
+    out = pa.table({
+        "label": merged["label"],
+        "dim": merged["dim"],
+        "n": merged["n_sum"],
+        "sum_millionths": merged["s_sum"],
+        "mean_millionths": mean,
+    })
+    return out.sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+def label_centroids_sql(label_col: str = "label",
+                        emb_col: str = "embedding",
+                        table: str = "embeddings") -> str:
+    return f"""
+WITH flat AS (
+  SELECT {label_col} AS label, gs - 1 AS dim,
+    CAST(floor(CAST({emb_col}[gs] AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+  FROM {table}
+  CROSS JOIN unnest(generate_series(1, len({emb_col}))) AS u(gs)
+)
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(v) AS BIGINT) AS sum_millionths,
+  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_millionths
+FROM flat GROUP BY label, dim
+ORDER BY label, dim
+""".strip()

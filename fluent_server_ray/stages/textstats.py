@@ -1053,10 +1053,12 @@ def doc_token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
     scores near ``ln(n_tokens)``. ``H = ln(n) - (Σ_t tf·ln(tf)) / n``
     over the doc's term frequencies.
 
-    Integer-exact contract: ``ln(tf)`` floors to int64 millionths, so
-    ``Σ tf·lp`` is an order-free int64 sum; the final float derivation
-    ``ln(n) - (sum/1e6)/n`` is ONE fixed expression tree mirrored
-    verbatim in SQL. Pure per-batch map (term frequencies are per-doc
+    Integer-exact contract: BOTH logs floor to int64 millionths
+    (``ln(tf)`` per term, ``ln(n)`` per doc), so the numerator
+    ``ln_n_m·n − Σ tf·lp_m`` is an order-free int64 and the final
+    float is ONE exact division mirrored verbatim in SQL — a free-form
+    ``ln(n) − (sum/1e6)/n`` float tree differed from DuckDB by 1 ulp
+    on ~20% of rows (libm vs DuckDB ln). Pure per-batch map (term frequencies are per-doc
     — no corpus pass, no shuffle, unlike doc_unigram_logprob). Docs
     with zero tokens emit no row. Returns (doc_id, n_tokens,
     entropy)."""
@@ -1088,9 +1090,13 @@ def doc_token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
             "d": tf["d"], "w": w,
             "tf": pc.cast(tf["tf"], pa.int64()),
         }).group_by("d").aggregate([("w", "sum"), ("tf", "sum")])
-        n = agg["tf_sum"].to_numpy(zero_copy_only=False).astype("float64")
-        s = agg["w_sum"].to_numpy(zero_copy_only=False).astype("float64")
-        ent = np.log(n) - (s / 1_000_000.0) / n
+        n = agg["tf_sum"].to_numpy(zero_copy_only=False).astype("int64")
+        s = agg["w_sum"].to_numpy(zero_copy_only=False).astype("int64")
+        ln_n_m = np.floor(
+            np.log(n.astype("float64")) * 1_000_000
+        ).astype("int64")
+        num = ln_n_m * n - s  # exact int64 (n, s ≪ 2^53)
+        ent = num.astype("float64") / (1_000_000.0 * n.astype("float64"))
         yield pa.table({
             id_col: agg["d"],
             "n_tokens": agg["tf_sum"],
@@ -1119,8 +1125,9 @@ WITH toks AS (
   FROM tf GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-  ln(CAST(n_tokens AS DOUBLE))
-    - (CAST(s_m AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE)
+  CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+         * n_tokens - s_m AS DOUBLE)
+    / (1000000.0 * CAST(n_tokens AS DOUBLE))
     AS entropy
 FROM doc
 """.strip()
@@ -1529,3 +1536,43 @@ JOIN uni u2 ON b.w2 = u2.w
 CROSS JOIN stats
 ORDER BY pmi_millionths DESC, w1, w2 LIMIT {int(k)}
 """.strip()
+
+
+# ------------------------------------- compression-ratio quality signal
+
+def doc_compression_ratio(ds, id_col: str = "doc_id",
+                          text_col: str = "text", level: int = 6):
+    """Per-document zlib compression ratio — the redundancy quality
+    gate of the Dolma/Gopher filter suites: highly compressible text
+    (ratio « 1) is repetitive boilerplate; near-incompressible text
+    (ratio ≈ 1+) is often binary junk or high-entropy noise. Both
+    tails get cut by a downstream threshold filter.
+
+    The zlib call is per-row C (same precedent as the md5
+    ``fingerprint_batch``) inside parallel ``map_batches`` tasks — the
+    driver never loops. Output: (id, n_bytes, n_compressed, ratio)
+    with ratio = one float64 division (empty docs: ratio over
+    max(n_bytes,1) so the row is kept, mirroring the quality_batch
+    guard). No SQL engine ships zlib, so this is pytest-pinned
+    (byte-exact vs direct zlib) rather than DuckDB-checked."""
+    import zlib
+
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        nb = np.empty(len(texts), dtype=np.int64)
+        nc = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            raw = (s or "").encode("utf-8")
+            nb[i] = len(raw)
+            nc[i] = len(zlib.compress(raw, level))
+        ratio = nc.astype(np.float64) / np.maximum(nb, 1).astype(np.float64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_bytes": pa.array(nb),
+            "n_compressed": pa.array(nc),
+            "ratio": pa.array(ratio),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1567,9 +1567,13 @@ def test_doc_token_entropy_edges(ray_session, tmp_path):
     by = got.set_index("doc_id")["entropy"]
     assert set(got.doc_id) == {1, 2, 3}
     assert by[1] == 0.0
-    assert by[2] == math.log(4.0) - (math.floor(
-        math.log(4.0) * 1e6) / 1e6 * 4) / 4
-    assert abs(by[3] - math.log(4.0)) < 1e-12  # uniform: ln(tf)=ln(1)=0
+    # all-identical tokens: ln_n_m·n − n·ln_n_m == 0 EXACTLY under the
+    # both-logs-floored contract (the old float tree left a ~2e-7
+    # truncation residue and 1-ulp oracle drift)
+    assert by[2] == 0.0
+    # uniform: ln(tf)=ln(1)=0 → H = floor(ln(4)·1e6)·4 / (1e6·4)
+    assert by[3] == math.floor(math.log(4.0) * 1e6) / 1e6
+    assert abs(by[3] - math.log(4.0)) < 1e-5
 
 
 def test_tool_transitions_skip_non_calls(ray_session):
@@ -1838,3 +1842,56 @@ def test_bpe_repeated_symbol_runs(ray_session):
         n_merges=6).to_pandas()
     ref = bpe_train_reference(texts, n_merges=6)
     assert list(zip(got.left, got.right, got.w)) == ref
+
+
+def test_doc_compression_ratio_exact(ray_session, tmp_path):
+    """zlib ratio byte-exact vs direct zlib; repetitive text scores
+    lower ratio than varied text; empty doc keeps a guarded row."""
+    import zlib
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import doc_compression_ratio
+
+    texts = ["spam spam spam spam spam spam spam spam",
+             "the quick brown fox jumps over the lazy dog", ""]
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    p = tmp_path / "d.parquet"
+    df.to_parquet(p, index=False)
+    got = (doc_compression_ratio(rd.read_parquet(str(p)))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        assert got.n_bytes[i] == len(raw)
+        assert got.n_compressed[i] == len(zlib.compress(raw, 6))
+        assert got.ratio[i] == got.n_compressed[i] / max(len(raw), 1)
+    assert got.ratio[0] < got.ratio[1]  # redundancy compresses better
+    assert len(got) == 3  # empty doc kept (guarded denominator)
+
+
+def test_label_centroids_vs_oracle(ray_session, tmp_path):
+    """Per-label centroids == SQL mirror bit-for-bit (integer-sum
+    contract); mean of a known two-vector label is exact."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import (label_centroids,
+                                                     label_centroids_sql)
+
+    df = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 2.0], [3.0, 4.0], [10.0, -2.5]],
+        "label": ["a", "a", "b"],
+    })
+    p = tmp_path / "e.parquet"
+    df.to_parquet(p, index=False)
+    got = label_centroids(rd.read_parquet(str(p))).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(label_centroids_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()),
+        check_exact=True)
+    a = got[got.label == "a"].set_index("dim")
+    assert a.mean_millionths[0] == 2_000_000.0  # mean(1,3)
+    assert a.mean_millionths[1] == 3_000_000.0  # mean(2,4)
