@@ -1617,6 +1617,15 @@ def _q_label_centroids(sf_dir: str):
         read_parquet_clean(f"{sf_dir}/embeddings.parquet"))
 
 
+def _q_tfidf_joined(sf_dir: str):
+    """doc_tfidf's web-scale path: vocab/idf table stays distributed
+    (grouped_agg final='ray' + one bucketed term join) instead of a
+    driver-built broadcast — same oracle as doc_tfidf."""
+    from fluent_server_ray.stages.textstats import doc_tfidf_joined
+
+    return doc_tfidf_joined(_docs(sf_dir))
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE merge-table training (8 merges): word counts
     collapse the corpus to a vocab Dataset; each merge is a parallel
@@ -1848,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_table": _q_bpe_merges,
         "doc_compression_ratio": _q_compression_ratio,
         "embedding_label_centroids": _q_label_centroids,
+        "doc_tfidf_joined": _q_tfidf_joined,
     }
 
 
@@ -2041,6 +2051,7 @@ WHERE doc_id % 2 = 1
             ["user_id", "event_id", "ts", "event_type", "value"],
             "user_id", ["ts", "event_id"], "events"),
         "embedding_label_centroids": similarity.label_centroids_sql(),
+        "doc_tfidf_joined": textstats.doc_tfidf_sql(),
         "quality_curriculum_mix": __import__(
             "fluent_server_ray.pipelines.curation",
             fromlist=["quality_curriculum_sql"],

@@ -185,7 +185,9 @@ def run_once() -> dict:
                   "sessionize", "join_revenue_by_priority",
                   "curation_pipeline", "conv_value_stats",
                   "user_funnel", "window_distinct_users",
-                  "lm_prep_pipeline", "dedup_substring"):
+                  "lm_prep_pipeline", "dedup_substring",
+                  "doc_bm25_topk", "bigram_pmi_top",
+                  "orders_segment_counts_salted"):
         try:
             t0 = time.perf_counter()
             res = entrymod.queries()[qname](SF_DIR)

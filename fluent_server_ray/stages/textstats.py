@@ -1432,11 +1432,13 @@ def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
     if n_pairs == 0:
         return empty
 
+    # materialize: BOTH join sides consume this graph — without the
+    # pin the distributed unigram aggregation would execute twice
     uni = grouped_agg(
         ds.map_batches(skip_empty(uni_partial), batch_format="pyarrow",
                        zero_copy_batch=True),
         ["word"], [("c1", "sum")], final="ray",
-    )
+    ).materialize()
     big = grouped_agg(
         ds.map_batches(skip_empty(pair_partial), batch_format="pyarrow",
                        zero_copy_batch=True),
@@ -1576,3 +1578,103 @@ def doc_compression_ratio(ds, id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_tfidf_joined(ds, id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 64):
+    """:func:`doc_tfidf`'s WEB-SCALE path: identical output (same SQL
+    oracle), but the vocabulary never touches the driver and is never
+    broadcast — at crawl scale the (term → idf) table is itself a
+    large dataset (10^8 terms × avg-30-byte strings), so:
+
+    - df merges via ``grouped_agg(final='ray')`` (unbounded term
+      cardinality), idf_millionths derives in a pure map over it;
+    - ONE ``bucketed_hash_join`` on the term attaches idf to the
+      (doc, term, tf) rows — the tf rows and the vocab each shuffle
+      once, the corpus text never;
+    - per-doc sums merge via ``grouped_agg(final='ray')`` (unbounded
+      doc cardinality).
+
+    Use :func:`doc_tfidf` (broadcast idf) when the vocab fits workers
+    comfortably — one shuffle fewer; this variant when it doesn't.
+    Tests pin row-set equality of both paths."""
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    ds = ds.materialize()  # consumed twice (count + tf pass)
+    n_docs = ds.count()
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "tfidf_millionths": pa.array([], type=pa.int64())})
+    if n_docs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        if not len(flat):
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        out = pa.table({
+            "d": pa.array(np.repeat(ids, lens)),
+            "term": pa.array(flat, type=pa.string()),
+        }).group_by(["d", "term"]).aggregate([([], "count_all")])
+        return out.rename_columns(["d", "term", "tf"])
+
+    # tf rows are distinct (doc, term) per batch AND docs never
+    # straddle blocks → per-batch term count IS an exact df partial
+    tf_rows = ds.map_batches(skip_empty(tf_partial), batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("term").aggregate([([], "count_all")])
+        return out.rename_columns(["term", "df"])
+
+    df_ds = grouped_agg(
+        tf_rows.map_batches(skip_empty(df_partial), batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["term"], [("df", "sum")], final="ray",
+    )
+
+    def to_idf(t: pa.Table) -> pa.Table:
+        dfv = t["df_sum"].to_numpy(zero_copy_only=False).astype("float64")
+        idf_m = np.floor(
+            np.log(float(n_docs) / dfv) * 1_000_000
+        ).astype("int64")
+        return pa.table({"term": t["term"], "idf_m": pa.array(idf_m)})
+
+    idf = df_ds.map_batches(skip_empty(to_idf), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = bucketed_hash_join(tf_rows, idf, key="term",
+                                n_buckets=n_buckets)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t["d"],
+            "w": pc.multiply(pc.cast(t["tf"], pa.int64()), t["idf_m"]),
+        })
+
+    summed = grouped_agg(
+        joined.map_batches(skip_empty(weigh), batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["d"], [("w", "sum")], final="ray",
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["d"],
+                         "tfidf_millionths": pc.cast(t["w_sum"], pa.int64())})
+
+    return summed.map_batches(skip_empty(rename), batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1895,3 +1895,140 @@ def test_label_centroids_vs_oracle(ray_session, tmp_path):
     a = got[got.label == "a"].set_index("dim")
     assert a.mean_millionths[0] == 2_000_000.0  # mean(1,3)
     assert a.mean_millionths[1] == 3_000_000.0  # mean(2,4)
+
+
+def test_salted_join_randomized(ray_session):
+    """Randomized equivalence: salted replicated join == pandas inner
+    merge across seeds, key skews, and salt/bucket shapes."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import salted_replicated_join
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n_big = int(rng.integers(50, 400))
+        keys = rng.choice([1, 2, 3, 7, 7, 7, 7, 100, 101], size=n_big)
+        big = pd.DataFrame({"k": keys.astype(np.int64),
+                            "v": np.arange(n_big, dtype=np.int64)})
+        small_keys = rng.choice(np.arange(110), size=20, replace=False)
+        small = pd.DataFrame({"k": small_keys.astype(np.int64),
+                              "w": [f"s{k}" for k in small_keys]})
+        got = salted_replicated_join(
+            rd.from_pandas(big), rd.from_pandas(small), key="k",
+            n_salts=int(rng.integers(2, 6)), n_sub=int(rng.integers(2, 6)),
+        ).to_pandas()
+        want = big.merge(small, on="k")
+        if want.empty:  # zero-match seed: typed-empty Dataset, and
+            assert len(got) == 0  # to_pandas() drops cols at 0 rows
+            continue
+        cols = ["k", "v", "w"]
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols).reset_index(drop=True),
+            want[cols].sort_values(cols).reset_index(drop=True)
+            .astype(got[cols].dtypes.to_dict()),
+            check_exact=True,
+        )
+
+
+def test_bm25_randomized_vs_bruteforce(ray_session, tmp_path):
+    """Randomized BM25 equivalence vs a from-scratch driver-side
+    scorer (same millionths contract), incl. rank order."""
+    import math
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import bm25_topk
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    for seed in (3, 4):
+        rng = np.random.default_rng(seed)
+        texts = [" ".join(rng.choice(vocab,
+                                     size=int(rng.integers(0, 15))))
+                 for _ in range(60)]
+        df = pd.DataFrame({"doc_id": range(60), "text": texts})
+        p = tmp_path / f"b{seed}.parquet"
+        df.to_parquet(p, index=False)
+        terms = ["alpha", "gamma"]
+        k1, b = 1.2, 0.75
+        got = bm25_topk(rd.read_parquet(str(p)), terms, k=60).to_pandas()
+
+        # driver-side reference
+        toks = [t.split(" ") if t else [] for t in texts]
+        toks = [[w for w in ws if w] for ws in toks]
+        n = len(texts)
+        dl = [len(ws) for ws in toks]
+        avgdl = sum(dl) / n
+        scores = {}
+        for term in terms:
+            df_t = sum(1 for ws in toks if term in ws)
+            if df_t == 0:
+                continue
+            idf = math.log(((n - df_t) + 0.5) / (df_t + 0.5) + 1.0)
+            for i, ws in enumerate(toks):
+                tf = ws.count(term)
+                if tf:
+                    den = tf + k1 * ((1.0 - b) + (b * dl[i]) / avgdl)
+                    c = math.floor((idf * (tf * (1.0 + k1))) / den
+                                   * 1_000_000.0)
+                    scores[i] = scores.get(i, 0) + c
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert list(zip(got.doc_id, got.bm25_millionths)) == want
+
+
+def test_latest_by_key_randomized(ray_session, tmp_path):
+    """Randomized upsert compaction vs pandas idxmax incl. timestamp
+    ties resolved by the second order column."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import latest_by_key
+
+    for seed in (5, 6):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(100, 500))
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 30, size=n).astype(np.int64),
+            "event_id": np.arange(n, dtype=np.int64),
+            # coarse ts → plenty of within-key ties
+            "ts": pd.to_datetime(
+                rng.integers(0, 5, size=n), unit="D",
+                origin="2024-01-01"),
+            "value": rng.normal(size=n),
+        })
+        p = tmp_path / f"l{seed}.parquet"
+        df.to_parquet(p, index=False)
+        got = latest_by_key(rd.read_parquet(str(p)), "user_id",
+                            ["ts", "event_id"]).to_pandas()
+        want = (df.sort_values(["user_id", "ts", "event_id"],
+                               ascending=[True, False, False])
+                .drop_duplicates("user_id")
+                .sort_values("user_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want[got.columns],
+            check_exact=True)
+
+
+def test_doc_tfidf_joined_equals_broadcast(ray_session, tmp_path):
+    """The distributed-join tfidf path == the broadcast path row for
+    row (same millionths), incl. a doc whose terms are all corpus-wide
+    (idf floor 0) and an empty doc that emits no row."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (doc_tfidf,
+                                                    doc_tfidf_joined)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["common common rare", "common unique", "common", ""],
+    })
+    p = tmp_path / "d.parquet"
+    df.to_parquet(p, index=False)
+    a = (doc_tfidf(rd.read_parquet(str(p))).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (doc_tfidf_joined(rd.read_parquet(str(p))).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert set(b.doc_id) == {1, 2, 3}  # empty doc drops in both
+    # the empty doc still counts toward N: idf(common) = ln(4/3)
+    import math
+    assert (b.set_index("doc_id").tfidf_millionths[3]
+            == math.floor(math.log(4 / 3) * 1e6))
