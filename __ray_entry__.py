@@ -1626,6 +1626,36 @@ def _q_tfidf_joined(sf_dir: str):
     return doc_tfidf_joined(_docs(sf_dir))
 
 
+def _q_corpus_overlap(sf_dir: str):
+    """Cross-corpus vocabulary overlap between the odd/even doc halves
+    via two KMV sketches — two O(blocks·k) reduces, zero shuffles. At
+    this vocab size (« k=1024) the sketch is in its EXACT regime, so
+    the DuckDB set-algebra oracle matches bit-for-bit; at crawl scale
+    the same code degrades gracefully to the (k-1)/kth estimator."""
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.stages.sketches import corpus_overlap_estimate
+
+    docs = _docs(sf_dir)
+
+    def words(half: int):
+        def fn(t):
+            import pyarrow as _pa
+
+            keep = _pc.equal(
+                _pc.bit_wise_and(t["doc_id"], _pa.scalar(1)), half)
+            sub = t.filter(keep)
+            toks = _pc.list_flatten(_pc.split_pattern(sub["text"], " "))
+            if isinstance(toks, _pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            return _pa.table({"word": toks.filter(_pc.not_equal(toks, ""))})
+
+        return docs.map_batches(fn, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    return corpus_overlap_estimate(words(0), words(1), "word", k=1024)
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE merge-table training (8 merges): word counts
     collapse the corpus to a vocab Dataset; each merge is a parallel
@@ -1858,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression_ratio": _q_compression_ratio,
         "embedding_label_centroids": _q_label_centroids,
         "doc_tfidf_joined": _q_tfidf_joined,
+        "corpus_overlap_kmv": _q_corpus_overlap,
     }
 
 
@@ -2052,6 +2083,28 @@ WHERE doc_id % 2 = 1
             "user_id", ["ts", "event_id"], "events"),
         "embedding_label_centroids": similarity.label_centroids_sql(),
         "doc_tfidf_joined": textstats.doc_tfidf_sql(),
+        "corpus_overlap_kmv": """
+WITH toks AS (
+  SELECT doc_id % 2 AS half,
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+), a AS (
+  SELECT DISTINCT w FROM toks WHERE half = 0
+), b AS (
+  SELECT DISTINCT w FROM toks WHERE half = 1
+), s AS (
+  SELECT (SELECT count(*) FROM a) AS da,
+         (SELECT count(*) FROM b) AS db,
+         (SELECT count(*) FROM a JOIN b USING (w)) AS ab
+)
+SELECT CAST(da AS DOUBLE) AS distinct_a,
+  CAST(db AS DOUBLE) AS distinct_b,
+  CAST(ab AS DOUBLE) / CAST(da + db - ab AS DOUBLE) AS jaccard,
+  CAST(ab AS DOUBLE) / CAST(da + db - ab AS DOUBLE)
+    / (1.0 + CAST(ab AS DOUBLE) / CAST(da + db - ab AS DOUBLE))
+    * (CAST(da AS DOUBLE) + CAST(db AS DOUBLE)) AS overlap_est
+FROM s
+""".strip(),
         "quality_curriculum_mix": __import__(
             "fluent_server_ray.pipelines.curation",
             fromlist=["quality_curriculum_sql"],

@@ -530,3 +530,109 @@ def cms_query(sketch: np.ndarray, keys: list[str]):
         h = pd.util.hash_array(vals, hash_key=_CMS_KEYS[d]) % width
         est = np.minimum(est, sketch[d, h.astype(np.int64)])
     return est
+
+
+# --------------------------------------- KMV (k minimum values) sketch
+
+class KMVSketch:
+    """Bottom-k / K-Minimum-Values sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007 for the unbiased estimator): keep the k smallest
+    64-bit hashes of a set. Mergeable (union = bottom-k of the
+    concatenation), and — unlike HLL — supports JACCARD estimation
+    between two sketches, which is what cross-corpus OVERLAP questions
+    need ("how much of corpus A's shingle space is in benchmark B?")
+    without materializing either side's key set.
+
+    distinct ≈ (k-1) / kth_min_normalized; jaccard ≈ |bottom-k of the
+    union shared by both| / k. Deterministic (pandas SipHash, fixed
+    key). Exact when the set has < k distinct values (the sketch then
+    IS the hash set)."""
+
+    def __init__(self, k: int = 1024):
+        self.k = int(k)
+        self.hashes = np.array([], dtype=np.uint64)
+
+    def add_values(self, values: np.ndarray) -> None:
+        import pandas as pd
+
+        if not len(values):
+            return
+        h = pd.util.hash_array(np.asarray(values, dtype=object))
+        self.hashes = np.unique(np.concatenate([self.hashes, h]))[: self.k]
+
+    def merge(self, other: "KMVSketch") -> "KMVSketch":
+        out = KMVSketch(self.k)
+        out.hashes = np.unique(
+            np.concatenate([self.hashes, other.hashes])
+        )[: self.k]
+        return out
+
+    def estimate(self) -> float:
+        n = len(self.hashes)
+        if n < self.k:  # exact regime
+            return float(n)
+        kth = float(self.hashes[self.k - 1]) / float(2**64)
+        return (self.k - 1) / kth
+
+    def jaccard(self, other: "KMVSketch") -> float:
+        """Estimate J(A,B) from the bottom-k of the UNION."""
+        union = np.unique(np.concatenate([self.hashes, other.hashes]))
+        kk = min(self.k, len(union))
+        if kk == 0:
+            return 0.0
+        low = union[:kk]
+        both = np.intersect1d(low, self.hashes, assume_unique=True)
+        both = np.intersect1d(both, other.hashes, assume_unique=True)
+        return float(len(both)) / float(kk)
+
+    def serialize(self) -> bytes:
+        return np.concatenate(
+            [np.array([self.k], dtype=np.uint64), self.hashes]
+        ).tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "KMVSketch":
+        arr = np.frombuffer(data, dtype=np.uint64)
+        out = cls(int(arr[0]))
+        out.hashes = arr[1:].copy()
+        return out
+
+
+def kmv_sketch(ds, col: str, k: int = 1024) -> KMVSketch:
+    """Distributed KMV build: one sketch per block (the per-batch
+    combiner — k hashes each), merged on the driver (O(blocks·k),
+    independent of corpus size)."""
+    def sk_batch(t: pa.Table) -> pa.Table:
+        s = KMVSketch(k)
+        s.add_values(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({"sk": pa.array([s.serialize()], type=pa.binary())})
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    out = KMVSketch(k)
+    for b in (ds.map_batches(skip_empty(sk_batch), batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for blob in b["sk"].to_pylist():
+            out = out.merge(KMVSketch.deserialize(blob))
+    return out
+
+
+def corpus_overlap_estimate(ds_a, ds_b, col: str, k: int = 1024) -> pa.Table:
+    """Cross-corpus overlap report from two KMV sketches — the
+    contamination-scale question ("what fraction of pretraining
+    shingles appear in the eval set?") answered with two O(blocks·k)
+    reduces and ZERO joins/shuffles. Returns one row:
+    (distinct_a, distinct_b, jaccard, overlap_est =
+    J/(1+J)·(|A|+|B|), the inclusion-exclusion intersection)."""
+    sa = kmv_sketch(ds_a, col, k)
+    sb = kmv_sketch(ds_b, col, k)
+    da, db = sa.estimate(), sb.estimate()
+    j = sa.jaccard(sb)
+    inter = j / (1.0 + j) * (da + db) if j > 0 else 0.0
+    return pa.table({
+        "distinct_a": pa.array([da], type=pa.float64()),
+        "distinct_b": pa.array([db], type=pa.float64()),
+        "jaccard": pa.array([j], type=pa.float64()),
+        "overlap_est": pa.array([inter], type=pa.float64()),
+    })

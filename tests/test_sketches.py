@@ -2,6 +2,7 @@
 determinism across processes."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from fluent_server_ray.stages.sketches import HyperLogLog
@@ -114,3 +115,38 @@ def test_misra_gries_exact_when_capacity_suffices():
 
     mg = MisraGries(100).update_counts(list("aabbbc"), [1] * 6)
     assert mg.top(3) == [("b", 3), ("a", 2), ("c", 1)]
+
+
+def test_kmv_exact_regime_and_merge(ray_session):
+    """Distinct < k: the sketch IS the hash set — estimate and jaccard
+    are exact; merging block sketches == one global sketch."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sketches import KMVSketch, kmv_sketch
+
+    a = KMVSketch(64); a.add_values(np.arange(40))
+    b = KMVSketch(64); b.add_values(np.arange(20, 60))
+    assert a.estimate() == 40.0 and b.estimate() == 40.0
+    assert a.jaccard(b) == 20 / 60  # |∩|=20, |∪|=60, union fits k
+    # distributed build == local build
+    ds = rd.from_pandas(pd.DataFrame({"v": np.arange(40)})).repartition(4)
+    d = kmv_sketch(ds, "v", k=64)
+    assert d.estimate() == 40.0
+    assert sorted(d.hashes) == sorted(a.hashes)
+    # serialize round-trip
+    r = KMVSketch.deserialize(a.serialize())
+    assert r.k == a.k and (r.hashes == a.hashes).all()
+
+
+def test_kmv_estimator_accuracy():
+    """Approximate regime: distinct and jaccard estimates land within
+    the standard ~1/sqrt(k) error band on a 50k-distinct set."""
+    from fluent_server_ray.stages.sketches import KMVSketch
+
+    n = 50_000
+    a = KMVSketch(1024); a.add_values(np.arange(n))
+    b = KMVSketch(1024); b.add_values(np.arange(n // 2, n + n // 2))
+    est = a.estimate()
+    assert abs(est - n) / n < 0.15
+    j = a.jaccard(b)   # true J = (n/2) / (3n/2) = 1/3
+    assert abs(j - 1 / 3) < 0.08
