@@ -1626,6 +1626,17 @@ def _q_tfidf_joined(sf_dir: str):
     return doc_tfidf_joined(_docs(sf_dir))
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Tokenize the corpus with a learned 8-merge BPE table: the merge
+    table broadcasts once; each batch replays the merges with compiled
+    lookaround regexes over one joined buffer. Rows-only (iterative
+    training upstream); encoder pinned vs a per-word reference."""
+    from fluent_server_ray.stages.bpe import bpe_encode, bpe_train_adaptive
+
+    merges = bpe_train_adaptive(_docs(sf_dir), n_merges=8)
+    return bpe_encode(_docs(sf_dir), merges)
+
+
 def _q_corpus_overlap(sf_dir: str):
     """Cross-corpus vocabulary overlap between the odd/even doc halves
     via two KMV sketches — two O(blocks·k) reduces, zero shuffles. At
@@ -1662,9 +1673,9 @@ def _q_bpe_merges(sf_dir: str):
     pair-count pass + one broadcast regex merge. Iterative — not
     SQL-expressible; pinned in pytest against a pure-Python reference
     trainer."""
-    from fluent_server_ray.stages.bpe import bpe_train
+    from fluent_server_ray.stages.bpe import bpe_train_adaptive
 
-    return bpe_train(_docs(sf_dir), n_merges=8)
+    return bpe_train_adaptive(_docs(sf_dir), n_merges=8)
 
 
 def _q_tool_transitions(sf_dir: str):
@@ -1889,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": _q_label_centroids,
         "doc_tfidf_joined": _q_tfidf_joined,
         "corpus_overlap_kmv": _q_corpus_overlap,
+        "doc_bpe_encode": _q_bpe_encode,
     }
 
 

@@ -40,7 +40,11 @@ def _word_counts(ds, text_col: str):
     from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        # all whitespace separates words: a literal tab/newline inside
+        # a "word" would otherwise corrupt the newline/tab-joined
+        # regex buffers of _apply_merge / bpe_encode
+        txt = pc.replace_substring_regex(t[text_col], r"[\t\n\r]", " ")
+        toks = pc.list_flatten(pc.split_pattern(txt, " "))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         toks = toks.filter(pc.not_equal(toks, ""))
@@ -222,3 +226,119 @@ def bpe_train_reference(texts, n_merges: int = 32,
                         + r"(?!\S)")
         vocab = {rx.sub(a + b, syms): c for syms, c in vocab.items()}
     return merges
+
+
+def bpe_train_adaptive(ds, n_merges: int = 32, min_count: int = 2,
+                       text_col: str = "text",
+                       driver_max_vocab_bytes: int = 256 << 20) -> pa.Table:
+    """Size-adaptive BPE training (the minhash-verify pattern): the
+    distributed merge loop of :func:`bpe_train` costs two cluster
+    passes PER MERGE — irreducible when the word-frequency table is
+    itself too big for one machine, but a real 32k-merge tokenizer run
+    over a vocab that FITS should not pay 64k fixed executor costs.
+    So: build the word counts distributed (always), measure the vocab,
+    and if it fits ``driver_max_vocab_bytes`` run the merge loop
+    locally on the collapsed (syms, n) table — byte-identical output
+    (same tie-breaks), pinned by tests against the distributed path.
+    Falls back to :func:`bpe_train`'s loop otherwise."""
+    from collections import Counter
+
+    vocab = _to_symbols(_word_counts(ds, text_col)).materialize()
+    nbytes = vocab.size_bytes() or 0
+    if nbytes > driver_max_vocab_bytes:
+        out = {"rank": [], "left": [], "right": [], "merged": [], "w": []}
+        vsyms = vocab
+        for rank in range(n_merges):
+            best = _best_pair(vsyms)
+            if best is None or best[2] < min_count:
+                break
+            left, right, w = best
+            out["rank"].append(rank)
+            out["left"].append(left)
+            out["right"].append(right)
+            out["merged"].append(left + right)
+            out["w"].append(w)
+            vsyms = _apply_merge(vsyms, left, right).materialize()
+        return pa.table({
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "left": pa.array(out["left"], type=pa.string()),
+            "right": pa.array(out["right"], type=pa.string()),
+            "merged": pa.array(out["merged"], type=pa.string()),
+            "w": pa.array(out["w"], type=pa.int64()),
+        })
+
+    # driver-exact path: same algorithm, zero per-merge cluster passes
+    local = {}
+    for b in vocab.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for syms, n in zip(b["syms"].to_pylist(), b["n"].to_pylist()):
+            local[syms] = local.get(syms, 0) + int(n)
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for syms, c in local.items():
+            parts = syms.split(" ")
+            for a, bb in zip(parts[:-1], parts[1:]):
+                pairs[(a, bb)] += c
+        if not pairs:
+            break
+        (a, bb), w = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if w < min_count:
+            break
+        merges.append((rank, a, bb, a + bb, w))
+        rx = re.compile(r"(?<!\S)" + re.escape(a) + r" " + re.escape(bb)
+                        + r"(?!\S)")
+        local = {rx.sub(a + bb, syms): c for syms, c in local.items()}
+    cols = list(zip(*merges)) if merges else [[], [], [], [], []]
+    return pa.table({
+        "rank": pa.array(list(cols[0]), type=pa.int64()),
+        "left": pa.array(list(cols[1]), type=pa.string()),
+        "right": pa.array(list(cols[2]), type=pa.string()),
+        "merged": pa.array(list(cols[3]), type=pa.string()),
+        "w": pa.array(list(cols[4]), type=pa.int64()),
+    })
+
+
+def bpe_encode(ds, merges: pa.Table, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Apply a learned merge table to a corpus — the TOKENIZE step
+    that follows training: each batch splits words to characters +
+    ``</w>`` and replays the merges in rank order with the same
+    compiled lookaround regexes over one newline/tab-joined buffer
+    (words separated by tabs within a doc, docs by newlines — both
+    whitespace, invisible to the merges). The merge table broadcasts
+    once via ``ray.put``. Output: (id, n_tokens, tokens — the
+    space-joined symbol string per doc). Deterministic; pinned against
+    a per-word reference encoder."""
+    import ray
+
+    pairs = list(zip(merges["left"].to_pylist(),
+                     merges["right"].to_pylist()))
+    merges_ref = ray.put(pairs)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ms = ray.get(merges_ref)
+        rxs = [(re.compile(r"(?<!\S)" + re.escape(a) + r" " + re.escape(b)
+                           + r"(?!\S)"), a + b) for a, b in ms]
+        docs = []
+        for s in t[text_col].to_pylist():
+            s = (s or "").replace("\t", " ").replace("\n", " ")
+            s = s.replace("\r", " ")
+            words = [w for w in s.split(" ") if w]
+            docs.append("\t".join(
+                " ".join(list(w) + [END_OF_WORD]) for w in words))
+        mega = "\n".join(docs)
+        for rx, repl in rxs:
+            mega = rx.sub(repl, mega)
+        out_docs = mega.split("\n")
+        toks = [d.replace("\t", " ").split(" ") if d else []
+                for d in out_docs]
+        toks = [[x for x in ws if x] for ws in toks]
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array([len(ws) for ws in toks],
+                                 type=pa.int64()),
+            "tokens": pa.array([" ".join(ws) for ws in toks],
+                               type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

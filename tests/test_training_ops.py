@@ -2032,3 +2032,68 @@ def test_doc_tfidf_joined_equals_broadcast(ray_session, tmp_path):
     import math
     assert (b.set_index("doc_id").tfidf_millionths[3]
             == math.floor(math.log(4 / 3) * 1e6))
+
+
+def test_bpe_adaptive_paths_agree(ray_session):
+    """Size-adaptive BPE: driver-exact path (vocab fits) ==
+    distributed path == pure-Python reference, same tie-breaks."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.bpe import (bpe_train,
+                                              bpe_train_adaptive,
+                                              bpe_train_reference)
+
+    texts = ["low low low low low", "lower lower newest",
+             "newest newest widest\twide", "wide wide\nnew"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    dist = bpe_train(rd.from_pandas(df), n_merges=10).to_pandas()
+    drv = bpe_train_adaptive(rd.from_pandas(df), n_merges=10).to_pandas()
+    forced = bpe_train_adaptive(rd.from_pandas(df), n_merges=10,
+                                driver_max_vocab_bytes=0).to_pandas()
+    pd.testing.assert_frame_equal(dist, drv, check_exact=True)
+    pd.testing.assert_frame_equal(dist, forced, check_exact=True)
+    norm = [t.replace("\t", " ").replace("\n", " ") for t in texts]
+    ref = bpe_train_reference(norm, n_merges=10)
+    assert list(zip(drv.left, drv.right, drv.w)) == ref
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    """Encoding with the learned table == per-word greedy reference
+    replay; token counts shrink as merges apply."""
+    import re as _re
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.bpe import (END_OF_WORD, bpe_encode,
+                                              bpe_train)
+
+    texts = ["low lower lowest", "low low newest", ""]
+    df = pd.DataFrame({"doc_id": range(3), "text": texts})
+    merges = bpe_train(rd.from_pandas(df), n_merges=8)
+    got = (bpe_encode(rd.from_pandas(df), merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    pairs = list(zip(merges["left"].to_pylist(),
+                     merges["right"].to_pylist()))
+
+    def ref_encode(text):
+        out = []
+        for w in text.split(" "):
+            if not w:
+                continue
+            syms = " ".join(list(w) + [END_OF_WORD])
+            for a, b in pairs:
+                rx = _re.compile(r"(?<!\S)" + _re.escape(a) + " "
+                                 + _re.escape(b) + r"(?!\S)")
+                syms = rx.sub(a + b, syms)
+            out.extend(syms.split(" "))
+        return out
+
+    for i, t in enumerate(texts):
+        want = ref_encode(t)
+        assert got.tokens[i].split(" ") == want or (
+            got.tokens[i] == "" and want == [])
+        assert got.n_tokens[i] == len(want)
+    # merges actually compress: fewer symbols than raw chars+markers
+    raw = sum(len(w) + 1 for w in texts[0].split(" "))
+    assert got.n_tokens[0] < raw
