@@ -874,14 +874,17 @@ def shipping_priority(sf_dir: str, k: int = 10, n_buckets: int = 32):
 
     co = bucketed_hash_join(cust, orders, key="c_custkey",
                             right_key="o_custkey", n_buckets=n_buckets)
-    # a filter that matched nothing empties the first join, and an
-    # empty DERIVED dataset has no discoverable Arrow schema (the
-    # probe below returns None) — that's a typed-empty result, not an
-    # input to another join. A non-empty co probes fine (the same
-    # probe cogrouped itself would run).
-    probe = co.map_batches(lambda t: t, batch_format="pyarrow",
-                           zero_copy_batch=True).schema()
-    if probe is None:
+    # materialize: the join feeds BOTH the emptiness check and the
+    # second join — the old identity-wrap .schema() probe executed the
+    # whole first join once and the second join re-ran it (2× the most
+    # expensive stage). Pinned blocks serve the probe for free and the
+    # second join's cogrouped schema resolve reuses them too.
+    co = co.materialize()
+    from fluent_server_ray.stages.joins import arrow_schema
+
+    if arrow_schema(co) is None:
+        # a filter that matched nothing emptied the first join: typed
+        # empty result, not an input to another join
         return empty_result()
     col = bucketed_hash_join(co, lineitem, key="o_orderkey",
                              right_key="l_orderkey", n_buckets=n_buckets)

@@ -43,15 +43,23 @@ def _with_bucket(ds, key: str, n_buckets: int):
                           zero_copy_batch=True)
 
 
-def arrow_schema(ds):
+def arrow_schema(ds, static: bool = False):
     """``ds.schema()`` if present AND carrying real Arrow types, else
     None. A pandas-derived dataset (e.g. a map_groups output) can
     report Python ``type`` entries instead of ``pa.DataType`` —
     unusable for typed padding or key-dtype checks. ``cogrouped`` uses
     this to validate its schema probes; note a PYTHON-typed schema
     does not imply emptiness (probe through an identity pyarrow
-    map_batches for that — None there means zero blocks)."""
-    s = ds.schema()
+    map_batches for that — None there means zero blocks).
+
+    ``static=True`` never executes the plan (``fetch_if_missing=
+    False``): None then means "not statically known", not "empty" —
+    the caller decides whether discovering it is worth an execution.
+    For a side whose lineage contains an all-to-all (a prior bucketed
+    op), fetching the schema means producing a first block, which
+    means running the WHOLE upstream shuffle — and the real
+    consumption then runs it a second time."""
+    s = ds.schema(fetch_if_missing=not static)
     if s is None:
         return None
     if not all(isinstance(t, pa.DataType) for t in s.types):
@@ -71,25 +79,27 @@ def cogrouped(left, right, key: str, right_key: str | None = None,
     (hash join, range join)."""
     right_key = right_key or key
 
-    # normalize both sides to Arrow blocks so schema() yields Arrow types
-    # (pandas-backed datasets report numpy dtypes otherwise)
-    raw_left, raw_right = left, right
-    left = left.map_batches(lambda t: t, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    right = right.map_batches(lambda t: t, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    def resolve(ds, side: str):
+        """(dataset, schema) with at most ONE execution of the side.
 
-    def probe_schema(wrapped, raw, side: str):
-        # the identity wrap normalizes pandas-block schemas to Arrow
-        # types, but a UDF's schema is only discoverable by EXECUTING a
-        # block — an empty input probes to None through it. Fall back
-        # to the raw dataset's schema (a pinned parquet read keeps its
-        # Arrow schema even at zero rows); a schema-less empty derived
-        # dataset fails loudly instead of crashing on .types below.
-        s = arrow_schema(wrapped)
+        Statically-known Arrow schema (parquet read, from_arrow,
+        map_buckets output whose sort already pinned it) → free. A
+        derived side (map chain / shuffle upstream) would otherwise be
+        executed TWICE — once producing a first block for the schema
+        probe, once for real — so it materializes FIRST and every
+        probe (plus the actual join consumption) reuses the pinned
+        blocks. Pandas-typed blocks normalize through a cheap identity
+        Arrow wrap over the cached blocks."""
+        s = arrow_schema(ds, static=True)
         if s is not None:
-            return s
-        s = arrow_schema(raw)
+            return ds, s
+        ds = ds.materialize()
+        s = arrow_schema(ds)
+        if s is not None:
+            return ds, s
+        wrapped = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        s = arrow_schema(wrapped)
         if s is None:
             raise ValueError(
                 f"{side} join side has no usable Arrow schema (empty "
@@ -97,10 +107,17 @@ def cogrouped(left, right, key: str, right_key: str | None = None,
                 f"(joins.arrow_schema(ds) is None) and return a typed "
                 f"empty result instead"
             )
-        return s
+        return ds, s
 
-    lsch = probe_schema(left, raw_left, "left")
-    rsch = probe_schema(right, raw_right, "right")
+    left, lsch = resolve(left, "left")
+    right, rsch = resolve(right, "right")
+    # normalize both sides to Arrow blocks so downstream pads see
+    # Arrow batches (pandas-backed datasets convert here, zero-copy
+    # for the already-Arrow majority)
+    left = left.map_batches(lambda t: t, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = right.map_batches(lambda t: t, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     # key-kind sanity: numeric keys hash dtype-canonically (see
     # aggregate.hash_bucket_array), but a string key on one side and a
