@@ -1637,6 +1637,16 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_window_anomalies(sf_dir: str):
+    """Traffic-spike detection: tumbling counts (distributed combiner)
+    → per-type z-score on the bounded count table → |z|>=2 windows."""
+    from fluent_server_ray.stages.windows import window_anomalies
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+    return window_anomalies(ev, width_seconds=3600, threshold=2.0)
+
+
 def _q_corpus_overlap(sf_dir: str):
     """Cross-corpus vocabulary overlap between the odd/even doc halves
     via two KMV sketches — two O(blocks·k) reduces, zero shuffles. At
@@ -1901,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_joined": _q_tfidf_joined,
         "corpus_overlap_kmv": _q_corpus_overlap,
         "doc_bpe_encode": _q_bpe_encode,
+        "window_anomalies": _q_window_anomalies,
     }
 
 
@@ -2095,6 +2106,8 @@ WHERE doc_id % 2 = 1
             "user_id", ["ts", "event_id"], "events"),
         "embedding_label_centroids": similarity.label_centroids_sql(),
         "doc_tfidf_joined": textstats.doc_tfidf_sql(),
+        "window_anomalies": windows.window_anomalies_sql(
+            width_seconds=3600, threshold=2.0),
         "corpus_overlap_kmv": """
 WITH toks AS (
   SELECT doc_id % 2 AS half,

@@ -811,3 +811,88 @@ SELECT c.cohort_window, uw.w - c.cohort_window AS window_offset,
 FROM uw JOIN c USING ({key_col})
 GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+def window_anomalies(ds, width_seconds: int = 3600,
+                     threshold: float = 2.0,
+                     key_col: str = "event_type",
+                     ts_col: str = "ts") -> pa.Table:
+    """Traffic-spike detection — the monitoring query a log pipeline
+    exists for: tumbling per-(key, window) counts, standardized within
+    each key, windows with |z| ≥ ``threshold`` flagged.
+
+    The DISTRIBUTED part is the count (:func:`tumbling_counts`'
+    combiner shape — raw events shuffle as tiny partials only); the
+    z-scoring then runs on the bounded (keys × windows) count table
+    with the exact-integer moment tree of ``features.grouped_zscore``
+    (int sums in arbitrary-precision Python, one float derivation
+    mirrored verbatim in SQL). Windows with no events have no row and
+    therefore don't pull the mean down (documented; densify upstream
+    if zero-windows should count). Zero-variance keys flag nothing.
+    Output: (key, window_start, n, z) sorted."""
+    import math
+
+    import pyarrow as pa
+
+    wc = tumbling_counts(ds, width_seconds, key_col, ts_col)
+    if len(wc) == 0:
+        return pa.table({key_col: pa.array([], type=pa.string()),
+                         "window_start": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64()),
+                         "z": pa.array([], type=pa.float64())})
+    keys = wc[key_col].to_pylist()
+    cents = [int(v) * 100 for v in wc["n"].to_pylist()]
+    acc: dict = {}
+    for g, c in zip(keys, cents):
+        n, s, ss = acc.get(g, (0, 0, 0))
+        acc[g] = (n + 1, s + c, ss + c * c)
+    stats = {}
+    for g, (n, s, ss) in acc.items():
+        mean = float(s) / float(n)
+        var = float(ss) / float(n) - mean * mean
+        stats[g] = (mean, math.sqrt(var) if var > 0 else None)
+    out_k, out_w, out_n, out_z = [], [], [], []
+    wins = wc["window_start"].to_pylist()
+    ns = wc["n"].to_pylist()
+    for g, w, n_, c in zip(keys, wins, ns, cents):
+        mean, std = stats[g]
+        if std is None:
+            continue
+        z = (float(c) - mean) / std
+        if abs(z) >= threshold:
+            out_k.append(g)
+            out_w.append(w)
+            out_n.append(n_)
+            out_z.append(z)
+    out = pa.table({key_col: pa.array(out_k, type=pa.string()),
+                    "window_start": pa.array(out_w, type=pa.int64()),
+                    "n": pa.array(out_n, type=pa.int64()),
+                    "z": pa.array(out_z, type=pa.float64())})
+    return out.sort_by([(key_col, "ascending"),
+                        ("window_start", "ascending")])
+
+
+def window_anomalies_sql(width_seconds: int = 3600,
+                         threshold: float = 2.0,
+                         table: str = "events") -> str:
+    return f"""
+WITH wc AS (
+  {tumbling_counts_sql(width_seconds, table)}
+), c AS (
+  SELECT event_type, window_start, n,
+         CAST(n * 100 AS BIGINT) AS cents
+  FROM wc
+), m AS (
+  SELECT event_type,
+    CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+    CAST(sum(cents * cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ex2
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.window_start, c.n,
+  (CAST(c.cents AS DOUBLE) - m.mean) / sqrt(m.ex2 - m.mean * m.mean) AS z
+FROM c JOIN m USING (event_type)
+WHERE m.ex2 - m.mean * m.mean > 0
+  AND abs((CAST(c.cents AS DOUBLE) - m.mean)
+          / sqrt(m.ex2 - m.mean * m.mean)) >= {threshold}
+ORDER BY event_type, window_start
+""".strip()

@@ -2097,3 +2097,39 @@ def test_bpe_encode_matches_reference(ray_session):
     # merges actually compress: fewer symbols than raw chars+markers
     raw = sum(len(w) + 1 for w in texts[0].split(" "))
     assert got.n_tokens[0] < raw
+
+
+def test_window_anomalies_edges(ray_session, tmp_path):
+    """Spike detection vs SQL: an injected burst window flags, a
+    constant-rate type (zero variance) flags nothing, threshold is a
+    strict |z| >= cut."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import (window_anomalies,
+                                                  window_anomalies_sql)
+
+    rows = []
+    # 'steady': exactly 5 events in each of 6 hourly windows → std 0
+    for w in range(6):
+        for i in range(5):
+            rows.append(("steady", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=w, minutes=i)))
+    # 'bursty': 2 events/hour, one window with 40
+    for w in range(6):
+        k = 40 if w == 3 else 2
+        for i in range(k):
+            rows.append(("bursty", pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(hours=w, minutes=i)))
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    p = tmp_path / "ev.parquet"
+    df.to_parquet(p, index=False)
+    got = window_anomalies(rd.read_parquet(str(p)), 3600, 2.0).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(window_anomalies_sql(3600, 2.0)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()),
+        check_exact=True)
+    assert set(got.event_type) == {"bursty"}  # zero-variance never flags
+    assert 40 in set(got.n)  # the burst window itself is flagged
