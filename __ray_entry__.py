@@ -1637,6 +1637,17 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_top_users_per_type(sf_dir: str):
+    """Per-group top-k-by-count (top talkers per category): count
+    combiner → one exchange → per-block per-group top-k partials →
+    O(blocks·groups·k) driver re-rank."""
+    from fluent_server_ray.stages.features import grouped_topk_counts
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    return grouped_topk_counts(ev, "event_type", "user_id", k=5)
+
+
 def _q_window_anomalies(sf_dir: str):
     """Traffic-spike detection: tumbling counts (distributed combiner)
     → per-type z-score on the bounded count table → |z|>=2 windows."""
@@ -1912,6 +1923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_overlap_kmv": _q_corpus_overlap,
         "doc_bpe_encode": _q_bpe_encode,
         "window_anomalies": _q_window_anomalies,
+        "top_users_per_event_type": _q_top_users_per_type,
     }
 
 
@@ -2106,6 +2118,8 @@ WHERE doc_id % 2 = 1
             "user_id", ["ts", "event_id"], "events"),
         "embedding_label_centroids": similarity.label_centroids_sql(),
         "doc_tfidf_joined": textstats.doc_tfidf_sql(),
+        "top_users_per_event_type": features.grouped_topk_counts_sql(
+            "event_type", "user_id", k=5),
         "window_anomalies": windows.window_anomalies_sql(
             width_seconds=3600, threshold=2.0),
         "corpus_overlap_kmv": """

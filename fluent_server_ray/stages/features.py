@@ -387,3 +387,86 @@ SELECT {id_col}, {group_col}, {value_col},
 FROM {table}
 ORDER BY {id_col}
 """.strip()
+
+
+def grouped_topk_counts(ds, group_col: str = "event_type",
+                        value_col: str = "user_id", k: int = 5,
+                        n_buckets: int = 64) -> pa.Table:
+    """Per-group top-``k`` values by occurrence count (the "top talkers
+    per category" report — per-tag top hosts, per-tool top users).
+
+    Exact at unbounded (group, value) cardinality: per-batch Arrow
+    count combiner → ``grouped_agg(final='ray')`` merge (one
+    exchange) → per-BLOCK per-group top-k partials (each global
+    winner is necessarily in its own block's per-group top-k, so the
+    union of block partials contains the answer) → an O(blocks·groups
+    ·k) driver merge re-ranks. Ties break (n desc, value asc). Output
+    (group, value, n, rank), sorted."""
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (t.select([group_col, value_col])
+               .group_by([group_col, value_col])
+               .aggregate([([], "count_all")]))
+        return out.rename_columns([group_col, value_col, "n"])
+
+    counts = grouped_agg(
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [group_col, value_col], [("n", "sum")], final="ray",
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            [group_col, "n_sum", value_col],
+            ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k),
+            preserve_index=False)
+
+    parts = list(
+        counts.map_batches(skip_empty(local_topk), batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      value_col: pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64())})
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).to_pandas()
+    if merged.empty:
+        return empty
+    merged = merged.sort_values([group_col, "n_sum", value_col],
+                                ascending=[True, False, True])
+    top = merged.groupby(group_col, sort=False).head(k).copy()
+    top["rank"] = top.groupby(group_col, sort=False).cumcount() + 1
+    return pa.table({
+        group_col: pa.array(top[group_col].to_numpy(), type=pa.string()),
+        value_col: pa.array(top[value_col].to_numpy(dtype=np.int64)),
+        "n": pa.array(top["n_sum"].to_numpy(dtype=np.int64)),
+        "rank": pa.array(top["rank"].to_numpy(dtype=np.int64)),
+    })
+
+
+def grouped_topk_counts_sql(group_col: str = "event_type",
+                            value_col: str = "user_id", k: int = 5,
+                            table: str = "events") -> str:
+    return f"""
+WITH c AS (
+  SELECT {group_col}, {value_col}, count(*) AS n
+  FROM {table} GROUP BY {group_col}, {value_col}
+), r AS (
+  SELECT {group_col}, {value_col}, CAST(n AS BIGINT) AS n,
+    CAST(row_number() OVER (
+      PARTITION BY {group_col} ORDER BY n DESC, {value_col}
+    ) AS BIGINT) AS rank
+  FROM c
+)
+SELECT * FROM r WHERE rank <= {int(k)}
+ORDER BY {group_col}, rank
+""".strip()

@@ -2133,3 +2133,30 @@ def test_window_anomalies_edges(ray_session, tmp_path):
         check_exact=True)
     assert set(got.event_type) == {"bursty"}  # zero-variance never flags
     assert 40 in set(got.n)  # the burst window itself is flagged
+
+
+def test_grouped_topk_counts_block_partials(ray_session):
+    """Per-group top-k stays exact when a group's values straddle many
+    blocks (the per-block-partial containment argument) and on count
+    ties (value-asc break)."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import (grouped_topk_counts,
+                                                   grouped_topk_counts_sql)
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b"], size=2000),
+        "user_id": rng.integers(0, 40, size=2000).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(16)  # force straddling
+    got = grouped_topk_counts(ds, "event_type", "user_id", k=3).to_pandas()
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(grouped_topk_counts_sql(
+        "event_type", "user_id", k=3)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()),
+        check_exact=True)
+    assert list(got.groupby("event_type")["rank"].max()) == [3, 3]
