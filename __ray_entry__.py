@@ -1637,6 +1637,43 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_docs_diff(sf_dir: str):
+    """Keyed dataset diff between a corpus and its simulated next
+    pipeline version (every 7th doc dropped, every remaining 5th doc
+    re-cased): per-key md5 digests meet in ONE outer bucketed join;
+    identical keys never leave the join tasks."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.stages.diff import diff_by_key
+
+    left = _docs(sf_dir)
+
+    def simulate(t: _pa.Table) -> _pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        keep = (ids % 7) != 0
+        sub = t.filter(_pa.array(keep))
+        ids = ids[keep]
+        up = _pa.array((ids % 5) == 0)
+        text = _pc.if_else(up, _pc.utf8_upper(sub["text"]), sub["text"])
+        return _pa.table({"doc_id": sub["doc_id"], "text": text})
+
+    right = _docs(sf_dir).map_batches(simulate, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    return diff_by_key(left, right)
+
+
+def _q_winsorize(sf_dir: str):
+    """Per-group quantile capping: histogram-sketch thresholds
+    (integer-exact bin rule) broadcast into a pure clamp map."""
+    from fluent_server_ray.stages.features import winsorize_by_group
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    return winsorize_by_group(ev)
+
+
 def _q_top_users_per_type(sf_dir: str):
     """Per-group top-k-by-count (top talkers per category): count
     combiner → one exchange → per-block per-group top-k partials →
@@ -1924,6 +1961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_encode": _q_bpe_encode,
         "window_anomalies": _q_window_anomalies,
         "top_users_per_event_type": _q_top_users_per_type,
+        "events_value_winsorized": _q_winsorize,
+        "docs_diff_versions": _q_docs_diff,
     }
 
 
@@ -2118,6 +2157,13 @@ WHERE doc_id % 2 = 1
             "user_id", ["ts", "event_id"], "events"),
         "embedding_label_centroids": similarity.label_centroids_sql(),
         "doc_tfidf_joined": textstats.doc_tfidf_sql(),
+        "events_value_winsorized": features.winsorize_by_group_sql(),
+        "docs_diff_versions": __import__(
+            "fluent_server_ray.stages.diff", fromlist=["x"]
+        ).diff_by_key_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN upper(text) "
+            "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0"),
         "top_users_per_event_type": features.grouped_topk_counts_sql(
             "event_type", "user_id", k=5),
         "window_anomalies": windows.window_anomalies_sql(

@@ -470,3 +470,90 @@ WITH c AS (
 SELECT * FROM r WHERE rank <= {int(k)}
 ORDER BY {group_col}, rank
 """.strip()
+
+
+def winsorize_by_group(ds, group_col: str = "event_type",
+                       value_col: str = "value",
+                       id_col: str = "event_id",
+                       lo: float = 0.0, hi: float = 500.0,
+                       bins: int = 500,
+                       q_lo: float = 0.05, q_hi: float = 0.95):
+    """Per-group quantile capping (winsorization) — the outlier
+    treatment of feature pipelines: clamp each value into its group's
+    [q_lo, q_hi] band.
+
+    Two-pass global-statistic-then-map shape (cf.
+    ``textstats.token_filter_above_quantile``): pass 1 computes the
+    per-group thresholds with the additive histogram sketch
+    (integer-exact bin rule → the SQL mirror reproduces the thresholds
+    bit-for-bit); the bounded (groups × 2) threshold table then
+    broadcasts into a pure clamp map. NULL values stay NULL; rows of a
+    group with no histogram (all-NULL values) drop, matching the SQL
+    inner join. Output (id, group, value, value_w)."""
+    from fluent_server_ray.stages.sketches import grouped_binned_quantiles
+
+    thr = grouped_binned_quantiles(ds, group_col, value_col, lo, hi,
+                                   bins, qs=(q_lo, q_hi))
+    lo_map: dict = {}
+    hi_map: dict = {}
+    for g, q, bl in zip(thr[group_col].to_pylist(),
+                        thr["q"].to_pylist(),
+                        thr["bucket_lo"].to_pylist()):
+        (lo_map if q == q_lo else hi_map)[g] = bl
+    groups = sorted(lo_map)
+    g_arr = pa.array(groups, type=pa.string())
+    lo_arr = pa.array([lo_map[g] for g in groups], type=pa.float64())
+    hi_arr = pa.array([hi_map[g] for g in groups], type=pa.float64())
+
+    def clamp(t: pa.Table) -> pa.Table:
+        g = pc.fill_null(pc.cast(t[group_col], pa.string()), "")
+        idx = pc.index_in(g, g_arr)
+        has = pc.is_valid(idx)
+        lo_t = pc.take(lo_arr, idx)
+        hi_t = pc.take(hi_arr, idx)
+        v = pc.cast(t[value_col], pa.float64())
+        clamped = pc.min_element_wise(
+            pc.max_element_wise(v, lo_t), hi_t)
+        # NULL value must stay NULL (min/max_element_wise skip nulls)
+        clamped = pc.if_else(pc.is_valid(v), clamped,
+                             pa.scalar(None, type=pa.float64()))
+        out = pa.table({
+            id_col: t[id_col],
+            group_col: t[group_col],
+            value_col: t[value_col],
+            "value_w": clamped,
+        })
+        return out.filter(has)  # group without thresholds: inner join
+
+    return ds.map_batches(clamp, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def winsorize_by_group_sql(group_col: str = "event_type",
+                           value_col: str = "value",
+                           id_col: str = "event_id",
+                           lo: float = 0.0, hi: float = 500.0,
+                           bins: int = 500,
+                           q_lo: float = 0.05, q_hi: float = 0.95,
+                           table: str = "events") -> str:
+    from fluent_server_ray.stages.sketches import grouped_binned_quantiles_sql
+
+    qsql = grouped_binned_quantiles_sql(group_col, value_col, lo, hi,
+                                        bins, qs=(q_lo, q_hi),
+                                        table=table)
+    return f"""
+WITH qq AS (
+  {qsql}
+), thr AS (
+  SELECT {group_col} AS g,
+    max(CASE WHEN q = {q_lo} THEN bucket_lo END) AS lo_t,
+    max(CASE WHEN q = {q_hi} THEN bucket_lo END) AS hi_t
+  FROM qq GROUP BY {group_col}
+)
+SELECT e.{id_col}, e.{group_col}, e.{value_col},
+  CASE WHEN e.{value_col} IS NULL THEN NULL
+       ELSE LEAST(GREATEST(CAST(e.{value_col} AS DOUBLE), thr.lo_t),
+                  thr.hi_t) END AS value_w
+FROM {table} e
+JOIN thr ON COALESCE(CAST(e.{group_col} AS VARCHAR), '') = thr.g
+""".strip()

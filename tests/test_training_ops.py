@@ -2160,3 +2160,57 @@ def test_grouped_topk_counts_block_partials(ray_session):
         got.reset_index(drop=True), want.astype(got.dtypes.to_dict()),
         check_exact=True)
     assert list(got.groupby("event_type")["rank"].max()) == [3, 3]
+
+
+def test_diff_by_key_all_statuses(ray_session):
+    """Dataset diff: added/removed/changed each detected, identical
+    keys omitted, text-identical-but-different-key rows independent."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.diff import diff_by_key
+
+    old = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["same", "will change", "will vanish", "same too"],
+    })
+    new = pd.DataFrame({
+        "doc_id": [1, 2, 4, 5],
+        "text": ["same", "CHANGED", "same too", "brand new"],
+    })
+    got = (diff_by_key(rd.from_pandas(old), rd.from_pandas(new))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = {2: "changed", 3: "removed", 5: "added"}
+    assert dict(zip(got.doc_id, got.status)) == want
+
+
+def test_winsorize_by_group_nulls(ray_session, tmp_path):
+    """Winsorization: NULL value stays NULL; clamps hit the sketch's
+    bucket edges; in-band values pass through unchanged."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import (winsorize_by_group,
+                                                   winsorize_by_group_sql)
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "event_id": np.arange(300, dtype=np.int64),
+        "event_type": rng.choice(["a", "b"], size=300),
+        "value": rng.uniform(0, 100, size=300).round(2),
+    })
+    df.loc[0, "value"] = None
+    p = tmp_path / "e.parquet"
+    df.to_parquet(p, index=False)
+    got = winsorize_by_group(rd.read_parquet(str(p)), lo=0.0, hi=100.0,
+                             bins=200).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(winsorize_by_group_sql(lo=0.0, hi=100.0,
+                                              bins=200)).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(["event_id"]).reset_index(drop=True)
+    w = (want[cols].astype(got[cols].dtypes.to_dict())
+         .sort_values(["event_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(g, w, check_exact=True)
+    assert np.isnan(g.loc[g.event_id == 0, "value_w"]).all()
+    assert (g.value_w.min() >= 0) and (g.value_w.max() <= 100)
