@@ -1637,6 +1637,17 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_rebalance(sf_dir: str):
+    """Flatten the source mix: every source deterministically
+    downsampled toward the smallest source's mass via integer
+    md5-prefix thresholds (bounded grouped count → pure filter)."""
+    from fluent_server_ray.stages.sampling import rebalance_by_key
+
+    return rebalance_by_key(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"]))
+
+
 def _q_docs_diff(sf_dir: str):
     """Keyed dataset diff between a corpus and its simulated next
     pipeline version (every 7th doc dropped, every remaining 5th doc
@@ -1963,6 +1974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_event_type": _q_top_users_per_type,
         "events_value_winsorized": _q_winsorize,
         "docs_diff_versions": _q_docs_diff,
+        "docs_rebalance_sources": _q_rebalance,
     }
 
 
@@ -2158,6 +2170,7 @@ WHERE doc_id % 2 = 1
         "embedding_label_centroids": similarity.label_centroids_sql(),
         "doc_tfidf_joined": textstats.doc_tfidf_sql(),
         "events_value_winsorized": features.winsorize_by_group_sql(),
+        "docs_rebalance_sources": sampling.rebalance_by_key_sql(),
         "docs_diff_versions": __import__(
             "fluent_server_ray.stages.diff", fromlist=["x"]
         ).diff_by_key_sql(

@@ -338,3 +338,71 @@ def mixture_sample_sql(fractions: dict[str, float],
             )
     where = " OR ".join(preds) if preds else "FALSE"
     return f"SELECT {id_col}, {key_col} FROM {table} WHERE {where}"
+
+
+def rebalance_by_key(ds, group_col: str = "source",
+                     id_col: str = "doc_id", scale: int = 65_536):
+    """Distribution rebalancing: deterministically downsample every
+    group to (approximately) the SMALLEST group's mass — the "flatten
+    the source mix" step of training-data assembly (uniform-mixing
+    special case of temperature sampling; arbitrary targets are the
+    same shape with a target table instead of min).
+
+    Two passes, statistic-then-map: pass 1 is a bounded grouped count
+    (combiner); the per-group keep-rate becomes an INTEGER md5-prefix
+    threshold k = (min_n · scale) // n_g — integer arithmetic, so the
+    SQL mirror derives the identical threshold — and pass 2 keeps rows
+    whose ``md5(id)`` 4-hex prefix sorts below ``%04x % k`` (the
+    smallest group, k == scale, keeps everything: no '10000' string —
+    DuckDB lpad/compare on a 5-char hex would order WRONG against
+    2-char prefixes, so keep-all short-circuits explicitly). Output
+    (id, group) for survivors."""
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    counts = grouped_counts(
+        ds.map_batches(lambda t: t.select([group_col]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+    )
+    if len(counts) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            group_col: pa.array([], type=pa.string()),
+        }))
+    ns = {g: int(n) for g, n in zip(counts[group_col].to_pylist(),
+                                    counts["n"].to_pylist())}
+    min_n = min(ns.values())
+    thr = {g: (min_n * scale) // n for g, n in ns.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hexes = _md5_hex(ids)
+        gs = t[group_col].to_pylist()
+        mask = pa.array([
+            thr.get(g, 0) >= scale or h[:4] < format(thr.get(g, 0), "04x")
+            for g, h in zip(gs, hexes)
+        ])
+        return t.select([id_col, group_col]).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def rebalance_by_key_sql(group_col: str = "source",
+                         id_col: str = "doc_id", scale: int = 65_536,
+                         table: str = "documents") -> str:
+    return f"""
+WITH c AS (
+  SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+), m AS (
+  SELECT min(n) AS mn FROM c
+), t AS (
+  SELECT {group_col}, (m.mn * {scale}) // n AS k FROM c, m
+)
+SELECT d.{id_col}, d.{group_col}
+FROM {table} d JOIN t USING ({group_col})
+WHERE t.k >= {scale}
+   OR substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 4) < printf('%04x', t.k)
+""".strip()

@@ -2214,3 +2214,32 @@ def test_winsorize_by_group_nulls(ray_session, tmp_path):
     pd.testing.assert_frame_equal(g, w, check_exact=True)
     assert np.isnan(g.loc[g.event_id == 0, "value_w"]).all()
     assert (g.value_w.min() >= 0) and (g.value_w.max() <= 100)
+
+
+def test_rebalance_by_key_skewed(ray_session, tmp_path):
+    """Rebalancing on a skewed mix: the big source downsamples toward
+    the small one's mass (±md5 binomial noise), the smallest keeps
+    everything, and the SQL mirror matches row-for-row."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sampling import (rebalance_by_key,
+                                                   rebalance_by_key_sql)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(1100, dtype=np.int64),
+        "source": ["big"] * 1000 + ["small"] * 100,
+    })
+    p = tmp_path / "d.parquet"
+    df.to_parquet(p, index=False)
+    got = (rebalance_by_key(rd.read_parquet(str(p))).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    want = (con.execute(rebalance_by_key_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()),
+                                  check_exact=True)
+    sizes = got.groupby("source").size()
+    assert sizes["small"] == 100          # smallest keeps all
+    assert 60 <= sizes["big"] <= 140      # ~100 expected, md5 noise
