@@ -1637,6 +1637,23 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_split_by_content(sf_dir: str):
+    """LEAKAGE-SAFE train/val/test split: the assignment hashes the
+    CONTENT, not the id, so byte-identical duplicates always land in
+    the same split (an id-keyed split leaks dup text across the
+    boundary). Same md5 rule as doc_split_assign, keyed on text."""
+    import pyarrow as _pa
+
+    from fluent_server_ray.stages.assembly import split_of
+
+    def fn(t: _pa.Table) -> _pa.Table:
+        return _pa.table({"doc_id": t["doc_id"],
+                          "split": split_of(t["text"])})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
 def _q_rebalance(sf_dir: str):
     """Flatten the source mix: every source deterministically
     downsampled toward the smallest source's mass via integer
@@ -1975,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized": _q_winsorize,
         "docs_diff_versions": _q_docs_diff,
         "docs_rebalance_sources": _q_rebalance,
+        "doc_split_by_content": _q_split_by_content,
     }
 
 
@@ -2171,6 +2189,9 @@ WHERE doc_id % 2 = 1
         "doc_tfidf_joined": textstats.doc_tfidf_sql(),
         "events_value_winsorized": features.winsorize_by_group_sql(),
         "docs_rebalance_sources": sampling.rebalance_by_key_sql(),
+        "doc_split_by_content": (
+            "SELECT doc_id, " + assembly.split_case_sql("text")
+            + " AS split FROM documents"),
         "docs_diff_versions": __import__(
             "fluent_server_ray.stages.diff", fromlist=["x"]
         ).diff_by_key_sql(

@@ -71,3 +71,87 @@ def read_parquet_clean(paths, filter_refs=None, **kwargs):
             except Exception:
                 pass  # unreadable footer → let read_parquet report it
     return rd.read_parquet(paths, **kwargs)
+
+
+def read_parquet_evolving(paths, columns=None, **kwargs):
+    """Schema-evolution-tolerant parquet read: a long-lived log sink
+    accumulates shards written by DIFFERENT pipeline versions (a
+    column added, an int widened), and a plain ``read_parquet`` then
+    emits blocks with per-shard schemas — downstream stages crash on
+    the shards missing a column, and a ``columns=`` projection that
+    names a new column fails outright at the fragment scan.
+
+    Strategy (the per-group prune-pad-union shape):
+
+    1. group the files by their exact (metadata-stripped) schema;
+    2. unify the group schemas (``pa.unify_schemas`` — a genuine type
+       CONFLICT still fails loudly: silently casting int to string is
+       corruption, not evolution);
+    3. read each group separately with the group's OWN available
+       subset of the projection (column pruning keeps working per
+       shard generation), then pad the missing projected columns with
+       typed nulls and cast up to the unified field types;
+    4. union the groups — one Dataset, one schema, block-stable.
+
+    ``paths``: directory or list of .parquet files. Projection order
+    follows ``columns`` (or the unified schema)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            files = sorted(_glob.glob(os.path.join(paths, "*.parquet")))
+        else:
+            files = [paths]
+    else:
+        files = list(paths)
+    if not files:
+        raise ValueError("read_parquet_evolving: no parquet files")
+
+    groups: dict = {}
+    for f in files:
+        sch = pq.read_schema(f).remove_metadata()
+        groups.setdefault(sch, []).append(f)
+    try:
+        unified = pa.unify_schemas(list(groups.keys()),
+                                   promote_options="permissive")
+    except TypeError:  # older pyarrow: no promote_options kwarg
+        unified = pa.unify_schemas(list(groups.keys()))
+    out_names = list(columns) if columns is not None else list(unified.names)
+    missing = [c for c in out_names if c not in unified.names]
+    if missing:
+        raise ValueError(f"projected columns absent everywhere: {missing}")
+    out_schema = pa.schema([unified.field(c) for c in out_names])
+
+    parts = []
+    for sch, fs in groups.items():
+        avail = [c for c in out_names if c in sch.names]
+        ds = read_parquet_clean(fs, columns=avail, **kwargs)
+
+        def pad(t: pa.Table, _avail=tuple(avail)) -> pa.Table:
+            cols = {}
+            for f_ in out_schema:
+                if f_.name in _avail:
+                    col = t[f_.name]
+                    if not col.type.equals(f_.type):
+                        col = pc.cast(col, f_.type)
+                    cols[f_.name] = col
+                else:
+                    cols[f_.name] = pa.nulls(len(t), f_.type)
+            return pa.Table.from_arrays(
+                [cols[n].combine_chunks()
+                 if isinstance(cols[n], pa.ChunkedArray) else cols[n]
+                 for n in out_names],
+                schema=out_schema,
+            )
+
+        parts.append(ds.map_batches(pad, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -359,3 +359,49 @@ def test_csv_source_matches_parquet_source(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="lacks keys"):
         read_transcripts_csv(str(bad)).materialize()
+
+
+def test_read_parquet_evolving_shards(ray_session, tmp_path):
+    """Shards written by different pipeline versions (missing column,
+    narrower int) read as ONE schema: missing columns null-fill,
+    narrow ints widen, per-group column pruning keeps working, and a
+    projection naming the new column succeeds over old shards."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluent_server_ray.sources.pq import read_parquet_evolving
+
+    old = pa.table({
+        "conv_id": pa.array(["a", "b"]),
+        "turn_idx": pa.array([0, 1], type=pa.int32()),  # narrow int
+        "text": pa.array(["hi", "ho"]),
+    })
+    new = pa.table({
+        "conv_id": pa.array(["c"]),
+        "turn_idx": pa.array([0], type=pa.int64()),
+        "text": pa.array(["yo"]),
+        "tool": pa.array(["bash"]),  # column added in v2
+    })
+    pq.write_table(old, tmp_path / "old.parquet")
+    pq.write_table(new, tmp_path / "new.parquet")
+
+    ds = read_parquet_evolving(str(tmp_path),
+                               columns=["conv_id", "turn_idx", "tool"])
+    df = ds.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert list(df.columns) == ["conv_id", "turn_idx", "tool"]
+    assert df.turn_idx.tolist() == [0, 1, 0]
+    assert df.tool.tolist()[:2] == [None, None] and df.tool[2] == "bash"
+    sch = ds.schema()
+    assert dict(zip(sch.names, sch.types))["turn_idx"] == pa.int64()
+
+    with pytest.raises(ValueError, match="absent everywhere"):
+        read_parquet_evolving(str(tmp_path), columns=["nope"])
+
+    # genuine type conflict fails loudly
+    bad = pa.table({"conv_id": pa.array([1], type=pa.int64()),
+                    "turn_idx": pa.array([0], type=pa.int64()),
+                    "text": pa.array(["x"])})
+    pq.write_table(bad, tmp_path / "bad.parquet")
+    with pytest.raises(Exception):
+        read_parquet_evolving(str(tmp_path)).to_pandas()

@@ -2243,3 +2243,30 @@ def test_rebalance_by_key_skewed(ray_session, tmp_path):
     sizes = got.groupby("source").size()
     assert sizes["small"] == 100          # smallest keeps all
     assert 60 <= sizes["big"] <= 140      # ~100 expected, md5 noise
+
+
+def test_split_by_content_no_leakage(ray_session):
+    """Content-keyed split: byte-identical duplicate texts always land
+    in the SAME split; id-keyed split demonstrably leaks them."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import split_of
+
+    texts = [f"doc body {i % 7}" for i in range(400)]  # heavy dup
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "text": texts})
+
+    def by_content(t):
+        return pa.table({"doc_id": t["doc_id"],
+                         "split": split_of(t["text"])})
+
+    got = (rd.from_pandas(df).repartition(8)
+           .map_batches(by_content, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas())
+    j = df.merge(got, on="doc_id")
+    assert (j.groupby("text")["split"].nunique() == 1).all()
+    # the id-keyed rule would split the dups (sanity of the premise)
+    id_split = split_of(pa.array([str(i) for i in range(400)]))
+    j2 = df.assign(split=id_split.to_pylist())
+    assert (j2.groupby("text")["split"].nunique() > 1).any()
