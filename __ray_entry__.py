@@ -1637,6 +1637,45 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_chunk_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (RefinedWeb's sub-document pass):
+    NON-overlapping 20-token chunks explode map-side, then the
+    standard combiner-first exact dedup keeps each distinct chunk's
+    first (doc_id, chunk_idx) occurrence — the order pair rides one
+    int64 (chunk_idx < 1e6 asserted) through the shared min-reduce."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.stages.assembly import chunk_windows
+    from fluent_server_ray.stages.dedup import exact_dedup
+
+    chunks = chunk_windows(_docs(sf_dir), window=20, stride=20)
+
+    def encode(t: _pa.Table) -> _pa.Table:
+        idx = t["chunk_idx"]
+        if len(t) and _pc.max(idx).as_py() >= 1_000_000:
+            raise ValueError("chunk_idx >= 1e6 breaks the order encoding")
+        cid = _pc.add(_pc.multiply(t["doc_id"], _pa.scalar(1_000_000)),
+                      idx)
+        return _pa.table({"cid": cid, "chunk_text": t["chunk_text"]})
+
+    deduped = exact_dedup(
+        chunks.map_batches(encode, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        id_col="cid", text_col="chunk_text")
+
+    def decode(t: _pa.Table) -> _pa.Table:
+        doc = _pc.divide(t["cid"], _pa.scalar(1_000_000))
+        idx = _pc.subtract(t["cid"],
+                           _pc.multiply(doc, _pa.scalar(1_000_000)))
+        return _pa.table({"doc_id": doc, "chunk_idx": idx,
+                          "chunk_text": t["chunk_text"]})
+
+    return deduped.map_batches(decode, batch_format="pyarrow",
+                               zero_copy_batch=True).sort(
+        ["doc_id", "chunk_idx"])
+
+
 def _q_split_by_content(sf_dir: str):
     """LEAKAGE-SAFE train/val/test split: the assignment hashes the
     CONTENT, not the id, so byte-identical duplicates always land in
@@ -1993,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_diff_versions": _q_docs_diff,
         "docs_rebalance_sources": _q_rebalance,
         "doc_split_by_content": _q_split_by_content,
+        "doc_chunk_dedup": _q_chunk_dedup,
     }
 
 
@@ -2192,6 +2232,18 @@ WHERE doc_id % 2 = 1
         "doc_split_by_content": (
             "SELECT doc_id, " + assembly.split_case_sql("text")
             + " AS split FROM documents"),
+        "doc_chunk_dedup": f"""
+WITH ch AS (
+  {assembly.chunk_windows_sql(window=20, stride=20)}
+), r AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+    row_number() OVER (PARTITION BY chunk_text
+                       ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT doc_id, chunk_idx, chunk_text FROM r WHERE rn = 1
+ORDER BY doc_id, chunk_idx
+""".strip(),
         "docs_diff_versions": __import__(
             "fluent_server_ray.stages.diff", fromlist=["x"]
         ).diff_by_key_sql(

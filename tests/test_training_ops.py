@@ -2270,3 +2270,38 @@ def test_split_by_content_no_leakage(ray_session):
     id_split = split_of(pa.array([str(i) for i in range(400)]))
     j2 = df.assign(split=id_split.to_pylist())
     assert (j2.groupby("text")["split"].nunique() > 1).any()
+
+
+def test_doc_chunk_dedup_first_occurrence(ray_session):
+    """Paragraph dedup keeps the FIRST (doc_id, chunk_idx) occurrence
+    of each distinct chunk — incl. a repeat WITHIN one doc and a
+    cross-doc repeat — and drops nothing unique."""
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+
+    # build via the registered callable against a scratch corpus
+    w = " ".join(f"w{i}" for i in range(20))          # one full chunk
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [w + " " + w,        # within-doc repeat: idx 1 drops
+                 w,                   # cross-doc repeat: doc 2 drops
+                 "totally different"],
+        "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [1] * 3,
+    })
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    got = entrymod.queries()["doc_chunk_dedup"](d).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{os.path.join(d, 'documents.parquet')}')")
+    want = con.execute(entrymod.oracle_sql()["doc_chunk_dedup"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()),
+        check_exact=True)
+    keys = set(zip(got.doc_id, got.chunk_idx))
+    assert (1, 0) in keys and (1, 1) not in keys  # within-doc repeat
+    assert not any(d_ == 2 for d_, _ in keys)     # cross-doc repeat
+    assert (3, 0) in keys                          # unique survives
