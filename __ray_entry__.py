@@ -1637,6 +1637,36 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_cluster_sizes(sf_dir: str):
+    """Dedup-cluster size histogram (the dedup-ratio report a curation
+    run ships): connected components over the exact-Jaccard pair set →
+    per-component counts → bounded count-of-counts."""
+    from fluent_server_ray.stages.dedup import (ngram_jaccard_dupes,
+                                                pair_components)
+
+    comps = pair_components(ngram_jaccard_dupes(_docs(sf_dir),
+                                                threshold=0.8))
+    per_comp = grouped_counts(comps, ["component"])
+    sizes = (per_comp.select(["n"]).rename_columns(["size"])
+             .group_by("size").aggregate([([], "count_all")])
+             .rename_columns(["size", "n_clusters"]))
+    return sizes.sort_by("size")
+
+
+def _q_conv_dedup(sf_dir: str):
+    """Conversation-LEVEL exact dedup: assemble each conv into one
+    document, then the combiner-first min-id dedup keeps the first
+    conv of every identical rendered transcript."""
+    from fluent_server_ray.stages.assembly import conv_to_documents
+    from fluent_server_ray.stages.dedup import exact_dedup
+
+    docs = conv_to_documents(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                          "text"]))
+    return exact_dedup(docs, id_col="conv_id",
+                       text_col="doc_text").sort("conv_id")
+
+
 def _q_chunk_dedup(sf_dir: str):
     """Paragraph-level exact dedup (RefinedWeb's sub-document pass):
     NON-overlapping 20-token chunks explode map-side, then the
@@ -2033,6 +2063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rebalance_sources": _q_rebalance,
         "doc_split_by_content": _q_split_by_content,
         "doc_chunk_dedup": _q_chunk_dedup,
+        "dedup_cluster_sizes": _q_cluster_sizes,
+        "conv_exact_dedup": _q_conv_dedup,
     }
 
 
@@ -2080,6 +2112,19 @@ WHERE doc_id % 2 = 1
         "dedup_clusters": dedup.pair_components_sql(
             dedup.ngram_jaccard_dupes_sql(threshold=0.8)
         ),
+        "dedup_cluster_sizes": (
+            "WITH comp AS ("
+            + dedup.pair_components_sql(
+                dedup.ngram_jaccard_dupes_sql(threshold=0.8))
+            + ") SELECT size, CAST(count(*) AS BIGINT) AS n_clusters "
+            "FROM (SELECT component, CAST(count(*) AS BIGINT) AS size "
+            "FROM comp GROUP BY component) GROUP BY size ORDER BY size"),
+        "conv_exact_dedup": (
+            "WITH docs AS (" + assembly.conv_to_documents_sql() + ") "
+            "SELECT conv_id, doc_text FROM ("
+            "SELECT conv_id, doc_text, row_number() OVER ("
+            "PARTITION BY doc_text ORDER BY conv_id) AS rn FROM docs"
+            ") WHERE rn = 1 ORDER BY conv_id"),
         # dedup_minhash / dedup_simhash: probabilistic signatures —
         # intentionally no SQL oracle (rows-only check)
         "ann_cosine_topk": similarity.ann_topk_sql(ANN_QUERY_IDS, k=ANN_K),
