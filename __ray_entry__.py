@@ -1637,6 +1637,31 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_psi_drift(sf_dir: str):
+    """PSI drift between the even/odd event-id cohorts per event_type
+    (the ML-ops distribution monitor): integer histogram partials
+    cross the cluster, per-bin millionths floor makes the Σ order-free
+    and SQL-bit-exact."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.stages.features import psi_drift
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def half(h):
+        def fn(t: _pa.Table) -> _pa.Table:
+            keep = _pc.equal(_pc.bit_wise_and(t["event_id"],
+                                              _pa.scalar(1)), h)
+            return t.filter(keep)
+
+        return ev.map_batches(fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    return psi_drift(half(0), half(1))
+
+
 def _q_cluster_sizes(sf_dir: str):
     """Dedup-cluster size histogram (the dedup-ratio report a curation
     run ships): connected components over the exact-Jaccard pair set →
@@ -2065,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_dedup": _q_chunk_dedup,
         "dedup_cluster_sizes": _q_cluster_sizes,
         "conv_exact_dedup": _q_conv_dedup,
+        "events_psi_drift": _q_psi_drift,
     }
 
 
@@ -2273,6 +2299,8 @@ WHERE doc_id % 2 = 1
         "embedding_label_centroids": similarity.label_centroids_sql(),
         "doc_tfidf_joined": textstats.doc_tfidf_sql(),
         "events_value_winsorized": features.winsorize_by_group_sql(),
+        "events_psi_drift": features.psi_drift_sql(
+            "event_id % 2 = 0", "event_id % 2 = 1"),
         "docs_rebalance_sources": sampling.rebalance_by_key_sql(),
         "doc_split_by_content": (
             "SELECT doc_id, " + assembly.split_case_sql("text")

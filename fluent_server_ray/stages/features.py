@@ -557,3 +557,124 @@ SELECT e.{id_col}, e.{group_col}, e.{value_col},
 FROM {table} e
 JOIN thr ON COALESCE(CAST(e.{group_col} AS VARCHAR), '') = thr.g
 """.strip()
+
+
+def psi_drift(ds_a, ds_b, group_col: str = "event_type",
+              value_col: str = "value", lo: float = 0.0,
+              hi: float = 500.0, bins: int = 50):
+    """Population Stability Index between two cohorts of the same
+    stream (deploy A vs deploy B, week 1 vs week 2) per group — the
+    standard drift monitor: PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b),
+    with add-one smoothing so empty bins stay finite. Rule of thumb:
+    < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted.
+
+    Each cohort reduces to per-(group, bin) INTEGER histogram partials
+    (the additive-sketch combiner — the only thing that crosses the
+    cluster); the PSI derivation floors each bin's float term to
+    millionths so the Σ is an order-free int64 and the SQL mirror is
+    bit-exact. Output: (group, psi_millionths) sorted."""
+    import math
+
+    from fluent_server_ray.stages.sketches import grouped_binned_quantiles
+
+    def hist(ds):
+        # reuse the grouped histogram combiner via its public builder:
+        # bin counts per group (we ignore the quantile rows and rebuild
+        # from raw bincounts below for clarity / exactness)
+        from fluent_server_ray.stages.aggregate import (grouped_counts,
+                                                        skip_empty)
+
+        width = (hi - lo) / bins
+
+        def binify(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            v = t[value_col].to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(v)
+            idx = np.clip(np.floor((v[ok] - lo) / width), 0,
+                          bins - 1).astype(np.int64)
+            g = t[group_col].to_numpy(zero_copy_only=False)[ok]
+            return pa.table({
+                group_col: pa.array(g, type=pa.string()),
+                "bin": pa.array(idx),
+            })
+
+        return grouped_counts(
+            ds.map_batches(skip_empty(binify), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            [group_col, "bin"],
+        )
+
+    ha, hb = hist(ds_a), hist(ds_b)
+
+    def to_map(h):
+        out: dict = {}
+        for g, b, n in zip(h[group_col].to_pylist(),
+                           h["bin"].to_pylist(), h["n"].to_pylist()):
+            out[(g, int(b))] = int(n)
+        return out
+
+    ma, mb = to_map(ha), to_map(hb)
+    groups = sorted({g for g, _ in ma} | {g for g, _ in mb})
+    out_g, out_psi = [], []
+    for g in groups:
+        na = sum(v for (gg, _), v in ma.items() if gg == g)
+        nb = sum(v for (gg, _), v in mb.items() if gg == g)
+        total = 0
+        for b in range(bins):
+            ca = ma.get((g, b), 0) + 1  # add-one smoothing
+            cb = mb.get((g, b), 0) + 1
+            pa_ = float(ca) / float(na + bins)
+            pb_ = float(cb) / float(nb + bins)
+            total += math.floor((pa_ - pb_) * math.log(pa_ / pb_)
+                                * 1_000_000.0)
+        out_g.append(g)
+        out_psi.append(total)
+    return pa.table({group_col: pa.array(out_g, type=pa.string()),
+                     "psi_millionths": pa.array(out_psi,
+                                                type=pa.int64())})
+
+
+def psi_drift_sql(pred_a: str, pred_b: str,
+                  group_col: str = "event_type",
+                  value_col: str = "value", lo: float = 0.0,
+                  hi: float = 500.0, bins: int = 50,
+                  table: str = "events") -> str:
+    """Mirror over two WHERE-predicates selecting the cohorts."""
+    width = (hi - lo) / bins
+
+    def hist_cte(name, pred):
+        return f"""{name} AS (
+  SELECT {group_col} AS g,
+    LEAST(GREATEST(CAST(floor(({value_col} - {lo}) / {width}) AS BIGINT),
+                   0), {bins - 1}) AS bin,
+    count(*) AS c
+  FROM {table} WHERE {value_col} IS NOT NULL AND ({pred})
+  GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH {hist_cte('a', pred_a)}, {hist_cte('b', pred_b)},
+grids AS (
+  SELECT g, gs AS bin FROM (SELECT DISTINCT g FROM (
+      SELECT g FROM a UNION ALL SELECT g FROM b))
+  CROSS JOIN unnest(generate_series(0, {bins - 1})) AS u(gs)
+), na AS (SELECT g, sum(c) AS n FROM a GROUP BY g),
+nb AS (SELECT g, sum(c) AS n FROM b GROUP BY g),
+terms AS (
+  SELECT grids.g, grids.bin,
+    (CAST(COALESCE(a.c, 0) + 1 AS DOUBLE)
+       / CAST(COALESCE(na.n, 0) + {bins} AS DOUBLE)) AS pa,
+    (CAST(COALESCE(b.c, 0) + 1 AS DOUBLE)
+       / CAST(COALESCE(nb.n, 0) + {bins} AS DOUBLE)) AS pb
+  FROM grids
+  LEFT JOIN a ON a.g = grids.g AND a.bin = grids.bin
+  LEFT JOIN b ON b.g = grids.g AND b.bin = grids.bin
+  LEFT JOIN na ON na.g = grids.g
+  LEFT JOIN nb ON nb.g = grids.g
+)
+SELECT g AS {group_col},
+  CAST(sum(CAST(floor((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT))
+       AS BIGINT) AS psi_millionths
+FROM terms GROUP BY g ORDER BY g
+""".strip()

@@ -2305,3 +2305,39 @@ def test_doc_chunk_dedup_first_occurrence(ray_session):
     assert (1, 0) in keys and (1, 1) not in keys  # within-doc repeat
     assert not any(d_ == 2 for d_, _ in keys)     # cross-doc repeat
     assert (3, 0) in keys                          # unique survives
+
+
+def test_psi_drift_detects_shift(ray_session):
+    """PSI: identical cohorts score ~0 (smoothing only), a mean-shifted
+    cohort scores large; SQL mirror bit-exact on both."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import psi_drift, psi_drift_sql
+
+    rng = np.random.default_rng(21)
+    same = rng.uniform(10, 30, size=2000).round(2)
+    shifted = rng.uniform(200, 400, size=1000).round(2)
+    df = pd.DataFrame({
+        "event_id": np.arange(3000, dtype=np.int64),
+        "event_type": ["stable"] * 2000 + ["moved"] * 1000,
+        "value": np.concatenate([same, shifted]),
+    })
+    # cohorts: even/odd ids; for 'moved', make odd cohort different
+    df.loc[(df.event_type == "moved") & (df.event_id % 2 == 1),
+           "value"] = rng.uniform(0, 50, size=int(
+               ((df.event_type == "moved") & (df.event_id % 2 == 1)).sum()
+           )).round(2)
+    con = duckdb.connect()
+    con.register("events", df)
+    a = rd.from_pandas(df[df.event_id % 2 == 0])
+    b = rd.from_pandas(df[df.event_id % 2 == 1])
+    got = psi_drift(a, b).to_pandas()
+    want = con.execute(psi_drift_sql("event_id % 2 = 0",
+                                     "event_id % 2 = 1")).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()),
+        check_exact=True)
+    by = got.set_index("event_type").psi_millionths
+    assert by["stable"] < 100_000        # same distribution: PSI ~ 0
+    assert by["moved"] > 1_000_000       # full shift: PSI >> 0.25
