@@ -1637,6 +1637,28 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_gram_diversity(sf_dir: str):
+    """Distinct-bigram ratio per source (distinct-n diversity metric —
+    mode-collapse detector for synthetic corpora): bounded grouped
+    totals + the two-level exact distinct over the unbounded gram
+    space."""
+    from fluent_server_ray.stages.textstats import gram_diversity_by_source
+
+    return gram_diversity_by_source(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"]))
+
+
+def _q_turn_gaps(sf_dir: str):
+    """Per-conversation inter-turn latency stats (agent-latency
+    mining): one conv-bucket exchange, integer-microsecond gap sums,
+    two fixed float derivations."""
+    from fluent_server_ray.stages.assembly import conv_turn_gaps
+
+    return conv_turn_gaps(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"]))
+
+
 def _q_psi_drift(sf_dir: str):
     """PSI drift between the even/odd event-id cohorts per event_type
     (the ML-ops distribution monitor): integer histogram partials
@@ -2091,6 +2113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster_sizes": _q_cluster_sizes,
         "conv_exact_dedup": _q_conv_dedup,
         "events_psi_drift": _q_psi_drift,
+        "conv_turn_gaps": _q_turn_gaps,
+        "source_gram_diversity": _q_gram_diversity,
     }
 
 
@@ -2275,6 +2299,8 @@ WHERE doc_id % 2 = 1
             fromlist=["grouped_exact_median_sql"],
         ).grouped_exact_median_sql("event_type", "value", "events"),
         "conv_context_windows": assembly.conv_context_windows_sql(),
+        "conv_turn_gaps": assembly.conv_turn_gaps_sql(),
+        "source_gram_diversity": textstats.gram_diversity_by_source_sql(),
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
         "tool_transition_counts": assembly.tool_transitions_sql(),
         "doc_dup_ngram_frac": hygiene.dup_ngram_fraction_sql(),

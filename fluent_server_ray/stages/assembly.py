@@ -694,3 +694,95 @@ def tool_transitions_sql() -> str:
 SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
 FROM trans WHERE prev_tool IS NOT NULL
 GROUP BY prev_tool, tool ORDER BY prev_tool, tool"""
+
+
+def conv_turn_gaps(ds, n_buckets: int = 64):
+    """Per-conversation inter-turn latency stats — the agent-latency
+    mining report (how long between consecutive turns): n_gaps,
+    max_gap_sec, avg_gap_sec per conversation, single-turn
+    conversations dropping out (no gap exists, matching the SQL
+    lag+WHERE).
+
+    One conv-bucket exchange; inside a bucket the lag/diff runs as one
+    vectorized groupby-shift over every conversation at once. Gaps
+    stay INTEGER microseconds through the aggregation (order-free
+    sums); the two float derivations (max/1e6, (sum/1e6)/n) are single
+    fixed expression trees mirrored in SQL."""
+    import numpy as np
+
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        us = (g["ts"].astype("datetime64[us]").astype("int64"))
+        grp_prev = g.groupby("conv_id", sort=False)
+        gap = us - pd.Series(us).groupby(
+            g["conv_id"].to_numpy(), sort=False).shift()
+        ok = gap.notna()
+        sub = pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy()[ok.to_numpy()],
+            "gap_us": gap[ok].astype("int64").to_numpy(),
+        })
+        if not len(sub):
+            return pd.DataFrame({
+                "conv_id": pd.Series(dtype=object),
+                "n_gaps": pd.Series(dtype="int64"),
+                "max_us": pd.Series(dtype="int64"),
+                "sum_us": pd.Series(dtype="int64"),
+            })
+        agg = sub.groupby("conv_id", sort=False)["gap_us"].agg(
+            ["count", "max", "sum"]).reset_index()
+        agg.columns = ["conv_id", "n_gaps", "max_us", "sum_us"]
+        return agg
+
+    from fluent_server_ray.stages.aggregate import hash_bucket_array, skip_empty
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(hash_bucket_array(t["conv_id"], n_buckets)))
+
+    out_schema = pa.schema([
+        pa.field("conv_id", pa.string()),
+        pa.field("n_gaps", pa.int64()),
+        pa.field("max_us", pa.int64()),
+        pa.field("sum_us", pa.int64()),
+    ])
+    bucketed = ds.map_batches(skip_empty(add_bucket),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    parts = map_buckets(bucketed, per_bucket, out_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        mx = pc.divide(pc.cast(t["max_us"], pa.float64()), 1_000_000.0)
+        avg = pc.divide(
+            pc.divide(pc.cast(t["sum_us"], pa.float64()), 1_000_000.0),
+            pc.cast(t["n_gaps"], pa.float64()))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "n_gaps": t["n_gaps"],
+            "max_gap_sec": mx,
+            "avg_gap_sec": avg,
+        })
+
+    return parts.map_batches(skip_empty(finish), batch_format="pyarrow",
+                             zero_copy_batch=True).sort("conv_id")
+
+
+def conv_turn_gaps_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + """,
+g AS (
+  SELECT conv_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM transcripts
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_gaps,
+  CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_sec,
+  (CAST(sum(gap_us) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE)
+    AS avg_gap_sec
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY conv_id ORDER BY conv_id"""
+    )

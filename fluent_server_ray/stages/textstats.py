@@ -1678,3 +1678,94 @@ def doc_tfidf_joined(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return summed.map_batches(skip_empty(rename), batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ----------------------------------------- n-gram diversity by source
+
+def gram_diversity_by_source(ds, group_col: str = "source",
+                             text_col: str = "text",
+                             n_buckets: int = 64) -> pa.Table:
+    """Distinct-bigram ratio per source — the diversity/QA metric for
+    mixed or synthetic corpora (mode-collapsed generated text shows a
+    LOW distinct-gram ratio long before eyeballing does; the distinct-n
+    family of generation metrics).
+
+    Per-batch combiners explode adjacent word pairs with source
+    ownership (the :func:`bigram_top` shift-join, doc boundaries
+    masked); totals reduce as bounded grouped counts and the distinct
+    count runs through :func:`aggregate.grouped_distinct_count`'s
+    two-level exact distinct (gram-hash exchange — the gram space is
+    unbounded, the per-source result is not). Output: (source,
+    n_grams, n_distinct, diversity = one float division)."""
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import (grouped_counts,
+                                                    grouped_distinct_count,
+                                                    skip_empty)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        row_of = row_of[keep]
+        empty = pa.table({group_col: pa.array([], type=pa.string()),
+                          "gram": pa.array([], type=pa.string())})
+        if len(flat) < 2:
+            return empty
+        same = row_of[:-1] == row_of[1:]
+        gram = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        src = t[group_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            group_col: pa.array(src[row_of[:-1][same]], type=pa.string()),
+            "gram": gram.filter(pa.array(same)),
+        })
+
+    exploded = ds.map_batches(skip_empty(pairs), batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    totals = grouped_counts(exploded, [group_col])
+    distinct = grouped_distinct_count(exploded, group_col, "gram",
+                                      n_buckets=n_buckets)
+    tot = {g: int(n) for g, n in zip(totals[group_col].to_pylist(),
+                                     totals["n"].to_pylist())}
+    dis = {g: int(n) for g, n in zip(distinct[group_col].to_pylist(),
+                                     distinct["n_distinct"].to_pylist())}
+    groups = sorted(tot)
+    return pa.table({
+        group_col: pa.array(groups, type=pa.string()),
+        "n_grams": pa.array([tot[g] for g in groups], type=pa.int64()),
+        "n_distinct": pa.array([dis.get(g, 0) for g in groups],
+                               type=pa.int64()),
+        "diversity": pa.array(
+            [float(dis.get(g, 0)) / float(tot[g]) for g in groups],
+            type=pa.float64()),
+    })
+
+
+def gram_diversity_by_source_sql(group_col: str = "source",
+                                 text_col: str = "text",
+                                 table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS g,
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS t
+  FROM {table} WHERE {text_col} IS NOT NULL
+), grams AS (
+  SELECT g, t[gs] || ' ' || t[gs + 1] AS gram
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+)
+SELECT g AS {group_col},
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+  CAST(count(DISTINCT gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS diversity
+FROM grams GROUP BY g ORDER BY g
+""".strip()

@@ -2341,3 +2341,53 @@ def test_psi_drift_detects_shift(ray_session):
     by = got.set_index("event_type").psi_millionths
     assert by["stable"] < 100_000        # same distribution: PSI ~ 0
     assert by["moved"] > 1_000_000       # full shift: PSI >> 0.25
+
+
+def test_conv_turn_gaps_edges(ray_session, tmp_path):
+    """Turn-gap stats: single-turn conv emits no row; gaps use turn
+    ORDER (not arrival order); SQL mirror exact."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import (conv_turn_gaps,
+                                                   conv_turn_gaps_sql)
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b"],
+        "turn_idx": [2, 0, 1, 0],  # shuffled arrival
+        "ts": [base + pd.Timedelta(seconds=100),
+               base,
+               base + pd.Timedelta(seconds=10),
+               base],
+    })
+    got = conv_turn_gaps(rd.from_pandas(df)).to_pandas()
+    assert list(got.conv_id) == ["a"]  # single-turn 'b' drops
+    assert got.n_gaps[0] == 2
+    assert got.max_gap_sec[0] == 90.0  # turn1->turn2, ordered by idx
+    assert got.avg_gap_sec[0] == 50.0
+
+
+def test_gram_diversity_mode_collapse(ray_session):
+    """Diversity ratio: a repetitive source scores far below a varied
+    one; SQL mirror exact."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (
+        gram_diversity_by_source, gram_diversity_by_source_sql)
+
+    rows = []
+    for i in range(50):
+        rows.append(("collapsed", "the same thing again " * 5))
+        rows.append(("varied", " ".join(f"w{i}_{j}" for j in range(20))))
+    df = pd.DataFrame(rows, columns=["source", "text"])
+    got = gram_diversity_by_source(rd.from_pandas(df)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(gram_diversity_by_source_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()),
+        check_exact=True)
+    d = got.set_index("source").diversity
+    assert d["collapsed"] < 0.02 < 0.5 < d["varied"]
