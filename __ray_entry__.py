@@ -1637,6 +1637,17 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_lang_gate(sf_dir: str):
+    """Per-language minimum-length gate (multilingual curation uses a
+    bar per language, not one global threshold): pure vectorized map,
+    broadcast threshold table."""
+    from fluent_server_ray.stages.hygiene import gate_per_language
+
+    return gate_per_language(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"]))
+
+
 def _q_gram_diversity(sf_dir: str):
     """Distinct-bigram ratio per source (distinct-n diversity metric —
     mode-collapse detector for synthetic corpora): bounded grouped
@@ -2115,6 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_psi_drift": _q_psi_drift,
         "conv_turn_gaps": _q_turn_gaps,
         "source_gram_diversity": _q_gram_diversity,
+        "docs_gated_per_lang": _q_lang_gate,
     }
 
 
@@ -2301,6 +2313,7 @@ WHERE doc_id % 2 = 1
         "conv_context_windows": assembly.conv_context_windows_sql(),
         "conv_turn_gaps": assembly.conv_turn_gaps_sql(),
         "source_gram_diversity": textstats.gram_diversity_by_source_sql(),
+        "docs_gated_per_lang": hygiene.gate_per_language_sql(),
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
         "tool_transition_counts": assembly.tool_transitions_sql(),
         "doc_dup_ngram_frac": hygiene.dup_ngram_fraction_sql(),

@@ -627,3 +627,63 @@ SELECT t.doc_id, t.n_grams,
 FROM tot t LEFT JOIN dup d USING (doc_id)
 ORDER BY t.doc_id
 """.strip()
+
+
+# ------------------------------- per-language stratified quality gate
+
+LANG_MIN_TOKENS = {"en": 30, "de": 25, "fr": 25, "es": 25, "zh": 10}
+LANG_MIN_DEFAULT = 15
+
+
+def gate_per_language(ds, thresholds: dict | None = None,
+                      default: int = LANG_MIN_DEFAULT,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      lang_col: str = "lang"):
+    """Per-language minimum-length gate — multilingual curation never
+    uses ONE threshold (a 10-token Chinese doc carries the content of
+    a 30-token English one): each language gets its own min-token bar,
+    unknown languages the default.
+
+    Pure map stage: the threshold table broadcasts in the task closure
+    (a dozen entries — closure shipping is fine at this size; compare
+    ``enrich.range_lookup`` for the million-entry pattern), token
+    counts are the Arrow regex kernel of ``textstats.token_count_batch``,
+    and the keep decision is one vectorized take+compare. Output:
+    (id, lang, n_tokens) of survivors. NULL lang → default; NULL text
+    → 0 tokens (gated out unless the bar is 0)."""
+    thresholds = dict(LANG_MIN_TOKENS if thresholds is None else thresholds)
+    langs = sorted(thresholds)
+    lang_arr = pa.array(langs, type=pa.string())
+    thr_arr = pa.array([thresholds[l] for l in langs], type=pa.int64())
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(pc.fill_null(t[text_col], ""),
+                                     "[^ ]+"),
+            pa.int64())
+        idx = pc.index_in(t[lang_col], lang_arr)
+        thr = pc.fill_null(pc.take(thr_arr, idx), default)
+        out = pa.table({id_col: t[id_col], lang_col: t[lang_col],
+                        "n_tokens": n})
+        return out.filter(pc.greater_equal(n, thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gate_per_language_sql(thresholds: dict | None = None,
+                          default: int = LANG_MIN_DEFAULT,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          lang_col: str = "lang",
+                          table: str = "documents") -> str:
+    thresholds = dict(LANG_MIN_TOKENS if thresholds is None else thresholds)
+    cases = " ".join(f"WHEN '{l}' THEN {t}"
+                     for l, t in sorted(thresholds.items()))
+    return f"""
+SELECT {id_col}, {lang_col},
+  CAST(len(regexp_extract_all(COALESCE({text_col}, ''), '[^ ]+'))
+       AS BIGINT) AS n_tokens
+FROM {table}
+WHERE CAST(len(regexp_extract_all(COALESCE({text_col}, ''), '[^ ]+'))
+           AS BIGINT)
+      >= (CASE {lang_col} {cases} ELSE {default} END)
+""".strip()

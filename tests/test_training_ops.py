@@ -2391,3 +2391,21 @@ def test_gram_diversity_mode_collapse(ray_session):
         check_exact=True)
     d = got.set_index("source").diversity
     assert d["collapsed"] < 0.02 < 0.5 < d["varied"]
+
+
+def test_gate_per_language_thresholds(ray_session):
+    """Per-language bars: a 12-token zh doc passes (bar 10) while a
+    12-token en doc fails (bar 30); unknown lang takes the default;
+    NULL text gates out."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.hygiene import gate_per_language
+
+    twelve = " ".join(["tok"] * 12)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["zh", "en", "xx", "xx", "en"],
+        "text": [twelve, twelve, twelve, " ".join(["t"] * 20), None],
+    })
+    got = gate_per_language(rd.from_pandas(df)).to_pandas()
+    assert set(got.doc_id) == {1, 4}  # zh@12 passes, xx@20 >= 15
