@@ -1637,6 +1637,17 @@ def _q_bpe_encode(sf_dir: str):
     return bpe_encode(_docs(sf_dir), merges)
 
 
+def _q_sink_anomalies(sf_dir: str):
+    """Observability composite anchored in the flagship domain:
+    parse→route, then per-SINK tumbling traffic counts with
+    z-score spike flags — the dashboard a log pipeline feeds."""
+    from fluent_server_ray.stages.windows import window_anomalies
+
+    routed = build_routed(sf_dir, columns=["sink", "ts"])
+    return window_anomalies(routed, width_seconds=600, threshold=2.0,
+                            key_col="sink", ts_col="ts")
+
+
 def _q_lang_gate(sf_dir: str):
     """Per-language minimum-length gate (multilingual curation uses a
     bar per language, not one global threshold): pure vectorized map,
@@ -2127,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_gaps": _q_turn_gaps,
         "source_gram_diversity": _q_gram_diversity,
         "docs_gated_per_lang": _q_lang_gate,
+        "transcripts_sink_anomalies": _q_sink_anomalies,
     }
 
 
@@ -2314,6 +2326,13 @@ WHERE doc_id % 2 = 1
         "conv_turn_gaps": assembly.conv_turn_gaps_sql(),
         "source_gram_diversity": textstats.gram_diversity_by_source_sql(),
         "docs_gated_per_lang": hygiene.gate_per_language_sql(),
+        # flagship CTE chain + the anomaly query's own CTEs spliced
+        # into ONE WITH clause (the anomaly SQL starts "WITH wc AS")
+        "transcripts_sink_anomalies": (
+            oracle.with_pipeline_ctes() + ",\n"
+            + windows.window_anomalies_sql(
+                width_seconds=600, threshold=2.0, table="routed",
+                key_col="sink")[len("WITH "):]),
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
         "tool_transition_counts": assembly.tool_transitions_sql(),
         "doc_dup_ngram_frac": hygiene.dup_ngram_fraction_sql(),

@@ -105,9 +105,10 @@ def tumbling_counts(ds, width_seconds: int = 3600, key_col: str = "event_type",
     return grouped_counts(win_ds, [key_col, "window_start"])
 
 
-def tumbling_counts_sql(width_seconds: int = 3600, table: str = "events") -> str:
+def tumbling_counts_sql(width_seconds: int = 3600, table: str = "events",
+                        key_col: str = "event_type") -> str:
     return f"""
-SELECT event_type,
+SELECT {key_col},
   ((epoch_us(ts) // 1000000) // {width_seconds}) * {width_seconds} AS window_start,
   count(*) AS n
 FROM {table} GROUP BY 1, 2
@@ -874,25 +875,26 @@ def window_anomalies(ds, width_seconds: int = 3600,
 
 def window_anomalies_sql(width_seconds: int = 3600,
                          threshold: float = 2.0,
-                         table: str = "events") -> str:
+                         table: str = "events",
+                         key_col: str = "event_type") -> str:
     return f"""
 WITH wc AS (
-  {tumbling_counts_sql(width_seconds, table)}
+  {tumbling_counts_sql(width_seconds, table, key_col)}
 ), c AS (
-  SELECT event_type, window_start, n,
+  SELECT {key_col}, window_start, n,
          CAST(n * 100 AS BIGINT) AS cents
   FROM wc
 ), m AS (
-  SELECT event_type,
+  SELECT {key_col},
     CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
     CAST(sum(cents * cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ex2
-  FROM c GROUP BY event_type
+  FROM c GROUP BY {key_col}
 )
-SELECT c.event_type, c.window_start, c.n,
+SELECT c.{key_col}, c.window_start, c.n,
   (CAST(c.cents AS DOUBLE) - m.mean) / sqrt(m.ex2 - m.mean * m.mean) AS z
-FROM c JOIN m USING (event_type)
+FROM c JOIN m USING ({key_col})
 WHERE m.ex2 - m.mean * m.mean > 0
   AND abs((CAST(c.cents AS DOUBLE) - m.mean)
           / sqrt(m.ex2 - m.mean * m.mean)) >= {threshold}
-ORDER BY event_type, window_start
+ORDER BY {key_col}, window_start
 """.strip()
