@@ -853,7 +853,7 @@ def _hamming64(x: np.ndarray) -> np.ndarray:
 
 def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n_parts: int = 8):
+                        n_parts: int = 8, max_docs: int = 1_000_000):
     """EXACT all-pairs k-word-shingle Jaccard near-dup pairs (a < b).
 
     Exact set-similarity semantics require every pair examined — O(n²)
@@ -870,22 +870,37 @@ def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
     the result is a **Dataset** whose blocks stay in the object store
     (the driver never concatenates the pair set).
 
-    Sets compare by 64-bit SipHash of the shingle strings: a hash
-    collision could perturb a Jaccard value by ~|union|/2^64 — below
-    any realistic threshold granularity.
+    Sets compare by 64-bit hashes of the shingles (the vectorized
+    rolling mix of :func:`_batch_shingle_hashes` — one ``hash_array``
+    over the batch's flat token array, no per-doc string-join loop): a
+    hash collision could perturb a Jaccard value by ~|union|/2^64 —
+    below any realistic threshold granularity.
+
+    ``max_docs`` is the bounded-pool contract made loud: the task
+    fan-out AND total work are O(n²), so pointing this at an open
+    corpus is a mistake — that's :func:`minhash_near_dupes`'s job.
     """
     import ray
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            "ngram_jaccard_dupes requires 0 < threshold <= 1 (the "
+            "vectorized intersection join only surfaces pairs sharing "
+            ">= 1 shingle; threshold 0 would also demand disjoint pairs)")
 
     def shingle_rows(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = t[text_col].to_pylist()
-        def hset(s: str) -> np.ndarray:
-            sh = sorted(shingle_set(s or "", shingle_k))
-            if not sh:  # empty doc → empty set (union-0 pairs excluded,
-                return np.asarray([], dtype=np.uint64)  # matching SQL NULL)
-            return np.unique(pd.util.hash_array(np.asarray(sh, dtype=object)))
-
-        hsets = [hset(s) for s in texts]
+        H, lens = _batch_shingle_hashes(texts, shingle_k)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        hsets = []
+        for i in range(len(ids)):
+            # empty doc → empty set (union-0 pairs excluded, matching
+            # SQL NULL); _batch_shingle_hashes pads empties with one 0
+            if not (texts[i] or "").strip():
+                hsets.append(np.asarray([], dtype=np.uint64))
+            else:  # unique → sorted (np.unique sorts), dupes dropped
+                hsets.append(np.unique(H[starts[i]: starts[i] + lens[i]]))
         return pa.table(
             {
                 id_col: pa.array(ids),
@@ -899,6 +914,14 @@ def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
     # parts = more parallelism but re-unpacks each part more often.
     sh = ds.map_batches(shingle_rows, batch_format="pyarrow",
                         zero_copy_batch=True).repartition(n_parts).materialize()
+    n_docs = sh.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_dupes is the EXACT all-pairs verifier "
+            f"(O(n²)); got {n_docs} docs > max_docs={max_docs}. For "
+            f"open corpora use minhash_near_dupes (bounded LSH "
+            f"exchange) and verify candidates, or raise max_docs "
+            f"knowingly.")
     refs = sh.to_arrow_refs()
 
     @ray.remote
@@ -907,28 +930,48 @@ def ngram_jaccard_dupes(ds, threshold: float = 0.8, shingle_k: int = 3,
             # a repartition of a tiny input can emit schema-less empty
             # blocks — treat them as zero docs
             if t.num_rows == 0 or id_col not in t.column_names:
-                return np.asarray([], dtype=np.int64), []
+                return (np.asarray([], dtype=np.int64),
+                        np.asarray([], dtype=np.int64),
+                        np.asarray([], dtype=np.int64))
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            sets = [set(x) for x in t["sh"].to_pylist()]
-            return ids, sets
+            sh_col = t["sh"]
+            if isinstance(sh_col, pa.ChunkedArray):
+                sh_col = sh_col.combine_chunks()
+            flat = pc.list_flatten(sh_col).to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(sh_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return ids, flat.astype(np.int64), lens
 
-        ia, sa = unpack(ta)
-        ib, sb = unpack(tb)
-        out_a, out_b = [], []
-        for x in range(len(ia)):
-            start = x + 1 if same else 0
-            for y in range(start, len(ib)):
-                if ia[x] == ib[y]:
-                    continue
-                inter = len(sa[x] & sb[y])
-                union = len(sa[x]) + len(sb[y]) - inter
-                if union and inter / union >= threshold:
-                    out_a.append(min(ia[x], ib[y]))
-                    out_b.append(max(ia[x], ib[y]))
+        ia, fa, la = unpack(ta)
+        ib, fb, lb = unpack(tb)
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())})
+        if len(fa) == 0 or len(fb) == 0:
+            return empty
+        # vectorized all-pairs intersection: hash-join the two flat
+        # (doc_idx, shingle) postings on the shingle value — per-doc
+        # sets are unique, so each (x, y, shingle) match is one row and
+        # the per-(x, y) row count IS |sa ∩ sb|. No per-pair Python.
+        xa = np.repeat(np.arange(len(ia), dtype=np.int64), la)
+        yb = np.repeat(np.arange(len(ib), dtype=np.int64), lb)
+        m = pd.DataFrame({"h": fa, "x": xa}).merge(
+            pd.DataFrame({"h": fb, "y": yb}), on="h", sort=False)
+        if len(m) == 0:
+            return empty
+        grp = m.groupby(["x", "y"], sort=False).size().reset_index(name="i")
+        x = grp["x"].to_numpy()
+        y = grp["y"].to_numpy()
+        inter = grp["i"].to_numpy().astype(np.float64)
+        union = (la[x] + lb[y] - grp["i"].to_numpy()).astype(np.float64)
+        keep = inter / union >= threshold
+        if same:
+            keep &= x < y
+        keep &= ia[x] != ib[y]
+        aid, bid = ia[x[keep]], ib[y[keep]]
         return pa.table(
             {
-                "doc_a": pa.array(np.asarray(out_a, dtype=np.int64)),
-                "doc_b": pa.array(np.asarray(out_b, dtype=np.int64)),
+                "doc_a": pa.array(np.minimum(aid, bid)),
+                "doc_b": pa.array(np.maximum(aid, bid)),
             }
         )
 

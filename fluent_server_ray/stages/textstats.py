@@ -1355,10 +1355,14 @@ def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
     Scale shape — both count tables are UNBOUNDED (vocab / pair
     space), so everything merges distributed:
 
-    - per-batch combiners emit local unigram counts, local pair counts
-      (the :func:`bigram_top` shift-join explode — O(tokens), no doc
-      loop) and a one-row totals partial;
+    - per-batch combiners emit local unigram counts and local pair
+      counts (the :func:`bigram_top` shift-join explode — O(tokens),
+      no doc loop); the corpus is read exactly TWICE;
     - unigram and pair counts merge via ``grouped_agg(final='ray')``;
+    - the totals fall out of the merged tables for free: n_tok = Σ c1
+      over the unigram table and n_pairs = Σ c2 over the (pre-gate)
+      pair table — no third corpus scan (the sums are vocab-sized
+      reductions over already-materialized blocks);
     - the ``min_count`` gate runs BEFORE the joins (the surviving pair
       table is the small side of everything downstream);
     - two ``bucketed_hash_join``s attach c1(w1) and c1(w2) — the
@@ -1409,31 +1413,27 @@ def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
         }).group_by(["w1", "w2"]).aggregate([([], "count_all")]))
         return out.rename_columns(["w1", "w2", "c2"])
 
-    def totals_partial(t: pa.Table) -> pa.Table:
-        flat, doc_of = explode(t)
-        n_pairs = int((doc_of[:-1] == doc_of[1:]).sum()) if len(flat) > 1 else 0
-        return pa.table({"tok": pa.array([len(flat)], type=pa.int64()),
-                         "np": pa.array([n_pairs], type=pa.int64())})
-
-    totals_tables = list(
-        ds.map_batches(skip_empty(totals_partial), batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    )
     empty = pa.table({"w1": pa.array([], type=pa.string()),
                       "w2": pa.array([], type=pa.string()),
                       "n": pa.array([], type=pa.int64()),
                       "pmi_millionths": pa.array([], type=pa.int64())})
-    if not totals_tables:  # zero input blocks
-        return empty
-    totals = pa.concat_tables(totals_tables)
-    n_tok = int(pc.sum(totals["tok"]).as_py() or 0)
-    n_pairs = int(pc.sum(totals["np"]).as_py() or 0)
-    if n_pairs == 0:
-        return empty
 
-    # materialize: BOTH join sides consume this graph — without the
-    # pin the distributed unigram aggregation would execute twice
+    def _col_sum(mds, col: str) -> int:
+        def part(t: pa.Table) -> pa.Table:
+            return pa.table({"s": pa.array(
+                [int(pc.sum(t[col]).as_py() or 0)], type=pa.int64())})
+
+        total = 0
+        for t in mds.map_batches(
+                skip_empty(part), batch_format="pyarrow",
+                zero_copy_batch=True,
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            total += int(pc.sum(t["s"]).as_py() or 0)
+        return total
+
+    # materialize: BOTH join sides consume the unigram graph (without
+    # the pin the distributed aggregation would execute twice), and
+    # the totals reduction + the gate both consume the pair graph.
     uni = grouped_agg(
         ds.map_batches(skip_empty(uni_partial), batch_format="pyarrow",
                        zero_copy_batch=True),
@@ -1443,7 +1443,14 @@ def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
         ds.map_batches(skip_empty(pair_partial), batch_format="pyarrow",
                        zero_copy_batch=True),
         ["w1", "w2"], [("c2", "sum")], final="ray",
-    )
+    ).materialize()
+
+    # totals for free off the merged tables: Σ c1 = token count,
+    # Σ c2 = adjacent-pair count — no third corpus scan
+    n_tok = _col_sum(uni, "c1_sum")
+    n_pairs = _col_sum(big, "c2_sum")
+    if n_pairs == 0:
+        return empty
 
     def gate(t: pa.Table) -> pa.Table:
         return t.filter(
