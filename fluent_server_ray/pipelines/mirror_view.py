@@ -26,13 +26,30 @@ import pyarrow.parquet as pq
 _SORT_COLS = ("conv_id", "turn_idx", "chunk", "entry_idx")
 
 
-def _df_events(df):
-    """Yield (tag, event) in the canonical deterministic order — the
-    ONE place the mirror's event JSON shape is built (the full view and
-    the paged view must tile identically, so they share it)."""
-    sort_cols = [c for c in _SORT_COLS if c in df.columns]
-    if sort_cols:
-        df = df.sort_values(sort_cols)
+def _sort_recent(df):
+    """ts-descending order (the reference's event comparator,
+    ``event/event.go:21-33``), canonical-ascending tie-break so equal
+    timestamps stay deterministic."""
+    cols = [c for c in _SORT_COLS if c in df.columns]
+    if "ts" in df.columns:
+        return df.sort_values(["ts"] + cols,
+                              ascending=[False] + [True] * len(cols),
+                              kind="mergesort")
+    return df.sort_values(cols, kind="mergesort") if cols else df
+
+
+def _df_events(df, order: str = "stable"):
+    """Yield (tag, event) in a deterministic order — the ONE place the
+    mirror's event JSON shape is built (the full view and the paged
+    view must tile identically, so they share it). ``order='stable'``
+    is the canonical (conv_id, turn_idx) order; ``order='recent'`` is
+    ts-descending (reference comparator ``event/event.go:21-33``)."""
+    if order == "recent":
+        df = _sort_recent(df)
+    else:
+        sort_cols = [c for c in _SORT_COLS if c in df.columns]
+        if sort_cols:
+            df = df.sort_values(sort_cols)
     for row in df.to_dict("records"):  # bounded use; no iterrows
         record = {
             k: v
@@ -45,15 +62,44 @@ def _df_events(df):
         }
 
 
-def mirror_json(out_dir: str, limit_per_tag: int | None = None) -> dict:
-    """{tag: [ {ts, record}, ... ]} over all routed sink output, events
-    ordered by (conv_id, turn_idx) within a tag (deterministic, unlike
-    the reference's arrival order)."""
+def mirror_json(out_dir: str, limit_per_tag: int | None = None,
+                order: str = "stable") -> dict:
+    """{tag: [ {ts, record}, ... ]} over all routed sink output.
+
+    ``order='stable'`` (default): events ordered by (conv_id,
+    turn_idx) within a tag (deterministic, unlike the reference's
+    arrival order). ``order='recent'``: ts-descending per tag — the
+    reference's event comparator (``event/event.go:21-33``) as a view;
+    with ``limit_per_tag`` this is the GLOBAL most-recent cut per tag
+    (per-file top-cap partials merged then re-cut — memory stays
+    O(files-in-flight · tags · cap), never first-files-win)."""
     files = sorted(
         glob.glob(os.path.join(out_dir, "sinks", "**", "*.parquet"),
                   recursive=True)
     )
-    out: dict[str, list] = {}
+    if order == "recent":
+        import pandas as pd
+
+        frames = []
+        for f in files:
+            df = pq.read_table(f).to_pandas()
+            if df.empty or "tag" not in df.columns:
+                continue
+            df = _sort_recent(df)
+            if limit_per_tag:
+                # top-cap of a union == top-cap of the union of
+                # per-file top-caps — the cap bounds the concat
+                df = df.groupby("tag", sort=False).head(limit_per_tag)
+            frames.append(df)
+        out: dict[str, list] = {}
+        if frames:
+            allf = _sort_recent(pd.concat(frames, ignore_index=True))
+            if limit_per_tag:
+                allf = allf.groupby("tag", sort=False).head(limit_per_tag)
+            for tag, event in _df_events(allf, order="recent"):
+                out.setdefault(tag, []).append(event)
+        return out
+    out = {}
     for f in files:
         df = pq.read_table(f).to_pandas()
         for tag, event in _df_events(df):
@@ -65,13 +111,16 @@ def mirror_json(out_dir: str, limit_per_tag: int | None = None) -> dict:
 
 
 def mirror_tag_page(out_dir: str, tag: str, offset: int = 0,
-                    limit: int = 1000) -> list:
+                    limit: int = 1000, order: str = "stable") -> list:
     """One tag's events, paged — the scalable per-tag read the
     reference's one-object endpoint lacks. Iterates the sink files in
     the same deterministic order as :func:`mirror_json`, filters the
-    tag with one vectorized Arrow ``equal`` per file, and STOPS as soon
-    as the page is filled — a page request never materializes the
-    store."""
+    tag with one vectorized Arrow ``equal`` per file, and (stable
+    order) STOPS as soon as the page is filled — a page request never
+    materializes the store. ``order='recent'`` pages the ts-descending
+    view: every file must be consulted (the newest event can be
+    anywhere), but each contributes at most ``offset+limit`` rows
+    post-filter, so memory stays page-bounded."""
     import pyarrow.compute as pc
 
     files = sorted(
@@ -79,6 +128,23 @@ def mirror_tag_page(out_dir: str, tag: str, offset: int = 0,
                   recursive=True)
     )
     need = offset + limit
+    if order == "recent":
+        import pandas as pd
+
+        frames = []
+        for f in files:
+            t = pq.read_table(f)
+            if "tag" not in t.column_names:
+                continue
+            t = t.filter(pc.equal(t["tag"], tag))
+            if t.num_rows == 0:
+                continue
+            frames.append(_sort_recent(t.to_pandas()).head(need))
+        if not frames:
+            return []
+        allf = _sort_recent(pd.concat(frames, ignore_index=True)).head(need)
+        return [ev for _, ev in
+                _df_events(allf, order="recent")][offset:offset + limit]
     events: list = []
     for f in files:
         t = pq.read_table(f)
@@ -132,7 +198,9 @@ def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1",
         ``limit_per_tag`` events per tag by default so an accidental
         GET against a large corpus can't materialize it;
         ``GET /?full=1`` overrides the cap explicitly (the reference's
-        unbounded behavior, ``mirror/mirror.go:41-47``).
+        unbounded behavior, ``mirror/mirror.go:41-47``);
+        ``GET /?order=recent`` serves each tag ts-descending (the
+        reference's event comparator, ``event/event.go:21-33``).
       - ``GET /counts``  → per-sink totals from lineage manifests only
         (the scalable probe; no data files touched).
       - ``GET /tag/<name>?offset=N&limit=M`` → one tag's events, paged
@@ -168,14 +236,21 @@ def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1",
                     out_dir, unquote(route[len("/tag/"):]),
                     offset=qint("offset", 0),
                     limit=qint("limit", limit_per_tag),
+                    order=("recent"
+                           if qs.get("order", ["stable"])[-1] == "recent"
+                           else "stable"),
                 )
                 body = json.dumps(page, sort_keys=True, default=str)
             elif route == "":
                 qs = parse_qs(parsed.query)
                 full = qs.get("full", ["0"])[-1] in ("1", "true")
                 cap = None if full else limit_per_tag
-                body = json.dumps(mirror_json(out_dir, limit_per_tag=cap),
-                                  sort_keys=True, default=str)
+                order = ("recent"
+                         if qs.get("order", ["stable"])[-1] == "recent"
+                         else "stable")
+                body = json.dumps(
+                    mirror_json(out_dir, limit_per_tag=cap, order=order),
+                    sort_keys=True, default=str)
             else:
                 self.send_error(404)
                 return

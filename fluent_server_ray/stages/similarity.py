@@ -864,9 +864,11 @@ def pca_project(ds, n_components: int = 8, id_col: str = "vec_id",
 
 # ------------------------------------------------- SemDeDup composite
 
-def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 8,
+def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int | None = None,
                    n_iter: int = 4, sample_size: int = 512,
-                   id_col: str = "vec_id", emb_col: str = "embedding"):
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   max_cluster_rows: int = 65_536,
+                   target_cluster_rows: int = 4_096):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate REMOVAL over an embedding corpus — cluster with
     k-means, then compare pairs only WITHIN each cluster and keep one
@@ -887,13 +889,29 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 8,
     cluster-sized (|cluster|² sims in one worker) — ``n_clusters`` is
     the knob that bounds it, and SemDeDup's own design scales k WITH
     the corpus (the paper uses 50k clusters for LAION) so clusters
-    stay worker-sized; the groupby key is ``cluster`` (bounded
-    cardinality = k). Recall boundary (same as the paper): a
-    near-duplicate pair straddling a cluster boundary is missed.
+    stay worker-sized. Two guards make that contract enforced rather
+    than advisory:
+
+    - ``n_clusters=None`` (the default) derives k from the corpus:
+      ``k = clamp(ceil(n / target_cluster_rows), 8, 65536)`` — the
+      paper's scale-k-with-the-corpus rule, for free;
+    - any cluster that still exceeds ``max_cluster_rows`` (skewed
+      corpora: k-means happily puts half of a lopsided corpus in one
+      cell) is recursively BISECTED in-worker along its top principal
+      axis at the median projection before the exact pass — worker
+      memory stays O(max_cluster_rows²) instead of O((n/k)²). The
+      recall boundary is the same kind the paper already accepts: a
+      near-dup pair straddling a (sub-)cluster boundary is missed.
+
+    The groupby key is ``cluster`` (bounded cardinality = k).
 
     Returns the survivor Dataset (vec_id, cluster), sorted by vec_id.
     """
     import ray
+
+    if n_clusters is None:
+        n = ds.count()
+        n_clusters = int(min(65_536, max(8, -(-n // int(target_cluster_rows)))))
 
     centroids, _ = kmeans_fit(ds, n_clusters, n_iter, sample_size,
                               id_col, emb_col)
@@ -909,15 +927,38 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 8,
             "cluster": pa.array(cl),
         })
 
+    def _keep_block(mat: np.ndarray) -> np.ndarray:
+        """Exact keep mask over an id-ascending normalized block:
+        row j is dropped iff some i<j has cosine >= threshold."""
+        sims = mat @ mat.T
+        return ~(np.triu(sims >= threshold, k=1)).any(axis=0)
+
+    def _keep_recursive(mat: np.ndarray) -> np.ndarray:
+        """Oversized-cluster guard: bisect along the top principal
+        axis at the median projection, recurse per half. Deterministic
+        (eigh on the d×d covariance, sign-canonical axis, stable
+        argsort split)."""
+        n = mat.shape[0]
+        if n <= max_cluster_rows:
+            return _keep_block(mat)
+        centered = mat - mat.mean(axis=0)
+        cov = centered.T @ centered
+        _, vecs = np.linalg.eigh(cov)
+        axis = vecs[:, -1]
+        axis = axis if axis[np.argmax(np.abs(axis))] >= 0 else -axis
+        order = np.argsort(centered @ axis, kind="stable")
+        keep = np.empty(n, dtype=bool)
+        for half in (order[: n // 2], order[n // 2:]):
+            sub = np.sort(half)  # preserve id-ascending order per side
+            keep[sub] = _keep_recursive(mat[sub])
+        return keep
+
     def survivors(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         mat = _normalize(np.stack(g[emb_col].to_numpy())[order])
-        sims = mat @ mat.T
-        # dominated[j]: some i<j (smaller id) with sim >= threshold
-        dom = (np.triu(sims >= threshold, k=1)).any(axis=0)
-        keep = ~dom
+        keep = _keep_recursive(mat)
         return pd.DataFrame({
             id_col: ids[keep],
             "cluster": np.full(int(keep.sum()), int(g["cluster"].iloc[0]),

@@ -131,6 +131,56 @@ def test_mirror_http_limit_per_tag_cap(ray_session, tmp_path):
         t.join(timeout=5)
 
 
+def test_mirror_http_order_recent(ray_session, tmp_path):
+    """?order=recent serves each tag ts-DESCENDING (the reference's
+    event comparator, event/event.go:21-33) over real HTTP — full view,
+    capped view (global most-recent cut, not first-files-win), and the
+    paged per-tag route."""
+    import threading
+    import urllib.request
+
+    from fluent_server_ray.pipelines.forward_pipeline import run_forward_pipeline
+    from fluent_server_ray.pipelines.mirror_view import serve_mirror
+    from fluent_server_ray.sources.fluentfmt import pack_frames
+
+    # two files so the recent view must merge across files: the later
+    # timestamps live in the FIRST-sorted file
+    p1 = tmp_path / "a.msgpack"
+    p1.write_bytes(pack_frames(
+        [["t.a", [[1441589000 + i, {"i": 100 + i}] for i in range(5)],
+          {"chunk": "c1"}]]))
+    p2 = tmp_path / "b.msgpack"
+    p2.write_bytes(pack_frames(
+        [["t.a", [[1441588900 + i, {"i": i}] for i in range(5)],
+          {"chunk": "c2"}]]))
+    out = tmp_path / "out"
+    run_forward_pipeline([str(p1), str(p2)], str(out), routes=[("**", "all")])
+
+    srv = serve_mirror(str(out), port=0, limit_per_tag=3)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        full = json.loads(urllib.request.urlopen(
+            f"{base}/?full=1&order=recent").read())
+        ts = [e["ts"] for e in full["t.a"]]
+        assert ts == sorted(ts, reverse=True) and len(ts) == 10
+        # capped recent = the GLOBAL 3 newest, which straddle files
+        capped = json.loads(urllib.request.urlopen(
+            f"{base}/?order=recent").read())
+        assert [e["ts"] for e in capped["t.a"]] == ts[:3]
+        # paged per-tag recent view tiles the same ordering
+        q1 = json.loads(urllib.request.urlopen(
+            f"{base}/tag/t.a?order=recent&offset=0&limit=6").read())
+        q2 = json.loads(urllib.request.urlopen(
+            f"{base}/tag/t.a?order=recent&offset=6&limit=6").read())
+        assert q1 + q2 == full["t.a"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+
+
 def test_read_sink_ordered(ray_session, synth_dir, tmp_path):
     from fluent_server_ray.pipelines.flagship import run_pipeline
     from fluent_server_ray.pipelines.mirror_view import read_sink

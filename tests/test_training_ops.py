@@ -172,11 +172,36 @@ def test_exact_dedup_removes_constructed_dups(ray_session):
     assert list(out["doc_id"]) == [1, 3, 7]  # min id wins per text
 
 
-def test_decode_stub_real_raises():
-    from fluent_server_ray.stages.multimodal import DecodeStub
+def test_decode_real_path_or_honest_stub():
+    """real=True decodes actual image bytes when PIL is importable
+    (same output schema as the fake path; undecodable payloads keep
+    their row with zero dims); without an image library it raises the
+    documented NotImplementedError. Either way green — the optional
+    import is the contract."""
+    import pyarrow as pa
 
-    with pytest.raises(NotImplementedError):
-        DecodeStub(real=True)
+    from fluent_server_ray.stages.multimodal import DecodeStub, _image_module
+
+    if _image_module() is None:
+        with pytest.raises(NotImplementedError):
+            DecodeStub(real=True)
+        return
+
+    import io
+
+    img = _image_module().new("RGB", (37, 21))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([buf.getvalue(), b"not an image"],
+                            type=pa.binary()),
+    })
+    out = DecodeStub(real=True)(batch)
+    assert out.column_names == ["doc_id", "n_bytes", "width", "height",
+                                "checksum"]
+    assert out["width"].to_pylist() == [37, 0]
+    assert out["height"].to_pylist() == [21, 0]
 
 
 def test_lsh_bucketed_cosine_dupes_matches_exact(ray_session):
@@ -1449,6 +1474,52 @@ def test_semantic_dedup_matches_bruteforce(ray_session):
                              n_iter=3).to_pandas()
         assert set(got.vec_id) == want, k
     assert len(want) < len(ids)  # the planted dups actually dropped
+
+
+def test_semantic_dedup_oversized_cluster_guard(ray_session):
+    """A pathological one-cluster corpus larger than max_cluster_rows
+    must complete via the recursive bisection guard (not OOM/raise),
+    stay SOUND (every dropped id has a smaller-id neighbor >= t) and
+    never drop more than the brute-force rule; auto-k (n_clusters=None)
+    derives k from the corpus and also completes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import (_normalize,
+                                                     semantic_dedup)
+
+    rng = np.random.default_rng(11)
+    n = 120
+    mat = rng.normal(size=(n, 8))
+    # plant near-dups: every 4th vector duplicated with tiny noise
+    for i in range(0, n - 1, 4):
+        mat[i + 1] = mat[i] + rng.normal(scale=1e-4, size=8)
+    ids = np.arange(n, dtype=np.int64)
+    tab = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(mat.astype(np.float32).tolist(),
+                              type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tab)
+    t = 0.9999
+
+    nm = _normalize(mat.astype(np.float32).astype(np.float64))
+    sims = nm @ nm.T
+    brute_keep = ~np.triu(sims >= t, k=1).any(axis=0)
+
+    got = semantic_dedup(ds, threshold=t, n_clusters=1, n_iter=2,
+                         max_cluster_rows=16).to_pandas()
+    kept = set(got.vec_id)
+    # superset of brute-force survivors (bisection only MISSES pairs)
+    assert set(ids[brute_keep]) <= kept
+    # soundness: every dropped id really has a smaller-id near neighbor
+    for j in ids:
+        if j not in kept:
+            assert (sims[:j, j] >= t).any(), j
+    assert len(kept) < n  # the planted dups actually dropped
+
+    auto = semantic_dedup(ds, threshold=t, n_iter=2).to_pandas()
+    assert set(ids[~np.triu(sims >= t, k=1).any(axis=0)]) <= set(auto.vec_id)
 
 
 def test_grouped_exact_median_edges(ray_session):
