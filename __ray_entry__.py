@@ -185,7 +185,9 @@ def _q_bpe_tokens(sf_dir: str):
 
 def _q_winnow(sf_dir: str):
     """Winnowed rolling-hash fingerprints (MOSS scheme) — one row per
-    (doc_id, fingerprint). Not SQL-expressible → rows-only check."""
+    (doc_id, fingerprint). STRICT oracle: the polynomial hash is plain
+    modular arithmetic, mirrored bit-for-bit in DuckDB HUGEINT math
+    (winnow_fingerprints_sql)."""
     from fluent_server_ray.stages.textstats import (
         apply_doc_stage,
         winnow_fingerprints_batch,
@@ -2171,6 +2173,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": textstats.quality_sql(),
         "doc_langid": textstats.langid_sql(),
         "doc_fingerprint": textstats.fingerprint_sql(),
+        "doc_winnow_fingerprints": textstats.winnow_fingerprints_sql(),
         "doc_bpe_token_counts": textstats.bpe_token_count_sql(),
         "doc_tfidf": textstats.doc_tfidf_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),

@@ -1309,6 +1309,48 @@ def build_text_index(ds, index_dir: str, text_col: str = "text",
     return index_dir
 
 
+# per-WORKER cache of index bucket text sets: repeated incremental
+# runs probe the same hot hpart partitions every shard — re-reading
+# them per group call was pure read amplification. Keyed on the
+# partition's exact file list + sizes, so an EXTEND (new files) or a
+# compaction (new paths) invalidates naturally — no epoch protocol.
+# LRU, byte-bounded; lives in the worker process across tasks.
+from collections import OrderedDict as _OrderedDict
+
+_IDX_CACHE: "_OrderedDict[tuple, tuple[frozenset, int]]" = _OrderedDict()
+_IDX_CACHE_MAX_BYTES = 256 << 20
+
+
+def _index_bucket_texts(index_dir: str, k: int, text_col: str):
+    """The distinct-text set of index partition ``hpart=k`` via the
+    per-worker LRU (None if the partition has no files)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    fs = sorted(_glob.glob(os.path.join(index_dir, f"hpart={k}",
+                                        "*.parquet")))
+    if not fs:
+        return None
+    key = (index_dir, k, tuple((f, os.path.getsize(f)) for f in fs))
+    hit = _IDX_CACHE.get(key)
+    if hit is not None:
+        _IDX_CACHE.move_to_end(key)
+        return hit[0]
+    idx = pa.concat_tables(
+        [_pq.read_table(f, columns=[text_col]) for f in fs]
+    )
+    texts = frozenset(idx[text_col].to_pylist())
+    nbytes = sum(len(s) for s in texts) + 80 * len(texts)
+    _IDX_CACHE[key] = (texts, nbytes)
+    used = sum(b for _, b in _IDX_CACHE.values())
+    while used > _IDX_CACHE_MAX_BYTES and len(_IDX_CACHE) > 1:
+        _, (_, b) = _IDX_CACHE.popitem(last=False)
+        used -= b
+    return texts
+
+
 def dedup_against_index(ds, index_dir: str, id_col: str = "doc_id",
                         text_col: str = "text", n_parts: int = 64):
     """Anti-join a NEW shard against a persisted
@@ -1319,6 +1361,10 @@ def dedup_against_index(ds, index_dir: str, id_col: str = "doc_id",
     each bucket task reads ONLY its own index partition (Parquet path
     pruning) and filters with one vectorized ``isin`` on the TEXT
     itself (the hash only routes — collisions cannot drop rows).
+    Partition text sets are cached PER WORKER (LRU keyed on the
+    partition's file list, so extends/compactions invalidate) — on
+    repeated incremental runs hot partitions are read once per worker,
+    not once per group call.
 
     Within-shard duplicates are deliberately NOT collapsed here (run
     :func:`exact_dedup` on the shard first); output: (id, text)
@@ -1331,7 +1377,6 @@ def dedup_against_index(ds, index_dir: str, id_col: str = "doc_id",
     (object store / NFS); a driver-local tempdir is invisible to
     remote bucket tasks.
     """
-    import glob as _glob
     import os
 
     if not os.path.isdir(index_dir):
@@ -1339,8 +1384,6 @@ def dedup_against_index(ds, index_dir: str, id_col: str = "doc_id",
             f"dedup index dir not found: {index_dir!r} — build it with "
             f"build_text_index() on shared storage first"
         )
-
-    import pyarrow.parquet as _pq
 
     from fluent_server_ray.stages.aggregate import skip_empty
 
@@ -1360,15 +1403,10 @@ def dedup_against_index(ds, index_dir: str, id_col: str = "doc_id",
         k = int(g["_b"].iloc[0])
         if k < 0:  # NULL-text rows: never duplicates, all survive
             return g[[id_col, text_col]]
-        fs = sorted(_glob.glob(
-            os.path.join(index_dir, f"hpart={k}", "*.parquet")
-        ))
-        if not fs:
+        texts = _index_bucket_texts(index_dir, k, text_col)
+        if texts is None:
             return g[[id_col, text_col]]
-        idx = pa.concat_tables(
-            [_pq.read_table(f, columns=[text_col]) for f in fs]
-        )
-        keep = ~g[text_col].isin(idx[text_col].to_pandas())
+        keep = ~g[text_col].isin(texts)
         return g.loc[keep, [id_col, text_col]]
 
     bucketed = ds.map_batches(skip_empty(add_part), batch_format="pyarrow",

@@ -198,6 +198,54 @@ def winnow_fingerprints_batch(batch: pa.Table, k: int = 8, window: int = 4) -> p
     )
 
 
+def winnow_fingerprints_sql(k: int = 8, window: int = 4,
+                            table: str = "documents") -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints_batch` — the rolling
+    polynomial hash is plain modular arithmetic, so HUGEINT math
+    reproduces it bit-for-bit: per position, ``Σ byte_j · B^(k-1-j)
+    mod 2^64`` with the powers precomputed in Python and inlined as
+    literals (DuckDB's ``**`` returns DOUBLE — never use it for exact
+    integer powers), then the window min via ``min() OVER (... ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)`` kept only where the
+    window is full (short docs: the last running min IS the global
+    min), DISTINCT, masked to 63 bits via ``% 2^63``.
+
+    ASCII assumption: the engine hashes UTF-8 BYTES; the mirror reads
+    ``unicode(substr(text, i, 1))`` which equals the byte only for
+    ASCII text (true of the test corpora — asserted nowhere here, so
+    do not point this ORACLE at non-ASCII data; the engine itself is
+    byte-correct for any input)."""
+    B = 1_000_003
+    C = [pow(B, k - 1 - j, 2 ** 64) for j in range(k)]
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    m63 = "CAST('9223372036854775808' AS HUGEINT)"
+    terms = " + ".join(
+        f"CAST(unicode(substr(text, gs+{j}, 1)) AS HUGEINT) * "
+        f"CAST('{C[j]}' AS HUGEINT)" for j in range(k)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS n FROM {table}
+  WHERE text IS NOT NULL AND length(text) >= {k}
+), grams AS (
+  SELECT doc_id, gs AS i, ({terms}) % {m64} AS h
+  FROM docs CROSS JOIN unnest(generate_series(1, n - {k - 1})) AS u(gs)
+), counted AS (
+  SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id
+), mins AS (
+  SELECT g.doc_id,
+    min(h) OVER (PARTITION BY g.doc_id ORDER BY i
+                 ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS m,
+    i, c.ng
+  FROM grams g JOIN counted c USING (doc_id)
+)
+SELECT DISTINCT doc_id, CAST(m % {m63} AS BIGINT) AS fp
+FROM mins
+WHERE (ng < {window} AND i = ng) OR (ng >= {window} AND i >= {window})
+ORDER BY doc_id, fp
+""".strip()
+
+
 # GPT2-style pre-tokenizer pattern (BPE-ish token segmentation) —
 # identical RE2 semantics in Arrow and DuckDB (\p{L}/\p{N} classes).
 BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"

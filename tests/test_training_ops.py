@@ -869,6 +869,29 @@ def test_dedup_against_index_and_extension(ray_session, tmp_path):
     assert got2 == [(21, "delta"), (22, None)]
 
 
+def test_index_bucket_cache_hit_and_invalidation(tmp_path):
+    """The per-worker partition cache returns the same set object on a
+    repeat probe (no re-read) and invalidates when the partition gains
+    a file (EXTEND) — the key is the file list, not an epoch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluent_server_ray.stages.dedup import _index_bucket_texts
+
+    d = tmp_path / "idx" / "hpart=3"
+    d.mkdir(parents=True)
+    pq.write_table(pa.table({"text": ["a", "b"]}), d / "f1.parquet")
+
+    s1 = _index_bucket_texts(str(tmp_path / "idx"), 3, "text")
+    s2 = _index_bucket_texts(str(tmp_path / "idx"), 3, "text")
+    assert s1 == {"a", "b"} and s2 is s1  # cache hit: same object
+
+    pq.write_table(pa.table({"text": ["c"]}), d / "f2.parquet")
+    s3 = _index_bucket_texts(str(tmp_path / "idx"), 3, "text")
+    assert s3 == {"a", "b", "c"}  # new file invalidated the entry
+    assert _index_bucket_texts(str(tmp_path / "idx"), 9, "text") is None
+
+
 def test_exact_dedup_keeps_one_null_text_row(ray_session):
     """SQL GROUP BY text keeps one min-id NULL-text row; the engine
     must too (pandas' NaN-group drop would silently delete them)."""
