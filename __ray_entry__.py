@@ -292,10 +292,14 @@ def _q_dedup_prefix_block(sf_dir: str):
 def _q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs, candidates verified IN-CLUSTER with
     true shingle-set Jaccard (texts ship for candidate ids only; the
-    corpus never materializes on the driver). Probabilistic recall →
-    rows-only driver check; equality with the driver-side verifier is
-    pinned in tests. Returns a Dataset — the pair set itself stays in
-    the object store."""
+    corpus never materializes on the driver). STRICT oracle: the
+    in-cluster verify makes precision exactly 1, and with the fixed
+    permutation seeds the banded-LSH recall is DETERMINISTIC — on the
+    test corpora the found set equals the exact Jaccard-threshold set
+    (verified at sf0.001 + sf0.01), so the exact all-pairs DuckDB
+    list-algebra query is a valid oracle. At open-corpus scale recall
+    is < 1 by design; that property stays pinned in pytest. Returns a
+    Dataset — the pair set itself stays in the object store."""
     from fluent_server_ray.stages.dedup import minhash_near_dupes
 
     return minhash_near_dupes(_docs(sf_dir)).select_columns(
@@ -680,9 +684,13 @@ def _q_rollup_orders(sf_dir: str):
 
 def _q_cms_event_counts(sf_dir: str):
     """Count-min sketch point estimates per event type (mergeable
-    depth×width matrix, per-block partials). Rows-only: a probabilistic
-    overestimate has no exact SQL oracle; the estimate-vs-exact bounds
-    are pinned in pytest."""
+    depth×width matrix, per-block partials). STRICT oracle: with 5
+    distinct keys in a depth×width sketch the estimate is exactly the
+    true count unless one key collides with another in EVERY depth row
+    (width ≫ keys ⇒ structurally impossible here, and deterministic —
+    fixed SipHash row keys), so plain ``count(*) GROUP BY`` is the
+    oracle. The ≥-exact overestimate bound on ADVERSARIAL key spaces
+    stays pinned in pytest."""
     import pyarrow as pa
 
     from fluent_server_ray.stages.sketches import cms_build, cms_query
@@ -1017,16 +1025,31 @@ def _q_window_distinct(sf_dir: str):
 
 
 def _q_approx_distinct(sf_dir: str):
-    """HLL approximate distinct users (mergeable sketch; rows-only —
-    a probabilistic estimate has no exact SQL oracle)."""
+    """Distinct-user cardinality, strict-checkable form: the EXACT
+    distributed two-level distinct (the 100 TB path — only distinct
+    values shuffle) next to the HLL sketch estimate validated inside
+    its error envelope (p=12 ⇒ σ = 1.04/√4096 ≈ 1.6%; the 5% gate is
+    3σ, and with a fixed hash + fixed data the estimate is
+    deterministic, so the flag can never flap). The raw HLL estimate
+    itself is probabilistic → pinned in pytest, not SQL."""
     import pyarrow as pa
-    import ray.data as rd
 
-    from fluent_server_ray.stages.sketches import approx_distinct
+    from fluent_server_ray.stages.sketches import (
+        approx_distinct,
+        exact_distinct_count,
+    )
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
-    est = approx_distinct(ds, "user_id")
-    return pa.table({"approx_distinct_users": pa.array([round(est)], type=pa.int64())})
+    def ds():
+        return read_parquet_clean(f"{sf_dir}/events.parquet",
+                                  columns=["user_id"])
+
+    est = approx_distinct(ds(), "user_id")
+    exact = exact_distinct_count(ds(), "user_id")
+    ok = exact > 0 and abs(est - exact) / exact <= 0.05
+    return pa.table({
+        "n_users": pa.array([exact], type=pa.int64()),
+        "hll_ok": pa.array([ok], type=pa.bool_()),
+    })
 
 
 def _q_anti_join_bloom(sf_dir: str):
@@ -1077,9 +1100,12 @@ def _q_curation(sf_dir: str):
 def _q_curation_near_dedup(sf_dir: str):
     """The full large-crawl curation chain: quality gate → exact dedup
     → MinHash near-dup pairs → connected components → keep min-id per
-    component. MinHash recall is probabilistic → rows-only; the
-    exact-pair variant of the same composition (`dedup_clusters`) is
-    oracle-checked, and the keep-rule is pinned in pytest."""
+    component. STRICT oracle: MinHash candidate generation is
+    pair-local (two docs share a band bucket or not, independent of
+    the rest of the corpus), so the corpus-level found-set == exact-set
+    equality that `dedup_minhash` pins carries over to the gated
+    survivor subset — the mirror runs the exact pair query + recursive
+    closure over the same gate+dedup CTEs."""
     from fluent_server_ray.pipelines.curation import (
         curate_documents_near_dedup,
     )
@@ -2186,6 +2212,23 @@ WHERE doc_id % 2 = 1
 """.strip(),
         "dedup_prefix_block": dedup.prefix_block_dupes_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dupes_sql(threshold=0.8),
+        # MinHash precision is 1 (in-cluster exact verify) and its
+        # seeded recall is deterministic + total on the test corpora
+        # (found set == exact set, verified sf0.001 + sf0.01) — the
+        # exact all-pairs query projected to ids IS the oracle.
+        "dedup_minhash": dedup.ngram_jaccard_dupes_sql(threshold=0.8),
+        "curation_near_dedup": __import__(
+            "fluent_server_ray.pipelines.curation", fromlist=["x"]
+        ).curate_documents_near_dedup_sql(),
+        "cms_event_counts": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS est_n FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+GROUP BY event_type ORDER BY event_type
+""".strip(),
+        "approx_distinct_users": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "TRUE AS hll_ok FROM events"
+        ),
         "dedup_clusters": dedup.pair_components_sql(
             dedup.ngram_jaccard_dupes_sql(threshold=0.8)
         ),

@@ -225,6 +225,49 @@ WHERE {sample_by_key_sql_predicate("doc_id", hex_threshold)}
 """.strip()
 
 
+def curate_documents_near_dedup_sql(min_tokens: int = MIN_TOKENS,
+                                    min_alpha: float = MIN_ALPHA,
+                                    threshold: float = 0.8,
+                                    table: str = "documents") -> str:
+    """DuckDB mirror of :func:`curate_documents_near_dedup` — the gate
+    + exact-dedup CTEs of :func:`curate_documents_sql` (no sample),
+    then the EXACT n-gram-Jaccard pair query + recursive transitive
+    closure over the survivor set, keeping the min-id doc per
+    component. Valid as a STRICT oracle because the MinHash stage's
+    found-pair set equals the exact Jaccard-threshold set on the test
+    corpora (deterministic — fixed permutation seeds; verified at
+    sf0.001 and sf0.01, and the `dedup_minhash` driver row pins it
+    every round). At open-corpus scale MinHash recall is < 1 by
+    design; the recall property itself stays pinned in pytest."""
+    from fluent_server_ray.stages.dedup import (
+        ngram_jaccard_dupes_sql,
+        pair_components_sql,
+    )
+
+    pairs = ngram_jaccard_dupes_sql(threshold=threshold, table="dedup")
+    comp = pair_components_sql(pairs)
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      / GREATEST(length(text), 1) AS alpha_ratio
+  FROM {table}
+), kept AS (
+  SELECT doc_id, text FROM gated
+  WHERE n_tokens >= {min_tokens} AND alpha_ratio >= {min_alpha}
+), dedup AS (
+  SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text
+), comp AS (
+  {comp}
+)
+SELECT d.doc_id, d.text FROM dedup d
+LEFT JOIN comp c USING (doc_id)
+WHERE c.component IS NULL OR c.component = d.doc_id
+ORDER BY d.doc_id
+""".strip()
+
+
 # ---------------------------------------- quality-curriculum mixing
 
 CURRICULUM_T_HI = -3_400_000  # avg_logprob millionths ≈ corpus tercile

@@ -94,6 +94,28 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     return merged.estimate()
 
 
+def exact_distinct_count(ds, col: str, n_buckets: int = 64) -> int:
+    """EXACT global ``count(DISTINCT col)`` — the deterministic twin
+    the HLL estimate is checked against: per-batch local dedup, ONE
+    value-hash bucket exchange (only distinct values move), per-bucket
+    distinct counts, ≤ ``n_buckets`` ints to the driver. Reuses
+    :func:`aggregate.grouped_distinct_count` with a constant group
+    key. NULLs are not counted (SQL count(DISTINCT))."""
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.aggregate import grouped_distinct_count
+
+    def add_g(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_g", pa.array(np.zeros(len(t), dtype=np.int64)))
+
+    with_g = ds.map_batches(add_g, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = grouped_distinct_count(with_g, "_g", col,
+                                 n_buckets=n_buckets).to_pandas()
+    return 0 if out.empty else int(out["n_distinct"].iloc[0])
+
+
 def accumulate_histogram(ds, col: str, lo: float, hi: float,
                          bins: int) -> np.ndarray:
     """THE fixed-edge histogram rule, shared by every bucket-contract

@@ -150,3 +150,28 @@ def test_kmv_estimator_accuracy():
     assert abs(est - n) / n < 0.15
     j = a.jaccard(b)   # true J = (n/2) / (3n/2) = 1/3
     assert abs(j - 1 / 3) < 0.08
+
+
+def test_exact_distinct_count(ray_session):
+    """The exact twin the HLL row is checked against: equals DuckDB
+    count(DISTINCT); NULLs uncounted; empty dataset -> 0."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sketches import exact_distinct_count
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"u": ["a", "b", "a", None, "c", "b", None]}))
+    assert exact_distinct_count(ds, "u") == 3
+
+    events = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["user_id"])
+    exact = duckdb.sql(
+        "SELECT count(DISTINCT user_id) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert exact_distinct_count(events, "user_id") == exact
+
+    empty = rd.from_pandas(pd.DataFrame({"u": pd.array([], dtype="string")}))
+    assert exact_distinct_count(empty, "u") == 0
