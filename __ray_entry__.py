@@ -1657,8 +1657,10 @@ def _q_tfidf_joined(sf_dir: str):
 def _q_bpe_encode(sf_dir: str):
     """Tokenize the corpus with a learned 8-merge BPE table: the merge
     table broadcasts once; each batch replays the merges with compiled
-    lookaround regexes over one joined buffer. Rows-only (iterative
-    training upstream); encoder pinned vs a per-word reference."""
+    lookaround regexes over one joined buffer. STRICT oracle: the
+    train rounds unroll as CTEs and the final vocab maps every word
+    to its merged symbols (`bpe.bpe_encode_sql`); encoder also pinned
+    vs a per-word reference in pytest."""
     from fluent_server_ray.stages.bpe import bpe_encode, bpe_train_adaptive
 
     merges = bpe_train_adaptive(_docs(sf_dir), n_merges=8)
@@ -1922,9 +1924,11 @@ def _q_corpus_overlap(sf_dir: str):
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE merge-table training (8 merges): word counts
     collapse the corpus to a vocab Dataset; each merge is a parallel
-    pair-count pass + one broadcast regex merge. Iterative — not
-    SQL-expressible; pinned in pytest against a pure-Python reference
-    trainer."""
+    pair-count pass + one broadcast regex merge. STRICT oracle: the
+    iteration count is a fixed parameter, so the rounds UNROLL into a
+    computed DuckDB query (`bpe.bpe_train_sql` — pair counts → argmax
+    → greedy parity-rule merge per round); also pinned in pytest
+    against a pure-Python reference trainer."""
     from fluent_server_ray.stages.bpe import bpe_train_adaptive
 
     return bpe_train_adaptive(_docs(sf_dir), n_merges=8)
@@ -2175,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
     from fluent_server_ray.stages import (
         aggregate,
         assembly,
+        bpe,
         dedup,
         features,
         fields,
@@ -2201,6 +2206,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.fingerprint_sql(),
         "doc_winnow_fingerprints": textstats.winnow_fingerprints_sql(),
         "doc_bpe_token_counts": textstats.bpe_token_count_sql(),
+        # BPE: fixed merge budget -> the iterative trainer unrolls to
+        # one computed query (real oracle, not a golden table)
+        "bpe_merge_table": bpe.bpe_train_sql(n_merges=8),
+        "doc_bpe_encode": bpe.bpe_encode_sql(n_merges=8),
         "doc_tfidf": textstats.doc_tfidf_sql(),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_incremental": """

@@ -342,3 +342,115 @@ def bpe_encode(ds, merges: pa.Table, id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------- computed DuckDB mirrors (strict oracles)
+
+def _bpe_rounds_sql(n_merges: int, min_count: int, table: str) -> str:
+    """The shared CTE chain both mirrors build on: word counts →
+    char+``</w>`` symbol lists → ``n_merges`` UNROLLED merge rounds
+    (pair counts → argmax with the (w desc, left, right) tie-break →
+    greedy merge application). The apply step reproduces the engine's
+    left-to-right non-overlapping lookaround-regex semantics exactly
+    via run parity: within each maximal run of consecutive match
+    positions, the 1st/3rd/5th… merge ('aaaa' → aa+aa, 'aaa' → aa+a —
+    the regex's zero-width boundaries never consume the separating
+    space, so greediness is a pure parity rule on ORIGINAL positions).
+    ``AS MATERIALIZED`` pins each round to one evaluation (v/b CTEs
+    are referenced twice; inlining would recompute the whole chain
+    2^rounds times). An empty best (everything below ``min_count``)
+    LEFT-JOINs as NULL and leaves the vocab unchanged — exactly the
+    engine's early stop."""
+    parts = [f"""
+words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(
+      string_split(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g'), ' '),
+      x -> x <> '')) AS w
+    FROM {table} WHERE text IS NOT NULL
+  ) GROUP BY w
+), v0 AS MATERIALIZED (
+  SELECT w, n, list_append(regexp_extract_all(w, '.'), '{END_OF_WORD}') AS s
+  FROM words
+)""".strip()]
+    for k in range(n_merges):
+        parts.append(f"""
+p{k} AS (
+  SELECT s[i] AS l, s[i+1] AS r, CAST(sum(n) AS BIGINT) AS wt
+  FROM v{k}, unnest(generate_series(1, len(s)-1)) AS u(i)
+  GROUP BY 1, 2
+), b{k} AS MATERIALIZED (
+  SELECT l, r, wt FROM p{k} WHERE wt >= {min_count}
+  ORDER BY wt DESC, l, r LIMIT 1
+), m{k} AS (
+  SELECT v.w, v.n, v.s, b.l AS bl, b.r AS br,
+    list_filter(generate_series(1, len(v.s)-1),
+                i -> v.s[i] = b.l AND v.s[i+1] = b.r) AS m
+  FROM v{k} v LEFT JOIN b{k} b ON TRUE
+), v{k+1} AS MATERIALIZED (
+  SELECT w, n, CASE WHEN bl IS NULL THEN s ELSE
+    flatten(list_transform(generate_series(1, len(s)), i ->
+      CASE WHEN list_contains(kept, i) THEN [bl || br]
+           WHEN list_contains(kept, i - 1) THEN []
+           ELSE [s[i]] END))
+    END AS s
+  FROM (
+    SELECT w, n, s, bl, br,
+      list_filter(m, i -> (i - list_max(list_filter(
+        generate_series(0, i-1), j -> NOT list_contains(m, j)))) % 2 = 1
+      ) AS kept
+    FROM m{k}
+  )
+)""".strip())
+    return ",\n".join(parts)
+
+
+def bpe_train_sql(n_merges: int = 8, min_count: int = 2,
+                  table: str = "documents") -> str:
+    """DuckDB mirror of :func:`bpe_train` / :func:`bpe_train_adaptive`
+    — BPE training is iterative but each round is a deterministic SQL
+    transform, so a FIXED merge budget unrolls to one (large) computed
+    query: a REAL oracle over any corpus, not a golden table. Output
+    (rank, left, right, merged, w), rank 0 first; rounds whose best
+    pair falls below ``min_count`` emit nothing (engine early stop)."""
+    union = "\nUNION ALL\n".join(
+        f'SELECT {k} AS rk, l, r, l || r AS merged, wt FROM b{k}'
+        for k in range(n_merges))
+    return f"""
+WITH {_bpe_rounds_sql(n_merges, min_count, table)}
+SELECT CAST(rk AS BIGINT) AS "rank", l AS "left", r AS "right", merged,
+       wt AS w
+FROM ({union}) ORDER BY "rank"
+""".strip()
+
+
+def bpe_encode_sql(n_merges: int = 8, min_count: int = 2,
+                   table: str = "documents") -> str:
+    """DuckDB mirror of train-then-:func:`bpe_encode` over the SAME
+    corpus: the final round's vocab (``v{{n}}``) already maps every
+    distinct word to its merged symbol list, so encoding is one join
+    from the doc's ordered word list — no re-derivation. Docs with
+    NULL/empty text keep a row (n_tokens 0, tokens '') like the
+    engine."""
+    return f"""
+WITH {_bpe_rounds_sql(n_merges, min_count, table)},
+dwords AS (
+  SELECT doc_id, i AS wi, ws[i] AS w
+  FROM (
+    SELECT doc_id, list_filter(
+      string_split(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g'), ' '),
+      x -> x <> '') AS ws
+    FROM {table} WHERE text IS NOT NULL
+  ), unnest(generate_series(1, len(ws))) AS u(i)
+),
+agg AS (
+  SELECT d.doc_id, CAST(sum(len(v.s)) AS BIGINT) AS n_tokens,
+         string_agg(array_to_string(v.s, ' '), ' ' ORDER BY d.wi) AS tokens
+  FROM dwords d JOIN v{n_merges} v ON d.w = v.w
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.tokens, '') AS tokens
+FROM {table} doc LEFT JOIN agg a USING (doc_id)
+ORDER BY doc.doc_id
+""".strip()

@@ -2503,3 +2503,48 @@ def test_gate_per_language_thresholds(ray_session):
     })
     got = gate_per_language(rd.from_pandas(df)).to_pandas()
     assert set(got.doc_id) == {1, 4}  # zh@12 passes, xx@20 >= 15
+
+
+def test_bpe_sql_mirror_matches_reference_trainer(ray_session):
+    """The unrolled-CTE DuckDB mirror reproduces the pure-Python
+    reference trainer bit-for-bit, including the greedy-run parity
+    cases ('aaaa' -> aa+aa vs 'aaa' -> aa+a), lexicographic
+    tie-breaks, early stop below min_count, and tab/newline word
+    separation; the encode mirror matches the engine encoder."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.bpe import (
+        bpe_encode,
+        bpe_train_adaptive,
+        bpe_train_reference,
+        bpe_train_sql,
+        bpe_encode_sql,
+    )
+
+    corpora = [
+        ["aaaa aaa bb", "aaaa cc bb aaaa", "x", None, "", "a\ta a\nbb"],
+        ["the cat sat on the mat", "the cat", "mat mat mat the"],
+        ["ab ab ab abab", "abab abab", "b a ab ba"],
+    ]
+    for texts in corpora:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT row_number() OVER () AS "
+            "doc_id, * FROM (SELECT unnest(?) AS text)", [texts])
+        sql = con.execute(bpe_train_sql(8, 2)).df()
+        ref = bpe_train_reference(
+            [(t or "").replace("\t", " ").replace("\n", " ")
+             for t in texts if t], 8, 2)
+        assert list(zip(sql["left"], sql["right"],
+                        sql["w"].astype(int))) == ref
+
+        docs = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(1, len(texts) + 1), "text": texts}))
+        merges = bpe_train_adaptive(docs, n_merges=8)
+        eng = (bpe_encode(docs, merges).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        got = (con.execute(bpe_encode_sql(8, 2)).df()
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(eng, got)
