@@ -252,8 +252,13 @@ def _q_dedup_incremental_minhash(sf_dir: str):
     index (the signature-store design): even-doc_id half indexed
     (bands routed by hash part, signatures by id part), odd half
     probes reading ONLY its colliding partitions; pairs verified by
-    signature-estimated Jaccard. Probabilistic (LSH recall, estimated
-    Jaccard) → rows-only; recall/precision pinned in pytest."""
+    signature-estimated Jaccard. STRICT oracle on the PAIR SET: with
+    the fixed seeds the found (probe, indexed) pairs equal the exact
+    cross-half Jaccard-threshold pairs on the test corpora (verified
+    sf0.001 + sf0.01), so the exact pair query restricted to
+    odd-vs-even ids is the mirror; the est_jaccard VALUE is a
+    signature statistic with no SQL form → projected off here, pinned
+    in pytest."""
     import os
     import shutil
     import tempfile
@@ -280,7 +285,10 @@ def _q_dedup_incremental_minhash(sf_dir: str):
     )
     shutil.rmtree(idx, ignore_errors=True)
     build_minhash_index(half(0), idx, n_parts=16)
-    return near_dups_against_index(half(1), idx, threshold=0.8)
+    return near_dups_against_index(half(1), idx,
+                                   threshold=0.8).select_columns(
+        ["doc_a", "doc_b"]
+    )
 
 
 def _q_dedup_prefix_block(sf_dir: str):
@@ -1115,10 +1123,11 @@ def _q_curation_near_dedup(sf_dir: str):
 
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking of the multimodal binary payloads —
-    one row per (doc, chunk) with offset/length/md5. Boundaries are a
-    rolling-hash function of the bytes (not SQL-expressible) →
-    rows-only; determinism, reassembly, and insertion-shift robustness
-    are pinned in tests."""
+    one row per (doc, chunk) with offset/length/md5. STRICT oracle:
+    the gear rolling hash is modular arithmetic (cut test reads only
+    the low mask bits → 6 window lags) and the min/max boundary walk
+    is a recursive CTE (`cdc.cdc_chunks_sql`); insertion-shift
+    robustness and reassembly stay pinned in tests."""
     from fluent_server_ray.stages.cdc import cdc_chunks
     from fluent_server_ray.stages.multimodal import attach_payload
 
@@ -2226,6 +2235,19 @@ WHERE doc_id % 2 = 1
         # (found set == exact set, verified sf0.001 + sf0.01) — the
         # exact all-pairs query projected to ids IS the oracle.
         "dedup_minhash": dedup.ngram_jaccard_dupes_sql(threshold=0.8),
+        # probe half (odd ids) vs indexed half (even ids): the exact
+        # cross-parity pair set, probe id first
+        "dedup_incremental_minhash": """
+SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_a,
+       CASE WHEN a % 2 = 1 THEN b ELSE a END AS doc_b
+FROM (
+  SELECT doc_a AS a, doc_b AS b FROM ({inner})
+  WHERE doc_a % 2 <> doc_b % 2
+) ORDER BY doc_a, doc_b
+""".strip().format(inner=dedup.ngram_jaccard_dupes_sql(threshold=0.8)),
+        "multimodal_cdc_chunks": __import__(
+            "fluent_server_ray.stages.cdc", fromlist=["x"]
+        ).cdc_chunks_sql(),
         "curation_near_dedup": __import__(
             "fluent_server_ray.pipelines.curation", fromlist=["x"]
         ).curate_documents_near_dedup_sql(),

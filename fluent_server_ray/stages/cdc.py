@@ -172,3 +172,77 @@ def cdc_dedup_stats(chunks_ds) -> pa.Table:
             ),
         }
     )
+
+
+def cdc_chunks_sql(min_size: int = 32, avg_size: int = 64,
+                   max_size: int = 256, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`cdc_chunks` over the demo payloads
+    (``attach_payload`` = utf-8 bytes of ``text``) — the gear hash is
+    plain modular arithmetic, so the whole chunker is SQL-computable:
+
+    - the cut test ``h & (avg_size-1) == 0`` reads only the LOW
+      ``log2(avg_size)`` bits of the hash, and the left-shift
+      recurrence means those bits depend on only the last
+      ``log2(avg_size)`` bytes — six masked-gear window lags instead
+      of the full 64-term sum;
+    - the fixed-seed gear table inlines (masked) as 256 VALUES rows;
+    - the min/max-bounded boundary walk is sequential BY DESIGN (each
+      cut re-bases the window) → one recursive CTE stepping all docs
+      in parallel, picking per step the first candidate in
+      ``[cut+min, cut+max]`` (else the forced max cut);
+    - chunk ids are ``md5(substr(...))`` — DuckDB md5 over the same
+      utf-8 bytes.
+
+    ASCII assumption (like ``winnow_fingerprints_sql``): byte
+    extraction via ``unicode(substr(...))`` and character offsets
+    equal byte offsets only for ASCII text — true of the test corpora;
+    the ENGINE is byte-correct for any payload."""
+    assert avg_size & (avg_size - 1) == 0
+    bits = avg_size.bit_length() - 1
+    glow = (_GEAR & np.uint64(avg_size - 1)).astype(np.int64)
+    gear_rows = ", ".join(f"({b}, {int(v)})" for b, v in enumerate(glow))
+    hterms = " + ".join(
+        f"COALESCE(lag(gv, {k}) OVER w, 0) * {1 << k}" for k in range(bits)
+    )
+    return f"""
+WITH RECURSIVE gear(b, gv) AS (VALUES {gear_rows}),
+docs AS (
+  SELECT doc_id, text, length(text) AS n FROM {table}
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+bytes AS (
+  SELECT d.doc_id, gs AS i, g.gv
+  FROM docs d
+  CROSS JOIN unnest(generate_series(1, d.n)) AS u(gs)
+  JOIN gear g ON g.b = unicode(substr(d.text, gs, 1))
+),
+hashes AS (
+  SELECT doc_id, i, ({hterms}) % {avg_size} AS hlow
+  FROM bytes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+cand AS (
+  SELECT doc_id, i FROM hashes WHERE hlow = 0
+),
+rec AS (
+  SELECT doc_id, n, 0 AS cut, 0 AS idx FROM docs
+  UNION ALL
+  SELECT r.doc_id, r.n,
+    COALESCE(
+      (SELECT min(c.i) FROM cand c
+       WHERE c.doc_id = r.doc_id
+         AND c.i >= r.cut + {min_size} AND c.i <= r.cut + {max_size}
+         AND c.i < r.n),
+      LEAST(r.cut + {max_size}, r.n)) AS cut,
+    r.idx + 1
+  FROM rec r WHERE r.cut < r.n
+)
+SELECT r.doc_id, CAST(r.idx - 1 AS INTEGER) AS chunk_idx,
+  CAST(p.cut AS BIGINT) AS "offset", CAST(r.cut - p.cut AS BIGINT) AS length,
+  md5(substr(d.text, p.cut + 1, r.cut - p.cut)) AS chunk_hash
+FROM rec r
+JOIN rec p ON p.doc_id = r.doc_id AND p.idx = r.idx - 1
+JOIN docs d ON d.doc_id = r.doc_id
+WHERE r.idx >= 1
+ORDER BY r.doc_id, chunk_idx
+""".strip()

@@ -2548,3 +2548,32 @@ def test_bpe_sql_mirror_matches_reference_trainer(ray_session):
         got = (con.execute(bpe_encode_sql(8, 2)).df()
                .sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(eng, got)
+
+
+def test_cdc_sql_mirror_matches_engine():
+    """The recursive-CTE gear-hash mirror reproduces cdc_chunk_batch
+    byte-for-byte on random ASCII payloads including empty/NULL text,
+    forced max-size cuts (no candidate in range) and long runs."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.cdc import cdc_chunk_batch, cdc_chunks_sql
+
+    rng = np.random.default_rng(7)
+    texts = ["".join(chr(int(c)) for c in
+                     rng.integers(32, 127, size=int(rng.integers(0, 900))))
+             for _ in range(40)]
+    texts += [None, "", "a" * 700, "xy" * 300]
+    tab = pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    payload = pa.table({"doc_id": tab["doc_id"],
+                        "payload": tab["text"].cast(pa.binary())})
+    eng = cdc_chunk_batch(payload).to_pandas()
+
+    con = duckdb.connect()
+    con.register("documents", tab.to_pandas())
+    got = con.execute(cdc_chunks_sql()).df()
+    assert eng.reset_index(drop=True).equals(got.reset_index(drop=True))
