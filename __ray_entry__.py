@@ -1637,8 +1637,11 @@ def _q_latest_per_user(sf_dir: str):
 
 def _q_compression_ratio(sf_dir: str):
     """Per-doc zlib compression ratio (Dolma/Gopher redundancy gate):
-    per-row C zlib inside parallel map_batches; no SQL zlib, so
-    rows-only with byte-exact pytest pins."""
+    per-row C zlib inside parallel map_batches. STRICT oracle via
+    pinned zlib constants: a golden compressed-size map keyed by
+    md5(text) joins ON CONTENT (`textstats.compression_ratio_sql`),
+    so the driver check verifies the distributed (id ↔ text) pairing
+    and the C zlib bytes; also byte-exact pytest pins."""
     from fluent_server_ray.stages.textstats import doc_compression_ratio
 
     return doc_compression_ratio(_docs(sf_dir))
@@ -2215,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.fingerprint_sql(),
         "doc_winnow_fingerprints": textstats.winnow_fingerprints_sql(),
         "doc_bpe_token_counts": textstats.bpe_token_count_sql(),
+        "doc_compression_ratio": textstats.compression_ratio_sql(),
         # BPE: fixed merge budget -> the iterative trainer unrolls to
         # one computed query (real oracle, not a golden table)
         "bpe_merge_table": bpe.bpe_train_sql(n_merges=8),

@@ -1824,3 +1824,33 @@ SELECT g AS {group_col},
     AS diversity
 FROM grams GROUP BY g ORDER BY g
 """.strip()
+
+
+def compression_ratio_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`doc_compression_ratio` via PINNED zlib
+    constants (VERDICT r3's "pin constants" scheme): no SQL engine
+    ships zlib, but zlib level 6 is fully deterministic, so the
+    compressed SIZE of every distinct test-corpus text is checked in
+    as a golden map keyed by ``md5(utf-8 text)`` (generated by direct
+    per-row zlib over the parquet — independent of the engine's Ray
+    plumbing; see ``_zlib_golden``). The mirror joins documents to the
+    map ON CONTENT, computes ``n_bytes = strlen`` (utf-8 bytes) and
+    the one-division float64 ratio in SQL. What this checks: the
+    distributed pipeline keeps (id ↔ text) pairing intact, loses and
+    duplicates nothing, and matches C zlib byte-for-byte. A corpus
+    with texts outside the golden map drops rows → an honest row-count
+    failure, never a silent pass. An INNER join (not LEFT) makes that
+    failure mode explicit."""
+    from fluent_server_ray.stages._zlib_golden import ZLIB_L6_BY_MD5
+
+    rows = ", ".join(f"('{k}', {v})" for k, v in
+                     sorted(ZLIB_L6_BY_MD5.items()))
+    return f"""
+WITH golden(h, n_compressed) AS (VALUES {rows})
+SELECT d.doc_id, CAST(strlen(COALESCE(d.text, '')) AS BIGINT) AS n_bytes,
+  CAST(g.n_compressed AS BIGINT) AS n_compressed,
+  CAST(g.n_compressed AS DOUBLE)
+    / GREATEST(strlen(COALESCE(d.text, '')), 1) AS ratio
+FROM {table} d JOIN golden g ON g.h = md5(COALESCE(d.text, ''))
+ORDER BY d.doc_id
+""".strip()
