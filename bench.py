@@ -187,7 +187,7 @@ def run_once() -> dict:
                   "user_funnel", "window_distinct_users",
                   "lm_prep_pipeline", "dedup_substring",
                   "doc_bm25_topk", "bigram_pmi_top",
-                  "orders_segment_counts_salted"):
+                  "orders_segment_counts_salted", "dedup_ngram_jaccard"):
         try:
             t0 = time.perf_counter()
             res = entrymod.queries()[qname](SF_DIR)
@@ -196,6 +196,56 @@ def run_once() -> dict:
             queries[qname] = round(time.perf_counter() - t0, 3)
         except Exception:
             queries[qname] = -1.0
+
+    if not os.environ.get("FSR_COUNTS_ONLY"):
+        # incremental-dedup: build the index ONCE, probe the same shard
+        # twice IN ONE PROCESS — the repeat hits the per-worker
+        # index-partition LRU (dedup._index_bucket_texts) and should be
+        # measurably cheaper than the cold probe
+        try:
+            import shutil as _sh
+
+            from fluent_server_ray.stages.dedup import (
+                build_text_index,
+                dedup_against_index,
+            )
+
+            # corpus-scale index: every distinct transcript text (the
+            # realistic continuous-ingestion store); the probe is the
+            # same corpus re-delivered, so the anti-join reads every
+            # hot partition — worst case for read amplification, best
+            # case for the cache
+            def _probe_src():
+                d = read_transcripts(corpus, columns=["conv_id", "text"])
+
+                def rn(t):
+                    import pyarrow as _pa
+
+                    return _pa.table({"doc_id": t["conv_id"],
+                                      "text": t["text"]})
+
+                return d.map_batches(rn, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+            idx = "/tmp/fsr_bench_incr_idx"
+            _sh.rmtree(idx, ignore_errors=True)
+            build_text_index(_probe_src(), idx, n_parts=64)
+            t0 = time.perf_counter()
+            n_cold = dedup_against_index(_probe_src(), idx,
+                                         n_parts=64).count()
+            queries["dedup_incremental_probe_cold"] = round(
+                time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n_warm = dedup_against_index(_probe_src(), idx,
+                                         n_parts=64).count()
+            queries["dedup_incremental_probe_warm"] = round(
+                time.perf_counter() - t0, 3)
+            # survivors = exactly the NULL-text rows (never indexed,
+            # always survive); identical across runs
+            assert n_cold == n_warm, (n_cold, n_warm)
+            _sh.rmtree(idx, ignore_errors=True)
+        except Exception:
+            queries["dedup_incremental_probe_cold"] = -1.0
 
     result = {
         "metric": "flagship parse+enrich+route+aggregate wall sec",

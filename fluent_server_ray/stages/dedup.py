@@ -1333,7 +1333,11 @@ def _index_bucket_texts(index_dir: str, k: int, text_col: str):
                                         "*.parquet")))
     if not fs:
         return None
-    key = (index_dir, k, tuple((f, os.path.getsize(f)) for f in fs))
+    # mtime_ns in the key: a rebuild-in-place can write same-name
+    # same-size files with different content (deterministic corpora do)
+    key = (index_dir, k,
+           tuple((f, os.path.getsize(f), os.stat(f).st_mtime_ns)
+                 for f in fs))
     hit = _IDX_CACHE.get(key)
     if hit is not None:
         _IDX_CACHE.move_to_end(key)
