@@ -1993,6 +1993,40 @@ def _q_bigram_logprob(sf_dir: str):
     return doc_bigram_logprob(_docs(sf_dir))
 
 
+def _q_log_templates(sf_dir: str):
+    """Log-template mining (Drain-lite): mask quoted strings + number
+    runs → template, combiner-first count with a distributed final
+    merge — the first dashboard a log pipeline derives from the raw
+    stream."""
+    from fluent_server_ray.stages.fields import log_templates
+
+    return log_templates(read_transcripts(sf_dir, columns=["text"]))
+
+
+def _q_events_throttle(sf_dir: str):
+    """fluent-plugin-throttle: at most 3 events per (event_type,
+    1-hour tumbling window), first-come by (ts, event_id) — one
+    key-bucket exchange + one vectorized cumcount quota."""
+    from fluent_server_ray.stages.windows import throttle
+
+    return throttle(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "event_type", "ts"]),
+        width_seconds=3600, limit=3,
+    )
+
+
+def _q_conv_merge_roles(sf_dir: str):
+    """Chat-format normalization: merge CONSECUTIVE same-role turns
+    into one message (fluentd concat analogue / training-API
+    constraint) — gaps-and-islands over one conv bucket exchange."""
+    from fluent_server_ray.stages.assembly import conv_merge_roles
+
+    return conv_merge_roles(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                          "text"]))
+
+
 def _q_conv_structure(sf_dir: str):
     """Per-conversation structure validation (chat-data quality gate):
     role alternation, first/last speaker, and agent-loop detection
@@ -2150,6 +2184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_event_type": _q_users_per_type,
         "conv_line_dedup": _q_conv_line_dedup,
         "conv_structure_flags": _q_conv_structure,
+        "transcripts_log_templates": _q_log_templates,
+        "events_throttle": _q_events_throttle,
+        "conv_merge_roles": _q_conv_merge_roles,
         "doc_bigram_logprob": _q_bigram_logprob,
         "semantic_dedup": _q_semantic_dedup,
         "median_value_by_type": _q_median_by_type,
@@ -2398,6 +2435,15 @@ GROUP BY event_type ORDER BY event_type
         ).grouped_distinct_count_sql("event_type", "user_id"),
         "conv_line_dedup": _conv_line_dedup_sql(),
         "conv_structure_flags": assembly.conv_structure_sql(),
+        "transcripts_log_templates": (
+            "WITH "
+            + __import__("fluent_server_ray.sources.transcripts",
+                         fromlist=["x"]).TRANSCRIPTS_SQL_CTE + "\n"
+            + fields.log_templates_sql()
+        ),
+        "events_throttle": windows.throttle_sql(width_seconds=3600,
+                                                limit=3),
+        "conv_merge_roles": assembly.conv_merge_roles_sql(),
         "doc_bigram_logprob": textstats.doc_bigram_logprob_sql(),
         "median_value_by_type": __import__(
             "fluent_server_ray.stages.aggregate",

@@ -786,3 +786,78 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_gaps,
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY conv_id ORDER BY conv_id"""
     )
+
+
+def conv_merge_roles(ds, n_buckets: int = 64):
+    """Merge CONSECUTIVE same-role turns of a conversation into one
+    message — chat-format normalization (training APIs reject
+    back-to-back same-role messages; fluentd's concat plugin is the
+    log-side analogue: continuation lines fold into their head event).
+
+    Islands: a turn starts a new message iff it is the conversation's
+    first turn or its role differs from the previous turn's
+    (``IS DISTINCT FROM`` — a run of NULL roles merges, NULL vs
+    non-NULL splits, matching the SQL mirror). One conv bucket
+    exchange; island ids are a vectorized cumsum over the whole
+    bucket, texts join per island with ``\\n`` (NULL texts skipped;
+    all-NULL islands yield NULL — SQL ``string_agg``). Output:
+    (conv_id, msg_idx [1-based], role, text, n_merged) sorted.
+    """
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        grp = g.groupby("conv_id", sort=False)
+        prev = grp["role"].shift()
+        role, prevv = g["role"], prev
+        same = (role == prevv) | (role.isna() & prevv.isna())
+        new_msg = (grp.cumcount() == 0) | ~same
+        island = new_msg.astype("int64").groupby(
+            g["conv_id"], sort=False).cumsum()
+        keys = [g["conv_id"], island]
+        joined = g["text"].dropna().groupby(
+            [g["conv_id"][g["text"].notna()],
+             island[g["text"].notna()]], sort=False).agg("\n".join)
+        base = g.groupby(keys, sort=False).agg(
+            role=("role", "first"), n_merged=("role", "size"))
+        base["n_merged"] = base["n_merged"].astype("int64")
+        out = base.join(joined.rename("text"), how="left")
+        out = out.reset_index(names=["conv_id", "msg_idx"])
+        # None (SQL NULL), not NaN, for all-NULL-text islands
+        out["text"] = out["text"].where(out["text"].notna(), None)
+        # SQL min(role) skips NULLs: pandas 'first' takes positional
+        # first INCLUDING None -- but within an island roles are all
+        # equal or all NULL (the island rule), so first == min(role)
+        out["role"] = out["role"].where(out["role"].notna(), None)
+        return out[["conv_id", "msg_idx", "role", "text", "n_merged"]]
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    bucketed = _with_bucket(ds.select_columns(cols), "conv_id", n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort(["conv_id", "msg_idx"])
+
+
+def conv_merge_roles_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + """
+, flagged AS (
+  SELECT conv_id, turn_idx, role, text,
+    CASE WHEN row_number() OVER w = 1
+           OR role IS DISTINCT FROM lag(role) OVER w
+         THEN 1 ELSE 0 END AS new_msg
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), islands AS (
+  SELECT conv_id, turn_idx, role, text,
+    sum(new_msg) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS msg_idx
+  FROM flagged
+)
+SELECT conv_id, CAST(msg_idx AS BIGINT) AS msg_idx, min(role) AS role,
+  string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+  CAST(count(*) AS BIGINT) AS n_merged
+FROM islands
+GROUP BY conv_id, msg_idx
+ORDER BY conv_id, msg_idx"""
+    )

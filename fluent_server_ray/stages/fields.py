@@ -154,3 +154,65 @@ def grep_filter_sql(include: tuple[str, ...] = (),
     ]
     where = " AND ".join(preds) if preds else "TRUE"
     return f"SELECT {select} FROM {table} WHERE {where}"
+
+
+# ------------------------------- log template mining (Drain-lite)
+
+# masking order matters: quoted strings first (digits inside quotes
+# become part of <S>, not <N>), then number runs. Shared verbatim with
+# the SQL mirror — both engines run RE2.
+TEMPLATE_MASKS = (
+    (r'"[^"]*"', "<S>"),
+    (r"[0-9]+", "<N>"),
+)
+
+
+def log_templates(ds, text_col: str = "text"):
+    """Log-template mining — the Drain-style first step of log
+    analytics (group the unbounded message stream into its few
+    generating templates): mask variable parts (quoted strings,
+    number runs) with fixed placeholders, then count per template.
+
+    Shape: the masking is two vectorized ``replace_substring_regex``
+    kernels fused into the read stage; counting is the combiner-first
+    grouped count with a DISTRIBUTED final merge (``final='ray'``) —
+    the template space is bounded in practice (that is the point of
+    templating) but nothing here assumes it. NULL text templates as
+    the empty string (COALESCE on both sides). Output:
+    (template, n_events) sorted by template.
+
+    Reference tie-in: the reference ships raw events to sinks
+    (`mirror/mirror.go:26-39`); template counts are the standard first
+    dashboard a log pipeline derives from that stream.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def to_template(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        if s.null_count:
+            s = pc.fill_null(s, "")
+        for rx, repl in TEMPLATE_MASKS:
+            s = pc.replace_substring_regex(s, rx, repl)
+        return pa.table({"template": s})
+
+    masked = ds.map_batches(to_template, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    counted = grouped_counts(masked, ["template"], final="ray")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"template": t["template"],
+                         "n_events": pc.cast(t["n"], pa.int64())})
+
+    return counted.map_batches(rename, batch_format="pyarrow",
+                               zero_copy_batch=True).sort("template")
+
+
+def log_templates_sql(text_col: str = "text",
+                      source_cte: str = "transcripts") -> str:
+    expr = f"COALESCE({text_col}, '')"
+    for rx, repl in TEMPLATE_MASKS:
+        expr = f"regexp_replace({expr}, '{rx}', '{repl}', 'g')"
+    return f"""
+SELECT {expr} AS template, CAST(count(*) AS BIGINT) AS n_events
+FROM {source_cte} GROUP BY 1 ORDER BY template
+""".strip()

@@ -898,3 +898,68 @@ WHERE m.ex2 - m.mean * m.mean > 0
           / sqrt(m.ex2 - m.mean * m.mean)) >= {threshold}
 ORDER BY {key_col}, window_start
 """.strip()
+
+
+def throttle(ds, key_col: str = "event_type", ts_col: str = "ts",
+             id_col: str = "event_id", width_seconds: int = 600,
+             limit: int = 5, n_buckets: int = 64):
+    """fluent-plugin-throttle semantics: keep at most ``limit`` events
+    per (key, tumbling window), first-come by ``(ts, id)`` — the
+    rate-limit stage in front of a paid sink (alerting, indexing).
+
+    Shape: the window id is a row-wise column (same epoch arithmetic
+    as :func:`tumbling_counts` — byte-identical to the SQL mirror),
+    then ONE hash-bucket exchange on the key co-locates each (key,
+    window) partition; inside a bucket the quota is one vectorized
+    ``groupby.cumcount() < limit`` over every partition at once. NULL
+    keys form their own partition (SQL ``PARTITION BY``). Output: the
+    SURVIVING rows (id, key, window_start), sorted by id.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def add_window(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        secs = pc.divide(us, 1_000_000)
+        win = pc.multiply(pc.divide(secs, width_seconds), width_seconds)
+        return pa.table({
+            id_col: t[id_col], key_col: t[key_col],
+            "window_start": win,
+            "_us": us,  # tie-break at full precision, not window secs
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_us", id_col])
+        seq = g.groupby([key_col, "window_start"], sort=False,
+                        dropna=False).cumcount()
+        out = g.loc[seq < limit, [id_col, key_col, "window_start"]]
+        return out
+
+    win_ds = ds.map_batches(add_window, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    bucketed = _with_bucket(win_ds, key_col, n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort(id_col)
+
+
+def throttle_sql(key_col: str = "event_type", ts_col: str = "ts",
+                 id_col: str = "event_id", width_seconds: int = 600,
+                 limit: int = 5, table: str = "events") -> str:
+    return f"""
+SELECT {id_col}, {key_col}, window_start FROM (
+  SELECT {id_col}, {key_col},
+    ((epoch_us({ts_col}) // 1000000) // {width_seconds})
+      * {width_seconds} AS window_start,
+    row_number() OVER (
+      PARTITION BY {key_col},
+        ((epoch_us({ts_col}) // 1000000) // {width_seconds})
+      ORDER BY {ts_col}, {id_col}) AS rn
+  FROM {table}
+)
+WHERE rn <= {limit}
+ORDER BY {id_col}
+""".strip()

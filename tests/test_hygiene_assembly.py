@@ -916,3 +916,104 @@ def test_suppress_null_conv_partition_matches_sql(ray_session):
     con.register("transcripts", t)
     odf = con.execute(suppress_sql(source_cte="transcripts")).df()
     assert norm(odf) == got
+
+
+def test_throttle_quota_and_null_key(ray_session):
+    """At most `limit` rows survive per (key, window), first-come by
+    (ts, id); a NULL key is its own partition (SQL PARTITION BY)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import throttle, throttle_sql
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(10):  # one hot window for key 'a'
+        rows.append((i, "a", base + pd.Timedelta(seconds=i)))
+    rows.append((20, "a", base + pd.Timedelta(seconds=700)))  # next window
+    for i in range(4):  # NULL key partition
+        rows.append((30 + i, None, base + pd.Timedelta(seconds=i)))
+    df = pd.DataFrame(rows, columns=["event_id", "event_type", "ts"])
+
+    got = throttle(rd.from_pandas(df), width_seconds=600,
+                   limit=3).to_pandas()
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(throttle_sql(width_seconds=600, limit=3)).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    # quota binds: 3 kept of 10 in the hot window, +1 next window,
+    # +3 of 4 in the NULL partition
+    assert len(got) == 7
+    assert got[got.event_type == "a"].event_id.tolist() == [0, 1, 2, 20]
+
+
+def test_conv_merge_roles_islands(ray_session):
+    """Consecutive same-role turns merge; NULL-role runs merge
+    (IS DISTINCT FROM); NULL texts skip in the join; all-NULL islands
+    yield NULL text — equality with the SQL mirror's semantics pinned
+    on an adversarial frame."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import conv_merge_roles
+
+    df = pd.DataFrame({
+        "conv_id": ["a"] * 6 + ["b"] * 3 + ["c"] * 2,
+        "turn_idx": [0, 1, 2, 3, 4, 5, 0, 1, 2, 0, 1],
+        "role": ["user", "user", "asst", None, None, "user",
+                 "asst", "asst", "asst", None, "user"],
+        "text": ["t0", "t1", "t2", None, "t4", "t5",
+                 "x0", None, "x2", None, "y1"],
+    })
+    got = conv_merge_roles(rd.from_pandas(df)).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+WITH flagged AS (
+  SELECT conv_id, turn_idx, role, text,
+    CASE WHEN row_number() OVER w = 1
+           OR role IS DISTINCT FROM lag(role) OVER w
+         THEN 1 ELSE 0 END AS new_msg
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), islands AS (
+  SELECT conv_id, turn_idx, role, text,
+    sum(new_msg) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS msg_idx
+  FROM flagged)
+SELECT conv_id, CAST(msg_idx AS BIGINT) AS msg_idx, min(role) AS role,
+  string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+  CAST(count(*) AS BIGINT) AS n_merged
+FROM islands GROUP BY conv_id, msg_idx ORDER BY conv_id, msg_idx
+""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    assert got[got.conv_id == "a"].text.tolist() == [
+        "t0\nt1", "t2", "t4", "t5"]
+
+
+def test_log_templates_masking(ray_session):
+    """Quoted strings mask BEFORE number runs (digits inside quotes
+    become <S>, never <N>); NULL text templates as ''."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.fields import log_templates
+
+    df = pd.DataFrame({"text": [
+        'CALL tool=search args={"q":"err 42"}',
+        'CALL tool=search args={"q":"other"}',
+        "ERR-003 purchase failed",
+        "ERR-914 error failed",
+        None,
+        "",
+    ]})
+    got = log_templates(rd.from_pandas(df)).to_pandas()
+    want = {
+        "": 2,
+        "CALL tool=search args={<S>:<S>}": 2,
+        "ERR-<N> error failed": 1,
+        "ERR-<N> purchase failed": 1,
+    }
+    assert dict(zip(got.template, got.n_events)) == want
