@@ -1392,7 +1392,8 @@ ORDER BY bm25_millionths DESC, doc_id LIMIT {int(k)}
 # ---------------------------------------------- PMI collocation mining
 
 def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
-                  n_buckets: int = 64, text_col: str = "text") -> pa.Table:
+                  n_buckets: int = 64, text_col: str = "text",
+                  driver_max_partial_bytes: int = 256 << 20) -> pa.Table:
     """Top-``k`` adjacent word pairs by pointwise mutual information —
     the collocation detector behind phrase-vocabulary induction
     (word2vec phrase pass, tokenizer merge seeding): PMI(a,b) =
@@ -1400,21 +1401,22 @@ def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
     pairs seen ≥ ``min_count`` times (raw PMI is noise-dominated at
     low counts).
 
-    Scale shape — both count tables are UNBOUNDED (vocab / pair
-    space), so everything merges distributed:
+    Scale shape — the corpus is read exactly ONCE: a combined per-batch
+    combiner emits local unigram AND pair counts in one table (pair
+    rows flagged; unigram rows carry a sentinel w2). The count tables
+    are UNBOUNDED (vocab / pair space), so the continuation is
+    SIZE-ADAPTIVE (the ``bpe_train_adaptive`` pattern):
 
-    - per-batch combiners emit local unigram counts and local pair
-      counts (the :func:`bigram_top` shift-join explode — O(tokens),
-      no doc loop); the corpus is read exactly TWICE;
-    - unigram and pair counts merge via ``grouped_agg(final='ray')``;
-    - the totals fall out of the merged tables for free: n_tok = Σ c1
-      over the unigram table and n_pairs = Σ c2 over the (pre-gate)
-      pair table — no third corpus scan (the sums are vocab-sized
-      reductions over already-materialized blocks);
-    - the ``min_count`` gate runs BEFORE the joins (the surviving pair
-      table is the small side of everything downstream);
-    - two ``bucketed_hash_join``s attach c1(w1) and c1(w2) — the
-      unigram table shuffles once per join side, the corpus never;
+    - partials fit ``driver_max_partial_bytes`` → one driver pandas
+      merge pass: zero shuffles, zero joins; byte-identical output
+      (same float tree, same tie-breaks), pinned vs the distributed
+      path in pytest;
+    - larger → unigram and pair counts merge via
+      ``grouped_agg(final='ray')`` (totals fall out of the merged
+      tables for free — no extra corpus scan), the ``min_count`` gate
+      runs BEFORE the joins, and two ``bucketed_hash_join``s attach
+      c1(w1) and c1(w2) — the unigram table shuffles once per join
+      side, the corpus never;
     - PMI is one vectorized float64 expression; integer
       ``pmi_millionths`` (floor, cf. ``doc_tfidf``) keeps the DuckDB
       oracle bit-exact; per-block top-k partials merge on the driver
@@ -1441,25 +1443,35 @@ def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
         flat = flat.filter(pa.array(keep))
         return flat, doc_of[keep]
 
-    def uni_partial(t: pa.Table) -> pa.Table:
-        flat, _ = explode(t)
-        out = (pa.table({"word": flat}).group_by("word")
-               .aggregate([([], "count_all")]))
-        return out.rename_columns(["word", "c1"])
-
-    def pair_partial(t: pa.Table) -> pa.Table:
+    def combined_partial(t: pa.Table) -> pa.Table:
+        # ONE corpus pass emits BOTH count partials: unigram rows carry
+        # the sentinel w2 = '' (tokens are never '' — the explode
+        # filters them — so the sentinel cannot collide) and
+        # is_pair = False; pair rows carry the real (w1, w2).
         flat, doc_of = explode(t)
-        empty = pa.table({"w1": pa.array([], type=pa.string()),
-                          "w2": pa.array([], type=pa.string()),
-                          "c2": pa.array([], type=pa.int64())})
-        if len(flat) < 2:
-            return empty
-        same = pa.array(doc_of[:-1] == doc_of[1:])
-        out = (pa.table({
-            "w1": flat.slice(0, len(flat) - 1).filter(same),
-            "w2": flat.slice(1).filter(same),
-        }).group_by(["w1", "w2"]).aggregate([([], "count_all")]))
-        return out.rename_columns(["w1", "w2", "c2"])
+        uni = (pa.table({"w1": flat}).group_by("w1")
+               .aggregate([([], "count_all")])
+               .rename_columns(["w1", "c"]))
+        n_u = len(uni)
+        tabs = [pa.table({
+            "w1": uni["w1"],
+            "w2": pa.array([""] * n_u, type=pa.string()),
+            "c": pc.cast(uni["c"], pa.int64()),
+            "is_pair": pa.array(np.zeros(n_u, dtype=bool)),
+        })]
+        if len(flat) >= 2:
+            same = pa.array(doc_of[:-1] == doc_of[1:])
+            pairs = (pa.table({
+                "w1": flat.slice(0, len(flat) - 1).filter(same),
+                "w2": flat.slice(1).filter(same),
+            }).group_by(["w1", "w2"]).aggregate([([], "count_all")])
+              .rename_columns(["w1", "w2", "c"]))
+            tabs.append(pa.table({
+                "w1": pairs["w1"], "w2": pairs["w2"],
+                "c": pc.cast(pairs["c"], pa.int64()),
+                "is_pair": pa.array(np.ones(len(pairs), dtype=bool)),
+            }))
+        return pa.concat_tables(tabs)
 
     empty = pa.table({"w1": pa.array([], type=pa.string()),
                       "w2": pa.array([], type=pa.string()),
@@ -1479,17 +1491,83 @@ def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
             total += int(pc.sum(t["s"]).as_py() or 0)
         return total
 
+    T: float
+    B: float
+
+    def score_table(w1, w2, c2, c1a, c1b) -> pa.Table:
+        # identical eval order on BOTH paths (and in the SQL mirror):
+        # (c2*T*T)/(B*c1a*c1b)
+        pmi = np.floor(np.log((c2 * T * T) / (B * c1a * c1b)) * 1_000_000.0)
+        out = pa.table({
+            "w1": pa.array(w1, type=pa.string()),
+            "w2": pa.array(w2, type=pa.string()),
+            "n": pa.array(c2.astype(np.int64)),
+            "pmi_millionths": pa.array(pmi.astype(np.int64)),
+        })
+        order = pc.sort_indices(out, sort_keys=[
+            ("pmi_millionths", "descending"),
+            ("w1", "ascending"), ("w2", "ascending"),
+        ])
+        return out.take(order.slice(0, k))
+
+    # ONE corpus pass; partials are count-table-sized (vocab + distinct
+    # pairs per block), never corpus-sized
+    parts = ds.map_batches(skip_empty(combined_partial),
+                           batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    if (parts.size_bytes() or 0) <= driver_max_partial_bytes:
+        # size-adaptive driver merge (the bpe_train_adaptive pattern):
+        # counts fit one machine → zero shuffles, zero joins, one
+        # pandas merge pass; byte-identical output (same float tree,
+        # same tie-breaks), pinned against the distributed path
+        import pandas as pd
+
+        pdf = parts.to_pandas()
+        if pdf.empty:
+            return empty
+        uni_d = (pdf[~pdf["is_pair"]].groupby("w1", sort=False)["c"]
+                 .sum())
+        big_d = (pdf[pdf["is_pair"]].groupby(["w1", "w2"], sort=False)
+                 ["c"].sum().reset_index())
+        n_tok = int(uni_d.sum())
+        n_pairs = int(big_d["c"].sum()) if len(big_d) else 0
+        if n_pairs == 0:
+            return empty
+        gated = big_d[big_d["c"] >= int(min_count)]
+        if gated.empty:
+            return empty
+        T, B = float(n_tok), float(n_pairs)
+        return score_table(
+            gated["w1"].to_numpy(), gated["w2"].to_numpy(),
+            gated["c"].to_numpy().astype("float64"),
+            gated["w1"].map(uni_d).to_numpy().astype("float64"),
+            gated["w2"].map(uni_d).to_numpy().astype("float64"),
+        )
+
+    # distributed fallback: split the combined partials (no re-read),
+    # merge each side via grouped_agg(final='ray'), bucketed joins.
     # materialize: BOTH join sides consume the unigram graph (without
     # the pin the distributed aggregation would execute twice), and
     # the totals reduction + the gate both consume the pair graph.
+    def split(flag: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.equal(t["is_pair"], flag))
+            if flag:
+                return pa.table({"w1": sub["w1"], "w2": sub["w2"],
+                                 "c2": sub["c"]})
+            return pa.table({"word": sub["w1"], "c1": sub["c"]})
+
+        return fn
+
     uni = grouped_agg(
-        ds.map_batches(skip_empty(uni_partial), batch_format="pyarrow",
-                       zero_copy_batch=True),
+        parts.map_batches(skip_empty(split(False)), batch_format="pyarrow",
+                          zero_copy_batch=True),
         ["word"], [("c1", "sum")], final="ray",
     ).materialize()
     big = grouped_agg(
-        ds.map_batches(skip_empty(pair_partial), batch_format="pyarrow",
-                       zero_copy_batch=True),
+        parts.map_batches(skip_empty(split(True)), batch_format="pyarrow",
+                          zero_copy_batch=True),
         ["w1", "w2"], [("c2", "sum")], final="ray",
     ).materialize()
 
@@ -1527,21 +1605,13 @@ def pmi_top_pairs(ds, k: int = 50, min_count: int = 5,
     B = float(n_pairs)
 
     def score_topk(t: pa.Table) -> pa.Table:
-        c2 = t["c2_sum"].to_numpy(zero_copy_only=False).astype("float64")
-        c1a = t["c1a"].to_numpy(zero_copy_only=False).astype("float64")
-        c1b = t["c1b"].to_numpy(zero_copy_only=False).astype("float64")
-        # identical eval order to the SQL mirror: (c2*T*T)/(B*c1a*c1b)
-        pmi = np.floor(np.log((c2 * T * T) / (B * c1a * c1b)) * 1_000_000.0)
-        out = pa.table({
-            "w1": t["w1"], "w2": t["w2"],
-            "n": pc.cast(t["c2_sum"], pa.int64()),
-            "pmi_millionths": pa.array(pmi.astype(np.int64)),
-        })
-        order = pc.sort_indices(out, sort_keys=[
-            ("pmi_millionths", "descending"),
-            ("w1", "ascending"), ("w2", "ascending"),
-        ])
-        return out.take(order.slice(0, k))
+        return score_table(
+            t["w1"].to_numpy(zero_copy_only=False),
+            t["w2"].to_numpy(zero_copy_only=False),
+            t["c2_sum"].to_numpy(zero_copy_only=False).astype("float64"),
+            t["c1a"].to_numpy(zero_copy_only=False).astype("float64"),
+            t["c1b"].to_numpy(zero_copy_only=False).astype("float64"),
+        )
 
     part_tables = list(
         j2.map_batches(skip_empty(score_topk), batch_format="pyarrow",

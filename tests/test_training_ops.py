@@ -2577,3 +2577,31 @@ def test_cdc_sql_mirror_matches_engine():
     con.register("documents", tab.to_pandas())
     got = con.execute(cdc_chunks_sql()).df()
     assert eng.reset_index(drop=True).equals(got.reset_index(drop=True))
+
+
+def test_pmi_driver_and_distributed_paths_identical(ray_session, tmp_path):
+    """The size-adaptive driver merge and the distributed
+    grouped_agg+join fallback produce byte-identical PMI tables
+    (forced via driver_max_partial_bytes=0)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import pmi_top_pairs
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "zig zag common common common common"))
+    for i in range(6, 12):
+        rows.append((i, "common common filler words here"))
+    rows.append((12, None))
+    rows.append((13, ""))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    p = tmp_path / "docs.parquet"
+    df.to_parquet(p, index=False)
+
+    fast = pmi_top_pairs(rd.read_parquet(str(p)), k=20,
+                         min_count=5).to_pandas()
+    slow = pmi_top_pairs(rd.read_parquet(str(p)), k=20, min_count=5,
+                         driver_max_partial_bytes=0).to_pandas()
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow.reset_index(drop=True))
+    assert len(fast) > 0
