@@ -198,54 +198,58 @@ def run_once() -> dict:
             queries[qname] = -1.0
 
     if not os.environ.get("FSR_COUNTS_ONLY"):
-        # incremental-dedup: build the index ONCE, probe the same shard
-        # twice IN ONE PROCESS — the repeat hits the per-worker
-        # index-partition LRU (dedup._index_bucket_texts) and should be
-        # measurably cheaper than the cold probe
+        # incremental-ingestion probe: a corpus-scale text index probed
+        # by ONE small new shard (~1/64 by conv hash). Note on the
+        # per-worker partition cache (dedup._index_bucket_texts): a
+        # repeat probe was MEASURED to show no cross-run gain here —
+        # Ray assigns bucket tasks to workers with no affinity, so a
+        # re-probe hits a given worker's cache with p ~ 1/n_workers
+        # (~3% at 32 cpus); see BASELINE.md "index cache affinity".
+        # The cache still bounds steady-state re-reads over MANY
+        # shards (workers converge on the hot partitions); the bench
+        # reports the honest build + single-probe costs.
         try:
             import shutil as _sh
 
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            from fluent_server_ray.stages.aggregate import (
+                hash_bucket_array,
+            )
             from fluent_server_ray.stages.dedup import (
                 build_text_index,
                 dedup_against_index,
             )
 
-            # corpus-scale index: every distinct transcript text (the
-            # realistic continuous-ingestion store); the probe is the
-            # same corpus re-delivered, so the anti-join reads every
-            # hot partition — worst case for read amplification, best
-            # case for the cache
-            def _probe_src():
+            def _texts(shard_mod=None):
                 d = read_transcripts(corpus, columns=["conv_id", "text"])
 
                 def rn(t):
-                    import pyarrow as _pa
-
-                    return _pa.table({"doc_id": t["conv_id"],
-                                      "text": t["text"]})
+                    out = _pa.table({"doc_id": t["conv_id"],
+                                     "text": t["text"]})
+                    if shard_mod is None:
+                        return out
+                    b = hash_bucket_array(out["doc_id"], 64)
+                    return out.filter(_pc.equal(_pa.array(b), shard_mod))
 
                 return d.map_batches(rn, batch_format="pyarrow",
                                      zero_copy_batch=True)
 
             idx = "/tmp/fsr_bench_incr_idx"
             _sh.rmtree(idx, ignore_errors=True)
-            build_text_index(_probe_src(), idx, n_parts=64)
             t0 = time.perf_counter()
-            n_cold = dedup_against_index(_probe_src(), idx,
-                                         n_parts=64).count()
-            queries["dedup_incremental_probe_cold"] = round(
+            build_text_index(_texts(), idx, n_parts=64)
+            queries["dedup_incremental_build"] = round(
                 time.perf_counter() - t0, 3)
+            shard = _texts(0).materialize()
             t0 = time.perf_counter()
-            n_warm = dedup_against_index(_probe_src(), idx,
-                                         n_parts=64).count()
-            queries["dedup_incremental_probe_warm"] = round(
+            dedup_against_index(shard, idx, n_parts=64).count()
+            queries["dedup_incremental_probe"] = round(
                 time.perf_counter() - t0, 3)
-            # survivors = exactly the NULL-text rows (never indexed,
-            # always survive); identical across runs
-            assert n_cold == n_warm, (n_cold, n_warm)
             _sh.rmtree(idx, ignore_errors=True)
         except Exception:
-            queries["dedup_incremental_probe_cold"] = -1.0
+            queries["dedup_incremental_probe"] = -1.0
 
     result = {
         "metric": "flagship parse+enrich+route+aggregate wall sec",
