@@ -1993,6 +1993,37 @@ def _q_bigram_logprob(sf_dir: str):
     return doc_bigram_logprob(_docs(sf_dir))
 
 
+def _q_events_profile(sf_dir: str):
+    """Dataset profiling card (rows / nulls / exact distinct per
+    column): one pruned null-count pass + one two-level exact distinct
+    per column — the pre-flight a pipeline records next to its
+    output."""
+    from fluent_server_ray.stages.features import profile_table
+
+    cols = ["event_id", "user_id", "event_type", "props"]
+    return profile_table(
+        lambda: read_parquet_clean(f"{sf_dir}/events.parquet",
+                                   columns=cols),
+        cols,
+    )
+
+
+def _q_lm_tokenize_pack(sf_dir: str):
+    """END-TO-END tokenizer-true packing: train an 8-merge BPE on the
+    corpus, encode every doc, pack sequences by the REAL encoded token
+    counts (not a whitespace proxy) — the tokenize→pack tail of an LM
+    data pipeline in one lazy composition. STRICT oracle: the
+    unrolled-CTE encode mirror feeds the same window-cumsum pack
+    SQL."""
+    from fluent_server_ray.stages.assembly import pack_sequences
+    from fluent_server_ray.stages.bpe import bpe_encode, bpe_train_adaptive
+
+    docs = _docs(sf_dir)
+    merges = bpe_train_adaptive(docs, n_merges=8)
+    encoded = bpe_encode(_docs(sf_dir), merges)
+    return pack_sequences(encoded, n_col="n_tokens")
+
+
 def _q_log_templates(sf_dir: str):
     """Log-template mining (Drain-lite): mask quoted strings + number
     runs → template, combiner-first count with a distributed final
@@ -2185,6 +2216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_line_dedup": _q_conv_line_dedup,
         "conv_structure_flags": _q_conv_structure,
         "transcripts_log_templates": _q_log_templates,
+        "events_profile": _q_events_profile,
+        "lm_tokenize_pack": _q_lm_tokenize_pack,
         "events_throttle": _q_events_throttle,
         "conv_merge_roles": _q_conv_merge_roles,
         "doc_bigram_logprob": _q_bigram_logprob,
@@ -2435,6 +2468,29 @@ GROUP BY event_type ORDER BY event_type
         ).grouped_distinct_count_sql("event_type", "user_id"),
         "conv_line_dedup": _conv_line_dedup_sql(),
         "conv_structure_flags": assembly.conv_structure_sql(),
+        "events_profile": features.profile_table_sql(
+            ["event_id", "user_id", "event_type", "props"]),
+        "lm_tokenize_pack": """
+WITH enc AS (
+  {enc}
+), t AS (
+  SELECT doc_id, doc_id % {nb} AS bucket, n_tokens AS n FROM enc
+), c AS (
+  SELECT doc_id, bucket,
+    sum(n) OVER (PARTITION BY bucket ORDER BY doc_id) - n AS off
+  FROM t
+)
+SELECT doc_id, bucket,
+  CAST(off // {budget} AS BIGINT) AS seq_id,
+  CAST(off % {budget} AS BIGINT) AS seq_off
+FROM c ORDER BY doc_id
+""".strip().format(
+            enc=bpe.bpe_encode_sql(n_merges=8),
+            nb=__import__("fluent_server_ray.stages.assembly",
+                          fromlist=["x"]).PACK_BUCKETS,
+            budget=__import__("fluent_server_ray.stages.assembly",
+                              fromlist=["x"]).PACK_BUDGET,
+        ),
         "transcripts_log_templates": (
             "WITH "
             + __import__("fluent_server_ray.sources.transcripts",

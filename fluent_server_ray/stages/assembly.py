@@ -139,7 +139,8 @@ PACK_BUCKETS = 8
 
 
 def pack_sequences(ds, budget: int = PACK_BUDGET,
-                   n_buckets: int = PACK_BUCKETS):
+                   n_buckets: int = PACK_BUCKETS,
+                   n_col: str | None = None):
     """Deterministic concat-and-chunk sequence packing: documents are
     ordered by ``doc_id`` within ``bucket = doc_id % n_buckets``,
     logically concatenated, and cut into ``budget``-token sequences —
@@ -153,7 +154,12 @@ def pack_sequences(ds, budget: int = PACK_BUDGET,
     budget``; no sequential bin-state loop. Buckets bound the ordered
     scan: packing parallelism = n_buckets, so size it to the cluster
     (each bucket's docs must co-locate — at corpus scale use thousands
-    of buckets; sequences never cross buckets)."""
+    of buckets; sequences never cross buckets).
+
+    ``n_col``: name of a precomputed token-count column (e.g. the
+    ``n_tokens`` a tokenizer stage emitted) — packing then respects
+    the REAL tokenizer's counts; default derives counts from ``text``
+    with the whitespace TOKEN_RE."""
     from fluent_server_ray.stages.textstats import TOKEN_RE
 
     def prep(t: pa.Table) -> pa.Table:
@@ -161,13 +167,14 @@ def pack_sequences(ds, budget: int = PACK_BUDGET,
         bucket = pc.subtract(
             did, pc.multiply(pc.divide(did, n_buckets), n_buckets)
         )
+        n = (pc.cast(t[n_col], pa.int64()) if n_col is not None
+             else pc.cast(
+                 pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64()))
         return pa.table(
             {
                 "doc_id": did,
                 "bucket": pc.cast(bucket, pa.int64()),
-                "n": pc.cast(
-                    pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64()
-                ),
+                "n": n,
             }
         )
 

@@ -678,3 +678,66 @@ SELECT g AS {group_col},
        AS BIGINT) AS psi_millionths
 FROM terms GROUP BY g ORDER BY g
 """.strip()
+
+
+def profile_table(ds_factory, columns: list[str]) -> pa.Table:
+    """Dataset profiling card — per column: (column, n_rows, n_nulls,
+    n_distinct). The pre-flight a pipeline run records next to its
+    output (schema drift, null regressions, key-cardinality checks).
+
+    ``ds_factory``: zero-arg callable returning a fresh Dataset (Ray
+    re-executes upstream per consumer, so the caller hands us the
+    recipe, not a Dataset that would silently re-run anyway).
+
+    Shape: one pruned pass computes n_rows + every column's null count
+    (per-batch int partials, O(columns) per block, driver sum); then
+    ONE exact two-level distinct per column
+    (:func:`sketches.exact_distinct_count` — only distinct values
+    shuffle). Cost is deliberately |columns|+1 passes: profile the
+    columns you need at 100 TB, not `*`. Float columns are accepted
+    (Arrow's group_by and SQL count(DISTINCT) agree on IEEE equality
+    for non-NaN data; NaN handling is engine-defined — profile ids /
+    categories, not measure columns, if NaNs are possible).
+    """
+    from fluent_server_ray.stages.sketches import exact_distinct_count
+
+    def null_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": pa.array([len(t)], type=pa.int64()),
+            **{f"nn_{c}": pa.array([t[c].null_count], type=pa.int64())
+               for c in columns},
+        })
+
+    n_rows = 0
+    nulls = {c: 0 for c in columns}
+    for b in (ds_factory().select_columns(list(columns))
+              .map_batches(null_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        n_rows += int(pc.sum(b["n_rows"]).as_py() or 0)
+        for c in columns:
+            nulls[c] += int(pc.sum(b[f"nn_{c}"]).as_py() or 0)
+
+    distinct = {
+        c: exact_distinct_count(
+            ds_factory().select_columns([c]), c)
+        for c in columns
+    }
+    cols = sorted(columns)
+    return pa.table({
+        "column": pa.array(cols, type=pa.string()),
+        "n_rows": pa.array([n_rows] * len(cols), type=pa.int64()),
+        "n_nulls": pa.array([nulls[c] for c in cols], type=pa.int64()),
+        "n_distinct": pa.array([distinct[c] for c in cols],
+                               type=pa.int64()),
+    })
+
+
+def profile_table_sql(columns: list[str], table: str = "events") -> str:
+    selects = [
+        f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {table}"
+        for c in sorted(columns)
+    ]
+    return "\nUNION ALL\n".join(selects) + '\nORDER BY "column"'

@@ -2605,3 +2605,46 @@ def test_pmi_driver_and_distributed_paths_identical(ray_session, tmp_path):
     pd.testing.assert_frame_equal(fast.reset_index(drop=True),
                                   slow.reset_index(drop=True))
     assert len(fast) > 0
+
+
+def test_profile_table_counts(ray_session):
+    """Profiling card: exact nulls + distinct per column, including an
+    all-null column and a zero-row table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import profile_table
+
+    df = pd.DataFrame({
+        "a": [1, 1, 2, None],
+        "b": ["x", None, None, None],
+        "c": pd.array([None, None, None, None], dtype="Int64"),
+    })
+    got = profile_table(lambda: rd.from_pandas(df),
+                        ["a", "b", "c"]).to_pandas()
+    assert got.set_index("column").to_dict("index") == {
+        "a": {"n_rows": 4, "n_nulls": 1, "n_distinct": 2},
+        "b": {"n_rows": 4, "n_nulls": 3, "n_distinct": 1},
+        "c": {"n_rows": 4, "n_nulls": 4, "n_distinct": 0},
+    }
+
+
+def test_pack_sequences_n_col(ray_session):
+    """pack_sequences(n_col=...) respects precomputed counts: a doc
+    with a huge real-token count must advance the cursor even if its
+    text is short."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import pack_sequences
+
+    df = pd.DataFrame({
+        "doc_id": [0, 8, 16],           # one bucket (mod 8)
+        "text": ["a b", "a b", "a b"],  # whitespace counts would be 2
+        "n_tokens": [1000, 100, 10],
+    })
+    got = pack_sequences(rd.from_pandas(df), budget=1024, n_buckets=8,
+                         n_col="n_tokens").to_pandas()
+    # offsets 0, 1000, 1100 -> seq ids 0, 0, 1
+    assert got.seq_id.tolist() == [0, 0, 1]
+    assert got.seq_off.tolist() == [0, 1000, 76]
