@@ -1993,6 +1993,71 @@ def _q_bigram_logprob(sf_dir: str):
     return doc_bigram_logprob(_docs(sf_dir))
 
 
+def _q_len_token_corr(sf_dir: str):
+    """Exact-partials Pearson correlation (chars vs tokens per doc) —
+    the corpus-health correlation check: int64 combiner sums, python-
+    int merge, ONE declared float64 tree (bit-exact vs the SQL
+    mirror, never SQL corr() whose accumulation order is
+    engine-defined)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.features import pearson_corr
+    from fluent_server_ray.stages.textstats import TOKEN_RE
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "y": pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE),
+                         pa.int64()),
+        })
+
+    return pearson_corr(
+        _docs(sf_dir).map_batches(derive, batch_format="pyarrow",
+                                  zero_copy_batch=True), "x", "y")
+
+
+def _q_extract_args(sf_dir: str):
+    """Typed field extraction over the FLAGSHIP text (fluentd parser
+    filter on the live stream): pull the tool-call query argument out
+    of `args={"q":"..."}` — one vectorized extract_regex, NULL where
+    the turn is not a tool call."""
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.fields import extract_fields
+
+    ARGS_FIELDS = (("q", r'args=\{"q":"([a-z]+)"\}', pa.string(),
+                    "VARCHAR"),)
+    return extract_fields(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]),
+        fields=ARGS_FIELDS, src_col="text",
+        id_cols=("conv_id", "turn_idx"),
+    )
+
+
+def _q_sink_size_quantiles(sf_dir: str):
+    """Per-sink message-size p50/p95/p99 over the flagship route — the
+    payload-size SLO dashboard; histogram-sketch quantiles, integer
+    bucket contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.sketches import grouped_binned_quantiles
+
+    routed = build_routed(sf_dir, columns=["sink", "text"])
+
+    def size(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sink": t["sink"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    sized = routed.map_batches(size, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return grouped_binned_quantiles(sized, "sink", "n_chars",
+                                    lo=0.0, hi=128.0, bins=128)
+
+
 def _q_events_profile(sf_dir: str):
     """Dataset profiling card (rows / nulls / exact distinct per
     column): one pruned null-count pass + one two-level exact distinct
@@ -2217,6 +2282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_structure_flags": _q_conv_structure,
         "transcripts_log_templates": _q_log_templates,
         "events_profile": _q_events_profile,
+        "doc_len_token_corr": _q_len_token_corr,
+        "transcripts_extract_args": _q_extract_args,
+        "sink_msg_size_quantiles": _q_sink_size_quantiles,
         "lm_tokenize_pack": _q_lm_tokenize_pack,
         "events_throttle": _q_events_throttle,
         "conv_merge_roles": _q_conv_merge_roles,
@@ -2468,6 +2536,29 @@ GROUP BY event_type ORDER BY event_type
         ).grouped_distinct_count_sql("event_type", "user_id"),
         "conv_line_dedup": _conv_line_dedup_sql(),
         "conv_structure_flags": assembly.conv_structure_sql(),
+        "doc_len_token_corr": features.pearson_corr_sql(
+            "length(text)",
+            "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)",
+            "documents"),
+        "transcripts_extract_args": (
+            "WITH "
+            + __import__("fluent_server_ray.sources.transcripts",
+                         fromlist=["x"]).TRANSCRIPTS_SQL_CTE + "\n"
+            + fields.extract_fields_sql(
+                fields=(("q", r'args=\{"q":"([a-z]+)"\}', None,
+                         "VARCHAR"),),
+                src_col="text", id_cols=("conv_id", "turn_idx"),
+                table="transcripts")
+        ),
+        "sink_msg_size_quantiles": (
+            oracle.with_pipeline_ctes() + ",\n"
+            + "sized AS (SELECT sink, CAST(length(text) AS BIGINT) "
+              "AS n_chars FROM routed),\n"
+            + __import__("fluent_server_ray.stages.sketches",
+                         fromlist=["x"]).grouped_binned_quantiles_sql(
+                "sink", "n_chars", lo=0.0, hi=128.0, bins=128,
+                table="sized")[len("WITH "):]
+        ),
         "events_profile": features.profile_table_sql(
             ["event_id", "user_id", "event_type", "props"]),
         "lm_tokenize_pack": """

@@ -12,6 +12,7 @@ itself never moves.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -741,3 +742,81 @@ def profile_table_sql(columns: list[str], table: str = "events") -> str:
         for c in sorted(columns)
     ]
     return "\nUNION ALL\n".join(selects) + '\nORDER BY "column"'
+
+
+def pearson_corr(ds, x_col: str, y_col: str) -> pa.Table:
+    """Exact-partials Pearson correlation of two INTEGER columns —
+    the corpus-health correlation check (length vs tokens, score vs
+    size) as one combiner pass: per block one row of int64 sums
+    (n, Σx, Σy, Σxy, Σx², Σy²), python-int driver merge (overflow-
+    free at any scale), then ONE declared float64 expression tree —
+    ``(n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²̄) · sqrt(n·Σy² − Σy²̄))`` —
+    evaluated from the same exact integers the SQL mirror casts, so
+    the double matches bit-for-bit (the zscore/doc_tfidf contract).
+    Rows with a NULL in either column are excluded (SQL corr
+    semantics). Output: one row (n, corr)."""
+    import math
+
+    def moments(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+        sub = t.filter(mask)
+        x = sub[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = sub[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+        })
+
+    n = sx = sy = sxy = sxx = syy = 0
+    for r in (ds.map_batches(moments, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        n += int(pc.sum(r["n"]).as_py() or 0)
+        sx += int(pc.sum(r["sx"]).as_py() or 0)
+        sy += int(pc.sum(r["sy"]).as_py() or 0)
+        sxy += int(pc.sum(r["sxy"]).as_py() or 0)
+        sxx += int(pc.sum(r["sxx"]).as_py() or 0)
+        syy += int(pc.sum(r["syy"]).as_py() or 0)
+    if n == 0:
+        raise ValueError("pearson_corr: no complete rows")
+    fn, fsx, fsy = float(n), float(sx), float(sy)
+    num = fn * float(sxy) - fsx * fsy
+    vx = fn * float(sxx) - fsx * fsx
+    vy = fn * float(syy) - fsy * fsy
+    if vx <= 0.0 or vy <= 0.0:
+        raise ValueError("pearson_corr: zero variance")
+    corr = num / (math.sqrt(vx) * math.sqrt(vy))
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "corr": pa.array([corr], type=pa.float64())})
+
+
+def pearson_corr_sql(x_expr: str, y_expr: str, table: str,
+                     where: str = "TRUE") -> str:
+    """Mirror: same integer sums, same float64 tree (NOT SQL corr(),
+    whose internal accumulation order is engine-defined)."""
+    return f"""
+WITH src AS (
+  SELECT {x_expr} AS x, {y_expr} AS y FROM {table} WHERE {where}
+), filt AS (
+  SELECT x, y FROM src WHERE x IS NOT NULL AND y IS NOT NULL
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM filt
+)
+SELECT n,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM s
+""".strip()

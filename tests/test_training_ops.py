@@ -2648,3 +2648,34 @@ def test_pack_sequences_n_col(ray_session):
     # offsets 0, 1000, 1100 -> seq ids 0, 0, 1
     assert got.seq_id.tolist() == [0, 0, 1]
     assert got.seq_off.tolist() == [0, 1000, 76]
+
+
+def test_pearson_corr_exact_and_nulls(ray_session):
+    """Pearson from exact int partials: bit-equal to the same float64
+    tree computed locally; rows with a NULL on either side excluded;
+    zero variance raises."""
+    import math
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import pearson_corr
+
+    df = pd.DataFrame({
+        "x": pd.array([1, 2, 3, 4, None, 7], dtype="Int64"),
+        "y": pd.array([2, 3, 7, 9, 5, None], dtype="Int64"),
+    })
+    got = pearson_corr(rd.from_pandas(df), "x", "y").to_pydict()
+    xs, ys = [1, 2, 3, 4], [2, 3, 7, 9]
+    n = float(len(xs))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(a * b for a, b in zip(xs, ys)))
+    sxx, syy = float(sum(a * a for a in xs)), float(sum(b * b for b in ys))
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert got["n"] == [4] and got["corr"] == [want]  # bitwise
+
+    flat = pd.DataFrame({"x": [5, 5, 5], "y": [1, 2, 3]})
+    with pytest.raises(ValueError, match="zero variance"):
+        pearson_corr(rd.from_pandas(flat), "x", "y")
