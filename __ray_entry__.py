@@ -1993,6 +1993,36 @@ def _q_bigram_logprob(sf_dir: str):
     return doc_bigram_logprob(_docs(sf_dir))
 
 
+def _q_turns_prior_event(sf_dir: str):
+    """Generic TWO-DATASET as-of join on the flagship: attach each
+    transcript turn's user's most recent event STRICTLY BEFORE the
+    turn (deploy-onto-logs / reading-onto-trade shape). One unioned
+    cogrouped exchange + one merge_asof per bucket; mirrored by
+    DuckDB ASOF LEFT JOIN with the same strict inequality."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.joins import asof_join
+
+    left = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+
+    def add_user(t: pa.Table) -> pa.Table:
+        uid = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
+                      pa.int64())
+        return t.append_column("user_id", uid)
+
+    left = left.map_batches(add_user, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    out = asof_join(left, right, key="user_id",
+                    attach={"event_id": "prior_event_id"},
+                    allow_exact_matches=False)
+    return out.select_columns(
+        ["conv_id", "turn_idx", "prior_event_id"]
+    ).sort(["conv_id", "turn_idx"])
+
+
 def _q_len_token_corr(sf_dir: str):
     """Exact-partials Pearson correlation (chars vs tokens per doc) —
     the corpus-health correlation check: int64 combiner sums, python-
@@ -2283,6 +2313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_log_templates": _q_log_templates,
         "events_profile": _q_events_profile,
         "doc_len_token_corr": _q_len_token_corr,
+        "turns_prior_event": _q_turns_prior_event,
         "transcripts_extract_args": _q_extract_args,
         "sink_msg_size_quantiles": _q_sink_size_quantiles,
         "lm_tokenize_pack": _q_lm_tokenize_pack,
@@ -2536,6 +2567,21 @@ GROUP BY event_type ORDER BY event_type
         ).grouped_distinct_count_sql("event_type", "user_id"),
         "conv_line_dedup": _conv_line_dedup_sql(),
         "conv_structure_flags": assembly.conv_structure_sql(),
+        "turns_prior_event": (
+            "WITH "
+            + __import__("fluent_server_ray.sources.transcripts",
+                         fromlist=["x"]).TRANSCRIPTS_SQL_CTE + """
+, t AS (
+  SELECT conv_id, turn_idx, ts,
+    CAST(substr(conv_id, 6) AS BIGINT) AS user_id
+  FROM transcripts
+)
+SELECT t.conv_id, t.turn_idx,
+  CAST(e.event_id AS DOUBLE) AS prior_event_id
+FROM t ASOF LEFT JOIN events e
+  ON t.user_id = e.user_id AND t.ts > e.ts
+ORDER BY t.conv_id, t.turn_idx"""
+        ),
         "doc_len_token_corr": features.pearson_corr_sql(
             "length(text)",
             "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)",

@@ -254,6 +254,72 @@ def bucketed_hash_join(
     return map_buckets(both, join_bucket, out_schema)
 
 
+def asof_join(left, right, key: str, left_ts: str = "ts",
+              right_ts: str = "ts", attach: dict | None = None,
+              direction: str = "backward",
+              allow_exact_matches: bool = True, n_buckets: int = 64):
+    """Generic TWO-DATASET as-of join: for every left row, the
+    temporally closest right row of the same key (``backward`` = most
+    recent at-or-before; ``allow_exact_matches=False`` = strictly
+    before, SQL ``ASOF JOIN ... ON l.ts > r.ts``). The two-table
+    sibling of :func:`windows.asof_prior_event` (which matches within
+    one typed stream): sensor readings onto trades, deploy events onto
+    log lines, latest user event onto a transcript turn.
+
+    ``attach``: {right_col: output_name} — the right columns to carry;
+    matched integer columns come back float64 (NaN = no match, the
+    nullable-int convention shared with the other joins; ids must stay
+    < 2^53 — asserted in the same way as asof_prior_event).
+
+    Shape: ONE unioned exchange (:func:`cogrouped`), then a single
+    ``pd.merge_asof(by=key)`` per bucket — all keys in a bucket merge
+    in one C pass. Right-side ts ties break by the (ts, attach-cols)
+    sort order; keep right ts unique per key for engine-independent
+    results (the same caveat every ASOF engine documents).
+    """
+    import numpy as np
+    import pandas as pd
+
+    attach = dict(attach or {})
+    assert attach, "asof_join: pass attach={right_col: out_name}"
+
+    both, lcols, rcols, lfields, rfields = cogrouped(
+        left, right, key, key, n_buckets
+    )
+    rmap = {key: key, right_ts: left_ts, **attach}
+    out_fields = list(lfields) + [
+        pa.field(out, pa.float64()
+                 if pa.types.is_integer(next(f.type for f in rfields
+                                             if f.name == rc))
+                 else next(f.type for f in rfields if f.name == rc))
+        for rc, out in attach.items()
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols].sort_values([left_ts, key])
+        rg = g[g["_side"] == 1][rcols].rename(columns=rmap)
+        rg = rg[[key, left_ts] + list(attach.values())].sort_values(
+            [left_ts, key])
+        for out in attach.values():
+            nums = pd.to_numeric(rg[out], errors="coerce").abs()
+            if (nums >= float(1 << 53)).any():
+                raise ValueError(
+                    f"asof_join: {out} exceeds 2^53 — float64 matched "
+                    "representation would lose precision")
+        if lg.empty:
+            return lg.assign(**{o: np.nan for o in attach.values()})
+        if rg.empty:
+            return lg.assign(**{o: np.nan for o in attach.values()})
+        return pd.merge_asof(lg, rg, on=left_ts, by=key,
+                             direction=direction,
+                             allow_exact_matches=allow_exact_matches)
+
+    from fluent_server_ray.stages.groups import map_buckets
+
+    return map_buckets(both, per_bucket, out_schema)
+
+
 def native_join(left, right, key: str, n_partitions: int = 32,
                 how: str = "inner"):
     """Ray Data's built-in hash-partitioned join."""

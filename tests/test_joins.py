@@ -158,3 +158,42 @@ def test_shipping_priority_empty_match_is_typed(ray_session, tmp_path):
     assert out.num_rows == 0
     assert out.column_names == ["o_orderkey", "rev_cents_sum",
                                 "o_orderdate", "o_orderpriority"]
+
+
+def test_asof_join_generic_two_datasets(ray_session):
+    """Two-dataset as-of: backward strict/exact matching vs DuckDB
+    ASOF LEFT JOIN; unmatched rows NaN; empty sides typed."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "ts": [base + pd.Timedelta(minutes=m) for m in (0, 5, 2, 1)],
+        "lid": [100, 101, 102, 103],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": [base + pd.Timedelta(minutes=m) for m in (0, 3, 9)],
+        "eid": [10, 20, 30],
+    })
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                     attach={"eid": "prior_eid"},
+                     allow_exact_matches=False)
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+SELECT l.k, l.ts, l.lid, CAST(r.eid AS DOUBLE) AS prior_eid
+FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts > r.ts
+ORDER BY l.lid""").df()
+    pd.testing.assert_frame_equal(got, want)
+    # exact-match variant picks the equal-ts row
+    got2 = (asof_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                      attach={"eid": "prior_eid"})
+            .to_pandas().sort_values("lid").reset_index(drop=True))
+    assert got2.loc[got2.lid == 100, "prior_eid"].iloc[0] == 10.0
