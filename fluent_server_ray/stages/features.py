@@ -747,12 +747,18 @@ def profile_table_sql(columns: list[str], table: str = "events") -> str:
 def pearson_corr(ds, x_col: str, y_col: str) -> pa.Table:
     """Exact-partials Pearson correlation of two INTEGER columns —
     the corpus-health correlation check (length vs tokens, score vs
-    size) as one combiner pass: per block one row of int64 sums
-    (n, Σx, Σy, Σxy, Σx², Σy²), python-int driver merge (overflow-
-    free at any scale), then ONE declared float64 expression tree —
-    ``(n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²̄) · sqrt(n·Σy² − Σy²̄))`` —
-    evaluated from the same exact integers the SQL mirror casts, so
-    the double matches bit-for-bit (the zscore/doc_tfidf contract).
+    size) as one combiner pass: per block one row of sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) carried as DECIMAL STRINGS so a block
+    whose Σx² exceeds int64 stays exact (the vectorized int64 path is
+    used only when ``n·max|x|·max|y| < 2^63`` proves it safe; else the
+    block falls back to numpy object-dtype python-int sums),
+    python-int driver merge (overflow-free at any scale), then the
+    ``n·Σxy − Σx·Σy`` / ``n·Σx² − (Σx)²`` subtractions in EXACT
+    integer arithmetic (float64 would catastrophically cancel for
+    large-magnitude columns) with ONE declared float64 division tree
+    at the end — evaluated from the same exact integers the SQL
+    mirror subtracts in HUGEINT, so the double matches bit-for-bit
+    (the zscore/doc_tfidf contract).
     Rows with a NULL in either column are excluded (SQL corr
     semantics). Output: one row (n, corr)."""
     import math
@@ -762,13 +768,27 @@ def pearson_corr(ds, x_col: str, y_col: str) -> pa.Table:
         sub = t.filter(mask)
         x = sub[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = sub[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x):
+            mx = int(np.abs(x).max())
+            my = int(np.abs(y).max())
+            peak = max(mx * my, mx * mx, my * my)
+            if len(x) * max(peak, 1) >= (1 << 63):
+                # int64 products/sums could wrap silently — redo the
+                # block with python-int (object-dtype) arithmetic.
+                x = x.astype(object)
+                y = y.astype(object)
+        sums = [int(x.sum()) if len(x) else 0,
+                int(y.sum()) if len(y) else 0,
+                int((x * y).sum()) if len(x) else 0,
+                int((x * x).sum()) if len(x) else 0,
+                int((y * y).sum()) if len(y) else 0]
         return pa.table({
             "n": pa.array([len(x)], type=pa.int64()),
-            "sx": pa.array([int(x.sum())], type=pa.int64()),
-            "sy": pa.array([int(y.sum())], type=pa.int64()),
-            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
-            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
-            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            "sx": pa.array([str(sums[0])], type=pa.string()),
+            "sy": pa.array([str(sums[1])], type=pa.string()),
+            "sxy": pa.array([str(sums[2])], type=pa.string()),
+            "sxx": pa.array([str(sums[3])], type=pa.string()),
+            "syy": pa.array([str(sums[4])], type=pa.string()),
         })
 
     n = sx = sy = sxy = sxx = syy = 0
@@ -776,47 +796,49 @@ def pearson_corr(ds, x_col: str, y_col: str) -> pa.Table:
                              zero_copy_batch=True)
               .iter_batches(batch_size=None, batch_format="pyarrow")):
         n += int(pc.sum(r["n"]).as_py() or 0)
-        sx += int(pc.sum(r["sx"]).as_py() or 0)
-        sy += int(pc.sum(r["sy"]).as_py() or 0)
-        sxy += int(pc.sum(r["sxy"]).as_py() or 0)
-        sxx += int(pc.sum(r["sxx"]).as_py() or 0)
-        syy += int(pc.sum(r["syy"]).as_py() or 0)
+        sx += sum(int(v) for v in r["sx"].to_pylist())
+        sy += sum(int(v) for v in r["sy"].to_pylist())
+        sxy += sum(int(v) for v in r["sxy"].to_pylist())
+        sxx += sum(int(v) for v in r["sxx"].to_pylist())
+        syy += sum(int(v) for v in r["syy"].to_pylist())
     if n == 0:
         raise ValueError("pearson_corr: no complete rows")
-    fn, fsx, fsy = float(n), float(sx), float(sy)
-    num = fn * float(sxy) - fsx * fsy
-    vx = fn * float(sxx) - fsx * fsx
-    vy = fn * float(syy) - fsy * fsy
-    if vx <= 0.0 or vy <= 0.0:
+    # n·Σxy − Σx·Σy in EXACT integer arithmetic before any float
+    # conversion: for large-magnitude columns the two terms agree to
+    # >15 digits and a float64 subtraction cancels to garbage (the
+    # mirror does the same subtraction in HUGEINT).
+    num_i = n * sxy - sx * sy
+    vx_i = n * sxx - sx * sx
+    vy_i = n * syy - sy * sy
+    if vx_i <= 0 or vy_i <= 0:
         raise ValueError("pearson_corr: zero variance")
-    corr = num / (math.sqrt(vx) * math.sqrt(vy))
+    corr = float(num_i) / (math.sqrt(float(vx_i)) * math.sqrt(float(vy_i)))
     return pa.table({"n": pa.array([n], type=pa.int64()),
                      "corr": pa.array([corr], type=pa.float64())})
 
 
 def pearson_corr_sql(x_expr: str, y_expr: str, table: str,
                      where: str = "TRUE") -> str:
-    """Mirror: same integer sums, same float64 tree (NOT SQL corr(),
-    whose internal accumulation order is engine-defined)."""
+    """Mirror: same integer sums, the n·Σxy − Σx·Σy subtractions in
+    HUGEINT (exact, like the engine's python ints — a DOUBLE
+    subtraction would cancel for large-magnitude columns), then the
+    same float64 division tree (NOT SQL corr(), whose internal
+    accumulation order is engine-defined)."""
     return f"""
 WITH src AS (
   SELECT {x_expr} AS x, {y_expr} AS y FROM {table} WHERE {where}
 ), filt AS (
-  SELECT x, y FROM src WHERE x IS NOT NULL AND y IS NOT NULL
+  SELECT CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM src WHERE x IS NOT NULL AND y IS NOT NULL
 ), s AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-    CAST(sum(x * y) AS BIGINT) AS sxy,
-    CAST(sum(x * x) AS BIGINT) AS sxx,
-    CAST(sum(y * y) AS BIGINT) AS syy
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
   FROM filt
 )
-SELECT n,
-  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
 FROM s
 """.strip()

@@ -282,11 +282,18 @@ def asof_join(left, right, key: str, left_ts: str = "ts",
 
     attach = dict(attach or {})
     assert attach, "asof_join: pass attach={right_col: out_name}"
+    assert key not in attach, (
+        "asof_join: attaching the join key is redundant — it is "
+        "already on every left row")
 
     both, lcols, rcols, lfields, rfields = cogrouped(
         left, right, key, key, n_buckets
     )
-    rmap = {key: key, right_ts: left_ts, **attach}
+    # Attaching the right ts column itself ("when was the matched
+    # event") is done via a pre-rename copy, so the right_ts→left_ts
+    # merge rename below never collides with an attach entry.
+    rmap = {key: key, right_ts: left_ts,
+            **{rc: out for rc, out in attach.items() if rc != right_ts}}
     out_fields = list(lfields) + [
         pa.field(out, pa.float64()
                  if pa.types.is_integer(next(f.type for f in rfields
@@ -295,14 +302,26 @@ def asof_join(left, right, key: str, left_ts: str = "ts",
         for rc, out in attach.items()
     ]
     out_schema = pa.schema(out_fields)
+    # The 2^53 precision guard only applies to columns whose matched
+    # representation IS float64 — i.e. integer-typed right fields.
+    # Timestamps, strings and already-float columns pass through
+    # merge_asof in their own dtype losslessly.
+    int_outs = [
+        out for rc, out in attach.items()
+        if pa.types.is_integer(next(f.type for f in rfields
+                                    if f.name == rc))
+    ]
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0][lcols].sort_values([left_ts, key])
-        rg = g[g["_side"] == 1][rcols].rename(columns=rmap)
+        rg = g[g["_side"] == 1][rcols]
+        if right_ts in attach:
+            rg = rg.assign(**{attach[right_ts]: rg[right_ts]})
+        rg = rg.rename(columns=rmap)
         rg = rg[[key, left_ts] + list(attach.values())].sort_values(
             [left_ts, key])
-        for out in attach.values():
-            nums = pd.to_numeric(rg[out], errors="coerce").abs()
+        for out in int_outs:
+            nums = rg[out].abs()
             if (nums >= float(1 << 53)).any():
                 raise ValueError(
                     f"asof_join: {out} exceeds 2^53 — float64 matched "

@@ -258,7 +258,8 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
 # ----------------------------------------------------------- IVF index
 
 def _bottomk_sample_matrix(ds, sample_size: int, id_col: str = "vec_id",
-                           emb_col: str = "embedding") -> np.ndarray:
+                           emb_col: str = "embedding",
+                           return_count: bool = False):
     """Deterministic UNIFORM sample of ``sample_size`` embedding rows:
     the global bottom-k rows by ``siphash(id)`` (classic bottom-k /
     minwise sampling). Each batch keeps its local bottom-k (a
@@ -281,9 +282,18 @@ def _bottomk_sample_matrix(ds, sample_size: int, id_col: str = "vec_id",
         kk = min(sample_size, len(t))
         idx = (np.argpartition(h, kk - 1)[:kk]
                if kk < len(t) else np.arange(len(t)))
-        return t.take(pa.array(idx)).append_column(
+        out = t.take(pa.array(idx)).append_column(
             "_hs", pa.array(h[idx], type=pa.uint64())
         )
+        if return_count:
+            # block row count rides on the FIRST kept row only, so the
+            # driver recovers the corpus size from the same combiner
+            # pass (no separate ds.count() scan).
+            bn = np.zeros(len(out), dtype=np.int64)
+            if len(bn):
+                bn[0] = len(t)
+            out = out.append_column("_bn", pa.array(bn))
+        return out
 
     parts = pa.concat_tables(
         ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
@@ -294,7 +304,10 @@ def _bottomk_sample_matrix(ds, sample_size: int, id_col: str = "vec_id",
     idx = np.argpartition(h, kk - 1)[:kk] if kk < len(parts) else np.arange(
         len(parts)
     )
-    return _batch_matrix(parts.take(pa.array(idx)), emb_col)
+    mat = _batch_matrix(parts.take(pa.array(idx)), emb_col)
+    if return_count:
+        return mat, int(pc.sum(parts["_bn"]).as_py() or 0)
+    return mat
 
 
 def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
@@ -543,9 +556,10 @@ def ivf_topk(ds, query_ids: list[int], k: int = 5, n_centroids: int = 16,
 
 # ---------------------------------------- distributed k-means
 
-def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 4,
+def kmeans_fit(ds, n_clusters: int | None = 8, n_iter: int = 4,
                sample_size: int = 512, id_col: str = "vec_id",
-               emb_col: str = "embedding"):
+               emb_col: str = "embedding",
+               target_cluster_rows: int = 4_096):
     """Distributed spherical k-means over the FULL embedding corpus
     (the clustering step of cluster-balanced data curation; the IVF
     quantizer's :func:`_kmeans` trains on a sample only).
@@ -569,7 +583,23 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 4,
     import ray
 
     pruned = ds.select_columns([id_col, emb_col])
-    sample = _bottomk_sample_matrix(pruned, sample_size, id_col, emb_col)
+    if n_clusters is None:
+        # Auto-k (the SemDeDup scale-with-the-corpus rule): the corpus
+        # size is recovered from the SAME sampling combiner pass — no
+        # separate ds.count() scan re-executing the upstream pipeline.
+        sample, n_total = _bottomk_sample_matrix(
+            pruned, sample_size, id_col, emb_col, return_count=True)
+        n_clusters = int(min(65_536, max(
+            8, -(-n_total // int(target_cluster_rows)))))
+    else:
+        sample = _bottomk_sample_matrix(pruned, sample_size, id_col,
+                                        emb_col)
+    # Training k centroids needs >= 4k sample rows or kmeans silently
+    # clamps k to the sample — re-sample once at the needed size when
+    # the first sample came back full (i.e. the corpus has more rows).
+    need = 4 * n_clusters
+    if need > len(sample) and len(sample) == sample_size:
+        sample = _bottomk_sample_matrix(pruned, need, id_col, emb_col)
     k = min(n_clusters, len(sample))
     centroids = _kmeans(sample, k)
     d = centroids.shape[1]
@@ -894,7 +924,12 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int | None = None,
 
     - ``n_clusters=None`` (the default) derives k from the corpus:
       ``k = clamp(ceil(n / target_cluster_rows), 8, 65536)`` — the
-      paper's scale-k-with-the-corpus rule, for free;
+      paper's scale-k-with-the-corpus rule, for free. The corpus size
+      comes out of kmeans' own sampling combiner pass (no extra
+      ``ds.count()`` scan), and the training sample is automatically
+      re-drawn at ``4·k`` rows when the derived k outgrows the
+      default ``sample_size`` (otherwise kmeans would silently train
+      fewer centroids than derived);
     - any cluster that still exceeds ``max_cluster_rows`` (skewed
       corpora: k-means happily puts half of a lopsided corpus in one
       cell) is recursively BISECTED in-worker along its top principal
@@ -909,12 +944,9 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int | None = None,
     """
     import ray
 
-    if n_clusters is None:
-        n = ds.count()
-        n_clusters = int(min(65_536, max(8, -(-n // int(target_cluster_rows)))))
-
     centroids, _ = kmeans_fit(ds, n_clusters, n_iter, sample_size,
-                              id_col, emb_col)
+                              id_col, emb_col,
+                              target_cluster_rows=target_cluster_rows)
     cref = ray.put(centroids)
 
     def assign(t: pa.Table) -> pa.Table:

@@ -187,9 +187,13 @@ def winnow_fingerprints_batch(batch: pa.Table, k: int = 8, window: int = 4) -> p
             mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
         else:
             mins = np.array([h.min()], dtype=np.uint64)
-        fps = np.unique(mins)
+        # Mask to 63 bits BEFORE deduplicating: the SQL mirror's
+        # DISTINCT runs post-mask, so two window mins differing only
+        # in the top bit must collapse to ONE (doc_id, fp) row here
+        # too.
+        fps = np.unique(mins & np.uint64(0x7FFFFFFFFFFFFFFF))
         out_id.extend([doc_id] * len(fps))
-        out_fp.extend((fps & np.uint64(0x7FFFFFFFFFFFFFFF)).tolist())
+        out_fp.extend(fps.tolist())
     return pa.table(
         {
             "doc_id": pa.array(out_id, type=pa.int64()),

@@ -197,3 +197,50 @@ ORDER BY l.lid""").df()
                       attach={"eid": "prior_eid"})
             .to_pandas().sort_values("lid").reset_index(drop=True))
     assert got2.loc[got2.lid == 100, "prior_eid"].iloc[0] == 10.0
+
+
+def test_asof_join_nonint_attach_and_right_ts(ray_session):
+    """The 2^53 precision guard applies ONLY to integer attach
+    columns: attaching a datetime (or string) column must not raise
+    even though its numeric image exceeds 2^53 ns. Attaching the
+    right timestamp itself ('when was the matched event') works via
+    the pre-rename copy instead of clobbering the merge rename."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")  # ~1.7e18 ns >= 2^53
+    left = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": [base + pd.Timedelta(minutes=m) for m in (5, 1, 7)],
+        "lid": [100, 101, 102],
+    })
+    right = pd.DataFrame({
+        "k": [1, 2],
+        "ts": [base + pd.Timedelta(minutes=m) for m in (2, 9)],
+        "note": ["first", "second"],
+        "created_at": [base - pd.Timedelta(days=d) for d in (1, 2)],
+    })
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                     attach={"created_at": "prior_created",
+                             "note": "prior_note",
+                             "ts": "matched_ts"})
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    # lid=100 (k=1, t+5) matches right (k=1, t+2); lid=101 (t+1) has
+    # no prior; lid=102 (k=2, t+7) precedes the k=2 right row (t+9).
+    assert got.loc[0, "prior_note"] == "first"
+    assert got.loc[0, "prior_created"] == base - pd.Timedelta(days=1)
+    assert got.loc[0, "matched_ts"] == base + pd.Timedelta(minutes=2)
+    assert pd.isna(got.loc[1, "prior_note"])
+    assert pd.isna(got.loc[1, "matched_ts"])
+    assert pd.isna(got.loc[2, "prior_note"])
+    # integer attach columns DO keep the guard
+    import pytest
+    right_big = pd.DataFrame({
+        "k": [1], "ts": [base], "big": [np.int64(1 << 60)],
+    })
+    with pytest.raises(ValueError, match="2\\^53"):
+        asof_join(rd.from_pandas(left), rd.from_pandas(right_big), "k",
+                  attach={"big": "prior_big"}).materialize()

@@ -2679,3 +2679,66 @@ def test_pearson_corr_exact_and_nulls(ray_session):
     flat = pd.DataFrame({"x": [5, 5, 5], "y": [1, 2, 3]})
     with pytest.raises(ValueError, match="zero variance"):
         pearson_corr(rd.from_pandas(flat), "x", "y")
+
+
+def test_pearson_corr_overflow_exact(ray_session):
+    """Block partials stay exact when x*y / x*x exceed int64: values
+    around 3.2e9 whose products are ~1e19 > 2^63 must produce the
+    same corr as the python-int ground truth (a silent int64 wrap
+    would flip signs / magnitudes)."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import pearson_corr
+
+    xs = [3_200_000_000 + i for i in range(6)]
+    ys = [3_200_000_011 - 2 * i for i in range(6)]
+    got = pearson_corr(
+        rd.from_pandas(pd.DataFrame({"x": xs, "y": ys})), "x", "y"
+    ).to_pydict()
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    # exact-integer subtractions, float64 division — the engine tree
+    want = float(n * sxy - sx * sy) / (
+        math.sqrt(float(n * sxx - sx * sx))
+        * math.sqrt(float(n * syy - sy * sy)))
+    assert got["corr"] == [want]  # bitwise; wrap would give garbage
+    assert abs(want + 1.0) < 1e-9  # ys is a strictly decreasing line
+
+
+def test_kmeans_auto_k_scales_sample(ray_session):
+    """n_clusters=None derives k = ceil(n / target_cluster_rows)
+    (floored at 8) and re-draws the training sample at 4*k rows when
+    the derived k outgrows the default sample — centroids.shape[0]
+    must equal the derived k, not a sample-clamped value."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import kmeans_fit
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    n, d = 3000, 4
+    mat = rng.normal(size=(n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+    # target 8 rows/cluster -> derived k = 375; 4k = 1500 > 512 so the
+    # sample is re-drawn; without that, kmeans trains only 512 centroids
+    cents, sizes = kmeans_fit(ds, n_clusters=None, n_iter=1,
+                              target_cluster_rows=8)
+    assert cents.shape == (375, d)
+    assert sizes.sum() == n
+    # small corpus floors at k=8
+    cents2, _ = kmeans_fit(ds, n_clusters=None, n_iter=1,
+                           target_cluster_rows=100_000)
+    assert cents2.shape == (8, d)
