@@ -2023,6 +2023,63 @@ def _q_turns_prior_event(sf_dir: str):
     ).sort(["conv_id", "turn_idx"])
 
 
+def _q_turns_prior_event_ts(sf_dir: str):
+    """As-of join attaching the matched RIGHT TIMESTAMP itself ("when
+    was the user's prior event") alongside the event id — exercises
+    the pre-rename-copy attach path and the typed (non-float64)
+    matched-column convention: prior_ts stays timestamp[us], NULL
+    (NaT) where no prior event exists."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.joins import asof_join
+
+    left = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+
+    def add_user(t: pa.Table) -> pa.Table:
+        uid = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
+                      pa.int64())
+        return t.append_column("user_id", uid)
+
+    left = left.map_batches(add_user, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    out = asof_join(left, right, key="user_id",
+                    attach={"event_id": "prior_event_id",
+                            "ts": "prior_ts"},
+                    allow_exact_matches=False)
+    return out.select_columns(
+        ["conv_id", "turn_idx", "prior_event_id", "prior_ts"]
+    ).sort(["conv_id", "turn_idx"])
+
+
+def _q_ts_id_corr(sf_dir: str):
+    """Pearson over LARGE-MAGNITUDE integers (epoch-seconds vs
+    event_id): Σx² per block exceeds what a bound-check can prove
+    int64-safe, driving the python-int exact partial path; the mirror
+    subtracts in HUGEINT. A silent int64 wrap or a float64
+    cancellation would diverge from the oracle here."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.features import pearson_corr
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())  # timestamp[us] -> micros
+        return pa.table({
+            "x": pc.divide(us, pa.scalar(1_000_000, pa.int64())),
+            "y": t["event_id"],
+        })
+
+    return pearson_corr(
+        ev.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True), "x", "y")
+
+
 def _q_len_token_corr(sf_dir: str):
     """Exact-partials Pearson correlation (chars vs tokens per doc) —
     the corpus-health correlation check: int64 combiner sums, python-
@@ -2314,6 +2371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "doc_len_token_corr": _q_len_token_corr,
         "turns_prior_event": _q_turns_prior_event,
+        "turns_prior_event_ts": _q_turns_prior_event_ts,
+        "events_ts_id_corr": _q_ts_id_corr,
         "transcripts_extract_args": _q_extract_args,
         "sink_msg_size_quantiles": _q_sink_size_quantiles,
         "lm_tokenize_pack": _q_lm_tokenize_pack,
@@ -2582,6 +2641,26 @@ FROM t ASOF LEFT JOIN events e
   ON t.user_id = e.user_id AND t.ts > e.ts
 ORDER BY t.conv_id, t.turn_idx"""
         ),
+        "turns_prior_event_ts": (
+            "WITH "
+            + __import__("fluent_server_ray.sources.transcripts",
+                         fromlist=["x"]).TRANSCRIPTS_SQL_CTE + """
+, t AS (
+  SELECT conv_id, turn_idx, ts,
+    CAST(substr(conv_id, 6) AS BIGINT) AS user_id
+  FROM transcripts
+)
+SELECT t.conv_id, t.turn_idx,
+  CAST(e.event_id AS DOUBLE) AS prior_event_id,
+  e.ts AS prior_ts
+FROM t ASOF LEFT JOIN events e
+  ON t.user_id = e.user_id AND t.ts > e.ts
+ORDER BY t.conv_id, t.turn_idx"""
+        ),
+        "events_ts_id_corr": features.pearson_corr_sql(
+            "CAST(epoch_us(ts) // 1000000 AS BIGINT)",
+            "CAST(event_id AS BIGINT)",
+            "events"),
         "doc_len_token_corr": features.pearson_corr_sql(
             "length(text)",
             "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)",
