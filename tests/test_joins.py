@@ -244,3 +244,45 @@ def test_asof_join_nonint_attach_and_right_ts(ray_session):
     with pytest.raises(ValueError, match="2\\^53"):
         asof_join(rd.from_pandas(left), rd.from_pandas(right_big), "k",
                   attach={"big": "prior_big"}).materialize()
+
+
+def test_asof_join_bucket_invariance_vs_global_merge_asof(ray_session):
+    """Randomized pin: for several seeds, asof_join's bucketed result
+    equals ONE global pandas merge_asof, for every n_buckets — the
+    bucket exchange must be invisible in the result."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import asof_join
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        nl, nr = 60, 40
+        left = pd.DataFrame({
+            "k": rng.integers(0, 6, nl),
+            "ts": rng.integers(0, 1000, nl).astype("int64"),
+            "lid": np.arange(nl, dtype="int64"),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 6, nr),
+            # unique ts per key so tie-break order can't differ
+            "ts": (np.arange(nr, dtype="int64") * 13 + seed),
+            "rid": np.arange(nr, dtype="int64") + 1000,
+        })
+        want = pd.merge_asof(
+            left.sort_values(["ts", "k"]),
+            right.rename(columns={"rid": "prior_rid"})
+                 .sort_values(["ts", "k"]),
+            on="ts", by="k", direction="backward",
+        ).sort_values("lid").reset_index(drop=True)
+        want["prior_rid"] = want["prior_rid"].astype("float64")
+        for nb in (1, 3, 64):
+            got = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                             "k", attach={"rid": "prior_rid"},
+                             n_buckets=nb)
+                   .to_pandas().sort_values("lid").reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                got[["k", "ts", "lid", "prior_rid"]],
+                want[["k", "ts", "lid", "prior_rid"]],
+                check_dtype=False)

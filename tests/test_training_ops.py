@@ -2742,3 +2742,36 @@ def test_kmeans_auto_k_scales_sample(ray_session):
     cents2, _ = kmeans_fit(ds, n_clusters=None, n_iter=1,
                            target_cluster_rows=100_000)
     assert cents2.shape == (8, d)
+
+
+def test_pearson_corr_equals_fraction_exact(ray_session):
+    """Randomized exactness pin: for several seeds (mixed magnitudes,
+    including values whose squares overflow int64), pearson_corr
+    equals the Fraction-exact correlation converted to float64 the
+    same way (int subtractions, then float division tree)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import pearson_corr
+
+    for seed, scale in ((0, 10), (1, 10**9), (2, 4 * 10**9)):
+        rng = np.random.default_rng(seed)
+        n = 200
+        xs = (rng.integers(0, 1000, n) + scale).astype(object)
+        ys = (rng.integers(0, 1000, n) * 3 + scale // 2).astype(object)
+        xs = [int(v) for v in xs]
+        ys = [int(v) for v in ys]
+        got = pearson_corr(
+            rd.from_pandas(pd.DataFrame(
+                {"x": np.array(xs, dtype="int64"),
+                 "y": np.array(ys, dtype="int64")})), "x", "y"
+        ).to_pydict()["corr"][0]
+        N = len(xs)
+        num = N * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        vx = N * sum(a * a for a in xs) - sum(xs) ** 2
+        vy = N * sum(b * b for b in ys) - sum(ys) ** 2
+        want = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        assert got == want, (seed, scale)
