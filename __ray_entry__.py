@@ -323,8 +323,11 @@ def _q_dedup_simhash(sf_dir: str):
 
 def _q_dedup_simhash_pairs(sf_dir: str):
     """SimHash hamming-ball near-dup pairs (pigeonhole blocks, exact
-    in-group verify). Signature is probabilistic → rows-only check;
-    recall-1-within-radius pinned in tests."""
+    in-group verify). STRICT oracle: the md5-derived word-hash family
+    is SQL-reproducible (``md5_number_upper``), and pigeonhole
+    blocking has recall 1 for max_hamming < n_blocks with exact
+    verification — so the blocked pair set EQUALS the oracle's
+    all-pairs hamming scan on the test corpora."""
     from fluent_server_ray.stages.dedup import simhash_near_dupes
 
     return simhash_near_dupes(_docs(sf_dir), max_hamming=3, n_blocks=4)
@@ -479,14 +482,35 @@ def _q_frames(sf_dir: str):
 
 def _q_embed_stub(sf_dir: str):
     """Multimodal feature-extract stub: payload → deterministic fake
-    embedding (rows-only; the real model would replace the vector fn)."""
+    embedding (md5-derived unit vector, actor-pool batch inference
+    shape). STRICT oracle: the value function is SQL-reproducible
+    (``multimodal.embed_stub_sql``), compared in LONG form
+    (doc_id, dim, v) so every component is checked."""
+    import numpy as np
+    import pyarrow as pa
+
     from fluent_server_ray.stages.enrich import pool_limits
     from fluent_server_ray.stages.multimodal import EmbedStub
 
-    return _docs(sf_dir).map_batches(
+    wide = _docs(sf_dir).map_batches(
         EmbedStub, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=256, concurrency=pool_limits(),
     )
+
+    def long_form(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        n = len(t)
+        d = len(flat) // max(n, 1) if n else 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "v": pa.array(flat, type=pa.float64()),
+        })
+
+    return wide.map_batches(long_form, batch_format="pyarrow",
+                            zero_copy_batch=True).sort(["doc_id", "dim"])
 
 
 # ----- windowed / relational -----
@@ -2508,14 +2532,15 @@ GROUP BY event_type ORDER BY event_type
             "SELECT conv_id, doc_text, row_number() OVER ("
             "PARTITION BY doc_text ORDER BY conv_id) AS rn FROM docs"
             ") WHERE rn = 1 ORDER BY conv_id"),
-        # dedup_minhash / dedup_simhash: probabilistic signatures —
-        # intentionally no SQL oracle (rows-only check)
+        "dedup_simhash": dedup.simhash_sql(),
+        "dedup_simhash_pairs": dedup.simhash_pairs_sql(max_hamming=3),
         "ann_cosine_topk": similarity.ann_topk_sql(ANN_QUERY_IDS, k=ANN_K),
         "embedding_dupes": similarity.cosine_dupes_sql(COSINE_DUP_T),
         "embedding_dup_clusters": _embedding_dup_clusters_sql(),
         "multimodal_decode": multimodal.decode_documents_sql(),
         "multimodal_frames": multimodal.frame_sample_sql(),
         "multimodal_resize": multimodal.resize_sql(),
+        "multimodal_embed": multimodal.embed_stub_sql(),
         "sessionize": windows.sessionize_sql(),
         "tumbling_counts": windows.tumbling_counts_sql(),
         "sliding_counts": windows.sliding_counts_sql(),

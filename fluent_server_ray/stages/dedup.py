@@ -270,11 +270,33 @@ def _batch_shingle_hashes(texts: list, k: int = 3):
     return np.concatenate(out_parts), out_lens
 
 
+_MD5_TOKEN_CACHE: dict = {}
+
+
 def _word_hashes(text: str) -> np.ndarray:
-    toks = list(dict.fromkeys(text.split()))  # unique words, stable order
+    """md5-derived 64-bit word hashes: first 8 digest bytes,
+    LITTLE-endian — bit-identical to DuckDB ``md5_number_upper(tok)``,
+    which is what makes the simhash signature STRICTLY
+    oracle-checkable (pandas ``hash_array``, the previous family, has
+    no SQL form). Per-worker token cache (bounded) amortizes the
+    digest over the corpus vocabulary; empty text hashes to ``[0]``
+    (signature 0 — the mirror's LEFT-JOIN COALESCE rule)."""
+    import hashlib
+
+    toks = list(dict.fromkeys(text.split()))  # unique words
     if not toks:
         return np.array([0], dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+    cache = _MD5_TOKEN_CACHE
+    vals = []
+    for t in toks:
+        v = cache.get(t)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            if len(cache) < (1 << 20):  # bound per-worker memory
+                cache[t] = v
+        vals.append(v)
+    return np.array(vals, dtype=np.uint64)
 
 
 def shingle_set(text: str, k: int = 3) -> set:
@@ -690,6 +712,62 @@ def simhash_batch(batch: pa.Table) -> np.ndarray:
             sim |= np.uint64(1) << np.uint64(bit_idx)
         out[i] = np.int64(sim & np.uint64(0x7FFFFFFFFFFFFFFF))
     return out
+
+
+def simhash_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`simhash_batch`, bit-for-bit: DISTINCT
+    whitespace tokens per doc → ``md5_number_upper`` (== the engine's
+    first-8-digest-bytes little-endian word hash) → per-bit signed
+    vote ``2·ones − n > 0`` over bits 0..62 (the engine masks bit 63
+    off the final signature, so it never needs voting) → bit sum.
+    Docs with no tokens (empty text) get signature 0 via the LEFT
+    JOIN, matching the engine's ``[0]`` hash rule (vote −1 ⇒ all bits
+    clear). ``AS MATERIALIZED`` pins the token scan to one
+    evaluation under the 63-way bit cross join."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS tok
+  FROM {table}
+), hashed AS MATERIALIZED (
+  SELECT doc_id, md5_number_upper(tok) AS h FROM toks
+), votes AS (
+  SELECT doc_id, b.b AS bit,
+    2 * sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE 0 END)
+      - count(*) AS vote
+  FROM hashed, generate_series(0, 62) AS b(b)
+  GROUP BY doc_id, b.b
+), sigs AS (
+  SELECT doc_id,
+    sum(CASE WHEN vote > 0
+        THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END)
+      AS sim
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.sim, 0) AS BIGINT) AS simhash
+FROM (SELECT DISTINCT doc_id FROM {table}) d
+LEFT JOIN sigs s USING (doc_id)
+ORDER BY doc_id
+""".strip()
+
+
+def simhash_pairs_sql(max_hamming: int = 3,
+                      table: str = "documents") -> str:
+    """Exact all-pairs hamming mirror for :func:`simhash_near_dupes`:
+    equality holds whenever ``max_hamming < n_blocks`` (pigeonhole
+    recall 1) and no degenerate signature group exceeds the
+    ``max_group`` fallback cap — true by construction on the test
+    corpora (the fallback only triggers on thousands of identical
+    signatures)."""
+    return f"""
+WITH s AS MATERIALIZED ({simhash_sql(table)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.simhash AS UBIGINT),
+                    CAST(b.simhash AS UBIGINT))) <= {int(max_hamming)}
+ORDER BY doc_a, doc_b
+""".strip()
 
 
 class SimHashStage:

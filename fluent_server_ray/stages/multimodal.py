@@ -197,34 +197,68 @@ FROM documents""".strip())
 
 class EmbedStub:
     """Feature-extract stub: payload bytes → deterministic fake
-    embedding (hash-seeded unit vector). Real models would replace the
+    embedding (md5-derived unit vector). Real models would replace the
     vector function; batch-level inference shape is what's exercised
     (one vectorized call per batch, actor-pool residency for weights).
+
+    The fake's value function is deliberately SQL-reproducible so the
+    op is STRICTLY oracle-checkable end to end (:func:`embed_stub_sql`):
+    per dim j, ``raw_j = md5_number_upper(text ∥ U+001F ∥ j) % 2000001
+    − 1000000`` (an exact integer both sides), then ONE float64
+    normalization tree ``raw / sqrt(Σ raw²)`` — identical expression,
+    identical bits.
     """
 
     def __init__(self, dim: int = 16):
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        import hashlib
 
         texts = batch["text"].to_pylist()
-        h = pd.util.hash_array(np.asarray([t or "" for t in texts], dtype=object))
-        # expand each 64-bit hash into `dim` floats deterministically
-        mat = np.empty((len(texts), self.dim), dtype=np.float64)
-        x = h.copy()
-        for d in range(self.dim):
-            x = x * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
-            mat[:, d] = (x >> np.uint64(11)).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        n = len(texts)
+        raw = np.empty((n, self.dim), dtype=np.int64)
+        for i, t in enumerate(texts):
+            base = t or ""
+            for j in range(self.dim):
+                h = int.from_bytes(
+                    hashlib.md5(f"{base}\x1f{j}".encode("utf-8"))
+                    .digest()[:8], "little")
+                raw[i, j] = h % 2000001 - 1000000
+        norms = np.sqrt((raw * raw).sum(axis=1).astype(np.float64))
         norms[norms == 0] = 1.0
-        mat = mat / norms
+        mat = raw.astype(np.float64) / norms[:, None]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "embedding": pa.array(list(mat), type=pa.list_(pa.float64())),
             }
         )
+
+
+def embed_stub_sql(dim: int = 16, table: str = "documents") -> str:
+    """DuckDB mirror of :class:`EmbedStub` in LONG form
+    (doc_id, dim, v): the integer raws are exact both sides
+    (``md5_number_upper`` ≡ first-8-digest-bytes little-endian), and
+    the float64 division tree is shared verbatim."""
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT doc_id, g.j,
+    CAST(md5_number_upper(COALESCE(text, '') || chr(31)
+                          || CAST(g.j AS VARCHAR)) % 2000001 AS BIGINT)
+      - 1000000 AS r
+  FROM {table}, generate_series(0, {int(dim) - 1}) AS g(j)
+), norms AS (
+  SELECT doc_id,
+    CASE WHEN sum(r * r) = 0 THEN 1.0
+         ELSE sqrt(CAST(sum(r * r) AS DOUBLE)) END AS nrm
+  FROM raw GROUP BY doc_id
+)
+SELECT raw.doc_id, CAST(raw.j AS BIGINT) AS dim,
+  CAST(raw.r AS DOUBLE) / norms.nrm AS v
+FROM raw JOIN norms USING (doc_id)
+ORDER BY doc_id, dim
+""".strip()
 
 
 class ResizeStub:
