@@ -838,6 +838,20 @@ RETAG_RULES = [
 ]
 
 
+def _q_pseudonymize(sf_dir: str):
+    """Salted sha256 pseudonymization of the conversation id over the
+    live transcript stream (fluent-plugin-anonymizer / GDPR shape):
+    joins and groupbys on conv_id keep working, the raw id is gone.
+    Vectorized factorize-then-scatter; digest loop is per-DISTINCT-id,
+    not per-row."""
+    from fluent_server_ray.stages.hygiene import pseudonymize
+
+    ds = read_transcripts(sf_dir,
+                          columns=["conv_id", "turn_idx", "role"])
+    return pseudonymize(ds, cols=("conv_id",)).sort(
+        ["conv_id", "turn_idx"])
+
+
 def _q_throttle(sf_dir: str):
     """fluentd throttle: at most 5 events per (event_type, hour),
     deterministic first-by-(ts, id); one key-bucket exchange +
@@ -2340,6 +2354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_sample": _q_mixture_sample,
         "events_throttled": _q_throttle,
         "transcripts_retag": _q_retag,
+        "transcripts_pseudonymize": _q_pseudonymize,
         "transcripts_multiline": _q_multiline,
         "transcripts_suppress": _q_suppress,
         "trending_tags": _q_trending_tags,
@@ -2585,6 +2600,16 @@ GROUP BY event_type ORDER BY event_type
         + __import__("fluent_server_ray.stages.route",
                      fromlist=["retag_case_sql"]).retag_case_sql(RETAG_RULES)
         + " AS tag FROM routed",
+        "transcripts_pseudonymize": (
+            "WITH "
+            + __import__("fluent_server_ray.sources.transcripts",
+                         fromlist=["x"]).TRANSCRIPTS_SQL_CTE
+            + "\nSELECT "
+            + __import__("fluent_server_ray.stages.hygiene",
+                         fromlist=["pseudonymize_expr_sql"]
+                         ).pseudonymize_expr_sql("conv_id")
+            + " AS conv_id, turn_idx, role FROM transcripts"
+            " ORDER BY conv_id, turn_idx"),
         "bigram_top_pairs": textstats.bigram_top_sql(),
         "word_postings_index": textstats.word_postings_sql(max_docs=400),
         "events_value_pct_rank": features.percentile_rank_sql(),

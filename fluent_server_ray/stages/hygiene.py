@@ -687,3 +687,53 @@ WHERE CAST(len(regexp_extract_all(COALESCE({text_col}, ''), '[^ ]+'))
            AS BIGINT)
       >= (CASE {lang_col} {cases} ELSE {default} END)
 """.strip()
+
+
+def pseudonymize(ds, cols: tuple[str, ...] = ("conv_id",),
+                 salt: str = "fsr", keep: int = 16):
+    """Salted-hash pseudonymization of identifier columns (the
+    fluent-plugin-anonymizer shape; GDPR-style pseudonymization for
+    training corpora): each value is replaced by the first ``keep``
+    hex chars of ``sha256(salt ∥ ':' ∥ value)``. Same value → same
+    pseudonym, so joins/groupbys/dedup keyed on the column still work;
+    the original is unrecoverable without the salt. NULL stays NULL.
+
+    Vectorized via factorize-then-scatter: each DISTINCT value is
+    hashed ONCE per batch (identifier columns are low-distinct per
+    block — the digest loop is vocabulary-sized, not row-sized), then
+    broadcast back through the inverse codes. Non-string columns hash
+    their string form (mirror: ``CAST(col AS VARCHAR)``).
+    Embarrassingly parallel, no shuffle.
+    """
+    import hashlib
+
+    import pandas as pd_
+
+    cols = tuple(cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        for col in cols:
+            s = pc.cast(t[col], pa.string())
+            codes, uniques = pd_.factorize(
+                np.asarray(s.to_pylist(), dtype=object))
+            hashed = np.array(
+                [hashlib.sha256(f"{salt}:{u}".encode("utf-8"))
+                 .hexdigest()[:keep] for u in uniques],
+                dtype=object,
+            )
+            out = np.where(codes >= 0,
+                           hashed[np.clip(codes, 0, None)], None)
+            t = t.set_column(t.column_names.index(col), col,
+                             pa.array(out, type=pa.string()))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pseudonymize_expr_sql(col: str, salt: str = "fsr",
+                          keep: int = 16) -> str:
+    """The per-column expression mirroring :func:`pseudonymize`
+    (DuckDB sha256 == hashlib sha256 hex; NULL propagates through
+    the concatenation)."""
+    return (f"substr(sha256('{salt}' || ':' || CAST({col} AS VARCHAR)),"
+            f" 1, {int(keep)})")

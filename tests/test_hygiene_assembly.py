@@ -1017,3 +1017,37 @@ def test_log_templates_masking(ray_session):
         "ERR-<N> purchase failed": 1,
     }
     assert dict(zip(got.template, got.n_events)) == want
+
+
+def test_pseudonymize_matches_duckdb_and_preserves_nulls(ray_session):
+    """Salted sha256 pseudonym equals DuckDB's expression; same value
+    -> same pseudonym (groupby keys survive); NULL stays NULL;
+    non-string columns hash their VARCHAR form."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.hygiene import (
+        pseudonymize,
+        pseudonymize_expr_sql,
+    )
+
+    import pyarrow as pa
+
+    t = pa.table({
+        "conv_id": pa.array(["conv-1", "conv-2", "conv-1", None]),
+        "user_id": pa.array([7, 8, 7, 9], type=pa.int64()),
+        "n": pa.array([1, 2, 3, 4], type=pa.int64()),
+    })
+    df = t.to_pandas()
+    got = (pseudonymize(rd.from_arrow(t), cols=("conv_id", "user_id"))
+           .to_pandas().sort_values("n").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(f"""
+        SELECT {pseudonymize_expr_sql('conv_id')} AS conv_id,
+               {pseudonymize_expr_sql('user_id')} AS user_id, n
+        FROM t ORDER BY n""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[0, "conv_id"] == got.loc[2, "conv_id"]  # stable key
+    assert got.conv_id.isna().iloc[3]
