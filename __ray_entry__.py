@@ -1277,6 +1277,19 @@ def _q_conv_documents(sf_dir: str):
     )
 
 
+def _q_sft_loss_spans(sf_dir: str):
+    """SFT loss-mask spans: per turn, the character offsets of its
+    rendered ``role: text`` line inside the assembled conversation
+    document, and whether the span is trainable (assistant turns) or
+    masked context."""
+    from fluent_server_ray.stages.assembly import sft_loss_spans
+
+    return sft_loss_spans(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                          "text"])
+    )
+
+
 def _q_pack_sequences(sf_dir: str):
     """Deterministic concat-and-chunk sequence packing (the
     LM-pretraining sample-packing layout) — window-cumsum assignment,
@@ -2394,6 +2407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-set assembly
         "conv_running_stats": _q_conv_running_stats,
         "conv_documents": _q_conv_documents,
+        "sft_loss_spans": _q_sft_loss_spans,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_split_assign": _q_split_assign,
         # LM-quality / feature / cohort additions (round-3 session 5)
@@ -2653,6 +2667,7 @@ GROUP BY event_type ORDER BY event_type
         + "\nORDER BY doc_id",
         "conv_running_stats": assembly.running_turn_stats_sql(),
         "conv_documents": assembly.conv_to_documents_sql(),
+        "sft_loss_spans": assembly.sft_loss_spans_sql(),
         "doc_pack_sequences": assembly.pack_sequences_sql(),
         "doc_split_assign": assembly.split_assign_sql(),
         # round-3 session-5 additions

@@ -868,3 +868,68 @@ FROM islands
 GROUP BY conv_id, msg_idx
 ORDER BY conv_id, msg_idx"""
     )
+
+
+def sft_loss_spans(ds, trainable_role: str = "assistant",
+                   n_buckets: int = 64):
+    """Loss-mask spans for SFT training: for every turn, the character
+    offsets ``[start_off, end_off)`` of its rendered ``role: text``
+    line inside the conversation document that
+    :func:`conv_to_documents` assembles (newline-joined in stable
+    ``turn_idx`` order — per-turn text equality under stable ordering
+    is the engine's core invariant), plus whether the span is
+    TRAINABLE (loss applied — the ``trainable_role``'s tokens) or
+    masked context. A tokenizer-side masking step can consume these
+    spans directly without re-rendering the document; the joining
+    newline between turns belongs to no span.
+
+    Output: (conv_id, turn_idx, start_off, end_off, trainable).
+    Same single ``conv_id`` bucket exchange as
+    :func:`conv_to_documents`; offsets are one vectorized
+    cumsum/cumcount per bucket — no Python row loop."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        llen = (g["role"].str.len() + 2
+                + g["text"].str.len()).astype("int64")
+        keys = g["conv_id"].to_numpy()
+        grp = llen.groupby(keys, sort=False)
+        # start = (chars of prior lines) + (one newline per prior line)
+        start = (grp.cumsum() - llen + grp.cumcount()).astype("int64")
+        return pd.DataFrame({
+            "conv_id": keys,
+            "turn_idx": g["turn_idx"].to_numpy(),
+            "start_off": start.to_numpy(),
+            "end_off": (start + llen).to_numpy(),
+            "trainable": (g["role"] == trainable_role).to_numpy(),
+        })
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    bucketed = _with_bucket(ds.select_columns(cols), "conv_id", n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort(["conv_id", "turn_idx"])
+
+
+def sft_loss_spans_sql(trainable_role: str = "assistant") -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + f"""
+, lines AS (
+  SELECT conv_id, turn_idx,
+    length(role || ': ' || text) AS llen,
+    (role = '{trainable_role}') AS trainable
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+  CAST(sum(llen) OVER w - llen + row_number() OVER w - 1
+       AS BIGINT) AS start_off,
+  CAST(sum(llen) OVER w + row_number() OVER w - 1
+       AS BIGINT) AS end_off,
+  trainable
+FROM lines
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY conv_id, turn_idx"""
+    )

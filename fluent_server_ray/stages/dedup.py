@@ -281,7 +281,7 @@ def _word_hashes(text: str) -> np.ndarray:
     no SQL form). Per-worker token cache (bounded) amortizes the
     digest over the corpus vocabulary; empty text hashes to ``[0]``
     (signature 0 — the mirror's LEFT-JOIN COALESCE rule)."""
-    import hashlib
+    from fluent_server_ray.functions.hashing import md5_u64
 
     toks = list(dict.fromkeys(text.split()))  # unique words
     if not toks:
@@ -291,8 +291,7 @@ def _word_hashes(text: str) -> np.ndarray:
     for t in toks:
         v = cache.get(t)
         if v is None:
-            v = int.from_bytes(
-                hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            v = md5_u64(t)
             if len(cache) < (1 << 20):  # bound per-worker memory
                 cache[t] = v
         vals.append(v)

@@ -721,8 +721,12 @@ def pseudonymize(ds, cols: tuple[str, ...] = ("conv_id",),
                  .hexdigest()[:keep] for u in uniques],
                 dtype=object,
             )
-            out = np.where(codes >= 0,
-                           hashed[np.clip(codes, 0, None)], None)
+            # np.where evaluates both branches eagerly — with an
+            # all-NULL column uniques is empty and hashed[...] would
+            # IndexError, so scatter through a mask instead.
+            out = np.full(len(codes), None, dtype=object)
+            mask = codes >= 0
+            out[mask] = hashed[codes[mask]]
             t = t.set_column(t.column_names.index(col), col,
                              pa.array(out, type=pa.string()))
         return t

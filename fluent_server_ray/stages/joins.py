@@ -312,6 +312,19 @@ def asof_join(left, right, key: str, left_ts: str = "ts",
                                     if f.name == rc))
     ]
 
+    # No-match fallback nulls must match the OUTPUT dtype, not float64
+    # blanket NaN — a NaN column cannot cast to timestamp/string when
+    # the bucket result is coerced to out_schema.
+    def _null_series(index, typ):
+        if pa.types.is_timestamp(typ):
+            return pd.Series(pd.NaT, index=index,
+                             dtype=f"datetime64[{typ.unit}]")
+        if pa.types.is_floating(typ) or pa.types.is_integer(typ):
+            return pd.Series(np.nan, index=index, dtype="float64")
+        return pd.Series([None] * len(index), index=index, dtype=object)
+
+    out_types = {f.name: f.type for f in out_fields}
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0][lcols].sort_values([left_ts, key])
         rg = g[g["_side"] == 1][rcols]
@@ -326,10 +339,9 @@ def asof_join(left, right, key: str, left_ts: str = "ts",
                 raise ValueError(
                     f"asof_join: {out} exceeds 2^53 — float64 matched "
                     "representation would lose precision")
-        if lg.empty:
-            return lg.assign(**{o: np.nan for o in attach.values()})
-        if rg.empty:
-            return lg.assign(**{o: np.nan for o in attach.values()})
+        if lg.empty or rg.empty:
+            return lg.assign(**{o: _null_series(lg.index, out_types[o])
+                                for o in attach.values()})
         return pd.merge_asof(lg, rg, on=left_ts, by=key,
                              direction=direction,
                              allow_exact_matches=allow_exact_matches)

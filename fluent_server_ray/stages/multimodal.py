@@ -215,16 +215,20 @@ class EmbedStub:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
 
+        from fluent_server_ray.functions.hashing import md5_u64_prefixed
+
         texts = batch["text"].to_pylist()
         n = len(texts)
+        dim_sufs = [str(j).encode("utf-8") for j in range(self.dim)]
         raw = np.empty((n, self.dim), dtype=np.int64)
         for i, t in enumerate(texts):
-            base = t or ""
-            for j in range(self.dim):
-                h = int.from_bytes(
-                    hashlib.md5(f"{base}\x1f{j}".encode("utf-8"))
-                    .digest()[:8], "little")
-                raw[i, j] = h % 2000001 - 1000000
+            # md5(text ∥ 0x1f) is a shared prefix across the dim
+            # digests — hash the document ONCE, clone the md5 state
+            # per dim (bit-identical to md5(text ∥ 0x1f ∥ j), at
+            # 1/dim the hashing cost).
+            h0 = hashlib.md5((t or "").encode("utf-8") + b"\x1f")
+            for j, suf in enumerate(dim_sufs):
+                raw[i, j] = md5_u64_prefixed(h0, suf) % 2000001 - 1000000
         norms = np.sqrt((raw * raw).sum(axis=1).astype(np.float64))
         norms[norms == 0] = 1.0
         mat = raw.astype(np.float64) / norms[:, None]

@@ -1051,3 +1051,83 @@ def test_pseudonymize_matches_duckdb_and_preserves_nulls(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got.loc[0, "conv_id"] == got.loc[2, "conv_id"]  # stable key
     assert got.conv_id.isna().iloc[3]
+
+
+def test_pseudonymize_all_null_batch(ray_session):
+    """Round-4 review fix: an all-NULL identifier batch gave an empty
+    factorize uniques array and np.where's eager branch indexing
+    raised IndexError. NULL must stay NULL even when the whole block
+    is NULL."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.hygiene import pseudonymize
+
+    t = pa.table({
+        "conv_id": pa.array([None, None], type=pa.string()),
+        "n": pa.array([1, 2], type=pa.int64()),
+    })
+    got = pseudonymize(rd.from_arrow(t), cols=("conv_id",)).to_pandas()
+    assert got.conv_id.isna().all()
+    assert sorted(got.n) == [1, 2]
+
+
+def test_sft_loss_spans_offsets_and_mask(ray_session):
+    """SFT loss-mask spans: offsets slice the conv_to_documents
+    rendering back out exactly (per-turn text equality under stable
+    ordering — the engine's core invariant, applied to the mask);
+    trainable flags exactly the assistant turns; the final end_off
+    equals the document length; spans are separated by exactly the
+    one joining newline."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import (
+        conv_to_documents,
+        sft_loss_spans,
+    )
+
+    t = pa.table({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2"],
+        "turn_idx": pa.array([5, 1, 9, 0, 2], type=pa.int32()),
+        "role": ["assistant", "user", "tool", "user", "assistant"],
+        "text": ["fine", "how?", "", "héllo", "wörld"],
+    })
+    spans = sft_loss_spans(rd.from_arrow(t), n_buckets=2).to_pandas()
+    docs = (conv_to_documents(rd.from_arrow(t), n_buckets=2)
+            .to_pandas().set_index("conv_id"))
+    src = t.to_pandas().set_index(["conv_id", "turn_idx"])
+    for conv, g in spans.groupby("conv_id"):
+        doc = docs.loc[conv, "doc_text"]
+        g = g.sort_values("turn_idx").reset_index(drop=True)
+        prev_end = None
+        for r in g.itertuples():
+            line = doc[r.start_off:r.end_off]
+            role, text = src.loc[(conv, r.turn_idx), ["role", "text"]]
+            assert line == f"{role}: {text}"
+            assert r.trainable == (role == "assistant")
+            if prev_end is not None:
+                assert r.start_off == prev_end + 1  # the one newline
+            prev_end = r.end_off
+        assert prev_end == len(doc)
+
+
+def test_sft_loss_spans_matches_duckdb(ray_session):
+    """Driver-style strict check at sf0.001: engine spans equal the
+    SQL-window oracle row-for-row."""
+    import duckdb
+    import ray.data  # noqa: F401
+
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    ray_df = e.queries()["sft_loss_spans"](SF_SMALL).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/events.parquet')")
+    duck_df = con.execute(e.oracle_sql()["sft_loss_spans"]).df()
+    assert sorted(ray_df.columns) == sorted(duck_df.columns)
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = duck_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

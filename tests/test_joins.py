@@ -286,3 +286,39 @@ def test_asof_join_bucket_invariance_vs_global_merge_asof(ray_session):
                 got[["k", "ts", "lid", "prior_rid"]],
                 want[["k", "ts", "lid", "prior_rid"]],
                 check_dtype=False)
+
+
+def test_asof_join_bucket_with_no_right_rows_nonfloat_attach(ray_session):
+    """Round-4 review fix: a bucket holding left rows but ZERO right
+    rows used to assign blanket np.nan to every attach output — a
+    float64 column that cannot cast to the timestamp/string output
+    schema. Right keyed entirely away from the left keys forces the
+    empty-right fallback in every left bucket; timestamp and string
+    attach outputs must come back as typed nulls."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "k": [2, 2, 5],
+        "ts": [base + pd.Timedelta(minutes=m) for m in (1, 2, 3)],
+        "lid": [1, 2, 3],
+    })
+    right = pd.DataFrame({
+        "k": [9],  # never matches any left key
+        "ts": [base],
+        "note": ["x"],
+        "evt": [base - pd.Timedelta(days=1)],
+    })
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                     attach={"evt": "prior_evt", "note": "prior_note",
+                             "ts": "matched_ts"}, n_buckets=16)
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+    assert len(got) == 3
+    assert got.prior_evt.isna().all()
+    assert got.prior_note.isna().all()
+    assert got.matched_ts.isna().all()
+    assert str(got.prior_evt.dtype).startswith("datetime64")
+    assert str(got.matched_ts.dtype).startswith("datetime64")

@@ -2775,3 +2775,96 @@ def test_pearson_corr_equals_fraction_exact(ray_session):
         vy = N * sum(b * b for b in ys) - sum(ys) ** 2
         want = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
         assert got == want, (seed, scale)
+
+
+def test_pearson_oracle_bitexact_in_hugeint_cast_divergence_zone(
+        ray_session):
+    """Round-4 review fix: DuckDB's direct HUGEINT->DOUBLE cast is NOT
+    correctly rounded (~1% of >64-bit values off by 1 ulp), while the
+    engine's float(int) is — the mirror must enter float64 via
+    HUGEINT->VARCHAR->DOUBLE (correctly-rounded parse). This dataset
+    is PINNED so one of its exact variance terms (74 bits) sits on a
+    diverging value: with the old direct cast the strict comparison
+    fails; with the VARCHAR route engine == oracle bit-for-bit."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import (
+        pearson_corr,
+        pearson_corr_sql,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 200
+    df = pd.DataFrame({
+        "x": rng.integers(1_600_000_000, 1_800_000_000, n),
+        "y": rng.integers(1, 2_000_000_000, n),
+    })
+    # prove the pin still bites: at least one exact term's direct
+    # HUGEINT cast differs from python's correctly-rounded float()
+    sx, sy = int(df.x.sum()), int(df.y.sum())
+    sxy = sum(int(a) * int(b) for a, b in zip(df.x, df.y))
+    sxx = sum(int(a) ** 2 for a in df.x)
+    syy = sum(int(b) ** 2 for b in df.y)
+    terms = [n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy]
+    con = duckdb.connect()
+    diverges = [
+        v for v in terms if abs(v) >= (1 << 63)
+        and con.execute(
+            f"SELECT CAST(CAST('{v}' AS HUGEINT) AS DOUBLE)"
+        ).fetchone()[0] != float(v)
+    ]
+    assert diverges, "pin rotted: rotate the seed (see round-4 notes)"
+    con.register("t", df)
+    want = con.execute(pearson_corr_sql("x", "y", "t")).df()
+    got = pearson_corr(rd.from_pandas(df), "x", "y").to_pydict()
+    assert got["n"] == [int(want["n"].iloc[0])]
+    assert got["corr"] == [float(want["corr"].iloc[0])]  # bit-for-bit
+
+
+def test_pearson_corr_int64_min_does_not_wrap(ray_session):
+    """Round-4 review fix: np.abs(INT64_MIN) wraps to itself, so the
+    old peak check under-reported and took the int64 fast path, where
+    (-2^63)^2 silently wrapped to 0 (=> spurious 'zero variance').
+    x=[-2^63, 0] vs y=[0, 1] has exact corr 1.0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import pearson_corr
+
+    df = pd.DataFrame({"x": [-(1 << 63), 0], "y": [0, 1]})
+    got = pearson_corr(rd.from_pandas(df), "x", "y").to_pydict()
+    # num = 2^63, vx = 2^126, vy = 1 -> corr = 2^63/2^63 = 1.0 exactly
+    assert got["corr"] == [1.0]
+
+
+def test_embed_stub_prefix_state_equals_full_hash(ray_session):
+    """Round-4 review fix: EmbedStub hashes each document ONCE and
+    derives the per-dim digests from a copied md5 prefix state — must
+    stay bit-identical to the naive md5(text || 0x1f || j) loop the
+    SQL mirror implements."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.multimodal import EmbedStub
+
+    texts = ["", "héllo wörld", "a" * 10_000, "tab\tnew\nline"]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = EmbedStub(dim=16)(batch)
+    embs = out["embedding"].to_pylist()
+    for t, e in zip(texts, embs):
+        raw = [
+            int.from_bytes(
+                hashlib.md5(f"{t}\x1f{j}".encode()).digest()[:8],
+                "little") % 2000001 - 1000000
+            for j in range(16)
+        ]
+        nrm = sum(r * r for r in raw) ** 0.5 or 1.0
+        want = [r / nrm for r in raw]
+        assert e == want
