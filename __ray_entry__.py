@@ -355,6 +355,22 @@ def _q_dedup_clusters(sf_dir: str):
     return pair_components(pairs)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Near-dup CANONICALIZATION: one representative per duplicate
+    component — the LONGEST doc wins (ties → smallest id), singletons
+    kept as their own component. The keep-the-best-copy curation rule
+    applied after clustering."""
+    from fluent_server_ray.stages.dedup import (
+        keep_best_per_component,
+        ngram_jaccard_dupes,
+        pair_components,
+    )
+
+    docs = _docs(sf_dir)
+    comps = pair_components(ngram_jaccard_dupes(docs, threshold=0.8))
+    return keep_best_per_component(docs, comps)
+
+
 def _q_ann(sf_dir: str):
     from fluent_server_ray.stages.similarity import ann_topk
 
@@ -1287,6 +1303,19 @@ def _q_sft_loss_spans(sf_dir: str):
     return sft_loss_spans(
         read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
                                           "text"])
+    )
+
+
+def _q_conv_truncate(sf_dir: str):
+    """Context-window truncation: per conversation keep the newest
+    suffix of turns fitting a whitespace-token budget (final turn
+    always kept) — the SFT assembly step before packing."""
+    from fluent_server_ray.stages.assembly import conv_truncate_context
+
+    return conv_truncate_context(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                          "text"]),
+        max_tokens=64,
     )
 
 
@@ -2321,6 +2350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
         "dedup_substring": _q_dedup_substring,
         # similarity search
         "ann_cosine_topk": _q_ann,
@@ -2408,6 +2438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_running_stats": _q_conv_running_stats,
         "conv_documents": _q_conv_documents,
         "sft_loss_spans": _q_sft_loss_spans,
+        "conv_truncate_context": _q_conv_truncate,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_split_assign": _q_split_assign,
         # LM-quality / feature / cohort additions (round-3 session 5)
@@ -2548,6 +2579,9 @@ GROUP BY event_type ORDER BY event_type
         "dedup_clusters": dedup.pair_components_sql(
             dedup.ngram_jaccard_dupes_sql(threshold=0.8)
         ),
+        "dedup_keep_best": dedup.keep_best_per_component_sql(
+            dedup.ngram_jaccard_dupes_sql(threshold=0.8)
+        ),
         "dedup_cluster_sizes": (
             "WITH comp AS ("
             + dedup.pair_components_sql(
@@ -2668,6 +2702,8 @@ GROUP BY event_type ORDER BY event_type
         "conv_running_stats": assembly.running_turn_stats_sql(),
         "conv_documents": assembly.conv_to_documents_sql(),
         "sft_loss_spans": assembly.sft_loss_spans_sql(),
+        "conv_truncate_context": assembly.conv_truncate_context_sql(
+            max_tokens=64),
         "doc_pack_sequences": assembly.pack_sequences_sql(),
         "doc_split_assign": assembly.split_assign_sql(),
         # round-3 session-5 additions

@@ -933,3 +933,68 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
              ROWS UNBOUNDED PRECEDING)
 ORDER BY conv_id, turn_idx"""
     )
+
+
+def conv_truncate_context(ds, max_tokens: int = 64, n_buckets: int = 64):
+    """Context-window truncation — the SFT assembly step before
+    packing: per conversation keep the SUFFIX of turns whose
+    whitespace-token counts fit ``max_tokens`` (newest context wins;
+    chat trainers drop the oldest turns, not the newest). The newest
+    turn is ALWAYS kept even if alone over budget — downstream
+    tokenizer truncation owns that case, a dropped-whole-conversation
+    surprise helps nobody. A turn survives iff the total tokens of it
+    and every later turn ≤ budget, or it is the conversation's final
+    turn. Token rule: runs of non-space (``textstats.TOKEN_RE`` — the
+    engine's shared token contract, counted with the Arrow kernel
+    BEFORE the exchange so the bucket pass never touches text bytes
+    for counting).
+
+    Output: kept turns ``(conv_id, turn_idx, role, text, n_tok)``.
+    One ``conv_id`` bucket exchange; the reverse cumulative sum is a
+    single vectorized groupby-cumsum over each bucket."""
+    from fluent_server_ray.stages.textstats import TOKEN_RE
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE),
+                    pa.int64())
+        return t.append_column("n_tok", n)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # newest-first within conv => plain cumsum IS the reverse cumsum
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          ascending=[True, False])
+        grp = g.groupby("conv_id", sort=False)
+        rev_cum = grp["n_tok"].cumsum()
+        newest = grp.cumcount() == 0
+        kept = g[(rev_cum <= max_tokens) | newest]
+        return kept.sort_values(["conv_id", "turn_idx"])
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    counted = ds.select_columns(cols).map_batches(
+        count_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = _with_bucket(counted, "conv_id", n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+    return out.drop_columns(["_bucket"]).sort(["conv_id", "turn_idx"])
+
+
+def conv_truncate_context_sql(max_tokens: int = 64) -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + f"""
+, toks AS (
+  SELECT conv_id, turn_idx, role, text,
+    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tok
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role, text, n_tok FROM (
+  SELECT toks.*,
+    sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                     ROWS UNBOUNDED PRECEDING) AS rev_cum,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+      AS rn
+  FROM toks)
+WHERE rev_cum <= {max_tokens} OR rn = 1
+ORDER BY conv_id, turn_idx"""
+    )

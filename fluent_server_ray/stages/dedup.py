@@ -1961,3 +1961,86 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """.strip()
+
+
+def keep_best_per_component(docs_ds, comps_ds, score_col: str = "n_chars",
+                            id_col: str = "doc_id", n_buckets: int = 64):
+    """Near-dup CANONICALIZATION — the step after clustering: keep ONE
+    representative per duplicate component, the highest-``score_col``
+    doc (ties → smallest id), plus every unclustered doc as its own
+    trivial component. This is the "keep the longest/best copy" rule
+    large-crawl dedup pipelines apply once components are known, rather
+    than blind keep-min-id (which can retain a truncated variant).
+
+    ``comps_ds`` is :func:`pair_components` output ``(doc_id,
+    component)``; singletons are absent there by contract, so the
+    corpus side LEFT-joins and fills ``component = doc_id``.
+
+    Physical plan: one bucketed LEFT hash join of the (id, score)
+    corpus projection against the component table (single co-located
+    exchange), then :func:`aggregate.latest_by_key` — a combiner-first
+    per-component argmax (per-batch winner, ONE key exchange of ≤
+    blocks-per-component survivor rows, per-bucket re-argmax). Neither
+    the corpus nor the component table ever lands on the driver.
+
+    Returns a Dataset ``(doc_id, component, score_col)`` of KEPT docs,
+    sorted by component.
+    """
+    from fluent_server_ray.stages.aggregate import latest_by_key
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    scored = docs_ds.select_columns([id_col, score_col])
+    joined = bucketed_hash_join(scored, comps_ds, key=id_col,
+                                how="left", n_buckets=n_buckets)
+
+    def fill(t: pa.Table) -> pa.Table:
+        comp = t["component"]
+        ids = t[id_col]
+        if pa.types.is_floating(comp.type):
+            # fill-side unmatched rows come back float64 (the join's
+            # documented NaN-capable dtype); ids are exact in float64
+            # only below 2^53 — refuse rather than silently round.
+            if len(t) and pc.max(ids).as_py() >= (1 << 53):
+                raise ValueError(
+                    "keep_best_per_component: id exceeds 2^53 — the "
+                    "float64 fill-side representation would round it")
+            miss = pc.or_kleene(pc.is_null(comp), pc.is_nan(comp))
+            comp = pc.if_else(miss, pc.cast(ids, pa.float64()), comp)
+            comp = pc.cast(comp, pa.int64())
+        else:
+            comp = pc.fill_null(comp, ids)
+        # argmax tiebreak: latest_by_key orders every order-col DESC,
+        # so "smallest id wins ties" rides in as -id
+        neg = pc.negate_checked(pc.cast(ids, pa.int64()))
+        return pa.table({id_col: ids, "component": comp,
+                         score_col: t[score_col], "_neg_id": neg})
+
+    labeled = joined.map_batches(fill, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    best = latest_by_key(labeled, key="component",
+                         order_cols=[score_col, "_neg_id"],
+                         n_buckets=n_buckets)
+    return best.drop_columns(["_neg_id"])
+
+
+def keep_best_per_component_sql(pairs_sql: str,
+                                score_col: str = "n_chars",
+                                table: str = "documents") -> str:
+    """Mirror: recursive-CTE components over the same pair query, LEFT
+    join onto the corpus with singleton fill, then the window argmax
+    (score DESC, id ASC)."""
+    return f"""
+WITH comp AS (
+  {pair_components_sql(pairs_sql)}
+), scored AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+    d.{score_col}
+  FROM {table} d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, component, {score_col} FROM (
+  SELECT scored.*, row_number() OVER (
+    PARTITION BY component ORDER BY {score_col} DESC, doc_id ASC
+  ) AS _rn FROM scored
+) WHERE _rn = 1 ORDER BY component
+""".strip()

@@ -2868,3 +2868,88 @@ def test_embed_stub_prefix_state_equals_full_hash(ray_session):
         nrm = sum(r * r for r in raw) ** 0.5 or 1.0
         want = [r / nrm for r in raw]
         assert e == want
+
+
+def test_keep_best_per_component_semantics(ray_session):
+    """Canonicalization keeps the LONGEST doc per component (ties ->
+    smallest id) and every singleton: a component whose longest member
+    is NOT the min id must keep the long one (the blind keep-min-id
+    rule would keep the truncated copy), and a score tie must resolve
+    to the smaller id deterministically."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import keep_best_per_component
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11, 99], type=pa.int64()),
+        "n_chars": pa.array([5, 50, 20, 7, 7, 3], type=pa.int64()),
+    })
+    comps = pa.table({
+        # component {1,2,3} labeled 1 (min id), {10,11} labeled 10
+        "doc_id": pa.array([1, 2, 3, 10, 11], type=pa.int64()),
+        "component": pa.array([1, 1, 1, 10, 10], type=pa.int64()),
+    })
+    got = (keep_best_per_component(rd.from_arrow(docs),
+                                   rd.from_arrow(comps), n_buckets=8)
+           .to_pandas().sort_values("component").reset_index(drop=True))
+    # comp 1 -> doc 2 (longest, not min id); comp 10 -> doc 10 (tie,
+    # smaller id); singleton 99 -> itself
+    assert list(got.component) == [1, 10, 99]
+    assert list(got.doc_id) == [2, 10, 99]
+    assert list(got.n_chars) == [50, 7, 3]
+
+
+def test_keep_best_per_component_no_pairs(ray_session):
+    """An empty component table (no near-dups found) must keep every
+    doc as its own component — the empty-right-join edge."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import keep_best_per_component
+
+    docs = pa.table({
+        "doc_id": pa.array([4, 7], type=pa.int64()),
+        "n_chars": pa.array([9, 9], type=pa.int64()),
+    })
+    comps = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "component": pa.array([], type=pa.int64()),
+    })
+    got = (keep_best_per_component(rd.from_arrow(docs),
+                                   rd.from_arrow(comps), n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(got.doc_id) == [4, 7]
+    assert list(got.component) == [4, 7]
+
+
+def test_conv_truncate_context_suffix_rule(ray_session):
+    """Budget rule: keep the newest suffix whose token total fits; the
+    newest turn is ALWAYS kept even when alone over budget; a turn
+    exactly at the budget boundary survives."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import conv_truncate_context
+
+    t = pa.table({
+        "conv_id": ["a", "a", "a", "b", "c", "c"],
+        "turn_idx": pa.array([0, 1, 2, 0, 0, 1], type=pa.int32()),
+        "role": ["user", "assistant", "user",
+                 "user", "user", "assistant"],
+        "text": [
+            "one two three",        # 3 tok — pushes total to 6 > 5
+            "four five",            # 2 tok — suffix total 4
+            "six seven",            # 2 tok — suffix total 2
+            "w x y z a b c d",      # 8 tok > 5 but newest => kept
+            "p q r",                # 3 tok — suffix total 5 == budget
+            "s t",                  # 2 tok
+        ],
+    })
+    got = (conv_truncate_context(rd.from_arrow(t), max_tokens=5,
+                                 n_buckets=4)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    kept = list(zip(got.conv_id, got.turn_idx))
+    assert kept == [("a", 1), ("a", 2), ("b", 0), ("c", 0), ("c", 1)]
+    assert list(got.n_tok) == [2, 2, 8, 3, 2]
