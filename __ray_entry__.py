@@ -1306,6 +1306,17 @@ def _q_sft_loss_spans(sf_dir: str):
     )
 
 
+def _q_token_budget(sf_dir: str):
+    """Quality-ordered selection under a per-source TOKEN budget:
+    keep each source's best docs (alpha-ratio millionths DESC, id ASC)
+    while the inclusive token cumsum fits 600 — statistic-then-map
+    (bin-sum threshold scan + exact boundary-bin resolution), never a
+    whole-source sort."""
+    from fluent_server_ray.stages.sampling import select_token_budget
+
+    return select_token_budget(_docs(sf_dir), budget=600)
+
+
 def _q_conv_truncate(sf_dir: str):
     """Context-window truncation: per conversation keep the newest
     suffix of turns fitting a whitespace-token budget (final turn
@@ -2439,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_documents": _q_conv_documents,
         "sft_loss_spans": _q_sft_loss_spans,
         "conv_truncate_context": _q_conv_truncate,
+        "docs_token_budget": _q_token_budget,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_split_assign": _q_split_assign,
         # LM-quality / feature / cohort additions (round-3 session 5)
@@ -2672,6 +2684,7 @@ GROUP BY event_type ORDER BY event_type
         "vocab_top_words": textstats.vocab_top_words_sql(),
         "docs_weighted_sample": sampling.weighted_sample_sql(),
         "docs_per_source_cap": sampling.per_key_cap_sql(),
+        "docs_token_budget": sampling.select_token_budget_sql(budget=600),
         "docs_corpus_shuffle": sampling.shuffle_order_sql(),
         "docs_sample_bottomk": sampling.bottomk_sample_sql(),
         "user_funnel": windows.funnel_sql(),

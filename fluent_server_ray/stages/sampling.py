@@ -406,3 +406,176 @@ FROM {table} d JOIN t USING ({group_col})
 WHERE t.k >= {scale}
    OR substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 4) < printf('%04x', t.k)
 """.strip()
+
+
+def select_token_budget(ds, budget: int, group_col: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        len_col: str = "n_chars",
+                        max_boundary_rows: int = 1 << 22):
+    """Quality-ordered data selection under a per-group TOKEN budget —
+    "give me the best ``budget`` tokens from every source", the
+    curation step that turns a scored corpus into a training mix.
+
+    Rule (deterministic, windowable): within each group order docs by
+    (score DESC, id ASC) — score = alpha-ratio in integer millionths,
+    ``n_alpha * 1_000_000 // max(n_chars, 1)``, the exact-integer
+    quality contract shared with the SQL mirror — and keep the maximal
+    prefix whose inclusive token cumsum stays ≤ ``budget`` (tokens =
+    runs of non-space, the engine's shared token rule).
+
+    A naive per-group sort+cumsum puts a WHOLE SOURCE in one task —
+    the thing that OOMs at 100 TB. This is statistic-then-map instead:
+
+    1. one vectorized pass → (id, group, score, n_tok);
+    2. per-(group, score-bin) token sums via the distributed combiner
+       merge (``grouped_agg(final='ray')`` — the (group × millionths)
+       key space is unbounded, the driver never holds it);
+    3. per-group threshold scan over its ≤ 1e6+1 bins (one map_groups
+       task per group): full bins fit while the bin cumsum ≤ budget;
+       the FIRST bin crossing the budget is the group's single
+       boundary bin, carrying the remaining budget. One tiny row per
+       group reaches the driver (bounded by |groups|) and broadcasts;
+    4. docs strictly above the threshold keep unconditionally (pure
+       filter); only the boundary bin's docs take a second ordered
+       pass (id-ASC cumsum against the remaining budget). A degenerate
+       corpus where one (group, score) bin holds > ``max_boundary_rows``
+       docs raises rather than silently serializing onto one task.
+
+    Returns kept ``(id, group, score, n_tok)`` sorted by (group, id).
+    Equality with the window mirror: a doc's inclusive global cumsum ≤
+    budget ⟺ its bin fully fits, or it sits in the boundary bin with
+    intra-bin cumsum ≤ remaining — later bins start past the budget
+    (cumsums are monotone; zero-token docs follow the same algebra).
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.textstats import TOKEN_RE
+
+    def score_pass(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        n_alpha = pc.cast(
+            pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())
+        n_chars = pc.max_element_wise(
+            pc.cast(t[len_col], pa.int64()), pa.scalar(1, pa.int64()))
+        score = pc.divide(pc.multiply(n_alpha, pa.scalar(1_000_000,
+                                                         pa.int64())),
+                          n_chars)
+        n_tok = pc.cast(pc.count_substring_regex(text, TOKEN_RE),
+                        pa.int64())
+        return pa.table({id_col: t[id_col], group_col: t[group_col],
+                         "score": score, "n_tok": n_tok})
+
+    scored = ds.map_batches(score_pass, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # multi-consumer below (filter + boundary pass) — materialize the
+    # projection once so the upstream read/score doesn't re-execute
+    scored = scored.materialize()
+
+    bins = grouped_agg(scored, [group_col, "score"],
+                       [("n_tok", "sum")], final="ray")
+
+    def thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("score", ascending=False)
+        cum = g["n_tok_sum"].cumsum()
+        pre = cum - g["n_tok_sum"]
+        over = cum > budget
+        if not over.any():  # whole group fits: thr=-1 keeps all
+            # (scores are ≥ 0; a typed sentinel keeps the block schema
+            # int64 everywhere — a None here would give this group a
+            # null-typed column and flip schemas across blocks)
+            return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                                 "thr": [-1], "rem": [0]})
+        i = int(np.argmax(over.to_numpy()))
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "thr": [int(g["score"].iloc[i])],
+            "rem": [int(budget - pre.iloc[i])],
+        })
+
+    # one row per group: bounded by |groups| (the source mix), so the
+    # driver collect is the statistic, not the data
+    thr_tbl = (bins.groupby(group_col)
+               .map_groups(thresholds, batch_format="pandas")
+               .to_pandas())
+    thr = {r[group_col]: (int(r["thr"]), int(r["rem"]))
+           for _, r in thr_tbl.iterrows()}
+
+    def _thr_of(t: pa.Table) -> np.ndarray:
+        # factorize-then-scatter: the dict lookup runs per DISTINCT
+        # group in the batch, never per row
+        codes, uniques = pd.factorize(
+            pd.Series(t[group_col].to_pandas()), sort=False)
+        per_u = np.array([thr.get(u, (-1, 0))[0] for u in uniques],
+                         dtype=np.int64)
+        return per_u[codes]
+
+    def keep_full(t: pa.Table) -> pa.Table:
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(sc > _thr_of(t)))
+
+    def boundary_only(t: pa.Table) -> pa.Table:
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(sc == _thr_of(t)))
+
+    full = scored.map_batches(keep_full, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def resolve_boundary(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_boundary_rows:
+            raise ValueError(
+                f"select_token_budget: boundary bin for group "
+                f"{g[group_col].iloc[0]!r} holds {len(g)} rows > "
+                f"max_boundary_rows={max_boundary_rows} — a degenerate "
+                "single-score group; raise the cap or refine the score")
+        g = g.sort_values(id_col)
+        rem = thr[g[group_col].iloc[0]][1]
+        return g[g["n_tok"].cumsum() <= rem]
+
+    bdocs = scored.map_batches(boundary_only, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    # an EMPTY map_groups output (e.g. budget=0) serializes as a
+    # column-less pandas block and poisons the union's schema — coerce
+    # every boundary block back to the scored schema explicitly
+    sch = scored.schema().base_schema
+    cols = [id_col, group_col, "score", "n_tok"]
+    out_schema = pa.schema([(c, sch.field(c).type) for c in cols])
+    empty_tbl = pa.table(
+        {c: pa.array([], type=sch.field(c).type) for c in cols})
+
+    def coerce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty_tbl
+        return t.select(cols).cast(out_schema)
+
+    bkept = (bdocs.groupby(group_col)
+             .map_groups(resolve_boundary, batch_format="pandas")
+             # union() requires both sides on the same block type —
+             # re-encode the pandas map_groups blocks as Arrow
+             .map_batches(coerce, batch_format="pyarrow"))
+    return full.union(bkept).sort([group_col, id_col])
+
+
+def select_token_budget_sql(budget: int, group_col: str = "source",
+                            id_col: str = "doc_id",
+                            len_col: str = "n_chars",
+                            table: str = "documents") -> str:
+    """Window mirror of the same prefix-under-budget rule."""
+    return f"""
+WITH scored AS (
+  SELECT {id_col}, {group_col},
+    len(regexp_extract_all(text, '[A-Za-z]')) * 1000000
+      // greatest({len_col}, 1) AS score,
+    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tok
+  FROM {table}
+)
+SELECT {id_col}, {group_col}, CAST(score AS BIGINT) AS score, n_tok
+FROM (
+  SELECT scored.*, sum(n_tok) OVER (
+    PARTITION BY {group_col} ORDER BY score DESC, {id_col} ASC
+    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored)
+WHERE cum <= {budget}
+ORDER BY {group_col}, {id_col}
+""".strip()

@@ -2953,3 +2953,71 @@ def test_conv_truncate_context_suffix_rule(ray_session):
     kept = list(zip(got.conv_id, got.turn_idx))
     assert kept == [("a", 1), ("a", 2), ("b", 0), ("c", 0), ("c", 1)]
     assert list(got.n_tok) == [2, 2, 8, 3, 2]
+
+
+def _budget_reference(df, budget):
+    """Brute-force prefix-under-budget: the window rule, in pandas."""
+    df = df.copy()
+    df["score"] = (df.text.str.count("[A-Za-z]") * 1_000_000
+                   // df.n_chars.clip(lower=1))
+    df["n_tok"] = df.text.str.count("[^ ]+")
+    out = []
+    for _, g in df.groupby("source"):
+        g = g.sort_values(["score", "doc_id"],
+                          ascending=[False, True])
+        keep = g[g.n_tok.cumsum() <= budget]
+        out.append(keep[["doc_id", "source", "score", "n_tok"]])
+    import pandas as pd
+    return (pd.concat(out).sort_values(["source", "doc_id"])
+            .reset_index(drop=True))
+
+
+def test_select_token_budget_matches_reference(ray_session):
+    """Randomized pin: the distributed statistic-then-map plan equals
+    the brute-force per-group sorted prefix rule — including tied
+    scores inside the boundary bin (several docs share a score so the
+    intra-bin id-ASC cumsum actually decides)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sampling import select_token_budget
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "9", "##", "gamma delta", "x y z"]
+    rows = []
+    for i in range(200):
+        text = " ".join(rng.choice(words, rng.integers(1, 12)))
+        rows.append({"doc_id": i, "source": f"s{i % 4}", "text": text,
+                     "n_chars": len(text)})
+    df = pd.DataFrame(rows)
+    for budget in (0, 7, 40, 10_000):
+        got = (select_token_budget(rd.from_pandas(df), budget=budget)
+               .to_pandas().reset_index(drop=True))
+        want = _budget_reference(df, budget)
+        if len(want) == 0:
+            # Ray's to_pandas() on an all-empty dataset drops the
+            # column schema entirely — assert emptiness only
+            assert len(got) == 0
+        else:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_select_token_budget_degenerate_bin_guard(ray_session):
+    """A group where every doc lands in ONE score bin puts the whole
+    group in the boundary pass — the cap must raise, not serialize."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sampling import select_token_budget
+
+    df = pd.DataFrame({
+        "doc_id": range(10),
+        "source": ["s"] * 10,
+        "text": ["aa bb"] * 10,   # identical score, 2 tokens each
+        "n_chars": [5] * 10,
+    })
+    with pytest.raises(ValueError, match="boundary bin"):
+        select_token_budget(rd.from_pandas(df), budget=4,
+                            max_boundary_rows=3).to_pandas()
