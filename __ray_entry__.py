@@ -869,9 +869,9 @@ def _q_pseudonymize(sf_dir: str):
 
 
 def _q_throttle(sf_dir: str):
-    """fluentd throttle: at most 5 events per (event_type, hour),
-    deterministic first-by-(ts, id); one key-bucket exchange +
-    per-bucket vectorized rank."""
+    """fluentd throttle: at most 5 events per (event_type, 10-minute
+    tumbling window), deterministic first-by-(ts, id); one key-bucket
+    exchange + per-bucket vectorized rank."""
     from fluent_server_ray.stages.windows import throttle
 
     return throttle(
@@ -1936,6 +1936,33 @@ def _q_rebalance(sf_dir: str):
                            columns=["doc_id", "source"]))
 
 
+def _q_temperature_sample(sf_dir: str):
+    """XLM-style temperature resampling (alpha=0.5) over the SKEWED
+    language mix (the op's published use-case): per-language keep-rate
+    sqrt(min_n/n) via exact isqrt integer thresholds over the
+    md5-4-hex coin — bounded grouped count, then a pure filter.
+    (The `source` column is uniform in the test corpus — grouping by
+    it would keep every row and never exercise the threshold.)"""
+    from fluent_server_ray.stages.sampling import temperature_sample
+
+    return temperature_sample(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"]),
+        group_col="lang")
+
+
+def _q_rolling_value(sf_dir: str):
+    """Per-user moving aggregate of the last 5 events by (ts, id):
+    int64-micros cumsum-minus-shift inside one key-bucket exchange;
+    SQL window-frame semantics incl. NULL handling."""
+    from fluent_server_ray.stages.windows import rolling_agg
+
+    return rolling_agg(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts",
+                                    "value"]))
+
+
 def _q_docs_diff(sf_dir: str):
     """Keyed dataset diff between a corpus and its simulated next
     pipeline version (every 7th doc dropped, every remaining 5th doc
@@ -2498,6 +2525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized": _q_winsorize,
         "docs_diff_versions": _q_docs_diff,
         "docs_rebalance_sources": _q_rebalance,
+        "docs_temperature_sample": _q_temperature_sample,
+        "events_rolling_value": _q_rolling_value,
         "doc_split_by_content": _q_split_by_content,
         "doc_chunk_dedup": _q_chunk_dedup,
         "dedup_cluster_sizes": _q_cluster_sizes,
@@ -2873,6 +2902,9 @@ FROM c ORDER BY doc_id
         "events_psi_drift": features.psi_drift_sql(
             "event_id % 2 = 0", "event_id % 2 = 1"),
         "docs_rebalance_sources": sampling.rebalance_by_key_sql(),
+        "docs_temperature_sample": sampling.temperature_sample_sql(
+            group_col="lang"),
+        "events_rolling_value": windows.rolling_agg_sql(),
         "doc_split_by_content": (
             "SELECT doc_id, " + assembly.split_case_sql("text")
             + " AS split FROM documents"),

@@ -579,3 +579,124 @@ FROM (
 WHERE cum <= {budget}
 ORDER BY {group_col}, {id_col}
 """.strip()
+
+
+def temperature_sample(ds, alpha: float = 0.5,
+                       group_col: str = "source",
+                       id_col: str = "doc_id", scale: int = 65_536):
+    """Temperature-based source resampling (the multilingual-LM mixing
+    rule of Conneau & Lample 2019 / mBERT): per-source keep-rate
+    ``(min_n / n_s)^(1-alpha)`` — ``alpha=1`` keeps the natural mix,
+    ``alpha=0`` flattens to the smallest source (exactly
+    :func:`rebalance_by_key`), the default ``alpha=0.5`` (temperature
+    T=2) is the published sweet spot that upsamples the tail without
+    drowning the head. ``alpha`` is restricted to {0.0, 0.5, 1.0}: the
+    keep-rate must be EXACT integer arithmetic on both engines, and
+    those three exponents have exact forms (identity, isqrt, one).
+
+    Two passes, statistic-then-map (same shape as
+    :func:`rebalance_by_key`): a bounded grouped count, then per-source
+    integer thresholds over the md5-4-hex-prefix coin —
+    ``k_s = isqrt((scale² · min_n) // n_s)`` for alpha=0.5, computed in
+    exact Python ints engine-side and mirrored in SQL by a
+    float-sqrt-plus-correction (floor(sqrt(x)) can be off by one ulp at
+    perfect squares; the ±1 fixup makes it exact isqrt). Output
+    (id, group) for survivors."""
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    if alpha not in (0.0, 0.5, 1.0):
+        raise ValueError(
+            f"alpha must be one of 0.0, 0.5, 1.0 (got {alpha}) — other "
+            "exponents have no exact integer threshold form shared "
+            "with the SQL mirror")
+
+    counts = grouped_counts(
+        ds.map_batches(lambda t: t.select([group_col]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+    )
+    if len(counts) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            group_col: pa.array([], type=pa.string()),
+        }))
+    import math
+
+    ns = {g: int(n) for g, n in zip(counts[group_col].to_pylist(),
+                                    counts["n"].to_pylist())}
+    min_n = min(ns.values())
+    if alpha == 1.0:
+        thr = {g: scale for g in ns}
+    elif alpha == 0.0:
+        thr = {g: (min_n * scale) // n for g, n in ns.items()}
+    else:
+        thr = {g: math.isqrt((scale * scale * min_n) // n)
+               for g, n in ns.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hexes = _md5_hex(ids)
+        gs = t[group_col].to_pylist()
+        mask = pa.array([
+            thr.get(g, 0) >= scale or h[:4] < format(thr.get(g, 0), "04x")
+            for g, h in zip(gs, hexes)
+        ])
+        return t.select([id_col, group_col]).filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def temperature_sample_sql(alpha: float = 0.5,
+                           group_col: str = "source",
+                           id_col: str = "doc_id", scale: int = 65_536,
+                           table: str = "documents") -> str:
+    """Standalone mirror: derives the same integer thresholds in SQL.
+    For alpha=0.5 the isqrt is float sqrt + a ±1 correction (exact)."""
+    if alpha == 1.0:
+        k_expr = f"{scale}"
+    elif alpha == 0.0:
+        k_expr = f"(m.mn * {scale}) // n"
+    elif alpha == 0.5:
+        # x fits HUGEINT; x ≤ scale² so kr ≤ scale and kr² fits BIGINT
+        return f"""
+WITH c AS (
+  SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+), m AS (
+  SELECT min(n) AS mn FROM c
+), x AS (
+  SELECT {group_col},
+    CAST((CAST({scale} AS HUGEINT) * {scale} * m.mn) // n AS BIGINT) AS xv
+  FROM c, m
+), kr AS (
+  SELECT {group_col}, xv,
+    CAST(floor(sqrt(CAST(xv AS DOUBLE))) AS BIGINT) AS kraw
+  FROM x
+), t AS (
+  SELECT {group_col},
+    kraw + CASE WHEN (kraw + 1) * (kraw + 1) <= xv THEN 1
+                WHEN kraw * kraw > xv THEN -1 ELSE 0 END AS k
+  FROM kr
+)
+SELECT d.{id_col}, d.{group_col}
+FROM {table} d JOIN t USING ({group_col})
+WHERE t.k >= {scale}
+   OR substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 4) < printf('%04x', t.k)
+""".strip()
+    else:
+        raise ValueError(f"alpha must be one of 0.0, 0.5, 1.0 (got {alpha})")
+    return f"""
+WITH c AS (
+  SELECT {group_col}, count(*) AS n FROM {table} GROUP BY {group_col}
+), m AS (
+  SELECT min(n) AS mn FROM c
+), t AS (
+  SELECT {group_col}, {k_expr} AS k FROM c, m
+)
+SELECT d.{id_col}, d.{group_col}
+FROM {table} d JOIN t USING ({group_col})
+WHERE t.k >= {scale}
+   OR substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 4) < printf('%04x', t.k)
+""".strip()

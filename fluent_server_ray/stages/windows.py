@@ -617,63 +617,6 @@ def sliding_counts_sql(width_seconds: int = 3600, slide_seconds: int = 1800,
     )
 
 
-def throttle(ds, key_col: str = "event_type", ts_col: str = "ts",
-             id_col: str = "event_id", width_seconds: int = 3600,
-             limit: int = 5, n_buckets: int = 64):
-    """fluentd ``throttle`` semantics: keep at most ``limit`` events
-    per (key, tumbling window), chosen deterministically as the FIRST
-    by (ts, id) — the log-pipeline rate limiter (a misbehaving tag
-    cannot flood its sink).
-
-    Shape: the window id is a row-wise column (same epoch_us // width
-    rule as every tumbling operator here), then ONE hash-bucket
-    exchange on the key and a per-bucket vectorized rank
-    (groupby-cumcount over the whole bucket, C kernels, never a
-    Python per-group loop). A hot key stays inside one bucket; the
-    exchange carries only (id, key, window, ts)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
-                                                    skip_empty)
-
-    def prep(t: pa.Table) -> pa.Table:
-        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
-        win = pc.divide(pc.divide(us, 1_000_000), width_seconds)
-        return pa.table({
-            id_col: t[id_col], key_col: t[key_col], ts_col: t[ts_col],
-            "_win": win,
-            "_bucket": pa.array(hash_bucket_array(t[key_col], n_buckets)),
-        })
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, "_win", ts_col, id_col])
-        keep = g.groupby([key_col, "_win"], sort=False).cumcount() < limit
-        return g.loc[keep, [id_col, key_col, ts_col]]
-
-    return (
-        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
-
-
-def throttle_sql(key_col: str = "event_type", ts_col: str = "ts",
-                 id_col: str = "event_id", width_seconds: int = 3600,
-                 limit: int = 5, table: str = "events") -> str:
-    return f"""
-SELECT {id_col}, {key_col}, {ts_col} FROM (
-  SELECT {id_col}, {key_col}, {ts_col},
-         row_number() OVER (
-           PARTITION BY {key_col},
-                        (epoch_us({ts_col}) // 1000000) // {width_seconds}
-           ORDER BY {ts_col}, {id_col}) AS rn
-  FROM {table}
-) WHERE rn <= {limit}
-""".strip()
-
-
 def window_topk(ds, key_col: str = "tag", ts_col: str = "ts",
                 width_seconds: int = 3600, k: int = 3,
                 n_buckets: int = 64):
@@ -961,5 +904,108 @@ SELECT {id_col}, {key_col}, window_start FROM (
   FROM {table}
 )
 WHERE rn <= {limit}
+ORDER BY {id_col}
+""".strip()
+
+
+def rolling_agg(ds, k: int = 5, key_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                value_col: str = "value", n_buckets: int = 64):
+    """Per-key rolling aggregate over the last ``k`` rows (inclusive),
+    ordered by ``(ts, id)`` — the moving-average feature of per-user
+    behavioral pipelines (``ROWS k-1 PRECEDING`` in SQL).
+
+    Integer-exact contract: the value floors to int64 MICROS
+    (``floor(value · 1e6)`` — one IEEE multiply + floor, identical on
+    both engines), rolling sums are int64 cumsum differences (never a
+    float accumulation whose order could drift), and the exposed mean
+    is ONE float64 division. NULL values follow SQL window semantics:
+    excluded from sum and count; an all-NULL window yields NULL sum
+    and mean. NULL keys form their own partition.
+
+    Shape: ONE hash-bucket exchange on the key co-locates each key's
+    rows; inside a bucket the rolling window is a vectorized
+    cumsum-minus-shift over the whole sorted bucket (a row ``k`` back
+    is in the same key iff its cumcount ≥ k — the frame never needs a
+    per-key Python loop). Rows carry only (id, key, ts-micros, value
+    micros). Output: (id, key, roll_sum_micros, roll_n, roll_mean)
+    sorted by id.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        vm = pc.floor(pc.multiply(pc.cast(t[value_col], pa.float64()),
+                                  pa.scalar(1_000_000.0)))
+        return pa.table({
+            id_col: t[id_col], key_col: t[key_col], "_us": us,
+            "_vm": pc.cast(vm, pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_us", id_col],
+                          na_position="first").reset_index(drop=True)
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        seq = grp.cumcount().to_numpy()
+        s = g["_vm"]
+        nn = s.notna().to_numpy()
+        vm_filled = s.fillna(0).to_numpy(dtype="int64")
+        cs = np.cumsum(vm_filled)
+        cn = np.cumsum(nn.astype(np.int64))
+        # window width w = min(seq+1, k); the exclusive prefix row is
+        # idx-w — for seq < k that is the row just BEFORE this key's
+        # first row (the global cumsum there is exactly the prior
+        # keys' prefix), for seq >= k it is the same key k rows back
+        idx = np.arange(len(g))
+        w = np.minimum(seq + 1, k)
+        pidx = idx - w
+        valid = pidx >= 0
+        prev_cs = np.where(valid, cs[np.maximum(pidx, 0)], 0)
+        prev_cn = np.where(valid, cn[np.maximum(pidx, 0)], 0)
+        roll_sum = cs - prev_cs
+        roll_n = cn - prev_cn
+        mean = np.where(roll_n > 0,
+                        roll_sum.astype(np.float64)
+                        / np.maximum(roll_n, 1).astype(np.float64),
+                        np.nan)
+        out = pd.DataFrame({
+            id_col: g[id_col],
+            key_col: g[key_col],
+            "roll_sum_micros": pd.array(roll_sum, dtype="Int64"),
+            "roll_n": roll_n,
+            "roll_mean": mean,
+        })
+        out.loc[roll_n == 0, "roll_sum_micros"] = pd.NA
+        return out
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    bucketed = _with_bucket(prepped, key_col, n_buckets)
+    out = bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return out.sort(id_col)
+
+
+def rolling_agg_sql(k: int = 5, key_col: str = "user_id",
+                    ts_col: str = "ts", id_col: str = "event_id",
+                    value_col: str = "value",
+                    table: str = "events") -> str:
+    return f"""
+WITH v AS (
+  SELECT {id_col}, {key_col}, {ts_col},
+    CAST(floor({value_col} * 1000000) AS BIGINT) AS vm
+  FROM {table}
+)
+SELECT {id_col}, {key_col},
+  sum(vm) OVER w AS roll_sum_micros,
+  count(vm) OVER w AS roll_n,
+  CAST(sum(vm) OVER w AS DOUBLE) / nullif(count(vm) OVER w, 0)
+    AS roll_mean
+FROM v
+WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+             ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
 ORDER BY {id_col}
 """.strip()

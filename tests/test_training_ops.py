@@ -3021,3 +3021,112 @@ def test_select_token_budget_degenerate_bin_guard(ray_session):
     with pytest.raises(ValueError, match="boundary bin"):
         select_token_budget(rd.from_pandas(df), budget=4,
                             max_boundary_rows=3).to_pandas()
+
+
+def test_temperature_sample_rates_and_edges(ray_session):
+    """alpha=0.5 keep-rate per source ≈ sqrt(min_n/n) (exact integer
+    threshold over the md5-4-hex coin, checked by brute force); the
+    smallest source keeps everything; alpha=0 equals rebalance_by_key;
+    alpha=1 keeps the natural mix whole."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.sampling import (rebalance_by_key,
+                                                   temperature_sample)
+
+    rows = []
+    i = 0
+    for src, n in [("big", 800), ("mid", 200), ("small", 50)]:
+        for _ in range(n):
+            rows.append({"doc_id": i, "source": src})
+            i += 1
+    df = pd.DataFrame(rows)
+
+    got = (temperature_sample(rd.from_pandas(df), alpha=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # brute-force the same contract
+    scale = 65_536
+    ns = df.source.value_counts().to_dict()
+    mn = min(ns.values())
+    thr = {g: math.isqrt((scale * scale * mn) // n)
+           for g, n in ns.items()}
+    m = df.apply(lambda r: thr[r.source] >= scale
+                 or hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4]
+                 < format(thr[r.source], "04x"), axis=1)
+    want = df[m].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # the smallest source survives whole (threshold == scale)
+    assert (got.source == "small").sum() == 50
+    # keep-rate ordering: smaller sources keep a larger fraction
+    rates = {g: (got.source == g).sum() / n for g, n in ns.items()}
+    assert rates["small"] >= rates["mid"] >= rates["big"]
+
+    # alpha=0 ≡ rebalance_by_key
+    a0 = (temperature_sample(rd.from_pandas(df), alpha=0.0)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    rb = (rebalance_by_key(rd.from_pandas(df))
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a0, rb, check_dtype=False)
+
+    # alpha=1 keeps every row
+    a1 = temperature_sample(rd.from_pandas(df), alpha=1.0).to_pandas()
+    assert len(a1) == len(df)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(rd.from_pandas(df), alpha=0.3)
+
+
+def test_rolling_agg_matches_pandas_reference(ray_session):
+    """Randomized pin incl. NULL values, NULL keys and ts ties: the
+    bucketed cumsum-minus-shift rolling window equals a brute-force
+    per-key pandas rolling over (ts, id) order."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import rolling_agg
+
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 12, n).astype("float64"),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 50, n), unit="s"),  # many ties
+        "value": rng.normal(0, 100, n),
+    })
+    df.loc[rng.choice(n, 30, replace=False), "value"] = np.nan
+    df.loc[rng.choice(n, 20, replace=False), "user_id"] = np.nan
+
+    k = 4
+    got = (rolling_agg(rd.from_pandas(df), k=k)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    ref = df.copy()
+    ref["vm"] = np.floor(ref.value * 1e6)
+    rows = []
+    for uid, g in ref.groupby("user_id", dropna=False):
+        g = g.sort_values(["ts", "event_id"])
+        vm = g.vm.to_numpy()
+        for j in range(len(g)):
+            win = vm[max(0, j - k + 1):j + 1]
+            nn = win[~np.isnan(win)]
+            rows.append({
+                "event_id": int(g.event_id.iloc[j]),
+                "user_id": uid,
+                "roll_sum_micros": (np.nan if len(nn) == 0
+                                    else int(nn.sum())),
+                "roll_n": len(nn),
+                "roll_mean": (np.nan if len(nn) == 0
+                              else float(int(nn.sum())) / len(nn)),
+            })
+    want = (pd.DataFrame(rows).sort_values("event_id")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
