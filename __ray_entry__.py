@@ -1963,6 +1963,24 @@ def _q_rolling_value(sf_dir: str):
                                     "value"]))
 
 
+def _q_oov_rate(sf_dir: str):
+    """Tokenizer-coverage gate: per-doc out-of-vocab rate vs the
+    corpus's own top-200 vocabulary — distributed vocab build, then a
+    broadcast membership check (one index_in per batch)."""
+    from fluent_server_ray.stages.textstats import oov_rate
+
+    return oov_rate(_docs(sf_dir), vocab_k=200)
+
+
+def _q_source_token_kl(sf_dir: str):
+    """Data-mixing drift: per-language KL divergence of the token
+    distribution from the corpus blend — word-bucket exchange folds
+    c_w locally; floored-log int64 contract."""
+    from fluent_server_ray.stages.textstats import source_token_kl
+
+    return source_token_kl(_docs(sf_dir), group_col="lang")
+
+
 def _q_docs_diff(sf_dir: str):
     """Keyed dataset diff between a corpus and its simulated next
     pipeline version (every 7th doc dropped, every remaining 5th doc
@@ -2507,6 +2525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context_windows": _q_conv_windows,
         "quality_curriculum_mix": _q_quality_curriculum,
         "doc_token_entropy": _q_token_entropy,
+        "doc_oov_rate": _q_oov_rate,
+        "lang_token_kl": _q_source_token_kl,
         "tool_transition_counts": _q_tool_transitions,
         "doc_dup_ngram_frac": _q_dup_ngram_frac,
         "doc_bm25_topk": _q_bm25_topk,
@@ -2876,6 +2896,8 @@ FROM c ORDER BY doc_id
                 width_seconds=600, threshold=2.0, table="routed",
                 key_col="sink")[len("WITH "):]),
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
+        "doc_oov_rate": textstats.oov_rate_sql(vocab_k=200),
+        "lang_token_kl": textstats.source_token_kl_sql(group_col="lang"),
         "tool_transition_counts": assembly.tool_transitions_sql(),
         "doc_dup_ngram_frac": hygiene.dup_ngram_fraction_sql(),
         "doc_bm25_topk": textstats.bm25_topk_sql(BM25_QUERY_TERMS, k=20),

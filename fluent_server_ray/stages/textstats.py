@@ -1928,3 +1928,229 @@ SELECT d.doc_id, CAST(strlen(COALESCE(d.text, '')) AS BIGINT) AS n_bytes,
 FROM {table} d JOIN golden g ON g.h = md5(COALESCE(d.text, ''))
 ORDER BY d.doc_id
 """.strip()
+
+
+# ------------------------------------------- vocabulary-coverage gate
+
+def oov_rate(ds, vocab_k: int = 1000, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_k`` vocabulary — the tokenizer-coverage gate of
+    training-data curation (docs full of tokens the tokenizer will
+    shatter into bytes are expensive and usually junk; cf. Gopher's
+    "fraction of tokens in the most common set" rules).
+
+    Two passes over one materialized input: (1) the distributed
+    :func:`vocab_top_words` build (combiner → one word-bucket exchange
+    → O(buckets·k) driver merge); (2) the ≤ ``vocab_k``-row vocabulary
+    broadcasts once (``ray.put``) and each batch counts its tokens'
+    membership with one vectorized ``index_in`` + per-doc segment sums
+    — the corpus-sized side never shuffles. Token rule = the engine's
+    shared single-space split (SQL ``string_split(text, ' ')``).
+
+    Integer-exact: ``oov_rate_millionths = 1e6 · n_oov // n_tokens``.
+    Zero-token docs emit no row (mirrors the SQL unnest). Returns a
+    Dataset (doc_id, n_tokens, n_oov, oov_rate_millionths).
+    """
+    import numpy as np
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    ds = ds.materialize()
+    vocab = vocab_top_words(ds, k=vocab_k)
+    vocab_ref = ray.put(vocab["word"].combine_chunks())
+
+    def score(t: pa.Table) -> pa.Table:
+        words = ray.get(vocab_ref)
+        toks = pc.split_pattern(t[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False).astype("int64"),
+            lens.astype("int64"))
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        ids = ids[keep.to_numpy(zero_copy_only=False)]
+        is_oov = pc.cast(
+            pc.is_null(pc.index_in(flat, value_set=words)), pa.int64())
+        pairs = pa.table({"d": pa.array(ids), "o": is_oov})
+        out = pairs.group_by("d").aggregate([("o", "sum"), ("o", "count")])
+        n_tok = pc.cast(out["o_count"], pa.int64())
+        n_oov = pc.cast(out["o_sum"], pa.int64())
+        rate = pc.divide(pc.multiply(n_oov, pa.scalar(1_000_000,
+                                                      pa.int64())),
+                         n_tok)
+        return pa.table({
+            id_col: out["d"], "n_tokens": n_tok, "n_oov": n_oov,
+            "oov_rate_millionths": rate,
+        })
+
+    return ds.map_batches(skip_empty(score), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def oov_rate_sql(vocab_k: int = 1000, table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM {table}
+), v AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS n FROM toks
+    GROUP BY word ORDER BY n DESC, word LIMIT {vocab_k})
+), d AS (
+  SELECT t.doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_oov
+  FROM toks t LEFT JOIN v ON t.word = v.word
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+  n_oov * 1000000 // n_tokens AS oov_rate_millionths
+FROM d
+""".strip()
+
+
+# --------------------------------- per-source token-distribution drift
+
+def source_token_kl(ds, group_col: str = "lang", id_col: str = "doc_id",
+                    text_col: str = "text", n_buckets: int = 64):
+    """Per-group KL divergence of the group's token distribution from
+    the whole corpus's — the data-mixing diagnostic ("how far does
+    this source/language drift from the blend?") behind temperature
+    and mixture tuning.
+
+    ``KL(g ‖ corpus) = Σ_w (c_gw/n_g) · ln((c_gw · N)/(n_g · c_w))``
+    over an UNBOUNDED word space. Integer-exact contract (the
+    :func:`doc_token_entropy` device): both logs floor to int64
+    millionths — ``term = c_gw · (L(c_gw·N) − L(n_g·c_w))``,
+    ``L(x) = floor(1e6·ln(x))`` — so the per-group sum is order-free
+    int64 and the exposed ``kl_nats`` is one float64 division.
+
+    Shape: per-batch (group, word) count combiner; ONE hash-bucket
+    exchange on the word co-locates each word's per-group counts
+    (``c_w`` folds out of the bucket — never a corpus-wide join);
+    per-group totals ``n_g`` and ``N`` are a bounded grouped sum of
+    the same partials, broadcast as literals. Each bucket emits one
+    row per (group) partial; the driver merge is O(buckets·groups).
+    Returns a pyarrow Table (group, n_tokens, kl_millionths, kl_nats)
+    sorted by group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        grp = t[group_col].to_pandas().to_numpy()
+        gs = np.repeat(grp, lens.astype("int64"))
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        gs = gs[keep.to_numpy(zero_copy_only=False)]
+        c = (pa.table({group_col: pa.array(gs, type=pa.string()),
+                       "word": flat})
+             .group_by([group_col, "word"])
+             .aggregate([([], "count_all")])
+             .rename_columns([group_col, "word", "n"]))
+        return c.append_column(
+            "_bucket", pa.array(hash_bucket_array(c["word"], n_buckets)))
+
+    parts = ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    # bounded statistic: per-group token totals — each block collapses
+    # to |groups| rows BEFORE the driver sees it (never the word table)
+    def group_totals(t: pa.Table) -> pa.Table:
+        return (t.select([group_col, "n"]).group_by(group_col)
+                .aggregate([("n", "sum")])
+                .rename_columns([group_col, "n"]))
+
+    tot_tables = list(
+        parts.map_batches(skip_empty(group_totals),
+                          batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tot_tables:
+        return pa.table({
+            group_col: pa.array([], type=pa.string()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "kl_millionths": pa.array([], type=pa.int64()),
+            "kl_nats": pa.array([], type=pa.float64()),
+        })
+    g_tbl = (pa.concat_tables(tot_tables).group_by(group_col)
+             .aggregate([("n", "sum")]))
+    n_g = {g: int(n) for g, n in zip(g_tbl[group_col].to_pylist(),
+                                     g_tbl["n_sum"].to_pylist())}
+    big_n = float(sum(n_g.values()))
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        c = (b.groupby([group_col, "word"], sort=False)["n"].sum()
+             .reset_index())
+        cw = c.groupby("word", sort=False)["n"].transform("sum")
+        cg = c["n"].to_numpy(dtype="float64")
+        ng = c[group_col].map(n_g).to_numpy(dtype="float64")
+        l1 = np.floor(np.log(cg * big_n) * 1_000_000).astype("int64")
+        l2 = np.floor(np.log(ng * cw.to_numpy(dtype="float64"))
+                      * 1_000_000).astype("int64")
+        term = c["n"].to_numpy(dtype="int64") * (l1 - l2)
+        out = pd.DataFrame({group_col: c[group_col], "t": term})
+        return out.groupby(group_col, sort=False)["t"].sum().reset_index()
+
+    merged = (parts.groupby("_bucket")
+              .map_groups(per_bucket, batch_format="pandas")
+              .to_pandas())  # bounded: ≤ n_buckets × |groups| rows
+    kl = merged.groupby(group_col, sort=True)["t"].sum().reset_index()
+    groups = kl[group_col].tolist()
+    ksum = kl["t"].to_numpy(dtype="int64")
+    ntok = np.array([n_g[g] for g in groups], dtype="int64")
+    nats = ksum.astype("float64") / (ntok.astype("float64") * 1_000_000.0)
+    return pa.table({
+        group_col: pa.array(groups, type=pa.string()),
+        "n_tokens": pa.array(ntok),
+        "kl_millionths": pa.array(ksum),
+        "kl_nats": pa.array(nats),
+    })
+
+
+def source_token_kl_sql(group_col: str = "lang",
+                        table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS grp,
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM {table}
+), cs AS (
+  SELECT grp, word, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY grp, word
+), g AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM cs GROUP BY grp
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS bn FROM cs
+), w AS (
+  SELECT word, CAST(sum(c) AS BIGINT) AS cw FROM cs GROUP BY word
+), term AS (
+  SELECT cs.grp, cs.c *
+    (CAST(floor(ln(CAST(cs.c AS DOUBLE) * bn) * 1000000) AS BIGINT)
+     - CAST(floor(ln(CAST(g.n AS DOUBLE) * w.cw) * 1000000) AS BIGINT))
+    AS t
+  FROM cs JOIN g USING (grp) JOIN w USING (word) CROSS JOIN tot
+)
+SELECT term.grp AS {group_col},
+  any_value(g.n) AS n_tokens,
+  CAST(sum(t) AS BIGINT) AS kl_millionths,
+  CAST(CAST(sum(t) AS BIGINT) AS DOUBLE)
+    / (CAST(any_value(g.n) AS DOUBLE) * 1000000.0) AS kl_nats
+FROM term JOIN g USING (grp)
+GROUP BY term.grp
+ORDER BY term.grp
+""".strip()

