@@ -1963,6 +1963,42 @@ def _q_rolling_value(sf_dir: str):
                                     "value"]))
 
 
+def _q_value_trend(sf_dir: str):
+    """Per-event-type OLS drift line of value-micros over epoch
+    seconds — exact HUGEINT-class partials (python-int fallback when
+    a block's products could wrap int64), one float division per
+    coefficient."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.stages.features import grouped_ols_trend
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def prep(t: _pa.Table) -> _pa.Table:
+        us = _pc.cast(_pc.cast(t["ts"], _pa.timestamp("us")), _pa.int64())
+        x = _pc.divide(us, 1_000_000)
+        y = _pc.cast(_pc.floor(_pc.multiply(
+            _pc.cast(t["value"], _pa.float64()),
+            _pa.scalar(1_000_000.0))), _pa.int64())
+        return _pa.table({"event_type": t["event_type"], "x": x, "y": y})
+
+    return grouped_ols_trend(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_col="event_type", x_col="x", y_col="y")
+
+
+def _q_edit_distance_dupes(sf_dir: str):
+    """Typo-radius near-dup pairs: byte-Levenshtein ≤ 2 over 64-cp
+    prefixes — length-band blocking (recall 1 within the radius),
+    across-pairs vectorized DP; bounded-pool contract."""
+    from fluent_server_ray.stages.dedup import edit_distance_dupes
+
+    return edit_distance_dupes(_docs(sf_dir))
+
+
 def _q_oov_rate(sf_dir: str):
     """Tokenizer-coverage gate: per-doc out-of-vocab rate vs the
     corpus's own top-200 vocabulary — distributed vocab build, then a
@@ -2526,6 +2562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_curriculum_mix": _q_quality_curriculum,
         "doc_token_entropy": _q_token_entropy,
         "doc_oov_rate": _q_oov_rate,
+        "dedup_edit_distance": _q_edit_distance_dupes,
+        "events_value_trend": _q_value_trend,
         "lang_token_kl": _q_source_token_kl,
         "tool_transition_counts": _q_tool_transitions,
         "doc_dup_ngram_frac": _q_dup_ngram_frac,
@@ -2824,6 +2862,12 @@ ORDER BY t.conv_id, t.turn_idx"""
             "CAST(epoch_us(ts) // 1000000 AS BIGINT)",
             "CAST(event_id AS BIGINT)",
             "events"),
+        "events_value_trend": features.grouped_ols_trend_sql(
+            group_col="event_type",
+            x_expr="CAST(epoch_us(ts) // 1000000 AS BIGINT)",
+            y_expr=("CAST(floor(CAST(value AS DOUBLE) * 1000000.0) "
+                    "AS BIGINT)"),
+            table="events"),
         "doc_len_token_corr": features.pearson_corr_sql(
             "length(text)",
             "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)",
@@ -2897,6 +2941,7 @@ FROM c ORDER BY doc_id
                 key_col="sink")[len("WITH "):]),
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
         "doc_oov_rate": textstats.oov_rate_sql(vocab_k=200),
+        "dedup_edit_distance": dedup.edit_distance_dupes_sql(),
         "lang_token_kl": textstats.source_token_kl_sql(group_col="lang"),
         "tool_transition_counts": assembly.tool_transitions_sql(),
         "doc_dup_ngram_frac": hygiene.dup_ngram_fraction_sql(),

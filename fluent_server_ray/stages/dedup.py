@@ -2044,3 +2044,161 @@ SELECT doc_id, component, {score_col} FROM (
   ) AS _rn FROM scored
 ) WHERE _rn = 1 ORDER BY component
 """.strip()
+
+
+# ------------------------------------------ edit-distance near-dup pairs
+
+def edit_distance_dupes(ds, id_col: str = "doc_id",
+                        text_col: str = "text", prefix_len: int = 64,
+                        max_dist: int = 2, band_width: int = 8,
+                        max_band_pairs: int = 5_000_000):
+    """Edit-distance near-duplicate pairs: all (a < b) whose first
+    ``prefix_len``-CODEPOINT prefixes are within BYTE-level Levenshtein
+    distance ``max_dist`` — the typo/suffix-variant dedup family that
+    shingle methods miss (one-char edits barely move a Jaccard score).
+    Byte-level distance is the deliberate contract: DuckDB's
+    ``levenshtein`` is byte-based, so the mirror is exact, and bytes ≥
+    codepoints means byte-blocking stays complete.
+
+    Recall 1 within the radius: edit distance ≥ |byte-length Δ|, so
+    every qualifying pair lands in the same or adjacent length band
+    (``band_width > max_dist``); each doc is replicated to its band
+    and the next, and a pair counts in a band iff at least one member
+    is primary there — exactly once globally.
+
+    Per-band the DP is vectorized ACROSS pairs (the classic
+    ``d[j] = min-accumulate`` trick turns the insertion chain into one
+    ``np.minimum.accumulate`` per DP row, so the whole band costs
+    O(P) numpy calls, never a per-pair Python loop). Like
+    :func:`ngram_jaccard_dupes` this is the bounded-verification-pool
+    operator — candidate pairs per band are length-windowed
+    (|Δbytes| ≤ max_dist) and capped at ``max_band_pairs`` (raises);
+    :func:`minhash_near_dupes` is the open-corpus path.
+
+    Returns a Dataset (doc_a, doc_b, dist) sorted by (doc_a, doc_b).
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    if band_width <= max_dist:
+        raise ValueError("band_width must exceed max_dist for "
+                         "adjacent-band blocking to be complete")
+
+    def explode_bands(t: pa.Table):
+        pref = pc.utf8_slice_codeunits(
+            pc.fill_null(pc.cast(t[text_col], pa.string()), ""),
+            0, prefix_len)
+        nbytes = pc.binary_length(pref).to_numpy(zero_copy_only=False)
+        band = (nbytes // band_width).astype(np.int64)
+        base = pa.table({
+            id_col: t[id_col], "_pref": pref,
+            "_nb": pa.array(nbytes.astype(np.int64)),
+        })
+        out = []
+        for shift, primary in ((0, True), (1, False)):
+            out.append(base.append_column(
+                "_band", pa.array(band + shift)
+            ).append_column(
+                "_primary", pa.array(np.full(len(t), primary))))
+        return pa.concat_tables(out)
+
+    def per_band(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_a": np.asarray([], dtype=np.int64),
+            "doc_b": np.asarray([], dtype=np.int64),
+            "dist": np.asarray([], dtype=np.int64),
+        })
+        g = g.sort_values(["_nb", id_col]).reset_index(drop=True)
+        n = len(g)
+        if n < 2:
+            return empty
+        nb = g["_nb"].to_numpy(dtype="int64")
+        # candidate window: j > i with nb[j] - nb[i] <= max_dist
+        hi = np.searchsorted(nb, nb + max_dist, side="right")
+        counts = hi - np.arange(n) - 1
+        counts = np.maximum(counts, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        if total > max_band_pairs:
+            raise ValueError(
+                f"edit_distance_dupes: band with {n} docs generates "
+                f"{total} candidate pairs > max_band_pairs="
+                f"{max_band_pairs} — a degenerate same-length corpus; "
+                "use minhash_near_dupes for open corpora")
+        i_idx = np.repeat(np.arange(n), counts)
+        starts = np.cumsum(counts) - counts
+        j_idx = (np.arange(total) - np.repeat(starts, counts)
+                 + np.repeat(np.arange(n), counts) + 1)
+        prim = g["_primary"].to_numpy(dtype=bool)
+        keep = prim[i_idx] | prim[j_idx]
+        i_idx, j_idx = i_idx[keep], j_idx[keep]
+        if not len(i_idx):
+            return empty
+
+        # byte matrix: one vectorized scatter, no per-doc loop
+        enc = [s.encode("utf-8") for s in g["_pref"].tolist()]
+        lens = nb
+        P = int(lens.max())
+        mat = np.zeros((n, max(P, 1)), dtype=np.int16)
+        if P:
+            flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            rows = np.repeat(np.arange(n), lens)
+            cols = (np.arange(int(lens.sum()))
+                    - np.repeat(np.cumsum(lens) - lens, lens))
+            mat[rows, cols] = flat
+
+        A, B = mat[i_idx], mat[j_idx]
+        la, lb = lens[i_idx], lens[j_idx]
+        m = len(i_idx)
+        jj = np.arange(P + 1, dtype=np.int32)
+        prev = np.tile(jj, (m, 1))
+        res = lb.astype(np.int32).copy()  # la == 0 rows: dist = lb
+        for i in range(1, P + 1):
+            cost = (A[:, i - 1:i] != B).astype(np.int32)
+            base = np.empty_like(prev)
+            base[:, 0] = i
+            base[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+            # insertion chain cur[j] = min(base[j], cur[j-1]+1) via
+            # d[j] = cur[j] - j = min-accumulate(base[j] - j)
+            d = np.minimum.accumulate(base - jj, axis=1)
+            cur = d + jj
+            done = la == i
+            if done.any():
+                res[done] = cur[done, lb[done]]
+            prev = cur
+        ok = res <= max_dist
+        if not ok.any():
+            return empty
+        ia = g[id_col].to_numpy()[i_idx[ok]]
+        ib = g[id_col].to_numpy()[j_idx[ok]]
+        return pd.DataFrame({
+            "doc_a": np.minimum(ia, ib).astype(np.int64),
+            "doc_b": np.maximum(ia, ib).astype(np.int64),
+            "dist": res[ok].astype(np.int64),
+        })
+
+    out = (
+        ds.map_batches(skip_empty(explode_bands), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_band")
+        .map_groups(per_band, batch_format="pandas")
+    )
+    return out.sort(["doc_a", "doc_b"])
+
+
+def edit_distance_dupes_sql(prefix_len: int = 64, max_dist: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            table: str = "documents") -> str:
+    pref = (f"substr(COALESCE(CAST({{s}}.{text_col} AS VARCHAR), ''),"
+            f" 1, {prefix_len})")
+    a, b = pref.format(s="a"), pref.format(s="b")
+    return f"""
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+  CAST(levenshtein({a}, {b}) AS BIGINT) AS dist
+FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+WHERE levenshtein({a}, {b}) <= {max_dist}
+ORDER BY doc_a, doc_b
+""".strip()

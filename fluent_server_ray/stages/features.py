@@ -849,3 +849,120 @@ SELECT CAST(n AS BIGINT) AS n,
      * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))) AS corr
 FROM s
 """.strip()
+
+
+def grouped_ols_trend(ds, group_col: str = "event_type",
+                      x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Per-group OLS trend line of two INTEGER columns — "is this
+    sink's value drifting over time?" as one combiner pass
+    (:func:`pearson_corr`'s exact-partial discipline, generalized to
+    groups): per block one row of sums per group (n, Σx, Σy, Σxy,
+    Σx²) carried as DECIMAL STRINGS (int64 fast path only when the
+    block-level ``n·peak`` bound proves products safe; else the block
+    redoes its sums in python-int object dtype), a python-int driver
+    merge over the bounded group set, then
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    with numerators/denominator in EXACT ints and ONE float64
+    division each (the SQL mirror subtracts in HUGEINT and parses via
+    VARCHAR→DOUBLE, the correctly-rounded path). Rows with a NULL in
+    either column are excluded per group; a zero-x-variance group
+    gets NULL slope/intercept (SQL ``nullif``). Output: one row per
+    group (group, n, slope, intercept), sorted by group.
+    """
+    import pandas as pd
+
+    def moments(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+        sub = t.filter(mask)
+        g = sub[group_col].to_pandas()
+        x = sub[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = sub[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x):
+            mx = max(int(x.max()), -int(x.min()))
+            my = max(int(y.max()), -int(y.min()))
+            peak = max(mx * my, mx * mx, my * my)
+            if len(x) * max(peak, 1) >= (1 << 63):
+                x = x.astype(object)
+                y = y.astype(object)
+        df = pd.DataFrame({"g": g, "x": x, "y": y,
+                           "xy": x * y, "xx": x * x})
+        agg = df.groupby("g", dropna=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum")).reset_index()
+        gvals = [None if (v is None or v != v) else str(v)
+                 for v in agg["g"]]
+        return pa.table({
+            group_col: pa.array(gvals, type=pa.string()),
+            "n": pa.array(agg["n"].to_numpy(dtype="int64")),
+            "sx": pa.array([str(int(v)) for v in agg["sx"]]),
+            "sy": pa.array([str(int(v)) for v in agg["sy"]]),
+            "sxy": pa.array([str(int(v)) for v in agg["sxy"]]),
+            "sxx": pa.array([str(int(v)) for v in agg["sxx"]]),
+        })
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    acc: dict[str, list[int]] = {}
+    for r in (ds.map_batches(skip_empty(moments), batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for gv, n, sx, sy, sxy, sxx in zip(
+                r[group_col].to_pylist(), r["n"].to_pylist(),
+                r["sx"].to_pylist(), r["sy"].to_pylist(),
+                r["sxy"].to_pylist(), r["sxx"].to_pylist()):
+            a = acc.setdefault(gv, [0, 0, 0, 0, 0])
+            a[0] += int(n)
+            a[1] += int(sx)
+            a[2] += int(sy)
+            a[3] += int(sxy)
+            a[4] += int(sxx)
+
+    # SQL ORDER BY: NULL group sorts last (DuckDB NULLS LAST)
+    groups = sorted(k for k in acc if k is not None)
+    if None in acc:
+        groups.append(None)
+    ns, slopes, icepts = [], [], []
+    for gv in groups:
+        n, sx, sy, sxy, sxx = acc[gv]
+        den = n * sxx - sx * sx
+        ns.append(n)
+        if den == 0:
+            slopes.append(None)
+            icepts.append(None)
+        else:
+            slopes.append(float(n * sxy - sx * sy) / float(den))
+            icepts.append(float(sy * sxx - sx * sxy) / float(den))
+    return pa.table({
+        group_col: pa.array(groups, type=pa.string()),
+        "n": pa.array(ns, type=pa.int64()),
+        "slope": pa.array(slopes, type=pa.float64()),
+        "intercept": pa.array(icepts, type=pa.float64()),
+    })
+
+
+def grouped_ols_trend_sql(group_col: str, x_expr: str, y_expr: str,
+                          table: str, where: str = "TRUE") -> str:
+    return f"""
+WITH src AS (
+  SELECT CAST({group_col} AS VARCHAR) AS g, {x_expr} AS x, {y_expr} AS y
+  FROM {table} WHERE {where}
+), filt AS (
+  SELECT g, CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM src WHERE x IS NOT NULL AND y IS NOT NULL
+), s AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM filt GROUP BY g
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
+  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+    / nullif(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 0.0)
+    AS slope,
+  CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE)
+    / nullif(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 0.0)
+    AS intercept
+FROM s ORDER BY g
+""".strip()

@@ -3210,3 +3210,125 @@ def test_source_token_kl_uniform_and_skewed(ray_session):
     assert empty.num_rows == 0
     assert empty.column_names == ["lang", "n_tokens", "kl_millionths",
                                   "kl_nats"]
+
+
+def test_edit_distance_dupes_matches_brute_force(ray_session):
+    """Randomized pin vs a pure-Python Levenshtein over utf-8 BYTES of
+    the codepoint prefix (the DuckDB-levenshtein contract), including
+    multi-byte chars, empty texts, and cross-band pairs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import edit_distance_dupes
+
+    def lev(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    rng = np.random.default_rng(3)
+    base = ["the quick brown fox", "the quick brown fix",
+            "héllo wörld", "hello world", "", "a", "ab",
+            "日本語のテキスト", "日本語のテキストです"]
+    texts = []
+    for i in range(60):
+        t = base[i % len(base)]
+        if rng.random() < 0.5 and t:
+            pos = int(rng.integers(0, len(t)))
+            t = t[:pos] + "x" + t[pos + 1:]
+        texts.append(t)
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    P, D = 16, 2
+    got = (edit_distance_dupes(rd.from_pandas(df), prefix_len=P,
+                               max_dist=D)
+           .to_pandas().reset_index(drop=True))
+
+    want_rows = []
+    enc = [t[:P].encode("utf-8") for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = lev(enc[i], enc[j])
+            if d <= D:
+                want_rows.append({"doc_a": i, "doc_b": j, "dist": d})
+    want = (pd.DataFrame(want_rows,
+                         columns=["doc_a", "doc_b", "dist"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(want) > 0  # the corpus actually exercises the radius
+    if len(got) == 0:
+        assert len(want) == 0
+    else:
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64"))
+
+
+def test_edit_distance_dupes_pair_cap_guard(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import edit_distance_dupes
+
+    df = pd.DataFrame({"doc_id": range(40), "text": ["same len"] * 40})
+    with pytest.raises(ValueError, match="max_band_pairs"):
+        edit_distance_dupes(rd.from_pandas(df),
+                            max_band_pairs=100).to_pandas()
+
+
+def test_grouped_ols_trend_exact(ray_session):
+    """Slope/intercept per group vs exact-fraction reference, incl. a
+    NULL group, NULL x/y rows excluded, a zero-variance group → NULL,
+    and a large-magnitude group driving the python-int fallback."""
+    from fractions import Fraction
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import grouped_ols_trend
+
+    big = 3_100_000_000  # x² > int64-safe peak for a 4-row block
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", None, None, "z", "z",
+              "big", "big", "big"],
+        "x": [1, 2, 3, 10, 20, 5, 6, 7, 7, big, big + 1, big + 2],
+        "y": [2, 4, 7, 1, 2, 3, None, 9, 11, 5, 6, 9],
+    })
+    got = grouped_ols_trend(rd.from_pandas(df), group_col="g",
+                            x_col="x", y_col="y").to_pandas()
+
+    def ref(sub):
+        sub = sub.dropna(subset=["x", "y"])
+        n = len(sub)
+        xs = [int(v) for v in sub.x]
+        ys = [int(v) for v in sub.y]
+        sx, sy = sum(xs), sum(ys)
+        # python ints: pandas int64 sums would overflow on big² —
+        # exactly the case the operator's object-dtype fallback guards
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        den = n * sxx - sx * sx
+        if den == 0:
+            return n, None, None
+        return (n, float(Fraction(n * sxy - sx * sy, 1)) / float(den),
+                float(Fraction(sy * sxx - sx * sxy, 1)) / float(den))
+
+    by_g = dict(zip(got.g, zip(got.n, got.slope, got.intercept)))
+    for gname, sub in df.groupby("g", dropna=False):
+        key = None if gname is None or gname != gname else gname
+        n, s, ic = ref(sub)
+        gn, gs, gi = by_g[key]
+        assert gn == n, gname
+        if s is None:
+            assert np.isnan(gs) and np.isnan(gi), gname
+        else:
+            assert gs == s and gi == ic, (gname, gs, s)
+    # z has zero x-variance → NULL; null group present and last
+    assert np.isnan(by_g["z"][1])
+    assert got.g.tolist()[-1] is None or got.g.isna().tolist()[-1]
