@@ -1999,6 +1999,32 @@ def _q_edit_distance_dupes(sf_dir: str):
     return edit_distance_dupes(_docs(sf_dir))
 
 
+def _q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: (labeled lang, predicted lang)
+    counts — the classifier accuracy report; one fused combiner pass."""
+    from fluent_server_ray.stages.textstats import langid_confusion
+
+    return langid_confusion(_docs(sf_dir))
+
+
+def _q_source_dup_rate(sf_dir: str):
+    """Per-source exact-duplicate rate: fraction of each source's docs
+    whose text appears in >1 doc corpus-wide — one digest-bucket
+    exchange, bounded driver merge."""
+    from fluent_server_ray.stages.dedup import source_dup_rate
+
+    return source_dup_rate(_docs(sf_dir))
+
+
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    """All-pairs sparse TF-IDF cosine ≥ 0.3 via the inverted-index
+    plan (df-pruned space, integer-exact weights, term-bucket pair
+    partials, two bucketed norm joins)."""
+    from fluent_server_ray.stages.similarity import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_docs(sf_dir))
+
+
 def _q_oov_rate(sf_dir: str):
     """Tokenizer-coverage gate: per-doc out-of-vocab rate vs the
     corpus's own top-200 vocabulary — distributed vocab build, then a
@@ -2564,6 +2590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov_rate": _q_oov_rate,
         "dedup_edit_distance": _q_edit_distance_dupes,
         "events_value_trend": _q_value_trend,
+        "langid_confusion": _q_langid_confusion,
+        "source_dup_rate": _q_source_dup_rate,
+        "doc_sim_pairs": _q_tfidf_cosine_pairs,
         "lang_token_kl": _q_source_token_kl,
         "tool_transition_counts": _q_tool_transitions,
         "doc_dup_ngram_frac": _q_dup_ngram_frac,
@@ -2942,6 +2971,9 @@ FROM c ORDER BY doc_id
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
         "doc_oov_rate": textstats.oov_rate_sql(vocab_k=200),
         "dedup_edit_distance": dedup.edit_distance_dupes_sql(),
+        "langid_confusion": textstats.langid_confusion_sql(),
+        "source_dup_rate": dedup.source_dup_rate_sql(),
+        "doc_sim_pairs": similarity.tfidf_cosine_pairs_sql(),
         "lang_token_kl": textstats.source_token_kl_sql(group_col="lang"),
         "tool_transition_counts": assembly.tool_transitions_sql(),
         "doc_dup_ngram_frac": hygiene.dup_ngram_fraction_sql(),

@@ -2202,3 +2202,100 @@ FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
 WHERE levenshtein({a}, {b}) <= {max_dist}
 ORDER BY doc_a, doc_b
 """.strip()
+
+
+# ------------------------------------------------ per-source dup rate
+
+def source_dup_rate(ds, group_col: str = "source",
+                    text_col: str = "text", n_buckets: int = 64) -> pa.Table:
+    """Per-source exact-duplicate rate — the curation dashboard row
+    "how contaminated is each feed?": for every source, the fraction
+    of its docs whose exact text (md5) appears in MORE THAN ONE doc
+    corpus-wide (both copies count as duplicates, wherever they live).
+
+    Shape: per-batch md5 → ONE hash-bucket exchange on the
+    fingerprint (all copies of a text co-locate, so dup flags are
+    decided entirely inside a bucket) → per-bucket (source, n, dups)
+    combiner rows → bounded driver merge (≤ sources × buckets rows).
+    The corpus text crosses the wire once as 16-byte digests + the
+    source tag; nothing else moves. Output: one row per source
+    (source, n_docs, n_dups, dup_rate_millionths), sorted by source;
+    the rate mirrors the SQL float expression bit-for-bit.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        fps = [hashlib.md5((s or "").encode("utf-8")).hexdigest()
+               for s in texts]
+        fparr = pa.array(fps, type=pa.string())
+        return pa.table({
+            "_fp": fparr,
+            group_col: pc.fill_null(
+                pc.cast(t[group_col], pa.string()), ""),
+            "_b": pa.array(hash_bucket_array(fparr, n_buckets)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("_fp")["_fp"].transform("size")
+        dup = (cnt > 1).astype("int64")
+        out = (g.assign(_dup=dup).groupby(group_col, sort=False)
+               .agg(n=("_fp", "size"), dups=("_dup", "sum"))
+               .reset_index())
+        return out[[group_col, "n", "dups"]]
+
+    parts = (
+        ds.map_batches(skip_empty(fp), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    tables = list(parts.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"))
+    if not tables:
+        return pa.table({
+            group_col: pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "n_dups": pa.array([], type=pa.int64()),
+            "dup_rate_millionths": pa.array([], type=pa.int64()),
+        })
+    merged = (pa.concat_tables(tables).group_by(group_col)
+              .aggregate([("n", "sum"), ("dups", "sum")])
+              .rename_columns([group_col, "n", "dups"])
+              .sort_by(group_col))
+    n = merged["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    d = merged["dups"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # (1000000.0 * dups) / n, floored — the SQL mirror's exact float tree
+    rate = np.floor((1_000_000.0 * d) / n).astype(np.int64)
+    return pa.table({
+        group_col: merged[group_col],
+        "n_docs": pc.cast(merged["n"], pa.int64()),
+        "n_dups": pc.cast(merged["dups"], pa.int64()),
+        "dup_rate_millionths": pa.array(rate),
+    })
+
+
+def source_dup_rate_sql(group_col: str = "source",
+                        text_col: str = "text",
+                        table: str = "documents") -> str:
+    return f"""
+WITH h AS (
+  SELECT COALESCE(CAST({group_col} AS VARCHAR), '') AS {group_col},
+    md5(COALESCE(CAST({text_col} AS VARCHAR), '')) AS fp
+  FROM {table}
+), c AS (
+  SELECT fp, count(*) AS cnt FROM h GROUP BY fp
+)
+SELECT h.{group_col},
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+  CAST(floor((1000000.0 * sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END))
+             / count(*)) AS BIGINT) AS dup_rate_millionths
+FROM h JOIN c USING (fp)
+GROUP BY h.{group_col} ORDER BY h.{group_col}
+""".strip()

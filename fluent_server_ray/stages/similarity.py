@@ -1093,3 +1093,273 @@ SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
 FROM flat GROUP BY label, dim
 ORDER BY label, dim
 """.strip()
+
+
+# ------------------------------------- all-pairs TF-IDF cosine (sparse)
+
+def tfidf_cosine_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                       min_sim_millionths: int = 300_000,
+                       max_df_permille: int = 500, n_buckets: int = 64,
+                       max_bucket_pairs: int = 5_000_000):
+    """All-pairs sparse TF-IDF cosine similarity ≥ threshold — the
+    lexical twin of :func:`cosine_dupes` for corpora WITHOUT an
+    embedding column, via the classic inverted-index / term-at-a-time
+    plan (Bayardo et al., WWW 2007 "Scaling Up All Pairs Similarity
+    Search"): docs never meet pairwise unless they share a surviving
+    term, and each term's postings co-locate with ONE hash-bucket
+    exchange.
+
+    Contract (identical in the SQL mirror): the vector space is the
+    DF-PRUNED TF-IDF space — terms with ``df < 2`` (can't contribute
+    to any pair) or ``df·1000 > max_df_permille·N`` (stop-terms, the
+    O(df²) cost drivers) are dropped BEFORE weights and norms, so the
+    output is a true cosine in that space. Weights are integer-exact:
+    ``w = tf · floor(ln(N/df)·1000)`` (idf in THOUSANDTHS keeps every
+    norm²/dot within int64 — dots are bounded by max norm² via
+    Cauchy-Schwarz; a batch-level guard raises before any block could
+    wrap). One float expression per surviving pair at the very end
+    (``floor(1e6·dot / (√na²·√nb²))``, int64→float64 casts are
+    round-to-nearest on both engines = the SQL VARCHAR→DOUBLE path).
+
+    Scale shape: tokenize+tf per batch (combiner) → driver-merged df
+    table (vocab-sized "small side"; swap for the
+    :func:`~fluent_server_ray.stages.textstats.doc_tfidf_joined`
+    vocab-join when it isn't) → broadcast idf once via ``ray.put`` →
+    per-term pair partials inside buckets (postings of one term never
+    span buckets; per-bucket candidate count capped at
+    ``max_bucket_pairs``, raises — ``minhash_near_dupes`` is the
+    open-corpus path) → distributed (doc_a, doc_b) partial-dot merge →
+    two bucketed joins attach norms. The corpus text crosses the wire
+    exactly once, as (doc, term, w) postings.
+
+    Returns a Dataset (doc_a, doc_b, sim_millionths) with
+    ``doc_a < doc_b``, sorted by (doc_a, doc_b).
+    """
+    import ray
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    def _empty():
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "sim_millionths": pa.array([], type=pa.int64()),
+        }))
+
+    ds = ds.materialize()
+    n_docs = ds.count()
+    if n_docs == 0:
+        return _empty()
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        pairs = pa.table({"d": pa.array(np.repeat(ids, lens)),
+                          "term": pa.array(flat, type=pa.string())})
+        tf = pairs.group_by(["d", "term"]).aggregate([([], "count_all")])
+        return tf.rename_columns(["d", "term", "tf"])
+
+    tf_ds = ds.map_batches(skip_empty(tf_partial), batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    # df pass: tf rows are unique per (doc, term), so df(term) = row
+    # count — per-batch combiner, vocab-sized driver merge
+    def df_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("term").aggregate([([], "count_all")])
+        return out.rename_columns(["term", "df"])
+
+    tabs = list(
+        tf_ds.map_batches(skip_empty(df_partial), batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tabs:
+        return _empty()
+    df_tbl = (pa.concat_tables(tabs).group_by("term")
+              .aggregate([("df", "sum")]))
+    dfv = df_tbl["df_sum"].to_numpy(zero_copy_only=False).astype("int64")
+    keep = (dfv >= 2) & (dfv * 1000 <= max_df_permille * n_docs)
+    if not keep.any():
+        return _empty()
+    terms = df_tbl["term"].combine_chunks().filter(pa.array(keep))
+    idf_k = np.floor(
+        np.log(float(n_docs) / dfv[keep].astype(np.float64)) * 1000
+    ).astype("int64")
+    idf_ref = ray.put((terms, pa.array(idf_k)))
+
+    def weights(t: pa.Table) -> pa.Table:
+        vocab, idf = ray.get(idf_ref)
+        sub = t.filter(pc.is_valid(pc.index_in(t["term"],
+                                               value_set=vocab)))
+        idx = pc.index_in(sub["term"], value_set=vocab)
+        w = pc.multiply(pc.cast(sub["tf"], pa.int64()), pc.take(idf, idx))
+        wnp = w.to_numpy(zero_copy_only=False)
+        if len(wnp):
+            peak = float(np.max(np.abs(wnp)))
+            # every per-doc norm² (and via Cauchy-Schwarz every dot)
+            # is ≤ rows·peak²; raise before any int64 sum could wrap
+            if peak * peak * len(wnp) >= 2.0 ** 61:
+                raise ValueError(
+                    "tfidf_cosine_pairs: weight magnitudes too large "
+                    "for exact int64 norms — shard the input or "
+                    "reduce tf scale")
+        return pa.table({"d": sub["d"], "term": sub["term"], "w": w})
+
+    w_ds = tf_ds.map_batches(skip_empty(weights), batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def w2(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table({"d": t["d"], "w2": pa.array(w * w)})
+
+    norms = grouped_agg(
+        w_ds.map_batches(skip_empty(w2), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        keys=["d"], aggs=[("w2", "sum")], final="ray")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pa.array(hash_bucket_array(t["term"], n_buckets)))
+
+    _EMPTY_PAIRS = {"doc_a": np.asarray([], dtype=np.int64),
+                    "doc_b": np.asarray([], dtype=np.int64),
+                    "dot": np.asarray([], dtype=np.int64)}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "d"], kind="mergesort"
+                          ).reset_index(drop=True)
+        codes, _ = pd.factorize(g["term"], sort=False)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        sizes = np.diff(np.r_[starts, n]).astype(np.int64)
+        total = int((sizes * (sizes - 1) // 2).sum())
+        if total == 0:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        if total > max_bucket_pairs:
+            raise ValueError(
+                f"tfidf_cosine_pairs: bucket generates {total} "
+                f"candidate pairs > max_bucket_pairs={max_bucket_pairs}"
+                " — lower max_df_permille or use minhash_near_dupes")
+        d = g["d"].to_numpy(dtype="int64")
+        w = g["w"].to_numpy(dtype="int64")
+        ai = np.empty(total, np.int64)
+        bi = np.empty(total, np.int64)
+        dot = np.empty(total, np.int64)
+        pos = 0
+        # per-TERM loop with a vectorized body (triu expansion);
+        # candidate volume is the capped O(Σ df²) term above
+        for s, c in zip(starts, sizes):
+            if c < 2:
+                continue
+            ii, jj = np.triu_indices(int(c), 1)
+            m = len(ii)
+            ai[pos:pos + m] = d[s + ii]
+            bi[pos:pos + m] = d[s + jj]
+            dot[pos:pos + m] = w[s + ii] * w[s + jj]
+            pos += m
+        out = (pd.DataFrame({"doc_a": ai, "doc_b": bi, "dot": dot})
+               .groupby(["doc_a", "doc_b"], sort=False)["dot"]
+               .sum().reset_index())
+        return out
+
+    dots = (
+        w_ds.map_batches(add_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    total = grouped_agg(dots, keys=["doc_a", "doc_b"],
+                        aggs=[("dot", "sum")], final="ray")
+
+    def rn_a(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_a", "na2"])
+
+    def rn_b(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_b", "nb2"])
+
+    na = norms.map_batches(rn_a, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    nb = norms.map_batches(rn_b, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    j = bucketed_hash_join(total, na, key="doc_a", n_buckets=n_buckets)
+    j = bucketed_hash_join(j, nb, key="doc_b", n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        dot = t["dot_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na2 = t["na2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb2 = t["nb2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sim = np.floor((1_000_000.0 * dot)
+                       / (np.sqrt(na2) * np.sqrt(nb2))).astype(np.int64)
+        out = pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "sim_millionths": pa.array(sim),
+        })
+        return out.filter(
+            pc.greater_equal(out["sim_millionths"],
+                             pa.scalar(min_sim_millionths, pa.int64())))
+
+    return (j.map_batches(skip_empty(finish), batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .sort(["doc_a", "doc_b"]))
+
+
+def tfidf_cosine_pairs_sql(min_sim_millionths: int = 300_000,
+                           max_df_permille: int = 500,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           table: str = "documents") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS d,
+    unnest(list_filter(regexp_split_to_array({text_col},
+                                             '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS term
+  FROM {table}
+), tf AS (
+  SELECT d, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY d, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nn AS (
+  SELECT count(*) AS n FROM {table}
+), kept AS (
+  SELECT term,
+    CAST(floor(ln(CAST(nn.n AS DOUBLE) / dft.df) * 1000) AS BIGINT)
+      AS idf_k
+  FROM dft CROSS JOIN nn
+  WHERE df >= 2 AND df * 1000 <= {max_df_permille} * nn.n
+), w AS (
+  SELECT tf.d, tf.term, CAST(tf.tf * k.idf_k AS HUGEINT) AS w
+  FROM tf JOIN kept k USING (term)
+), norms AS (
+  SELECT d, sum(w * w) AS n2 FROM w GROUP BY d
+), dots AS (
+  SELECT a.d AS doc_a, b.d AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.d < b.d
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+    CAST(floor((1000000.0 * CAST(CAST(dot AS VARCHAR) AS DOUBLE))
+         / (sqrt(CAST(CAST(na.n2 AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(nb.n2 AS VARCHAR) AS DOUBLE))))
+         AS BIGINT) AS sim_millionths
+  FROM dots JOIN norms na ON na.d = dots.doc_a
+            JOIN norms nb ON nb.d = dots.doc_b
+) WHERE sim_millionths >= {min_sim_millionths}
+ORDER BY doc_a, doc_b
+""".strip()

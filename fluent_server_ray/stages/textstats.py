@@ -108,28 +108,62 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "lang_pred": best})
 
 
-def langid_sql() -> str:
-    """Same argmax, same tie-break, generated from LANG_MARKERS."""
-    # DuckDB RE2 uses \x{4e00} syntax too; markers are shared verbatim
+def _langid_expr() -> str:
+    """The SQL argmax expression over LANG_MARKERS — same sequential
+    strictly-greater scan (and therefore the same tie-break) as
+    :func:`langid_batch`'s Arrow loop. DuckDB RE2 uses \\x{4e00}
+    syntax too; markers are shared verbatim."""
     score = {
         lang: f"len(regexp_extract_all(text, '{rx}'))"
         for lang, rx in LANG_MARKERS.items()
     }
-    # fold in LANG_ORDER: pick first lang whose score > all later ones
-    # and >= all earlier ones — equivalently, recompute the running
-    # argmax exactly as the Arrow loop does.
-    expr = "'unknown'"
-    best = "0"
-    cases = []
-    for lang in LANG_ORDER:
-        cases.append((lang, score[lang]))
     # build nested CASE mirroring the sequential strictly-greater scan
     sql = "0"
     lang_expr = "'unknown'"
-    for lang, s in cases:
+    for lang in LANG_ORDER:
+        s = score[lang]
         lang_expr = f"CASE WHEN {s} > ({sql}) THEN '{lang}' ELSE {lang_expr} END"
         sql = f"GREATEST({sql}, {s})"
-    return f"SELECT doc_id, {lang_expr} AS lang_pred FROM documents"
+    return lang_expr
+
+
+def langid_sql() -> str:
+    """Same argmax, same tie-break, generated from LANG_MARKERS."""
+    return f"SELECT doc_id, {_langid_expr()} AS lang_pred FROM documents"
+
+
+def langid_confusion(ds, label_col: str = "lang") -> pa.Table:
+    """Language-ID confusion matrix: counts per (labeled lang,
+    predicted lang) — the accuracy report a curation team reads before
+    trusting the classifier's gates. One combiner pass: the langid
+    argmax and the (label, pred) count fuse into the read stage; the
+    shuffle carries ≤ |langs|² partial rows per block. Output sorted
+    by (label, pred)."""
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def pred(t: pa.Table) -> pa.Table:
+        p = langid_batch(t)
+        return pa.table({
+            label_col: pc.fill_null(
+                pc.cast(t[label_col], pa.string()), "unknown"),
+            "lang_pred": p["lang_pred"],
+        })
+
+    out = grouped_counts(
+        ds.map_batches(pred, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=[label_col, "lang_pred"])
+    return out.sort_by([(label_col, "ascending"),
+                        ("lang_pred", "ascending")])
+
+
+def langid_confusion_sql(label_col: str = "lang",
+                         table: str = "documents") -> str:
+    return f"""
+SELECT COALESCE(CAST({label_col} AS VARCHAR), 'unknown') AS {label_col},
+  {_langid_expr()} AS lang_pred, count(*) AS n
+FROM {table} GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:

@@ -3332,3 +3332,145 @@ def test_grouped_ols_trend_exact(ray_session):
     # z has zero x-variance → NULL; null group present and last
     assert np.isnan(by_g["z"][1])
     assert got.g.tolist()[-1] is None or got.g.isna().tolist()[-1]
+
+
+def test_langid_confusion_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (langid_batch,
+                                                    langid_confusion)
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "lang": ["en", "en", "fr", None, "de", "fr"],
+        "text": ["the cat and the dog", "le chat et le chien",
+                 "der hund und die katze", "the end of the story",
+                 "xyzzy", "le monde est grand"],
+    })
+    got = langid_confusion(rd.from_pandas(df)).to_pandas()
+    # reference: run the batch predictor directly, count pairs
+    import pyarrow as pa
+    preds = langid_batch(pa.Table.from_pandas(df))["lang_pred"].to_pylist()
+    ref = (pd.DataFrame({"lang": df["lang"].fillna("unknown"),
+                         "lang_pred": preds})
+           .groupby(["lang", "lang_pred"]).size().rename("n")
+           .reset_index().sort_values(["lang", "lang_pred"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert got["n"].sum() == 6
+
+
+def test_source_dup_rate_cross_source(ray_session):
+    """Dup flags are corpus-wide: a text shared ACROSS two sources
+    marks a dup doc in BOTH; null source folds to ''; null text = ''."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import source_dup_rate
+
+    df = pd.DataFrame({
+        "doc_id": range(7),
+        "source": ["a", "a", "b", "b", "b", None, "c"],
+        "text": ["same", "uniq-a", "same", "uniq-b1", "uniq-b2",
+                 None, ""],
+    })
+    got = source_dup_rate(rd.from_pandas(df)).to_pandas()
+    by = dict(zip(got["source"],
+                  zip(got["n_docs"], got["n_dups"],
+                      got["dup_rate_millionths"])))
+    assert by["a"] == (2, 1, 500000)
+    assert by["b"] == (3, 1, 333333)
+    # None text and "" text are the SAME content -> both dups
+    assert by[""] == (1, 1, 1000000)
+    assert by["c"] == (1, 1, 1000000)
+    assert list(got["source"]) == sorted(got["source"])
+
+
+def test_tfidf_cosine_pairs_matches_brute_force(ray_session):
+    """Pin vs a from-scratch dense reference over the df-pruned
+    integer-weight space, reproducing the exact float expression tree
+    (1e6*dot / (sqrt(na2)*sqrt(nb2)), floored)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import tfidf_cosine_pairs
+
+    texts = [
+        "apple banana cherry apple",
+        "apple banana cherry date",
+        "apple banana",
+        "zebra yak xylophone",       # df-1 terms only -> no pairs
+        "date cherry banana apple",  # same bag as doc 1
+        "",                          # empty -> drops out
+        "apple apple apple apple apple banana",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    n = len(texts)
+    min_sim, permille = 100_000, 900
+
+    got = (tfidf_cosine_pairs(rd.from_pandas(df),
+                              min_sim_millionths=min_sim,
+                              max_df_permille=permille)
+           .to_pandas().reset_index(drop=True))
+
+    tf = [Counter(t.split()) for t in texts]
+    dfc = Counter()
+    for c in tf:
+        dfc.update(c.keys())
+    kept = {t: math.floor(math.log(n / d) * 1000)
+            for t, d in dfc.items() if d >= 2 and d * 1000 <= permille * n}
+    w = [{t: c * kept[t] for t, c in cnt.items() if t in kept}
+         for cnt in tf]
+    want = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            dot = sum(w[i][t] * w[j][t] for t in w[i] if t in w[j])
+            if dot == 0:
+                continue
+            na2 = sum(v * v for v in w[i].values())
+            nb2 = sum(v * v for v in w[j].values())
+            sim = math.floor((1_000_000.0 * float(dot))
+                             / (math.sqrt(float(na2))
+                                * math.sqrt(float(nb2))))
+            if sim >= min_sim:
+                want.append({"doc_a": i, "doc_b": j,
+                             "sim_millionths": sim})
+    want = (pd.DataFrame(want, columns=["doc_a", "doc_b",
+                                        "sim_millionths"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(want) > 3
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
+    # identical bags score (within one ulp-floor of) 1.0
+    top = got[(got.doc_a == 1) & (got.doc_b == 4)]["sim_millionths"]
+    assert len(top) == 1 and int(top.iloc[0]) >= 999_999
+
+
+def test_tfidf_cosine_pairs_guards(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import tfidf_cosine_pairs
+
+    # every doc identical -> one hot term per bucket, cap trips
+    df = pd.DataFrame({"doc_id": range(60),
+                       "text": ["common words here"] * 60})
+    with pytest.raises(ValueError, match="max_bucket_pairs"):
+        tfidf_cosine_pairs(rd.from_pandas(df), max_df_permille=1000,
+                           max_bucket_pairs=100).to_pandas()
+
+    # all-unique vocabulary -> empty result with the right schema
+    df2 = pd.DataFrame({"doc_id": range(3),
+                        "text": ["aa bb", "cc dd", "ee ff"]})
+    out = tfidf_cosine_pairs(rd.from_pandas(df2))
+    assert out.count() == 0
+    # ray's to_pandas drops columns on 0-row datasets; the typed
+    # schema is the contract
+    assert [f.name for f in out.schema().base_schema] == [
+        "doc_a", "doc_b", "sim_millionths"]
