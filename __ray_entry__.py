@@ -1999,6 +1999,25 @@ def _q_edit_distance_dupes(sf_dir: str):
     return edit_distance_dupes(_docs(sf_dir))
 
 
+def _q_split_leakage(sf_dir: str):
+    """Eval-integrity audit: distinct texts shared between each pair
+    of train/val/test splits — digest-bucket exchange, bounded merge."""
+    from fluent_server_ray.stages.hygiene import split_leakage
+
+    return split_leakage(_docs(sf_dir))
+
+
+def _q_ab_ttest(sf_dir: str):
+    """Welch two-sample t-test of value-micros between 'error' and
+    'click' events — exact integer partials, one shared float tree."""
+    from fluent_server_ray.stages.features import welch_ttest
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return welch_ttest(ds, group_col="event_type", value_col="value",
+                       group_a="error", group_b="click")
+
+
 def _q_langid_confusion(sf_dir: str):
     """Language-ID confusion matrix: (labeled lang, predicted lang)
     counts — the classifier accuracy report; one fused combiner pass."""
@@ -2590,6 +2609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov_rate": _q_oov_rate,
         "dedup_edit_distance": _q_edit_distance_dupes,
         "events_value_trend": _q_value_trend,
+        "events_ab_ttest": _q_ab_ttest,
+        "split_leakage": _q_split_leakage,
         "langid_confusion": _q_langid_confusion,
         "source_dup_rate": _q_source_dup_rate,
         "doc_sim_pairs": _q_tfidf_cosine_pairs,
@@ -2971,7 +2992,13 @@ FROM c ORDER BY doc_id
         "doc_token_entropy": textstats.doc_token_entropy_sql(),
         "doc_oov_rate": textstats.oov_rate_sql(vocab_k=200),
         "dedup_edit_distance": dedup.edit_distance_dupes_sql(),
+        "events_ab_ttest": features.welch_ttest_sql(
+            group_col="event_type",
+            value_expr=("CAST(floor(CAST(value AS DOUBLE) * 1000000.0)"
+                        " AS BIGINT)"),
+            group_a="error", group_b="click", table="events"),
         "langid_confusion": textstats.langid_confusion_sql(),
+        "split_leakage": hygiene.split_leakage_sql(),
         "source_dup_rate": dedup.source_dup_rate_sql(),
         "doc_sim_pairs": similarity.tfidf_cosine_pairs_sql(),
         "lang_token_kl": textstats.source_token_kl_sql(group_col="lang"),

@@ -966,3 +966,149 @@ SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
     AS intercept
 FROM s ORDER BY g
 """.strip()
+
+
+def welch_ttest(ds, group_col: str, value_col: str,
+                group_a: str, group_b: str) -> pa.Table:
+    """Welch's unequal-variance two-sample t-test between two groups'
+    values — the A/B experiment readout ("did the new sink change the
+    metric?") as ONE combiner pass: per block, exact integer
+    (n, Σy, Σy²) partials per group over value-MICROS (decimal-string
+    transport with the bound-checked int64 fast path — the
+    :func:`pearson_corr` discipline), a python-int driver merge, then
+    the statistic in ONE shared float64 expression tree::
+
+        v    = (n·Σy² − (Σy)²) / (n·(n−1))        (sample variance)
+        se²  = v_a/n_a + v_b/n_b
+        t    = (ȳ_a − ȳ_b) / √se²
+        df   = se²² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+
+    where every exact-int → float64 conversion is round-to-nearest
+    (the SQL mirror's VARCHAR→DOUBLE path) and the op order matches
+    the mirror token-for-token. NULL values are excluded; a group
+    with n < 2 or zero pooled variance yields NULL t/df (SQL
+    ``nullif``). Output: ONE row
+    (n_a, n_b, mean_a, mean_b, t_stat, welch_df).
+    """
+    import math
+
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def moments(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(t[value_col]),
+            pc.is_in(pc.cast(t[group_col], pa.string()),
+                     value_set=pa.array([group_a, group_b])))
+        sub = t.filter(keep)
+        g = pc.cast(sub[group_col], pa.string()).to_pandas()
+        y = pc.cast(pc.floor(pc.multiply(
+            pc.cast(sub[value_col], pa.float64()),
+            pa.scalar(1_000_000.0))), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        if len(y):
+            peak = max(int(y.max()), -int(y.min()))
+            if len(y) * max(peak * peak, 1) >= (1 << 63):
+                y = y.astype(object)
+        df = pd.DataFrame({"g": g, "y": y, "yy": y * y})
+        agg = df.groupby("g").agg(
+            n=("y", "size"), sy=("y", "sum"),
+            syy=("yy", "sum")).reset_index()
+        return pa.table({
+            "g": pa.array(agg["g"], type=pa.string()),
+            "n": pa.array(agg["n"].to_numpy(dtype="int64")),
+            "sy": pa.array([str(int(v)) for v in agg["sy"]]),
+            "syy": pa.array([str(int(v)) for v in agg["syy"]]),
+        })
+
+    acc: dict[str, list[int]] = {group_a: [0, 0, 0], group_b: [0, 0, 0]}
+    for r in (ds.map_batches(skip_empty(moments), batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for gv, n, sy, syy in zip(r["g"].to_pylist(), r["n"].to_pylist(),
+                                  r["sy"].to_pylist(),
+                                  r["syy"].to_pylist()):
+            a = acc[gv]
+            a[0] += int(n)
+            a[1] += int(sy)
+            a[2] += int(syy)
+
+    def stats(n: int, sy: int, syy: int):
+        if n < 2:
+            return None, None
+        mean = float(sy) / float(n)
+        var = float(n * syy - sy * sy) / (float(n) * float(n - 1))
+        return mean, var
+
+    na, sya, syya = acc[group_a]
+    nb, syb, syyb = acc[group_b]
+    ma, va = stats(na, sya, syya)
+    mb, vb = stats(nb, syb, syyb)
+    t_stat = df_w = None
+    if va is not None and vb is not None:
+        van = va / float(na)
+        vbn = vb / float(nb)
+        se2 = van + vbn
+        if se2 != 0.0:
+            t_stat = (ma - mb) / math.sqrt(se2)
+            den = (van * van / float(na - 1)
+                   + vbn * vbn / float(nb - 1))
+            df_w = (se2 * se2) / den if den != 0.0 else None
+    return pa.table({
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb], type=pa.int64()),
+        "mean_a": pa.array([ma], type=pa.float64()),
+        "mean_b": pa.array([mb], type=pa.float64()),
+        "t_stat": pa.array([t_stat], type=pa.float64()),
+        "welch_df": pa.array([df_w], type=pa.float64()),
+    })
+
+
+def welch_ttest_sql(group_col: str, value_expr: str, group_a: str,
+                    group_b: str, table: str) -> str:
+    def side(g: str, tag: str) -> str:
+        return f"""
+s_{tag} AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(y) AS sy, sum(y * y) AS syy
+  FROM f WHERE g = '{g}'
+)""".strip()
+
+    # exact-int → double via the correctly-rounded VARCHAR path;
+    # op order mirrors welch_ttest token-for-token
+    def mean(tag: str) -> str:
+        return (f"CAST(CAST(s_{tag}.sy AS VARCHAR) AS DOUBLE)"
+                f" / CAST(s_{tag}.n AS DOUBLE)")
+
+    def var(tag: str) -> str:
+        return (f"(CAST(CAST(s_{tag}.n * s_{tag}.syy - s_{tag}.sy *"
+                f" s_{tag}.sy AS VARCHAR) AS DOUBLE)"
+                f" / (CAST(s_{tag}.n AS DOUBLE)"
+                f" * CAST(s_{tag}.n - 1 AS DOUBLE)))")
+
+    van = f"({var('a')} / CAST(s_a.n AS DOUBLE))"
+    vbn = f"({var('b')} / CAST(s_b.n AS DOUBLE))"
+    se2 = f"({van} + {vbn})"
+    return f"""
+WITH f AS (
+  SELECT CAST({group_col} AS VARCHAR) AS g,
+    CAST({value_expr} AS HUGEINT) AS y
+  FROM {table}
+  WHERE CAST({group_col} AS VARCHAR) IN ('{group_a}', '{group_b}')
+    AND {value_expr} IS NOT NULL
+), {side(group_a, 'a')}, {side(group_b, 'b')}
+SELECT
+  CAST(s_a.n AS BIGINT) AS n_a,
+  CAST(s_b.n AS BIGINT) AS n_b,
+  CASE WHEN s_a.n >= 2 THEN {mean('a')} END AS mean_a,
+  CASE WHEN s_b.n >= 2 THEN {mean('b')} END AS mean_b,
+  CASE WHEN s_a.n >= 2 AND s_b.n >= 2 THEN
+    ({mean('a')} - {mean('b')}) / nullif(sqrt({se2}), 0.0)
+  END AS t_stat,
+  CASE WHEN s_a.n >= 2 AND s_b.n >= 2 THEN
+    ({se2} * {se2})
+      / nullif({van} * {van} / CAST(s_a.n - 1 AS DOUBLE)
+               + {vbn} * {vbn} / CAST(s_b.n - 1 AS DOUBLE), 0.0)
+  END AS welch_df
+FROM s_a CROSS JOIN s_b
+""".strip()

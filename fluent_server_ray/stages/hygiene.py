@@ -741,3 +741,91 @@ def pseudonymize_expr_sql(col: str, salt: str = "fsr",
     the concatenation)."""
     return (f"substr(sha256('{salt}' || ':' || CAST({col} AS VARCHAR)),"
             f" 1, {int(keep)})")
+
+
+def split_leakage(ds, id_col: str = "doc_id",
+                  text_col: str = "text", n_buckets: int = 64) -> pa.Table:
+    """Train/val/test leakage audit under the corpus's own md5 split
+    rule (:func:`~fluent_server_ray.stages.assembly.split_of`): for
+    every split, how many DISTINCT texts it holds and how many of
+    those also appear in ANOTHER split — the eval-integrity check a
+    training pipeline must pass before results mean anything (a
+    duplicated doc whose copies hash into different splits leaks eval
+    content into train).
+
+    Shape: per batch md5 + split label, batch-local distinct
+    (fp, split) combiner → ONE digest-bucket exchange (all copies of a
+    text co-locate, so cross-split membership is decided entirely
+    inside a bucket) → per-bucket per-split (n_texts, n_leaked)
+    partials → bounded driver merge (≤ 3 × buckets rows). Output:
+    pa.Table (split, n_texts, n_leaked), sorted by split.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.assembly import split_of
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        fps = pa.array([hashlib.md5((s or "").encode("utf-8")).hexdigest()
+                        for s in texts], type=pa.string())
+        base = pa.table({"_fp": fps, "split": split_of(t[id_col])})
+        uniq = base.group_by(["_fp", "split"]).aggregate([])
+        return uniq.append_column(
+            "_b", pa.array(hash_bucket_array(uniq["_fp"], n_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["_fp", "split"])
+        k = d.groupby("_fp")["split"].transform("size")
+        out = (d.assign(_leak=(k > 1).astype("int64"))
+               .groupby("split", sort=False)
+               .agg(n=("_fp", "size"), leaked=("_leak", "sum"))
+               .reset_index())
+        return out[["split", "n", "leaked"]]
+
+    parts = (
+        ds.map_batches(skip_empty(fp), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    tables = list(parts.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"))
+    empty = pa.table({
+        "split": pa.array([], type=pa.string()),
+        "n_texts": pa.array([], type=pa.int64()),
+        "n_leaked": pa.array([], type=pa.int64()),
+    })
+    if not tables:
+        return empty
+    merged = pa.concat_tables(tables)
+    if merged.num_rows == 0:
+        return empty
+    out = (merged.group_by("split")
+           .aggregate([("n", "sum"), ("leaked", "sum")])
+           .rename_columns(["split", "n_texts", "n_leaked"]))
+    return out.sort_by("split")
+
+
+def split_leakage_sql(id_col: str = "doc_id", text_col: str = "text",
+                      table: str = "documents") -> str:
+    from fluent_server_ray.stages.assembly import split_case_sql
+
+    return f"""
+WITH h AS (
+  SELECT md5(COALESCE(CAST({text_col} AS VARCHAR), '')) AS fp,
+    {split_case_sql(id_col)} AS split
+  FROM {table}
+), d AS (
+  SELECT DISTINCT fp, split FROM h
+), c AS (
+  SELECT fp, count(*) AS k FROM d GROUP BY fp
+)
+SELECT d.split, count(*) AS n_texts,
+  CAST(sum(CASE WHEN c.k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+FROM d JOIN c USING (fp)
+GROUP BY d.split ORDER BY d.split
+""".strip()

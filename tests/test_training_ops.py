@@ -3474,3 +3474,93 @@ def test_tfidf_cosine_pairs_guards(ray_session):
     # schema is the contract
     assert [f.name for f in out.schema().base_schema] == [
         "doc_a", "doc_b", "sim_millionths"]
+
+
+def test_welch_ttest_exact_and_degenerate(ray_session):
+    """t/df vs a from-scratch exact-int reference sharing the float
+    tree; degenerate shapes: n<2 group -> NULLs, zero variance both
+    sides -> NULL t, NULL values excluded."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import welch_ttest
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 4 + ["c"] * 3,
+        "v": [1.5, 2.25, 3.0, 2.0, None, 4.5, 5.0, 4.0, 6.25,
+              9.9, 9.9, 9.9],
+    })
+    got = welch_ttest(rd.from_pandas(df), group_col="g",
+                      value_col="v", group_a="a",
+                      group_b="b").to_pandas().iloc[0]
+
+    def mom(g):
+        ys = [math.floor(v * 1_000_000.0) for v in df[df.g == g].v
+              if v == v and v is not None]
+        n = len(ys)
+        return n, sum(ys), sum(y * y for y in ys)
+
+    na, sya, syya = mom("a")
+    nb, syb, syyb = mom("b")
+    ma = float(sya) / float(na)
+    mb = float(syb) / float(nb)
+    va = float(na * syya - sya * sya) / (float(na) * float(na - 1))
+    vb = float(nb * syyb - syb * syb) / (float(nb) * float(nb - 1))
+    van, vbn = va / float(na), vb / float(nb)
+    se2 = van + vbn
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = (se2 * se2) / (van * van / float(na - 1)
+                         + vbn * vbn / float(nb - 1))
+    assert (got.n_a, got.n_b) == (4, 4)
+    assert got.mean_a == ma and got.mean_b == mb
+    assert got.t_stat == t and got.welch_df == dfw
+
+    # one-row group -> NULL t/df and NULL mean for that side
+    one = welch_ttest(rd.from_pandas(df), group_col="g",
+                      value_col="v", group_a="a",
+                      group_b="missing").to_pandas().iloc[0]
+    assert one.n_b == 0 and np.isnan(one.t_stat) and np.isnan(one.mean_b)
+
+    # zero variance both sides -> se2 == 0 -> NULL t
+    zz = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                       "v": [2.0, 2.0, 2.0, 2.0]})
+    z = welch_ttest(rd.from_pandas(zz), group_col="g", value_col="v",
+                    group_a="a", group_b="b").to_pandas().iloc[0]
+    assert np.isnan(z.t_stat) and np.isnan(z.welch_df)
+
+
+def test_split_leakage_counts(ray_session):
+    """Cross-split shared texts counted per split; same-split dups
+    are NOT leaks; distinct-text counting (copies collapse)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import split_of
+    from fluent_server_ray.stages.hygiene import split_leakage
+
+    # craft ids whose splits differ, then give some of them equal text
+    ids = list(range(400))
+    splits = split_of(pa.array(ids, type=pa.int64())).to_pylist()
+    by_split = {}
+    for i, s in zip(ids, splits):
+        by_split.setdefault(s, []).append(i)
+    assert set(by_split) == {"train", "val", "test"}
+    tr, va, te = (by_split["train"], by_split["val"], by_split["test"])
+    texts = {i: f"uniq-{i}" for i in ids}
+    texts[tr[0]] = texts[va[0]] = "shared-tv"        # train <-> val
+    texts[tr[1]] = texts[te[0]] = "shared-tt"        # train <-> test
+    texts[tr[2]] = texts[tr[3]] = "dup-in-train"     # NOT a leak
+    df = pd.DataFrame({"doc_id": ids,
+                       "text": [texts[i] for i in ids]})
+    got = split_leakage(rd.from_pandas(df)).to_pandas()
+    by = {r.split: (r.n_texts, r.n_leaked) for r in got.itertuples()}
+    # train: one distinct text collapses two dup docs
+    assert by["train"] == (len(tr) - 1, 2)
+    assert by["val"] == (len(va), 1)
+    assert by["test"] == (len(te), 1)
