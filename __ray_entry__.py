@@ -1999,6 +1999,14 @@ def _q_edit_distance_dupes(sf_dir: str):
     return edit_distance_dupes(_docs(sf_dir))
 
 
+def _q_doc_keywords(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords — integer-exact weights,
+    deterministic (w desc, term asc) rank; pure per-batch combiner."""
+    from fluent_server_ray.stages.textstats import doc_keywords
+
+    return doc_keywords(_docs(sf_dir))
+
+
 def _q_split_leakage(sf_dir: str):
     """Eval-integrity audit: distinct texts shared between each pair
     of train/val/test splits — digest-bucket exchange, bounded merge."""
@@ -2611,6 +2619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend": _q_value_trend,
         "events_ab_ttest": _q_ab_ttest,
         "split_leakage": _q_split_leakage,
+        "doc_keywords": _q_doc_keywords,
         "langid_confusion": _q_langid_confusion,
         "source_dup_rate": _q_source_dup_rate,
         "doc_sim_pairs": _q_tfidf_cosine_pairs,
@@ -2999,6 +3008,7 @@ FROM c ORDER BY doc_id
             group_a="error", group_b="click", table="events"),
         "langid_confusion": textstats.langid_confusion_sql(),
         "split_leakage": hygiene.split_leakage_sql(),
+        "doc_keywords": textstats.doc_keywords_sql(),
         "source_dup_rate": dedup.source_dup_rate_sql(),
         "doc_sim_pairs": similarity.tfidf_cosine_pairs_sql(),
         "lang_token_kl": textstats.source_token_kl_sql(group_col="lang"),

@@ -2188,3 +2188,131 @@ FROM term JOIN g USING (grp)
 GROUP BY term.grp
 ORDER BY term.grp
 """.strip()
+
+
+def doc_keywords(ds, k: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Per-document top-``k`` TF-IDF keywords — the distinctive-term
+    extraction step behind tagging/faceting a curated corpus. Same
+    integer-exact contract as :func:`doc_tfidf` (``w = tf ·
+    floor(ln(N/df)·1e6)``), with a fully deterministic rank:
+    row_number over (w DESC, term ASC) per doc.
+
+    Shape: the df pass and broadcast idf are :func:`doc_tfidf`'s; the
+    top-k itself is a pure per-batch combiner (a doc's rows live in
+    the batch that carries the doc — no exchange at all). Returns a
+    Dataset (doc_id, term, rank, w_millionths) sorted by
+    (doc_id, rank); zero-token docs yield no rows (SQL inner join).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    ds = ds.materialize()
+    n_docs = ds.count()
+
+    def flat_tokens(t: pa.Table):
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        return np.repeat(ids, lens), flat
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        doc_of, flat = flat_tokens(t)
+        pairs = pa.table({"term": pa.array(flat, type=pa.string()),
+                          "d": pa.array(doc_of)})
+        uniq = pairs.group_by(["term", "d"]).aggregate([])
+        out = uniq.group_by("term").aggregate([([], "count_all")])
+        return out.rename_columns(["term", "df"])
+
+    tabs = list(
+        ds.map_batches(skip_empty(df_partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    import ray.data as rd
+    if not tabs:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "rank": pa.array([], type=pa.int64()),
+            "w_millionths": pa.array([], type=pa.int64()),
+        }))
+    df_tbl = (pa.concat_tables(tabs).group_by("term")
+              .aggregate([("df", "sum")]))
+    terms = df_tbl["term"].combine_chunks()
+    dfv = df_tbl["df_sum"].to_numpy(zero_copy_only=False).astype("float64")
+    idf_m = np.floor(np.log(float(n_docs) / dfv) * 1_000_000
+                     ).astype("int64")
+    idf_ref = ray.put((terms, pa.array(idf_m)))
+
+    def topk(t: pa.Table) -> pa.Table:
+        vocab, idf = ray.get(idf_ref)
+        doc_of, flat = flat_tokens(t)
+        pairs = pa.table({"d": pa.array(doc_of),
+                          "term": pa.array(flat, type=pa.string())})
+        tf = (pairs.group_by(["d", "term"]).aggregate([([], "count_all")])
+              .rename_columns(["d", "term", "tf"]))
+        idx = pc.index_in(tf["term"], value_set=vocab)
+        w = pc.multiply(pc.cast(tf["tf"], pa.int64()), pc.take(idf, idx))
+        df_ = pd.DataFrame({"d": tf["d"].to_numpy(zero_copy_only=False),
+                            "term": tf["term"].to_pandas(),
+                            "w": w.to_numpy(zero_copy_only=False)})
+        df_ = df_.sort_values(["d", "w", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort").reset_index(drop=True)
+        rank = df_.groupby("d", sort=False).cumcount() + 1
+        df_ = df_.assign(rank=rank.astype("int64"))
+        df_ = df_[df_["rank"] <= k]
+        return pa.table({
+            id_col: pa.array(df_["d"].to_numpy(dtype="int64")),
+            "term": pa.array(df_["term"], type=pa.string()),
+            "rank": pa.array(df_["rank"].to_numpy(dtype="int64")),
+            "w_millionths": pa.array(df_["w"].to_numpy(dtype="int64")),
+        })
+
+    return (ds.map_batches(skip_empty(topk), batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort([id_col, "rank"]))
+
+
+def doc_keywords_sql(k: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     table: str = "documents") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+    unnest(list_filter(regexp_split_to_array({text_col},
+                                             '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS term
+  FROM {table}
+), tf AS (
+  SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY {id_col}, term
+), dfc AS (
+  SELECT term, count(DISTINCT {id_col}) AS df FROM toks GROUP BY term
+), nn AS (
+  SELECT count(*) AS n FROM {table}
+), w AS (
+  SELECT tf.{id_col}, tf.term,
+    CAST(tf.tf * CAST(floor(ln(CAST(nn.n AS DOUBLE) / dfc.df) * 1000000)
+                      AS BIGINT) AS BIGINT) AS w
+  FROM tf JOIN dfc USING (term) CROSS JOIN nn
+)
+SELECT {id_col}, term, rank, w AS w_millionths FROM (
+  SELECT {id_col}, term, w,
+    row_number() OVER (PARTITION BY {id_col}
+                       ORDER BY w DESC, term ASC) AS rank
+  FROM w
+) WHERE rank <= {k}
+ORDER BY {id_col}, rank
+""".strip()

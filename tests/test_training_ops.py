@@ -3564,3 +3564,39 @@ def test_split_leakage_counts(ray_session):
     assert by["train"] == (len(tr) - 1, 2)
     assert by["val"] == (len(va), 1)
     assert by["test"] == (len(te), 1)
+
+
+def test_doc_keywords_rank_and_ties(ray_session):
+    """Top-k per doc with the deterministic (w desc, term asc) rank;
+    zero-token docs yield no rows; k larger than vocab keeps all."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import doc_keywords
+
+    texts = ["b a a c", "a b", "", "z z z q"]
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+    got = doc_keywords(rd.from_pandas(df), k=2).to_pandas()
+
+    n = 4
+    tf = [Counter(t.split()) for t in texts]
+    dfc = Counter()
+    for c in tf:
+        dfc.update(c.keys())
+    idf = {t: math.floor(math.log(n / d) * 1_000_000)
+           for t, d in dfc.items()}
+    want = []
+    for i, cnt in enumerate(tf):
+        ws = sorted(((c * idf[t], t) for t, c in cnt.items()),
+                    key=lambda p: (-p[0], p[1]))
+        for r, (w, t) in enumerate(ws[:2], start=1):
+            want.append({"doc_id": i, "term": t, "rank": r,
+                         "w_millionths": w})
+    want = pd.DataFrame(want).sort_values(["doc_id", "rank"]
+                                          ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+    assert 2 not in got.doc_id.values  # empty doc emits nothing
