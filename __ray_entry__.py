@@ -1999,6 +1999,22 @@ def _q_edit_distance_dupes(sf_dir: str):
     return edit_distance_dupes(_docs(sf_dir))
 
 
+def _q_interarrival_quantiles(sf_dir: str):
+    """Per-event-type p50/p95/p99 of per-user inter-arrival seconds —
+    user-bucket gap extraction composed with the integer-histogram
+    grouped quantile sketch (engagement-cadence dashboard)."""
+    from fluent_server_ray.stages.sketches import grouped_binned_quantiles
+    from fluent_server_ray.stages.windows import interarrival_gaps
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"])
+    gaps = interarrival_gaps(ds)
+    return grouped_binned_quantiles(gaps, group_col="event_type",
+                                    col="gap_sec", lo=0.0,
+                                    hi=100_000.0, bins=1000)
+
+
 def _q_doc_keywords(sf_dir: str):
     """Per-doc top-3 TF-IDF keywords — integer-exact weights,
     deterministic (w desc, term asc) rank; pure per-batch combiner."""
@@ -2620,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_ttest": _q_ab_ttest,
         "split_leakage": _q_split_leakage,
         "doc_keywords": _q_doc_keywords,
+        "event_interarrival_quantiles": _q_interarrival_quantiles,
         "langid_confusion": _q_langid_confusion,
         "source_dup_rate": _q_source_dup_rate,
         "doc_sim_pairs": _q_tfidf_cosine_pairs,
@@ -3009,6 +3026,12 @@ FROM c ORDER BY doc_id
         "langid_confusion": textstats.langid_confusion_sql(),
         "split_leakage": hygiene.split_leakage_sql(),
         "doc_keywords": textstats.doc_keywords_sql(),
+        "event_interarrival_quantiles": (
+            __import__("fluent_server_ray.stages.sketches",
+                       fromlist=["x"]).grouped_binned_quantiles_sql(
+                group_col="event_type", col="gap_sec", lo=0.0,
+                hi=100_000.0, bins=1000,
+                table=windows.interarrival_gaps_subquery_sql())),
         "source_dup_rate": dedup.source_dup_rate_sql(),
         "doc_sim_pairs": similarity.tfidf_cosine_pairs_sql(),
         "lang_token_kl": textstats.source_token_kl_sql(group_col="lang"),

@@ -1009,3 +1009,82 @@ WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
              ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
 ORDER BY {id_col}
 """.strip()
+
+
+def interarrival_gaps(ds, key_cols: tuple[str, ...] = ("user_id",
+                                                       "event_type"),
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      out_col: str = "gap_sec", n_buckets: int = 64):
+    """Per-key inter-arrival gaps in whole seconds: for each
+    ``key_cols`` group (e.g. a user's clicks), the differences between
+    consecutive epoch-second values ordered by (second, id) — the raw
+    material for burstiness/engagement-cadence dashboards. The first
+    event of a group yields no row (SQL ``lag`` NULL).
+
+    One hash-bucket exchange on the FIRST key column (a group's rows
+    co-locate; the remaining key columns subsort inside the bucket),
+    then a fully vectorized per-bucket sort + shifted diff. Emits
+    (key_cols[-1], gap) rows — the downstream quantile sketch needs
+    only the grouping label and the gap.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def prep(t: pa.Table) -> pa.Table:
+        sec = pc.divide(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            1_000_000)
+        cols = {k: t[k] for k in key_cols}
+        cols["_sec"] = sec
+        cols["_id"] = t[id_col]
+        out = pa.table(cols)
+        return out.append_column(
+            "_b", pa.array(hash_bucket_array(t[key_cols[0]], n_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ks = list(key_cols)
+        g = g.sort_values(ks + ["_sec", "_id"],
+                          kind="mergesort").reset_index(drop=True)
+        gap = g["_sec"].diff()
+        same = pd.Series(True, index=g.index)
+        for k in ks:
+            same &= g[k].eq(g[k].shift()) | (g[k].isna()
+                                             & g[k].shift().isna())
+        keep = same & gap.notna()
+        out = pd.DataFrame({
+            key_cols[-1]: g.loc[keep, key_cols[-1]],
+            out_col: gap[keep].astype("int64"),
+        })
+        if not len(out):
+            return pd.DataFrame({
+                key_cols[-1]: pd.Series([], dtype=g[key_cols[-1]].dtype),
+                out_col: pd.Series([], dtype="int64"),
+            })
+        return out
+
+    return (
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def interarrival_gaps_subquery_sql(key_cols: tuple[str, ...] = (
+        "user_id", "event_type"), ts_col: str = "ts",
+        id_col: str = "event_id", out_col: str = "gap_sec",
+        table: str = "events") -> str:
+    """The gap extraction as a parenthesized FROM-able subquery — feed
+    it to :func:`~fluent_server_ray.stages.sketches.grouped_binned_quantiles_sql`
+    as its ``table``."""
+    part = ", ".join(key_cols)
+    return (
+        f"(SELECT {key_cols[-1]}, sec - lag(sec) OVER ("
+        f"PARTITION BY {part} ORDER BY sec, {id_col}) AS {out_col} "
+        f"FROM (SELECT {part}, {id_col}, "
+        f"epoch_us({ts_col}) // 1000000 AS sec FROM {table})) AS gaps"
+    )

@@ -3600,3 +3600,31 @@ def test_doc_keywords_rank_and_ties(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
                                   check_dtype=False)
     assert 2 not in got.doc_id.values  # empty doc emits nothing
+
+
+def test_interarrival_gaps_per_key(ray_session):
+    """Gaps only within a (user, type) group; first event emits no
+    row; within-second ordering cannot change the gap multiset."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import interarrival_gaps
+
+    base = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 3],
+        "event_type": ["c", "c", "c", "v", "c", "c", "c"],
+        "event_id": [10, 11, 12, 13, 14, 15, 16],
+        "ts": [base, base + pd.Timedelta(seconds=5),
+               base + pd.Timedelta(seconds=5, microseconds=900_000),
+               base + pd.Timedelta(seconds=100),
+               base, base + pd.Timedelta(seconds=42),
+               base],
+    })
+    got = (interarrival_gaps(rd.from_pandas(df))
+           .to_pandas().sort_values(["event_type", "gap_sec"])
+           .reset_index(drop=True))
+    # user1/c: secs [0,5,5] -> gaps [5,0]; user1/v: single -> none;
+    # user2/c: [0,42] -> [42]; user3/c single -> none
+    assert got["gap_sec"].tolist() == [0, 5, 42]
+    assert got["event_type"].tolist() == ["c", "c", "c"]
