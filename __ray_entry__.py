@@ -1999,6 +1999,14 @@ def _q_edit_distance_dupes(sf_dir: str):
     return edit_distance_dupes(_docs(sf_dir))
 
 
+def _q_source_vocab_overlap(sf_dir: str):
+    """Pairwise top-100-vocabulary overlap between sources — word-
+    bucket exchange, O(buckets·sources·k) driver merge."""
+    from fluent_server_ray.stages.textstats import source_vocab_overlap
+
+    return source_vocab_overlap(_docs(sf_dir))
+
+
 def _q_interarrival_quantiles(sf_dir: str):
     """Per-event-type p50/p95/p99 of per-user inter-arrival seconds —
     user-bucket gap extraction composed with the integer-histogram
@@ -2637,6 +2645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": _q_split_leakage,
         "doc_keywords": _q_doc_keywords,
         "event_interarrival_quantiles": _q_interarrival_quantiles,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "langid_confusion": _q_langid_confusion,
         "source_dup_rate": _q_source_dup_rate,
         "doc_sim_pairs": _q_tfidf_cosine_pairs,
@@ -3026,6 +3035,7 @@ FROM c ORDER BY doc_id
         "langid_confusion": textstats.langid_confusion_sql(),
         "split_leakage": hygiene.split_leakage_sql(),
         "doc_keywords": textstats.doc_keywords_sql(),
+        "source_vocab_overlap": textstats.source_vocab_overlap_sql(),
         "event_interarrival_quantiles": (
             __import__("fluent_server_ray.stages.sketches",
                        fromlist=["x"]).grouped_binned_quantiles_sql(

@@ -2316,3 +2316,118 @@ SELECT {id_col}, term, rank, w AS w_millionths FROM (
 ) WHERE rank <= {k}
 ORDER BY {id_col}, rank
 """.strip()
+
+
+def source_vocab_overlap(ds, k: int = 100, group_col: str = "source",
+                         text_col: str = "text",
+                         n_buckets: int = 64) -> pa.Table:
+    """Cross-source vocabulary overlap: for every pair of sources, how
+    many of each other's top-``k`` words they share — the
+    mixture-design diagnostic ("are these two feeds the same register,
+    or genuinely complementary?").
+
+    Per-source top-k is exact over the UNBOUNDED word space via the
+    :func:`vocab_top_words` argument: per-batch (source, word) count
+    combiner → ONE hash-bucket exchange on the word → per-bucket
+    per-source sum + per-source top-k (buckets partition words
+    disjointly, so the global per-source top-k is the top-k of the
+    ≤ buckets×sources×k bucket winners — an O(buckets·sources·k)
+    driver merge). The pairwise intersection then runs on the driver
+    over |sources|·k rows. Single-space split + drop-empties, the
+    shared SQL tokenizer. Output: pa.Table (source_a, source_b,
+    n_shared) with source_a < source_b, sorted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = pc.fill_null(pc.cast(t[group_col], pa.string()), "")
+        toks = pc.split_pattern(t[text_col], " ")
+        lens = pc.fill_null(pc.cast(pc.list_value_length(toks),
+                                    pa.int64()), 0)
+        flat = pc.list_flatten(toks)
+        src_of = pc.take(
+            src, pa.array(np.repeat(np.arange(len(t)),
+                                    lens.to_numpy(zero_copy_only=False))))
+        tbl = pa.table({"src": src_of, "word": flat})
+        tbl = tbl.filter(pc.not_equal(tbl["word"], ""))
+        out = (tbl.group_by(["src", "word"]).aggregate([([], "count_all")])
+               .rename_columns(["src", "word", "n"]))
+        return out.append_column(
+            "_b", pa.array(hash_bucket_array(out["word"], n_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["src", "word"], sort=False)["n"].sum()
+               .reset_index())
+        agg = agg.sort_values(["src", "n", "word"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = agg.groupby("src", sort=False).head(k)
+        return top[["src", "word", "n"]]
+
+    parts = (
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    tables = list(parts.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"))
+    empty = pa.table({
+        "source_a": pa.array([], type=pa.string()),
+        "source_b": pa.array([], type=pa.string()),
+        "n_shared": pa.array([], type=pa.int64()),
+    })
+    if not tables:
+        return empty
+    cand = pa.concat_tables(tables).to_pandas()
+    if cand.empty:
+        return empty
+    # global per-source top-k over the bucket winners; deterministic
+    # (n desc, word asc) — the SQL row_number tie-break
+    cand = cand.sort_values(["src", "n", "word"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    top = cand.groupby("src", sort=False).head(k)
+    sets = {s: set(w) for s, w in top.groupby("src")["word"]}
+    rows = []
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(sets[a] & sets[b])
+            if shared:
+                rows.append((a, b, shared))
+    if not rows:
+        return empty
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows], type=pa.string()),
+        "source_b": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_shared": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+def source_vocab_overlap_sql(k: int = 100, group_col: str = "source",
+                             text_col: str = "text",
+                             table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT COALESCE(CAST({group_col} AS VARCHAR), '') AS src,
+    unnest(list_filter(string_split({text_col}, ' '), x -> x <> ''))
+      AS word
+  FROM {table}
+), cnt AS (
+  SELECT src, word, count(*) AS n FROM toks GROUP BY src, word
+), rk AS (
+  SELECT src, word,
+    row_number() OVER (PARTITION BY src ORDER BY n DESC, word) AS r
+  FROM cnt
+), top AS (
+  SELECT src, word FROM rk WHERE r <= {k}
+)
+SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+FROM top a JOIN top b ON a.word = b.word AND a.src < b.src
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

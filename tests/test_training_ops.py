@@ -3628,3 +3628,43 @@ def test_interarrival_gaps_per_key(ray_session):
     # user2/c: [0,42] -> [42]; user3/c single -> none
     assert got["gap_sec"].tolist() == [0, 5, 42]
     assert got["event_type"].tolist() == ["c", "c", "c"]
+
+
+def test_source_vocab_overlap_exact(ray_session):
+    """Pairwise top-k word overlap vs a from-scratch counter
+    reference, with a tie on counts broken by word asc and k smaller
+    than the vocabulary."""
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import source_vocab_overlap
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "source": ["web", "web", "books", "books", "code", None],
+        "text": ["the cat sat", "the dog ran", "the cat slept",
+                 "a cat a dog", "def foo(): pass", "the end"],
+    })
+    k = 3
+    got = source_vocab_overlap(rd.from_pandas(df), k=k).to_pandas()
+
+    tops = {}
+    for src, sub in df.fillna({"source": ""}).groupby("source"):
+        c = Counter(w for t in sub.text for w in t.split() if w)
+        ranked = sorted(c.items(), key=lambda p: (-p[1], p[0]))[:k]
+        tops[src] = {w for w, _ in ranked}
+    want = []
+    srcs = sorted(tops)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            sh = len(tops[a] & tops[b])
+            if sh:
+                want.append({"source_a": a, "source_b": b,
+                             "n_shared": sh})
+    want = pd.DataFrame(want, columns=["source_a", "source_b",
+                                       "n_shared"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+    assert len(want) >= 1
