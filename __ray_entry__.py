@@ -1999,6 +1999,26 @@ def _q_edit_distance_dupes(sf_dir: str):
     return edit_distance_dupes(_docs(sf_dir))
 
 
+def _q_dedup_normalized(sf_dir: str):
+    """Exact dedup in NORMALIZED space (case/spacing/control-byte
+    differences collide): min-id doc per distinct canonical text —
+    normalize map composed with the combiner-first exact dedup."""
+    from fluent_server_ray.stages.dedup import exact_dedup
+    from fluent_server_ray.stages.hygiene import normalize_text
+
+    return exact_dedup(normalize_text(_docs(sf_dir)),
+                       text_col="text_norm")
+
+
+def _q_winnow_pairs(sf_dir: str):
+    """MOSS-style content-overlap pairs: docs sharing ≥ 40 winnowed
+    rolling-hash fingerprints (corpus background tops out ~33;
+    literal copies measure 80+) — fingerprint-bucket exchange."""
+    from fluent_server_ray.stages.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(sf_dir), min_shared=40)
+
+
 def _q_source_vocab_overlap(sf_dir: str):
     """Pairwise top-100-vocabulary overlap between sources — word-
     bucket exchange, O(buckets·sources·k) driver merge."""
@@ -2646,6 +2666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "event_interarrival_quantiles": _q_interarrival_quantiles,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "dedup_normalized": _q_dedup_normalized,
+        "dedup_winnow_pairs": _q_winnow_pairs,
         "langid_confusion": _q_langid_confusion,
         "source_dup_rate": _q_source_dup_rate,
         "doc_sim_pairs": _q_tfidf_cosine_pairs,
@@ -3036,6 +3058,10 @@ FROM c ORDER BY doc_id
         "split_leakage": hygiene.split_leakage_sql(),
         "doc_keywords": textstats.doc_keywords_sql(),
         "source_vocab_overlap": textstats.source_vocab_overlap_sql(),
+        "dedup_normalized": (
+            "SELECT min(doc_id) AS doc_id, text_norm FROM ("
+            + hygiene.normalize_text_sql() + ") GROUP BY text_norm"),
+        "dedup_winnow_pairs": dedup.winnow_pairs_sql(min_shared=40),
         "event_interarrival_quantiles": (
             __import__("fluent_server_ray.stages.sketches",
                        fromlist=["x"]).grouped_binned_quantiles_sql(

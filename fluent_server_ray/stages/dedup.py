@@ -2299,3 +2299,115 @@ SELECT h.{group_col},
 FROM h JOIN c USING (fp)
 GROUP BY h.{group_col} ORDER BY h.{group_col}
 """.strip()
+
+
+# ------------------------------------------ winnow fingerprint pairs
+
+def winnow_pairs(ds, k: int = 8, window: int = 4, min_shared: int = 2,
+                 n_buckets: int = 256,
+                 max_bucket_pairs: int = 5_000_000):
+    """MOSS-style content-overlap pairs: all (doc_a < doc_b) sharing at
+    least ``min_shared`` distinct winnowed rolling-hash fingerprints
+    (:func:`~fluent_server_ray.stages.textstats.winnow_fingerprints_batch`
+    — Schleimer et al. 2003) — the plagiarism/quote-detection shape:
+    position-robust shared k-char content, where shingle-Jaccard asks
+    "how similar overall?" this asks "how much is literally copied?".
+
+    Shape: per-batch fingerprint explode (fingerprints are distinct
+    per doc by construction) → ONE hash-bucket exchange on the
+    fingerprint → per-bucket pair formation with a candidate cap
+    (fingerprints partition disjointly, so per-bucket shared counts
+    sum to the global count) → distributed (doc_a, doc_b) merge →
+    threshold filter. Returns a Dataset (doc_a, doc_b, n_shared)
+    sorted by (doc_a, doc_b).
+    """
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.textstats import \
+        winnow_fingerprints_batch
+
+    def fps(t: pa.Table) -> pa.Table:
+        out = winnow_fingerprints_batch(t, k=k, window=window)
+        return out.append_column(
+            "_b", pa.array(hash_bucket_array(out["fp"], n_buckets)))
+
+    _EMPTY = {"doc_a": np.asarray([], dtype=np.int64),
+              "doc_b": np.asarray([], dtype=np.int64),
+              "n": np.asarray([], dtype=np.int64)}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+        codes, _ = pd.factorize(g["fp"], sort=False)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        sizes = np.diff(np.r_[starts, n]).astype(np.int64)
+        total = int((sizes * (sizes - 1) // 2).sum())
+        if total == 0:
+            return pd.DataFrame(_EMPTY)
+        if total > max_bucket_pairs:
+            raise ValueError(
+                f"winnow_pairs: bucket generates {total} candidate "
+                f"pairs > max_bucket_pairs={max_bucket_pairs} — a "
+                "mass-shared boilerplate fingerprint; pre-dedup exact "
+                "copies or raise the winnow window")
+        d = g["doc_id"].to_numpy(dtype="int64")
+        ai = np.empty(total, np.int64)
+        bi = np.empty(total, np.int64)
+        pos = 0
+        for s, c in zip(starts, sizes):
+            if c < 2:
+                continue
+            ii, jj = np.triu_indices(int(c), 1)
+            m = len(ii)
+            ai[pos:pos + m] = d[s + ii]
+            bi[pos:pos + m] = d[s + jj]
+            pos += m
+        out = (pd.DataFrame({"doc_a": ai, "doc_b": bi})
+               .groupby(["doc_a", "doc_b"], sort=False)
+               .size().rename("n").reset_index())
+        return out
+
+    pairs = (
+        ds.map_batches(skip_empty(fps), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    total = grouped_agg(pairs, keys=["doc_a", "doc_b"],
+                        aggs=[("n", "sum")], final="ray")
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "n_shared": pc.cast(t["n_sum"], pa.int64()),
+        })
+        return out.filter(pc.greater_equal(
+            out["n_shared"], pa.scalar(min_shared, pa.int64())))
+
+    from fluent_server_ray.stages.aggregate import skip_empty as _se
+
+    return (total.map_batches(_se(finish), batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .sort(["doc_a", "doc_b"]))
+
+
+def winnow_pairs_sql(k: int = 8, window: int = 4, min_shared: int = 2,
+                     table: str = "documents") -> str:
+    from fluent_server_ray.stages.textstats import winnow_fingerprints_sql
+
+    inner = winnow_fingerprints_sql(k=k, window=window, table=table)
+    # AS MATERIALIZED: the CTE is referenced twice; DuckDB would
+    # otherwise inline and recompute the window scan per reference
+    return f"""
+WITH fps AS MATERIALIZED (
+  SELECT * FROM ({inner}) t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  count(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+ORDER BY doc_a, doc_b
+""".strip()

@@ -3668,3 +3668,64 @@ def test_source_vocab_overlap_exact(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
                                   check_dtype=False)
     assert len(want) >= 1
+
+
+def test_dedup_normalized_collapses_trivial_variants(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import exact_dedup
+    from fluent_server_ray.stages.hygiene import normalize_text
+
+    df = pd.DataFrame({
+        "doc_id": [5, 2, 3, 4],
+        "text": ["Hello  World", "hello world", "  HELLO\tWORLD ",
+                 "different"],
+    })
+    got = (exact_dedup(normalize_text(rd.from_pandas(df)),
+                       text_col="text_norm")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.doc_id.tolist() == [2, 4]
+    assert got.text_norm.tolist() == ["hello world", "different"]
+
+
+def test_winnow_pairs_copy_detection(ray_session):
+    """A literal copy and a mostly-copied doc score far above
+    unrelated docs; threshold filters; counts match a from-scratch
+    fingerprint-set reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import winnow_pairs
+    from fluent_server_ray.stages.textstats import \
+        winnow_fingerprints_batch
+
+    body = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    texts = [body,
+             body,                              # exact copy
+             body[:60] + " completely new tail content here",
+             "utterly unrelated text about databases and engines",
+             "another unrelated string with its own words"]
+    df = pd.DataFrame({"doc_id": range(5), "text": texts})
+
+    fps = winnow_fingerprints_batch(pa.Table.from_pandas(df))
+    sets = {}
+    for d, f in zip(fps["doc_id"].to_pylist(), fps["fp"].to_pylist()):
+        sets.setdefault(d, set()).add(f)
+    want = {}
+    for i in range(5):
+        for j in range(i + 1, 5):
+            sh = len(sets.get(i, set()) & sets.get(j, set()))
+            if sh >= 3:
+                want[(i, j)] = sh
+
+    got = winnow_pairs(rd.from_pandas(df), min_shared=3).to_pandas()
+    got_map = {(a, b): n for a, b, n in
+               zip(got.doc_a, got.doc_b, got.n_shared)}
+    assert got_map == want
+    assert got_map[(0, 1)] == len(sets[0])          # exact copy
+    assert got_map[(0, 2)] >= 3                      # partial copy
+    assert (3, 4) not in got_map                     # unrelated
