@@ -1999,6 +1999,42 @@ def _q_edit_distance_dupes(sf_dir: str):
     return edit_distance_dupes(_docs(sf_dir))
 
 
+def _q_tool_error_rates(sf_dir: str):
+    """Per-tool error rate over the FLAGSHIP route (parse→route →
+    fraction of tool turns carrying an error code) — the log-pipeline
+    reliability dashboard; one fused combiner pass, bounded merge."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    ds = build_routed(sf_dir)
+
+    def prep(t: _pa.Table) -> _pa.Table:
+        sub = t.filter(_pc.is_valid(t["parsed_tool"]))
+        return _pa.table({
+            "parsed_tool": sub["parsed_tool"],
+            "err": _pc.cast(_pc.is_valid(sub["error_code"]), _pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["parsed_tool"], aggs=[("err", "sum"), ("err", "count")])
+    agg = agg.sort_by("parsed_tool")
+    n = agg["err_count"].to_numpy(zero_copy_only=False).astype(_np.float64)
+    e = agg["err_sum"].to_numpy(zero_copy_only=False).astype(_np.float64)
+    # (1000000.0 * errs) / calls, floored — the SQL mirror's float tree
+    rate = _np.floor((1_000_000.0 * e) / n).astype(_np.int64)
+    return _pa.table({
+        "parsed_tool": agg["parsed_tool"],
+        "n_calls": _pc.cast(agg["err_count"], _pa.int64()),
+        "n_errors": _pc.cast(agg["err_sum"], _pa.int64()),
+        "err_rate_millionths": _pa.array(rate),
+    })
+
+
 def _q_dedup_normalized(sf_dir: str):
     """Exact dedup in NORMALIZED space (case/spacing/control-byte
     differences collide): min-id doc per distinct canonical text —
@@ -2668,6 +2704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_winnow_pairs": _q_winnow_pairs,
+        "tool_error_rates": _q_tool_error_rates,
         "langid_confusion": _q_langid_confusion,
         "source_dup_rate": _q_source_dup_rate,
         "doc_sim_pairs": _q_tfidf_cosine_pairs,
@@ -3062,6 +3099,16 @@ FROM c ORDER BY doc_id
             "SELECT min(doc_id) AS doc_id, text_norm FROM ("
             + hygiene.normalize_text_sql() + ") GROUP BY text_norm"),
         "dedup_winnow_pairs": dedup.winnow_pairs_sql(min_shared=40),
+        "tool_error_rates": (
+            oracle.with_pipeline_ctes()
+            + "\nSELECT parsed_tool, count(*) AS n_calls,"
+            " CAST(sum(CASE WHEN error_code IS NOT NULL THEN 1 ELSE 0"
+            " END) AS BIGINT) AS n_errors,"
+            " CAST(floor((1000000.0 * sum(CASE WHEN error_code IS NOT"
+            " NULL THEN 1 ELSE 0 END)) / count(*)) AS BIGINT)"
+            " AS err_rate_millionths"
+            " FROM routed WHERE parsed_tool IS NOT NULL"
+            " GROUP BY parsed_tool ORDER BY parsed_tool"),
         "event_interarrival_quantiles": (
             __import__("fluent_server_ray.stages.sketches",
                        fromlist=["x"]).grouped_binned_quantiles_sql(

@@ -187,7 +187,8 @@ def run_once() -> dict:
                   "user_funnel", "window_distinct_users",
                   "lm_prep_pipeline", "dedup_substring",
                   "doc_bm25_topk", "bigram_pmi_top",
-                  "orders_segment_counts_salted", "dedup_ngram_jaccard"):
+                  "orders_segment_counts_salted", "dedup_ngram_jaccard",
+                  "doc_sim_pairs"):
         # best-of-2: the box shows time-varying hypervisor steal
         # (BASELINE.md "round-4 end-of-round confirm"); the min of
         # two reps estimates the true cost like flagship's min-of-3.
