@@ -1999,6 +1999,16 @@ def _q_edit_distance_dupes(sf_dir: str):
     return edit_distance_dupes(_docs(sf_dir))
 
 
+def _q_robust_outliers(sf_dir: str):
+    """Median/MAD outliers per event type (|v−med| > 3·MAD) — exact
+    distributed medians, broadcast maps, pure filter pass."""
+    from fluent_server_ray.stages.features import robust_outliers
+
+    return robust_outliers(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "event_type", "value"]))
+
+
 def _q_tool_error_rates(sf_dir: str):
     """Per-tool error rate over the FLAGSHIP route (parse→route →
     fraction of tool turns carrying an error code) — the log-pipeline
@@ -2705,6 +2715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": _q_dedup_normalized,
         "dedup_winnow_pairs": _q_winnow_pairs,
         "tool_error_rates": _q_tool_error_rates,
+        "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
         "source_dup_rate": _q_source_dup_rate,
         "doc_sim_pairs": _q_tfidf_cosine_pairs,
@@ -3099,6 +3110,7 @@ FROM c ORDER BY doc_id
             "SELECT min(doc_id) AS doc_id, text_norm FROM ("
             + hygiene.normalize_text_sql() + ") GROUP BY text_norm"),
         "dedup_winnow_pairs": dedup.winnow_pairs_sql(min_shared=40),
+        "events_robust_outliers": features.robust_outliers_sql(),
         "tool_error_rates": (
             oracle.with_pipeline_ctes()
             + "\nSELECT parsed_tool, count(*) AS n_calls,"

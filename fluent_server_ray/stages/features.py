@@ -1112,3 +1112,100 @@ SELECT
   END AS welch_df
 FROM s_a CROSS JOIN s_b
 """.strip()
+
+
+def robust_outliers(ds, group_col: str = "event_type",
+                    value_col: str = "value", id_col: str = "event_id",
+                    k: float = 3.0):
+    """Median/MAD robust outlier detection per group — the
+    skew-immune sibling of the mean/std z-flag (one mass-duplicated
+    boilerplate value drags a mean, not a median): a row is an
+    outlier when ``|v − median| > k · MAD`` with
+    ``MAD = median(|v − median|)`` and ``MAD > 0``.
+
+    Three passes, each bounded: EXACT per-group median via
+    :func:`~fluent_server_ray.stages.aggregate.grouped_exact_median`
+    (distributed selection over (key, value) counts, DuckDB
+    ``median()`` semantics), broadcast of the |groups|-sized median
+    map, the same selection over the absolute deviations, then a pure
+    filter pass. The deviation column rides a materialized
+    (id, group, value, ad) projection — O(rows·32B) in the object
+    store, never the driver. NULL values and NULL group keys are
+    excluded (the SQL join/WHERE mirror). Returns a Dataset
+    (id, group, value) of outliers sorted by id.
+    """
+    from fluent_server_ray.stages.aggregate import (grouped_exact_median,
+                                                    skip_empty)
+
+    def keep_valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t[value_col]),
+                                pc.is_valid(t[group_col])))
+
+    base = ds.map_batches(skip_empty(keep_valid),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+    meds_tbl = pa.concat_tables(
+        grouped_exact_median(base, group_col, value_col)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    med_keys = meds_tbl[group_col].combine_chunks()
+    med_vals = meds_tbl["median"].combine_chunks()
+
+    def with_ad(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(t[group_col], pa.string()),
+                          value_set=med_keys)
+        med = pc.take(med_vals, idx)
+        ad = pc.abs(pc.subtract(pc.cast(t[value_col], pa.float64()),
+                                med))
+        return pa.table({
+            id_col: t[id_col],
+            group_col: t[group_col],
+            value_col: t[value_col],
+            "_ad": ad,
+        })
+
+    dev = base.map_batches(skip_empty(with_ad), batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    mads_tbl = pa.concat_tables(
+        grouped_exact_median(dev, group_col, "_ad")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    mad_keys = mads_tbl[group_col].combine_chunks()
+    mad_vals = mads_tbl["median"].combine_chunks()
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(t[group_col], pa.string()),
+                          value_set=mad_keys)
+        mad = pc.take(mad_vals, idx)
+        keep = pc.and_(pc.greater(mad, pa.scalar(0.0)),
+                       pc.greater(t["_ad"],
+                                  pc.multiply(pa.scalar(float(k)), mad)))
+        out = t.filter(pc.fill_null(keep, False))
+        return out.select([id_col, group_col, value_col])
+
+    return dev.map_batches(skip_empty(flag), batch_format="pyarrow",
+                           zero_copy_batch=True).sort(id_col)
+
+
+def robust_outliers_sql(group_col: str = "event_type",
+                        value_col: str = "value",
+                        id_col: str = "event_id", k: float = 3.0,
+                        table: str = "events") -> str:
+    return f"""
+WITH m AS (
+  SELECT {group_col}, median({value_col}) AS med
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1
+), d AS (
+  SELECT e.{id_col}, e.{group_col}, e.{value_col},
+    abs(CAST(e.{value_col} AS DOUBLE) - m.med) AS ad
+  FROM {table} e JOIN m USING ({group_col})
+  WHERE e.{value_col} IS NOT NULL
+), mad AS (
+  SELECT {group_col}, median(ad) AS mad FROM d GROUP BY 1
+)
+SELECT d.{id_col}, d.{group_col}, d.{value_col}
+FROM d JOIN mad USING ({group_col})
+WHERE mad.mad > 0 AND d.ad > {float(k)} * mad.mad
+ORDER BY d.{id_col}
+""".strip()

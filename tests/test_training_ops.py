@@ -3729,3 +3729,37 @@ def test_winnow_pairs_copy_detection(ray_session):
     assert got_map[(0, 1)] == len(sets[0])          # exact copy
     assert got_map[(0, 2)] >= 3                      # partial copy
     assert (3, 4) not in got_map                     # unrelated
+
+
+def test_robust_outliers_median_mad(ray_session):
+    """Outliers vs a from-scratch median/MAD reference (DuckDB median
+    semantics: even counts interpolate); zero-MAD group flags
+    nothing; NULL value and NULL group rows excluded."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import robust_outliers
+
+    df = pd.DataFrame({
+        "event_id": range(12),
+        "event_type": ["a"] * 7 + ["z"] * 3 + [None, "a"],
+        "value": [1.0, 1.1, 0.9, 1.0, 1.05, 0.95, 100.0,
+                  5.0, 5.0, 5.0, 7.0, None],
+    })
+    got = robust_outliers(rd.from_pandas(df), k=3.0).to_pandas()
+
+    def med(v):
+        v = sorted(v)
+        n = len(v)
+        lo, hi = v[(n - 1) // 2], v[n // 2]
+        return lo + (hi - lo) * 0.5
+
+    sub = df[(df.event_type == "a") & df.value.notna()]
+    m = med(sub.value.tolist())
+    ad = (sub.value - m).abs()
+    mad = med(ad.tolist())
+    want = sub[ad > 3.0 * mad].event_id.tolist()
+    assert got.event_id.tolist() == sorted(want)
+    assert 6 in got.event_id.tolist()          # the 100.0 spike
+    assert not (got.event_type == "z").any()   # MAD == 0 group silent
