@@ -341,6 +341,16 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_dupes(_docs(sf_dir), threshold=0.8)
 
 
+def _q_dedup_containment(sf_dir: str):
+    """Asymmetric containment near-dup (3-shingle OVERLAP COEFFICIENT
+    ≥ 0.8) via the inverted-index bucket plan — finds short-in-long
+    subsumption that Jaccard structurally misses; int64-exact
+    millionths end to end."""
+    from fluent_server_ray.stages.dedup import overlap_dupes
+
+    return overlap_dupes(_docs(sf_dir), min_overlap_millionths=800_000)
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: connected components (distributed hash-min
     label propagation) over the exact n-gram-Jaccard pair set — the
@@ -2584,6 +2594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_containment": _q_dedup_containment,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
         "dedup_substring": _q_dedup_substring,
@@ -2800,6 +2811,8 @@ WHERE doc_id % 2 = 1
 """.strip(),
         "dedup_prefix_block": dedup.prefix_block_dupes_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dupes_sql(threshold=0.8),
+        "dedup_containment": dedup.overlap_dupes_sql(
+            min_overlap_millionths=800_000),
         # MinHash precision is 1 (in-cluster exact verify) and its
         # seeded recall is deterministic + total on the test corpora
         # (found set == exact set, verified sf0.001 + sf0.01) — the

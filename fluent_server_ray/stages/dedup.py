@@ -1342,6 +1342,222 @@ ORDER BY doc_a, doc_b
 """.strip()
 
 
+# --------------------------------------------- containment / overlap
+
+def overlap_dupes(ds, min_overlap_millionths: int = 800_000,
+                  shingle_k: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", n_buckets: int = 64,
+                  max_bucket_pairs: int = 5_000_000):
+    """Asymmetric containment near-dup: pairs whose k-shingle OVERLAP
+    COEFFICIENT ``|A∩B| / min(|A|,|B|)`` clears a threshold — the
+    subsumption detector (a short doc quoted inside a long one scores
+    ~1.0 here while its Jaccard ``|A∩B|/|A∪B|`` stays near 0, so
+    MinHash/Jaccard dedup structurally cannot find it; cf. Broder 1997
+    §2's containment measure, the one resemblance doesn't bound).
+
+    Plan (the Bayardo inverted-index shape of
+    :func:`~fluent_server_ray.stages.similarity.tfidf_cosine_pairs`,
+    minus weights): per-batch distinct-shingle postings → ONE
+    shingle-hash bucket exchange (a shingle's postings never span
+    buckets, so df<2 shingles produce no pairs for free) → per-bucket
+    triu pair partials (each shared shingle contributes 1) →
+    distributed (doc_a, doc_b) intersection merge → two bucketed joins
+    attach per-doc DISTINCT-shingle counts. Everything through the
+    final filter is int64-exact: ``overlap_millionths =
+    1_000_000·inter // min(na, nb)`` — no float in the operator at
+    all. Per-bucket candidate volume is capped (raises) —
+    :func:`minhash_near_dupes` is the open-corpus path.
+
+    Per-doc sizes count ALL distinct shingles (computed before the
+    exchange), so dropping df<2 shingles from the pair stage is
+    lossless, not an approximation. Docs with no tokens are excluded
+    (their overlap is 0/0). Returns a Dataset (doc_a, doc_b, inter,
+    na, nb, overlap_millionths), doc_a < doc_b, sorted.
+    """
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    def _empty():
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "inter": pa.array([], type=pa.int64()),
+            "na": pa.array([], type=pa.int64()),
+            "nb": pa.array([], type=pa.int64()),
+            "overlap_millionths": pa.array([], type=pa.int64()),
+        }))
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        H, lens = _batch_shingle_hashes(texts, shingle_k)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        hsets = []
+        keep = np.ones(len(ids), dtype=bool)
+        for i in range(len(ids)):
+            if not (texts[i] or "").strip():
+                keep[i] = False
+                hsets.append(np.asarray([], dtype=np.int64))
+            else:
+                hsets.append(np.unique(
+                    H[starts[i]: starts[i] + lens[i]]).astype(np.int64))
+        return pa.table({
+            id_col: pa.array(ids),
+            "sh": pa.array(hsets, type=pa.list_(pa.int64())),
+        }).filter(pa.array(keep))
+
+    sh_ds = ds.map_batches(skip_empty(shingle_rows), batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def sizes_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t[id_col],
+            "n_sh": pc.cast(pc.list_value_length(t["sh"]), pa.int64()),
+        })
+
+    sizes = sh_ds.map_batches(sizes_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def postings(t: pa.Table) -> pa.Table:
+        sh = t["sh"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        lens = pc.list_value_length(sh).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(sh)
+        out = pa.table({"d": pa.array(np.repeat(ids, lens)), "sh": flat})
+        return out.append_column(
+            "_b", pa.array(hash_bucket_array(out["sh"], n_buckets)))
+
+    _EMPTY_PART = {"doc_a": np.asarray([], dtype=np.int64),
+                   "doc_b": np.asarray([], dtype=np.int64),
+                   "inter": np.asarray([], dtype=np.int64)}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # postings are distinct per (doc, shingle) and d sorts ascending
+        # within a shingle run, so triu indices emit doc_a < doc_b
+        g = g.sort_values(["sh", "d"], kind="mergesort").reset_index(drop=True)
+        codes, _ = pd.factorize(g["sh"], sort=False)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        csizes = np.diff(np.r_[starts, n]).astype(np.int64)
+        total = int((csizes * (csizes - 1) // 2).sum())
+        if total == 0:
+            return pd.DataFrame(_EMPTY_PART)
+        if total > max_bucket_pairs:
+            raise ValueError(
+                f"overlap_dupes: bucket generates {total} candidate "
+                f"pairs > max_bucket_pairs={max_bucket_pairs} — a "
+                f"stop-shingle is exploding the index; use "
+                f"minhash_near_dupes for open corpora")
+        d = g["d"].to_numpy(dtype="int64")
+        ai = np.empty(total, np.int64)
+        bi = np.empty(total, np.int64)
+        pos = 0
+        for s, c in zip(starts, csizes):
+            if c < 2:
+                continue
+            ii, jj = np.triu_indices(int(c), 1)
+            m = len(ii)
+            ai[pos:pos + m] = d[s + ii]
+            bi[pos:pos + m] = d[s + jj]
+            pos += m
+        out = (pd.DataFrame({"doc_a": ai, "doc_b": bi})
+               .groupby(["doc_a", "doc_b"], sort=False)
+               .size().reset_index(name="inter"))
+        return out.astype({"inter": "int64"})
+
+    posted = sh_ds.map_batches(skip_empty(postings), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    parts = posted.groupby("_b").map_groups(per_bucket,
+                                            batch_format="pandas")
+    inter = grouped_agg(parts, keys=["doc_a", "doc_b"],
+                        aggs=[("inter", "sum")], final="ray").materialize()
+    if inter.count() == 0:  # no pair shares a shingle — typed empty
+        return _empty()
+
+    def rn_a(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_a", "na"])
+
+    def rn_b(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_b", "nb"])
+
+    j = bucketed_hash_join(
+        inter, sizes.map_batches(rn_a, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+        key="doc_a", n_buckets=n_buckets)
+    j = bucketed_hash_join(
+        j, sizes.map_batches(rn_b, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        key="doc_b", n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        it = t["inter_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # join fill-side ints ride as float64 (NaN-capable); every pair
+        # doc exists in sizes, so the cast back is exact
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ov = 1_000_000 * it // np.minimum(na, nb)
+        out = pa.table({
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "inter": pa.array(it),
+            "na": pa.array(na),
+            "nb": pa.array(nb),
+            "overlap_millionths": pa.array(ov),
+        })
+        return out.filter(pc.greater_equal(
+            out["overlap_millionths"],
+            pa.scalar(min_overlap_millionths, pa.int64())))
+
+    out = (j.map_batches(skip_empty(finish), batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .sort(["doc_a", "doc_b"]).materialize())
+    # 0-row Datasets lose their schema through to_pandas (NOTES
+    # gotcha) — hand back the typed empty instead
+    return out if out.count() else _empty()
+
+
+def overlap_dupes_sql(min_overlap_millionths: int = 800_000,
+                      shingle_k: int = 3,
+                      table: str = "documents") -> str:
+    """DuckDB mirror of :func:`overlap_dupes` — exact all-pairs
+    overlap coefficient in integer millionths, same tokenizer /
+    short-doc fallback / empty-doc exclusion contract as
+    :func:`ngram_jaccard_dupes_sql`."""
+    assert shingle_k == 3, "SQL mirror written for k=3"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                x -> x <> '') AS w
+  FROM {table}
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) < 3 THEN list_distinct(w)
+         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) END AS s
+  FROM toks
+  WHERE len(w) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+  CAST(len(a.s) AS BIGINT) AS na,
+  CAST(len(b.s) AS BIGINT) AS nb,
+  CAST(1000000 * len(list_intersect(a.s, b.s))
+       // least(len(a.s), len(b.s)) AS BIGINT) AS overlap_millionths
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE 1000000 * len(list_intersect(a.s, b.s))
+      // least(len(a.s), len(b.s)) >= {min_overlap_millionths}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
 # ------------------------------------- persisted incremental dedup index
 
 def build_text_index(ds, index_dir: str, text_col: str = "text",

@@ -3763,3 +3763,74 @@ def test_robust_outliers_median_mad(ray_session):
     assert got.event_id.tolist() == sorted(want)
     assert 6 in got.event_id.tolist()          # the 100.0 spike
     assert not (got.event_type == "z").any()   # MAD == 0 group silent
+
+
+def test_overlap_dupes_finds_containment_jaccard_misses(ray_session):
+    """A 12-word doc quoted inside a 120-word doc: overlap coefficient
+    1.0 (containment), Jaccard ~0.1 — the pair exact Jaccard dedup at
+    0.8 structurally cannot emit. Also pins the integer-millionths
+    contract and the pair orientation (doc_a < doc_b)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (
+        ngram_jaccard_dupes,
+        overlap_dupes,
+    )
+
+    words = [f"tok{i}" for i in range(120)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[50:62])
+    other = " ".join(f"zz{i}" for i in range(30))
+    docs = pd.DataFrame({
+        "doc_id": np.array([7, 3, 9], dtype=np.int64),
+        "text": [long_doc, short_doc, other],
+    })
+    got = overlap_dupes(rd.from_pandas(docs),
+                        min_overlap_millionths=900_000).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row.doc_a, row.doc_b) == (3, 7)        # a < b
+    assert row.overlap_millionths == 1_000_000     # full containment
+    assert row.inter == row.na == 10               # 12 words -> 10 shingles
+    assert row.nb == 118
+    jac = ngram_jaccard_dupes(rd.from_pandas(docs),
+                              threshold=0.8).to_pandas()
+    assert len(jac) == 0
+
+
+def test_overlap_dupes_empty_and_no_dup_corpora(ray_session):
+    """No-shared-shingle corpora return the typed empty Dataset (the
+    0-row to_pandas schema-drop gotcha); empty/whitespace docs are
+    excluded rather than dividing by their 0-size set."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import overlap_dupes
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b c d e", "f g h i j", "", "   "],
+    })
+    out = overlap_dupes(rd.from_pandas(docs))
+    assert out.count() == 0
+    assert out.schema().names == [
+        "doc_a", "doc_b", "inter", "na", "nb", "overlap_millionths"]
+
+
+def test_overlap_dupes_matches_duckdb_sf_small(ray_session):
+    """Full operator-vs-oracle parity at sf0.001 (the same compare the
+    driver battery runs at sf0.01)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import overlap_dupes, overlap_dupes_sql
+
+    ray_df = overlap_dupes(
+        rd.read_parquet(f"{SF_SMALL}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        min_overlap_millionths=800_000,
+    ).to_pandas()
+    duck_df = _con(SF_SMALL).execute(overlap_dupes_sql(800_000)).df()
+    assert len(ray_df) == len(duck_df) > 0
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = duck_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
