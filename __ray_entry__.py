@@ -2066,6 +2066,16 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_vocab_novelty(sf_dir: str):
+    """New-vocabulary cadence over the transcript stream: per-day
+    count of never-before-seen tokens (first-seen day per token via a
+    distributed min-groupby; the vocabulary never lands on the
+    driver). The ingestion-drift monitor."""
+    from fluent_server_ray.stages.textstats import vocab_novelty
+
+    return vocab_novelty(read_transcripts(sf_dir, columns=["ts", "text"]))
+
+
 def _q_winnow_pairs(sf_dir: str):
     """MOSS-style content-overlap pairs: docs sharing ≥ 40 winnowed
     rolling-hash fingerprints (corpus background tops out ~33;
@@ -2725,6 +2735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_winnow_pairs": _q_winnow_pairs,
+        "vocab_novelty_daily": _q_vocab_novelty,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3123,6 +3134,11 @@ FROM c ORDER BY doc_id
             "SELECT min(doc_id) AS doc_id, text_norm FROM ("
             + hygiene.normalize_text_sql() + ") GROUP BY text_norm"),
         "dedup_winnow_pairs": dedup.winnow_pairs_sql(min_shared=40),
+        "vocab_novelty_daily": (
+            "WITH "
+            + __import__("fluent_server_ray.sources.transcripts",
+                         fromlist=["x"]).TRANSCRIPTS_SQL_CTE + ",\n"
+            + textstats.vocab_novelty_sql()),
         "events_robust_outliers": features.robust_outliers_sql(),
         "tool_error_rates": (
             oracle.with_pipeline_ctes()

@@ -509,6 +509,90 @@ GROUP BY word ORDER BY n DESC, word LIMIT {k}
 """.strip()
 
 
+def vocab_novelty(ds, ts_col: str = "ts", text_col: str = "text"):
+    """New-vocabulary cadence: how many NEVER-BEFORE-SEEN tokens enter
+    the corpus each day — the vocabulary-growth monitor a continuous
+    ingestion pipeline watches for drift (a spike = a new language /
+    format / spam family arriving; a Heaps'-law decay = healthy).
+
+    Two-level reduce, both combiner-first: per batch, each token
+    collapses to its batch-min day (one Arrow ``group_by`` min —
+    days ride as int64 epoch days, so min is order-free), the
+    UNBOUNDED token keyspace merges via the distributed min-groupby
+    (``grouped_agg(final='ray')`` — the vocabulary never lands on the
+    driver), and the surviving (token → first_day) rows collapse to
+    per-day counts (bounded: one row per calendar day) with a driver
+    merge. Tokenizer = Python ``str.split`` ≡ the SQL mirror's Unicode
+    whitespace class.
+
+    Returns a pyarrow Table (day, n_new) sorted by day, ``day`` =
+    int64 epoch days (``epoch_us // 86_400_000_000``).
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        # normalize the unit first: a pandas-sourced ns column would
+        # otherwise silently divide 1000x wrong
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        days = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        day_np = days.to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        pairs = pa.table({"term": pa.array(flat, type=pa.string()),
+                          "day": pa.array(np.repeat(day_np, lens))})
+        out = pairs.group_by("term").aggregate([("day", "min")])
+        return out.rename_columns(["term", "day"])
+
+    tok_min = ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    first_seen = grouped_agg(tok_min, keys=["term"],
+                             aggs=[("day", "min")], final="ray")
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        out = t.group_by("day_min").aggregate([([], "count_all")])
+        return out.rename_columns(["day", "n_new"])
+
+    parts = list(
+        first_seen.map_batches(skip_empty(day_counts),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"day": pa.array([], type=pa.int64()),
+                         "n_new": pa.array([], type=pa.int64())})
+    out = (pa.concat_tables(parts).group_by("day")
+           .aggregate([("n_new", "sum")]))
+    return (out.rename_columns(["day", "n_new"])
+            .sort_by([("day", "ascending")]))
+
+
+def vocab_novelty_sql(table: str = "transcripts") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+toks AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+    unnest(list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS term
+  FROM {table}
+), first_seen AS (
+  SELECT term, min(day) AS day FROM toks GROUP BY term
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_new
+FROM first_seen GROUP BY day ORDER BY day
+""".strip()
+
+
 def token_filter_above_quantile(ds, q: float = 0.5, lo: float = 0.0,
                                 hi: float = 500.0, bins: int = 500):
     """Percentile-threshold curation: keep documents whose token count

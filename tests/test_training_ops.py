@@ -3834,3 +3834,24 @@ def test_overlap_dupes_matches_duckdb_sf_small(ray_session):
     a = ray_df[cols].sort_values(cols).reset_index(drop=True)
     b = duck_df[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_vocab_novelty_first_seen_only(ray_session):
+    """A token re-appearing on a later day must count only on its
+    first-seen day; per-day totals count distinct NEW tokens."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import vocab_novelty
+
+    day = 86_400_000_000  # epoch-us per day
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            np.array([0, 0, 1 * day, 2 * day, 2 * day], dtype="int64"),
+            unit="us"),
+        "text": ["alpha beta", "beta gamma", "alpha delta",
+                 "", "delta epsilon zeta"],
+    })
+    got = vocab_novelty(rd.from_pandas(df)).to_pandas()
+    # day0: alpha beta gamma; day1: delta; day2: epsilon zeta
+    assert got.day.tolist() == [0, 1, 2]
+    assert got.n_new.tolist() == [3, 1, 2]
