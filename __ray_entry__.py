@@ -2066,6 +2066,16 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_shard_plan(sf_dir: str):
+    """Token-balanced output-shard planner: exact global (n_tokens
+    DESC, id) rank via additive value histogram + one within-value
+    exchange, dealt round-robin — LPT-style balance without a global
+    sort."""
+    from fluent_server_ray.stages.assembly import shard_plan
+
+    return shard_plan(_docs(sf_dir), n_shards=16)
+
+
 def _q_vocab_novelty(sf_dir: str):
     """New-vocabulary cadence over the transcript stream: per-day
     count of never-before-seen tokens (first-seen day per token via a
@@ -2736,6 +2746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": _q_dedup_normalized,
         "dedup_winnow_pairs": _q_winnow_pairs,
         "vocab_novelty_daily": _q_vocab_novelty,
+        "docs_shard_plan": _q_shard_plan,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3139,6 +3150,7 @@ FROM c ORDER BY doc_id
             + __import__("fluent_server_ray.sources.transcripts",
                          fromlist=["x"]).TRANSCRIPTS_SQL_CTE + ",\n"
             + textstats.vocab_novelty_sql()),
+        "docs_shard_plan": assembly.shard_plan_sql(n_shards=16),
         "events_robust_outliers": features.robust_outliers_sql(),
         "tool_error_rates": (
             oracle.with_pipeline_ctes()

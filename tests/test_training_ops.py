@@ -3855,3 +3855,33 @@ def test_vocab_novelty_first_seen_only(ray_session):
     # day0: alpha beta gamma; day1: delta; day2: epsilon zeta
     assert got.day.tolist() == [0, 1, 2]
     assert got.n_new.tolist() == [3, 1, 2]
+
+
+def test_shard_plan_rank_ties_and_balance(ray_session):
+    """Exact (n_tokens DESC, id ASC) dense ranking on a tie-heavy
+    corpus, and the LPT round-robin balance bound: shard token totals
+    span at most one dealing round's largest doc."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import shard_plan
+
+    rng = np.random.default_rng(5)
+    n = 200
+    lens = rng.integers(1, 30, size=n)  # heavy ties in [1,30)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(["w"] * int(k)) for k in lens],
+    })
+    got = shard_plan(rd.from_pandas(docs), n_shards=4).to_pandas()
+    want = docs.assign(n_tokens=lens).sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True])
+    want["rank"] = np.arange(1, n + 1)
+    want["shard"] = (want["rank"] - 1) % 4
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want[["doc_id", "n_tokens", "rank", "shard"]],
+        check_dtype=False)
+    totals = got.groupby("shard").n_tokens.sum()
+    assert len(totals) == 4
+    assert totals.max() - totals.min() <= int(lens.max())
