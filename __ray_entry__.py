@@ -2066,6 +2066,17 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_chi2(sf_dir: str):
+    """Chi-square independence diagnostic (event_type × value-tier):
+    integer margins driver-merged from per-batch combiners, one fixed
+    float tree per cell — bit-exact vs the SQL mirror."""
+    from fluent_server_ray.stages.features import contingency_chi2
+
+    return contingency_chi2(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]))
+
+
 def _q_shard_plan(sf_dir: str):
     """Token-balanced output-shard planner: exact global (n_tokens
     DESC, id) rank via additive value histogram + one within-value
@@ -2747,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_winnow_pairs": _q_winnow_pairs,
         "vocab_novelty_daily": _q_vocab_novelty,
         "docs_shard_plan": _q_shard_plan,
+        "events_chi2_type_tier": _q_chi2,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3151,6 +3163,7 @@ FROM c ORDER BY doc_id
                          fromlist=["x"]).TRANSCRIPTS_SQL_CTE + ",\n"
             + textstats.vocab_novelty_sql()),
         "docs_shard_plan": assembly.shard_plan_sql(n_shards=16),
+        "events_chi2_type_tier": features.contingency_chi2_sql(),
         "events_robust_outliers": features.robust_outliers_sql(),
         "tool_error_rates": (
             oracle.with_pipeline_ctes()

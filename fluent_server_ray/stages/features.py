@@ -1209,3 +1209,89 @@ FROM d JOIN mad USING ({group_col})
 WHERE mad.mad > 0 AND d.ad > {float(k)} * mad.mad
 ORDER BY d.{id_col}
 """.strip()
+
+
+def contingency_chi2(ds, group_col: str = "event_type",
+                     value_col: str = "value", tier_width: float = 100.0,
+                     n_tiers: int = 4):
+    """Chi-square independence diagnostic: the (group × value-tier)
+    contingency table with each cell's expected count and chi-square
+    contribution — the drift/bias test a data pipeline runs to ask
+    "does this metric's distribution depend on the segment?" (a
+    routed-traffic analogue: does payload size depend on sink?). Cells
+    with big ``contrib`` are the dependence hot spots; Σ contrib is
+    the chi-square statistic with (R-1)(C-1) dof.
+
+    Shape: one per-batch combiner (Arrow group_by over ≤ R·C keys) →
+    driver merge of integer partials — counts and both margins are
+    int64-exact and order-free; each output row then applies ONE fixed
+    float expression tree ``expected = (n_row·n_col)/n_total``,
+    ``contrib = (n-expected)²/expected`` (int64→float64 casts round to
+    nearest identically in numpy and DuckDB, so rows mirror
+    bit-for-bit; no float is ever summed across rows). NULL values are
+    excluded; tiers are ``clip(floor(value/width), 0, n_tiers-1)``.
+
+    Returns a pyarrow Table (group, tier, n, expected, contrib) sorted.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def tiers(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        tier = np.clip(np.floor(v / tier_width).astype(np.int64),
+                       0, n_tiers - 1)
+        return pa.table({group_col: t[group_col],
+                         "tier": pa.array(tier)})
+
+    cells = grouped_counts(
+        ds.map_batches(tiers, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "tier"], final="driver")
+    g = cells[group_col].to_pylist()
+    tier = cells["tier"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = cells["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    import pandas as pd
+
+    df = pd.DataFrame({group_col: g, "tier": tier, "n": n})
+    df["n_row"] = df.groupby(group_col)["n"].transform("sum")
+    df["n_col"] = df.groupby("tier")["n"].transform("sum")
+    n_total = float(df["n"].sum())
+    expected = (df["n_row"].to_numpy().astype(np.float64)
+                * df["n_col"].to_numpy().astype(np.float64)) / n_total
+    nf = df["n"].to_numpy().astype(np.float64)
+    contrib = (nf - expected) ** 2 / expected
+    df = df.sort_values([group_col, "tier"])
+    order = df.index.to_numpy()
+    return pa.table({
+        group_col: pa.array(df[group_col].to_numpy(dtype=object)),
+        "tier": pa.array(df["tier"].to_numpy()),
+        "n": pa.array(df["n"].to_numpy()),
+        "expected": pa.array(expected[order], type=pa.float64()),
+        "contrib": pa.array(contrib[order], type=pa.float64()),
+    })
+
+
+def contingency_chi2_sql(group_col: str = "event_type",
+                         value_col: str = "value",
+                         tier_width: float = 100.0, n_tiers: int = 4,
+                         table: str = "events") -> str:
+    e = (f"(CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)) "
+         f"/ CAST(n_total AS DOUBLE)")
+    return f"""
+WITH c AS (
+  SELECT {group_col},
+    LEAST(GREATEST(CAST(floor({value_col} / {tier_width}) AS BIGINT), 0),
+          {n_tiers - 1}) AS tier,
+    count(*) AS n
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+), m AS (
+  SELECT c.*,
+    sum(n) OVER (PARTITION BY {group_col}) AS n_row,
+    sum(n) OVER (PARTITION BY tier) AS n_col,
+    sum(n) OVER () AS n_total
+  FROM c
+)
+SELECT {group_col}, tier, CAST(n AS BIGINT) AS n,
+  {e} AS expected,
+  ((CAST(n AS DOUBLE) - {e}) ** 2) / ({e}) AS contrib
+FROM m ORDER BY {group_col}, tier
+""".strip()

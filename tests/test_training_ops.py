@@ -3885,3 +3885,21 @@ def test_shard_plan_rank_ties_and_balance(ray_session):
     totals = got.groupby("shard").n_tokens.sum()
     assert len(totals) == 4
     assert totals.max() - totals.min() <= int(lens.max())
+
+
+def test_contingency_chi2_known_table(ray_session):
+    """Hand-computed 2x2: groups a/b over tiers 0/1 with counts
+    [[30,10],[10,30]] — expected all 20, every contrib (10²)/20 = 5."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import contingency_chi2
+
+    rows = ([("a", 50.0)] * 30 + [("a", 150.0)] * 10
+            + [("b", 50.0)] * 10 + [("b", 150.0)] * 30)
+    df = pd.DataFrame(rows, columns=["event_type", "value"])
+    got = contingency_chi2(rd.from_pandas(df), tier_width=100.0,
+                           n_tiers=2).to_pandas()
+    assert got.n.tolist() == [30, 10, 10, 30]
+    assert got.expected.tolist() == [20.0] * 4
+    assert got.contrib.tolist() == [5.0] * 4
+    assert abs(got.contrib.sum() - 20.0) < 1e-12  # chi2 stat, dof=1
