@@ -2066,6 +2066,19 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_tool_pagerank(sf_dir: str):
+    """Quantized-integer PageRank over the tool-transition graph
+    (5 synchronous rounds, billionths ranks, floor arithmetic) —
+    which tools sit at the center of agent tool-flow. Oracle: the
+    unrolled 5-round MATERIALIZED-CTE mirror."""
+    from fluent_server_ray.stages.assembly import tool_transitions
+    from fluent_server_ray.stages.graph import pagerank
+
+    edges = tool_transitions(apply_parse(read_transcripts(sf_dir)))
+    return pagerank(edges, src="prev_tool", dst="tool", w="n", n_iters=5,
+                    n_buckets=8)
+
+
 def _q_chi2(sf_dir: str):
     """Chi-square independence diagnostic (event_type × value-tier):
     integer margins driver-merged from per-batch combiners, one fixed
@@ -2759,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_novelty_daily": _q_vocab_novelty,
         "docs_shard_plan": _q_shard_plan,
         "events_chi2_type_tier": _q_chi2,
+        "tool_pagerank": _q_tool_pagerank,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3164,6 +3178,20 @@ FROM c ORDER BY doc_id
             + textstats.vocab_novelty_sql()),
         "docs_shard_plan": assembly.shard_plan_sql(n_shards=16),
         "events_chi2_type_tier": features.contingency_chi2_sql(),
+        "tool_pagerank": __import__(
+            "fluent_server_ray.stages.graph", fromlist=["x"]
+        ).pagerank_sql_rounds(
+            oracle.with_pipeline_ctes("""calls AS (
+  SELECT conv_id, turn_idx, parsed_tool FROM parsed WHERE kind = 'tool'
+), seq AS (
+  SELECT parsed_tool AS dst,
+    lag(parsed_tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS src
+  FROM calls
+), trans AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+)"""), n_iters=5),
         "events_robust_outliers": features.robust_outliers_sql(),
         "tool_error_rates": (
             oracle.with_pipeline_ctes()

@@ -3903,3 +3903,41 @@ def test_contingency_chi2_known_table(ray_session):
     assert got.expected.tolist() == [20.0] * 4
     assert got.contrib.tolist() == [5.0] * 4
     assert abs(got.contrib.sum() - 20.0) < 1e-12  # chi2 stat, dof=1
+
+
+def test_pagerank_quantized_vs_reference(ray_session):
+    """Distributed quantized PageRank equals a from-scratch driver
+    reference applying the same floor arithmetic round for round, on
+    a graph with a hub, a dangling node and weighted edges."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.graph import SCALE, pagerank
+
+    edges = pd.DataFrame({
+        "src": ["a", "b", "c", "a", "d"],
+        "dst": ["b", "c", "a", "c", "a"],
+        "w":   np.array([3, 1, 2, 1, 5], dtype=np.int64),
+    })  # 'c' -> a only; no out-edges from... all have out; add dangling
+    edges = pd.concat([edges, pd.DataFrame(
+        {"src": ["a"], "dst": ["z"], "w": np.array([1], dtype=np.int64)})])
+    got = pagerank(rd.from_pandas(edges), n_iters=4,
+                   n_buckets=4).to_pandas()
+
+    nodes = sorted(set(edges.src) | set(edges.dst))
+    n = len(nodes)
+    r = {v: SCALE // n for v in nodes}
+    outw = edges.groupby("src").w.sum().to_dict()
+    tele = (SCALE * 150) // (1000 * n)
+    for _ in range(4):
+        inc = {v: 0 for v in nodes}
+        for s, d_, w in edges.itertuples(index=False):
+            inc[d_] += (r[s] * int(w)) // outw[s]
+        r = {v: tele + (850 * inc[v]) // 1000 for v in nodes}
+    want = pd.DataFrame({"node": nodes,
+                         "rank_billionths": [r[v] for v in nodes]})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+    # dangling node z keeps teleport-only mass; hub a outranks it
+    assert r["z"] == tele + 0 or got.set_index("node").loc["z"].item() >= tele
+    assert (got.set_index("node").loc["a", "rank_billionths"]
+            > got.set_index("node").loc["z", "rank_billionths"])
