@@ -2066,6 +2066,15 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_fk_audit(sf_dir: str):
+    """Referential-integrity audit over every warehouse FK edge:
+    child rows / NULL keys / orphans, exact, distinct-keys-only
+    shuffles — the pre-join data-quality gate."""
+    from fluent_server_ray.pipelines.relational import fk_integrity_audit
+
+    return fk_integrity_audit(sf_dir)
+
+
 def _q_tool_pagerank(sf_dir: str):
     """Quantized-integer PageRank over the tool-transition graph
     (5 synchronous rounds, billionths ranks, floor arithmetic) —
@@ -2773,6 +2782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shard_plan": _q_shard_plan,
         "events_chi2_type_tier": _q_chi2,
         "tool_pagerank": _q_tool_pagerank,
+        "fk_integrity_audit": _q_fk_audit,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -2932,6 +2942,7 @@ GROUP BY event_type ORDER BY event_type
         "distinct_event_types": rel.distinct_event_types_sql(),
         "union_high_low": rel.union_high_low_value_sql(),
         "join_revenue_by_priority": rel.revenue_by_priority_sql(),
+        "fk_integrity_audit": rel.fk_integrity_audit_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

@@ -947,3 +947,193 @@ GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY rev_cents_sum DESC, o.o_orderkey
 LIMIT {k}
 """.strip()
+
+
+# ------------------------------------------ referential integrity audit
+
+FK_EDGES: list[tuple[str, str, str, str, str]] = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def _fk_stats_broadcast(child, fk_col: str, parent_keys) -> tuple[int, int, int]:
+    """Small-parent fast path: the parent's distinct key set broadcasts
+    ONCE via ``ray.put`` and every child batch counts its own rows /
+    nulls / misses — one corpus pass, zero shuffles, a 3-int partial
+    per block merged on the driver."""
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    ref = ray.put(pa.array(np.unique(parent_keys).astype(np.int64)))
+
+    def part(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        col = t[fk_col]
+        valid = pc.cast(col.drop_null(), pa.int64())
+        miss = pc.index_in(valid, value_set=keys).null_count
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "n_null": pa.array([col.null_count], pa.int64()),
+            "o": pa.array([miss], pa.int64()),
+        })
+
+    parts = list(
+        child.map_batches(skip_empty(part), batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    n = sum(int(p["n"].to_numpy().sum()) for p in parts)
+    n_null = sum(int(p["n_null"].to_numpy().sum()) for p in parts)
+    o = sum(int(p["o"].to_numpy().sum()) for p in parts)
+    return n, n_null, o
+
+
+def _fk_stats(child, fk_col: str, parent, pk_col: str,
+              n_buckets: int = 32) -> tuple[int, int, int]:
+    """(n_rows, n_null, n_orphans) for one FK edge, fully distributed
+    — the BIG-parent path (orders/part-sized dimensions at 100 TB,
+    where a broadcast set would blow worker heaps).
+
+    ONE pass over the child column: each batch emits its distinct
+    (key, count) rows plus two SENTINEL rows (key -1 = batch rows,
+    key -2 = null keys; ids are asserted non-negative, the TPC-H-style
+    key domain). The merged distinct-key table then LEFT-joins the
+    parent's distinct keys in one bucket exchange; orphan mass =
+    Σ count where no parent matched — only distinct keys ever shuffle,
+    never child rows.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    def fkc(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        col = t[fk_col]
+        n_null = col.null_count
+        valid = pc.cast(col.drop_null(), pa.int64())
+        if len(valid) and pc.min(valid).as_py() < 0:
+            raise ValueError(
+                f"_fk_stats: negative {fk_col} collides with the "
+                f"sentinel keys — remap ids first")
+        out = (pa.table({"k": valid}).group_by("k")
+               .aggregate([([], "count_all")]).rename_columns(["k", "cnt"]))
+        sent = pa.table({"k": pa.array([-1, -2], pa.int64()),
+                         "cnt": pa.array([n, n_null], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    merged = grouped_agg(
+        child.map_batches(skip_empty(fkc), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        keys=["k"], aggs=[("cnt", "sum")], final="ray").materialize()
+
+    def keep_sent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["k"], 0))
+
+    def keep_real(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["k"], 0))
+
+    sent = merged.map_batches(keep_sent, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    n_rows = int(sent.loc[sent.k == -1, "cnt_sum"].sum())
+    n_null = int(sent.loc[sent.k == -2, "cnt_sum"].sum())
+    real = merged.map_batches(skip_empty(keep_real), batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def pk(t: pa.Table) -> pa.Table:
+        out = (pa.table({"k": pc.cast(t[pk_col].drop_null(), pa.int64())})
+               .group_by("k").aggregate([]))
+        return out.append_column(
+            "hit", pa.array(np.ones(out.num_rows, dtype=np.int64)))
+
+    parentd = grouped_agg(
+        parent.map_batches(skip_empty(pk), batch_format="pyarrow",
+                           zero_copy_batch=True),
+        keys=["k"], aggs=[("hit", "max")], final="ray")
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["k", "hit"])
+
+    j = bucketed_hash_join(
+        real,
+        parentd.map_batches(rn, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        key="k", how="left", n_buckets=n_buckets)
+
+    def orphan_partial(t: pa.Table) -> pa.Table:
+        hit = t["hit"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        miss = int(cnt[np.isnan(hit)].sum())
+        return pa.table({"o": pa.array([miss], pa.int64())})
+
+    parts = list(
+        j.map_batches(skip_empty(orphan_partial), batch_format="pyarrow",
+                      zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    n_orphans = int(sum(p["o"].to_numpy().sum() for p in parts)) if parts \
+        else 0
+    return n_rows, n_null, n_orphans
+
+
+def fk_integrity_audit(sf_dir: str,
+                       broadcast_max_rows: int = 4_000_000) -> pa.Table:
+    """Referential-integrity audit over every FK edge of the warehouse
+    — the data-quality gate a pipeline runs before training joins (an
+    orphan FK silently drops rows from every downstream inner join).
+    Per edge: child row count, NULL keys, and orphans (non-null keys
+    with no parent). Exact, size-adaptive: a parent whose parquet
+    metadata row count fits ``broadcast_max_rows`` broadcasts its key
+    set (one child pass, zero shuffles); bigger parents take the
+    distinct-key bucketed anti-join. Only distinct keys ever shuffle.
+
+    Returns a pyarrow Table (fk, n_rows, n_null, n_orphans) sorted.
+    """
+    import pyarrow.parquet as pq
+
+    rows = []
+    for fk_name, child_t, fk_col, parent_t, pk_col in FK_EDGES:
+        child = read_parquet_clean(f"{sf_dir}/{child_t}.parquet",
+                                   columns=[fk_col])
+        parent_path = f"{sf_dir}/{parent_t}.parquet"
+        if pq.read_metadata(parent_path).num_rows <= broadcast_max_rows:
+            keys = pq.read_table(parent_path, columns=[pk_col]
+                                 )[pk_col].drop_null().to_numpy()
+            n_rows, n_null, n_orphans = _fk_stats_broadcast(
+                child, fk_col, keys)
+        else:
+            parent = read_parquet_clean(parent_path, columns=[pk_col])
+            n_rows, n_null, n_orphans = _fk_stats(child, fk_col,
+                                                  parent, pk_col)
+        rows.append((fk_name, n_rows, n_null, n_orphans))
+    rows.sort()
+    return pa.table({
+        "fk": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_null": pa.array([r[2] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def fk_integrity_audit_sql() -> str:
+    selects = []
+    for fk_name, child_t, fk_col, parent_t, pk_col in sorted(FK_EDGES):
+        selects.append(f"""
+SELECT '{fk_name}' AS fk,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) FILTER (WHERE c.{fk_col} IS NULL) AS BIGINT) AS n_null,
+  CAST(count(*) FILTER (WHERE c.{fk_col} IS NOT NULL
+                        AND p.{pk_col} IS NULL) AS BIGINT) AS n_orphans
+FROM {child_t} c LEFT JOIN {parent_t} p ON c.{fk_col} = p.{pk_col}
+""".strip())
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY fk"

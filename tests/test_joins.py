@@ -322,3 +322,57 @@ def test_asof_join_bucket_with_no_right_rows_nonfloat_attach(ray_session):
     assert got.matched_ts.isna().all()
     assert str(got.prior_evt.dtype).startswith("datetime64")
     assert str(got.matched_ts.dtype).startswith("datetime64")
+
+
+def test_fk_integrity_audit_both_paths(ray_session, tmp_path):
+    """Orphans and NULL keys detected exactly; the broadcast fast path
+    and the distinct-key join path agree edge for edge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluent_server_ray.pipelines.relational import (
+        FK_EDGES,
+        fk_integrity_audit,
+    )
+
+    sf = str(tmp_path)
+    # minimal warehouse: every FK edge present, with seeded defects
+    pq.write_table(pa.table({"r_regionkey": pa.array([0, 1], pa.int64()),
+                             "r_name": ["a", "b"]}), f"{sf}/region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": ["x", "y", "z"],
+        "n_regionkey": pa.array([0, 1, 9], pa.int64()),  # 9 = orphan
+    }), f"{sf}/nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11], pa.int64()),
+        "c_nationkey": pa.array([0, None], pa.int64()),  # one NULL
+    }), f"{sf}/customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([20], pa.int64()),
+        "s_nationkey": pa.array([2], pa.int64()),
+    }), f"{sf}/supplier.parquet")
+    pq.write_table(pa.table({"p_partkey": pa.array([30, 31], pa.int64())}),
+                   f"{sf}/part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([40, 41, 42], pa.int64()),
+        "o_custkey": pa.array([10, 99, None], pa.int64()),  # orphan+null
+    }), f"{sf}/orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([40, 40, 77], pa.int64()),   # 77 orphan
+        "l_partkey": pa.array([30, 31, 30], pa.int64()),
+        "l_suppkey": pa.array([20, 20, 55], pa.int64()),    # 55 orphan
+    }), f"{sf}/lineitem.parquet")
+
+    fast = fk_integrity_audit(sf).to_pandas().set_index("fk")
+    slow = fk_integrity_audit(sf, broadcast_max_rows=0
+                              ).to_pandas().set_index("fk")
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) == len(FK_EDGES) == 7
+    assert fast.loc["orders.o_custkey->customer"].tolist() == [3, 1, 1]
+    assert fast.loc["lineitem.l_orderkey->orders"].tolist() == [3, 0, 1]
+    assert fast.loc["lineitem.l_suppkey->supplier"].tolist() == [3, 0, 1]
+    assert fast.loc["nation.n_regionkey->region"].tolist() == [3, 0, 1]
+    assert fast.loc["customer.c_nationkey->nation"].tolist() == [2, 1, 0]
+    assert fast.loc["lineitem.l_partkey->part"].tolist() == [3, 0, 0]
+    assert fast.loc["supplier.s_nationkey->nation"].tolist() == [1, 0, 0]
