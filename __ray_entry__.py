@@ -2066,6 +2066,14 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_packing_efficiency(sf_dir: str):
+    """Per-bucket packing fill-rate report for the concat-and-chunk
+    LM layout — integer-exact, one combiner pass."""
+    from fluent_server_ray.stages.assembly import packing_efficiency
+
+    return packing_efficiency(_docs(sf_dir))
+
+
 def _q_fk_audit(sf_dir: str):
     """Referential-integrity audit over every warehouse FK edge:
     child rows / NULL keys / orphans, exact, distinct-keys-only
@@ -2783,6 +2791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_chi2_type_tier": _q_chi2,
         "tool_pagerank": _q_tool_pagerank,
         "fk_integrity_audit": _q_fk_audit,
+        "packing_efficiency": _q_packing_efficiency,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -2943,6 +2952,7 @@ GROUP BY event_type ORDER BY event_type
         "union_high_low": rel.union_high_low_value_sql(),
         "join_revenue_by_priority": rel.revenue_by_priority_sql(),
         "fk_integrity_audit": rel.fk_integrity_audit_sql(),
+        "packing_efficiency": assembly.packing_efficiency_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

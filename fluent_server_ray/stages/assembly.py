@@ -1106,3 +1106,72 @@ SELECT doc_id, n_tokens, CAST(rank AS BIGINT) AS rank,
   CAST((rank - 1) % {n_shards} AS BIGINT) AS shard
 FROM r ORDER BY doc_id
 """.strip()
+
+
+def packing_efficiency(ds, budget: int = PACK_BUDGET,
+                       n_buckets: int = PACK_BUCKETS) -> pa.Table:
+    """Packing-efficiency report for the concat-and-chunk layout of
+    :func:`pack_sequences`: per bucket, docs / total tokens / sequence
+    count / fill rate — the metric that tells an LM-training pipeline
+    how much padding waste its packing layout costs (concat-and-chunk
+    wastes only the bucket tail, so fill → 1 as buckets grow; a low
+    fill flags too-many-buckets-for-the-corpus).
+
+    All integer: ``n_seqs = ceil(total/budget)`` and
+    ``fill_millionths = 1e6·total // (n_seqs·budget)``. One combiner
+    pass (per-batch bucket sums), bounded driver merge; zero-token
+    buckets are dropped (no sequences exist to fill).
+
+    Returns a pyarrow Table (bucket, n_docs, total_tokens, n_seqs,
+    fill_millionths) sorted by bucket.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.textstats import TOKEN_RE
+
+    def prep(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        bucket = pc.subtract(
+            did, pc.multiply(pc.divide(did, n_buckets), n_buckets))
+        n = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE),
+                    pa.int64())
+        return pa.table({"bucket": pc.cast(bucket, pa.int64()), "n": n})
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["bucket"], aggs=[("n", "sum"), ("n", "count")],
+        final="driver")
+    b = agg["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = agg["n_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = total > 0
+    b, total, n_docs = b[keep], total[keep], n_docs[keep]
+    n_seqs = (total + budget - 1) // budget
+    fill = 1_000_000 * total // (n_seqs * budget)
+    order = np.argsort(b)
+    return pa.table({
+        "bucket": pa.array(b[order]),
+        "n_docs": pa.array(n_docs[order]),
+        "total_tokens": pa.array(total[order]),
+        "n_seqs": pa.array(n_seqs[order]),
+        "fill_millionths": pa.array(fill[order]),
+    })
+
+
+def packing_efficiency_sql(budget: int = PACK_BUDGET,
+                           n_buckets: int = PACK_BUCKETS,
+                           table: str = "documents") -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, doc_id % {n_buckets} AS bucket,
+    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n
+  FROM {table}
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS total_tokens,
+  CAST((sum(n) + {budget - 1}) // {budget} AS BIGINT) AS n_seqs,
+  CAST(1000000 * sum(n)
+       // (((sum(n) + {budget - 1}) // {budget}) * {budget}) AS BIGINT)
+    AS fill_millionths
+FROM tok GROUP BY bucket HAVING sum(n) > 0 ORDER BY bucket
+""".strip()

@@ -3941,3 +3941,26 @@ def test_pagerank_quantized_vs_reference(ray_session):
     assert r["z"] == tele + 0 or got.set_index("node").loc["z"].item() >= tele
     assert (got.set_index("node").loc["a", "rank_billionths"]
             > got.set_index("node").loc["z", "rank_billionths"])
+
+
+def test_packing_efficiency_consistent_with_pack_sequences(ray_session):
+    """The report's n_seqs equals the packer's max(seq_id)+1 per
+    bucket and fill never exceeds 1.0 — the two operators describe
+    the same layout."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import (
+        pack_sequences,
+        packing_efficiency,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = rd.read_parquet(f"{SF_SMALL}/documents.parquet",
+                           columns=["doc_id", "text"])
+    rep = packing_efficiency(docs).to_pandas().set_index("bucket")
+    packed = pack_sequences(docs).to_pandas()
+    per_bucket = packed.groupby("bucket").seq_id.max() + 1
+    for b, n_seqs in per_bucket.items():
+        assert rep.loc[b, "n_seqs"] == n_seqs
+    assert (rep.fill_millionths <= 1_000_000).all()
+    assert (rep.fill_millionths > 0).all()
