@@ -2066,6 +2066,15 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_rank_fusion(sf_dir: str):
+    """Reciprocal Rank Fusion of two curation signals (alpha mass +
+    token count): exact histogram-plan ranks, one id join, fixed
+    two-division float tree — bit-exact vs row_number mirror."""
+    from fluent_server_ray.stages.features import rank_fusion
+
+    return rank_fusion(_docs(sf_dir))
+
+
 def _q_packing_efficiency(sf_dir: str):
     """Per-bucket packing fill-rate report for the concat-and-chunk
     LM layout — integer-exact, one combiner pass."""
@@ -2792,6 +2801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_pagerank": _q_tool_pagerank,
         "fk_integrity_audit": _q_fk_audit,
         "packing_efficiency": _q_packing_efficiency,
+        "doc_rank_fusion": _q_rank_fusion,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -2953,6 +2963,7 @@ GROUP BY event_type ORDER BY event_type
         "join_revenue_by_priority": rel.revenue_by_priority_sql(),
         "fk_integrity_audit": rel.fk_integrity_audit_sql(),
         "packing_efficiency": assembly.packing_efficiency_sql(),
+        "doc_rank_fusion": features.rank_fusion_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

@@ -1295,3 +1295,131 @@ SELECT {group_col}, tier, CAST(n AS BIGINT) AS n,
   ((CAST(n AS DOUBLE) - {e}) ** 2) / ({e}) AS contrib
 FROM m ORDER BY {group_col}, tier
 """.strip()
+
+
+def _exact_rank(pairs, value_col: str, id_col: str, rank_name: str,
+                n_buckets: int = 64):
+    """Exact row_number() rank by (value DESC, id ASC) over a
+    (id, value) Dataset — the shard-planner's histogram plan
+    (additive distinct-value histogram → broadcast strictly-higher
+    counts → ONE value-keyed exchange for the within-value cumcount).
+    Returns a Dataset (id, rank_name)."""
+    import pandas as pd
+    import ray
+
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    hash_bucket_array,
+                                                    skip_empty)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(value_col).aggregate([([], "count_all")])
+        return out.rename_columns([value_col, "c"])
+
+    parts = list(
+        pairs.map_batches(skip_empty(hist_partial), batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    hist = pa.concat_tables(parts).group_by(value_col).aggregate(
+        [("c", "sum")])
+    v = hist[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = hist["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(-v, kind="stable")
+    v_desc, c_desc = v[order], c[order]
+    higher = np.concatenate(([0], np.cumsum(c_desc)[:-1]))
+    asc = np.argsort(v_desc, kind="stable")
+    hi_ref = ray.put((v_desc[asc], higher[asc]))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pa.array(hash_bucket_array(t[value_col], n_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vals, hi = ray.get(hi_ref)
+        g = g.sort_values([value_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        within = g.groupby(value_col, sort=False).cumcount().to_numpy()
+        base = hi[np.searchsorted(vals, g[value_col].to_numpy())]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            rank_name: (base + within + 1).astype(np.int64),
+        })
+
+    return (pairs.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("_b").map_groups(per_bucket, batch_format="pandas"))
+
+
+def rank_fusion(ds, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 60, n_buckets: int = 64):
+    """Reciprocal Rank Fusion of two curation signals (Cormack et al.
+    2009): alphabetic-character mass and token count, each ranked
+    exactly by (signal DESC, id ASC), fused as
+    ``rrf = 1/(k+r_alpha) + 1/(k+r_tokens)`` — the standard way to
+    blend incomparable quality scores without calibrating them (RRF
+    only consumes RANKS, so a heavy-tailed signal can't drown the
+    other). Select the top slice of ``rrf`` for curation.
+
+    Both signals extract in one pass; each rank is the histogram plan
+    (no global sort), then one bucketed id join aligns them. Ranks are
+    int64-exact; ``rrf`` is one fixed two-division float tree per row
+    — bit-exact vs the SQL row_number mirror.
+
+    Returns a Dataset (doc_id, rank_alpha, rank_tokens, rrf) sorted.
+    """
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+    from fluent_server_ray.stages.textstats import TOKEN_RE
+
+    def signals(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n_alpha": pc.cast(
+                pc.count_substring_regex(t[text_col], "[A-Za-z]"),
+                pa.int64()),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t[text_col], TOKEN_RE), pa.int64()),
+        })
+
+    sig = ds.map_batches(skip_empty(signals), batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    ra = _exact_rank(sig.select_columns([id_col, "n_alpha"]),
+                     "n_alpha", id_col, "rank_alpha", n_buckets)
+    rb = _exact_rank(sig.select_columns([id_col, "n_tokens"]),
+                     "n_tokens", id_col, "rank_tokens", n_buckets)
+    j = bucketed_hash_join(ra, rb, key=id_col, n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        r1 = t["rank_alpha"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r2 = t["rank_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rrf = (1.0 / (k + r1).astype(np.float64)
+               + 1.0 / (k + r2).astype(np.float64))
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "rank_alpha": pa.array(r1),
+            "rank_tokens": pa.array(r2),
+            "rrf": pa.array(rrf, type=pa.float64()),
+        })
+
+    return (j.map_batches(skip_empty(finish), batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .sort([id_col]))
+
+
+def rank_fusion_sql(k: int = 60, table: str = "documents") -> str:
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens
+  FROM {table}
+), r AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY n_alpha DESC, doc_id) AS rank_alpha,
+    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank_tokens
+  FROM sig
+)
+SELECT doc_id, CAST(rank_alpha AS BIGINT) AS rank_alpha,
+  CAST(rank_tokens AS BIGINT) AS rank_tokens,
+  1.0 / ({k} + rank_alpha) + 1.0 / ({k} + rank_tokens) AS rrf
+FROM r ORDER BY doc_id
+""".strip()

@@ -3964,3 +3964,28 @@ def test_packing_efficiency_consistent_with_pack_sequences(ray_session):
         assert rep.loc[b, "n_seqs"] == n_seqs
     assert (rep.fill_millionths <= 1_000_000).all()
     assert (rep.fill_millionths > 0).all()
+
+
+def test_rank_fusion_orders_and_ties(ray_session):
+    """RRF ranks: doc strong on both signals tops; ties broken by id;
+    rrf equals the two-division tree on exact ranks."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import rank_fusion
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "text": ["abc def ghi jkl",        # high alpha, 4 tokens
+                 "1 2 3 4 5 6 7 8",        # zero alpha, 8 tokens
+                 "ab cd",                  # low both
+                 "ab cd"],                 # tie with 3 -> id breaks
+    })
+    got = rank_fusion(rd.from_pandas(docs), k=60).to_pandas()
+    g = got.set_index("doc_id")
+    assert g.loc[1, "rank_alpha"] == 1
+    assert g.loc[2, "rank_tokens"] == 1
+    assert g.loc[3, "rank_alpha"] == 2 and g.loc[4, "rank_alpha"] == 3
+    for _, r in got.iterrows():
+        want = 1.0 / (60 + r.rank_alpha) + 1.0 / (60 + r.rank_tokens)
+        assert r.rrf == want
+    assert g.loc[1, "rrf"] == got.rrf.max()
