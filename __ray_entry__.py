@@ -2066,6 +2066,17 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_attribution(sf_dir: str):
+    """First/last-touch attribution of purchases to view/click events
+    in a 24h lookback — four merge_asof C kernels per user bucket."""
+    from fluent_server_ray.stages.windows import touch_attribution
+
+    return touch_attribution(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "event_type",
+                                    "ts"]))
+
+
 def _q_rank_fusion(sf_dir: str):
     """Reciprocal Rank Fusion of two curation signals (alpha mass +
     token count): exact histogram-plan ranks, one id join, fixed
@@ -2802,6 +2813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_audit": _q_fk_audit,
         "packing_efficiency": _q_packing_efficiency,
         "doc_rank_fusion": _q_rank_fusion,
+        "purchase_attribution": _q_attribution,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -2964,6 +2976,7 @@ GROUP BY event_type ORDER BY event_type
         "fk_integrity_audit": rel.fk_integrity_audit_sql(),
         "packing_efficiency": assembly.packing_efficiency_sql(),
         "doc_rank_fusion": features.rank_fusion_sql(),
+        "purchase_attribution": windows.touch_attribution_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

@@ -1088,3 +1088,162 @@ def interarrival_gaps_subquery_sql(key_cols: tuple[str, ...] = (
         f"FROM (SELECT {part}, {id_col}, "
         f"epoch_us({ts_col}) // 1000000 AS sec FROM {table})) AS gaps"
     )
+
+
+def touch_attribution(ds, target_type: str = "purchase",
+                      touch_types: tuple = ("view", "click"),
+                      window_sec: int = 86400,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id", n_buckets: int = 64):
+    """First/last-touch ATTRIBUTION: for every ``target_type`` event
+    (the conversion), the earliest and latest ``touch_types`` event of
+    the same key inside the lookback window ``[ts-W, ts]``, plus the
+    touch count — the marketing / agent-action attribution query
+    ("which view/click led to this purchase"), which needs BOTH ends
+    of the window and so can't be served by a single as-of join.
+
+    One hash-bucket exchange on the key; inside a bucket the whole
+    answer is four ``pd.merge_asof(by=key)`` C kernels: (1) backward
+    with tolerance=W → last touch, (2) forward from ``ts-W`` with
+    tolerance=W → first touch, (3) backward unbounded over a per-key
+    touch counter → touches ≤ ts, (4) strict-backward at ``ts-W`` →
+    touches < ts-W; count = (3)-(4). Touch ties on ts break by
+    (ts, id) — first takes the min id, last the max, mirroring SQL
+    ``first(... ORDER BY ts, id)`` / ``last``. Matched ids ride as
+    float64 (NaN = no touch, ids asserted < 2^53 — the shared
+    nullable-int convention).
+
+    Returns a Dataset (purchase_id, user_id, first_touch_id,
+    first_touch_type, last_touch_id, last_touch_type, n_touches)
+    sorted by purchase_id.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    w_us = int(window_sec) * 1_000_000
+    keep = set(touch_types) | {target_type}
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(sorted(keep))))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) and float(np.abs(ids).max()) >= float(1 << 53):
+            raise ValueError("touch_attribution: ids exceed 2^53 — "
+                             "float64 matched-id would lose precision")
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            key_col: pc.cast(t[key_col], pa.int64()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                           pa.int64()),
+        })
+
+    out_schema = pa.schema([
+        pa.field("purchase_id", pa.int64()),
+        pa.field(key_col, pa.int64()),
+        pa.field("first_touch_id", pa.float64()),
+        pa.field("first_touch_type", pa.string()),
+        pa.field("last_touch_id", pa.float64()),
+        pa.field("last_touch_type", pa.string()),
+        pa.field("n_touches", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pur = g[g["event_type"] == target_type]
+        # merge_asof wants the ON key sorted GLOBALLY (by= groups are
+        # resolved internally); sorting (_us, id) keeps each key's
+        # subsequence in (ts, id) order, which is the tie-break rule
+        tou = (g[g["event_type"] != target_type]
+               .sort_values(["_us", id_col],
+                            kind="mergesort").reset_index(drop=True))
+        if pur.empty:
+            return pd.DataFrame({f.name: pd.Series(dtype=f.type.to_pandas_dtype())
+                                 for f in out_schema}).astype(
+                {"first_touch_type": "object", "last_touch_type": "object"})
+        tou["_c"] = tou.groupby(key_col, sort=False).cumcount()
+        base = pd.DataFrame({
+            "purchase_id": pur[id_col].to_numpy(),
+            key_col: pur[key_col].to_numpy(),
+            "_us": pur["_us"].to_numpy(),
+            "_lo": pur["_us"].to_numpy() - w_us,
+        })
+        rt = tou.rename(columns={id_col: "_tid", "event_type": "_tty"})
+        rcols = [key_col, "_us", "_tid", "_tty", "_c"]
+
+        def asof(left, on_left, on_right, direction, tol, allow_exact,
+                 attach):
+            lo = left.sort_values([on_left, "purchase_id"],
+                                  kind="mergesort")
+            r = rt[rcols].rename(columns={"_us": on_right}) \
+                if on_right != "_us" else rt[rcols]
+            m = pd.merge_asof(
+                lo, r, left_on=on_left, right_on=on_right, by=key_col,
+                direction=direction,
+                tolerance=None if tol is None else tol,
+                allow_exact_matches=allow_exact)
+            return m.set_index("purchase_id")[attach]
+
+        last = asof(base[["purchase_id", key_col, "_us"]], "_us", "_us",
+                    "backward", w_us, True, ["_tid", "_tty"])
+        first = asof(base[["purchase_id", key_col, "_lo"]], "_lo", "_us",
+                     "forward", w_us, True, ["_tid", "_tty"])
+        hi = asof(base[["purchase_id", key_col, "_us"]], "_us", "_us",
+                  "backward", None, True, ["_c"])
+        lo_c = asof(base[["purchase_id", key_col, "_lo"]], "_lo", "_us",
+                    "backward", None, False, ["_c"])
+        idx = base["purchase_id"].to_numpy()
+        n_le = np.nan_to_num(hi["_c"].reindex(idx).to_numpy(),
+                             nan=-1.0) + 1.0
+        n_lt = np.nan_to_num(lo_c["_c"].reindex(idx).to_numpy(),
+                             nan=-1.0) + 1.0
+        return pd.DataFrame({
+            "purchase_id": idx,
+            key_col: base[key_col].to_numpy(),
+            "first_touch_id": first["_tid"].reindex(idx).to_numpy(
+                dtype="float64"),
+            "first_touch_type": first["_tty"].reindex(idx).to_numpy(
+                dtype=object),
+            "last_touch_id": last["_tid"].reindex(idx).to_numpy(
+                dtype="float64"),
+            "last_touch_type": last["_tty"].reindex(idx).to_numpy(
+                dtype=object),
+            "n_touches": (n_le - n_lt).astype(np.int64),
+        })
+
+    pre_ds = ds.map_batches(skip_empty(pre), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    bucketed = _with_bucket(pre_ds, key_col, n_buckets)
+    out = map_buckets(bucketed, per_bucket, out_schema)
+    return out.sort(["purchase_id"])
+
+
+def touch_attribution_sql(target_type: str = "purchase",
+                          touch_types: tuple = ("view", "click"),
+                          window_sec: int = 86400,
+                          table: str = "events") -> str:
+    tt = ", ".join(f"'{t}'" for t in sorted(touch_types))
+    w_us = int(window_sec) * 1_000_000
+    return f"""
+WITH t AS (
+  SELECT * FROM {table} WHERE event_type IN ({tt})
+), p AS (
+  SELECT * FROM {table} WHERE event_type = '{target_type}'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+  CAST(first(t.event_id ORDER BY t.ts, t.event_id) AS DOUBLE)
+    AS first_touch_id,
+  first(t.event_type ORDER BY t.ts, t.event_id) AS first_touch_type,
+  CAST(last(t.event_id ORDER BY t.ts, t.event_id) AS DOUBLE)
+    AS last_touch_id,
+  last(t.event_type ORDER BY t.ts, t.event_id) AS last_touch_type,
+  CAST(count(t.event_id) AS BIGINT) AS n_touches
+FROM p LEFT JOIN t ON t.user_id = p.user_id
+  AND epoch_us(t.ts) <= epoch_us(p.ts)
+  AND epoch_us(t.ts) >= epoch_us(p.ts) - {w_us}
+GROUP BY p.event_id, p.user_id
+ORDER BY purchase_id
+""".strip()

@@ -3989,3 +3989,46 @@ def test_rank_fusion_orders_and_ties(ray_session):
         want = 1.0 / (60 + r.rank_alpha) + 1.0 / (60 + r.rank_tokens)
         assert r.rrf == want
     assert g.loc[1, "rrf"] == got.rrf.max()
+
+
+def test_touch_attribution_window_edges_and_ties(ray_session):
+    """Window boundaries inclusive on both ends; ts-tie touches break
+    by id (first=min, last=max); out-of-window touches invisible but
+    counted correctly; no-touch purchase -> NULLs + 0."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import touch_attribution
+
+    W = 10  # seconds
+    us = 1_000_000
+
+    def ev(i, u, ty, sec):
+        return {"event_id": i, "user_id": u, "event_type": ty,
+                "ts": pd.Timestamp(sec * us * 1000, unit="ns")}
+
+    rows = [
+        ev(1, 1, "view", 0),     # exactly ts-W for purchase@10 -> in
+        ev(2, 1, "click", 5),
+        ev(3, 1, "view", 10),    # tie with purchase ts -> in (last)
+        ev(4, 1, "purchase", 10),
+        ev(5, 1, "view", 30),    # after purchase@10; ties purchase@30
+        ev(6, 2, "purchase", 50),            # user 2: no touches
+        ev(7, 3, "view", 100), ev(8, 3, "view", 100),  # ts tie
+        ev(9, 3, "purchase", 105),
+        ev(10, 1, "view", 21),   # 21 < 30-W=20? no: 21 >= 20 -> in
+        ev(11, 1, "purchase", 30),
+    ]
+    df = pd.DataFrame(rows)
+    got = touch_attribution(rd.from_pandas(df), window_sec=W,
+                            n_buckets=4).to_pandas().set_index(
+        "purchase_id")
+    r = got.loc[4]
+    assert (r.first_touch_id, r.last_touch_id, r.n_touches) == (1, 3, 3)
+    r = got.loc[6]
+    assert np.isnan(r.first_touch_id) and np.isnan(r.last_touch_id)
+    assert r.first_touch_type is None or pd.isna(r.first_touch_type)
+    assert r.n_touches == 0
+    r = got.loc[9]
+    assert (r.first_touch_id, r.last_touch_id, r.n_touches) == (7, 8, 2)
+    r = got.loc[11]  # window [20,30]: view@21 (id10), view@30 (id5)
+    assert (r.first_touch_id, r.last_touch_id, r.n_touches) == (10, 5, 2)
