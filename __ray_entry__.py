@@ -2066,6 +2066,17 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_daily_ffill(sf_dir: str):
+    """Regular-grid resample with forward fill: per user, one row per
+    day from first to last event carrying the day-close value — the
+    irregular-stream → fixed-frequency-series step."""
+    from fluent_server_ray.stages.windows import daily_ffill
+
+    return daily_ffill(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts", "value"]))
+
+
 def _q_attribution(sf_dir: str):
     """First/last-touch attribution of purchases to view/click events
     in a 24h lookback — four merge_asof C kernels per user bucket."""
@@ -2814,6 +2825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packing_efficiency": _q_packing_efficiency,
         "doc_rank_fusion": _q_rank_fusion,
         "purchase_attribution": _q_attribution,
+        "events_daily_ffill": _q_daily_ffill,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -2977,6 +2989,7 @@ GROUP BY event_type ORDER BY event_type
         "packing_efficiency": assembly.packing_efficiency_sql(),
         "doc_rank_fusion": features.rank_fusion_sql(),
         "purchase_attribution": windows.touch_attribution_sql(),
+        "events_daily_ffill": windows.daily_ffill_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

@@ -1247,3 +1247,95 @@ FROM p LEFT JOIN t ON t.user_id = p.user_id
 GROUP BY p.event_id, p.user_id
 ORDER BY purchase_id
 """.strip()
+
+
+def daily_ffill(ds, key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", value_col: str = "value",
+                n_buckets: int = 64):
+    """Regular-grid RESAMPLE with forward fill: for every key, one row
+    per calendar day from its first to its last event, carrying the
+    day-close value forward across gap days — the telemetry/feature
+    pipeline step that turns an irregular event stream into the
+    fixed-frequency series a model consumes ("daily account balance"
+    from sparse transactions).
+
+    Day-close = last event of the day by (ts, id) — the deterministic
+    tie rule shared with the attribution/as-of family. One key-bucket
+    exchange; per bucket everything is vectorized: an Arrow-side sort,
+    a groupby-last for closes, ``np.repeat``/``arange`` for the grid,
+    one ``merge_asof(by=key)`` for the fill. The value column passes
+    through UNCHANGED (no arithmetic), so floats hash-match any
+    engine. Grid size = Σ per-key day spans — bounded by time span,
+    not event count.
+
+    Returns a Dataset (key, day, value) sorted, day = int64 epoch day.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            key_col: pc.cast(t[key_col], pa.int64()),
+            "_us": us,
+            id_col: pc.cast(t[id_col], pa.int64()),
+            value_col: pc.cast(t[value_col], pa.float64()),
+            "day": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+        })
+
+    out_schema = pa.schema([
+        pa.field(key_col, pa.int64()),
+        pa.field("day", pa.int64()),
+        pa.field(value_col, pa.float64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_us", id_col], kind="mergesort")
+        closes = g.groupby([key_col, "day"], as_index=False,
+                           sort=True).last()[[key_col, "day", value_col]]
+        span = closes.groupby(key_col, as_index=False).agg(
+            d0=("day", "min"), d1=("day", "max"))
+        lens = (span["d1"] - span["d0"] + 1).to_numpy()
+        keys = np.repeat(span[key_col].to_numpy(), lens)
+        starts = np.repeat(span["d0"].to_numpy(), lens)
+        offs = np.concatenate([np.arange(n) for n in lens]) \
+            if len(lens) else np.asarray([], dtype=np.int64)
+        grid = pd.DataFrame({key_col: keys, "day": starts + offs})
+        grid = grid.sort_values("day", kind="mergesort")
+        closes = closes.sort_values("day", kind="mergesort")
+        m = pd.merge_asof(grid, closes, on="day", by=key_col,
+                          direction="backward")
+        return m.sort_values([key_col, "day"])
+
+    pre_ds = ds.map_batches(skip_empty(pre), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    bucketed = _with_bucket(pre_ds, key_col, n_buckets)
+    return map_buckets(bucketed, per_bucket, out_schema).sort(
+        [key_col, "day"])
+
+
+def daily_ffill_sql(key_col: str = "user_id", value_col: str = "value",
+                    table: str = "events") -> str:
+    return f"""
+WITH e AS (
+  SELECT {key_col}, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+    ts, event_id, CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+), closes AS (
+  SELECT {key_col}, day, last(v ORDER BY ts, event_id) AS v
+  FROM e GROUP BY {key_col}, day
+), span AS (
+  SELECT {key_col}, min(day) AS d0, max(day) AS d1
+  FROM closes GROUP BY {key_col}
+), grid AS (
+  SELECT {key_col}, unnest(generate_series(d0, d1)) AS day FROM span
+)
+SELECT g.{key_col}, g.day, c.v AS {value_col}
+FROM grid g ASOF JOIN closes c
+  ON g.{key_col} = c.{key_col} AND g.day >= c.day
+ORDER BY g.{key_col}, g.day
+""".strip()

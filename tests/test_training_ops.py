@@ -4032,3 +4032,34 @@ def test_touch_attribution_window_edges_and_ties(ray_session):
     assert (r.first_touch_id, r.last_touch_id, r.n_touches) == (7, 8, 2)
     r = got.loc[11]  # window [20,30]: view@21 (id10), view@30 (id5)
     assert (r.first_touch_id, r.last_touch_id, r.n_touches) == (10, 5, 2)
+
+
+def test_daily_ffill_gaps_and_day_close(ray_session):
+    """Gap days carry the close forward; a day's close is its last
+    event by (ts, id); single-day keys emit one row."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import daily_ffill
+
+    day_us = 86_400_000_000
+
+    def ev(i, u, day_frac, v):
+        return {"event_id": i, "user_id": u,
+                "ts": pd.Timestamp(int(day_frac * day_us) * 1000,
+                                   unit="ns"),
+                "value": float(v)}
+
+    df = pd.DataFrame([
+        ev(1, 1, 0.2, 10.0), ev(2, 1, 0.9, 11.0),   # day0 close=11
+        ev(3, 1, 3.5, 30.0),                         # day3; gap 1,2
+        ev(4, 2, 5.1, 99.0),                         # single day
+        ev(5, 3, 7.0, 1.0), ev(6, 3, 7.0, 2.0),      # ts tie -> id 6
+    ])
+    got = daily_ffill(rd.from_pandas(df), n_buckets=4).to_pandas()
+    want = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 3],
+        "day": [0, 1, 2, 3, 5, 7],
+        "value": [11.0, 11.0, 11.0, 30.0, 99.0, 2.0],
+    })
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
