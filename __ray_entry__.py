@@ -2066,6 +2066,16 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_decayed_tags(sf_dir: str):
+    """Recency-decayed heavy hitters over the routed stream: per-tag
+    Σ floor(1e6·2^-age_days) — exact (integer ages make the decay an
+    exact binary power), combiner-first."""
+    from fluent_server_ray.pipelines.flagship import build_routed
+    from fluent_server_ray.stages.windows import decayed_counts
+
+    return decayed_counts(build_routed(sf_dir, columns=["tag", "ts"]))
+
+
 def _q_daily_ffill(sf_dir: str):
     """Regular-grid resample with forward fill: per user, one row per
     day from first to last event carrying the day-close value — the
@@ -2826,6 +2836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_fusion": _q_rank_fusion,
         "purchase_attribution": _q_attribution,
         "events_daily_ffill": _q_daily_ffill,
+        "tags_decayed": _q_decayed_tags,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -2990,6 +3001,8 @@ GROUP BY event_type ORDER BY event_type
         "doc_rank_fusion": features.rank_fusion_sql(),
         "purchase_attribution": windows.touch_attribution_sql(),
         "events_daily_ffill": windows.daily_ffill_sql(),
+        "tags_decayed": (oracle.with_pipeline_ctes() + "\n"
+                         + windows.decayed_counts_sql()),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

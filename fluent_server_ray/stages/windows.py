@@ -1339,3 +1339,80 @@ FROM grid g ASOF JOIN closes c
   ON g.{key_col} = c.{key_col} AND g.day >= c.day
 ORDER BY g.{key_col}, g.day
 """.strip()
+
+
+def decayed_counts(ds, key_col: str = "tag", ts_col: str = "ts",
+                   half_life_days: int = 1):
+    """Recency-DECAYED heavy hitters: per key,
+    ``Σ floor(1e6 · 2^(-age/half_life))`` with age in whole days
+    behind the corpus max — the trend score that lets yesterday's
+    spike outrank last month's steady drone (plain counts can't).
+
+    Exactness: ages are integers, so with half_life 1 the decay
+    ``2^-age`` is an EXACT binary power — every per-row weight is the
+    same int64 on any engine (floor of an exact double product), and
+    the sums are order-free integer adds. Two combiner passes (max
+    day, then weight sums), both driver-merged (bounded key space).
+
+    Returns a pyarrow Table (key, decayed_millionths, n) sorted by
+    decayed DESC, key ASC.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    assert half_life_days == 1, "exactness argument holds for 2^-age"
+
+    def day_col(t: pa.Table):
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        d = day_col(t)
+        return pa.table({"m": pa.array([pc.max(d).as_py()], pa.int64())})
+
+    parts = list(
+        ds.map_batches(skip_empty(max_partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "decayed_millionths": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    max_day = max(int(p["m"].to_numpy().max()) for p in parts)
+
+    def weights(t: pa.Table) -> pa.Table:
+        age = (max_day - day_col(t).to_numpy(zero_copy_only=False)
+               ).astype(np.float64)
+        w = np.floor(1_000_000.0 * np.power(2.0, -age)).astype(np.int64)
+        return pa.table({key_col: t[key_col], "w": pa.array(w)})
+
+    agg = grouped_agg(
+        ds.map_batches(skip_empty(weights), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=[key_col], aggs=[("w", "sum"), ("w", "count")],
+        final="driver")
+    out = pa.table({
+        key_col: agg[key_col],
+        "decayed_millionths": agg["w_sum"],
+        "n": agg["w_count"],
+    })
+    return out.sort_by([("decayed_millionths", "descending"),
+                        (key_col, "ascending")])
+
+
+def decayed_counts_sql(key_col: str = "tag",
+                       inner: str = "routed") -> str:
+    """Mirror over a CTE ``inner`` with (key, ts). Caller prepends the
+    WITH chain."""
+    return f"""
+SELECT {key_col},
+  CAST(sum(CAST(floor(1000000 * power(2.0,
+    -CAST((SELECT max(epoch_us(ts) // 86400000000) FROM {inner})
+      - epoch_us(ts) // 86400000000 AS DOUBLE))) AS BIGINT)) AS BIGINT)
+    AS decayed_millionths,
+  CAST(count(*) AS BIGINT) AS n
+FROM {inner} GROUP BY {key_col}
+ORDER BY decayed_millionths DESC, {key_col}
+""".strip()

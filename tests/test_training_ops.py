@@ -4063,3 +4063,22 @@ def test_daily_ffill_gaps_and_day_close(ray_session):
     })
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
                                   check_dtype=False)
+
+
+def test_decayed_counts_recency_beats_volume(ray_session):
+    """A tag with 3 events today outranks one with 20 events a week
+    ago (20·2^-7 ≈ 0.16 < 3); weights are exact halvings."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import decayed_counts
+
+    day_ns = 86_400_000_000_000
+    rows = ([{"tag": "fresh", "ts": pd.Timestamp(7 * day_ns)}] * 3
+            + [{"tag": "stale", "ts": pd.Timestamp(0)}] * 20
+            + [{"tag": "mid", "ts": pd.Timestamp(6 * day_ns)}] * 4)
+    got = decayed_counts(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    g = got.set_index("tag")
+    assert g.loc["fresh", "decayed_millionths"] == 3_000_000
+    assert g.loc["mid", "decayed_millionths"] == 4 * 500_000
+    assert g.loc["stale", "decayed_millionths"] == 20 * 7812  # floor(1e6/128)
+    assert got.tag.tolist() == ["fresh", "mid", "stale"]
