@@ -1347,7 +1347,8 @@ ORDER BY doc_a, doc_b
 def overlap_dupes(ds, min_overlap_millionths: int = 800_000,
                   shingle_k: int = 3, id_col: str = "doc_id",
                   text_col: str = "text", n_buckets: int = 64,
-                  max_bucket_pairs: int = 5_000_000):
+                  max_bucket_pairs: int = 5_000_000,
+                  max_driver_pairs: int = 2_000_000):
     """Asymmetric containment near-dup: pairs whose k-shingle OVERLAP
     COEFFICIENT ``|A∩B| / min(|A|,|B|)`` clears a threshold — the
     subsumption detector (a short doc quoted inside a long one scores
@@ -1475,7 +1476,61 @@ def overlap_dupes(ds, min_overlap_millionths: int = 800_000,
     posted = sh_ds.map_batches(skip_empty(postings), batch_format="pyarrow",
                                zero_copy_batch=True)
     parts = posted.groupby("_b").map_groups(per_bucket,
-                                            batch_format="pandas")
+                                            batch_format="pandas"
+                                            ).materialize()
+
+    # size-adaptive continuation (the PMI / cosine-pairs pattern):
+    # partials are result-sized — when they fit the driver, one Arrow
+    # merge + a broadcast-filtered size lookup replace the distributed
+    # merge, two bucketed joins and the final sort. Pure-int math on
+    # both paths, so results are identical by construction.
+    if parts.count() <= max_driver_pairs:
+        import ray
+
+        tabs = list(parts.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"))
+        if not tabs:
+            return _empty()
+        tot = (pa.concat_tables(tabs).group_by(["doc_a", "doc_b"])
+               .aggregate([("inter", "sum")]))
+        if tot.num_rows == 0:
+            return _empty()
+        ids = pc.unique(pa.concat_arrays([
+            tot["doc_a"].combine_chunks().cast(pa.int64()),
+            tot["doc_b"].combine_chunks().cast(pa.int64())]))
+        ids_ref = ray.put(ids)
+
+        def filt(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            return t.filter(pc.is_valid(pc.index_in(t["d"],
+                                                    value_set=want)))
+
+        ntabs = list(
+            sizes.map_batches(skip_empty(filt), batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        ntab = pa.concat_tables(ntabs)
+        nd = ntab["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = ntab["n_sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nd, kind="stable")
+        nd, nn = nd[order], nn[order]
+        da = tot["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = tot["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = tot["inter_sum"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        na = nn[np.searchsorted(nd, da)]
+        nb = nn[np.searchsorted(nd, db)]
+        ov = 1_000_000 * it // np.minimum(na, nb)
+        m = ov >= min_overlap_millionths
+        if not m.any():
+            return _empty()
+        out = pd.DataFrame({"doc_a": da[m], "doc_b": db[m],
+                            "inter": it[m], "na": na[m], "nb": nb[m],
+                            "overlap_millionths": ov[m]})
+        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return rd.from_arrow(pa.Table.from_pandas(out,
+                                                  preserve_index=False))
+
     inter = grouped_agg(parts, keys=["doc_a", "doc_b"],
                         aggs=[("inter", "sum")], final="ray").materialize()
     if inter.count() == 0:  # no pair shares a shingle — typed empty

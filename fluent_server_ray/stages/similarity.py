@@ -1100,7 +1100,8 @@ ORDER BY label, dim
 def tfidf_cosine_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                        min_sim_millionths: int = 300_000,
                        max_df_permille: int = 500, n_buckets: int = 64,
-                       max_bucket_pairs: int = 5_000_000):
+                       max_bucket_pairs: int = 5_000_000,
+                       max_driver_pairs: int = 2_000_000):
     """All-pairs sparse TF-IDF cosine similarity ≥ threshold — the
     lexical twin of :func:`cosine_dupes` for corpora WITHOUT an
     embedding column, via the classic inverted-index / term-at-a-time
@@ -1278,7 +1279,55 @@ def tfidf_cosine_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                          zero_copy_batch=True)
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pandas")
-    )
+    ).materialize()
+
+    # size-adaptive continuation (the PMI pattern): the pair partials
+    # are result-sized — when they fit the driver, ONE pandas-free
+    # Arrow merge + a broadcast-filtered norm lookup replace the
+    # distributed pair-merge, two bucketed joins and final sort
+    # (~9 s of fixed exchange latency at sf0.1). Byte-identical
+    # output: same int sums, same one float tree per row, same sort.
+    if dots.count() <= max_driver_pairs:
+        tabs = list(dots.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+        tot = (pa.concat_tables(tabs).group_by(["doc_a", "doc_b"])
+               .aggregate([("dot", "sum")]))
+        ids = pc.unique(pa.concat_arrays([
+            tot["doc_a"].combine_chunks().cast(pa.int64()),
+            tot["doc_b"].combine_chunks().cast(pa.int64())]))
+        ids_ref = ray.put(ids)
+
+        def filt(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            return t.filter(pc.is_valid(pc.index_in(t["d"],
+                                                    value_set=want)))
+
+        ntabs = list(
+            norms.map_batches(skip_empty(filt), batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        ntab = pa.concat_tables(ntabs) if ntabs else pa.table(
+            {"d": pa.array([], pa.int64()),
+             "w2_sum": pa.array([], pa.int64())})
+        nd = ntab["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = ntab["w2_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nd, kind="stable")
+        nd, nw = nd[order], nw[order]
+        da = tot["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = tot["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dot = tot["dot_sum"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        na2 = nw[np.searchsorted(nd, da)].astype(np.float64)
+        nb2 = nw[np.searchsorted(nd, db)].astype(np.float64)
+        sim = np.floor((1_000_000.0 * dot)
+                       / (np.sqrt(na2) * np.sqrt(nb2))).astype(np.int64)
+        m = sim >= min_sim_millionths
+        out = pd.DataFrame({"doc_a": da[m], "doc_b": db[m],
+                            "sim_millionths": sim[m]})
+        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return rd.from_arrow(pa.Table.from_pandas(out,
+                                                  preserve_index=False))
+
     total = grouped_agg(dots, keys=["doc_a", "doc_b"],
                         aggs=[("dot", "sum")], final="ray")
 
