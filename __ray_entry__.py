@@ -2066,6 +2066,15 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_source_gini(sf_dir: str):
+    """Per-source Gini coefficient of doc token counts — the corpus
+    length-inequality diagnostic; integer rank partials, one float
+    tree per source (bit-exact vs the window-rank mirror)."""
+    from fluent_server_ray.stages.textstats import source_length_gini
+
+    return source_length_gini(_docs(sf_dir))
+
+
 def _q_decayed_tags(sf_dir: str):
     """Recency-decayed heavy hitters over the routed stream: per-tag
     Σ floor(1e6·2^-age_days) — exact (integer ages make the decay an
@@ -2837,6 +2846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": _q_attribution,
         "events_daily_ffill": _q_daily_ffill,
         "tags_decayed": _q_decayed_tags,
+        "source_length_gini": _q_source_gini,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3003,6 +3013,7 @@ GROUP BY event_type ORDER BY event_type
         "events_daily_ffill": windows.daily_ffill_sql(),
         "tags_decayed": (oracle.with_pipeline_ctes() + "\n"
                          + windows.decayed_counts_sql()),
+        "source_length_gini": textstats.source_length_gini_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

@@ -2515,3 +2515,97 @@ SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
 FROM top a JOIN top b ON a.word = b.word AND a.src < b.src
 GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+def source_length_gini(ds, group_col: str = "source",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_buckets: int = 64) -> pa.Table:
+    """Per-source GINI COEFFICIENT of document token counts — the
+    corpus-balance diagnostic ("is this source a few giant docs or
+    many uniform ones?") that mean/median length miss. Gini via the
+    rank formula ``G = (2·Σ i·x_(i) ) / (n·Σx) − (n+1)/n`` with x
+    ascending and ties broken by id.
+
+    Both Σx and the rank-weighted Σ i·x_(i) are int64-exact: one
+    bucket exchange keyed on the group co-locates each source, the
+    within-source ranks come from one vectorized cumcount, and the two
+    integer partials feed ONE float tree per source — so the doubles
+    mirror SQL bit-for-bit. (A source with a single doc has G = 0 by
+    the formula.) Returns (source, n_docs, total_tokens,
+    gini) sorted by source.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: pc.cast(t[group_col], pa.string()),
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n": pc.cast(pc.count_substring_regex(t[text_col], TOKEN_RE),
+                         pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "n", id_col],
+                          kind="mergesort").reset_index(drop=True)
+        rank = g.groupby(group_col, sort=False).cumcount().to_numpy() + 1
+        n = g["n"].to_numpy(dtype="int64")
+        agg = (g.assign(_rw=rank * n)
+               .groupby(group_col, as_index=False)
+               .agg(n_docs=(id_col, "size"), total_tokens=("n", "sum"),
+                    rw=("_rw", "sum")))
+        return agg
+
+    pre = ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    bucketed = _with_bucket(pre, group_col, n_buckets)
+    parts = (bucketed.groupby("_bucket")
+             .map_groups(per_bucket, batch_format="pandas").to_pandas())
+    # INVARIANT: a source hashes to exactly one bucket and Ray's
+    # groupby delivers a bucket to one map_groups call, so parts has
+    # one complete row per source (ranks are source-global); this
+    # groupby only collapses the frame, it must never sum real splits
+    agg = parts.groupby(group_col, as_index=False).sum()
+    nd = agg["n_docs"].to_numpy(dtype="int64")
+    tot = agg["total_tokens"].to_numpy(dtype="int64")
+    rw = agg["rw"].to_numpy(dtype="int64")
+    gini = ((2.0 * rw.astype(np.float64))
+            / (nd.astype(np.float64) * tot.astype(np.float64))
+            - (nd + 1).astype(np.float64) / nd.astype(np.float64))
+    order = np.argsort(agg[group_col].to_numpy())
+    return pa.table({
+        group_col: pa.array(agg[group_col].to_numpy(dtype=object)[order],
+                            pa.string()),
+        "n_docs": pa.array(nd[order]),
+        "total_tokens": pa.array(tot[order]),
+        "gini": pa.array(gini[order], pa.float64()),
+    })
+
+
+def source_length_gini_sql(group_col: str = "source",
+                           table: str = "documents") -> str:
+    return f"""
+WITH tok AS (
+  SELECT {group_col}, doc_id,
+    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n
+  FROM {table}
+), r AS (
+  SELECT {group_col}, n,
+    row_number() OVER (PARTITION BY {group_col} ORDER BY n, doc_id)
+      AS rank
+  FROM tok
+), agg AS (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n) AS BIGINT) AS total_tokens,
+    CAST(sum(rank * n) AS BIGINT) AS rw
+  FROM r GROUP BY {group_col}
+)
+SELECT {group_col}, n_docs, total_tokens,
+  (2.0 * CAST(rw AS DOUBLE))
+    / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+  - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gini
+FROM agg ORDER BY {group_col}
+""".strip()

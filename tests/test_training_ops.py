@@ -4082,3 +4082,28 @@ def test_decayed_counts_recency_beats_volume(ray_session):
     assert g.loc["mid", "decayed_millionths"] == 4 * 500_000
     assert g.loc["stale", "decayed_millionths"] == 20 * 7812  # floor(1e6/128)
     assert got.tag.tolist() == ["fresh", "mid", "stale"]
+
+
+def test_source_length_gini_known_values(ray_session):
+    """Uniform lengths -> G=0; an extreme 1-vs-rest split approaches
+    (n-1)/n; single-doc source -> 0."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import source_length_gini
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(9, dtype=np.int64),
+        "source": ["u"] * 4 + ["x"] * 4 + ["s"],
+        "text": ["w w w"] * 4                  # uniform: 3,3,3,3
+        + ["w", "w", "w", " ".join(["w"] * 97)]  # skewed: 1,1,1,97
+        + ["w w"],                             # single doc
+    })
+    got = source_length_gini(rd.from_pandas(docs),
+                             n_buckets=4).to_pandas().set_index("source")
+    assert got.loc["u", "gini"] == 0.0
+    assert got.loc["s", "gini"] == 0.0
+    # exact: ranks 1,2,3 on the three 1s, 4 on 97
+    n, tot, rw = 4, 100, 1 * 1 + 2 * 1 + 3 * 1 + 4 * 97
+    want = 2.0 * rw / (n * tot) - (n + 1) / n
+    assert abs(got.loc["x", "gini"] - want) < 1e-15
+    assert got.loc["x", "gini"] > 0.7
