@@ -2066,6 +2066,17 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_props_audit(sf_dir: str):
+    """Semi-structured payload conformance audit over events.props:
+    per type, rows / nulls / schema-valid payloads and min/max/sum of
+    the extracted value — Arrow regex kernels, no per-row json."""
+    from fluent_server_ray.stages.fields import props_audit
+
+    return props_audit(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "props"]))
+
+
 def _q_source_gini(sf_dir: str):
     """Per-source Gini coefficient of doc token counts — the corpus
     length-inequality diagnostic; integer rank partials, one float
@@ -2847,6 +2858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_ffill": _q_daily_ffill,
         "tags_decayed": _q_decayed_tags,
         "source_length_gini": _q_source_gini,
+        "events_props_audit": _q_props_audit,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3014,6 +3026,7 @@ GROUP BY event_type ORDER BY event_type
         "tags_decayed": (oracle.with_pipeline_ctes() + "\n"
                          + windows.decayed_counts_sql()),
         "source_length_gini": textstats.source_length_gini_sql(),
+        "events_props_audit": fields.props_audit_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

@@ -216,3 +216,93 @@ def log_templates_sql(text_col: str = "text",
 SELECT {expr} AS template, CAST(count(*) AS BIGINT) AS n_events
 FROM {source_cte} GROUP BY 1 ORDER BY template
 """.strip()
+
+
+def props_audit(ds, group_col: str = "event_type",
+                props_col: str = "props") -> pa.Table:
+    """Semi-structured payload AUDIT: per group, how many rows carry a
+    well-formed ``{"k": <int>}`` payload, and the min/max/sum of the
+    extracted value — the schema-conformance gate a log pipeline runs
+    before trusting free-form JSON columns (fluentd parser-plugin
+    shape: one declared schema, count the rows that violate it).
+
+    Vectorized both sides: ONE compiled-regex match + extract per
+    batch (Arrow C++ kernels — no per-row json.loads loop), per-batch
+    Arrow group_by partials (n / n_valid / n_null / k min / max /
+    sum), bounded driver merge with the matching algebraic rules. All
+    integers; no floats anywhere.
+
+    Returns (group, n, n_null, n_valid, k_min, k_max, k_sum) sorted;
+    k_min/k_max are NULL for groups with no valid payload.
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    pat = r'^\{"k": (-?[0-9]+)\}$'
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pc.cast(t[group_col], pa.string())
+        p = t[props_col]
+        null = pc.is_null(p)
+        ext = pc.extract_regex(pc.fill_null(pc.cast(p, pa.string()), ""),
+                               pattern=r'^\{"k": (?P<k>-?[0-9]+)\}$')
+        valid = pc.is_valid(ext)
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        tbl = pa.table({
+            "g": g,
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "nul": pc.cast(null, pa.int64()),
+            "val": pc.cast(valid, pa.int64()),
+            "k": k,  # null where invalid — min/max/sum skip nulls
+        })
+        out = tbl.group_by("g").aggregate(
+            [("one", "sum"), ("nul", "sum"), ("val", "sum"),
+             ("k", "min"), ("k", "max"), ("k", "sum")])
+        return out.rename_columns(
+            ["g", "n", "n_null", "n_valid", "k_min", "k_max", "k_sum"])
+
+    parts = list(
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({
+            group_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "n_null": pa.array([], pa.int64()),
+            "n_valid": pa.array([], pa.int64()),
+            "k_min": pa.array([], pa.int64()),
+            "k_max": pa.array([], pa.int64()),
+            "k_sum": pa.array([], pa.int64()),
+        })
+    merged = (pa.concat_tables(parts).group_by("g").aggregate(
+        [("n", "sum"), ("n_null", "sum"), ("n_valid", "sum"),
+         ("k_min", "min"), ("k_max", "max"), ("k_sum", "sum")]))
+    out = merged.rename_columns(
+        ["g", "n", "n_null", "n_valid", "k_min", "k_max", "k_sum"])
+    out = out.rename_columns([group_col] + out.column_names[1:])
+    return out.sort_by([(group_col, "ascending")])
+
+
+def props_audit_sql(group_col: str = "event_type",
+                    props_col: str = "props",
+                    table: str = "events") -> str:
+    pat = r'^\{"k": (-?[0-9]+)\}$'
+    return f"""
+WITH x AS (
+  SELECT {group_col},
+    {props_col} IS NULL AS p_null,
+    regexp_matches(COALESCE({props_col}, ''), '{pat}') AS valid,
+    CASE WHEN regexp_matches(COALESCE({props_col}, ''), '{pat}')
+      THEN CAST(regexp_extract(COALESCE({props_col}, ''), '{pat}', 1)
+                AS BIGINT) END AS k
+  FROM {table}
+)
+SELECT {group_col},
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(*) FILTER (WHERE p_null) AS BIGINT) AS n_null,
+  CAST(count(*) FILTER (WHERE valid) AS BIGINT) AS n_valid,
+  min(k) AS k_min, max(k) AS k_max, CAST(sum(k) AS BIGINT) AS k_sum
+FROM x GROUP BY {group_col} ORDER BY {group_col}
+""".strip()

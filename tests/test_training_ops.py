@@ -4107,3 +4107,26 @@ def test_source_length_gini_known_values(ray_session):
     want = 2.0 * rw / (n * tot) - (n + 1) / n
     assert abs(got.loc["x", "gini"] - want) < 1e-15
     assert got.loc["x", "gini"] > 0.7
+
+
+def test_props_audit_conformance_counts(ray_session):
+    """Valid/malformed/null payload accounting and min/max/sum over
+    valid extractions; a group with no valid payload gets NULL
+    min/max."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.fields import props_audit
+
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "a", "a", "b", "b"],
+        "props": ['{"k": 5}', '{"k": -2}', "oops", None,
+                  '{"k": 5, "x": 1}', "{}"],
+    })
+    got = props_audit(rd.from_pandas(df)).to_pandas().set_index(
+        "event_type")
+    a = got.loc["a"]
+    assert (a.n, a.n_null, a.n_valid) == (4, 1, 2)
+    assert (a.k_min, a.k_max, a.k_sum) == (-2, 5, 3)
+    b = got.loc["b"]
+    assert (b.n, b.n_null, b.n_valid) == (2, 0, 0)
+    assert pd.isna(b.k_min) and pd.isna(b.k_max)
