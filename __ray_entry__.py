@@ -2066,6 +2066,79 @@ def _q_dedup_normalized(sf_dir: str):
                        text_col="text_norm")
 
 
+def _q_dup_degree_hist(sf_dir: str):
+    """Near-dup pair-graph DEGREE histogram (how many docs have k
+    near-dup partners) — the graph-health report that separates
+    pairwise noise from dense copy clusters. Pairs explode to
+    endpoints, per-doc degrees merge distributedly (unbounded doc
+    space), the bounded count-of-counts merges on the driver."""
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    grouped_counts,
+                                                    skip_empty)
+    from fluent_server_ray.stages.dedup import ngram_jaccard_dupes
+
+    pairs = ngram_jaccard_dupes(_docs(sf_dir), threshold=0.8)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            t["doc_a"].combine_chunks().cast(pa.int64()),
+            t["doc_b"].combine_chunks().cast(pa.int64())])
+        return pa.table({"doc_id": both})
+
+    deg = grouped_agg(
+        pairs.map_batches(skip_empty(endpoints), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        keys=["doc_id"], aggs=[("doc_id", "count")], final="ray")
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "degree"])
+
+    out = grouped_counts(
+        deg.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True),
+        ["degree"], final="driver")
+    return out.rename_columns(["degree", "n_docs"]).sort_by(
+        [("degree", "ascending")])
+
+
+def _dup_degree_hist_sql() -> str:
+    """Wrap the exact-Jaccard pair query as a CTE, then count degrees
+    and degrees-of-degrees — string surgery kept to one well-pinned
+    split point (the pair SELECT)."""
+    from fluent_server_ray.stages import dedup
+
+    base = dedup.ngram_jaccard_dupes_sql(threshold=0.8)
+    marker = "SELECT a.doc_id AS doc_a"
+    idx = base.index(marker)
+    prefix = base[:idx].rstrip()          # "WITH toks AS (...), sh AS (...)"
+    body = base[idx:].replace("ORDER BY doc_a, doc_b", "").rstrip()
+    assert prefix.endswith(")"), "pair-SQL shape changed"
+    return f"""{prefix},
+pairs AS (
+  {body}
+), ep AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL SELECT doc_b FROM pairs
+), deg AS (
+  SELECT doc_id, count(*) AS degree FROM ep GROUP BY doc_id
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree ORDER BY degree"""
+
+
+def _q_chi2_lang_source(sf_dir: str):
+    """Categorical chi-square: is the language mix independent of the
+    source feed — same bit-exact per-cell contract as the tiered
+    variant."""
+    from fluent_server_ray.stages.features import contingency_chi2_cat
+
+    return contingency_chi2_cat(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"]))
+
+
 def _q_props_audit(sf_dir: str):
     """Semi-structured payload conformance audit over events.props:
     per type, rows / nulls / schema-valid payloads and min/max/sum of
@@ -2859,6 +2932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tags_decayed": _q_decayed_tags,
         "source_length_gini": _q_source_gini,
         "events_props_audit": _q_props_audit,
+        "docs_chi2_lang_source": _q_chi2_lang_source,
+        "dup_degree_histogram": _q_dup_degree_hist,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3027,6 +3102,8 @@ GROUP BY event_type ORDER BY event_type
                          + windows.decayed_counts_sql()),
         "source_length_gini": textstats.source_length_gini_sql(),
         "events_props_audit": fields.props_audit_sql(),
+        "docs_chi2_lang_source": features.contingency_chi2_cat_sql(),
+        "dup_degree_histogram": _dup_degree_hist_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

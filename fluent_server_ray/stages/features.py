@@ -1423,3 +1423,72 @@ SELECT doc_id, CAST(rank_alpha AS BIGINT) AS rank_alpha,
   1.0 / ({k} + rank_alpha) + 1.0 / ({k} + rank_tokens) AS rrf
 FROM r ORDER BY doc_id
 """.strip()
+
+
+def contingency_chi2_cat(ds, a_col: str = "lang", b_col: str = "source"):
+    """Categorical × categorical sibling of :func:`contingency_chi2`
+    (same margins math, same one-float-tree-per-cell bit-exactness
+    contract): does attribute A depend on attribute B — e.g. is a
+    corpus's language mix independent of its source feed? NULLs in
+    either column are excluded (a NULL category is a data bug the
+    profile_table op reports, not a contingency level).
+
+    Returns a pyarrow Table (a, b, n, expected, contrib) sorted.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[a_col]), pc.is_valid(t[b_col])))
+        return pa.table({a_col: pc.cast(t[a_col], pa.string()),
+                         b_col: pc.cast(t[b_col], pa.string())})
+
+    cells = grouped_counts(
+        ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        [a_col, b_col], final="driver")
+    df = pd.DataFrame({
+        a_col: cells[a_col].to_pylist(),
+        b_col: cells[b_col].to_pylist(),
+        "n": cells["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+    })
+    df["n_row"] = df.groupby(a_col)["n"].transform("sum")
+    df["n_col"] = df.groupby(b_col)["n"].transform("sum")
+    n_total = float(df["n"].sum())
+    expected = (df["n_row"].to_numpy().astype(np.float64)
+                * df["n_col"].to_numpy().astype(np.float64)) / n_total
+    nf = df["n"].to_numpy().astype(np.float64)
+    contrib = (nf - expected) ** 2 / expected
+    df = df.sort_values([a_col, b_col])
+    order = df.index.to_numpy()
+    return pa.table({
+        a_col: pa.array(df[a_col].to_numpy(dtype=object), pa.string()),
+        b_col: pa.array(df[b_col].to_numpy(dtype=object), pa.string()),
+        "n": pa.array(df["n"].to_numpy()),
+        "expected": pa.array(expected[order], type=pa.float64()),
+        "contrib": pa.array(contrib[order], type=pa.float64()),
+    })
+
+
+def contingency_chi2_cat_sql(a_col: str = "lang", b_col: str = "source",
+                             table: str = "documents") -> str:
+    e = ("(CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)) "
+         "/ CAST(n_total AS DOUBLE)")
+    return f"""
+WITH c AS (
+  SELECT {a_col}, {b_col}, count(*) AS n
+  FROM {table}
+  WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT c.*,
+    sum(n) OVER (PARTITION BY {a_col}) AS n_row,
+    sum(n) OVER (PARTITION BY {b_col}) AS n_col,
+    sum(n) OVER () AS n_total
+  FROM c
+)
+SELECT {a_col}, {b_col}, CAST(n AS BIGINT) AS n,
+  {e} AS expected,
+  ((CAST(n AS DOUBLE) - {e}) ** 2) / ({e}) AS contrib
+FROM m ORDER BY {a_col}, {b_col}
+""".strip()

