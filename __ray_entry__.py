@@ -2102,6 +2102,15 @@ def _q_dup_degree_hist(sf_dir: str):
         [("degree", "ascending")])
 
 
+def _q_distinctive_bigrams(sf_dir: str):
+    """Per-source distinctive bigrams by lift (source share vs corpus
+    share) — python-int exact millionths (HUGEINT mirror), one
+    pair-bucket exchange, per-source top-k."""
+    from fluent_server_ray.stages.textstats import source_distinctive_bigrams
+
+    return source_distinctive_bigrams(_docs(sf_dir))
+
+
 def _dup_degree_hist_sql() -> str:
     """Wrap the exact-Jaccard pair query as a CTE, then count degrees
     and degrees-of-degrees — string surgery kept to one well-pinned
@@ -2934,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_audit": _q_props_audit,
         "docs_chi2_lang_source": _q_chi2_lang_source,
         "dup_degree_histogram": _q_dup_degree_hist,
+        "source_distinctive_bigrams": _q_distinctive_bigrams,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3104,6 +3114,8 @@ GROUP BY event_type ORDER BY event_type
         "events_props_audit": fields.props_audit_sql(),
         "docs_chi2_lang_source": features.contingency_chi2_cat_sql(),
         "dup_degree_histogram": _dup_degree_hist_sql(),
+        "source_distinctive_bigrams":
+            textstats.source_distinctive_bigrams_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

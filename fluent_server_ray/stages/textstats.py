@@ -2609,3 +2609,163 @@ SELECT {group_col}, n_docs, total_tokens,
   - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gini
 FROM agg ORDER BY {group_col}
 """.strip()
+
+
+def source_distinctive_bigrams(ds, k: int = 10, min_count: int = 3,
+                               group_col: str = "source",
+                               n_buckets: int = 64) -> pa.Table:
+    """Per-source DISTINCTIVE bigrams: top-``k`` adjacent word pairs
+    by LIFT ``(n_sb/n_s)/(n_b/N)`` — "what does this feed say that the
+    rest of the corpus doesn't" (plain per-source top-k just returns
+    the corpus-wide head; the denominator contrast is the point).
+
+    Exactness: lift rides as ``1e6·n_sb·N // (n_s·n_b)`` computed in
+    PYTHON ints (arbitrary precision — the HUGEINT mirror; an int64
+    product n_sb·N wraps at web scale, so no numpy fast path is
+    offered). All counts are exact combiner partials. One pair-hash
+    bucket exchange co-locates every source's counts for a pair WITH
+    its corpus total; per-source totals are the bounded small side
+    (one extra combiner pass, broadcast by closure capture).
+
+    Returns (source, pair, n_sb, lift_millionths): top-k per source by
+    (lift DESC, pair ASC), rows with ``n_sb < min_count`` gated out,
+    sorted by (source, lift DESC, pair).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(
+            np.int64)
+        src = t[group_col].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "pair": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "_bucket": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        pair = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        same = doc_of[:-1] == doc_of[1:]
+        pair = pair.filter(pa.array(same))
+        psrc = src[doc_of[:-1][same]]
+        c = (pa.table({group_col: pa.array(psrc, pa.string()),
+                       "pair": pair})
+             .group_by([group_col, "pair"])
+             .aggregate([([], "count_all")])
+             .rename_columns([group_col, "pair", "n"]))
+        return c.append_column(
+            "_bucket", pa.array(hash_bucket_array(c["pair"], n_buckets)))
+
+    counts = ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    # bounded small side: per-source bigram totals + corpus total
+    tot = (pa.concat_tables(
+        counts.select_columns([group_col, "n"])
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+        .group_by(group_col).aggregate([("n", "sum")]))
+    n_s = {s: int(v) for s, v in zip(tot[group_col].to_pylist(),
+                                     tot["n_sum"].to_pylist())}
+    n_total = sum(n_s.values())
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby([group_col, "pair"], sort=False)["n"].sum()
+        agg = agg.reset_index()
+        nb = agg.groupby("pair", sort=False)["n"].transform("sum")
+        agg = agg[agg["n"] >= min_count].assign(
+            _nb=nb[agg.index])
+        if agg.empty:
+            return pd.DataFrame({group_col: pd.Series(dtype=object),
+                                 "pair": pd.Series(dtype=object),
+                                 "n_sb": pd.Series(dtype="int64"),
+                                 "lift_millionths": pd.Series(
+                                     dtype="int64")})
+        lift = [1_000_000 * int(nsb) * n_total
+                // (n_s[s] * int(nbv))
+                for s, nsb, nbv in zip(agg[group_col], agg["n"],
+                                       agg["_nb"])]
+        out = pd.DataFrame({group_col: agg[group_col].to_numpy(),
+                            "pair": agg["pair"].to_numpy(),
+                            "n_sb": agg["n"].to_numpy(dtype="int64"),
+                            "lift_millionths": np.asarray(lift,
+                                                          dtype="int64")})
+        out = out.sort_values(["lift_millionths", "pair"],
+                              ascending=[False, True])
+        return out.groupby(group_col, sort=False).head(k)
+
+    parts = (counts.groupby("_bucket")
+             .map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())  # bounded: ≤ buckets × sources × k
+    if parts.empty:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "pair": pa.array([], pa.string()),
+                         "n_sb": pa.array([], pa.int64()),
+                         "lift_millionths": pa.array([], pa.int64())})
+    parts = parts.sort_values(["lift_millionths", "pair"],
+                              ascending=[False, True])
+    parts = parts.groupby(group_col, sort=False).head(k)
+    parts = parts.sort_values(
+        [group_col, "lift_millionths", "pair"],
+        ascending=[True, False, True]).reset_index(drop=True)
+    return pa.table({
+        group_col: pa.array(parts[group_col].to_numpy(dtype=object),
+                            pa.string()),
+        "pair": pa.array(parts["pair"].to_numpy(dtype=object),
+                         pa.string()),
+        "n_sb": pa.array(parts["n_sb"].to_numpy()),
+        "lift_millionths": pa.array(parts["lift_millionths"].to_numpy()),
+    })
+
+
+def source_distinctive_bigrams_sql(k: int = 10, min_count: int = 3,
+                                   group_col: str = "source",
+                                   table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col},
+    list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM {table}
+), pairs AS (
+  SELECT {group_col},
+    unnest(list_transform(range(1, len(w)),
+           i -> w[i] || ' ' || w[i + 1])) AS pair
+  FROM toks WHERE len(w) >= 2
+), sb AS (
+  SELECT {group_col}, pair, count(*) AS n_sb
+  FROM pairs GROUP BY 1, 2
+), b AS (
+  SELECT pair, sum(n_sb) AS n_b FROM sb GROUP BY pair
+), s AS (
+  SELECT {group_col}, sum(n_sb) AS n_s FROM sb GROUP BY {group_col}
+), n AS (SELECT sum(n_sb) AS n_total FROM sb),
+lift AS (
+  SELECT sb.{group_col}, sb.pair, sb.n_sb,
+    CAST(CAST(1000000 AS HUGEINT) * sb.n_sb * n.n_total
+         // (s.n_s * b.n_b) AS BIGINT) AS lift_millionths
+  FROM sb JOIN b USING (pair) JOIN s USING ({group_col}) CROSS JOIN n
+  WHERE sb.n_sb >= {min_count}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_col}
+    ORDER BY lift_millionths DESC, pair) AS rn
+  FROM lift
+)
+SELECT {group_col}, pair, CAST(n_sb AS BIGINT) AS n_sb,
+  lift_millionths
+FROM ranked WHERE rn <= {k}
+ORDER BY {group_col}, lift_millionths DESC, pair
+""".strip()

@@ -4148,3 +4148,33 @@ def test_chi2_cat_and_dup_degree_shapes(ray_session):
     assert got.n.tolist() == [10, 30, 30, 10]
     assert got.expected.tolist() == [20.0] * 4
     assert got.contrib.tolist() == [5.0] * 4
+
+
+def test_distinctive_bigrams_lift_contrast(ray_session):
+    """A phrase unique to one source tops its lift list even when a
+    corpus-wide phrase has higher raw count; min_count gates noise."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (
+        source_distinctive_bigrams,
+    )
+
+    common = "the cat sat"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "source": ["a"] * 4 + ["b"] * 4,
+        "text": [f"{common} secret word"] * 4 + [common] * 4,
+    })
+    got = source_distinctive_bigrams(
+        rd.from_pandas(docs), k=5, min_count=3).to_pandas()
+    a = got[got.source == "a"]
+    # "secret word" and "sat secret" occur only in a: lift = N/n_a
+    top = a.iloc[0]
+    assert top.pair in ("sat secret", "secret word")
+    n_a, n_total = 4 * 4, 4 * 4 + 4 * 2   # bigrams per side
+    assert top.lift_millionths == 1_000_000 * 4 * n_total // (n_a * 4)
+    # within source a: the corpus-shared bigram lifts below the
+    # unique phrase (4·24//(16·8) = 0.75 vs 1.5)
+    ai = a.set_index("pair")
+    assert ai.loc["the cat", "lift_millionths"] == 750_000
+    assert ai.loc["the cat", "lift_millionths"] < top.lift_millionths
