@@ -2102,6 +2102,15 @@ def _q_dup_degree_hist(sf_dir: str):
         [("degree", "ascending")])
 
 
+def _q_collapse_repeats(sf_dir: str):
+    """Consecutive-duplicate-token collapse (OCR/ASR stutter cleanup)
+    — pure Arrow kernels, list layout rebuilt from kept-count offsets,
+    no shuffle."""
+    from fluent_server_ray.stages.hygiene import collapse_repeat_tokens
+
+    return collapse_repeat_tokens(_docs(sf_dir))
+
+
 def _q_distinctive_bigrams(sf_dir: str):
     """Per-source distinctive bigrams by lift (source share vs corpus
     share) — python-int exact millionths (HUGEINT mirror), one
@@ -2944,6 +2953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chi2_lang_source": _q_chi2_lang_source,
         "dup_degree_histogram": _q_dup_degree_hist,
         "source_distinctive_bigrams": _q_distinctive_bigrams,
+        "doc_collapse_repeats": _q_collapse_repeats,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3116,6 +3126,7 @@ GROUP BY event_type ORDER BY event_type
         "dup_degree_histogram": _dup_degree_hist_sql(),
         "source_distinctive_bigrams":
             textstats.source_distinctive_bigrams_sql(),
+        "doc_collapse_repeats": hygiene.collapse_repeat_tokens_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

@@ -829,3 +829,80 @@ SELECT d.split, count(*) AS n_texts,
 FROM d JOIN c USING (fp)
 GROUP BY d.split ORDER BY d.split
 """.strip()
+
+
+def collapse_repeat_tokens(ds, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Consecutive-duplicate-token collapse ("the the cat" → "the
+    cat") — the stutter-cleanup pass OCR/ASR/scrape corpora need
+    before token statistics (repetition inflates counts and poisons
+    n-gram models; the dup_ngram_fraction op MEASURES it, this one
+    REMOVES it).
+
+    Pure per-batch Arrow kernels, no shuffle, no Python row loop:
+    split → flat token array with doc ownership → one vectorized
+    equal-to-previous mask (guarded at doc boundaries) → rebuild the
+    list layout from kept-count offsets → ``binary_join``. Whitespace
+    canonicalizes to single spaces (tokens = non-empty split, the
+    shared tokenizer contract). Returns (doc_id, text, n_before,
+    n_after).
+    """
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        text = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_of = doc_of[nonempty]
+        m = len(flat)
+        if m:
+            same_prev = pc.equal(flat.slice(1), flat.slice(0, m - 1)
+                                 ).to_numpy(zero_copy_only=False)
+            same_prev = np.nan_to_num(same_prev.astype(np.float64),
+                                      nan=0.0).astype(bool)
+            same_doc = doc_of[1:] == doc_of[:-1]
+            drop = np.concatenate(([False], same_prev & same_doc))
+        else:
+            drop = np.zeros(0, dtype=bool)
+        kept = flat.filter(pa.array(~drop))
+        kept_doc = doc_of[~drop]
+        n_before = np.bincount(doc_of, minlength=n).astype(np.int64)
+        n_after = np.bincount(kept_doc, minlength=n).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(n_after)))
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept)
+        return pa.table({
+            id_col: t[id_col],
+            text_col: pc.binary_join(la, " "),
+            "n_before": pa.array(n_before),
+            "n_after": pa.array(n_after),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def collapse_repeat_tokens_sql(table: str = "documents") -> str:
+    return f"""
+WITH l AS (
+  SELECT doc_id,
+    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')
+      AS ls
+  FROM {table}
+)
+SELECT doc_id,
+  array_to_string(list_filter(ls, (x, i) -> i = 1 OR x <> ls[i - 1]),
+                  ' ') AS text,
+  CAST(len(ls) AS BIGINT) AS n_before,
+  CAST(len(list_filter(ls, (x, i) -> i = 1 OR x <> ls[i - 1]))
+       AS BIGINT) AS n_after
+FROM l ORDER BY doc_id
+""".strip()

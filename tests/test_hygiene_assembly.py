@@ -1131,3 +1131,21 @@ def test_sft_loss_spans_matches_duckdb(ray_session):
     a = ray_df[cols].sort_values(cols).reset_index(drop=True)
     b = duck_df[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_collapse_repeat_tokens_edges(ray_session):
+    """Stutter runs collapse to one token; cross-doc boundaries never
+    merge; whitespace canonicalizes; empty/null text survives."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.hygiene import collapse_repeat_tokens
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["the the the cat cat sat", "sat", "sat  sat", "", None],
+    })
+    got = collapse_repeat_tokens(rd.from_pandas(df)).to_pandas()
+    assert got.text.tolist() == ["the cat sat", "sat", "sat", "", ""]
+    assert got.n_before.tolist() == [6, 1, 2, 0, 0]
+    assert got.n_after.tolist() == [3, 1, 1, 0, 0]
