@@ -2102,6 +2102,29 @@ def _q_dup_degree_hist(sf_dir: str):
         [("degree", "ascending")])
 
 
+def _q_pit_features(sf_dir: str):
+    """Point-in-time windowed feature join: per transcript turn, the
+    user's event count + value-micros sum STRICTLY before the turn in
+    a 1h lookback — the leakage-safe feature-store primitive."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.windows import pit_window_features
+
+    def add_user(t: pa.Table) -> pa.Table:
+        uid = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
+                      pa.int64())
+        return t.append_column("user_id", uid)
+
+    turns = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "ts"]
+    ).map_batches(add_user, batch_format="pyarrow", zero_copy_batch=True)
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    return pit_window_features(turns, events, window_sec=3600)
+
+
 def _q_collapse_repeats(sf_dir: str):
     """Consecutive-duplicate-token collapse (OCR/ASR stutter cleanup)
     — pure Arrow kernels, list layout rebuilt from kept-count offsets,
@@ -2954,6 +2977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_degree_histogram": _q_dup_degree_hist,
         "source_distinctive_bigrams": _q_distinctive_bigrams,
         "doc_collapse_repeats": _q_collapse_repeats,
+        "turns_pit_features": _q_pit_features,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3127,6 +3151,7 @@ GROUP BY event_type ORDER BY event_type
         "source_distinctive_bigrams":
             textstats.source_distinctive_bigrams_sql(),
         "doc_collapse_repeats": hygiene.collapse_repeat_tokens_sql(),
+        "turns_pit_features": windows.pit_window_features_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

@@ -1416,3 +1416,135 @@ SELECT {key_col},
 FROM {inner} GROUP BY {key_col}
 ORDER BY decayed_millionths DESC, {key_col}
 """.strip()
+
+
+def pit_window_features(turns, events, window_sec: int = 3600,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        n_buckets: int = 64):
+    """POINT-IN-TIME windowed feature join — the feature-store
+    primitive: for every left row (a transcript turn), the same key's
+    event count and value sum over ``[ts-W, ts)`` — STRICTLY before
+    the row's own timestamp, the leakage-safe contract (an event at
+    the turn's exact ts could already be downstream of it).
+
+    ``turns`` needs (conv_id, turn_idx, key, ts); ``events`` needs
+    (key, ts, event_id, value). One unioned cogroup exchange
+    (:func:`joins.cogrouped`); per bucket, per-key prefix counters
+    (count + value-MICROS cumsum — integer, so window sums are exact
+    prefix differences, mirroring SQL integer sums regardless of float
+    summation order) and two strict-backward ``merge_asof`` lookups
+    whose difference is the window aggregate.
+
+    Returns (conv_id, turn_idx, n_events_w, value_micros_w) sorted.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.groups import map_buckets
+    from fluent_server_ray.stages.joins import cogrouped
+
+    w_us = int(window_sec) * 1_000_000
+
+    def prep_l(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "conv_id": pc.cast(t["conv_id"], pa.string()),
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            key_col: pc.cast(t[key_col], pa.int64()),
+            "_us": us,
+        })
+
+    def prep_r(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        v = t["value"].to_numpy(zero_copy_only=False)
+        micros = np.where(np.isnan(v), 0,
+                          np.floor(v * 1_000_000.0)).astype(np.int64)
+        return pa.table({
+            key_col: pc.cast(t[key_col], pa.int64()),
+            "_us": us,
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "_vm": pa.array(micros),
+        })
+
+    lt = turns.map_batches(skip_empty(prep_l), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    rt = events.map_batches(skip_empty(prep_r), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    both, lcols, rcols, _, _ = cogrouped(lt, rt, key_col,
+                                         n_buckets=n_buckets)
+
+    out_schema = pa.schema([
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int64()),
+        pa.field("n_events_w", pa.int64()),
+        pa.field("value_micros_w", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols]
+        rg = (g[g["_side"] == 1][rcols]
+              .sort_values(["_us", "event_id"], kind="mergesort")
+              .reset_index(drop=True))
+        if lg.empty:
+            return pd.DataFrame({f.name: pd.Series(
+                dtype=f.type.to_pandas_dtype()) for f in out_schema
+            }).astype({"conv_id": "object"})
+        rg["_c"] = rg.groupby(key_col, sort=False).cumcount()
+        rg["_cv"] = rg.groupby(key_col, sort=False)["_vm"].cumsum()
+        base = lg.assign(_lo=lg["_us"] - w_us,
+                         _key=np.arange(len(lg)))
+
+        def look(on_col):
+            lo = base.sort_values([on_col, "_key"], kind="mergesort")
+            m = pd.merge_asof(
+                lo, rg[[key_col, "_us", "_c", "_cv"]],
+                left_on=on_col, right_on="_us", by=key_col,
+                direction="backward", allow_exact_matches=False,
+                suffixes=("", "_r"))
+            m = m.set_index("_key")
+            c = np.nan_to_num(m["_c"].to_numpy(), nan=-1.0) + 1.0
+            cv = np.nan_to_num(m["_cv"].to_numpy(), nan=0.0)
+            # _cv of the matched row already includes its own _vm;
+            # no-match -> 0 events seen -> 0 mass
+            order = m.index.to_numpy()
+            return c, cv, order
+
+        c_hi, v_hi, o_hi = look("_us")
+        c_lo, v_lo, o_lo = look("_lo")
+        hi = pd.DataFrame({"c": c_hi, "v": v_hi}, index=o_hi).sort_index()
+        lo = pd.DataFrame({"c": c_lo, "v": v_lo}, index=o_lo).sort_index()
+        return pd.DataFrame({
+            "conv_id": base["conv_id"].to_numpy(dtype=object),
+            "turn_idx": base["turn_idx"].to_numpy(dtype="int64"),
+            "n_events_w": (hi["c"].to_numpy()
+                           - lo["c"].to_numpy()).astype(np.int64),
+            "value_micros_w": (hi["v"].to_numpy()
+                               - lo["v"].to_numpy()).astype(np.int64),
+        })
+
+    out = map_buckets(both, per_bucket, out_schema)
+    return out.sort(["conv_id", "turn_idx"])
+
+
+def pit_window_features_sql(window_sec: int = 3600) -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    w_us = int(window_sec) * 1_000_000
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + f""",
+t AS (
+  SELECT conv_id, turn_idx, ts,
+    CAST(substr(conv_id, 6) AS BIGINT) AS user_id
+  FROM transcripts
+)
+SELECT t.conv_id, t.turn_idx,
+  CAST(count(e.event_id) AS BIGINT) AS n_events_w,
+  CAST(COALESCE(sum(CAST(floor(e.value * 1000000.0) AS BIGINT)), 0)
+       AS BIGINT) AS value_micros_w
+FROM t LEFT JOIN events e ON e.user_id = t.user_id
+  AND epoch_us(e.ts) < epoch_us(t.ts)
+  AND epoch_us(e.ts) >= epoch_us(t.ts) - {w_us}
+GROUP BY t.conv_id, t.turn_idx
+ORDER BY t.conv_id, t.turn_idx"""
+    )

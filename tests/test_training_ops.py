@@ -4178,3 +4178,40 @@ def test_distinctive_bigrams_lift_contrast(ray_session):
     ai = a.set_index("pair")
     assert ai.loc["the cat", "lift_millionths"] == 750_000
     assert ai.loc["the cat", "lift_millionths"] < top.lift_millionths
+
+
+def test_pit_window_features_strict_before(ray_session):
+    """Events AT the turn's ts are excluded (leakage-safe); the
+    window's trailing edge is inclusive; value sums are exact micros."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import pit_window_features
+
+    us = 1_000_000
+
+    def T(sec):
+        return pd.Timestamp(sec * us * 1000, unit="ns")
+
+    turns = pd.DataFrame({
+        "conv_id": ["conv-7", "conv-7", "conv-8"],
+        "turn_idx": np.array([0, 1, 0], dtype=np.int64),
+        "user_id": np.array([7, 7, 8], dtype=np.int64),
+        "ts": [T(100), T(3700), T(50)],
+    })
+    events = pd.DataFrame({
+        "user_id": np.array([7, 7, 7, 8], dtype=np.int64),
+        "event_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "ts": [T(40), T(100), T(3650), T(60)],
+        "value": [1.5, 10.0, 2.25, 9.9],
+    })
+    got = pit_window_features(rd.from_pandas(turns),
+                              rd.from_pandas(events), window_sec=3600,
+                              n_buckets=4).to_pandas()
+    g = got.set_index(["conv_id", "turn_idx"])
+    # turn@100: event@40 in, event@100 EXCLUDED (strict before)
+    assert g.loc[("conv-7", 0)].tolist() == [1, 1_500_000]
+    # turn@3700 window [100, 3700): event@100 in (trailing edge
+    # inclusive), event@3650 in, event@40 out
+    assert g.loc[("conv-7", 1)].tolist() == [2, 12_250_000]
+    # user 8: event@60 after turn@50 -> nothing
+    assert g.loc[("conv-8", 0)].tolist() == [0, 0]
