@@ -2102,6 +2102,15 @@ def _q_dup_degree_hist(sf_dir: str):
         [("degree", "ascending")])
 
 
+def _q_monthly_revenue(sf_dir: str):
+    """Calendar-month revenue seasonality (Arrow temporal kernels ≡
+    date_trunc — the calendar window fixed-width tumbling can't
+    express); exact-cents sums."""
+    from fluent_server_ray.pipelines.relational import monthly_revenue
+
+    return monthly_revenue(sf_dir)
+
+
 def _q_pit_features(sf_dir: str):
     """Point-in-time windowed feature join: per transcript turn, the
     user's event count + value-micros sum STRICTLY before the turn in
@@ -2978,6 +2987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distinctive_bigrams": _q_distinctive_bigrams,
         "doc_collapse_repeats": _q_collapse_repeats,
         "turns_pit_features": _q_pit_features,
+        "lineitem_monthly_revenue": _q_monthly_revenue,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3152,6 +3162,7 @@ GROUP BY event_type ORDER BY event_type
             textstats.source_distinctive_bigrams_sql(),
         "doc_collapse_repeats": hygiene.collapse_repeat_tokens_sql(),
         "turns_pit_features": windows.pit_window_features_sql(),
+        "lineitem_monthly_revenue": rel.monthly_revenue_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

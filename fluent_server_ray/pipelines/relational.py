@@ -1137,3 +1137,53 @@ SELECT '{fk_name}' AS fk,
 FROM {child_t} c LEFT JOIN {parent_t} p ON c.{fk_col} = p.{pk_col}
 """.strip())
     return "\nUNION ALL\n".join(selects) + "\nORDER BY fk"
+
+
+# ------------------------------------------- calendar-month rollup
+
+def monthly_revenue(sf_dir: str) -> pa.Table:
+    """Calendar-MONTH revenue seasonality over lineitem — the
+    calendar-aware window the fixed-width tumbling operators can't
+    express (months are 28-31 days; ``ts // width`` cannot produce
+    them). Buckets come from Arrow's temporal kernels (``pc.year`` /
+    ``pc.month`` — proper calendar math, mirroring SQL date_trunc),
+    revenue rides as the shared exact-cents contract (per-row double
+    expression → round-half-away → int64 sums).
+
+    Returns (month yyyymm, n_items, revenue_cents) sorted by month.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"]
+        ym = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()), 100),
+                    pc.cast(pc.month(d), pa.int64()))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"month": ym, "rev_cents": _cents(rev)})
+
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["month"], aggs=[("rev_cents", "sum"), ("rev_cents", "count")],
+        final="driver")
+    out = pa.table({
+        "month": agg["month"],
+        "n_items": agg["rev_cents_count"],
+        "revenue_cents": agg["rev_cents_sum"],
+    })
+    return out.sort_by([("month", "ascending")])
+
+
+def monthly_revenue_sql() -> str:
+    return """
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+    AS month,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem GROUP BY 1 ORDER BY 1
+""".strip()
