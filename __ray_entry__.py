@@ -2102,6 +2102,17 @@ def _q_dup_degree_hist(sf_dir: str):
         [("degree", "ascending")])
 
 
+def _q_weekly_growth(sf_dir: str):
+    """Week-over-week traffic growth per event type (lag over epoch
+    weeks; gap weeks don't chain); counts combiner-merged, one float
+    division per row = the SQL lag tree."""
+    from fluent_server_ray.stages.windows import weekly_growth
+
+    return weekly_growth(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def _q_monthly_revenue(sf_dir: str):
     """Calendar-month revenue seasonality (Arrow temporal kernels ≡
     date_trunc — the calendar window fixed-width tumbling can't
@@ -2988,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_collapse_repeats": _q_collapse_repeats,
         "turns_pit_features": _q_pit_features,
         "lineitem_monthly_revenue": _q_monthly_revenue,
+        "events_weekly_growth": _q_weekly_growth,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3163,6 +3175,7 @@ GROUP BY event_type ORDER BY event_type
         "doc_collapse_repeats": hygiene.collapse_repeat_tokens_sql(),
         "turns_pit_features": windows.pit_window_features_sql(),
         "lineitem_monthly_revenue": rel.monthly_revenue_sql(),
+        "events_weekly_growth": windows.weekly_growth_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

@@ -1548,3 +1548,75 @@ FROM t LEFT JOIN events e ON e.user_id = t.user_id
 GROUP BY t.conv_id, t.turn_idx
 ORDER BY t.conv_id, t.turn_idx"""
     )
+
+
+def weekly_growth(ds, key_col: str = "event_type", ts_col: str = "ts"):
+    """Week-over-week traffic growth per key: counts per (key, epoch
+    week) plus the percent change vs the key's PREVIOUS calendar week
+    (NULL for a key's first week, and gaps are real gaps — a missing
+    week does not chain) — the trend dashboard row above the raw
+    tumbling counts.
+
+    Counts are combiner partials (bounded: keys × weeks) merged on the
+    driver; the lag and one float division per row happen there, in a
+    fixed expression ``(n - prev)/prev`` mirroring SQL lag(). Week =
+    ``epoch_us // (7·86400·1e6)`` — fixed seven-day buckets anchored
+    at the epoch (SQL mirror identical; no ISO-week locale hazards).
+
+    Returns (key, week, n, pct_change) sorted.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    wk_us = 7 * 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            key_col: pc.cast(t[key_col], pa.string()),
+            "week": pc.divide(us, pa.scalar(wk_us, pa.int64())),
+        })
+
+    cells = grouped_counts(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col, "week"], final="driver")
+    df = pd.DataFrame({
+        key_col: cells[key_col].to_pylist(),
+        "week": cells["week"].to_numpy(zero_copy_only=False).astype(
+            np.int64),
+        "n": cells["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+    }).sort_values([key_col, "week"]).reset_index(drop=True)
+    prev = df.groupby(key_col, sort=False)["n"].shift()
+    prev_week = df.groupby(key_col, sort=False)["week"].shift()
+    contiguous = (df["week"] - prev_week) == 1
+    nf = df["n"].to_numpy().astype(np.float64)
+    pv = prev.to_numpy()
+    pct = np.where(contiguous.to_numpy(), (nf - pv) / pv, np.nan)
+    return pa.table({
+        key_col: pa.array(df[key_col].to_numpy(dtype=object), pa.string()),
+        "week": pa.array(df["week"].to_numpy()),
+        "n": pa.array(df["n"].to_numpy()),
+        "pct_change": pa.array(pct, pa.float64()),
+    })
+
+
+def weekly_growth_sql(key_col: str = "event_type",
+                      table: str = "events") -> str:
+    wk_us = 7 * 86_400_000_000
+    return f"""
+WITH c AS (
+  SELECT {key_col},
+    CAST(epoch_us(ts) // {wk_us} AS BIGINT) AS week,
+    CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2
+)
+SELECT {key_col}, week, n,
+  CASE WHEN week - lag(week) OVER w = 1
+    THEN (CAST(n AS DOUBLE) - CAST(lag(n) OVER w AS DOUBLE))
+         / CAST(lag(n) OVER w AS DOUBLE) END AS pct_change
+FROM c WINDOW w AS (PARTITION BY {key_col} ORDER BY week)
+ORDER BY {key_col}, week
+""".strip()

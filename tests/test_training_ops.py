@@ -4215,3 +4215,21 @@ def test_pit_window_features_strict_before(ray_session):
     assert g.loc[("conv-7", 1)].tolist() == [2, 12_250_000]
     # user 8: event@60 after turn@50 -> nothing
     assert g.loc[("conv-8", 0)].tolist() == [0, 0]
+
+
+def test_weekly_growth_gaps_dont_chain(ray_session):
+    """First week NULL; consecutive weeks get (n-prev)/prev; a gap
+    week breaks the chain (NULL, not growth vs two weeks ago)."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import weekly_growth
+
+    wk_ns = 7 * 86_400_000_000_000
+    rows = ([{"event_type": "a", "ts": pd.Timestamp(0)}] * 4
+            + [{"event_type": "a", "ts": pd.Timestamp(wk_ns)}] * 6
+            + [{"event_type": "a", "ts": pd.Timestamp(3 * wk_ns)}] * 3)
+    got = weekly_growth(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    assert got.n.tolist() == [4, 6, 3]
+    assert pd.isna(got["pct_change"].iloc[0])
+    assert got["pct_change"].iloc[1] == 0.5
+    assert pd.isna(got["pct_change"].iloc[2])   # week 3 after a gap
