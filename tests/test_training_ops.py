@@ -4233,3 +4233,83 @@ def test_weekly_growth_gaps_dont_chain(ray_session):
     assert pd.isna(got["pct_change"].iloc[0])
     assert got["pct_change"].iloc[1] == 0.5
     assert pd.isna(got["pct_change"].iloc[2])   # week 3 after a gap
+
+
+def test_overlap_dupes_randomized_vs_bruteforce(ray_session):
+    """Seeded random corpora: the bucketed inverted-index plan equals
+    a from-scratch brute-force overlap computation — both pair set
+    and exact counts — across 3 draws including heavy repetition."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import overlap_dupes
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> collisions
+        n = 24
+        texts = [" ".join(rng.choice(vocab,
+                                     size=rng.integers(0, 15)))
+                 for _ in range(n)]
+        docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                             "text": texts})
+        tau = 600_000
+        got = overlap_dupes(rd.from_pandas(docs),
+                            min_overlap_millionths=tau).to_pandas()
+        got_set = {(r.doc_a, r.doc_b, r.inter, r.na, r.nb,
+                    r.overlap_millionths)
+                   for r in got.itertuples(index=False)}
+
+        def shingles(t):
+            w = t.split()
+            if len(w) < 3:
+                return set(w)
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        want = set()
+        sh = {i: shingles(t) for i, t in enumerate(texts) if t.strip()}
+        for a in sh:
+            for b in sh:
+                if a >= b:
+                    continue
+                inter = len(sh[a] & sh[b])
+                na, nb = len(sh[a]), len(sh[b])
+                ov = 1_000_000 * inter // min(na, nb)
+                if ov >= tau:
+                    want.add((a, b, inter, na, nb, ov))
+        assert got_set == want, f"seed {seed}"
+
+
+def test_pagerank_randomized_vs_reference(ray_session):
+    """Seeded random weighted digraphs (with dangling nodes and
+    self-loops): the distributed quantized iteration equals the
+    driver reference round for round."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.graph import SCALE, pagerank
+
+    for seed in (3, 4):
+        rng = np.random.default_rng(seed)
+        nodes = [f"n{i}" for i in range(8)]
+        m = 14
+        edges = pd.DataFrame({
+            "src": rng.choice(nodes, size=m),
+            "dst": rng.choice(nodes, size=m),
+            "w": rng.integers(1, 9, size=m).astype(np.int64),
+        })
+        edges = edges.groupby(["src", "dst"], as_index=False).w.sum()
+        got = pagerank(rd.from_pandas(edges), n_iters=3,
+                       n_buckets=4).to_pandas()
+        ns = sorted(set(edges.src) | set(edges.dst))
+        n = len(ns)
+        r = {v: SCALE // n for v in ns}
+        outw = edges.groupby("src").w.sum().to_dict()
+        tele = (SCALE * 150) // (1000 * n)
+        for _ in range(3):
+            inc = {v: 0 for v in ns}
+            for s, d_, w in edges.itertuples(index=False):
+                inc[d_] += (r[s] * int(w)) // outw[s]
+            r = {v: tele + (850 * inc[v]) // 1000 for v in ns}
+        want = pd.DataFrame({"node": ns,
+                             "rank_billionths": [r[v] for v in ns]})
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                      check_dtype=False)
