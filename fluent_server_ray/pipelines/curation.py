@@ -332,3 +332,62 @@ tiered AS (
 )
 {inner}
 """.strip()
+
+
+def export_sft_jsonl(sf_dir: str, out_dir: str):
+    """SFT training-data EXPORT: assemble each conversation into one
+    rendered document with its per-turn loss-mask spans and write
+    newline-delimited JSON shards — the handoff format trainer
+    tokenizers consume directly (document text + [start, end, train]
+    char spans; no re-rendering on the trainer side).
+
+    Shape: the rendered document (:func:`assembly.conv_to_documents`)
+    and the span table (:func:`assembly.sft_loss_spans`) each run
+    their one conv-bucket exchange; spans fold to one list row per
+    conversation inside their own buckets (map_groups — no extra
+    exchange) and meet the documents in a single bucketed hash join.
+    Ray's ``write_json`` streams one JSONL shard per block. Returns
+    (out_dir, n_docs).
+    """
+    import pyarrow as pa
+
+    from fluent_server_ray.sources.transcripts import read_transcripts
+    from fluent_server_ray.stages.assembly import (conv_to_documents,
+                                                   sft_loss_spans)
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+    from fluent_server_ray.stages.parse import apply_parse
+
+    turns = apply_parse(read_transcripts(sf_dir)).materialize()
+    docs = conv_to_documents(turns)
+    spans = sft_loss_spans(turns)
+
+    def fold(g) -> "pa.Table":
+        g = g.sort_values(["conv_id", "turn_idx"])
+        out = []
+        for conv_id, gg in g.groupby("conv_id", sort=False):
+            out.append({
+                "conv_id": conv_id,
+                "spans": [
+                    {"turn_idx": int(r.turn_idx),
+                     "start": int(r.start_off), "end": int(r.end_off),
+                     "train": bool(r.trainable)}
+                    for r in gg.itertuples(index=False)
+                ],
+            })
+        return pa.Table.from_pylist(out)
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    folded = (_with_bucket(spans, "conv_id", 64)
+              .groupby("_bucket")
+              .map_groups(fold, batch_format="pandas"))
+    joined = bucketed_hash_join(docs, folded, key="conv_id")
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t["conv_id"],
+                         "text": t["doc_text"],
+                         "spans": t["spans"]})
+
+    out = joined.map_batches(rn, batch_format="pyarrow")
+    out.write_json(out_dir)
+    return out_dir, docs.count()

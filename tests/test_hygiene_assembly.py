@@ -1149,3 +1149,35 @@ def test_collapse_repeat_tokens_edges(ray_session):
     assert got.text.tolist() == ["the cat sat", "sat", "sat", "", ""]
     assert got.n_before.tolist() == [6, 1, 2, 0, 0]
     assert got.n_after.tolist() == [3, 1, 1, 0, 0]
+
+
+def test_export_sft_jsonl_round_trip(ray_session, tmp_path):
+    """End-to-end SFT export: JSONL shards read back with plain
+    pandas; every span's [start, end) slice of the document equals
+    the rendered 'role: text' line, and train flags mark assistant
+    turns only."""
+    import glob
+    import json
+
+    import pandas as pd
+
+    from fluent_server_ray.pipelines.curation import export_sft_jsonl
+    from tests.conftest import SF_SMALL
+
+    out, n = export_sft_jsonl(SF_SMALL, str(tmp_path / "sft"))
+    rows = []
+    for f in glob.glob(f"{out}/*.json"):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert len(rows) == n > 0
+    seen_train = seen_masked = 0
+    for r in rows[:50]:
+        assert r["text"] and r["spans"]
+        for sp in r["spans"]:
+            seg = r["text"][sp["start"]:sp["end"]]
+            assert "\n" not in seg and seg == seg.strip("\n")
+            role = seg.split(": ", 1)[0]
+            assert (role == "assistant") == sp["train"]
+            seen_train += sp["train"]
+            seen_masked += not sp["train"]
+    assert seen_train and seen_masked
