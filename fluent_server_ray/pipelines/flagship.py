@@ -455,3 +455,109 @@ def _stub_fsspec_http() -> None:
 
     mod.HTTPFileSystem = HTTPFileSystem
     sys.modules[name] = mod
+
+
+# --------------------------------------- right-to-be-forgotten delete
+
+def delete_convs(out_dir: str, conv_ids) -> dict:
+    """GDPR / right-to-be-forgotten DELETE over a committed run:
+    remove every row of the given conversations from the persisted
+    sinks and reconcile the lineage counts — the retention tool a log
+    pipeline owes its users (the reference can only drop future
+    traffic; committed history needs surgery).
+
+    Partition-selective and idempotent: with a ``conv_buckets=N``
+    layout only the tombstones' ``cbucket`` directories are read at
+    all; within candidates, a file containing NO tombstoned row is
+    left byte-untouched (re-running with the same tombstones rewrites
+    nothing). Rewrites go through write-temp + atomic rename — a crash
+    mid-delete leaves every file either old or fully scrubbed, and the
+    run can simply be repeated. Each affected shard's lineage record
+    is re-committed with adjusted counts plus a ``deletes_applied``
+    audit counter, so ``summarize_manifests`` stays truthful.
+
+    Returns {files_scanned, files_rewritten, rows_deleted, per_sink}.
+    """
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import hash_bucket_array
+    from fluent_server_ray.state.lineage import commit_shard, load_manifests
+
+    ids = sorted({str(c) for c in conv_ids})
+    if not ids:
+        return {"files_scanned": 0, "files_rewritten": 0,
+                "rows_deleted": 0, "per_sink": {}}
+    manifests = load_manifests(out_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed run under {out_dir!r}")
+    conv_buckets = manifests[0].get("conv_buckets")
+
+    files = sorted(_glob.glob(
+        os.path.join(out_dir, "sinks", "*", "sink=*", "**", "*.parquet"),
+        recursive=True))
+    if conv_buckets:
+        hit = {int(b) for b in
+               hash_bucket_array(pa.array(ids, pa.string()), conv_buckets)}
+        files = [f for f in files
+                 if any(f"cbucket={b}/" in f or f"cbucket={b}{os.sep}" in f
+                        for b in hit)]
+
+    ids_arr = pa.array(ids, pa.string())
+
+    @ray.remote
+    def scrub(path: str, tomb: pa.Array) -> tuple:
+        import os as _os
+
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pqq
+
+        t = _pqq.read_table(path)
+        mask = _pc.is_in(t["conv_id"], value_set=tomb)
+        n = _pc.sum(_pc.cast(mask, pa.int64())).as_py() or 0
+        if n == 0:
+            return path, 0
+        kept = t.filter(_pc.invert(mask))
+        tmp = path + ".tmpdel"
+        _pqq.write_table(kept, tmp)
+        _os.replace(tmp, path)
+        return path, int(n)
+
+    results = ray.get([scrub.remote(f, ids_arr) for f in files])
+
+    rows_deleted = 0
+    per_sink: dict[str, int] = {}
+    per_shard: dict[str, dict[str, int]] = {}
+    for path, n in results:
+        if not n:
+            continue
+        rows_deleted += n
+        rel = os.path.relpath(path, os.path.join(out_dir, "sinks"))
+        parts = rel.split(os.sep)
+        shard = parts[0].split("=", 1)[1]
+        sink = parts[1].split("=", 1)[1]
+        per_sink[sink] = per_sink.get(sink, 0) + n
+        per_shard.setdefault(shard, {})[sink] = (
+            per_shard.get(shard, {}).get(sink, 0) + n)
+
+    for m in manifests:
+        sid = m["shard_id"]
+        if sid not in per_shard:
+            continue
+        deltas = per_shard[sid]
+        counts = dict(m.get("per_sink_counts", {}))
+        for s, d in deltas.items():
+            counts[s] = counts.get(s, 0) - d
+        rec = {k: v for k, v in m.items() if k != "shard_id"}
+        rec["per_sink_counts"] = counts
+        rec["row_count"] = m["row_count"] - sum(deltas.values())
+        rec["deletes_applied"] = (m.get("deletes_applied", 0)
+                                  + sum(deltas.values()))
+        commit_shard(out_dir, sid, rec)
+
+    return {"files_scanned": len(files),
+            "files_rewritten": sum(1 for _, n in results if n),
+            "rows_deleted": rows_deleted, "per_sink": per_sink}

@@ -141,3 +141,59 @@ def test_sigkill_resume_under_bucketed_layout(ray_session, synth_dir, tmp_path):
                       ignore_index=True)
     keys = sinks[sinks["conv_id"].notna()][["conv_id", "turn_idx"]]
     assert not keys.duplicated().any(), "duplicates after crash-resume"
+
+
+def test_delete_convs_flat_and_bucketed(ray_session, tmp_path):
+    """Right-to-be-forgotten: tombstoned conversations vanish from
+    every sink, lineage counts reconcile, a repeat delete rewrites
+    nothing, and in a bucketed layout untouched cbucket files keep
+    their bytes."""
+    import glob
+    import os
+
+    from fluent_server_ray.pipelines.flagship import (
+        delete_convs,
+        run_pipeline,
+    )
+    from fluent_server_ray.pipelines.mirror_view import read_sink
+    from fluent_server_ray.state.lineage import load_manifests
+
+    sf = "/root/testdata/sf0.001"
+    for buckets in (None, 8):
+        out = str(tmp_path / f"run_{buckets}")
+        s = run_pipeline(sf, out, conv_buckets=buckets)
+        victims = ["conv-1", "conv-7"]
+        before = {
+            snk: read_sink(out, snk, ordered=False).to_pandas()
+            for snk in s["sinks"]
+        }
+        n_victim = sum((df.conv_id.isin(victims)).sum()
+                       for df in before.values())
+        assert n_victim > 0
+        if buckets:
+            mtimes = {f: os.path.getmtime(f) for f in glob.glob(
+                f"{out}/sinks/**/*.parquet", recursive=True)}
+        rep = delete_convs(out, victims)
+        assert rep["rows_deleted"] == n_victim
+        total_after = 0
+        for snk in s["sinks"]:
+            df = read_sink(out, snk, ordered=False).to_pandas()
+            assert not df.conv_id.isin(victims).any()
+            total_after += len(df)
+        assert total_after == s["rows"] - n_victim
+        m = load_manifests(out)[0]
+        assert m["row_count"] == s["rows"] - n_victim
+        assert m["deletes_applied"] == n_victim
+        assert sum(m["per_sink_counts"].values()) == total_after
+        if buckets:
+            # partition-selective: candidate set pruned to the
+            # victims' cbuckets; within those only matching files moved
+            untouched = [f for f, t in mtimes.items()
+                         if os.path.getmtime(f) == t]
+            assert len(untouched) >= 1
+            assert rep["files_scanned"] < len(mtimes)
+        rep2 = delete_convs(out, victims)   # idempotent
+        assert rep2["rows_deleted"] == 0 and rep2["files_rewritten"] == 0
+        # resume after surgery stays a no-op
+        s2 = run_pipeline(sf, out, conv_buckets=buckets)
+        assert s2["rows"] == s["rows"] - n_victim
