@@ -93,6 +93,22 @@ def main(argv=None) -> int:
     idx.add_argument("--id-col", default="doc_id")
     idx.add_argument("--text-col", default="text")
 
+    dele = sub.add_parser(
+        "delete",
+        help="right-to-be-forgotten: scrub conversations from a "
+             "committed run's sinks and reconcile lineage counts",
+    )
+    dele.add_argument("--out", required=True, help="run output dir")
+    dele.add_argument("--conv", required=True, nargs="+",
+                      help="conversation ids to remove")
+
+    sft = sub.add_parser(
+        "export-sft",
+        help="write SFT JSONL shards (document text + loss-mask spans)",
+    )
+    sft.add_argument("--input", required=True)
+    sft.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     routes = None
@@ -189,6 +205,20 @@ def main(argv=None) -> int:
             )
             print(json.dumps({"rows": n_rows, "files_before": n_before,
                               "files_after": n_after}))
+        ray.shutdown()
+    elif args.cmd == "delete":
+        ray = _ray_up()
+        from fluent_server_ray.pipelines.flagship import delete_convs
+
+        print(json.dumps(delete_convs(args.out, args.conv),
+                         sort_keys=True))
+        ray.shutdown()
+    elif args.cmd == "export-sft":
+        ray = _ray_up()
+        from fluent_server_ray.pipelines.curation import export_sft_jsonl
+
+        out, n = export_sft_jsonl(args.input, args.out)
+        print(json.dumps({"out": out, "docs": n}))
         ray.shutdown()
     elif args.cmd == "udp-echo":
         import time
