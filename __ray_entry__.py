@@ -2102,6 +2102,16 @@ def _q_dup_degree_hist(sf_dir: str):
         [("degree", "ascending")])
 
 
+def _q_dow_profile(sf_dir: str):
+    """Day-of-week × hour traffic heatmap per event type (ISO weekday
+    ≡ isodow; bounded cell space, combiner counts)."""
+    from fluent_server_ray.stages.windows import dow_hour_profile
+
+    return dow_hour_profile(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def _q_weekly_growth(sf_dir: str):
     """Week-over-week traffic growth per event type (lag over epoch
     weeks; gap weeks don't chain); counts combiner-merged, one float
@@ -3000,6 +3010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_pit_features": _q_pit_features,
         "lineitem_monthly_revenue": _q_monthly_revenue,
         "events_weekly_growth": _q_weekly_growth,
+        "events_dow_hour_profile": _q_dow_profile,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3176,6 +3187,7 @@ GROUP BY event_type ORDER BY event_type
         "turns_pit_features": windows.pit_window_features_sql(),
         "lineitem_monthly_revenue": rel.monthly_revenue_sql(),
         "events_weekly_growth": windows.weekly_growth_sql(),
+        "events_dow_hour_profile": windows.dow_hour_profile_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

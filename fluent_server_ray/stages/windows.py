@@ -1620,3 +1620,44 @@ SELECT {key_col}, week, n,
 FROM c WINDOW w AS (PARTITION BY {key_col} ORDER BY week)
 ORDER BY {key_col}, week
 """.strip()
+
+
+def dow_hour_profile(ds, key_col: str = "event_type", ts_col: str = "ts"):
+    """Day-of-week × hour traffic profile per key — the weekly-rhythm
+    heatmap behind capacity planning and anomaly baselines ("is Monday
+    09:00 supposed to look like this?"). ISO weekday (Mon=1..Sun=7,
+    Arrow ``day_of_week(count_from_zero=False, week_start=1)`` ≡ SQL
+    ``isodow``) and UTC hour; plain combiner-first grouped counts over
+    the bounded (key × 7 × 24) cell space.
+
+    Returns (key, dow, hour, n) sorted.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col], pa.timestamp("us"))
+        return pa.table({
+            key_col: pc.cast(t[key_col], pa.string()),
+            "dow": pc.cast(pc.day_of_week(ts, count_from_zero=False,
+                                          week_start=1), pa.int64()),
+            "hour": pc.cast(pc.hour(ts), pa.int64()),
+        })
+
+    out = grouped_counts(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col, "dow", "hour"], final="driver")
+    return out.sort_by([(key_col, "ascending"), ("dow", "ascending"),
+                        ("hour", "ascending")])
+
+
+def dow_hour_profile_sql(key_col: str = "event_type",
+                         table: str = "events") -> str:
+    return f"""
+SELECT {key_col}, CAST(isodow(ts) AS BIGINT) AS dow,
+  CAST(hour(ts) AS BIGINT) AS hour,
+  CAST(count(*) AS BIGINT) AS n
+FROM {table} GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""".strip()
