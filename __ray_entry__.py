@@ -2102,6 +2102,65 @@ def _q_dup_degree_hist(sf_dir: str):
         [("degree", "ascending")])
 
 
+def _q_dup_cluster_examples(sf_dir: str):
+    """Dup-cluster AUDIT view: per near-dup component, its size and
+    the smallest non-keeper member — the spot-check table a curator
+    eyeballs before trusting a dedup rule."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.dedup import (ngram_jaccard_dupes,
+                                                pair_components)
+
+    comp = pair_components(ngram_jaccard_dupes(_docs(sf_dir),
+                                               threshold=0.8))
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        c = pc.cast(t["component"], pa.int64())
+        non_keeper = pc.if_else(pc.greater(d, c), d,
+                                pa.scalar(None, pa.int64()))
+        return pa.table({"cluster_id": c, "m": d, "nk": non_keeper})
+
+    agg = grouped_agg(
+        comp.map_batches(skip_empty(prep), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        keys=["cluster_id"], aggs=[("m", "count"), ("nk", "min")],
+        final="ray")
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": t["cluster_id"],
+            "size": pc.cast(t["m_count"], pa.int64()),
+            "example_dup": pc.cast(t["nk_min"], pa.int64()),
+        })
+
+    return (agg.map_batches(rn, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort(["cluster_id"]))
+
+
+def _dup_cluster_examples_sql() -> str:
+    from fluent_server_ray.stages import dedup
+
+    base = dedup.pair_components_sql(
+        dedup.ngram_jaccard_dupes_sql(threshold=0.8))
+    marker = "SELECT node AS doc_id, min(lbl) AS component FROM reach"
+    idx = base.index(marker)
+    prefix = base[:idx].rstrip()
+    assert prefix.endswith(")"), "components-SQL shape changed"
+    return f"""{prefix},
+comp AS (
+  SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+)
+SELECT component AS cluster_id,
+  CAST(count(*) AS BIGINT) AS size,
+  CAST(min(doc_id) FILTER (WHERE doc_id > component) AS BIGINT)
+    AS example_dup
+FROM comp GROUP BY component ORDER BY cluster_id"""
+
+
 def _q_dow_profile(sf_dir: str):
     """Day-of-week × hour traffic heatmap per event type (ISO weekday
     ≡ isodow; bounded cell space, combiner counts)."""
@@ -3011,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_monthly_revenue": _q_monthly_revenue,
         "events_weekly_growth": _q_weekly_growth,
         "events_dow_hour_profile": _q_dow_profile,
+        "dup_cluster_examples": _q_dup_cluster_examples,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3188,6 +3248,7 @@ GROUP BY event_type ORDER BY event_type
         "lineitem_monthly_revenue": rel.monthly_revenue_sql(),
         "events_weekly_growth": windows.weekly_growth_sql(),
         "events_dow_hour_profile": windows.dow_hour_profile_sql(),
+        "dup_cluster_examples": _dup_cluster_examples_sql(),
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),
