@@ -561,3 +561,98 @@ def delete_convs(out_dir: str, conv_ids) -> dict:
     return {"files_scanned": len(files),
             "files_rewritten": sum(1 for _, n in results if n),
             "rows_deleted": rows_deleted, "per_sink": per_sink}
+
+
+# ----------------------------------------------- small-file compaction
+
+def compact_run(out_dir: str, min_files: int = 2) -> dict:
+    """Small-file COMPACTION of a committed run: every sink leaf
+    directory (``shard=*/sink=*[/cbucket=*]``) holding ``min_files``
+    or more parquet files is rewritten as ONE file — the steady-state
+    maintenance a long-lived resumable layout needs (every resume and
+    every delete pass can leave small files; downstream readers pay
+    per-file open costs).
+
+    Swap protocol (crash-safe with :func:`repair_compaction`): the
+    compacted file is written to ``<dir>.compacting/``, then
+    ``dir → dir.old``, ``dir.compacting → dir``, ``rm -rf dir.old``.
+    A crash at any point leaves a state ``repair_compaction`` can
+    roll forward or back; row content is verified equal by count
+    before the old directory is dropped. Lineage is untouched —
+    compaction changes layout, never rows.
+
+    Returns {dirs_scanned, dirs_compacted, files_before, files_after}.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    leaf_dirs = sorted({os.path.dirname(f) for f in _glob.glob(
+        os.path.join(out_dir, "sinks", "*", "sink=*", "**", "*.parquet"),
+        recursive=True)})
+
+    @ray.remote
+    def compact(d: str) -> tuple:
+        import glob as _g
+        import os as _os
+        import shutil as _sh
+
+        import pyarrow.parquet as _pqq
+
+        files = sorted(_g.glob(_os.path.join(d, "*.parquet")))
+        if len(files) < min_files:
+            return d, len(files), len(files), False
+        t = _pqq.read_table(files)
+        tmpdir = d + ".compacting"
+        _sh.rmtree(tmpdir, ignore_errors=True)
+        _os.makedirs(tmpdir)
+        _pqq.write_table(t, _os.path.join(tmpdir, "compacted-0.parquet"))
+        # row-count invariant before any destructive step
+        n_new = _pqq.read_metadata(
+            _os.path.join(tmpdir, "compacted-0.parquet")).num_rows
+        if n_new != t.num_rows:
+            raise RuntimeError(f"compaction row mismatch under {d}")
+        old = d + ".old"
+        _sh.rmtree(old, ignore_errors=True)
+        _os.rename(d, old)
+        _os.rename(tmpdir, d)
+        _sh.rmtree(old)
+        return d, len(files), 1, True
+
+    results = ray.get([compact.remote(d) for d in leaf_dirs])
+    return {
+        "dirs_scanned": len(leaf_dirs),
+        "dirs_compacted": sum(1 for *_, done in results if done),
+        "files_before": sum(b for _, b, _, _ in results),
+        "files_after": sum(a for _, _, a, _ in results),
+    }
+
+
+def repair_compaction(out_dir: str) -> dict:
+    """Roll a crashed :func:`compact_run` forward: a missing leaf dir
+    with a completed ``.compacting`` sibling is swapped in; stray
+    ``.old`` / ``.compacting`` remnants next to a live dir are
+    removed. Idempotent; safe to run before every read."""
+    import glob as _glob
+    import shutil as _sh
+
+    fixed = 0
+    for tmp in _glob.glob(os.path.join(out_dir, "sinks", "**",
+                                       "*.compacting"), recursive=True):
+        live = tmp[: -len(".compacting")]
+        if not os.path.isdir(live) and _glob.glob(
+                os.path.join(tmp, "*.parquet")):
+            os.rename(tmp, live)   # roll forward
+            fixed += 1
+        else:
+            _sh.rmtree(tmp, ignore_errors=True)
+    for old in _glob.glob(os.path.join(out_dir, "sinks", "**", "*.old"),
+                          recursive=True):
+        live = old[: -len(".old")]
+        if os.path.isdir(live):
+            _sh.rmtree(old, ignore_errors=True)   # swap completed
+        else:
+            os.rename(old, live)   # roll back (compacted dir lost)
+            fixed += 1
+    return {"repaired": fixed}

@@ -197,3 +197,52 @@ def test_delete_convs_flat_and_bucketed(ray_session, tmp_path):
         # resume after surgery stays a no-op
         s2 = run_pipeline(sf, out, conv_buckets=buckets)
         assert s2["rows"] == s["rows"] - n_victim
+
+
+def test_compact_run_and_repair(ray_session, tmp_path):
+    """Multi-file sink dirs compact to one file with identical rows;
+    a simulated crash mid-swap rolls forward via repair_compaction."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from fluent_server_ray.pipelines.flagship import (
+        compact_run,
+        repair_compaction,
+        run_pipeline,
+    )
+    from fluent_server_ray.pipelines.mirror_view import read_sink
+
+    out = str(tmp_path / "run")
+    s = run_pipeline("/root/testdata/sf0.001", out)
+    # fabricate small files: split one sink's single file into three
+    d = os.path.dirname(sorted(glob.glob(
+        f"{out}/sinks/*/sink=catchall/*.parquet"))[0])
+    t = pq.read_table(sorted(glob.glob(f"{d}/*.parquet")))
+    for f in glob.glob(f"{d}/*.parquet"):
+        os.remove(f)
+    n = t.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n)]):
+        pq.write_table(t.slice(lo, hi - lo), f"{d}/part-{i}.parquet")
+    before = read_sink(out, "catchall", ordered=True).to_pandas()
+
+    rep = compact_run(out)
+    assert rep["dirs_compacted"] == 1
+    assert len(glob.glob(f"{d}/*.parquet")) == 1
+    after = read_sink(out, "catchall", ordered=True).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before.reset_index(drop=True),
+                                  after.reset_index(drop=True))
+    # crash simulation: live dir renamed away, .compacting completed
+    shutil.copytree(d, d + ".compacting")
+    shutil.move(d, d + ".gone")
+    assert repair_compaction(out)["repaired"] == 1
+    assert sorted(glob.glob(f"{d}/*.parquet"))
+    shutil.rmtree(d + ".gone")
+    # counts survive the whole ordeal
+    final = read_sink(out, "catchall", ordered=True).to_pandas()
+    assert len(final) == s["sinks"]["catchall"]
