@@ -4313,3 +4313,43 @@ def test_pagerank_randomized_vs_reference(ray_session):
                              "rank_billionths": [r[v] for v in ns]})
         pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
                                       check_dtype=False)
+
+
+def test_quarantined_map_isolates_poison_rows(ray_session):
+    """A transform that raises on specific rows: clean rows still
+    produce output, exactly the poison rows land in quarantine with
+    the error string, order-independent; a fully-clean corpus pays
+    only a null column."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.robust import (
+        good_rows,
+        quarantined_map,
+        quarantined_rows,
+    )
+
+    n = 100
+    poison = {13, 14, 77}
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": ["x" * (i % 7 + 1) for i in range(n)]})
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if any(int(i) in poison for i in ids):
+            raise ValueError("poison payload")
+        import pyarrow.compute as pc
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_chars": pc.cast(pc.utf8_length(t["text"]),
+                                            pa.int64())})
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+    tagged = quarantined_map(rd.from_pandas(df), fn, schema,
+                             id_col="doc_id").materialize()
+    good = good_rows(tagged).to_pandas()
+    bad = quarantined_rows(tagged, "doc_id").to_pandas()
+    assert set(bad.doc_id) == poison
+    assert bad._err.str.contains("ValueError: poison payload").all()
+    assert set(good.doc_id) == set(range(n)) - poison
+    want = {i: (i % 7 + 1) for i in range(n) if i not in poison}
+    assert dict(zip(good.doc_id, good.n_chars)) == want
