@@ -2102,6 +2102,27 @@ def _q_dup_degree_hist(sf_dir: str):
         [("degree", "ascending")])
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_user_event_melt(sf_dir: str):
+    """melt(pivot(x)) reshape round trip: the wide per-user feature
+    matrix unpivoted back to long — declared-width contract means
+    zero-count cells surface as explicit 0 rows (mirrored by the
+    cross-join oracle)."""
+    from fluent_server_ray.stages.features import pivot_counts
+    from fluent_server_ray.stages.fields import melt
+
+    wide = pivot_counts(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"]),
+        key_col="user_id", pivot_col="event_type", values=_EVENT_TYPES,
+        final="ray")
+    long = melt(wide, id_cols=("user_id",),
+                value_cols=tuple(f"n_{v}" for v in _EVENT_TYPES))
+    return long.sort(["user_id", "variable"])
+
+
 def _q_dup_cluster_examples(sf_dir: str):
     """Dup-cluster AUDIT view: per near-dup component, its size and
     the smallest non-keeper member — the spot-check table a curator
@@ -3071,6 +3092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly_growth": _q_weekly_growth,
         "events_dow_hour_profile": _q_dow_profile,
         "dup_cluster_examples": _q_dup_cluster_examples,
+        "user_event_melt": _q_user_event_melt,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3249,6 +3271,19 @@ GROUP BY event_type ORDER BY event_type
         "events_weekly_growth": windows.weekly_growth_sql(),
         "events_dow_hour_profile": windows.dow_hour_profile_sql(),
         "dup_cluster_examples": _dup_cluster_examples_sql(),
+        "user_event_melt": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v(variable, et) AS (VALUES """ + ", ".join(
+            f"('n_{t}', '{t}')" for t in _EVENT_TYPES) + """),
+c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT u.user_id, v.variable,
+  CAST(COALESCE(c.n, 0) AS BIGINT) AS value
+FROM u CROSS JOIN v
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = v.et
+ORDER BY u.user_id, v.variable""",
         "dedup_replayed_turns": rel.dedup_replayed_turns_sql(),
         "anti_join_customers": rel.customers_without_orders_sql(),
         "anti_join_customers_bloom": rel.customers_without_orders_sql(),

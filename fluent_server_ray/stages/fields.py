@@ -306,3 +306,33 @@ SELECT {group_col},
   min(k) AS k_min, max(k) AS k_max, CAST(sum(k) AS BIGINT) AS k_sum
 FROM x GROUP BY {group_col} ORDER BY {group_col}
 """.strip()
+
+
+# ------------------------------------------------ reshape: melt
+
+def melt(ds, id_cols: tuple[str, ...], value_cols: tuple[str, ...],
+         var_name: str = "variable", value_name: str = "value",
+         value_type: pa.DataType | None = None):
+    """UNPIVOT / melt: wide → long, the reshape inverse of
+    :func:`features.pivot_counts` (a feature matrix goes wide for
+    model consumption and back to long for storage/aggregation —
+    both directions belong in the engine).
+
+    Pure per-batch Arrow concat (one slice per value column, no
+    Python row loop, no shuffle); all value columns cast to one
+    declared ``value_type`` (default: the first value column's type),
+    mirroring SQL UNPIVOT's single value column.
+    """
+    value_type = value_type
+
+    def fn(t: pa.Table) -> pa.Table:
+        vt = value_type or t.schema.field(value_cols[0]).type
+        parts = []
+        for vc in value_cols:
+            cols = {c: t[c] for c in id_cols}
+            cols[var_name] = pa.array([vc] * t.num_rows, pa.string())
+            cols[value_name] = pc.cast(t[vc], vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
