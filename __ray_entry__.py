@@ -2105,6 +2105,15 @@ def _q_dup_degree_hist(sf_dir: str):
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def _q_kcenter(sf_dir: str):
+    """Greedy k-center (farthest-point) diverse selection — iterative
+    (k rounds, newest center broadcast each round; rows-only like the
+    other iterative fits, pinned by a brute-force pytest)."""
+    from fluent_server_ray.stages.similarity import kcenter_sample
+
+    return kcenter_sample(_embs(sf_dir), k=16)
+
+
 def _q_user_event_melt(sf_dir: str):
     """melt(pivot(x)) reshape round trip: the wide per-user feature
     matrix unpivoted back to long — declared-width contract means
@@ -3093,6 +3102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour_profile": _q_dow_profile,
         "dup_cluster_examples": _q_dup_cluster_examples,
         "user_event_melt": _q_user_event_melt,
+        "embedding_kcenter_sample": _q_kcenter,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,

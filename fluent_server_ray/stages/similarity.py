@@ -1412,3 +1412,108 @@ SELECT * FROM (
 ) WHERE sim_millionths >= {min_sim_millionths}
 ORDER BY doc_a, doc_b
 """.strip()
+
+
+def kcenter_sample(ds, k: int = 16, emb_col: str = "embedding",
+                   id_col: str = "vec_id"):
+    """Greedy k-CENTER selection (farthest-point sampling) — the
+    classic coverage-maximizing subset rule behind dataset
+    distillation / diverse seed-set picking (Sener & Savarese 2018's
+    coreset baseline): start from the min-id vector, then repeatedly
+    take the point FARTHEST from everything selected so far (squared
+    L2; ties by min id — fully deterministic, no RNG).
+
+    Iterative by nature (k rounds; no SQL form — pinned by a
+    brute-force pytest like kmeans/PCA): each round broadcasts only
+    the NEWEST center, every block updates a carried running
+    min-distance column in one vectorized pass, and a per-block top-1
+    combiner reduces to an O(blocks) driver argmax. The corpus stays
+    in the object store; driver state is k ids.
+
+    Returns a pyarrow Table (sel_idx, vec_id, dist2) where ``dist2``
+    is the point's distance² to the previously selected set at the
+    moment of selection (sel_idx 0 = seed, dist2 0).
+    """
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    ds = ds.materialize()
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({"i": pa.array([int(ids.min())], pa.int64())})
+
+    parts = list(ds.map_batches(skip_empty(seed_partial),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"sel_idx": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "dist2": pa.array([], pa.float64())})
+    seed = min(int(p["i"].to_numpy().min()) for p in parts)
+
+    def fetch_vec(target: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            hit = ids == target
+            if not hit.any():
+                return pa.table({"v": pa.array([], pa.list_(pa.float64()))})
+            m = _batch_matrix(t, emb_col)[hit][:1]
+            return pa.table({"v": pa.array([m[0].tolist()],
+                                           pa.list_(pa.float64()))})
+        tabs = list(ds.map_batches(skip_empty(f), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                    .iter_batches(batch_size=None, batch_format="pyarrow"))
+        for p in tabs:
+            if p.num_rows:
+                return np.asarray(p["v"][0].as_py(), dtype=np.float64)
+        raise KeyError(target)
+
+    import ray as _ray
+
+    selected = [(0, seed, 0.0)]
+    cur = ds
+    center_ref = _ray.put(fetch_vec(seed))
+
+    for round_i in range(1, min(k, cur.count())):
+        def update(t: pa.Table, _c=center_ref) -> pa.Table:
+            c = _ray.get(_c)
+            m = _batch_matrix(t, emb_col)
+            d2 = ((m - c[None, :]) ** 2).sum(axis=1)
+            if "_mind" in t.column_names:
+                prev = t["_mind"].to_numpy(zero_copy_only=False)
+                d2 = np.minimum(prev, d2)
+                t = t.drop_columns(["_mind"])
+            return t.append_column("_mind", pa.array(d2, pa.float64()))
+
+        cur = cur.map_batches(update, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+        def top1(t: pa.Table) -> pa.Table:
+            d = t["_mind"].to_numpy(zero_copy_only=False)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            # farthest; ties -> min id (argmax picks first of the max
+            # run only after a stable id sort)
+            order = np.lexsort((ids, -d))
+            j = order[0]
+            return pa.table({"i": pa.array([int(ids[j])], pa.int64()),
+                             "d": pa.array([float(d[j])], pa.float64())})
+
+        tops = pa.concat_tables(
+            cur.map_batches(skip_empty(top1), batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        di = tops["d"].to_numpy(zero_copy_only=False)
+        ii = tops["i"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ii, -di))[0]
+        nid, nd = int(ii[o]), float(di[o])
+        selected.append((round_i, nid, nd))
+        center_ref = _ray.put(fetch_vec(nid))
+
+    return pa.table({
+        "sel_idx": pa.array([s[0] for s in selected], pa.int64()),
+        id_col: pa.array([s[1] for s in selected], pa.int64()),
+        "dist2": pa.array([s[2] for s in selected], pa.float64()),
+    })

@@ -4353,3 +4353,33 @@ def test_quarantined_map_isolates_poison_rows(ray_session):
     assert set(good.doc_id) == set(range(n)) - poison
     want = {i: (i % 7 + 1) for i in range(n) if i not in poison}
     assert dict(zip(good.doc_id, good.n_chars)) == want
+
+
+def test_kcenter_sample_vs_bruteforce(ray_session):
+    """Distributed farthest-point equals a from-scratch numpy greedy
+    on a seeded random corpus: same ids in the same order, same
+    selection distances; coverage radius shrinks monotonically."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.similarity import kcenter_sample
+
+    rng = np.random.default_rng(9)
+    n, d, k = 60, 8, 7
+    m = rng.normal(size=(n, d))
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [row.tolist() for row in m]})
+    got = kcenter_sample(rd.from_pandas(df), k=k).to_pandas()
+
+    sel = [0]                      # min id = index 0
+    mind = ((m - m[0]) ** 2).sum(axis=1)
+    want = [(0, 100, 0.0)]
+    for r in range(1, k):
+        far = np.lexsort((ids, -mind))[0]
+        want.append((r, int(ids[far]), float(mind[far])))
+        mind = np.minimum(mind, ((m - m[far]) ** 2).sum(axis=1))
+        sel.append(far)
+    want_df = pd.DataFrame(want, columns=["sel_idx", "vec_id", "dist2"])
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+    d2 = got.dist2.to_numpy()[1:]
+    assert (np.diff(d2) <= 1e-12).all()   # greedy radii non-increasing
