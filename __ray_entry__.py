@@ -2105,6 +2105,31 @@ def _q_dup_degree_hist(sf_dir: str):
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def _q_tool_mode(sf_dir: str):
+    """Per-sink dominant tool (grouped MODE, ties by tool) over the
+    flagship route — combiner counts + one argmax per group."""
+    from fluent_server_ray.stages.aggregate import grouped_mode
+
+    routed = build_routed(sf_dir, columns=["sink", "tool"])
+
+    def non_null(t):
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.is_valid(t["tool"]))
+
+    return grouped_mode(
+        routed.map_batches(non_null, batch_format="pyarrow",
+                           zero_copy_batch=True), "sink", "tool")
+
+
+def _q_ttr(sf_dir: str):
+    """Per-doc type-token ratio signals (lexical diversity gate):
+    distinct vs total tokens, integers only, pure map."""
+    from fluent_server_ray.stages.textstats import type_token_ratio
+
+    return type_token_ratio(_docs(sf_dir))
+
+
 def _q_kcenter(sf_dir: str):
     """Greedy k-center (farthest-point) diverse selection — iterative
     (k rounds, newest center broadcast each round; rows-only like the
@@ -3103,6 +3128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_examples": _q_dup_cluster_examples,
         "user_event_melt": _q_user_event_melt,
         "embedding_kcenter_sample": _q_kcenter,
+        "sink_tool_mode": _q_tool_mode,
+        "doc_type_token_ratio": _q_ttr,
         "tool_error_rates": _q_tool_error_rates,
         "events_robust_outliers": _q_robust_outliers,
         "langid_confusion": _q_langid_confusion,
@@ -3281,6 +3308,12 @@ GROUP BY event_type ORDER BY event_type
         "events_weekly_growth": windows.weekly_growth_sql(),
         "events_dow_hour_profile": windows.dow_hour_profile_sql(),
         "dup_cluster_examples": _dup_cluster_examples_sql(),
+        "sink_tool_mode": (
+            oracle.with_pipeline_ctes(
+                "tl AS (SELECT sink, tool FROM routed "
+                "WHERE tool IS NOT NULL)") + "\n"
+            + aggregate.grouped_mode_sql("sink", "tool", "tl")),
+        "doc_type_token_ratio": textstats.type_token_ratio_sql(),
         "user_event_melt": """
 WITH u AS (SELECT DISTINCT user_id FROM events),
 v(variable, et) AS (VALUES """ + ", ".join(

@@ -503,3 +503,40 @@ SELECT {cols} FROM (
   FROM {table}
 ) WHERE _rn = 1 ORDER BY {key}
 """.strip()
+
+
+def grouped_mode(ds, group_col: str, value_col: str) -> pa.Table:
+    """Per-group MODE (most frequent value, ties → smallest value) —
+    the categorical summary mean/median can't give ("which tool
+    dominates each sink"). Combiner-first: per-batch (group, value)
+    counts, bounded driver merge, one vectorized argmax per group.
+    Returns (group, value, n) sorted by group.
+    """
+    cells = grouped_counts(ds, [group_col, value_col], final="driver")
+    import pandas as pd
+
+    df = pd.DataFrame({
+        group_col: cells[group_col].to_pylist(),
+        value_col: cells[value_col].to_pylist(),
+        "n": cells["n"].to_numpy(zero_copy_only=False),
+    })
+    df = df.sort_values([group_col, "n", value_col],
+                        ascending=[True, False, True])
+    top = df.groupby(group_col, sort=True).head(1)
+    return pa.table({
+        group_col: pa.array(top[group_col].to_numpy(dtype=object)),
+        value_col: pa.array(top[value_col].to_numpy(dtype=object)),
+        "n": pa.array(top["n"].to_numpy().astype("int64")),
+    })
+
+
+def grouped_mode_sql(group_col: str, value_col: str, inner: str) -> str:
+    """Mirror over a CTE/table ``inner`` with (group, value)."""
+    return f"""
+SELECT {group_col}, {value_col}, n FROM (
+  SELECT {group_col}, {value_col}, CAST(count(*) AS BIGINT) AS n,
+    row_number() OVER (PARTITION BY {group_col}
+      ORDER BY count(*) DESC, {value_col}) AS rn
+  FROM {inner} GROUP BY {group_col}, {value_col}
+) WHERE rn = 1 ORDER BY {group_col}
+""".strip()

@@ -2769,3 +2769,66 @@ SELECT {group_col}, pair, CAST(n_sb AS BIGINT) AS n_sb,
 FROM ranked WHERE rn <= {k}
 ORDER BY {group_col}, lift_millionths DESC, pair
 """.strip()
+
+
+def type_token_ratio(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc TYPE-TOKEN RATIO signals: distinct-token count vs total
+    tokens — the lexical-diversity gate (synthetic/SEO spam repeats a
+    tiny vocabulary; healthy prose doesn't). Integers only
+    (downstream thresholds divide); tokens = whitespace split ≡ the
+    shared mirror class. Pure per-batch map: one flat tokenize + one
+    Arrow group_by over (doc, term) per batch, no shuffle.
+
+    Returns a Dataset (doc_id, n_tokens, n_types).
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        pairs = pa.table({"d": pa.array(np.repeat(ids, lens)),
+                          "term": pa.array(flat, type=pa.string())})
+        uniq = pairs.group_by(["d", "term"]).aggregate([])
+        cnt = (pa.table({"d": uniq["d"]}).group_by("d")
+               .aggregate([([], "count_all")])
+               .rename_columns(["d", "c"]))
+        types = np.zeros(len(ids), dtype=np.int64)
+        cd = cnt["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = cnt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        pos = order[np.searchsorted(ids[order], cd)]
+        types[pos] = cc
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(lens),
+            "n_types": pa.array(types),
+        })
+
+    return ds.map_batches(skip_empty(fn), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def type_token_ratio_sql(table: str = "documents") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                x -> x <> '') AS w
+  FROM {table}
+)
+SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(w)) AS BIGINT) AS n_types
+FROM toks ORDER BY doc_id
+""".strip()
