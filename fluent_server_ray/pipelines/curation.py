@@ -358,7 +358,9 @@ def export_sft_jsonl(sf_dir: str, out_dir: str):
     from fluent_server_ray.stages.parse import apply_parse
 
     turns = apply_parse(read_transcripts(sf_dir)).materialize()
-    docs = conv_to_documents(turns)
+    # materialize: docs feeds BOTH the join and the returned count —
+    # unmaterialized it would re-run the whole assembly for .count()
+    docs = conv_to_documents(turns).materialize()
     spans = sft_loss_spans(turns)
 
     def fold(g) -> "pa.Table":

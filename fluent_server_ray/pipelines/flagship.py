@@ -472,9 +472,12 @@ def delete_convs(out_dir: str, conv_ids) -> dict:
     left byte-untouched (re-running with the same tombstones rewrites
     nothing). Rewrites go through write-temp + atomic rename — a crash
     mid-delete leaves every file either old or fully scrubbed, and the
-    run can simply be repeated. Each affected shard's lineage record
-    is re-committed with adjusted counts plus a ``deletes_applied``
-    audit counter, so ``summarize_manifests`` stays truthful.
+    run can simply be repeated. Lineage is reconciled AFTER scrubbing
+    from the OBSERVED parquet metadata row counts (never by
+    subtracting deltas), so a re-run after a crash between scrub and
+    reconcile heals the manifests too; ``deletes_applied`` audits the
+    cumulative reduction. Any compaction remnants are repaired first
+    so stale ``.old`` copies can never be scrubbed/double-counted.
 
     Returns {files_scanned, files_rewritten, rows_deleted, per_sink}.
     """
@@ -485,8 +488,9 @@ def delete_convs(out_dir: str, conv_ids) -> dict:
     import ray
 
     from fluent_server_ray.stages.aggregate import hash_bucket_array
-    from fluent_server_ray.state.lineage import commit_shard, load_manifests
+    from fluent_server_ray.state.lineage import load_manifests
 
+    repair_compaction(out_dir)
     ids = sorted({str(c) for c in conv_ids})
     if not ids:
         return {"files_scanned": 0, "files_rewritten": 0,
@@ -496,9 +500,9 @@ def delete_convs(out_dir: str, conv_ids) -> dict:
         raise FileNotFoundError(f"no committed run under {out_dir!r}")
     conv_buckets = manifests[0].get("conv_buckets")
 
-    files = sorted(_glob.glob(
+    files = sorted(f for f in _glob.glob(
         os.path.join(out_dir, "sinks", "*", "sink=*", "**", "*.parquet"),
-        recursive=True))
+        recursive=True) if _is_live_sink_path(f))
     if conv_buckets:
         hit = {int(b) for b in
                hash_bucket_array(pa.array(ids, pa.string()), conv_buckets)}
@@ -530,37 +534,78 @@ def delete_convs(out_dir: str, conv_ids) -> dict:
 
     rows_deleted = 0
     per_sink: dict[str, int] = {}
-    per_shard: dict[str, dict[str, int]] = {}
     for path, n in results:
         if not n:
             continue
         rows_deleted += n
         rel = os.path.relpath(path, os.path.join(out_dir, "sinks"))
-        parts = rel.split(os.sep)
-        shard = parts[0].split("=", 1)[1]
-        sink = parts[1].split("=", 1)[1]
+        sink = rel.split(os.sep)[1].split("=", 1)[1]
         per_sink[sink] = per_sink.get(sink, 0) + n
-        per_shard.setdefault(shard, {})[sink] = (
-            per_shard.get(shard, {}).get(sink, 0) + n)
 
-    for m in manifests:
-        sid = m["shard_id"]
-        if sid not in per_shard:
-            continue
-        deltas = per_shard[sid]
-        counts = dict(m.get("per_sink_counts", {}))
-        for s, d in deltas.items():
-            counts[s] = counts.get(s, 0) - d
-        rec = {k: v for k, v in m.items() if k != "shard_id"}
-        rec["per_sink_counts"] = counts
-        rec["row_count"] = m["row_count"] - sum(deltas.values())
-        rec["deletes_applied"] = (m.get("deletes_applied", 0)
-                                  + sum(deltas.values()))
-        commit_shard(out_dir, sid, rec)
+    reconcile_lineage(out_dir)
 
     return {"files_scanned": len(files),
             "files_rewritten": sum(1 for _, n in results if n),
             "rows_deleted": rows_deleted, "per_sink": per_sink}
+
+
+def _is_live_sink_path(path: str) -> bool:
+    """False for files inside compaction remnant dirs (``*.old`` /
+    ``*.compacting``) — live readers and surgery must never see a
+    crashed swap's stale copy."""
+    parts = path.split(os.sep)
+    return not any(p.endswith(".old") or p.endswith(".compacting")
+                   for p in parts)
+
+
+def reconcile_lineage(out_dir: str) -> dict:
+    """Re-derive every shard's lineage counts from the OBSERVED sink
+    files (parquet footer row counts — a metadata scan, no data read)
+    and re-commit records that drifted. This is the repair half of
+    :func:`delete_convs`: counts are always reconstructable from
+    reality, so a crash between file surgery and lineage commit heals
+    on the next call. ``deletes_applied`` accumulates the total
+    reduction vs the original committed counts."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from fluent_server_ray.state.lineage import commit_shard, load_manifests
+
+    observed: dict[str, dict[str, int]] = {}
+    for f in _glob.glob(os.path.join(out_dir, "sinks", "*", "sink=*",
+                                     "**", "*.parquet"), recursive=True):
+        if not _is_live_sink_path(f):
+            continue
+        rel = os.path.relpath(f, os.path.join(out_dir, "sinks"))
+        parts = rel.split(os.sep)
+        shard = parts[0].split("=", 1)[1]
+        sink = parts[1].split("=", 1)[1]
+        n = _pq.read_metadata(f).num_rows
+        observed.setdefault(shard, {})
+        observed[shard][sink] = observed[shard].get(sink, 0) + n
+
+    fixed = 0
+    for m in load_manifests(out_dir):
+        sid = m["shard_id"]
+        if sid not in observed:
+            continue
+        counts = observed[sid]
+        total = sum(counts.values())
+        if (counts == m.get("per_sink_counts")
+                and total == m.get("row_count")):
+            continue
+        rec = {k: v for k, v in m.items() if k != "shard_id"}
+        # original committed volume = row_count + whatever was already
+        # deleted; the audit counter is derived, not accumulated, so
+        # reconcile stays idempotent
+        original = m["row_count"] + m.get("deletes_applied", 0)
+        rec["per_sink_counts"] = counts
+        rec["row_count"] = total
+        rec["deletes_applied"] = original - total
+        commit_shard(out_dir, sid, rec)
+        fixed += 1
+    return {"reconciled": fixed}
 
 
 # ----------------------------------------------- small-file compaction
@@ -588,9 +633,11 @@ def compact_run(out_dir: str, min_files: int = 2) -> dict:
     import pyarrow.parquet as _pq
     import ray
 
+    repair_compaction(out_dir)  # never treat a crashed swap's
+    # remnants as compaction input
     leaf_dirs = sorted({os.path.dirname(f) for f in _glob.glob(
         os.path.join(out_dir, "sinks", "*", "sink=*", "**", "*.parquet"),
-        recursive=True)})
+        recursive=True) if _is_live_sink_path(f)})
 
     @ray.remote
     def compact(d: str) -> tuple:

@@ -285,13 +285,19 @@ def read_sink(out_dir: str, sink: str, ordered: bool = True,
 
     import ray.data as rd
 
+    from fluent_server_ray.pipelines.flagship import _is_live_sink_path
+
     sub = f"cbucket={conv_bucket}" if conv_bucket is not None else "**"
     files = sorted(
-        _glob.glob(
+        f for f in _glob.glob(
             os.path.join(out_dir, "sinks", "*", f"sink={sink}", sub,
                          "*.parquet"),
             recursive=conv_bucket is None,
         )
+        # a crashed compaction's *.old / *.compacting remnants must
+        # never double-read; repair_compaction clears them, this
+        # filter makes readers safe even before it runs
+        if _is_live_sink_path(f)
     )
     if not files and conv_bucket is not None:
         # a sparse bucket is a legitimate empty result (small corpora

@@ -1011,22 +1011,17 @@ def shard_plan(ds, n_shards: int = 16, id_col: str = "doc_id",
     it a naive ``hash(id) % S`` leaves long-doc clumps that make one
     shard the straggler of every downstream stage.
 
-    Exact global rank WITHOUT a global sort: (1) an additive per-batch
-    histogram over DISTINCT n_tokens values (driver-merged — bounded
-    by the longest doc, not the corpus) yields ``higher(v)`` = # docs
-    with more tokens, broadcast once via ``ray.put``; (2) one bucket
-    exchange keyed on n_tokens computes the within-value rank by id
-    (vectorized cumcount per value). rank = higher(v) + within + 1.
-    A corpus where ONE token count dominates co-locates that value's
-    rows — same documented skew contract as every keyed exchange here.
+    Exact global rank WITHOUT a global sort via the SHARED histogram
+    rank plan (:func:`features._exact_rank` — additive distinct-value
+    histogram, broadcast strictly-higher counts, one value-keyed
+    cumcount exchange); shard = (rank-1) % n_shards on top. A corpus
+    where ONE token count dominates co-locates that value's rows —
+    same documented skew contract as every keyed exchange here.
 
     Returns a Dataset (doc_id, n_tokens, rank, shard) sorted by id.
     """
-    import ray
-
-    from fluent_server_ray.stages.aggregate import (grouped_agg,
-                                                    hash_bucket_array,
-                                                    skip_empty)
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.features import _exact_rank
     from fluent_server_ray.stages.textstats import token_count_batch
 
     def counts(t: pa.Table) -> pa.Table:
@@ -1038,56 +1033,16 @@ def shard_plan(ds, n_shards: int = 16, id_col: str = "doc_id",
     tok = ds.select_columns([id_col, text_col]).map_batches(
         skip_empty(counts), batch_format="pyarrow",
         zero_copy_batch=True).materialize()
+    ranked = _exact_rank(tok, "n_tokens", id_col, "rank",
+                         n_buckets=n_buckets, keep_value=True)
 
-    def hist_partial(t: pa.Table) -> pa.Table:
-        out = t.group_by("n_tokens").aggregate([([], "count_all")])
-        return out.rename_columns(["n_tokens", "c"])
+    def add_shard(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("shard",
+                               pa.array((r - 1) % n_shards))
 
-    parts = list(
-        tok.map_batches(skip_empty(hist_partial), batch_format="pyarrow",
-                        zero_copy_batch=True)
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    if not parts:
-        import ray.data as rd
-
-        return rd.from_arrow(pa.table({
-            id_col: pa.array([], type=pa.int64()),
-            "n_tokens": pa.array([], type=pa.int64()),
-            "rank": pa.array([], type=pa.int64()),
-            "shard": pa.array([], type=pa.int64()),
-        }))
-    hist = pa.concat_tables(parts).group_by("n_tokens").aggregate(
-        [("c", "sum")])
-    v = hist["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
-    c = hist["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(-v, kind="stable")  # descending token count
-    v_desc, c_desc = v[order], c[order]
-    higher = np.concatenate(([0], np.cumsum(c_desc)[:-1]))
-    # broadcast ascending for searchsorted lookups in the map stage
-    asc = np.argsort(v_desc, kind="stable")
-    hi_ref = ray.put((v_desc[asc], higher[asc]))
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_b", pa.array(hash_bucket_array(t["n_tokens"], n_buckets)))
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        vals, hi = ray.get(hi_ref)
-        g = g.sort_values(["n_tokens", id_col],
-                          kind="mergesort").reset_index(drop=True)
-        within = g.groupby("n_tokens", sort=False).cumcount().to_numpy()
-        base = hi[np.searchsorted(vals, g["n_tokens"].to_numpy())]
-        rank = base + within + 1
-        return pd.DataFrame({
-            id_col: g[id_col].to_numpy(),
-            "n_tokens": g["n_tokens"].to_numpy(),
-            "rank": rank.astype(np.int64),
-            "shard": ((rank - 1) % n_shards).astype(np.int64),
-        })
-
-    return (tok.map_batches(add_bucket, batch_format="pyarrow",
-                            zero_copy_batch=True)
-            .groupby("_b").map_groups(per_bucket, batch_format="pandas")
+    return (ranked.map_batches(add_shard, batch_format="pyarrow",
+                               zero_copy_batch=True)
             .sort([id_col]))
 
 

@@ -1298,14 +1298,16 @@ FROM m ORDER BY {group_col}, tier
 
 
 def _exact_rank(pairs, value_col: str, id_col: str, rank_name: str,
-                n_buckets: int = 64):
+                n_buckets: int = 64, keep_value: bool = False):
     """Exact row_number() rank by (value DESC, id ASC) over a
-    (id, value) Dataset — the shard-planner's histogram plan
-    (additive distinct-value histogram → broadcast strictly-higher
-    counts → ONE value-keyed exchange for the within-value cumcount).
-    Returns a Dataset (id, rank_name)."""
+    (id, value) Dataset — THE shared histogram rank plan (additive
+    distinct-value histogram → broadcast strictly-higher counts → ONE
+    value-keyed exchange for the within-value cumcount); the shard
+    planner and rank fusion both build on it. Returns a Dataset
+    (id[, value], rank_name)."""
     import pandas as pd
     import ray
+    import ray.data as rd
 
     from fluent_server_ray.stages.aggregate import (grouped_agg,
                                                     hash_bucket_array,
@@ -1319,6 +1321,12 @@ def _exact_rank(pairs, value_col: str, id_col: str, rank_name: str,
         pairs.map_batches(skip_empty(hist_partial), batch_format="pyarrow",
                           zero_copy_batch=True)
         .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:  # empty corpus → typed empty, not a concat crash
+        cols = {id_col: pa.array([], pa.int64())}
+        if keep_value:
+            cols[value_col] = pa.array([], pa.int64())
+        cols[rank_name] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
     hist = pa.concat_tables(parts).group_by(value_col).aggregate(
         [("c", "sum")])
     v = hist[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1339,10 +1347,11 @@ def _exact_rank(pairs, value_col: str, id_col: str, rank_name: str,
                           kind="mergesort").reset_index(drop=True)
         within = g.groupby(value_col, sort=False).cumcount().to_numpy()
         base = hi[np.searchsorted(vals, g[value_col].to_numpy())]
-        return pd.DataFrame({
-            id_col: g[id_col].to_numpy(),
-            rank_name: (base + within + 1).astype(np.int64),
-        })
+        cols = {id_col: g[id_col].to_numpy()}
+        if keep_value:
+            cols[value_col] = g[value_col].to_numpy()
+        cols[rank_name] = (base + within + 1).astype(np.int64)
+        return pd.DataFrame(cols)
 
     return (pairs.map_batches(add_bucket, batch_format="pyarrow",
                               zero_copy_batch=True)

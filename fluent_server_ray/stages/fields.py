@@ -323,8 +323,6 @@ def melt(ds, id_cols: tuple[str, ...], value_cols: tuple[str, ...],
     declared ``value_type`` (default: the first value column's type),
     mirroring SQL UNPIVOT's single value column.
     """
-    value_type = value_type
-
     def fn(t: pa.Table) -> pa.Table:
         vt = value_type or t.schema.field(value_cols[0]).type
         parts = []

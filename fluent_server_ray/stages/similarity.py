@@ -1290,8 +1290,12 @@ def tfidf_cosine_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     if dots.count() <= max_driver_pairs:
         tabs = list(dots.iter_batches(batch_size=None,
                                       batch_format="pyarrow"))
+        if not tabs:  # zero candidate pairs: all-empty blocks yield
+            return _empty()  # no batches at all (review finding)
         tot = (pa.concat_tables(tabs).group_by(["doc_a", "doc_b"])
                .aggregate([("dot", "sum")]))
+        if tot.num_rows == 0:
+            return _empty()
         ids = pc.unique(pa.concat_arrays([
             tot["doc_a"].combine_chunks().cast(pa.int64()),
             tot["doc_b"].combine_chunks().cast(pa.int64())]))

@@ -246,3 +246,49 @@ def test_compact_run_and_repair(ray_session, tmp_path):
     # counts survive the whole ordeal
     final = read_sink(out, "catchall", ordered=True).to_pandas()
     assert len(final) == s["sinks"]["catchall"]
+
+
+def test_delete_convs_crash_heals_lineage(ray_session, tmp_path):
+    """Crash between file surgery and lineage commit: manifests go
+    stale, but the next delete (or reconcile) re-derives counts from
+    observed parquet metadata and heals them; remnant .old dirs are
+    neither read nor scrubbed."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from fluent_server_ray.pipelines.flagship import (
+        delete_convs,
+        reconcile_lineage,
+        run_pipeline,
+    )
+    from fluent_server_ray.pipelines.mirror_view import read_sink
+    from fluent_server_ray.state.lineage import load_manifests
+
+    out = str(tmp_path / "run")
+    s = run_pipeline("/root/testdata/sf0.001", out)
+    # simulate the crash: scrub ONE file by hand, no lineage commit
+    f = sorted(glob.glob(f"{out}/sinks/*/sink=errors/*.parquet"))[0]
+    t = pq.read_table(f)
+    kept = t.filter(pc.invert(pc.equal(t["conv_id"], "conv-1")))
+    n_gone = t.num_rows - kept.num_rows
+    assert n_gone > 0
+    pq.write_table(kept, f)
+    assert load_manifests(out)[0]["per_sink_counts"]["errors"] \
+        == s["sinks"]["errors"]          # stale
+    # plant a compaction remnant holding the OLD bytes
+    d = os.path.dirname(f)
+    shutil.copytree(d, d + ".old")
+
+    rep = delete_convs(out, ["conv-1"])   # the documented repeat
+    m = load_manifests(out)[0]
+    assert m["per_sink_counts"]["errors"] == s["sinks"]["errors"] - n_gone
+    assert m["deletes_applied"] == rep["rows_deleted"] + n_gone
+    df = read_sink(out, "errors", ordered=False).to_pandas()
+    assert not (df.conv_id == "conv-1").any()
+    assert not os.path.isdir(d + ".old")  # repaired away, not scrubbed
+    # reconcile alone is idempotent
+    assert reconcile_lineage(out)["reconciled"] == 0
