@@ -2945,6 +2945,96 @@ def _q_rank_in_group(sf_dir: str):
                            columns=["event_id", "event_type", "value"]))
 
 
+def _q_prompt_completion(sf_dir: str):
+    """SFT pair mining: (user turn → immediately-following assistant
+    turn) training pairs per conversation — one conv-bucket exchange,
+    vectorized groupby shift. Oracle: window lead()."""
+    from fluent_server_ray.stages.assembly import prompt_completion_pairs
+
+    return prompt_completion_pairs(read_transcripts(sf_dir))
+
+
+def _q_fim(sf_dir: str):
+    """Fill-in-the-middle transform (PSM, Bavarian et al. 2022):
+    deterministic md5-derived character cuts, pure per-batch map —
+    mirrored bit-for-bit via DuckDB md5_number_upper + substr."""
+    from fluent_server_ray.stages.assembly import fim_transform
+
+    return fim_transform(_docs(sf_dir))
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Per-doc coverage of the global top-100 vocabulary (tokenizer-
+    fit / domain-shift diagnostic): vocab combiner + word-bucket
+    exchange, then one segmented per-batch pass; integer millionths."""
+    from fluent_server_ray.stages.textstats import vocab_coverage
+
+    return vocab_coverage(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]))
+
+
+def _q_stratified_split(sf_dir: str):
+    """EXACT-quota stratified train/val/test split per source: within-
+    stratum (md5(id), id) rank against ⌊n·f⌋ quota boundaries — the
+    split whose per-stratum proportions are exact to the row."""
+    from fluent_server_ray.stages.sampling import stratified_split
+
+    return stratified_split(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"]))
+
+
+def _q_token_triangles(sf_dir: str):
+    """Exact triangle count of the corpus word-adjacency graph via the
+    degree-oriented (compact-forward) plan — O(m^1.5) wedge work
+    regardless of hub skew (Suri & Vassilvitskii's 'curse of the last
+    reducer' dodge). Oracle: 3-way distinct-edge self-join."""
+    from fluent_server_ray.stages.graph import (token_adjacency_edges,
+                                                triangle_count)
+
+    edges = token_adjacency_edges(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["text"]))
+    return triangle_count(edges)
+
+
+def _q_orders_price_band(sf_dir: str):
+    """Band (θ-proximity) self-join: order pairs whose totals differ
+    by ≤ $1 (integer cents) — grid-cell + ghost-copy exchange, every
+    qualifying pair local to one cell. Oracle: DuckDB IEJoin."""
+    from fluent_server_ray.stages.joins import band_join_pairs
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_totalprice"])
+
+    def cents(t):
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        v = _pc.floor(_pc.add(_pc.multiply(t["o_totalprice"], 100.0),
+                              0.5))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cents": v.cast(pa.int64())})
+
+    ob = orders.map_batches(cents, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return band_join_pairs(ob, "o_orderkey", "cents", eps=100)
+
+
+def _q_cusum(sf_dir: str):
+    """CUSUM sequential drift detection over per-type daily volumes
+    (Page 1954): bounded daily-count combiner, driver-side integer
+    recursion, recursive-CTE mirror — catches sustained small shifts
+    the per-day z-score monitor misses."""
+    from fluent_server_ray.stages.features import cusum_flags
+
+    return cusum_flags(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]),
+        k=70, h=25)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -3165,6 +3255,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gram_diversity": _q_gram_diversity,
         "docs_gated_per_lang": _q_lang_gate,
         "transcripts_sink_anomalies": _q_sink_anomalies,
+        "prompt_completion_pairs": _q_prompt_completion,
+        "doc_fim_transform": _q_fim,
+        "doc_vocab_coverage": _q_vocab_coverage,
+        "docs_stratified_split": _q_stratified_split,
+        "token_graph_triangles": _q_token_triangles,
+        "orders_price_band_pairs": _q_orders_price_band,
+        "events_cusum_drift": _q_cusum,
     }
 
 
@@ -3687,4 +3784,18 @@ FROM s
             "fluent_server_ray.pipelines.curation",
             fromlist=["quality_curriculum_sql"],
         ).quality_curriculum_sql(),
+        "prompt_completion_pairs": assembly.prompt_completion_pairs_sql(),
+        "doc_fim_transform": assembly.fim_transform_sql(),
+        "doc_vocab_coverage": textstats.vocab_coverage_sql(),
+        "docs_stratified_split": sampling.stratified_split_sql(),
+        "token_graph_triangles": __import__(
+            "fluent_server_ray.stages.graph", fromlist=["x"]
+        ).token_triangles_sql(),
+        "orders_price_band_pairs": __import__(
+            "fluent_server_ray.stages.joins", fromlist=["x"]
+        ).band_join_pairs_sql(
+            "o_orderkey",
+            "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)",
+            100, "orders"),
+        "events_cusum_drift": features.cusum_flags_sql(k=70, h=25),
     }

@@ -1130,3 +1130,139 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
     AS fill_millionths
 FROM tok GROUP BY bucket HAVING sum(n) > 0 ORDER BY bucket
 """.strip()
+
+
+def prompt_completion_pairs(ds, prompt_role: str = "user",
+                            completion_role: str = "assistant",
+                            n_buckets: int = 64):
+    """SFT pair mining: extract (prompt, completion) training pairs —
+    every ``prompt_role`` turn immediately followed (next ``turn_idx``
+    within the conversation) by a ``completion_role`` turn. The
+    instruction-tuning counterpart of :func:`conv_to_documents`: where
+    that operator renders whole conversations, this one mines the
+    atomic request→response pairs chat SFT corpora are built from.
+
+    Output: (conv_id, turn_idx, prompt, completion) — ``turn_idx`` is
+    the PROMPT turn's index. One ``conv_id`` bucket exchange; the
+    next-turn lookup is a vectorized groupby shift over the whole
+    bucket (reference order contract: ``defaultreader/reader.go:85-103``
+    preserves intra-chunk order; (conv_id, turn_idx) is the engine's
+    stable total order)."""
+    from fluent_server_ray.stages.groups import map_buckets
+
+    schema = pa.schema([
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("prompt", pa.string()),
+        pa.field("completion", pa.string()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        grp = g.groupby("conv_id", sort=False)
+        nrole = grp["role"].shift(-1)
+        ntext = grp["text"].shift(-1)
+        m = ((g["role"] == prompt_role)
+             & (nrole == completion_role)).to_numpy()
+        return pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy()[m],
+            "turn_idx": g["turn_idx"].to_numpy()[m],
+            "prompt": g["text"].to_numpy()[m],
+            "completion": ntext.to_numpy()[m],
+        })
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    bucketed = _with_bucket(ds.select_columns(cols), "conv_id", n_buckets)
+    return map_buckets(bucketed, per_bucket, schema).sort(
+        ["conv_id", "turn_idx"])
+
+
+def prompt_completion_pairs_sql(prompt_role: str = "user",
+                                completion_role: str = "assistant") -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + f"""
+, nxt AS (
+  SELECT conv_id, turn_idx, role, text,
+    lead(role) OVER w AS nrole, lead(text) OVER w AS ntext
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, text AS prompt, ntext AS completion
+FROM nxt
+WHERE role = '{prompt_role}' AND nrole = '{completion_role}'
+ORDER BY conv_id, turn_idx"""
+    )
+
+
+def fim_transform(ds, id_col: str = "doc_id", text_col: str = "text",
+                  pre_tok: str = "<PRE>", suf_tok: str = "<SUF>",
+                  mid_tok: str = "<MID>"):
+    """Fill-in-the-middle transform (PSM order — the code-model data
+    augmentation of Bavarian et al. 2022, "Efficient Training of
+    Language Models to Fill in the Middle"): split each document at
+    two DETERMINISTIC pseudo-random character offsets and emit
+    ``<PRE> prefix <SUF> suffix <MID> middle`` so the model learns to
+    infill. The cut points derive from ``md5(id ∥ '#1'/'#2') mod
+    (len+1)`` (:func:`functions.hashing.md5_u64` ≡ DuckDB
+    ``md5_number_upper`` — the engine's entropy-free determinism
+    contract: no RNG in the data plane, reruns and retries produce
+    byte-identical samples).
+
+    Pure per-batch map, no shuffle. Offsets count CHARACTERS
+    (Python codepoint slicing ≡ SQL ``substr`` semantics). NULL text
+    → NULL output row (SQL ``md5(NULL)`` is NULL).
+    Output: (id, cut_lo, cut_hi, fim_text)."""
+    from fluent_server_ray.functions.hashing import md5_u64
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        lo_a, hi_a, out = [], [], []
+        for i, txt in zip(ids, texts):
+            if txt is None or i is None:
+                lo_a.append(None); hi_a.append(None); out.append(None)
+                continue
+            n = len(txt) + 1
+            c1 = md5_u64(f"{i}#1") % n
+            c2 = md5_u64(f"{i}#2") % n
+            lo, hi = (c1, c2) if c1 <= c2 else (c2, c1)
+            lo_a.append(lo); hi_a.append(hi)
+            out.append(pre_tok + txt[:lo] + suf_tok + txt[hi:]
+                       + mid_tok + txt[lo:hi])
+        return pa.table({
+            id_col: t[id_col],
+            "cut_lo": pa.array(lo_a, pa.int64()),
+            "cut_hi": pa.array(hi_a, pa.int64()),
+            "fim_text": pa.array(out, pa.string()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fim_transform_sql(id_col: str = "doc_id", text_col: str = "text",
+                      table: str = "documents",
+                      pre_tok: str = "<PRE>", suf_tok: str = "<SUF>",
+                      mid_tok: str = "<MID>") -> str:
+    return f"""
+WITH cuts AS (
+  SELECT {id_col},
+    {text_col} AS txt,
+    CAST(md5_number_upper(CAST({id_col} AS VARCHAR) || '#1')
+         % CAST(length({text_col}) + 1 AS UBIGINT) AS BIGINT) AS c1,
+    CAST(md5_number_upper(CAST({id_col} AS VARCHAR) || '#2')
+         % CAST(length({text_col}) + 1 AS UBIGINT) AS BIGINT) AS c2
+  FROM {table}
+)
+SELECT {id_col},
+  least(c1, c2) AS cut_lo,
+  greatest(c1, c2) AS cut_hi,
+  '{pre_tok}' || substr(txt, 1, least(c1, c2))
+    || '{suf_tok}' || substr(txt, greatest(c1, c2) + 1)
+    || '{mid_tok}'
+    || substr(txt, least(c1, c2) + 1, greatest(c1, c2) - least(c1, c2))
+    AS fim_text
+FROM cuts ORDER BY {id_col}
+""".strip()

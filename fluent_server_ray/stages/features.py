@@ -1501,3 +1501,91 @@ SELECT {a_col}, {b_col}, CAST(n AS BIGINT) AS n,
   ((CAST(n AS DOUBLE) - {e}) ** 2) / ({e}) AS contrib
 FROM m ORDER BY {a_col}, {b_col}
 """.strip()
+
+
+def cusum_flags(ds, key_col: str = "event_type", ts_col: str = "ts",
+                k: int = 70, h: int = 25) -> pa.Table:
+    """CUSUM changepoint detection over per-key DAILY volumes (Page
+    1954 — the classic sequential drift test): ``S_0 = 0, S_t =
+    max(0, S_{t-1} + x_t − k)`` over each key's observed days in
+    order, flag when ``S_t > h``. Where the z-score spike monitor
+    (:func:`windows.window_anomalies`) sees single-day outliers,
+    CUSUM accumulates SMALL sustained shifts — the slow-leak traffic
+    drift a per-day threshold misses.
+
+    Daily counts come from the per-batch combiner (bounded: |keys| ×
+    |days| rows cross the wire, never events); the recursion itself is
+    inherently sequential per key, runs on the driver over that
+    bounded table (one vectorized pass per key), and is mirrored by a
+    recursive CTE. Pure integers end to end — strict.
+
+    Output: (key, day, n, cusum, flag) sorted; ``day`` = epoch days.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col]))
+        t = t.filter(ok)
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        out = pa.table({
+            "key": pc.cast(t[key_col], pa.string()),
+            "day": pa.array(day),
+        }).group_by(["key", "day"]).aggregate([([], "count_all")])
+        return out.rename_columns(["key", "day", "n"])
+
+    parts = grouped_agg(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            skip_empty(partial), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=["key", "day"], aggs=[("n", "sum")], final="driver")
+    if parts.num_rows == 0:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "day": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "cusum": pa.array([], pa.int64()),
+                         "flag": pa.array([], pa.bool_())})
+    df = parts.to_pandas().sort_values(["key", "day"])
+    n = df["n_sum"].to_numpy().astype(np.int64)
+    keys = df["key"].to_numpy()
+    new_key = np.concatenate(([True], keys[1:] != keys[:-1]))
+    s = np.empty(len(n), dtype=np.int64)
+    run = 0
+    for i in range(len(n)):  # bounded: |keys|×|days| rows, driver-side
+        run = max(0, (0 if new_key[i] else run) + int(n[i]) - k)
+        s[i] = run
+    return pa.table({
+        key_col: pa.array(keys, pa.string()),
+        "day": pa.array(df["day"].to_numpy().astype(np.int64)),
+        "n": pa.array(n),
+        "cusum": pa.array(s),
+        "flag": pa.array(s > h),
+    })
+
+
+def cusum_flags_sql(key_col: str = "event_type", ts_col: str = "ts",
+                    k: int = 70, h: int = 25,
+                    table: str = "events") -> str:
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {key_col} AS key,
+    CAST(epoch_us({ts_col}) // 86400000000 AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1, 2
+), r AS (
+  SELECT key, day, n,
+    row_number() OVER (PARTITION BY key ORDER BY day) AS i
+  FROM d
+), cus AS (
+  SELECT key, day, n, i, greatest(0, n - {k}) AS s
+  FROM r WHERE i = 1
+  UNION ALL
+  SELECT r.key, r.day, r.n, r.i, greatest(0, cus.s + r.n - {k})
+  FROM cus JOIN r ON r.key = cus.key AND r.i = cus.i + 1
+)
+SELECT key AS {key_col}, day, n, CAST(s AS BIGINT) AS cusum,
+  s > {h} AS flag
+FROM cus ORDER BY {key_col}, day
+""".strip()

@@ -456,3 +456,99 @@ def salted_replicated_join(
         return lg.merge(rg, left_on=key, right_on=right_key, how="inner")
 
     return map_buckets(l.union(r), join_bucket, out_schema)
+
+
+def band_join_pairs(ds, id_col: str, value_col: str, eps: int,
+                    n_buckets: int = 64):
+    """Numeric-proximity self-join: every pair ``id_a < id_b`` whose
+    int64 values differ by at most ``eps`` — the band/θ-join family
+    (near-duplicate amounts, co-priced items, sensor readings within
+    tolerance) that an equality hash join cannot express.
+
+    Grid-cell plan (the standard band-join partitioning): each row
+    lands in cell ``v // eps`` and sends ONE ghost copy to cell+1;
+    every qualifying pair is then LOCAL to one cell — same-cell pairs
+    (native×native, id-ordered) plus cross-cell pairs (ghost from
+    cell-1 × native), so no pair forms twice and no distinct pass is
+    needed. ONE cell-keyed bucket exchange; per-bucket pair formation
+    is a vectorized pandas self-merge. Fan-out per cell is its
+    occupancy — a value-skewed corpus concentrates cells exactly like
+    every keyed exchange here (documented contract; shrink ``eps`` or
+    pre-bucket by a second key for pathological piles).
+
+    NULL ids/values never pair (SQL comparison semantics) and are
+    dropped up front. Output: (id_a, id_b, v_a, v_b) sorted.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.groups import map_buckets
+
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.and_(pc.is_valid(t[id_col]), pc.is_valid(t[value_col]))
+        t = t.filter(ok)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = v // eps
+        out_id = np.concatenate([ids, ids])
+        out_v = np.concatenate([v, v])
+        out_cell = np.concatenate([cell, cell + 1])
+        ghost = np.concatenate([np.zeros(len(v), dtype=np.int64),
+                                np.ones(len(v), dtype=np.int64)])
+        tb = pa.table({"id": pa.array(out_id), "v": pa.array(out_v),
+                       "cell": pa.array(out_cell),
+                       "ghost": pa.array(ghost)})
+        return tb.append_column(
+            "_bucket", pa.array(hash_bucket_array(tb["cell"], n_buckets)))
+
+    schema = pa.schema([
+        pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()),
+        pa.field("v_a", pa.int64()), pa.field("v_b", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nat = g[g["ghost"] == 0]
+        gho = g[g["ghost"] == 1]
+        m1 = nat[["id", "v", "cell"]].merge(
+            nat[["id", "v", "cell"]], on="cell", suffixes=("_x", "_y"))
+        m1 = m1[(m1["id_x"] < m1["id_y"])
+                & ((m1["v_x"] - m1["v_y"]).abs() <= eps)]
+        m2 = gho[["id", "v", "cell"]].merge(
+            nat[["id", "v", "cell"]], on="cell", suffixes=("_x", "_y"))
+        m2 = m2[(m2["v_x"] - m2["v_y"]).abs() <= eps]
+        both = pd.concat([m1, m2], ignore_index=True)
+        a_first = both["id_x"] < both["id_y"]
+        ida = both["id_x"].where(a_first, both["id_y"])
+        idb = both["id_y"].where(a_first, both["id_x"])
+        va = both["v_x"].where(a_first, both["v_y"])
+        vb = both["v_y"].where(a_first, both["v_x"])
+        return pd.DataFrame({"id_a": ida.to_numpy(),
+                             "id_b": idb.to_numpy(),
+                             "v_a": va.to_numpy(),
+                             "v_b": vb.to_numpy()})
+
+    exploded = ds.select_columns([id_col, value_col]).map_batches(
+        skip_empty(explode), batch_format="pyarrow", zero_copy_batch=True)
+    return map_buckets(exploded, per_bucket, schema).sort(
+        ["id_a", "id_b"])
+
+
+def band_join_pairs_sql(id_expr: str, value_expr: str, eps: int,
+                        table: str) -> str:
+    """IEJoin mirror: ``id_expr``/``value_expr`` are SQL expressions
+    over ``table`` producing the id and the int64 value."""
+    return f"""
+WITH c AS (
+  SELECT {id_expr} AS id, {value_expr} AS v FROM {table}
+)
+SELECT x.id AS id_a, y.id AS id_b, x.v AS v_a, y.v AS v_b
+FROM c x JOIN c y
+  ON y.id > x.id AND y.v BETWEEN x.v - {eps} AND x.v + {eps}
+ORDER BY id_a, id_b
+""".strip()

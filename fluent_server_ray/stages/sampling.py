@@ -700,3 +700,84 @@ FROM {table} d JOIN t USING ({group_col})
 WHERE t.k >= {scale}
    OR substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 4) < printf('%04x', t.k)
 """.strip()
+
+
+def stratified_split(ds, strat_col: str = "source",
+                     id_col: str = "doc_id",
+                     val_ppm: int = 100_000, test_ppm: int = 100_000,
+                     n_buckets: int = 64):
+    """EXACT-quota stratified train/val/test split: within every
+    stratum, rank rows by ``(md5(id), id)`` and assign the first
+    ``⌊n·val_ppm/10^6⌋`` to val, the next ``⌊n·test_ppm/10^6⌋`` to
+    test, the rest to train — so every stratum's split proportions are
+    exact to the row (the evaluation-design requirement
+    :func:`assembly.split_assign`'s md5 coin cannot give: a coin's
+    per-stratum fractions wobble ~1/√n).
+
+    ONE hash-bucket exchange on the stratum co-locates each stratum,
+    so the stratum size and the within-stratum rank both come out of
+    one segmented pandas pass over the bucket — no separate size pass.
+    Contract (same as every key-colocating exchange here): a stratum
+    lives in one bucket; at open scale with pathological strata use
+    the coin-based ``split_assign``. NULL strata form their own
+    stratum (SQL ``PARTITION BY`` semantics); NULL ids raise
+    (see :func:`_md5_hex`).
+
+    Output: (id, stratum, split) sorted by id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    for name, v in (("val_ppm", val_ppm), ("test_ppm", test_ppm)):
+        if not 0 <= v <= 1_000_000:
+            raise ValueError(f"{name} out of [0, 1000000]: {v}")
+    if val_ppm + test_ppm > 1_000_000:
+        raise ValueError("val_ppm + test_ppm exceed the corpus")
+
+    schema = pa.schema([
+        pa.field(id_col, pa.int64()),
+        pa.field(strat_col, pa.string()),
+        pa.field("split", pa.string()),
+    ])
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.assign(_h=_md5_hex(g[id_col]))
+        g = g.sort_values([strat_col, "_h", id_col])
+        grp = g.groupby(strat_col, sort=False, dropna=False)
+        n = grp[id_col].transform("size").to_numpy().astype(np.int64)
+        r = grp.cumcount().to_numpy().astype(np.int64)
+        n_val = (n * val_ppm) // 1_000_000
+        n_test = (n * test_ppm) // 1_000_000
+        split = np.where(r < n_val, "val",
+                         np.where(r < n_val + n_test, "test", "train"))
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             strat_col: g[strat_col].to_numpy(),
+                             "split": split})
+
+    bucketed = _with_bucket(ds.select_columns([id_col, strat_col]),
+                            strat_col, n_buckets)
+    return map_buckets(bucketed, per_bucket, schema).sort(id_col)
+
+
+def stratified_split_sql(strat_col: str = "source",
+                         id_col: str = "doc_id",
+                         val_ppm: int = 100_000, test_ppm: int = 100_000,
+                         table: str = "documents") -> str:
+    return f"""
+WITH r AS (
+  SELECT {id_col}, {strat_col},
+    row_number() OVER (PARTITION BY {strat_col}
+      ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn,
+    count(*) OVER (PARTITION BY {strat_col}) AS n
+  FROM {table}
+)
+SELECT {id_col}, {strat_col},
+  CASE WHEN rn <= (n * {val_ppm}) // 1000000 THEN 'val'
+       WHEN rn <= (n * {val_ppm}) // 1000000
+                  + (n * {test_ppm}) // 1000000 THEN 'test'
+       ELSE 'train' END AS split
+FROM r ORDER BY {id_col}
+""".strip()

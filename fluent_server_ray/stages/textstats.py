@@ -2832,3 +2832,81 @@ SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct(w)) AS BIGINT) AS n_types
 FROM toks ORDER BY doc_id
 """.strip()
+
+
+def vocab_coverage(ds, k: int = 100, id_col: str = "doc_id",
+                   text_col: str = "text", n_buckets: int = 64):
+    """Per-document coverage of the global top-``k`` vocabulary — the
+    tokenizer-fit / domain-shift diagnostic: a doc whose tokens mostly
+    fall OUTSIDE the corpus's core vocabulary is foreign-domain, noisy
+    or a different language, and will tokenize badly. Composes
+    :func:`vocab_top_words` (combiner + word-bucket exchange,
+    O(buckets·k) driver merge) with ONE per-batch pass over the docs:
+    the k-word vocabulary rides into each task as a tiny value set and
+    the per-doc in-vocab counts are segmented cumsum diffs over the
+    flat token array — no Python row loop, no second shuffle.
+
+    coverage_ppm = (10^6 · n_in_vocab) // n_tokens (the house
+    integer-millionths contract; order-free, strict-mirrorable).
+    Empty/NULL docs → n_tokens 0, coverage NULL.
+    Output: (id, n_tokens, n_in_vocab, coverage_ppm) in input order.
+    """
+    import numpy as np
+
+    ds = ds.select_columns([id_col, text_col]).materialize()
+    vocab = vocab_top_words(ds, k=k, n_buckets=n_buckets)
+    vocab_words = vocab["word"].combine_chunks()
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        lists = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        inv = pc.is_in(flat, value_set=vocab_words).to_numpy(
+            zero_copy_only=False)
+        cs_ne = np.concatenate(([0], np.cumsum(ne)))
+        cs_in = np.concatenate(([0], np.cumsum(inv & ne)))
+        n_tok = (cs_ne[ends] - cs_ne[starts]).astype(np.int64)
+        n_in = (cs_in[ends] - cs_in[starts]).astype(np.int64)
+        ppm = (1_000_000 * n_in) // np.maximum(n_tok, 1)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tok),
+            "n_in_vocab": pa.array(n_in),
+            "coverage_ppm": pa.array(ppm, pa.int64(),
+                                     mask=(n_tok == 0)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def vocab_coverage_sql(k: int = 100, id_col: str = "doc_id",
+                       table: str = "documents") -> str:
+    return f"""
+WITH v AS MATERIALIZED (
+  {vocab_top_words_sql(k=k, table=table)}
+), toks AS (
+  SELECT {id_col},
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM {table}
+), agg AS (
+  SELECT {id_col}, count(*) AS n_tokens,
+    count(*) FILTER (WHERE word IN (SELECT word FROM v)) AS n_in
+  FROM toks GROUP BY {id_col}
+)
+SELECT d.{id_col},
+  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(a.n_in, 0) AS BIGINT) AS n_in_vocab,
+  CAST(CASE WHEN COALESCE(a.n_tokens, 0) > 0
+       THEN (1000000 * a.n_in) // a.n_tokens END AS BIGINT)
+    AS coverage_ppm
+FROM {table} d LEFT JOIN agg a USING ({id_col})
+ORDER BY d.{id_col}
+""".strip()

@@ -1,0 +1,169 @@
+"""Hand-computed pins for the round-4 fifth-session operators:
+prompt/completion mining, FIM transform, vocab coverage, stratified
+split, triangle counting, band join, CUSUM drift."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _tr(rows):
+    return rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    }))
+
+
+def test_prompt_completion_pairs(ray_session):
+    from fluent_server_ray.stages.assembly import prompt_completion_pairs
+
+    ds = _tr([
+        ("c1", 0, "user", "q1"),
+        ("c1", 1, "assistant", "a1"),
+        ("c1", 2, "user", "q2"),
+        ("c1", 3, "user", "q3"),          # user→user: no pair at 2
+        ("c1", 4, "assistant", "a3"),     # pair (3, q3, a3)
+        ("c2", 0, "assistant", "hello"),  # assistant-first: no pair
+        ("c2", 1, "user", "tail"),        # conv ends on user: no pair
+    ])
+    got = prompt_completion_pairs(ds).to_pandas()
+    assert got.values.tolist() == [
+        ["c1", 0, "q1", "a1"],
+        ["c1", 3, "q3", "a3"],
+    ]
+    # conv boundary: c2's trailing user never pairs with c1/later rows
+    assert (got["conv_id"] != "c2").all()
+
+
+def test_fim_transform_pins(ray_session):
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.assembly import fim_transform
+
+    texts = ["hello world", "", None, "abc"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = fim_transform(ds).to_pandas().set_index("doc_id")
+    # reassembly property: stripping the sentinels recovers the text
+    for i, txt in [(1, "hello world"), (4, "abc")]:
+        lo, hi = int(got.loc[i, "cut_lo"]), int(got.loc[i, "cut_hi"])
+        c1 = md5_u64(f"{i}#1") % (len(txt) + 1)
+        c2 = md5_u64(f"{i}#2") % (len(txt) + 1)
+        assert (lo, hi) == (min(c1, c2), max(c1, c2))
+        assert got.loc[i, "fim_text"] == (
+            "<PRE>" + txt[:lo] + "<SUF>" + txt[hi:] + "<MID>"
+            + txt[lo:hi])
+    assert got.loc[2, "fim_text"] == "<PRE><SUF><MID>"  # empty text
+    assert got.loc[3, "fim_text"] is None               # NULL text
+    assert pd.isna(got.loc[3, "cut_lo"])
+
+
+def test_vocab_coverage_hand(ray_session):
+    from fluent_server_ray.stages.textstats import vocab_coverage
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # counts: a=4, b=3, c=1, d=1 -> top-2 vocab {a, b}
+        "text": pa.array(["a a b", "a b c", "a b  d", ""], pa.string()),
+    }))
+    got = (vocab_coverage(ds, k=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_tokens"].tolist() == [3, 3, 3, 0]
+    assert got["n_in_vocab"].tolist() == [3, 2, 2, 0]
+    assert got["coverage_ppm"].tolist()[:3] == [1000000, 666666, 666666]
+    assert pd.isna(got["coverage_ppm"].iloc[3])
+
+
+def test_stratified_split_exact_quotas(ray_session):
+    from fluent_server_ray.stages.sampling import stratified_split
+
+    n = 40
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "source": pa.array(["s0" if i < 30 else "s1" for i in range(n)],
+                           pa.string()),
+    }))
+    got = stratified_split(ds, val_ppm=200_000,
+                           test_ppm=100_000).to_pandas()
+    by = got.groupby(["source", "split"]).size()
+    # exact quotas: 30 -> 6 val / 3 test / 21 train; 10 -> 2/1/7
+    assert by[("s0", "val")] == 6 and by[("s0", "test")] == 3
+    assert by[("s0", "train")] == 21
+    assert by[("s1", "val")] == 2 and by[("s1", "test")] == 1
+    assert by[("s1", "train")] == 7
+    # determinism: rerun is byte-identical
+    again = stratified_split(ds, val_ppm=200_000,
+                             test_ppm=100_000).to_pandas()
+    assert got.equals(again)
+    with pytest.raises(ValueError):
+        stratified_split(ds, val_ppm=900_000, test_ppm=200_000)
+
+
+def test_triangle_count_hand_graphs(ray_session):
+    from fluent_server_ray.stages.graph import triangle_count
+
+    def tri(pairs):
+        t = pa.table({
+            "lo": pa.array([p[0] for p in pairs], pa.string()),
+            "hi": pa.array([p[1] for p in pairs], pa.string()),
+        })
+        return triangle_count(t).to_pandas().iloc[0].to_dict()
+
+    # K4: 4 triangles; duplicate + reversed + self-loop edges collapse
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+          ("b", "d"), ("c", "d"), ("b", "a"), ("c", "c"), ("a", "b")]
+    got = tri(k4)
+    assert got == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}
+    # path graph: none
+    assert tri([("a", "b"), ("b", "c"), ("c", "d")])["n_triangles"] == 0
+    # hub + one closing edge: exactly 1 (the hub's other wedges stay
+    # open — the curse-of-the-last-reducer shape)
+    hub = [("h", f"x{i}") for i in range(20)] + [("x0", "x1")]
+    got = tri(hub)
+    assert got["n_triangles"] == 1 and got["n_edges"] == 21
+    # empty edge set
+    assert tri([])["n_triangles"] == 0
+
+
+def test_band_join_pairs_hand(ray_session):
+    from fluent_server_ray.stages.joins import band_join_pairs
+
+    vals = {1: 0, 2: 5, 3: 10, 4: 22, 5: -3, 6: -14}
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(list(vals), pa.int64()),
+        "v": pa.array(list(vals.values()), pa.int64()),
+    }))
+    got = band_join_pairs(ds, "id", "v", eps=10).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    # |0-5|,|0-10|(= eps),|5-10|,|0--3|,|5--3|,|10--3|? 13>10 no,
+    # |-3--14|=11>10 no, |22-*| all >10
+    assert pairs == {(1, 2), (1, 3), (2, 3), (1, 5), (2, 5)}
+    # values ride along, a-side id strictly smaller
+    assert (got["id_a"] < got["id_b"]).all()
+    row = got[(got["id_a"] == 1) & (got["id_b"] == 5)].iloc[0]
+    assert (row["v_a"], row["v_b"]) == (0, -3)
+    with pytest.raises(ValueError):
+        band_join_pairs(ds, "id", "v", eps=0)
+
+
+def test_cusum_flags_hand(ray_session):
+    from fluent_server_ray.stages.features import cusum_flags
+
+    # type A: days 0,1,2 with counts 3,1,4; k=2 -> S = 1, 0, 2
+    # type B: days 0,2 with counts 5,1 -> S = 3, 2
+    rows = ([("A", 0)] * 3 + [("A", 1)] * 1 + [("A", 2)] * 4
+            + [("B", 0)] * 5 + [("B", 2)] * 1)
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array(
+            [np.datetime64(86400 * r[1], "s") for r in rows]
+        ).cast(pa.timestamp("us")),
+    }))
+    got = cusum_flags(ds, k=2, h=2).to_pandas()
+    assert got["cusum"].tolist() == [1, 0, 2, 3, 2]
+    assert got["flag"].tolist() == [False, False, False, True, False]
