@@ -3035,6 +3035,105 @@ def _q_cusum(sf_dir: str):
         k=70, h=25)
 
 
+def _q_ntile(sf_dir: str):
+    """SQL NTILE(4) per event type ordered by (value, id) — exact
+    window-function tile semantics (first n%q tiles one larger) via a
+    group-bucket exchange + segmented vectorized tiling."""
+    from fluent_server_ray.stages.features import ntile
+
+    return ntile(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value", "event_id"]),
+        "event_type", "value", "event_id", q=4)
+
+
+def _q_event_motifs(sf_dir: str):
+    """Sequential-pattern mining: top-50 consecutive event-type
+    trigrams across per-user timelines — user-bucket exchange +
+    segmented shifts, vocab-top-k merge shape."""
+    from fluent_server_ray.stages.windows import event_motifs
+
+    return event_motifs(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id"]))
+
+
+def _q_event_markov(sf_dir: str):
+    """Laplace-smoothed Markov transition matrix over per-user event
+    sequences, integer-millionths probabilities — distributed pair
+    counts, |states|² driver grid."""
+    from fluent_server_ray.stages.windows import event_markov_probs
+
+    return event_markov_probs(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id"]))
+
+
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (event_type, day) quasi-identifier:
+    class sizes + at-risk flags, distributed grouped count — the
+    privacy gate before a dataset release."""
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.stages.hygiene import k_anonymity
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def derive(t):
+        import pyarrow as pa
+
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "day": pa.array(us // 86_400_000_000)})
+
+    return k_anonymity(ev.map_batches(derive, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       ["event_type", "day"], k=55)
+
+
+def _q_user_profile_outer(sf_dir: str):
+    """FULL OUTER join at driver level: per-user high-value purchase
+    counts ⟗ high-value error counts — one-sided users keep NULL on
+    the missing side (the fill-side float64 dtype policy, driver-
+    checked)."""
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    def side(typ: str, out_name: str):
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        ev = read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "value"])
+
+        def partial(t):
+            m = _pc.and_(_pc.equal(t["event_type"], typ),
+                         _pc.greater(t["value"], 150.0))
+            out = (t.filter(m).select(["user_id"])
+                   .group_by("user_id").aggregate([([], "count_all")]))
+            return out.rename_columns(["user_id", "c"])
+
+        agg = grouped_agg(
+            ev.map_batches(skip_empty(partial), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            keys=["user_id"], aggs=[("c", "sum")], final="ray")
+
+        def rn(t):
+            return t.rename_columns(["user_id", out_name])
+
+        return agg.map_batches(rn, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    j = bucketed_hash_join(side("purchase", "n_purchase"),
+                           side("error", "n_error"),
+                           key="user_id", how="outer")
+    return j.sort("user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -3262,6 +3361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_graph_triangles": _q_token_triangles,
         "orders_price_band_pairs": _q_orders_price_band,
         "events_cusum_drift": _q_cusum,
+        "events_value_ntile": _q_ntile,
+        "event_motifs_top": _q_event_motifs,
+        "event_markov_matrix": _q_event_markov,
+        "events_k_anonymity": _q_k_anonymity,
+        "user_profile_fullouter": _q_user_profile_outer,
     }
 
 
@@ -3798,4 +3902,24 @@ FROM s
             "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)",
             100, "orders"),
         "events_cusum_drift": features.cusum_flags_sql(k=70, h=25),
+        "events_value_ntile": features.ntile_sql(q=4),
+        "event_motifs_top": windows.event_motifs_sql(),
+        "event_markov_matrix": windows.event_markov_probs_sql(),
+        "events_k_anonymity": __import__(
+            "fluent_server_ray.stages.hygiene", fromlist=["x"]
+        ).k_anonymity_sql(
+            ["event_type",
+             "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"],
+            ["event_type", "day"], k=55, table="events"),
+        "user_profile_fullouter": """
+WITH p AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS n_purchase FROM events
+  WHERE event_type = 'purchase' AND value > 150 GROUP BY user_id
+), e AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS n_error FROM events
+  WHERE event_type = 'error' AND value > 150 GROUP BY user_id
+)
+SELECT user_id, n_purchase, n_error
+FROM p FULL OUTER JOIN e USING (user_id) ORDER BY user_id
+""".strip(),
     }

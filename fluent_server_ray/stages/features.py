@@ -1589,3 +1589,71 @@ SELECT key AS {key_col}, day, n, CAST(s AS BIGINT) AS cusum,
   s > {h} AS flag
 FROM cus ORDER BY {key_col}, day
 """.strip()
+
+
+def ntile(ds, group_col: str, value_col: str, id_col: str,
+          q: int = 4, n_buckets: int = 64):
+    """SQL ``NTILE(q)`` per group: rows ordered by ``(value, id)``
+    within each group are dealt into ``q`` tiles, the first ``n % q``
+    tiles one row larger — the exact SQL window semantics (DuckDB,
+    Postgres), used for quantile bucketing / cohort quartiles without
+    computing explicit quantile boundaries.
+
+    ONE group-keyed bucket exchange; rank and tile are segmented
+    vectorized passes over the bucket. NULL groups form their own
+    partition; NULL values sort LAST (SQL default) with id tie-break.
+    Output: (group, id, value, tile) sorted by (group, id).
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    if q <= 0:
+        raise ValueError(f"q must be positive, got {q}")
+
+    schema = pa.schema([
+        pa.field(group_col, pa.string()),
+        pa.field(id_col, pa.int64()),
+        pa.field(value_col, pa.float64()),
+        pa.field("tile", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # NULLS LAST under ascending order = SQL default
+        g = g.sort_values([group_col, value_col, id_col],
+                          na_position="last")
+        grp = g.groupby(group_col, sort=False, dropna=False)
+        n = grp[id_col].transform("size").to_numpy().astype(np.int64)
+        r = grp.cumcount().to_numpy().astype(np.int64)
+        small = n // q            # base tile size
+        n_big = n % q             # first n_big tiles get +1
+        cut = n_big * (small + 1)  # rows covered by the big tiles
+        tile = np.where(
+            r < cut,
+            r // np.maximum(small + 1, 1) + 1,
+            n_big + (r - cut) // np.maximum(small, 1) + 1,
+        ).astype(np.int64)
+        return pd.DataFrame({
+            group_col: g[group_col].to_numpy(),
+            id_col: g[id_col].to_numpy(),
+            value_col: g[value_col].to_numpy(),
+            "tile": tile,
+        })
+
+    bucketed = _with_bucket(
+        ds.select_columns([group_col, value_col, id_col]),
+        group_col, n_buckets)
+    return map_buckets(bucketed, per_bucket, schema).sort(
+        [group_col, id_col])
+
+
+def ntile_sql(group_col: str = "event_type", value_col: str = "value",
+              id_col: str = "event_id", q: int = 4,
+              table: str = "events") -> str:
+    return f"""
+SELECT {group_col}, {id_col}, {value_col},
+  CAST(ntile({q}) OVER (PARTITION BY {group_col}
+       ORDER BY {value_col}, {id_col}) AS BIGINT) AS tile
+FROM {table} ORDER BY {group_col}, {id_col}
+""".strip()

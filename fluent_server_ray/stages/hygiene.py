@@ -906,3 +906,82 @@ SELECT doc_id,
        AS BIGINT) AS n_after
 FROM l ORDER BY doc_id
 """.strip()
+
+
+def k_anonymity(ds, cols: list[str], k: int = 5):
+    """k-anonymity audit over quasi-identifier columns — the privacy
+    gate run before a dataset leaves the pipeline: every distinct
+    quasi-identifier combination with its population and an
+    ``at_risk`` flag (``n < k`` means fewer than k individuals share
+    the combination — re-identifiable; the release rule is suppress or
+    generalize those groups). Complements the content-side scrubbers
+    (:func:`scrub`, :func:`pseudonymize`) which cannot see
+    COMBINATION risk.
+
+    Quasi-id cardinality is O(rows) in the worst case, so the grouped
+    count merges distributed (``grouped_agg(final='ray')``) and the
+    flag is a pure map — the audit table never lands on the driver.
+    NULL quasi-id values form their own class (SQL GROUP BY): since
+    the distributed merge (and Ray's sort boundary sampling) cannot
+    carry NULL keys, each column travels sentinel-filled alongside an
+    ``__isnull`` flag — the (filled, flag) pair IS the class key and
+    orders exactly like SQL's default NULLS-LAST — and the NULLs are
+    restored after the sort.
+    Output: Dataset (cols..., n, at_risk) sorted by cols."""
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    flags = [f"{c}__isnull" for c in cols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        arrays, names = [], []
+        for c in cols:
+            col = t[c].combine_chunks()
+            isnull = pc.is_null(col)
+            sentinel = ("" if pa.types.is_string(col.type)
+                        or pa.types.is_large_string(col.type) else 0)
+            arrays += [pc.fill_null(col, sentinel), isnull]
+            names += [c, f"{c}__isnull"]
+        filled = pa.table(dict(zip(names, arrays)))
+        out = (filled.group_by(names).aggregate([([], "count_all")]))
+        return out.rename_columns(names + ["n"])
+
+    counts = grouped_agg(
+        ds.select_columns(cols).map_batches(
+            skip_empty(partial), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=cols + flags, aggs=[("n", "sum")], final="ray")
+
+    # NULLS-LAST per column: (isnull, filled) ascending
+    sort_keys = [k_ for c, f in zip(cols, flags) for k_ in (f, c)]
+
+    def restore(t: pa.Table) -> pa.Table:
+        n = t["n_sum"].combine_chunks().cast(pa.int64())
+        out_cols = {}
+        for c, f in zip(cols, flags):
+            col = t[c].combine_chunks()
+            out_cols[c] = pc.if_else(t[f].combine_chunks(),
+                                     pa.scalar(None, col.type), col)
+        out_cols["n"] = n
+        out_cols["at_risk"] = pc.less(n, k)
+        return pa.table(out_cols)
+
+    return counts.sort(sort_keys).map_batches(
+        restore, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def k_anonymity_sql(col_exprs: list[str], names: list[str], k: int,
+                    table: str) -> str:
+    """Mirror: ``col_exprs`` (SQL expressions) aliased to ``names``."""
+    sel = ", ".join(f"{e} AS {n}" for e, n in zip(col_exprs, names))
+    keys = ", ".join(names)
+    return f"""
+WITH q AS (SELECT {sel} FROM {table})
+SELECT {keys}, CAST(count(*) AS BIGINT) AS n,
+  count(*) < {k} AS at_risk
+FROM q GROUP BY {keys} ORDER BY {keys}
+""".strip()

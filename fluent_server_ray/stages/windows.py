@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def sessionize(ds, gap_seconds: int = 1800, key_col: str = "user_id",
@@ -1660,4 +1661,215 @@ SELECT {key_col}, CAST(isodow(ts) AS BIGINT) AS dow,
   CAST(hour(ts) AS BIGINT) AS hour,
   CAST(count(*) AS BIGINT) AS n
 FROM {table} GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""".strip()
+
+
+def _event_sequences(ds, user_col: str, ts_col: str, type_col: str,
+                     id_col: str, n_buckets: int):
+    """Shared per-user ordered-sequence exchange: NULL user/ts/type
+    rows drop (SQL concat/partition semantics), then ONE user-bucket
+    exchange; callers run segmented shifts inside the bucket. Order
+    contract: (ts, id) — total because ids are unique."""
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def pre(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t[user_col]),
+                             pc.is_valid(t[ts_col])),
+                     pc.is_valid(t[type_col]))
+        t = t.filter(ok)
+        return pa.table({
+            "u": pc.cast(t[user_col], pa.int64()),
+            "ts_us": t[ts_col].cast(pa.int64()),
+            "id": pc.cast(t[id_col], pa.int64()),
+            "typ": pc.cast(t[type_col], pa.string()),
+        })
+
+    cols = [user_col, ts_col, type_col, id_col]
+    pruned = ds.select_columns(cols).map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True)
+    return _with_bucket(pruned, "u", n_buckets)
+
+
+def event_motifs(ds, user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type", id_col: str = "event_id",
+                 top_k: int = 50, n_buckets: int = 64) -> pa.Table:
+    """Sequential-pattern mining, order-3 motifs: the corpus's most
+    frequent CONSECUTIVE event-type trigrams within per-user
+    timelines — the behavioral-sequence sibling of
+    :func:`textstats.bigram_top` (sessions instead of sentences).
+    What funnel() checks for ONE hypothesized pattern, this mines
+    from the data.
+
+    ONE user-bucket exchange; motif formation is two segmented shifts
+    over the whole bucket (no per-user Python); the unbounded motif
+    space then merges through the vocab-top-k shape (local count
+    combiner → motif-bucket exchange → per-bucket top-k →
+    O(buckets·k) driver merge). Ties: (n DESC, motif ASC).
+    Returns a Table (motif, n)."""
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.groups import map_buckets
+
+    bucketed = _event_sequences(ds, user_col, ts_col, type_col,
+                                id_col, n_buckets)
+    part_schema = pa.schema([pa.field("motif", pa.string()),
+                             pa.field("n", pa.int64()),
+                             pa.field("_bucket", pa.int64())])
+
+    def motifs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts_us", "id"])
+        grp = g.groupby("u", sort=False)
+        t2 = grp["typ"].shift(-1)
+        t3 = grp["typ"].shift(-2)
+        ok = t3.notna().to_numpy()
+        m = (g["typ"].str.cat(t2, sep=">", na_rep="")
+             .str.cat(t3, sep=">", na_rep=""))[ok]
+        c = m.value_counts()
+        arr = c.index.to_numpy(dtype=object)
+        return pd.DataFrame({
+            "motif": arr,
+            "n": c.to_numpy().astype(np.int64),
+            "_bucket": hash_bucket_array(
+                pa.array(arr, pa.string()), n_buckets),
+        })
+
+    parts = map_buckets(bucketed, motifs, part_schema)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("motif", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "motif"],
+                          ascending=[False, True]).head(top_k)
+        return s[["motif", "n"]]
+
+    top_schema = pa.schema([pa.field("motif", pa.string()),
+                            pa.field("n", pa.int64())])
+    tops = map_buckets(parts, per_bucket, top_schema)
+    merged = tops.to_pandas()  # bounded: ≤ n_buckets × top_k rows
+    if merged.empty:
+        return pa.table({"motif": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    merged = merged.sort_values(["n", "motif"],
+                                ascending=[False, True]).head(top_k)
+    return pa.table({
+        "motif": pa.array(merged["motif"].to_numpy(), pa.string()),
+        "n": pa.array(merged["n"].to_numpy(), pa.int64()),
+    })
+
+
+def event_motifs_sql(user_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     id_col: str = "event_id", top_k: int = 50,
+                     table: str = "events") -> str:
+    return f"""
+WITH s AS (
+  SELECT {type_col} AS t1,
+    lead({type_col}, 1) OVER w AS t2,
+    lead({type_col}, 2) OVER w AS t3
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {type_col} IS NOT NULL
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})
+)
+SELECT t1 || '>' || t2 || '>' || t3 AS motif, count(*) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, motif LIMIT {top_k}
+""".strip()
+
+
+def event_markov_probs(ds, user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id",
+                       alpha: int = 1, n_buckets: int = 64) -> pa.Table:
+    """Laplace-smoothed first-order Markov transition model over
+    per-user event-type sequences: the FULL |states|² matrix with
+    ``p = (n + α)·10^6 // (row_total + α·|states|)`` in integer
+    millionths — train the tiny behavioral model distributedly, read
+    the probabilities exactly. States are the event taxonomy (bounded
+    by contract — the driver holds |states|² cells, never events).
+
+    Same user-bucket exchange as :func:`event_motifs`; pair counts
+    cross the wire as per-bucket partials. Unseen transitions get the
+    smoothing floor — that is the point of α.
+    Output: (src, dst, n, p_millionths) sorted."""
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.groups import map_buckets
+
+    bucketed = _event_sequences(ds, user_col, ts_col, type_col,
+                                id_col, n_buckets)
+    pair_schema = pa.schema([pa.field("src", pa.string()),
+                             pa.field("dst", pa.string()),
+                             pa.field("n", pa.int64())])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts_us", "id"])
+        grp = g.groupby("u", sort=False)
+        t2 = grp["typ"].shift(-1)
+        ok = t2.notna().to_numpy()
+        d = pd.DataFrame({"src": g["typ"].to_numpy()[ok],
+                          "dst": t2.to_numpy()[ok]})
+        c = d.groupby(["src", "dst"], sort=False).size().reset_index()
+        c.columns = ["src", "dst", "n"]
+        return c
+
+    parts = map_buckets(bucketed, pairs, pair_schema)
+    counts = grouped_agg(parts, keys=["src", "dst"],
+                         aggs=[("n", "sum")], final="driver")
+    if counts.num_rows == 0:
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "p_millionths": pa.array([], pa.int64())})
+    df = counts.to_pandas()  # bounded: |states|² by contract
+    states = sorted(set(df["src"]) | set(df["dst"]))
+    v = len(states)
+    full = pd.MultiIndex.from_product([states, states],
+                                      names=["src", "dst"]).to_frame(
+        index=False)
+    full = full.merge(df.rename(columns={"n_sum": "n"}),
+                      on=["src", "dst"], how="left")
+    full["n"] = full["n"].fillna(0).astype(np.int64)
+    row_tot = full.groupby("src", sort=False)["n"].transform("sum")
+    p = ((full["n"] + alpha) * 1_000_000) // (row_tot + alpha * v)
+    return pa.table({
+        "src": pa.array(full["src"].to_numpy(), pa.string()),
+        "dst": pa.array(full["dst"].to_numpy(), pa.string()),
+        "n": pa.array(full["n"].to_numpy(), pa.int64()),
+        "p_millionths": pa.array(p.to_numpy().astype(np.int64)),
+    })
+
+
+def event_markov_probs_sql(user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id",
+                           alpha: int = 1,
+                           table: str = "events") -> str:
+    return f"""
+WITH s AS (
+  SELECT {type_col} AS src, lead({type_col}) OVER w AS dst
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {type_col} IS NOT NULL
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})
+), c AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM s
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+), states AS (
+  SELECT DISTINCT src AS st FROM c
+  UNION SELECT DISTINCT dst FROM c
+), nv AS (SELECT count(*) AS v FROM states),
+grid AS (
+  SELECT a.st AS src, b.st AS dst FROM states a CROSS JOIN states b
+), full_ AS (
+  SELECT g.src, g.dst, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN c ON g.src = c.src AND g.dst = c.dst
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+  CAST(((n + {alpha}) * 1000000)
+       // (sum(n) OVER (PARTITION BY src)
+           + {alpha} * (SELECT v FROM nv)) AS BIGINT) AS p_millionths
+FROM full_ ORDER BY src, dst
 """.strip()

@@ -167,3 +167,84 @@ def test_cusum_flags_hand(ray_session):
     got = cusum_flags(ds, k=2, h=2).to_pandas()
     assert got["cusum"].tolist() == [1, 0, 2, 3, 2]
     assert got["flag"].tolist() == [False, False, False, True, False]
+
+
+def test_ntile_exact_sql_semantics(ray_session):
+    from fluent_server_ray.stages.features import ntile
+
+    # group A: 10 rows, q=4 -> tile sizes 3,3,2,2; B: 2 rows -> 1,2
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["A"] * 10 + ["B"] * 2, pa.string()),
+        "v": pa.array([5.0, 1.0, 3.0, 2.0, 4.0, 9.0, 7.0, 6.0, 8.0,
+                       None, 1.0, 0.0], pa.float64()),
+        "id": pa.array(list(range(12)), pa.int64()),
+    }))
+    got = ntile(ds, "g", "v", "id", q=4).to_pandas()
+    a = got[got["g"] == "A"].sort_values("v", na_position="last")
+    assert a["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # NULL value sorts LAST (SQL default) -> last tile
+    assert int(got[(got["g"] == "A") & got["v"].isna()]["tile"]) == 4
+    b = got[got["g"] == "B"].sort_values("v")
+    assert b["tile"].tolist() == [1, 2]
+    with pytest.raises(ValueError):
+        ntile(ds, "g", "v", "id", q=0)
+
+
+def _ev(rows):
+    """(user, sec, type, id) rows -> events-shaped dataset."""
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1], "s") for r in rows]).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "event_id": pa.array([r[3] for r in rows], pa.int64()),
+    }))
+
+
+def test_event_motifs_hand(ray_session):
+    from fluent_server_ray.stages.windows import event_motifs
+
+    ds = _ev([
+        (1, 0, "a", 1), (1, 1, "b", 2), (1, 2, "c", 3), (1, 3, "a", 4),
+        (2, 0, "a", 5), (2, 1, "b", 6), (2, 2, "c", 7),
+        (3, 5, "x", 8), (3, 6, "y", 9),          # too short: no trigram
+    ])
+    got = event_motifs(ds).to_pandas()
+    assert got.values.tolist() == [["a>b>c", 2], ["b>c>a", 1]]
+
+
+def test_event_markov_hand(ray_session):
+    from fluent_server_ray.stages.windows import event_markov_probs
+
+    # user 1: a->b, b->a, a->b ; user 2: a->b   => n(a,b)=3, n(b,a)=1
+    ds = _ev([(1, 0, "a", 1), (1, 1, "b", 2), (1, 2, "a", 3),
+              (1, 3, "b", 4), (2, 0, "a", 5), (2, 1, "b", 6)])
+    got = event_markov_probs(ds, alpha=1).to_pandas()
+    m = {(r.src, r.dst): (r.n, r.p_millionths)
+         for r in got.itertuples()}
+    # states {a,b}, V=2; row a total 3: p(a->a)=(0+1)e6//(3+2),
+    # p(a->b)=(3+1)e6//5; row b total 1: p(b->a)=(1+1)e6//3, p(b->b)=1e6//3
+    assert m[("a", "a")] == (0, 200_000)
+    assert m[("a", "b")] == (3, 800_000)
+    assert m[("b", "a")] == (1, 666_666)
+    assert m[("b", "b")] == (0, 333_333)
+
+
+def test_k_anonymity_hand(ray_session):
+    from fluent_server_ray.stages.hygiene import k_anonymity
+
+    ds = rd.from_arrow(pa.table({
+        "zip": pa.array(["11", "11", "11", "22", "22", None],
+                        pa.string()),
+        "age": pa.array([30, 30, 30, 40, 41, 30], pa.int64()),
+    }))
+    got = k_anonymity(ds, ["zip", "age"], k=2).to_pandas()
+    rows = {(r.zip, r.age): (r.n, r.at_risk) for r in got.itertuples()}
+    assert rows[("11", 30)] == (3, False)
+    assert rows[("22", 40)] == (1, True)
+    assert rows[("22", 41)] == (1, True)
+    # NULL quasi-id value is its own (at-risk) class
+    null_row = got[got["zip"].isna()]
+    assert len(null_row) == 1 and bool(null_row["at_risk"].iloc[0])
+    with pytest.raises(ValueError):
+        k_anonymity(ds, ["zip"], k=0)
