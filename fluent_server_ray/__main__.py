@@ -62,6 +62,11 @@ def main(argv=None) -> int:
                      help="also partition sinks by hash(conv_id) %% N "
                           "(co-locates conversations for downstream "
                           "per-conv consumers)")
+    run.add_argument("--time-partition", choices=["day", "hour"],
+                     default=None,
+                     help="also slice sinks by event time "
+                          "(tslice=YYYY-MM-DD[-HH] hive dirs — "
+                          "fluentd's time-sliced output convention)")
 
     fwd = sub.add_parser("forward", help="msgpack forward frames → routed sinks")
     fwd.add_argument("--frames", required=True, help="glob of frame files")
@@ -125,6 +130,7 @@ def main(argv=None) -> int:
             args.input, args.out, routes=routes,
             shard_group_size=args.shard_group_size,
             conv_buckets=args.conv_buckets,
+            time_partition=args.time_partition,
         )
         print(json.dumps(summary, sort_keys=True))
         ray.shutdown()

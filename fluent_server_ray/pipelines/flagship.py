@@ -218,6 +218,7 @@ def run_pipeline(
     shard_group_size: int = 1,
     max_concurrent_shards: int = 1,
     conv_buckets: int | None = None,
+    time_partition: str | None = None,
 ) -> dict:
     """Run the flagship pipeline; returns the summary dict
     (per-sink totals — the engine's equivalent of the mirror's HTTP
@@ -234,6 +235,16 @@ def run_pipeline(
     in one bucket across every sink and shard, so conversation-keyed
     consumers (sessionization, replay dedup, per-conv analytics) read
     aligned buckets instead of shuffling the corpus.
+
+    ``time_partition='day'|'hour'`` additionally slices every sink by
+    EVENT time (hive dirs ``tslice=YYYY-MM-DD[-HH]``, value kept as a
+    ``time_slice`` data column) — fluentd's time-sliced output-chunk
+    convention (``out_file``'s ``%Y%m%d`` path segments): retention
+    deletes drop whole directories, time-ranged consumers prune at the
+    read (``read_sink(time_slice=...)``), and late-arriving data lands
+    in its event-time slice on replay. Composes with ``conv_buckets``
+    (slice nests INSIDE the bucket). Both layout knobs are part of the
+    output contract and are checked on resume.
     """
     from fluent_server_ray.state.lineage import (
         commit_shard,
@@ -293,9 +304,14 @@ def run_pipeline(
         dupes = sorted({i for i in ids if ids.count(i) > 1})
         raise ValueError(f"duplicate shard ids in one run: {dupes}")
     _check_stale_lineage(out_dir, set(ids), [g for _, g in work])
+    if time_partition not in (None, "day", "hour"):
+        raise ValueError(
+            f"time_partition must be None, 'day' or 'hour', "
+            f"got {time_partition!r}")
     # the sink LAYOUT is part of the output contract too: resuming a
-    # flat out_dir with conv_buckets (or with a different N) would mix
-    # layouts and make bucket-pruned reads silently incomplete
+    # flat out_dir with conv_buckets / time_partition (or different
+    # values) would mix layouts and make pruned reads silently
+    # incomplete
     for m in load_manifests(out_dir):
         prev = m.get("conv_buckets")
         if prev != conv_buckets:
@@ -303,6 +319,14 @@ def run_pipeline(
                 f"out_dir {out_dir!r} was written with conv_buckets="
                 f"{prev!r}; resuming with conv_buckets={conv_buckets!r} "
                 "would mix sink layouts — wipe the out_dir or match it."
+            )
+        prev_t = m.get("time_partition")
+        if prev_t != time_partition:
+            raise ValueError(
+                f"out_dir {out_dir!r} was written with time_partition="
+                f"{prev_t!r}; resuming with time_partition="
+                f"{time_partition!r} would mix sink layouts — wipe the "
+                "out_dir or match it."
             )
 
     def process_shard(item) -> None:
@@ -326,14 +350,19 @@ def run_pipeline(
             batch_size=batch_size,
         )
         sink_dir = os.path.join(out_dir, "sinks", f"shard={shard_id}")
+        part_cols = ["sink"]
         if conv_buckets:
             routed = add_conv_bucket(routed, conv_buckets)
+            part_cols.append("cbucket")
+        if time_partition:
+            routed = add_time_slice(routed, time_partition)
+            part_cols.append("tslice")
         # one shard is bounded (that's what a shard IS at 100 TB), so
         # pinning it briefly lets the write and the count share one pass
         routed_m = routed_sorted(routed).materialize()
         _write_sinks(
             routed_m, sink_dir,
-            partition_cols=["sink", "cbucket"] if conv_buckets else None,
+            partition_cols=part_cols if len(part_cols) > 1 else None,
         )
         # lineage record: per-sink counts for this shard (small result)
         counts = grouped_counts(routed_m, COUNT_KEYS, batch_size=batch_size).to_pandas()
@@ -353,7 +382,8 @@ def run_pipeline(
                 "elapsed_sec": round(time.perf_counter() - t_start, 3),
                 "input_bytes": input_bytes,
                 "conv_buckets": conv_buckets,  # layout contract (checked
-            },                                  # on resume)
+                "time_partition": time_partition,  # on resume)
+            },
         )
 
     if max_concurrent_shards > 1:
@@ -395,6 +425,26 @@ def add_conv_bucket(routed, n_buckets: int):
         return t.append_column("cbucket", b).append_column("conv_bucket", b)
 
     return routed.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_time_slice(routed, granularity: str = "day"):
+    """Append the persisted EVENT-time slice key: ``tslice`` (hive
+    partition column, consumed by the writer) and ``time_slice`` (the
+    same value kept inside the files) — fluentd's time-sliced output
+    convention. ``'day'`` → ``YYYY-MM-DD``, ``'hour'`` →
+    ``YYYY-MM-DD-HH``; a NULL event time slices to ``'unknown'`` (the
+    reject-sink rows must still land deterministically somewhere)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fmt = "%Y-%m-%d" if granularity == "day" else "%Y-%m-%d-%H"
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.strftime(t["ts"], format=fmt), "unknown")
+        return t.append_column("tslice", s).append_column("time_slice", s)
+
+    return routed.map_batches(fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def routed_sorted(routed):

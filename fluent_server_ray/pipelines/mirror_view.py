@@ -268,7 +268,8 @@ def serve_mirror(out_dir: str, port: int = 0, host: str = "127.0.0.1",
 
 
 def read_sink(out_dir: str, sink: str, ordered: bool = True,
-              conv_bucket: int | None = None):
+              conv_bucket: int | None = None,
+              time_slice: str | None = None):
     """Dataset over one sink's routed output across all shards.
 
     ``ordered=True`` re-establishes the stable (conv_id, turn_idx)
@@ -280,6 +281,11 @@ def read_sink(out_dir: str, sink: str, ordered: bool = True,
     bucket's files across all shards — the prune-at-the-read path for
     conversation-keyed consumers: a bucket holds every turn of its
     conversations, so per-conv work on it needs no shuffle.
+
+    ``time_slice='YYYY-MM-DD[-HH]'`` (output written with
+    ``run_pipeline(time_partition=...)``) reads only that event-time
+    slice's directories — the time-ranged prune. Composes with
+    ``conv_bucket`` (slice nests inside the bucket).
     """
     import glob as _glob
 
@@ -287,19 +293,29 @@ def read_sink(out_dir: str, sink: str, ordered: bool = True,
 
     from fluent_server_ray.pipelines.flagship import _is_live_sink_path
 
-    sub = f"cbucket={conv_bucket}" if conv_bucket is not None else "**"
-    files = sorted(
+    # the glob prunes on every layout key the caller pins; unpinned
+    # levels stay wildcards ('**' tolerates both flat and nested
+    # layouts, including the tslice level under a cbucket)
+    parts = [p for p in
+             (f"cbucket={conv_bucket}" if conv_bucket is not None else None,
+              f"tslice={time_slice}" if time_slice is not None else None)
+             if p]
+    # consecutive '**/**' makes Python's glob emit DUPLICATE paths —
+    # collapse to one '**' when nothing is pinned, and set-dedupe
+    # regardless (a double-read would silently double counts)
+    sub = os.path.join(*(["**"] + parts + ["**"])) if parts else "**"
+    files = sorted({
         f for f in _glob.glob(
             os.path.join(out_dir, "sinks", "*", f"sink={sink}", sub,
                          "*.parquet"),
-            recursive=conv_bucket is None,
+            recursive=True,
         )
         # a crashed compaction's *.old / *.compacting remnants must
         # never double-read; repair_compaction clears them, this
         # filter makes readers safe even before it runs
         if _is_live_sink_path(f)
-    )
-    if not files and conv_bucket is not None:
+    })
+    if not files and (conv_bucket is not None or time_slice is not None):
         # a sparse bucket is a legitimate empty result (small corpora
         # leave hash buckets unpopulated) — return a TYPED empty
         # Dataset using a sibling bucket's schema, not an error

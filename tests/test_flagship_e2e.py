@@ -216,3 +216,71 @@ def test_stale_lineage_scheme_fails_fast(ray_session, tmp_path):
     })
     with pytest.raises(ValueError, match="different shard-id scheme"):
         run_pipeline(SF_SMALL, out, shards=[f"{SF_SMALL}/events.parquet"])
+
+
+def test_time_partitioned_sink_layout(ray_session, synth_dir, tmp_path):
+    """time_partition='day': every sink slices by event time
+    (tslice=YYYY-MM-DD hive dirs), slices union to the exact flat
+    output, read_sink(time_slice=...) prunes to one slice, the slice
+    composes with conv_buckets (nests inside), and resuming with a
+    different time_partition refuses."""
+    import glob
+
+    import pandas as pd
+    import pytest
+
+    from fluent_server_ray.pipelines.flagship import run_pipeline
+    from fluent_server_ray.pipelines.mirror_view import read_sink
+
+    flat_out = str(tmp_path / "flat")
+    t_out = str(tmp_path / "timed")
+    s1 = run_pipeline(synth_dir, flat_out)
+    s2 = run_pipeline(synth_dir, t_out, time_partition="day")
+    assert s1["sinks"] == s2["sinks"]  # slicing never changes counts
+
+    days = sorted({
+        p.split("tslice=")[1].split("/")[0]
+        for p in glob.glob(f"{t_out}/sinks/*/sink=errors/tslice=*")
+    })
+    assert days and all(len(d) == 10 for d in days)  # YYYY-MM-DD
+
+    whole = read_sink(t_out, "errors").to_pandas()
+    parts = [read_sink(t_out, "errors", time_slice=d).to_pandas()
+             for d in days]
+    got = pd.concat(parts, ignore_index=True)
+    cols = ["conv_id", "turn_idx", "text"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        whole[cols].sort_values(cols).reset_index(drop=True),
+    )
+    # each slice holds exactly its day's rows (event time, not arrival)
+    for d, p in zip(days, parts):
+        assert (p["time_slice"] == d).all()
+        assert (p["ts"].dt.strftime("%Y-%m-%d") == d).all()
+    # flat equality
+    flat = read_sink(flat_out, "errors").to_pandas()
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        flat[cols].sort_values(cols).reset_index(drop=True),
+    )
+    # layout contract: resume with a different slicing refuses
+    with pytest.raises(ValueError, match="time_partition"):
+        run_pipeline(synth_dir, t_out, time_partition="hour")
+    with pytest.raises(ValueError, match="time_partition"):
+        run_pipeline(synth_dir, t_out)
+    # resume with the SAME layout is the usual no-op
+    assert run_pipeline(synth_dir, t_out,
+                        time_partition="day")["sinks"] == s1["sinks"]
+
+    # composes with conv_buckets: slice nests inside the bucket
+    both_out = str(tmp_path / "both")
+    s3 = run_pipeline(synth_dir, both_out, conv_buckets=4,
+                      time_partition="day")
+    assert s3["sinks"] == s1["sinks"]
+    assert glob.glob(
+        f"{both_out}/sinks/*/sink=*/cbucket=*/tslice=*/*.parquet")
+    one = read_sink(both_out, "errors", conv_bucket=1,
+                    time_slice=days[0]).to_pandas()
+    if len(one):
+        assert (one["conv_bucket"] == 1).all()
+        assert (one["time_slice"] == days[0]).all()
