@@ -608,6 +608,69 @@ def _is_live_sink_path(path: str) -> bool:
                    for p in parts)
 
 
+def delete_time_slices(out_dir: str, before: str | None = None,
+                       slices: list[str] | None = None) -> dict:
+    """Retention deletion: drop whole event-time slice directories —
+    the payoff of ``run_pipeline(time_partition=...)``: expiring old
+    data is a directory unlink, not a rewrite (fluentd's time-sliced
+    buffer expiry; GDPR/TTL retention at 100 TB must not read data to
+    delete it).
+
+    ``before='YYYY-MM-DD[-HH]'`` drops every slice strictly older
+    (slice keys compare lexicographically by construction);
+    ``slices=[...]`` drops named slices. The ``'unknown'`` slice
+    (NULL event times) is never dropped by ``before`` — only by
+    naming it explicitly. Lineage is reconciled AFTER the unlinks
+    from observed parquet metadata (:func:`reconcile_lineage`), so a
+    crash mid-deletion heals on the repeat, and repeating the call is
+    a no-op. Returns {dirs_deleted, rows_deleted, per_sink}.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from fluent_server_ray.state.lineage import load_manifests
+
+    if (before is None) == (slices is None):
+        raise ValueError("pass exactly one of before= / slices=")
+    manifests = load_manifests(out_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed run under {out_dir!r}")
+    if not any(m.get("time_partition") for m in manifests):
+        raise ValueError(
+            "out_dir was not written with time_partition= — there are "
+            "no time slices to delete")
+    repair_compaction(out_dir)
+
+    want = set(slices or [])
+    hit_dirs = []
+    for d in _glob.glob(os.path.join(out_dir, "sinks", "*", "sink=*",
+                                     "**", "tslice=*"), recursive=True):
+        if not os.path.isdir(d) or not _is_live_sink_path(d):
+            continue
+        val = os.path.basename(d).split("=", 1)[1]
+        if before is not None:
+            if val != "unknown" and val < before:
+                hit_dirs.append(d)
+        elif val in want:
+            hit_dirs.append(d)
+
+    rows_deleted = 0
+    per_sink: dict[str, int] = {}
+    for d in sorted(hit_dirs):
+        sink = [p for p in d.split(os.sep)
+                if p.startswith("sink=")][0].split("=", 1)[1]
+        n = sum(_pq.read_metadata(f).num_rows for f in _glob.glob(
+            os.path.join(d, "**", "*.parquet"), recursive=True))
+        shutil.rmtree(d)
+        rows_deleted += n
+        per_sink[sink] = per_sink.get(sink, 0) + n
+
+    reconcile_lineage(out_dir)
+    return {"dirs_deleted": len(hit_dirs), "rows_deleted": rows_deleted,
+            "per_sink": per_sink}
+
+
 def reconcile_lineage(out_dir: str) -> dict:
     """Re-derive every shard's lineage counts from the OBSERVED sink
     files (parquet footer row counts — a metadata scan, no data read)

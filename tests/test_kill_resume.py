@@ -292,3 +292,55 @@ def test_delete_convs_crash_heals_lineage(ray_session, tmp_path):
     assert not os.path.isdir(d + ".old")  # repaired away, not scrubbed
     # reconcile alone is idempotent
     assert reconcile_lineage(out)["reconciled"] == 0
+
+
+def test_delete_time_slices_retention(ray_session, tmp_path):
+    """Retention by time slice: dropping slices older than a cutoff is
+    a directory unlink, lineage reconciles from observed files, reads
+    prune correctly, and the repeat call is a no-op."""
+    import glob
+
+    import pytest
+
+    from fluent_server_ray.pipelines.flagship import (
+        delete_time_slices,
+        run_pipeline,
+    )
+    from fluent_server_ray.pipelines.mirror_view import read_sink
+    from fluent_server_ray.state.lineage import load_manifests
+
+    flat = str(tmp_path / "flat")
+    with pytest.raises(ValueError, match="time_partition"):
+        run_pipeline("/root/testdata/sf0.001", flat), \
+            delete_time_slices(flat, before="2024-01-02")
+
+    out = str(tmp_path / "run")
+    s = run_pipeline("/root/testdata/sf0.001", out, time_partition="day")
+    days = sorted({
+        p.split("tslice=")[1]
+        for p in glob.glob(f"{out}/sinks/*/sink=*/tslice=*")
+    })
+    assert len(days) >= 2
+    cutoff = days[1]
+    keep = read_sink(out, "errors").to_pandas()
+    expect_kept = (keep["time_slice"] >= cutoff).sum()
+
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_time_slices(out)
+    rep = delete_time_slices(out, before=cutoff)
+    assert rep["rows_deleted"] > 0
+    m_total = sum(sum(m["per_sink_counts"].values())
+                  for m in load_manifests(out))
+    assert m_total == s["rows"] - rep["rows_deleted"]
+    after = read_sink(out, "errors").to_pandas()
+    assert len(after) == expect_kept
+    assert (after["time_slice"] >= cutoff).all()
+    # repeat = no-op
+    rep2 = delete_time_slices(out, before=cutoff)
+    assert rep2 == {"dirs_deleted": 0, "rows_deleted": 0, "per_sink": {}}
+    # named-slice deletion drops exactly that slice (per_sink is per
+    # sink; the read above covered only 'errors')
+    rep3 = delete_time_slices(out, slices=[days[-1]])
+    assert rep3["per_sink"].get("errors", 0) == (
+        after["time_slice"] == days[-1]).sum()
+    assert rep3["rows_deleted"] >= rep3["per_sink"].get("errors", 0)
