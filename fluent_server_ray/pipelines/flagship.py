@@ -550,9 +550,10 @@ def delete_convs(out_dir: str, conv_ids) -> dict:
         raise FileNotFoundError(f"no committed run under {out_dir!r}")
     conv_buckets = manifests[0].get("conv_buckets")
 
+    sinks_root = os.path.join(out_dir, "sinks")
     files = sorted(f for f in _glob.glob(
-        os.path.join(out_dir, "sinks", "*", "sink=*", "**", "*.parquet"),
-        recursive=True) if _is_live_sink_path(f))
+        os.path.join(sinks_root, "*", "sink=*", "**", "*.parquet"),
+        recursive=True) if _is_live_sink_path(f, sinks_root))
     if conv_buckets:
         hit = {int(b) for b in
                hash_bucket_array(pa.array(ids, pa.string()), conv_buckets)}
@@ -588,22 +589,30 @@ def delete_convs(out_dir: str, conv_ids) -> dict:
         if not n:
             continue
         rows_deleted += n
-        rel = os.path.relpath(path, os.path.join(out_dir, "sinks"))
+        rel = os.path.relpath(path, sinks_root)
         sink = rel.split(os.sep)[1].split("=", 1)[1]
         per_sink[sink] = per_sink.get(sink, 0) + n
 
-    reconcile_lineage(out_dir)
+    # reconcile only the shards whose files were candidates — the
+    # candidate set is a deterministic function of the tombstones, so
+    # a repeat after a crash re-derives the same scope and still heals
+    touched = {os.path.relpath(f, sinks_root).split(os.sep)[0]
+               .split("=", 1)[1] for f in files}
+    reconcile_lineage(out_dir, shard_ids=touched)
 
     return {"files_scanned": len(files),
             "files_rewritten": sum(1 for _, n in results if n),
             "rows_deleted": rows_deleted, "per_sink": per_sink}
 
 
-def _is_live_sink_path(path: str) -> bool:
+def _is_live_sink_path(path: str, root: str) -> bool:
     """False for files inside compaction remnant dirs (``*.old`` /
     ``*.compacting``) — live readers and surgery must never see a
-    crashed swap's stale copy."""
-    parts = path.split(os.sep)
+    crashed swap's stale copy. Only components BELOW ``root`` (the
+    run's ``sinks`` dir) are tested: a user's out_dir legitimately
+    named ``experiment.old`` must not hide its own data
+    (review finding)."""
+    parts = os.path.relpath(path, root).split(os.sep)
     return not any(p.endswith(".old") or p.endswith(".compacting")
                    for p in parts)
 
@@ -646,7 +655,8 @@ def delete_time_slices(out_dir: str, before: str | None = None,
     hit_dirs = []
     for d in _glob.glob(os.path.join(out_dir, "sinks", "*", "sink=*",
                                      "**", "tslice=*"), recursive=True):
-        if not os.path.isdir(d) or not _is_live_sink_path(d):
+        if not os.path.isdir(d) or not _is_live_sink_path(
+                d, os.path.join(out_dir, "sinks")):
             continue
         val = os.path.basename(d).split("=", 1)[1]
         if before is not None:
@@ -666,44 +676,77 @@ def delete_time_slices(out_dir: str, before: str | None = None,
         rows_deleted += n
         per_sink[sink] = per_sink.get(sink, 0) + n
 
+    # store-wide reconcile: the before=/slices= predicate itself is
+    # store-wide, and a crash-interrupted earlier call may have
+    # unlinked dirs this call no longer sees
     reconcile_lineage(out_dir)
     return {"dirs_deleted": len(hit_dirs), "rows_deleted": rows_deleted,
             "per_sink": per_sink}
 
 
-def reconcile_lineage(out_dir: str) -> dict:
-    """Re-derive every shard's lineage counts from the OBSERVED sink
-    files (parquet footer row counts — a metadata scan, no data read)
-    and re-commit records that drifted. This is the repair half of
-    :func:`delete_convs`: counts are always reconstructable from
+def reconcile_lineage(out_dir: str,
+                      shard_ids: set | None = None) -> dict:
+    """Re-derive shards' lineage counts from the OBSERVED sink files
+    (parquet footer row counts — a metadata scan, no data read) and
+    re-commit records that drifted. This is the repair half of the
+    delete operations: counts are always reconstructable from
     reality, so a crash between file surgery and lineage commit heals
-    on the next call. ``deletes_applied`` accumulates the total
-    reduction vs the original committed counts."""
+    on the next call. A shard whose files are ALL gone reconciles to
+    zero (retention can legitimately empty a shard — review finding).
+    ``deletes_applied`` is derived (original − observed), never
+    accumulated, so reconcile stays idempotent.
+
+    ``shard_ids`` scopes the scan to those shards (the delta-update
+    path for targeted surgery); ``None`` scans the whole store. The
+    per-shard footer sweep runs as parallel Ray tasks — at 100 TB the
+    metadata scan is inherently O(files), but wall time is bounded by
+    the largest shard, not the store."""
     import glob as _glob
 
-    import pyarrow.parquet as _pq
+    import ray
 
     from fluent_server_ray.state.lineage import commit_shard, load_manifests
 
-    observed: dict[str, dict[str, int]] = {}
-    for f in _glob.glob(os.path.join(out_dir, "sinks", "*", "sink=*",
-                                     "**", "*.parquet"), recursive=True):
-        if not _is_live_sink_path(f):
-            continue
-        rel = os.path.relpath(f, os.path.join(out_dir, "sinks"))
-        parts = rel.split(os.sep)
-        shard = parts[0].split("=", 1)[1]
-        sink = parts[1].split("=", 1)[1]
-        n = _pq.read_metadata(f).num_rows
-        observed.setdefault(shard, {})
-        observed[shard][sink] = observed[shard].get(sink, 0) + n
+    sinks_root = os.path.join(out_dir, "sinks")
+
+    @ray.remote
+    def observe(shard_dir: str, root: str) -> tuple:
+        import glob as _g
+        import os as _os
+
+        import pyarrow.parquet as _pqm
+
+        counts: dict[str, int] = {}
+        for f in _g.glob(_os.path.join(shard_dir, "sink=*", "**",
+                                       "*.parquet"), recursive=True):
+            if not _is_live_sink_path(f, root):
+                continue
+            rel = _os.path.relpath(f, shard_dir)
+            sink = rel.split(_os.sep)[0].split("=", 1)[1]
+            counts[sink] = counts.get(sink, 0)                 \
+                + _pqm.read_metadata(f).num_rows
+        sid = _os.path.basename(shard_dir).split("=", 1)[1]
+        return sid, counts
+
+    shard_dirs = [d for d in _glob.glob(os.path.join(sinks_root,
+                                                     "shard=*"))
+                  if os.path.isdir(d)
+                  and _is_live_sink_path(d, sinks_root)]
+    if shard_ids is not None:
+        shard_dirs = [d for d in shard_dirs
+                      if os.path.basename(d).split("=", 1)[1]
+                      in shard_ids]
+    observed = dict(ray.get([observe.remote(d, sinks_root)
+                             for d in shard_dirs]))
 
     fixed = 0
     for m in load_manifests(out_dir):
         sid = m["shard_id"]
-        if sid not in observed:
+        if shard_ids is not None and sid not in shard_ids:
             continue
-        counts = observed[sid]
+        # a shard directory that vanished entirely observes as empty —
+        # its counts must reconcile to zero, not survive stale
+        counts = observed.get(sid, {})
         total = sum(counts.values())
         if (counts == m.get("per_sink_counts")
                 and total == m.get("row_count")):
@@ -748,9 +791,10 @@ def compact_run(out_dir: str, min_files: int = 2) -> dict:
 
     repair_compaction(out_dir)  # never treat a crashed swap's
     # remnants as compaction input
+    sinks_root = os.path.join(out_dir, "sinks")
     leaf_dirs = sorted({os.path.dirname(f) for f in _glob.glob(
-        os.path.join(out_dir, "sinks", "*", "sink=*", "**", "*.parquet"),
-        recursive=True) if _is_live_sink_path(f)})
+        os.path.join(sinks_root, "*", "sink=*", "**", "*.parquet"),
+        recursive=True) if _is_live_sink_path(f, sinks_root)})
 
     @ray.remote
     def compact(d: str) -> tuple:

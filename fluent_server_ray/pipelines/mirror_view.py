@@ -292,7 +292,38 @@ def read_sink(out_dir: str, sink: str, ordered: bool = True,
     import ray.data as rd
 
     from fluent_server_ray.pipelines.flagship import _is_live_sink_path
+    from fluent_server_ray.state.lineage import load_manifests
 
+    # a pruning pin against a layout that was never written would glob
+    # nothing and read as 'legitimately empty' — validate the pin
+    # against the lineage layout contract instead (review finding)
+    if conv_bucket is not None or time_slice is not None:
+        manifests = load_manifests(out_dir)
+        if manifests:
+            n_b = manifests[0].get("conv_buckets")
+            t_p = manifests[0].get("time_partition")
+            if conv_bucket is not None:
+                if not n_b:
+                    raise ValueError(
+                        f"read_sink(conv_bucket=...) on {out_dir!r}, "
+                        "which was not written with conv_buckets=")
+                if not 0 <= conv_bucket < n_b:
+                    raise ValueError(
+                        f"conv_bucket {conv_bucket} out of range "
+                        f"[0, {n_b})")
+            if time_slice is not None:
+                if not t_p:
+                    raise ValueError(
+                        f"read_sink(time_slice=...) on {out_dir!r}, "
+                        "which was not written with time_partition=")
+                want_len = 10 if t_p == "day" else 13
+                if time_slice != "unknown" \
+                        and len(time_slice) != want_len:
+                    raise ValueError(
+                        f"time_slice {time_slice!r} does not match the "
+                        f"run's granularity ({t_p!r})")
+
+    sinks_root = os.path.join(out_dir, "sinks")
     # the glob prunes on every layout key the caller pins; unpinned
     # levels stay wildcards ('**' tolerates both flat and nested
     # layouts, including the tslice level under a cbucket)
@@ -306,25 +337,28 @@ def read_sink(out_dir: str, sink: str, ordered: bool = True,
     sub = os.path.join(*(["**"] + parts + ["**"])) if parts else "**"
     files = sorted({
         f for f in _glob.glob(
-            os.path.join(out_dir, "sinks", "*", f"sink={sink}", sub,
+            os.path.join(sinks_root, "*", f"sink={sink}", sub,
                          "*.parquet"),
             recursive=True,
         )
         # a crashed compaction's *.old / *.compacting remnants must
         # never double-read; repair_compaction clears them, this
         # filter makes readers safe even before it runs
-        if _is_live_sink_path(f)
+        if _is_live_sink_path(f, sinks_root)
     })
     if not files and (conv_bucket is not None or time_slice is not None):
-        # a sparse bucket is a legitimate empty result (small corpora
-        # leave hash buckets unpopulated) — return a TYPED empty
-        # Dataset using a sibling bucket's schema, not an error
+        # a sparse bucket / empty slice is a legitimate empty result
+        # (small corpora leave hash buckets unpopulated; a quiet day
+        # has no rows) — return a TYPED empty Dataset using a sibling
+        # file's schema, not an error. Live-filtered: a compaction
+        # remnant could be truncated mid-write (review finding).
         siblings = sorted(
-            _glob.glob(
-                os.path.join(out_dir, "sinks", "*", f"sink={sink}", "**",
+            f for f in _glob.glob(
+                os.path.join(sinks_root, "*", f"sink={sink}", "**",
                              "*.parquet"),
                 recursive=True,
             )
+            if _is_live_sink_path(f, sinks_root)
         )
         if siblings:
             sch = pq.read_schema(siblings[0])

@@ -310,9 +310,16 @@ def test_delete_time_slices_retention(ray_session, tmp_path):
     from fluent_server_ray.state.lineage import load_manifests
 
     flat = str(tmp_path / "flat")
+    run_pipeline("/root/testdata/sf0.001", flat)
     with pytest.raises(ValueError, match="time_partition"):
-        run_pipeline("/root/testdata/sf0.001", flat), \
-            delete_time_slices(flat, before="2024-01-02")
+        delete_time_slices(flat, before="2024-01-02")
+    # pinned read against an unsliced layout refuses instead of
+    # reading as silently empty
+    from fluent_server_ray.pipelines.mirror_view import read_sink as _rs
+    with pytest.raises(ValueError, match="time_partition"):
+        _rs(flat, "errors", time_slice="2024-01-02")
+    with pytest.raises(ValueError, match="conv_buckets"):
+        _rs(flat, "errors", conv_bucket=0)
 
     out = str(tmp_path / "run")
     s = run_pipeline("/root/testdata/sf0.001", out, time_partition="day")
@@ -344,3 +351,35 @@ def test_delete_time_slices_retention(ray_session, tmp_path):
     assert rep3["per_sink"].get("errors", 0) == (
         after["time_slice"] == days[-1]).sum()
     assert rep3["rows_deleted"] >= rep3["per_sink"].get("errors", 0)
+
+
+def test_retention_can_empty_store_and_old_named_outdir(
+        ray_session, tmp_path):
+    """Review regressions: (1) a cutoff that empties every shard must
+    reconcile lineage to ZERO, not leave it stale; (2) an out_dir
+    whose own name ends in .old must not hide its data from readers
+    and surgery."""
+    import pytest
+
+    from fluent_server_ray.pipelines.flagship import (
+        delete_time_slices,
+        run_pipeline,
+    )
+    from fluent_server_ray.pipelines.mirror_view import read_sink
+    from fluent_server_ray.state.lineage import load_manifests
+
+    out = str(tmp_path / "experiment.old")  # adversarial name
+    s = run_pipeline("/root/testdata/sf0.001", out,
+                     time_partition="day")
+    # readers see the data despite the .old-suffixed out_dir
+    assert len(read_sink(out, "errors").to_pandas()) \
+        == s["sinks"]["errors"]
+
+    rep = delete_time_slices(out, before="9999-99-99")
+    assert rep["rows_deleted"] == s["rows"]
+    m = load_manifests(out)
+    assert sum(mm["row_count"] for mm in m) == 0
+    assert sum(mm["deletes_applied"] for mm in m) == s["rows"]
+    assert all(sum(mm["per_sink_counts"].values()) == 0 for mm in m)
+    with pytest.raises(FileNotFoundError):
+        read_sink(out, "errors")
