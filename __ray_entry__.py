@@ -3134,6 +3134,49 @@ def _q_user_profile_outer(sf_dir: str):
     return j.sort("user_id")
 
 
+def _q_token_bfs(sf_dir: str):
+    """Distributed level-synchronous BFS over the (symmetrized) word-
+    adjacency graph from its most frequent token — single-source
+    shortest paths as bucketed frontier joins; depth-capped
+    recursive-CTE mirror."""
+    from fluent_server_ray.stages.graph import (bfs_distances,
+                                                token_adjacency_edges)
+    from fluent_server_ray.stages.textstats import vocab_top_words
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["text"]).materialize()
+    edges = token_adjacency_edges(docs)
+    source = vocab_top_words(docs, k=1)["word"][0].as_py()
+
+    def both_dirs(t):
+        import pyarrow as pa
+
+        return pa.table({
+            "src": pa.concat_arrays([t["lo"].combine_chunks(),
+                                     t["hi"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["hi"].combine_chunks(),
+                                     t["lo"].combine_chunks()]),
+        })
+
+    sym = edges.map_batches(both_dirs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # n_buckets=8: each BFS round is two bucketed exchanges whose
+    # FIXED cost scales with bucket count — at battery scale the
+    # frontier is tiny; at corpus scale raise it with the cluster
+    return bfs_distances(sym, source, max_depth=4, n_buckets=8)
+
+
+def _q_mutual_information(sf_dir: str):
+    """Mutual information lang × source in floored integer micronats
+    (the feature-dependence metric beside the chi-square pair) —
+    distributed contingency combiner, one exact division at the end."""
+    from fluent_server_ray.stages.features import mutual_information
+
+    return mutual_information(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -3366,6 +3409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov_matrix": _q_event_markov,
         "events_k_anonymity": _q_k_anonymity,
         "user_profile_fullouter": _q_user_profile_outer,
+        "token_graph_bfs": _q_token_bfs,
+        "docs_mutual_information": _q_mutual_information,
     }
 
 
@@ -3922,4 +3967,28 @@ WITH p AS (
 SELECT user_id, n_purchase, n_error
 FROM p FULL OUTER JOIN e USING (user_id) ORDER BY user_id
 """.strip(),
+        "token_graph_bfs": __import__(
+            "fluent_server_ray.stages.graph", fromlist=["x"]
+        ).bfs_distances_sql("""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), bi AS (
+  SELECT t[gs] AS x, t[gs + 1] AS y
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM bi WHERE x <> y
+), w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS word
+  FROM documents
+), v AS (
+  SELECT word, count(*) AS n FROM w GROUP BY word
+  ORDER BY n DESC, word LIMIT 1
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL SELECT b, a FROM e0
+)""", "(SELECT word FROM v)", max_depth=4),
+        "docs_mutual_information": features.mutual_information_sql(),
     }

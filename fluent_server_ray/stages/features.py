@@ -1657,3 +1657,99 @@ SELECT {group_col}, {id_col}, {value_col},
        ORDER BY {value_col}, {id_col}) AS BIGINT) AS tile
 FROM {table} ORDER BY {group_col}, {id_col}
 """.strip()
+
+
+def mutual_information(ds, a_col: str = "lang", b_col: str = "source"):
+    """Mutual information I(A;B) between two categorical columns — the
+    information-theoretic sibling of :func:`contingency_chi2_cat`
+    (chi-square measures deviation from independence; MI measures the
+    SHARED BITS — the feature-selection / redundancy metric).
+
+    Same distributed contingency machinery (per-batch count combiner,
+    bounded |A|×|B| cells on the driver). Exactness contract (the
+    house rule for logs in oracle-compared expressions): every ln()
+    is of an INTEGER argument and floors to integer MICROnats, so the
+    per-cell terms sum order-free in int64:
+    ``term = n_ab · (L(n_ab·N) − L(n_a) − L(n_b) − L(N) + L(N))``…
+    concretely ``L(x) = floor(ln(x)·10^6)`` and
+    ``mi_numerator = Σ n_ab·(L(n_ab·N) − L(n_a·n_b))`` with the final
+    ``mi_nats = numerator / (N·10^6)`` ONE float division. Note
+    ``ln(n_ab·N/(n_a·n_b)) = ln(n_ab·N) − ln(n_a·n_b)`` exactly in
+    the floored contract because both arguments are exact integers.
+
+    Returns a 1-row Table (n_total, mi_numerator, mi_nats).
+    NULLs in either column are excluded (chi2_cat's rule)."""
+    import math
+
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[a_col]),
+                             pc.is_valid(t[b_col])))
+        return pa.table({a_col: pc.cast(t[a_col], pa.string()),
+                         b_col: pc.cast(t[b_col], pa.string())})
+
+    cells = grouped_counts(
+        ds.map_batches(proj, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [a_col, b_col], final="driver")
+    if cells.num_rows == 0:
+        return pa.table({"n_total": pa.array([0], pa.int64()),
+                         "mi_numerator": pa.array([0], pa.int64()),
+                         "mi_nats": pa.array([0.0], pa.float64())})
+    df = pd.DataFrame({
+        "a": cells[a_col].to_pylist(),
+        "b": cells[b_col].to_pylist(),
+        "n": cells["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+    })
+    na = df.groupby("a")["n"].transform("sum").to_numpy()
+    nb = df.groupby("b")["n"].transform("sum").to_numpy()
+    n_tot = int(df["n"].sum())
+
+    def L(x: int) -> int:
+        return math.floor(math.log(x) * 1_000_000)
+
+    # ln() arguments must stay float64-exact (< 2^53) or the SQL
+    # mirror's BIGINT→DOUBLE cast could floor a different millionth
+    if n_tot * int(df["n"].max()) >= 2 ** 53:
+        raise ValueError(
+            "mutual_information: cell·total product exceeds the "
+            "float64-exact range — pre-bucket one column")
+    num = 0
+    for n_ab, n_a, n_b in zip(df["n"].to_numpy(), na, nb):
+        num += int(n_ab) * (L(int(n_ab) * n_tot) - L(int(n_a) * int(n_b)))
+    return pa.table({
+        "n_total": pa.array([n_tot], pa.int64()),
+        "mi_numerator": pa.array([num], pa.int64()),
+        "mi_nats": pa.array([num / (n_tot * 1_000_000)], pa.float64()),
+    })
+
+
+def mutual_information_sql(a_col: str = "lang", b_col: str = "source",
+                           table: str = "documents") -> str:
+    return f"""
+WITH c AS (
+  SELECT {a_col} AS a, {b_col} AS b, CAST(count(*) AS BIGINT) AS n
+  FROM {table}
+  WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT c.*,
+    CAST(sum(n) OVER (PARTITION BY a) AS BIGINT) AS na,
+    CAST(sum(n) OVER (PARTITION BY b) AS BIGINT) AS nb,
+    CAST(sum(n) OVER () AS BIGINT) AS nt
+  FROM c
+), terms AS (
+  SELECT nt,
+    n * (CAST(floor(ln(n * nt) * 1000000) AS BIGINT)
+         - CAST(floor(ln(na * nb) * 1000000) AS BIGINT)) AS term
+  FROM m
+)
+SELECT CAST(max(nt) AS BIGINT) AS n_total,
+  CAST(sum(term) AS BIGINT) AS mi_numerator,
+  CAST(sum(term) AS BIGINT)
+    / (CAST(max(nt) AS DOUBLE) * 1000000.0) AS mi_nats
+FROM terms
+""".strip()

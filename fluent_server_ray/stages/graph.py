@@ -436,3 +436,111 @@ SELECT
      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
 """.strip()
+
+
+def bfs_distances(edges, source: str, src: str = "src",
+                  dst: str = "dst", max_depth: int = 6,
+                  n_buckets: int = 32):
+    """Unweighted single-source shortest paths (level-synchronous
+    distributed BFS) over a directed edge Dataset, ``max_depth``
+    rounds: per round the frontier joins the edge set (one bucketed
+    hash join), newly-reached nodes anti-join the known set (one more
+    bucketed exchange) and become the next frontier. Frontier and
+    known sets live as Datasets — nothing node-scaled on the driver;
+    rounds are data-independent integers, so the result strict-mirrors
+    a depth-capped recursive CTE.
+
+    Nodes unreached within ``max_depth`` are absent (the mirror's
+    semantics). Returns a Dataset (node, dist) sorted by node."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t[src], pa.string()),
+            "dst": pc.cast(t[dst], pa.string()),
+        })
+
+    e = edges.map_batches(skip_empty(edge_rows), batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    known = rd.from_arrow(pa.table({
+        "node": pa.array([source], pa.string()),
+        "dist": pa.array([0], pa.int64()),
+    })).materialize()
+    frontier = known
+
+    for depth in range(1, max_depth + 1):
+        def rn_frontier(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t["node"]})
+
+        j = bucketed_hash_join(
+            frontier.map_batches(rn_frontier, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            e, key="src", n_buckets=n_buckets)
+        # distinct new candidates (a frontier node's fan-in collapses
+        # per bucket before the anti-join)
+        cand = grouped_agg(
+            j.map_batches(
+                skip_empty(lambda t: pa.table({"node": t["dst"]})
+                           .group_by("node").aggregate([])),
+                batch_format="pyarrow", zero_copy_batch=True),
+            keys=["node"], aggs=[("node", "count")], final="ray",
+        ).drop_columns(["node_count"]).materialize()
+        if cand.count() == 0:  # frontier had no out-edges at all — an
+            break              # empty derived side has no join schema
+
+        # anti-join against known: LEFT join on node, keep fill-side
+        # nulls (never reached before)
+        def rn_known(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["node", "_kd"])
+
+        nj = bucketed_hash_join(
+            cand,
+            known.map_batches(rn_known, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            key="node", how="left", n_buckets=n_buckets)
+
+        def fresh(t: pa.Table) -> pa.Table:
+            m = pc.is_null(t["_kd"])
+            kept = t.filter(m)
+            return pa.table({
+                "node": kept["node"],
+                "dist": pa.array(
+                    np.full(kept.num_rows, depth, dtype=np.int64)),
+            })
+
+        frontier = nj.map_batches(skip_empty(fresh),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+        if frontier.count() == 0:
+            break
+        known = known.union(frontier).materialize()
+
+    return known.sort("node")
+
+
+def bfs_distances_sql(edges_cte: str, source_expr: str,
+                      max_depth: int = 6) -> str:
+    """Depth-capped recursive-CTE mirror. ``edges_cte`` is a complete
+    ``WITH`` chain whose LAST CTE is ``e`` with columns (src, dst);
+    ``source_expr`` is a scalar SQL expression for the source node.
+    UNION (not UNION ALL) dedups (node, d) pairs per round, so cycles
+    terminate and the walk stays ≤ |V|·max_depth rows."""
+    return f"""
+WITH RECURSIVE {edges_cte.strip().removeprefix("WITH").strip()},
+walk(node, d) AS (
+  SELECT {source_expr}, 0
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < {max_depth}
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node
+""".strip()

@@ -248,3 +248,54 @@ def test_k_anonymity_hand(ray_session):
     assert len(null_row) == 1 and bool(null_row["at_risk"].iloc[0])
     with pytest.raises(ValueError):
         k_anonymity(ds, ["zip"], k=0)
+
+
+def test_bfs_distances_hand(ray_session):
+    from fluent_server_ray.stages.graph import bfs_distances
+
+    # directed: s->a->b->c->d (chain), s->x, c->s (cycle back)
+    edges = pa.table({
+        "src": pa.array(["s", "a", "b", "c", "s", "c"], pa.string()),
+        "dst": pa.array(["a", "b", "c", "d", "x", "s"], pa.string()),
+    })
+    got = bfs_distances(edges, "s", max_depth=3).to_pandas()
+    dist = dict(zip(got["node"], got["dist"]))
+    # depth cap 3: d (depth 4) absent; cycle back to s keeps dist 0
+    assert dist == {"s": 0, "a": 1, "b": 2, "c": 3, "x": 1}
+    # deeper cap reaches d; nothing else changes
+    got4 = bfs_distances(edges, "s", max_depth=4).to_pandas()
+    assert dict(zip(got4["node"], got4["dist"]))["d"] == 4
+    # isolated source: just itself at distance 0
+    lone = bfs_distances(edges, "zzz", max_depth=2).to_pandas()
+    assert dict(zip(lone["node"], lone["dist"])) == {"zzz": 0}
+
+
+def test_mutual_information_hand(ray_session):
+    import math
+
+    from fluent_server_ray.stages.features import mutual_information
+
+    def mk(counts):
+        rows_a, rows_b = [], []
+        for (a, b), n in counts.items():
+            rows_a += [a] * n
+            rows_b += [b] * n
+        return rd.from_arrow(pa.table({
+            "lang": pa.array(rows_a, pa.string()),
+            "source": pa.array(rows_b, pa.string()),
+        }))
+
+    # perfectly independent 2x2 (proportional cells): MI exactly 0
+    # because n_ab*N == na*nb in every cell -> floored logs cancel
+    indep = mk({("en", "web"): 4, ("en", "book"): 2,
+                ("fr", "web"): 8, ("fr", "book"): 4})
+    got = mutual_information(indep).to_pandas().iloc[0]
+    assert got["mi_numerator"] == 0 and got["mi_nats"] == 0.0
+
+    # perfectly dependent (diagonal): MI = ln(2) with equal halves
+    dep = mk({("en", "web"): 5, ("fr", "book"): 5})
+    got = mutual_information(dep).to_pandas().iloc[0]
+    L = lambda x: math.floor(math.log(x) * 1_000_000)
+    expect = 5 * (L(5 * 10) - L(5 * 5)) * 2
+    assert got["mi_numerator"] == expect
+    assert abs(got["mi_nats"] - math.log(2)) < 1e-5
