@@ -189,7 +189,9 @@ def run_once() -> dict:
                   "doc_bm25_topk", "bigram_pmi_top",
                   "orders_segment_counts_salted", "dedup_ngram_jaccard",
                   "doc_sim_pairs", "dedup_containment",
-                  "purchase_attribution", "doc_rank_fusion"):
+                  "purchase_attribution", "doc_rank_fusion",
+                  "token_graph_triangles", "event_motifs_top",
+                  "prompt_completion_pairs"):
         # best-of-2: the box shows time-varying hypervisor steal
         # (BASELINE.md "round-4 end-of-round confirm"); the min of
         # two reps estimates the true cost like flagship's min-of-3.

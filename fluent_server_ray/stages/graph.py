@@ -251,7 +251,8 @@ def token_adjacency_edges(ds, text_col: str = "text",
 
 
 def triangle_count(edges, a: str = "lo", b: str = "hi",
-                   n_buckets: int = 64) -> pa.Table:
+                   n_buckets: int = 64,
+                   max_dense_nodes: int = 4096) -> pa.Table:
     """Exact triangle count of an undirected graph — the
     degree-ORIENTED (compact-forward) plan whose total wedge work is
     O(m^{3/2}) regardless of degree skew (Chiba–Nishizeki; the
@@ -269,6 +270,13 @@ def triangle_count(edges, a: str = "lo", b: str = "hi",
        vectorized self-merge) emitted in the same total order,
     5. close wedges against the oriented edge set (ONE pair-keyed
        cogrouped exchange) — each triangle counted exactly once.
+
+    Size-adaptive DRIVER continuation (the house pattern of
+    tfidf_cosine_pairs/pair_components): when the distinct node set
+    fits ``max_dense_nodes``, the bounded edge list pulls to the
+    driver and the count is one dense boolean matmul
+    (``Σ (A²∘A)/6``) — byte-identical to the distributed path (parity
+    pinned in pytest), which remains for open-scale graphs.
 
     Returns a 1-row Table (n_nodes, n_edges, n_triangles).
     """
@@ -317,6 +325,25 @@ def triangle_count(edges, a: str = "lo", b: str = "hi",
         keys=["node"], aggs=[("c", "sum")], final="ray",
     ).materialize()
     n_nodes = deg.count()
+
+    if n_nodes <= max_dense_nodes:
+        # driver continuation: edges are ≤ n²/2 ≤ 8M rows, already
+        # distinct — one dense A²∘A matmul replaces five exchanges
+        et = pa.concat_tables(e.iter_batches(batch_size=None,
+                                             batch_format="pyarrow"))
+        lo = et["lo"].to_numpy(zero_copy_only=False)
+        hi = et["hi"].to_numpy(zero_copy_only=False)
+        nodes, codes = np.unique(np.concatenate([lo, hi]),
+                                 return_inverse=True)
+        i, j = codes[:len(lo)], codes[len(lo):]
+        n = len(nodes)
+        A = np.zeros((n, n), dtype=np.int32)
+        A[i, j] = 1
+        A[j, i] = 1
+        tri = int((((A @ A) * A).sum()) // 6)
+        return pa.table({"n_nodes": pa.array([n], pa.int64()),
+                         "n_edges": pa.array([n_edges], pa.int64()),
+                         "n_triangles": pa.array([tri], pa.int64())})
 
     def rn(old: str, new: str):
         def fn(t: pa.Table) -> pa.Table:

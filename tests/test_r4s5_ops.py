@@ -299,3 +299,25 @@ def test_mutual_information_hand(ray_session):
     expect = 5 * (L(5 * 10) - L(5 * 5)) * 2
     assert got["mi_numerator"] == expect
     assert abs(got["mi_nats"] - math.log(2)) < 1e-5
+
+
+def test_triangle_count_driver_vs_distributed_parity(ray_session):
+    """The dense driver continuation and the distributed
+    degree-oriented plan count identically (forced via
+    max_dense_nodes=0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 30
+    pairs = sorted({tuple(sorted((f"n{a}", f"n{b}")))
+                    for a, b in rng.integers(0, n, size=(120, 2))
+                    if a != b})
+    from fluent_server_ray.stages.graph import triangle_count
+
+    t = pa.table({"lo": pa.array([p[0] for p in pairs], pa.string()),
+                  "hi": pa.array([p[1] for p in pairs], pa.string())})
+    fast = triangle_count(t).to_pandas().iloc[0].to_dict()
+    dist = triangle_count(t, max_dense_nodes=0).to_pandas() \
+        .iloc[0].to_dict()
+    assert fast == dist
+    assert fast["n_edges"] == len(pairs)
