@@ -3177,6 +3177,52 @@ def _q_mutual_information(sf_dir: str):
                            columns=["lang", "source"]))
 
 
+def _q_benford(sf_dir: str):
+    """Benford first-digit audit of order totals per priority class —
+    fabricated-data / ingestion-bug screen: integer-cents first digit
+    via the half-away cents contract, pinned expected millionths,
+    bounded grouped-count combiner."""
+    from fluent_server_ray.stages.features import benford_audit
+
+    return benford_audit(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_totalprice", "o_orderpriority"]))
+
+
+def _q_association_rules(sf_dir: str):
+    """Market-basket association rules user_id x event_type (support /
+    confidence / lift in integer millionths): local-distinct combiner,
+    one basket bucket exchange, sentinel-row item/total partials on
+    the same pass, bounded |items|^2 driver merge."""
+    from fluent_server_ray.stages.features import association_rules
+
+    return association_rules(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"]),
+        min_support=1)
+
+
+def _q_volume_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of per-type daily event volumes — the
+    trend-persistence screen beside CUSUM; bounded daily combiner,
+    pearson exact-integer float tree per key."""
+    from fluent_server_ray.stages.features import volume_autocorr
+
+    return volume_autocorr(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
+def _q_events_profile(sf_dir: str):
+    """Column profiler over the events table: per-column rows / nulls /
+    exact distinct / typed min-max in one scalar-partial pass plus one
+    value-hash distinct exchange — the new-source admission audit."""
+    from fluent_server_ray.stages.profile import profile_table
+
+    return profile_table(
+        read_parquet_clean(f"{sf_dir}/events.parquet"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -3411,6 +3457,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_profile_fullouter": _q_user_profile_outer,
         "token_graph_bfs": _q_token_bfs,
         "docs_mutual_information": _q_mutual_information,
+        "orders_benford": _q_benford,
+        "event_association_rules": _q_association_rules,
+        "events_volume_autocorr": _q_volume_autocorr,
+        "events_profile": _q_events_profile,
     }
 
 
@@ -3430,6 +3480,7 @@ def oracle_sql() -> dict[str, str]:
         textstats,
         windows,
     )
+    from fluent_server_ray.stages.profile import profile_table_sql
 
     return {
         "transcripts_parse": oracle.parse_sql(),
@@ -3991,4 +4042,11 @@ WITH toks AS (
   UNION ALL SELECT b, a FROM e0
 )""", "(SELECT word FROM v)", max_depth=4),
         "docs_mutual_information": features.mutual_information_sql(),
+        "orders_benford": features.benford_audit_sql(),
+        "event_association_rules": features.association_rules_sql(),
+        "events_volume_autocorr": features.volume_autocorr_sql(),
+        "events_profile": profile_table_sql(
+            {"event_id": "int", "ts": "timestamp", "user_id": "int",
+             "event_type": "str", "value": "float", "props": "str"},
+            "events"),
     }

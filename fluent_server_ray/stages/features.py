@@ -1753,3 +1753,343 @@ SELECT CAST(max(nt) AS BIGINT) AS n_total,
     / (CAST(max(nt) AS DOUBLE) * 1000000.0) AS mi_nats
 FROM terms
 """.strip()
+
+
+# Benford expected first-digit proportions, floored to integer
+# millionths of floor(log10(1 + 1/d) * 1e6). PINNED LITERALS on both
+# sides of the oracle seam (not recomputed via log10 in SQL) so a
+# 1-ulp libm divergence at a flooring boundary can never split the
+# engines; tests/test_features.py re-derives them from math.log10.
+BENFORD_MILLIONTHS = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_audit(ds, value_col: str = "o_totalprice",
+                  group_col: str = "o_orderpriority") -> pa.Table:
+    """Benford first-significant-digit audit of a positive currency
+    column per group — the classic fabricated-data / ingestion-bug
+    screen (a corrupted feed or synthetic-fill column rarely follows
+    the log-uniform digit law real financial magnitudes do).
+
+    Exactness contract: the value is fixed to integer CENTS with the
+    house half-away rule ``floor(v*100 + 0.5)`` (one identical float64
+    expression in both engines), the first digit is the first character
+    of the cents integer's decimal rendering (pure string/int ops —
+    never float log10, whose floor at a power of ten is
+    rounding-sensitive), and the expected proportions are the pinned
+    :data:`BENFORD_MILLIONTHS` literals. Rows with NULL value/cents<1
+    are excluded (no first digit). Distributed shape: the per-batch
+    grouped-count combiner; |groups|x9 rows reach the driver.
+
+    Output: (group, digit, n, n_group, expected_millionths) sorted.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def digits(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(pc.cast(t[value_col], pa.float64()), 100.0),
+            0.5)), pa.int64())
+        keep = pc.greater_equal(cents, 1)
+        first = pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1)
+        return pa.table({
+            "grp": pc.cast(t[group_col], pa.string()).filter(keep),
+            "digit": pc.cast(first, pa.int64()).filter(keep),
+        })
+
+    cells = grouped_counts(
+        ds.select_columns([value_col, group_col]).map_batches(
+            digits, batch_format="pyarrow", zero_copy_batch=True),
+        ["grp", "digit"], final="driver")
+    import pandas as pd
+
+    df = cells.to_pandas()
+    if len(df) == 0:
+        return pa.table({
+            group_col: pa.array([], pa.string()),
+            "digit": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "n_group": pa.array([], pa.int64()),
+            "expected_millionths": pa.array([], pa.int64())})
+    df = df.sort_values(["grp", "digit"])
+    df["n_group"] = df.groupby("grp")["n"].transform("sum")
+    df["expected_millionths"] = df["digit"].map(BENFORD_MILLIONTHS)
+    return pa.table({
+        group_col: pa.array(df["grp"].to_numpy(), pa.string()),
+        "digit": pa.array(df["digit"].to_numpy().astype(np.int64)),
+        "n": pa.array(df["n"].to_numpy().astype(np.int64)),
+        "n_group": pa.array(df["n_group"].to_numpy().astype(np.int64)),
+        "expected_millionths": pa.array(
+            df["expected_millionths"].to_numpy().astype(np.int64)),
+    })
+
+
+def benford_audit_sql(value_col: str = "o_totalprice",
+                      group_col: str = "o_orderpriority",
+                      table: str = "orders") -> str:
+    vals = ", ".join(f"({d}, {m})" for d, m in BENFORD_MILLIONTHS.items())
+    return f"""
+WITH b AS (
+  SELECT {group_col} AS grp,
+    CAST(substr(CAST(CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+    AND CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT) >= 1
+), c AS (
+  SELECT grp, digit, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+), e(digit, expected_millionths) AS (VALUES {vals})
+SELECT c.grp AS {group_col}, c.digit, c.n,
+  CAST(sum(c.n) OVER (PARTITION BY c.grp) AS BIGINT) AS n_group,
+  CAST(e.expected_millionths AS BIGINT) AS expected_millionths
+FROM c JOIN e ON c.digit = e.digit
+ORDER BY c.grp, c.digit
+""".strip()
+
+
+def association_rules(ds, basket_col: str = "user_id",
+                      item_col: str = "event_type",
+                      min_support: int = 1, n_buckets: int = 64) -> pa.Table:
+    """Market-basket association rules over (basket, item) pairs —
+    every ordered rule ``antecedent -> consequent`` between two items
+    co-present in a basket, with exact support / confidence / lift
+    (Agrawal-Srikant shape, 2-itemsets): the "users who trigger A also
+    trigger B" co-behavior mining step.
+
+    Distributed shape: per-batch LOCAL distinct of (basket, item)
+    (the combiner — within-block repeats never move), ONE basket-hash
+    bucket exchange (each basket's distinct items co-locate; the
+    bucket key is a bounded small int, never one group per basket),
+    then per-bucket vectorized pair formation (one self-merge) plus
+    per-item and distinct-basket partials riding the SAME pass as
+    sentinel rows (kind='item'/'total'; the pmi sentinel trick).
+    Driver merge is bounded |items|^2 + |items| + 1 rows.
+
+    Integer contract: confidence_millionths = n_both*1e6 // n_ant,
+    lift_millionths = n_both*n_baskets*1e6 // (n_ant*n_cons) — python
+    ints here, HUGEINT in the mirror; lift fits BIGINT while
+    n_baskets*1e6 < 2^63. NULL basket or item rows are excluded.
+
+    Output: (antecedent, consequent, n_both, n_ant, n_cons, n_baskets,
+    confidence_millionths, lift_millionths), n_both >= min_support,
+    sorted.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[basket_col]),
+                             pc.is_valid(t[item_col])))
+        return pa.table({
+            "basket": pc.cast(t[basket_col], pa.string()),
+            "item": pc.cast(t[item_col], pa.string()),
+        }).group_by(["basket", "item"]).aggregate([])
+
+    schema = pa.schema([
+        pa.field("kind", pa.string()),
+        pa.field("a", pa.string()),
+        pa.field("b", pa.string()),
+        pa.field("n", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["basket", "item"])
+        pairs = d.merge(d, on="basket")
+        pairs = pairs[pairs["item_x"] != pairs["item_y"]]
+        pp = (pairs.groupby(["item_x", "item_y"]).size()
+              .reset_index(name="n"))
+        items = d.groupby("item").size().reset_index(name="n")
+        return pd.DataFrame({
+            "kind": (["pair"] * len(pp) + ["item"] * len(items)
+                     + ["total"]),
+            "a": (list(pp["item_x"]) + list(items["item"]) + [""]),
+            "b": (list(pp["item_y"]) + [""] * len(items) + [""]),
+            "n": (list(pp["n"]) + list(items["n"])
+                  + [d["basket"].nunique()]),
+        })
+
+    pre = ds.select_columns([basket_col, item_col]).map_batches(
+        local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+    parts = map_buckets(
+        _with_bucket(pre, "basket", n_buckets), per_bucket, schema)
+    # bounded driver merge: <= |items|^2 + |items| + 1 keys
+    merged = pa.concat_tables(
+        parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    out_cols = ["antecedent", "consequent", "n_both", "n_ant", "n_cons",
+                "n_baskets", "confidence_millionths", "lift_millionths"]
+    if merged.num_rows == 0:
+        return pa.table({c: pa.array(
+            [], pa.string() if c in out_cols[:2] else pa.int64())
+            for c in out_cols})
+    df = (merged.to_pandas().groupby(["kind", "a", "b"], as_index=False)
+          ["n"].sum())
+    n_baskets = int(df.loc[df["kind"] == "total", "n"].sum())
+    item_n = {r.a: int(r.n) for r in
+              df[df["kind"] == "item"].itertuples()}
+    rules = df[(df["kind"] == "pair")
+               & (df["n"] >= min_support)].sort_values(["a", "b"])
+    if n_baskets * 1_000_000 >= 2 ** 63:
+        raise ValueError("association_rules: lift_millionths would "
+                         "overflow BIGINT — scale the support floor")
+    ant, cons, n_both, n_ant, n_cons, conf, lift = [], [], [], [], [], [], []
+    for r in rules.itertuples():
+        na, nc, nb = item_n[r.a], item_n[r.b], int(r.n)
+        ant.append(r.a); cons.append(r.b)
+        n_both.append(nb); n_ant.append(na); n_cons.append(nc)
+        conf.append(nb * 1_000_000 // na)
+        lift.append(nb * n_baskets * 1_000_000 // (na * nc))
+    return pa.table({
+        "antecedent": pa.array(ant, pa.string()),
+        "consequent": pa.array(cons, pa.string()),
+        "n_both": pa.array(n_both, pa.int64()),
+        "n_ant": pa.array(n_ant, pa.int64()),
+        "n_cons": pa.array(n_cons, pa.int64()),
+        "n_baskets": pa.array([n_baskets] * len(ant), pa.int64()),
+        "confidence_millionths": pa.array(conf, pa.int64()),
+        "lift_millionths": pa.array(lift, pa.int64()),
+    })
+
+
+def association_rules_sql(basket_col: str = "user_id",
+                          item_col: str = "event_type",
+                          min_support: int = 1,
+                          table: str = "events") -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT CAST({basket_col} AS VARCHAR) AS basket,
+                  CAST({item_col} AS VARCHAR) AS item
+  FROM {table}
+  WHERE {basket_col} IS NOT NULL AND {item_col} IS NOT NULL
+), tot AS (
+  SELECT CAST(count(DISTINCT basket) AS BIGINT) AS nb FROM d
+), s AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+), p AS (
+  SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS n
+  FROM d x JOIN d y ON x.basket = y.basket AND x.item <> y.item
+  GROUP BY 1, 2
+)
+SELECT p.a AS antecedent, p.b AS consequent,
+  p.n AS n_both, sa.n AS n_ant, sb.n AS n_cons, tot.nb AS n_baskets,
+  CAST(CAST(p.n AS HUGEINT) * 1000000 // sa.n AS BIGINT)
+    AS confidence_millionths,
+  CAST(CAST(p.n AS HUGEINT) * tot.nb * 1000000 // (CAST(sa.n AS HUGEINT) * sb.n)
+       AS BIGINT) AS lift_millionths
+FROM p, tot
+JOIN s sa ON sa.item = p.a
+JOIN s sb ON sb.item = p.b
+WHERE p.n >= {min_support}
+ORDER BY p.a, p.b
+""".strip()
+
+
+def volume_autocorr(ds, key_col: str = "event_type",
+                    ts_col: str = "ts") -> pa.Table:
+    """Lag-1 autocorrelation of each key's DAILY event volume — the
+    seasonality/trend-persistence screen beside :func:`cusum_flags`
+    (CUSUM finds sustained level shifts; autocorrelation says whether
+    today's volume predicts tomorrow's at all).
+
+    Daily counts come from the same bounded per-batch combiner as
+    CUSUM (|keys|x|days| rows cross the wire, never events); the lag
+    pairing is SQL ``lag() OVER (PARTITION BY key ORDER BY day)``
+    semantics over OBSERVED days (a gap pairs across it, exactly like
+    the window function). The correlation follows the
+    :func:`pearson_corr` exactness contract: python-int moment sums,
+    the n*Sxy - Sx*Sy subtractions in exact integers (HUGEINT in the
+    mirror), ONE float64 division tree at the end with the
+    HUGEINT->VARCHAR->DOUBLE parse on the SQL side. Keys with < 2 lag
+    pairs or zero variance get corr NULL (SQL corr() would too).
+
+    Output: (key, n_pairs, corr) sorted by key.
+    """
+    import math
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col]))
+        t = t.filter(ok)
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "key": pc.cast(t[key_col], pa.string()),
+            "day": pa.array(us // 86_400_000_000),
+        }).group_by(["key", "day"]).aggregate([([], "count_all")])
+        return out.rename_columns(["key", "day", "n"])
+
+    parts = grouped_agg(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            skip_empty(partial), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=["key", "day"], aggs=[("n", "sum")], final="driver")
+    keys_out, np_out, corr_out = [], [], []
+    if parts.num_rows:
+        df = parts.to_pandas().sort_values(["key", "day"])
+        for key, g in df.groupby("key", sort=True):
+            n = [int(v) for v in g["n_sum"]]
+            xs, ys = n[:-1], n[1:]
+            m = len(xs)
+            keys_out.append(key)
+            np_out.append(m)
+            if m < 2:
+                corr_out.append(None)
+                continue
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            syy = sum(b * b for b in ys)
+            num_i = m * sxy - sx * sy
+            vx_i = m * sxx - sx * sx
+            vy_i = m * syy - sy * sy
+            if vx_i <= 0 or vy_i <= 0:
+                corr_out.append(None)
+                continue
+            corr_out.append(float(num_i) / (math.sqrt(float(vx_i))
+                                            * math.sqrt(float(vy_i))))
+    return pa.table({
+        key_col: pa.array(keys_out, pa.string()),
+        "n_pairs": pa.array(np_out, pa.int64()),
+        "corr": pa.array(corr_out, pa.float64()),
+    })
+
+
+def volume_autocorr_sql(key_col: str = "event_type",
+                        ts_col: str = "ts",
+                        table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS key,
+    CAST(epoch_us({ts_col}) // 86400000000 AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT key, lag(n) OVER (PARTITION BY key ORDER BY day) AS x, n AS y
+  FROM daily
+), pairs AS (
+  SELECT key, CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM lagged WHERE x IS NOT NULL
+), mom AS (
+  SELECT key, CAST(count(*) AS HUGEINT) AS m,
+    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+    sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM pairs GROUP BY key
+)
+SELECT key AS {key_col}, CAST(m AS BIGINT) AS n_pairs,
+  CASE WHEN m < 2 OR m*sxx - sx*sx <= 0 OR m*syy - sy*sy <= 0
+       THEN NULL
+       ELSE CAST(CAST(m*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+            / (sqrt(CAST(CAST(m*sxx - sx*sx AS VARCHAR) AS DOUBLE))
+               * sqrt(CAST(CAST(m*syy - sy*sy AS VARCHAR) AS DOUBLE)))
+  END AS corr
+FROM mom
+ORDER BY key
+""".strip()

@@ -1,0 +1,152 @@
+"""Hand-computed pins for the round-4 sixth-session operators:
+Benford audit, association rules, daily-volume autocorrelation,
+column profiler."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def test_benford_constants_match_log10():
+    from fluent_server_ray.stages.features import BENFORD_MILLIONTHS
+
+    for d in range(1, 10):
+        assert BENFORD_MILLIONTHS[d] == math.floor(
+            math.log10(1 + 1 / d) * 1_000_000)
+
+
+def test_benford_audit_hand(ray_session):
+    from fluent_server_ray.stages.features import benford_audit
+
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array([12.34, 19.99, 2.50, 0.004, 0.005, None, 123.0],
+                      pa.float64()),
+        "g": pa.array(["a", "a", "a", "a", "a", "a", "b"], pa.string()),
+    }))
+    got = benford_audit(ds, "v", "g").to_pandas()
+    # cents: 1234->1, 1999->1, 250->2, 0 (excluded), 1->1, null
+    # (excluded), 12300->1
+    assert got.values.tolist() == [
+        ["a", 1, 3, 4, 301029],
+        ["a", 2, 1, 4, 176091],
+        ["b", 1, 1, 1, 301029],
+    ]
+
+
+def test_association_rules_hand(ray_session):
+    from fluent_server_ray.stages.features import association_rules
+
+    # two blocks: cross-block duplicate (u1, A) must dedup
+    t1 = pa.table({"u": pa.array([1, 1, 2, 2], pa.int64()),
+                   "i": pa.array(["A", "B", "A", "B"], pa.string())})
+    t2 = pa.table({"u": pa.array([1, 2, 3], pa.int64()),
+                   "i": pa.array(["A", "C", "A"], pa.string())})
+    got = association_rules(rd.from_arrow([t1, t2]), "u", "i").to_pandas()
+    rows = {(r.antecedent, r.consequent): r for r in got.itertuples()}
+    # baskets: 1:{A,B} 2:{A,B,C} 3:{A}; supports A=3 B=2 C=1, nb=3
+    assert set(rows) == {("A", "B"), ("B", "A"), ("A", "C"), ("C", "A"),
+                         ("B", "C"), ("C", "B")}
+    r = rows[("A", "B")]
+    assert (r.n_both, r.n_ant, r.n_cons, r.n_baskets) == (2, 3, 2, 3)
+    assert r.confidence_millionths == 2 * 1_000_000 // 3
+    assert r.lift_millionths == 2 * 3 * 1_000_000 // (3 * 2)
+    r = rows[("C", "A")]  # confidence 1.0, lift 1.0
+    assert r.confidence_millionths == 1_000_000
+    assert r.lift_millionths == 1_000_000
+    # min_support filters
+    got2 = association_rules(rd.from_arrow([t1, t2]), "u", "i",
+                             min_support=2).to_pandas()
+    assert set(zip(got2["antecedent"], got2["consequent"])) == {
+        ("A", "B"), ("B", "A")}
+
+
+def _events(days_counts, key="x"):
+    us, keys = [], []
+    for day, n in days_counts:
+        for j in range(n):
+            us.append(day * 86_400_000_000 + j)
+            keys.append(key)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "ts": pa.array(us, pa.timestamp("us")),
+    })
+
+
+def test_volume_autocorr_hand(ray_session):
+    from fluent_server_ray.stages.features import volume_autocorr
+
+    # key x: counts 1,2,3,4 on consecutive days -> perfect lag-1 corr
+    # key y: only 2 observed days -> 1 pair -> NULL
+    # key z: constant counts -> zero variance -> NULL
+    # key w: gap days 0,5,6 -> lag pairs over OBSERVED days
+    t = pa.concat_tables([
+        _events([(0, 1), (1, 2), (2, 3), (3, 4)], "x"),
+        _events([(0, 1), (1, 5)], "y"),
+        _events([(0, 2), (1, 2), (2, 2)], "z"),
+        _events([(0, 1), (5, 2), (6, 4)], "w"),
+    ])
+    got = volume_autocorr(rd.from_arrow(t)).to_pandas()
+    assert list(got["event_type"]) == ["w", "x", "y", "z"]
+    assert list(got["n_pairs"]) == [2, 3, 1, 2]
+    x = got.set_index("event_type")["corr"]
+    assert x["x"] == pytest.approx(1.0)
+    assert pd.isna(x["y"]) and pd.isna(x["z"])
+    # w: pairs (1,2),(2,4) -> perfect positive
+    assert x["w"] == pytest.approx(1.0)
+
+
+def test_profile_table_hand(ray_session):
+    from fluent_server_ray.stages.profile import profile_table
+
+    t1 = pa.table({
+        "i": pa.array([5, -3, None], pa.int64()),
+        "f": pa.array([1.5, -0.0, 2.5], pa.float64()),
+        "s": pa.array(["b", None, "a"], pa.string()),
+        "ts": pa.array([1_000_000, 2_000_000, None], pa.timestamp("us")),
+    })
+    t2 = pa.table({
+        "i": pa.array([5, 7], pa.int64()),
+        "f": pa.array([0.0, 1.5], pa.float64()),
+        "s": pa.array(["a", "c"], pa.string()),
+        "ts": pa.array([500_000, None], pa.timestamp("us")),
+    })
+    got = profile_table(rd.from_arrow([t1, t2])).to_pandas()
+    by = got.set_index("col")
+    assert (got["n_rows"] == 5).all()
+    assert by.loc["i", "n_nulls"] == 1
+    assert by.loc["i", "n_distinct"] == 3          # 5, -3, 7
+    assert by.loc["i", "min_num"] == -3.0
+    assert by.loc["i", "max_num"] == 7.0
+    # -0.0 and 0.0 are ONE distinct value and min renders as 0.0
+    assert by.loc["f", "n_distinct"] == 3          # 1.5, 0.0, 2.5
+    assert by.loc["f", "min_num"] == 0.0
+    assert str(by.loc["f", "min_num"]) == "0.0"    # not "-0.0"
+    assert by.loc["s", "n_nulls"] == 1
+    assert by.loc["s", "n_distinct"] == 3
+    assert by.loc["s", "min_str"] == "a"
+    assert by.loc["s", "max_str"] == "c"
+    assert pd.isna(by.loc["s", "min_num"])
+    assert by.loc["ts", "min_num"] == 500_000.0    # epoch micros
+    assert by.loc["ts", "n_nulls"] == 2
+
+
+def test_profile_table_guards(ray_session):
+    from fluent_server_ray.stages.profile import profile_table
+
+    nan_ds = rd.from_arrow(pa.table({
+        "f": pa.array([1.0, float("nan")], pa.float64())}))
+    # the NaN guard fires inside a Ray task -> RayTaskError wrapper
+    with pytest.raises(Exception, match="NaN"):
+        profile_table(nan_ds)
+    big = rd.from_arrow(pa.table({
+        "i": pa.array([2 ** 53], pa.int64())}))
+    with pytest.raises(ValueError, match="float64-exact"):
+        profile_table(big)
+    lst = rd.from_arrow(pa.table({
+        "l": pa.array([[1, 2]], pa.list_(pa.int64()))}))
+    with pytest.raises(ValueError, match="unsupported column type"):
+        profile_table(lst)
