@@ -3213,6 +3213,70 @@ def _q_volume_autocorr(sf_dir: str):
                            columns=["event_type", "ts"]))
 
 
+def _q_token_kcore(sf_dir: str):
+    """k-core membership (k=16) of the word-adjacency graph —
+    synchronous distributed peel (degree count -> survivor filter ->
+    two-sided edge semi-join per round) with the size-adaptive driver
+    continuation; unrolled MATERIALIZED-CTE mirror."""
+    from fluent_server_ray.stages.graph import (kcore,
+                                                token_adjacency_edges)
+
+    edges = token_adjacency_edges(_docs(sf_dir))
+    return kcore(edges, k=16)
+
+
+def _mod4(t):
+    import pyarrow.compute as pc
+
+    # pyarrow 16 has no pc.modulo: a - (a//4)*4 (the house identity)
+    a = t["event_id"]
+    return pc.subtract(a, pc.multiply(pc.divide(a, 4), 4))
+
+
+def _q_counts_maintained(sf_dir: str):
+    """Incremental materialized-view maintenance of per-(type, day)
+    event counts: base shard applied, delta shard applied, delta
+    REPLAYED (lost-ack retry — must be a ledgered no-op); the
+    maintained view must equal the full-recompute GROUP BY oracle."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import maintain_counts
+
+    store = ("/tmp/fsr_scratch/counts_view_"
+             + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+
+    def proj(t):
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pa.array(us // 86_400_000_000),
+            "event_id": t["event_id"],
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts"]).map_batches(
+        proj, batch_format="pyarrow", zero_copy_batch=True)
+    base = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(_mod4(t), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    delta = ds.map_batches(
+        lambda t: t.filter(pc.equal(_mod4(t), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    keys = ["event_type", "day"]
+    maintain_counts(store, base, keys, "base")
+    maintain_counts(store, delta, keys, "delta-0")
+    # replay the SAME delta id: ledger makes it exactly-once
+    return maintain_counts(store, delta, keys, "delta-0")
+
+
 def _q_events_profile(sf_dir: str):
     """Column profiler over the events table: per-column rows / nulls /
     exact distinct / typed min-max in one scalar-partial pass plus one
@@ -3461,6 +3525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_association_rules": _q_association_rules,
         "events_volume_autocorr": _q_volume_autocorr,
         "events_profile": _q_events_profile,
+        "token_graph_kcore": _q_token_kcore,
+        "events_counts_maintained": _q_counts_maintained,
     }
 
 
@@ -4049,4 +4115,12 @@ WITH toks AS (
             {"event_id": "int", "ts": "timestamp", "user_id": "int",
              "event_type": "str", "value": "float", "props": "str"},
             "events"),
+        "token_graph_kcore": __import__(
+            "fluent_server_ray.stages.graph", fromlist=["x"]
+        ).token_kcore_sql(k=16, rounds=8),
+        "events_counts_maintained": (
+            "SELECT event_type, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
     }

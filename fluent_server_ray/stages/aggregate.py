@@ -540,3 +540,76 @@ SELECT {group_col}, {value_col}, n FROM (
   FROM {inner} GROUP BY {group_col}, {value_col}
 ) WHERE rn = 1 ORDER BY {group_col}
 """.strip()
+
+
+def maintain_counts(store_dir: str, delta_ds, keys: list[str],
+                    delta_id: str) -> pa.Table:
+    """Incremental MATERIALIZED-VIEW maintenance for grouped counts:
+    fold one delta shard into a persisted count view without
+    recomputing history — the steady-state form of the per-sink
+    aggregate (a 100 TB store re-counts only the day's arrivals, not
+    the corpus). Counts are fully algebraic, so view + delta-partials
+    merge exactly; the maintained view equals a full recompute by
+    construction, and the driver query pins that equality against the
+    full-GROUP-BY oracle.
+
+    Durability protocol (the lineage/chunk-ack shape, reference
+    ``message/ack.go:5-20`` ≙ commit-after-write): each application
+    writes a NEW epoch directory ``epoch=<n>/`` holding
+    ``counts.parquet`` + ``manifest.json`` (the applied-delta-id
+    ledger), then atomically swings the ``CURRENT`` pointer file via
+    ``os.replace``. A crash between epoch write and pointer swing
+    leaves the old epoch current (the delta re-applies cleanly on
+    retry); re-applying an ALREADY-LEDGERED ``delta_id`` is a no-op
+    returning the current view — at-least-once delivery with
+    exactly-once effect. The ledger grows one id per applied delta
+    (ids are caller-chosen shard/chunk names, bounded by the number
+    of ingest units, not rows).
+
+    ``delta_ds`` must already carry exactly the ``keys`` columns (+
+    anything else, ignored). Returns the maintained view
+    ``keys + [n]`` sorted by keys.
+    """
+    import json
+    import os
+
+    def _read_current():
+        cur_path = os.path.join(store_dir, "CURRENT")
+        if not os.path.exists(cur_path):
+            return 0, [], None
+        with open(cur_path) as f:
+            epoch = int(f.read().strip())
+        edir = os.path.join(store_dir, f"epoch={epoch}")
+        with open(os.path.join(edir, "manifest.json")) as f:
+            manifest = json.load(f)
+        import pyarrow.parquet as pq
+        return epoch, manifest["applied"], pq.read_table(
+            os.path.join(edir, "counts.parquet"))
+
+    epoch, applied, view = _read_current()
+    if delta_id in applied:
+        # replayed delta (lost-ack retry): exactly-once effect
+        return view.sort_by([(c, "ascending") for c in keys])
+
+    part = grouped_counts(delta_ds.select_columns(keys), keys,
+                          final="driver")
+    if view is None:
+        merged = part
+    else:
+        merged = (pa.concat_tables([view, part])
+                  .group_by(keys).aggregate([("n", "sum")])
+                  .rename_columns(keys + ["n"]))
+    merged = merged.sort_by([(c, "ascending") for c in keys])
+
+    import pyarrow.parquet as pq
+    new_epoch = epoch + 1
+    edir = os.path.join(store_dir, f"epoch={new_epoch}")
+    os.makedirs(edir, exist_ok=True)
+    pq.write_table(merged, os.path.join(edir, "counts.parquet"))
+    with open(os.path.join(edir, "manifest.json"), "w") as f:
+        json.dump({"applied": applied + [delta_id]}, f)
+    tmp = os.path.join(store_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_epoch))
+    os.replace(tmp, os.path.join(store_dir, "CURRENT"))
+    return merged

@@ -571,3 +571,171 @@ walk(node, d) AS (
 SELECT node, CAST(min(d) AS BIGINT) AS dist
 FROM walk GROUP BY node ORDER BY node
 """.strip()
+
+
+def kcore(edges, k: int, a: str = "lo", b: str = "hi",
+          max_rounds: int = 64, n_buckets: int = 32,
+          driver_max_edges: int = 1 << 20):
+    """k-core decomposition membership for a FIXED ``k``: iteratively
+    peel nodes of degree < k until the remainder is stable — the
+    classic dense-subgraph / graph-hygiene primitive (Seidman 1983;
+    Batagelj-Zaveršnik peeling). The k-core is a unique fixed point,
+    so the result is order-independent: any peel schedule converges
+    to the same node set, which is what lets a synchronous distributed
+    peel strict-mirror an unrolled SQL round chain.
+
+    Plan: canonical distinct undirected edges (combiner + distributed
+    distinct), then synchronous rounds of [degree count -> survivor
+    filter -> two-sided edge semi-join]. Size-adaptive DRIVER
+    continuation (the triangle_count house pattern): when the distinct
+    edge set fits ``driver_max_edges``, the peel runs as vectorized
+    numpy bincount rounds on the driver — same round semantics, parity
+    pinned in pytest; the distributed path remains for open-scale
+    graphs. Raises if ``max_rounds`` synchronous rounds do not
+    converge (the pair_components contract — never silently return a
+    non-fixed-point).
+
+    Returns (node, deg) for nodes in the k-core — ``deg`` is the
+    degree WITHIN the core — sorted by node; a pa.Table from the
+    driver path, a Dataset from the distributed path.
+    """
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1 (isolated nodes never "
+                         "appear in an edge list)")
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+
+    def canon(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[a], pa.string())
+        y = pc.cast(t[b], pa.string())
+        ne = pc.invert(pc.equal(x, y))
+        x, y = x.filter(ne), y.filter(ne)
+        lt = pc.less(x, y)
+        return (pa.table({"lo": pc.if_else(lt, x, y),
+                          "hi": pc.if_else(lt, y, x)})
+                .group_by(["lo", "hi"]).aggregate([]))
+
+    e = grouped_agg(
+        edges.map_batches(skip_empty(canon), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        keys=["lo", "hi"], aggs=[("lo", "count")], final="ray",
+    ).drop_columns(["lo_count"]).materialize()
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "deg": pa.array([], pa.int64())})
+    n_edges = e.count()
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= driver_max_edges:
+        # driver peel: bounded by contract, vectorized bincount rounds
+        df = e.to_pandas()
+        codes, nodes = pd.factorize(
+            pd.concat([df["lo"], df["hi"]], ignore_index=True),
+            sort=True)
+        n = len(nodes)
+        lo = codes[:len(df)].astype(np.int64)
+        hi = codes[len(df):].astype(np.int64)
+        ek = np.ones(len(df), dtype=bool)
+        for _ in range(max_rounds):
+            deg = (np.bincount(lo[ek], minlength=n)
+                   + np.bincount(hi[ek], minlength=n))
+            alive = deg >= k
+            nek = ek & alive[lo] & alive[hi]
+            if nek.sum() == ek.sum():
+                keep = np.flatnonzero(alive & (deg > 0))
+                return pa.table({
+                    "node": pa.array(np.asarray(nodes)[keep],
+                                     pa.string()),
+                    "deg": pa.array(deg[keep].astype(np.int64)),
+                })
+            ek = nek
+        raise ValueError(f"kcore: no convergence in {max_rounds} rounds")
+
+    def degrees(es):
+        def node_partial(t: pa.Table) -> pa.Table:
+            both = pa.concat_arrays([t["lo"].combine_chunks(),
+                                     t["hi"].combine_chunks()])
+            return (pa.table({"node": both}).group_by("node")
+                    .aggregate([([], "count_all")])
+                    .rename_columns(["node", "deg"]))
+
+        return grouped_agg(
+            es.map_batches(skip_empty(node_partial),
+                           batch_format="pyarrow", zero_copy_batch=True),
+            keys=["node"], aggs=[("deg", "sum")], final="ray",
+        ).map_batches(
+            lambda t: t.rename_columns(["node", "deg"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    prev_edges = n_edges
+    for _ in range(max_rounds):
+        deg = degrees(e)
+        surv = deg.map_batches(
+            skip_empty(lambda t: t.filter(pc.greater_equal(t["deg"], k))),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        # two-sided semi-join: keep edges with both endpoints alive
+        def lo_key(t: pa.Table) -> pa.Table:
+            return pa.table({"lo": t["node"]})
+
+        def hi_key(t: pa.Table) -> pa.Table:
+            return pa.table({"hi": t["node"]})
+
+        e2 = bucketed_hash_join(
+            e, surv.map_batches(lo_key, batch_format="pyarrow",
+                                zero_copy_batch=True),
+            key="lo", n_buckets=n_buckets)
+        e2 = bucketed_hash_join(
+            e2, surv.map_batches(hi_key, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            key="hi", n_buckets=n_buckets).materialize()
+        n2 = e2.count()
+        if n2 == prev_edges:
+            return surv.sort("node")
+        if n2 == 0:
+            return empty
+        e, prev_edges = e2, n2
+    raise ValueError(f"kcore: no convergence in {max_rounds} rounds")
+
+
+def token_kcore_sql(k: int, rounds: int = 12,
+                    table: str = "documents") -> str:
+    """Unrolled-rounds mirror over the word-adjacency graph (same
+    edge CTE as :func:`token_triangles_sql`). ``rounds`` must be >=
+    the peel's convergence round count for the corpus (the engine
+    raises past ``max_rounds``; a too-small unroll here shows up as a
+    driver mismatch, never a silent pass) — each round MATERIALIZED
+    so DuckDB evaluates it once (the BPE-chain gotcha)."""
+    parts = [f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+), bi AS (
+  SELECT t[gs] AS x, t[gs + 1] AS y
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+), s0 AS MATERIALIZED (
+  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+  FROM bi WHERE x <> y
+)""".strip()]
+    for i in range(rounds):
+        parts.append(f""", d{i} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT lo AS node FROM s{i} UNION ALL SELECT hi FROM s{i})
+  GROUP BY 1
+), s{i + 1} AS MATERIALIZED (
+  SELECT s.lo, s.hi FROM s{i} s
+  JOIN d{i} da ON da.node = s.lo AND da.deg >= {k}
+  JOIN d{i} db ON db.node = s.hi AND db.deg >= {k}
+)""")
+    parts.append(f"""
+SELECT node, deg FROM (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT lo AS node FROM s{rounds} UNION ALL SELECT hi FROM s{rounds})
+  GROUP BY 1
+) WHERE deg >= {k} ORDER BY node""")
+    return "".join(parts)

@@ -150,3 +150,95 @@ def test_profile_table_guards(ray_session):
         "l": pa.array([[1, 2]], pa.list_(pa.int64()))}))
     with pytest.raises(ValueError, match="unsupported column type"):
         profile_table(lst)
+
+
+def _edge_tbl(pairs):
+    return pa.table({
+        "lo": pa.array([p[0] for p in pairs], pa.string()),
+        "hi": pa.array([p[1] for p in pairs], pa.string()),
+    })
+
+
+# path a-b-c-d-e peels one node per round (multi-round), triangle
+# x-y-z survives as the 2-core; e-x bridges them
+_KCORE_EDGES = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                ("e", "x"), ("x", "y"), ("y", "z"), ("x", "z")]
+
+
+def test_kcore_multi_round_peel(ray_session):
+    from fluent_server_ray.stages.graph import kcore
+
+    got = kcore(_edge_tbl(_KCORE_EDGES), k=2).to_pandas()
+    assert got.values.tolist() == [["x", 2], ["y", 2], ["z", 2]]
+    # k above the max degree: empty typed result
+    empty = kcore(_edge_tbl(_KCORE_EDGES), k=4)
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["node", "deg"]
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(_edge_tbl(_KCORE_EDGES), k=0)
+
+
+def test_kcore_driver_vs_distributed_parity(ray_session):
+    from fluent_server_ray.stages.graph import kcore
+
+    a = kcore(_edge_tbl(_KCORE_EDGES), k=2).to_pandas()
+    b = kcore(_edge_tbl(_KCORE_EDGES), k=2,
+              driver_max_edges=0, n_buckets=4).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_maintain_counts_ledger(ray_session, tmp_path):
+    from fluent_server_ray.stages.aggregate import maintain_counts
+
+    store = str(tmp_path / "view")
+    import os
+    os.makedirs(store)
+
+    def shard(types):
+        return rd.from_arrow(pa.table({
+            "k": pa.array(types, pa.string())}))
+
+    v1 = maintain_counts(store, shard(["a", "a", "b"]), ["k"], "s1")
+    assert v1.to_pydict() == {"k": ["a", "b"], "n": [2, 1]}
+    v2 = maintain_counts(store, shard(["b", "c"]), ["k"], "s2")
+    assert v2.to_pydict() == {"k": ["a", "b", "c"], "n": [2, 2, 1]}
+    # replayed delta id: exactly-once effect, view unchanged
+    v3 = maintain_counts(store, shard(["b", "c"]), ["k"], "s2")
+    assert v3.to_pydict() == v2.to_pydict()
+    with open(os.path.join(store, "CURRENT")) as f:
+        assert f.read().strip() == "2"
+
+
+def test_maintain_counts_crash_window(ray_session, tmp_path):
+    """A crash AFTER the new epoch dir is written but BEFORE the
+    CURRENT pointer swings must leave the old view current, and the
+    retry must apply cleanly (at-least-once -> exactly-once)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fluent_server_ray.stages.aggregate import maintain_counts
+
+    store = str(tmp_path / "view")
+    os.makedirs(store)
+
+    def shard(types):
+        return rd.from_arrow(pa.table({
+            "k": pa.array(types, pa.string())}))
+
+    maintain_counts(store, shard(["a"]), ["k"], "s1")
+    # fabricate the crash remnant: orphan epoch=2 never pointed at
+    edir = os.path.join(store, "epoch=2")
+    os.makedirs(edir)
+    pq.write_table(pa.table({"k": pa.array(["zz"], pa.string()),
+                             "n": pa.array([99], pa.int64())}),
+                   os.path.join(edir, "counts.parquet"))
+    with open(os.path.join(edir, "manifest.json"), "w") as f:
+        json.dump({"applied": ["s1", "s2"]}, f)
+    # retry of s2 re-applies against the CURRENT (epoch=1) view,
+    # overwriting the orphan remnant
+    v = maintain_counts(store, shard(["b"]), ["k"], "s2")
+    assert v.to_pydict() == {"k": ["a", "b"], "n": [1, 1]}
+    with open(os.path.join(store, "CURRENT")) as f:
+        assert f.read().strip() == "2"
