@@ -3277,6 +3277,58 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_session_coverage(sf_dir: str):
+    """Per-user interval UNION (merge overlapping activity extents
+    into maximal covered spans): intervals [ts, ts + (event_id % 600)
+    s] in integer micros; one key bucket exchange, whole-bucket
+    segmented cummax islands, gaps-and-islands mirror."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.windows import merge_intervals
+
+    def iv(t):
+        us = t["ts"].cast(pa.int64())
+        eid = t["event_id"]
+        dur = pc.subtract(eid, pc.multiply(pc.divide(eid, 600), 600))
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": us,
+            "e": pc.add(us, pc.multiply(dur, 1_000_000)),
+        })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts"]).map_batches(
+        iv, batch_format="pyarrow", zero_copy_batch=True)
+    return merge_intervals(ds, key_col="user_id",
+                           start_col="s", end_col="e")
+
+
+def _q_json_key_profile(sf_dir: str):
+    """Schema discovery over the schemaless props JSON column (the
+    reference's open Stuff map, msg/option.go:7): per top-level key,
+    rows present + distinct values; json.loads runs once per DISTINCT
+    document (factorize-then-parse)."""
+    from fluent_server_ray.stages.fields import json_key_profile
+
+    return json_key_profile(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["props"]))
+
+
+def _q_ks_drift(sf_dir: str):
+    """Exact two-sample KS statistic (click vs purchase value
+    distributions) in integer millionths — the binning-free drift
+    test beside PSI; distinct-value count combiner, integer max CDF
+    gap."""
+    from fluent_server_ray.stages.features import ks_two_sample
+
+    return ks_two_sample(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["value", "event_type"]))
+
+
 def _q_events_profile(sf_dir: str):
     """Column profiler over the events table: per-column rows / nulls /
     exact distinct / typed min-max in one scalar-partial pass plus one
@@ -3527,6 +3579,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "token_graph_kcore": _q_token_kcore,
         "events_counts_maintained": _q_counts_maintained,
+        "user_session_coverage": _q_session_coverage,
+        "events_json_key_profile": _q_json_key_profile,
+        "events_ks_value_drift": _q_ks_drift,
     }
 
 
@@ -4123,4 +4178,11 @@ WITH toks AS (
             "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
             "CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "user_session_coverage": windows.merge_intervals_sql(
+            "(SELECT CAST(user_id AS VARCHAR) AS key, "
+            "epoch_us(ts) AS s, "
+            "epoch_us(ts) + (event_id % 600) * 1000000 AS e "
+            "FROM events)"),
+        "events_json_key_profile": fields.json_key_profile_sql(),
+        "events_ks_value_drift": features.ks_two_sample_sql(),
     }

@@ -2093,3 +2093,110 @@ SELECT key AS {key_col}, CAST(m AS BIGINT) AS n_pairs,
 FROM mom
 ORDER BY key
 """.strip()
+
+
+def ks_two_sample(ds, value_col: str = "value",
+                  group_col: str = "event_type",
+                  group_a: str = "click", group_b: str = "purchase",
+                  max_distinct: int = 4_000_000) -> pa.Table:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value`` distributions of two groups — the distribution-drift
+    test beside :func:`psi_drift` (PSI needs binning choices; KS is
+    the binning-free max CDF gap, the standard "did this feed's value
+    distribution shift" check).
+
+    Exact-integer contract: over the DISTINCT values of the pooled
+    sample, ``D = max |F_a - F_b|`` is computed as the integer
+    ``d_num = max |cum_a * n_b - cum_b * n_a|`` (python ints; HUGEINT
+    in the mirror) with ONE floor division to millionths at the end —
+    no float CDFs, so the max is order-free and strict-mirrorable.
+
+    Distributed shape: per-batch (value, group) count combiner (the
+    grouped_exact_median caveat applies: per-distinct-value state —
+    right for discrete/rounded value spaces; ``max_distinct`` guards
+    the driver merge and names :func:`psi_drift` as the open-scale
+    continuous path). NULL values are excluded; NaN raises (NaN
+    orders above +inf in SQL, numpy sorts it last too but the CDF
+    would silently include it). Output: one row
+    (n_a, n_b, d_num, ks_millionths).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_in(t[group_col],
+                                      value_set=pa.array(
+                                          [group_a, group_b]))))
+        v = pc.cast(t[value_col], pa.float64())
+        if pc.any(pc.is_nan(v)).as_py():
+            raise ValueError("ks_two_sample: NaN value — filter first")
+        return pa.table({"v": v,
+                         "g": pc.cast(t[group_col], pa.string())})
+
+    cells = grouped_counts(
+        ds.select_columns([value_col, group_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["v", "g"], final="driver")
+    if cells.num_rows > max_distinct:
+        raise ValueError(
+            "ks_two_sample: distinct value space exceeds max_distinct "
+            "— use psi_drift's binned path for continuous open-scale "
+            "columns")
+    import pandas as pd
+
+    df = cells.to_pandas()
+    na = int(df.loc[df["g"] == group_a, "n"].sum())
+    nb = int(df.loc[df["g"] == group_b, "n"].sum())
+    if na == 0 or nb == 0:
+        raise ValueError("ks_two_sample: a group has no rows")
+    if na * nb >= 2 ** 63:
+        raise ValueError("ks_two_sample: n_a*n_b exceeds BIGINT — "
+                         "d_num would overflow the mirror's output cast")
+    wide = (df.pivot_table(index="v", columns="g", values="n",
+                           aggfunc="sum", fill_value=0)
+            .reindex(columns=[group_a, group_b], fill_value=0)
+            .sort_index())
+    ca = cb = 0
+    d_num = 0
+    for x, y in zip(wide[group_a].to_numpy(), wide[group_b].to_numpy()):
+        ca += int(x)
+        cb += int(y)
+        d_num = max(d_num, abs(ca * nb - cb * na))
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "d_num": pa.array([d_num], pa.int64()),
+        "ks_millionths": pa.array([d_num * 1_000_000 // (na * nb)],
+                                  pa.int64()),
+    })
+
+
+def ks_two_sample_sql(value_col: str = "value",
+                      group_col: str = "event_type",
+                      group_a: str = "click", group_b: str = "purchase",
+                      table: str = "events") -> str:
+    return f"""
+WITH c AS (
+  SELECT {value_col} AS v,
+    CAST(count(*) FILTER (WHERE {group_col} = '{group_a}') AS HUGEINT)
+      AS xa,
+    CAST(count(*) FILTER (WHERE {group_col} = '{group_b}') AS HUGEINT)
+      AS xb
+  FROM {table}
+  WHERE {value_col} IS NOT NULL
+    AND {group_col} IN ('{group_a}', '{group_b}')
+  GROUP BY 1
+), tot AS (
+  SELECT sum(xa) AS na, sum(xb) AS nb FROM c
+), cum AS (
+  SELECT sum(xa) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(xb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM c
+)
+SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
+  CAST(max(abs(ca * tot.nb - cb * tot.na)) AS BIGINT) AS d_num,
+  CAST(max(abs(ca * tot.nb - cb * tot.na)) * 1000000
+       // (tot.na * tot.nb) AS BIGINT) AS ks_millionths
+FROM cum, tot
+GROUP BY tot.na, tot.nb
+""".strip()

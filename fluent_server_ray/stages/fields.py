@@ -334,3 +334,102 @@ def melt(ds, id_cols: tuple[str, ...], value_cols: tuple[str, ...],
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def json_key_profile(ds, src_col: str = "props") -> pa.Table:
+    """Schema DISCOVERY over a schemaless JSON column — per observed
+    top-level key: how many rows carry it and how many distinct values
+    it takes. The batch answer to "what is actually inside ``Stuff``"
+    (the reference's open-schema tail, ``msg/option.go:7`` — unknown
+    option keys preserved as an untyped map; this operator is how a
+    reader decides which of those keys deserve real columns).
+
+    Factorize-then-parse (the pseudonymize house trick): each batch
+    collapses to DISTINCT doc strings + counts (Arrow group_by — the
+    combiner), the unbounded distinct-doc space merges distributedly
+    (``grouped_agg(final='ray')``), and ``json.loads`` runs ONCE per
+    distinct document inside tasks — the Python cost scales with
+    |distinct docs|, never rows. The exploded (key, value, n) set
+    materializes once and feeds both aggregates.
+
+    Value-identity contract (bit-matched to DuckDB's JSON
+    normalization, probed: ints/floats/bools/strings/nested objects
+    all render identically): values canonicalize via
+    ``json.dumps(v, separators=(',', ':'), ensure_ascii=False)``;
+    JSON ``null`` maps to SQL NULL (present for ``n_present``,
+    excluded from ``n_distinct`` — SQL ``count(DISTINCT)``). Non-object
+    documents (scalars/arrays) contribute no keys (DuckDB
+    ``json_keys`` returns []); NULL docs are skipped; malformed JSON
+    raises (the mirror errors there too). Top-level keys are
+    schema-sized (bounded) — the final merges are driver-side; the
+    VALUE space is unbounded and only ever moves as distinct pairs.
+
+    Output: (key, n_present, n_distinct) sorted by key.
+    """
+    import json
+
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    grouped_distinct_count,
+                                                    skip_empty)
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        col = t.filter(pc.is_valid(t[src_col]))[src_col]
+        return (pa.table({"doc": pc.cast(col, pa.string())})
+                .group_by("doc").aggregate([([], "count_all")])
+                .rename_columns(["doc", "n"]))
+
+    distinct_docs = grouped_agg(
+        ds.select_columns([src_col]).map_batches(
+            skip_empty(doc_counts), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=["doc"], aggs=[("n", "sum")], final="ray")
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys, vals, ns = [], [], []
+        for doc, n in zip(t["doc"].to_pylist(),
+                          t["n_sum"].to_pylist()):
+            obj = json.loads(doc)  # malformed raises, like the mirror
+            if not isinstance(obj, dict):
+                continue
+            for k, v in obj.items():
+                keys.append(k)
+                vals.append(None if v is None else json.dumps(
+                    v, separators=(",", ":"), ensure_ascii=False))
+                ns.append(n)
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "val": pa.array(vals, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    exploded = distinct_docs.map_batches(
+        skip_empty(explode), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    present = grouped_agg(exploded, keys=["key"],
+                          aggs=[("n", "sum")], final="driver")
+    nd = grouped_distinct_count(exploded, "key", "val", final="driver")
+    pmap = {r["key"]: int(r["n_sum"]) for r in present.to_pylist()}
+    dmap = {r["key"]: int(r["n_distinct"]) for r in nd.to_pylist()}
+    ks = sorted(pmap)
+    return pa.table({
+        "key": pa.array(ks, pa.string()),
+        "n_present": pa.array([pmap[k] for k in ks], pa.int64()),
+        "n_distinct": pa.array([dmap.get(k, 0) for k in ks],
+                               pa.int64()),
+    })
+
+
+def json_key_profile_sql(src_col: str = "props",
+                         table: str = "events") -> str:
+    return f"""
+WITH k AS (
+  SELECT {src_col} AS doc, unnest(json_keys({src_col})) AS key
+  FROM {table} WHERE {src_col} IS NOT NULL
+), v AS (
+  SELECT key,
+    CAST(json_extract(doc, '$."' || key || '"') AS VARCHAR) AS val
+  FROM k
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
+FROM v GROUP BY key ORDER BY key
+""".strip()

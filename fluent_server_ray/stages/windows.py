@@ -1873,3 +1873,105 @@ SELECT src, dst, CAST(n AS BIGINT) AS n,
            + {alpha} * (SELECT v FROM nv)) AS BIGINT) AS p_millionths
 FROM full_ ORDER BY src, dst
 """.strip()
+
+
+def merge_intervals(ds, key_col: str = "user_id",
+                    start_col: str = "s", end_col: str = "e",
+                    n_buckets: int = 64):
+    """Per-key interval UNION (merge overlapping/touching intervals
+    into maximal covered spans) — the coverage primitive behind
+    "actual connected time", SLA uptime stitching, and span-level
+    dedup of annotated ranges. :func:`sessionize` cuts on GAPS between
+    points; this merges EXTENTS with real durations — the two halves
+    of the islands family.
+
+    Semantics (SQL gaps-and-islands): intervals sort (start, end)
+    within key; an interval starts a new island iff its start is
+    STRICTLY greater than the running max end of its predecessors
+    (touching intervals — start == prev end — merge, standard union
+    semantics). Start/end are int64 (micros or any monotone unit);
+    NULL key is its own partition (SQL PARTITION BY); NULL start/end
+    rows are dropped (no extent).
+
+    One key-hash bucket exchange; per bucket the island detection is
+    whole-bucket vectorized (segmented cummax + cumsum — never
+    per-group Python). Output: (key, start, end, n_merged) — the
+    merged spans — sorted.
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[start_col]),
+                             pc.is_valid(t[end_col])))
+        return pa.table({
+            "key": pc.cast(t[key_col], pa.string()),
+            "s": pc.cast(t[start_col], pa.int64()),
+            "e": pc.cast(t[end_col], pa.int64()),
+        })
+
+    schema = pa.schema([
+        pa.field("key", pa.string()),
+        pa.field("start", pa.int64()),
+        pa.field("end", pa.int64()),
+        pa.field("n_merged", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "s", "e"], na_position="first")
+        grp = g.groupby("key", sort=False, dropna=False)
+        # segmented cummax + shift, both cythonized; nullable Int64
+        # keeps the shift EXACT (an int64->float64 shift would lose
+        # precision past 2^53)
+        cm = grp["e"].cummax().astype("Int64").shift(1)
+        head = grp.cumcount().to_numpy() == 0
+        s = g["s"].to_numpy()
+        pm = cm.fillna(np.iinfo(np.int64).min).to_numpy(
+            dtype=np.int64)
+        brk = head | (s > pm)
+        island = np.cumsum(brk)
+        out = pd.DataFrame({
+            "key": g["key"].to_numpy(), "island": island,
+            "s": s, "e": g["e"].to_numpy()})
+        m = out.groupby(["key", "island"], sort=False, dropna=False).agg(
+            start=("s", "min"), end=("e", "max"),
+            n_merged=("s", "size")).reset_index()
+        return m[["key", "start", "end", "n_merged"]]
+
+    bucketed = _with_bucket(
+        ds.map_batches(clean, batch_format="pyarrow",
+                       zero_copy_batch=True), "key", n_buckets)
+    return map_buckets(bucketed, per_bucket, schema).sort(
+        ["key", "start", "end"])
+
+
+def merge_intervals_sql(inner: str, key_col: str = "key") -> str:
+    """Mirror over ``inner`` (a subquery/CTE named relation with
+    columns (key, s, e)): running-max-end islands, strict-greater
+    break rule, touching intervals merge."""
+    return f"""
+WITH iv AS (SELECT * FROM {inner} WHERE s IS NOT NULL AND e IS NOT NULL),
+r AS (
+  SELECT {key_col} AS key, s, e,
+    max(e) OVER (PARTITION BY {key_col} ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_max
+  FROM iv
+), b AS (
+  SELECT key, s, e,
+    CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS brk
+  FROM r
+), isl AS (
+  SELECT key, s, e,
+    sum(brk) OVER (PARTITION BY key ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM b
+)
+SELECT key, CAST(min(s) AS BIGINT) AS start,
+  CAST(max(e) AS BIGINT) AS "end",
+  CAST(count(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY key, island
+ORDER BY key, start, "end"
+""".strip()

@@ -242,3 +242,89 @@ def test_maintain_counts_crash_window(ray_session, tmp_path):
     assert v.to_pydict() == {"k": ["a", "b"], "n": [1, 1]}
     with open(os.path.join(store, "CURRENT")) as f:
         assert f.read().strip() == "2"
+
+
+def test_merge_intervals_hand(ray_session):
+    from fluent_server_ray.stages.windows import merge_intervals
+
+    t = pa.table({
+        "k": pa.array(["u", "u", "u", "u", "v", None, "u"], pa.string()),
+        "s": pa.array([0, 5, 20, 40, 7, 1, None], pa.int64()),
+        "e": pa.array([10, 20, 30, 50, 9, 3, 99], pa.int64()),
+    })
+    got = merge_intervals(rd.from_arrow(t), "k", "s", "e",
+                          n_buckets=4).to_pandas()
+    # u: (0,10)+(5,20) overlap, (20,30) TOUCHES -> one span (0,30,3);
+    # (40,50) separate. v: single. NULL key own partition. NULL start
+    # row dropped.
+    recs = [[r["key"], r["start"], r["end"], r["n_merged"]]
+            for _, r in got.iterrows()]
+    assert [x for x in recs if x[0] == "u"] == [
+        ["u", 0, 30, 3], ["u", 40, 50, 1]]
+    assert [x for x in recs if x[0] == "v"] == [["v", 7, 9, 1]]
+    assert [x for x in recs if x[0] is None] == [[None, 1, 3, 1]]
+    assert len(recs) == 4
+
+
+def test_json_key_profile_hand(ray_session):
+    from fluent_server_ray.stages.fields import json_key_profile
+
+    docs = [
+        '{"a": 1, "b": "x"}',
+        '{"a": 1, "b": "y"}',
+        '{"a": 2, "c": null}',       # null: present, not distinct
+        '{"a": 1, "b": "x"}',        # duplicate doc (factorize path)
+        '[1, 2]',                     # array: no keys
+        '"scalar"',                   # scalar: no keys
+        None,                         # NULL doc skipped
+        '{"d": {"z": 1}, "c": null}',  # nested object value
+    ]
+    ds = rd.from_arrow(pa.table({"props": pa.array(docs, pa.string())}))
+    got = json_key_profile(ds).to_pandas()
+    by = got.set_index("key")
+    assert list(got["key"]) == ["a", "b", "c", "d"]
+    assert by.loc["a", "n_present"] == 4
+    assert by.loc["a", "n_distinct"] == 2          # 1, 2
+    assert by.loc["b", "n_present"] == 3
+    assert by.loc["b", "n_distinct"] == 2          # "x", "y"
+    assert by.loc["c", "n_present"] == 2
+    assert by.loc["c", "n_distinct"] == 0          # only nulls
+    assert by.loc["d", "n_present"] == 1
+    assert by.loc["d", "n_distinct"] == 1
+    bad = rd.from_arrow(pa.table({
+        "props": pa.array(['{"a": }'], pa.string())}))
+    with pytest.raises(Exception, match="Expecting value"):
+        json_key_profile(bad)
+
+
+def test_ks_two_sample_hand(ray_session):
+    from fluent_server_ray.stages.features import ks_two_sample
+
+    t = pa.table({
+        "value": pa.array([1.0, 1.0, 2.0, 2.0, 3.0, 9.9],
+                          pa.float64()),
+        "event_type": pa.array(["a", "a", "a", "b", "b", "other"],
+                               pa.string()),
+    })
+    got = ks_two_sample(rd.from_arrow(t), "value", "event_type",
+                        "a", "b").to_pandas()
+    # a: [1,1,2] b: [2,3]; cum@1: |2*2-0*3|=4; @2: |6-3|=3; @3: 0
+    assert got.values.tolist() == [[3, 2, 4, 4 * 1_000_000 // 6]]
+    # identical distributions -> D = 0
+    t2 = pa.table({
+        "value": pa.array([1.0, 2.0, 1.0, 2.0], pa.float64()),
+        "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+    })
+    got2 = ks_two_sample(rd.from_arrow(t2), "value", "event_type",
+                         "a", "b").to_pandas()
+    assert got2["d_num"].tolist() == [0]
+    with pytest.raises(ValueError, match="no rows"):
+        ks_two_sample(rd.from_arrow(t2), "value", "event_type",
+                      "a", "zzz")
+    nan_t = pa.table({
+        "value": pa.array([float("nan"), 1.0], pa.float64()),
+        "event_type": pa.array(["a", "b"], pa.string()),
+    })
+    with pytest.raises(Exception, match="NaN"):
+        ks_two_sample(rd.from_arrow(nan_t), "value", "event_type",
+                      "a", "b")
