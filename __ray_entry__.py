@@ -3277,6 +3277,47 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_readability(sf_dir: str):
+    """Coleman-Liau readability per doc — integer letter/word/sentence
+    counts + ONE declared float tree (bit-exact vs the mirror)."""
+    from fluent_server_ray.stages.textstats import (apply_doc_stage,
+                                                    readability_batch)
+
+    return apply_doc_stage(_docs(sf_dir), readability_batch)
+
+
+def _q_fuzzy_match(sf_dir: str):
+    """Fuzzy join (record linkage): documents with the first char
+    dropped on odd doc_ids matched back to the clean table within
+    byte Levenshtein 2 on 32-codepoint prefixes — length-band
+    blocking, across-pairs DP kernel shared with
+    dedup.edit_distance_dupes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.joins import fuzzy_join
+
+    docs = _docs(sf_dir)
+
+    def corrupt(t):
+        odd = pc.equal(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 2), 2)), 1)
+        return pa.table({
+            "id": t["doc_id"],
+            "text": pc.if_else(
+                odd, pc.utf8_slice_codeunits(t["text"], 1, 2 ** 31),
+                t["text"]),
+        })
+
+    left = docs.map_batches(corrupt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = docs.map_batches(
+        lambda t: pa.table({"id": t["doc_id"], "text": t["text"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return fuzzy_join(left, right, max_dist=2, prefix_len=32)
+
+
 def _q_session_coverage(sf_dir: str):
     """Per-user interval UNION (merge overlapping activity extents
     into maximal covered spans): intervals [ts, ts + (event_id % 600)
@@ -3582,6 +3623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_coverage": _q_session_coverage,
         "events_json_key_profile": _q_json_key_profile,
         "events_ks_value_drift": _q_ks_drift,
+        "doc_readability": _q_readability,
+        "doc_fuzzy_match": _q_fuzzy_match,
     }
 
 
@@ -4185,4 +4228,13 @@ WITH toks AS (
             "FROM events)"),
         "events_json_key_profile": fields.json_key_profile_sql(),
         "events_ks_value_drift": features.ks_two_sample_sql(),
+        "doc_readability": textstats.readability_sql(),
+        "doc_fuzzy_match": __import__(
+            "fluent_server_ray.stages.joins", fromlist=["x"]
+        ).fuzzy_join_sql(
+            "(SELECT doc_id AS id, CASE WHEN doc_id % 2 = 1 "
+            "THEN substr(text, 2) ELSE text END AS text "
+            "FROM documents)",
+            "(SELECT doc_id AS id, text FROM documents)",
+            max_dist=2, prefix_len=32),
     }

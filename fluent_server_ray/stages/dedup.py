@@ -2319,6 +2319,33 @@ SELECT doc_id, component, {score_col} FROM (
 
 # ------------------------------------------ edit-distance near-dup pairs
 
+def _pairwise_levenshtein(A, B, la, lb, P):
+    """Byte-level Levenshtein distance for many (A[i], B[i]) pairs at
+    once: the DP advances row-by-row over ALL pairs simultaneously —
+    the insertion chain ``cur[j] = min(base[j], cur[j-1]+1)`` resolves
+    as ONE ``np.minimum.accumulate`` per DP row via the ``d[j] =
+    cur[j] - j`` transform, so a band of P-byte strings costs O(P)
+    numpy calls regardless of pair count (never a per-pair Python
+    loop). ``A``/``B`` are (m, P) byte matrices, ``la``/``lb`` the
+    true byte lengths. Returns int32 distances."""
+    m = len(la)
+    jj = np.arange(P + 1, dtype=np.int32)
+    prev = np.tile(jj, (m, 1))
+    res = lb.astype(np.int32).copy()  # la == 0 rows: dist = lb
+    for i in range(1, P + 1):
+        cost = (A[:, i - 1:i] != B).astype(np.int32)
+        base = np.empty_like(prev)
+        base[:, 0] = i
+        base[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        d = np.minimum.accumulate(base - jj, axis=1)
+        cur = d + jj
+        done = la == i
+        if done.any():
+            res[done] = cur[done, lb[done]]
+        prev = cur
+    return res
+
+
 def edit_distance_dupes(ds, id_col: str = "doc_id",
                         text_col: str = "text", prefix_len: int = 64,
                         max_dist: int = 2, band_width: int = 8,
@@ -2420,25 +2447,8 @@ def edit_distance_dupes(ds, id_col: str = "doc_id",
                     - np.repeat(np.cumsum(lens) - lens, lens))
             mat[rows, cols] = flat
 
-        A, B = mat[i_idx], mat[j_idx]
-        la, lb = lens[i_idx], lens[j_idx]
-        m = len(i_idx)
-        jj = np.arange(P + 1, dtype=np.int32)
-        prev = np.tile(jj, (m, 1))
-        res = lb.astype(np.int32).copy()  # la == 0 rows: dist = lb
-        for i in range(1, P + 1):
-            cost = (A[:, i - 1:i] != B).astype(np.int32)
-            base = np.empty_like(prev)
-            base[:, 0] = i
-            base[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
-            # insertion chain cur[j] = min(base[j], cur[j-1]+1) via
-            # d[j] = cur[j] - j = min-accumulate(base[j] - j)
-            d = np.minimum.accumulate(base - jj, axis=1)
-            cur = d + jj
-            done = la == i
-            if done.any():
-                res[done] = cur[done, lb[done]]
-            prev = cur
+        res = _pairwise_levenshtein(mat[i_idx], mat[j_idx],
+                                    lens[i_idx], lens[j_idx], P)
         ok = res <= max_dist
         if not ok.any():
             return empty

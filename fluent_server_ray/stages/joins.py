@@ -552,3 +552,142 @@ FROM c x JOIN c y
   ON y.id > x.id AND y.v BETWEEN x.v - {eps} AND x.v + {eps}
 ORDER BY id_a, id_b
 """.strip()
+
+
+def fuzzy_join(left_ds, right_ds, id_col: str = "id",
+               text_col: str = "text", max_dist: int = 2,
+               prefix_len: int = 64, band_width: int = 8,
+               max_band_pairs: int = 5_000_000):
+    """Fuzzy (approximate-string) JOIN between two tables: every
+    (left, right) pair whose ``text_col`` values are within BYTE-level
+    Levenshtein distance ``max_dist`` on their first ``prefix_len``
+    codepoints — the record-linkage / entity-resolution primitive
+    (match a dirty feed's keys back to a reference table through
+    typos). The cross-table sibling of
+    :func:`dedup.edit_distance_dupes`, sharing its blocking proof and
+    its across-pairs DP kernel (``dedup._pairwise_levenshtein``).
+
+    Blocking (recall 1 within the radius): distance >= |byte-length
+    delta| and ``band_width > max_dist``, so a qualifying pair's
+    length bands differ by at most 1. LEFT rows replicate to bands
+    (b-1, b, b+1); RIGHT rows sit only in their own band; every pair
+    is evaluated exactly once — at the right row's band. Candidate
+    pairs per band are length-windowed and capped (raises past
+    ``max_band_pairs``): this is a bounded-verification-pool operator;
+    block on a stronger key first for open-scale feeds.
+
+    Returns a Dataset (id_l, id_r, dist) sorted. NULL text matches
+    nothing (dropped); ids must be int64.
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.dedup import _pairwise_levenshtein
+
+    if band_width <= max_dist:
+        raise ValueError("band_width must exceed max_dist for "
+                         "adjacent-band blocking to be complete")
+
+    def explode(side: int):
+        shifts = (-1, 0, 1) if side == 0 else (0,)
+
+        def fn(t: pa.Table):
+            t = t.filter(pc.is_valid(t[text_col]))
+            pref = pc.utf8_slice_codeunits(
+                pc.cast(t[text_col], pa.string()), 0, prefix_len)
+            nbytes = pc.binary_length(pref).to_numpy(
+                zero_copy_only=False)
+            band = (nbytes // band_width).astype(np.int64)
+            base = pa.table({
+                "_id": pc.cast(t[id_col], pa.int64()),
+                "_pref": pref,
+                "_nb": pa.array(nbytes.astype(np.int64)),
+                "_side": pa.array(
+                    np.full(t.num_rows, side, dtype=np.int64)),
+            })
+            return pa.concat_tables([
+                base.append_column("_band", pa.array(band + s))
+                for s in shifts])
+
+        return fn
+
+    both = (left_ds.map_batches(skip_empty(explode(0)),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .union(right_ds.map_batches(skip_empty(explode(1)),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+
+    def per_band(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_l": np.asarray([], dtype=np.int64),
+            "id_r": np.asarray([], dtype=np.int64),
+            "dist": np.asarray([], dtype=np.int64),
+        })
+        g = g.sort_values(["_side", "_nb", "_id"]).reset_index(drop=True)
+        side = g["_side"].to_numpy(dtype=np.int64)
+        nl = int((side == 0).sum())
+        nr = len(g) - nl
+        if nl == 0 or nr == 0:
+            return empty
+        nb = g["_nb"].to_numpy(dtype=np.int64)
+        nb_l, nb_r = nb[:nl], nb[nl:]
+        lo = np.searchsorted(nb_r, nb_l - max_dist, side="left")
+        hi = np.searchsorted(nb_r, nb_l + max_dist, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        if total > max_band_pairs:
+            raise ValueError(
+                f"fuzzy_join: band generates {total} candidate pairs "
+                f"> max_band_pairs={max_band_pairs} — block on a "
+                "stronger key first")
+        li = np.repeat(np.arange(nl), counts)
+        starts = np.cumsum(counts) - counts
+        rj = (np.arange(total) - np.repeat(starts, counts)
+              + np.repeat(lo, counts)) + nl
+
+        enc = [s.encode("utf-8") for s in g["_pref"].tolist()]
+        lens = nb
+        P = int(lens.max())
+        mat = np.zeros((len(g), max(P, 1)), dtype=np.int16)
+        if P:
+            flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            rows = np.repeat(np.arange(len(g)), lens)
+            cols = (np.arange(int(lens.sum()))
+                    - np.repeat(np.cumsum(lens) - lens, lens))
+            mat[rows, cols] = flat
+        res = _pairwise_levenshtein(mat[li], mat[rj],
+                                    lens[li], lens[rj], P)
+        ok = res <= max_dist
+        if not ok.any():
+            return empty
+        ids = g["_id"].to_numpy()
+        return pd.DataFrame({
+            "id_l": ids[li[ok]].astype(np.int64),
+            "id_r": ids[rj[ok]].astype(np.int64),
+            "dist": res[ok].astype(np.int64),
+        })
+
+    return (both.groupby("_band").map_groups(
+        per_band, batch_format="pandas").sort(["id_l", "id_r"]))
+
+
+def fuzzy_join_sql(left_inner: str, right_inner: str,
+                   max_dist: int = 2, prefix_len: int = 64) -> str:
+    """Mirror: cross join + byte Levenshtein filter (DuckDB's
+    ``levenshtein`` is byte-based, matching the engine's contract).
+    ``left_inner``/``right_inner`` are relations with (id, text)."""
+    return f"""
+WITH L AS (SELECT id, substr(text, 1, {prefix_len}) AS p
+           FROM {left_inner} WHERE text IS NOT NULL),
+R AS (SELECT id, substr(text, 1, {prefix_len}) AS p
+      FROM {right_inner} WHERE text IS NOT NULL)
+SELECT L.id AS id_l, R.id AS id_r,
+  CAST(levenshtein(L.p, R.p) AS BIGINT) AS dist
+FROM L, R
+WHERE abs(strlen(L.p) - strlen(R.p)) <= {max_dist}
+  AND levenshtein(L.p, R.p) <= {max_dist}
+ORDER BY id_l, id_r
+""".strip()

@@ -2910,3 +2910,71 @@ SELECT d.{id_col},
 FROM {table} d LEFT JOIN agg a USING ({id_col})
 ORDER BY d.{id_col}
 """.strip()
+
+
+def readability_batch(batch: pa.Table) -> pa.Table:
+    """Coleman-Liau readability per document — the grade-level proxy
+    quality gate that needs no syllable dictionary (Coleman & Liau
+    1975: ``CLI = 0.0588*L - 0.296*S - 15.8`` with L = letters per
+    100 words, S = sentence terminators per 100 words) — the
+    readability member of the quality-score family
+    (:func:`quality_batch` measures composition ratios; this scores
+    reading grade).
+
+    Exactness contract: letters / words / terminators are integer
+    regex counts (letters ``[A-Za-z]``, terminators ``[.!?]``, words =
+    the house non-space tokenizer), and ``cli`` is ONE declared
+    float64 expression over those ints — identical operation order in
+    the mirror, so the double matches bit-for-bit (the zscore
+    contract). ``words = 0`` (or NULL text) gives NULL cli.
+    """
+    import numpy as np
+
+    text = batch["text"]
+    letters = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"),
+                      pa.int64())
+    sents = pc.cast(pc.count_substring_regex(text, "[.!?]"),
+                    pa.int64())
+    words = pc.cast(pc.count_substring_regex(text, TOKEN_RE),
+                    pa.int64())
+    ln = letters.to_numpy(zero_copy_only=False).astype(np.float64)
+    sn = sents.to_numpy(zero_copy_only=False).astype(np.float64)
+    wn = words.to_numpy(zero_copy_only=False).astype(np.float64)
+    null_mask = pc.is_null(words).to_numpy(zero_copy_only=False)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cli = (0.0588 * (ln * 100.0 / wn)
+               - 0.296 * (sn * 100.0 / wn) - 15.8)
+    wz = np.where(null_mask, 1.0, wn) == 0.0
+    cli_arr = pa.array(np.where(np.isfinite(cli), cli, 0.0),
+                       pa.float64())
+    cli_arr = pc.if_else(pa.array(null_mask | wz), None, cli_arr)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "letters": letters,
+        "words": words,
+        "sentences": sents,
+        "cli": cli_arr,
+    })
+
+
+def readability_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+    AS letters,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT)
+    AS sentences,
+  CASE WHEN len(regexp_extract_all(text, '[^ ]+')) = 0 THEN NULL
+    ELSE 0.0588 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '',
+                                              'g')) AS DOUBLE)
+                   * 100.0
+                   / len(regexp_extract_all(text, '[^ ]+')))
+         - 0.296 * (CAST(length(regexp_replace(text, '[^.!?]', '',
+                                               'g')) AS DOUBLE)
+                    * 100.0
+                    / len(regexp_extract_all(text, '[^ ]+')))
+         - 15.8
+  END AS cli
+FROM {table} ORDER BY doc_id
+""".strip()

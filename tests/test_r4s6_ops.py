@@ -328,3 +328,66 @@ def test_ks_two_sample_hand(ray_session):
     with pytest.raises(Exception, match="NaN"):
         ks_two_sample(rd.from_arrow(nan_t), "value", "event_type",
                       "a", "b")
+
+
+def test_readability_hand(ray_session):
+    from fluent_server_ray.stages.textstats import (apply_doc_stage,
+                                                    readability_batch)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["Hi there. Ok!", "", None, "abc def"],
+                         pa.string()),
+    }))
+    got = apply_doc_stage(docs, readability_batch).to_pandas()
+    by = got.set_index("doc_id")
+    assert (by.loc[1, ["letters", "words", "sentences"]].tolist()
+            == [9, 3, 2])
+    # the exact declared float tree
+    assert by.loc[1, "cli"] == (0.0588 * (9.0 * 100.0 / 3.0)
+                                - 0.296 * (2.0 * 100.0 / 3.0) - 15.8)
+    assert by.loc[2, "words"] == 0 and pd.isna(by.loc[2, "cli"])
+    assert pd.isna(by.loc[3, "cli"])
+    assert by.loc[4, "sentences"] == 0
+    assert by.loc[4, "cli"] == (0.0588 * (6.0 * 100.0 / 2.0)
+                                - 0.296 * 0.0 - 15.8)
+
+
+def _brute_lev(a: str, b: str) -> int:
+    ab, bb = a.encode(), b.encode()
+    prev = list(range(len(bb) + 1))
+    for i, ca in enumerate(ab, 1):
+        cur = [i]
+        for j, cb in enumerate(bb, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(bb)]
+
+
+def test_fuzzy_join_hand(ray_session):
+    from fluent_server_ray.stages.joins import fuzzy_join
+
+    lefts = ["kitten", "apple pie", "zzzzzzz", None, "short",
+             "abcdefg"]
+    rights = ["sitten", "apple pis", "kitten", "shorts",
+              "unrelated x", "abcdefgh"]
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(lefts, pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "id": pa.array([11, 12, 13, 14, 15, 16], pa.int64()),
+        "text": pa.array(rights, pa.string())}))
+    got = fuzzy_join(left, right, max_dist=2, prefix_len=16,
+                     band_width=4).to_pandas()
+    expect = sorted(
+        (li + 1, rj + 11, _brute_lev(a[:16], b[:16]))
+        for li, a in enumerate(lefts) if a is not None
+        for rj, b in enumerate(rights)
+        if _brute_lev(a[:16], b[:16]) <= 2)
+    assert [tuple(r) for r in got.values.tolist()] == expect
+    # exact match and a CROSS-BAND pair (7 bytes = band 1 vs
+    # 8 bytes = band 2 at band_width=4) must both be present
+    assert (1, 13, 0) in expect and (6, 16, 1) in expect
+    with pytest.raises(ValueError, match="band_width"):
+        fuzzy_join(left, right, max_dist=4, band_width=4)
