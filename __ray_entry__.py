@@ -3277,6 +3277,54 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_multi_funnel(sf_dir: str):
+    """3-step greedy-earliest funnel signup -> click -> purchase
+    within 7 days: pushed type filter, one key bucket exchange,
+    whole-bucket min-after-min C kernels; chain-of-CTEs mirror."""
+    from fluent_server_ray.stages.windows import multi_funnel
+
+    return multi_funnel(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type", "ts"]),
+        steps=("signup", "click", "purchase"),
+        within_seconds=7 * 86400)
+
+
+def _q_volume_xcorr(sf_dir: str):
+    """Lead-lag cross-correlation of click vs purchase daily volumes
+    (lags -3..3) — bounded daily combiner + exact-integer pearson
+    tree per lag; generate_series LEFT JOIN mirror keeps empty lags."""
+    from fluent_server_ray.stages.features import volume_xcorr
+
+    return volume_xcorr(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]),
+        key_a="click", key_b="purchase", max_lag=3)
+
+
+def _q_rfm(sf_dir: str):
+    """RFM segmentation per user: combiner-first (max day, count,
+    cent sum) partials through the distributed merge, fixed-threshold
+    tiers, integer cents."""
+    from fluent_server_ray.stages.features import rfm_scores
+
+    return rfm_scores(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "value"]))
+
+
+def _q_diversified_topk(sf_dir: str):
+    """Global top-50 events by value with at most 3 per user —
+    result diversification: per-group segmented rank keeps <=
+    |groups|*3 survivors, then one sort+limit over survivors only."""
+    from fluent_server_ray.stages.features import diversified_topk
+
+    return diversified_topk(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "value"]),
+        k=50, per_group=3)
+
+
 def _q_readability(sf_dir: str):
     """Coleman-Liau readability per doc — integer letter/word/sentence
     counts + ONE declared float tree (bit-exact vs the mirror)."""
@@ -3625,6 +3673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_value_drift": _q_ks_drift,
         "doc_readability": _q_readability,
         "doc_fuzzy_match": _q_fuzzy_match,
+        "user_multi_funnel": _q_multi_funnel,
+        "events_volume_xcorr": _q_volume_xcorr,
+        "user_rfm_scores": _q_rfm,
+        "events_diversified_topk": _q_diversified_topk,
     }
 
 
@@ -4229,6 +4281,14 @@ WITH toks AS (
         "events_json_key_profile": fields.json_key_profile_sql(),
         "events_ks_value_drift": features.ks_two_sample_sql(),
         "doc_readability": textstats.readability_sql(),
+        "user_multi_funnel": windows.multi_funnel_sql(
+            steps=("signup", "click", "purchase"),
+            within_seconds=7 * 86400),
+        "events_volume_xcorr": features.volume_xcorr_sql(
+            key_a="click", key_b="purchase", max_lag=3),
+        "user_rfm_scores": features.rfm_scores_sql(),
+        "events_diversified_topk": features.diversified_topk_sql(
+            k=50, per_group=3),
         "doc_fuzzy_match": __import__(
             "fluent_server_ray.stages.joins", fromlist=["x"]
         ).fuzzy_join_sql(

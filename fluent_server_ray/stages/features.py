@@ -2200,3 +2200,321 @@ SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
 FROM cum, tot
 GROUP BY tot.na, tot.nb
 """.strip()
+
+
+def volume_xcorr(ds, key_a: str = "click", key_b: str = "purchase",
+                 max_lag: int = 3, key_col: str = "event_type",
+                 ts_col: str = "ts") -> pa.Table:
+    """Lead-lag CROSS-correlation between two keys' daily volume
+    series: for every shift in [-max_lag, +max_lag], the Pearson
+    correlation of (a[day], b[day + lag]) over days where BOTH are
+    observed — "do clicks predict purchases two days later" as data,
+    the two-series sibling of :func:`volume_autocorr` (same bounded
+    daily combiner, same exact-integer moment contract, same
+    HUGEINT->VARCHAR->DOUBLE float tree).
+
+    Every lag emits a row even with no overlapping days (n_pairs = 0,
+    corr NULL — the mirror's generate_series LEFT JOIN shape); lags
+    with < 2 pairs or zero variance also give NULL.
+    Output: (lag, n_pairs, corr) sorted by lag.
+    """
+    import math
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_valid(t[ts_col]),
+            pc.is_in(t[key_col], value_set=pa.array([key_a, key_b]))))
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "key": pc.cast(t[key_col], pa.string()),
+            "day": pa.array(us // 86_400_000_000),
+        }).group_by(["key", "day"]).aggregate([([], "count_all")])
+        return out.rename_columns(["key", "day", "n"])
+
+    parts = grouped_agg(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            skip_empty(partial), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=["key", "day"], aggs=[("n", "sum")], final="driver")
+    da, db = {}, {}
+    for r in parts.to_pylist():
+        (da if r["key"] == key_a else db)[int(r["day"])] = int(r["n_sum"])
+    lags, nps, corrs = [], [], []
+    for lag in range(-max_lag, max_lag + 1):
+        xs, ys = [], []
+        for day, x in da.items():
+            y = db.get(day + lag)
+            if y is not None:
+                xs.append(x)
+                ys.append(y)
+        m = len(xs)
+        lags.append(lag)
+        nps.append(m)
+        if m < 2:
+            corrs.append(None)
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        num_i = m * sxy - sx * sy
+        vx_i = m * sxx - sx * sx
+        vy_i = m * syy - sy * sy
+        if vx_i <= 0 or vy_i <= 0:
+            corrs.append(None)
+        else:
+            corrs.append(float(num_i) / (math.sqrt(float(vx_i))
+                                         * math.sqrt(float(vy_i))))
+    return pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "n_pairs": pa.array(nps, pa.int64()),
+        "corr": pa.array(corrs, pa.float64()),
+    })
+
+
+def volume_xcorr_sql(key_a: str = "click", key_b: str = "purchase",
+                     max_lag: int = 3, key_col: str = "event_type",
+                     ts_col: str = "ts", table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS key,
+    CAST(epoch_us({ts_col}) // 86400000000 AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {key_col} IN ('{key_a}', '{key_b}')
+  GROUP BY 1, 2
+), lags AS (
+  SELECT unnest(generate_series(-{max_lag}, {max_lag})) AS lag
+), pairs AS (
+  SELECT l.lag, CAST(a.n AS HUGEINT) AS x, CAST(b.n AS HUGEINT) AS y
+  FROM lags l
+  JOIN daily a ON a.key = '{key_a}'
+  JOIN daily b ON b.key = '{key_b}' AND b.day = a.day + l.lag
+), mom AS (
+  SELECT lag, CAST(count(*) AS HUGEINT) AS m,
+    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+    sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT l.lag, CAST(COALESCE(mom.m, 0) AS BIGINT) AS n_pairs,
+  CASE WHEN mom.m IS NULL OR mom.m < 2
+         OR mom.m*mom.sxx - mom.sx*mom.sx <= 0
+         OR mom.m*mom.syy - mom.sy*mom.sy <= 0
+       THEN NULL
+       ELSE CAST(CAST(mom.m*mom.sxy - mom.sx*mom.sy AS VARCHAR)
+                 AS DOUBLE)
+            / (sqrt(CAST(CAST(mom.m*mom.sxx - mom.sx*mom.sx
+                              AS VARCHAR) AS DOUBLE))
+               * sqrt(CAST(CAST(mom.m*mom.syy - mom.sy*mom.sy
+                                AS VARCHAR) AS DOUBLE)))
+  END AS corr
+FROM lags l LEFT JOIN mom ON mom.lag = l.lag
+ORDER BY l.lag
+""".strip()
+
+
+# RFM tier thresholds — FIXED (not data-dependent quantiles): the
+# tiering stays a pure map and the oracle exact (the
+# quality_curriculum contract); calibrate offline if needed.
+RFM_RECENCY_DAYS = (7, 30)       # <=7d -> 3, <=30d -> 2, else 1
+RFM_FREQUENCY = (100, 20)        # >=100 -> 3, >=20 -> 2, else 1
+RFM_MONETARY_CENTS = (100_000, 10_000)
+
+
+def rfm_scores(ds, key_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value", n_buckets: int = 64):
+    """RFM customer segmentation (recency / frequency / monetary):
+    per key, days since last activity (vs the corpus max day),
+    total event count, and summed value in integer CENTS (the
+    benford half-away contract), each mapped to a fixed-threshold
+    1-3 tier and combined as ``rfm_code = r*100 + f*10 + m`` — the
+    classic behavioral-cohort scoring step downstream of routing.
+
+    Combiner-first: per-batch (key -> max day, count, cent sum)
+    partials merge distributedly (``grouped_agg(final='ray')`` —
+    unbounded key space, nothing key-scaled on the driver); the
+    corpus max day is a one-scalar broadcast from the same partial
+    pass. NULL value contributes 0 cents (SQL sum ignores NULLs);
+    rows with NULL key or ts are excluded.
+
+    Returns a Dataset (key, recency_days, frequency, monetary_cents,
+    r_tier, f_tier, m_tier, rfm_code) sorted by key.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[ts_col])))
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(pc.fill_null(t[value_col], 0.0), pa.float64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)),
+                        pa.int64())
+        return (pa.table({
+            "key": pc.cast(t[key_col], pa.int64()),
+            "day": pa.array(us // 86_400_000_000),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "cents": cents,
+        }).group_by("key").aggregate([("day", "max"), ("one", "sum"),
+                                      ("cents", "sum")])
+            .rename_columns(["key", "day_max", "n", "cents_sum"]))
+
+    parts = ds.select_columns(
+        [key_col, ts_col, value_col]).map_batches(
+        skip_empty(partial), batch_format="pyarrow",
+        zero_copy_batch=True)
+    merged = grouped_agg(parts, keys=["key"],
+                         aggs=[("day_max", "max"), ("n", "sum"),
+                               ("cents_sum", "sum")],
+                         final="ray").materialize()
+    # corpus max day: one bounded scalar from the merged partials
+    mx = merged.map_batches(
+        skip_empty(lambda t: pa.table({
+            "m": pa.array([pc.max(t["day_max_max"]).as_py()],
+                          pa.int64())})),
+        batch_format="pyarrow", zero_copy_batch=True)
+    global_max = max(int(b["m"][0].as_py())
+                     for b in mx.iter_batches(batch_size=None,
+                                              batch_format="pyarrow"))
+
+    r_hi, r_mid = RFM_RECENCY_DAYS
+    f_hi, f_mid = RFM_FREQUENCY
+    m_hi, m_mid = RFM_MONETARY_CENTS
+
+    def score(t: pa.Table) -> pa.Table:
+        rec = global_max - t["day_max_max"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        freq = t["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mon = t["cents_sum_sum"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        r = np.where(rec <= r_hi, 3, np.where(rec <= r_mid, 2, 1))
+        f = np.where(freq >= f_hi, 3, np.where(freq >= f_mid, 2, 1))
+        m = np.where(mon >= m_hi, 3, np.where(mon >= m_mid, 2, 1))
+        return pa.table({
+            "key": t["key"],
+            "recency_days": pa.array(rec),
+            "frequency": pa.array(freq),
+            "monetary_cents": pa.array(mon),
+            "r_tier": pa.array(r.astype(np.int64)),
+            "f_tier": pa.array(f.astype(np.int64)),
+            "m_tier": pa.array(m.astype(np.int64)),
+            "rfm_code": pa.array((r * 100 + f * 10 + m)
+                                 .astype(np.int64)),
+        })
+
+    return merged.map_batches(skip_empty(score), batch_format="pyarrow",
+                              zero_copy_batch=True).sort("key")
+
+
+def rfm_scores_sql(key_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value",
+                   table: str = "events") -> str:
+    r_hi, r_mid = RFM_RECENCY_DAYS
+    f_hi, f_mid = RFM_FREQUENCY
+    m_hi, m_mid = RFM_MONETARY_CENTS
+    return f"""
+WITH base AS (
+  SELECT CAST({key_col} AS BIGINT) AS key,
+    epoch_us({ts_col}) // 86400000000 AS day,
+    CAST(floor(COALESCE({value_col}, 0.0) * 100.0 + 0.5) AS BIGINT)
+      AS cents
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+), agg AS (
+  SELECT key, CAST(max(day) AS BIGINT) AS day_max,
+    CAST(count(*) AS BIGINT) AS frequency,
+    CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM base GROUP BY key
+), mx AS (SELECT max(day_max) AS gm FROM agg),
+t AS (
+  SELECT key, CAST(mx.gm - day_max AS BIGINT) AS recency_days,
+    frequency, monetary_cents,
+    CASE WHEN mx.gm - day_max <= {r_hi} THEN 3
+         WHEN mx.gm - day_max <= {r_mid} THEN 2 ELSE 1 END AS r_tier,
+    CASE WHEN frequency >= {f_hi} THEN 3
+         WHEN frequency >= {f_mid} THEN 2 ELSE 1 END AS f_tier,
+    CASE WHEN monetary_cents >= {m_hi} THEN 3
+         WHEN monetary_cents >= {m_mid} THEN 2 ELSE 1 END AS m_tier
+  FROM agg, mx
+)
+SELECT key, recency_days, frequency, monetary_cents,
+  CAST(r_tier AS BIGINT) AS r_tier, CAST(f_tier AS BIGINT) AS f_tier,
+  CAST(m_tier AS BIGINT) AS m_tier,
+  CAST(r_tier * 100 + f_tier * 10 + m_tier AS BIGINT) AS rfm_code
+FROM t ORDER BY key
+""".strip()
+
+
+def diversified_topk(ds, value_col: str = "value",
+                     group_col: str = "user_id",
+                     id_col: str = "event_id", k: int = 50,
+                     per_group: int = 3, n_buckets: int = 64):
+    """Global top-k rows by ``value_col`` with a per-group cap — the
+    result-diversification primitive (top purchases overall, but no
+    user may occupy more than ``per_group`` slots; top docs per query
+    with per-domain caps). Order contract: rank by (value DESC,
+    id ASC) both within groups and globally — fully deterministic
+    under ties.
+
+    Shape: one group bucket exchange; per bucket a whole-bucket
+    segmented rank keeps each group's best ``per_group`` rows (the
+    survivors are <= |groups|*per_group); the global top-k is then a
+    Ray sort + limit over survivors only. NULL values rank nowhere
+    (dropped); NULL group is its own group (SQL PARTITION BY).
+
+    Returns a Dataset (id, group, value) of exactly the top rows,
+    value-descending.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        return pa.table({
+            "id": pc.cast(t[id_col], pa.int64()),
+            "grp": pc.cast(t[group_col], pa.string()),
+            "val": pc.cast(t[value_col], pa.float64()),
+        })
+
+    schema = pa.schema([
+        pa.field("id", pa.int64()),
+        pa.field("grp", pa.string()),
+        pa.field("val", pa.float64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["grp", "val", "id"],
+                          ascending=[True, False, True])
+        rank = g.groupby("grp", sort=False, dropna=False).cumcount()
+        return g.loc[rank.to_numpy() < per_group,
+                     ["id", "grp", "val"]]
+
+    bucketed = _with_bucket(
+        ds.select_columns([id_col, group_col, value_col]).map_batches(
+            clean, batch_format="pyarrow", zero_copy_batch=True),
+        "grp", n_buckets)
+    surv = map_buckets(bucketed, per_bucket, schema)
+    return surv.sort(["val", "id"],
+                     descending=[True, False]).limit(k)
+
+
+def diversified_topk_sql(value_col: str = "value",
+                         group_col: str = "user_id",
+                         id_col: str = "event_id", k: int = 50,
+                         per_group: int = 3,
+                         table: str = "events") -> str:
+    return f"""
+WITH r AS (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+    CAST({group_col} AS VARCHAR) AS grp,
+    CAST({value_col} AS DOUBLE) AS val,
+    row_number() OVER (PARTITION BY {group_col}
+                       ORDER BY {value_col} DESC, {id_col}) AS rn
+  FROM {table} WHERE {value_col} IS NOT NULL
+)
+SELECT id, grp, val FROM r WHERE rn <= {per_group}
+ORDER BY val DESC, id LIMIT {k}
+""".strip()

@@ -1975,3 +1975,108 @@ SELECT key, CAST(min(s) AS BIGINT) AS start,
 FROM isl GROUP BY key, island
 ORDER BY key, start, "end"
 """.strip()
+
+
+def multi_funnel(ds, steps=("signup", "click", "purchase"),
+                 within_seconds: int = 7 * 86400,
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type", n_buckets: int = 64):
+    """N-step conversion funnel with GREEDY-EARLIEST chain semantics:
+    for every key with at least one ``steps[0]`` event, walk the
+    sequence — step 1 anchors at the key's earliest step-1 event, each
+    later step takes its earliest event STRICTLY AFTER the previous
+    step's chosen event — and the funnel completes iff every step
+    matched and the last step is within ``within_seconds`` of the
+    anchor. The n-ary generalization of :func:`funnel` (two fixed
+    stages there); greedy-earliest is the standard product-analytics
+    contract and is exactly mirrorable as a chain of min-after-min
+    CTEs.
+
+    Read pushes ``type IN steps``; ONE key bucket exchange; per bucket
+    each step resolves with whole-bucket C kernels (merge previous
+    anchor + strict-after mask + groupby min — never per-key Python).
+    Output: (key, step1_ts..stepN_ts, completed) sorted by key; keys
+    missing step 1 are absent, later missing steps leave NULL ts and
+    completed = false.
+    """
+    if len(steps) < 2:
+        raise ValueError("multi_funnel: need at least 2 steps")
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        anchor = (g.loc[g[type_col] == steps[0]]
+                  .groupby(key_col, sort=False)[ts_col].min())
+        if len(anchor) == 0:
+            # typed empty: an anchorless bucket must not emit an
+            # object-dtype frame (null-typed Arrow block downstream)
+            cols = {key_col: pd.Series([], dtype=g[key_col].dtype)}
+            for j in range(1, len(steps) + 1):
+                cols[f"step{j}_ts"] = pd.Series(
+                    [], dtype=g[ts_col].dtype)
+            cols["completed"] = pd.Series([], dtype=bool)
+            return pd.DataFrame(cols)
+        out = pd.DataFrame({key_col: anchor.index.to_numpy(),
+                            "step1_ts": anchor.to_numpy()})
+        prev = anchor.rename("_prev")
+        for i, st in enumerate(steps[1:], start=2):
+            ev = g.loc[g[type_col] == st, [key_col, ts_col]]
+            m = ev.merge(prev, left_on=key_col, right_index=True)
+            m = m[m[ts_col] > m["_prev"]]
+            nxt = m.groupby(key_col, sort=False)[ts_col].min()
+            if len(nxt):
+                out[f"step{i}_ts"] = out[key_col].map(nxt)
+            else:  # keep the ts dtype: an all-miss map degrades to
+                out[f"step{i}_ts"] = pd.Series(  # float64 NaN
+                    pd.NaT, index=out.index, dtype=g[ts_col].dtype)
+            prev = nxt.rename("_prev")
+        last = out[f"step{len(steps)}_ts"]
+        out["completed"] = (
+            last.notna()
+            & (last - out["step1_ts"]
+               <= pd.Timedelta(seconds=within_seconds)))
+        return out
+
+    import pyarrow.compute as pc
+
+    def keep_steps(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[type_col],
+                                 value_set=pa.array(list(steps))))
+
+    cols = [key_col, type_col, ts_col]
+    flt = ds.select_columns(cols).map_batches(
+        keep_steps, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = _with_bucket(flt, key_col, n_buckets)
+    return bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas").sort(key_col)
+
+
+def multi_funnel_sql(steps=("signup", "click", "purchase"),
+                     within_seconds: int = 7 * 86400,
+                     table: str = "events") -> str:
+    parts = [f"""
+WITH e1 AS (
+  SELECT user_id, min(ts) AS t1 FROM {table}
+  WHERE event_type = '{steps[0]}' GROUP BY user_id
+)""".strip()]
+    prev = "e1"
+    for i, st in enumerate(steps[1:], start=2):
+        cols = ", ".join(f"t{j}" for j in range(1, i))
+        parts.append(f""", e{i} AS (
+  SELECT p.user_id, {", ".join(f"p.t{j}" for j in range(1, i))},
+    min(x.ts) AS t{i}
+  FROM {prev} p LEFT JOIN {table} x
+    ON x.user_id = p.user_id AND x.event_type = '{st}'
+    AND x.ts > p.t{i - 1}
+  GROUP BY p.user_id, {cols}
+)""")
+        prev = f"e{i}"
+    n = len(steps)
+    sel = ", ".join(f"t{j} AS step{j}_ts" for j in range(1, n + 1))
+    parts.append(f"""
+SELECT user_id, {sel},
+  (t{n} IS NOT NULL AND
+   epoch_us(t{n}) - epoch_us(t1)
+     <= CAST({within_seconds} AS BIGINT) * 1000000)
+    AS completed
+FROM e{n} ORDER BY user_id""")
+    return "".join(parts)

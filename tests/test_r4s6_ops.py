@@ -391,3 +391,97 @@ def test_fuzzy_join_hand(ray_session):
     assert (1, 13, 0) in expect and (6, 16, 1) in expect
     with pytest.raises(ValueError, match="band_width"):
         fuzzy_join(left, right, max_dist=4, band_width=4)
+
+
+def _ev(rows):
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+    }))
+
+
+def test_multi_funnel_hand(ray_session):
+    from fluent_server_ray.stages.windows import multi_funnel
+
+    ds = _ev([
+        (1, "s", 100), (1, "c", 200), (1, "p", 300),   # completes
+        (2, "c", 50), (2, "s", 100),                   # click BEFORE
+        (3, "s", 0), (3, "c", 10), (3, "p", 5000),     # outside T
+        (4, "s", 100), (4, "c", 200),                  # no purchase
+        # greedy: anchor s@100, clicks at 50 (before) and 400 ->
+        # picks 400; purchase at 300 < 400 -> NOT counted
+        (5, "s", 100), (5, "c", 50), (5, "c", 400), (5, "p", 300),
+    ])
+    got = multi_funnel(ds, steps=("s", "c", "p"), within_seconds=1000,
+                       n_buckets=4).to_pandas()
+    by = got.set_index("user_id")
+    assert bool(by.loc[1, "completed"]) is True
+    assert pd.isna(by.loc[2, "step2_ts"])          # strict-after
+    assert bool(by.loc[2, "completed"]) is False
+    assert by.loc[3, "step3_ts"] is not pd.NaT
+    assert bool(by.loc[3, "completed"]) is False   # window exceeded
+    assert pd.isna(by.loc[4, "step3_ts"])
+    assert by.loc[5, "step2_ts"] == pd.Timestamp(400, unit="s")
+    assert pd.isna(by.loc[5, "step3_ts"])          # greedy contract
+    assert len(got) == 5
+
+
+def test_volume_xcorr_hand(ray_session):
+    from fluent_server_ray.stages.features import volume_xcorr
+
+    rows = []
+    for day, n in [(0, 1), (1, 2), (2, 3)]:
+        rows += [(1, "a", day * 86_400 + j) for j in range(n)]
+    for day, n in [(1, 2), (2, 4), (3, 6)]:
+        rows += [(1, "b", day * 86_400 + j) for j in range(n)]
+    got = volume_xcorr(_ev(rows), key_a="a", key_b="b",
+                       max_lag=3).to_pandas().set_index("lag")
+    assert got.loc[1, "n_pairs"] == 3
+    assert got.loc[1, "corr"] == pytest.approx(1.0)  # b = 2*a shifted
+    assert got.loc[-3, "n_pairs"] == 0
+    assert pd.isna(got.loc[-3, "corr"])
+    assert len(got) == 7
+
+
+def test_rfm_scores_hand(ray_session):
+    from fluent_server_ray.stages.features import rfm_scores
+
+    day = 86_400
+    t = pa.table({
+        "user_id": pa.array([1] * 25 + [2] * 2, pa.int64()),
+        "ts": pa.array([40 * day * 1_000_000] * 25
+                       + [1 * day * 1_000_000] * 2,
+                       pa.timestamp("us")),
+        "value": pa.array([50.0] * 25 + [600.0, None], pa.float64()),
+    })
+    got = rfm_scores(rd.from_arrow(t)).to_pandas().set_index("key")
+    # user 1: recency 0 (tier 3), freq 25 (tier 2), 125000c (tier 3)
+    assert got.loc[1, ["recency_days", "frequency",
+                       "monetary_cents"]].tolist() == [0, 25, 125000]
+    assert got.loc[1, "rfm_code"] == 323
+    # user 2: recency 39d (tier 1), freq 2 (tier 1), 60000c (tier 2;
+    # NULL value contributes 0 cents)
+    assert got.loc[2, ["recency_days", "frequency",
+                       "monetary_cents"]].tolist() == [39, 2, 60000]
+    assert got.loc[2, "rfm_code"] == 112
+
+
+def test_diversified_topk_hand(ray_session):
+    from fluent_server_ray.stages.features import diversified_topk
+
+    t = pa.table({
+        "event_id": pa.array(list(range(10)), pa.int64()),
+        "user_id": pa.array([1] * 6 + [2] * 4, pa.int64()),
+        "value": pa.array([100.0, 90, 80, 70, 60, 50,
+                           40, 30, 20, 10], pa.float64()),
+    })
+    got = diversified_topk(rd.from_arrow(t), k=5, per_group=2,
+                           n_buckets=4).to_pandas()
+    # both users capped at their best 2 -> only 4 survivors for k=5
+    assert got["id"].tolist() == [0, 1, 6, 7]
+    assert got["val"].tolist() == [100.0, 90.0, 40.0, 30.0]
+    got3 = diversified_topk(rd.from_arrow(t), k=5, per_group=3,
+                            n_buckets=4).to_pandas()
+    assert got3["id"].tolist() == [0, 1, 2, 6, 7]
