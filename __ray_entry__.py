@@ -3277,6 +3277,28 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_sorted_neighborhood(sf_dir: str):
+    """Sorted-Neighborhood blocking candidates (window 8 over the
+    4-codepoint sort key): exact distributed rank (bounded bkey
+    histogram + within-key cumcount exchange) + rank-window ghost
+    buckets; row_number self-join mirror."""
+    from fluent_server_ray.stages.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_docs(sf_dir), key_len=4,
+                                     window=8)
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth at doc_id deciles: per-word min
+    first-occurrence through the distributed merge, sentinel-row
+    token/doc counters on the same pass, |boundaries|-bounded
+    histogram collapse."""
+    from fluent_server_ray.stages.textstats import vocab_growth
+
+    return vocab_growth(_docs(sf_dir),
+                        boundaries=[49 + 50 * i for i in range(10)])
+
+
 def _q_multi_funnel(sf_dir: str):
     """3-step greedy-earliest funnel signup -> click -> purchase
     within 7 days: pushed type filter, one key bucket exchange,
@@ -3673,6 +3695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_value_drift": _q_ks_drift,
         "doc_readability": _q_readability,
         "doc_fuzzy_match": _q_fuzzy_match,
+        "dedup_sorted_neighborhood": _q_sorted_neighborhood,
+        "doc_vocab_growth": _q_vocab_growth,
         "user_multi_funnel": _q_multi_funnel,
         "events_volume_xcorr": _q_volume_xcorr,
         "user_rfm_scores": _q_rfm,
@@ -4281,6 +4305,10 @@ WITH toks AS (
         "events_json_key_profile": fields.json_key_profile_sql(),
         "events_ks_value_drift": features.ks_two_sample_sql(),
         "doc_readability": textstats.readability_sql(),
+        "dedup_sorted_neighborhood": dedup.sorted_neighborhood_sql(
+            key_len=4, window=8),
+        "doc_vocab_growth": textstats.vocab_growth_sql(
+            boundaries=[49 + 50 * i for i in range(10)]),
         "user_multi_funnel": windows.multi_funnel_sql(
             steps=("signup", "click", "purchase"),
             within_seconds=7 * 86400),

@@ -2692,3 +2692,149 @@ FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 ORDER BY doc_a, doc_b
 """.strip()
+
+
+def sorted_neighborhood_pairs(ds, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              key_len: int = 4, window: int = 8,
+                              n_buckets: int = 64):
+    """Sorted-Neighborhood Method blocking (Hernandez & Stolfo 1995):
+    sort the corpus by a deliberately-coarse blocking key (the first
+    ``key_len`` codepoints of the text) and emit every candidate pair
+    within a sliding window of ``window`` consecutive records — the
+    third classic blocking family beside prefix blocking
+    (:func:`prefix_block_dupes` — equality on the prefix) and length
+    banding (:func:`edit_distance_dupes`): SNM windows SPAN key
+    boundaries, catching near-miss keys that equality blocking splits.
+
+    Exact rank, no global sort: global rank over (bkey, id) =
+    (rows with a strictly smaller bkey) + (row's position within its
+    bkey). The bkey histogram is a bounded driver merge (the blocking
+    key is deliberately coarse — that is WHAT makes it a blocking
+    key; the base-offset table is |distinct bkeys| and broadcasts in
+    the task closure), the within-key position is one bkey bucket
+    exchange, and pairing is one rank-window bucket exchange
+    (bucket = rank // window, rows ghosted to bucket+1; a pair is
+    formed only where its HIGHER rank is primary — exactly once).
+
+    NULL texts are excluded (no sort position). Output: a Dataset
+    (id_a, id_b, rank_dist) with id_a < id_b, rank_dist < window,
+    sorted — candidate pairs for a downstream verifier
+    (:func:`ngram_jaccard_dupes`-style), not confirmed duplicates.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (grouped_counts,
+                                                    skip_empty)
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        return pa.table({
+            "id": pc.cast(t[id_col], pa.int64()),
+            "bkey": pc.utf8_slice_codeunits(
+                pc.cast(t[text_col], pa.string()), 0, key_len),
+        })
+
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        skip_empty(proj), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    hist = grouped_counts(keyed, ["bkey"], final="driver")
+    if hist.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "rank_dist": pa.array([], pa.int64())}))
+    hdf = hist.to_pandas().sort_values("bkey").reset_index(drop=True)
+    counts = hdf["n"].to_numpy().astype(np.int64)
+    base = dict(zip(hdf["bkey"],
+                    (np.cumsum(counts) - counts).tolist()))
+
+    rank_schema = pa.schema([pa.field("id", pa.int64()),
+                             pa.field("rank", pa.int64())])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bkey", "id"])
+        within = g.groupby("bkey", sort=False).cumcount().to_numpy()
+        return pd.DataFrame({
+            "id": g["id"].to_numpy(),
+            "rank": g["bkey"].map(base).to_numpy(dtype=np.int64)
+            + within,
+        })
+
+    ranked = map_buckets(_with_bucket(keyed, "bkey", n_buckets),
+                         rank_bucket, rank_schema)
+
+    def ghost(t: pa.Table) -> pa.Table:
+        rank = t["rank"].to_numpy(zero_copy_only=False)
+        wb = rank // window
+        prim = pa.table({"id": t["id"], "rank": t["rank"],
+                         "_wb": pa.array(wb),
+                         "_prim": pa.array(
+                             np.ones(len(rank), dtype=bool))})
+        gh = pa.table({"id": t["id"], "rank": t["rank"],
+                       "_wb": pa.array(wb + 1),
+                       "_prim": pa.array(
+                           np.zeros(len(rank), dtype=bool))})
+        return pa.concat_tables([prim, gh])
+
+    pair_schema = pa.schema([pa.field("id_a", pa.int64()),
+                             pa.field("id_b", pa.int64()),
+                             pa.field("rank_dist", pa.int64())])
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank").reset_index(drop=True)
+        rank = g["rank"].to_numpy(dtype=np.int64)
+        ids = g["id"].to_numpy(dtype=np.int64)
+        prim = g["_prim"].to_numpy(dtype=bool)
+        # for each PRIMARY row j: neighbors i with rank in
+        # (rank_j - window, rank_j)
+        lo = np.searchsorted(rank, rank - window, side="right")
+        hi = np.searchsorted(rank, rank, side="left")
+        lo, hi = lo[prim], hi[prim]
+        jd = np.flatnonzero(prim)
+        counts = hi - lo
+        tot = int(counts.sum())
+        if tot == 0:
+            return pd.DataFrame({
+                "id_a": np.asarray([], dtype=np.int64),
+                "id_b": np.asarray([], dtype=np.int64),
+                "rank_dist": np.asarray([], dtype=np.int64)})
+        i_idx = (np.arange(tot)
+                 - np.repeat(np.cumsum(counts) - counts, counts)
+                 + np.repeat(lo, counts))
+        j_idx = np.repeat(jd, counts)
+        ia, ib = ids[i_idx], ids[j_idx]
+        return pd.DataFrame({
+            "id_a": np.minimum(ia, ib),
+            "id_b": np.maximum(ia, ib),
+            "rank_dist": rank[j_idx] - rank[i_idx],
+        })
+
+    ghosted = ranked.map_batches(skip_empty(ghost),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    pairs = map_buckets(ghosted, pair_bucket, pair_schema, key="_wb")
+    return pairs.sort(["id_a", "id_b"])
+
+
+def sorted_neighborhood_sql(key_len: int = 4, window: int = 8,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            table: str = "documents") -> str:
+    return f"""
+WITH r AS (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+    row_number() OVER (ORDER BY substr({text_col}, 1, {key_len}),
+                       {id_col}) - 1 AS rn
+  FROM {table} WHERE {text_col} IS NOT NULL
+)
+SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+  CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < {window}
+ORDER BY id_a, id_b
+""".strip()

@@ -2978,3 +2978,148 @@ SELECT doc_id,
   END AS cli
 FROM {table} ORDER BY doc_id
 """.strip()
+
+
+def vocab_growth(ds, boundaries, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """Type-token (Heaps-law) vocabulary growth curve: at each
+    ``doc_id`` boundary, the cumulative token count and the cumulative
+    DISTINCT vocabulary over all docs with id <= boundary — the
+    corpus-scaling diagnostic that sizes tokenizers and predicts how
+    much new text buys new vocabulary (Heaps 1978: V ~ k*n^beta).
+
+    One tokenize pass: per batch, per-word MIN doc_id partials (a
+    word's first occurrence decides which boundary first counts it)
+    with per-boundary token/doc counts riding the SAME pass as
+    sentinel rows — the sentinel key carries a LEADING SPACE, which no
+    word can contain (the tokenizer splits on spaces), so sentinels
+    and words can never collide. The unbounded word space merges
+    distributedly (``grouped_agg(final='ray')``: min for first
+    occurrence, sum for the sentinel counters), then collapses to a
+    |boundaries|-bounded first-occurrence histogram before reaching
+    the driver — the vocabulary itself never materializes anywhere.
+
+    Docs with id beyond the last boundary contribute nothing (the
+    curve is only defined at its checkpoints). Output:
+    (boundary, n_docs, n_tokens_cum, vocab_cum) sorted by boundary.
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    bnd = sorted(int(b) for b in boundaries)
+    if not bnd:
+        raise ValueError("vocab_growth: need at least one boundary")
+    barr = np.asarray(bnd, dtype=np.int64)
+    last = bnd[-1]
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[text_col]),
+                             pc.less_equal(t[id_col], last)))
+        toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(ids, lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        wt = (pa.table({"word": flat.filter(pa.array(keep)),
+                        "first_id": pa.array(doc_of[keep])})
+              .group_by("word").aggregate([("first_id", "min")])
+              .rename_columns(["word", "first_id"]))
+        zeros = pa.array(np.zeros(wt.num_rows, np.int64))
+        wt = wt.append_column("toks", zeros).append_column("docs", zeros)
+        bidx = np.searchsorted(barr, ids, side="left")
+        tok_sums = np.zeros(len(barr), dtype=np.int64)
+        np.add.at(tok_sums, np.repeat(bidx, lens)[keep],
+                  np.ones(int(keep.sum()), np.int64))
+        doc_counts = np.bincount(bidx, minlength=len(barr)
+                                 ).astype(np.int64)
+        sent = pa.table({
+            "word": pa.array([f" {b}" for b in bnd], pa.string()),
+            "first_id": pa.array(barr),
+            "toks": pa.array(tok_sums),
+            "docs": pa.array(doc_counts),
+        })
+        return pa.concat_tables([wt, sent])
+
+    merged = grouped_agg(
+        ds.select_columns([id_col, text_col]).map_batches(
+            skip_empty(partials), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=["word"], aggs=[("first_id", "min"), ("toks", "sum"),
+                             ("docs", "sum")], final="ray")
+
+    def collapse(t: pa.Table) -> pa.Table:
+        is_sent = pc.starts_with(t["word"], " ").to_numpy(
+            zero_copy_only=False)
+        first = t["first_id_min"].to_numpy(zero_copy_only=False)
+        toks = t["toks_sum"].to_numpy(zero_copy_only=False)
+        docs = t["docs_sum"].to_numpy(zero_copy_only=False)
+        vocab = np.zeros(len(barr), dtype=np.int64)
+        widx = np.searchsorted(barr, first[~is_sent], side="left")
+        np.add.at(vocab, widx, np.ones(len(widx), np.int64))
+        tsum = np.zeros(len(barr), dtype=np.int64)
+        dsum = np.zeros(len(barr), dtype=np.int64)
+        sidx = np.searchsorted(barr, first[is_sent], side="left")
+        np.add.at(tsum, sidx, toks[is_sent])
+        np.add.at(dsum, sidx, docs[is_sent])
+        return pa.table({
+            "bucket": pa.array(np.arange(len(barr), dtype=np.int64)),
+            "vocab": pa.array(vocab),
+            "toks": pa.array(tsum),
+            "docs": pa.array(dsum),
+        })
+
+    # bounded: |boundaries| rows per block after collapse
+    tiny = pa.concat_tables(
+        merged.map_batches(skip_empty(collapse), batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    agg = (tiny.group_by("bucket").aggregate(
+        [("vocab", "sum"), ("toks", "sum"), ("docs", "sum")])
+        .rename_columns(["bucket", "vocab", "toks", "docs"])
+        .sort_by("bucket").to_pandas())
+    full = agg.set_index("bucket").reindex(
+        range(len(barr)), fill_value=0)
+    return pa.table({
+        "boundary": pa.array(barr),
+        "n_docs": pa.array(np.cumsum(full["docs"].to_numpy())
+                           .astype(np.int64)),
+        "n_tokens_cum": pa.array(np.cumsum(full["toks"].to_numpy())
+                                 .astype(np.int64)),
+        "vocab_cum": pa.array(np.cumsum(full["vocab"].to_numpy())
+                              .astype(np.int64)),
+    })
+
+
+def vocab_growth_sql(boundaries, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     table: str = "documents") -> str:
+    bvals = ", ".join(f"({int(b)})" for b in sorted(boundaries))
+    return f"""
+WITH b(boundary) AS (VALUES {bvals}),
+toks AS (
+  SELECT {id_col} AS id, u.w AS word
+  FROM {table}
+  CROSS JOIN unnest(list_filter(string_split({text_col}, ' '),
+                                x -> x <> '')) AS u(w)
+  WHERE {text_col} IS NOT NULL
+    AND {id_col} <= (SELECT max(boundary) FROM b)
+), firsts AS (
+  SELECT word, min(id) AS first_id FROM toks GROUP BY word
+)
+SELECT CAST(b.boundary AS BIGINT) AS boundary,
+  CAST((SELECT count(*) FROM {table} d
+        WHERE d.{text_col} IS NOT NULL AND d.{id_col} <= b.boundary)
+       AS BIGINT) AS n_docs,
+  CAST((SELECT count(*) FROM toks WHERE toks.id <= b.boundary)
+       AS BIGINT) AS n_tokens_cum,
+  CAST((SELECT count(*) FROM firsts
+        WHERE firsts.first_id <= b.boundary) AS BIGINT) AS vocab_cum
+FROM b ORDER BY boundary
+""".strip()

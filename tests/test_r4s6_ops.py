@@ -485,3 +485,47 @@ def test_diversified_topk_hand(ray_session):
     got3 = diversified_topk(rd.from_arrow(t), k=5, per_group=3,
                             n_buckets=4).to_pandas()
     assert got3["id"].tolist() == [0, 1, 2, 6, 7]
+
+
+def test_sorted_neighborhood_hand(ray_session):
+    from fluent_server_ray.stages.dedup import sorted_neighborhood_pairs
+
+    texts = ["alpha one", "alph two", "beta x", "betty y", None,
+             "alpz q", "gamma z"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(7)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = sorted_neighborhood_pairs(ds, key_len=4, window=3,
+                                    n_buckets=4).to_pandas()
+    # brute-force twin: rank by (4-codepoint prefix, id), pairs with
+    # rank distance < window
+    order = sorted((t[:4], i) for i, t in enumerate(texts)
+                   if t is not None)
+    expect = sorted(
+        (min(order[i][1], order[j][1]), max(order[i][1], order[j][1]),
+         j - i)
+        for i in range(len(order)) for j in range(i + 1, len(order))
+        if j - i < 3)
+    assert [tuple(r) for r in got.values.tolist()] == expect
+    # windows must SPAN key boundaries (the SNM point): an
+    # (alph*, beta*) cross-key pair exists
+    keys = {i: (t[:4] if t else None) for i, t in enumerate(texts)}
+    assert any(keys[a] != keys[b] for a, b, _ in expect)
+
+
+def test_vocab_growth_hand(ray_session):
+    from fluent_server_ray.stages.textstats import vocab_growth
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 9], pa.int64()),
+        "text": pa.array(["a b", "b c", None, "c d d", "far out"],
+                         pa.string()),
+    }))
+    got = vocab_growth(ds, boundaries=[1, 3, 4]).to_pandas()
+    # doc 9 is beyond the last boundary: contributes nothing
+    assert got.values.tolist() == [
+        [1, 1, 2, 2],    # docs {1}: 2 tokens, vocab {a,b}
+        [3, 2, 4, 3],    # + doc 2: 4 tokens, vocab {a,b,c}
+        [4, 3, 7, 4],    # + doc 4: 7 tokens, vocab {a,b,c,d}
+    ]
