@@ -3277,6 +3277,63 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_label_transfer(sf_dir: str):
+    """Label transfer across near-dup components (weak supervision):
+    even doc_ids keep their lang label, odd doc_ids inherit their
+    component's mode label; unlabeled components stay NULL. Fully
+    distributed (hash-min components, distributed mode, bucketed
+    joins); closure + row_number mode mirror."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.dedup import (ngram_jaccard_dupes,
+                                                transfer_labels)
+
+    pairs = ngram_jaccard_dupes(_docs(sf_dir), threshold=0.8)
+
+    def lbl(t):
+        even = pc.equal(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 2), 2)), 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "label": pc.if_else(even, t["lang"],
+                                pa.nulls(t.num_rows, pa.string())),
+        })
+
+    labels = _docs(sf_dir).map_batches(lbl, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    # n_buckets=8: five bucketed exchanges whose FIXED cost scales
+    # with bucket count — tiny at battery scale (the BFS precedent);
+    # raise with the cluster at corpus scale
+    return transfer_labels(pairs, labels, n_buckets=8)
+
+
+def _q_sliding_distinct(sf_dir: str):
+    """Exact distinct users per SLIDING window (1h window, 30min
+    slide): phase-shift explode then the two-level distinct — only
+    distinct (window, user) pairs shuffle."""
+    from fluent_server_ray.stages.windows import sliding_distinct_users
+
+    return sliding_distinct_users(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"]),
+        width_seconds=3600, slide_seconds=1800)
+
+
+def _q_rolling_sum(sf_dir: str):
+    """Per-user rolling 5-event value sum (ROWS frame) in exact
+    integer cents — difference of two segmented cumsums, one key
+    bucket exchange."""
+    from fluent_server_ray.stages.windows import rolling_agg
+
+    return rolling_agg(
+        read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"]),
+        window_rows=5)
+
+
 def _q_sorted_neighborhood(sf_dir: str):
     """Sorted-Neighborhood blocking candidates (window 8 over the
     4-codepoint sort key): exact distributed rank (bounded bkey
@@ -3697,6 +3754,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fuzzy_match": _q_fuzzy_match,
         "dedup_sorted_neighborhood": _q_sorted_neighborhood,
         "doc_vocab_growth": _q_vocab_growth,
+        "events_sliding_distinct": _q_sliding_distinct,
+        "events_rolling_value_sum": _q_rolling_sum,
+        "doc_label_transfer": _q_label_transfer,
         "user_multi_funnel": _q_multi_funnel,
         "events_volume_xcorr": _q_volume_xcorr,
         "user_rfm_scores": _q_rfm,
@@ -4307,6 +4367,14 @@ WITH toks AS (
         "doc_readability": textstats.readability_sql(),
         "dedup_sorted_neighborhood": dedup.sorted_neighborhood_sql(
             key_len=4, window=8),
+        "events_sliding_distinct": windows.sliding_distinct_users_sql(
+            width_seconds=3600, slide_seconds=1800),
+        "events_rolling_value_sum": windows.rolling_agg_sql(
+            window_rows=5),
+        "doc_label_transfer": dedup.transfer_labels_sql(
+            dedup.ngram_jaccard_dupes_sql(threshold=0.8),
+            "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN lang END "
+            "AS label FROM documents"),
         "doc_vocab_growth": textstats.vocab_growth_sql(
             boundaries=[49 + 50 * i for i in range(10)]),
         "user_multi_funnel": windows.multi_funnel_sql(

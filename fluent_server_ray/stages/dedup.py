@@ -2838,3 +2838,137 @@ SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
 FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < {window}
 ORDER BY id_a, id_b
 """.strip()
+
+
+def transfer_labels(pairs_ds, labels_ds, id_col: str = "doc_id",
+                    label_col: str = "label", n_buckets: int = 64,
+                    cols: tuple[str, str] = ("doc_a", "doc_b")):
+    """Semi-supervised label TRANSFER across near-dup components —
+    the weak-supervision step big-corpus curation runs after
+    clustering (a license tag, language id, or toxicity verdict
+    established for one copy propagates to its near-duplicates):
+    every node of the pair graph takes the MODE of its component's
+    KNOWN labels (ties -> smallest label, the :func:`aggregate.
+    grouped_mode` rule); a node with its own label KEEPS it;
+    components with no labeled member stay NULL.
+
+    Distributed end to end: components via :func:`pair_components`
+    (hash-min propagation), (component, label) counts via the
+    distributed merge, per-component mode via one component bucket
+    exchange (whole-bucket sort + head — components are node-scaled,
+    never a driver merge), and two bucketed joins attach mode and own
+    labels. Only pair-graph nodes appear (singletons never entered
+    the pair set; the caller unions untouched rows).
+
+    Output: Dataset (doc_id, component, label) sorted by doc_id.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.groups import map_buckets
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    # materialize: comp feeds TWO joins — a lazy Dataset would
+    # re-execute the whole component propagation (and the pair
+    # generation upstream of it) once per consumer (the house
+    # double-execution gotcha)
+    comp = pair_components(pairs_ds, n_buckets=n_buckets,
+                           cols=cols).materialize()  # (doc_id, component)
+
+    def known(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[label_col]))
+        return pa.table({
+            "doc_id": pc.cast(t[id_col], pa.int64()),
+            "_own": pc.cast(t[label_col], pa.string()),
+        })
+
+    kn = labels_ds.map_batches(skip_empty(known),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    # component x known-label counts (distributed merge)
+    ck = bucketed_hash_join(comp, kn, key="doc_id",
+                            n_buckets=n_buckets)
+    counts = grouped_agg(
+        ck.map_batches(
+            skip_empty(lambda t: pa.table({
+                "component": t["component"], "lbl": t["_own"]})
+                .group_by(["component", "lbl"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["component", "lbl", "n"])),
+            batch_format="pyarrow", zero_copy_batch=True),
+        keys=["component", "lbl"], aggs=[("n", "sum")], final="ray")
+
+    mode_schema = pa.schema([pa.field("component", pa.int64()),
+                             pa.field("_mode", pa.string())])
+
+    def per_bucket_mode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["component", "n_sum", "lbl"],
+                          ascending=[True, False, True])
+        top = g.groupby("component", sort=False).head(1)
+        return pd.DataFrame({"component": top["component"].to_numpy(),
+                             "_mode": top["lbl"].to_numpy()})
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    modes = map_buckets(_with_bucket(counts, "component", n_buckets),
+                        per_bucket_mode, mode_schema)
+
+    with_mode = bucketed_hash_join(comp, modes, key="component",
+                                   how="left", n_buckets=n_buckets)
+    full = bucketed_hash_join(with_mode, kn, key="doc_id", how="left",
+                              n_buckets=n_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        lbl = pc.coalesce(t["_own"], t["_mode"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "component": t["component"],
+            "label": lbl,
+        })
+
+    return full.map_batches(skip_empty(finish), batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")
+
+
+def transfer_labels_sql(pairs_sql: str, labels_sql: str) -> str:
+    """Mirror: recursive-closure components + deterministic mode
+    (row_number over n DESC, label ASC) + COALESCE(own, mode).
+    ``labels_sql`` yields (doc_id, label) with NULLs allowed."""
+    return f"""
+WITH RECURSIVE base AS (
+  {pairs_sql}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM base
+  UNION ALL SELECT doc_b, doc_a FROM base
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node AS doc_id, min(lbl) AS component FROM reach
+  GROUP BY node
+), known AS (
+  SELECT doc_id, label AS own FROM ({labels_sql})
+  WHERE label IS NOT NULL
+), cnt AS (
+  SELECT c.component, k.own AS lbl,
+    CAST(count(*) AS BIGINT) AS n
+  FROM comp c JOIN known k ON k.doc_id = c.doc_id
+  GROUP BY 1, 2
+), mode AS (
+  SELECT component, lbl AS cmode FROM (
+    SELECT component, lbl,
+      row_number() OVER (PARTITION BY component
+                         ORDER BY n DESC, lbl) AS rn
+    FROM cnt
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, c.component,
+  COALESCE(k.own, m.cmode) AS label
+FROM comp c
+LEFT JOIN mode m ON m.component = c.component
+LEFT JOIN known k ON k.doc_id = c.doc_id
+ORDER BY c.doc_id
+""".strip()

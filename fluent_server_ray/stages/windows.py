@@ -2080,3 +2080,167 @@ SELECT user_id, {sel},
     AS completed
 FROM e{n} ORDER BY user_id""")
     return "".join(parts)
+
+
+def sliding_distinct_users(ds, width_seconds: int = 3600,
+                           slide_seconds: int = 1800,
+                           key_col: str = "user_id",
+                           ts_col: str = "ts", n_buckets: int = 64):
+    """EXACT distinct-count per SLIDING window — the non-mergeable
+    sibling of :func:`window_distinct_users` (tumbling) and
+    :func:`sliding_counts` (counts slide trivially; DISTINCT cannot be
+    merged across overlapping panes, so each row replicates to its
+    width/slide covering windows BEFORE the two-level distinct).
+
+    Phase-shift explode (the :func:`sliding_counts` idiom — one
+    integer expression per phase, no Python rows) -> per-batch local
+    dedup of (window, key) -> ONE key-hash exchange + whole-bucket
+    drop_duplicates -> bounded per-window counts. Only distinct
+    (window x key) pairs shuffle. Output: (window_start, n_users).
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import (grouped_counts,
+                                                    hash_bucket_array,
+                                                    skip_empty)
+
+    assert width_seconds % slide_seconds == 0
+    n_phases = width_seconds // slide_seconds
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        # numpy // FLOORS like SQL's // — pc.divide truncates toward
+        # zero and would misplace pre-epoch (negative-second) events
+        secs = us // 1_000_000
+        parts = []
+        for phase in range(n_phases):
+            shift = phase * slide_seconds
+            win = ((secs - shift) // width_seconds) * width_seconds + shift
+            parts.append(pa.table({"window_start": pa.array(win),
+                                   key_col: t[key_col]}))
+        u = (pa.concat_tables(parts)
+             .group_by(["window_start", key_col]).aggregate([]))
+        return u.append_column(
+            "_bucket",
+            pa.array(hash_bucket_array(u[key_col], n_buckets)))
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["window_start", key_col])[
+            ["window_start", key_col]]
+
+    pairs = (ds.select_columns([key_col, ts_col])
+             .map_batches(skip_empty(partial), batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("_bucket")
+             .map_groups(bucket_distinct, batch_format="pandas"))
+    counts = grouped_counts(pairs, ["window_start"])
+    return counts.rename_columns(["window_start", "n_users"]).sort_by(
+        [("window_start", "ascending")])
+
+
+def sliding_distinct_users_sql(width_seconds: int = 3600,
+                               slide_seconds: int = 1800,
+                               table: str = "events") -> str:
+    n_phases = width_seconds // slide_seconds
+    selects = []
+    for phase in range(n_phases):
+        shift = phase * slide_seconds
+        selects.append(
+            f"SELECT user_id, "
+            f"(((epoch_us(ts) // 1000000) - {shift}) // {width_seconds})"
+            f" * {width_seconds} + {shift} AS window_start"
+            f" FROM {table}")
+    union = "\nUNION ALL\n".join(selects)
+    return (f"SELECT window_start, CAST(count(DISTINCT user_id) AS "
+            f"BIGINT) AS n_users FROM (\n{union}\n) "
+            "GROUP BY 1 ORDER BY 1")
+
+
+def rolling_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
+                value_col: str = "value", id_col: str = "event_id",
+                window_rows: int = 5, n_buckets: int = 64):
+    """Per-key ROLLING aggregate over the last ``window_rows`` events
+    in (ts, id) order — SQL's ``ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW`` frame (the moving-average / burst-budget feature
+    the cumulative :func:`assembly.running_turn_stats` can't express:
+    that one never forgets).
+
+    Exactness: values fix to integer CENTS (half-away) and the rolling
+    sum is the difference of two segmented int64 cumsums (cumsum minus
+    its ``window_rows``-shifted self, nullable Int64 so the shift
+    never degrades to float64) — order-free, strict. One key bucket
+    exchange; everything inside is cythonized segmented kernels.
+    NULL value rows participate with 0 cents but still occupy a frame
+    slot (SQL sum-over-frame ignores NULL values, not NULL rows);
+    NULL key is its own partition. Output: (id, key, cents,
+    rolling_sum_cents, rolling_n) sorted by (key, ts, id).
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def clean(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.fill_null(t[value_col], 0.0), pa.float64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)),
+                        pa.int64())
+        return pa.table({
+            "id": pc.cast(t[id_col], pa.int64()),
+            "key": pc.cast(t[key_col], pa.string()),
+            "_us": t[ts_col].cast(pa.int64()),
+            "cents": cents,
+        })
+
+    schema = pa.schema([
+        pa.field("id", pa.int64()),
+        pa.field("key", pa.string()),
+        pa.field("cents", pa.int64()),
+        pa.field("rolling_sum_cents", pa.int64()),
+        pa.field("rolling_n", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "_us", "id"])
+        grp = g.groupby("key", sort=False, dropna=False)
+        cs = grp["cents"].cumsum().astype("Int64")
+        prev = cs.groupby(
+            g["key"].to_numpy(), sort=False, dropna=False
+        ).shift(window_rows).fillna(0).astype("int64")
+        pos = grp.cumcount().to_numpy()
+        return pd.DataFrame({
+            "id": g["id"].to_numpy(),
+            "key": g["key"].to_numpy(),
+            "cents": g["cents"].to_numpy(),
+            "rolling_sum_cents": (cs.to_numpy(dtype="int64")
+                                  - prev.to_numpy()),
+            "rolling_n": np.minimum(pos + 1, window_rows),
+        })
+
+    bucketed = _with_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col])
+        .map_batches(clean, batch_format="pyarrow",
+                     zero_copy_batch=True), "key", n_buckets)
+    return map_buckets(bucketed, per_bucket, schema).sort(
+        ["key", "id"])
+
+
+def rolling_agg_sql(key_col: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value",
+                    id_col: str = "event_id", window_rows: int = 5,
+                    table: str = "events") -> str:
+    return f"""
+SELECT CAST({id_col} AS BIGINT) AS id,
+  CAST({key_col} AS VARCHAR) AS key,
+  CAST(floor(COALESCE({value_col}, 0.0) * 100.0 + 0.5) AS BIGINT)
+    AS cents,
+  CAST(sum(CAST(floor(COALESCE({value_col}, 0.0) * 100.0 + 0.5)
+               AS BIGINT))
+       OVER w AS BIGINT) AS rolling_sum_cents,
+  CAST(count(*) OVER w AS BIGINT) AS rolling_n
+FROM {table}
+WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+             ROWS BETWEEN {window_rows - 1} PRECEDING
+             AND CURRENT ROW)
+ORDER BY key, id
+""".strip()

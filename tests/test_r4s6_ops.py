@@ -529,3 +529,69 @@ def test_vocab_growth_hand(ray_session):
         [3, 2, 4, 3],    # + doc 2: 4 tokens, vocab {a,b,c}
         [4, 3, 7, 4],    # + doc 4: 7 tokens, vocab {a,b,c,d}
     ]
+
+
+def test_sliding_distinct_users_hand(ray_session):
+    from fluent_server_ray.stages.windows import sliding_distinct_users
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        # seconds 0, 1700, 1900, 3700 with width 3600 slide 1800
+        "ts": pa.array([0, 1_700_000_000, 1_900_000_000,
+                        3_700_000_000], pa.timestamp("us")),
+    })
+    got = sliding_distinct_users(
+        rd.from_arrow(t), width_seconds=3600,
+        slide_seconds=1800).to_pandas()
+    # windows covering each event: t=0 -> [-1800, 0]; t=1700 ->
+    # [-1800, 0]; t=1900 -> [0, 1800]; t=3700 -> [1800, 3600]
+    assert got.values.tolist() == [
+        [-1800, 1], [0, 2], [1800, 2], [3600, 1]]
+
+
+def test_rolling_agg_hand(ray_session):
+    from fluent_server_ray.stages.windows import rolling_agg
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 10], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+        "ts": pa.array([100, 200, 300, 400, 50],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, None, 4.0, 9.995], pa.float64()),
+    })
+    got = rolling_agg(rd.from_arrow(t), window_rows=2,
+                      n_buckets=4).to_pandas()
+    by = got.set_index("id")
+    # user 7 cents: 100, 200, 0 (NULL occupies a slot), 400
+    assert by.loc[1, "rolling_sum_cents"] == 100
+    assert by.loc[2, "rolling_sum_cents"] == 300
+    assert by.loc[3, "rolling_sum_cents"] == 200   # 200 + 0
+    assert by.loc[4, "rolling_sum_cents"] == 400   # 0 + 400
+    assert by.loc[4, "rolling_n"] == 2
+    # 9.995 * 100.0 = 999.4999... in float64 — the contract IS the
+    # shared float expression (both engines agree on 999)
+    assert by.loc[10, "cents"] == 999
+    assert by.loc[10, "rolling_n"] == 1
+
+
+def test_transfer_labels_hand(ray_session):
+    from fluent_server_ray.stages.dedup import transfer_labels
+
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 5], pa.int64()),
+        "doc_b": pa.array([2, 3, 6], pa.int64()),
+    }))
+    labels = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 5, 6], pa.int64()),
+        "label": pa.array(["en", None, "fr", None, None],
+                          pa.string()),
+    }))
+    got = transfer_labels(pairs, labels, n_buckets=4).to_pandas()
+    by = got.set_index("doc_id")
+    assert by.loc[1, "label"] == "en"          # keeps own
+    assert by.loc[3, "label"] == "fr"          # keeps own
+    # node 2: component mode of {en, fr} -> tie -> smallest ('en')
+    assert by.loc[2, "label"] == "en"
+    # component {5, 6}: no labeled member -> NULL
+    assert pd.isna(by.loc[5, "label"]) and pd.isna(by.loc[6, "label"])
+    assert list(by.index) == [1, 2, 3, 5, 6]
