@@ -3260,10 +3260,12 @@ def _q_counts_maintained(sf_dir: str):
             "event_id": t["event_id"],
         })
 
+    # materialize: ds feeds base + delta, and the delta applies twice
+    # — a lazy graph would re-run the read/projection three times
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "event_type", "ts"]).map_batches(
-        proj, batch_format="pyarrow", zero_copy_batch=True)
+        proj, batch_format="pyarrow", zero_copy_batch=True).materialize()
     base = ds.map_batches(
         lambda t: t.filter(pc.not_equal(_mod4(t), 0)),
         batch_format="pyarrow", zero_copy_batch=True)

@@ -1774,8 +1774,8 @@ def benford_audit(ds, value_col: str = "o_totalprice",
     the log-uniform digit law real financial magnitudes do).
 
     Exactness contract: the value is fixed to integer CENTS with the
-    house half-away rule ``floor(v*100 + 0.5)`` (one identical float64
-    expression in both engines), the first digit is the first character
+    house rule :func:`_cents` (half away from zero, mirrored as
+    ``CAST(round(v*100.0) AS BIGINT)``), the first digit is the first character
     of the cents integer's decimal rendering (pure string/int ops —
     never float log10, whose floor at a power of ten is
     rounding-sensitive), and the expected proportions are the pinned
@@ -1790,15 +1790,16 @@ def benford_audit(ds, value_col: str = "o_totalprice",
     def digits(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[value_col]),
                              pc.is_valid(t[group_col])))
-        cents = pc.cast(pc.floor(pc.add(
-            pc.multiply(pc.cast(t[value_col], pa.float64()), 100.0),
-            0.5)), pa.int64())
+        cents = _cents(pc.cast(t[value_col], pa.float64()))
+        # filter BEFORE the digit cast: a negative cents value would
+        # slice to '-' and crash the int64 parse
         keep = pc.greater_equal(cents, 1)
+        cents = cents.filter(keep)
         first = pc.utf8_slice_codeunits(
             pc.cast(cents, pa.string()), 0, 1)
         return pa.table({
             "grp": pc.cast(t[group_col], pa.string()).filter(keep),
-            "digit": pc.cast(first, pa.int64()).filter(keep),
+            "digit": pc.cast(first, pa.int64()),
         })
 
     cells = grouped_counts(
@@ -1835,11 +1836,11 @@ def benford_audit_sql(value_col: str = "o_totalprice",
     return f"""
 WITH b AS (
   SELECT {group_col} AS grp,
-    CAST(substr(CAST(CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT)
+    CAST(substr(CAST(CAST(round({value_col} * 100.0) AS BIGINT)
                      AS VARCHAR), 1, 1) AS BIGINT) AS digit
   FROM {table}
   WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
-    AND CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT) >= 1
+    AND CAST(round({value_col} * 100.0) AS BIGINT) >= 1
 ), c AS (
   SELECT grp, digit, CAST(count(*) AS BIGINT) AS n
   FROM b GROUP BY 1, 2
@@ -1920,11 +1921,13 @@ def association_rules(ds, basket_col: str = "user_id",
     parts = map_buckets(
         _with_bucket(pre, "basket", n_buckets), per_bucket, schema)
     # bounded driver merge: <= |items|^2 + |items| + 1 keys
-    merged = pa.concat_tables(
-        parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    tables = list(parts.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"))
     out_cols = ["antecedent", "consequent", "n_both", "n_ant", "n_cons",
                 "n_baskets", "confidence_millionths", "lift_millionths"]
-    if merged.num_rows == 0:
+    # zero-block case first: pa.concat_tables([]) raises
+    merged = pa.concat_tables(tables) if tables else None
+    if merged is None or merged.num_rows == 0:
         return pa.table({c: pa.array(
             [], pa.string() if c in out_cols[:2] else pa.int64())
             for c in out_cols})
@@ -2082,16 +2085,20 @@ WITH daily AS (
     sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
     sum(x*x) AS sxx, sum(y*y) AS syy
   FROM pairs GROUP BY key
-)
-SELECT key AS {key_col}, CAST(m AS BIGINT) AS n_pairs,
-  CASE WHEN m < 2 OR m*sxx - sx*sx <= 0 OR m*syy - sy*sy <= 0
+), keys AS (SELECT DISTINCT key FROM daily)
+SELECT k.key AS {key_col},
+  CAST(COALESCE(m.m, 0) AS BIGINT) AS n_pairs,
+  CASE WHEN m.m IS NULL OR m.m < 2
+         OR m.m*m.sxx - m.sx*m.sx <= 0 OR m.m*m.syy - m.sy*m.sy <= 0
        THEN NULL
-       ELSE CAST(CAST(m*sxy - sx*sy AS VARCHAR) AS DOUBLE)
-            / (sqrt(CAST(CAST(m*sxx - sx*sx AS VARCHAR) AS DOUBLE))
-               * sqrt(CAST(CAST(m*syy - sy*sy AS VARCHAR) AS DOUBLE)))
+       ELSE CAST(CAST(m.m*m.sxy - m.sx*m.sy AS VARCHAR) AS DOUBLE)
+            / (sqrt(CAST(CAST(m.m*m.sxx - m.sx*m.sx AS VARCHAR)
+                         AS DOUBLE))
+               * sqrt(CAST(CAST(m.m*m.syy - m.sy*m.sy AS VARCHAR)
+                           AS DOUBLE)))
   END AS corr
-FROM mom
-ORDER BY key
+FROM keys k LEFT JOIN mom m ON m.key = k.key
+ORDER BY k.key
 """.strip()
 
 
@@ -2348,9 +2355,8 @@ def rfm_scores(ds, key_col: str = "user_id", ts_col: str = "ts",
         t = t.filter(pc.and_(pc.is_valid(t[key_col]),
                              pc.is_valid(t[ts_col])))
         us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        v = pc.cast(pc.fill_null(t[value_col], 0.0), pa.float64())
-        cents = pc.cast(pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)),
-                        pa.int64())
+        cents = _cents(pc.cast(pc.fill_null(t[value_col], 0.0),
+                               pa.float64()))
         return (pa.table({
             "key": pc.cast(t[key_col], pa.int64()),
             "day": pa.array(us // 86_400_000_000),
@@ -2374,9 +2380,23 @@ def rfm_scores(ds, key_col: str = "user_id", ts_col: str = "ts",
             "m": pa.array([pc.max(t["day_max_max"]).as_py()],
                           pa.int64())})),
         batch_format="pyarrow", zero_copy_batch=True)
-    global_max = max(int(b["m"][0].as_py())
-                     for b in mx.iter_batches(batch_size=None,
-                                              batch_format="pyarrow"))
+    mx_batches = list(mx.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+    if not mx_batches:
+        # empty / fully-filtered input: typed empty, like the mirror
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "key": pa.array([], pa.int64()),
+            "recency_days": pa.array([], pa.int64()),
+            "frequency": pa.array([], pa.int64()),
+            "monetary_cents": pa.array([], pa.int64()),
+            "r_tier": pa.array([], pa.int64()),
+            "f_tier": pa.array([], pa.int64()),
+            "m_tier": pa.array([], pa.int64()),
+            "rfm_code": pa.array([], pa.int64()),
+        }))
+    global_max = max(int(b["m"][0].as_py()) for b in mx_batches)
 
     r_hi, r_mid = RFM_RECENCY_DAYS
     f_hi, f_mid = RFM_FREQUENCY
@@ -2417,7 +2437,7 @@ def rfm_scores_sql(key_col: str = "user_id", ts_col: str = "ts",
 WITH base AS (
   SELECT CAST({key_col} AS BIGINT) AS key,
     epoch_us({ts_col}) // 86400000000 AS day,
-    CAST(floor(COALESCE({value_col}, 0.0) * 100.0 + 0.5) AS BIGINT)
+    CAST(round(COALESCE({value_col}, 0.0) * 100.0) AS BIGINT)
       AS cents
   FROM {table}
   WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL

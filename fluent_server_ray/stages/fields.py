@@ -386,9 +386,22 @@ def json_key_profile(ds, src_col: str = "props") -> pa.Table:
 
     def explode(t: pa.Table) -> pa.Table:
         keys, vals, ns = [], [], []
+        def no_dups(pairs):
+            d = dict(pairs)
+            if len(d) != len(pairs):
+                # DuckDB json_keys returns BOTH copies of a
+                # duplicated key while json.loads keeps the last —
+                # refuse rather than silently diverge from the mirror
+                raise ValueError(
+                    "json_key_profile: duplicate top-level key in "
+                    "a document — engines disagree on duplicate-key "
+                    "JSON; normalize the feed first")
+            return d
+
         for doc, n in zip(t["doc"].to_pylist(),
                           t["n_sum"].to_pylist()):
-            obj = json.loads(doc)  # malformed raises, like the mirror
+            # malformed raises, like the mirror
+            obj = json.loads(doc, object_pairs_hook=no_dups)
             if not isinstance(obj, dict):
                 continue
             for k, v in obj.items():

@@ -150,8 +150,9 @@ def profile_table(ds, columns: list[str] | None = None) -> pa.Table:
     n_rows = int(pc.sum(parts["n_rows"]).as_py() or 0)
     out = {"col": [], "n_rows": [], "n_nulls": [], "n_distinct": [],
            "min_num": [], "max_num": [], "min_str": [], "max_str": []}
-    for i, c in enumerate(sorted(columns)):
-        i = columns.index(c)
+    col_idx = {c: i for i, c in enumerate(columns)}
+    for c in sorted(columns):
+        i = col_idx[c]
         out["col"].append(c)
         out["n_rows"].append(n_rows)
         out["n_nulls"].append(

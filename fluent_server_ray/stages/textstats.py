@@ -3076,10 +3076,16 @@ def vocab_growth(ds, boundaries, id_col: str = "doc_id",
         })
 
     # bounded: |boundaries| rows per block after collapse
-    tiny = pa.concat_tables(
+    tiny_tables = list(
         merged.map_batches(skip_empty(collapse), batch_format="pyarrow",
                            zero_copy_batch=True)
         .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tiny_tables:
+        # empty corpus: the curve is all zeros (mirror agrees)
+        zeros = pa.array(np.zeros(len(barr), np.int64))
+        return pa.table({"boundary": pa.array(barr), "n_docs": zeros,
+                         "n_tokens_cum": zeros, "vocab_cum": zeros})
+    tiny = pa.concat_tables(tiny_tables)
     agg = (tiny.group_by("bucket").aggregate(
         [("vocab", "sum"), ("toks", "sum"), ("docs", "sum")])
         .rename_columns(["bucket", "vocab", "toks", "docs"])

@@ -2104,10 +2104,18 @@ def sliding_distinct_users(ds, width_seconds: int = 3600,
                                                     hash_bucket_array,
                                                     skip_empty)
 
-    assert width_seconds % slide_seconds == 0
+    if width_seconds % slide_seconds != 0:
+        raise ValueError("sliding_distinct_users: width must be a "
+                         "multiple of slide (windows must tile)")
     n_phases = width_seconds // slide_seconds
 
     def partial(t: pa.Table) -> pa.Table:
+        # NULL ts would degrade the int64 seconds to float64 NaN
+        # (block schema flip); NULL key would count as a user while
+        # SQL count(DISTINCT) ignores it — both excluded, and the
+        # mirror carries the same WHERE
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[key_col])))
         us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
                      pa.int64()).to_numpy(zero_copy_only=False)
         # numpy // FLOORS like SQL's // — pc.divide truncates toward
@@ -2150,7 +2158,8 @@ def sliding_distinct_users_sql(width_seconds: int = 3600,
             f"SELECT user_id, "
             f"(((epoch_us(ts) // 1000000) - {shift}) // {width_seconds})"
             f" * {width_seconds} + {shift} AS window_start"
-            f" FROM {table}")
+            f" FROM {table}"
+            f" WHERE ts IS NOT NULL AND user_id IS NOT NULL")
     union = "\nUNION ALL\n".join(selects)
     return (f"SELECT window_start, CAST(count(DISTINCT user_id) AS "
             f"BIGINT) AS n_users FROM (\n{union}\n) "
@@ -2181,15 +2190,15 @@ def rolling_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
     from fluent_server_ray.stages.assembly import _with_bucket
     from fluent_server_ray.stages.groups import map_buckets
 
+    from fluent_server_ray.stages.features import _cents
+
     def clean(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.fill_null(t[value_col], 0.0), pa.float64())
-        cents = pc.cast(pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)),
-                        pa.int64())
         return pa.table({
             "id": pc.cast(t[id_col], pa.int64()),
             "key": pc.cast(t[key_col], pa.string()),
             "_us": t[ts_col].cast(pa.int64()),
-            "cents": cents,
+            "cents": _cents(v),
         })
 
     schema = pa.schema([
@@ -2232,9 +2241,9 @@ def rolling_agg_sql(key_col: str = "user_id", ts_col: str = "ts",
     return f"""
 SELECT CAST({id_col} AS BIGINT) AS id,
   CAST({key_col} AS VARCHAR) AS key,
-  CAST(floor(COALESCE({value_col}, 0.0) * 100.0 + 0.5) AS BIGINT)
+  CAST(round(COALESCE({value_col}, 0.0) * 100.0) AS BIGINT)
     AS cents,
-  CAST(sum(CAST(floor(COALESCE({value_col}, 0.0) * 100.0 + 0.5)
+  CAST(sum(CAST(round(COALESCE({value_col}, 0.0) * 100.0)
                AS BIGINT))
        OVER w AS BIGINT) AS rolling_sum_cents,
   CAST(count(*) OVER w AS BIGINT) AS rolling_n

@@ -595,3 +595,91 @@ def test_transfer_labels_hand(ray_session):
     # component {5, 6}: no labeled member -> NULL
     assert pd.isna(by.loc[5, "label"]) and pd.isna(by.loc[6, "label"])
     assert list(by.index) == [1, 2, 3, 5, 6]
+
+
+# ---- self-review regression pins (session code-review findings) ----
+
+
+def test_benford_negative_values_no_crash(ray_session):
+    from fluent_server_ray.stages.features import benford_audit
+
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array([-5.0, -0.01, 12.34], pa.float64()),
+        "g": pa.array(["a", "a", "a"], pa.string()),
+    }))
+    got = benford_audit(ds, "v", "g").to_pandas()
+    # negatives excluded (cents < 1), never a '-' digit-parse crash
+    assert got.values.tolist() == [["a", 1, 1, 1, 301029]]
+
+
+def test_volume_autocorr_single_day_key(ray_session):
+    import duckdb
+
+    from fluent_server_ray.stages.features import (volume_autocorr,
+                                                   volume_autocorr_sql)
+
+    t = pa.concat_tables([
+        _events([(0, 1), (1, 2), (2, 3)], "multi"),
+        _events([(5, 4)], "solo"),      # ONE observed day
+    ])
+    got = volume_autocorr(rd.from_arrow(t)).to_pandas()
+    by = got.set_index("event_type")
+    assert by.loc["solo", "n_pairs"] == 0
+    assert pd.isna(by.loc["solo", "corr"])
+    # the mirror must keep the single-day key too
+    con = duckdb.connect()
+    con.register("events_arrow", t.to_pandas())
+    sql = volume_autocorr_sql(table="events_arrow")
+    odf = con.execute(sql).fetchdf()
+    assert sorted(odf["event_type"]) == ["multi", "solo"]
+    assert int(odf.set_index("event_type").loc["solo",
+                                               "n_pairs"]) == 0
+
+
+def test_sliding_distinct_null_rows(ray_session):
+    from fluent_server_ray.stages.windows import sliding_distinct_users
+
+    t = pa.table({
+        "user_id": pa.array([1, None, 2], pa.int64()),
+        "ts": pa.array([3_600_000_000, 3_600_000_000, None],
+                       pa.timestamp("us")),
+    })
+    got = sliding_distinct_users(rd.from_arrow(t), 3600,
+                                 1800).to_pandas()
+    # only user 1 at t=3600 survives; NULL user / NULL ts excluded
+    assert got.values.tolist() == [[1800, 1], [3600, 1]]
+    with pytest.raises(ValueError, match="multiple of slide"):
+        sliding_distinct_users(rd.from_arrow(t), 3600, 1000)
+
+
+def test_empty_input_typed_results(ray_session):
+    from fluent_server_ray.stages.features import (association_rules,
+                                                   rfm_scores)
+    from fluent_server_ray.stages.textstats import vocab_growth
+
+    empty_ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+        "event_type": pa.array([], pa.string()),
+    }))
+    r = rfm_scores(empty_ev)
+    assert r.count() == 0
+    a = association_rules(empty_ev, "user_id", "event_type")
+    assert a.num_rows == 0
+    assert a.schema.names[:2] == ["antecedent", "consequent"]
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    v = vocab_growth(empty_docs, boundaries=[10, 20]).to_pandas()
+    assert v.values.tolist() == [[10, 0, 0, 0], [20, 0, 0, 0]]
+
+
+def test_json_key_profile_duplicate_key_raises(ray_session):
+    from fluent_server_ray.stages.fields import json_key_profile
+
+    ds = rd.from_arrow(pa.table({
+        "props": pa.array(['{"a": 1, "a": 2}'], pa.string())}))
+    with pytest.raises(Exception, match="duplicate top-level key"):
+        json_key_profile(ds)
