@@ -3327,9 +3327,9 @@ def _q_rolling_sum(sf_dir: str):
     """Per-user rolling 5-event value sum (ROWS frame) in exact
     integer cents — difference of two segmented cumsums, one key
     bucket exchange."""
-    from fluent_server_ray.stages.windows import rolling_agg
+    from fluent_server_ray.stages.windows import rolling_frame_sum
 
-    return rolling_agg(
+    return rolling_frame_sum(
         read_parquet_clean(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "ts", "value"]),
@@ -3499,10 +3499,11 @@ def _q_ks_drift(sf_dir: str):
                            columns=["value", "event_type"]))
 
 
-def _q_events_profile(sf_dir: str):
-    """Column profiler over the events table: per-column rows / nulls /
-    exact distinct / typed min-max in one scalar-partial pass plus one
-    value-hash distinct exchange — the new-source admission audit."""
+def _q_events_profile_full(sf_dir: str):
+    """FULL column profiler over the events table (typed min/max on
+    top of the rows/nulls/distinct card the older events_profile
+    reports): one scalar-partial pass plus one value-hash distinct
+    exchange — the new-source admission audit."""
     from fluent_server_ray.stages.profile import profile_table
 
     return profile_table(
@@ -3746,7 +3747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford": _q_benford,
         "event_association_rules": _q_association_rules,
         "events_volume_autocorr": _q_volume_autocorr,
-        "events_profile": _q_events_profile,
+        "events_profile_full": _q_events_profile_full,
         "token_graph_kcore": _q_token_kcore,
         "events_counts_maintained": _q_counts_maintained,
         "user_session_coverage": _q_session_coverage,
@@ -4347,7 +4348,7 @@ WITH toks AS (
         "orders_benford": features.benford_audit_sql(),
         "event_association_rules": features.association_rules_sql(),
         "events_volume_autocorr": features.volume_autocorr_sql(),
-        "events_profile": profile_table_sql(
+        "events_profile_full": profile_table_sql(
             {"event_id": "int", "ts": "timestamp", "user_id": "int",
              "event_type": "str", "value": "float", "props": "str"},
             "events"),
@@ -4371,7 +4372,7 @@ WITH toks AS (
             key_len=4, window=8),
         "events_sliding_distinct": windows.sliding_distinct_users_sql(
             width_seconds=3600, slide_seconds=1800),
-        "events_rolling_value_sum": windows.rolling_agg_sql(
+        "events_rolling_value_sum": windows.rolling_frame_sum_sql(
             window_rows=5),
         "doc_label_transfer": dedup.transfer_labels_sql(
             dedup.ngram_jaccard_dupes_sql(threshold=0.8),

@@ -191,7 +191,10 @@ def run_once() -> dict:
                   "doc_sim_pairs", "dedup_containment",
                   "purchase_attribution", "doc_rank_fusion",
                   "token_graph_triangles", "event_motifs_top",
-                  "prompt_completion_pairs"):
+                  "prompt_completion_pairs", "events_profile_full",
+                  "user_multi_funnel", "events_rolling_value_sum",
+                  "dedup_sorted_neighborhood", "user_rfm_scores",
+                  "token_graph_kcore"):
         # best-of-2: the box shows time-varying hypervisor steal
         # (BASELINE.md "round-4 end-of-round confirm"); the min of
         # two reps estimates the true cost like flagship's min-of-3.

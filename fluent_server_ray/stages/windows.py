@@ -2166,14 +2166,17 @@ def sliding_distinct_users_sql(width_seconds: int = 3600,
             "GROUP BY 1 ORDER BY 1")
 
 
-def rolling_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
+def rolling_frame_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
                 value_col: str = "value", id_col: str = "event_id",
                 window_rows: int = 5, n_buckets: int = 64):
-    """Per-key ROLLING aggregate over the last ``window_rows`` events
-    in (ts, id) order — SQL's ``ROWS BETWEEN k-1 PRECEDING AND
-    CURRENT ROW`` frame (the moving-average / burst-budget feature
-    the cumulative :func:`assembly.running_turn_stats` can't express:
-    that one never forgets).
+    """Per-key ROLLING sum over the last ``window_rows`` events in
+    (ts, id) order — SQL's ``ROWS BETWEEN k-1 PRECEDING AND CURRENT
+    ROW`` frame, with SQL's frame/NULL contract exactly (a NULL-value
+    row OCCUPIES a frame slot; ``count(*) OVER w`` counts it).
+    Complement of :func:`rolling_agg` above, which implements the
+    pandas-reference contract instead (NULL values EXCLUDED from the
+    frame, micros scale, rolling mean included) — the two differ
+    whenever a frame contains NULLs; both are deliberate.
 
     Exactness: values fix to integer CENTS (half-away) and the rolling
     sum is the difference of two segmented int64 cumsums (cumsum minus
@@ -2234,7 +2237,7 @@ def rolling_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
         ["key", "id"])
 
 
-def rolling_agg_sql(key_col: str = "user_id", ts_col: str = "ts",
+def rolling_frame_sum_sql(key_col: str = "user_id", ts_col: str = "ts",
                     value_col: str = "value",
                     id_col: str = "event_id", window_rows: int = 5,
                     table: str = "events") -> str:

@@ -550,7 +550,7 @@ def test_sliding_distinct_users_hand(ray_session):
 
 
 def test_rolling_agg_hand(ray_session):
-    from fluent_server_ray.stages.windows import rolling_agg
+    from fluent_server_ray.stages.windows import rolling_frame_sum
 
     t = pa.table({
         "event_id": pa.array([1, 2, 3, 4, 10], pa.int64()),
@@ -559,7 +559,7 @@ def test_rolling_agg_hand(ray_session):
                        pa.timestamp("us")),
         "value": pa.array([1.0, 2.0, None, 4.0, 9.995], pa.float64()),
     })
-    got = rolling_agg(rd.from_arrow(t), window_rows=2,
+    got = rolling_frame_sum(rd.from_arrow(t), window_rows=2,
                       n_buckets=4).to_pandas()
     by = got.set_index("id")
     # user 7 cents: 100, 200, 0 (NULL occupies a slot), 400
