@@ -3279,6 +3279,27 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE (priority, status): one finest-level combiner
+    pass; every marginal is a re-aggregation of the bounded partial
+    table."""
+    from fluent_server_ray.pipelines.relational import cube_order_counts
+
+    return cube_order_counts(sf_dir)
+
+
+def _q_quantile_normalize(sf_dir: str):
+    """Quantile normalization of event values across types
+    (distribution alignment): exact within-group ranks mapped onto the
+    pooled order statistics via a broadcast distinct-value cumsum."""
+    from fluent_server_ray.stages.features import quantile_normalize
+
+    return quantile_normalize(
+        read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"]))
+
+
 def _q_label_transfer(sf_dir: str):
     """Label transfer across near-dup components (weak supervision):
     even doc_ids keep their lang label, odd doc_ids inherit their
@@ -3764,6 +3785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_volume_xcorr": _q_volume_xcorr,
         "user_rfm_scores": _q_rfm,
         "events_diversified_topk": _q_diversified_topk,
+        "orders_cube_counts": _q_cube_counts,
+        "events_quantile_normalized": _q_quantile_normalize,
     }
 
 
@@ -4374,6 +4397,8 @@ WITH toks AS (
             width_seconds=3600, slide_seconds=1800),
         "events_rolling_value_sum": windows.rolling_frame_sum_sql(
             window_rows=5),
+        "orders_cube_counts": rel.cube_order_counts_sql(),
+        "events_quantile_normalized": features.quantile_normalize_sql(),
         "doc_label_transfer": dedup.transfer_labels_sql(
             dedup.ngram_jaccard_dupes_sql(threshold=0.8),
             "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN lang END "

@@ -1187,3 +1187,52 @@ SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
                 AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def cube_order_counts(sf_dir: str) -> pa.Table:
+    """Full CUBE aggregate (SQL ``GROUP BY CUBE``): order counts at
+    (priority, status), (priority), (status) and grand-total levels —
+    the complete OLAP marginal set where :func:`rollup_order_counts`
+    emits only the hierarchy's prefix levels. Same one-pass shape: the
+    finest combiner counts compute once; every coarser level is a
+    re-aggregation of that bounded partial table."""
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority", "o_orderstatus"])
+    fine = grouped_counts(ds, ["o_orderpriority", "o_orderstatus"])
+    levels = [fine]
+    byp = fine.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
+    levels.append(pa.table({
+        "o_orderpriority": byp["o_orderpriority"],
+        "o_orderstatus": pa.nulls(len(byp), pa.string()),
+        "n": byp["n_sum"],
+    }))
+    bys = fine.group_by(["o_orderstatus"]).aggregate([("n", "sum")])
+    levels.append(pa.table({
+        "o_orderpriority": pa.nulls(len(bys), pa.string()),
+        "o_orderstatus": bys["o_orderstatus"],
+        "n": bys["n_sum"],
+    }))
+    levels.append(pa.table({
+        "o_orderpriority": pa.nulls(1, pa.string()),
+        "o_orderstatus": pa.nulls(1, pa.string()),
+        "n": pa.array([pc.sum(fine["n"]).as_py() or 0],
+                      type=pa.int64()),
+    }))
+    out = pa.concat_tables(levels)
+    order = pc.sort_indices(
+        out,
+        sort_keys=[("o_orderpriority", "ascending"),
+                   ("o_orderstatus", "ascending")],
+        null_placement="at_end",
+    )
+    return out.take(order)
+
+
+def cube_order_counts_sql() -> str:
+    return """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST
+""".strip()

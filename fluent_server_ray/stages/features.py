@@ -2538,3 +2538,125 @@ WITH r AS (
 SELECT id, grp, val FROM r WHERE rn <= {per_group}
 ORDER BY val DESC, id LIMIT {k}
 """.strip()
+
+
+def quantile_normalize(ds, value_col: str = "value",
+                       group_col: str = "event_type",
+                       id_col: str = "event_id",
+                       n_buckets: int = 64,
+                       max_distinct: int = 4_000_000):
+    """Quantile NORMALIZATION across groups: replace each row's value
+    with the GLOBAL value at the same within-group quantile position —
+    the distribution-alignment step (batch-effect removal / cross-feed
+    score calibration: after it, every group's value distribution is a
+    subsample of the pooled one, so thresholds mean the same thing in
+    every feed).
+
+    Exact rank contract: within a group, a row's 0-based rank r is its
+    position under (value, id) order; its normalized value is the
+    pooled distribution's order statistic at 0-based position
+    ``r * N // n_g`` (floor; always < N). Order statistics come from
+    the pooled DISTINCT-value count table (value repeated count times —
+    the id tie-break cannot change WHICH VALUE sits at a position), so
+    the lookup is one broadcast cumsum + searchsorted per bucket; the
+    grouped_exact_median caveat applies (per-distinct-value state;
+    ``max_distinct`` guards the driver merge — bin first for
+    continuous open-scale columns).
+
+    NULL values are excluded (no rank, no row out); NULL group is its
+    own partition. Output: Dataset (id, group, value, normalized)
+    sorted by id.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        v = pc.cast(t[value_col], pa.float64())
+        if pc.any(pc.is_nan(v)).as_py():
+            raise ValueError("quantile_normalize: NaN value — filter "
+                             "first (NaN has no order position)")
+        return pa.table({
+            "id": pc.cast(t[id_col], pa.int64()),
+            "grp": pc.cast(t[group_col], pa.string()),
+            "v": v,
+        })
+
+    cleaned = ds.select_columns([id_col, group_col, value_col]) \
+        .map_batches(proj, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+
+    dist = grouped_counts(cleaned.select_columns(["v"]), ["v"],
+                          final="driver")
+    if dist.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id": pa.array([], pa.int64()),
+            "grp": pa.array([], pa.string()),
+            "v": pa.array([], pa.float64()),
+            "normalized": pa.array([], pa.float64())}))
+    if dist.num_rows > max_distinct:
+        raise ValueError(
+            "quantile_normalize: distinct value space exceeds "
+            "max_distinct — histogram-bin the column first")
+    ddf = dist.to_pandas().sort_values("v")
+    gvals = ddf["v"].to_numpy(dtype=np.float64)
+    cum = np.cumsum(ddf["n"].to_numpy(dtype=np.int64))
+    n_total = int(cum[-1])
+    if n_total >= 3_000_000_000:
+        raise ValueError("quantile_normalize: r*N exceeds the int64 "
+                         "guard — shard by group first")
+
+    schema = pa.schema([
+        pa.field("id", pa.int64()),
+        pa.field("grp", pa.string()),
+        pa.field("v", pa.float64()),
+        pa.field("normalized", pa.float64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["grp", "v", "id"])
+        gg = g.groupby("grp", sort=False, dropna=False)
+        r = gg.cumcount().to_numpy(dtype=np.int64)
+        ng = gg["v"].transform("size").to_numpy(dtype=np.int64)
+        idx = r * n_total // ng
+        pos = np.searchsorted(cum, idx, side="right")
+        return pd.DataFrame({
+            "id": g["id"].to_numpy(),
+            "grp": g["grp"].to_numpy(),
+            "v": g["v"].to_numpy(),
+            "normalized": gvals[pos],
+        })
+
+    bucketed = _with_bucket(cleaned, "grp", n_buckets)
+    return map_buckets(bucketed, per_bucket, schema).sort("id")
+
+
+def quantile_normalize_sql(value_col: str = "value",
+                           group_col: str = "event_type",
+                           id_col: str = "event_id",
+                           table: str = "events") -> str:
+    return f"""
+WITH src AS (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+    CAST({group_col} AS VARCHAR) AS grp,
+    CAST({value_col} AS DOUBLE) AS v
+  FROM {table} WHERE {value_col} IS NOT NULL
+), g AS (
+  SELECT id, grp, v,
+    row_number() OVER (PARTITION BY grp ORDER BY v, id) - 1 AS r,
+    count(*) OVER (PARTITION BY grp) AS ng,
+    count(*) OVER () AS n
+  FROM src
+), o AS (
+  SELECT v AS gv, row_number() OVER (ORDER BY v, id) - 1 AS p
+  FROM src
+)
+SELECT g.id, g.grp, g.v, o.gv AS normalized
+FROM g JOIN o ON o.p = g.r * g.n // g.ng
+ORDER BY g.id
+""".strip()

@@ -683,3 +683,48 @@ def test_json_key_profile_duplicate_key_raises(ray_session):
         "props": pa.array(['{"a": 1, "a": 2}'], pa.string())}))
     with pytest.raises(Exception, match="duplicate top-level key"):
         json_key_profile(ds)
+
+
+def test_cube_counts_hand(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from fluent_server_ray.pipelines.relational import cube_order_counts
+
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(["P1", "P1", "P2"], pa.string()),
+        "o_orderstatus": pa.array(["O", "F", "O"], pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    got = cube_order_counts(str(tmp_path)).to_pandas()
+    rows = {(r["o_orderpriority"], r["o_orderstatus"]): r["n"]
+            for _, r in got.iterrows()}
+    assert rows[("P1", "O")] == 1 and rows[("P1", "F")] == 1
+    assert rows[("P1", None)] == 2          # priority marginal
+    assert rows[(None, "O")] == 2           # status marginal (CUBE-only)
+    assert rows[(None, None)] == 3          # grand total
+    assert len(rows) == 8
+
+
+def test_quantile_normalize_hand(ray_session):
+    from fluent_server_ray.stages.features import quantile_normalize
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b", "b", "b", "b"],
+                               pa.string()),
+        "value": pa.array([10.0, 20.0, 30.0, 1.0, 2.0, 2.0, None],
+                          pa.float64()),
+    })
+    got = quantile_normalize(rd.from_arrow(t),
+                             n_buckets=4).to_pandas()
+    by = got.set_index("id")
+    # pooled sorted: [1, 2, 2, 10, 20, 30], N=6
+    # group a (ng=3): ranks 0,1,2 -> idx 0,2,4 -> values 1, 2, 20
+    assert by.loc[1, "normalized"] == 1.0
+    assert by.loc[2, "normalized"] == 2.0
+    assert by.loc[3, "normalized"] == 20.0
+    # group b (ng=3, NULL row excluded): same idx -> same values:
+    # distributions align exactly
+    assert by.loc[4, "normalized"] == 1.0
+    assert by.loc[5, "normalized"] == 2.0
+    assert by.loc[6, "normalized"] == 20.0
+    assert 7 not in by.index                # NULL value: no row
