@@ -2018,6 +2018,9 @@ def multi_funnel(ds, steps=("signup", "click", "purchase"),
         out = pd.DataFrame({key_col: anchor.index.to_numpy(),
                             "step1_ts": anchor.to_numpy()})
         prev = anchor.rename("_prev")
+        # unnamed index: a named (key_col) index on the merge's right
+        # side makes the later groupby(key_col) ambiguous
+        prev.index.name = None
         for i, st in enumerate(steps[1:], start=2):
             ev = g.loc[g[type_col] == st, [key_col, ts_col]]
             m = ev.merge(prev, left_on=key_col, right_index=True)
@@ -2029,6 +2032,7 @@ def multi_funnel(ds, steps=("signup", "click", "purchase"),
                 out[f"step{i}_ts"] = pd.Series(  # float64 NaN
                     pd.NaT, index=out.index, dtype=g[ts_col].dtype)
             prev = nxt.rename("_prev")
+            prev.index.name = None
         last = out[f"step{len(steps)}_ts"]
         out["completed"] = (
             last.notna()

@@ -337,3 +337,159 @@ def test_encode_with_vocab_matches_pure_python_spec(ray_session, docs, vocab):
         ids = [vocab.index(w) if w in vocab else -1 for w in toks]
         want.append((i, ",".join(map(str, ids))))
     assert got == sorted(want)
+
+
+# ---------------- round-4 fifth-session operator properties ----------------
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-5, 20),
+                  st.integers(0, 12)),
+        min_size=1, max_size=25),
+)
+@settings(max_examples=15, deadline=None)
+def test_merge_intervals_matches_python_union(ray_session, iv):
+    """The bucketed segmented-cummax island merge equals the obvious
+    per-key python interval union (touching extents merge; duplicates
+    and inverted extents included by construction)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import merge_intervals
+
+    keys = [f"k{a}" for a, _, _ in iv]
+    starts = [s for _, s, _ in iv]
+    ends = [s + d for _, s, d in iv]
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "s": pa.array(starts, pa.int64()),
+                  "e": pa.array(ends, pa.int64())})
+    got = [tuple(r) for r in merge_intervals(
+        rd.from_arrow(t), "k", "s", "e", n_buckets=4)
+        .to_pandas().values.tolist()]
+
+    want = []
+    df = pd.DataFrame({"k": keys, "s": starts, "e": ends})
+    for k, g in df.groupby("k", sort=True):
+        cur = None
+        for s, e in sorted(zip(g["s"], g["e"])):
+            if cur is None or s > cur[1]:
+                if cur is not None:
+                    want.append((k, cur[0], cur[1], cur[2]))
+                cur = [s, e, 1]
+            else:
+                cur[1] = max(cur[1], e)
+                cur[2] += 1
+        want.append((k, cur[0], cur[1], cur[2]))
+    assert sorted(got) == sorted(want)
+
+
+@given(
+    lefts=st.lists(st.text(alphabet="abcé ", min_size=0, max_size=9),
+                   min_size=1, max_size=8),
+    rights=st.lists(st.text(alphabet="abcé ", min_size=0, max_size=9),
+                    min_size=1, max_size=8),
+    max_dist=st.integers(0, 2),
+)
+@settings(max_examples=15, deadline=None)
+def test_fuzzy_join_matches_brute_force(ray_session, lefts, rights,
+                                        max_dist):
+    """Band blocking is complete and exactly-once vs an all-pairs
+    byte-Levenshtein brute force (multibyte chars included — byte
+    bands differ from char lengths)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.joins import fuzzy_join
+
+    def lev(a, b):
+        ab, bb = a.encode(), b.encode()
+        prev = list(range(len(bb) + 1))
+        for i, ca in enumerate(ab, 1):
+            cur = [i]
+            for j, cb in enumerate(bb, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(bb)]
+
+    left = rd.from_arrow(pa.table({
+        "id": pa.array(range(len(lefts)), pa.int64()),
+        "text": pa.array(lefts, pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "id": pa.array(range(100, 100 + len(rights)), pa.int64()),
+        "text": pa.array(rights, pa.string())}))
+    got = [tuple(r) for r in fuzzy_join(
+        left, right, max_dist=max_dist, prefix_len=8,
+        band_width=max_dist + 2)
+        .to_pandas().values.tolist()]
+    want = sorted(
+        (i, 100 + j, lev(a[:8], b[:8]))
+        for i, a in enumerate(lefts)
+        for j, b in enumerate(rights)
+        if lev(a[:8], b[:8]) <= max_dist)
+    assert got == want
+
+
+@given(
+    ev=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2),
+                  st.integers(0, 30)),
+        min_size=1, max_size=30),
+    within=st.integers(1, 20),
+)
+@settings(max_examples=15, deadline=None)
+def test_multi_funnel_matches_greedy_python(ray_session, ev, within):
+    """The bucketed min-after-min chain equals the obvious per-user
+    greedy walk (duplicate timestamps, missing steps, out-of-order
+    arrivals all generated)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import multi_funnel
+
+    steps = ("s0", "s1", "s2")
+    users = [u for u, _, _ in ev]
+    types = [f"s{k}" for _, k, _ in ev]
+    tss = [t for _, _, t in ev]
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "ts": pa.array([x * 1_000_000 for x in tss],
+                       pa.timestamp("us")),
+    })
+    got = multi_funnel(rd.from_arrow(t), steps=steps,
+                       within_seconds=within,
+                       n_buckets=4).to_pandas()
+
+    df = pd.DataFrame({"u": users, "ty": types, "ts": tss})
+    if len(got) == 0:
+        # 0-row to_pandas drops columns (known gotcha) — valid only
+        # when NO user has an anchor step
+        assert not (df["ty"] == "s0").any()
+        return
+    for u, g in df.groupby("u"):
+        s0 = g.loc[g["ty"] == "s0", "ts"]
+        if s0.empty:
+            assert u not in set(got["user_id"])
+            continue
+        row = got[got["user_id"] == u].iloc[0]
+        prev = s0.min()
+        assert row["step1_ts"] == pd.Timestamp(int(prev), unit="s")
+        chain = [prev]
+        for stn in ("s1", "s2"):
+            cand = g.loc[(g["ty"] == stn) & (g["ts"] > prev), "ts"]
+            if cand.empty:
+                prev = None
+                break
+            prev = cand.min()
+            chain.append(prev)
+        if prev is None:
+            assert not bool(row["completed"])
+        else:
+            assert row["step3_ts"] == pd.Timestamp(int(chain[2]),
+                                                   unit="s")
+            assert bool(row["completed"]) == (
+                chain[2] - chain[0] <= within)
