@@ -493,3 +493,80 @@ def test_multi_funnel_matches_greedy_python(ray_session, ev, within):
                                                    unit="s")
             assert bool(row["completed"]) == (
                 chain[2] - chain[0] <= within)
+
+
+@given(
+    texts=st.lists(st.one_of(
+        st.none(), st.text(alphabet="abxy", min_size=0, max_size=6)),
+        min_size=1, max_size=14),
+    window=st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_sorted_neighborhood_matches_rank_spec(ray_session, texts,
+                                               window):
+    """The histogram+cumcount rank and ghost-bucket pairing equal the
+    obvious sorted-sequence window spec (duplicate keys, NULLs and
+    window > corpus all generated)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = [tuple(r) for r in sorted_neighborhood_pairs(
+        ds, key_len=3, window=window, n_buckets=4)
+        .to_pandas().values.tolist()]
+    order = sorted((t[:3], i) for i, t in enumerate(texts)
+                   if t is not None)
+    want = sorted(
+        (min(order[i][1], order[j][1]),
+         max(order[i][1], order[j][1]), j - i)
+        for i in range(len(order)) for j in range(i + 1, len(order))
+        if j - i < window)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2),
+                  st.one_of(st.none(), st.integers(-4, 4))),
+        min_size=1, max_size=20),
+)
+@settings(max_examples=15, deadline=None)
+def test_quantile_normalize_matches_rank_spec(ray_session, rows):
+    """Within-group ranks onto pooled order statistics — vs the
+    obvious python spec over (value, id) order (duplicate values and
+    NULLs generated)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import quantile_normalize
+
+    ids = list(range(len(rows)))
+    grps = [f"g{a}" for a, _ in rows]
+    vals = [None if v is None else float(v) for _, v in rows]
+    t = pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "event_type": pa.array(grps, pa.string()),
+                  "value": pa.array(vals, pa.float64())})
+    got = quantile_normalize(rd.from_arrow(t),
+                             n_buckets=4).to_pandas()
+    keep = [(i, g, v) for i, g, v in zip(ids, grps, vals)
+            if v is not None]
+    if not keep:
+        assert len(got) == 0
+        return
+    pooled = [v for _, _, v in sorted(keep,
+                                      key=lambda r: (r[2], r[0]))]
+    n = len(pooled)
+    want = {}
+    for g in set(x[1] for x in keep):
+        members = sorted([(v, i) for i, gg, v in keep if gg == g])
+        ng = len(members)
+        for r, (v, i) in enumerate(members):
+            want[i] = pooled[r * n // ng]
+    by = got.set_index("id")
+    for i, w in want.items():
+        assert by.loc[i, "normalized"] == w
+    assert len(got) == len(want)
