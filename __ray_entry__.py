@@ -3279,6 +3279,40 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_fd_audit(sf_dir: str):
+    """Functional-dependency audit: does o_custkey determine
+    o_orderpriority? (It doesn't — the violation rate is the
+    point.) Distinct-rhs-per-lhs via the value-hash exchange,
+    bounded histogram collapse."""
+    from fluent_server_ray.stages.profile import fd_violations
+
+    return fd_violations(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderpriority"]),
+        "o_custkey", "o_orderpriority")
+
+
+def _q_order_audit(sf_dir: str):
+    """Sequence-sanity audit over transcripts: adjacent turn pairs
+    (by turn_idx) whose event time does not strictly increase —
+    the clock-skew / replay detector."""
+    from fluent_server_ray.stages.profile import order_audit
+
+    return order_audit(read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "ts"]))
+
+
+def _q_pareto(sf_dir: str):
+    """Pareto / ABC whale curve: users dealt into 10 exact NTILE
+    tiles by descending total cents, cumulative revenue share in
+    millionths."""
+    from fluent_server_ray.stages.features import pareto_shares
+
+    return pareto_shares(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "value"]), q=10)
+
+
 def _q_cube_counts(sf_dir: str):
     """GROUP BY CUBE (priority, status): one finest-level combiner
     pass; every marginal is a re-aggregation of the bounded partial
@@ -3787,6 +3821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_diversified_topk": _q_diversified_topk,
         "orders_cube_counts": _q_cube_counts,
         "events_quantile_normalized": _q_quantile_normalize,
+        "orders_fd_audit": _q_fd_audit,
+        "transcripts_order_audit": _q_order_audit,
+        "events_pareto_shares": _q_pareto,
     }
 
 
@@ -4398,6 +4435,20 @@ WITH toks AS (
         "events_rolling_value_sum": windows.rolling_frame_sum_sql(
             window_rows=5),
         "orders_cube_counts": rel.cube_order_counts_sql(),
+        "orders_fd_audit": __import__(
+            "fluent_server_ray.stages.profile", fromlist=["x"]
+        ).fd_violations_sql("o_custkey", "o_orderpriority", "orders"),
+        "transcripts_order_audit": __import__(
+            "fluent_server_ray.stages.profile", fromlist=["x"]
+        ).order_audit_sql(
+            "inner_rel",
+            prelude=__import__(
+                "fluent_server_ray.sources.transcripts",
+                fromlist=["x"]).TRANSCRIPTS_SQL_CTE
+            + ", inner_rel AS (SELECT conv_id AS key, "
+            "CAST(turn_idx AS BIGINT) AS seq, epoch_us(ts) AS us "
+            "FROM transcripts), "),
+        "events_pareto_shares": features.pareto_shares_sql(q=10),
         "events_quantile_normalized": features.quantile_normalize_sql(),
         "doc_label_transfer": dedup.transfer_labels_sql(
             dedup.ngram_jaccard_dupes_sql(threshold=0.8),

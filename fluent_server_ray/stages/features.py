@@ -2660,3 +2660,125 @@ SELECT g.id, g.grp, g.v, o.gv AS normalized
 FROM g JOIN o ON o.p = g.r * g.n // g.ng
 ORDER BY g.id
 """.strip()
+
+
+def pareto_shares(ds, key_col: str = "user_id",
+                  value_col: str = "value", q: int = 10,
+                  n_buckets: int = 64) -> pa.Table:
+    """Pareto / ABC concentration analysis: rank keys by total
+    contribution (integer cents, DESCENDING), deal them into ``q``
+    exact NTILE tiles (tile 1 = the heaviest keys) and report each
+    tile's key count, cent total and cumulative share of the grand
+    total — "the top 10% of users drive what fraction of revenue",
+    the whale-curve report behind every mixing/retention decision.
+
+    Distributed: per-key cent sums merge via
+    ``grouped_agg(final='ray')`` (unbounded keys, nothing key-scaled
+    on the driver); tiling REUSES :func:`ntile`'s exact SQL
+    semantics on the aggregated Dataset with one constant group and
+    value = NEGATED cents (ascending NTILE over -cents == descending
+    contribution; key is the deterministic tie-break); the per-tile
+    collapse is a bounded ``q``-row merge. Keys must be int64-castable
+    (they ride ntile's id slot). A per-key sum at or beyond 2^53
+    raises (the negated sum rides a float64 sort key).
+
+    Output: (tile, n_keys, cents, cum_millionths) sorted by tile.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        cents = _cents(pc.cast(pc.fill_null(t[value_col], 0.0),
+                               pa.float64()))
+        return (pa.table({"key": pc.cast(t[key_col], pa.int64()),
+                          "cents": cents})
+                .group_by("key").aggregate([("cents", "sum")])
+                .rename_columns(["key", "cents"]))
+
+    agg = grouped_agg(
+        ds.select_columns([key_col, value_col]).map_batches(
+            skip_empty(partial), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=["key"], aggs=[("cents", "sum")], final="ray")
+
+    def neg(t: pa.Table) -> pa.Table:
+        s = t["cents_sum"].to_numpy(zero_copy_only=False)
+        if len(s) and int(np.abs(s).max()) >= 2 ** 53:
+            raise ValueError("pareto_shares: per-key sum exceeds the "
+                             "float64-exact range")
+        return pa.table({
+            "grp": pa.array(["all"] * len(s), pa.string()),
+            "negs": pa.array((-s).astype(np.float64)),
+            "key": t["key"],
+        })
+
+    tiled = ntile(agg.map_batches(skip_empty(neg),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                  group_col="grp", value_col="negs", id_col="key",
+                  q=q, n_buckets=n_buckets)
+
+    def tile_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.negate(
+            pc.cast(t["negs"], pa.float64())), pa.int64())
+        return (pa.table({"tile": t["tile"], "cents": cents,
+                          "one": pa.array(
+                              np.ones(t.num_rows, np.int64))})
+                .group_by("tile").aggregate([("cents", "sum"),
+                                             ("one", "sum")])
+                .rename_columns(["tile", "cents", "n"]))
+
+    parts = list(tiled.map_batches(skip_empty(tile_partial),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .iter_batches(batch_size=None,
+                               batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"tile": pa.array([], pa.int64()),
+                         "n_keys": pa.array([], pa.int64()),
+                         "cents": pa.array([], pa.int64()),
+                         "cum_millionths": pa.array([], pa.int64())})
+    merged = (pa.concat_tables(parts).group_by("tile")
+              .aggregate([("cents", "sum"), ("n", "sum")])
+              .rename_columns(["tile", "cents", "n"])
+              .sort_by("tile").to_pandas())
+    total = int(merged["cents"].sum())
+    cum = 0
+    cums = []
+    for c in merged["cents"]:
+        cum += int(c)
+        cums.append(cum * 1_000_000 // total if total else 0)
+    return pa.table({
+        "tile": pa.array(merged["tile"].to_numpy().astype(np.int64)),
+        "n_keys": pa.array(merged["n"].to_numpy().astype(np.int64)),
+        "cents": pa.array(merged["cents"].to_numpy().astype(np.int64)),
+        "cum_millionths": pa.array(cums, pa.int64()),
+    })
+
+
+def pareto_shares_sql(key_col: str = "user_id",
+                      value_col: str = "value", q: int = 10,
+                      table: str = "events") -> str:
+    return f"""
+WITH agg AS (
+  SELECT CAST({key_col} AS BIGINT) AS key,
+    CAST(sum(CAST(round(COALESCE({value_col}, 0.0) * 100.0)
+                  AS BIGINT)) AS BIGINT) AS s
+  FROM {table} WHERE {key_col} IS NOT NULL GROUP BY 1
+), t AS (
+  SELECT key, s,
+    CAST(ntile({q}) OVER (ORDER BY -CAST(s AS DOUBLE), key)
+         AS BIGINT) AS tile
+  FROM agg
+), ts AS (
+  SELECT tile, CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(s) AS BIGINT) AS cents
+  FROM t GROUP BY tile
+), tot AS (SELECT sum(cents) AS g FROM ts)
+SELECT tile, n_keys, cents,
+  CAST(CAST(sum(cents) OVER (ORDER BY tile
+                             ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+       * 1000000 // tot.g AS BIGINT) AS cum_millionths
+FROM ts, tot
+ORDER BY tile
+""".strip()

@@ -222,3 +222,174 @@ def profile_table_sql(kinds: dict[str, str], table: str) -> str:
   FROM {table}""".rstrip())
     return ("SELECT * FROM (" + "\n  UNION ALL".join(branches)
             + "\n) ORDER BY col")
+
+
+def fd_violations(ds, lhs: str, rhs: str) -> pa.Table:
+    """Functional-dependency audit: does ``lhs`` determine ``rhs``?
+    Counts the lhs values that map to MORE THAN ONE distinct rhs —
+    the normalization / join-safety check (a dimension key that
+    "mostly" determines its attribute is a silent fan-out join bug
+    waiting to happen). The dependency-discovery sibling of
+    :func:`profile_table` (that one characterizes columns alone; this
+    one tests a relationship between two).
+
+    Distributed: exact distinct-rhs-per-lhs via
+    :func:`aggregate.grouped_distinct_count`'s value-hash exchange
+    (only distinct pairs move), then a bounded histogram collapse —
+    the lhs key space never reaches the driver as rows, only as
+    counts. NULL lhs rows are EXCLUDED (a NULL determinant determines
+    nothing — the standard FD-discovery rule, and what lets the lhs
+    key ride the distributed merge); NULL rhs rows are excluded too,
+    so an lhs observed ONLY with NULL rhs does not count toward
+    ``n_lhs`` (no evidence either way — both engines agree). Output:
+    one row (n_lhs, n_violating, violation_rate_millionths,
+    max_distinct_rhs).
+    """
+    from fluent_server_ray.stages.aggregate import (
+        grouped_distinct_count, skip_empty)
+
+    def drop_null_lhs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[lhs]))
+
+    nd = grouped_distinct_count(
+        ds.select_columns([lhs, rhs]).map_batches(
+            drop_null_lhs, batch_format="pyarrow",
+            zero_copy_batch=True),
+        lhs, rhs, final="ray")
+
+    def collapse(t: pa.Table) -> pa.Table:
+        n = t["n_distinct"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_lhs": pa.array([len(n)], pa.int64()),
+            "n_violating": pa.array([int((n > 1).sum())], pa.int64()),
+            "max_d": pa.array([int(n.max()) if len(n) else 0],
+                              pa.int64()),
+        })
+
+    parts = list(nd.map_batches(skip_empty(collapse),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"n_lhs": pa.array([0], pa.int64()),
+                         "n_violating": pa.array([0], pa.int64()),
+                         "violation_rate_millionths": pa.array(
+                             [0], pa.int64()),
+                         "max_distinct_rhs": pa.array([0], pa.int64())})
+    merged = pa.concat_tables(parts)
+    n_lhs = int(pc.sum(merged["n_lhs"]).as_py() or 0)
+    n_v = int(pc.sum(merged["n_violating"]).as_py() or 0)
+    mx = int(pc.max(merged["max_d"]).as_py() or 0)
+    rate = n_v * 1_000_000 // n_lhs if n_lhs else 0
+    return pa.table({
+        "n_lhs": pa.array([n_lhs], pa.int64()),
+        "n_violating": pa.array([n_v], pa.int64()),
+        "violation_rate_millionths": pa.array([rate], pa.int64()),
+        "max_distinct_rhs": pa.array([mx], pa.int64()),
+    })
+
+
+def fd_violations_sql(lhs: str, rhs: str, table: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT {lhs} AS l, CAST(count(DISTINCT {rhs}) AS BIGINT) AS nd
+  FROM {table}
+  WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL
+  GROUP BY {lhs}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+  CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating,
+  CAST(CAST(count(*) FILTER (WHERE nd > 1) AS HUGEINT) * 1000000
+       // count(*) AS BIGINT) AS violation_rate_millionths,
+  CAST(max(nd) AS BIGINT) AS max_distinct_rhs
+FROM d
+""".strip()
+
+
+def order_audit(ds, key_col: str = "conv_id",
+                seq_col: str = "turn_idx", ts_col: str = "ts",
+                n_buckets: int = 64) -> pa.Table:
+    """Sequence-sanity audit: within each key, walking rows in
+    ``seq_col`` order, how many ADJACENT steps have a non-increasing
+    timestamp? The clock-skew / replay detector for event streams
+    (the reference preserves intra-chunk order but trusts client
+    clocks — ``message/time.go`` decodes whatever arrives; this
+    measures how often that trust is violated).
+
+    One key bucket exchange; whole-bucket segmented shift compare.
+    Rows with NULL seq or ts are excluded (no position). Output: one
+    row (n_keys, n_steps, n_inversions, inversion_rate_millionths).
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[seq_col]),
+                             pc.is_valid(t[ts_col])))
+        return pa.table({
+            "key": pc.cast(t[key_col], pa.string()),
+            "seq": pc.cast(t[seq_col], pa.int64()),
+            "us": t[ts_col].cast(pa.int64()),
+        })
+
+    schema = pa.schema([pa.field("n_keys", pa.int64()),
+                        pa.field("n_steps", pa.int64()),
+                        pa.field("n_inv", pa.int64())])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # seq must be unique within key (transcripts contract) — on a
+        # seq tie the adjacent order, and so the inversion count, is
+        # engine-defined on both sides
+        g = g.sort_values(["key", "seq"])
+        grp = g.groupby("key", sort=False, dropna=False)
+        head = grp.cumcount().to_numpy() == 0
+        cur = g["us"].astype("Int64")  # nullable: shift stays exact
+        prev = cur.shift(1)            # head rows masked below
+        step = ~head
+        inv = step & (cur <= prev).fillna(False).to_numpy()
+        return pd.DataFrame({
+            "n_keys": [int(head.sum())],
+            "n_steps": [int(step.sum())],
+            "n_inv": [int(inv.sum())],
+        })
+
+    bucketed = _with_bucket(
+        ds.select_columns([key_col, seq_col, ts_col]).map_batches(
+            clean, batch_format="pyarrow", zero_copy_batch=True),
+        "key", n_buckets)
+    parts = map_buckets(bucketed, per_bucket, schema)
+    merged = pa.concat_tables(
+        parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    nk = int(pc.sum(merged["n_keys"]).as_py() or 0)
+    ns = int(pc.sum(merged["n_steps"]).as_py() or 0)
+    ni = int(pc.sum(merged["n_inv"]).as_py() or 0)
+    return pa.table({
+        "n_keys": pa.array([nk], pa.int64()),
+        "n_steps": pa.array([ns], pa.int64()),
+        "n_inversions": pa.array([ni], pa.int64()),
+        "inversion_rate_millionths": pa.array(
+            [ni * 1_000_000 // ns if ns else 0], pa.int64()),
+    })
+
+
+def order_audit_sql(inner: str, prelude: str = "") -> str:
+    """Mirror over ``inner`` — a relation with (key, seq, us).
+    ``prelude``: extra CTE definitions (ending with a comma) spliced
+    before the audit's own CTE."""
+    return f"""
+WITH {prelude}s AS (
+  SELECT key, seq, us,
+    lag(us) OVER (PARTITION BY key ORDER BY seq) AS prev
+  FROM {inner} WHERE seq IS NOT NULL AND us IS NOT NULL
+)
+SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+  CAST(count(prev) AS BIGINT) AS n_steps,
+  CAST(count(*) FILTER (WHERE us <= prev) AS BIGINT) AS n_inversions,
+  CAST(CASE WHEN count(prev) = 0 THEN 0
+       ELSE CAST(count(*) FILTER (WHERE us <= prev) AS HUGEINT)
+            * 1000000 // count(prev) END AS BIGINT)
+    AS inversion_rate_millionths
+FROM s
+""".strip()

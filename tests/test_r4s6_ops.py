@@ -728,3 +728,53 @@ def test_quantile_normalize_hand(ray_session):
     assert by.loc[5, "normalized"] == 2.0
     assert by.loc[6, "normalized"] == 20.0
     assert 7 not in by.index                # NULL value: no row
+
+
+def test_fd_violations_hand(ray_session):
+    from fluent_server_ray.stages.profile import fd_violations
+
+    t = pa.table({
+        "l": pa.array(["a", "a", "b", "b", "b", "c", None],
+                      pa.string()),
+        "r": pa.array(["x", "x", "x", "y", "z", None, "q"],
+                      pa.string()),
+    })
+    got = fd_violations(rd.from_arrow(t), "l", "r").to_pandas()
+    # a -> {x} ok; b -> {x,y,z} violates (3); c has ONLY NULL rhs ->
+    # no evidence, not counted; NULL lhs row EXCLUDED
+    assert got.values.tolist() == [
+        [2, 1, 1_000_000 // 2, 3]]
+
+
+def test_order_audit_hand(ray_session):
+    from fluent_server_ray.stages.profile import order_audit
+
+    t = pa.table({
+        "conv_id": pa.array(["c1"] * 4 + ["c2"] * 2 + ["c3"],
+                            pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 0], pa.int32()),
+        "ts": pa.array([10, 20, 20, 5, 100, 200, None],
+                       pa.timestamp("us")),
+    })
+    got = order_audit(rd.from_arrow(t), n_buckets=4).to_pandas()
+    # c1 steps: 10->20 ok, 20->20 inversion (<=), 20->5 inversion;
+    # c2: one ok step; c3: NULL ts row dropped -> no key
+    assert got.values.tolist() == [
+        [2, 4, 2, 2 * 1_000_000 // 4]]
+
+
+def test_pareto_shares_hand(ray_session):
+    from fluent_server_ray.stages.features import pareto_shares
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "value": pa.array([5.0, 5.0, 6.0, 3.0, 1.0], pa.float64()),
+    })
+    # sums (cents): u1=1000, u2=600, u3=300, u4=100; total 2000
+    got = pareto_shares(rd.from_arrow(t), q=2,
+                        n_buckets=4).to_pandas()
+    # tile 1 = {u1, u2} (1600), tile 2 = {u3, u4} (400)
+    assert got.values.tolist() == [
+        [1, 2, 1600, 1600 * 1_000_000 // 2000],
+        [2, 2, 400, 1_000_000],
+    ]
