@@ -3279,6 +3279,18 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_changepoint(sf_dir: str):
+    """Change-point localization per event type (binary segmentation,
+    one split): CUSUM says THAT a shift happened, this says WHEN —
+    floored integer gain contract keeps the argmax identical across
+    engines."""
+    from fluent_server_ray.stages.features import changepoint_split
+
+    return changepoint_split(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def _q_fd_audit(sf_dir: str):
     """Functional-dependency audit: does o_custkey determine
     o_orderpriority? (It doesn't — the violation rate is the
@@ -3821,6 +3833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_diversified_topk": _q_diversified_topk,
         "orders_cube_counts": _q_cube_counts,
         "events_quantile_normalized": _q_quantile_normalize,
+        "events_changepoint": _q_changepoint,
         "orders_fd_audit": _q_fd_audit,
         "transcripts_order_audit": _q_order_audit,
         "events_pareto_shares": _q_pareto,
@@ -4449,6 +4462,7 @@ WITH toks AS (
             "CAST(turn_idx AS BIGINT) AS seq, epoch_us(ts) AS us "
             "FROM transcripts), "),
         "events_pareto_shares": features.pareto_shares_sql(q=10),
+        "events_changepoint": features.changepoint_split_sql(),
         "events_quantile_normalized": features.quantile_normalize_sql(),
         "doc_label_transfer": dedup.transfer_labels_sql(
             dedup.ngram_jaccard_dupes_sql(threshold=0.8),

@@ -2782,3 +2782,116 @@ SELECT tile, n_keys, cents,
 FROM ts, tot
 ORDER BY tile
 """.strip()
+
+
+def changepoint_split(ds, key_col: str = "event_type",
+                      ts_col: str = "ts") -> pa.Table:
+    """Single change-point LOCALIZATION per key (binary segmentation,
+    one level): over each key's daily volume series, find the split
+    that maximizes the between-segment variance reduction —
+    :func:`cusum_flags` says THAT a sustained shift happened; this
+    says WHEN (the first question an on-call asks).
+
+    Objective: for split after position k of an m-day series with
+    prefix sum S_k and total S, the SSE reduction is proportional to
+    ``a_k^2 / (k*(m-k))`` with ``a_k = S_k*(m-k) - (S-S_k)*k`` — all
+    integers. Exactness contract: both engines rank by the FLOORED
+    integer ``gain_scaled = a_k^2 * 10^6 // (k*(m-k))`` with ties
+    broken toward the earliest split (two true fractions can floor
+    equal; making the floored value the contract keeps argmax
+    identical across engines). python ints here, HUGEINT in the
+    mirror; a gain past int64 raises.
+
+    Daily counts come from the bounded per-batch combiner (the CUSUM
+    shape); the argmax per key runs on the driver over that bounded
+    table. Keys observed on < 2 days have no split and are omitted.
+    Output: (key, split_day, n_days, gain_scaled) sorted by key —
+    ``split_day`` is the first day of the RIGHT segment.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col]))
+        t = t.filter(ok)
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "key": pc.cast(t[key_col], pa.string()),
+            "day": pa.array(us // 86_400_000_000),
+        }).group_by(["key", "day"]).aggregate([([], "count_all")])
+        return out.rename_columns(["key", "day", "n"])
+
+    parts = grouped_agg(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            skip_empty(partial), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=["key", "day"], aggs=[("n", "sum")], final="driver")
+    keys_o, days_o, m_o, gain_o = [], [], [], []
+    if parts.num_rows:
+        import pandas as pd
+
+        df = parts.to_pandas().sort_values(["key", "day"])
+        for key, g in df.groupby("key", sort=True):
+            y = [int(v) for v in g["n_sum"]]
+            days = [int(d) for d in g["day"]]
+            m = len(y)
+            if m < 2:
+                continue
+            S = sum(y)
+            best_gain = -1
+            best_k = None
+            s_k = 0
+            for k in range(1, m):
+                s_k += y[k - 1]
+                a = s_k * (m - k) - (S - s_k) * k
+                gain = a * a * 1_000_000 // (k * (m - k))
+                if gain > best_gain:
+                    best_gain, best_k = gain, k
+            if best_gain >= 2 ** 63:
+                raise ValueError("changepoint_split: gain exceeds "
+                                 "BIGINT — rescale the series first")
+            keys_o.append(key)
+            days_o.append(days[best_k])
+            m_o.append(m)
+            gain_o.append(best_gain)
+    return pa.table({
+        key_col: pa.array(keys_o, pa.string()),
+        "split_day": pa.array(days_o, pa.int64()),
+        "n_days": pa.array(m_o, pa.int64()),
+        "gain_scaled": pa.array(gain_o, pa.int64()),
+    })
+
+
+def changepoint_split_sql(key_col: str = "event_type",
+                          ts_col: str = "ts",
+                          table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS key,
+    CAST(epoch_us({ts_col}) // 86400000000 AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1, 2
+), seq AS (
+  SELECT key, day, n,
+    row_number() OVER (PARTITION BY key ORDER BY day) AS k,
+    CAST(sum(n) OVER (PARTITION BY key ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS sk,
+    CAST(sum(n) OVER (PARTITION BY key) AS HUGEINT) AS s,
+    CAST(count(*) OVER (PARTITION BY key) AS HUGEINT) AS m,
+    lead(day) OVER (PARTITION BY key ORDER BY day) AS next_day
+  FROM daily
+), cand AS (
+  SELECT key, next_day AS split_day, CAST(m AS BIGINT) AS n_days,
+    CAST((sk*(m-k) - (s-sk)*k) * (sk*(m-k) - (s-sk)*k) * 1000000
+         // (k*(m-k)) AS BIGINT) AS gain_scaled,
+    row_number() OVER (
+      PARTITION BY key
+      ORDER BY (sk*(m-k) - (s-sk)*k) * (sk*(m-k) - (s-sk)*k) * 1000000
+               // (k*(m-k)) DESC, k) AS rk
+  FROM seq WHERE k < m AND m >= 2
+)
+SELECT key AS {key_col}, CAST(split_day AS BIGINT) AS split_day,
+  n_days, gain_scaled
+FROM cand WHERE rk = 1 ORDER BY key
+""".strip()

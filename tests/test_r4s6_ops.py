@@ -778,3 +778,20 @@ def test_pareto_shares_hand(ray_session):
         [1, 2, 1600, 1600 * 1_000_000 // 2000],
         [2, 2, 400, 1_000_000],
     ]
+
+
+def test_changepoint_split_hand(ray_session):
+    from fluent_server_ray.stages.features import changepoint_split
+
+    # key x: 5 days of counts [1, 1, 1, 5, 5] — level shift at day 3
+    # key solo: one day only -> no split, omitted
+    t = pa.concat_tables([
+        _events([(0, 1), (1, 1), (2, 1), (3, 5), (4, 5)], "x"),
+        _events([(9, 4)], "solo"),
+    ])
+    got = changepoint_split(rd.from_arrow(t)).to_pandas()
+    assert list(got["event_type"]) == ["x"]
+    assert got["split_day"].tolist() == [3]
+    assert got["n_days"].tolist() == [5]
+    # k=3: a = 3*2 - 10*3 = -24; gain = 576e6 // 6 = 96e6
+    assert got["gain_scaled"].tolist() == [96_000_000]
