@@ -3279,6 +3279,33 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_fuzzy_best(sf_dir: str):
+    """End-to-end record linkage: fuzzy candidates (odd-doc
+    first-char corruption vs the clean table, byte Levenshtein <= 2)
+    reduced to the BEST match per dirty row (min dist, then smallest
+    clean id) — the resolve step after blocking+verify; one pair
+    bucket exchange for the per-left argmin."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    pairs = _q_fuzzy_match(sf_dir)
+
+    schema = pa.schema([pa.field("id_l", pa.int64()),
+                        pa.field("id_r", pa.int64()),
+                        pa.field("dist", pa.int64())])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id_l", "dist", "id_r"])
+        return g.groupby("id_l", sort=False).head(1)[
+            ["id_l", "id_r", "dist"]]
+
+    return map_buckets(_with_bucket(pairs, "id_l", 16), best,
+                       schema).sort("id_l")
+
+
 def _q_changepoint(sf_dir: str):
     """Change-point localization per event type (binary segmentation,
     one split): CUSUM says THAT a shift happened, this says WHEN —
@@ -3833,6 +3860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_diversified_topk": _q_diversified_topk,
         "orders_cube_counts": _q_cube_counts,
         "events_quantile_normalized": _q_quantile_normalize,
+        "doc_fuzzy_best_match": _q_fuzzy_best,
         "events_changepoint": _q_changepoint,
         "orders_fd_audit": _q_fd_audit,
         "transcripts_order_audit": _q_order_audit,
@@ -4463,6 +4491,19 @@ WITH toks AS (
             "FROM transcripts), "),
         "events_pareto_shares": features.pareto_shares_sql(q=10),
         "events_changepoint": features.changepoint_split_sql(),
+        "doc_fuzzy_best_match": (
+            "SELECT id_l, id_r, dist FROM (\n"
+            "  SELECT c.*, row_number() OVER (PARTITION BY id_l "
+            "ORDER BY dist, id_r) AS rn FROM (\n"
+            + __import__(
+                "fluent_server_ray.stages.joins", fromlist=["x"]
+            ).fuzzy_join_sql(
+                "(SELECT doc_id AS id, CASE WHEN doc_id % 2 = 1 "
+                "THEN substr(text, 2) ELSE text END AS text "
+                "FROM documents)",
+                "(SELECT doc_id AS id, text FROM documents)",
+                max_dist=2, prefix_len=32)
+            + "\n) c) WHERE rn = 1 ORDER BY id_l"),
         "events_quantile_normalized": features.quantile_normalize_sql(),
         "doc_label_transfer": dedup.transfer_labels_sql(
             dedup.ngram_jaccard_dupes_sql(threshold=0.8),

@@ -1201,29 +1201,39 @@ def cube_order_counts(sf_dir: str) -> pa.Table:
     ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                             columns=["o_orderpriority", "o_orderstatus"])
     fine = grouped_counts(ds, ["o_orderpriority", "o_orderstatus"])
-    levels = [fine]
+
+    # lvl = SQL GROUPING(priority, status) bitmask: without it, a
+    # marginal row is indistinguishable from a fine row whose rolled
+    # dimension is genuinely NULL — same-key ties would sort
+    # engine-defined and break the mirror on NULL-bearing dims
+    def lvl(t: pa.Table, v: int) -> pa.Table:
+        return t.append_column(
+            "lvl", pa.array([v] * len(t), pa.int64()))
+
+    levels = [lvl(fine, 0)]
     byp = fine.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
-    levels.append(pa.table({
+    levels.append(lvl(pa.table({
         "o_orderpriority": byp["o_orderpriority"],
         "o_orderstatus": pa.nulls(len(byp), pa.string()),
         "n": byp["n_sum"],
-    }))
+    }), 1))
     bys = fine.group_by(["o_orderstatus"]).aggregate([("n", "sum")])
-    levels.append(pa.table({
+    levels.append(lvl(pa.table({
         "o_orderpriority": pa.nulls(len(bys), pa.string()),
         "o_orderstatus": bys["o_orderstatus"],
         "n": bys["n_sum"],
-    }))
-    levels.append(pa.table({
+    }), 2))
+    levels.append(lvl(pa.table({
         "o_orderpriority": pa.nulls(1, pa.string()),
         "o_orderstatus": pa.nulls(1, pa.string()),
         "n": pa.array([pc.sum(fine["n"]).as_py() or 0],
                       type=pa.int64()),
-    }))
+    }), 3))
     out = pa.concat_tables(levels)
     order = pc.sort_indices(
         out,
-        sort_keys=[("o_orderpriority", "ascending"),
+        sort_keys=[("lvl", "ascending"),
+                   ("o_orderpriority", "ascending"),
                    ("o_orderstatus", "ascending")],
         null_placement="at_end",
     )
@@ -1232,7 +1242,8 @@ def cube_order_counts(sf_dir: str) -> pa.Table:
 
 def cube_order_counts_sql() -> str:
     return """
-SELECT o_orderpriority, o_orderstatus, count(*) AS n
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS lvl
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST
+ORDER BY lvl, o_orderpriority NULLS LAST, o_orderstatus NULLS LAST
 """.strip()

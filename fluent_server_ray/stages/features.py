@@ -2664,7 +2664,8 @@ ORDER BY g.id
 
 def pareto_shares(ds, key_col: str = "user_id",
                   value_col: str = "value", q: int = 10,
-                  n_buckets: int = 64) -> pa.Table:
+                  n_buckets: int = 64,
+                  max_keys: int = 20_000_000) -> pa.Table:
     """Pareto / ABC concentration analysis: rank keys by total
     contribution (integer cents, DESCENDING), deal them into ``q``
     exact NTILE tiles (tile 1 = the heaviest keys) and report each
@@ -2672,15 +2673,20 @@ def pareto_shares(ds, key_col: str = "user_id",
     total — "the top 10% of users drive what fraction of revenue",
     the whale-curve report behind every mixing/retention decision.
 
-    Distributed: per-key cent sums merge via
-    ``grouped_agg(final='ray')`` (unbounded keys, nothing key-scaled
-    on the driver); tiling REUSES :func:`ntile`'s exact SQL
-    semantics on the aggregated Dataset with one constant group and
-    value = NEGATED cents (ascending NTILE over -cents == descending
-    contribution; key is the deterministic tie-break); the per-tile
-    collapse is a bounded ``q``-row merge. Keys must be int64-castable
-    (they ride ntile's id slot). A per-key sum at or beyond 2^53
-    raises (the negated sum rides a float64 sort key).
+    Distributed shape — with ONE honest cap: per-key cent sums merge
+    via ``grouped_agg(final='ray')`` (raw rows never concentrate
+    anywhere), but the tiling step reuses :func:`ntile` under a
+    single constant group, so the per-key AGGREGATE table (|keys|
+    rows — not raw rows) sorts inside ONE worker; ``max_keys`` guards
+    that worker's memory and raising it is a deliberate act. Beyond
+    the cap, range-partitioned ranking is the path — for the report
+    this produces (q cumulative-share rows), tens of millions of keys
+    per worker is ample. Value = NEGATED cents (ascending NTILE over
+    -cents == descending contribution; key is the deterministic
+    tie-break); the per-tile collapse is a bounded ``q``-row merge.
+    Keys must be int64-castable (they ride ntile's id slot). A
+    per-key sum at or beyond 2^53 raises (the negated sum rides a
+    float64 sort key).
 
     Output: (tile, n_keys, cents, cum_millionths) sorted by tile.
     """
@@ -2699,7 +2705,14 @@ def pareto_shares(ds, key_col: str = "user_id",
         ds.select_columns([key_col, value_col]).map_batches(
             skip_empty(partial), batch_format="pyarrow",
             zero_copy_batch=True),
-        keys=["key"], aggs=[("cents", "sum")], final="ray")
+        keys=["key"], aggs=[("cents", "sum")], final="ray").materialize()
+    n_keys_total = agg.count()
+    if n_keys_total > max_keys:
+        raise ValueError(
+            "pareto_shares: distinct key count exceeds max_keys — the "
+            "single-group tiling step sorts the per-key aggregate in "
+            "one worker; raise max_keys deliberately or range-"
+            "partition the rank")
 
     def neg(t: pa.Table) -> pa.Table:
         s = t["cents_sum"].to_numpy(zero_copy_only=False)
@@ -2776,9 +2789,10 @@ WITH agg AS (
   FROM t GROUP BY tile
 ), tot AS (SELECT sum(cents) AS g FROM ts)
 SELECT tile, n_keys, cents,
-  CAST(CAST(sum(cents) OVER (ORDER BY tile
-                             ROWS UNBOUNDED PRECEDING) AS HUGEINT)
-       * 1000000 // tot.g AS BIGINT) AS cum_millionths
+  CAST(CASE WHEN tot.g = 0 THEN 0
+       ELSE CAST(sum(cents) OVER (ORDER BY tile
+                                  ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+            * 1000000 // tot.g END AS BIGINT) AS cum_millionths
 FROM ts, tot
 ORDER BY tile
 """.strip()

@@ -299,9 +299,10 @@ WITH d AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_lhs,
   CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating,
-  CAST(CAST(count(*) FILTER (WHERE nd > 1) AS HUGEINT) * 1000000
-       // count(*) AS BIGINT) AS violation_rate_millionths,
-  CAST(max(nd) AS BIGINT) AS max_distinct_rhs
+  CAST(CASE WHEN count(*) = 0 THEN 0
+       ELSE CAST(count(*) FILTER (WHERE nd > 1) AS HUGEINT) * 1000000
+            // count(*) END AS BIGINT) AS violation_rate_millionths,
+  CAST(COALESCE(max(nd), 0) AS BIGINT) AS max_distinct_rhs
 FROM d
 """.strip()
 
@@ -326,8 +327,12 @@ def order_audit(ds, key_col: str = "conv_id",
     from fluent_server_ray.stages.groups import map_buckets
 
     def clean(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t[seq_col]),
-                             pc.is_valid(t[ts_col])))
+        # NULL key excluded: SQL's count(DISTINCT key) would not
+        # count it, and a row without a sequence identity has no
+        # adjacency anyway
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[seq_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[key_col])))
         return pa.table({
             "key": pc.cast(t[key_col], pa.string()),
             "seq": pc.cast(t[seq_col], pa.int64()),
@@ -359,12 +364,15 @@ def order_audit(ds, key_col: str = "conv_id",
         ds.select_columns([key_col, seq_col, ts_col]).map_batches(
             clean, batch_format="pyarrow", zero_copy_batch=True),
         "key", n_buckets)
-    parts = map_buckets(bucketed, per_bucket, schema)
-    merged = pa.concat_tables(
-        parts.iter_batches(batch_size=None, batch_format="pyarrow"))
-    nk = int(pc.sum(merged["n_keys"]).as_py() or 0)
-    ns = int(pc.sum(merged["n_steps"]).as_py() or 0)
-    ni = int(pc.sum(merged["n_inv"]).as_py() or 0)
+    parts = list(map_buckets(bucketed, per_bucket, schema)
+                 .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:  # empty / all-filtered: the zero row, not a crash
+        nk = ns = ni = 0
+    else:
+        merged = pa.concat_tables(parts)
+        nk = int(pc.sum(merged["n_keys"]).as_py() or 0)
+        ns = int(pc.sum(merged["n_steps"]).as_py() or 0)
+        ni = int(pc.sum(merged["n_inv"]).as_py() or 0)
     return pa.table({
         "n_keys": pa.array([nk], pa.int64()),
         "n_steps": pa.array([ns], pa.int64()),
@@ -382,7 +390,8 @@ def order_audit_sql(inner: str, prelude: str = "") -> str:
 WITH {prelude}s AS (
   SELECT key, seq, us,
     lag(us) OVER (PARTITION BY key ORDER BY seq) AS prev
-  FROM {inner} WHERE seq IS NOT NULL AND us IS NOT NULL
+  FROM {inner}
+  WHERE seq IS NOT NULL AND us IS NOT NULL AND key IS NOT NULL
 )
 SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
   CAST(count(prev) AS BIGINT) AS n_steps,

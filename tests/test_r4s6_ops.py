@@ -690,18 +690,24 @@ def test_cube_counts_hand(ray_session, tmp_path):
 
     from fluent_server_ray.pipelines.relational import cube_order_counts
 
+    # includes a genuinely-NULL status row: the lvl column is what
+    # keeps that fine row distinguishable from the priority marginal
     pq.write_table(pa.table({
-        "o_orderpriority": pa.array(["P1", "P1", "P2"], pa.string()),
-        "o_orderstatus": pa.array(["O", "F", "O"], pa.string()),
+        "o_orderpriority": pa.array(["P1", "P1", "P2", "P2"],
+                                    pa.string()),
+        "o_orderstatus": pa.array(["O", "F", "O", None], pa.string()),
     }), str(tmp_path / "orders.parquet"))
     got = cube_order_counts(str(tmp_path)).to_pandas()
-    rows = {(r["o_orderpriority"], r["o_orderstatus"]): r["n"]
+    rows = {(r["o_orderpriority"], r["o_orderstatus"], r["lvl"]): r["n"]
             for _, r in got.iterrows()}
-    assert rows[("P1", "O")] == 1 and rows[("P1", "F")] == 1
-    assert rows[("P1", None)] == 2          # priority marginal
-    assert rows[(None, "O")] == 2           # status marginal (CUBE-only)
-    assert rows[(None, None)] == 3          # grand total
-    assert len(rows) == 8
+    assert rows[("P1", "O", 0)] == 1 and rows[("P1", "F", 0)] == 1
+    assert rows[("P2", None, 0)] == 1       # FINE row w/ NULL status
+    assert rows[("P1", None, 1)] == 2       # priority marginal
+    assert rows[("P2", None, 1)] == 2
+    assert rows[(None, "O", 2)] == 2        # status marginal
+    assert rows[(None, None, 2)] == 1       # status-NULL marginal
+    assert rows[(None, None, 3)] == 4       # grand total
+    assert len(rows) == len(got)            # (a, b, lvl) is unique
 
 
 def test_quantile_normalize_hand(ray_session):
@@ -795,3 +801,43 @@ def test_changepoint_split_hand(ray_session):
     assert got["n_days"].tolist() == [5]
     # k=3: a = 3*2 - 10*3 = -24; gain = 576e6 // 6 = 96e6
     assert got["gain_scaled"].tolist() == [96_000_000]
+
+
+def test_audit_ops_empty_and_null_edges(ray_session):
+    import duckdb
+
+    from fluent_server_ray.stages.features import (pareto_shares,
+                                                   pareto_shares_sql)
+    from fluent_server_ray.stages.profile import (fd_violations,
+                                                  fd_violations_sql,
+                                                  order_audit)
+
+    # order_audit: all rows filtered -> the zero row, not a crash;
+    # NULL keys excluded like SQL count(DISTINCT)
+    t = pa.table({
+        "conv_id": pa.array([None, "c"], pa.string()),
+        "turn_idx": pa.array([0, None], pa.int32()),
+        "ts": pa.array([1, 2], pa.timestamp("us")),
+    })
+    got = order_audit(rd.from_arrow(t), n_buckets=4).to_pandas()
+    assert got.values.tolist() == [[0, 0, 0, 0]]
+
+    con = duckdb.connect()
+    # fd mirror on an empty pair set returns 0s (not NULLs)
+    con.execute("CREATE TABLE e1 (l VARCHAR, r VARCHAR)")
+    assert con.execute(fd_violations_sql("l", "r", "e1")).fetchall() \
+        == [(0, 0, 0, 0)]
+    # pareto: zero grand total -> cum shares 0 in BOTH engines
+    zt = pa.table({"user_id": pa.array([1, 2], pa.int64()),
+                   "value": pa.array([0.0, 0.0], pa.float64())})
+    gz = pareto_shares(rd.from_arrow(zt), q=2,
+                       n_buckets=4).to_pandas()
+    assert gz["cum_millionths"].tolist() == [0, 0]
+    con.register("e2", zt.to_pandas())
+    oz = con.execute(pareto_shares_sql(q=2, table="e2")).fetchdf()
+    assert oz["cum_millionths"].tolist() == [0, 0]
+    # engine empty input
+    ez = fd_violations(rd.from_arrow(pa.table({
+        "l": pa.array([], pa.string()),
+        "r": pa.array([], pa.string())})), "l", "r").to_pandas()
+    assert ez.values.tolist() == [[0, 0, 0, 0]]
