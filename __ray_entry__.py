@@ -3279,6 +3279,31 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_funnel_abandonment(sf_dir: str):
+    """Funnel ABANDONMENT (the negation the product team actually
+    reads): per anchored user, the furthest step reached in the
+    signup -> click -> purchase chain and whether they completed —
+    derived from the greedy-earliest funnel in one vectorized map."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    funnel = _q_multi_funnel(sf_dir)
+
+    def furthest(t):
+        f = pc.add(
+            pc.add(pa.array([1] * t.num_rows, pa.int64()),
+                   pc.cast(pc.is_valid(t["step2_ts"]), pa.int64())),
+            pc.cast(pc.is_valid(t["step3_ts"]), pa.int64()))
+        return pa.table({
+            "user_id": t["user_id"],
+            "furthest_step": f,
+            "completed": t["completed"],
+        })
+
+    return funnel.map_batches(furthest, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def _q_fuzzy_best(sf_dir: str):
     """End-to-end record linkage: fuzzy candidates (odd-doc
     first-char corruption vs the clean table, byte Levenshtein <= 2)
@@ -3861,6 +3886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube_counts": _q_cube_counts,
         "events_quantile_normalized": _q_quantile_normalize,
         "doc_fuzzy_best_match": _q_fuzzy_best,
+        "user_funnel_abandonment": _q_funnel_abandonment,
         "events_changepoint": _q_changepoint,
         "orders_fd_audit": _q_fd_audit,
         "transcripts_order_audit": _q_order_audit,
@@ -4491,6 +4517,14 @@ WITH toks AS (
             "FROM transcripts), "),
         "events_pareto_shares": features.pareto_shares_sql(q=10),
         "events_changepoint": features.changepoint_split_sql(),
+        "user_funnel_abandonment": (
+            "SELECT user_id, CAST(1 + (step2_ts IS NOT NULL)::INT "
+            "+ (step3_ts IS NOT NULL)::INT AS BIGINT) "
+            "AS furthest_step, completed FROM (\n"
+            + windows.multi_funnel_sql(
+                steps=("signup", "click", "purchase"),
+                within_seconds=7 * 86400)
+            + "\n) ORDER BY user_id"),
         "doc_fuzzy_best_match": (
             "SELECT id_l, id_r, dist FROM (\n"
             "  SELECT c.*, row_number() OVER (PARTITION BY id_l "
