@@ -3279,6 +3279,19 @@ def _q_counts_maintained(sf_dir: str):
     return maintain_counts(store, delta, keys, "delta-0")
 
 
+def _q_column_topk(sf_dir: str):
+    """Profiler "common values" panel: top-3 most frequent values per
+    events column (int/timestamp/string — floats refused by
+    contract); vocab-top-k shape generalized across columns."""
+    from fluent_server_ray.stages.profile import column_topk
+
+    return column_topk(
+        read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "user_id", "props"]),
+        columns=["event_type", "user_id", "props"], k=3)
+
+
 def _q_funnel_abandonment(sf_dir: str):
     """Funnel ABANDONMENT (the negation the product team actually
     reads): per anchored user, the furthest step reached in the
@@ -3887,6 +3900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_normalized": _q_quantile_normalize,
         "doc_fuzzy_best_match": _q_fuzzy_best,
         "user_funnel_abandonment": _q_funnel_abandonment,
+        "events_column_topk": _q_column_topk,
         "events_changepoint": _q_changepoint,
         "orders_fd_audit": _q_fd_audit,
         "transcripts_order_audit": _q_order_audit,
@@ -4517,6 +4531,11 @@ WITH toks AS (
             "FROM transcripts), "),
         "events_pareto_shares": features.pareto_shares_sql(q=10),
         "events_changepoint": features.changepoint_split_sql(),
+        "events_column_topk": __import__(
+            "fluent_server_ray.stages.profile", fromlist=["x"]
+        ).column_topk_sql(
+            {"event_type": "str", "user_id": "int", "props": "str"},
+            k=3, table="events"),
         "user_funnel_abandonment": (
             "SELECT user_id, CAST(1 + (step2_ts IS NOT NULL)::INT "
             "+ (step3_ts IS NOT NULL)::INT AS BIGINT) "

@@ -402,3 +402,109 @@ SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
     AS inversion_rate_millionths
 FROM s
 """.strip()
+
+
+def column_topk(ds, columns: list[str], k: int = 5,
+                n_buckets: int = 64) -> pa.Table:
+    """The profiler's "common values" panel: per column, the top-``k``
+    most frequent values with counts (ties -> smallest value) — what a
+    human looks at right after :func:`profile_table`'s cardinalities
+    ("fine, 9 distinct — WHICH nine?").
+
+    The :func:`textstats.vocab_top_words` shape generalized across
+    columns: per-batch local counts of (col, rendered value), ONE
+    value-hash exchange, per-bucket sum + per-column top-k, then an
+    O(buckets x cols x k) driver merge — value spaces stay unbounded
+    end to end. Value identity: ints and timestamps render as exact
+    decimal strings (epoch micros for timestamps), strings pass
+    through; FLOAT columns are refused (top-k of a continuous measure
+    is meaningless and its cross-engine string rendering is not
+    contractual — bin first). NULLs are not values (excluded).
+
+    Output: (col, v, n, rank) sorted by (col, rank).
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.joins import arrow_schema
+
+    sch = arrow_schema(ds, static=True)
+    if sch is None:
+        raise ValueError("column_topk: dataset schema unavailable")
+    type_of = dict(zip(sch.names, sch.types))
+    kinds = {c: _classify(type_of[c]) for c in columns}
+    if any(kinds[c] == "float" for c in columns):
+        raise ValueError("column_topk: float columns are not "
+                         "supported — bin continuous measures first")
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in columns:
+            valid = t[c].drop_null()
+            if kinds[c] == "str":
+                v = valid.combine_chunks()
+            else:
+                v = pc.cast(_canon_num(valid, kinds[c]), pa.string())
+            sub = (pa.table({"col": pa.array([c] * len(v), pa.string()),
+                             "v": v})
+                   .group_by(["col", "v"])
+                   .aggregate([([], "count_all")])
+                   .rename_columns(["col", "v", "n"]))
+            outs.append(sub)
+        out = pa.concat_tables(outs)
+        return out.append_column(
+            "_bucket", pa.array(hash_bucket_array(out["v"], n_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["col", "v"], sort=False)["n"].sum()
+             .reset_index())
+        s = s.sort_values(["col", "n", "v"],
+                          ascending=[True, False, True])
+        return s.groupby("col", sort=False).head(k)[["col", "v", "n"]]
+
+    tops = (ds.select_columns(columns)
+            .map_batches(skip_empty(partial), batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+    parts = list(tops.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"col": pa.array([], pa.string()),
+                         "v": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    df = (pa.concat_tables(parts).to_pandas()
+          .sort_values(["col", "n", "v"],
+                       ascending=[True, False, True]))
+    df = df.groupby("col", sort=False).head(k)
+    df["rank"] = df.groupby("col", sort=False).cumcount() + 1
+    return pa.table({
+        "col": pa.array(df["col"].to_numpy(dtype=object), pa.string()),
+        "v": pa.array(df["v"].to_numpy(dtype=object), pa.string()),
+        "n": pa.array(df["n"].to_numpy().astype(np.int64)),
+        "rank": pa.array(df["rank"].to_numpy().astype(np.int64)),
+    })
+
+
+def column_topk_sql(kinds: dict[str, str], k: int, table: str) -> str:
+    """Mirror: per-column UNION ALL of ranked value counts. ``kinds``
+    as in :func:`profile_table_sql` (no 'float')."""
+    branches = []
+    for c in sorted(kinds):
+        kind = kinds[c]
+        if kind == "str":
+            vexpr = c
+        elif kind == "timestamp":
+            vexpr = f"CAST(epoch_us({c}) AS VARCHAR)"
+        else:
+            vexpr = f"CAST(CAST({c} AS BIGINT) AS VARCHAR)"
+        branches.append(f"""
+  SELECT '{c}' AS col, {vexpr} AS v, CAST(count(*) AS BIGINT) AS n,
+    CAST(row_number() OVER (ORDER BY count(*) DESC, {vexpr})
+         AS BIGINT) AS rank
+  FROM {table} WHERE {c} IS NOT NULL
+  GROUP BY {vexpr} QUALIFY rank <= {k}""".rstrip())
+    return ("SELECT * FROM (" + "\n  UNION ALL".join(branches)
+            + "\n) ORDER BY col, rank")

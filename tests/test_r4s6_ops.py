@@ -841,3 +841,33 @@ def test_audit_ops_empty_and_null_edges(ray_session):
         "l": pa.array([], pa.string()),
         "r": pa.array([], pa.string())})), "l", "r").to_pandas()
     assert ez.values.tolist() == [[0, 0, 0, 0]]
+
+
+def test_column_topk_hand(ray_session):
+    from fluent_server_ray.stages.profile import column_topk
+
+    t1 = pa.table({
+        "s": pa.array(["a", "a", "b", None], pa.string()),
+        "i": pa.array([7, 7, 7, 2], pa.int64()),
+        "ts": pa.array([1_000_000] * 4, pa.timestamp("us")),
+    })
+    t2 = pa.table({
+        "s": pa.array(["b", "c"], pa.string()),
+        "i": pa.array([2, 2], pa.int64()),
+        "ts": pa.array([2_000_000, 1_000_000], pa.timestamp("us")),
+    })
+    got = column_topk(rd.from_arrow([t1, t2]),
+                      ["s", "i", "ts"], k=2,
+                      n_buckets=4).to_pandas()
+    rows = [tuple(r) for r in got.values.tolist()]
+    # s: a=2, b=2 tie -> 'a' first (value asc); c=1 cut at k=2
+    assert [r for r in rows if r[0] == "s"] == [
+        ("s", "a", 2, 1), ("s", "b", 2, 2)]
+    # i: 7 and 2 both 3x -> STRING tie-break: "2" < "7"
+    assert ("i", "2", 3, 1) in rows and ("i", "7", 3, 2) in rows
+    # ts renders as epoch micros
+    assert ("ts", "1000000", 5, 1) in rows
+    assert len(rows) == 6
+    with pytest.raises(ValueError, match="float columns"):
+        column_topk(rd.from_arrow(pa.table({
+            "f": pa.array([1.0], pa.float64())})), ["f"])
