@@ -3390,6 +3390,18 @@ def _q_pareto(sf_dir: str):
                            columns=["user_id", "value"]), q=10)
 
 
+def _q_orders_skyline(sf_dir: str):
+    """2-D skyline (Pareto frontier): distinct (price, date) points
+    with no order both at-most-as-expensive and at-least-as-recent —
+    per-block vectorized frontier sweep, bounded candidate merge."""
+    from fluent_server_ray.stages.frontier import orders_skyline
+
+    return orders_skyline(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_totalprice", "o_orderdate"],
+                           override_num_blocks=8))
+
+
 def _q_cube_counts(sf_dir: str):
     """GROUP BY CUBE (priority, status): one finest-level combiner
     pass; every marginal is a re-aggregation of the bounded partial
@@ -3905,6 +3917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fd_audit": _q_fd_audit,
         "transcripts_order_audit": _q_order_audit,
         "events_pareto_shares": _q_pareto,
+        "orders_skyline": _q_orders_skyline,
     }
 
 
@@ -4530,6 +4543,9 @@ WITH toks AS (
             "CAST(turn_idx AS BIGINT) AS seq, epoch_us(ts) AS us "
             "FROM transcripts), "),
         "events_pareto_shares": features.pareto_shares_sql(q=10),
+        "orders_skyline": __import__(
+            "fluent_server_ray.stages.frontier", fromlist=["x"]
+        ).orders_skyline_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]
