@@ -3402,6 +3402,29 @@ def _q_orders_skyline(sf_dir: str):
                            override_num_blocks=8))
 
 
+def _q_longest_streak(sf_dir: str):
+    """Gaps-and-islands: longest consecutive-active-day streak per
+    user — distinct (user, day) combiner, one key-bucket exchange,
+    segmented day-minus-rank island kernel."""
+    from fluent_server_ray.stages.windows import longest_streak
+
+    return longest_streak(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"],
+                           override_num_blocks=8))
+
+
+def _q_state_intervals(sf_dir: str):
+    """Run-length state intervals (SCD-style history): consecutive
+    equal event_type runs per user collapsed to validity intervals,
+    segmented shift-compare + cumsum inside one bucket exchange."""
+    from fluent_server_ray.stages.windows import state_intervals
+
+    return state_intervals(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           override_num_blocks=8))
+
+
 def _q_cube_counts(sf_dir: str):
     """GROUP BY CUBE (priority, status): one finest-level combiner
     pass; every marginal is a re-aggregation of the bounded partial
@@ -3918,6 +3941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_order_audit": _q_order_audit,
         "events_pareto_shares": _q_pareto,
         "orders_skyline": _q_orders_skyline,
+        "user_longest_streak": _q_longest_streak,
+        "user_state_intervals": _q_state_intervals,
     }
 
 
@@ -4546,6 +4571,8 @@ WITH toks AS (
         "orders_skyline": __import__(
             "fluent_server_ray.stages.frontier", fromlist=["x"]
         ).orders_skyline_sql(),
+        "user_longest_streak": windows.longest_streak_sql(),
+        "user_state_intervals": windows.state_intervals_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

@@ -2260,3 +2260,152 @@ WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
              AND CURRENT ROW)
 ORDER BY key, id
 """.strip()
+
+
+# --------------------------------------------- gaps and islands
+
+def longest_streak(ds, key_col: str = "user_id", ts_col: str = "ts",
+                   n_buckets: int = 64):
+    """Longest run of consecutive active DAYS per key — the classic
+    gaps-and-islands query (activity streaks, uptime runs): distinct
+    active days per key, islands found via the ``day - rank`` anchor
+    (consecutive days share an anchor), answer = longest island.
+
+    Shape: per-batch combiner collapses to DISTINCT (key, day) pairs
+    (an Arrow group_by — the day grid is tiny relative to events), ONE
+    key-bucket exchange, then a segmented pandas kernel over every key
+    in the bucket at once (cumcount anchor → island sizes → per-key
+    max + sum). Returns (key, n_active_days, longest_streak) as a
+    Dataset — per-key results never gather on the driver.
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        pairs = pa.table({key_col: t[key_col], "_day": day})
+        return pairs.group_by([key_col, "_day"]).aggregate([])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g[[key_col, "_day"]].drop_duplicates()
+             .sort_values([key_col, "_day"]))
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        anchor = g["_day"].to_numpy() - grp.cumcount().to_numpy()
+        runs = (g.assign(_anchor=anchor)
+                .groupby([key_col, "_anchor"], sort=False, dropna=False)
+                .size().rename("len").reset_index())
+        out = (runs.groupby(key_col, sort=False, dropna=False)["len"]
+               .agg(n_active_days="sum", longest_streak="max")
+               .reset_index())
+        out["n_active_days"] = out["n_active_days"].astype("int64")
+        out["longest_streak"] = out["longest_streak"].astype("int64")
+        return out
+
+    cols = ds.select_columns([key_col, ts_col])
+    bucketed = _with_bucket(
+        cols.map_batches(skip_empty(partial), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key_col, n_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
+def longest_streak_sql(key_col: str = "user_id", ts_col: str = "ts",
+                       table: str = "events") -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {key_col},
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM {table}
+), r AS (
+  SELECT {key_col}, day,
+    row_number() OVER (PARTITION BY {key_col} ORDER BY day) AS rn
+  FROM d
+), runs AS (
+  SELECT {key_col}, count(*) AS len
+  FROM r GROUP BY {key_col}, day - rn
+)
+SELECT {key_col}, CAST(sum(len) AS BIGINT) AS n_active_days,
+  CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY {key_col}
+""".strip()
+
+
+def state_intervals(ds, key_col: str = "user_id",
+                    state_col: str = "event_type", ts_col: str = "ts",
+                    id_col: str = "event_id", n_buckets: int = 64):
+    """Run-length state intervals (SCD-style history construction):
+    per key in (ts, id) order, collapse each maximal run of consecutive
+    equal states into one interval row (key, state, run_id, start_us,
+    end_us, n_events) — turning an event log into a validity-interval
+    history table. ``run_id`` is 1-based per key in time order.
+
+    ONE key-bucket exchange; inside a bucket the run detection is a
+    segmented shift-compare + cumsum over all keys at once (no per-key
+    Python). NULL states compare equal to NULL (SQL IS DISTINCT FROM
+    semantics), so a NULL run is one interval, not many.
+    """
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_us", id_col])
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        prev = grp[state_col].shift()
+        cur = g[state_col]
+        same = (prev == cur) | (prev.isna() & cur.isna())
+        run_id = ((~same).groupby(g[key_col], sort=False, dropna=False)
+                  .cumsum().astype("int64"))
+        out = (g.assign(_run=run_id)
+               .groupby([key_col, state_col, "_run"], sort=False,
+                        dropna=False)
+               .agg(start_us=("_us", "min"), end_us=("_us", "max"),
+                    n_events=(id_col, "size"))
+               .reset_index()
+               .rename(columns={"_run": "run_id"}))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[[key_col, state_col, "run_id", "start_us", "end_us",
+                    "n_events"]]
+
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def add_us(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({key_col: t[key_col], state_col: t[state_col],
+                         id_col: t[id_col], "_us": us})
+
+    prepped = ds.select_columns(
+        [key_col, state_col, ts_col, id_col]
+    ).map_batches(skip_empty(add_us), batch_format="pyarrow",
+                  zero_copy_batch=True)
+    bucketed = _with_bucket(prepped, key_col, n_buckets)
+    return bucketed.groupby("_bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
+def state_intervals_sql(key_col: str = "user_id",
+                        state_col: str = "event_type",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        table: str = "events") -> str:
+    return f"""
+WITH o AS (
+  SELECT {key_col}, {state_col}, {id_col},
+    epoch_us({ts_col}) AS us,
+    CASE WHEN lag({state_col}) OVER w IS DISTINCT FROM {state_col}
+         THEN 1 ELSE 0 END AS new_run
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
+), runs AS (
+  SELECT {key_col}, {state_col}, us, {id_col},
+    sum(new_run) OVER (PARTITION BY {key_col} ORDER BY us, {id_col}
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+)
+SELECT {key_col}, {state_col}, CAST(run_id AS BIGINT) AS run_id,
+  min(us) AS start_us, max(us) AS end_us, count(*) AS n_events
+FROM runs GROUP BY {key_col}, {state_col}, run_id
+""".strip()

@@ -53,3 +53,68 @@ def test_skyline_empty(ray_session):
                   "y": pa.array([], pa.int64())})
     got = skyline_2d(rd.from_arrow(t), "x", "y")
     assert got.num_rows == 0
+
+
+def test_longest_streak_hand(ray_session):
+    from fluent_server_ray.stages.windows import longest_streak
+
+    # u1 active on days 1,2,3, 7, 9,10 -> longest 3, active 6
+    # u2 active one day (two events same day dedup) -> 1, 1
+    days = [1, 2, 3, 7, 9, 10, 5, 5]
+    users = [1, 1, 1, 1, 1, 1, 2, 2]
+    ts = pa.array(
+        [(np.datetime64("1970-01-01") + np.timedelta64(d, "D"))
+         .astype("datetime64[us]") for d in days], pa.timestamp("us"))
+    t = pa.table({"user_id": pa.array(users, pa.int64()), "ts": ts})
+    got = (longest_streak(rd.from_arrow(t)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert got.values.tolist() == [[1, 6, 3], [2, 1, 1]]
+
+
+def test_longest_streak_cross_block_island(ray_session):
+    from fluent_server_ray.stages.windows import longest_streak
+
+    # the island spans two blocks: days 4,5 in block A, 6 in block B
+    def mk(days):
+        return pa.table({
+            "user_id": pa.array([9] * len(days), pa.int64()),
+            "ts": pa.array(
+                [(np.datetime64("1970-01-01") + np.timedelta64(d, "D"))
+                 .astype("datetime64[us]") for d in days], pa.timestamp("us")),
+        })
+    got = longest_streak(rd.from_arrow([mk([4, 5]), mk([6, 5])])).to_pandas()
+    assert got.values.tolist() == [[9, 3, 3]]
+
+
+def test_state_intervals_hand(ray_session):
+    from fluent_server_ray.stages.windows import state_intervals
+
+    # u1: A A B A -> runs A(2), B(1), A(1); run_id 1,2,3
+    us = [10, 20, 30, 40]
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["A", "A", "B", "A"], pa.string()),
+        "event_id": pa.array([100, 101, 102, 103], pa.int64()),
+        "ts": pa.array(us, pa.timestamp("us")),
+    })
+    got = (state_intervals(rd.from_arrow(t)).to_pandas()
+           .sort_values("run_id").reset_index(drop=True))
+    assert got[["event_type", "run_id", "start_us", "end_us",
+                "n_events"]].values.tolist() == [
+        ["A", 1, 10, 20, 2], ["B", 2, 30, 30, 1], ["A", 3, 40, 40, 1]]
+
+
+def test_state_intervals_null_state_run(ray_session):
+    from fluent_server_ray.stages.windows import state_intervals
+
+    # two consecutive NULL states form ONE run (IS DISTINCT FROM)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["A", None, None], pa.string()),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([10, 20, 30], pa.timestamp("us")),
+    })
+    got = state_intervals(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 2
+    nullrun = got[got["event_type"].isna()].iloc[0]
+    assert (nullrun["n_events"], nullrun["run_id"]) == (2, 2)
