@@ -3402,6 +3402,22 @@ def _q_orders_skyline(sf_dir: str):
                            override_num_blocks=8))
 
 
+def _q_phrase_match(sf_dir: str):
+    """Exact-phrase search ("data slow" as adjacent tokens): map-only
+    flatten + searchsorted range-count, no exchange at any scale."""
+    from fluent_server_ray.stages.textstats import phrase_match
+
+    return phrase_match(_docs(sf_dir), "data", "slow", window=1)
+
+
+def _q_proximity_match(sf_dir: str):
+    """NEAR/4 proximity search ("merge" then "group" within 4
+    tokens): same kernel, window widened."""
+    from fluent_server_ray.stages.textstats import phrase_match
+
+    return phrase_match(_docs(sf_dir), "merge", "group", window=4)
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -3943,6 +3959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": _q_orders_skyline,
         "user_longest_streak": _q_longest_streak,
         "user_state_intervals": _q_state_intervals,
+        "doc_phrase_match": _q_phrase_match,
+        "doc_proximity_match": _q_proximity_match,
     }
 
 
@@ -4573,6 +4591,10 @@ WITH toks AS (
         ).orders_skyline_sql(),
         "user_longest_streak": windows.longest_streak_sql(),
         "user_state_intervals": windows.state_intervals_sql(),
+        "doc_phrase_match": textstats.phrase_match_sql(
+            "data", "slow", window=1),
+        "doc_proximity_match": textstats.phrase_match_sql(
+            "merge", "group", window=4),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

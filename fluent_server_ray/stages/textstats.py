@@ -3129,3 +3129,93 @@ SELECT CAST(b.boundary AS BIGINT) AS boundary,
         WHERE firsts.first_id <= b.boundary) AS BIGINT) AS vocab_cum
 FROM b ORDER BY boundary
 """.strip()
+
+
+# --------------------------------------- phrase / proximity search
+
+def phrase_match(ds, w1: str, w2: str, window: int = 1,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """Phrase / proximity search over whitespace tokens: per document,
+    the number of (w1, w2) occurrence pairs with w2 at token distance
+    1..``window`` AFTER w1 (``window=1`` = the exact phrase "w1 w2";
+    larger = NEAR/k proximity). Docs with zero occurrences are
+    omitted. Tokens are the non-empty single-space splits — the same
+    contract as :func:`word_postings` and the ``list_filter`` SQL
+    mirror, so positions count non-empty tokens only.
+
+    Map-only (each doc's text lives in its row, so adjacency never
+    crosses blocks): per batch, one flatten to (doc, pos) arrays, the
+    two term masks, and a searchsorted range-count per w1 occurrence —
+    no exchange at any corpus size. The postings-intersection shape of
+    classic IR engines exists to serve ad-hoc queries from a
+    PRE-BUILT index (cf. :func:`word_postings`); for a scan-time
+    query over row-complete documents the map-only form is strictly
+    cheaper. Returns a Dataset (doc_id, n_occurrences).
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.asarray(lens, dtype=np.int64)
+        doc_row = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_row = doc_row[keep]
+        # positions among NON-EMPTY tokens, 1-based per doc
+        ne_lens = np.bincount(doc_row, minlength=len(t)).astype(np.int64)
+        starts = np.cumsum(ne_lens) - ne_lens
+        pos = (np.arange(len(doc_row), dtype=np.int64)
+               - np.repeat(starts, ne_lens) + 1)
+        words = flat.filter(pa.array(keep))
+        m1 = pc.equal(words, w1).to_numpy(zero_copy_only=False)
+        m2 = pc.equal(words, w2).to_numpy(zero_copy_only=False)
+        if not (m1.any() and m2.any()):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_occurrences": pa.array([], pa.int64())})
+        # range-count: per w1 occurrence, w2 positions in (p, p+window]
+        big = np.int64(1) << np.int64(32)
+        k1 = doc_row[m1] * big + pos[m1]
+        k2 = np.sort(doc_row[m2] * big + pos[m2])
+        cnt = (np.searchsorted(k2, k1 + window, side="right")
+               - np.searchsorted(k2, k1, side="right"))
+        per_doc = np.zeros(len(t), dtype=np.int64)
+        np.add.at(per_doc, doc_row[m1], cnt)
+        hit = per_doc > 0
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[hit], pa.int64()),
+            "n_occurrences": pa.array(per_doc[hit], pa.int64()),
+        })
+
+    return ds.map_batches(skip_empty(per_batch), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def phrase_match_sql(w1: str, w2: str, window: int = 1,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     table: str = "documents") -> str:
+    """Mirror: unnest non-empty tokens with ordinality, self-join on
+    position distance 1..window."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col},
+    unnest(list_filter(str_split({text_col}, ' '), x -> x <> ''))
+      AS w,
+    generate_subscripts(
+      list_filter(str_split({text_col}, ' '), x -> x <> ''), 1) AS p
+  FROM {table}
+)
+SELECT t1.{id_col}, count(*) AS n_occurrences
+FROM tok t1 JOIN tok t2 ON t2.{id_col} = t1.{id_col}
+  AND t2.p - t1.p BETWEEN 1 AND {window}
+WHERE t1.w = '{w1}' AND t2.w = '{w2}'
+GROUP BY t1.{id_col}
+""".strip()

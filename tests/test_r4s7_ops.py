@@ -118,3 +118,45 @@ def test_state_intervals_null_state_run(ray_session):
     assert len(got) == 2
     nullrun = got[got["event_type"].isna()].iloc[0]
     assert (nullrun["n_events"], nullrun["run_id"]) == (2, 2)
+
+
+def test_phrase_match_hand(ray_session):
+    from fluent_server_ray.stages.textstats import phrase_match
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b a b",        # "a b" twice
+            "a  b",           # double space: still adjacent tokens
+            "b a",            # wrong order
+            "a x b",          # gap 2 — not a phrase
+        ], pa.string()),
+    })
+    got = (phrase_match(rd.from_arrow(t), "a", "b", window=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.values.tolist() == [[1, 2], [2, 1]]
+
+
+def test_proximity_window(ray_session):
+    from fluent_server_ray.stages.textstats import phrase_match
+
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a x y b z b"], pa.string()),
+    })
+    # b at distances 3 and 5 after a; window=3 counts one, window=5 two
+    for win, want in ((1, 0), (3, 1), (5, 2)):
+        got = phrase_match(rd.from_arrow(t), "a", "b", window=win).to_pandas()
+        n = 0 if len(got) == 0 else int(got["n_occurrences"].iloc[0])
+        assert n == want, (win, n)
+
+
+def test_phrase_match_same_word(ray_session):
+    from fluent_server_ray.stages.textstats import phrase_match
+
+    t = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["a a a"], pa.string()),
+    })
+    got = phrase_match(rd.from_arrow(t), "a", "a", window=1).to_pandas()
+    assert got.values.tolist() == [[7, 2]]
