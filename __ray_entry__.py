@@ -3418,6 +3418,18 @@ def _q_proximity_match(sf_dir: str):
     return phrase_match(_docs(sf_dir), "merge", "group", window=4)
 
 
+def _q_theilsen(sf_dir: str):
+    """Per-event-type Theil–Sen slope of daily revenue cents vs day
+    number — robust trend (median of pairwise slopes); corpus
+    collapses to the bounded (group × day) table in one combiner
+    pass, pair formation on the calendar-bounded daily table."""
+    from fluent_server_ray.stages.features import theilsen_trend
+
+    return theilsen_trend(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -3961,6 +3973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_state_intervals": _q_state_intervals,
         "doc_phrase_match": _q_phrase_match,
         "doc_proximity_match": _q_proximity_match,
+        "events_theilsen_trend": _q_theilsen,
     }
 
 
@@ -4595,6 +4608,7 @@ WITH toks AS (
             "data", "slow", window=1),
         "doc_proximity_match": textstats.phrase_match_sql(
             "merge", "group", window=4),
+        "events_theilsen_trend": features.theilsen_trend_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

@@ -2909,3 +2909,87 @@ SELECT key AS {key_col}, CAST(split_day AS BIGINT) AS split_day,
   n_days, gain_scaled
 FROM cand WHERE rk = 1 ORDER BY key
 """.strip()
+
+
+# ------------------------------------------------ Theil–Sen trend
+
+def theilsen_trend(ds, group_col: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value") -> pa.Table:
+    """Per-group Theil–Sen slope (median of pairwise slopes — the
+    robust sibling of :func:`grouped_ols_trend`, breakdown point 29%
+    vs OLS's 0) over DAILY totals: x = integer day number, y = daily
+    sum of half-away int64 cents.
+
+    Shape: the corpus collapses in one combiner pass to the bounded
+    (group × day) daily-cents table (``grouped_agg`` partials — days
+    are calendar-bounded, never row-bounded); the driver then forms
+    all O(days²) pairwise slopes per group. Each slope is ONE float64
+    division of exact ints — identical to the SQL ``(c2-c1) / CAST(d2
+    - d1 AS DOUBLE)`` — and the estimate is the LOWER median
+    (``sorted[(n-1)//2]``, DuckDB ``quantile_disc(0.5)``), a value
+    that EXISTS in the slope set, so the float compare is exact.
+    Groups with one day emit NULL slope. Output: (group, n_days,
+    n_pairs, slope_cents_per_day), sorted by group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({group_col: t[group_col], "_day": day,
+                         "cents": _cents(t[value_col])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    daily = grouped_agg(prepped, [group_col, "_day"],
+                        [("cents", "sum")], final="driver").to_pandas()
+
+    rows = []
+    for g, sub in daily.groupby(group_col, dropna=False, sort=True):
+        sub = sub.sort_values("_day")
+        d = sub["_day"].to_numpy(dtype=np.int64)
+        c = sub["cents_sum"].to_numpy(dtype=np.int64)
+        i, j = np.triu_indices(len(d), k=1)
+        slopes = (c[j] - c[i]).astype(np.float64) / (d[j] - d[i])
+        slopes.sort()
+        slope = (float(slopes[(len(slopes) - 1) // 2])
+                 if len(slopes) else None)
+        rows.append((g, len(d), len(slopes), slope))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+        "slope_cents_per_day": pa.array([r[3] for r in rows],
+                                        pa.float64()),
+    })
+
+
+def theilsen_trend_sql(group_col: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.g, (b.c - a.c) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.g = a.g AND b.d > a.d
+), agg AS (
+  SELECT g, count(*) AS n_pairs, quantile_disc(slope, 0.5) AS slope
+  FROM pairs GROUP BY g
+)
+SELECT nd.g AS {group_col}, nd.n_days,
+  COALESCE(a.n_pairs, 0) AS n_pairs,
+  CAST(a.slope AS DOUBLE) AS slope_cents_per_day
+FROM (SELECT g, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY g) nd
+LEFT JOIN agg a ON a.g = nd.g
+ORDER BY {group_col}
+""".strip()

@@ -160,3 +160,48 @@ def test_phrase_match_same_word(ray_session):
     })
     got = phrase_match(rd.from_arrow(t), "a", "a", window=1).to_pandas()
     assert got.values.tolist() == [[7, 2]]
+
+
+def test_theilsen_hand(ray_session):
+    from fluent_server_ray.stages.features import theilsen_trend
+
+    # one group, days 0,1,2 with cents 0, 100, 400 (values 0,1,4)
+    # slopes: (100-0)/1=100, (400-0)/2=200, (400-100)/1=300
+    # lower median of [100,200,300] = 200
+    ts = pa.array([np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-02", "us"),
+                   np.datetime64("2024-01-03", "us")], pa.timestamp("us"))
+    t = pa.table({"event_type": pa.array(["a"] * 3, pa.string()),
+                  "ts": ts,
+                  "value": pa.array([0.0, 1.0, 4.0], pa.float64())})
+    got = theilsen_trend(rd.from_arrow(t)).to_pandas()
+    assert got.values.tolist() == [["a", 3, 3, 200.0]]
+
+
+def test_theilsen_single_day_null_slope(ray_session):
+    from fluent_server_ray.stages.features import theilsen_trend
+
+    t = pa.table({"event_type": pa.array(["a", "a"], pa.string()),
+                  "ts": pa.array([np.datetime64("2024-01-01", "us")] * 2,
+                                 pa.timestamp("us")),
+                  "value": pa.array([1.0, 2.0], pa.float64())})
+    got = theilsen_trend(rd.from_arrow(t)).to_pandas()
+    assert got["n_days"].tolist() == [1]
+    assert got["n_pairs"].tolist() == [0]
+    assert got["slope_cents_per_day"].isna().all()
+
+
+def test_theilsen_even_pairs_lower_median(ray_session):
+    from fluent_server_ray.stages.features import theilsen_trend
+
+    # 4 days -> 6 pairs; lower median = sorted[(6-1)//2] = sorted[2]
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    vals = [0.0, 1.0, 1.0, 5.0]
+    t = pa.table({"event_type": pa.array(["g"] * 4, pa.string()),
+                  "ts": pa.array([np.datetime64(d, "us") for d in days],
+                                 pa.timestamp("us")),
+                  "value": pa.array(vals, pa.float64())})
+    got = theilsen_trend(rd.from_arrow(t)).to_pandas()
+    # cents 0,100,100,500 at d 0..3; slopes: 100,50,500/3,0,200,400
+    # sorted: 0,50,100,166.67,200,400 -> lower median 100
+    assert got["slope_cents_per_day"].tolist() == [100.0]
