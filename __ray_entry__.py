@@ -3430,6 +3430,17 @@ def _q_theilsen(sf_dir: str):
                            columns=["event_type", "ts", "value"]))
 
 
+def _q_mannwhitney(sf_dir: str):
+    """Mann-Whitney U / rank-sum AUC for every event-type pair —
+    exact doubled-midrank integers over the distinct-value histogram
+    (one combiner pass; pair formation on the bounded G×V table)."""
+    from fluent_server_ray.stages.features import mannwhitney_pairs
+
+    return mannwhitney_pairs(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -3974,6 +3985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_phrase_match": _q_phrase_match,
         "doc_proximity_match": _q_proximity_match,
         "events_theilsen_trend": _q_theilsen,
+        "events_mannwhitney_pairs": _q_mannwhitney,
     }
 
 
@@ -4609,6 +4621,7 @@ WITH toks AS (
         "doc_proximity_match": textstats.phrase_match_sql(
             "merge", "group", window=4),
         "events_theilsen_trend": features.theilsen_trend_sql(),
+        "events_mannwhitney_pairs": features.mannwhitney_pairs_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

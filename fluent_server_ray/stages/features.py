@@ -2993,3 +2993,124 @@ FROM (SELECT g, CAST(count(*) AS BIGINT) AS n_days
 LEFT JOIN agg a ON a.g = nd.g
 ORDER BY {group_col}
 """.strip()
+
+
+# ------------------------------------------- Mann-Whitney U (all pairs)
+
+def mannwhitney_pairs(ds, value_col: str = "value",
+                      group_col: str = "event_type",
+                      max_distinct: int = 4_000_000) -> pa.Table:
+    """Mann-Whitney U (Wilcoxon rank-sum) for EVERY unordered pair of
+    groups — the nonparametric "did distribution A shift vs B" test
+    beside :func:`ks_two_sample` (KS is the max CDF gap; U is the
+    rank-sum / AUC view, robust to outliers a t-test would chase).
+
+    Exact-integer contract: ranks are midranks over the pooled pair
+    sample, kept DOUBLED so ties stay integral (``r2 = 2*cum_before
+    + n_ties + 1``); ``u2_a = 2*U_a = rank_sum2_a - n_a*(n_a+1)`` is
+    an exact integer (python ints in the driver, HUGEINT in the
+    mirror), and the AUC effect size ``P(a > b) + P(a = b)/2`` is ONE
+    floor division to millionths — no float ranks anywhere.
+
+    Distributed shape: one per-batch (value, group) count combiner
+    collapses the corpus to the distinct-value histogram (``cells``,
+    guarded by ``max_distinct`` — right for discrete/rounded value
+    spaces, same caveat as :func:`ks_two_sample`); pair formation
+    runs on the bounded G×V driver table. NULLs excluded; NaN raises.
+    Output: (group_a, group_b, n_a, n_b, rank_sum2_a, u2_a,
+    auc_millionths) sorted by (group_a, group_b).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        v = pc.cast(t[value_col], pa.float64())
+        if pc.any(pc.is_nan(v)).as_py():
+            raise ValueError("mannwhitney_pairs: NaN value — filter first")
+        return pa.table({"v": v,
+                         "g": pc.cast(t[group_col], pa.string())})
+
+    cells = grouped_counts(
+        ds.select_columns([value_col, group_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["v", "g"], final="driver")
+    if cells.num_rows > max_distinct:
+        raise ValueError(
+            "mannwhitney_pairs: distinct value space exceeds "
+            "max_distinct — bin first for continuous open-scale columns")
+
+    df = cells.to_pandas()
+    wide = (df.pivot_table(index="v", columns="g", values="n",
+                           aggfunc="sum", fill_value=0).sort_index())
+    groups = sorted(wide.columns)
+    rows = []
+    for i, ga in enumerate(groups):
+        xa_all = wide[ga].to_numpy()
+        for gb in groups[i + 1:]:
+            xb_all = wide[gb].to_numpy()
+            keep = (xa_all > 0) | (xb_all > 0)
+            xa, xb = xa_all[keep], xb_all[keep]
+            na, nb = int(xa.sum()), int(xb.sum())
+            if na == 0 or nb == 0:
+                continue
+            if 2 * na * nb >= 2 ** 63:
+                raise ValueError(
+                    "mannwhitney_pairs: 2*n_a*n_b exceeds BIGINT — "
+                    "u2_a would overflow the mirror's output cast")
+            # python-int accumulation: products can pass int64 at
+            # open scale even when the output guard holds
+            cum = 0
+            r2a = 0
+            for a_cnt, b_cnt in zip(xa.tolist(), xb.tolist()):
+                ties = a_cnt + b_cnt
+                r2 = 2 * cum + ties + 1
+                r2a += a_cnt * r2
+                cum += ties
+            u2a = r2a - na * (na + 1)
+            rows.append((ga, gb, na, nb, r2a, u2a,
+                         u2a * 500_000 // (na * nb)))
+    return pa.table({
+        "group_a": pa.array([r[0] for r in rows], pa.string()),
+        "group_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_a": pa.array([r[2] for r in rows], pa.int64()),
+        "n_b": pa.array([r[3] for r in rows], pa.int64()),
+        "rank_sum2_a": pa.array([r[4] for r in rows], pa.int64()),
+        "u2_a": pa.array([r[5] for r in rows], pa.int64()),
+        "auc_millionths": pa.array([r[6] for r in rows], pa.int64()),
+    })
+
+
+def mannwhitney_pairs_sql(value_col: str = "value",
+                          group_col: str = "event_type",
+                          table: str = "events") -> str:
+    return f"""
+WITH vals AS (
+  SELECT {group_col} AS g, {value_col} AS v FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+), gs AS (SELECT DISTINCT g FROM vals),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+pooled AS (
+  SELECT p.ga, p.gb, v.g, v.v
+  FROM pairs p JOIN vals v ON v.g IN (p.ga, p.gb)
+), ranked AS (
+  SELECT ga, gb, g,
+    CAST(2 * rank() OVER (PARTITION BY ga, gb ORDER BY v)
+         + count(*) OVER (PARTITION BY ga, gb, v) - 1 AS HUGEINT) AS r2
+  FROM pooled
+), agg AS (
+  SELECT ga, gb,
+    CAST(count(*) FILTER (WHERE g = ga) AS HUGEINT) AS n_a,
+    CAST(count(*) FILTER (WHERE g = gb) AS HUGEINT) AS n_b,
+    sum(r2) FILTER (WHERE g = ga) AS r2a
+  FROM ranked GROUP BY ga, gb
+)
+SELECT ga AS group_a, gb AS group_b,
+  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(r2a AS BIGINT) AS rank_sum2_a,
+  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+  CAST((r2a - n_a * (n_a + 1)) * 500000 // (n_a * n_b) AS BIGINT)
+    AS auc_millionths
+FROM agg
+ORDER BY group_a, group_b
+""".strip()

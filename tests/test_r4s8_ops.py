@@ -1,0 +1,75 @@
+"""Hand-computed pins for the round-4 eighth-session operators:
+Mann-Whitney U pairs, and later additions this session."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _events(groups, values):
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(groups, pa.string()),
+        "value": pa.array(values, pa.float64()),
+    }))
+
+
+def test_mannwhitney_no_ties_hand(ray_session):
+    from fluent_server_ray.stages.features import mannwhitney_pairs
+
+    # a: [1, 3], b: [2, 4]; pooled ranks 1..4 (no ties)
+    # rank_sum_a = 1 + 3 = 4 -> r2a = 8; u2a = 8 - 2*3 = 2 (U_a = 1)
+    # auc = 1 / 4 -> 250000 millionths
+    got = mannwhitney_pairs(
+        _events(["a", "a", "b", "b"], [1.0, 3.0, 2.0, 4.0])).to_pandas()
+    assert got.values.tolist() == [["a", "b", 2, 2, 8, 2, 250000]]
+
+
+def test_mannwhitney_ties_midrank(ray_session):
+    from fluent_server_ray.stages.features import mannwhitney_pairs
+
+    # a: [1, 2], b: [2, 3]; ties at 2 share midrank 2.5 (r2 = 5)
+    # r2a = 2*1 + 5 = 7; u2a = 7 - 2*3 = 1 (U_a = 0.5)
+    # auc = 0.5/4 = 0.125 -> 125000
+    got = mannwhitney_pairs(
+        _events(["a", "a", "b", "b"], [1.0, 2.0, 2.0, 3.0])).to_pandas()
+    assert got.values.tolist() == [["a", "b", 2, 2, 7, 1, 125000]]
+
+
+def test_mannwhitney_all_pairs_and_nulls(ray_session):
+    from fluent_server_ray.stages.features import mannwhitney_pairs
+
+    got = mannwhitney_pairs(_events(
+        ["a", "b", "c", "c", "a"],
+        [1.0, 2.0, 3.0, 4.0, None])).to_pandas()
+    # NULL a-value dropped -> a has 1 row. pairs: (a,b) (a,c) (b,c)
+    assert got["group_a"].tolist() == ["a", "a", "b"]
+    assert got["group_b"].tolist() == ["b", "c", "c"]
+    # (a,b): a=[1] b=[2] -> rank_a=1 r2a=2 u2a=2-2=0 auc=0
+    row = got.iloc[0]
+    assert [row.n_a, row.n_b, row.rank_sum2_a, row.u2_a,
+            row.auc_millionths] == [1, 1, 2, 0, 0]
+    # (b,c): b=[2] c=[3,4] -> rank_b=1 r2a=2 u2a=2-2=0
+    row = got.iloc[2]
+    assert [row.n_a, row.n_b, row.u2_a] == [1, 2, 0]
+
+
+def test_mannwhitney_scipy_parity(ray_session):
+    from fluent_server_ray.stages.features import mannwhitney_pairs
+
+    rng = np.random.default_rng(7)
+    va = np.round(rng.normal(10, 3, 200), 1)
+    vb = np.round(rng.normal(11, 3, 150), 1)
+    got = mannwhitney_pairs(_events(
+        ["a"] * 200 + ["b"] * 150,
+        np.concatenate([va, vb]).tolist())).to_pandas()
+    # independent midrank reference via pandas
+    pooled = pd.Series(np.concatenate([va, vb]))
+    ranks = pooled.rank(method="average")
+    r_a = float(ranks[:200].sum())
+    u_a = r_a - 200 * 201 / 2
+    row = got.iloc[0]
+    assert row.rank_sum2_a == int(round(2 * r_a))
+    assert row.u2_a == int(round(2 * u_a))
+    assert row.auc_millionths == int(2 * u_a) * 500_000 // (200 * 150)
