@@ -3441,6 +3441,17 @@ def _q_mannwhitney(sf_dir: str):
                            columns=["event_type", "value"]))
 
 
+def _q_km_survival(sf_dir: str):
+    """Kaplan-Meier churn curve over user lifetimes (right-censored
+    in the final week) — per-user span combiner, calendar-bounded
+    histogram, floored integer-millionths product-limit recurrence."""
+    from fluent_server_ray.stages.features import km_survival
+
+    return km_survival(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -3986,6 +3997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_proximity_match": _q_proximity_match,
         "events_theilsen_trend": _q_theilsen,
         "events_mannwhitney_pairs": _q_mannwhitney,
+        "user_km_survival": _q_km_survival,
     }
 
 
@@ -4622,6 +4634,7 @@ WITH toks AS (
             "merge", "group", window=4),
         "events_theilsen_trend": features.theilsen_trend_sql(),
         "events_mannwhitney_pairs": features.mannwhitney_pairs_sql(),
+        "user_km_survival": features.km_survival_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

@@ -3114,3 +3114,119 @@ SELECT ga AS group_a, gb AS group_b,
 FROM agg
 ORDER BY group_a, group_b
 """.strip()
+
+
+# -------------------------------------------- Kaplan-Meier survival
+
+def km_survival(ds, user_col: str = "user_id", ts_col: str = "ts",
+                censor_days: int = 7) -> pa.Table:
+    """Kaplan-Meier survival / hazard table over per-user lifetimes —
+    the survival-analysis view of churn: lifetime t = days between a
+    user's first and last event; a user whose last event falls within
+    ``censor_days`` of the corpus end is right-CENSORED (still
+    active), otherwise their lifetime ended at t (a "death").
+
+    Exact-integer contract: the KM product-limit estimator is kept in
+    millionths with a FLOORED integer recurrence ``s_i = s_{i-1} *
+    (n_i - d_i) // n_i`` over timepoints in ascending-t order (s_0
+    base 1,000,000) — no float product, so the curve is
+    bit-mirrorable by the recursive-CTE oracle. Timepoints with only
+    censoring keep s unchanged (d = 0).
+
+    Distributed shape: one combiner groupby collapses the corpus to
+    per-user (first, last) spans (``final='ray'`` — user cardinality
+    is unbounded); the span dataset is materialized ONCE for its two
+    consumers (corpus-end max, lifetime histogram); the calendar-
+    bounded (t, censored) histogram is the only driver-side table.
+    Output: (t_days, n_at_risk, d_events, c_censored,
+    survival_millionths) sorted by t_days.
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[user_col])))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({"u": t[user_col], "day": day})
+
+    spans = grouped_agg(
+        ds.select_columns([user_col, ts_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["u"], [("day", "min"), ("day", "max")], final="ray")
+    spans = spans.materialize()  # two consumers below, one span pass
+
+    dmax = spans.max("day_max")
+
+    def lifetimes(t: pa.Table) -> pa.Table:
+        life = pc.subtract(t["day_max"], t["day_min"])
+        cens = pc.greater(t["day_max"], dmax - censor_days)
+        return pa.table({"t": life, "censored": cens})
+
+    hist = grouped_counts(
+        spans.map_batches(lifetimes, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["t", "censored"], final="driver").to_pandas()
+
+    wide = (hist.pivot_table(index="t", columns="censored", values="n",
+                             aggfunc="sum", fill_value=0)
+            .reindex(columns=[False, True], fill_value=0).sort_index())
+    t_vals = wide.index.to_numpy(dtype=np.int64)
+    d = wide[False].to_numpy(dtype=np.int64)
+    c = wide[True].to_numpy(dtype=np.int64)
+    n_total = int((d + c).sum())
+    # n_at_risk at t = users with lifetime >= t (suffix sum)
+    n_at_risk = n_total - np.concatenate(
+        [[0], np.cumsum(d + c)[:-1]]).astype(np.int64)
+    s = 1_000_000
+    surv = []
+    for ni, di in zip(n_at_risk.tolist(), d.tolist()):
+        s = s * (ni - di) // ni
+        surv.append(s)
+    return pa.table({
+        "t_days": pa.array(t_vals, pa.int64()),
+        "n_at_risk": pa.array(n_at_risk, pa.int64()),
+        "d_events": pa.array(d, pa.int64()),
+        "c_censored": pa.array(c, pa.int64()),
+        "survival_millionths": pa.array(surv, pa.int64()),
+    })
+
+
+def km_survival_sql(user_col: str = "user_id", ts_col: str = "ts",
+                    censor_days: int = 7, table: str = "events") -> str:
+    return f"""
+WITH RECURSIVE span AS (
+  SELECT {user_col} AS u,
+    CAST(CAST(min({ts_col}) AS DATE) - DATE '1970-01-01' AS BIGINT) AS d0,
+    CAST(CAST(max({ts_col}) AS DATE) - DATE '1970-01-01' AS BIGINT) AS d1
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+  GROUP BY 1
+), lim AS (SELECT max(d1) AS dmax FROM span),
+ev AS (
+  SELECT d1 - d0 AS t,
+    count(*) FILTER (WHERE d1 <= dmax - {censor_days}) AS d,
+    count(*) FILTER (WHERE d1 > dmax - {censor_days}) AS c,
+    count(*) AS n_t
+  FROM span, lim GROUP BY 1
+), risk AS (
+  SELECT t, d, c,
+    sum(n_t) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_at_risk,
+    row_number() OVER (ORDER BY t) AS rn
+  FROM ev
+), km AS (
+  SELECT rn, t, d, c, n_at_risk,
+    CAST(1000000 * (n_at_risk - d) // n_at_risk AS BIGINT) AS s
+  FROM risk WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.t, r.d, r.c, r.n_at_risk,
+    CAST(km.s * (r.n_at_risk - r.d) // r.n_at_risk AS BIGINT)
+  FROM risk r JOIN km ON r.rn = km.rn + 1
+)
+SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+  CAST(d AS BIGINT) AS d_events, CAST(c AS BIGINT) AS c_censored,
+  s AS survival_millionths
+FROM km ORDER BY t_days
+""".strip()

@@ -73,3 +73,40 @@ def test_mannwhitney_scipy_parity(ray_session):
     assert row.rank_sum2_a == int(round(2 * r_a))
     assert row.u2_a == int(round(2 * u_a))
     assert row.auc_millionths == int(2 * u_a) * 500_000 // (200 * 150)
+
+
+def _ev_ts(users, days):
+    ts = pa.array([np.datetime64(f"2024-01-{d:02d}", "us") for d in days],
+                  pa.timestamp("us"))
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()), "ts": ts}))
+
+
+def test_km_survival_hand(ray_session):
+    from fluent_server_ray.stages.features import km_survival
+
+    # day numbers within Jan 2024; corpus max day = 11 (u1 last)
+    # u1: 1..11 (t=10, last=11 > 11-7 -> censored)
+    # u2: 1..4  (t=3, last=4 <= 4 -> death)
+    # u3: 3..3  (t=0, death)
+    # u4: 2..10 (t=8, last=10 > 4 -> censored)
+    ds = _ev_ts([1, 1, 2, 2, 3, 4, 4], [1, 11, 1, 4, 3, 2, 10])
+    got = km_survival(ds).to_pandas()
+    assert got["t_days"].tolist() == [0, 3, 8, 10]
+    assert got["n_at_risk"].tolist() == [4, 3, 2, 1]
+    assert got["d_events"].tolist() == [1, 1, 0, 0]
+    assert got["c_censored"].tolist() == [0, 0, 1, 1]
+    # s: 1e6*3//4=750000; *2//3=500000; censor rows unchanged
+    assert got["survival_millionths"].tolist() == [
+        750000, 500000, 500000, 500000]
+
+
+def test_km_survival_all_censored(ray_session):
+    from fluent_server_ray.stages.features import km_survival
+
+    # everyone's last event within the censor window -> no deaths,
+    # survival stays 1e6
+    ds = _ev_ts([1, 2], [10, 11])
+    got = km_survival(ds).to_pandas()
+    assert got["d_events"].sum() == 0
+    assert (got["survival_millionths"] == 1_000_000).all()
