@@ -3452,6 +3452,18 @@ def _q_km_survival(sf_dir: str):
                            columns=["user_id", "ts"]))
 
 
+def _q_item_cooc(sf_dir: str):
+    """Item-item co-occurrence affinity (users-who-did-A-also-did-B):
+    distinct (user,item) combiner, user-bucket pair exchange, bounded
+    item×item partials; exact counts + millionths Jaccard + two-op
+    bit-exact cosine."""
+    from fluent_server_ray.stages.features import item_cooccurrence
+
+    return item_cooccurrence(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -3998,6 +4010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_theilsen_trend": _q_theilsen,
         "events_mannwhitney_pairs": _q_mannwhitney,
         "user_km_survival": _q_km_survival,
+        "item_cooccurrence": _q_item_cooc,
     }
 
 
@@ -4635,6 +4648,7 @@ WITH toks AS (
         "events_theilsen_trend": features.theilsen_trend_sql(),
         "events_mannwhitney_pairs": features.mannwhitney_pairs_sql(),
         "user_km_survival": features.km_survival_sql(),
+        "item_cooccurrence": features.item_cooccurrence_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

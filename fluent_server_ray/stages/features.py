@@ -3230,3 +3230,120 @@ SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
   s AS survival_millionths
 FROM km ORDER BY t_days
 """.strip()
+
+
+# -------------------------------------- item co-occurrence similarity
+
+def item_cooccurrence(ds, user_col: str = "user_id",
+                      item_col: str = "event_type",
+                      n_buckets: int = 256) -> pa.Table:
+    """Item-item co-occurrence similarity (collaborative-filtering
+    style): for every unordered pair of items, how many distinct
+    users touched BOTH, with cosine and Jaccard affinity — "users who
+    did A also did B" as data.
+
+    Exactness: n_both / n_a / n_b are exact distinct-user counts;
+    Jaccard is ONE floor division to millionths; cosine is the
+    two-op float tree ``n_both / sqrt(DOUBLE(n_a) * n_b)`` — both
+    engines evaluate the identical IEEE expression over exact ints,
+    so the compare is bit-exact.
+
+    Distributed shape: one combiner pass collapses the corpus to
+    distinct (user, item) rows (``final='ray'`` — user cardinality
+    unbounded), materialized ONCE for its two consumers; per-item
+    totals are a bounded combiner; pair expansion co-locates each
+    user's items with a ``user % n_buckets`` exchange and emits
+    per-bucket item×item partials (≤ buckets × items² rows to the
+    driver). Output: (item_a, item_b, n_both, n_a, n_b,
+    jaccard_millionths, cosine) sorted by (item_a, item_b).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[user_col]),
+                             pc.is_valid(t[item_col])))
+        return pa.table({"u": pc.cast(t[user_col], pa.int64()),
+                         "g": pc.cast(t[item_col], pa.string())})
+
+    ut = grouped_counts(
+        ds.select_columns([user_col, item_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["u", "g"], final="ray").materialize()  # two consumers below
+
+    totals = grouped_counts(ut, ["g"], final="driver").to_pandas()
+    n_item = dict(zip(totals["g"], totals["n"].astype(int)))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "_bucket": pc.cast(
+                pc.bit_wise_and(t["u"], n_buckets - 1), pa.int64()),
+            "u": t["u"], "g": t["g"]})
+
+    out_schema = pa.schema([("ga", pa.string()), ("gb", pa.string()),
+                            ("c", pa.int64())])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[["u", "g"]].merge(df[["u", "g"]], on="u",
+                                 suffixes=("_a", "_b"))
+        m = m[m["g_a"] < m["g_b"]]
+        out = (m.groupby(["g_a", "g_b"], sort=False).size()
+               .reset_index(name="c"))
+        return out.rename(columns={"g_a": "ga", "g_b": "gb"})
+
+    partials = map_buckets(
+        ut.map_batches(bucketize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        pair_partial, out_schema)
+    # bounded: <= n_buckets * |items|^2 partial rows
+    pdf = partials.to_pandas()
+    out_fields = [("item_a", pa.string()), ("item_b", pa.string()),
+                  ("n_both", pa.int64()), ("n_a", pa.int64()),
+                  ("n_b", pa.int64()), ("jaccard_millionths", pa.int64()),
+                  ("cosine", pa.float64())]
+    if pdf.empty:  # an all-empty partial dataset drops its columns
+        return pa.schema(out_fields).empty_table()
+    merged = (pdf.groupby(["ga", "gb"], sort=True)["c"]
+              .sum().reset_index())
+
+    na = merged["ga"].map(n_item).to_numpy(dtype=np.int64)
+    nb = merged["gb"].map(n_item).to_numpy(dtype=np.int64)
+    c = merged["c"].to_numpy(dtype=np.int64)
+    jac = c * 1_000_000 // (na + nb - c)
+    cos = c / np.sqrt(na.astype(np.float64) * nb)
+    return pa.table({
+        "item_a": pa.array(merged["ga"], pa.string()),
+        "item_b": pa.array(merged["gb"], pa.string()),
+        "n_both": pa.array(c, pa.int64()),
+        "n_a": pa.array(na, pa.int64()),
+        "n_b": pa.array(nb, pa.int64()),
+        "jaccard_millionths": pa.array(jac, pa.int64()),
+        "cosine": pa.array(cos, pa.float64()),
+    })
+
+
+def item_cooccurrence_sql(user_col: str = "user_id",
+                          item_col: str = "event_type",
+                          table: str = "events") -> str:
+    return f"""
+WITH ut AS (
+  SELECT DISTINCT {user_col} AS u, {item_col} AS g FROM {table}
+  WHERE {user_col} IS NOT NULL AND {item_col} IS NOT NULL
+), n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY g),
+cooc AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS c
+  FROM ut a JOIN ut b ON a.u = b.u AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT ga AS item_a, gb AS item_b, c AS n_both,
+  na.n AS n_a, nb.n AS n_b,
+  c * 1000000 // (na.n + nb.n - c) AS jaccard_millionths,
+  c / sqrt(CAST(na.n AS DOUBLE) * nb.n) AS cosine
+FROM cooc
+JOIN n na ON na.g = cooc.ga
+JOIN n nb ON nb.g = cooc.gb
+ORDER BY item_a, item_b
+""".strip()

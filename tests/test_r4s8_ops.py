@@ -110,3 +110,36 @@ def test_km_survival_all_censored(ray_session):
     got = km_survival(ds).to_pandas()
     assert got["d_events"].sum() == 0
     assert (got["survival_millionths"] == 1_000_000).all()
+
+
+def test_item_cooccurrence_hand(ray_session):
+    from fluent_server_ray.stages.features import item_cooccurrence
+
+    # u1: {a,b}; u2: {a,b,c}; u3: {a}; duplicates must not inflate
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "b", "c", "a"],
+                               pa.string()),
+    }))
+    got = item_cooccurrence(ds).to_pandas()
+    # pairs: (a,b) c=2 na=3 nb=2; (a,c) c=1 na=3 nb=1; (b,c) c=1
+    assert got["item_a"].tolist() == ["a", "a", "b"]
+    assert got["item_b"].tolist() == ["b", "c", "c"]
+    assert got["n_both"].tolist() == [2, 1, 1]
+    assert got["n_a"].tolist() == [3, 3, 2]
+    assert got["n_b"].tolist() == [2, 1, 1]
+    # jaccard: 2/(3+2-2)=2/3 -> 666666; 1/3 -> 333333; 1/2 -> 500000
+    assert got["jaccard_millionths"].tolist() == [666666, 333333, 500000]
+    assert got["cosine"].tolist() == [
+        2 / np.sqrt(3.0 * 2), 1 / np.sqrt(3.0 * 1), 1 / np.sqrt(2.0 * 1)]
+
+
+def test_item_cooccurrence_no_pairs(ray_session):
+    from fluent_server_ray.stages.features import item_cooccurrence
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["a", "b"], pa.string()),
+    }))
+    got = item_cooccurrence(ds).to_pandas()
+    assert len(got) == 0
