@@ -3464,6 +3464,17 @@ def _q_item_cooc(sf_dir: str):
                            columns=["user_id", "event_type"]))
 
 
+def _q_seasonal_dow(sf_dir: str):
+    """Day-of-week seasonal index per event type (multiplicative
+    seasonality panel): calendar-bounded daily-cents combiner, exact
+    python-int ratio in millionths, epoch-anchored dow arithmetic."""
+    from fluent_server_ray.stages.features import seasonal_dow_index
+
+    return seasonal_dow_index(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4011,6 +4022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney_pairs": _q_mannwhitney,
         "user_km_survival": _q_km_survival,
         "item_cooccurrence": _q_item_cooc,
+        "events_seasonal_dow": _q_seasonal_dow,
     }
 
 
@@ -4649,6 +4661,7 @@ WITH toks AS (
         "events_mannwhitney_pairs": features.mannwhitney_pairs_sql(),
         "user_km_survival": features.km_survival_sql(),
         "item_cooccurrence": features.item_cooccurrence_sql(),
+        "events_seasonal_dow": features.seasonal_dow_index_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

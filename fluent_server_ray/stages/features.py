@@ -3347,3 +3347,86 @@ JOIN n na ON na.g = cooc.ga
 JOIN n nb ON nb.g = cooc.gb
 ORDER BY item_a, item_b
 """.strip()
+
+
+# --------------------------------------------- seasonal dow index
+
+def seasonal_dow_index(ds, group_col: str = "event_type",
+                       ts_col: str = "ts",
+                       value_col: str = "value") -> pa.Table:
+    """Day-of-week seasonal index per group — the multiplicative
+    seasonality panel ("Mondays run 1.18× this feed's average day"):
+    for each (group, dow), the mean observed-day revenue relative to
+    the group's all-days mean, in millionths.
+
+    Exact-integer contract: index = (s_dow / n_dow) / (S / N) =
+    ``s_dow * N * 1_000_000 // (n_dow * S)`` — python-int products
+    (HUGEINT in the mirror), ONE floor division, no float means.
+    Groups with zero total cents emit NULL index. ``dow7`` is the
+    epoch-anchored weekday ``epoch_day % 7`` (0 = Thursday) — pure
+    integer arithmetic, no locale/week-start divergence between
+    engines.
+
+    Distributed shape: one combiner pass collapses the corpus to the
+    calendar-bounded (group, day) daily-cents table; everything after
+    is driver arithmetic on that bounded table. Output: (group, dow7,
+    n_days, cents_sum, index_millionths) sorted by (group, dow7).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "_day": day, "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.select_columns([group_col, ts_col, value_col]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    daily["dow7"] = daily["_day"] % 7
+    dow = (daily.groupby(["g", "dow7"], sort=True)
+           .agg(n_days=("_day", "size"), cents_sum=("cents_sum", "sum"))
+           .reset_index())
+    tot = (daily.groupby("g", sort=False)
+           .agg(st=("cents_sum", "sum"), ct=("_day", "size")))
+    idx = []
+    for g, nd, s in zip(dow["g"], dow["n_days"], dow["cents_sum"]):
+        st, ct = int(tot.loc[g, "st"]), int(tot.loc[g, "ct"])
+        idx.append(None if st == 0
+                   else int(s) * ct * 1_000_000 // (int(nd) * st))
+    return pa.table({
+        group_col: pa.array(dow["g"], pa.string()),
+        "dow7": pa.array(dow["dow7"].astype("int64"), pa.int64()),
+        "n_days": pa.array(dow["n_days"].astype("int64"), pa.int64()),
+        "cents_sum": pa.array(dow["cents_sum"].astype("int64"), pa.int64()),
+        "index_millionths": pa.array(idx, pa.int64()),
+    })
+
+
+def seasonal_dow_index_sql(group_col: str = "event_type",
+                           ts_col: str = "ts", value_col: str = "value",
+                           table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), dow AS (
+  SELECT g, d % 7 AS dow7, CAST(sum(c) AS HUGEINT) AS s,
+         CAST(count(*) AS HUGEINT) AS nd
+  FROM daily GROUP BY 1, 2
+), tot AS (
+  SELECT g, sum(s) AS st, sum(nd) AS ct FROM dow GROUP BY g
+)
+SELECT dow.g AS {group_col}, CAST(dow7 AS BIGINT) AS dow7,
+  CAST(nd AS BIGINT) AS n_days, CAST(s AS BIGINT) AS cents_sum,
+  CAST(s * ct * 1000000 // NULLIF(nd * st, 0) AS BIGINT)
+    AS index_millionths
+FROM dow JOIN tot ON tot.g = dow.g
+ORDER BY {group_col}, dow7
+""".strip()

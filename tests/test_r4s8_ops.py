@@ -143,3 +143,35 @@ def test_item_cooccurrence_no_pairs(ray_session):
     }))
     got = item_cooccurrence(ds).to_pandas()
     assert len(got) == 0
+
+
+def test_seasonal_dow_hand(ray_session):
+    from fluent_server_ray.stages.features import seasonal_dow_index
+
+    # 2024-01-01 is a Monday; epoch_day % 7: Thu=0 so Mon=4, Tue=5
+    # group a: Mon 1.00, Mon 3.00 (same day sums to 400c),
+    #          Tue(2024-01-02) 2.00 -> daily: Mon 400, Tue 200
+    # overall mean/day = 600/2 = 300
+    # Mon index = 400/300 = 1333333; Tue = 200/300 = 666666
+    ts = pa.array([np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-02", "us")], pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 3, pa.string()), "ts": ts,
+        "value": pa.array([1.0, 3.0, 2.0], pa.float64())}))
+    got = seasonal_dow_index(ds).to_pandas()
+    assert got["dow7"].tolist() == [4, 5]
+    assert got["n_days"].tolist() == [1, 1]
+    assert got["cents_sum"].tolist() == [400, 200]
+    assert got["index_millionths"].tolist() == [1333333, 666666]
+
+
+def test_seasonal_dow_zero_total_null(ray_session):
+    from fluent_server_ray.stages.features import seasonal_dow_index
+
+    ts = pa.array([np.datetime64("2024-01-01", "us")], pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["z"], pa.string()), "ts": ts,
+        "value": pa.array([0.0], pa.float64())}))
+    got = seasonal_dow_index(ds).to_pandas()
+    assert got["index_millionths"].isna().all()
