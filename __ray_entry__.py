@@ -3475,6 +3475,19 @@ def _q_seasonal_dow(sf_dir: str):
                            columns=["event_type", "ts", "value"]))
 
 
+def _q_twap(sf_dir: str):
+    """Time-weighted average value per event type (step-function
+    integral / span): day-segmented integration in a day-bucket
+    exchange, python-int/HUGEINT numerators, driver stitches the
+    cross-day carries; (ts, cents) tie order is part of the
+    contract."""
+    from fluent_server_ray.stages.features import twap_by_group
+
+    return twap_by_group(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4023,6 +4036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_km_survival": _q_km_survival,
         "item_cooccurrence": _q_item_cooc,
         "events_seasonal_dow": _q_seasonal_dow,
+        "events_twap": _q_twap,
     }
 
 
@@ -4662,6 +4676,7 @@ WITH toks AS (
         "user_km_survival": features.km_survival_sql(),
         "item_cooccurrence": features.item_cooccurrence_sql(),
         "events_seasonal_dow": features.seasonal_dow_index_sql(),
+        "events_twap": features.twap_by_group_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

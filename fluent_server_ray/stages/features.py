@@ -3430,3 +3430,139 @@ SELECT dow.g AS {group_col}, CAST(dow7 AS BIGINT) AS dow7,
 FROM dow JOIN tot ON tot.g = dow.g
 ORDER BY {group_col}, dow7
 """.strip()
+
+
+# ------------------------------------------- time-weighted average
+
+def twap_by_group(ds, group_col: str = "event_type",
+                  ts_col: str = "ts", value_col: str = "value",
+                  n_buckets: int = 256) -> pa.Table:
+    """Time-weighted average value per group (TWAP): the integral of
+    the last-observed-value step function over the group's
+    observation span, divided by the span — the "what was the level,
+    weighted by how long it held" aggregate a plain mean gets wrong
+    under irregular sampling.
+
+    Exact-integer contract: events are ordered by (ts_us, cents) —
+    the tie order is part of the contract so simultaneous events
+    can't make the integral engine-dependent; the numerator
+    Σ cents_i × (t_{i+1} − t_i) is carried as decimal-string /
+    python-int partials (HUGEINT in the mirror); the span is
+    max(ts) − min(ts); the output level is ONE floor division to
+    millicents. Single-event groups emit NULL.
+
+    Distributed shape: the integral is segmented by calendar day —
+    each (group, day) cell integrates its own ordered events in a
+    ``hash(group, day) % n_buckets`` exchange (partitioning
+    assumption: one (group, day) cell fits a worker), emitting one
+    bounded partial row (within-day numerator, n, ts_min, ts_max,
+    last cents); the driver stitches consecutive observed days with
+    the carried last value. Output: (group, n_events, n_days,
+    span_us, twap_millicents) sorted by group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[value_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[group_col])))
+        tus = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        # day-keyed buckets: every group's slice of a day co-locates,
+        # days round-robin the buckets — balance follows the calendar
+        bucket = pc.bit_wise_and(day, n_buckets - 1)
+        return pa.table({"_bucket": bucket,
+                         "g": pc.cast(t[group_col], pa.string()),
+                         "day": day, "tus": tus,
+                         "c": _cents(t[value_col])})
+
+    out_schema = pa.schema([
+        ("g", pa.string()), ("day", pa.int64()), ("n", pa.int64()),
+        ("tmin", pa.int64()), ("tmax", pa.int64()),
+        ("c_last", pa.int64()), ("num", pa.string())])
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (g, day), sub in df.groupby(["g", "day"], sort=False):
+            sub = sub.sort_values(["tus", "c"])
+            t = sub["tus"].to_numpy(dtype=np.int64)
+            c = sub["c"].to_numpy(dtype=np.int64)
+            if len(t) > 1:
+                dt = t[1:] - t[:-1]
+                peak = int(np.abs(c).max()) * int(dt.max()) if len(dt) else 0
+                if len(dt) * max(peak, 1) >= (1 << 63):
+                    num = sum(int(a) * int(b)
+                              for a, b in zip(c[:-1].tolist(), dt.tolist()))
+                else:
+                    num = int(np.dot(c[:-1], dt))
+            else:
+                num = 0
+            rows.append((g, int(day), len(t), int(t[0]), int(t[-1]),
+                         int(c[-1]), str(num)))
+        return pd.DataFrame(rows, columns=[
+            "g", "day", "n", "tmin", "tmax", "c_last", "num"])
+
+    partials = map_buckets(
+        ds.select_columns([group_col, ts_col, value_col]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True),
+        day_partial, out_schema)
+    pdf = partials.to_pandas()  # bounded: one row per (group, day)
+    out_fields = [(group_col, pa.string()), ("n_events", pa.int64()),
+                  ("n_days", pa.int64()), ("span_us", pa.int64()),
+                  ("twap_millicents", pa.int64())]
+    if pdf.empty:
+        return pa.schema(out_fields).empty_table()
+
+    rows = []
+    for g, sub in pdf.groupby("g", sort=True):
+        sub = sub.sort_values("day")
+        num = sum(int(s) for s in sub["num"])
+        tmins = sub["tmin"].tolist()
+        tmaxs = sub["tmax"].tolist()
+        lasts = sub["c_last"].tolist()
+        for k in range(len(sub) - 1):  # carry across observed days
+            num += int(lasts[k]) * (int(tmins[k + 1]) - int(tmaxs[k]))
+        span = int(tmaxs[-1]) - int(tmins[0])
+        n_ev = int(sub["n"].sum())
+        rows.append((g, n_ev, len(sub), span,
+                     num * 1000 // span if span > 0 else None))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n_events": pa.array([r[1] for r in rows], pa.int64()),
+        "n_days": pa.array([r[2] for r in rows], pa.int64()),
+        "span_us": pa.array([r[3] for r in rows], pa.int64()),
+        "twap_millicents": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def twap_by_group_sql(group_col: str = "event_type",
+                      ts_col: str = "ts", value_col: str = "value",
+                      table: str = "events") -> str:
+    return f"""
+WITH e AS (
+  SELECT {group_col} AS g, CAST(epoch_us({ts_col}) AS BIGINT) AS tus,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(round({value_col} * 100.0) AS BIGINT) AS c
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {group_col} IS NOT NULL
+), seq AS (
+  SELECT g, c, tus, day,
+    lead(tus) OVER (PARTITION BY g ORDER BY tus, c) AS nxt
+  FROM e
+), agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+    CAST(max(tus) - min(tus) AS HUGEINT) AS span,
+    COALESCE(sum(CAST(c AS HUGEINT) * (nxt - tus)), 0) AS num
+  FROM seq GROUP BY g
+)
+SELECT g AS {group_col}, n_events, n_days,
+  CAST(span AS BIGINT) AS span_us,
+  CAST(num * 1000 // NULLIF(span, 0) AS BIGINT) AS twap_millicents
+FROM agg ORDER BY {group_col}
+""".strip()

@@ -175,3 +175,51 @@ def test_seasonal_dow_zero_total_null(ray_session):
         "value": pa.array([0.0], pa.float64())}))
     got = seasonal_dow_index(ds).to_pandas()
     assert got["index_millionths"].isna().all()
+
+
+def test_twap_hand_cross_day(ray_session):
+    from fluent_server_ray.stages.features import twap_by_group
+
+    # group a: (day1 00:00, 1.00), (day1 12:00, 3.00), (day2 00:00, 2.00)
+    # integral: 100c*12h + 300c*12h -> span 24h
+    # twap = (100*12 + 300*12)/24 = 200 cents -> 200000 millicents
+    ts = pa.array([np.datetime64("2024-01-01T00:00:00", "us"),
+                   np.datetime64("2024-01-01T12:00:00", "us"),
+                   np.datetime64("2024-01-02T00:00:00", "us")],
+                  pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 3, pa.string()), "ts": ts,
+        "value": pa.array([1.0, 3.0, 2.0], pa.float64())}))
+    got = twap_by_group(ds).to_pandas()
+    assert got.values.tolist() == [
+        ["a", 3, 2, 86400_000000, 200000]]
+
+
+def test_twap_tie_order_contract(ray_session):
+    from fluent_server_ray.stages.features import twap_by_group
+
+    # two simultaneous events at t0 (cents 100 and 300): the LARGER
+    # cents carries the forward gap by the (ts, cents) contract
+    ts = pa.array([np.datetime64("2024-01-01T00:00:00", "us")] * 2
+                  + [np.datetime64("2024-01-01T01:00:00", "us")],
+                  pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 3, pa.string()), "ts": ts,
+        "value": pa.array([3.0, 1.0, 5.0], pa.float64())}))
+    got = twap_by_group(ds).to_pandas()
+    # ordered: (t0,100),(t0,300),(t1,500): num = 100*0 + 300*3600e6
+    # span 3600e6 -> twap 300 cents
+    assert got["twap_millicents"].tolist() == [300000]
+
+
+def test_twap_single_event_null(ray_session):
+    from fluent_server_ray.stages.features import twap_by_group
+
+    ts = pa.array([np.datetime64("2024-01-01T00:00:00", "us")],
+                  pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"], pa.string()), "ts": ts,
+        "value": pa.array([1.0], pa.float64())}))
+    got = twap_by_group(ds).to_pandas()
+    assert got["span_us"].tolist() == [0]
+    assert got["twap_millicents"].isna().all()
