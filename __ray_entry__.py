@@ -3488,6 +3488,15 @@ def _q_twap(sf_dir: str):
                            columns=["event_type", "ts", "value"]))
 
 
+def _q_boolean_search(sf_dir: str):
+    """Boolean conjunction search: docs with "data" AND "slow" AND
+    NOT "spark" — map-only per-term vectorized counts, no exchange."""
+    from fluent_server_ray.stages.textstats import boolean_search
+
+    return boolean_search(_docs(sf_dir), must=["data", "slow"],
+                          must_not=["spark"])
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4037,6 +4046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cooccurrence": _q_item_cooc,
         "events_seasonal_dow": _q_seasonal_dow,
         "events_twap": _q_twap,
+        "doc_boolean_search": _q_boolean_search,
     }
 
 
@@ -4677,6 +4687,8 @@ WITH toks AS (
         "item_cooccurrence": features.item_cooccurrence_sql(),
         "events_seasonal_dow": features.seasonal_dow_index_sql(),
         "events_twap": features.twap_by_group_sql(),
+        "doc_boolean_search": textstats.boolean_search_sql(
+            must=["data", "slow"], must_not=["spark"]),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

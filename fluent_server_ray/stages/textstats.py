@@ -3219,3 +3219,80 @@ FROM tok t1 JOIN tok t2 ON t2.{id_col} = t1.{id_col}
 WHERE t1.w = '{w1}' AND t2.w = '{w2}'
 GROUP BY t1.{id_col}
 """.strip()
+
+
+def boolean_search(ds, must: list[str], must_not: list[str] = (),
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Boolean term search (AND / AND-NOT) over whitespace tokens:
+    documents containing EVERY ``must`` term and NONE of the
+    ``must_not`` terms, with the total occurrence count of the must
+    terms — the classic inverted-index conjunction, served scan-time
+    (cf. :func:`phrase_match`'s note: for row-complete documents the
+    map-only form beats postings intersection; :func:`word_postings`
+    is the pre-built-index path). Same token contract as the rest of
+    the family: non-empty single-space splits.
+
+    Map-only, no exchange at any scale: per batch one token flatten,
+    then a per-query-term (bounded, not per-row) vectorized count per
+    doc. Returns a Dataset (doc_id, n_hits) of matching docs.
+    """
+    import numpy as np
+
+    must = list(must)
+    must_not = list(must_not)
+    if not must:
+        raise ValueError("boolean_search: need at least one must term")
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_row = np.repeat(np.arange(len(t), dtype=np.int64),
+                            np.asarray(lens, dtype=np.int64))
+        counts = []
+        for w in must + must_not:
+            m = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            c = np.zeros(len(t), dtype=np.int64)
+            np.add.at(c, doc_row[m], 1)
+            counts.append(c)
+        hit = counts[0] > 0
+        for c in counts[1:len(must)]:
+            hit &= c > 0
+        for c in counts[len(must):]:
+            hit &= c == 0
+        n_hits = np.zeros(len(t), dtype=np.int64)
+        for c in counts[:len(must)]:
+            n_hits += c
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[hit], pa.int64()),
+            "n_hits": pa.array(n_hits[hit], pa.int64()),
+        })
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        skip_empty(per_batch), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def boolean_search_sql(must: list[str], must_not: list[str] = (),
+                       id_col: str = "doc_id", text_col: str = "text",
+                       table: str = "documents") -> str:
+    toks = (f"list_filter(str_split({text_col}, ' '), x -> x <> '')")
+    n_hits = " + ".join(
+        f"len(list_filter(tk, x -> x = '{w}'))" for w in must)
+    conds = [f"len(list_filter(tk, x -> x = '{w}')) > 0" for w in must]
+    conds += [f"len(list_filter(tk, x -> x = '{w}')) = 0"
+              for w in must_not]
+    return f"""
+WITH tok AS (SELECT {id_col}, {toks} AS tk FROM {table})
+SELECT {id_col}, CAST({n_hits} AS BIGINT) AS n_hits
+FROM tok
+WHERE {' AND '.join(conds)}
+""".strip()

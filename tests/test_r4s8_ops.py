@@ -223,3 +223,29 @@ def test_twap_single_event_null(ray_session):
     got = twap_by_group(ds).to_pandas()
     assert got["span_us"].tolist() == [0]
     assert got["twap_millicents"].isna().all()
+
+
+def test_boolean_search_hand(ray_session):
+    from fluent_server_ray.stages.textstats import boolean_search
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b a c",      # has a,b no x -> hit, n=3
+            "a a",          # missing b
+            "a b x",        # excluded by x
+            "b  a",         # double space: empty token dropped -> hit
+        ], pa.string()),
+    })
+    got = boolean_search(rd.from_arrow(t), must=["a", "b"],
+                         must_not=["x"]).to_pandas()
+    assert got["doc_id"].tolist() == [1, 4]
+    assert got["n_hits"].tolist() == [3, 2]
+
+
+def test_boolean_search_requires_must(ray_session):
+    from fluent_server_ray.stages.textstats import boolean_search
+
+    with pytest.raises(ValueError):
+        boolean_search(rd.from_items([{"doc_id": 1, "text": "a"}]),
+                       must=[])
