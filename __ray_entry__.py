@@ -3497,6 +3497,16 @@ def _q_boolean_search(sf_dir: str):
                           must_not=["spark"])
 
 
+def _q_token_clustering(sf_dir: str):
+    """Local clustering coefficient per word of the adjacency graph
+    (distributed distinct-edge combiner, dense driver continuation on
+    the vocab-bounded node set; millionths floor contract)."""
+    from fluent_server_ray.stages.graph import (clustering_coefficients,
+                                                token_adjacency_edges)
+
+    return clustering_coefficients(token_adjacency_edges(_docs(sf_dir)))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4047,6 +4057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_dow": _q_seasonal_dow,
         "events_twap": _q_twap,
         "doc_boolean_search": _q_boolean_search,
+        "token_graph_clustering": _q_token_clustering,
     }
 
 
@@ -4577,6 +4588,9 @@ FROM s
         "token_graph_triangles": __import__(
             "fluent_server_ray.stages.graph", fromlist=["x"]
         ).token_triangles_sql(),
+        "token_graph_clustering": __import__(
+            "fluent_server_ray.stages.graph", fromlist=["x"]
+        ).token_clustering_sql(),
         "orders_price_band_pairs": __import__(
             "fluent_server_ray.stages.joins", fromlist=["x"]
         ).band_join_pairs_sql(

@@ -739,3 +739,115 @@ SELECT node, deg FROM (
   GROUP BY 1
 ) WHERE deg >= {k} ORDER BY node""")
     return "".join(parts)
+
+
+def clustering_coefficients(edges, a: str = "lo", b: str = "hi",
+                            max_dense_nodes: int = 4096) -> pa.Table:
+    """Local clustering coefficient per node — triangles through the
+    node over its possible neighbor pairs, the per-node texture
+    :func:`triangle_count` summarizes globally (how clique-like is
+    each word's neighborhood).
+
+    Exact-integer contract: tri(v) = diag(A³)/2 on the canonical
+    distinct edge set; coefficient = ONE floor division to millionths
+    of ``2·tri(v) · 1e6 // (d·(d−1))``; nodes with degree < 2 emit
+    NULL (undefined, the mirror's NULLIF).
+
+    Bounded-pool contract: the distinct NODE set must fit
+    ``max_dense_nodes`` (vocabulary graphs are bounded by
+    construction) — the distinct-edge combiner runs distributed, then
+    one dense matmul on the driver; open-scale per-node triangle
+    attribution would need the wedge-center-carrying exchange, and
+    :func:`triangle_count` remains the open-scale global path. Output:
+    (node, degree, n_triangles, clustering_millionths) sorted by node.
+    """
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+
+    def canon(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[a], pa.string())
+        y = pc.cast(t[b], pa.string())
+        ne = pc.invert(pc.equal(x, y))
+        x, y = x.filter(ne), y.filter(ne)
+        lt = pc.less(x, y)
+        return (pa.table({"lo": pc.if_else(lt, x, y),
+                          "hi": pc.if_else(lt, y, x)})
+                .group_by(["lo", "hi"]).aggregate([]))
+
+    e = grouped_agg(
+        edges.map_batches(skip_empty(canon), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        keys=["lo", "hi"], aggs=[("lo", "count")], final="ray",
+    ).drop_columns(["lo_count"])
+    et = pa.concat_tables(
+        e.iter_batches(batch_size=None, batch_format="pyarrow"))
+    empty = pa.schema([("node", pa.string()), ("degree", pa.int64()),
+                       ("n_triangles", pa.int64()),
+                       ("clustering_millionths", pa.int64())])
+    if et.num_rows == 0:
+        return empty.empty_table()
+    lo = et["lo"].to_numpy(zero_copy_only=False)
+    hi = et["hi"].to_numpy(zero_copy_only=False)
+    nodes, codes = np.unique(np.concatenate([lo, hi]),
+                             return_inverse=True)
+    n = len(nodes)
+    if n > max_dense_nodes:
+        raise ValueError(
+            "clustering_coefficients: node set exceeds max_dense_nodes "
+            "(bounded-pool contract; triangle_count is the open-scale "
+            "global path)")
+    i, j = codes[:len(lo)], codes[len(lo):]
+    A = np.zeros((n, n), dtype=np.int64)
+    A[i, j] = 1
+    A[j, i] = 1
+    deg = A.sum(axis=1)
+    tri2 = ((A @ A) * A).sum(axis=1)  # = 2 * triangles through node
+    coef = [None if d < 2 else int(t) * 1_000_000 // (int(d) * (int(d) - 1))
+            for d, t in zip(deg.tolist(), tri2.tolist())]
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "degree": pa.array(deg, pa.int64()),
+        "n_triangles": pa.array(tri2 // 2, pa.int64()),
+        "clustering_millionths": pa.array(coef, pa.int64()),
+    })
+
+
+def token_clustering_sql(table: str = "documents") -> str:
+    """Mirror: distinct adjacent-token edges, per-node triangle count
+    via the a<b<c three-way self-join credited to each corner."""
+    return f"""
+WITH toks AS (
+  SELECT row_number() OVER () AS did,
+    list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+), bi AS (
+  SELECT t[gs] AS x, t[gs + 1] AS y
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+), e AS MATERIALIZED (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM bi WHERE x <> y
+), deg AS (
+  SELECT v AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+), tri AS (
+  SELECT corner AS node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (
+    SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3 FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+  ) t CROSS JOIN unnest([v1, v2, v3]) AS c(corner)
+  GROUP BY 1
+)
+SELECT deg.node, deg.degree,
+  COALESCE(tri.n_tri, 0) AS n_triangles,
+  CAST(2 * COALESCE(tri.n_tri, 0) * 1000000
+       // NULLIF(deg.degree * (deg.degree - 1), 0) AS BIGINT)
+    AS clustering_millionths
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+ORDER BY deg.node
+""".strip()

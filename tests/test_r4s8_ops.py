@@ -249,3 +249,36 @@ def test_boolean_search_requires_must(ray_session):
     with pytest.raises(ValueError):
         boolean_search(rd.from_items([{"doc_id": 1, "text": "a"}]),
                        must=[])
+
+
+def test_clustering_coefficients_hand(ray_session):
+    from fluent_server_ray.stages.graph import clustering_coefficients
+
+    # triangle a-b-c plus pendant d on a:
+    # a: deg 3, tri 1 -> 2*1e6//6 = 333333
+    # b,c: deg 2, tri 1 -> 1e6
+    # d: deg 1 -> NULL
+    t = pa.table({
+        "lo": pa.array(["a", "a", "b", "a"], pa.string()),
+        "hi": pa.array(["b", "c", "c", "d"], pa.string()),
+    })
+    got = clustering_coefficients(rd.from_arrow(t)).to_pandas()
+    assert got["node"].tolist() == ["a", "b", "c", "d"]
+    assert got["degree"].tolist() == [3, 2, 2, 1]
+    assert got["n_triangles"].tolist() == [1, 1, 1, 0]
+    cm = got["clustering_millionths"]
+    assert cm.tolist()[:3] == [333333, 1000000, 1000000]
+    assert pd.isna(cm.iloc[3])
+
+
+def test_clustering_dedups_and_canonicalizes(ray_session):
+    from fluent_server_ray.stages.graph import clustering_coefficients
+
+    # duplicate edges in both orders + self-loop must not inflate
+    t = pa.table({
+        "lo": pa.array(["b", "a", "a", "x"], pa.string()),
+        "hi": pa.array(["a", "b", "a", "x"], pa.string()),
+    })
+    got = clustering_coefficients(rd.from_arrow(t)).to_pandas()
+    assert got["node"].tolist() == ["a", "b"]
+    assert got["degree"].tolist() == [1, 1]
