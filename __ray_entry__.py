@@ -3507,6 +3507,17 @@ def _q_token_clustering(sf_dir: str):
     return clustering_coefficients(token_adjacency_edges(_docs(sf_dir)))
 
 
+def _q_trimmed_mean(sf_dir: str):
+    """10% two-sided trimmed mean of value cents per event type —
+    exact rank-window multiplicities over the distinct-cents
+    histogram (one combiner pass), one floor division."""
+    from fluent_server_ray.stages.features import trimmed_mean
+
+    return trimmed_mean(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4058,6 +4069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_twap": _q_twap,
         "doc_boolean_search": _q_boolean_search,
         "token_graph_clustering": _q_token_clustering,
+        "events_trimmed_mean": _q_trimmed_mean,
     }
 
 
@@ -4703,6 +4715,7 @@ WITH toks AS (
         "events_twap": features.twap_by_group_sql(),
         "doc_boolean_search": textstats.boolean_search_sql(
             must=["data", "slow"], must_not=["spark"]),
+        "events_trimmed_mean": features.trimmed_mean_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

@@ -3566,3 +3566,106 @@ SELECT g AS {group_col}, n_events, n_days,
   CAST(num * 1000 // NULLIF(span, 0) AS BIGINT) AS twap_millicents
 FROM agg ORDER BY {group_col}
 """.strip()
+
+
+# ------------------------------------------------ trimmed mean
+
+def trimmed_mean(ds, group_col: str = "event_type",
+                 value_col: str = "value", trim_pct: int = 10,
+                 max_distinct: int = 4_000_000) -> pa.Table:
+    """Per-group trimmed mean of cents — drop the lowest and highest
+    ``trim_pct`` percent of ROWS (by rank, ties split by multiplicity)
+    and average the middle: the robust location estimate between
+    median (50% trim) and mean (0%), immune to the tail a plain mean
+    chases.
+
+    Exact-integer contract: the kept-rank window is ``lo = floor(n ·
+    trim_pct / 100)``, ``hi = n − lo`` (0-based ranks [lo, hi)); each
+    distinct value contributes ``overlap([cum, cum+cnt), [lo, hi))``
+    copies; the trimmed mean is ONE floor division of exact python-int
+    cents·multiplicity products (HUGEINT in the mirror) to
+    millicents. Groups where the window is empty (n·(100−2·trim) = 0
+    rows kept) emit NULL.
+
+    Distributed shape: one (group, value) count-combiner pass
+    collapses the corpus to the distinct-cents histogram
+    (``max_distinct``-guarded, the :func:`ks_two_sample` caveat);
+    rank windows are driver arithmetic on that bounded table.
+    Output: (group, n, n_kept, trimmed_mean_millicents) by group.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "c": _cents(t[value_col])})
+
+    cells = grouped_counts(
+        ds.select_columns([group_col, value_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "c"], final="driver")
+    if cells.num_rows > max_distinct:
+        raise ValueError(
+            "trimmed_mean: distinct value space exceeds max_distinct — "
+            "bin first for continuous open-scale columns")
+    df = cells.to_pandas().sort_values(["g", "c"])
+    rows = []
+    for g, sub in df.groupby("g", sort=True):
+        cnt = sub["n"].tolist()
+        val = sub["c"].tolist()
+        n = sum(int(x) for x in cnt)
+        lo = n * trim_pct // 100
+        hi = n - lo
+        kept = 0
+        total = 0
+        cum = 0
+        for v, c in zip(val, cnt):
+            c = int(c)
+            k = min(cum + c, hi) - max(cum, lo)
+            if k > 0:
+                kept += k
+                total += int(v) * k
+            cum += c
+        rows.append((g, n, kept,
+                     total * 1000 // kept if kept > 0 else None))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "n_kept": pa.array([r[2] for r in rows], pa.int64()),
+        "trimmed_mean_millicents": pa.array([r[3] for r in rows],
+                                            pa.int64()),
+    })
+
+
+def trimmed_mean_sql(group_col: str = "event_type",
+                     value_col: str = "value", trim_pct: int = 10,
+                     table: str = "events") -> str:
+    return f"""
+WITH c AS (
+  SELECT {group_col} AS g,
+    CAST(round({value_col} * 100.0) AS BIGINT) AS v,
+    CAST(count(*) AS HUGEINT) AS cnt
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), w AS (
+  SELECT g, v, cnt,
+    sum(cnt) OVER (PARTITION BY g ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) - cnt AS cum,
+    sum(cnt) OVER (PARTITION BY g) AS n
+  FROM c
+), k AS (
+  SELECT g, v, n,
+    least(cum + cnt, n - (n * {trim_pct} // 100))
+      - greatest(cum, n * {trim_pct} // 100) AS kept
+  FROM w
+)
+SELECT g AS {group_col}, CAST(max(n) AS BIGINT) AS n,
+  CAST(COALESCE(sum(kept) FILTER (WHERE kept > 0), 0) AS BIGINT)
+    AS n_kept,
+  CAST(sum(CAST(v AS HUGEINT) * kept) FILTER (WHERE kept > 0) * 1000
+       // NULLIF(sum(kept) FILTER (WHERE kept > 0), 0) AS BIGINT)
+    AS trimmed_mean_millicents
+FROM k GROUP BY g ORDER BY g
+""".strip()

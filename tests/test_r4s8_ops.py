@@ -282,3 +282,43 @@ def test_clustering_dedups_and_canonicalizes(ray_session):
     got = clustering_coefficients(rd.from_arrow(t)).to_pandas()
     assert got["node"].tolist() == ["a", "b"]
     assert got["degree"].tolist() == [1, 1]
+
+
+def test_trimmed_mean_hand(ray_session):
+    from fluent_server_ray.stages.features import trimmed_mean
+
+    # group a: cents 0,100,200,300,...,900 (10 rows), trim 10% ->
+    # lo=1 hi=9: keep 100..800 -> mean 450c = 450000 millicents
+    ds = _events(["a"] * 10, [i * 1.0 for i in range(10)])
+    got = trimmed_mean(ds).to_pandas()
+    assert got.values.tolist() == [["a", 10, 8, 450000]]
+
+
+def test_trimmed_mean_tie_split(ray_session):
+    from fluent_server_ray.stages.features import trimmed_mean
+
+    # 10 rows all ties at 100c except one 0c and one 900c:
+    # [0, 100 x8, 900]; lo=1 hi=9 keeps 100 x8 -> mean 100c
+    ds = _events(["a"] * 10, [0.0] + [1.0] * 8 + [9.0])
+    got = trimmed_mean(ds).to_pandas()
+    assert got.values.tolist() == [["a", 10, 8, 100000]]
+
+
+def test_trimmed_mean_small_group_no_trim(ray_session):
+    from fluent_server_ray.stages.features import trimmed_mean
+
+    # n=3, 10% trim -> lo=0 hi=3: nothing dropped; mean of 1,2,6
+    # cents 100,200,600 -> 300c
+    ds = _events(["a"] * 3, [1.0, 2.0, 6.0])
+    got = trimmed_mean(ds).to_pandas()
+    assert got.values.tolist() == [["a", 3, 3, 300000]]
+
+
+def test_trimmed_mean_50pct_empty_window(ray_session):
+    from fluent_server_ray.stages.features import trimmed_mean
+
+    # trim 50% on n=2: lo=1 hi=1 -> zero kept -> NULL
+    ds = _events(["a", "a"], [1.0, 2.0])
+    got = trimmed_mean(ds, trim_pct=50).to_pandas()
+    assert got["n_kept"].tolist() == [0]
+    assert got["trimmed_mean_millicents"].isna().all()
