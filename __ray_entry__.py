@@ -3518,6 +3518,17 @@ def _q_trimmed_mean(sf_dir: str):
                            columns=["event_type", "value"]))
 
 
+def _q_kendall_volumes(sf_dir: str):
+    """Kendall tau-b between click and purchase daily volumes —
+    exact concordant/discordant/tie integers over the calendar-
+    bounded day-pair set, two-op bit-exact float tail."""
+    from fluent_server_ray.stages.features import kendall_daily_volumes
+
+    return kendall_daily_volumes(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4070,6 +4081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boolean_search": _q_boolean_search,
         "token_graph_clustering": _q_token_clustering,
         "events_trimmed_mean": _q_trimmed_mean,
+        "events_kendall_volumes": _q_kendall_volumes,
     }
 
 
@@ -4716,6 +4728,7 @@ WITH toks AS (
         "doc_boolean_search": textstats.boolean_search_sql(
             must=["data", "slow"], must_not=["spark"]),
         "events_trimmed_mean": features.trimmed_mean_sql(),
+        "events_kendall_volumes": features.kendall_daily_volumes_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

@@ -3669,3 +3669,113 @@ SELECT g AS {group_col}, CAST(max(n) AS BIGINT) AS n,
     AS trimmed_mean_millicents
 FROM k GROUP BY g ORDER BY g
 """.strip()
+
+
+# --------------------------------------------- Kendall tau-b
+
+def kendall_daily_volumes(ds, key_a: str = "click",
+                          key_b: str = "purchase",
+                          key_col: str = "event_type",
+                          ts_col: str = "ts") -> pa.Table:
+    """Kendall tau-b rank correlation between two keys' daily volume
+    series over days where BOTH are observed — the rank sibling of
+    :func:`volume_xcorr`'s Pearson (monotone association, immune to
+    the heavy days that drive a product-moment estimate).
+
+    Exact-integer contract: concordant / discordant / tied pair
+    counts are exact ints over the calendar-bounded day-pair set;
+    tau-b is the two-op float tree ``(nc − nd) /
+    sqrt(DOUBLE((n0−t_a)·(n0−t_b)))`` over exact ints (product < 2^53
+    guarded), so the compare is bit-exact. Zero denominator (a
+    constant series) emits NULL.
+
+    Distributed shape: one combiner pass collapses the corpus to the
+    (key, day) daily-count table; the O(days²) pair sweep is driver
+    numpy on that bounded table. Output: one row (n_days, nc, nd,
+    ties_a, ties_b, tau_b).
+    """
+    import math
+
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_in(t[key_col], value_set=pa.array(
+                                 [key_a, key_b]))))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({"g": pc.cast(t[key_col], pa.string()),
+                         "day": day})
+
+    daily = grouped_counts(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "day"], final="driver").to_pandas()
+
+    wide = (daily.pivot_table(index="day", columns="g", values="n",
+                              aggfunc="sum")
+            .reindex(columns=[key_a, key_b]).dropna())
+    a = wide[key_a].to_numpy(dtype=np.int64)
+    b = wide[key_b].to_numpy(dtype=np.int64)
+    n = len(a)
+    iu, ju = np.triu_indices(n, k=1)
+    da = np.sign(a[ju] - a[iu])
+    db = np.sign(b[ju] - b[iu])
+    nc = int(((da * db) > 0).sum())
+    nd = int(((da * db) < 0).sum())
+    ta = int((da == 0).sum())
+    tb = int((db == 0).sum())
+    n0 = n * (n - 1) // 2
+    den2 = (n0 - ta) * (n0 - tb)
+    if den2 >= (1 << 53):
+        raise ValueError("kendall_daily_volumes: pair-count product "
+                         "exceeds exact-double range")
+    tau = ((nc - nd) / math.sqrt(float(den2))) if den2 > 0 else None
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "nc": pa.array([nc], pa.int64()),
+        "nd": pa.array([nd], pa.int64()),
+        "ties_a": pa.array([ta], pa.int64()),
+        "ties_b": pa.array([tb], pa.int64()),
+        "tau_b": pa.array([tau], pa.float64()),
+    })
+
+
+def kendall_daily_volumes_sql(key_a: str = "click",
+                              key_b: str = "purchase",
+                              key_col: str = "event_type",
+                              ts_col: str = "ts",
+                              table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {key_col} IN ('{key_a}', '{key_b}')
+  GROUP BY 1, 2
+), paired AS (
+  SELECT a.day, a.n AS va, b.n AS vb
+  FROM daily a JOIN daily b ON b.day = a.day
+  WHERE a.g = '{key_a}' AND b.g = '{key_b}'
+), pairs AS (
+  SELECT sign(p2.va - p1.va) AS da, sign(p2.vb - p1.vb) AS db
+  FROM paired p1 JOIN paired p2 ON p2.day > p1.day
+), agg AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM paired) AS n_days,
+    CAST(count(*) FILTER (WHERE da * db > 0) AS BIGINT) AS nc,
+    CAST(count(*) FILTER (WHERE da * db < 0) AS BIGINT) AS nd,
+    CAST(count(*) FILTER (WHERE da = 0) AS BIGINT) AS ta,
+    CAST(count(*) FILTER (WHERE db = 0) AS BIGINT) AS tb,
+    CAST(count(*) AS BIGINT) AS n0
+  FROM pairs
+)
+SELECT n_days, nc, nd, ta AS ties_a, tb AS ties_b,
+  CASE WHEN (n0 - ta) * (n0 - tb) > 0 THEN
+    (nc - nd) / sqrt(CAST((n0 - ta) * (n0 - tb) AS DOUBLE))
+  ELSE NULL END AS tau_b
+FROM agg
+""".strip()

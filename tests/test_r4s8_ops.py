@@ -322,3 +322,48 @@ def test_trimmed_mean_50pct_empty_window(ray_session):
     got = trimmed_mean(ds, trim_pct=50).to_pandas()
     assert got["n_kept"].tolist() == [0]
     assert got["trimmed_mean_millicents"].isna().all()
+
+
+def _two_series(days_a, days_b):
+    """events: key 'click' with counts per day via repeats, same for
+    'purchase' — days_a/b are {day: count} dicts (Jan 2024)."""
+    gs, ts = [], []
+    for g, dd in (("click", days_a), ("purchase", days_b)):
+        for d, cnt in dd.items():
+            gs += [g] * cnt
+            ts += [np.datetime64(f"2024-01-{d:02d}", "us")] * cnt
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(gs, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us"))}))
+
+
+def test_kendall_perfect_concordance(ray_session):
+    from fluent_server_ray.stages.features import kendall_daily_volumes
+
+    ds = _two_series({1: 1, 2: 2, 3: 3}, {1: 2, 2: 4, 3: 6})
+    got = kendall_daily_volumes(ds).to_pandas()
+    assert got["n_days"].tolist() == [3]
+    assert got["nc"].tolist() == [3]
+    assert got["nd"].tolist() == [0]
+    assert got["tau_b"].tolist() == [1.0]
+
+
+def test_kendall_with_ties(ray_session):
+    from fluent_server_ray.stages.features import kendall_daily_volumes
+
+    # a: 1,1,2 ; b: 1,2,2 over days 1,2,3
+    # pairs: (1,2): da=0 tie_a; (1,3): da>0 db>0 conc; (2,3): db=0 tie_b
+    ds = _two_series({1: 1, 2: 1, 3: 2}, {1: 1, 2: 2, 3: 2})
+    got = kendall_daily_volumes(ds).to_pandas()
+    assert [got["nc"][0], got["nd"][0], got["ties_a"][0],
+            got["ties_b"][0]] == [1, 0, 1, 1]
+    # tau = 1 / sqrt((3-1)*(3-1)) = 0.5
+    assert got["tau_b"].tolist() == [0.5]
+
+
+def test_kendall_constant_series_null(ray_session):
+    from fluent_server_ray.stages.features import kendall_daily_volumes
+
+    ds = _two_series({1: 2, 2: 2}, {1: 1, 2: 3})
+    got = kendall_daily_volumes(ds).to_pandas()
+    assert got["tau_b"].isna().all()
