@@ -3529,6 +3529,15 @@ def _q_kendall_volumes(sf_dir: str):
                            columns=["event_type", "ts"]))
 
 
+def _q_autocomplete(sf_dir: str):
+    """Type-ahead index: top-3 completions per 2-char word prefix —
+    explode+count combiner, one prefix-bucket exchange (per-bucket
+    top-k is final), O(prefixes×k) driver concat."""
+    from fluent_server_ray.stages.textstats import autocomplete_topk
+
+    return autocomplete_topk(_docs(sf_dir))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4082,6 +4091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_graph_clustering": _q_token_clustering,
         "events_trimmed_mean": _q_trimmed_mean,
         "events_kendall_volumes": _q_kendall_volumes,
+        "doc_autocomplete_topk": _q_autocomplete,
     }
 
 
@@ -4729,6 +4739,7 @@ WITH toks AS (
             must=["data", "slow"], must_not=["spark"]),
         "events_trimmed_mean": features.trimmed_mean_sql(),
         "events_kendall_volumes": features.kendall_daily_volumes_sql(),
+        "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

@@ -3296,3 +3296,92 @@ SELECT {id_col}, CAST({n_hits} AS BIGINT) AS n_hits
 FROM tok
 WHERE {' AND '.join(conds)}
 """.strip()
+
+
+def autocomplete_topk(ds, k: int = 3, prefix_len: int = 2,
+                      n_buckets: int = 64,
+                      text_col: str = "text") -> pa.Table:
+    """Autocomplete index: for every ``prefix_len``-character word
+    prefix in the corpus, the top-``k`` completions by total
+    occurrence count (ties broken by word ascending) — the
+    type-ahead table a search box serves, built the
+    :func:`vocab_top_words` way but grouped under each prefix.
+
+    Shape: per-batch explode + local word count (combiner), ONE
+    hash-bucket exchange on the PREFIX (buckets partition prefixes
+    disjointly, so each bucket's per-prefix top-k is final), and an
+    O(prefixes × k) driver concatenation — never a global sort.
+    Words shorter than ``prefix_len`` are excluded by contract.
+    Output: (prefix, rank, word, n) sorted by (prefix, rank).
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        toks = toks.filter(
+            pc.greater_equal(pc.utf8_length(toks), prefix_len))
+        c = (pa.table({"word": toks}).group_by("word")
+             .aggregate([([], "count_all")])
+             .rename_columns(["word", "n"]))
+        pref = pc.utf8_slice_codeunits(c["word"], 0, prefix_len)
+        c = c.append_column("prefix", pref)
+        return c.append_column(
+            "_bucket", pa.array(hash_bucket_array(c["prefix"],
+                                                  n_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["prefix", "word"], sort=False)["n"].sum()
+             .reset_index())
+        s = s.sort_values(["prefix", "n", "word"],
+                          ascending=[True, False, True])
+        s["rank"] = s.groupby("prefix", sort=False).cumcount() + 1
+        return s.loc[s["rank"] <= k,
+                     ["prefix", "rank", "word", "n"]]
+
+    tops = (ds.select_columns([text_col])
+            .map_batches(skip_empty(partial), batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+    merged = tops.to_pandas()  # bounded: ≤ |prefixes| × k rows
+    if merged.empty:
+        return pa.table({"prefix": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64()),
+                         "word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    merged = merged.sort_values(["prefix", "rank"])
+    return pa.table({
+        "prefix": pa.array(merged["prefix"].to_numpy(), pa.string()),
+        "rank": pa.array(merged["rank"].to_numpy(dtype="int64"),
+                         pa.int64()),
+        "word": pa.array(merged["word"].to_numpy(), pa.string()),
+        "n": pa.array(merged["n"].to_numpy(dtype="int64"), pa.int64()),
+    })
+
+
+def autocomplete_topk_sql(k: int = 3, prefix_len: int = 2,
+                          text_col: str = "text",
+                          table: str = "documents") -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split({text_col}, ' '),
+                            x -> x <> '')) AS word
+  FROM {table}
+), cnt AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM w
+  WHERE length(word) >= {prefix_len} GROUP BY word
+), r AS (
+  SELECT substr(word, 1, {prefix_len}) AS prefix, word, n,
+    row_number() OVER (PARTITION BY substr(word, 1, {prefix_len})
+                       ORDER BY n DESC, word) AS rank
+  FROM cnt
+)
+SELECT prefix, CAST(rank AS BIGINT) AS rank, word, n
+FROM r WHERE rank <= {k}
+ORDER BY prefix, rank
+""".strip()

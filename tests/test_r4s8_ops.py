@@ -367,3 +367,23 @@ def test_kendall_constant_series_null(ray_session):
     ds = _two_series({1: 2, 2: 2}, {1: 1, 2: 3})
     got = kendall_daily_volumes(ds).to_pandas()
     assert got["tau_b"].isna().all()
+
+
+def test_autocomplete_hand(ray_session):
+    from fluent_server_ray.stages.textstats import autocomplete_topk
+
+    t = pa.table({"text": pa.array([
+        "apple apply apple ant x",   # 'x' too short, dropped
+        "apply banana band apple",
+    ], pa.string())})
+    got = autocomplete_topk(rd.from_arrow(t), k=2).to_pandas()
+    # prefix 'an': ant(1). 'ap': apple(3), apply(2). 'ba': banana,
+    # band tie at 1 -> 'band' < 'banana'? no: 'banana' < 'band'
+    rows = got.values.tolist()
+    assert rows == [
+        ["an", 1, "ant", 1],
+        ["ap", 1, "apple", 3],
+        ["ap", 2, "apply", 2],
+        ["ba", 1, "banana", 1],
+        ["ba", 2, "band", 1],
+    ]
