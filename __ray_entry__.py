@@ -3538,6 +3538,14 @@ def _q_autocomplete(sf_dir: str):
     return autocomplete_topk(_docs(sf_dir))
 
 
+def _q_concordance(sf_dir: str):
+    """KWIC concordance of "merge" (±2 tokens of context per
+    occurrence) — map-only, context assembly loops over matches."""
+    from fluent_server_ray.stages.textstats import concordance
+
+    return concordance(_docs(sf_dir), "merge", width=2)
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4092,6 +4100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trimmed_mean": _q_trimmed_mean,
         "events_kendall_volumes": _q_kendall_volumes,
         "doc_autocomplete_topk": _q_autocomplete,
+        "doc_concordance": _q_concordance,
     }
 
 
@@ -4740,6 +4749,7 @@ WITH toks AS (
         "events_trimmed_mean": features.trimmed_mean_sql(),
         "events_kendall_volumes": features.kendall_daily_volumes_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
+        "doc_concordance": textstats.concordance_sql("merge", width=2),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

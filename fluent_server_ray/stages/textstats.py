@@ -3385,3 +3385,90 @@ SELECT prefix, CAST(rank AS BIGINT) AS rank, word, n
 FROM r WHERE rank <= {k}
 ORDER BY prefix, rank
 """.strip()
+
+
+def concordance(ds, term: str, width: int = 2, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """KWIC (keyword-in-context) concordance: for every occurrence of
+    ``term``, the occurrence's 1-based token position and up to
+    ``width`` tokens of left / right context joined by single spaces
+    — the corpus-linguistics view behind "show me how this word is
+    used". Token contract: non-empty single-space splits, positions
+    count non-empty tokens (the :func:`phrase_match` convention).
+
+    Map-only, no exchange: the vectorized flatten finds occurrences;
+    context assembly loops over MATCHES (output-sized, not
+    corpus-sized). Returns a Dataset (doc_id, pos, left_ctx,
+    right_ctx) in scan × position order.
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_row = np.repeat(np.arange(len(t), dtype=np.int64),
+                            np.asarray(lens, dtype=np.int64))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_row = doc_row[keep]
+        words = flat.filter(pa.array(keep))
+        m = pc.equal(words, term).to_numpy(zero_copy_only=False)
+        if not m.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "left_ctx": pa.array([], pa.string()),
+                             "right_ctx": pa.array([], pa.string())})
+        ne_lens = np.bincount(doc_row, minlength=len(t)).astype(np.int64)
+        starts = np.cumsum(ne_lens) - ne_lens
+        pos = (np.arange(len(doc_row), dtype=np.int64)
+               - np.repeat(starts, ne_lens) + 1)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        wl = words.to_pylist()
+        out_id, out_pos, out_l, out_r = [], [], [], []
+        for gidx in np.flatnonzero(m):
+            d = doc_row[gidx]
+            p = int(pos[gidx])          # 1-based within doc
+            s = int(starts[d])
+            n = int(ne_lens[d])
+            lo = max(p - 1 - width, 0)
+            out_id.append(int(ids[d]))
+            out_pos.append(p)
+            out_l.append(" ".join(wl[s + lo:s + p - 1]))
+            out_r.append(" ".join(wl[s + p:s + min(p + width, n)]))
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "pos": pa.array(out_pos, pa.int64()),
+                         "left_ctx": pa.array(out_l, pa.string()),
+                         "right_ctx": pa.array(out_r, pa.string())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        skip_empty(per_batch), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def concordance_sql(term: str, width: int = 2, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    table: str = "documents") -> str:
+    return f"""
+WITH tok AS (
+  SELECT {id_col},
+    list_filter(string_split({text_col}, ' '), x -> x <> '') AS t
+  FROM {table}
+), occ AS (
+  SELECT {id_col}, t, unnest(t) AS w,
+    generate_subscripts(t, 1) AS p
+  FROM tok
+)
+SELECT {id_col}, CAST(p AS BIGINT) AS pos,
+  COALESCE(array_to_string(t[greatest(p - {width}, 1):p - 1], ' '),
+           '') AS left_ctx,
+  COALESCE(array_to_string(t[p + 1:least(p + {width}, len(t))], ' '),
+           '') AS right_ctx
+FROM occ WHERE w = '{term}'
+""".strip()

@@ -387,3 +387,34 @@ def test_autocomplete_hand(ray_session):
         ["ba", 1, "banana", 1],
         ["ba", 2, "band", 1],
     ]
+
+
+def test_concordance_hand(ray_session):
+    from fluent_server_ray.stages.textstats import concordance
+
+    t = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array([
+            "x a b c y",        # match at pos 3 (c? no: term='b')
+            "b tail one two",   # match at pos 1: empty left
+        ], pa.string()),
+    })
+    got = concordance(rd.from_arrow(t), "b", width=2).to_pandas()
+    assert got["doc_id"].tolist() == [7, 8]
+    assert got["pos"].tolist() == [3, 1]
+    assert got["left_ctx"].tolist() == ["x a", ""]
+    assert got["right_ctx"].tolist() == ["c y", "tail one"]
+
+
+def test_concordance_multiple_occurrences_and_empties(ray_session):
+    from fluent_server_ray.stages.textstats import concordance
+
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["q  q z"], pa.string()),  # double space
+    })
+    got = concordance(rd.from_arrow(t), "q", width=1).to_pandas()
+    # non-empty positions: q=1, q=2, z=3
+    assert got["pos"].tolist() == [1, 2]
+    assert got["left_ctx"].tolist() == ["", "q"]
+    assert got["right_ctx"].tolist() == ["q", "z"]
