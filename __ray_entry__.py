@@ -3546,6 +3546,21 @@ def _q_concordance(sf_dir: str):
     return concordance(_docs(sf_dir), "merge", width=2)
 
 
+def _q_order_reconciliation(sf_dir: str):
+    """Invoice-vs-ledger reconciliation: order header totals vs
+    summed line charges with orphan detection both ways — per-line
+    fixed float tree to cents, distributed per-order partials, one
+    bucketed outer join; order-sized Dataset result."""
+    from fluent_server_ray.stages.profile import order_reconciliation
+
+    return order_reconciliation(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"]),
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_extendedprice",
+                                    "l_discount", "l_tax"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4101,6 +4116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kendall_volumes": _q_kendall_volumes,
         "doc_autocomplete_topk": _q_autocomplete,
         "doc_concordance": _q_concordance,
+        "orders_reconciliation": _q_order_reconciliation,
     }
 
 
@@ -4750,6 +4766,9 @@ WITH toks AS (
         "events_kendall_volumes": features.kendall_daily_volumes_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
+        "orders_reconciliation": __import__(
+            "fluent_server_ray.stages.profile", fromlist=["x"]
+        ).order_reconciliation_sql(),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

@@ -508,3 +508,121 @@ def column_topk_sql(kinds: dict[str, str], k: int, table: str) -> str:
   GROUP BY {vexpr} QUALIFY rank <= {k}""".rstrip())
     return ("SELECT * FROM (" + "\n  UNION ALL".join(branches)
             + "\n) ORDER BY col, rank")
+
+
+def order_reconciliation(orders, lines):
+    """Financial reconciliation audit: every order's header total vs
+    the sum of its line charges (``extendedprice × (1−discount) ×
+    (1+tax)``), with orphan detection on both sides — the
+    invoice-vs-ledger check a billing pipeline runs nightly.
+
+    Exactness: the per-line charge is the FIXED float tree
+    ``round(ep × (1−disc) × (1+tax) × 100)`` to cents (left-assoc
+    multiplies, half-away round — both engines evaluate the identical
+    IEEE expression), then exact int64 sums. ``status``: 'ok' /
+    'mismatch' (cents differ) / 'no_lines' (header without lines) /
+    'no_order' (lines without header, total and diff NULL).
+
+    Distributed shape: per-batch charge combiner collapses lineitem
+    to per-order (sum, count) partials merged distributed
+    (``final='ray'`` — order cardinality unbounded); ONE bucketed
+    outer hash join against headers; output stays a Dataset (the
+    audit is order-sized), sorted by key for the deterministic
+    mirror. Returns (o_orderkey, total_cents, lines_cents, n_lines,
+    diff_cents, status).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    def line_charges(t: pa.Table) -> pa.Table:
+        ep = pc.cast(t["l_extendedprice"], pa.float64())
+        disc = pc.cast(t["l_discount"], pa.float64())
+        tax = pc.cast(t["l_tax"], pa.float64())
+        prod = pc.multiply(pc.multiply(ep, pc.subtract(1.0, disc)),
+                           pc.add(1.0, tax))
+        cents = pc.cast(pc.round(pc.multiply(prod, 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"okey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "charge": cents})
+
+    lc = grouped_agg(
+        lines.select_columns(["l_orderkey", "l_extendedprice",
+                              "l_discount", "l_tax"]).map_batches(
+            line_charges, batch_format="pyarrow", zero_copy_batch=True),
+        ["okey"], [("charge", "sum"), ("charge", "count")],
+        final="ray")
+
+    def header(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t["o_totalprice"], pa.float64()), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"okey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "total_cents": cents})
+
+    oc = orders.select_columns(["o_orderkey", "o_totalprice"]).map_batches(
+        header, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = bucketed_hash_join(oc, lc, key="okey", how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = t["total_cents"]
+        lsum = t["charge_sum"]
+        nl = t["charge_count"]
+        has_order = pc.is_valid(total)
+        has_lines = pc.is_valid(nl)
+        # join fill-side numerics ride as float64: exact only < 2^53
+        mx = pc.max(pc.abs(pc.fill_null(lsum, 0.0))).as_py()
+        if mx is not None and mx >= 2.0 ** 53:
+            raise ValueError("order_reconciliation: per-order cents "
+                             "sum exceeds exact float64 range")
+        lsum0 = pc.cast(pc.fill_null(lsum, 0.0), pa.int64())
+        nl0 = pc.cast(pc.fill_null(nl, 0), pa.int64())
+        total_i = pc.cast(total, pa.int64())
+        diff = pc.subtract(total_i, lsum0)
+        status = pc.if_else(
+            pc.invert(has_order), pa.scalar("no_order"),
+            pc.if_else(pc.invert(has_lines), pa.scalar("no_lines"),
+                       pc.if_else(pc.equal(total_i, lsum0),
+                                  pa.scalar("ok"),
+                                  pa.scalar("mismatch"))))
+        return pa.table({
+            "o_orderkey": pc.cast(t["okey"], pa.int64()),
+            "total_cents": total_i,
+            "lines_cents": lsum0,
+            "n_lines": nl0,
+            "diff_cents": diff,
+            "status": status,
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("o_orderkey")
+
+
+def order_reconciliation_sql(orders: str = "orders",
+                             lines: str = "lineitem") -> str:
+    return f"""
+WITH lc AS (
+  SELECT l_orderkey AS okey,
+    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                        * (1.0 + l_tax) * 100.0) AS BIGINT))
+         AS BIGINT) AS lines_cents,
+    CAST(count(*) AS BIGINT) AS n_lines
+  FROM {lines} GROUP BY 1
+), oc AS (
+  SELECT o_orderkey AS okey,
+    CAST(round(o_totalprice * 100.0) AS BIGINT) AS total_cents
+  FROM {orders}
+)
+SELECT COALESCE(oc.okey, lc.okey) AS o_orderkey,
+  oc.total_cents AS total_cents,
+  COALESCE(lc.lines_cents, 0) AS lines_cents,
+  COALESCE(lc.n_lines, 0) AS n_lines,
+  oc.total_cents - COALESCE(lc.lines_cents, 0) AS diff_cents,
+  CASE WHEN oc.okey IS NULL THEN 'no_order'
+       WHEN lc.okey IS NULL THEN 'no_lines'
+       WHEN oc.total_cents = lc.lines_cents THEN 'ok'
+       ELSE 'mismatch' END AS status
+FROM oc FULL JOIN lc ON lc.okey = oc.okey
+ORDER BY o_orderkey
+""".strip()

@@ -418,3 +418,46 @@ def test_concordance_multiple_occurrences_and_empties(ray_session):
     assert got["pos"].tolist() == [1, 2]
     assert got["left_ctx"].tolist() == ["", "q"]
     assert got["right_ctx"].tolist() == ["q", "z"]
+
+
+def test_order_reconciliation_hand(ray_session):
+    from fluent_server_ray.stages.profile import order_reconciliation
+
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_totalprice": pa.array([10.0, 5.0, 7.0], pa.float64()),
+    }))
+    # order 1 lines: 5.00 + (5.00 * 0.9 * 1.1 = 4.95) = 9.95 mismatch?
+    # keep simple: exact 5+5=10 ok; order 2 gets 6.00 mismatch;
+    # order 3 no lines; order 9 orphan lines
+    lines = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 9], pa.int64()),
+        "l_extendedprice": pa.array([5.0, 5.0, 6.0, 1.0], pa.float64()),
+        "l_discount": pa.array([0.0] * 4, pa.float64()),
+        "l_tax": pa.array([0.0] * 4, pa.float64()),
+    }))
+    got = order_reconciliation(orders, lines).to_pandas()
+    assert got["o_orderkey"].tolist() == [1, 2, 3, 9]
+    assert got["status"].tolist() == ["ok", "mismatch", "no_lines",
+                                      "no_order"]
+    assert got["lines_cents"].tolist() == [1000, 600, 0, 100]
+    assert got["diff_cents"].fillna(-1).tolist() == [0, -100, 700, -1]
+
+
+def test_order_reconciliation_discount_tax_tree(ray_session):
+    from fluent_server_ray.stages.profile import order_reconciliation
+
+    # 100.00 * (1-0.05) * (1+0.08) = 102.60 exactly in the float tree
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_totalprice": pa.array([102.60], pa.float64()),
+    }))
+    lines = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_extendedprice": pa.array([100.0], pa.float64()),
+        "l_discount": pa.array([0.05], pa.float64()),
+        "l_tax": pa.array([0.08], pa.float64()),
+    }))
+    got = order_reconciliation(orders, lines).to_pandas()
+    assert got["status"].tolist() == ["ok"]
+    assert got["lines_cents"].tolist() == [10260]
