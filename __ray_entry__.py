@@ -3561,6 +3561,15 @@ def _q_order_reconciliation(sf_dir: str):
                                     "l_discount", "l_tax"]))
 
 
+def _q_token_assortativity(sf_dir: str):
+    """Degree assortativity (do hub words neighbor hub words): two
+    bucketed degree joins over edge stubs, exact-partials Pearson."""
+    from fluent_server_ray.stages.graph import (degree_assortativity,
+                                                token_adjacency_edges)
+
+    return degree_assortativity(token_adjacency_edges(_docs(sf_dir)))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4117,6 +4126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_autocomplete_topk": _q_autocomplete,
         "doc_concordance": _q_concordance,
         "orders_reconciliation": _q_order_reconciliation,
+        "token_graph_assortativity": _q_token_assortativity,
     }
 
 
@@ -4650,6 +4660,9 @@ FROM s
         "token_graph_clustering": __import__(
             "fluent_server_ray.stages.graph", fromlist=["x"]
         ).token_clustering_sql(),
+        "token_graph_assortativity": __import__(
+            "fluent_server_ray.stages.graph", fromlist=["x"]
+        ).token_assortativity_sql(),
         "orders_price_band_pairs": __import__(
             "fluent_server_ray.stages.joins", fromlist=["x"]
         ).band_join_pairs_sql(

@@ -851,3 +851,114 @@ SELECT deg.node, deg.degree,
 FROM deg LEFT JOIN tri ON tri.node = deg.node
 ORDER BY deg.node
 """.strip()
+
+
+def degree_assortativity(edges, a: str = "lo", b: str = "hi",
+                         n_buckets: int = 64) -> pa.Table:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of endpoint degrees over directed edge stubs (each
+    undirected edge contributes both orientations — Newman 2002) —
+    "do hubs link to hubs" as one number.
+
+    Exactness: degrees are exact distributed counts; the correlation
+    reuses :func:`features.pearson_corr`'s exact-integer-partials /
+    one-float-tree contract, so the double is bit-mirrorable.
+
+    Distributed shape: distinct-edge combiner, degree count
+    (``final='ray'``), TWO bucketed hash joins decorate each stub
+    with its endpoint degrees, then the one-pass moment combiner.
+    Output: one row (n, corr) where n = 2·|E|.
+    """
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.features import pearson_corr
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+
+    def canon(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[a], pa.string())
+        y = pc.cast(t[b], pa.string())
+        ne = pc.invert(pc.equal(x, y))
+        x, y = x.filter(ne), y.filter(ne)
+        lt = pc.less(x, y)
+        return (pa.table({"lo": pc.if_else(lt, x, y),
+                          "hi": pc.if_else(lt, y, x)})
+                .group_by(["lo", "hi"]).aggregate([]))
+
+    e = grouped_agg(
+        edges.map_batches(skip_empty(canon), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        keys=["lo", "hi"], aggs=[("lo", "count")], final="ray",
+    ).drop_columns(["lo_count"]).materialize()
+
+    def stubs(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t["lo"].combine_chunks(),
+                              t["hi"].combine_chunks()])
+        v = pa.concat_arrays([t["hi"].combine_chunks(),
+                              t["lo"].combine_chunks()])
+        return pa.table({"u": u, "v": v})
+
+    und = e.map_batches(skip_empty(stubs), batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"node": t["u"]}).group_by("node")
+                .aggregate([([], "count_all")])
+                .rename_columns(["node", "c"]))
+
+    deg = grouped_agg(
+        und.map_batches(skip_empty(node_partial), batch_format="pyarrow",
+                        zero_copy_batch=True),
+        keys=["node"], aggs=[("c", "sum")], final="ray").materialize()
+
+    def rn(old: str, new: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([old, new])
+        return fn
+
+    j1 = bucketed_hash_join(
+        und, deg.map_batches(rn("u", "x"), batch_format="pyarrow",
+                             zero_copy_batch=True),
+        key="u", n_buckets=n_buckets)
+    j2 = bucketed_hash_join(
+        j1, deg.map_batches(rn("v", "y"), batch_format="pyarrow",
+                            zero_copy_batch=True),
+        key="v", n_buckets=n_buckets)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({"x": pc.cast(t["x"], pa.int64()),
+                         "y": pc.cast(t["y"], pa.int64())})
+
+    return pearson_corr(
+        j2.map_batches(skip_empty(to_int), batch_format="pyarrow",
+                       zero_copy_batch=True), "x", "y")
+
+
+def token_assortativity_sql(table: str = "documents") -> str:
+    """Mirror: the adjacency-edge CTE inlined as a subquery under
+    :func:`features.pearson_corr_sql`'s exact-HUGEINT formula."""
+    from fluent_server_ray.stages.features import pearson_corr_sql
+
+    sub = f"""(
+WITH toks AS (
+  SELECT row_number() OVER () AS did,
+    list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+), bi AS (
+  SELECT t[gs] AS x, t[gs + 1] AS y
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+), e AS MATERIALIZED (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM bi WHERE x <> y
+), und AS (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+)
+SELECT da.d AS dx, db.d AS dy
+FROM und JOIN deg da ON da.u = und.u JOIN deg db ON db.u = und.v
+) AS stubs"""
+    return pearson_corr_sql("dx", "dy", sub)

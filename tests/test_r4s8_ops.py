@@ -461,3 +461,27 @@ def test_order_reconciliation_discount_tax_tree(ray_session):
     got = order_reconciliation(orders, lines).to_pandas()
     assert got["status"].tolist() == ["ok"]
     assert got["lines_cents"].tolist() == [10260]
+
+
+def test_assortativity_star_negative(ray_session):
+    from fluent_server_ray.stages.graph import degree_assortativity
+
+    # star K1,3: hub degree 3, leaves 1 -> perfectly disassortative
+    t = pa.table({"lo": pa.array(["h", "h", "h"], pa.string()),
+                  "hi": pa.array(["a", "b", "c"], pa.string())})
+    got = degree_assortativity(rd.from_arrow(t)).to_pandas()
+    assert got["n"].tolist() == [6]
+    assert got["corr"].tolist() == [-1.0]
+
+
+def test_assortativity_mixed_parity(ray_session):
+    from fluent_server_ray.stages.graph import degree_assortativity
+
+    # path a-b-c-d: stub degree pairs (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+    t = pa.table({"lo": pa.array(["a", "b", "c"], pa.string()),
+                  "hi": pa.array(["b", "c", "d"], pa.string())})
+    got = degree_assortativity(rd.from_arrow(t)).to_pandas()
+    x = np.array([1, 2, 2, 2, 2, 1], dtype=float)
+    y = np.array([2, 1, 2, 2, 1, 2], dtype=float)
+    ref = np.corrcoef(x, y)[0, 1]
+    assert got["corr"].tolist() == [pytest.approx(ref, abs=1e-12)]
