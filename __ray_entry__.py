@@ -3570,6 +3570,17 @@ def _q_token_assortativity(sf_dir: str):
     return degree_assortativity(token_adjacency_edges(_docs(sf_dir)))
 
 
+def _q_daily_interp(sf_dir: str):
+    """Daily-grid resample with integer-floored LINEAR interpolation
+    per event type (gap days lerped between observed neighbors) —
+    calendar-bounded daily combiner, driver numpy sweep."""
+    from fluent_server_ray.stages.features import daily_interpolate
+
+    return daily_interpolate(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4127,6 +4138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_concordance": _q_concordance,
         "orders_reconciliation": _q_order_reconciliation,
         "token_graph_assortativity": _q_token_assortativity,
+        "events_daily_interp": _q_daily_interp,
     }
 
 
@@ -4777,6 +4789,7 @@ WITH toks AS (
             must=["data", "slow"], must_not=["spark"]),
         "events_trimmed_mean": features.trimmed_mean_sql(),
         "events_kendall_volumes": features.kendall_daily_volumes_sql(),
+        "events_daily_interp": features.daily_interpolate_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "orders_reconciliation": __import__(

@@ -3779,3 +3779,113 @@ SELECT n_days, nc, nd, ta AS ties_a, tb AS ties_b,
   ELSE NULL END AS tau_b
 FROM agg
 """.strip()
+
+
+# --------------------------------------- linear-interp daily resample
+
+def daily_interpolate(ds, group_col: str = "event_type",
+                      ts_col: str = "ts",
+                      value_col: str = "value") -> pa.Table:
+    """Daily-grid resample with LINEAR interpolation per group: every
+    calendar day between a group's first and last observed day gets a
+    value — observed days pass their exact daily cents through,
+    gap days get the integer-floored linear interpolation between the
+    neighboring observed days (the interpolating sibling of the
+    forward-fill resampler, for rates rather than levels).
+
+    Exact-integer contract: interp = ``(c_prev·(d_next−d) +
+    c_next·(d−d_prev)) // (d_next−d_prev)`` in python ints (HUGEINT
+    mirror) — no float lerp, so gap values are engine-identical.
+
+    Distributed shape: one combiner pass to the calendar-bounded
+    (group, day) daily-cents table; grid expansion and the
+    prev/next sweep are driver numpy on that bounded table.
+    Output: (group, day, cents, is_interpolated) sorted by
+    (group, day).
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "_day": day, "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.select_columns([group_col, ts_col, value_col]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out_g, out_d, out_c, out_i = [], [], [], []
+    for g, sub in daily.groupby("g", sort=True):
+        sub = sub.sort_values("_day")
+        d = sub["_day"].to_numpy(dtype=np.int64)
+        c = sub["cents_sum"].to_numpy(dtype=np.int64)
+        grid = np.arange(d[0], d[-1] + 1, dtype=np.int64)
+        # index of previous observed day for every grid day
+        prev_idx = np.searchsorted(d, grid, side="right") - 1
+        observed = d[prev_idx] == grid
+        for day, pi, obs in zip(grid.tolist(), prev_idx.tolist(),
+                                observed.tolist()):
+            out_g.append(g)
+            out_d.append(day)
+            out_i.append(not obs)
+            if obs:
+                out_c.append(int(c[pi]))
+            else:
+                dp, dn = int(d[pi]), int(d[pi + 1])
+                cp, cn = int(c[pi]), int(c[pi + 1])
+                out_c.append((cp * (dn - day) + cn * (day - dp))
+                             // (dn - dp))
+    return pa.table({
+        group_col: pa.array(out_g, pa.string()),
+        "day": pa.array(out_d, pa.int64()),
+        "cents": pa.array(out_c, pa.int64()),
+        "is_interpolated": pa.array(out_i, pa.bool_()),
+    })
+
+
+def daily_interpolate_sql(group_col: str = "event_type",
+                          ts_col: str = "ts",
+                          value_col: str = "value",
+                          table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+    CAST(SUM(CAST(round({value_col} * 100.0) AS BIGINT))
+         AS HUGEINT) AS c
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), span AS (
+  SELECT g, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY g
+), grid AS (
+  SELECT g, CAST(gs AS BIGINT) AS day
+  FROM span CROSS JOIN unnest(generate_series(d0, d1)) AS u(gs)
+), j AS (
+  SELECT grid.g, grid.day, daily.c,
+    max(CASE WHEN daily.c IS NOT NULL THEN grid.day END)
+      OVER (PARTITION BY grid.g ORDER BY grid.day
+            ROWS UNBOUNDED PRECEDING) AS dp,
+    min(CASE WHEN daily.c IS NOT NULL THEN grid.day END)
+      OVER (PARTITION BY grid.g ORDER BY grid.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+  FROM grid LEFT JOIN daily ON daily.g = grid.g AND daily.d = grid.day
+), f AS (
+  SELECT j.g, j.day, j.c, j.dp, j.dn, cp.c AS cpv, cn.c AS cnv
+  FROM j
+  LEFT JOIN daily cp ON cp.g = j.g AND cp.d = j.dp
+  LEFT JOIN daily cn ON cn.g = j.g AND cn.d = j.dn
+)
+SELECT g AS {group_col}, day,
+  CAST(CASE WHEN c IS NOT NULL THEN c
+       ELSE (cpv * (dn - day) + cnv * (day - dp)) // (dn - dp)
+       END AS BIGINT) AS cents,
+  (c IS NULL) AS is_interpolated
+FROM f ORDER BY {group_col}, day
+""".strip()

@@ -485,3 +485,32 @@ def test_assortativity_mixed_parity(ray_session):
     y = np.array([2, 1, 2, 2, 1, 2], dtype=float)
     ref = np.corrcoef(x, y)[0, 1]
     assert got["corr"].tolist() == [pytest.approx(ref, abs=1e-12)]
+
+
+def test_daily_interp_hand(ray_session):
+    from fluent_server_ray.stages.features import daily_interpolate
+
+    # days 1 and 4 observed (100c, 400c): days 2,3 lerp to 200, 300
+    ts = pa.array([np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-04", "us")], pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a"], pa.string()), "ts": ts,
+        "value": pa.array([1.0, 4.0], pa.float64())}))
+    got = daily_interpolate(ds).to_pandas()
+    assert got["cents"].tolist() == [100, 200, 300, 400]
+    assert got["is_interpolated"].tolist() == [False, True, True, False]
+
+
+def test_daily_interp_floor_and_observed_sum(ray_session):
+    from fluent_server_ray.stages.features import daily_interpolate
+
+    # observed day sums: day1 has TWO events (1.0 + 0.5 -> 150c);
+    # day3 = 200c; gap day2 = (150*1 + 200*1)//2 = 175
+    ts = pa.array([np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-01T05:00", "us"),
+                   np.datetime64("2024-01-03", "us")], pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 3, pa.string()), "ts": ts,
+        "value": pa.array([1.0, 0.5, 2.0], pa.float64())}))
+    got = daily_interpolate(ds).to_pandas()
+    assert got["cents"].tolist() == [150, 175, 200]
