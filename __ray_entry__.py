@@ -3581,6 +3581,24 @@ def _q_daily_interp(sf_dir: str):
                            columns=["event_type", "ts", "value"]))
 
 
+def _q_id_gaps(sf_dir: str):
+    """Sequence-completeness audit: missing id ranges of the
+    purchase-event subsequence (the full id space is dense, so the
+    filtered view is the non-trivial audit) — range-partitioned
+    sorted-diff kernel per id bucket, driver stitches the bounded
+    per-bucket boundary table."""
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.stages.profile import id_gap_audit
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+    return id_gap_audit(ds.map_batches(
+        lambda t: t.filter(_pc.equal(t["event_type"], "purchase"))
+        .select(["event_id"]),
+        batch_format="pyarrow", zero_copy_batch=True))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4139,6 +4157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_reconciliation": _q_order_reconciliation,
         "token_graph_assortativity": _q_token_assortativity,
         "events_daily_interp": _q_daily_interp,
+        "events_id_gaps": _q_id_gaps,
     }
 
 
@@ -4795,6 +4814,9 @@ WITH toks AS (
         "orders_reconciliation": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]
         ).order_reconciliation_sql(),
+        "events_id_gaps": __import__(
+            "fluent_server_ray.stages.profile", fromlist=["x"]
+        ).id_gap_audit_sql(where="event_type = 'purchase'"),
         "events_changepoint": features.changepoint_split_sql(),
         "events_column_topk": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]

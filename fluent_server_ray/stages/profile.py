@@ -626,3 +626,88 @@ SELECT COALESCE(oc.okey, lc.okey) AS o_orderkey,
 FROM oc FULL JOIN lc ON lc.okey = oc.okey
 ORDER BY o_orderkey
 """.strip()
+
+
+def id_gap_audit(ds, id_col: str = "event_id",
+                 bucket_width: int = 1 << 20) -> pa.Table:
+    """Sequence-completeness audit: the missing ranges of an integer
+    id space — "which event_ids never arrived" as [gap_start,
+    gap_end] intervals between the observed min and max (the ingest
+    counterpart of a ledger's missing-invoice-number check; duplicate
+    ids are irrelevant here, :func:`order_reconciliation`-style
+    audits catch those).
+
+    Distributed shape: ids hash nowhere — they RANGE-partition by
+    ``id // bucket_width``, each bucket finds its internal gaps with
+    a sorted-diff kernel and reports its (min, max) boundary; the
+    driver stitches cross-bucket gaps from the bounded per-bucket
+    boundary table. Empty buckets between occupied ones surface as
+    one stitched gap. Output: (gap_start, gap_end, n_missing) sorted,
+    exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        ids = ids.filter(pc.is_valid(ids))
+        if pc.any(pc.less(ids, 0)).as_py():
+            raise ValueError("id_gap_audit: negative ids — the "
+                             "range partitioner assumes non-negative")
+        return pa.table({"_bucket": pc.divide(ids, bucket_width),
+                         "id": ids})
+
+    out_schema = pa.schema([("kind", pa.string()),
+                            ("a", pa.int64()), ("b", pa.int64())])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(df["id"].to_numpy(dtype=np.int64))
+        rows = [("span", int(ids[0]), int(ids[-1]))]
+        cut = np.flatnonzero(np.diff(ids) > 1)
+        for k in cut.tolist():
+            rows.append(("gap", int(ids[k]) + 1, int(ids[k + 1]) - 1))
+        return pd.DataFrame(rows, columns=["kind", "a", "b"])
+
+    parts = map_buckets(
+        ds.select_columns([id_col]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True),
+        per_bucket, out_schema).to_pandas()
+    empty = pa.schema([("gap_start", pa.int64()),
+                       ("gap_end", pa.int64()),
+                       ("n_missing", pa.int64())])
+    if parts.empty:
+        return empty.empty_table()
+    gaps = [(int(a), int(b))
+            for _, a, b in parts[parts["kind"] == "gap"].itertuples(
+                index=False, name=None)]
+    spans = (parts[parts["kind"] == "span"].sort_values("a")
+             [["a", "b"]].to_numpy())
+    for k in range(len(spans) - 1):  # stitch across bucket boundaries
+        if spans[k + 1][0] - spans[k][1] > 1:
+            gaps.append((int(spans[k][1]) + 1, int(spans[k + 1][0]) - 1))
+    gaps.sort()
+    return pa.table({
+        "gap_start": pa.array([g[0] for g in gaps], pa.int64()),
+        "gap_end": pa.array([g[1] for g in gaps], pa.int64()),
+        "n_missing": pa.array([g[1] - g[0] + 1 for g in gaps],
+                              pa.int64()),
+    })
+
+
+def id_gap_audit_sql(id_col: str = "event_id",
+                     table: str = "events",
+                     where: str = "TRUE") -> str:
+    return f"""
+WITH ids AS (
+  SELECT DISTINCT CAST({id_col} AS BIGINT) AS id FROM {table}
+  WHERE {id_col} IS NOT NULL AND {where}
+), nxt AS (
+  SELECT id, lead(id) OVER (ORDER BY id) AS nid FROM ids
+)
+SELECT id + 1 AS gap_start, nid - 1 AS gap_end,
+  nid - id - 1 AS n_missing
+FROM nxt WHERE nid - id > 1
+ORDER BY gap_start
+""".strip()

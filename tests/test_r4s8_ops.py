@@ -514,3 +514,33 @@ def test_daily_interp_floor_and_observed_sum(ray_session):
         "value": pa.array([1.0, 0.5, 2.0], pa.float64())}))
     got = daily_interpolate(ds).to_pandas()
     assert got["cents"].tolist() == [150, 175, 200]
+
+
+def test_id_gap_audit_hand(ray_session):
+    from fluent_server_ray.stages.profile import id_gap_audit
+
+    # ids: 1,2,3, 7, 9 (dup 9) -> gaps [4,6] and [8,8]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 7, 9, 9], pa.int64())}))
+    got = id_gap_audit(ds).to_pandas()
+    assert got.values.tolist() == [[4, 6, 3], [8, 8, 1]]
+
+
+def test_id_gap_audit_cross_bucket_stitch(ray_session):
+    from fluent_server_ray.stages.profile import id_gap_audit
+
+    # bucket_width=4: buckets {0,1}, (empty bucket), {9}: the gap
+    # [2,8] spans an empty bucket and must stitch into one interval
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([0, 1, 9], pa.int64())}))
+    got = id_gap_audit(ds, bucket_width=4).to_pandas()
+    assert got.values.tolist() == [[2, 8, 7]]
+
+
+def test_id_gap_audit_dense_no_gaps(ray_session):
+    from fluent_server_ray.stages.profile import id_gap_audit
+
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(list(range(10)), pa.int64())}))
+    got = id_gap_audit(ds, bucket_width=4).to_pandas()
+    assert len(got) == 0
