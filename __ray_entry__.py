@@ -3599,6 +3599,17 @@ def _q_id_gaps(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True))
 
 
+def _q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test on day-over-day revenue move signs
+    per event type — exact run/sign integers from the daily-cents
+    combiner, fixed float z tree."""
+    from fluent_server_ray.stages.features import runs_test_daily
+
+    return runs_test_daily(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4158,6 +4169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_graph_assortativity": _q_token_assortativity,
         "events_daily_interp": _q_daily_interp,
         "events_id_gaps": _q_id_gaps,
+        "events_runs_test": _q_runs_test,
     }
 
 
@@ -4809,6 +4821,7 @@ WITH toks AS (
         "events_trimmed_mean": features.trimmed_mean_sql(),
         "events_kendall_volumes": features.kendall_daily_volumes_sql(),
         "events_daily_interp": features.daily_interpolate_sql(),
+        "events_runs_test": features.runs_test_daily_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "orders_reconciliation": __import__(

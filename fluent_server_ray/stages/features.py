@@ -3889,3 +3889,119 @@ SELECT g AS {group_col}, day,
   (c IS NULL) AS is_interpolated
 FROM f ORDER BY {group_col}, day
 """.strip()
+
+
+# ----------------------------------------------- runs test
+
+def runs_test_daily(ds, group_col: str = "event_type",
+                    ts_col: str = "ts",
+                    value_col: str = "value") -> pa.Table:
+    """Wald–Wolfowitz runs test per group over the SIGNS of
+    day-over-day revenue deltas — "do this feed's daily moves look
+    random, or do they streak" (momentum/mean-reversion screen, the
+    randomness sibling of :func:`volume_autocorr`). Zero deltas are
+    dropped by contract before runs are counted.
+
+    Exactness: n_pos / n_neg / n_runs are exact ints over the
+    calendar-bounded delta sequence; the z-score is a FIXED float
+    tree over those ints (every intermediate product < 2^53, the
+    mirror spells the identical expression), NULL when either sign is
+    absent or the variance term is non-positive.
+
+    Distributed shape: one combiner pass to the (group, day) daily
+    cents table, driver sweep on the bounded result. Output:
+    (group, n_pos, n_neg, n_runs, z) sorted by group.
+    """
+    import math
+
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "_day": day, "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.select_columns([group_col, ts_col, value_col]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    rows = []
+    for g, sub in daily.groupby("g", sort=True):
+        sub = sub.sort_values("_day")
+        c = sub["cents_sum"].to_numpy(dtype=np.int64)
+        s = np.sign(np.diff(c))
+        s = s[s != 0]
+        n1 = int((s > 0).sum())
+        n2 = int((s < 0).sum())
+        r = (1 + int((s[1:] != s[:-1]).sum())) if len(s) else 0
+        n = n1 + n2
+        if n1 > 0 and n2 > 0 and 2.0 * n1 * n2 > n:
+            mu = 2.0 * n1 * n2 / n + 1.0
+            var = ((2.0 * n1 * n2 * (2.0 * n1 * n2 - n))
+                   / (float(n) * n * (n - 1)))
+            z = (float(r) - mu) / math.sqrt(var)
+        else:
+            z = None
+        rows.append((g, n1, n2, r, z))
+    return pa.table({
+        group_col: pa.array([x[0] for x in rows], pa.string()),
+        "n_pos": pa.array([x[1] for x in rows], pa.int64()),
+        "n_neg": pa.array([x[2] for x in rows], pa.int64()),
+        "n_runs": pa.array([x[3] for x in rows], pa.int64()),
+        "z": pa.array([x[4] for x in rows], pa.float64()),
+    })
+
+
+def runs_test_daily_sql(group_col: str = "event_type",
+                        ts_col: str = "ts", value_col: str = "value",
+                        table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), delta AS (
+  SELECT g, d,
+    c - lag(c) OVER (PARTITION BY g ORDER BY d) AS dc
+  FROM daily
+), s AS (
+  SELECT g, d, sign(dc) AS sg FROM delta
+  WHERE dc IS NOT NULL AND dc <> 0
+), runs AS (
+  SELECT g, sg, lag(sg) OVER (PARTITION BY g ORDER BY d) AS prev
+  FROM s
+), agg AS (
+  SELECT daily.g,
+    COALESCE(r.n_pos, 0) AS n_pos, COALESCE(r.n_neg, 0) AS n_neg,
+    COALESCE(r.n_runs, 0) AS n_runs
+  FROM (SELECT DISTINCT g FROM daily) daily
+  LEFT JOIN (
+    SELECT g,
+      CAST(count(*) FILTER (WHERE sg = 1) AS BIGINT) AS n_pos,
+      CAST(count(*) FILTER (WHERE sg = -1) AS BIGINT) AS n_neg,
+      CAST(1 + count(*) FILTER (WHERE prev IS NOT NULL
+                                AND sg <> prev) AS BIGINT) AS n_runs
+    FROM runs GROUP BY g
+  ) r ON r.g = daily.g
+)
+SELECT g AS {group_col}, n_pos, n_neg, n_runs,
+  CASE WHEN n_pos > 0 AND n_neg > 0
+            AND 2.0 * n_pos * n_neg > (n_pos + n_neg) THEN
+    (CAST(n_runs AS DOUBLE) - (2.0 * n_pos * n_neg
+                               / (n_pos + n_neg) + 1.0))
+    / sqrt((2.0 * n_pos * n_neg
+            * (2.0 * n_pos * n_neg - (n_pos + n_neg)))
+           / (CAST(n_pos + n_neg AS DOUBLE) * (n_pos + n_neg)
+              * (n_pos + n_neg - 1)))
+  ELSE NULL END AS z
+FROM agg ORDER BY {group_col}
+""".strip()

@@ -544,3 +544,46 @@ def test_id_gap_audit_dense_no_gaps(ray_session):
         "event_id": pa.array(list(range(10)), pa.int64())}))
     got = id_gap_audit(ds, bucket_width=4).to_pandas()
     assert len(got) == 0
+
+
+def _daily_series(vals):
+    ts = pa.array([np.datetime64(f"2024-01-{d+1:02d}", "us")
+                   for d in range(len(vals))], pa.timestamp("us"))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * len(vals), pa.string()),
+        "ts": ts, "value": pa.array(vals, pa.float64())}))
+
+
+def test_runs_test_hand(ray_session):
+    from fluent_server_ray.stages.features import runs_test_daily
+
+    # daily cents 100,200,150,250,240,260 -> deltas +,-,+,-,+
+    # n_pos=3 n_neg=2, runs: + - + - + = 5
+    got = runs_test_daily(
+        _daily_series([1.0, 2.0, 1.5, 2.5, 2.4, 2.6])).to_pandas()
+    assert [got["n_pos"][0], got["n_neg"][0], got["n_runs"][0]] == [3, 2, 5]
+    import math
+    n1, n2, n, r = 3, 2, 5, 5
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (float(n) * n * (n - 1))
+    assert got["z"][0] == (float(r) - mu) / math.sqrt(var)
+
+
+def test_runs_test_zero_deltas_dropped(ray_session):
+    from fluent_server_ray.stages.features import runs_test_daily
+
+    # flat then one up move: deltas 0,0,+ -> n_pos=1 n_neg=0 -> z NULL
+    got = runs_test_daily(
+        _daily_series([1.0, 1.0, 1.0, 2.0])).to_pandas()
+    assert [got["n_pos"][0], got["n_neg"][0], got["n_runs"][0]] == [1, 0, 1]
+    assert got["z"].isna().all()
+
+
+def test_runs_test_monotone_streak(ray_session):
+    from fluent_server_ray.stages.features import runs_test_daily
+
+    # strictly increasing: one run of +; var term 2*n1*n2=0 -> NULL
+    got = runs_test_daily(
+        _daily_series([1.0, 2.0, 3.0, 4.0])).to_pandas()
+    assert [got["n_pos"][0], got["n_neg"][0], got["n_runs"][0]] == [3, 0, 1]
+    assert got["z"].isna().all()
