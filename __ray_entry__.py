@@ -3610,6 +3610,16 @@ def _q_runs_test(sf_dir: str):
                            columns=["event_type", "ts", "value"]))
 
 
+def _q_simpson_diversity(sf_dir: str):
+    """Simpson vocabulary concentration per source (probability two
+    random tokens match) — distributed (source,word) merge, python-
+    int/HUGEINT moment partials, one floor division."""
+    from fluent_server_ray.stages.textstats import (
+        simpson_diversity_by_source)
+
+    return simpson_diversity_by_source(_docs(sf_dir))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4170,6 +4180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_interp": _q_daily_interp,
         "events_id_gaps": _q_id_gaps,
         "events_runs_test": _q_runs_test,
+        "source_simpson_diversity": _q_simpson_diversity,
     }
 
 
@@ -4824,6 +4835,7 @@ WITH toks AS (
         "events_runs_test": features.runs_test_daily_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
+        "source_simpson_diversity": textstats.simpson_diversity_sql(),
         "orders_reconciliation": __import__(
             "fluent_server_ray.stages.profile", fromlist=["x"]
         ).order_reconciliation_sql(),

@@ -3472,3 +3472,113 @@ SELECT {id_col}, CAST(p AS BIGINT) AS pos,
            '') AS right_ctx
 FROM occ WHERE w = '{term}'
 """.strip()
+
+
+def simpson_diversity_by_source(ds, group_col: str = "source",
+                                text_col: str = "text") -> pa.Table:
+    """Simpson concentration index per source over word frequencies:
+    λ = Σ n_i(n_i−1) / (N(N−1)) — the probability two random tokens
+    are the SAME word (low = diverse vocabulary; the frequency-
+    weighted sibling of :func:`gram_diversity_by_source`'s distinct
+    ratio, which ignores how skewed the counts are).
+
+    Exact-integer contract: per-word counts are exact; Σ n(n−1)
+    accumulates as python ints (HUGEINT mirror — word counts at open
+    scale overflow int64 squared); λ is ONE floor division to
+    millionths. Sources with < 2 tokens emit NULL.
+
+    Distributed shape: the unbounded (source, word) count space
+    merges via the distributed groupby; per-source moment partials
+    then collapse per block (python-int strings) to a driver merge
+    bounded by |sources|. Output: (source, n_tokens, sum_nn1,
+    simpson_millionths) sorted by source.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.filter(pc.is_valid(t[group_col]))
+        toks = pc.split_pattern(pc.fill_null(t[text_col], ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = pa.array(np.repeat(
+            t[group_col].to_numpy(zero_copy_only=False),
+            np.asarray(lens, dtype=np.int64)))
+        keep = pc.not_equal(flat, "")
+        sub = pa.table({"g": src, "word": flat}).filter(keep)
+        return (sub.group_by(["g", "word"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["g", "word", "n"]))
+
+    cnt = grouped_agg(
+        ds.select_columns([group_col, text_col]).map_batches(
+            skip_empty(explode), batch_format="pyarrow",
+            zero_copy_batch=True),
+        ["g", "word"], [("n", "sum")], final="ray")
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pa.table({"g": t["g"], "n": t["n_sum"]}).to_pandas()
+        n = df["n"].astype(object)  # python ints: n*(n-1) at any scale
+        df["nn1"] = n * (n - 1)
+        agg = df.groupby("g", sort=False).agg(
+            N=("n", "sum"), S=("nn1", "sum")).reset_index()
+        return pa.table({
+            "g": pa.array(agg["g"], pa.string()),
+            "N": pa.array([str(int(v)) for v in agg["N"]]),
+            "S": pa.array([str(int(v)) for v in agg["S"]]),
+        })
+
+    acc: dict[str, list[int]] = {}
+    for r in (cnt.map_batches(skip_empty(moment_partial),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for g, N, S in zip(r["g"].to_pylist(), r["N"].to_pylist(),
+                           r["S"].to_pylist()):
+            a = acc.setdefault(g, [0, 0])
+            a[0] += int(N)
+            a[1] += int(S)
+
+    groups = sorted(acc)
+    lam = []
+    for g in groups:
+        N, S = acc[g]
+        if S >= (1 << 63):
+            raise ValueError("simpson_diversity_by_source: sum_nn1 "
+                             "exceeds BIGINT — the output cast (and "
+                             "the mirror's) would overflow")
+        lam.append(S * 1_000_000 // (N * (N - 1)) if N > 1 else None)
+    return pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n_tokens": pa.array([acc[g][0] for g in groups], pa.int64()),
+        "sum_nn1": pa.array([acc[g][1] for g in groups], pa.int64()),
+        "simpson_millionths": pa.array(lam, pa.int64()),
+    })
+
+
+def simpson_diversity_sql(group_col: str = "source",
+                          text_col: str = "text",
+                          table: str = "documents") -> str:
+    return f"""
+WITH w AS (
+  SELECT {group_col} AS g,
+    unnest(list_filter(string_split({text_col}, ' '),
+                       x -> x <> '')) AS word
+  FROM {table} WHERE {group_col} IS NOT NULL
+), cnt AS (
+  SELECT g, word, CAST(count(*) AS HUGEINT) AS n FROM w GROUP BY 1, 2
+), agg AS (
+  SELECT g, sum(n) AS nn, sum(n * (n - 1)) AS s FROM cnt GROUP BY g
+)
+SELECT g AS {group_col}, CAST(nn AS BIGINT) AS n_tokens,
+  CAST(s AS BIGINT) AS sum_nn1,
+  CAST(s * 1000000 // NULLIF(nn * (nn - 1), 0) AS BIGINT)
+    AS simpson_millionths
+FROM agg ORDER BY {group_col}
+""".strip()

@@ -587,3 +587,30 @@ def test_runs_test_monotone_streak(ray_session):
         _daily_series([1.0, 2.0, 3.0, 4.0])).to_pandas()
     assert [got["n_pos"][0], got["n_neg"][0], got["n_runs"][0]] == [3, 0, 1]
     assert got["z"].isna().all()
+
+
+def test_simpson_diversity_hand(ray_session):
+    from fluent_server_ray.stages.textstats import (
+        simpson_diversity_by_source)
+
+    t = pa.table({
+        "source": pa.array(["s1", "s1", "s2"], pa.string()),
+        "text": pa.array(["a a b", "a", "x y"], pa.string()),
+    })
+    got = simpson_diversity_by_source(rd.from_arrow(t)).to_pandas()
+    # s1: words a:3 b:1, N=4 -> S = 3*2 + 0 = 6; λ = 6/(4*3) = 0.5
+    # s2: x:1 y:1, N=2 -> S=0 -> 0
+    assert got["source"].tolist() == ["s1", "s2"]
+    assert got["n_tokens"].tolist() == [4, 2]
+    assert got["sum_nn1"].tolist() == [6, 0]
+    assert got["simpson_millionths"].tolist() == [500000, 0]
+
+
+def test_simpson_single_token_null(ray_session):
+    from fluent_server_ray.stages.textstats import (
+        simpson_diversity_by_source)
+
+    t = pa.table({"source": pa.array(["s"], pa.string()),
+                  "text": pa.array(["only"], pa.string())})
+    got = simpson_diversity_by_source(rd.from_arrow(t)).to_pandas()
+    assert got["simpson_millionths"].isna().all()
