@@ -3620,6 +3620,17 @@ def _q_simpson_diversity(sf_dir: str):
     return simpson_diversity_by_source(_docs(sf_dir))
 
 
+def _q_churn_labels(sf_dir: str):
+    """Leakage-free churn-label generation: per active (user, week),
+    that week's features + was-active-next-week label — one (user,
+    week) combiner materialized once, one bucketed left self-join."""
+    from fluent_server_ray.stages.features import churn_labels
+
+    return churn_labels(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "value"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4181,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_id_gaps": _q_id_gaps,
         "events_runs_test": _q_runs_test,
         "source_simpson_diversity": _q_simpson_diversity,
+        "user_churn_labels": _q_churn_labels,
     }
 
 
@@ -4833,6 +4845,7 @@ WITH toks AS (
         "events_kendall_volumes": features.kendall_daily_volumes_sql(),
         "events_daily_interp": features.daily_interpolate_sql(),
         "events_runs_test": features.runs_test_daily_sql(),
+        "user_churn_labels": features.churn_labels_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

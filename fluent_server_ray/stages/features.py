@@ -4005,3 +4005,107 @@ SELECT g AS {group_col}, n_pos, n_neg, n_runs,
   ELSE NULL END AS z
 FROM agg ORDER BY {group_col}
 """.strip()
+
+
+# ------------------------------------------- churn label generation
+
+def churn_labels(ds, user_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value",
+                 n_buckets: int = 64):
+    """Supervised churn-label materialization: one row per active
+    (user, week) with that week's activity features and the LABEL
+    "was the user active in week+1" — the label-generation step of a
+    churn model's training pipeline, leakage-free by construction
+    (features from week w, label from w+1, final observed week
+    dropped because its label is unknowable).
+
+    Weeks are ``epoch_day // 7`` (exact integer, engine-identical);
+    features are exact counts / cents sums (NULL value counts as 0
+    cents but still an event). Distributed shape: one (user, week)
+    combiner (``final='ray'`` — user cardinality unbounded),
+    materialized ONCE for its three consumers (max-week scalar, both
+    join sides); the label is ONE bucketed left self-join on the
+    (user, week+1) key. Returns a Dataset (user_id, week, n_events,
+    cents_sum, active_next) sorted by (user_id, week).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[user_col])))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({
+            "u": pc.cast(t[user_col], pa.int64()),
+            "w": pc.divide(day, 7),  # epoch days >= 0: trunc == floor
+            "c": _cents(pc.fill_null(pc.cast(t[value_col], pa.float64()),
+                                     0.0))})
+
+    uw = grouped_agg(
+        ds.select_columns([user_col, ts_col, value_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["u", "w"], [("c", "sum"), ("c", "count")],
+        final="ray").materialize()
+
+    wmax = uw.max("w")
+
+    def left_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["w"], wmax))
+        key = pc.binary_join_element_wise(
+            pc.cast(t["u"], pa.string()),
+            pc.cast(pc.add(t["w"], 1), pa.string()), "#")
+        return pa.table({"_k": key, "u": t["u"], "w": t["w"],
+                         "n_events": pc.cast(t["c_count"], pa.int64()),
+                         "cents_sum": pc.cast(t["c_sum"], pa.int64())})
+
+    def right_side(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["u"], pa.string()),
+            pc.cast(t["w"], pa.string()), "#")
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table({"_k": key, "_hit": ones})
+
+    joined = bucketed_hash_join(
+        uw.map_batches(left_side, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        uw.map_batches(right_side, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key="_k", n_buckets=n_buckets, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["u"], pa.int64()),
+            "week": pc.cast(t["w"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "cents_sum": pc.cast(t["cents_sum"], pa.int64()),
+            "active_next": pc.is_valid(t["_hit"]),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True).sort(
+        ["user_id", "week"])
+
+
+def churn_labels_sql(user_col: str = "user_id", ts_col: str = "ts",
+                     value_col: str = "value",
+                     table: str = "events") -> str:
+    return f"""
+WITH e AS (
+  SELECT {user_col} AS u,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT)
+      // 7 AS w,
+    CAST(round(COALESCE({value_col}, 0.0) * 100.0) AS BIGINT) AS c
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+), uw AS (
+  SELECT u, w, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(c) AS BIGINT) AS cents_sum
+  FROM e GROUP BY 1, 2
+), mx AS (SELECT max(w) AS wmax FROM uw)
+SELECT a.u AS {user_col}, CAST(a.w AS BIGINT) AS week,
+  a.n_events, a.cents_sum, (b.u IS NOT NULL) AS active_next
+FROM uw a LEFT JOIN uw b ON b.u = a.u AND b.w = a.w + 1, mx
+WHERE a.w < mx.wmax
+ORDER BY {user_col}, week
+""".strip()

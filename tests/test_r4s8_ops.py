@@ -614,3 +614,27 @@ def test_simpson_single_token_null(ray_session):
                   "text": pa.array(["only"], pa.string())})
     got = simpson_diversity_by_source(rd.from_arrow(t)).to_pandas()
     assert got["simpson_millionths"].isna().all()
+
+
+def test_churn_labels_hand(ray_session):
+    from fluent_server_ray.stages.features import churn_labels
+
+    # weeks (epoch_day//7): 2024-01-01 = day 19723 -> week 2817
+    # (days 19719..19725); 2024-01-08 -> 2818; 2024-01-15 -> 2819
+    # u1 active w0 and w1 -> (w0, active_next=True), (w1: last week
+    # observed overall is w2 via u2, so w1 emits active_next=False)
+    # u2 active w2 only -> dropped (w2 == wmax)
+    ts = pa.array([np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-01T05:00", "us"),
+                   np.datetime64("2024-01-08", "us"),
+                   np.datetime64("2024-01-15", "us")], pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()), "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0, None], pa.float64())}))
+    got = churn_labels(ds).to_pandas()
+    w0 = 19723 // 7
+    assert got["user_id"].tolist() == [1, 1]
+    assert got["week"].tolist() == [w0, w0 + 1]
+    assert got["n_events"].tolist() == [2, 1]
+    assert got["cents_sum"].tolist() == [300, 300]
+    assert got["active_next"].tolist() == [True, False]
