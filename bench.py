@@ -194,7 +194,10 @@ def run_once() -> dict:
                   "prompt_completion_pairs", "events_profile_full",
                   "user_multi_funnel", "events_rolling_value_sum",
                   "dedup_sorted_neighborhood", "user_rfm_scores",
-                  "token_graph_kcore"):
+                  "token_graph_kcore", "events_mannwhitney_pairs",
+                  "user_km_survival", "events_twap",
+                  "orders_reconciliation", "user_churn_labels",
+                  "doc_autocomplete_topk"):
         # best-of-2: the box shows time-varying hypervisor steal
         # (BASELINE.md "round-4 end-of-round confirm"); the min of
         # two reps estimates the true cost like flagship's min-of-3.

@@ -570,3 +570,115 @@ def test_quantile_normalize_matches_rank_spec(ray_session, rows):
     for i, w in want.items():
         assert by.loc[i, "normalized"] == w
     assert len(got) == len(want)
+
+
+# ---------------- round-4 eighth-session operator properties ----------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(-50, 50)),
+        min_size=1, max_size=60),
+    trim=st.sampled_from([0, 10, 25, 40]),
+)
+@settings(max_examples=15, deadline=None)
+def test_trimmed_mean_matches_sorted_slice(ray_session, rows, trim):
+    """Histogram rank-window trim equals the obvious sort-and-slice
+    per group (ties and duplicates included by construction)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import trimmed_mean
+
+    t = pa.table({
+        "event_type": pa.array([g for g, _ in rows], pa.string()),
+        "value": pa.array([v / 100.0 for _, v in rows], pa.float64()),
+    })
+    got = trimmed_mean(rd.from_arrow(t), trim_pct=trim).to_pandas()
+    df = pd.DataFrame(rows, columns=["g", "c"])
+    for _, r in got.iterrows():
+        vals = sorted(df.loc[df["g"] == r["event_type"], "c"].tolist())
+        n = len(vals)
+        lo = n * trim // 100
+        kept = vals[lo:n - lo]
+        assert r["n"] == n
+        assert r["n_kept"] == len(kept)
+        if kept:
+            assert r["trimmed_mean_millicents"] == (
+                sum(kept) * 1000 // len(kept))
+        else:
+            assert pd.isna(r["trimmed_mean_millicents"])
+
+
+@given(
+    ids=st.lists(st.integers(0, 40), min_size=1, max_size=40),
+    width=st.sampled_from([4, 8, 64]),
+)
+@settings(max_examples=15, deadline=None)
+def test_id_gap_audit_matches_python_spec(ray_session, ids, width):
+    """Bucketed gap detection + boundary stitch equals the obvious
+    sorted-unique scan, for any bucket width."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.profile import id_gap_audit
+
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(ids, pa.int64())}))
+    got = id_gap_audit(ds, bucket_width=width).to_pandas()
+    u = sorted(set(ids))
+    exp = []
+    for a, b in zip(u, u[1:]):
+        if b - a > 1:
+            exp.append([a + 1, b - 1, b - a - 1])
+    assert got.values.tolist() == exp
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5),
+                  st.integers(-20, 20)),
+        min_size=2, max_size=40),
+)
+@settings(max_examples=15, deadline=None)
+def test_twap_matches_brute_integral(ray_session, rows):
+    """Day-segmented integration + boundary stitch equals the brute
+    whole-series integral under the (ts, cents) tie order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import twap_by_group
+
+    # rows: (group idx, day offset, value) with intra-day hour spread
+    gs = [f"g{g}" for g, _, _ in rows]
+    ts = [np.datetime64("2024-01-01", "us")
+          + np.timedelta64(d * 24 + (i % 5), "h")
+          for i, (_, d, _) in enumerate(rows)]
+    vals = [v / 10.0 for _, _, v in rows]
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(gs, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array(vals, pa.float64())}))
+    got = twap_by_group(ds).to_pandas().set_index("event_type")
+
+    df = pd.DataFrame({
+        "g": gs, "t": [t.astype("int64") for t in ts],
+        "c": [round(v * 100) for v in vals]})
+    for g, sub in df.groupby("g"):
+        sub = sub.sort_values(["t", "c"])
+        t = sub["t"].tolist()
+        c = sub["c"].tolist()
+        num = sum(int(c[i]) * (t[i + 1] - t[i])
+                  for i in range(len(t) - 1))
+        span = t[-1] - t[0]
+        r = got.loc[g]
+        assert r["span_us"] == span
+        if span > 0:
+            assert r["twap_millicents"] == num * 1000 // span
+        else:
+            assert pd.isna(r["twap_millicents"])
