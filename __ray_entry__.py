@@ -3631,6 +3631,20 @@ def _q_churn_labels(sf_dir: str):
                            columns=["user_id", "ts", "value"]))
 
 
+def _q_weighted_quantiles(sf_dir: str):
+    """Quantity-weighted price quartiles per returnflag (the median
+    price of a UNIT sold) — (group,cents) weight-sum combiner, exact
+    ceil(q·W) integer rank picks on the bounded histogram."""
+    from fluent_server_ray.stages.features import weighted_quantiles
+
+    return weighted_quantiles(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_returnflag", "l_extendedprice",
+                                    "l_quantity"]),
+        group_col="l_returnflag", value_col="l_extendedprice",
+        weight_col="l_quantity")
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4193,6 +4207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": _q_runs_test,
         "source_simpson_diversity": _q_simpson_diversity,
         "user_churn_labels": _q_churn_labels,
+        "lineitem_weighted_price_quartiles": _q_weighted_quantiles,
     }
 
 
@@ -4846,6 +4861,9 @@ WITH toks AS (
         "events_daily_interp": features.daily_interpolate_sql(),
         "events_runs_test": features.runs_test_daily_sql(),
         "user_churn_labels": features.churn_labels_sql(),
+        "lineitem_weighted_price_quartiles": features.weighted_quantiles_sql(
+            group_col="l_returnflag", value_col="l_extendedprice",
+            weight_col="l_quantity", table="lineitem"),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

@@ -4109,3 +4109,104 @@ FROM uw a LEFT JOIN uw b ON b.u = a.u AND b.w = a.w + 1, mx
 WHERE a.w < mx.wmax
 ORDER BY {user_col}, week
 """.strip()
+
+
+# -------------------------------------------- weighted quantiles
+
+def weighted_quantiles(ds, group_col: str, value_col: str,
+                       weight_col: str,
+                       max_distinct: int = 4_000_000) -> pa.Table:
+    """Weight-aware order statistics per group: the 25/50/75th
+    percentiles of value cents where each row counts ``weight`` times
+    — "the median PRICE of a unit sold" rather than of a line item
+    (quantity-weighted), the first moment a revenue analysis actually
+    wants.
+
+    Exact-integer contract: weights round half-away to int64 (rows
+    with weight ≤ 0 are dropped by contract); the q-quantile is the
+    smallest value whose cumulative weight reaches ``ceil(q·W)``
+    (integer arithmetic, the discrete lower-quantile rule — reduces
+    to the unweighted lower median at unit weights). No floats
+    anywhere.
+
+    Distributed shape: one (group, value) weight-sum combiner to the
+    distinct-cents histogram (``max_distinct`` guard, the
+    :func:`ks_two_sample` caveat); quantile picks are a driver cumsum
+    on the bounded table. Output: (group, total_weight, p25_cents,
+    p50_cents, p75_cents) sorted by group.
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        wt = pc.cast(pc.round(pc.cast(t[weight_col], pa.float64()),
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        keep = pc.and_(pc.and_(pc.is_valid(t[value_col]),
+                               pc.is_valid(t[group_col])),
+                       pc.greater(pc.fill_null(wt, 0), 0))
+        t = t.append_column("_wt", wt).filter(keep)
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "c": _cents(pc.cast(t[value_col],
+                                             pa.float64())),
+                         "w": t["_wt"]})
+
+    hist = grouped_agg(
+        ds.select_columns([group_col, value_col, weight_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "c"], [("w", "sum")], final="driver")
+    if hist.num_rows > max_distinct:
+        raise ValueError(
+            "weighted_quantiles: distinct value space exceeds "
+            "max_distinct — bin first for continuous open-scale columns")
+    df = hist.to_pandas().sort_values(["g", "c"])
+    rows = []
+    for g, sub in df.groupby("g", sort=True):
+        c = sub["c"].tolist()
+        w = [int(x) for x in sub["w_sum"]]
+        tw = sum(w)
+        cum = np.cumsum(w)
+
+        def pick(num: int, den: int):
+            t = (num * tw + den - 1) // den  # ceil(q*W) in ints
+            return int(c[int(np.searchsorted(cum, t, side="left"))])
+
+        rows.append((g, tw, pick(1, 4), pick(1, 2), pick(3, 4)))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "total_weight": pa.array([r[1] for r in rows], pa.int64()),
+        "p25_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "p50_cents": pa.array([r[3] for r in rows], pa.int64()),
+        "p75_cents": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def weighted_quantiles_sql(group_col: str, value_col: str,
+                           weight_col: str, table: str) -> str:
+    return f"""
+WITH src AS (
+  SELECT {group_col} AS g,
+    CAST(round({value_col} * 100.0) AS BIGINT) AS c,
+    CAST(round({weight_col}) AS BIGINT) AS wt
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+    AND round({weight_col}) > 0
+), h AS (
+  SELECT g, c, CAST(sum(wt) AS HUGEINT) AS w FROM src GROUP BY 1, 2
+), cum AS (
+  SELECT g, c,
+    sum(w) OVER (PARTITION BY g ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS cw,
+    sum(w) OVER (PARTITION BY g) AS tw
+  FROM h
+)
+SELECT g AS {group_col}, CAST(max(tw) AS BIGINT) AS total_weight,
+  CAST(min(CASE WHEN cw >= (tw + 3) // 4 THEN c END) AS BIGINT)
+    AS p25_cents,
+  CAST(min(CASE WHEN cw >= (tw + 1) // 2 THEN c END) AS BIGINT)
+    AS p50_cents,
+  CAST(min(CASE WHEN cw >= (3 * tw + 3) // 4 THEN c END) AS BIGINT)
+    AS p75_cents
+FROM cum GROUP BY g ORDER BY g
+""".strip()

@@ -638,3 +638,43 @@ def test_churn_labels_hand(ray_session):
     assert got["n_events"].tolist() == [2, 1]
     assert got["cents_sum"].tolist() == [300, 300]
     assert got["active_next"].tolist() == [True, False]
+
+
+def test_weighted_quantiles_hand(ray_session):
+    from fluent_server_ray.stages.features import weighted_quantiles
+
+    # values (cents) 100 w=1, 200 w=2, 300 w=1: W=4
+    # p25 target ceil(4/4)=1 -> 100; p50 ceil(2)=2 -> 200;
+    # p75 ceil(3)=3 -> 200 (cum at 200 is 3)
+    t = pa.table({
+        "g": pa.array(["a"] * 3, pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "w": pa.array([1.0, 2.0, 1.0], pa.float64()),
+    })
+    got = weighted_quantiles(rd.from_arrow(t), "g", "v", "w").to_pandas()
+    assert got.values.tolist() == [["a", 4, 100, 200, 200]]
+
+
+def test_weighted_quantiles_unit_weights_match_lower_median(ray_session):
+    from fluent_server_ray.stages.features import weighted_quantiles
+
+    t = pa.table({
+        "g": pa.array(["a"] * 4, pa.string()),
+        "v": pa.array([4.0, 1.0, 3.0, 2.0], pa.float64()),
+        "w": pa.array([1.0] * 4, pa.float64()),
+    })
+    got = weighted_quantiles(rd.from_arrow(t), "g", "v", "w").to_pandas()
+    # lower median of 100,200,300,400 -> 200
+    assert got["p50_cents"].tolist() == [200]
+
+
+def test_weighted_quantiles_zero_weight_dropped(ray_session):
+    from fluent_server_ray.stages.features import weighted_quantiles
+
+    t = pa.table({
+        "g": pa.array(["a", "a"], pa.string()),
+        "v": pa.array([9.0, 1.0], pa.float64()),
+        "w": pa.array([0.0, 2.0], pa.float64()),
+    })
+    got = weighted_quantiles(rd.from_arrow(t), "g", "v", "w").to_pandas()
+    assert got.values.tolist() == [["a", 2, 100, 100, 100]]
