@@ -3645,6 +3645,17 @@ def _q_weighted_quantiles(sf_dir: str):
         weight_col="l_quantity")
 
 
+def _q_fano(sf_dir: str):
+    """Fano overdispersion of daily volumes per event type (Poisson-
+    ness check) — daily count combiner, python-int/HUGEINT moments,
+    one floor division to millionths."""
+    from fluent_server_ray.stages.features import fano_dispersion
+
+    return fano_dispersion(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4208,6 +4219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_simpson_diversity": _q_simpson_diversity,
         "user_churn_labels": _q_churn_labels,
         "lineitem_weighted_price_quartiles": _q_weighted_quantiles,
+        "events_fano_dispersion": _q_fano,
     }
 
 
@@ -4864,6 +4876,7 @@ WITH toks AS (
         "lineitem_weighted_price_quartiles": features.weighted_quantiles_sql(
             group_col="l_returnflag", value_col="l_extendedprice",
             weight_col="l_quantity", table="lineitem"),
+        "events_fano_dispersion": features.fano_dispersion_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

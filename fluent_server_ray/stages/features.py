@@ -4210,3 +4210,79 @@ SELECT g AS {group_col}, CAST(max(tw) AS BIGINT) AS total_weight,
     AS p75_cents
 FROM cum GROUP BY g ORDER BY g
 """.strip()
+
+
+# --------------------------------------------- dispersion (Fano)
+
+def fano_dispersion(ds, group_col: str = "event_type",
+                    ts_col: str = "ts") -> pa.Table:
+    """Fano factor (index of dispersion) of daily event counts per
+    group: sample-variance / mean — the Poisson-ness check for an
+    arrival process (≈1e6 millionths = Poisson; above = bursty /
+    overdispersed, below = regularized), the one-number summary
+    beside :func:`volume_autocorr`'s lag structure.
+
+    Exact-integer contract: F = (n·Σc² − (Σc)²) · 1e6 //
+    ((n−1)·Σc) over the calendar-bounded daily counts — python-int
+    products (HUGEINT mirror), ONE floor division to millionths.
+    Groups with a single observed day emit NULL.
+
+    Distributed shape: one (group, day) count combiner; moments are
+    driver arithmetic on the bounded table. Output: (group, n_days,
+    events_sum, fano_millionths) sorted by group.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[group_col])))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "day": day})
+
+    daily = grouped_counts(
+        ds.select_columns([group_col, ts_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "day"], final="driver").to_pandas()
+
+    rows = []
+    for g, sub in daily.groupby("g", sort=True):
+        c = [int(x) for x in sub["n"]]
+        n = len(c)
+        s = sum(c)
+        q = sum(x * x for x in c)
+        fano = ((n * q - s * s) * 1_000_000 // ((n - 1) * s)
+                if n > 1 and s > 0 else None)
+        rows.append((g, n, s, fano))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "events_sum": pa.array([r[2] for r in rows], pa.int64()),
+        "fano_millionths": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def fano_dispersion_sql(group_col: str = "event_type",
+                        ts_col: str = "ts",
+                        table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+    CAST(count(*) AS HUGEINT) AS c
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n, sum(c) AS s,
+    sum(c * c) AS q
+  FROM daily GROUP BY g
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_days,
+  CAST(s AS BIGINT) AS events_sum,
+  CAST(CASE WHEN n > 1 AND s > 0 THEN
+    (n * q - s * s) * 1000000 // ((n - 1) * s)
+  ELSE NULL END AS BIGINT) AS fano_millionths
+FROM m ORDER BY {group_col}
+""".strip()

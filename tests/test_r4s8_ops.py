@@ -678,3 +678,30 @@ def test_weighted_quantiles_zero_weight_dropped(ray_session):
     })
     got = weighted_quantiles(rd.from_arrow(t), "g", "v", "w").to_pandas()
     assert got.values.tolist() == [["a", 2, 100, 100, 100]]
+
+
+def test_fano_hand(ray_session):
+    from fluent_server_ray.stages.features import fano_dispersion
+
+    # daily counts: day1=1, day2=3 -> n=2 s=4 q=10
+    # num = 2*10 - 16 = 4; den = 1*4 -> fano = 1.0 -> 1000000
+    ts = pa.array([np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-02", "us"),
+                   np.datetime64("2024-01-02T01:00", "us"),
+                   np.datetime64("2024-01-02T02:00", "us")],
+                  pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 4, pa.string()), "ts": ts}))
+    got = fano_dispersion(ds).to_pandas()
+    assert got.values.tolist() == [["a", 2, 4, 1000000]]
+
+
+def test_fano_single_day_null(ray_session):
+    from fluent_server_ray.stages.features import fano_dispersion
+
+    ts = pa.array([np.datetime64("2024-01-01", "us")] * 3,
+                  pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 3, pa.string()), "ts": ts}))
+    got = fano_dispersion(ds).to_pandas()
+    assert got["fano_millionths"].isna().all()
