@@ -3656,6 +3656,17 @@ def _q_fano(sf_dir: str):
                            columns=["event_type", "ts"]))
 
 
+def _q_spearman_volumes(sf_dir: str):
+    """Spearman rho between click and purchase daily volumes —
+    doubled midranks, exact integer moments, one bit-exact float
+    tree (the grade sibling of the Kendall query)."""
+    from fluent_server_ray.stages.features import spearman_daily_volumes
+
+    return spearman_daily_volumes(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4220,6 +4231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_churn_labels": _q_churn_labels,
         "lineitem_weighted_price_quartiles": _q_weighted_quantiles,
         "events_fano_dispersion": _q_fano,
+        "events_spearman_volumes": _q_spearman_volumes,
     }
 
 
@@ -4877,6 +4889,7 @@ WITH toks AS (
             group_col="l_returnflag", value_col="l_extendedprice",
             weight_col="l_quantity", table="lineitem"),
         "events_fano_dispersion": features.fano_dispersion_sql(),
+        "events_spearman_volumes": features.spearman_daily_volumes_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

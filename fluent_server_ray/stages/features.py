@@ -4286,3 +4286,114 @@ SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_days,
   ELSE NULL END AS BIGINT) AS fano_millionths
 FROM m ORDER BY {group_col}
 """.strip()
+
+
+# --------------------------------------------- Spearman rho
+
+def spearman_daily_volumes(ds, key_a: str = "click",
+                           key_b: str = "purchase",
+                           key_col: str = "event_type",
+                           ts_col: str = "ts") -> pa.Table:
+    """Spearman rank correlation between two keys' daily volume
+    series over days where BOTH are observed — Pearson on midranks
+    (the grade sibling of :func:`kendall_daily_volumes`; Spearman
+    weighs the SIZE of rank disagreements, Kendall counts them).
+
+    Exact contract: midranks are kept DOUBLED so ties stay integral
+    (the :func:`mannwhitney_pairs` trick); the correlation is the
+    :func:`pearson_corr` exact-integer-moment / one-float-tree
+    discipline over those doubled ranks — python ints here, HUGEINT
+    + VARCHAR→DOUBLE in the mirror, bit-exact. Constant series emit
+    NULL.
+
+    Distributed shape: one combiner pass to the (key, day) daily
+    counts; ranking and moments are driver arithmetic on the
+    calendar-bounded overlap. Output: one row (n_days, rho).
+    """
+    import math
+
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_in(t[key_col], value_set=pa.array(
+                                 [key_a, key_b]))))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({"g": pc.cast(t[key_col], pa.string()),
+                         "day": day})
+
+    daily = grouped_counts(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "day"], final="driver").to_pandas()
+
+    wide = (daily.pivot_table(index="day", columns="g", values="n",
+                              aggfunc="sum")
+            .reindex(columns=[key_a, key_b]).dropna())
+    n = len(wide)
+
+    def rank2(v):
+        # doubled average midranks, exact ints
+        r = pd.Series(v).rank(method="average").to_numpy() * 2
+        return np.rint(r).astype(np.int64)
+
+    import pandas as pd
+
+    if n == 0:
+        return pa.table({"n_days": pa.array([0], pa.int64()),
+                         "rho": pa.array([None], pa.float64())})
+    x = [int(v) for v in rank2(wide[key_a].to_numpy())]
+    y = [int(v) for v in rank2(wide[key_b].to_numpy())]
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    syy = sum(b * b for b in y)
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = (float(n * sxy - sx * sy)
+           / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+           if dx > 0 and dy > 0 else None)
+    return pa.table({"n_days": pa.array([n], pa.int64()),
+                     "rho": pa.array([rho], pa.float64())})
+
+
+def spearman_daily_volumes_sql(key_a: str = "click",
+                               key_b: str = "purchase",
+                               key_col: str = "event_type",
+                               ts_col: str = "ts",
+                               table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {key_col} IN ('{key_a}', '{key_b}')
+  GROUP BY 1, 2
+), paired AS (
+  SELECT a.day, a.n AS va, b.n AS vb
+  FROM daily a JOIN daily b ON b.day = a.day
+  WHERE a.g = '{key_a}' AND b.g = '{key_b}'
+), r AS (
+  SELECT
+    CAST(2 * rank() OVER (ORDER BY va)
+         + count(*) OVER (PARTITION BY va) - 1 AS HUGEINT) AS x,
+    CAST(2 * rank() OVER (ORDER BY vb)
+         + count(*) OVER (PARTITION BY vb) - 1 AS HUGEINT) AS y
+  FROM paired
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+    CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+    / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+       * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+  ELSE NULL END AS rho
+FROM s
+""".strip()

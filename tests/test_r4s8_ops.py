@@ -705,3 +705,37 @@ def test_fano_single_day_null(ray_session):
         "event_type": pa.array(["a"] * 3, pa.string()), "ts": ts}))
     got = fano_dispersion(ds).to_pandas()
     assert got["fano_millionths"].isna().all()
+
+
+def test_spearman_perfect_monotone(ray_session):
+    from fluent_server_ray.stages.features import spearman_daily_volumes
+
+    ds = _two_series({1: 1, 2: 2, 3: 4}, {1: 10, 2: 20, 3: 21})
+    got = spearman_daily_volumes(ds).to_pandas()
+    assert got["n_days"].tolist() == [3]
+    # the declared tree: 24 / (sqrt(24)*sqrt(24)), not literal 1.0
+    import math
+    assert got["rho"].tolist() == [24.0 / (math.sqrt(24.0)
+                                           * math.sqrt(24.0))]
+    assert got["rho"][0] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_spearman_ties_match_scipy_style(ray_session):
+    from fluent_server_ray.stages.features import spearman_daily_volumes
+
+    # a: 1,2,2,3 ; b: 4,3,3,1 over 4 days (ties in both)
+    ds = _two_series({1: 1, 2: 2, 3: 2, 4: 3},
+                     {1: 4, 2: 3, 3: 3, 4: 1})
+    got = spearman_daily_volumes(ds).to_pandas()
+    a = pd.Series([1, 2, 2, 3]).rank().to_numpy()
+    b = pd.Series([4, 3, 3, 1]).rank().to_numpy()
+    ref = np.corrcoef(a, b)[0, 1]
+    assert got["rho"].tolist() == [pytest.approx(ref, abs=1e-12)]
+
+
+def test_spearman_constant_null(ray_session):
+    from fluent_server_ray.stages.features import spearman_daily_volumes
+
+    ds = _two_series({1: 2, 2: 2}, {1: 1, 2: 3})
+    got = spearman_daily_volumes(ds).to_pandas()
+    assert got["rho"].isna().all()
