@@ -3667,6 +3667,15 @@ def _q_spearman_volumes(sf_dir: str):
                            columns=["event_type", "ts"]))
 
 
+def _q_gate_funnel(sf_dir: str):
+    """Curation drop-off accounting: survivors after each gate-chain
+    prefix (input -> tokens -> alpha -> exact dedup -> md5 sample) —
+    combiner sums + distinct-text merge, exact at every stage."""
+    from fluent_server_ray.pipelines.curation import curation_gate_funnel
+
+    return curation_gate_funnel(_docs(sf_dir))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4232,6 +4241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_price_quartiles": _q_weighted_quantiles,
         "events_fano_dispersion": _q_fano,
         "events_spearman_volumes": _q_spearman_volumes,
+        "curation_gate_funnel": _q_gate_funnel,
     }
 
 
@@ -4472,6 +4482,10 @@ ORDER BY u.user_id, v.variable""",
             "fluent_server_ray.pipelines.curation",
             fromlist=["curate_documents_sql"],
         ).curate_documents_sql(),
+        "curation_gate_funnel": __import__(
+            "fluent_server_ray.pipelines.curation",
+            fromlist=["curation_gate_funnel_sql"],
+        ).curation_gate_funnel_sql(),
         "doc_pii_scrub": hygiene.scrub_sql(),
         "transcripts_scrub_uids": _scrub_uids_sql(),
         "doc_ngram_repetition": hygiene.ngram_repetition_sql()

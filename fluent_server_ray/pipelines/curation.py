@@ -393,3 +393,128 @@ def export_sft_jsonl(sf_dir: str, out_dir: str):
     out = joined.map_batches(rn, batch_format="pyarrow")
     out.write_json(out_dir)
     return out_dir, docs.count()
+
+
+def curation_gate_funnel(ds, min_tokens: int = MIN_TOKENS,
+                         min_alpha: float = MIN_ALPHA,
+                         hex_threshold: str = SAMPLE_HEX) -> pa.Table:
+    """Drop-off accounting for :func:`curate_documents`: how many
+    docs survive each PREFIX of the gate chain (input → token gate →
+    alpha gate → exact dedup → id-hash sample) — the funnel report a
+    curation run publishes so "we kept 31%" decomposes into which
+    gate took what.
+
+    Exact counts at every stage: the two quality gates are combiner
+    sums; the dedup stage is the exact distinct-text count
+    (:func:`aggregate.grouped_distinct_count`'s two-level exchange);
+    the sample stage counts distinct texts whose KEEPER (min doc_id,
+    the exact_dedup rule) passes the md5 predicate — computed from a
+    distributed (text → min id) merge, counted per block. Output:
+    (stage_idx, stage, n_docs), 5 rows.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.sampling import _md5_hex
+
+    def flags(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE),
+                           pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"),
+                          pa.int64())
+        alpha_ratio = pc.divide(
+            pc.cast(n_alpha, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()))
+        g1 = pc.greater_equal(n_tokens, min_tokens)
+        g2 = pc.and_(g1, pc.greater_equal(alpha_ratio, min_alpha))
+        return pa.table({"doc_id": t["doc_id"], "text": text,
+                         "g1": g1, "g2": g2})
+
+    flagged = ds.select_columns(["doc_id", "text"]).map_batches(
+        flags, batch_format="pyarrow", zero_copy_batch=True)
+    flagged = flagged.materialize()  # three consumers below
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n0": pa.array([t.num_rows], pa.int64()),
+            "n1": pa.array([pc.sum(pc.cast(t["g1"], pa.int64())).as_py()
+                            or 0], pa.int64()),
+            "n2": pa.array([pc.sum(pc.cast(t["g2"], pa.int64())).as_py()
+                            or 0], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        flagged.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    n0 = int(pc.sum(parts["n0"]).as_py() or 0)
+    n1 = int(pc.sum(parts["n1"]).as_py() or 0)
+    n2 = int(pc.sum(parts["n2"]).as_py() or 0)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        t = t.filter(t["g2"])
+        return pa.table({"text": t["text"], "doc_id": t["doc_id"]})
+
+    keepers = grouped_agg(
+        flagged.map_batches(skip_empty(survivors), batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["text"], [("doc_id", "min")], final="ray")
+
+    def keeper_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id_min"].to_pylist()
+        hexes = _md5_hex(ids)
+        kept = sum(1 for h in hexes if h[:2] < hex_threshold)
+        return pa.table({"n3": pa.array([t.num_rows], pa.int64()),
+                         "n4": pa.array([kept], pa.int64())})
+
+    kparts = pa.concat_tables(
+        keepers.map_batches(skip_empty(keeper_partial),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    n3 = int(pc.sum(kparts["n3"]).as_py() or 0) if kparts.num_rows else 0
+    n4 = int(pc.sum(kparts["n4"]).as_py() or 0) if kparts.num_rows else 0
+
+    stages = ["input", "min_tokens", "alpha_ratio", "exact_dedup",
+              "sample"]
+    return pa.table({
+        "stage_idx": pa.array(list(range(5)), pa.int64()),
+        "stage": pa.array(stages, pa.string()),
+        "n_docs": pa.array([n0, n1, n2, n3, n4], pa.int64()),
+    })
+
+
+def curation_gate_funnel_sql(min_tokens: int = MIN_TOKENS,
+                             min_alpha: float = MIN_ALPHA,
+                             hex_threshold: str = SAMPLE_HEX,
+                             table: str = "documents") -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), '[^ ]+'))
+         AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]'))
+         AS DOUBLE)
+      / GREATEST(length(COALESCE(text, '')), 1) AS alpha_ratio
+  FROM {table}
+), g2 AS (
+  SELECT doc_id, text FROM base
+  WHERE n_tokens >= {min_tokens} AND alpha_ratio >= {min_alpha}
+), k AS (
+  SELECT text, min(doc_id) AS keeper FROM g2 GROUP BY text
+)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'input' AS stage,
+    (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_docs
+  UNION ALL SELECT 1, 'min_tokens',
+    (SELECT CAST(count(*) AS BIGINT) FROM base
+     WHERE n_tokens >= {min_tokens})
+  UNION ALL SELECT 2, 'alpha_ratio',
+    (SELECT CAST(count(*) AS BIGINT) FROM g2)
+  UNION ALL SELECT 3, 'exact_dedup',
+    (SELECT CAST(count(*) AS BIGINT) FROM k)
+  UNION ALL SELECT 4, 'sample',
+    (SELECT CAST(count(*) AS BIGINT) FROM k
+     WHERE substr(md5(COALESCE(CAST(keeper AS VARCHAR), '')), 1, 2)
+       < '{hex_threshold}')
+) ORDER BY stage_idx
+""".strip()

@@ -739,3 +739,24 @@ def test_spearman_constant_null(ray_session):
     ds = _two_series({1: 2, 2: 2}, {1: 1, 2: 3})
     got = spearman_daily_volumes(ds).to_pandas()
     assert got["rho"].isna().all()
+
+
+def test_gate_funnel_hand(ray_session):
+    from fluent_server_ray.pipelines.curation import curation_gate_funnel
+
+    long_alpha = " ".join(["alpha"] * 25)          # passes both gates
+    long_numeric = " ".join(["123456"] * 25)       # fails alpha ratio
+    short = "too short"                            # fails token gate
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([long_alpha, long_alpha, long_numeric, short],
+                         pa.string()),
+    })
+    got = curation_gate_funnel(rd.from_arrow(t)).to_pandas()
+    # input 4; tokens>=20: docs 1,2,3 -> 3; alpha: 1,2 -> 2;
+    # dedup: 1 distinct text; sample: keeper doc_id=1, md5('1')[:2]?
+    import hashlib
+    kept = 1 if hashlib.md5(b"1").hexdigest()[:2] < "80" else 0
+    assert got["stage"].tolist() == [
+        "input", "min_tokens", "alpha_ratio", "exact_dedup", "sample"]
+    assert got["n_docs"].tolist() == [4, 3, 2, 1, kept]
