@@ -3676,6 +3676,28 @@ def _q_gate_funnel(sf_dir: str):
     return curation_gate_funnel(_docs(sf_dir))
 
 
+def _q_l_diversity(sf_dir: str):
+    """l-diversity release gate over (event_type, day) classes with
+    user_id as the sensitive attribute — two distributed rollups,
+    audit never lands on the driver."""
+    from fluent_server_ray.stages.hygiene import l_diversity
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "user_id"])
+
+    def derive(t):
+        import pyarrow as pa
+
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "day": pa.array(us // 86_400_000_000),
+                         "user_id": t["user_id"]})
+
+    return l_diversity(ev.map_batches(derive, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       ["event_type", "day"], "user_id", l_min=40)
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4242,6 +4264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fano_dispersion": _q_fano,
         "events_spearman_volumes": _q_spearman_volumes,
         "curation_gate_funnel": _q_gate_funnel,
+        "events_l_diversity": _q_l_diversity,
     }
 
 
@@ -4798,6 +4821,13 @@ FROM s
             ["event_type",
              "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"],
             ["event_type", "day"], k=55, table="events"),
+        "events_l_diversity": __import__(
+            "fluent_server_ray.stages.hygiene", fromlist=["x"]
+        ).l_diversity_sql(
+            ["event_type",
+             "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"],
+            ["event_type", "day"], "user_id", l_min=40,
+            table="events"),
         "user_profile_fullouter": """
 WITH p AS (
   SELECT user_id, CAST(count(*) AS DOUBLE) AS n_purchase FROM events

@@ -985,3 +985,84 @@ SELECT {keys}, CAST(count(*) AS BIGINT) AS n,
   count(*) < {k} AS at_risk
 FROM q GROUP BY {keys} ORDER BY {keys}
 """.strip()
+
+
+def l_diversity(ds, cols: list[str], sensitive: str, l_min: int = 3):
+    """l-diversity audit — :func:`k_anonymity`'s companion release
+    gate: a quasi-identifier class can be large (k-anonymous) yet
+    still leak if everyone in it shares the SAME sensitive value;
+    this reports, per quasi-id class, the row count and the number of
+    DISTINCT sensitive values, flagging classes below ``l_min``.
+
+    Contract: rows with a NULL quasi-id or sensitive value are
+    excluded (the NULL-class semantics live in :func:`k_anonymity`;
+    here a NULL sensitive value is a non-observation). Distributed
+    shape: per-batch local dedup of (quasi..., sensitive) with row
+    counts (combiner), distributed merge over the unbounded key
+    space, then a second distributed rollup to per-class (Σn,
+    distinct-count) — the audit table never lands on the driver.
+    Output: Dataset (cols..., n, l_distinct, at_risk) sorted by cols.
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    if l_min <= 0:
+        raise ValueError(f"l_min must be positive, got {l_min}")
+    allc = cols + [sensitive]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(allc)
+        mask = None
+        for c in allc:
+            v = pc.is_valid(t[c])
+            mask = v if mask is None else pc.and_(mask, v)
+        t = t.filter(mask)
+        out = t.group_by(allc).aggregate([([], "count_all")])
+        return out.rename_columns(allc + ["n"])
+
+    qs = grouped_agg(
+        ds.select_columns(allc).map_batches(
+            skip_empty(partial), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=allc, aggs=[("n", "sum")], final="ray")
+
+    def one_per_value(t: pa.Table) -> pa.Table:
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table({**{c: t[c] for c in cols},
+                         "n": pc.cast(t["n_sum"], pa.int64()),
+                         "one": ones})
+
+    cls = grouped_agg(
+        qs.map_batches(one_per_value, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=cols, aggs=[("n", "sum"), ("one", "sum")], final="ray")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_sum"], pa.int64())
+        l = pc.cast(t["one_sum"], pa.int64())
+        return pa.table({**{c: t[c] for c in cols}, "n": n,
+                         "l_distinct": l,
+                         "at_risk": pc.less(l, l_min)})
+
+    return cls.sort(cols).map_batches(finish, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+
+def l_diversity_sql(col_exprs: list[str], names: list[str],
+                    sensitive_expr: str, l_min: int,
+                    table: str) -> str:
+    sel = ", ".join(f"{e} AS {n}" for e, n in zip(col_exprs, names))
+    keys = ", ".join(names)
+    nn = " AND ".join(f"{n} IS NOT NULL" for n in names)
+    return f"""
+WITH q AS (
+  SELECT {sel}, {sensitive_expr} AS s FROM {table}
+), f AS (
+  SELECT * FROM q WHERE {nn} AND s IS NOT NULL
+)
+SELECT {keys}, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT s) AS BIGINT) AS l_distinct,
+  count(DISTINCT s) < {l_min} AS at_risk
+FROM f GROUP BY {keys} ORDER BY {keys}
+""".strip()

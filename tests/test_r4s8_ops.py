@@ -760,3 +760,20 @@ def test_gate_funnel_hand(ray_session):
     assert got["stage"].tolist() == [
         "input", "min_tokens", "alpha_ratio", "exact_dedup", "sample"]
     assert got["n_docs"].tolist() == [4, 3, 2, 1, kept]
+
+
+def test_l_diversity_hand(ray_session):
+    from fluent_server_ray.stages.hygiene import l_diversity
+
+    # class (a): users 1,1,2 -> n=3 l=2; class (b): users 3,3 -> l=1
+    # NULL sensitive excluded
+    t = pa.table({
+        "q": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+        "s": pa.array([1, 1, 2, 3, 3, None], pa.int64()),
+    })
+    got = l_diversity(rd.from_arrow(t), ["q"], "s",
+                      l_min=2).to_pandas()
+    assert got["q"].tolist() == ["a", "b"]
+    assert got["n"].tolist() == [3, 2]
+    assert got["l_distinct"].tolist() == [2, 1]
+    assert got["at_risk"].tolist() == [False, True]
