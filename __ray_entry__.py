@@ -3698,6 +3698,17 @@ def _q_l_diversity(sf_dir: str):
                        ["event_type", "day"], "user_id", l_min=40)
 
 
+def _q_new_vs_returning(sf_dir: str):
+    """Growth accounting: daily new vs returning distinct users —
+    one (user,day) distinct combiner materialized for its two
+    consumers (first-day mins, daily actives)."""
+    from fluent_server_ray.stages.features import new_vs_returning
+
+    return new_vs_returning(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4265,6 +4276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spearman_volumes": _q_spearman_volumes,
         "curation_gate_funnel": _q_gate_funnel,
         "events_l_diversity": _q_l_diversity,
+        "users_new_vs_returning": _q_new_vs_returning,
     }
 
 
@@ -4934,6 +4946,7 @@ WITH toks AS (
             weight_col="l_quantity", table="lineitem"),
         "events_fano_dispersion": features.fano_dispersion_sql(),
         "events_spearman_volumes": features.spearman_daily_volumes_sql(),
+        "users_new_vs_returning": features.new_vs_returning_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

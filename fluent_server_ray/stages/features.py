@@ -4397,3 +4397,95 @@ SELECT CAST(n AS BIGINT) AS n_days,
   ELSE NULL END AS rho
 FROM s
 """.strip()
+
+
+# ------------------------------------------ new vs returning users
+
+def new_vs_returning(ds, user_col: str = "user_id",
+                     ts_col: str = "ts") -> pa.Table:
+    """Growth accounting: per calendar day, how many distinct users
+    were active and how many of them were NEW (first-ever day) — the
+    daily new/returning split a growth dashboard leads with, and the
+    flow view of :func:`km_survival`'s stock.
+
+    Distributed shape: one combiner pass yields BOTH per-user first
+    days (min over (user,day)) and the distinct (user, day) activity
+    set (``final='ray'`` merges — user cardinality unbounded,
+    materialized once for its two consumers); each collapses to a
+    calendar-bounded per-day count on the driver. Exact integers
+    throughout. Output: (day, n_active, n_new, n_returning) sorted.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[user_col])))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({"u": pc.cast(t[user_col], pa.int64()),
+                         "day": day})
+
+    ud = grouped_counts(
+        ds.select_columns([user_col, ts_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["u", "day"], final="ray").materialize()
+
+    # per-day active counts (bounded by calendar)
+    def day_partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"day": t["day"]}).group_by("day")
+                .aggregate([([], "count_all")])
+                .rename_columns(["day", "c"]))
+
+    active = grouped_agg(
+        ud.map_batches(day_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day"], [("c", "sum")], final="driver").to_pandas()
+
+    # per-user first day -> per-day new counts
+    firsts = grouped_agg(ud, ["u"], [("day", "min")], final="ray")
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"day": t["day_min"]}).group_by("day")
+                .aggregate([([], "count_all")])
+                .rename_columns(["day", "c"]))
+
+    new = grouped_agg(
+        firsts.map_batches(first_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["day"], [("c", "sum")], final="driver").to_pandas()
+
+    merged = (active.rename(columns={"c_sum": "n_active"})
+              .merge(new.rename(columns={"c_sum": "n_new"}),
+                     on="day", how="left").sort_values("day"))
+    n_new = merged["n_new"].fillna(0).astype("int64")
+    return pa.table({
+        "day": pa.array(merged["day"].astype("int64"), pa.int64()),
+        "n_active": pa.array(merged["n_active"].astype("int64"),
+                             pa.int64()),
+        "n_new": pa.array(n_new, pa.int64()),
+        "n_returning": pa.array(
+            merged["n_active"].astype("int64") - n_new, pa.int64()),
+    })
+
+
+def new_vs_returning_sql(user_col: str = "user_id", ts_col: str = "ts",
+                         table: str = "events") -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT {user_col} AS u,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+), firsts AS (
+  SELECT u, min(day) AS d0 FROM ud GROUP BY u
+), act AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM ud GROUP BY day
+), nw AS (
+  SELECT d0 AS day, CAST(count(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY d0
+)
+SELECT act.day, act.n_active, COALESCE(nw.n_new, 0) AS n_new,
+  act.n_active - COALESCE(nw.n_new, 0) AS n_returning
+FROM act LEFT JOIN nw ON nw.day = act.day
+ORDER BY act.day
+""".strip()

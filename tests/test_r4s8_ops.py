@@ -777,3 +777,16 @@ def test_l_diversity_hand(ray_session):
     assert got["n"].tolist() == [3, 2]
     assert got["l_distinct"].tolist() == [2, 1]
     assert got["at_risk"].tolist() == [False, True]
+
+
+def test_new_vs_returning_hand(ray_session):
+    from fluent_server_ray.stages.features import new_vs_returning
+
+    # u1 active day1+day2 (dup event day1); u2 active day2 only
+    ds = _ev_ts([1, 1, 1, 2], [1, 1, 2, 2])
+    got = new_vs_returning(ds).to_pandas()
+    d1 = 19723  # 2024-01-01
+    assert got["day"].tolist() == [d1, d1 + 1]
+    assert got["n_active"].tolist() == [1, 2]
+    assert got["n_new"].tolist() == [1, 1]
+    assert got["n_returning"].tolist() == [0, 1]
