@@ -3709,6 +3709,17 @@ def _q_new_vs_returning(sf_dir: str):
                            columns=["user_id", "ts"]))
 
 
+def _q_role_latency(sf_dir: str):
+    """Response latency per role transition (user->assistant vs
+    tool->assistant ...): conv-bucket exchange, vectorized lag,
+    bounded |roles|² partials, integer-micros mean."""
+    from fluent_server_ray.stages.assembly import role_transition_latency
+
+    return role_transition_latency(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                          "role", "ts"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4277,6 +4288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_gate_funnel": _q_gate_funnel,
         "events_l_diversity": _q_l_diversity,
         "users_new_vs_returning": _q_new_vs_returning,
+        "transcripts_role_latency": _q_role_latency,
     }
 
 
@@ -4658,6 +4670,7 @@ FROM c ORDER BY doc_id
         ).grouped_exact_median_sql("event_type", "value", "events"),
         "conv_context_windows": assembly.conv_context_windows_sql(),
         "conv_turn_gaps": assembly.conv_turn_gaps_sql(),
+        "transcripts_role_latency": assembly.role_transition_latency_sql(),
         "source_gram_diversity": textstats.gram_diversity_by_source_sql(),
         "docs_gated_per_lang": hygiene.gate_per_language_sql(),
         # flagship CTE chain + the anomaly query's own CTEs spliced

@@ -1266,3 +1266,108 @@ SELECT {id_col},
     AS fim_text
 FROM cuts ORDER BY {id_col}
 """.strip()
+
+
+def role_transition_latency(ds, n_buckets: int = 64) -> pa.Table:
+    """Response latency by ROLE TRANSITION: for every adjacent turn
+    pair of a conversation, the (prev_role → role) transition and its
+    gap — aggregated corpus-wide to "how fast does the assistant
+    answer a user vs a tool result" (:func:`conv_turn_gaps` is the
+    per-conversation view; this is the per-edge-type panel an agent
+    operator tunes against).
+
+    Exact contract: gaps stay integer microseconds; per-transition
+    (n, sum_us, max_us) merge as exact combiner partials bounded by
+    |roles|²; the mean is ONE floor division to micros. Distributed
+    shape: one conv-bucket exchange (the per-conversation lag needs
+    co-location), per-bucket vectorized groupby-shift, then bounded
+    per-transition partials to the driver. Output: (prev_role, role,
+    n, max_us, mean_us) sorted by (prev_role, role).
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(hash_bucket_array(t["conv_id"], n_buckets)))
+
+    out_schema = pa.schema([
+        pa.field("prev_role", pa.string()),
+        pa.field("role", pa.string()),
+        pa.field("n", pa.int64()),
+        pa.field("max_us", pa.int64()),
+        pa.field("sum_us", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        conv = g["conv_id"].to_numpy()
+        gap = us - pd.Series(us).groupby(conv, sort=False).shift()
+        prev_role = g["role"].groupby(conv, sort=False).shift()
+        ok = gap.notna()
+        sub = pd.DataFrame({
+            "prev_role": prev_role[ok].to_numpy(),
+            "role": g["role"].to_numpy()[ok.to_numpy()],
+            "gap": gap[ok].astype("int64").to_numpy(),
+        })
+        if not len(sub):
+            return pd.DataFrame({
+                "prev_role": pd.Series(dtype=object),
+                "role": pd.Series(dtype=object),
+                "n": pd.Series(dtype="int64"),
+                "max_us": pd.Series(dtype="int64"),
+                "sum_us": pd.Series(dtype="int64"),
+            })
+        agg = (sub.groupby(["prev_role", "role"], sort=False)["gap"]
+               .agg(["count", "max", "sum"]).reset_index())
+        agg.columns = ["prev_role", "role", "n", "max_us", "sum_us"]
+        return agg
+
+    parts = map_buckets(
+        ds.map_batches(skip_empty(add_bucket), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        per_bucket, out_schema).to_pandas()
+    if parts.empty:  # all-empty partials drop columns
+        return pa.table({"prev_role": pa.array([], pa.string()),
+                         "role": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "max_us": pa.array([], pa.int64()),
+                         "mean_us": pa.array([], pa.int64())})
+    m = (parts.groupby(["prev_role", "role"], sort=True)
+         .agg(n=("n", "sum"), max_us=("max_us", "max"),
+              sum_us=("sum_us", "sum")).reset_index())
+    mean_us = [int(s) // int(n) for s, n in zip(m["sum_us"], m["n"])]
+    return pa.table({
+        "prev_role": pa.array(m["prev_role"], pa.string()),
+        "role": pa.array(m["role"], pa.string()),
+        "n": pa.array(m["n"].astype("int64"), pa.int64()),
+        "max_us": pa.array(m["max_us"].astype("int64"), pa.int64()),
+        "mean_us": pa.array(mean_us, pa.int64()),
+    })
+
+
+def role_transition_latency_sql() -> str:
+    from fluent_server_ray.sources.transcripts import TRANSCRIPTS_SQL_CTE
+
+    return (
+        "WITH " + TRANSCRIPTS_SQL_CTE + """,
+g AS (
+  SELECT
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS prev_role,
+    role,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM transcripts
+)
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n,
+  CAST(max(gap_us) AS BIGINT) AS max_us,
+  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY prev_role, role ORDER BY prev_role, role"""
+    )

@@ -790,3 +790,27 @@ def test_new_vs_returning_hand(ray_session):
     assert got["n_active"].tolist() == [1, 2]
     assert got["n_new"].tolist() == [1, 1]
     assert got["n_returning"].tolist() == [0, 1]
+
+
+def test_role_transition_latency_hand(ray_session):
+    from fluent_server_ray.stages.assembly import role_transition_latency
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array(["c1"] * 3 + ["c2"] * 2, pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int64()),
+        "role": pa.array(["user", "assistant", "user",
+                          "user", "assistant"], pa.string()),
+        "ts": pa.array([t0, t0 + np.timedelta64(2, "s"),
+                        t0 + np.timedelta64(5, "s"),
+                        t0, t0 + np.timedelta64(4, "s")],
+                       pa.timestamp("us")),
+    }))
+    got = role_transition_latency(ds).to_pandas()
+    # user->assistant: gaps 2s, 4s -> n=2 max=4e6 mean=3e6
+    # assistant->user: gap 3s -> n=1
+    assert got["prev_role"].tolist() == ["assistant", "user"]
+    assert got["role"].tolist() == ["user", "assistant"]
+    assert got["n"].tolist() == [1, 2]
+    assert got["max_us"].tolist() == [3_000_000, 4_000_000]
+    assert got["mean_us"].tolist() == [3_000_000, 3_000_000]
