@@ -3720,6 +3720,20 @@ def _q_role_latency(sf_dir: str):
                                           "role", "ts"]))
 
 
+def _q_ship_latency(sf_dir: str):
+    """Order-fulfillment SLA: ship-latency p50/p90/p99/max days per
+    priority — one bucketed join, calendar-bounded histogram
+    combiner, exact ceil(q·n) integer rank picks."""
+    from fluent_server_ray.stages.features import ship_latency_quantiles
+
+    return ship_latency_quantiles(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"]),
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4289,6 +4303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_l_diversity": _q_l_diversity,
         "users_new_vs_returning": _q_new_vs_returning,
         "transcripts_role_latency": _q_role_latency,
+        "orders_ship_latency_sla": _q_ship_latency,
     }
 
 
@@ -4960,6 +4975,7 @@ WITH toks AS (
         "events_fano_dispersion": features.fano_dispersion_sql(),
         "events_spearman_volumes": features.spearman_daily_volumes_sql(),
         "users_new_vs_returning": features.new_vs_returning_sql(),
+        "orders_ship_latency_sla": features.ship_latency_quantiles_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

@@ -4489,3 +4489,114 @@ SELECT act.day, act.n_active, COALESCE(nw.n_new, 0) AS n_new,
 FROM act LEFT JOIN nw ON nw.day = act.day
 ORDER BY act.day
 """.strip()
+
+
+# ----------------------------------------- order fulfillment SLA
+
+def ship_latency_quantiles(orders, lines,
+                           n_buckets: int = 64) -> pa.Table:
+    """Order-fulfillment SLA panel: days between order date and each
+    line's ship date, summarized per order priority as exact
+    lower-quantile picks (p50/p90/p99) plus max — "are URGENT orders
+    actually shipping faster" as one table.
+
+    Exact-integer contract: latency is whole epoch-day subtraction;
+    the q-quantile is the smallest latency whose cumulative count
+    reaches ``ceil(q·n)`` (integer rank rule, the
+    :func:`weighted_quantiles` convention at unit weights).
+
+    Distributed shape: ONE bucketed hash join ships each line its
+    order's (date, priority); the (priority, days) histogram is a
+    combiner (calendar-bounded × priorities); picks are driver
+    arithmetic. Output: (o_orderpriority, n_lines, p50_days,
+    p90_days, p99_days, max_days) sorted by priority.
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    def oc(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.cast(t["o_orderdate"], pa.date32(),
+                                      safe=False), pa.int32()), pa.int64())
+        return pa.table({"okey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "oday": day,
+                         "prio": pc.cast(t["o_orderpriority"],
+                                         pa.string())})
+
+    def lc(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.cast(t["l_shipdate"], pa.date32(),
+                                      safe=False), pa.int32()), pa.int64())
+        return pa.table({"okey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "sday": day})
+
+    joined = bucketed_hash_join(
+        lines.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
+            lc, batch_format="pyarrow", zero_copy_batch=True),
+        orders.select_columns(["o_orderkey", "o_orderdate",
+                               "o_orderpriority"]).map_batches(
+            oc, batch_format="pyarrow", zero_copy_batch=True),
+        key="okey", n_buckets=n_buckets)
+
+    def lat(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "prio": t["prio"],
+            "days": pc.subtract(pc.cast(t["sday"], pa.int64()),
+                                pc.cast(t["oday"], pa.int64()))})
+
+    hist = grouped_counts(
+        joined.map_batches(lat, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["prio", "days"], final="driver").to_pandas()
+
+    rows = []
+    for g, sub in hist.groupby("prio", sort=True):
+        sub = sub.sort_values("days")
+        d = sub["days"].tolist()
+        n = int(sub["n"].sum())
+        cum = np.cumsum([int(x) for x in sub["n"]])
+
+        def pick(num, den):
+            t = (num * n + den - 1) // den
+            return int(d[int(np.searchsorted(cum, t, side="left"))])
+
+        rows.append((g, n, pick(1, 2), pick(9, 10), pick(99, 100),
+                     int(d[-1])))
+    return pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+        "n_lines": pa.array([r[1] for r in rows], pa.int64()),
+        "p50_days": pa.array([r[2] for r in rows], pa.int64()),
+        "p90_days": pa.array([r[3] for r in rows], pa.int64()),
+        "p99_days": pa.array([r[4] for r in rows], pa.int64()),
+        "max_days": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+def ship_latency_quantiles_sql(orders: str = "orders",
+                               lines: str = "lineitem") -> str:
+    return f"""
+WITH j AS (
+  SELECT o.o_orderpriority AS prio,
+    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+         AS BIGINT) AS days
+  FROM {lines} l JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+), h AS (
+  SELECT prio, days, CAST(count(*) AS HUGEINT) AS c FROM j
+  GROUP BY 1, 2
+), cum AS (
+  SELECT prio, days, c,
+    sum(c) OVER (PARTITION BY prio ORDER BY days
+                 ROWS UNBOUNDED PRECEDING) AS cw,
+    sum(c) OVER (PARTITION BY prio) AS n
+  FROM h
+)
+SELECT prio AS o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+  CAST(min(CASE WHEN cw >= (n + 1) // 2 THEN days END) AS BIGINT)
+    AS p50_days,
+  CAST(min(CASE WHEN cw >= (9 * n + 9) // 10 THEN days END) AS BIGINT)
+    AS p90_days,
+  CAST(min(CASE WHEN cw >= (99 * n + 99) // 100 THEN days END)
+       AS BIGINT) AS p99_days,
+  CAST(max(days) AS BIGINT) AS max_days
+FROM cum GROUP BY prio ORDER BY prio
+""".strip()

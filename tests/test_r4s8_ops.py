@@ -814,3 +814,25 @@ def test_role_transition_latency_hand(ray_session):
     assert got["n"].tolist() == [1, 2]
     assert got["max_us"].tolist() == [3_000_000, 4_000_000]
     assert got["mean_us"].tolist() == [3_000_000, 3_000_000]
+
+
+def test_ship_latency_hand(ray_session):
+    from fluent_server_ray.stages.features import ship_latency_quantiles
+
+    d0 = np.datetime64("2024-01-01", "us")
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([d0, d0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"],
+                                    pa.string()),
+    }))
+    # latencies: 1,1,2,10 -> n=4: p50 target 2 -> 1; p90 target 4
+    # -> 10; p99 target 4 -> 10; max 10
+    lines = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_shipdate": pa.array([d0 + np.timedelta64(d, "D")
+                                for d in [1, 1, 2, 10]],
+                               pa.timestamp("us")),
+    }))
+    got = ship_latency_quantiles(orders, lines).to_pandas()
+    assert got.values.tolist() == [["1-URGENT", 4, 1, 10, 10, 10]]
