@@ -3734,6 +3734,18 @@ def _q_ship_latency(sf_dir: str):
                            columns=["l_orderkey", "l_shipdate"]))
 
 
+def _q_ewma_daily(sf_dir: str):
+    """Trailing-7-day EWMA of daily revenue per event type — exact
+    power-of-two weights, clipped geometric denominator, integer
+    millicents; calendar-grid convolution on the bounded daily
+    table."""
+    from fluent_server_ray.stages.features import ewma_daily
+
+    return ewma_daily(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4304,6 +4316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_new_vs_returning": _q_new_vs_returning,
         "transcripts_role_latency": _q_role_latency,
         "orders_ship_latency_sla": _q_ship_latency,
+        "events_ewma_daily": _q_ewma_daily,
     }
 
 
@@ -4976,6 +4989,7 @@ WITH toks AS (
         "events_spearman_volumes": features.spearman_daily_volumes_sql(),
         "users_new_vs_returning": features.new_vs_returning_sql(),
         "orders_ship_latency_sla": features.ship_latency_quantiles_sql(),
+        "events_ewma_daily": features.ewma_daily_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

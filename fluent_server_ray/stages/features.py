@@ -4600,3 +4600,98 @@ SELECT prio AS o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
   CAST(max(days) AS BIGINT) AS max_days
 FROM cum GROUP BY prio ORDER BY prio
 """.strip()
+
+
+# --------------------------------------------- trailing EWMA
+
+def ewma_daily(ds, group_col: str = "event_type", ts_col: str = "ts",
+               value_col: str = "value", window: int = 7) -> pa.Table:
+    """Trailing exponentially-weighted daily revenue per group: on
+    the calendar grid between a group's first and last observed day,
+    the weighted mean of the trailing ``window+1`` days' cents with
+    EXACT binary weights ``2^(window−age)`` (today 2^w … age=window
+    1; missing grid days contribute 0) — the smoothed "level" line a
+    monitoring dashboard draws, decay math in pure integers (the
+    :func:`tags_decayed` power-of-two trick on a calendar grid).
+
+    Exact-integer contract: numerator Σ cents·2^(w−age) and the
+    clipped geometric denominator ``2^(w+1) − 2^(w−m)`` (m = ages
+    available at the series start) are python ints / HUGEINT;
+    the output is ONE floor division to millicents.
+
+    Distributed shape: one combiner pass to the (group, day) daily
+    cents; the grid convolution is driver arithmetic on the
+    calendar-bounded table. Output: (group, day, ewma_millicents)
+    sorted by (group, day).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
+                              pa.int32()), pa.int64())
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "_day": day, "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.select_columns([group_col, ts_col, value_col]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out_g, out_d, out_e = [], [], []
+    for g, sub in daily.groupby("g", sort=True):
+        cmap = {int(d): int(c) for d, c in
+                zip(sub["_day"], sub["cents_sum"])}
+        d0, d1 = min(cmap), max(cmap)
+        for day in range(d0, d1 + 1):
+            m = min(window, day - d0)
+            num = sum(cmap.get(day - k, 0) * (1 << (window - k))
+                      for k in range(m + 1))
+            den = (1 << (window + 1)) - (1 << (window - m))
+            out_g.append(g)
+            out_d.append(day)
+            out_e.append(num * 1000 // den)
+    return pa.table({
+        group_col: pa.array(out_g, pa.string()),
+        "day": pa.array(out_d, pa.int64()),
+        "ewma_millicents": pa.array(out_e, pa.int64()),
+    })
+
+
+def ewma_daily_sql(group_col: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value", window: int = 7,
+                   table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+    CAST(SUM(CAST(round({value_col} * 100.0) AS BIGINT))
+         AS HUGEINT) AS c
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), span AS (
+  SELECT g, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY g
+), grid AS (
+  SELECT g, d0, CAST(gs AS BIGINT) AS day
+  FROM span CROSS JOIN unnest(generate_series(d0, d1)) AS u(gs)
+), num AS (
+  SELECT grid.g, grid.day, grid.d0,
+    COALESCE(sum(daily.c
+                 * (CAST(1 AS HUGEINT)
+                    << CAST({window} - (grid.day - daily.d)
+                            AS INTEGER))), 0) AS num
+  FROM grid LEFT JOIN daily
+    ON daily.g = grid.g
+   AND grid.day - daily.d BETWEEN 0 AND {window}
+  GROUP BY 1, 2, 3
+)
+SELECT g AS {group_col}, day,
+  CAST(num * 1000
+       // ((CAST(1 AS HUGEINT) << {window + 1})
+           - (CAST(1 AS HUGEINT)
+              << CAST({window} - least({window}, day - d0)
+                      AS INTEGER))) AS BIGINT) AS ewma_millicents
+FROM num ORDER BY {group_col}, day
+""".strip()

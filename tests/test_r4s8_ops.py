@@ -836,3 +836,20 @@ def test_ship_latency_hand(ray_session):
     }))
     got = ship_latency_quantiles(orders, lines).to_pandas()
     assert got.values.tolist() == [["1-URGENT", 4, 1, 10, 10, 10]]
+
+
+def test_ewma_daily_hand(ray_session):
+    from fluent_server_ray.stages.features import ewma_daily
+
+    # days 0,2 observed (100c, 300c), window=2 (weights 4,2,1)
+    # day0: m=0 den=4 (2^3-2^2) num=100*4 -> 100000
+    # day1: m=1 den=6 num=100*2 -> 33333 (200000//6)
+    # day2: m=2 den=7 num=300*4+0*2+100*1=1300 -> 1300000//7=185714
+    ts = pa.array([np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-03", "us")], pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a"], pa.string()), "ts": ts,
+        "value": pa.array([1.0, 3.0], pa.float64())}))
+    got = ewma_daily(ds, window=2).to_pandas()
+    assert got["ewma_millicents"].tolist() == [
+        100000, 200000 // 6, 1300000 // 7]
