@@ -79,6 +79,17 @@ _SS_SPLIT = 1 << 30  # per-block sum-of-squares splits hi/lo so int64
 # does not) — the driver reassembles exact Python ints.
 
 
+def _epoch_day(col):
+    """timestamp → int64 days since 1970-01-01 — the shared day
+    derivation of every calendar-bucketed operator (mirror:
+    ``CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)``).
+    NULL passes through as NULL: the CALLER's filter owns the
+    NULL-ts contract (every daily op filters NULL ts, matching its
+    mirror's ``ts IS NOT NULL``)."""
+    return pc.cast(pc.cast(pc.cast(col, pa.date32(), safe=False),
+                           pa.int32()), pa.int64())
+
+
 def _cents(col):
     """round(x*100) → int64 cents — THE cross-engine exactness rule
     shared by every standardization pass and its SQL mirror
@@ -2937,9 +2948,10 @@ def theilsen_trend(ds, group_col: str = "event_type", ts_col: str = "ts",
     from fluent_server_ray.stages.aggregate import grouped_agg
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[value_col]))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[value_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[group_col])))
+        day = _epoch_day(t[ts_col])
         return pa.table({group_col: t[group_col], "_day": day,
                          "cents": _cents(t[value_col])})
 
@@ -2977,6 +2989,7 @@ WITH daily AS (
     CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
     SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
   FROM {table} WHERE {value_col} IS NOT NULL
+    AND {ts_col} IS NOT NULL AND {group_col} IS NOT NULL
   GROUP BY 1, 2
 ), pairs AS (
   SELECT a.g, (b.c - a.c) / CAST(b.d - a.d AS DOUBLE) AS slope
@@ -3148,8 +3161,7 @@ def km_survival(ds, user_col: str = "user_id", ts_col: str = "ts",
     def proj(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
                              pc.is_valid(t[user_col])))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         return pa.table({"u": t[user_col], "day": day})
 
     spans = grouped_agg(
@@ -3159,6 +3171,11 @@ def km_survival(ds, user_col: str = "user_id", ts_col: str = "ts",
     spans = spans.materialize()  # two consumers below, one span pass
 
     dmax = spans.max("day_max")
+    if dmax is None:  # empty / all-NULL corpus: mirror's 0 rows
+        return pa.schema([
+            ("t_days", pa.int64()), ("n_at_risk", pa.int64()),
+            ("d_events", pa.int64()), ("c_censored", pa.int64()),
+            ("survival_millionths", pa.int64())]).empty_table()
 
     def lifetimes(t: pa.Table) -> pa.Table:
         life = pc.subtract(t["day_max"], t["day_min"])
@@ -3170,6 +3187,11 @@ def km_survival(ds, user_col: str = "user_id", ts_col: str = "ts",
                           zero_copy_batch=True),
         ["t", "censored"], final="driver").to_pandas()
 
+    out_fields = [("t_days", pa.int64()), ("n_at_risk", pa.int64()),
+                  ("d_events", pa.int64()), ("c_censored", pa.int64()),
+                  ("survival_millionths", pa.int64())]
+    if hist.empty:  # empty / all-NULL corpus: mirror's 0 rows
+        return pa.schema(out_fields).empty_table()
     wide = (hist.pivot_table(index="t", columns="censored", values="n",
                              aggfunc="sum", fill_value=0)
             .reindex(columns=[False, True], fill_value=0).sort_index())
@@ -3375,9 +3397,10 @@ def seasonal_dow_index(ds, group_col: str = "event_type",
     from fluent_server_ray.stages.aggregate import grouped_agg
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[value_col]))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[value_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[group_col])))
+        day = _epoch_day(t[ts_col])
         return pa.table({"g": pc.cast(t[group_col], pa.string()),
                          "_day": day, "cents": _cents(t[value_col])})
 
@@ -3414,7 +3437,9 @@ WITH daily AS (
   SELECT {group_col} AS g,
     CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
     SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
-  FROM {table} WHERE {value_col} IS NOT NULL
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {group_col} IS NOT NULL
   GROUP BY 1, 2
 ), dow AS (
   SELECT g, d % 7 AS dow7, CAST(sum(c) AS HUGEINT) AS s,
@@ -3470,8 +3495,7 @@ def twap_by_group(ds, group_col: str = "event_type",
                                      pc.is_valid(t[ts_col])),
                              pc.is_valid(t[group_col])))
         tus = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         # day-keyed buckets: every group's slice of a day co-locates,
         # days round-robin the buckets — balance follows the calendar
         bucket = pc.bit_wise_and(day, n_buckets - 1)
@@ -3704,8 +3728,7 @@ def kendall_daily_volumes(ds, key_a: str = "click",
         t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
                              pc.is_in(t[key_col], value_set=pa.array(
                                  [key_a, key_b]))))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         return pa.table({"g": pc.cast(t[key_col], pa.string()),
                          "day": day})
 
@@ -3808,10 +3831,10 @@ def daily_interpolate(ds, group_col: str = "event_type",
     from fluent_server_ray.stages.aggregate import grouped_agg
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[value_col]),
+                                     pc.is_valid(t[ts_col])),
                              pc.is_valid(t[group_col])))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         return pa.table({"g": pc.cast(t[group_col], pa.string()),
                          "_day": day, "cents": _cents(t[value_col])})
 
@@ -3860,7 +3883,8 @@ WITH daily AS (
     CAST(SUM(CAST(round({value_col} * 100.0) AS BIGINT))
          AS HUGEINT) AS c
   FROM {table}
-  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+  WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {group_col} IS NOT NULL
   GROUP BY 1, 2
 ), span AS (
   SELECT g, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY g
@@ -3919,10 +3943,10 @@ def runs_test_daily(ds, group_col: str = "event_type",
     from fluent_server_ray.stages.aggregate import grouped_agg
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[value_col]),
+                                     pc.is_valid(t[ts_col])),
                              pc.is_valid(t[group_col])))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         return pa.table({"g": pc.cast(t[group_col], pa.string()),
                          "_day": day, "cents": _cents(t[value_col])})
 
@@ -3967,7 +3991,8 @@ WITH daily AS (
     CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
     SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
   FROM {table}
-  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+  WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {group_col} IS NOT NULL
   GROUP BY 1, 2
 ), delta AS (
   SELECT g, d,
@@ -4034,8 +4059,7 @@ def churn_labels(ds, user_col: str = "user_id", ts_col: str = "ts",
     def proj(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
                              pc.is_valid(t[user_col])))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         return pa.table({
             "u": pc.cast(t[user_col], pa.int64()),
             "w": pc.divide(day, 7),  # epoch days >= 0: trunc == floor
@@ -4236,8 +4260,7 @@ def fano_dispersion(ds, group_col: str = "event_type",
     def proj(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
                              pc.is_valid(t[group_col])))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         return pa.table({"g": pc.cast(t[group_col], pa.string()),
                          "day": day})
 
@@ -4320,8 +4343,7 @@ def spearman_daily_volumes(ds, key_a: str = "click",
         t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
                              pc.is_in(t[key_col], value_set=pa.array(
                                  [key_a, key_b]))))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         return pa.table({"g": pc.cast(t[key_col], pa.string()),
                          "day": day})
 
@@ -4420,8 +4442,7 @@ def new_vs_returning(ds, user_col: str = "user_id",
     def proj(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
                              pc.is_valid(t[user_col])))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         return pa.table({"u": pc.cast(t[user_col], pa.int64()),
                          "day": day})
 
@@ -4517,16 +4538,14 @@ def ship_latency_quantiles(orders, lines,
     from fluent_server_ray.stages.joins import bucketed_hash_join
 
     def oc(t: pa.Table) -> pa.Table:
-        day = pc.cast(pc.cast(pc.cast(t["o_orderdate"], pa.date32(),
-                                      safe=False), pa.int32()), pa.int64())
+        day = _epoch_day(t["o_orderdate"])
         return pa.table({"okey": pc.cast(t["o_orderkey"], pa.int64()),
                          "oday": day,
                          "prio": pc.cast(t["o_orderpriority"],
                                          pa.string())})
 
     def lc(t: pa.Table) -> pa.Table:
-        day = pc.cast(pc.cast(pc.cast(t["l_shipdate"], pa.date32(),
-                                      safe=False), pa.int32()), pa.int64())
+        day = _epoch_day(t["l_shipdate"])
         return pa.table({"okey": pc.cast(t["l_orderkey"], pa.int64()),
                          "sday": day})
 
@@ -4627,10 +4646,10 @@ def ewma_daily(ds, group_col: str = "event_type", ts_col: str = "ts",
     from fluent_server_ray.stages.aggregate import grouped_agg
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[value_col]),
+                                     pc.is_valid(t[ts_col])),
                              pc.is_valid(t[group_col])))
-        day = pc.cast(pc.cast(pc.cast(t[ts_col], pa.date32(), safe=False),
-                              pa.int32()), pa.int64())
+        day = _epoch_day(t[ts_col])
         return pa.table({"g": pc.cast(t[group_col], pa.string()),
                          "_day": day, "cents": _cents(t[value_col])})
 
@@ -4669,7 +4688,8 @@ WITH daily AS (
     CAST(SUM(CAST(round({value_col} * 100.0) AS BIGINT))
          AS HUGEINT) AS c
   FROM {table}
-  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+  WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {group_col} IS NOT NULL
   GROUP BY 1, 2
 ), span AS (
   SELECT g, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY g

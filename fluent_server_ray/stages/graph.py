@@ -250,6 +250,36 @@ def token_adjacency_edges(ds, text_col: str = "text",
                        final="ray").drop_columns(["lo_count"])
 
 
+def _distinct_canonical_edges(edges, a: str, b: str):
+    """Shared first step of every undirected-graph operator here:
+    per-batch canonicalize (drop self-loops, order endpoints, local
+    distinct combiner), then the distributed distinct merge.
+    Returns a Dataset (lo, hi) of distinct undirected edges."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+
+    def canon(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[a], pa.string())
+        y = pc.cast(t[b], pa.string())
+        ne = pc.invert(pc.equal(x, y))
+        x, y = x.filter(ne), y.filter(ne)
+        lt = pc.less(x, y)
+        return (pa.table({"lo": pc.if_else(lt, x, y),
+                          "hi": pc.if_else(lt, y, x)})
+                .group_by(["lo", "hi"]).aggregate([]))
+
+    return grouped_agg(
+        edges.map_batches(skip_empty(canon), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        keys=["lo", "hi"], aggs=[("lo", "count")], final="ray",
+    ).drop_columns(["lo_count"])
+
+
+
 def triangle_count(edges, a: str = "lo", b: str = "hi",
                    n_buckets: int = 64,
                    max_dense_nodes: int = 4096) -> pa.Table:
@@ -291,21 +321,7 @@ def triangle_count(edges, a: str = "lo", b: str = "hi",
     if isinstance(edges, pa.Table):
         edges = rd.from_arrow(edges)
 
-    def canon(t: pa.Table) -> pa.Table:
-        x = pc.cast(t[a], pa.string())
-        y = pc.cast(t[b], pa.string())
-        ne = pc.invert(pc.equal(x, y))
-        x, y = x.filter(ne), y.filter(ne)
-        lt = pc.less(x, y)
-        return (pa.table({"lo": pc.if_else(lt, x, y),
-                          "hi": pc.if_else(lt, y, x)})
-                .group_by(["lo", "hi"]).aggregate([]))
-
-    e = grouped_agg(
-        edges.map_batches(skip_empty(canon), batch_format="pyarrow",
-                          zero_copy_batch=True),
-        keys=["lo", "hi"], aggs=[("lo", "count")], final="ray",
-    ).drop_columns(["lo_count"]).materialize()
+    e = _distinct_canonical_edges(edges, a, b).materialize()
     n_edges = e.count()
     if n_edges == 0:
         return pa.table({"n_nodes": pa.array([0], pa.int64()),
@@ -610,21 +626,7 @@ def kcore(edges, k: int, a: str = "lo", b: str = "hi",
     if isinstance(edges, pa.Table):
         edges = rd.from_arrow(edges)
 
-    def canon(t: pa.Table) -> pa.Table:
-        x = pc.cast(t[a], pa.string())
-        y = pc.cast(t[b], pa.string())
-        ne = pc.invert(pc.equal(x, y))
-        x, y = x.filter(ne), y.filter(ne)
-        lt = pc.less(x, y)
-        return (pa.table({"lo": pc.if_else(lt, x, y),
-                          "hi": pc.if_else(lt, y, x)})
-                .group_by(["lo", "hi"]).aggregate([]))
-
-    e = grouped_agg(
-        edges.map_batches(skip_empty(canon), batch_format="pyarrow",
-                          zero_copy_batch=True),
-        keys=["lo", "hi"], aggs=[("lo", "count")], final="ray",
-    ).drop_columns(["lo_count"]).materialize()
+    e = _distinct_canonical_edges(edges, a, b).materialize()
 
     empty = pa.table({"node": pa.array([], pa.string()),
                       "deg": pa.array([], pa.int64())})
@@ -768,26 +770,15 @@ def clustering_coefficients(edges, a: str = "lo", b: str = "hi",
     if isinstance(edges, pa.Table):
         edges = rd.from_arrow(edges)
 
-    def canon(t: pa.Table) -> pa.Table:
-        x = pc.cast(t[a], pa.string())
-        y = pc.cast(t[b], pa.string())
-        ne = pc.invert(pc.equal(x, y))
-        x, y = x.filter(ne), y.filter(ne)
-        lt = pc.less(x, y)
-        return (pa.table({"lo": pc.if_else(lt, x, y),
-                          "hi": pc.if_else(lt, y, x)})
-                .group_by(["lo", "hi"]).aggregate([]))
-
-    e = grouped_agg(
-        edges.map_batches(skip_empty(canon), batch_format="pyarrow",
-                          zero_copy_batch=True),
-        keys=["lo", "hi"], aggs=[("lo", "count")], final="ray",
-    ).drop_columns(["lo_count"])
-    et = pa.concat_tables(
-        e.iter_batches(batch_size=None, batch_format="pyarrow"))
+    e = _distinct_canonical_edges(edges, a, b)
+    batches = list(e.iter_batches(batch_size=None,
+                                  batch_format="pyarrow"))
     empty = pa.schema([("node", pa.string()), ("degree", pa.int64()),
                        ("n_triangles", pa.int64()),
                        ("clustering_millionths", pa.int64())])
+    if not batches:  # concat_tables([]) raises before the row guard
+        return empty.empty_table()
+    et = pa.concat_tables(batches)
     if et.num_rows == 0:
         return empty.empty_table()
     lo = et["lo"].to_numpy(zero_copy_only=False)
@@ -878,21 +869,7 @@ def degree_assortativity(edges, a: str = "lo", b: str = "hi",
     if isinstance(edges, pa.Table):
         edges = rd.from_arrow(edges)
 
-    def canon(t: pa.Table) -> pa.Table:
-        x = pc.cast(t[a], pa.string())
-        y = pc.cast(t[b], pa.string())
-        ne = pc.invert(pc.equal(x, y))
-        x, y = x.filter(ne), y.filter(ne)
-        lt = pc.less(x, y)
-        return (pa.table({"lo": pc.if_else(lt, x, y),
-                          "hi": pc.if_else(lt, y, x)})
-                .group_by(["lo", "hi"]).aggregate([]))
-
-    e = grouped_agg(
-        edges.map_batches(skip_empty(canon), batch_format="pyarrow",
-                          zero_copy_batch=True),
-        keys=["lo", "hi"], aggs=[("lo", "count")], final="ray",
-    ).drop_columns(["lo_count"]).materialize()
+    e = _distinct_canonical_edges(edges, a, b).materialize()
 
     def stubs(t: pa.Table) -> pa.Table:
         u = pa.concat_arrays([t["lo"].combine_chunks(),

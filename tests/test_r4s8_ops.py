@@ -853,3 +853,59 @@ def test_ewma_daily_hand(ray_session):
     got = ewma_daily(ds, window=2).to_pandas()
     assert got["ewma_millicents"].tolist() == [
         100000, 200000 // 6, 1300000 // 7]
+
+
+def test_null_ts_contract_daily_ops(ray_session):
+    """NULL-ts rows are excluded by contract in every daily op (the
+    self-review found they previously corrupted or crashed)."""
+    from fluent_server_ray.stages.features import (daily_interpolate,
+                                                   ewma_daily,
+                                                   runs_test_daily,
+                                                   seasonal_dow_index,
+                                                   theilsen_trend)
+
+    ts = pa.array([np.datetime64("2024-01-01", "us"),
+                   np.datetime64("2024-01-02", "us"), None],
+                  pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a", "a"], pa.string()), "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64())}))
+    assert theilsen_trend(ds).to_pandas()["n_days"].tolist() == [2]
+    assert len(seasonal_dow_index(ds).to_pandas()) == 2
+    assert daily_interpolate(ds).to_pandas()["cents"].tolist() == [
+        100, 200]
+    assert len(ewma_daily(ds).to_pandas()) == 2
+    assert runs_test_daily(ds).to_pandas()["n_pos"].tolist() == [1]
+
+
+def test_null_group_contract_theilsen(ray_session):
+    from fluent_server_ray.stages.features import theilsen_trend
+
+    ts = pa.array([np.datetime64("2024-01-01", "us")] * 2,
+                  pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a", None], pa.string()), "ts": ts,
+        "value": pa.array([1.0, 2.0], pa.float64())}))
+    got = theilsen_trend(ds).to_pandas()
+    assert got["event_type"].tolist() == ["a"]
+
+
+def test_km_survival_empty_corpus(ray_session):
+    from fluent_server_ray.stages.features import km_survival
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us"))}))
+    got = km_survival(ds).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["t_days", "n_at_risk", "d_events",
+                                 "c_censored", "survival_millionths"]
+
+
+def test_clustering_empty_edges(ray_session):
+    from fluent_server_ray.stages.graph import clustering_coefficients
+
+    t = pa.table({"lo": pa.array([], pa.string()),
+                  "hi": pa.array([], pa.string())})
+    got = clustering_coefficients(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 0
