@@ -3746,6 +3746,18 @@ def _q_ewma_daily(sf_dir: str):
                            columns=["event_type", "ts", "value"]))
 
 
+def _q_session_entry_exit(sf_dir: str):
+    """Session landing/exit report: (entry type, exit type) path
+    counts + bounces over 30-min session windows — key-bucket
+    exchange, segmented sessionizer, bucket-local |types|² counts."""
+    from fluent_server_ray.stages.windows import session_entry_exit
+
+    return session_entry_exit(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4317,6 +4329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_role_latency": _q_role_latency,
         "orders_ship_latency_sla": _q_ship_latency,
         "events_ewma_daily": _q_ewma_daily,
+        "session_entry_exit": _q_session_entry_exit,
     }
 
 
@@ -4990,6 +5003,7 @@ WITH toks AS (
         "users_new_vs_returning": features.new_vs_returning_sql(),
         "orders_ship_latency_sla": features.ship_latency_quantiles_sql(),
         "events_ewma_daily": features.ewma_daily_sql(),
+        "session_entry_exit": windows.session_entry_exit_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

@@ -2409,3 +2409,97 @@ SELECT {key_col}, {state_col}, CAST(run_id AS BIGINT) AS run_id,
   min(us) AS start_us, max(us) AS end_us, count(*) AS n_events
 FROM runs GROUP BY {key_col}, {state_col}, run_id
 """.strip()
+
+
+def session_entry_exit(ds, gap_seconds: int = 1800,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       type_col: str = "event_type") -> pa.Table:
+    """Session entry/exit panel — the web-analytics landing/exit
+    report over :func:`sessionize`'s windows: for every (entry event
+    type, exit event type) pair, how many sessions took that path and
+    how many were single-event bounces.
+
+    Same session rule and (ts, id) tie order as :func:`sessionize`;
+    entry/exit are the first/last event's type under that order.
+    Distributed shape: one key-bucket exchange, segmented sessionizer
+    per bucket, bucket-LOCAL (entry, exit, n, bounce) counts — the
+    exchange result is bounded by |types|² per bucket, merged on the
+    driver. Output: (entry_type, exit_type, n_sessions, n_bounce)
+    sorted.
+    """
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col])
+        grp = g.groupby(key_col, sort=False, dropna=False)
+        gap = grp[ts_col].diff().dt.total_seconds().fillna(0.0)
+        new_s = gap > gap_seconds
+        sid = new_s.groupby(g[key_col], sort=False,
+                            dropna=False).cumsum().astype("int64")
+        s = (g.assign(_sid=sid)
+             .groupby([key_col, "_sid"], sort=False, dropna=False)
+             .agg(entry=(type_col, "first"), exit=(type_col, "last"),
+                  n=(type_col, "size")).reset_index())
+        out = (s.groupby(["entry", "exit"], sort=False, dropna=False)
+               .agg(n_sessions=("n", "size"),
+                    n_bounce=("n", lambda x: int((x == 1).sum())))
+               .reset_index())
+        return out
+
+    cols = [key_col, ts_col, id_col, type_col]
+    bucketed = _with_bucket(ds.select_columns(cols), key_col, 64)
+    parts = bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+    pdf = parts.to_pandas()  # bounded: <= buckets x |types|^2 rows
+    if pdf.empty:
+        return pa.schema([("entry_type", pa.string()),
+                          ("exit_type", pa.string()),
+                          ("n_sessions", pa.int64()),
+                          ("n_bounce", pa.int64())]).empty_table()
+    m = (pdf.groupby(["entry", "exit"], sort=True, dropna=False)
+         .agg(n_sessions=("n_sessions", "sum"),
+              n_bounce=("n_bounce", "sum")).reset_index())
+    return pa.table({
+        "entry_type": pa.array(m["entry"], pa.string()),
+        "exit_type": pa.array(m["exit"], pa.string()),
+        "n_sessions": pa.array(m["n_sessions"].astype("int64"),
+                               pa.int64()),
+        "n_bounce": pa.array(m["n_bounce"].astype("int64"), pa.int64()),
+    })
+
+
+def session_entry_exit_sql(gap_seconds: int = 1800,
+                           table: str = "events") -> str:
+    return f"""
+WITH gapped AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN epoch(ts - lag(ts) OVER w) > {gap_seconds}
+         THEN 1 ELSE 0 END AS new_s
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts, event_id,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gapped
+), ranked AS (
+  SELECT user_id, sid, event_type,
+    row_number() OVER (PARTITION BY user_id, sid
+                       ORDER BY ts, event_id) AS rn,
+    row_number() OVER (PARTITION BY user_id, sid
+                       ORDER BY ts DESC, event_id DESC) AS rd,
+    count(*) OVER (PARTITION BY user_id, sid) AS n
+  FROM sess
+), per AS (
+  SELECT user_id, sid,
+    max(CASE WHEN rn = 1 THEN event_type END) AS entry,
+    max(CASE WHEN rd = 1 THEN event_type END) AS exit_t,
+    max(n) AS n
+  FROM ranked GROUP BY 1, 2
+)
+SELECT entry AS entry_type, exit_t AS exit_type,
+  CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_bounce
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

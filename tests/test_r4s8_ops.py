@@ -909,3 +909,27 @@ def test_clustering_empty_edges(ray_session):
                   "hi": pa.array([], pa.string())})
     got = clustering_coefficients(rd.from_arrow(t)).to_pandas()
     assert len(got) == 0
+
+
+def test_session_entry_exit_hand(ray_session):
+    from fluent_server_ray.stages.windows import session_entry_exit
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    # u1: [view, click] (one session, 10min apart), then after 2h
+    #     a bounce [purchase]
+    # u2: single [view] bounce
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([t0, t0 + np.timedelta64(10, "m"),
+                        t0 + 3 * h, t0], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["view", "click", "purchase", "view"],
+                               pa.string()),
+    }))
+    got = session_entry_exit(ds).to_pandas()
+    assert got.values.tolist() == [
+        ["purchase", "purchase", 1, 1],
+        ["view", "click", 1, 0],
+        ["view", "view", 1, 1],
+    ]
