@@ -3758,6 +3758,17 @@ def _q_session_entry_exit(sf_dir: str):
                                     "event_type"]))
 
 
+def _q_outlier_days(sf_dir: str):
+    """Robust holiday/incident screen: days whose volume deviates
+    > 3×MAD from the per-type median — lower-median exact-int
+    contract on the calendar-bounded daily counts."""
+    from fluent_server_ray.stages.features import outlier_days_mad
+
+    return outlier_days_mad(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4330,6 +4341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ship_latency_sla": _q_ship_latency,
         "events_ewma_daily": _q_ewma_daily,
         "session_entry_exit": _q_session_entry_exit,
+        "events_outlier_days": _q_outlier_days,
     }
 
 
@@ -5004,6 +5016,7 @@ WITH toks AS (
         "orders_ship_latency_sla": features.ship_latency_quantiles_sql(),
         "events_ewma_daily": features.ewma_daily_sql(),
         "session_entry_exit": windows.session_entry_exit_sql(),
+        "events_outlier_days": features.outlier_days_mad_sql(),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

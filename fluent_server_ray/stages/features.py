@@ -4715,3 +4715,99 @@ SELECT g AS {group_col}, day,
                       AS INTEGER))) AS BIGINT) AS ewma_millicents
 FROM num ORDER BY {group_col}, day
 """.strip()
+
+
+# --------------------------------------------- MAD outlier days
+
+def outlier_days_mad(ds, group_col: str = "event_type",
+                     ts_col: str = "ts", k: int = 3) -> pa.Table:
+    """Robust outlier-DAY detection per group: days whose event
+    volume deviates from the group's median by more than ``k`` × MAD
+    (median absolute deviation) — the holiday/incident screen that
+    a mean/stddev z-score misses when the outliers themselves inflate
+    the stddev (breakdown point 50% vs 0).
+
+    Exact-integer contract: volumes are counts; median and MAD are
+    LOWER medians (``sorted[(n−1)//2]``, values that EXIST in the
+    set); the flag is the pure integer comparison ``|v − med| >
+    k·MAD``. Groups with MAD = 0 flag nothing by contract (a
+    degenerate, near-constant series). Distributed shape: one daily
+    count combiner; medians are driver picks on the
+    calendar-bounded table. Output: (group, day, volume,
+    median_volume, mad) for flagged days, sorted by (group, day).
+    """
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[group_col])))
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "day": _epoch_day(t[ts_col])})
+
+    daily = grouped_counts(
+        ds.select_columns([group_col, ts_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "day"], final="driver").to_pandas()
+
+    out = {"g": [], "day": [], "volume": [], "med": [], "mad": []}
+    for g, sub in daily.groupby("g", sort=True):
+        sub = sub.sort_values("day")
+        v = sub["n"].to_numpy(dtype=np.int64)
+        d = sub["day"].to_numpy(dtype=np.int64)
+        med = int(np.sort(v)[(len(v) - 1) // 2])
+        dev = np.abs(v - med)
+        mad = int(np.sort(dev)[(len(dev) - 1) // 2])
+        if mad == 0:
+            continue
+        hit = dev > k * mad
+        out["g"] += [g] * int(hit.sum())
+        out["day"] += d[hit].tolist()
+        out["volume"] += v[hit].tolist()
+        out["med"] += [med] * int(hit.sum())
+        out["mad"] += [mad] * int(hit.sum())
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "day": pa.array(out["day"], pa.int64()),
+        "volume": pa.array(out["volume"], pa.int64()),
+        "median_volume": pa.array(out["med"], pa.int64()),
+        "mad": pa.array(out["mad"], pa.int64()),
+    })
+
+
+def outlier_days_mad_sql(group_col: str = "event_type",
+                         ts_col: str = "ts", k: int = 3,
+                         table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS v
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, day)
+    AS rn, count(*) OVER (PARTITION BY g) AS n
+  FROM daily
+), med AS (
+  SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+  FROM ranked GROUP BY g
+), dev AS (
+  SELECT d.g, d.day, d.v, m.med, abs(d.v - m.med) AS dv
+  FROM daily d JOIN med m ON m.g = d.g
+), rdev AS (
+  SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv, day)
+    AS rn, count(*) OVER (PARTITION BY g) AS n
+  FROM dev
+), mad AS (
+  SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS mad
+  FROM rdev GROUP BY g
+)
+SELECT dev.g AS {group_col}, dev.day, dev.v AS volume,
+  dev.med AS median_volume, mad.mad
+FROM dev JOIN mad ON mad.g = dev.g
+WHERE mad.mad > 0 AND dev.dv > {k} * mad.mad
+ORDER BY {group_col}, dev.day
+""".strip()

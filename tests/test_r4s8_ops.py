@@ -933,3 +933,39 @@ def test_session_entry_exit_hand(ray_session):
         ["view", "click", 1, 0],
         ["view", "view", 1, 1],
     ]
+
+
+def test_outlier_days_mad_hand(ray_session):
+    from fluent_server_ray.stages.features import outlier_days_mad
+
+    # daily volumes: 2,3,3,3,20 -> med 3, dev 1,0,0,0,17 -> mad 0?
+    # sorted dev: 0,0,0,1,17 -> lower median 0 -> mad 0, no flags.
+    # use 2,3,4,5,50: med 4, dev 2,1,0,1,46, sorted 0,1,1,2,46
+    # -> mad 1; flag dev > 3: day5 (46)
+    counts = [2, 3, 4, 5, 50]
+    gs, ts = [], []
+    for d, c in enumerate(counts):
+        gs += ["a"] * c
+        ts += [np.datetime64(f"2024-01-{d+1:02d}", "us")
+               + np.timedelta64(i, "m") for i in range(c)]
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(gs, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us"))}))
+    got = outlier_days_mad(ds).to_pandas()
+    assert got.values.tolist() == [["a", 19727, 50, 4, 1]]
+
+
+def test_outlier_days_mad_zero_mad_no_flags(ray_session):
+    from fluent_server_ray.stages.features import outlier_days_mad
+
+    counts = [3, 3, 3, 30]
+    gs, ts = [], []
+    for d, c in enumerate(counts):
+        gs += ["a"] * c
+        ts += [np.datetime64(f"2024-01-{d+1:02d}", "us")
+               + np.timedelta64(i, "m") for i in range(c)]
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(gs, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us"))}))
+    got = outlier_days_mad(ds).to_pandas()
+    assert len(got) == 0
