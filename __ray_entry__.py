@@ -3769,6 +3769,19 @@ def _q_outlier_days(sf_dir: str):
                            columns=["event_type", "ts"]))
 
 
+def _q_cross_source_dups(sf_dir: str):
+    """Cross-source contamination screen: histogram of 4-token
+    prefix keys shared by k>1 sources (blocking-key leakage exact
+    equality misses) — distinct-pair combiner, per-key rollup,
+    bounded histogram; corpus never on the driver."""
+    from fluent_server_ray.stages.dedup import cross_source_dup_histogram
+
+    return cross_source_dup_histogram(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["text", "source"]),
+        key_tokens=4)
+
+
 def _q_longest_streak(sf_dir: str):
     """Gaps-and-islands: longest consecutive-active-day streak per
     user — distinct (user, day) combiner, one key-bucket exchange,
@@ -4342,6 +4355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma_daily": _q_ewma_daily,
         "session_entry_exit": _q_session_entry_exit,
         "events_outlier_days": _q_outlier_days,
+        "docs_cross_source_dups": _q_cross_source_dups,
     }
 
 
@@ -5017,6 +5031,9 @@ WITH toks AS (
         "events_ewma_daily": features.ewma_daily_sql(),
         "session_entry_exit": windows.session_entry_exit_sql(),
         "events_outlier_days": features.outlier_days_mad_sql(),
+        "docs_cross_source_dups": __import__(
+            "fluent_server_ray.stages.dedup", fromlist=["x"]
+        ).cross_source_dup_histogram_sql(key_tokens=4),
         "doc_autocomplete_topk": textstats.autocomplete_topk_sql(),
         "doc_concordance": textstats.concordance_sql("merge", width=2),
         "source_simpson_diversity": textstats.simpson_diversity_sql(),

@@ -2972,3 +2972,119 @@ LEFT JOIN mode m ON m.component = c.component
 LEFT JOIN known k ON k.doc_id = c.doc_id
 ORDER BY c.doc_id
 """.strip()
+
+
+def cross_source_dup_histogram(ds, text_col: str = "text",
+                               source_col: str = "source",
+                               key_tokens: int | None = None) -> pa.Table:
+    """Cross-source duplicate leakage: for texts that appear in MORE
+    THAN ONE source, the histogram of how many sources share them —
+    the contamination screen run before treating sources as
+    independent (a text in k sources inflates any per-source metric
+    k ways; :func:`exact_dedup` removes copies, this REPORTS the
+    overlap structure).
+
+    Distributed shape: per-batch local (text, source) dedup
+    (combiner), distributed distinct merge over the unbounded pair
+    space, then a per-text distinct-source rollup whose k>1 rows
+    collapse to the bounded (n_sources, n_texts) histogram — the
+    corpus never lands on the driver. Output sorted by n_sources.
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[text_col]),
+                             pc.is_valid(t[source_col])))
+        key = pc.cast(t[text_col], pa.string())
+        if key_tokens is not None:
+            # first k NON-EMPTY tokens, single-space joined (the
+            # phrase_match flatten, rebuilt per doc)
+            toks = pc.split_pattern(key, " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False)
+            doc_row = np.repeat(np.arange(len(t), dtype=np.int64),
+                                np.asarray(lens, dtype=np.int64))
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            doc_row = doc_row[keep]
+            words = flat.filter(pa.array(keep))
+            ne_lens = np.bincount(doc_row,
+                                  minlength=len(t)).astype(np.int64)
+            starts = np.cumsum(ne_lens) - ne_lens
+            pos = (np.arange(len(doc_row), dtype=np.int64)
+                   - np.repeat(starts, ne_lens))
+            import pandas as pd
+            head = pos < key_tokens
+            joined = (pd.Series(np.asarray(words, dtype=object)[head])
+                      .groupby(doc_row[head]).agg(" ".join))
+            keys = np.full(len(t), "", dtype=object)
+            keys[joined.index.to_numpy()] = joined.to_numpy()
+            key = pa.array(keys, pa.string())
+        return (pa.table({"text": key, "src": t[source_col]})
+                .group_by(["text", "src"]).aggregate([]))
+
+    ts = grouped_agg(
+        ds.select_columns([text_col, source_col]).map_batches(
+            skip_empty(partial), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=["text", "src"], aggs=[("text", "count")],
+        final="ray").drop_columns(["text_count"])
+
+    def one(t: pa.Table) -> pa.Table:
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table({"text": t["text"], "one": ones})
+
+    per_text = grouped_agg(
+        ts.map_batches(one, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["text"], aggs=[("one", "sum")], final="ray")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["one_sum"], pa.int64())
+        sub = pa.table({"n_sources": k}).filter(pc.greater(k, 1))
+        return (sub.group_by("n_sources")
+                .aggregate([([], "count_all")])
+                .rename_columns(["n_sources", "c"]))
+
+    hist = grouped_agg(
+        per_text.map_batches(skip_empty(hist_partial),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True),
+        keys=["n_sources"], aggs=[("c", "sum")], final="driver")
+    out = hist.to_pandas().sort_values("n_sources") if hist.num_rows \
+        else None
+    if out is None or out.empty:
+        return pa.table({"n_sources": pa.array([], pa.int64()),
+                         "n_texts": pa.array([], pa.int64())})
+    return pa.table({
+        "n_sources": pa.array(out["n_sources"].astype("int64"),
+                              pa.int64()),
+        "n_texts": pa.array(out["c_sum"].astype("int64"), pa.int64()),
+    })
+
+
+def cross_source_dup_histogram_sql(text_col: str = "text",
+                                   source_col: str = "source",
+                                   key_tokens: int | None = None,
+                                   table: str = "documents") -> str:
+    key = (text_col if key_tokens is None else
+           f"array_to_string((list_filter(string_split({text_col}, "
+           f"' '), x -> x <> ''))[1:{key_tokens}], ' ')")
+    return f"""
+WITH ts AS (
+  SELECT DISTINCT {key} AS text, {source_col} AS src
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {source_col} IS NOT NULL
+), per_text AS (
+  SELECT text, CAST(count(*) AS BIGINT) AS k FROM ts GROUP BY text
+)
+SELECT k AS n_sources, CAST(count(*) AS BIGINT) AS n_texts
+FROM per_text WHERE k > 1
+GROUP BY k ORDER BY k
+""".strip()

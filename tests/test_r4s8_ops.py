@@ -969,3 +969,39 @@ def test_outlier_days_mad_zero_mad_no_flags(ray_session):
         "ts": pa.array(ts, pa.timestamp("us"))}))
     got = outlier_days_mad(ds).to_pandas()
     assert len(got) == 0
+
+
+def test_cross_source_dup_histogram_hand(ray_session):
+    from fluent_server_ray.stages.dedup import cross_source_dup_histogram
+
+    t = pa.table({
+        "text": pa.array(["x", "x", "x", "y", "y", "z", "x"],
+                         pa.string()),
+        "source": pa.array(["s1", "s2", "s3", "s1", "s1", "s2", "s1"],
+                           pa.string()),
+    })
+    # x in {s1,s2,s3} (k=3), y only s1, z only s2
+    got = cross_source_dup_histogram(rd.from_arrow(t)).to_pandas()
+    assert got.values.tolist() == [[3, 1]]
+
+
+def test_cross_source_dup_histogram_none(ray_session):
+    from fluent_server_ray.stages.dedup import cross_source_dup_histogram
+
+    t = pa.table({"text": pa.array(["a", "b"], pa.string()),
+                  "source": pa.array(["s1", "s2"], pa.string())})
+    got = cross_source_dup_histogram(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 0
+
+
+def test_cross_source_prefix_key_mode(ray_session):
+    from fluent_server_ray.stages.dedup import cross_source_dup_histogram
+
+    # different texts, same 2-token prefix across 2 sources
+    t = pa.table({
+        "text": pa.array(["a  b c", "a b d", "x y"], pa.string()),
+        "source": pa.array(["s1", "s2", "s1"], pa.string()),
+    })
+    got = cross_source_dup_histogram(rd.from_arrow(t),
+                                     key_tokens=2).to_pandas()
+    assert got.values.tolist() == [[2, 1]]
