@@ -4057,6 +4057,63 @@ def _q_events_profile_full(sf_dir: str):
         read_parquet_clean(f"{sf_dir}/events.parquet"))
 
 
+def _q_kruskal(sf_dir: str):
+    """Kruskal-Wallis H across event types — the k-group omnibus rank
+    test (doubled pooled midranks, floored-integer H with tie
+    correction) over one distinct-value-histogram combiner pass."""
+    from fluent_server_ray.stages.features import kruskal_by_group
+
+    return kruskal_by_group(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]))
+
+
+def _q_anova(sf_dir: str):
+    """One-way ANOVA F across event types — exact integer cents
+    moments from one combiner pass, floored-integer F recipe."""
+    from fluent_server_ray.stages.features import anova_by_group
+
+    return anova_by_group(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]))
+
+
+def _q_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding of order priority by total price
+    — the leakage-safe categorical encoder: bounded per-category
+    (n, Σcents) broadcast into one vectorized encode pass."""
+    from fluent_server_ray.stages.features import target_encode_loo
+
+    return target_encode_loo(
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"]))
+
+
+def _q_t_closeness(sf_dir: str):
+    """t-closeness release gate over (event_type, day) classes with
+    the event value ($100-bucketed cents) as the ordered sensitive
+    attribute — exact-integer EMD between class and global CDFs."""
+    import pyarrow as pa
+
+    from fluent_server_ray.stages.features import _cents, _epoch_day
+    from fluent_server_ray.stages.hygiene import t_closeness
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def derive(t):
+        return pa.table({"event_type": t["event_type"],
+                         "day": _epoch_day(t["ts"]),
+                         "value": t["value"]})
+
+    return t_closeness(
+        ev.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "day"], lambda t: _cents(t["value"]),
+        t_max_e6=100_000, unit=10_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4356,6 +4413,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_entry_exit": _q_session_entry_exit,
         "events_outlier_days": _q_outlier_days,
         "docs_cross_source_dups": _q_cross_source_dups,
+        "events_kruskal_types": _q_kruskal,
+        "events_anova_types": _q_anova,
+        "orders_target_encoding": _q_target_encoding,
+        "events_t_closeness": _q_t_closeness,
     }
 
 
@@ -5093,4 +5154,15 @@ WITH toks AS (
             "FROM documents)",
             "(SELECT doc_id AS id, text FROM documents)",
             max_dist=2, prefix_len=32),
+        "events_kruskal_types": features.kruskal_by_group_sql(),
+        "events_anova_types": features.anova_by_group_sql(),
+        "orders_target_encoding": features.target_encode_loo_sql(),
+        "events_t_closeness": __import__(
+            "fluent_server_ray.stages.hygiene", fromlist=["x"]
+        ).t_closeness_sql(
+            ["event_type",
+             "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"],
+            ["event_type", "day"],
+            "CAST(round(value * 100.0) AS BIGINT)",
+            t_max_e6=100_000, unit=10_000, table="events"),
     }

@@ -4811,3 +4811,361 @@ FROM dev JOIN mad ON mad.g = dev.g
 WHERE mad.mad > 0 AND dev.dv > {k} * mad.mad
 ORDER BY {group_col}, dev.day
 """.strip()
+
+
+# -------------------------------------------- Kruskal-Wallis H test
+
+def kruskal_by_group(ds, value_col: str = "value",
+                     group_col: str = "event_type",
+                     max_distinct: int = 4_000_000) -> pa.Table:
+    """Kruskal-Wallis H — the k-group extension of
+    :func:`mannwhitney_pairs` ("did ANY group's distribution shift?"):
+    one omnibus rank test across every group at once instead of
+    O(k²) pairwise U tests.
+
+    Exact-integer contract (the mannwhitney device, globalized):
+    pooled midranks over ALL groups are kept DOUBLED
+    (``r2 = 2*cum_before + n_ties + 1``), so per-group rank sums
+    ``R2_i`` are exact integers, and the statistic is a FLOORED
+    integer recipe both engines spell identically::
+
+        term_i = (3_000_000 * R2_i**2) // n_i              (per group)
+        h_e6   = (Σ term_i) // (N*(N+1)) - 3_000_000*(N+1)
+        h_tie_e6 = (h_e6 * (N**3 - N)) // (N**3 - N - T)
+        T      = Σ (t**3 - t) over pooled tie groups
+
+    (h = 12/(N(N+1))·ΣR_i²/n_i − 3(N+1) with R_i = R2_i/2 gives the
+    3e6 factor.) Intermediates are python ints / HUGEINT; the recipe
+    needs ``3e6·(2N·max n_i)² < 2¹²⁷`` — holds to N ≈ 3·10⁷; bin the
+    value space first beyond that (same caveat as the U test).
+
+    Distributed shape: ONE per-batch (value, group) count combiner
+    collapses the corpus to the distinct-value histogram (guarded by
+    ``max_distinct``); everything after runs on the bounded G×V
+    driver table. NULLs excluded; NaN raises. Output: one row per
+    group (group, n, rank_sum2) + the pooled scalars repeated
+    (n_total, tie_sum, h_millionths, h_tie_millionths), sorted by
+    group.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        v = pc.cast(t[value_col], pa.float64())
+        if pc.any(pc.is_nan(v)).as_py():
+            raise ValueError("kruskal_by_group: NaN value — filter first")
+        return pa.table({"v": v,
+                         "g": pc.cast(t[group_col], pa.string())})
+
+    cells = grouped_counts(
+        ds.select_columns([value_col, group_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["v", "g"], final="driver")
+    if cells.num_rows > max_distinct:
+        raise ValueError(
+            "kruskal_by_group: distinct value space exceeds "
+            "max_distinct — bin first for continuous open-scale columns")
+
+    out_fields = [("group", pa.string()), ("n", pa.int64()),
+                  ("rank_sum2", pa.int64()), ("n_total", pa.int64()),
+                  ("tie_sum", pa.int64()), ("h_millionths", pa.int64()),
+                  ("h_tie_millionths", pa.int64())]
+    df = cells.to_pandas()
+    if df.empty:
+        return pa.schema(out_fields).empty_table()
+    wide = (df.pivot_table(index="v", columns="g", values="n",
+                           aggfunc="sum", fill_value=0).sort_index())
+    groups = sorted(wide.columns)
+    counts = {g: wide[g].to_numpy() for g in groups}
+    # pooled doubled midranks + tie sum over the ordered value grid
+    # (python-int accumulation: rank products pass int64 at open scale)
+    ties_per_v = np.zeros(len(wide), dtype=np.int64)
+    for g in groups:
+        ties_per_v += counts[g]
+    cum = 0
+    r2_grid = []
+    tie_sum = 0
+    for t_cnt in ties_per_v.tolist():
+        r2_grid.append(2 * cum + t_cnt + 1)
+        cum += t_cnt
+        tie_sum += t_cnt ** 3 - t_cnt
+    n_total = cum
+    if n_total < 2 or len(groups) < 2:
+        raise ValueError("kruskal_by_group: need ≥2 groups and ≥2 rows")
+    term_total = 0
+    rows = []
+    for g in groups:
+        c = counts[g].tolist()
+        n_g = sum(c)
+        if n_g == 0:
+            continue
+        r2g = sum(cc * r2 for cc, r2 in zip(c, r2_grid))
+        term_total += (3_000_000 * r2g * r2g) // n_g
+        rows.append((g, n_g, r2g))
+    h_e6 = term_total // (n_total * (n_total + 1)) \
+        - 3_000_000 * (n_total + 1)
+    n3n = n_total ** 3 - n_total
+    if n3n - tie_sum == 0:
+        raise ValueError("kruskal_by_group: all values tied — H undefined")
+    h_tie_e6 = (h_e6 * n3n) // (n3n - tie_sum)
+    return pa.table({
+        "group": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "rank_sum2": pa.array([r[2] for r in rows], pa.int64()),
+        "n_total": pa.array([n_total] * len(rows), pa.int64()),
+        "tie_sum": pa.array([tie_sum] * len(rows), pa.int64()),
+        "h_millionths": pa.array([h_e6] * len(rows), pa.int64()),
+        "h_tie_millionths": pa.array([h_tie_e6] * len(rows), pa.int64()),
+    })
+
+
+def kruskal_by_group_sql(value_col: str = "value",
+                         group_col: str = "event_type",
+                         table: str = "events") -> str:
+    return f"""
+WITH vals AS (
+  SELECT {group_col} AS g, {value_col} AS v FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+), ranked AS (
+  SELECT g,
+    CAST(2 * rank() OVER (ORDER BY v)
+         + count(*) OVER (PARTITION BY v) - 1 AS HUGEINT) AS r2
+  FROM vals
+), per_g AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n_g,
+    sum(r2) AS r2g
+  FROM ranked GROUP BY g
+), tie AS (
+  SELECT CAST(sum(t * t * t - t) AS HUGEINT) AS tie_sum,
+    CAST(sum(t) AS HUGEINT) AS n_total
+  FROM (SELECT CAST(count(*) AS HUGEINT) AS t FROM vals GROUP BY v)
+), scal AS (
+  SELECT
+    (SELECT sum((3000000 * r2g * r2g) // n_g) FROM per_g) AS term_total,
+    tie_sum, n_total
+  FROM tie
+), hh AS (
+  SELECT n_total, tie_sum,
+    term_total // (n_total * (n_total + 1))
+      - 3000000 * (n_total + 1) AS h_e6
+  FROM scal
+)
+SELECT p.g AS "group", CAST(p.n_g AS BIGINT) AS n,
+  CAST(p.r2g AS BIGINT) AS rank_sum2,
+  CAST(h.n_total AS BIGINT) AS n_total,
+  CAST(h.tie_sum AS BIGINT) AS tie_sum,
+  CAST(h.h_e6 AS BIGINT) AS h_millionths,
+  CAST((h.h_e6 * (n_total * n_total * n_total - n_total))
+       // (n_total * n_total * n_total - n_total - tie_sum)
+       AS BIGINT) AS h_tie_millionths
+FROM per_g p CROSS JOIN hh h
+ORDER BY "group"
+""".strip()
+
+
+# -------------------------------------------- one-way ANOVA F test
+
+def anova_by_group(ds, value_col: str = "value",
+                   group_col: str = "event_type") -> pa.Table:
+    """One-way ANOVA F — the parametric omnibus beside
+    :func:`kruskal_by_group`: variance *between* group means against
+    variance *within* groups, over a 2-decimal numeric column.
+
+    Exact-integer contract: values go through the house ``_cents``
+    rule; per-group (n_i, S_i = Σcents, and pooled Q = Σcents²) are
+    exact integer combiner partials, and the statistic is a FLOORED
+    integer recipe both engines spell identically::
+
+        between_i = (1_000_000 * S_i**2) // n_i            (per group)
+        ssb_e6 = Σ between_i - (1_000_000 * S**2) // N
+        ssw_e6 = 1_000_000 * Q - Σ between_i
+        f_e6   = (ssb_e6 * (N - k) * 1_000_000) // (ssw_e6 * (k - 1))
+
+    Intermediates are python ints / HUGEINT: needs
+    ``1e6·S_i² < 2¹²⁷`` — holds to |Σcents| ≈ 4·10¹⁵ per group.
+
+    Distributed shape: ONE combiner pass (grouped n/sum/sum-of-squares
+    partials per batch, driver merge over |groups|·|blocks| rows);
+    the corpus never moves. NULLs excluded; NaN raises. Output: one
+    row per group (group, n, sum_cents) + pooled scalars repeated
+    (n_total, ssb_millionths, ssw_millionths, f_millionths), sorted
+    by group.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        v = pc.cast(t[value_col], pa.float64())
+        if pc.any(pc.is_nan(v)).as_py():
+            raise ValueError("anova_by_group: NaN value — filter first")
+        cents = _cents(v)
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "c": cents,
+                         "c2": pc.multiply(cents, cents)})
+
+    per_g = grouped_agg(
+        ds.select_columns([value_col, group_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], [("c", "sum"), ("c", "count"), ("c2", "sum")],
+        final="driver")
+
+    out_fields = [("group", pa.string()), ("n", pa.int64()),
+                  ("sum_cents", pa.int64()), ("n_total", pa.int64()),
+                  ("ssb_millionths", pa.int64()),
+                  ("ssw_millionths", pa.int64()),
+                  ("f_millionths", pa.int64())]
+    if per_g.num_rows < 2:
+        raise ValueError("anova_by_group: need ≥2 groups")
+    gs = per_g["g"].to_pylist()
+    ns = [int(x) for x in per_g["c_count"].to_pylist()]
+    ss = [int(x) for x in per_g["c_sum"].to_pylist()]
+    q = sum(int(x) for x in per_g["c2_sum"].to_pylist())
+    n_total, s_total, k = sum(ns), sum(ss), len(gs)
+    if n_total <= k:
+        raise ValueError("anova_by_group: need N > k for the F ratio")
+    between = [(1_000_000 * s * s) // n for s, n in zip(ss, ns)]
+    ssb_e6 = sum(between) - (1_000_000 * s_total * s_total) // n_total
+    ssw_e6 = 1_000_000 * q - sum(between)
+    if ssw_e6 <= 0:
+        raise ValueError("anova_by_group: zero within-group variance")
+    f_e6 = (ssb_e6 * (n_total - k) * 1_000_000) // (ssw_e6 * (k - 1))
+    order = sorted(range(k), key=lambda i: gs[i])
+    return pa.table({
+        "group": pa.array([gs[i] for i in order], pa.string()),
+        "n": pa.array([ns[i] for i in order], pa.int64()),
+        "sum_cents": pa.array([ss[i] for i in order], pa.int64()),
+        "n_total": pa.array([n_total] * k, pa.int64()),
+        "ssb_millionths": pa.array([ssb_e6] * k, pa.int64()),
+        "ssw_millionths": pa.array([ssw_e6] * k, pa.int64()),
+        "f_millionths": pa.array([f_e6] * k, pa.int64()),
+    })
+
+
+def anova_by_group_sql(value_col: str = "value",
+                       group_col: str = "event_type",
+                       table: str = "events") -> str:
+    return f"""
+WITH vals AS (
+  SELECT {group_col} AS g,
+    CAST(round({value_col} * 100.0) AS HUGEINT) AS c
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+), per_g AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n_g, sum(c) AS s_g,
+    sum(c * c) AS q_g
+  FROM vals GROUP BY g
+), scal AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k,
+    sum(n_g) AS n_total, sum(s_g) AS s_total, sum(q_g) AS q,
+    sum((1000000 * s_g * s_g) // n_g) AS between_sum
+  FROM per_g
+), ss AS (
+  SELECT k, n_total,
+    between_sum - (1000000 * s_total * s_total) // n_total AS ssb_e6,
+    1000000 * q - between_sum AS ssw_e6
+  FROM scal
+)
+SELECT p.g AS "group", CAST(p.n_g AS BIGINT) AS n,
+  CAST(p.s_g AS BIGINT) AS sum_cents,
+  CAST(s.n_total AS BIGINT) AS n_total,
+  CAST(s.ssb_e6 AS BIGINT) AS ssb_millionths,
+  CAST(s.ssw_e6 AS BIGINT) AS ssw_millionths,
+  CAST((s.ssb_e6 * (s.n_total - s.k) * 1000000)
+       // (s.ssw_e6 * (s.k - 1)) AS BIGINT) AS f_millionths
+FROM per_g p CROSS JOIN ss s
+ORDER BY "group"
+""".strip()
+
+
+# -------------------------------------------- LOO target encoding
+
+def target_encode_loo(ds, cat_col: str = "o_orderpriority",
+                      target_col: str = "o_totalprice",
+                      id_col: str = "o_orderkey") -> "ray.data.Dataset":
+    """Leave-one-out target encoding — the leakage-safe categorical
+    encoder for training data: each row's category is replaced by the
+    mean target of all OTHER rows in that category, so a row never
+    sees its own label (plain mean encoding leaks the target into the
+    feature; LOO is the standard fix).
+
+    Exact-integer contract: the target goes through the house
+    ``_cents`` rule and the encoding is one floor division both
+    engines spell identically: ``loo_e6 = (1_000_000 * (S_cat -
+    cents_i)) // (n_cat - 1)`` (NULL when the row is its category's
+    only member). Rows with a NULL category or target are excluded.
+
+    Distributed shape: combiner pass #1 collapses the corpus to
+    per-category (n, Σcents) — bounded category cardinality by
+    contract — which broadcasts as a plain dict into a second
+    vectorized map; the corpus streams through once more and never
+    lands on the driver. Output: Dataset (id, category, cents,
+    loo_mean_cents_e6) — consume with a sort for deterministic order.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[target_col]),
+                             pc.is_valid(t[cat_col])))
+        return pa.table({"id": t[id_col],
+                         "cat": pc.cast(t[cat_col], pa.string()),
+                         "cents": _cents(pc.cast(t[target_col],
+                                                 pa.float64()))})
+
+    proj_ds = ds.select_columns(
+        [id_col, cat_col, target_col]).map_batches(
+        proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    stats = grouped_agg(proj_ds, ["cat"],
+                        [("cents", "sum"), ("cents", "count")],
+                        final="driver")
+    s_map = {c: (int(s), int(n)) for c, s, n in zip(
+        stats["cat"].to_pylist(), stats["cents_sum"].to_pylist(),
+        stats["cents_count"].to_pylist())}
+    if s_map and 1_000_000 * max(abs(s) for s, _ in s_map.values()) \
+            >= 2 ** 62:
+        raise ValueError(
+            "target_encode_loo: 1e6·Σcents would overflow int64 — "
+            "encode per-partition or drop to a coarser unit first")
+
+    def encode(t: pa.Table) -> pa.Table:
+        cats = t["cat"].to_pylist()
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        # bounded-category python loop builds the two lookup arrays;
+        # the arithmetic itself is vectorized int64 (floor division —
+        # numpy // floors, matching SQL //)
+        s_arr = np.array([s_map[c][0] for c in cats], dtype=np.int64)
+        n_arr = np.array([s_map[c][1] for c in cats], dtype=np.int64)
+        valid = n_arr > 1
+        loo = (1_000_000 * (s_arr - cents)) // np.where(valid,
+                                                        n_arr - 1, 1)
+        return pa.table({
+            "id": t["id"], "category": t["cat"], "cents": t["cents"],
+            "loo_mean_cents_e6": pc.if_else(
+                pa.array(valid), pa.array(loo, pa.int64()),
+                pa.scalar(None, pa.int64()))})
+
+    return proj_ds.map_batches(encode, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def target_encode_loo_sql(cat_col: str = "o_orderpriority",
+                          target_col: str = "o_totalprice",
+                          id_col: str = "o_orderkey",
+                          table: str = "orders") -> str:
+    return f"""
+WITH vals AS (
+  SELECT {id_col} AS id, {cat_col} AS category,
+    CAST(round({target_col} * 100.0) AS BIGINT) AS cents
+  FROM {table}
+  WHERE {target_col} IS NOT NULL AND {cat_col} IS NOT NULL
+)
+SELECT id, category, cents,
+  CASE WHEN count(*) OVER (PARTITION BY category) > 1 THEN
+    CAST((1000000 * (sum(cents) OVER (PARTITION BY category) - cents))
+         // (count(*) OVER (PARTITION BY category) - 1) AS BIGINT)
+  END AS loo_mean_cents_e6
+FROM vals
+ORDER BY id
+""".strip()

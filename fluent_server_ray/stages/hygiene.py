@@ -1066,3 +1066,151 @@ SELECT {keys}, CAST(count(*) AS BIGINT) AS n,
   count(DISTINCT s) < {l_min} AS at_risk
 FROM f GROUP BY {keys} ORDER BY {keys}
 """.strip()
+
+
+def t_closeness(ds, cols: list[str], sensitive_cents, t_max_e6: int,
+                unit: int = 100, max_cells: int = 50_000_000):
+    """t-closeness audit — the third release gate after
+    :func:`k_anonymity` and :func:`l_diversity`: a class can be large
+    AND diverse yet still leak if its sensitive-value DISTRIBUTION
+    differs from the corpus-wide one (e.g. one (event_type, day)
+    class holding only the top-value users). Reports, per quasi-id
+    class, the Earth Mover's Distance between the class's and the
+    global sensitive distribution over the ORDERED value domain
+    (Li, Li & Venkatasubramanian, ICDE 2007 — ordered-attribute EMD
+    = mean absolute difference of the two CDFs).
+
+    Exact-integer contract: the sensitive column is the house cents
+    rule floored to ``unit`` buckets (``dollar = cents // unit`` —
+    the audit's ordered domain; unit=1 for raw cents); with global
+    counts g_j (Σ=N) and class counts c_j (Σ=n) over the m-value
+    global grid::
+
+        cum_i = Σ_{j≤i} (c_j·N − g_j·n)       (exact int64, python-int
+        emd_e6 = (1_000_000 · Σ_{i<m} |cum_i|)      totals)
+                 // ((m−1) · n · N)
+
+    which is floor(1e6·EMD). Needs ``N < 2³¹`` (cum ≤ N²); raises
+    beyond. Rows with NULL quasi-id or sensitive values are excluded
+    (the NULL-class semantics live in :func:`k_anonymity`).
+
+    Distributed shape: ONE per-batch (class, bucket) count combiner
+    collapses the corpus to the distinct-cell histogram (guarded by
+    ``max_cells`` against open-scale domains — coarsen ``unit``
+    first); the dense class×grid walk runs vectorized on the bounded
+    driver table. Output: pyarrow Table (cols..., n,
+    emd_millionths, at_risk) sorted by cols.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = None
+        for c in cols + ["__sens"]:
+            col = sensitive_cents(t) if c == "__sens" else t[c]
+            v = pc.is_valid(col)
+            mask = v if mask is None else pc.and_(mask, v)
+        sens = sensitive_cents(t)
+        buck = pc.cast(
+            pc.floor(pc.divide(pc.cast(sens, pa.float64()), float(unit))),
+            pa.int64())
+        keep = pa.table({**{c: t[c] for c in cols}, "bucket": buck})
+        return keep.filter(mask)
+
+    cells = grouped_counts(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        cols + ["bucket"], final="driver")
+    out_fields = ([(c, cells.schema.field(c).type) for c in cols]
+                  + [("n", pa.int64()), ("emd_millionths", pa.int64()),
+                     ("at_risk", pa.bool_())])
+    df = cells.to_pandas()
+    if df.empty:
+        return pa.schema(out_fields).empty_table()
+
+    grid = np.sort(df["bucket"].unique())
+    m = len(grid)
+    classes = df.groupby(cols, sort=True)
+    if m * classes.ngroups > max_cells:
+        raise ValueError(
+            "t_closeness: class×grid cells exceed max_cells — coarsen "
+            "unit or generalize the quasi-identifier first")
+    g_counts = (df.groupby("bucket")["n"].sum()
+                .reindex(grid, fill_value=0).to_numpy(dtype=np.int64))
+    big_n = int(g_counts.sum())
+    if big_n >= 2 ** 31:
+        raise ValueError("t_closeness: N ≥ 2^31 — cum would overflow "
+                         "int64; audit per partition")
+    if m < 2:
+        raise ValueError("t_closeness: sensitive domain has < 2 values")
+
+    keys, ns, emds = [], [], []
+    for key, sub in classes:
+        c = (sub.set_index("bucket")["n"].reindex(grid, fill_value=0)
+             .to_numpy(dtype=np.int64))
+        n = int(c.sum())
+        cum = np.cumsum(c * big_n - g_counts * n)
+        tot = int(np.abs(cum[:-1]).sum())  # ≤ m·N² < 2^63 given N<2^31
+        emds.append((1_000_000 * tot) // ((m - 1) * n * big_n))
+        keys.append(key if isinstance(key, tuple) else (key,))
+        ns.append(n)
+
+    out = {c: pa.array([k[i] for k in keys],
+                       cells.schema.field(c).type)
+           for i, c in enumerate(cols)}
+    out["n"] = pa.array(ns, pa.int64())
+    out["emd_millionths"] = pa.array(emds, pa.int64())
+    out["at_risk"] = pc.greater(pa.array(emds, pa.int64()), t_max_e6)
+    return pa.table(out)
+
+
+def t_closeness_sql(col_exprs: list[str], names: list[str],
+                    sensitive_expr: str, t_max_e6: int,
+                    unit: int, table: str) -> str:
+    """Mirror: dense class×grid cross join, window cumsum, HUGEINT."""
+    sel = ", ".join(f"{e} AS {n}" for e, n in zip(col_exprs, names))
+    keys = ", ".join(names)
+    qkeys = ", ".join(f"q.{n}" for n in names)
+    return f"""
+WITH base AS (
+  SELECT {sel},
+    CAST(floor(CAST({sensitive_expr} AS DOUBLE) / {unit}) AS BIGINT)
+      AS bucket
+  FROM {table}
+  WHERE {sensitive_expr} IS NOT NULL
+    AND {" AND ".join(f"({e}) IS NOT NULL" for e in col_exprs)}
+), cells AS (
+  SELECT {keys}, bucket, CAST(count(*) AS HUGEINT) AS c
+  FROM base GROUP BY {keys}, bucket
+), grid AS (
+  SELECT bucket, CAST(sum(c) AS HUGEINT) AS g FROM cells GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(g) AS HUGEINT) AS big_n,
+    CAST(count(*) AS HUGEINT) AS m FROM grid
+), cls AS (
+  SELECT {keys}, CAST(sum(c) AS HUGEINT) AS n FROM cells
+  GROUP BY {keys}
+), dense AS (
+  SELECT {qkeys}, g.bucket, g.g, q.n, COALESCE(c.c, 0) AS c
+  FROM cls q CROSS JOIN grid g
+  LEFT JOIN cells c ON c.bucket = g.bucket
+    AND {" AND ".join(f"c.{n} = q.{n}" for n in names)}
+), cums AS (
+  SELECT {keys}, n, bucket,
+    sum(c * (SELECT big_n FROM tot) - g * n)
+      OVER (PARTITION BY {keys} ORDER BY bucket) AS cum,
+    row_number() OVER (PARTITION BY {keys} ORDER BY bucket) AS i
+  FROM dense
+), emd AS (
+  SELECT {keys}, any_value(n) AS n,
+    (1000000 * sum(abs(cum)) FILTER (WHERE i < (SELECT m FROM tot)))
+      // (((SELECT m FROM tot) - 1) * any_value(n)
+          * (SELECT big_n FROM tot)) AS emd
+  FROM cums GROUP BY {keys}
+)
+SELECT {keys}, CAST(n AS BIGINT) AS n,
+  CAST(emd AS BIGINT) AS emd_millionths,
+  emd > {t_max_e6} AS at_risk
+FROM emd ORDER BY {keys}
+""".strip()

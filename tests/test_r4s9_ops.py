@@ -1,0 +1,193 @@
+"""Hand-computed pins for the round-4 ninth-session operators:
+Kruskal-Wallis H, one-way ANOVA F, LOO target encoding, t-closeness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _events(groups, values):
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(groups, pa.string()),
+        "value": pa.array(values, pa.float64()),
+    }))
+
+
+# -------------------------------------------------- Kruskal-Wallis
+
+def test_kruskal_hand_no_ties(ray_session):
+    from fluent_server_ray.stages.features import kruskal_by_group
+
+    # a: [1, 2], b: [3, 4] — ranks 1..4, R_a = 3, R_b = 7, N = 4
+    # H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 0.6*29 - 15 = 2.4
+    # doubled: R2_a = 6, R2_b = 14
+    # term = 3e6*36//2 + 3e6*196//2 = 54e6 + 294e6 = 348e6
+    # h_e6 = 348e6 // 20 - 3e6*5 = 17.4e6 - 15e6 = 2_400_000
+    got = kruskal_by_group(
+        _events(["a", "a", "b", "b"], [1.0, 2.0, 3.0, 4.0])).to_pandas()
+    assert got["group"].tolist() == ["a", "b"]
+    assert got["rank_sum2"].tolist() == [6, 14]
+    assert got["h_millionths"].tolist() == [2_400_000] * 2
+    # no ties: tie correction is identity
+    assert got["h_tie_millionths"].tolist() == [2_400_000] * 2
+    assert got["tie_sum"].tolist() == [0, 0]
+
+
+def test_kruskal_scipy_parity(ray_session):
+    from fluent_server_ray.stages.features import kruskal_by_group
+
+    rng = np.random.default_rng(7)
+    groups = ["a"] * 40 + ["b"] * 30 + ["c"] * 50
+    vals = np.concatenate([
+        np.round(rng.normal(10, 2, 40), 2),
+        np.round(rng.normal(11, 2, 30), 2),
+        np.round(rng.normal(10.5, 2, 50), 2)]).tolist()
+    got = kruskal_by_group(_events(groups, vals)).to_pandas()
+    try:
+        from scipy.stats import kruskal
+    except ImportError:
+        pytest.skip("scipy not available")
+    ref = kruskal(vals[:40], vals[40:70], vals[70:]).statistic
+    # tie-corrected H should match scipy to the floored millionth
+    assert abs(got["h_tie_millionths"].iloc[0] / 1e6 - ref) < 2e-6
+
+
+def test_kruskal_null_excluded(ray_session):
+    from fluent_server_ray.stages.features import kruskal_by_group
+
+    got = kruskal_by_group(_events(
+        ["a", "a", "b", "b", None],
+        [1.0, 2.0, 3.0, 4.0, 100.0])).to_pandas()
+    assert got["n_total"].tolist() == [4, 4]
+
+
+# -------------------------------------------------- one-way ANOVA
+
+def test_anova_hand(ray_session):
+    from fluent_server_ray.stages.features import anova_by_group
+
+    # cents: a = [100, 200], b = [300, 400]
+    # S_a=300 n=2, S_b=700 n=2, S=1000 N=4, Q=10000+40000+90000+160000=300000
+    # between = 1e6*90000//2 + 1e6*490000//2 = 45e9 + 245e9 = 290e9
+    # ssb = 290e9 - 1e6*1e6//4 = 290e9 - 250e9 = 40e9  (SSB = 40000 c²)
+    # ssw = 1e6*300000 - 290e9 = 10e9                  (SSW = 10000 c²)
+    # F = (40e9 * 2 * 1e6) // (10e9 * 1) = 8e6 -> F = 8.0
+    got = anova_by_group(
+        _events(["a", "a", "b", "b"], [1.0, 2.0, 3.0, 4.0])).to_pandas()
+    assert got["group"].tolist() == ["a", "b"]
+    assert got["sum_cents"].tolist() == [300, 700]
+    assert got["ssb_millionths"].tolist() == [40_000_000_000] * 2
+    assert got["ssw_millionths"].tolist() == [10_000_000_000] * 2
+    assert got["f_millionths"].tolist() == [8_000_000] * 2
+
+
+def test_anova_scipy_parity(ray_session):
+    from fluent_server_ray.stages.features import anova_by_group
+
+    rng = np.random.default_rng(11)
+    groups = ["a"] * 35 + ["b"] * 45 + ["c"] * 20
+    vals = np.concatenate([
+        np.round(rng.normal(10, 2, 35), 2),
+        np.round(rng.normal(12, 2, 45), 2),
+        np.round(rng.normal(11, 2, 20), 2)]).tolist()
+    got = anova_by_group(_events(groups, vals)).to_pandas()
+    try:
+        from scipy.stats import f_oneway
+    except ImportError:
+        pytest.skip("scipy not available")
+    ref = f_oneway(vals[:35], vals[35:80], vals[80:]).statistic
+    assert abs(got["f_millionths"].iloc[0] / 1e6 - ref) < 2e-5
+
+
+def test_anova_zero_within_raises(ray_session):
+    from fluent_server_ray.stages.features import anova_by_group
+
+    with pytest.raises(ValueError, match="within"):
+        anova_by_group(_events(["a", "a", "b"], [1.0, 1.0, 2.0]))
+
+
+# -------------------------------------------- LOO target encoding
+
+def test_target_encode_loo_hand(ray_session):
+    from fluent_server_ray.stages.features import target_encode_loo
+
+    ds = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderpriority": pa.array(["x", "x", "x", "y"], pa.string()),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 9.0], pa.float64()),
+    }))
+    got = (target_encode_loo(ds).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # category x: S=600 cents over 3 rows. id 1 -> (600-100)/2 = 250 c
+    assert got["loo_mean_cents_e6"].tolist()[:3] == [
+        250_000_000, 200_000_000, 150_000_000]
+    # singleton category y: NULL
+    assert pd.isna(got["loo_mean_cents_e6"].iloc[3])
+
+
+def test_target_encode_loo_never_sees_self(ray_session):
+    from fluent_server_ray.stages.features import target_encode_loo
+
+    # one huge outlier: its OWN encoding must exclude it
+    ds = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderpriority": pa.array(["x", "x", "x"], pa.string()),
+        "o_totalprice": pa.array([1.0, 1.0, 1000.0], pa.float64()),
+    }))
+    got = (target_encode_loo(ds).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # outlier row's encoding = mean of the two 1.0 rows = 100 cents
+    assert got["loo_mean_cents_e6"].iloc[2] == 100_000_000
+    # the small rows see the outlier: (100 + 100000)/2 = 50050 cents
+    assert got["loo_mean_cents_e6"].iloc[0] == 50_050_000_000
+
+
+# ------------------------------------------------------ t-closeness
+
+def _tc_input(classes, cents):
+    return rd.from_arrow(pa.table({
+        "cls": pa.array(classes, pa.string()),
+        "cents": pa.array(cents, pa.int64()),
+    }))
+
+
+def test_t_closeness_hand(ray_session):
+    from fluent_server_ray.stages.hygiene import t_closeness
+
+    # grid (unit=1): values 1, 2. global g = [2, 2], N = 4
+    # class a = [1, 1] (c=[2,0], n=2): cum_1 = 2*4 - 2*2 = 4
+    #   emd = 1e6*4 // (1 * 2 * 4) = 500000  (a holds only low values)
+    # class b = [2, 2]: cum_1 = 0*4 - 2*2 = -4 -> 500000
+    got = t_closeness(
+        _tc_input(["a", "a", "b", "b"], [1, 1, 2, 2]),
+        ["cls"], lambda t: t["cents"], t_max_e6=400_000,
+        unit=1).to_pandas()
+    assert got["cls"].tolist() == ["a", "b"]
+    assert got["emd_millionths"].tolist() == [500_000, 500_000]
+    assert got["at_risk"].tolist() == [True, True]
+
+
+def test_t_closeness_identical_distribution_is_zero(ray_session):
+    from fluent_server_ray.stages.hygiene import t_closeness
+
+    got = t_closeness(
+        _tc_input(["a", "a", "b", "b"], [1, 2, 1, 2]),
+        ["cls"], lambda t: t["cents"], t_max_e6=0,
+        unit=1).to_pandas()
+    assert got["emd_millionths"].tolist() == [0, 0]
+    assert got["at_risk"].tolist() == [False, False]
+
+
+def test_t_closeness_unit_buckets(ray_session):
+    from fluent_server_ray.stages.hygiene import t_closeness
+
+    # unit=100: cents 150 and 199 share bucket 1; 250 -> bucket 2
+    got = t_closeness(
+        _tc_input(["a", "a", "b"], [150, 199, 250]),
+        ["cls"], lambda t: t["cents"], t_max_e6=999_999,
+        unit=100).to_pandas()
+    # grid = [1, 2], g = [2, 1], N = 3
+    # a: c=[2,0] n=2 -> cum_1 = 2*3 - 2*2 = 2 -> 1e6*2 // (1*2*3) = 333333
+    assert got.loc[got.cls == "a", "emd_millionths"].iloc[0] == 333_333
