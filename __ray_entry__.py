@@ -4114,6 +4114,29 @@ def _q_t_closeness(sf_dir: str):
         t_max_e6=100_000, unit=10_000)
 
 
+def _q_wildcard_search(sf_dir: str):
+    """SQL-LIKE wildcard search with a sound trigram prefilter
+    (pg_trgm plan): vectorized short-circuit substring AND-mask,
+    exact ordered-literal regex verify on survivors only."""
+    from fluent_server_ray.stages.textstats import wildcard_search
+
+    return wildcard_search(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]),
+        pattern="%merge%window%dup%")
+
+
+def _q_spell_candidates(sf_dir: str):
+    """SymSpell deletion-neighborhood spell-correction candidates:
+    key join (never a cross join) + exact lev≤1 verify; deterministic
+    synthetic typos from the top vocab words."""
+    from fluent_server_ray.stages.textstats import spell_candidates
+
+    return spell_candidates(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4417,6 +4440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anova_types": _q_anova,
         "orders_target_encoding": _q_target_encoding,
         "events_t_closeness": _q_t_closeness,
+        "doc_wildcard_search": _q_wildcard_search,
+        "doc_spell_candidates": _q_spell_candidates,
     }
 
 
@@ -5165,4 +5190,7 @@ WITH toks AS (
             ["event_type", "day"],
             "CAST(round(value * 100.0) AS BIGINT)",
             t_max_e6=100_000, unit=10_000, table="events"),
+        "doc_wildcard_search": textstats.wildcard_search_sql(
+            pattern="%merge%window%dup%"),
+        "doc_spell_candidates": textstats.spell_candidates_sql(),
     }

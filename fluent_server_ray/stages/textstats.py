@@ -3582,3 +3582,240 @@ SELECT g AS {group_col}, CAST(nn AS BIGINT) AS n_tokens,
     AS simpson_millionths
 FROM agg ORDER BY {group_col}
 """.strip()
+
+
+# ---------------------------------------- trigram wildcard search
+
+def wildcard_search(ds, pattern: str, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """SQL-``LIKE`` wildcard search with a trigram prefilter — the
+    pg_trgm plan expressed Ray-Data-first: ``%lit1%lit2%…%`` matching
+    runs as (1) a cheap vectorized AND-mask of plain-substring
+    trigram probes (``pc.match_substring`` per query trigram,
+    short-circuit: each probe only scans survivors of the previous
+    one), then (2) the exact ordered-literal regex verify
+    (``lit1.*lit2.*``, DOTALL — ``%`` crosses newlines like LIKE)
+    on the tiny candidate set. The trigram mask is sound: any LIKE
+    match must contain every trigram of every literal, so step (1)
+    never drops a true match — step (2) only removes false
+    positives (trigrams present but out of order / overlapping).
+
+    At corpus scale the same trigram set probes a PERSISTED postings
+    layout instead of rescanning (the :func:`word_postings` shape,
+    keyed on trigram); the scan form here is the index-free plan —
+    still one streaming pass, never a row loop.
+
+    Contract: the pattern must start and end with ``%``, contain no
+    ``_`` wildcards, and every literal must be ≥ 3 chars (shorter
+    literals have no trigram — raise rather than silently full-scan).
+    Returns a Dataset of matching (id) rows, ascending.
+    """
+    import re
+
+    if not (pattern.startswith("%") and pattern.endswith("%")):
+        raise ValueError("wildcard_search: pattern must be %-anchored "
+                         "on both ends (LIKE '%…%' form)")
+    if "_" in pattern:
+        raise ValueError("wildcard_search: '_' wildcard not supported")
+    lits = [p for p in pattern.split("%") if p]
+    if not lits or any(len(p) < 3 for p in lits):
+        raise ValueError("wildcard_search: every literal needs ≥ 3 "
+                         "chars for the trigram prefilter")
+    trigrams = sorted({lit[i:i + 3] for lit in lits
+                       for i in range(len(lit) - 2)})
+    # (?s): '%' crosses newlines like LIKE (RE2/Arrow have no dotall
+    # kwarg — the inline flag is the portable spelling)
+    rx = "(?s)" + ".*".join(re.escape(lit) for lit in lits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        # short-circuit AND: each trigram probe scans only survivors
+        for tg in trigrams:
+            if t.num_rows == 0:
+                break
+            t = t.filter(pc.match_substring(t[text_col], tg))
+        if t.num_rows:
+            t = t.filter(pc.match_substring_regex(t[text_col], rx))
+        return t.select([id_col])
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(id_col)
+
+
+def wildcard_search_sql(pattern: str, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        table: str = "documents") -> str:
+    esc = pattern.replace("'", "''")
+    return (f"SELECT {id_col} FROM {table} "
+            f"WHERE {text_col} LIKE '{esc}' ORDER BY {id_col}").strip()
+
+
+# ------------------------------- deletion-neighborhood spell match
+
+def _lev1(a: str, b: str) -> int:
+    """Exact Levenshtein distance CAPPED at 2 (returns 0, 1 or 2) —
+    the verify kernel for distance-1 candidates; O(len) band walk."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return 2
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb - la ∈ {0, 1}: one aligned pass, allow a single edit
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    if i == la:          # a is a prefix of b (lb = la + 1)
+        return 1
+    if la == lb:         # substitution at i?
+        return 1 if a[i + 1:] == b[i + 1:] else 2
+    return 1 if a[i:] == b[i + 1:] else 2  # insertion into a at i?
+
+
+def spell_candidates(ds, n_queries: int = 200, min_len: int = 4,
+                     min_count: int = 3, text_col: str = "text"):
+    """Spell-correction candidate generation via the SymSpell
+    deletion-neighborhood index (Garbe's device: two words are within
+    Levenshtein 1 only if they share a key in ``{w} ∪ deletions₁(w)``)
+    — candidate pairs come from a KEY join, never a vocab×query cross
+    join; the exact distance check runs only on key-collision pairs
+    (the collision set includes lev-2 false positives like ab/ba —
+    the verify removes them).
+
+    Deterministic query derivation (self-contained, mirrorable):
+    vocabulary = corpus words (space-split) with ``len ≥ min_len``
+    and ``count ≥ min_count``; queries = the DISTINCT 2nd-char
+    deletions of the ``n_queries`` most frequent vocab words
+    (freq desc, word asc tiebreak) — synthetic typos guaranteed to
+    sit at distance ≤ 1 from their source word.
+
+    Distributed shape: one per-batch word-count combiner with a
+    distributed merge (vocab is unbounded); the top-``n_queries``
+    cut is a bounded sort+limit; query keys broadcast as a plain
+    dict into one vectorized key-expansion map over the vocab — the
+    vocab never lands on the driver until the (tiny) matched set.
+    Output: pyarrow Table (query, word, n, dist) sorted by
+    (query, word).
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(
+            pc.greater_equal(pc.utf8_length(flat), min_len))
+        c = (pa.table({"word": flat}).group_by("word")
+             .aggregate([([], "count_all")])
+             .rename_columns(["word", "n"]))
+        return c.append_column(
+            "_bucket", pa.array(hash_bucket_array(c["word"], n_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("word", sort=False)["n"].sum().reset_index()
+        s = s[s["n"] >= min_count]
+        # typed Arrow out: a gate-emptied bucket keeps its schema (an
+        # empty pandas frame would come back 0-column and flip the
+        # executor's bundle schema)
+        return pa.table({"word": pa.array(s["word"], pa.string()),
+                         "n": pa.array(s["n"], pa.int64())})
+
+    # unbounded word space: combiner + ONE bucket exchange (the
+    # vocab_top_words shape); the gated vocab stays distributed
+    vocab = (ds.select_columns([text_col])
+             .map_batches(skip_empty(partial), batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("_bucket")
+             .map_groups(per_bucket, batch_format="pandas"))
+    vocab = vocab.materialize()  # two consumers: query cut + key join
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("word", "ascending")])
+        return t.take(idx[:n_queries])
+
+    # top-k without a distributed sort: bounded per-block partials,
+    # one driver merge over ≤ blocks × n_queries rows
+    parts = list(vocab.map_batches(
+        local_topk, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow"))
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"word": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())})
+    idx = pc.sort_indices(merged, sort_keys=[("n", "descending"),
+                                             ("word", "ascending")])
+    top = merged.take(idx[:n_queries]).to_pandas()
+    queries = sorted({w[0] + w[2:] for w in top["word"].tolist()
+                      if len(w) >= min_len})
+
+    # query key → queries sharing it (keys = word + its 1-deletions)
+    qkeys: dict[str, list[str]] = {}
+    for q in queries:
+        for k in {q} | {q[:i] + q[i + 1:] for i in range(len(q))}:
+            qkeys.setdefault(k, []).append(q)
+
+    def match(t: pa.Table) -> pa.Table:
+        out_q, out_w, out_n = [], [], []
+        for w, n in zip(t["word"].to_pylist(), t["n"].to_pylist()):
+            seen = set()
+            for k in {w} | {w[:i] + w[i + 1:] for i in range(len(w))}:
+                for q in qkeys.get(k, ()):
+                    if q not in seen:
+                        seen.add(q)
+                        out_q.append(q)
+                        out_w.append(w)
+                        out_n.append(n)
+        return pa.table({"query": pa.array(out_q, pa.string()),
+                         "word": pa.array(out_w, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    cands_tables = list(vocab.map_batches(
+        match, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"))
+    cands = (pa.concat_tables(cands_tables).to_pandas()
+             if cands_tables else
+             __import__("pandas").DataFrame(columns=["query", "word",
+                                                     "n"]))
+    if cands.empty:
+        return pa.table({"query": pa.array([], pa.string()),
+                         "word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    dist = [_lev1(q, w) for q, w in zip(cands["query"], cands["word"])]
+    cands["dist"] = dist
+    cands = (cands[cands["dist"] <= 1]
+             .sort_values(["query", "word"]).reset_index(drop=True))
+    return pa.Table.from_pandas(cands, preserve_index=False)
+
+
+def spell_candidates_sql(n_queries: int = 200, min_len: int = 4,
+                         min_count: int = 3,
+                         table: str = "documents") -> str:
+    return f"""
+WITH vocab AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(string_split(text, ' '),
+                              x -> length(x) >= {min_len})) AS w
+    FROM {table}
+  ) GROUP BY w HAVING count(*) >= {min_count}
+), top AS (
+  SELECT word FROM vocab
+  ORDER BY n DESC, word LIMIT {n_queries}
+), queries AS (
+  SELECT DISTINCT substr(word, 1, 1) || substr(word, 3) AS q
+  FROM top WHERE length(word) >= {min_len}
+)
+SELECT q.q AS query, v.word, v.n,
+  CAST(levenshtein(q.q, v.word) AS BIGINT) AS dist
+FROM queries q CROSS JOIN vocab v
+WHERE levenshtein(q.q, v.word) <= 1
+ORDER BY query, word
+""".strip()

@@ -191,3 +191,103 @@ def test_t_closeness_unit_buckets(ray_session):
     # grid = [1, 2], g = [2, 1], N = 3
     # a: c=[2,0] n=2 -> cum_1 = 2*3 - 2*2 = 2 -> 1e6*2 // (1*2*3) = 333333
     assert got.loc[got.cls == "a", "emd_millionths"].iloc[0] == 333_333
+
+
+# ------------------------------------------- trigram wildcard search
+
+def _docs(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_wildcard_search_like_semantics(ray_session):
+    from fluent_server_ray.stages.textstats import wildcard_search
+
+    got = wildcard_search(_docs([
+        "abc def ghi",          # ordered match
+        "def abc ghi",          # 'def' before 'abc' — still has both,
+                                # but ghi after: %abc%ghi% matches
+        "ghi abc",              # ghi BEFORE abc only -> no match
+        "abcghi",               # adjacent literals, '%' matches empty
+        "abXghi",               # trigram 'abc' absent -> pruned
+        None,                   # NULL text -> excluded
+        "abc\nghi",             # % crosses newlines
+    ]), pattern="%abc%ghi%").to_pandas()
+    assert got["doc_id"].tolist() == [0, 1, 3, 6]
+
+
+def test_wildcard_search_trigram_false_positive_filtered(ray_session):
+    from fluent_server_ray.stages.textstats import wildcard_search
+
+    # doc contains every trigram of both literals but in the wrong
+    # ORDER — the prefilter admits it, the regex verify must drop it
+    # (count(), not to_pandas(): Ray drops columns on all-empty)
+    assert wildcard_search(_docs(["window merge"]),
+                           pattern="%merge%window%").count() == 0
+
+
+def test_wildcard_search_overlapping_literals(ray_session):
+    from fluent_server_ray.stages.textstats import wildcard_search
+
+    # LIKE '%aba%bab%' on 'ababab': aba at 0, bab may start at 3 (>= 3)
+    got = wildcard_search(_docs(["ababab", "ababX"]),
+                          pattern="%aba%bab%").to_pandas()
+    assert got["doc_id"].tolist() == [0]
+
+
+def test_wildcard_search_guards(ray_session):
+    from fluent_server_ray.stages.textstats import wildcard_search
+
+    with pytest.raises(ValueError, match="anchored"):
+        wildcard_search(_docs(["x"]), pattern="abc%")
+    with pytest.raises(ValueError, match="3 chars"):
+        wildcard_search(_docs(["x"]), pattern="%ab%")
+    with pytest.raises(ValueError, match="'_'"):
+        wildcard_search(_docs(["x"]), pattern="%a_c%")
+
+
+# ------------------------------------- spell candidates (SymSpell)
+
+def test_lev1_kernel():
+    from fluent_server_ray.stages.textstats import _lev1
+
+    assert _lev1("abc", "abc") == 0
+    assert _lev1("abc", "abd") == 1      # substitution
+    assert _lev1("abc", "abcd") == 1     # insertion at end
+    assert _lev1("abc", "xabc") == 1     # insertion at front
+    assert _lev1("abc", "ac") == 1       # deletion
+    assert _lev1("ab", "ba") == 2        # transposition is 2 edits
+    assert _lev1("abc", "axy") == 2
+    assert _lev1("abc", "abcde") == 2    # length gap > 1
+
+
+def test_spell_candidates_hand(ray_session):
+    from fluent_server_ray.stages.textstats import spell_candidates
+
+    # vocab (len>=4, count>=2): 'merge' x3, 'marge' x2
+    # top-2 queries: delete 2nd char -> 'mrge', 'mrge' (dedup) + 'mrge'?
+    # merge -> mrge ; marge -> mrge  => ONE query 'mrge'
+    # matches: lev('mrge','merge')=1, lev('mrge','marge')=1
+    docs = _docs(["merge merge marge", "merge marge zzz"])
+    got = spell_candidates(docs, n_queries=2, min_len=4,
+                           min_count=2).to_pandas()
+    assert got["query"].tolist() == ["mrge", "mrge"]
+    assert got["word"].tolist() == ["marge", "merge"]
+    assert got["n"].tolist() == [2, 3]
+    assert got["dist"].tolist() == [1, 1]
+
+
+def test_spell_candidates_no_cross_join_false_hits(ray_session):
+    from fluent_server_ray.stages.textstats import spell_candidates
+
+    # 'gremlin' shares no deletion key with 'mrge'-like queries; a
+    # query word itself appears at dist 0 when it IS a vocab word
+    docs = _docs(["wind wind wind gremlin gremlin gremlin"])
+    got = spell_candidates(docs, n_queries=1, min_len=4,
+                           min_count=2).to_pandas()
+    # top word by freq: gremlin (tie count 3 vs wind 3 -> 'gremlin'
+    # before 'wind' asc) -> query 'gemlin'; only gremlin within 1
+    assert got["word"].tolist() == ["gremlin"]
+    assert got["dist"].tolist() == [1]
