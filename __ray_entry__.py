@@ -4137,6 +4137,20 @@ def _q_spell_candidates(sf_dir: str):
                            columns=["text"]))
 
 
+def _q_link_prediction(sf_dir: str):
+    """Resource-Allocation link prediction over the adjacent-token
+    graph: top non-edges by sum of floored per-center 1e6//deg —
+    wedge plan with pair merge + edge anti-join (dense continuation
+    under 4096 nodes, parity-pinned)."""
+    from fluent_server_ray.stages.graph import (link_prediction_ra,
+                                                token_adjacency_edges)
+
+    return link_prediction_ra(
+        token_adjacency_edges(
+            read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["text"])), k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4442,6 +4456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_t_closeness": _q_t_closeness,
         "doc_wildcard_search": _q_wildcard_search,
         "doc_spell_candidates": _q_spell_candidates,
+        "token_link_prediction": _q_link_prediction,
     }
 
 
@@ -5193,4 +5208,7 @@ WITH toks AS (
         "doc_wildcard_search": textstats.wildcard_search_sql(
             pattern="%merge%window%dup%"),
         "doc_spell_candidates": textstats.spell_candidates_sql(),
+        "token_link_prediction": __import__(
+            "fluent_server_ray.stages.graph", fromlist=["x"]
+        ).token_link_prediction_sql(k=50),
     }

@@ -939,3 +939,249 @@ SELECT da.d AS dx, db.d AS dy
 FROM und JOIN deg da ON da.u = und.u JOIN deg db ON db.u = und.v
 ) AS stubs"""
     return pearson_corr_sql("dx", "dy", sub)
+
+
+# ------------------------------------------ link prediction (RA)
+
+def link_prediction_ra(edges, k: int = 50, a: str = "lo", b: str = "hi",
+                       n_buckets: int = 64,
+                       max_dense_nodes: int = 4096,
+                       max_wedges: int = 200_000_000) -> pa.Table:
+    """Link prediction over an undirected graph: top-``k`` NON-edges
+    ranked by the Resource-Allocation index (Zhou, Lü & Zhang 2009)
+    ``RA(u,v) = Σ_{c ∈ N(u)∩N(v)} 1/deg(c)`` — the exact-arithmetic
+    member of the common-neighbor family (Adamic-Adar's ``1/ln deg``
+    needs logs; RA keeps every term a floor division and usually
+    ranks at least as well).
+
+    Exact-integer contract: per-center weight is
+    ``w_c = 1_000_000 // deg(c)`` (floored once per center, summed —
+    both engines spell it identically); ``common`` is the plain
+    common-neighbor count. Ranking: (ra_millionths desc, lo, hi asc),
+    top ``k``.
+
+    Distributed shape (the :func:`triangle_count` wedge plan, re-used
+    for scoring): canonical distinct edges → adjacency rows keyed on
+    the CENTER → one center-bucket exchange (each center's whole
+    neighbor list co-locates, so deg falls out of the group — no deg
+    join) → vectorized per-bucket pair self-merge emitting (u, v, w)
+    wedge partials → distributed (u,v) merge → one pair-keyed
+    cogrouped exchange REMOVES existing edges → per-bucket top-k,
+    O(buckets·k) driver merge. Wedge volume Σ d(d-1)/2 is guarded by
+    ``max_wedges`` (RA needs every wedge of a hub; cap or sample hubs
+    upstream for open-scale graphs). Size-adaptive driver
+    continuation: node sets ≤ ``max_dense_nodes`` run as one
+    float64 BLAS matmul (entries ≤ n·10⁶ < 2⁵³ — exact), parity-
+    pinned against the distributed path.
+
+    Returns a pyarrow Table (lo, hi, common, ra_millionths).
+    """
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.groups import map_buckets
+
+    if isinstance(edges, pa.Table):
+        edges = rd.from_arrow(edges)
+
+    out_fields = [("lo", pa.string()), ("hi", pa.string()),
+                  ("common", pa.int64()), ("ra_millionths", pa.int64())]
+
+    e = _distinct_canonical_edges(edges, a, b).materialize()
+    if e.count() == 0:
+        return pa.schema(out_fields).empty_table()
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t["lo"].combine_chunks(),
+                                 t["hi"].combine_chunks()])
+        return (pa.table({"node": both}).group_by("node")
+                .aggregate([([], "count_all")])
+                .rename_columns(["node", "c"]))
+
+    deg = grouped_agg(
+        e.map_batches(skip_empty(node_partial), batch_format="pyarrow",
+                      zero_copy_batch=True),
+        keys=["node"], aggs=[("c", "sum")], final="ray").materialize()
+    n_nodes = deg.count()
+
+    if n_nodes <= max_dense_nodes:
+        # driver continuation: (A·w) @ A in float64 BLAS — entries are
+        # integer-valued ≤ n·1e6 < 2^53, so the matmul is EXACT
+        et = pa.concat_tables(e.iter_batches(batch_size=None,
+                                             batch_format="pyarrow"))
+        lo = et["lo"].to_numpy(zero_copy_only=False)
+        hi = et["hi"].to_numpy(zero_copy_only=False)
+        nodes, codes = np.unique(np.concatenate([lo, hi]),
+                                 return_inverse=True)
+        i, j = codes[:len(lo)], codes[len(lo):]
+        n = len(nodes)
+        A = np.zeros((n, n), dtype=np.float64)
+        A[i, j] = 1.0
+        A[j, i] = 1.0
+        w = (1_000_000 // A.sum(axis=0).astype(np.int64)).astype(
+            np.float64)
+        S = (A * w) @ A
+        C = A @ A
+        iu, ju = np.triu_indices(n, 1)
+        keep = (S[iu, ju] > 0) & (A[iu, ju] == 0)
+        iu, ju = iu[keep], ju[keep]
+        ra = S[iu, ju].astype(np.int64)
+        cm = C[iu, ju].astype(np.int64)
+        order = np.lexsort((nodes[ju], nodes[iu], -ra))[:k]
+        return pa.table({
+            "lo": pa.array(nodes[iu][order], pa.string()),
+            "hi": pa.array(nodes[ju][order], pa.string()),
+            "common": pa.array(cm[order], pa.int64()),
+            "ra_millionths": pa.array(ra[order], pa.int64())})
+
+    # wedge-volume guard from the degree table (bounded partials)
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        d = t["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    wtot = sum(r["w"] for r in deg.map_batches(
+        wedge_partial, batch_format="pyarrow",
+        zero_copy_batch=True).iter_rows())
+    if wtot > max_wedges:
+        raise ValueError(
+            f"link_prediction_ra: {wtot} wedges exceed max_wedges — "
+            "cap hub degrees or sample upstream")
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        c = pa.concat_arrays([t["lo"].combine_chunks(),
+                              t["hi"].combine_chunks()])
+        u = pa.concat_arrays([t["hi"].combine_chunks(),
+                              t["lo"].combine_chunks()])
+        out = pa.table({"c": c, "u": u})
+        return out.append_column(
+            "_bucket", pa.array(hash_bucket_array(out["c"], n_buckets)))
+
+    adj = e.map_batches(skip_empty(adj_rows), batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    wedge_schema = pa.schema([pa.field("lo", pa.string()),
+                              pa.field("hi", pa.string()),
+                              pa.field("w", pa.int64())])
+
+    def wedge_pairs(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        # whole neighbor list of each center is in this bucket, so
+        # deg(c) = group size and w_c floors HERE, once per center
+        g = g[["c", "u"]].copy()
+        g["w"] = 1_000_000 // g.groupby("c")["u"].transform("size")
+        m = g.merge(g[["c", "u"]], on="c", suffixes=("", "_y"))
+        m = m[m["u"] < m["u_y"]]
+        return pd.DataFrame({"lo": m["u"].to_numpy(),
+                             "hi": m["u_y"].to_numpy(),
+                             "w": m["w"].to_numpy()})
+
+    wedges = map_buckets(adj, wedge_pairs, wedge_schema)
+
+    def wedge_local(t: pa.Table) -> pa.Table:
+        return (t.group_by(["lo", "hi"])
+                .aggregate([("w", "sum"), ([], "count_all")])
+                .rename_columns(["lo", "hi", "w", "n"]))
+
+    pairs = grouped_agg(
+        wedges.map_batches(skip_empty(wedge_local),
+                           batch_format="pyarrow",
+                           zero_copy_batch=True),
+        keys=["lo", "hi"], aggs=[("w", "sum"), ("n", "sum")],
+        final="ray")
+
+    SEP = "\x1f"
+
+    def mark(side: int, cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            out = pa.table({new: t[old] for new, old in cols.items()})
+            key = pc.binary_join_element_wise(out["lo"], out["hi"], SEP)
+            out = out.append_column(
+                "_bucket", pa.array(hash_bucket_array(key, n_buckets)))
+            return out.append_column(
+                "_side", pa.array(np.full(out.num_rows, side,
+                                          dtype=np.int64)))
+        return fn
+
+    cand = pairs.map_batches(
+        skip_empty(mark(0, {"lo": "lo", "hi": "hi", "w": "w_sum",
+                            "n": "n_sum"})),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def edge_mark(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["lo"], t["hi"], SEP)
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        out = pa.table({"lo": t["lo"], "hi": t["hi"], "w": z, "n": z})
+        out = out.append_column(
+            "_bucket", pa.array(hash_bucket_array(key, n_buckets)))
+        return out.append_column(
+            "_side", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    eb = e.map_batches(skip_empty(edge_mark), batch_format="pyarrow",
+                       zero_copy_batch=True)
+
+    topk_schema = pa.schema(
+        [pa.field(n, t) for n, t in out_fields])
+
+    def drop_edges_topk(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        cs = g[g["_side"] == 0]
+        es = g[g["_side"] == 1][["lo", "hi"]]
+        m = cs.merge(es, on=["lo", "hi"], how="left", indicator=True)
+        m = m[m["_merge"] == "left_only"]
+        m = m.sort_values(["w", "lo", "hi"],
+                          ascending=[False, True, True]).head(k)
+        return pd.DataFrame({"lo": m["lo"].to_numpy(),
+                             "hi": m["hi"].to_numpy(),
+                             "common": m["n"].to_numpy(),
+                             "ra_millionths": m["w"].to_numpy()})
+
+    tops = map_buckets(cand.union(eb), drop_edges_topk, topk_schema)
+    merged = pa.concat_tables(tops.iter_batches(
+        batch_size=None, batch_format="pyarrow"))  # ≤ buckets × k rows
+    if merged.num_rows == 0:
+        return pa.schema(out_fields).empty_table()
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("ra_millionths", "descending"), ("lo", "ascending"),
+        ("hi", "ascending")])
+    return merged.take(idx[:k])
+
+
+def token_link_prediction_sql(k: int = 50,
+                              table: str = "documents") -> str:
+    """DuckDB mirror over the adjacent-token graph: adjacency both
+    directions, per-center floored weight, pair self-join, edge
+    anti-join, deterministic (score desc, lo, hi) top-k."""
+    return f"""
+WITH toks AS (
+  SELECT row_number() OVER () AS did,
+    list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+), bi AS (
+  SELECT t[gs] AS x, t[gs + 1] AS y
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+), e AS MATERIALIZED (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM bi WHERE x <> y
+), adj AS MATERIALIZED (
+  SELECT a AS c, b AS u FROM e UNION ALL SELECT b, a FROM e
+), wdeg AS MATERIALIZED (
+  SELECT c, u, 1000000 // count(*) OVER (PARTITION BY c) AS w
+  FROM adj
+), pairs AS (
+  SELECT j1.u AS lo, j2.u AS hi,
+    CAST(count(*) AS BIGINT) AS common,
+    CAST(sum(j1.w) AS BIGINT) AS ra
+  FROM wdeg j1 JOIN wdeg j2 ON j1.c = j2.c AND j1.u < j2.u
+  GROUP BY j1.u, j2.u
+)
+SELECT lo, hi, common, ra AS ra_millionths
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.lo AND e.b = p.hi)
+ORDER BY ra DESC, lo, hi
+LIMIT {k}
+""".strip()

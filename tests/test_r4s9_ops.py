@@ -291,3 +291,52 @@ def test_spell_candidates_no_cross_join_false_hits(ray_session):
     # before 'wind' asc) -> query 'gemlin'; only gremlin within 1
     assert got["word"].tolist() == ["gremlin"]
     assert got["dist"].tolist() == [1]
+
+
+# ------------------------------------ link prediction (RA index)
+
+def _edges(pairs):
+    return rd.from_arrow(pa.table({
+        "lo": pa.array([p[0] for p in pairs], pa.string()),
+        "hi": pa.array([p[1] for p in pairs], pa.string()),
+    }))
+
+
+def test_link_prediction_hand(ray_session):
+    from fluent_server_ray.stages.graph import link_prediction_ra
+
+    # star around c: a-c, b-c, d-c plus edge a-b.
+    # deg: a=2 b=2 c=3 d=1. non-edges: (a,d),(b,d),(a?,b edge)...
+    # common neighbor of (a,d) = {c} -> ra = 1e6//3 = 333333, common 1
+    # (b,d): same. (a,b) IS an edge -> excluded.
+    got = link_prediction_ra(
+        _edges([("a", "c"), ("b", "c"), ("c", "d"), ("a", "b")]),
+        k=10).to_pandas()
+    assert got[["lo", "hi"]].values.tolist() == [["a", "d"], ["b", "d"]]
+    assert got["ra_millionths"].tolist() == [333_333, 333_333]
+    assert got["common"].tolist() == [1, 1]
+
+
+def test_link_prediction_dense_vs_distributed_parity(ray_session):
+    from fluent_server_ray.stages.graph import link_prediction_ra
+
+    rng = np.random.default_rng(5)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    pairs = set()
+    while len(pairs) < 80:
+        i, j = rng.integers(0, 30, 2)
+        if i != j:
+            pairs.add((nodes[min(i, j)], nodes[max(i, j)]))
+    dense = link_prediction_ra(_edges(sorted(pairs)), k=25).to_pandas()
+    dist = link_prediction_ra(_edges(sorted(pairs)), k=25,
+                              max_dense_nodes=0).to_pandas()
+    pd.testing.assert_frame_equal(dense, dist)
+
+
+def test_link_prediction_wedge_guard(ray_session):
+    from fluent_server_ray.stages.graph import link_prediction_ra
+
+    with pytest.raises(ValueError, match="wedges"):
+        link_prediction_ra(
+            _edges([("a", "c"), ("b", "c"), ("c", "d")]),
+            k=5, max_dense_nodes=0, max_wedges=1)
