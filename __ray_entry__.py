@@ -4151,6 +4151,28 @@ def _q_link_prediction(sf_dir: str):
                                columns=["text"])), k=50)
 
 
+def _q_term_burstiness(sf_dir: str):
+    """Term burstiness audit (Church-Gale cf/df + per-doc count
+    variance over ALL docs) for the top-100 collection-frequency
+    terms — one combiner pass + one word-bucket exchange."""
+    from fluent_server_ray.stages.textstats import term_burstiness
+
+    return term_burstiness(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["text"]), k=100)
+
+
+def _q_js_divergence(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions — integer-log device, one word-bucket exchange,
+    O(buckets·pairs) driver merge."""
+    from fluent_server_ray.stages.textstats import source_js_divergence
+
+    return source_js_divergence(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4457,6 +4479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_wildcard_search": _q_wildcard_search,
         "doc_spell_candidates": _q_spell_candidates,
         "token_link_prediction": _q_link_prediction,
+        "term_burstiness": _q_term_burstiness,
+        "source_js_divergence": _q_js_divergence,
     }
 
 
@@ -5211,4 +5235,6 @@ WITH toks AS (
         "token_link_prediction": __import__(
             "fluent_server_ray.stages.graph", fromlist=["x"]
         ).token_link_prediction_sql(k=50),
+        "term_burstiness": textstats.term_burstiness_sql(k=100),
+        "source_js_divergence": textstats.source_js_divergence_sql(),
     }

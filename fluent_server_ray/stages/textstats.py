@@ -3819,3 +3819,337 @@ FROM queries q CROSS JOIN vocab v
 WHERE levenshtein(q.q, v.word) <= 1
 ORDER BY query, word
 """.strip()
+
+
+# ------------------------------------------------ term burstiness
+
+def term_burstiness(ds, k: int = 100, text_col: str = "text",
+                    n_buckets: int = 64) -> pa.Table:
+    """Term burstiness / clumpiness audit — for each of the top-``k``
+    terms by collection frequency: does the term spread evenly across
+    documents or clump into a few (Church & Gale 1995: burstiness =
+    cf/df, the mean occurrences per document CONTAINING the term, and
+    the corpus-wide per-doc count variance)? High-burst terms are
+    boilerplate/template markers; flat terms are function words —
+    the curation signal n-gram repetition can't see across docs.
+
+    Exact-integer contract (python-int driver merge, HUGEINT mirror):
+    ``burst_e6 = (1_000_000 * cf) // df`` and, over ALL D docs
+    (zero-count docs included), ``var_e6 = (1_000_000 * (D * s2 -
+    cf²)) // D²`` with ``s2 = Σ c_d²`` — both floor once at the end.
+    D counts rows with non-NULL text (a tokenless doc still
+    dilutes the variance).
+
+    Shape: per-batch (doc, word) count → per-word batch partials
+    (cf, df, s2) + a sentinel total-docs row (leading-space word —
+    the tokenizer can't produce one) riding the same stream; ONE
+    hash-bucket exchange merges the unbounded word space; per-bucket
+    top-k by cf leaves an O(buckets·k) driver merge. Returns a
+    pyarrow Table (word, cf, df, burst_millionths, var_millionths)
+    sorted by (cf desc, word asc), top ``k``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    SENT = " docs"  # leading space: no real token contains one
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        valid = pc.is_valid(txt)
+        n_docs = int(pc.sum(pc.cast(valid, pa.int64())).as_py() or 0)
+        toks = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64),
+                           lens.astype(np.int64))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        dw = (pa.table({"word": flat, "d": pa.array(doc_of)})
+              .group_by(["word", "d"]).aggregate([([], "count_all")])
+              .rename_columns(["word", "d", "c"]))
+        c = dw["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        per_word = (pa.table({
+            "word": dw["word"], "cf": dw["c"],
+            "df": pa.array(np.ones(len(c), dtype=np.int64)),
+            "s2": pa.array(c * c)})
+            .group_by("word")
+            .aggregate([("cf", "sum"), ("df", "sum"), ("s2", "sum")])
+            .rename_columns(["word", "cf", "df", "s2"]))
+        sent = pa.table({"word": pa.array([SENT], pa.string()),
+                         "cf": pa.array([n_docs], pa.int64()),
+                         "df": pa.array([0], pa.int64()),
+                         "s2": pa.array([0], pa.int64())})
+        out = pa.concat_tables([per_word.cast(sent.schema), sent])
+        return out.append_column(
+            "_bucket", pa.array(hash_bucket_array(out["word"],
+                                                  n_buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        s = (g.groupby("word", sort=False)[["cf", "df", "s2"]].sum()
+             .reset_index())
+        sent = s[s["word"] == SENT]
+        s = s[s["word"] != SENT]
+        s = s.sort_values(["cf", "word"],
+                          ascending=[False, True]).head(k)
+        if not sent.empty:
+            s = pd.concat([s, sent], ignore_index=True)
+        return pa.table({"word": pa.array(s["word"], pa.string()),
+                         "cf": pa.array(s["cf"], pa.int64()),
+                         "df": pa.array(s["df"], pa.int64()),
+                         "s2": pa.array(s["s2"], pa.int64())})
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(skip_empty(partial), batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("_bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
+    merged = pa.concat_tables(parts.iter_batches(
+        batch_size=None, batch_format="pyarrow"))  # ≤ buckets×(k+1)
+    df = merged.to_pandas() if merged.num_rows else None
+    out_fields = [("word", pa.string()), ("cf", pa.int64()),
+                  ("df", pa.int64()), ("burst_millionths", pa.int64()),
+                  ("var_millionths", pa.int64())]
+    if df is None:
+        return pa.schema(out_fields).empty_table()
+    agg = df.groupby("word", sort=False)[["cf", "df", "s2"]].sum()
+    big_d = int(agg.loc[SENT, "cf"]) if SENT in agg.index else 0
+    agg = agg.drop(index=SENT, errors="ignore")
+    agg = agg.sort_values(["cf"], ascending=False)
+    agg = agg.reset_index().sort_values(
+        ["cf", "word"], ascending=[False, True]).head(k)
+    if big_d == 0 or agg.empty:
+        return pa.schema(out_fields).empty_table()
+    words = agg["word"].tolist()
+    cf = [int(x) for x in agg["cf"]]
+    dfreq = [int(x) for x in agg["df"]]
+    s2 = [int(x) for x in agg["s2"]]
+    burst = [(1_000_000 * c) // d for c, d in zip(cf, dfreq)]
+    var = [(1_000_000 * (big_d * q - c * c)) // (big_d * big_d)
+           for c, q in zip(cf, s2)]
+    return pa.table({"word": pa.array(words, pa.string()),
+                     "cf": pa.array(cf, pa.int64()),
+                     "df": pa.array(dfreq, pa.int64()),
+                     "burst_millionths": pa.array(burst, pa.int64()),
+                     "var_millionths": pa.array(var, pa.int64())})
+
+
+def term_burstiness_sql(k: int = 100, table: str = "documents") -> str:
+    return f"""
+WITH dw AS (
+  SELECT did, word, CAST(count(*) AS HUGEINT) AS c FROM (
+    SELECT row_number() OVER () AS did,
+      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM {table} WHERE text IS NOT NULL
+  ) GROUP BY did, word
+), dtot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS d FROM {table}
+  WHERE text IS NOT NULL
+), w AS (
+  SELECT word, sum(c) AS cf, CAST(count(*) AS HUGEINT) AS df,
+    sum(c * c) AS s2
+  FROM dw GROUP BY word
+)
+SELECT word, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+  CAST((1000000 * cf) // df AS BIGINT) AS burst_millionths,
+  CAST((1000000 * ((SELECT d FROM dtot) * s2 - cf * cf))
+       // ((SELECT d FROM dtot) * (SELECT d FROM dtot)) AS BIGINT)
+    AS var_millionths
+FROM w
+ORDER BY cf DESC, word
+LIMIT {k}
+""".strip()
+
+
+# --------------------------------- Jensen-Shannon source divergence
+
+def source_js_divergence(ds, group_col: str = "source",
+                         text_col: str = "text",
+                         n_buckets: int = 64) -> pa.Table:
+    """Pairwise Jensen-Shannon divergence between per-group token
+    distributions — the SYMMETRIC, always-finite companion of
+    :func:`source_token_kl` for mixture design ("which two sources
+    are interchangeable, which two clash?"): ``JSD(P,Q) = ½KL(P‖M)
+    + ½KL(Q‖M)``, ``M = (P+Q)/2`` — bounded by ln 2, defined even
+    when a word appears in only one source (KL(g‖corpus) hides
+    pairwise structure; JSD is the standard pairwise matrix).
+
+    Integer-exact contract (the :func:`source_token_kl` log device):
+    with per-pair counts a_w, b_w and totals n_a, n_b,
+    ``KL(P‖M) = Σ_{a_w>0} (a_w/n_a)·ln(2·a_w·n_b / (a_w·n_b +
+    b_w·n_a))``; each log floors to int64 millionths
+    (``L(x) = floor(1e6·ln(x))``), so the per-pair term sums
+    ``term_a = Σ a_w·(L(2·a_w·n_b) − L(a_w·n_b + b_w·n_a))`` are
+    order-free int64 and ``jsd_nats = (term_a/n_a + term_b/n_b) /
+    2e6`` is two float64 divisions at the very end.
+
+    Shape: per-batch (group, word) count combiner; ONE hash-bucket
+    exchange on the word co-locates each word's per-group counts;
+    per-bucket ALL |G|²/2 pair partials emit (pairs are bounded —
+    sources, langs); per-group totals fall out of the same partials
+    (the :func:`source_token_kl` device). Driver merge is
+    O(buckets·pairs). Returns (source_a, source_b, n_a, n_b, term_a,
+    term_b, jsd_nats) sorted by (source_a, source_b).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (hash_bucket_array,
+                                                    skip_empty)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        grp = t[group_col].to_pandas().to_numpy()
+        gs = np.repeat(grp, lens.astype("int64"))
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        gs = gs[keep.to_numpy(zero_copy_only=False)]
+        c = (pa.table({"g": pa.array(gs, type=pa.string()),
+                       "word": flat})
+             .group_by(["g", "word"]).aggregate([([], "count_all")])
+             .rename_columns(["g", "word", "n"]))
+        return c.append_column(
+            "_bucket", pa.array(hash_bucket_array(c["word"], n_buckets)))
+
+    parts = ds.select_columns([group_col, text_col]).map_batches(
+        skip_empty(partial), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    # bounded statistic: per-group token totals (combiner partials,
+    # ≤ |groups| rows per block before the driver sees them)
+    def group_totals(t: pa.Table) -> pa.Table:
+        return (t.select(["g", "n"]).group_by("g")
+                .aggregate([("n", "sum")]).rename_columns(["g", "n"]))
+
+    tot_tables = list(parts.map_batches(
+        skip_empty(group_totals), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow"))
+    out_fields = [("source_a", pa.string()), ("source_b", pa.string()),
+                  ("n_a", pa.int64()), ("n_b", pa.int64()),
+                  ("term_a", pa.int64()), ("term_b", pa.int64()),
+                  ("jsd_nats", pa.float64())]
+    if not tot_tables:
+        return pa.schema(out_fields).empty_table()
+    g_tbl = (pa.concat_tables(tot_tables).group_by("g")
+             .aggregate([("n", "sum")]))
+    n_g = {g: int(n) for g, n in zip(g_tbl["g"].to_pylist(),
+                                     g_tbl["n_sum"].to_pylist())}
+    groups = sorted(n_g)
+    if max(n_g.values()) ** 2 >= 2 ** 52:
+        raise ValueError("source_js_divergence: n_a·n_b would lose "
+                         "float64 exactness in the log argument")
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        c = (b.groupby(["g", "word"], sort=False)["n"].sum()
+             .reset_index())
+        wide = c.pivot_table(index="word", columns="g", values="n",
+                             aggfunc="sum", fill_value=0)
+        out_a, out_b, ta, tb = [], [], [], []
+        for i, ga in enumerate(groups):
+            av_all = (wide[ga].to_numpy(dtype="int64")
+                      if ga in wide.columns
+                      else np.zeros(len(wide), dtype=np.int64))
+            for gb in groups[i + 1:]:
+                bv_all = (wide[gb].to_numpy(dtype="int64")
+                          if gb in wide.columns
+                          else np.zeros(len(wide), dtype=np.int64))
+                na, nb = n_g[ga], n_g[gb]
+                mix = av_all * nb + bv_all * na
+                t_a = t_b = 0
+                m = av_all > 0
+                if m.any():
+                    av = av_all[m].astype("float64")
+                    t_a = int((av_all[m] * (
+                        np.floor(np.log(2.0 * av * nb) * 1e6)
+                        - np.floor(np.log(mix[m].astype("float64"))
+                                   * 1e6)).astype("int64")).sum())
+                m = bv_all > 0
+                if m.any():
+                    bv = bv_all[m].astype("float64")
+                    t_b = int((bv_all[m] * (
+                        np.floor(np.log(2.0 * bv * na) * 1e6)
+                        - np.floor(np.log(mix[m].astype("float64"))
+                                   * 1e6)).astype("int64")).sum())
+                out_a.append(ga)
+                out_b.append(gb)
+                ta.append(t_a)
+                tb.append(t_b)
+        return pa.table({"source_a": pa.array(out_a, pa.string()),
+                         "source_b": pa.array(out_b, pa.string()),
+                         "ta": pa.array(ta, pa.int64()),
+                         "tb": pa.array(tb, pa.int64())})
+
+    merged = (parts.groupby("_bucket")
+              .map_groups(per_bucket, batch_format="pandas")
+              .to_pandas())  # bounded: ≤ n_buckets × pairs rows
+    if merged.empty:
+        return pa.schema(out_fields).empty_table()
+    agg = (merged.groupby(["source_a", "source_b"], sort=True)
+           [["ta", "tb"]].sum().reset_index())
+    na = np.array([n_g[g] for g in agg["source_a"]], dtype=np.int64)
+    nb = np.array([n_g[g] for g in agg["source_b"]], dtype=np.int64)
+    ta = agg["ta"].to_numpy(dtype=np.int64)
+    tb = agg["tb"].to_numpy(dtype=np.int64)
+    jsd = (ta / na + tb / nb) / 2e6
+    return pa.table({
+        "source_a": pa.array(agg["source_a"], pa.string()),
+        "source_b": pa.array(agg["source_b"], pa.string()),
+        "n_a": pa.array(na), "n_b": pa.array(nb),
+        "term_a": pa.array(ta), "term_b": pa.array(tb),
+        "jsd_nats": pa.array(jsd, pa.float64())})
+
+
+def source_js_divergence_sql(group_col: str = "source",
+                             table: str = "documents") -> str:
+    return f"""
+WITH cs AS MATERIALIZED (
+  SELECT {group_col} AS g, word, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT {group_col},
+      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM {table}
+  ) GROUP BY g, word
+), tot AS MATERIALIZED (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cs GROUP BY g
+), pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb
+  FROM tot a JOIN tot b ON a.g < b.g
+), terma AS (
+  SELECT p.ga, p.gb, CAST(sum(ca.c * (
+    CAST(floor(ln(2.0 * ca.c * p.nb) * 1000000) AS BIGINT)
+    - CAST(floor(ln(CAST(ca.c * p.nb + COALESCE(cb.c, 0) * p.na
+                         AS DOUBLE)) * 1000000) AS BIGINT)
+  )) AS BIGINT) AS term_a
+  FROM pairs p
+  JOIN cs ca ON ca.g = p.ga
+  LEFT JOIN cs cb ON cb.g = p.gb AND cb.word = ca.word
+  GROUP BY p.ga, p.gb
+), termb AS (
+  SELECT p.ga, p.gb, CAST(sum(cb.c * (
+    CAST(floor(ln(2.0 * cb.c * p.na) * 1000000) AS BIGINT)
+    - CAST(floor(ln(CAST(cb.c * p.na + COALESCE(ca.c, 0) * p.nb
+                         AS DOUBLE)) * 1000000) AS BIGINT)
+  )) AS BIGINT) AS term_b
+  FROM pairs p
+  JOIN cs cb ON cb.g = p.gb
+  LEFT JOIN cs ca ON ca.g = p.ga AND ca.word = cb.word
+  GROUP BY p.ga, p.gb
+)
+SELECT p.ga AS source_a, p.gb AS source_b,
+  p.na AS n_a, p.nb AS n_b, ta.term_a, tb.term_b,
+  (CAST(ta.term_a AS DOUBLE) / p.na
+   + CAST(tb.term_b AS DOUBLE) / p.nb) / 2000000.0 AS jsd_nats
+FROM pairs p
+JOIN terma ta ON ta.ga = p.ga AND ta.gb = p.gb
+JOIN termb tb ON tb.ga = p.ga AND tb.gb = p.gb
+ORDER BY source_a, source_b
+""".strip()

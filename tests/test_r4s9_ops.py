@@ -340,3 +340,80 @@ def test_link_prediction_wedge_guard(ray_session):
         link_prediction_ra(
             _edges([("a", "c"), ("b", "c"), ("c", "d")]),
             k=5, max_dense_nodes=0, max_wedges=1)
+
+
+# ------------------------------------------------ term burstiness
+
+def test_term_burstiness_hand(ray_session):
+    from fluent_server_ray.stages.textstats import term_burstiness
+
+    # 3 docs: 'x x x', 'x y', '' -> D=3
+    # x: cf=4 df=2 s2=9+1=10 burst=2e6
+    #   var = 1e6*(3*10-16)//9 = 14e6//9 = 1555555
+    # y: cf=1 df=1 s2=1 burst=1e6; var = 1e6*(3-1)//9 = 222222
+    got = term_burstiness(_docs(["x x x", "x y", ""]), k=5).to_pandas()
+    assert got["word"].tolist() == ["x", "y"]
+    assert got["cf"].tolist() == [4, 1]
+    assert got["df"].tolist() == [2, 1]
+    assert got["burst_millionths"].tolist() == [2_000_000, 1_000_000]
+    assert got["var_millionths"].tolist() == [1_555_555, 222_222]
+
+
+def test_term_burstiness_null_text_counts_in_d(ray_session):
+    from fluent_server_ray.stages.textstats import term_burstiness
+
+    # NULL text does NOT count toward D (mirrors text IS NOT NULL)
+    got = term_burstiness(_docs(["x", None]), k=5).to_pandas()
+    # D=1: var = 1e6*(1*1-1)//1 = 0
+    assert got["var_millionths"].tolist() == [0]
+
+
+def test_term_burstiness_topk_cut(ray_session):
+    from fluent_server_ray.stages.textstats import term_burstiness
+
+    got = term_burstiness(
+        _docs(["a a a b b c"]), k=2).to_pandas()
+    assert got["word"].tolist() == ["a", "b"]
+
+
+# ------------------------------------- Jensen-Shannon divergence
+
+def test_jsd_identical_sources_zero(ray_session):
+    from fluent_server_ray.stages.textstats import source_js_divergence
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["s1", "s2"], pa.string()),
+        "text": pa.array(["a b c", "a b c"], pa.string()),
+    }))
+    got = source_js_divergence(ds).to_pandas()
+    # identical distributions: every log term is ln(1) -> floor 0 or -1
+    # (floor of exactly 0 is 0 here: 2*a*nb == a*nb + b*na)
+    assert got["term_a"].tolist() == [0]
+    assert got["term_b"].tolist() == [0]
+    assert got["jsd_nats"].tolist() == [0.0]
+
+
+def test_jsd_disjoint_sources_ln2(ray_session):
+    from fluent_server_ray.stages.textstats import source_js_divergence
+
+    # disjoint vocabularies: JSD = ln 2 = 0.693147...
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["s1", "s2"], pa.string()),
+        "text": pa.array(["a a b", "c d d"], pa.string()),
+    }))
+    got = source_js_divergence(ds).to_pandas()
+    assert abs(got["jsd_nats"].iloc[0] - np.log(2)) < 2e-6
+
+
+def test_jsd_symmetric_and_sorted(ray_session):
+    from fluent_server_ray.stages.textstats import source_js_divergence
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["b", "a", "c"], pa.string()),
+        "text": pa.array(["x y", "x z", "y z"], pa.string()),
+    }))
+    got = source_js_divergence(ds).to_pandas()
+    assert got[["source_a", "source_b"]].values.tolist() == [
+        ["a", "b"], ["a", "c"], ["b", "c"]]
+    # symmetric inputs (each pair shares exactly one word): same jsd
+    assert len(set(got["jsd_nats"].round(9))) == 1
