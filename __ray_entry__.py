@@ -4173,6 +4173,28 @@ def _q_js_divergence(sf_dir: str):
                            columns=["source", "text"]))
 
 
+def _q_rake_keyphrases(sf_dir: str):
+    """RAKE keyphrase extraction: stopword-free phrase runs, exact
+    floored degree/frequency word scores, bucket-join phrase scoring
+    — nothing unbounded on the driver."""
+    from fluent_server_ray.stages.textstats import rake_keyphrases
+
+    return rake_keyphrases(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["text"]), k=50)
+
+
+def _q_holt_trend(sf_dir: str):
+    """Holt level+trend smoothing of per-type daily volumes — exact
+    floored integer recurrence (recursive-CTE mirror), one daily
+    combiner pass."""
+    from fluent_server_ray.stages.features import holt_trend
+
+    return holt_trend(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4481,6 +4503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_link_prediction": _q_link_prediction,
         "term_burstiness": _q_term_burstiness,
         "source_js_divergence": _q_js_divergence,
+        "doc_rake_keyphrases": _q_rake_keyphrases,
+        "events_holt_trend": _q_holt_trend,
     }
 
 
@@ -5237,4 +5261,6 @@ WITH toks AS (
         ).token_link_prediction_sql(k=50),
         "term_burstiness": textstats.term_burstiness_sql(k=100),
         "source_js_divergence": textstats.source_js_divergence_sql(),
+        "doc_rake_keyphrases": textstats.rake_keyphrases_sql(k=50),
+        "events_holt_trend": features.holt_trend_sql(),
     }

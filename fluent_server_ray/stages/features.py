@@ -5169,3 +5169,129 @@ SELECT id, category, cents,
 FROM vals
 ORDER BY id
 """.strip()
+
+
+# ------------------------------------------ Holt linear smoothing
+
+def holt_trend(ds, group_col: str = "event_type", ts_col: str = "ts",
+               alpha=(1, 2), beta=(1, 2)) -> pa.Table:
+    """Holt double (level + trend) exponential smoothing of each
+    group's daily volume series — the trend-aware sibling of the
+    plain EWMA (:func:`ewma_daily` has no slope state; Holt tracks
+    "where is the series AND how fast is it moving", the standard
+    short-horizon volume forecaster).
+
+    Exact-integer contract (both engines spell the identical
+    TRUNCATING division recurrence — toward zero, DuckDB's ``//``
+    semantics, NOT Python floor; α = an/ad, β = bn/bd)::
+
+        l_0 = 1e6·y_0,  b_0 = 1e6·(y_1 − y_0)
+        l_t = trunc((an·1e6·y_t + (ad−an)·(l_{t−1}+b_{t−1})) / ad)
+        b_t = trunc((bn·(l_t − l_{t−1}) + (bd−bn)·b_{t−1}) / bd)
+
+    over the group's OBSERVED days in ascending order (calendar gaps
+    are not filled — compose with the daily interpolation op for
+    that). Groups with < 2 observed days are dropped (b_0 needs two
+    points). The one-step forecast is ``level + trend``.
+
+    Shape: ONE per-batch (group, day) count combiner collapses the
+    corpus to the bounded daily table; the recurrence runs vectorized
+    per group on the driver (days are calendar-bounded). NULL ts/group
+    excluded. Returns (group, n_days, level_millionths,
+    trend_millionths, forecast_millionths) sorted by group.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    an, ad = alpha
+    bn, bd = beta
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[group_col])))
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "day": _epoch_day(t[ts_col])})
+
+    daily = grouped_counts(
+        ds.select_columns([group_col, ts_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "day"], final="driver")
+
+    out_fields = [("group", pa.string()), ("n_days", pa.int64()),
+                  ("level_millionths", pa.int64()),
+                  ("trend_millionths", pa.int64()),
+                  ("forecast_millionths", pa.int64())]
+    df = daily.to_pandas()
+    if df.empty:
+        return pa.schema(out_fields).empty_table()
+    def tdiv(a: int, d: int) -> int:
+        # truncate toward zero (DuckDB // semantics); d > 0 always
+        return a // d if a >= 0 else -((-a) // d)
+
+    rows = []
+    for g, sub in df.sort_values(["g", "day"]).groupby("g", sort=True):
+        y = [int(v) for v in sub["n"]]
+        if len(y) < 2:
+            continue
+        lev = 1_000_000 * y[0]
+        tr = 1_000_000 * (y[1] - y[0])
+        for v in y[1:]:
+            prev = lev
+            lev = tdiv(an * 1_000_000 * v + (ad - an) * (lev + tr), ad)
+            tr = tdiv(bn * (lev - prev) + (bd - bn) * tr, bd)
+        rows.append((g, len(y), lev, tr, lev + tr))
+    return pa.table({
+        "group": pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "level_millionths": pa.array([r[2] for r in rows], pa.int64()),
+        "trend_millionths": pa.array([r[3] for r in rows], pa.int64()),
+        "forecast_millionths": pa.array([r[4] for r in rows],
+                                        pa.int64()),
+    })
+
+
+def holt_trend_sql(group_col: str = "event_type", ts_col: str = "ts",
+                   alpha=(1, 2), beta=(1, 2),
+                   table: str = "events") -> str:
+    an, ad = alpha
+    bn, bd = beta
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS y
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), seq AS MATERIALIZED (
+  SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY day) AS rn,
+    count(*) OVER (PARTITION BY g) AS nd
+  FROM daily
+), ok AS (SELECT * FROM seq WHERE nd >= 2),
+holt AS (
+  SELECT g, nd, CAST(2 AS BIGINT) AS rn,
+    ({an} * 1000000 * b.y + ({ad} - {an})
+     * (1000000 * a.y + 1000000 * (b.y - a.y))) // {ad} AS lev,
+    1000000 * a.y AS prev_lev,
+    1000000 * (b.y - a.y) AS tr0
+  FROM (SELECT * FROM ok WHERE rn = 1) a
+  JOIN (SELECT * FROM ok WHERE rn = 2) b USING (g, nd)
+), holt2 AS (
+  SELECT g, nd, rn, lev,
+    ({bn} * (lev - prev_lev) + ({bd} - {bn}) * tr0) // {bd} AS tr
+  FROM holt
+), rec AS (
+  SELECT g, nd, rn, lev, tr FROM holt2
+  UNION ALL
+  SELECT r.g, r.nd, s.rn,
+    ({an} * 1000000 * s.y + ({ad} - {an}) * (r.lev + r.tr)) // {ad},
+    ({bn} * (({an} * 1000000 * s.y + ({ad} - {an}) * (r.lev + r.tr))
+             // {ad} - r.lev) + ({bd} - {bn}) * r.tr) // {bd}
+  FROM rec r JOIN ok s ON s.g = r.g AND s.rn = r.rn + 1
+)
+SELECT g AS "group", CAST(nd AS BIGINT) AS n_days,
+  CAST(lev AS BIGINT) AS level_millionths,
+  CAST(tr AS BIGINT) AS trend_millionths,
+  CAST(lev + tr AS BIGINT) AS forecast_millionths
+FROM rec WHERE rn = nd
+ORDER BY "group"
+""".strip()

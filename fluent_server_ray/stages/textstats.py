@@ -4153,3 +4153,229 @@ JOIN terma ta ON ta.ga = p.ga AND ta.gb = p.gb
 JOIN termb tb ON tb.ga = p.ga AND tb.gb = p.gb
 ORDER BY source_a, source_b
 """.strip()
+
+
+# --------------------------------------------- RAKE keyphrases
+
+RAKE_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is")
+
+
+def rake_keyphrases(ds, k: int = 50, text_col: str = "text",
+                    stopwords: tuple = RAKE_STOPWORDS,
+                    n_buckets: int = 64) -> pa.Table:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Automatic
+    Keyword Extraction from Individual Documents") over the whole
+    corpus — the phrase-level complement of :func:`doc_keywords`'
+    TF-IDF unigrams: candidate phrases are maximal stopword-free
+    token runs; each word scores ``degree/frequency`` (degree = Σ of
+    the lengths of the phrase occurrences containing it — long-phrase
+    words beat isolated frequent words); a phrase scores the sum of
+    its words' scores.
+
+    Exact-integer contract: ``word_score_e6 = (1_000_000 * deg) //
+    freq`` floors once per word; ``phrase_score_e6`` sums those with
+    multiplicity — both engines spell the same floors, so ranking is
+    deterministic: (score desc, phrase asc), top ``k`` distinct
+    phrases, each with its occurrence count.
+
+    Distributed shape (nothing unbounded on the driver): per-batch
+    phrase extraction (vectorized boundary cumsum over the flat token
+    stream) feeds (1) per-word (freq, deg) partials → ONE word-bucket
+    exchange, and (2) distinct (phrase, n) counts → distributed
+    merge; scoring re-explodes the DISTINCT phrases to (phrase, word,
+    mult) rows and bucket-JOINS word scores back (no corpus-wide
+    broadcast), re-aggregates per phrase, and per-bucket top-k leaves
+    an O(buckets·k) driver merge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    hash_bucket_array,
+                                                    skip_empty)
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    stop = frozenset(stopwords)
+
+    def extract_phrases(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.fill_null(t[text_col], ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64),
+                           lens.astype(np.int64))
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        words, doc_of = words[keep], doc_of[keep]
+        if len(words) == 0:
+            return pd.DataFrame({"phrase": [], "plen": []})
+        is_stop = np.isin(words, list(stop))
+        new_doc = np.concatenate(([True], doc_of[1:] != doc_of[:-1]))
+        # a phrase breaks at every stopword or doc boundary
+        brk = is_stop | new_doc
+        pid = np.cumsum(brk)
+        m = ~is_stop
+        sub = pd.DataFrame({"pid": pid[m], "w": words[m]})
+        g = sub.groupby("pid", sort=True)["w"]
+        phrases = g.agg(" ".join)
+        plens = g.size()
+        return pd.DataFrame({"phrase": phrases.to_numpy(),
+                             "plen": plens.to_numpy(dtype=np.int64)})
+
+    phrase_schema = pa.schema([("phrase", pa.string()),
+                               ("plen", pa.int64())])
+
+    def phrases_arrow(t: pa.Table) -> pa.Table:
+        df = extract_phrases(t)
+        return pa.table({
+            "phrase": pa.array(df["phrase"], pa.string()),
+            "plen": pa.array(df["plen"], pa.int64())})
+
+    out_schema = pa.schema([("phrase", pa.string()), ("n", pa.int64()),
+                            ("score_millionths", pa.int64())])
+
+    occ = ds.select_columns([text_col]).map_batches(
+        skip_empty(phrases_arrow), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()  # two consumers below
+    if occ.count() == 0:  # all-stopword / empty corpus
+        return out_schema.empty_table()
+
+    # (1) per-word (freq, deg) partials → ONE word-bucket exchange
+    def word_partial(t: pa.Table) -> pa.Table:
+        ph = t["phrase"].to_numpy(zero_copy_only=False)
+        pl = t["plen"].to_numpy(zero_copy_only=False)
+        words = np.concatenate([p.split(" ") for p in ph]) \
+            if len(ph) else np.array([], dtype=object)
+        degs = np.repeat(pl, pl)
+        sub = pd.DataFrame({"w": words, "deg": degs})
+        g = sub.groupby("w", sort=False)["deg"]
+        out = pd.DataFrame({"freq": g.size(), "deg": g.sum()}) \
+            .reset_index()
+        tbl = pa.table({"w": pa.array(out["w"], pa.string()),
+                        "freq": pa.array(out["freq"], pa.int64()),
+                        "deg": pa.array(out["deg"], pa.int64())})
+        return tbl.append_column(
+            "_bucket", pa.array(hash_bucket_array(tbl["w"], n_buckets)))
+
+    score_schema = pa.schema([("w", pa.string()),
+                              ("score_e6", pa.int64())])
+
+    def bucket_scores(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("w", sort=False)[["freq", "deg"]].sum()
+        score = (1_000_000 * s["deg"]) // s["freq"]
+        return pa.table({
+            "w": pa.array(s.index.to_numpy(), pa.string()),
+            "score_e6": pa.array(score.to_numpy(), pa.int64())})
+
+    from fluent_server_ray.stages.groups import map_buckets
+
+    wscores = map_buckets(
+        occ.map_batches(skip_empty(word_partial),
+                        batch_format="pyarrow", zero_copy_batch=True),
+        bucket_scores, score_schema)
+
+    # (2) distinct (phrase, n) via distributed merge
+    def phrase_partial(t: pa.Table) -> pa.Table:
+        return (t.select(["phrase"]).group_by("phrase")
+                .aggregate([([], "count_all")])
+                .rename_columns(["phrase", "n"]))
+
+    phrases = grouped_agg(
+        occ.map_batches(skip_empty(phrase_partial),
+                        batch_format="pyarrow", zero_copy_batch=True),
+        keys=["phrase"], aggs=[("n", "sum")], final="ray")
+
+    # re-explode DISTINCT phrases and bucket-join word scores back
+    def explode(t: pa.Table) -> pa.Table:
+        ph = t["phrase"].to_numpy(zero_copy_only=False)
+        ns = t["n_sum"].to_numpy(zero_copy_only=False)
+        lists = [p.split(" ") for p in ph]
+        lens = np.array([len(x) for x in lists], dtype=np.int64)
+        words = (np.concatenate(lists) if len(lists)
+                 else np.array([], dtype=object))
+        return pa.table({
+            "phrase": pa.array(np.repeat(ph, lens), pa.string()),
+            "n": pa.array(np.repeat(ns, lens), pa.int64()),
+            "w": pa.array(words, pa.string())})
+
+    joined = bucketed_hash_join(
+        phrases.map_batches(skip_empty(explode),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True),
+        wscores, key="w", n_buckets=n_buckets)
+
+    def per_phrase_partial(t: pa.Table) -> pa.Table:
+        return (t.select(["phrase", "n", "score_e6"])
+                .group_by(["phrase", "n"])
+                .aggregate([("score_e6", "sum")])
+                .rename_columns(["phrase", "n", "score_e6"]))
+
+    scored = grouped_agg(
+        joined.map_batches(skip_empty(per_phrase_partial),
+                           batch_format="pyarrow",
+                           zero_copy_batch=True),
+        keys=["phrase", "n"], aggs=[("score_e6", "sum")], final="ray")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        out = pa.table({"phrase": t["phrase"],
+                        "n": pc.cast(t["n"], pa.int64()),
+                        "score_millionths": pc.cast(t["score_e6_sum"],
+                                                    pa.int64())})
+        idx = pc.sort_indices(out, sort_keys=[
+            ("score_millionths", "descending"), ("phrase", "ascending")])
+        return out.take(idx[:k])
+
+    tops = list(scored.map_batches(
+        skip_empty(local_topk), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow"))
+    if not tops:
+        return out_schema.empty_table()
+    merged = pa.concat_tables(tops)  # ≤ blocks × k rows
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("score_millionths", "descending"), ("phrase", "ascending")])
+    return merged.take(idx[:k])
+
+
+def rake_keyphrases_sql(k: int = 50,
+                        stopwords: tuple = RAKE_STOPWORDS,
+                        table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in stopwords)
+    return f"""
+WITH toks AS (
+  SELECT did, gs, w, w IN ({stop_list}) AS is_stop FROM (
+    SELECT row_number() OVER () AS did,
+      list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM {table} WHERE text IS NOT NULL
+  ) CROSS JOIN unnest(generate_series(1, len(t))) AS u(gs)
+  CROSS JOIN LATERAL (SELECT t[gs] AS w) z
+), pids AS (
+  SELECT did, gs, w, is_stop,
+    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+      OVER (PARTITION BY did ORDER BY gs) AS pid
+  FROM toks
+), occ AS MATERIALIZED (
+  SELECT did, pid, string_agg(w, ' ' ORDER BY gs) AS phrase,
+    CAST(count(*) AS BIGINT) AS plen
+  FROM pids WHERE NOT is_stop GROUP BY did, pid
+), wstats AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+    CAST(sum(plen) AS BIGINT) AS deg FROM (
+    SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM occ
+  ) GROUP BY w
+), phrases AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY phrase
+), scored AS (
+  SELECT p.phrase, p.n,
+    CAST(sum((1000000 * s.deg) // s.freq) AS BIGINT) AS score
+  FROM (SELECT phrase, n, unnest(string_split(phrase, ' ')) AS w
+        FROM phrases) p
+  JOIN wstats s ON s.w = p.w
+  GROUP BY p.phrase, p.n
+)
+SELECT phrase, n, score AS score_millionths
+FROM scored
+ORDER BY score DESC, phrase
+LIMIT {k}
+""".strip()
