@@ -4195,6 +4195,35 @@ def _q_holt_trend(sf_dir: str):
                            columns=["event_type", "ts"]))
 
 
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: per-brand revenue of lineitems below 20% of
+    their part's average quantity — the avg and the filter live inside
+    ONE partkey-bucket exchange (no stats join, no second scan)."""
+    from fluent_server_ray.pipelines.relational import small_qty_revenue
+
+    return small_qty_revenue(sf_dir)
+
+
+def _q_big_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: orders whose summed quantity exceeds the
+    cutoff, joined back to orders and customer — distributed per-order
+    combiner, HAVING filter before either join."""
+    from fluent_server_ray.pipelines.relational import big_volume_customers
+
+    return big_volume_customers(sf_dir)
+
+
+def _q_dormant_customers(sf_dir: str):
+    """TPC-H Q22 shape (recency-adapted): above-positive-average
+    balances with no recent order, per market segment — two scalar
+    partials + one broadcast anti-is_in, nothing joined wide."""
+    from fluent_server_ray.pipelines.relational import (
+        dormant_high_balance_customers,
+    )
+
+    return dormant_high_balance_customers(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4505,6 +4534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_js_divergence": _q_js_divergence,
         "doc_rake_keyphrases": _q_rake_keyphrases,
         "events_holt_trend": _q_holt_trend,
+        "lineitem_small_qty_revenue": _q_small_qty_revenue,
+        "orders_big_volume_customers": _q_big_volume_customers,
+        "customers_dormant_balance": _q_dormant_customers,
     }
 
 
@@ -5263,4 +5295,8 @@ WITH toks AS (
         "source_js_divergence": textstats.source_js_divergence_sql(),
         "doc_rake_keyphrases": textstats.rake_keyphrases_sql(k=50),
         "events_holt_trend": features.holt_trend_sql(),
+        "lineitem_small_qty_revenue": rel.small_qty_revenue_sql(),
+        "orders_big_volume_customers": rel.big_volume_customers_sql(),
+        "customers_dormant_balance":
+            rel.dormant_high_balance_customers_sql(),
     }

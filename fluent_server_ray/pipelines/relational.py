@@ -1247,3 +1247,307 @@ SELECT o_orderpriority, o_orderstatus, count(*) AS n,
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY lvl, o_orderpriority NULLS LAST, o_orderstatus NULLS LAST
 """.strip()
+
+
+# ------------------------------------------- TPC-H classic join shapes
+
+def small_qty_revenue(sf_dir: str, n_buckets: int = 32) -> pa.Table:
+    """Small-quantity-order revenue per brand (TPC-H Q17 shape):
+    revenue of lineitems whose quantity is below 20% of their part's
+    average quantity.
+
+    Exact-integer predicate: ``qty < 0.2 * avg(qty)`` over a part's
+    lineitems ⟺ ``5·qty_cents·cnt < sum_qty_cents`` — both sides int64
+    (qty_cents ≤ ~5e3, cnt per part ≤ ~3e7 even at 100 TB → ≤ 7.5e11),
+    so the engine and the SQL mirror can never disagree at the
+    boundary.
+
+    Shape: the per-part average and the small-row filter both live
+    inside ONE partkey-bucket exchange (every lineitem of a part
+    co-locates, so the avg is bucket-local — no stats join, no second
+    scan); the bucket emits per-part (revenue, count) partials, which
+    join part's brand through the bucketed hash join and collapse to
+    the ~|brands| driver merge. 2 bounded exchanges total; the full
+    lineitem is shuffled once (the predicate needs every row against
+    its part's avg — irreducible for exact Q17 semantics).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.joins import _with_bucket, \
+        bucketed_hash_join
+    from fluent_server_ray.stages.groups import map_buckets
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty_cents": _cents(t["l_quantity"]),
+            "price_cents": _cents(t["l_extendedprice"]),
+        })
+
+    rows = _with_bucket(
+        li.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        "l_partkey", n_buckets)
+
+    per_part_schema = pa.schema([
+        pa.field("l_partkey", pa.int64()),
+        pa.field("rev_cents", pa.int64()),
+        pa.field("n_small", pa.int64()),
+    ])
+
+    def small_rev(g: pd.DataFrame) -> pd.DataFrame:
+        st = g.groupby("l_partkey")["qty_cents"].agg(s="sum", c="count")
+        m = g.merge(st, on="l_partkey")
+        sm = m[5 * m["qty_cents"] * m["c"] < m["s"]]
+        if sm.empty:
+            return pd.DataFrame(
+                {"l_partkey": [], "rev_cents": [], "n_small": []})
+        return (sm.groupby("l_partkey")["price_cents"]
+                .agg(rev_cents="sum", n_small="count").reset_index())
+
+    per_part = map_buckets(rows, small_rev, per_part_schema)
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+    joined = bucketed_hash_join(per_part, part, key="l_partkey",
+                                right_key="p_partkey",
+                                n_buckets=n_buckets)
+    out = grouped_agg(joined, ["p_brand"],
+                      [("rev_cents", "sum"), ("n_small", "sum")])
+    return pa.table({
+        "p_brand": out["p_brand"],
+        "revenue_cents": out["rev_cents_sum"],
+        "n_small": out["n_small_sum"],
+    })
+
+
+def small_qty_revenue_sql() -> str:
+    return """
+WITH st AS (
+  SELECT l_partkey,
+    sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS s,
+    count(*) AS c
+  FROM lineitem GROUP BY 1
+), small AS (
+  SELECT l.l_partkey,
+    CAST(round(l.l_extendedprice * 100.0) AS BIGINT) AS pc
+  FROM lineitem l JOIN st USING (l_partkey)
+  WHERE 5 * CAST(round(l.l_quantity * 100.0) AS BIGINT) * c < s
+)
+SELECT p_brand, CAST(sum(pc) AS BIGINT) AS revenue_cents,
+  count(*) AS n_small
+FROM small JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+# sum-of-quantity cutoff (cents) for the large-volume-order screen:
+# ~0.3% of orders at the synthetic generator's quantity distribution
+BIG_VOLUME_QTY_CENTS = 30_000
+
+
+def big_volume_customers(sf_dir: str,
+                         min_qty_cents: int = BIG_VOLUME_QTY_CENTS,
+                         n_buckets: int = 32) -> pa.Table:
+    """Large-volume customers (TPC-H Q18 shape): orders whose summed
+    lineitem quantity exceeds the cutoff, with the owning customer
+    joined in.
+
+    Shape: per-order quantity sums via the distributed combiner
+    (``grouped_agg(final='ray')`` — the orderkey space is O(rows), so
+    the merge is Ray's groupby, never the driver); the HAVING filter
+    drops ~99.7% of orders BEFORE either join; the survivors join
+    orders then customer through two bucketed hash joins. The result
+    is cutoff-bounded (a fixed tail quantile of orders) — only that
+    bounded set is collected and sorted on the driver."""
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "qty_cents": _cents(t["l_quantity"])})
+
+    oq = grouped_agg(
+        li.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], [("qty_cents", "sum")], final="ray")
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["qty_cents_sum"], min_qty_cents))
+
+    big = oq.map_batches(keep_big, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def oproj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate": t["o_orderdate"],
+            "total_price_cents": _cents(t["o_totalprice"]),
+        })
+
+    j1 = bucketed_hash_join(
+        big, orders.map_batches(oproj, batch_format="pyarrow",
+                                zero_copy_batch=True),
+        key="l_orderkey", right_key="o_orderkey", n_buckets=n_buckets)
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+    j2 = bucketed_hash_join(j1, cust, key="o_custkey",
+                            right_key="c_custkey", n_buckets=n_buckets)
+
+    tables = list(j2.iter_batches(batch_size=None, batch_format="pyarrow"))
+    out_fields = [("c_custkey", pa.int64()), ("c_name", pa.string()),
+                  ("o_orderkey", pa.int64()),
+                  ("o_orderdate", pa.timestamp("us")),
+                  ("total_price_cents", pa.int64()),
+                  ("sum_qty_cents", pa.int64())]
+    if not tables:
+        return pa.schema(out_fields).empty_table()
+    t = pa.concat_tables(tables)
+    t = pa.table({
+        "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+        "c_name": t["c_name"],
+        "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+        "o_orderdate": t["o_orderdate"],
+        "total_price_cents": pc.cast(t["total_price_cents"], pa.int64()),
+        "sum_qty_cents": pc.cast(t["qty_cents_sum"], pa.int64()),
+    })
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("sum_qty_cents", "descending"),
+                      ("o_orderkey", "ascending")]))
+
+
+def big_volume_customers_sql(
+        min_qty_cents: int = BIG_VOLUME_QTY_CENTS) -> str:
+    return f"""
+WITH oq AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+      AS sum_qty_cents
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * 100.0) AS BIGINT)) > {min_qty_cents}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+  CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS total_price_cents,
+  oq.sum_qty_cents
+FROM oq JOIN orders o ON o.o_orderkey = oq.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY oq.sum_qty_cents DESC, o.o_orderkey
+""".strip()
+
+
+# recency cutoff for the dormant-customer screen (the synthetic
+# orderdate range is 1995-01-01 .. 2001-08-01; this keeps a non-trivial
+# dormant set at every sf)
+DORMANT_CUTOFF = "2000-06-01 00:00:00"
+
+
+def dormant_high_balance_customers(sf_dir: str,
+                                   cutoff: str = DORMANT_CUTOFF
+                                   ) -> pa.Table:
+    """Dormant high-balance customers per market segment (TPC-H Q22
+    shape, recency-adapted — the schema has no phone column): customers
+    whose account balance exceeds the average POSITIVE balance and who
+    placed no order on/after the cutoff date.
+
+    Exact-integer predicate: ``bal > avg(pos bal)`` ⟺
+    ``bal_cents · n_pos > sum_pos_cents`` (int64 both sides). Shape:
+    one combiner pass collapses customer to the two global positive
+    scalars; the recent-buyer custkeys (date predicate pushed into the
+    read) reduce to a distinct set broadcast once via ``ray.put``; the
+    customer scan then streams through one vectorized
+    threshold+anti-``is_in`` filter into per-batch segment partials.
+    At a key-set scale where the broadcast no longer fits, swap the
+    is_in for the Bloom-prefilter path (:func:`_customers_key_filter`
+    ``use_bloom=True``) — same screen, fixed-size broadcast."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+    recent = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= cut)
+    key_arr = grouped_counts(recent, ["o_custkey"])["o_custkey"] \
+        .combine_chunks()
+    key_ref = ray.put(key_arr)
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        bal = _cents(t["c_acctbal"])
+        pos = pc.greater(bal, 0)
+        kept = bal.filter(pos)
+        return pa.table({
+            "s": pa.array([pc.sum(kept).as_py() or 0], pa.int64()),
+            "c": pa.array([len(kept)], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        cust.map_batches(pos_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    sum_pos = pc.sum(parts["s"]).as_py() or 0
+    n_pos = pc.sum(parts["c"]).as_py() or 0
+
+    out_fields = [("c_mktsegment", pa.string()),
+                  ("n_cust", pa.int64()), ("bal_cents", pa.int64())]
+    if n_pos == 0:  # SQL: x * 0 > NULL is never true
+        return pa.schema(out_fields).empty_table()
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        bal = _cents(t["c_acctbal"])
+        keep = pc.and_(
+            pc.greater(pc.multiply(bal, n_pos), sum_pos),
+            pc.invert(pc.is_in(t["c_custkey"],
+                               value_set=ray.get(key_ref))))
+        kept = pa.table({"c_mktsegment": t["c_mktsegment"],
+                         "bal_cents": bal}).filter(keep)
+        return kept.group_by(["c_mktsegment"]).aggregate(
+            [("bal_cents", "sum"), ([], "count_all")]
+        ).rename_columns(["c_mktsegment", "bal_cents", "n"])
+
+    segs = pa.concat_tables(
+        cust.map_batches(seg_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not len(segs):
+        return pa.schema(out_fields).empty_table()
+    out = segs.group_by(["c_mktsegment"]).aggregate(
+        [("n", "sum"), ("bal_cents", "sum")]
+    ).rename_columns(["c_mktsegment", "n_cust", "bal_cents"])
+    return out.sort_by([("c_mktsegment", "ascending")])
+
+
+def dormant_high_balance_customers_sql(
+        cutoff: str = DORMANT_CUTOFF) -> str:
+    return f"""
+WITH pos AS (
+  SELECT sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS s,
+    count(*) AS c
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_cust,
+  CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+    AS bal_cents
+FROM customer, pos
+WHERE CAST(round(c_acctbal * 100.0) AS BIGINT) * pos.c > pos.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = customer.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{cutoff}')
+GROUP BY 1 ORDER BY 1
+""".strip()

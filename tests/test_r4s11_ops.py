@@ -1,0 +1,157 @@
+"""Hand-computed pins for the TPC-H classic join shapes (Q17/Q18/Q22
+adaptations): small-quantity revenue, big-volume customers, dormant
+high-balance customers."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+# --------------------------------------------- Q17 small-qty revenue
+
+def _write_q17(tmp_path):
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "l_quantity": pa.array([1.0, 10.0, 10.0, 10.0, 5.0, 5.0]),
+        "l_extendedprice": pa.array([7.5, 90.0, 90.0, 90.0, 40.0, 40.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["B1", "B2"], pa.string()),
+    }), str(tmp_path / "part.parquet"))
+
+
+def test_small_qty_revenue_hand(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import small_qty_revenue
+
+    _write_q17(tmp_path)
+    # part 1: qty cents [100,1000,1000,1000] sum=3100 c=4;
+    # 5·qc·4 < 3100 ⟺ qc < 155 → only the qty-1 row (price 750 cents).
+    # part 2: 5·500·2 = 5000 ≥ 1000 → no small rows, brand B2 absent.
+    got = small_qty_revenue(str(tmp_path)).to_pandas()
+    want = pd.DataFrame({"p_brand": ["B1"], "revenue_cents": [750],
+                         "n_small": [1]})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_small_qty_revenue_matches_duckdb(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        small_qty_revenue, small_qty_revenue_sql)
+
+    got = small_qty_revenue(SF_SMALL).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF_SMALL}/lineitem.parquet')")
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{SF_SMALL}/part.parquet')")
+    want = con.execute(small_qty_revenue_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------ Q18 big-volume customers
+
+def test_big_volume_customers_hand(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import big_volume_customers
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_quantity": pa.array([200.0, 150.0, 100.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 11], pa.int64()),
+        "o_orderdate": pa.array([_ts("1999-03-04"), _ts("1999-05-06")],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 5.0]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11], pa.int64()),
+        "c_name": pa.array(["Alice", "Bob"], pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+
+    # order 1: 35000 qty-cents > 30000 cutoff; order 2: 10000 → dropped
+    got = big_volume_customers(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["c_custkey"] == 10 and r["c_name"] == "Alice"
+    assert r["o_orderkey"] == 1
+    assert r["total_price_cents"] == 10000
+    assert r["sum_qty_cents"] == 35000
+
+
+def test_big_volume_customers_empty_result(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import big_volume_customers
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_quantity": pa.array([1.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_custkey": pa.array([10], pa.int64()),
+        "o_orderdate": pa.array([_ts("1999-03-04")], pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10], pa.int64()),
+        "c_name": pa.array(["Alice"], pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    got = big_volume_customers(str(tmp_path))
+    assert got.num_rows == 0
+    assert got.schema.names == ["c_custkey", "c_name", "o_orderkey",
+                                "o_orderdate", "total_price_cents",
+                                "sum_qty_cents"]
+
+
+# --------------------------------------- Q22 dormant balance screen
+
+def test_dormant_high_balance_hand(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import (
+        dormant_high_balance_customers)
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_mktsegment": pa.array(["S1", "S1", "S2", "S2"], pa.string()),
+        "c_acctbal": pa.array([100.0, 50.0, -10.0, 100.0]),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        # cust 1 ordered AFTER the cutoff (active); cust 4 only before
+        "o_custkey": pa.array([1, 4], pa.int64()),
+        "o_orderdate": pa.array([_ts("2001-01-01"), _ts("1996-01-01")],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+
+    # positive balances: 10000+5000+10000 → sum 25000, n 3;
+    # bal·3 > 25000 keeps custs 1 and 4; cust 1 is active → only 4.
+    got = dormant_high_balance_customers(str(tmp_path)).to_pandas()
+    want = pd.DataFrame({"c_mktsegment": ["S2"], "n_cust": [1],
+                         "bal_cents": [10000]})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_dormant_no_positive_balances(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import (
+        dormant_high_balance_customers)
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_mktsegment": pa.array(["S1"], pa.string()),
+        "c_acctbal": pa.array([-5.0]),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    got = dormant_high_balance_customers(str(tmp_path))
+    # SQL mirror: bal·0 > NULL is never true → empty, not a crash
+    assert got.num_rows == 0
