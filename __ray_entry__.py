@@ -4224,6 +4224,28 @@ def _q_dormant_customers(sf_dir: str):
     return dormant_high_balance_customers(sf_dir)
 
 
+def _q_langid_kappa(sf_dir: str):
+    """Cohen's kappa between the stored lang label and the langid
+    heuristic — exact-integer chance-corrected agreement over the
+    bounded confusion table (one combiner pass)."""
+    from fluent_server_ray.stages.textstats import langid_kappa
+
+    return langid_kappa(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"]))
+
+
+def _q_feature_hashing(sf_dir: str):
+    """Hashing-trick bag-of-words: fixed-width signed token buckets
+    (md5 ≡ md5_number_upper), purely per-doc streaming map — no
+    vocabulary build, no exchange."""
+    from fluent_server_ray.stages.textstats import feature_hash_vectors
+
+    return feature_hash_vectors(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]), dim=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4537,6 +4559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_small_qty_revenue": _q_small_qty_revenue,
         "orders_big_volume_customers": _q_big_volume_customers,
         "customers_dormant_balance": _q_dormant_customers,
+        "docs_langid_kappa": _q_langid_kappa,
+        "doc_feature_hashing": _q_feature_hashing,
     }
 
 
@@ -5299,4 +5323,6 @@ WITH toks AS (
         "orders_big_volume_customers": rel.big_volume_customers_sql(),
         "customers_dormant_balance":
             rel.dormant_high_balance_customers_sql(),
+        "docs_langid_kappa": textstats.langid_kappa_sql(),
+        "doc_feature_hashing": textstats.feature_hash_vectors_sql(dim=64),
     }

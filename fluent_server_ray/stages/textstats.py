@@ -4379,3 +4379,166 @@ FROM scored
 ORDER BY score DESC, phrase
 LIMIT {k}
 """.strip()
+
+
+# ------------------------------------- inter-labeler agreement (kappa)
+
+def langid_kappa(ds, label_col: str = "lang") -> pa.Table:
+    """Cohen's kappa between the stored language label and the langid
+    heuristic's prediction — the chance-corrected agreement score a
+    curation team reads alongside the raw confusion matrix (Cohen
+    1960): kappa = (Po − Pe) / (1 − Pe), Pe = Σ_k row_k·col_k / N².
+
+    Exact-integer contract: the confusion matrix is integer counts, so
+    with A = agreement count and PE = Σ row_k·col_k, kappa =
+    (N·A − PE) / (N² − PE) is a ratio of exact integers. The engine
+    computes it in unbounded Python ints (N² exceeds int64 past ~3e9
+    rows) and emits TRUNCATED millionths (toward zero — DuckDB ``//``
+    semantics, kappa can be negative); the mirror does the same
+    arithmetic in HUGEINT. Perfect chance agreement (N² == PE, e.g. a
+    single class on both sides) yields NULL kappa on both sides.
+
+    Shape: one combiner pass builds the ≤ |langs|² confusion table
+    (:func:`langid_confusion`); the scalar reduction is driver-side
+    over that bounded table. Returns ONE row: (n_items, agree_n,
+    po_millionths, pe_millionths, kappa_millionths)."""
+    conf = langid_confusion(ds, label_col)
+    labs = conf[label_col].to_pylist()
+    preds = conf["lang_pred"].to_pylist()
+    ns = conf["n"].to_pylist()
+
+    n_total = sum(ns)
+    out_schema = pa.schema([
+        pa.field("n_items", pa.int64()), pa.field("agree_n", pa.int64()),
+        pa.field("po_millionths", pa.int64()),
+        pa.field("pe_millionths", pa.int64()),
+        pa.field("kappa_millionths", pa.int64()),
+    ])
+    if n_total == 0:
+        return out_schema.empty_table()
+
+    agree = sum(n for l, p, n in zip(labs, preds, ns) if l == p)
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for l, p, n in zip(labs, preds, ns):
+        row_tot[l] = row_tot.get(l, 0) + n
+        col_tot[p] = col_tot.get(p, 0) + n
+    pe = sum(r * col_tot.get(k, 0) for k, r in row_tot.items())
+
+    def tdiv(a: int, d: int) -> int:
+        # truncate toward zero (DuckDB // semantics); d > 0 always here
+        return a // d if a >= 0 else -((-a) // d)
+
+    den = n_total * n_total - pe
+    kappa = tdiv(10**6 * (n_total * agree - pe), den) if den else None
+    return pa.table({
+        "n_items": pa.array([n_total], pa.int64()),
+        "agree_n": pa.array([agree], pa.int64()),
+        "po_millionths": pa.array([(10**6 * agree) // n_total],
+                                  pa.int64()),
+        "pe_millionths": pa.array([(10**6 * pe)
+                                   // (n_total * n_total)], pa.int64()),
+        "kappa_millionths": pa.array([kappa], pa.int64()),
+    })
+
+
+def langid_kappa_sql(label_col: str = "lang",
+                     table: str = "documents") -> str:
+    return f"""
+WITH conf AS MATERIALIZED (
+  SELECT COALESCE(CAST({label_col} AS VARCHAR), 'unknown') AS lab,
+    {_langid_expr()} AS pred, count(*) AS n
+  FROM {table} GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(COALESCE(sum(n), 0) AS HUGEINT) AS nt,
+    CAST(COALESCE(sum(n) FILTER (WHERE lab = pred), 0) AS HUGEINT) AS a
+  FROM conf
+), pe AS (
+  SELECT CAST(COALESCE(sum(r.r * c.c), 0) AS HUGEINT) AS pe
+  FROM (SELECT lab AS k, CAST(sum(n) AS HUGEINT) AS r
+        FROM conf GROUP BY 1) r
+  JOIN (SELECT pred AS k, CAST(sum(n) AS HUGEINT) AS c
+        FROM conf GROUP BY 1) c ON r.k = c.k
+)
+SELECT CAST(nt AS BIGINT) AS n_items, CAST(a AS BIGINT) AS agree_n,
+  CAST((1000000 * a) // nt AS BIGINT) AS po_millionths,
+  CAST((1000000 * pe) // (nt * nt) AS BIGINT) AS pe_millionths,
+  CAST((1000000 * (nt * a - pe)) // NULLIF(nt * nt - pe, 0) AS BIGINT)
+    AS kappa_millionths
+FROM tot, pe
+WHERE nt > 0
+""".strip()
+
+
+# --------------------------------------- feature hashing (the trick)
+
+_FEATHASH_CACHE: dict = {}
+
+
+def feature_hash_vectors(ds, dim: int = 64, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Hashing-trick bag-of-words vectors (Weinberger 2009): every
+    token maps to ``md5(tok) % dim`` with a ±1 sign from an
+    independent salted hash, so the feature space is FIXED-width with
+    no vocabulary build, no broadcast table, no exchange — the
+    standard way to featurize an unbounded token space at 100 TB.
+
+    Hash family is the oracle-checkable house device: ``md5_u64`` ≡
+    DuckDB ``md5_number_upper`` bit-for-bit (first 8 digest bytes,
+    little-endian; cf. stages/dedup.py simhash). Sign salt is
+    ``'s#' ∥ tok`` — independent of the bucket hash.
+
+    Purely per-doc: one streaming map, per-worker token→(bucket,sign)
+    cache (the corpus vocabulary amortizes the md5). Returns a Dataset
+    of long-form (id, dim, weight) rows, zero-weight cells dropped —
+    exactly the SQL mirror's HAVING."""
+    from fluent_server_ray.functions.hashing import md5_u64
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids_out, dims_out, w_out = [], [], []
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        cache = _FEATHASH_CACHE
+        for i, text in zip(ids, texts):
+            acc: dict = {}
+            for tok in (text or "").split(" "):
+                if not tok:
+                    continue
+                bs = cache.get(tok)
+                if bs is None:
+                    bs = (md5_u64(tok) % dim,
+                          1 if md5_u64("s#" + tok) % 2 == 0 else -1)
+                    if len(cache) < (1 << 20):
+                        cache[tok] = bs
+                acc[bs[0]] = acc.get(bs[0], 0) + bs[1]
+            for d in sorted(acc):
+                if acc[d] != 0:
+                    ids_out.append(i)
+                    dims_out.append(d)
+                    w_out.append(acc[d])
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "dim": pa.array(dims_out, pa.int64()),
+            "weight": pa.array(w_out, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def feature_hash_vectors_sql(dim: int = 64, id_col: str = "doc_id",
+                             table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM {table}
+)
+SELECT {id_col}, CAST(md5_number_upper(tok) % {dim} AS BIGINT) AS dim,
+  CAST(sum(CASE WHEN md5_number_upper('s#' || tok) % 2 = 0
+           THEN 1 ELSE -1 END) AS BIGINT) AS weight
+FROM toks GROUP BY 1, 2
+HAVING sum(CASE WHEN md5_number_upper('s#' || tok) % 2 = 0
+           THEN 1 ELSE -1 END) <> 0
+ORDER BY {id_col}, dim
+""".strip()

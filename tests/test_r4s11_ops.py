@@ -155,3 +155,112 @@ def test_dormant_no_positive_balances(ray_session, tmp_path):
     got = dormant_high_balance_customers(str(tmp_path))
     # SQL mirror: bal·0 > NULL is never true → empty, not a crash
     assert got.num_rows == 0
+
+
+# ------------------------------------------------ Cohen's kappa
+
+def _docs(rows):
+    return pa.table({
+        "doc_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def test_langid_kappa_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import langid_kappa
+
+    # preds: en, de, de, unknown → agree 2 of 4
+    # rows: en 2, de 1, fr 1; cols: en 1, de 2, unknown 1
+    # pe = 2·1 + 1·2 = 4; po = 2/4; kappa = (4·2−4)/(16−4) = 1/3
+    ds = rd.from_arrow(_docs([
+        ("en", "the cat"), ("en", "der hund ist"),
+        ("de", "der und"), ("fr", "xyz"),
+    ]))
+    got = langid_kappa(ds).to_pandas()
+    assert got["n_items"].tolist() == [4]
+    assert got["agree_n"].tolist() == [2]
+    assert got["po_millionths"].tolist() == [500_000]
+    assert got["pe_millionths"].tolist() == [250_000]
+    assert got["kappa_millionths"].tolist() == [333_333]
+
+
+def test_langid_kappa_negative_and_null(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import langid_kappa
+
+    # systematic disagreement → kappa −1 (truncating division exact)
+    ds = rd.from_arrow(_docs([("en", "der ist"), ("de", "the and")]))
+    got = langid_kappa(ds).to_pandas()
+    assert got["kappa_millionths"].tolist() == [-1_000_000]
+
+    # single class both sides → N² == pe → NULL kappa, not a crash
+    ds1 = rd.from_arrow(_docs([("en", "the"), ("en", "the and")]))
+    got1 = langid_kappa(ds1).to_pandas()
+    assert got1["po_millionths"].tolist() == [1_000_000]
+    assert pd.isna(got1["kappa_millionths"]).all()
+
+
+def test_langid_kappa_matches_duckdb(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (langid_kappa,
+                                                    langid_kappa_sql)
+
+    t = _docs([("en", "the cat"), ("en", "der hund ist"),
+               ("de", "der und"), ("fr", "le et la"), (None, "xyz")])
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = langid_kappa(rd.from_arrow(t)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(langid_kappa_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -------------------------------------------- feature hashing
+
+def test_feature_hash_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.textstats import feature_hash_vectors
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["x x", ""], pa.string()),
+    }))
+    got = feature_hash_vectors(ds, dim=64).to_pandas()
+    # doc 2 is empty → no rows; doc 1: both tokens identical → one
+    # cell with |weight| 2 at the md5 bucket
+    assert len(got) == 1
+    sign = 1 if md5_u64("s#x") % 2 == 0 else -1
+    assert got.iloc[0]["doc_id"] == 1
+    assert got.iloc[0]["dim"] == md5_u64("x") % 64
+    assert got.iloc[0]["weight"] == 2 * sign
+
+
+def test_feature_hash_matches_duckdb(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (
+        feature_hash_vectors, feature_hash_vectors_sql)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c a", "the quick brown fox", None],
+                         pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = feature_hash_vectors(rd.from_arrow(t), dim=8).to_pandas()
+    got = got.sort_values(["doc_id", "dim"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(feature_hash_vectors_sql(dim=8)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
