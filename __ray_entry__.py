@@ -4246,6 +4246,30 @@ def _q_feature_hashing(sf_dir: str):
                            columns=["doc_id", "text"]), dim=64)
 
 
+def _q_tool_hits(sf_dir: str):
+    """HITS hubs/authorities over the tool-transition graph (4
+    max-normalized integer rounds, unbounded-int exact) — separates
+    dispatcher tools from destination tools where PageRank's single
+    score can't. Edge table arrives from the distributed transition
+    combiner; the iteration is driver-side over that bounded table."""
+    from fluent_server_ray.stages.assembly import tool_transitions
+    from fluent_server_ray.stages.graph import hits
+
+    edges = tool_transitions(apply_parse(read_transcripts(sf_dir)))
+    return hits(edges, src="prev_tool", dst="tool", w="n", n_iters=4)
+
+
+def _q_key_skew(sf_dir: str):
+    """Partition-key skew audit: per event_type, row/distinct-user
+    counts, hottest-user share and Herfindahl concentration — exact
+    python-int moments over the distributed (type, user) counts."""
+    from fluent_server_ray.stages.features import key_skew_audit
+
+    return key_skew_audit(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "user_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4561,6 +4585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_dormant_balance": _q_dormant_customers,
         "docs_langid_kappa": _q_langid_kappa,
         "doc_feature_hashing": _q_feature_hashing,
+        "tool_hits_scores": _q_tool_hits,
+        "events_key_skew": _q_key_skew,
     }
 
 
@@ -5325,4 +5351,19 @@ WITH toks AS (
             rel.dormant_high_balance_customers_sql(),
         "docs_langid_kappa": textstats.langid_kappa_sql(),
         "doc_feature_hashing": textstats.feature_hash_vectors_sql(dim=64),
+        "tool_hits_scores": __import__(
+            "fluent_server_ray.stages.graph", fromlist=["x"]
+        ).hits_sql_rounds(
+            oracle.with_pipeline_ctes("""calls AS (
+  SELECT conv_id, turn_idx, parsed_tool FROM parsed WHERE kind = 'tool'
+), seq AS (
+  SELECT parsed_tool AS dst,
+    lag(parsed_tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS src
+  FROM calls
+), trans AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+)"""), n_iters=4),
+        "events_key_skew": features.key_skew_audit_sql(),
     }

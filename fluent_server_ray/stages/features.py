@@ -5295,3 +5295,109 @@ SELECT g AS "group", CAST(nd AS BIGINT) AS n_days,
 FROM rec WHERE rn = nd
 ORDER BY "group"
 """.strip()
+
+
+# ------------------------------------------------ key-skew audit
+
+def key_skew_audit(ds, group_col: str = "event_type",
+                   key_col: str = "user_id") -> pa.Table:
+    """Partition-key skew audit per group: how concentrated each
+    group's rows are on its hottest keys — the diagnostic a shuffle
+    planner reads before picking a partitioning key (a top-share near
+    1e6 means one key owns the group → salt it; cf. the salted
+    aggregation path in stages/aggregate.add_salt).
+
+    Per group: row count ``n``, distinct keys ``n_keys``, hottest-key
+    count ``max_key_n``, ``top_share_millionths = 1e6·max//n`` and the
+    Herfindahl concentration ``hhi_millionths = 1e6·Σc² // n²``
+    (1e6/n_keys = uniform, 1e6 = one key). Σc² and n² accumulate as
+    python ints (HUGEINT mirror — squared counts overflow int64 at
+    open scale); each output column is range-guarded to BIGINT.
+
+    Shape: the unbounded (group, key) count space merges via the
+    distributed groupby; per-group moment partials collapse per block
+    (python-int decimal strings) into a driver merge bounded by
+    |groups|. NULL group/key rows are excluded (both engines). Output
+    sorted by group."""
+    from fluent_server_ray.stages.aggregate import grouped_counts, skip_empty
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[group_col]),
+                             pc.is_valid(t[key_col])))
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "k": t[key_col]})
+
+    cnt = grouped_counts(
+        ds.select_columns([group_col, key_col]).map_batches(
+            skip_empty(proj), batch_format="pyarrow",
+            zero_copy_batch=True),
+        ["g", "k"], final="ray")
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"g": t["g"], "n": t["n"]}).to_pandas()
+        n = df["n"].astype(object)  # python ints: n² at any scale
+        df["sq"] = n * n
+        agg = df.groupby("g", sort=False).agg(
+            N=("n", "sum"), U=("n", "count"), MX=("n", "max"),
+            SS=("sq", "sum")).reset_index()
+        return pa.table({
+            "g": pa.array(agg["g"], pa.string()),
+            "N": pa.array([str(int(v)) for v in agg["N"]]),
+            "U": pa.array([int(v) for v in agg["U"]], pa.int64()),
+            "MX": pa.array([str(int(v)) for v in agg["MX"]]),
+            "SS": pa.array([str(int(v)) for v in agg["SS"]]),
+        })
+
+    acc: dict[str, list[int]] = {}
+    for r in (cnt.map_batches(skip_empty(moment_partial),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for g, N, U, MX, SS in zip(r["g"].to_pylist(), r["N"].to_pylist(),
+                                   r["U"].to_pylist(), r["MX"].to_pylist(),
+                                   r["SS"].to_pylist()):
+            a = acc.setdefault(g, [0, 0, 0, 0])
+            a[0] += int(N)
+            a[1] += int(U)
+            a[2] = max(a[2], int(MX))
+            a[3] += int(SS)
+
+    groups = sorted(acc)
+    for g in groups:
+        if acc[g][0] >= (1 << 63):
+            raise ValueError("key_skew_audit: group count exceeds "
+                             "BIGINT — the output cast would overflow")
+    return pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n": pa.array([acc[g][0] for g in groups], pa.int64()),
+        "n_keys": pa.array([acc[g][1] for g in groups], pa.int64()),
+        "max_key_n": pa.array([acc[g][2] for g in groups], pa.int64()),
+        "top_share_millionths": pa.array(
+            [10**6 * acc[g][2] // acc[g][0] for g in groups], pa.int64()),
+        "hhi_millionths": pa.array(
+            [10**6 * acc[g][3] // (acc[g][0] * acc[g][0])
+             for g in groups], pa.int64()),
+    })
+
+
+def key_skew_audit_sql(group_col: str = "event_type",
+                       key_col: str = "user_id",
+                       table: str = "events") -> str:
+    return f"""
+WITH cnt AS MATERIALIZED (
+  SELECT {group_col} AS g, {key_col} AS k,
+    CAST(count(*) AS HUGEINT) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {key_col} IS NOT NULL
+  GROUP BY 1, 2
+), agg AS (
+  SELECT g, sum(c) AS n, count(*) AS u, max(c) AS mx,
+    sum(c * c) AS ss
+  FROM cnt GROUP BY g
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
+  CAST(u AS BIGINT) AS n_keys, CAST(mx AS BIGINT) AS max_key_n,
+  CAST((1000000 * mx) // n AS BIGINT) AS top_share_millionths,
+  CAST((1000000 * ss) // (n * n) AS BIGINT) AS hhi_millionths
+FROM agg ORDER BY g
+""".strip()

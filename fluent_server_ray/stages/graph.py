@@ -1185,3 +1185,114 @@ WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.lo AND e.b = p.hi)
 ORDER BY ra DESC, lo, hi
 LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------- HITS hubs/authorities
+
+def hits(edges: pa.Table, src: str = "src", dst: str = "dst",
+         w: str = "w", n_iters: int = 4) -> pa.Table:
+    """HITS hubs & authorities (Kleinberg 1999) over a BOUNDED directed
+    weighted edge table — the tool-flow sibling of :func:`pagerank`:
+    a good HUB calls many good authorities, a good AUTHORITY is called
+    by many good hubs (PageRank's single score can't separate the
+    dispatcher tools from the destination tools).
+
+    Exact-integer recurrence (both engines spell it identically)::
+
+        h_0 = SCALE (= 1e6) for every node
+        a_j = (SCALE · Σ_{i→j} w_ij·h_i) // max_j'(Σ w·h)   per round
+        h_i = (SCALE · Σ_{i→j} w_ij·a_j) // max_i'(Σ w·a)
+
+    (max-normalization — the classic L2 norm has no integer form; the
+    max-normalized fixpoint has the same ranking). All arithmetic is
+    unbounded python ints (HUGEINT in the mirror), so no scale wraps.
+
+    Scale contract: the EDGE TABLE must be bounded (tool graphs:
+    ≤ |tools|² rows — it arrives from a distributed combiner); the
+    iteration itself is driver-side over that table. For unbounded
+    node spaces use :func:`pagerank`'s distributed round shape.
+    Returns (node, hub_millionths, auth_millionths) sorted by node.
+    """
+    SCALE = 1_000_000
+    srcs = [s for s in edges[src].to_pylist()]
+    dsts = [d for d in edges[dst].to_pylist()]
+    ws = [int(x) for x in edges[w].to_pylist()]
+    out_schema = pa.schema([
+        pa.field("node", pa.string()),
+        pa.field("hub_millionths", pa.int64()),
+        pa.field("auth_millionths", pa.int64()),
+    ])
+    nodes = sorted(set(srcs) | set(dsts))
+    if not nodes:
+        return out_schema.empty_table()
+
+    h = {n: SCALE for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(n_iters):
+        a_raw = {n: 0 for n in nodes}
+        for s, d, wt in zip(srcs, dsts, ws):
+            a_raw[d] += wt * h[s]
+        mxa = max(a_raw.values())
+        a = {n: (SCALE * v) // mxa if mxa else 0
+             for n, v in a_raw.items()}
+        h_raw = {n: 0 for n in nodes}
+        for s, d, wt in zip(srcs, dsts, ws):
+            h_raw[s] += wt * a[d]
+        mxh = max(h_raw.values())
+        h = {n: (SCALE * v) // mxh if mxh else 0
+             for n, v in h_raw.items()}
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "hub_millionths": pa.array([h[n] for n in nodes], pa.int64()),
+        "auth_millionths": pa.array([a[n] for n in nodes], pa.int64()),
+    })
+
+
+def hits_sql_rounds(with_trans_chain: str, n_iters: int = 4) -> str:
+    """Unrolled-round DuckDB mirror of :func:`hits`. Same contract as
+    :func:`pagerank_sql_rounds`: ``with_trans_chain`` is a complete
+    ``WITH ...`` chain whose LAST CTE is ``trans`` (src, dst, w); every
+    round CTE is ``AS MATERIALIZED`` (DuckDB inlines twice-referenced
+    CTEs — the NOTES r4 gotcha). All sums/products in HUGEINT."""
+    parts = [with_trans_chain.rstrip().rstrip(",")]
+    parts.append("""
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM trans UNION SELECT dst FROM trans
+), h0 AS MATERIALIZED (
+  SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes
+)""".strip())
+    for i in range(1, n_iters + 1):
+        parts.append(f"""
+a{i}r AS MATERIALIZED (
+  SELECT nd.node, COALESCE(sum(CAST(t.w AS HUGEINT) * h.h),
+                           CAST(0 AS HUGEINT)) AS raw
+  FROM nodes nd
+  LEFT JOIN trans t ON t.dst = nd.node
+  LEFT JOIN h{i - 1} h ON h.node = t.src
+  GROUP BY nd.node
+), a{i} AS MATERIALIZED (
+  SELECT node,
+    COALESCE((CAST(1000000 AS HUGEINT) * raw)
+             // NULLIF((SELECT max(raw) FROM a{i}r), 0),
+             CAST(0 AS HUGEINT)) AS a
+  FROM a{i}r
+), h{i}r AS MATERIALIZED (
+  SELECT nd.node, COALESCE(sum(CAST(t.w AS HUGEINT) * a.a),
+                           CAST(0 AS HUGEINT)) AS raw
+  FROM nodes nd
+  LEFT JOIN trans t ON t.src = nd.node
+  LEFT JOIN a{i} a ON a.node = t.dst
+  GROUP BY nd.node
+), h{i} AS MATERIALIZED (
+  SELECT node,
+    COALESCE((CAST(1000000 AS HUGEINT) * raw)
+             // NULLIF((SELECT max(raw) FROM h{i}r), 0),
+             CAST(0 AS HUGEINT)) AS h
+  FROM h{i}r
+)""".strip())
+    body = ",\n".join(parts)
+    return (body + f"""
+SELECT h.node, CAST(h.h AS BIGINT) AS hub_millionths,
+  CAST(a.a AS BIGINT) AS auth_millionths
+FROM h{n_iters} h JOIN a{n_iters} a ON h.node = a.node
+ORDER BY h.node""")

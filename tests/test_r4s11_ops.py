@@ -264,3 +264,101 @@ def test_feature_hash_matches_duckdb(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     want = con.execute(feature_hash_vectors_sql(dim=8)).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------- HITS hubs/authorities
+
+def _hits_edges():
+    return pa.table({
+        "src": pa.array(["A", "A", "D"], pa.string()),
+        "dst": pa.array(["B", "C", "B"], pa.string()),
+        "w": pa.array([1, 1, 1], pa.int64()),
+    })
+
+
+def test_hits_hand(ray_session):
+    from fluent_server_ray.stages.graph import hits
+
+    # round 1: a = {B:1e6, C:5e5}; h = {A:1e6, D:666666}
+    # round 2: a_raw B=1666666, C=1e6 → a C = 1e12//1666666 = 600000
+    #          h_raw A=1600000, D=1e6 → h D = 1e12//16e5 = 625000
+    got = hits(_hits_edges(), n_iters=2).to_pandas()
+    rows = {r["node"]: (r["hub_millionths"], r["auth_millionths"])
+            for _, r in got.iterrows()}
+    assert rows["A"] == (1_000_000, 0)
+    assert rows["B"] == (0, 1_000_000)
+    assert rows["C"] == (0, 600_000)
+    assert rows["D"] == (625_000, 0)
+
+
+def test_hits_empty(ray_session):
+    from fluent_server_ray.stages.graph import hits
+
+    got = hits(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string()),
+        "w": pa.array([], pa.int64()),
+    }))
+    assert got.num_rows == 0
+
+
+def test_hits_matches_duckdb(ray_session):
+    from fluent_server_ray.stages.graph import hits, hits_sql_rounds
+
+    chain = ("WITH trans AS (SELECT * FROM (VALUES "
+             "('A','B',3),('A','C',1),('D','B',2),('B','D',5)) "
+             "AS t(src, dst, w))")
+    # hits_sql_rounds appends to an existing chain: strip the WITH
+    sql = hits_sql_rounds("WITH " + chain[5:], n_iters=3)
+    got = hits(pa.table({
+        "src": pa.array(["A", "A", "D", "B"], pa.string()),
+        "dst": pa.array(["B", "C", "B", "D"], pa.string()),
+        "w": pa.array([3, 1, 2, 5], pa.int64()),
+    }), n_iters=3).to_pandas()
+    want = duckdb.connect().execute(sql).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -------------------------------------------------- key-skew audit
+
+def test_key_skew_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import key_skew_audit
+
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["x", "x", "x", "x", "y", None, "x"],
+                               pa.string()),
+        "user_id": pa.array([1, 1, 1, 2, 5, 6, None], pa.int64()),
+    }))
+    got = key_skew_audit(ds).to_pandas()
+    # x: counts {1:3, 2:1} → n 4, keys 2, max 3, top 750000,
+    #    hhi = 1e6·(9+1)//16 = 625000; y: single key → 1e6 / 1e6
+    want = pd.DataFrame({
+        "event_type": ["x", "y"], "n": [4, 1], "n_keys": [2, 1],
+        "max_key_n": [3, 1],
+        "top_share_millionths": [750_000, 1_000_000],
+        "hhi_millionths": [625_000, 1_000_000],
+    })
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_key_skew_matches_duckdb(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import (key_skew_audit,
+                                                   key_skew_audit_sql)
+
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "b", "b", "b", "a"],
+                               pa.string()),
+        "user_id": pa.array([1, 2, 3, 3, 3, 1], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = key_skew_audit(rd.from_arrow(t)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(key_skew_audit_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
