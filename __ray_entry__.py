@@ -4270,6 +4270,28 @@ def _q_key_skew(sf_dir: str):
                            columns=["event_type", "user_id"]))
 
 
+def _q_split_by_cluster(sf_dir: str):
+    """Leakage-free splits: every doc inherits its exact-dup cluster
+    representative's md5 split — the fix for what split_leakage
+    audits; one fingerprint-bucket exchange."""
+    from fluent_server_ray.stages.assembly import split_by_cluster
+
+    return split_by_cluster(_docs(sf_dir))
+
+
+def _q_blocking_eval(sf_dir: str):
+    """Precision/recall of prefix-blocking candidate pairs vs the
+    normalized-exact-dup truth, over the heavily-duplicated event
+    props payloads — every metric a Σ m(m−1)/2 over grouped counts,
+    no pair ever materializes."""
+    from fluent_server_ray.stages.dedup import blocking_eval
+
+    return blocking_eval(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["props"]),
+        prefix_len=6, text_col="props")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4587,6 +4609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_feature_hashing": _q_feature_hashing,
         "tool_hits_scores": _q_tool_hits,
         "events_key_skew": _q_key_skew,
+        "docs_split_by_cluster": _q_split_by_cluster,
+        "dedup_blocking_eval": _q_blocking_eval,
     }
 
 
@@ -5366,4 +5390,7 @@ WITH toks AS (
   FROM seq WHERE src IS NOT NULL GROUP BY src, dst
 )"""), n_iters=4),
         "events_key_skew": features.key_skew_audit_sql(),
+        "docs_split_by_cluster": assembly.split_by_cluster_sql(),
+        "dedup_blocking_eval": dedup.blocking_eval_sql(
+            prefix_len=6, text_col="props", table="events"),
     }

@@ -1371,3 +1371,64 @@ SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n,
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY prev_role, role ORDER BY prev_role, role"""
     )
+
+
+def split_by_cluster(ds, id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 64):
+    """Leakage-free split assignment at DUPLICATE-CLUSTER granularity:
+    every doc inherits the split of its exact-dup cluster's
+    representative (min id per content fingerprint), so identical
+    texts can never straddle train/val/test — the FIX for what the
+    :func:`hygiene.split_leakage` audit measures (per-doc
+    :func:`split_assign` leaks whenever duplicates exist).
+
+    Shape: one md5-fingerprint bucket exchange co-locates each content
+    cluster; inside a bucket the representative is a vectorized
+    transform-min and the split rule is the house md5 CASE
+    (:func:`split_of` on the REPRESENTATIVE id — deterministic, engine
+    and mirror agree byte-for-byte). NULL text fingerprints as the
+    empty string (the house fingerprint contract), so NULL-text docs
+    cluster together rather than dropping. Returns a Dataset
+    (id, rep_id, split)."""
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        fps = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+               for x in texts]
+        return pa.table({id_col: t[id_col],
+                         "fp": pa.array(fps, pa.string())})
+
+    out_schema = pa.schema([
+        pa.field(id_col, pa.int64()),
+        pa.field("rep_id", pa.int64()),
+        pa.field("split", pa.string()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby("fp", sort=False)[id_col].transform("min")
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(),
+                            "rep_id": rep.to_numpy()})
+        out["split"] = split_of(
+            pa.array(out["rep_id"], pa.int64())).to_pylist()
+        return out
+
+    bucketed = _with_bucket(
+        ds.select_columns([id_col, text_col]).map_batches(
+            add_fp, batch_format="pyarrow", zero_copy_batch=True),
+        "fp", n_buckets)
+    return map_buckets(bucketed, per_bucket, out_schema)
+
+
+def split_by_cluster_sql(id_col: str = "doc_id", text_col: str = "text",
+                         table: str = "documents") -> str:
+    return f"""
+WITH reps AS (
+  SELECT md5(COALESCE({text_col}, '')) AS fp,
+    min({id_col}) AS rep FROM {table} GROUP BY 1
+)
+SELECT d.{id_col}, r.rep AS rep_id, {split_case_sql('r.rep')} AS split
+FROM {table} d
+JOIN reps r ON md5(COALESCE(d.{text_col}, '')) = r.fp
+ORDER BY d.{id_col}
+""".strip()

@@ -3088,3 +3088,111 @@ SELECT k AS n_sources, CAST(count(*) AS BIGINT) AS n_texts
 FROM per_text WHERE k > 1
 GROUP BY k ORDER BY k
 """.strip()
+
+
+# ------------------------------------ blocking-quality evaluation
+
+def blocking_eval(ds, prefix_len: int = 12, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Candidate-generator quality report: precision/recall of the
+    PREFIX-BLOCKING candidate pairs (docs sharing their first
+    ``prefix_len`` chars — :func:`prefix_block_dupes`' key) against
+    the NORMALIZED-exact-dup truth pairs (same canonical text under
+    :func:`hygiene.normalize_text`'s case/spacing/control folding) —
+    the eval a pipeline owner reads before trusting a cheap blocking
+    key to feed an expensive verifier.
+
+    Counts are computed WITHOUT materializing any pair: every metric
+    is Σ m·(m−1)/2 over a grouped count (candidates by block key,
+    truth by normalized fingerprint, true-positives by the pair of
+    both), so the exchanges carry one row per distinct key. Pair
+    counts accumulate as python ints (HUGEINT mirror) and are
+    range-guarded into BIGINT. NULL texts are excluded (a NULL
+    blocking key can never join in the mirror).
+
+    Returns ONE row: (cand_pairs, true_pairs, tp_pairs,
+    precision_millionths, recall_millionths) — precision/recall NULL
+    when their denominator is 0."""
+    import hashlib
+
+    from fluent_server_ray.stages.aggregate import grouped_counts, skip_empty
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        text = t[text_col]
+        bkey = pc.utf8_slice_codeunits(text, 0, prefix_len)
+        norm = pc.replace_substring_regex(
+            text, r"[\x00-\x08\x0E-\x1B\x7F]", "")
+        norm = pc.replace_substring_regex(norm, _PY_WHITESPACE_RE2, " ")
+        norm = pc.utf8_lower(pc.utf8_trim(norm, " "))
+        nfp = pa.array(
+            [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in norm.to_pylist()], pa.string())
+        return pa.table({"bkey": bkey, "nfp": nfp})
+
+    proj_ds = ds.select_columns([text_col]).map_batches(
+        skip_empty(proj), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # three count consumers — never re-scan the corpus
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        s = sum(int(n) * (int(n) - 1) // 2 for n in t["n"].to_pylist())
+        return pa.table({"p": pa.array([str(s)], pa.string())})
+
+    def pair_sum(keys: list[str]) -> int:
+        cnt = grouped_counts(proj_ds.select_columns(keys), keys,
+                             final="ray")
+        total = 0
+        for b in (cnt.map_batches(skip_empty(pairs_partial),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                  .iter_batches(batch_size=None, batch_format="pyarrow")):
+            total += sum(int(x) for x in b["p"].to_pylist())
+        return total
+
+    cand = pair_sum(["bkey"])
+    true_p = pair_sum(["nfp"])
+    tp = pair_sum(["bkey", "nfp"])
+    for v in (cand, true_p, tp):
+        if v >= (1 << 63):
+            raise ValueError("blocking_eval: pair count exceeds BIGINT"
+                             " — the output cast would overflow")
+    return pa.table({
+        "cand_pairs": pa.array([cand], pa.int64()),
+        "true_pairs": pa.array([true_p], pa.int64()),
+        "tp_pairs": pa.array([tp], pa.int64()),
+        "precision_millionths": pa.array(
+            [10**6 * tp // cand if cand else None], pa.int64()),
+        "recall_millionths": pa.array(
+            [10**6 * tp // true_p if true_p else None], pa.int64()),
+    })
+
+
+def blocking_eval_sql(prefix_len: int = 12, text_col: str = "text",
+                      table: str = "documents") -> str:
+    norm = (f"lower(trim(regexp_replace(regexp_replace({text_col},"
+            "'[\\x00-\\x08\\x0E-\\x1B\\x7F]', '', 'g'),"
+            f"'{_PY_WHITESPACE_RE2}', ' ', 'g'), ' '))")
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT substr({text_col}, 1, {prefix_len}) AS bkey, md5({norm}) AS nfp
+  FROM {table} WHERE {text_col} IS NOT NULL
+), c AS (
+  SELECT COALESCE(sum(m * (m - 1) // 2), CAST(0 AS HUGEINT)) AS p
+  FROM (SELECT CAST(count(*) AS HUGEINT) AS m FROM d GROUP BY bkey)
+), t AS (
+  SELECT COALESCE(sum(m * (m - 1) // 2), CAST(0 AS HUGEINT)) AS p
+  FROM (SELECT CAST(count(*) AS HUGEINT) AS m FROM d GROUP BY nfp)
+), tp AS (
+  SELECT COALESCE(sum(m * (m - 1) // 2), CAST(0 AS HUGEINT)) AS p
+  FROM (SELECT CAST(count(*) AS HUGEINT) AS m
+        FROM d GROUP BY bkey, nfp)
+)
+SELECT CAST(c.p AS BIGINT) AS cand_pairs,
+  CAST(t.p AS BIGINT) AS true_pairs,
+  CAST(tp.p AS BIGINT) AS tp_pairs,
+  CAST((1000000 * tp.p) // NULLIF(c.p, 0) AS BIGINT)
+    AS precision_millionths,
+  CAST((1000000 * tp.p) // NULLIF(t.p, 0) AS BIGINT)
+    AS recall_millionths
+FROM c, t, tp
+""".strip()

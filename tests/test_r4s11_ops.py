@@ -362,3 +362,103 @@ def test_key_skew_matches_duckdb(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/events.parquet')")
     want = con.execute(key_skew_audit_sql()).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -------------------------------------- cluster-granular splits
+
+def test_split_by_cluster_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import (split_by_cluster,
+                                                   split_of)
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["A", "A", "B", None, None], pa.string()),
+    }))
+    got = split_by_cluster(ds).to_pandas().sort_values("doc_id")
+    # clusters: {1,2} (text A), {3}, {4,5} (NULL → '' fingerprint)
+    assert got["rep_id"].tolist() == [1, 1, 3, 4, 4]
+    exp = {r: split_of(pa.array([r], pa.int64()))[0].as_py()
+           for r in (1, 3, 4)}
+    assert got["split"].tolist() == [exp[1], exp[1], exp[3],
+                                     exp[4], exp[4]]
+    # the leakage-free property: one split per cluster
+    assert got.groupby("rep_id")["split"].nunique().max() == 1
+
+
+def test_split_by_cluster_matches_duckdb(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.assembly import (split_by_cluster,
+                                                   split_by_cluster_sql)
+
+    t = pa.table({
+        "doc_id": pa.array(range(1, 31), pa.int64()),
+        "text": pa.array([f"doc {i % 7}" for i in range(30)],
+                         pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (split_by_cluster(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(split_by_cluster_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------ blocking-quality eval
+
+def test_blocking_eval_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import blocking_eval
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["aaaa X", "AAAA  x", "aaaa y", "bbbb z",
+                          "aaaa X", None], pa.string()),
+    }))
+    got = blocking_eval(ds, prefix_len=4).to_pandas()
+    # blocks (raw 4-char prefix): aaaa×3 → 3 cand pairs
+    # truth (normalized): 'aaaa x'×3 → 3 pairs
+    # tp: ('aaaa','aaaa x') holds docs 1&5 only → 1 pair
+    assert got["cand_pairs"].tolist() == [3]
+    assert got["true_pairs"].tolist() == [3]
+    assert got["tp_pairs"].tolist() == [1]
+    assert got["precision_millionths"].tolist() == [333_333]
+    assert got["recall_millionths"].tolist() == [333_333]
+
+
+def test_blocking_eval_empty_and_nulls(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import blocking_eval
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array([None, "only one"], pa.string()),
+    }))
+    got = blocking_eval(ds, prefix_len=4).to_pandas()
+    assert got["cand_pairs"].tolist() == [0]
+    assert pd.isna(got["precision_millionths"]).all()
+    assert pd.isna(got["recall_millionths"]).all()
+
+
+def test_blocking_eval_matches_duckdb(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (blocking_eval,
+                                                blocking_eval_sql)
+
+    t = pa.table({
+        "text": pa.array(
+            [f"prefix{i % 3} body {i % 5}" for i in range(40)]
+            + ["PREFIX0 body 0", None], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = blocking_eval(rd.from_arrow(t), prefix_len=7).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(blocking_eval_sql(prefix_len=7)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
