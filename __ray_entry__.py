@@ -4292,6 +4292,29 @@ def _q_blocking_eval(sf_dir: str):
         prefix_len=6, text_col="props")
 
 
+def _q_seq_patterns(sf_dir: str):
+    """Gap-constrained length-3 sequential patterns by user support —
+    shifted-array enumeration inside one user-bucket exchange; the
+    motif report funnels (steps named up front) and Markov (adjacent
+    pairs only) can't express."""
+    from fluent_server_ray.stages.features import sequential_patterns
+
+    return sequential_patterns(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type", "ts",
+                                    "event_id"]))
+
+
+def _q_token_fertility(sf_dir: str):
+    """Tokenizer fertility per language (BPE-ish tokens per whitespace
+    word, exact integer sums) — the multilingual tokenizer audit."""
+    from fluent_server_ray.stages.textstats import token_fertility_by_lang
+
+    return token_fertility_by_lang(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4611,6 +4634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_key_skew": _q_key_skew,
         "docs_split_by_cluster": _q_split_by_cluster,
         "dedup_blocking_eval": _q_blocking_eval,
+        "user_seq_patterns": _q_seq_patterns,
+        "lang_token_fertility": _q_token_fertility,
     }
 
 
@@ -5393,4 +5418,6 @@ WITH toks AS (
         "docs_split_by_cluster": assembly.split_by_cluster_sql(),
         "dedup_blocking_eval": dedup.blocking_eval_sql(
             prefix_len=6, text_col="props", table="events"),
+        "user_seq_patterns": features.sequential_patterns_sql(),
+        "lang_token_fertility": textstats.token_fertility_sql(),
     }

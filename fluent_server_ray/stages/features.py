@@ -5401,3 +5401,124 @@ SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
   CAST((1000000 * ss) // (n * n) AS BIGINT) AS hhi_millionths
 FROM agg ORDER BY g
 """.strip()
+
+
+# ------------------------------------- sequential pattern mining
+
+def sequential_patterns(ds, gap: int = 2, k: int = 20,
+                        group_col: str = "user_id",
+                        type_col: str = "event_type",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        n_buckets: int = 64) -> pa.Table:
+    """Gap-constrained sequential pattern mining: the top-``k``
+    length-3 event-type subsequences by USER support, where
+    consecutive pattern elements sit at most ``gap`` positions apart
+    in the user's (ts, id)-ordered stream — the behavioral-motif
+    report (GSP/PrefixSpan shape at fixed length 3) that the funnel
+    and Markov ops can't express (funnels need the steps named up
+    front; the Markov matrix sees only adjacent pairs).
+
+    Support counts each user ONCE per pattern (distinct within user).
+    Order contract: (ts, id) ascending — the house tie-break. NULL
+    user/type/ts rows are excluded.
+
+    Shape: one user-bucket exchange co-locates each user's stream;
+    inside a bucket the gap² offset pairs enumerate as SHIFTED-ARRAY
+    compares (no per-row python) and collapse to distinct
+    (user, pattern) partials; users partition buckets disjointly, so
+    per-bucket pattern user-counts sum on the driver — a merge bounded
+    by |types|³ pattern rows per bucket. O(gap²·n) work per user."""
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.groups import map_buckets
+    from fluent_server_ray.stages.joins import _with_bucket
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[type_col])),
+            pc.is_valid(t[ts_col])))
+        return pa.table({"u": t[group_col], "ty": pc.cast(
+            t[type_col], pa.string()), "ts": t[ts_col],
+            "eid": t[id_col]})
+
+    bucketed = _with_bucket(
+        ds.select_columns([group_col, type_col, ts_col, id_col])
+        .map_batches(skip_empty(proj), batch_format="pyarrow",
+                     zero_copy_batch=True),
+        "u", n_buckets)
+
+    out_schema = pa.schema([
+        pa.field("t1", pa.string()), pa.field("t2", pa.string()),
+        pa.field("t3", pa.string()), pa.field("n_users", pa.int64()),
+    ])
+
+    def per_bucket(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(["u", "ts", "eid"])
+        u = g["u"].to_numpy()
+        ty = g["ty"].to_numpy()
+        parts = []
+        for d1 in range(1, gap + 1):
+            for d2 in range(1, gap + 1):
+                off = d1 + d2
+                if len(g) <= off:
+                    continue
+                same = (u[:-off] == u[d1:-d2 if d2 else None][:len(u) - off]) \
+                    & (u[:-off] == u[off:])
+                if not same.any():
+                    continue
+                parts.append(pd.DataFrame({
+                    "u": u[:-off][same],
+                    "t1": ty[:-off][same],
+                    "t2": ty[d1:len(u) - d2][same],
+                    "t3": ty[off:][same],
+                }))
+        if not parts:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": [],
+                                 "n_users": []})
+        trip = pd.concat(parts).drop_duplicates()
+        out = (trip.groupby(["t1", "t2", "t3"], as_index=False)
+               .agg(n_users=("u", "nunique")))
+        return out
+
+    parts = map_buckets(bucketed, per_bucket, out_schema)
+    tables = list(parts.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"))
+    merged = (pa.concat_tables(tables) if tables
+              else out_schema.empty_table())
+    if not len(merged):
+        return out_schema.empty_table()
+    agg = merged.group_by(["t1", "t2", "t3"]).aggregate(
+        [("n_users", "sum")]).rename_columns(
+        ["t1", "t2", "t3", "n_users"])
+    order = pc.sort_indices(agg, sort_keys=[
+        ("n_users", "descending"), ("t1", "ascending"),
+        ("t2", "ascending"), ("t3", "ascending")])
+    return agg.take(order[:k])
+
+
+def sequential_patterns_sql(gap: int = 2, k: int = 20,
+                            group_col: str = "user_id",
+                            type_col: str = "event_type",
+                            ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            table: str = "events") -> str:
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT {group_col} AS u, CAST({type_col} AS VARCHAR) AS ty,
+    row_number() OVER (PARTITION BY {group_col}
+                       ORDER BY {ts_col}, {id_col}) AS rn
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {type_col} IS NOT NULL
+    AND {ts_col} IS NOT NULL
+), pat AS (
+  SELECT DISTINCT a.u, a.ty AS t1, b.ty AS t2, c.ty AS t3
+  FROM e a
+  JOIN e b ON b.u = a.u AND b.rn > a.rn AND b.rn <= a.rn + {gap}
+  JOIN e c ON c.u = a.u AND c.rn > b.rn AND c.rn <= b.rn + {gap}
+)
+SELECT t1, t2, t3, count(*) AS n_users
+FROM pat GROUP BY 1, 2, 3
+ORDER BY n_users DESC, t1, t2, t3
+LIMIT {k}
+""".strip()

@@ -4542,3 +4542,63 @@ HAVING sum(CASE WHEN md5_number_upper('s#' || tok) % 2 = 0
            THEN 1 ELSE -1 END) <> 0
 ORDER BY {id_col}, dim
 """.strip()
+
+
+# ------------------------------------------ tokenizer fertility audit
+
+def token_fertility_by_lang(ds, group_col: str = "lang",
+                            text_col: str = "text") -> pa.Table:
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word — the multilingual-tokenizer audit (a language
+    with fertility ≫ the corpus mean pays more context budget per
+    word; the standard go/no-go table before freezing a tokenizer).
+
+    fertility = 1e6·Σ bpe_tokens // Σ ws_tokens per language (exact
+    integer sums, one floor division; NULL when a language has no
+    whitespace tokens). NULL lang folds to 'unknown' (the langid
+    contract). ONE combiner pass — per batch the two regex counts
+    collapse to per-lang partial sums; driver merge is |langs|-bounded.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": pc.fill_null(pc.cast(t[group_col], pa.string()),
+                                 "unknown"),
+            "ws": pc.cast(pc.count_substring_regex(
+                t[text_col], TOKEN_RE), pa.int64()),
+            "bpe": pc.cast(pc.count_substring_regex(
+                t[text_col], BPE_RE), pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ds.select_columns([group_col, text_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], [("ws", "sum"), ("bpe", "sum")])
+    ws = agg["ws_sum"].to_pylist()
+    bpe = agg["bpe_sum"].to_pylist()
+    return pa.table({
+        "lang": agg["lang"],
+        "n_ws_tokens": pa.array([w or 0 for w in ws], pa.int64()),
+        "n_bpe_tokens": pa.array([b or 0 for b in bpe], pa.int64()),
+        "fertility_millionths": pa.array(
+            [10**6 * (b or 0) // w if w else None
+             for w, b in zip(ws, bpe)], pa.int64()),
+    })
+
+
+def token_fertility_sql(group_col: str = "lang",
+                        table: str = "documents") -> str:
+    rx = BPE_RE.replace("'", "''")
+    return f"""
+SELECT COALESCE(CAST({group_col} AS VARCHAR), 'unknown') AS lang,
+  CAST(COALESCE(sum(len(regexp_extract_all(text, '[^ ]+'))), 0)
+       AS BIGINT) AS n_ws_tokens,
+  CAST(COALESCE(sum(len(regexp_extract_all(text, '{rx}'))), 0)
+       AS BIGINT) AS n_bpe_tokens,
+  CAST((CAST(1000000 AS HUGEINT)
+        * COALESCE(sum(len(regexp_extract_all(text, '{rx}'))), 0))
+       // NULLIF(sum(len(regexp_extract_all(text, '[^ ]+'))), 0)
+       AS BIGINT) AS fertility_millionths
+FROM {table} GROUP BY 1 ORDER BY 1
+""".strip()

@@ -462,3 +462,94 @@ def test_blocking_eval_matches_duckdb(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     want = con.execute(blocking_eval_sql(prefix_len=7)).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------- sequential patterns
+
+def test_seq_patterns_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import sequential_patterns
+
+    ts = pd.to_datetime([1, 2, 3, 4, 5, 11, 12, 13], unit="s")
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(["A", "B", "C", "A", "B",
+                                "A", "B", "C"], pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_id": pa.array(range(8), pa.int64()),
+    }))
+    got = sequential_patterns(ds, gap=2, k=20).to_pandas()
+    # user 1 [A,B,C,A,B] yields 8 distinct gap≤2 triples; user 2
+    # [A,B,C] yields only (A,B,C) → support 2, everything else 1
+    assert len(got) == 8
+    top = got.iloc[0]
+    assert (top["t1"], top["t2"], top["t3"], top["n_users"]) == \
+        ("A", "B", "C", 2)
+    assert (got["n_users"].iloc[1:] == 1).all()
+
+
+def test_seq_patterns_matches_duckdb(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import (
+        sequential_patterns, sequential_patterns_sql)
+
+    n = 200
+    t = pa.table({
+        "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+        "event_type": pa.array(
+            [["x", "y", "z", "w"][(i * i) % 4] for i in range(n)],
+            pa.string()),
+        "ts": pa.array(pd.to_datetime([i // 3 for i in range(n)],
+                                      unit="s"), pa.timestamp("us")),
+        "event_id": pa.array(range(n), pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = sequential_patterns(rd.from_arrow(t), gap=2, k=15).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(sequential_patterns_sql(gap=2, k=15)).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+# ------------------------------------------- tokenizer fertility
+
+def test_token_fertility_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import token_fertility_by_lang
+
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(["en", "en", None], pa.string()),
+        "text": pa.array(["the cat", "don't stop", "a b"], pa.string()),
+    }))
+    got = token_fertility_by_lang(ds).to_pandas()
+    rows = {r["lang"]: r for _, r in got.iterrows()}
+    # en: ws 2+2=4; bpe "the"," cat"=2 and "don","'t"," stop"=3 → 5
+    assert rows["en"]["n_ws_tokens"] == 4
+    assert rows["en"]["n_bpe_tokens"] == 5
+    assert rows["en"]["fertility_millionths"] == 1_250_000
+    assert rows["unknown"]["n_ws_tokens"] == 2
+
+
+def test_token_fertility_matches_duckdb(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.textstats import (
+        token_fertility_by_lang, token_fertility_sql)
+
+    t = pa.table({
+        "lang": pa.array(["en", "de", "de", None, "zz"], pa.string()),
+        "text": pa.array(["the cat sat", "der hund 123", "a-b c!",
+                          "x y", None], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = token_fertility_by_lang(rd.from_arrow(t)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(token_fertility_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
