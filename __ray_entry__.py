@@ -4315,6 +4315,29 @@ def _q_token_fertility(sf_dir: str):
                            columns=["lang", "text"]))
 
 
+def _q_schema_drift(sf_dir: str):
+    """Day-over-day JSON schema drift: consecutive observed days' key-
+    set Jaccard + added/removed counts — the temporal derivative of
+    the static key census."""
+    from fluent_server_ray.stages.fields import json_schema_drift
+
+    return json_schema_drift(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["ts", "props"]))
+
+
+def _q_markov_entropy(sf_dir: str):
+    """Entropy rate of the empirical event-type Markov chain — the
+    one-number predictability summary of user behavior; integer-log
+    device over the bounded transition table."""
+    from fluent_server_ray.stages.windows import markov_entropy_rate
+
+    return markov_entropy_rate(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "event_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4636,6 +4659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_blocking_eval": _q_blocking_eval,
         "user_seq_patterns": _q_seq_patterns,
         "lang_token_fertility": _q_token_fertility,
+        "events_schema_drift": _q_schema_drift,
+        "events_markov_entropy": _q_markov_entropy,
     }
 
 
@@ -5420,4 +5445,6 @@ WITH toks AS (
             prefix_len=6, text_col="props", table="events"),
         "user_seq_patterns": features.sequential_patterns_sql(),
         "lang_token_fertility": textstats.token_fertility_sql(),
+        "events_schema_drift": fields.json_schema_drift_sql(),
+        "events_markov_entropy": windows.markov_entropy_rate_sql(),
     }

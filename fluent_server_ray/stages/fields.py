@@ -446,3 +446,132 @@ SELECT key, CAST(count(*) AS BIGINT) AS n_present,
   CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
 FROM v GROUP BY key ORDER BY key
 """.strip()
+
+
+def json_schema_drift(ds, src_col: str = "props",
+                      ts_col: str = "ts") -> pa.Table:
+    """Day-over-day JSON schema drift: for each consecutive pair of
+    OBSERVED key-bearing days, the Jaccard overlap of the two days'
+    top-level key sets plus added/removed key counts — the monitor a
+    log pipeline owner reads to catch a producer silently changing its
+    payload schema (:func:`json_key_profile` is the static census;
+    this is its temporal derivative).
+
+    Same parse contract as :func:`json_key_profile` (factorize-then-
+    parse, duplicate-key docs refused, non-object docs contribute no
+    keys, NULL ts/doc skipped). Shape: per-batch DISTINCT (day, doc)
+    combiner → distributed distinct → json.loads once per distinct
+    (day, doc) → the bounded distinct (day, key) table drives a
+    driver-side consecutive-day scan (days × keys is schema-sized).
+
+    Output: (day_a, day_b, n_keys_a, n_keys_b, n_common,
+    jaccard_millionths, n_added, n_removed) sorted by day_a."""
+    import json
+
+    from fluent_server_ray.stages.aggregate import (grouped_counts,
+                                                    skip_empty)
+    from fluent_server_ray.stages.features import _epoch_day
+
+    def day_docs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[src_col])))
+        return (pa.table({"day": _epoch_day(t[ts_col]),
+                          "doc": pc.cast(t[src_col], pa.string())})
+                .group_by(["day", "doc"]).aggregate([]))
+
+    distinct = grouped_counts(
+        ds.select_columns([ts_col, src_col]).map_batches(
+            skip_empty(day_docs), batch_format="pyarrow",
+            zero_copy_batch=True),
+        ["day", "doc"], final="ray")
+
+    def explode(t: pa.Table) -> pa.Table:
+        days, keys = [], []
+
+        def no_dups(pairs):
+            d = dict(pairs)
+            if len(d) != len(pairs):
+                raise ValueError(
+                    "json_schema_drift: duplicate top-level key in a "
+                    "document — engines disagree on duplicate-key "
+                    "JSON; normalize the feed first")
+            return d
+
+        for day, doc in zip(t["day"].to_pylist(), t["doc"].to_pylist()):
+            obj = json.loads(doc, object_pairs_hook=no_dups)
+            if not isinstance(obj, dict):
+                continue
+            for k in obj:
+                days.append(day)
+                keys.append(k)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "key": pa.array(keys, pa.string())})
+
+    dk = grouped_counts(
+        distinct.map_batches(skip_empty(explode), batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["day", "key"], final="driver")  # bounded: days × schema keys
+
+    out_schema = pa.schema([
+        pa.field("day_a", pa.int64()), pa.field("day_b", pa.int64()),
+        pa.field("n_keys_a", pa.int64()), pa.field("n_keys_b", pa.int64()),
+        pa.field("n_common", pa.int64()),
+        pa.field("jaccard_millionths", pa.int64()),
+        pa.field("n_added", pa.int64()), pa.field("n_removed", pa.int64()),
+    ])
+    by_day: dict[int, set] = {}
+    for d, k in zip(dk["day"].to_pylist(), dk["key"].to_pylist()):
+        by_day.setdefault(int(d), set()).add(k)
+    days = sorted(by_day)
+    if len(days) < 2:
+        return out_schema.empty_table()
+    rows = []
+    for a, b in zip(days, days[1:]):
+        ka, kb = by_day[a], by_day[b]
+        common = len(ka & kb)
+        union = len(ka) + len(kb) - common
+        rows.append((a, b, len(ka), len(kb), common,
+                     10**6 * common // union,
+                     len(kb) - common, len(ka) - common))
+    cols = list(zip(*rows))
+    return pa.table({f.name: pa.array(list(c), f.type)
+                     for f, c in zip(out_schema, cols)})
+
+
+def json_schema_drift_sql(src_col: str = "props", ts_col: str = "ts",
+                          table: str = "events") -> str:
+    return f"""
+WITH dk AS MATERIALIZED (
+  SELECT DISTINCT
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    unnest(json_keys({src_col})) AS key
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {src_col} IS NOT NULL
+), days AS MATERIALIZED (
+  SELECT day, row_number() OVER (ORDER BY day) AS rn
+  FROM (SELECT DISTINCT day FROM dk)
+), pr AS (
+  SELECT a.day AS day_a, b.day AS day_b
+  FROM days a JOIN days b ON b.rn = a.rn + 1
+), cnt AS MATERIALIZED (
+  SELECT day, CAST(count(*) AS BIGINT) AS nk FROM dk GROUP BY 1
+), com AS (
+  SELECT p.day_a, p.day_b, CAST(count(*) AS BIGINT) AS c
+  FROM pr p
+  JOIN dk a ON a.day = p.day_a
+  JOIN dk b ON b.day = p.day_b AND b.key = a.key
+  GROUP BY 1, 2
+)
+SELECT p.day_a, p.day_b, ca.nk AS n_keys_a, cb.nk AS n_keys_b,
+  COALESCE(com.c, 0) AS n_common,
+  CAST((1000000 * COALESCE(com.c, 0))
+       // (ca.nk + cb.nk - COALESCE(com.c, 0)) AS BIGINT)
+    AS jaccard_millionths,
+  cb.nk - COALESCE(com.c, 0) AS n_added,
+  ca.nk - COALESCE(com.c, 0) AS n_removed
+FROM pr p
+JOIN cnt ca ON ca.day = p.day_a
+JOIN cnt cb ON cb.day = p.day_b
+LEFT JOIN com ON com.day_a = p.day_a AND com.day_b = p.day_b
+ORDER BY p.day_a
+""".strip()

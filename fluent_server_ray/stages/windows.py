@@ -2503,3 +2503,116 @@ SELECT entry AS entry_type, exit_t AS exit_type,
   CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_bounce
 FROM per GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+def markov_entropy_rate(ds, user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        id_col: str = "event_id",
+                        n_buckets: int = 64) -> pa.Table:
+    """Entropy rate of the empirical event-type Markov chain: the
+    average per-step unpredictability of user behavior,
+    ``H = Σ_ij (c_ij/T)·ln(r_i/c_ij)`` over the transition counts
+    ``c_ij`` (row sums ``r_i``, total ``T``) — ONE number that says
+    whether streams are route-predictable (H→0: the Markov model
+    compresses them) or noise (H→ln|states|); the scalar summary of
+    :func:`event_markov_probs`' full matrix.
+
+    Integer-log device (the source_token_kl contract,
+    ``L(x) = floor(1e6·ln(x))``): ``term = Σ c_ij·(L(r_i)−L(c_ij))``
+    accumulates as python ints over the BOUNDED |states|² count table;
+    the one float at the end is ``DOUBLE(term) / (DOUBLE(T)·1e6)`` —
+    a fixed two-node tree both engines spell identically.
+
+    Shape: same user-bucket exchange as :func:`event_markov_probs`
+    (per-bucket pair-count partials); everything after is driver math
+    over |states|² rows. Returns ONE row (n_transitions, n_states,
+    entropy_nats) — empty when no user has two events."""
+    import math
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.groups import map_buckets
+
+    bucketed = _event_sequences(ds, user_col, ts_col, type_col,
+                                id_col, n_buckets)
+    pair_schema = pa.schema([pa.field("src", pa.string()),
+                             pa.field("dst", pa.string()),
+                             pa.field("n", pa.int64())])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts_us", "id"])
+        grp = g.groupby("u", sort=False)
+        t2 = grp["typ"].shift(-1)
+        ok = t2.notna().to_numpy()
+        d = pd.DataFrame({"src": g["typ"].to_numpy()[ok],
+                          "dst": t2.to_numpy()[ok]})
+        c = d.groupby(["src", "dst"], sort=False).size().reset_index()
+        c.columns = ["src", "dst", "n"]
+        return c
+
+    parts = map_buckets(bucketed, pairs, pair_schema)
+    counts = grouped_agg(parts, keys=["src", "dst"],
+                         aggs=[("n", "sum")], final="driver")
+    out_schema = pa.schema([
+        pa.field("n_transitions", pa.int64()),
+        pa.field("n_states", pa.int64()),
+        pa.field("entropy_nats", pa.float64()),
+    ])
+    if counts.num_rows == 0:
+        return out_schema.empty_table()
+
+    srcs = counts["src"].to_pylist()
+    dsts = counts["dst"].to_pylist()
+    ns = [int(x) for x in counts["n_sum"].to_pylist()]
+    total = sum(ns)
+    row_tot: dict[str, int] = {}
+    for s, n in zip(srcs, ns):
+        row_tot[s] = row_tot.get(s, 0) + n
+
+    def L(x: int) -> int:
+        return math.floor(1_000_000 * math.log(x))
+
+    term = sum(n * (L(row_tot[s]) - L(n)) for s, n in zip(srcs, ns))
+    if total >= (1 << 63):
+        raise ValueError("markov_entropy_rate: transition count "
+                         "exceeds BIGINT — the output cast would "
+                         "overflow")
+    return pa.table({
+        "n_transitions": pa.array([total], pa.int64()),
+        "n_states": pa.array([len(set(srcs) | set(dsts))], pa.int64()),
+        "entropy_nats": pa.array(
+            [float(term) / (float(total) * 1_000_000.0)], pa.float64()),
+    })
+
+
+def markov_entropy_rate_sql(user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            id_col: str = "event_id",
+                            table: str = "events") -> str:
+    return f"""
+WITH s AS (
+  SELECT {type_col} AS src, lead({type_col}) OVER w AS dst
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {type_col} IS NOT NULL
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})
+), c AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS HUGEINT) AS n FROM s
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+), r AS MATERIALIZED (
+  SELECT src, sum(n) AS rt FROM c GROUP BY 1
+), agg AS (
+  SELECT CAST(sum(c.n) AS HUGEINT) AS t,
+    sum(c.n * (CAST(floor(1000000 * ln(r.rt)) AS HUGEINT)
+               - CAST(floor(1000000 * ln(c.n)) AS HUGEINT))) AS term,
+    (SELECT count(*) FROM (SELECT src AS st FROM c
+                           UNION SELECT dst FROM c)) AS ns
+  FROM c JOIN r ON c.src = r.src
+)
+SELECT CAST(t AS BIGINT) AS n_transitions,
+  CAST(ns AS BIGINT) AS n_states,
+  CAST(term AS DOUBLE) / (CAST(t AS DOUBLE) * 1000000.0)
+    AS entropy_nats
+FROM agg WHERE t IS NOT NULL AND t > 0
+""".strip()

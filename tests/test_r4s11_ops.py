@@ -553,3 +553,126 @@ def test_token_fertility_matches_duckdb(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     want = con.execute(token_fertility_sql()).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------- JSON schema drift
+
+def _drift_events():
+    ts = pd.to_datetime([0, 10, 86400, 2 * 86400, 20], unit="s")
+    return pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "props": pa.array(['{"a":1,"b":2}', '{"a":1}', '{"b":1,"c":2}',
+                           '{"c":null}', "[1,2]"], pa.string()),
+    })
+
+
+def test_json_schema_drift_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.fields import json_schema_drift
+
+    got = json_schema_drift(rd.from_arrow(_drift_events())).to_pandas()
+    # day0 {a,b} → day1 {b,c}: common 1/union 3; day1 → day2 {c}
+    want = pd.DataFrame({
+        "day_a": [0, 1], "day_b": [1, 2],
+        "n_keys_a": [2, 2], "n_keys_b": [2, 1],
+        "n_common": [1, 1],
+        "jaccard_millionths": [333_333, 500_000],
+        "n_added": [1, 0], "n_removed": [1, 1],
+    })
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_json_schema_drift_matches_duckdb(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.fields import (json_schema_drift,
+                                                 json_schema_drift_sql)
+
+    t = _drift_events()
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = json_schema_drift(rd.from_arrow(t)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(json_schema_drift_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_json_schema_drift_single_day(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.fields import json_schema_drift
+
+    t = pa.table({
+        "ts": pa.array(pd.to_datetime([0, 5], unit="s"),
+                       pa.timestamp("us")),
+        "props": pa.array(['{"a":1}', '{"b":1}'], pa.string()),
+    })
+    assert json_schema_drift(rd.from_arrow(t)).num_rows == 0
+
+
+# --------------------------------------- Markov chain entropy rate
+
+def test_markov_entropy_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import markov_entropy_rate
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array(pd.to_datetime([1, 2, 3], unit="s"),
+                       pa.timestamp("us")),
+        "event_type": pa.array(["A", "A", "B"], pa.string()),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+    })
+    got = markov_entropy_rate(rd.from_arrow(t)).to_pandas()
+    # transitions (A,A),(A,B): H = 2·floor(1e6·ln2)/(2·1e6) nats
+    assert got["n_transitions"].tolist() == [2]
+    assert got["n_states"].tolist() == [2]
+    assert abs(got["entropy_nats"].iloc[0] - 0.693147) < 1e-12
+
+
+def test_markov_entropy_degenerate(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import markov_entropy_rate
+
+    # deterministic chain → zero entropy; single event → empty
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array(pd.to_datetime([1, 2], unit="s"),
+                       pa.timestamp("us")),
+        "event_type": pa.array(["A", "B"], pa.string()),
+        "event_id": pa.array([1, 2], pa.int64()),
+    })
+    got = markov_entropy_rate(rd.from_arrow(t)).to_pandas()
+    assert got["entropy_nats"].tolist() == [0.0]
+    t1 = t.slice(0, 1)
+    assert markov_entropy_rate(rd.from_arrow(t1)).num_rows == 0
+
+
+def test_markov_entropy_matches_duckdb(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import (markov_entropy_rate,
+                                                  markov_entropy_rate_sql)
+
+    n = 120
+    t = pa.table({
+        "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+        "ts": pa.array(pd.to_datetime([i for i in range(n)], unit="s"),
+                       pa.timestamp("us")),
+        "event_type": pa.array(
+            [["x", "y", "z"][(i * 7) % 3] for i in range(n)],
+            pa.string()),
+        "event_id": pa.array(range(n), pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = markov_entropy_rate(rd.from_arrow(t)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(markov_entropy_rate_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
