@@ -4338,6 +4338,24 @@ def _q_markov_entropy(sf_dir: str):
                                     "event_id"]))
 
 
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) attaining the max quarterly
+    revenue — distributed per-supplier combiner, per-batch max
+    partials, only the argmax rows join supplier."""
+    from fluent_server_ray.pipelines.relational import top_supplier_revenue
+
+    return top_supplier_revenue(sf_dir)
+
+
+def _q_contamination_score(sf_dir: str):
+    """Graded benchmark contamination per training doc: fraction of
+    its distinct 3-grams found in the benchmark slice — broadcast
+    bench gram set + one vectorized is_in per batch."""
+    from fluent_server_ray.stages.hygiene import contamination_score
+
+    return contamination_score(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4661,6 +4679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_fertility": _q_token_fertility,
         "events_schema_drift": _q_schema_drift,
         "events_markov_entropy": _q_markov_entropy,
+        "supplier_top_revenue": _q_top_supplier,
+        "doc_contamination_score": _q_contamination_score,
     }
 
 
@@ -5447,4 +5467,6 @@ WITH toks AS (
         "lang_token_fertility": textstats.token_fertility_sql(),
         "events_schema_drift": fields.json_schema_drift_sql(),
         "events_markov_entropy": windows.markov_entropy_rate_sql(),
+        "supplier_top_revenue": rel.top_supplier_revenue_sql(),
+        "doc_contamination_score": hygiene.contamination_score_sql(),
     }

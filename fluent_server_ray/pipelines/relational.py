@@ -1551,3 +1551,104 @@ WHERE CAST(round(c_acctbal * 100.0) AS BIGINT) * pos.c > pos.s
       AND o.o_orderdate >= TIMESTAMP '{cutoff}')
 GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+# quarter window for the top-supplier screen (orderdates span
+# 1995-01-01 .. 2001-08-01 in the synthetic corpus)
+TOP_SUPPLIER_FROM = "1996-01-01 00:00:00"
+TOP_SUPPLIER_TO = "1996-04-01 00:00:00"
+
+
+def top_supplier_revenue(sf_dir: str,
+                         date_from: str = TOP_SUPPLIER_FROM,
+                         date_to: str = TOP_SUPPLIER_TO,
+                         n_buckets: int = 32) -> pa.Table:
+    """Top supplier(s) by quarterly revenue (TPC-H Q15 shape): the
+    supplier(s) whose summed ``extendedprice·(1−discount)`` over the
+    ship-date window attains the GLOBAL maximum (ties all kept — Q15's
+    view-max semantics).
+
+    Shape: the date predicate pushes into the read; per-supplier
+    revenue sums through the distributed combiner (supplier keyspace
+    is dim-table-sized but unbounded at open scale → ``final='ray'``);
+    the global max reduces via per-batch partials (one int64 per
+    block); only the argmax row(s) join supplier through the bucketed
+    hash join. Cents-exact money math throughout."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    f = _dt.datetime.fromisoformat(date_from)
+    to = _dt.datetime.fromisoformat(date_to)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= f)
+        & (pads.field("l_shipdate") < to))
+
+    def proj(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "rev_cents": _cents(disc)})
+
+    rev = grouped_agg(
+        li.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_suppkey"], [("rev_cents", "sum")], final="ray"
+    ).materialize()  # two consumers: max partial + argmax filter
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"m": pa.array(
+            [pc.max(t["rev_cents_sum"]).as_py()], pa.int64())})
+
+    parts = [b for b in rev.map_batches(
+        skip_empty(max_partial), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
+    out_fields = [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                  ("total_revenue_cents", pa.int64())]
+    vals = [pc.max(p["m"]).as_py() for p in parts if len(p)]
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return pa.schema(out_fields).empty_table()
+    mx = max(vals)
+
+    top = rev.map_batches(
+        lambda t: t.filter(pc.equal(t["rev_cents_sum"], mx)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sup = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_name"])
+    j = bucketed_hash_join(top, sup, key="l_suppkey",
+                           right_key="s_suppkey", n_buckets=n_buckets)
+    tables = list(j.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tables:
+        return pa.schema(out_fields).empty_table()
+    t = pa.concat_tables(tables)
+    out = pa.table({
+        "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+        "s_name": t["s_name"],
+        "total_revenue_cents": pc.cast(t["rev_cents_sum"], pa.int64()),
+    })
+    return out.sort_by([("s_suppkey", "ascending")])
+
+
+def top_supplier_revenue_sql(date_from: str = TOP_SUPPLIER_FROM,
+                             date_to: str = TOP_SUPPLIER_TO) -> str:
+    return f"""
+WITH rev AS MATERIALIZED (
+  SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                  AS BIGINT)) AS BIGINT) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{date_from}'
+    AND l_shipdate < TIMESTAMP '{date_to}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total AS total_revenue_cents
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total = (SELECT max(total) FROM rev)
+ORDER BY s.s_suppkey
+""".strip()

@@ -1214,3 +1214,104 @@ SELECT {keys}, CAST(n AS BIGINT) AS n,
   emd > {t_max_e6} AS at_risk
 FROM emd ORDER BY {keys}
 """.strip()
+
+
+def contamination_score(ds, k: int = 3, bench_mod: int = BENCH_MOD):
+    """Graded benchmark contamination: for every training document,
+    the FRACTION of its distinct word k-grams that appear anywhere in
+    the benchmark slice — :func:`decontaminate`'s boolean flag, made
+    rankable (curation wants "drop the worst 1%", not just "any
+    overlap"). Score = 1e6·n_hit // n_grams; documents with < k
+    tokens have no grams → NULL score (0/0 is not 'clean').
+
+    Same scale shape as :func:`decontaminate`: bench gram set
+    collected once and broadcast via ``ray.put``; the corpus streams
+    through one vectorized ``is_in`` + per-batch distinct/groupby.
+    Output: (doc_id, n_grams, n_hit, contamination_millionths) for
+    training docs in input order."""
+    import ray
+
+    ds = ds.materialize()  # consumed twice (bench pass + score pass)
+
+    def _is_bench(ids):
+        return pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, bench_mod),
+                                         bench_mod)), 0)
+
+    def bench_grams(t: pa.Table):
+        t = t.filter(_is_bench(t["doc_id"]))
+        if not len(t):
+            return
+        _, grams = _gram_strings(*_flat_tokens(t["text"].to_pylist()), k)
+        if len(grams):
+            yield pa.table(
+                {"g": pa.array(np.unique(grams), type=pa.string())})
+
+    parts = ds.map_batches(bench_grams, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    bench: set = set()
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        bench.update(b["g"].to_pylist())
+    import ray as _ray
+    bench_ref = _ray.put(pa.array(sorted(bench), type=pa.string()))
+
+    def score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = t.filter(pc.invert(_is_bench(t["doc_id"])))
+        ng = np.zeros(len(t), dtype=np.int64)
+        nh = np.zeros(len(t), dtype=np.int64)
+        if len(t):
+            d_of, grams = _gram_strings(
+                *_flat_tokens(t["text"].to_pylist()), k)
+            if len(grams):
+                dd = pd.DataFrame({"d": d_of, "g": grams}).drop_duplicates()
+                hit = pc.is_in(
+                    pa.array(dd["g"].to_numpy(), type=pa.string()),
+                    value_set=ray.get(bench_ref),
+                ).to_numpy(zero_copy_only=False)
+                agg = (pd.DataFrame({"d": dd["d"].to_numpy(),
+                                     "h": hit.astype(np.int64)})
+                       .groupby("d").agg(ng=("h", "size"),
+                                         nh=("h", "sum")))
+                ng[agg.index.to_numpy()] = agg["ng"].to_numpy()
+                nh[agg.index.to_numpy()] = agg["nh"].to_numpy()
+        sc = pa.array(
+            [10**6 * int(h) // int(g) if g else None
+             for g, h in zip(ng, nh)], pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(ng), "n_hit": pa.array(nh),
+            "contamination_millionths": sc,
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def contamination_score_sql(k: int = 3, bench_mod: int = BENCH_MOD,
+                            table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  {_toks_cte(table)}
+), sh AS MATERIALIZED (
+  SELECT doc_id, {_gram_list_sql(k)} AS s FROM toks
+), bench AS MATERIALIZED (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {bench_mod} = 0
+), d AS (
+  SELECT DISTINCT doc_id, unnest(s) AS g FROM sh
+  WHERE doc_id % {bench_mod} <> 0
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS ng,
+    CAST(sum(CASE WHEN g IN (SELECT g FROM bench)
+             THEN 1 ELSE 0 END) AS BIGINT) AS nh
+  FROM d GROUP BY 1
+)
+SELECT t.doc_id, COALESCE(agg.ng, 0) AS n_grams,
+  COALESCE(agg.nh, 0) AS n_hit,
+  CAST((1000000 * agg.nh) // NULLIF(agg.ng, 0) AS BIGINT)
+    AS contamination_millionths
+FROM (SELECT doc_id FROM {table} WHERE doc_id % {bench_mod} <> 0) t
+LEFT JOIN agg USING (doc_id)
+ORDER BY t.doc_id
+""".strip()

@@ -676,3 +676,95 @@ def test_markov_entropy_matches_duckdb(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/events.parquet')")
     want = con.execute(markov_entropy_rate_sql()).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------- Q15 top-supplier revenue
+
+def test_top_supplier_hand_with_tie(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import top_supplier_revenue
+
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array(
+            [_ts("1996-02-01"), _ts("1996-02-02"), _ts("1996-03-01"),
+             _ts("1997-01-01")], pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+    }), str(tmp_path / "supplier.parquet"))
+
+    got = top_supplier_revenue(str(tmp_path)).to_pandas()
+    # suppliers 1 and 2 tie at 10000 cents; 3 ships outside the window
+    want = pd.DataFrame({"s_suppkey": [1, 2], "s_name": ["S1", "S2"],
+                         "total_revenue_cents": [10000, 10000]})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_top_supplier_empty_window(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import top_supplier_revenue
+
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1], pa.int64()),
+        "l_extendedprice": pa.array([1.0]),
+        "l_discount": pa.array([0.0]),
+        "l_shipdate": pa.array([_ts("1999-01-01")], pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": pa.array(["S1"], pa.string()),
+    }), str(tmp_path / "supplier.parquet"))
+    got = top_supplier_revenue(str(tmp_path))
+    assert got.num_rows == 0
+    assert got.schema.names == ["s_suppkey", "s_name",
+                                "total_revenue_cents"]
+
+
+# ------------------------------------------- contamination score
+
+def test_contamination_score_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.hygiene import contamination_score
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 5], pa.int64()),
+        "text": pa.array(["a b c x", "a b c d", "z z", "a b c d e"],
+                         pa.string()),
+    }))
+    got = (contamination_score(ds, k=3, bench_mod=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # bench = doc 2 → grams {a b c, b c d}
+    # doc 1 {a b c, b c x} → 1/2; doc 3 < 3 tokens → NULL;
+    # doc 5 {a b c, b c d, c d e} → 2/3
+    assert got["doc_id"].tolist() == [1, 3, 5]
+    assert got["n_grams"].tolist() == [2, 0, 3]
+    assert got["n_hit"].tolist() == [1, 0, 2]
+    assert got["contamination_millionths"].iloc[0] == 500_000
+    assert pd.isna(got["contamination_millionths"].iloc[1])
+    assert got["contamination_millionths"].iloc[2] == 666_666
+
+
+def test_contamination_score_matches_duckdb(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.hygiene import (contamination_score,
+                                                  contamination_score_sql)
+
+    t = pa.table({
+        "doc_id": pa.array(range(1, 25), pa.int64()),
+        "text": pa.array(
+            [f"w{i % 4} w{(i + 1) % 4} w{(i + 2) % 4} w{(i + 3) % 5}"
+             for i in range(24)], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (contamination_score(rd.from_arrow(t), k=3, bench_mod=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(contamination_score_sql(k=3, bench_mod=5)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
