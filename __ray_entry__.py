@@ -4356,6 +4356,18 @@ def _q_contamination_score(sf_dir: str):
     return contamination_score(_docs(sf_dir))
 
 
+def _q_holtwinters(sf_dir: str):
+    """Additive Holt-Winters (level+trend+weekly seasonality) of
+    per-type daily volumes — exact truncating-integer recurrence on a
+    zero-filled calendar grid; the mirror carries the 7 seasonal slots
+    as a shift-register recursive CTE."""
+    from fluent_server_ray.stages.features import holtwinters_trend
+
+    return holtwinters_trend(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4681,6 +4693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_entropy": _q_markov_entropy,
         "supplier_top_revenue": _q_top_supplier,
         "doc_contamination_score": _q_contamination_score,
+        "events_holtwinters": _q_holtwinters,
     }
 
 
@@ -5469,4 +5482,5 @@ WITH toks AS (
         "events_markov_entropy": windows.markov_entropy_rate_sql(),
         "supplier_top_revenue": rel.top_supplier_revenue_sql(),
         "doc_contamination_score": hygiene.contamination_score_sql(),
+        "events_holtwinters": features.holtwinters_trend_sql(),
     }

@@ -5522,3 +5522,155 @@ FROM pat GROUP BY 1, 2, 3
 ORDER BY n_users DESC, t1, t2, t3
 LIMIT {k}
 """.strip()
+
+
+def holtwinters_trend(ds, group_col: str = "event_type",
+                      ts_col: str = "ts", alpha=(1, 2), beta=(1, 4),
+                      gamma=(1, 2), period: int = 7) -> pa.Table:
+    """Additive Holt-Winters (level + trend + weekly seasonality) over
+    each group's daily volume series — :func:`holt_trend`'s
+    season-aware sibling (Holt chases the day-of-week wave as trend;
+    HW models it, the standard traffic forecaster).
+
+    Contract (both engines spell the identical truncating-division
+    recurrence; α=an/ad, β=bn/bd, γ=gn/gd, period m)::
+
+        grid  = CALENDAR days min..max per group, missing days y=0
+                (a zero-volume day is real signal for counts)
+        l_m   = trunc(1e6·Σy_1..m / m);  b_m = 0
+        s_i   = 1e6·y_i − l_m                        (i = 1..m)
+        for t = m+1..n:
+          l_t = trunc((an·(1e6·y_t − s_{t−m}) + (ad−an)·(l+b)) / ad)
+          b_t = trunc((bn·(l_t − l_{t−1}) + (bd−bn)·b) / bd)
+          s_t = trunc((gn·(1e6·y_t − l_t) + (gd−gn)·s_{t−m}) / gd)
+
+    One-step forecast = l_n + b_n + s_{n+1−m}. Groups whose grid spans
+    < m+1 days are dropped (no post-init step exists). All arithmetic
+    is unbounded python ints on the bounded (group, day) table; the
+    mirror is a recursive CTE carrying the m seasonal slots as a
+    SHIFT-REGISTER of columns. Shape: ONE daily-count combiner pass;
+    the recurrence is driver-side over calendar-bounded series.
+    Output: (group, n_days, level_millionths, trend_millionths,
+    forecast_millionths) sorted by group."""
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    an, ad = alpha
+    bn, bd = beta
+    gn, gd = gamma
+    m = period
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[group_col])))
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "day": _epoch_day(t[ts_col])})
+
+    daily = grouped_counts(
+        ds.select_columns([group_col, ts_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "day"], final="driver")
+
+    out_fields = [("group", pa.string()), ("n_days", pa.int64()),
+                  ("level_millionths", pa.int64()),
+                  ("trend_millionths", pa.int64()),
+                  ("forecast_millionths", pa.int64())]
+    df = daily.to_pandas()
+    if df.empty:
+        return pa.schema(out_fields).empty_table()
+
+    def tdiv(a: int, d: int) -> int:
+        return a // d if a >= 0 else -((-a) // d)
+
+    rows = []
+    for g, sub in df.sort_values(["g", "day"]).groupby("g", sort=True):
+        have = {int(d): int(n) for d, n in zip(sub["day"], sub["n"])}
+        lo, hi = min(have), max(have)
+        n = hi - lo + 1
+        if n < m + 1:
+            continue
+        y = [have.get(lo + i, 0) for i in range(n)]
+        lev = tdiv(1_000_000 * sum(y[:m]), m)
+        tr = 0
+        s = [1_000_000 * y[i] - lev for i in range(m)]  # ring: s[t%m]
+        for t in range(m, n):
+            sm = s[t % m]  # s_{t−m}
+            prev = lev
+            lev = tdiv(an * (1_000_000 * y[t] - sm)
+                       + (ad - an) * (lev + tr), ad)
+            tr = tdiv(bn * (lev - prev) + (bd - bn) * tr, bd)
+            s[t % m] = tdiv(gn * (1_000_000 * y[t] - lev)
+                            + (gd - gn) * sm, gd)
+        rows.append((g, n, lev, tr, lev + tr + s[n % m]))
+    if not rows:
+        return pa.schema(out_fields).empty_table()
+    return pa.table({
+        "group": pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "level_millionths": pa.array([r[2] for r in rows], pa.int64()),
+        "trend_millionths": pa.array([r[3] for r in rows], pa.int64()),
+        "forecast_millionths": pa.array([r[4] for r in rows],
+                                        pa.int64()),
+    })
+
+
+def holtwinters_trend_sql(group_col: str = "event_type",
+                          ts_col: str = "ts", alpha=(1, 2), beta=(1, 4),
+                          gamma=(1, 2), period: int = 7,
+                          table: str = "events") -> str:
+    """Recursive-CTE mirror: the m seasonal slots ride as a SHIFT-
+    REGISTER of columns (s1 = s_{t−m+1-oldest … read point}, sm = the
+    newest); every step reads s1 and emits (s2..sm, s_new)."""
+    an, ad = alpha
+    bn, bd = beta
+    gn, gd = gamma
+    m = period
+    s_cols = ", ".join(f"s{i}" for i in range(1, m + 1))
+    # init: s_i = 1e6·y_i − l0 for grid days 1..m (rn ascending)
+    init_s = ", ".join(
+        f"(SELECT 1000000 * y FROM grid x "
+        f"WHERE x.g = l.g AND x.rn = {i}) - l.l0 AS s{i}"
+        for i in range(1, m + 1))
+    shift_s = ", ".join(f"r.s{i}" for i in range(2, m + 1))
+    new_lev = (f"({an} * (1000000 * d.y - r.s1) + ({ad} - {an}) "
+               f"* (r.lev + r.tr)) // {ad}")
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS y
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), span AS MATERIALIZED (
+  SELECT g, min(day) AS lo, max(day) AS hi,
+    max(day) - min(day) + 1 AS nd
+  FROM daily GROUP BY g HAVING max(day) - min(day) + 1 >= {m} + 1
+), grid AS MATERIALIZED (
+  SELECT c.g, c.day - c.lo + 1 AS rn, COALESCE(d.y, 0) AS y, c.nd
+  FROM (SELECT s.g, s.lo, s.nd, CAST(u.gs AS BIGINT) AS day
+        FROM span s
+        CROSS JOIN unnest(generate_series(s.lo, s.hi)) AS u(gs)) c
+  LEFT JOIN daily d ON d.g = c.g AND d.day = c.day
+), l0v AS MATERIALIZED (
+  SELECT g, (1000000 * sum(y)) // {m} AS l0
+  FROM grid WHERE rn <= {m} GROUP BY g
+), rec AS (
+  SELECT l.g, CAST({m} AS BIGINT) AS rn, l0 AS lev,
+    CAST(0 AS BIGINT) AS tr, {init_s}
+  FROM l0v l
+  UNION ALL
+  SELECT r.g, r.rn + 1,
+    {new_lev} AS lev,
+    ({bn} * (({new_lev}) - r.lev) + ({bd} - {bn}) * r.tr) // {bd},
+    {shift_s},
+    ({gn} * (1000000 * d.y - ({new_lev}))
+     + ({gd} - {gn}) * r.s1) // {gd}
+  FROM rec r JOIN grid d ON d.g = r.g AND d.rn = r.rn + 1
+)
+SELECT r.g AS "group", s.nd AS n_days,
+  CAST(r.lev AS BIGINT) AS level_millionths,
+  CAST(r.tr AS BIGINT) AS trend_millionths,
+  CAST(r.lev + r.tr + r.s1 AS BIGINT) AS forecast_millionths
+FROM rec r JOIN span s ON s.g = r.g AND r.rn = s.nd
+ORDER BY "group"
+""".strip()

@@ -768,3 +768,74 @@ def test_contamination_score_matches_duckdb(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/documents.parquet')")
     want = con.execute(contamination_score_sql(k=3, bench_mod=5)).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ----------------------------------------- Holt-Winters seasonal
+
+def _hw_events(days_counts, group="x"):
+    groups, ts = [], []
+    for day, n in days_counts:
+        for _ in range(n):
+            groups.append(group)
+            ts.append(day * 86400)
+    return pa.table({
+        "event_type": pa.array(groups, pa.string()),
+        "ts": pa.array(pd.to_datetime(ts, unit="s"), pa.timestamp("us")),
+    })
+
+
+def test_holtwinters_hand(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import holtwinters_trend
+
+    # m=2, α=1/2, β=1/4, γ=1/2, y=[2,4,6,8]:
+    # l0=3e6, s=[−1e6,1e6]; t=2: l=5e6 tr=5e5 s0=0;
+    # t=3: l=6.25e6 tr=687500 s1=1375000; forecast=l+tr+s0
+    got = holtwinters_trend(
+        rd.from_arrow(_hw_events([(0, 2), (1, 4), (2, 6), (3, 8)])),
+        period=2).to_pandas()
+    assert got["group"].tolist() == ["x"]
+    assert got["n_days"].tolist() == [4]
+    assert got["level_millionths"].tolist() == [6_250_000]
+    assert got["trend_millionths"].tolist() == [687_500]
+    assert got["forecast_millionths"].tolist() == [6_937_500]
+
+
+def test_holtwinters_short_series_dropped(ray_session):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import holtwinters_trend
+
+    got = holtwinters_trend(
+        rd.from_arrow(_hw_events([(0, 2), (6, 3)])), period=7)
+    # span 7 days < period+1 → dropped
+    assert got.num_rows == 0
+
+
+def test_holtwinters_matches_duckdb_with_gaps(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import (holtwinters_trend,
+                                                   holtwinters_trend_sql)
+
+    # two groups, calendar gaps (zero-filled), 18-day spans, m=7
+    rows = []
+    for g_i, g in enumerate(["a", "b"]):
+        for d in range(0, 18):
+            if (d + g_i) % 4 == 0:
+                continue  # missing days
+            rows.extend([(d, 1 + ((d * (g_i + 2)) % 5))])
+        t = _hw_events(rows, group=g)
+        rows = []
+        if g_i == 0:
+            acc = t
+        else:
+            acc = pa.concat_tables([acc, t])
+    pq.write_table(acc, str(tmp_path / "events.parquet"))
+    got = holtwinters_trend(rd.from_arrow(acc)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(holtwinters_trend_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
