@@ -4368,6 +4368,15 @@ def _q_holtwinters(sf_dir: str):
                            columns=["event_type", "ts"]))
 
 
+def _q_part_basket(sf_dir: str):
+    """Market-basket co-purchase part pairs by order support —
+    per-order distinct self-merge inside one orderkey-bucket exchange,
+    distributed pair merge, partial top-k."""
+    from fluent_server_ray.pipelines.relational import part_basket_pairs
+
+    return part_basket_pairs(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4694,6 +4703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_top_revenue": _q_top_supplier,
         "doc_contamination_score": _q_contamination_score,
         "events_holtwinters": _q_holtwinters,
+        "part_basket_pairs": _q_part_basket,
     }
 
 
@@ -5483,4 +5493,5 @@ WITH toks AS (
         "supplier_top_revenue": rel.top_supplier_revenue_sql(),
         "doc_contamination_score": hygiene.contamination_score_sql(),
         "events_holtwinters": features.holtwinters_trend_sql(),
+        "part_basket_pairs": rel.part_basket_pairs_sql(),
     }

@@ -1652,3 +1652,79 @@ FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
 WHERE rev.total = (SELECT max(total) FROM rev)
 ORDER BY s.s_suppkey
 """.strip()
+
+
+def part_basket_pairs(sf_dir: str, k: int = 25,
+                      n_buckets: int = 64) -> pa.Table:
+    """Market-basket co-purchase pairs: the top-``k`` part pairs by
+    the number of ORDERS whose lineitems contain both (the per-basket
+    sibling of the per-user ``item_cooccurrence`` — baskets are
+    orders, not user histories).
+
+    Shape: one orderkey-bucket exchange co-locates each order's lines;
+    inside a bucket the distinct part set per order self-merges into
+    canonical (a < b) pairs — O(lines²) per ORDER, bounded by the
+    order schema (~7 lines), never corpus-quadratic. The unbounded
+    pair space merges via the distributed groupby; the global top-k is
+    a per-block partial top-k + an O(blocks·k) driver merge (ties
+    broken by (part_a, part_b) — fully deterministic)."""
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.groups import map_buckets
+    from fluent_server_ray.stages.joins import _with_bucket
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    bucketed = _with_bucket(li, "l_orderkey", n_buckets)
+
+    pair_schema = pa.schema([pa.field("part_a", pa.int64()),
+                             pa.field("part_b", pa.int64()),
+                             pa.field("n", pa.int64())])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        if m.empty:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []})
+        out = (m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False)
+               .size())
+        out.columns = ["part_a", "part_b", "n"]
+        return out
+
+    parts = map_buckets(bucketed, per_bucket, pair_schema)
+    merged = grouped_agg(parts, ["part_a", "part_b"], [("n", "sum")],
+                         final="ray")
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("n_sum", "descending"), ("part_a", "ascending"),
+            ("part_b", "ascending")])
+        return t.take(idx[:k])
+
+    tables = list(
+        merged.map_batches(skip_empty(topk_partial),
+                           batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tables:
+        return pair_schema.empty_table()
+    t = pa.concat_tables(tables)
+    idx = pc.sort_indices(t, sort_keys=[
+        ("n_sum", "descending"), ("part_a", "ascending"),
+        ("part_b", "ascending")])
+    t = t.take(idx[:k])
+    return pa.table({"part_a": pc.cast(t["part_a"], pa.int64()),
+                     "part_b": pc.cast(t["part_b"], pa.int64()),
+                     "n": pc.cast(t["n_sum"], pa.int64())})
+
+
+def part_basket_pairs_sql(k: int = 25) -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+  CAST(count(*) AS BIGINT) AS n
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n DESC, part_a, part_b LIMIT {k}
+""".strip()

@@ -839,3 +839,39 @@ def test_holtwinters_matches_duckdb_with_gaps(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/events.parquet')")
     want = con.execute(holtwinters_trend_sql()).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------ basket part pairs
+
+def test_part_basket_hand(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import part_basket_pairs
+
+    pq.write_table(pa.table({
+        # order 1: {10, 20, 30} (20 duplicated); order 2: {10, 20}
+        "l_orderkey": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([10, 20, 20, 30, 10, 20], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = part_basket_pairs(str(tmp_path), k=10).to_pandas()
+    want = pd.DataFrame({
+        "part_a": [10, 10, 20], "part_b": [20, 30, 30], "n": [2, 1, 1]})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+
+
+def test_part_basket_matches_duckdb(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import (
+        part_basket_pairs, part_basket_pairs_sql)
+
+    n = 300
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([i // 4 for i in range(n)], pa.int64()),
+        "l_partkey": pa.array([(i * 13) % 9 for i in range(n)],
+                              pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = part_basket_pairs(str(tmp_path), k=12).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    want = con.execute(part_basket_pairs_sql(k=12)).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
