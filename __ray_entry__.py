@@ -4377,6 +4377,33 @@ def _q_part_basket(sf_dir: str):
     return part_basket_pairs(sf_dir)
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: per-nation revenue with the customer-supplier
+    same-nation constraint — two bucketed fact joins, supplier map
+    broadcast once, nation-keyed combiner."""
+    from fluent_server_ray.pipelines.relational import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
+def _q_returned_item_customers(sf_dir: str):
+    """TPC-H Q10 shape: top customers by returned-line revenue in a
+    quarter — pushed filters, one orderkey join, distributed
+    per-customer merge, k-row attribute lookup."""
+    from fluent_server_ray.pipelines.relational import returned_item_customers
+
+    return returned_item_customers(sf_dir)
+
+
+def _q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: PROMO-part share of one month's revenue —
+    broadcast promo-key set, 2-int partials per block, one exact
+    float division."""
+    from fluent_server_ray.pipelines.relational import promo_revenue_share
+
+    return promo_revenue_share(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -4704,6 +4731,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination_score": _q_contamination_score,
         "events_holtwinters": _q_holtwinters,
         "part_basket_pairs": _q_part_basket,
+        "nation_revenue_q5": _q_local_supplier_volume,
+        "returned_item_customers": _q_returned_item_customers,
+        "promo_revenue_share": _q_promo_revenue_share,
     }
 
 
@@ -5494,4 +5524,7 @@ WITH toks AS (
         "doc_contamination_score": hygiene.contamination_score_sql(),
         "events_holtwinters": features.holtwinters_trend_sql(),
         "part_basket_pairs": rel.part_basket_pairs_sql(),
+        "nation_revenue_q5": rel.local_supplier_volume_sql(),
+        "returned_item_customers": rel.returned_item_customers_sql(),
+        "promo_revenue_share": rel.promo_revenue_share_sql(),
     }

@@ -1728,3 +1728,376 @@ FROM d a JOIN d b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2 ORDER BY n DESC, part_a, part_b LIMIT {k}
 """.strip()
+
+
+# ------------------------------------------------- Q5 local supplier volume
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01 00:00:00"
+Q5_TO = "1997-01-01 00:00:00"
+
+
+def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
+                          date_from: str = Q5_FROM, date_to: str = Q5_TO,
+                          n_buckets: int = 32) -> pa.Table:
+    """Local supplier volume (TPC-H Q5 shape): per-nation revenue for
+    orders in a year where the CUSTOMER and the line's SUPPLIER share a
+    nation inside one region — the classic multi-join with a
+    cross-path equality constraint (c_nationkey = s_nationkey).
+
+    Scale shape: nation⋈region resolves driver-side (≤ a few hundred
+    rows by schema); supplier is a bounded dim table even against a
+    100 TB fact corpus, so its (suppkey → nationkey) map — pre-filtered
+    to the region — broadcasts ONCE via ``ray.put`` and the
+    supplier-nation constraint applies map-side with one ``index_in``
+    per batch (no third shuffle). The two fact-sized joins
+    (orders⋈customer on custkey, →⋈lineitem on orderkey) are bucketed
+    hash joins — each side shuffled exactly once. The date predicate
+    pushes into the orders read; revenue collapses per batch into
+    nation-keyed partials (≤ |nations| rows per block) and merges on
+    the driver. Cents-exact money math."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.joins import arrow_schema, bucketed_hash_join
+
+    out_fields = [("n_name", pa.string()), ("revenue_cents", pa.int64())]
+
+    reg = _pq.read_table(f"{sf_dir}/region.parquet",
+                         columns=["r_regionkey", "r_name"])
+    rkeys = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rkeys))
+    if not len(nat):
+        return pa.schema(out_fields).empty_table()
+    nat_keys = pa.array(
+        sorted(pc.cast(nat["n_nationkey"], pa.int64()).to_pylist()),
+        pa.int64())
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(pc.cast(sup["s_nationkey"], pa.int64()),
+                              value_set=nat_keys))
+    sup_ref = ray.put((
+        pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
+        pc.cast(sup["s_nationkey"], pa.int64()).combine_chunks(),
+    ))
+    natkeys_ref = ray.put(nat_keys)
+
+    f = _dt.datetime.fromisoformat(date_from)
+    to = _dt.datetime.fromisoformat(date_to)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= f)
+        & (pads.field("o_orderdate") < to),
+        filter_refs=["o_orderdate"],
+    )
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+
+    def cust_in_region(t: pa.Table) -> pa.Table:
+        ks = ray.get(natkeys_ref)
+        return t.filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                                 value_set=ks))
+
+    cust = cust.map_batches(cust_in_region, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    oc = bucketed_hash_join(orders, cust, key="o_custkey",
+                            right_key="c_custkey",
+                            n_buckets=n_buckets).materialize()
+    if arrow_schema(oc) is None:
+        return pa.schema(out_fields).empty_table()
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    ocl = bucketed_hash_join(oc, li, key="o_orderkey",
+                             right_key="l_orderkey", n_buckets=n_buckets)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        skey, snat = ray.get(sup_ref)
+        pos = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()),
+                          value_set=skey)
+        s_nat = pc.take(snat, pos)  # NULL where supplier outside region
+        keep = pc.equal(s_nat, pc.cast(t["c_nationkey"], pa.int64()))
+        t = t.filter(pc.fill_null(keep, False))
+        if not len(t):
+            return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                             "rev_cents": pa.array([], pa.int64())})
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(1.0, t["l_discount"]))
+        prep = pa.table({
+            "n_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "rev_cents": _cents(disc),
+        })
+        out = prep.group_by(["n_nationkey"]).aggregate([("rev_cents",
+                                                         "sum")])
+        return out.rename_columns(["n_nationkey", "rev_cents"])
+
+    agg = grouped_agg(
+        ocl.map_batches(rev_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["n_nationkey"], [("rev_cents", "sum")])
+    if not len(agg):
+        return pa.schema(out_fields).empty_table()
+    names = pa.array([name_of[k] for k in agg["n_nationkey"].to_pylist()],
+                     pa.string())
+    out = pa.table({"n_name": names,
+                    "revenue_cents": pc.cast(agg["rev_cents_sum"],
+                                             pa.int64())})
+    return out.sort_by([("revenue_cents", "descending"),
+                        ("n_name", "ascending")])
+
+
+def local_supplier_volume_sql(region: str = Q5_REGION,
+                              date_from: str = Q5_FROM,
+                              date_to: str = Q5_TO) -> str:
+    return f"""
+SELECT n.n_name,
+  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+      AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{region}'
+  AND o.o_orderdate >= TIMESTAMP '{date_from}'
+  AND o.o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, n_name
+""".strip()
+
+
+# --------------------------------------------------- Q10 returned items
+
+Q10_FROM = "1996-07-01 00:00:00"
+Q10_TO = "1996-10-01 00:00:00"
+
+
+def returned_item_customers(sf_dir: str, k: int = 20,
+                            date_from: str = Q10_FROM,
+                            date_to: str = Q10_TO,
+                            n_buckets: int = 32) -> pa.Table:
+    """Returned-item reporting (TPC-H Q10 shape): top-``k`` customers
+    by revenue lost to returned lines (``l_returnflag='R'``) on orders
+    placed in a quarter, annotated with nation name and balance.
+
+    Scale shape: the quarter predicate pushes into the orders read and
+    the returnflag predicate into the lineitem read; ONE orderkey-
+    bucketed join co-locates them; per-customer revenue merges through
+    the distributed combiner (customer keyspace unbounded →
+    ``final='ray'``); the global top-k is per-block partial top-k + an
+    O(blocks·k) driver merge. Only the k winners look up their
+    customer/nation attributes — a driver-side filtered read of k keys,
+    never a fact-sized join. Ties broken (rev DESC, c_custkey ASC)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import arrow_schema, bucketed_hash_join
+
+    out_fields = [("c_custkey", pa.int64()), ("c_name", pa.string()),
+                  ("rev_cents", pa.int64()), ("c_acctbal_cents", pa.int64()),
+                  ("n_name", pa.string())]
+
+    f = _dt.datetime.fromisoformat(date_from)
+    to = _dt.datetime.fromisoformat(date_to)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= f)
+        & (pads.field("o_orderdate") < to),
+        filter_refs=["o_orderdate"],
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R",
+        filter_refs=["l_returnflag"],
+    )
+    j = bucketed_hash_join(orders, li, key="o_orderkey",
+                           right_key="l_orderkey", n_buckets=n_buckets)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(1.0, t["l_discount"]))
+        prep = pa.table({"c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "rev_cents": _cents(disc)})
+        out = prep.group_by(["c_custkey"]).aggregate([("rev_cents", "sum")])
+        return out.rename_columns(["c_custkey", "rev_cents"])
+
+    per_cust = grouped_agg(
+        j.map_batches(rev_partial, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["c_custkey"], [("rev_cents", "sum")], final="ray")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("rev_cents_sum", "descending"), ("c_custkey", "ascending")])
+        return t.take(idx[:k])
+
+    blocks = [b for b in per_cust.map_batches(
+        skip_empty(local_topk), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+        if b.num_rows]
+    if not blocks:
+        return pa.schema(out_fields).empty_table()
+    merged = pa.concat_tables(blocks)
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("rev_cents_sum", "descending"), ("c_custkey", "ascending")])
+    top = merged.take(idx[:k])
+
+    # k-row attribute lookup: filtered driver-side read, never a join
+    keys = pc.cast(top["c_custkey"], pa.int64())
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name", "c_acctbal",
+                                   "c_nationkey"])
+    cust = cust.filter(pc.is_in(pc.cast(cust["c_custkey"], pa.int64()),
+                                value_set=keys))
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    attr = {int(ck): (nm, int(bal), name_of[nk]) for ck, nm, bal, nk in zip(
+        cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist(),
+        _cents(cust["c_acctbal"]).to_pylist(),
+        cust["c_nationkey"].to_pylist())}
+    # inner-join semantics: an orphan o_custkey (no customer row —
+    # FK-violating corpus) drops here exactly like the SQL mirror
+    mask = pc.is_in(keys, value_set=pc.cast(cust["c_custkey"], pa.int64()))
+    top = top.filter(mask)
+    ck = [int(c) for c in
+          pc.cast(top["c_custkey"], pa.int64()).to_pylist()]
+    return pa.table({
+        "c_custkey": pa.array(ck, pa.int64()),
+        "c_name": pa.array([attr[c][0] for c in ck], pa.string()),
+        "rev_cents": pc.cast(top["rev_cents_sum"], pa.int64()),
+        "c_acctbal_cents": pa.array([attr[c][1] for c in ck], pa.int64()),
+        "n_name": pa.array([attr[c][2] for c in ck], pa.string()),
+    })
+
+
+def returned_item_customers_sql(k: int = 20, date_from: str = Q10_FROM,
+                                date_to: str = Q10_TO) -> str:
+    return f"""
+SELECT c.c_custkey, c.c_name,
+  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+      AS BIGINT)) AS BIGINT) AS rev_cents,
+  CAST(round(c.c_acctbal * 100.0) AS BIGINT) AS c_acctbal_cents,
+  n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{date_from}'
+  AND o.o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY rev_cents DESC, c_custkey LIMIT {k}
+""".strip()
+
+
+# ----------------------------------------------------- Q14 promo revenue
+
+Q14_FROM = "1996-03-01 00:00:00"
+Q14_TO = "1996-04-01 00:00:00"
+
+
+def promo_revenue_share(sf_dir: str, date_from: str = Q14_FROM,
+                        date_to: str = Q14_TO) -> pa.Table:
+    """Promotion revenue share (TPC-H Q14 shape): the fraction of one
+    month's discounted revenue earned by PROMO-type parts.
+
+    Scale shape: part is a bounded dim table, so its promo-partkey set
+    broadcasts ONCE via ``ray.put`` and the part "join" is one
+    vectorized ``is_in`` per lineitem batch — no shuffle at all; the
+    ship-date predicate pushes into the read; each block emits a 2-int
+    partial (promo cents, total cents) and the driver sums. The share
+    is ONE float64 division over exact integer sums — bit-identical to
+    the SQL mirror."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    promo = part.filter(pc.equal(part["p_type"], "PROMO"))
+    promo_ref = ray.put(pc.cast(promo["p_partkey"],
+                                pa.int64()).combine_chunks())
+
+    f = _dt.datetime.fromisoformat(date_from)
+    to = _dt.datetime.fromisoformat(date_to)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= f)
+        & (pads.field("l_shipdate") < to))
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(1.0, t["l_discount"]))
+        cents = _cents(disc)
+        is_promo = pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
+                            value_set=ray.get(promo_ref))
+        p = pc.sum(pc.if_else(is_promo, cents, pa.scalar(0, pa.int64())))
+        s = pc.sum(cents)
+        return pa.table({
+            "promo_cents": pa.array([p.as_py() or 0], pa.int64()),
+            "total_cents": pa.array([s.as_py() or 0], pa.int64()),
+        })
+
+    parts = li.map_batches(skip_empty(partial), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    promo_c = 0
+    total_c = 0
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            promo_c += pc.sum(b["promo_cents"]).as_py() or 0
+            total_c += pc.sum(b["total_cents"]).as_py() or 0
+    share = (100.0 * float(promo_c) / float(total_c)) if total_c else None
+    return pa.table({
+        "promo_cents": pa.array([promo_c], pa.int64()),
+        "total_cents": pa.array([total_c], pa.int64()),
+        "promo_share_pct": pa.array([share], pa.float64()),
+    })
+
+
+def promo_revenue_share_sql(date_from: str = Q14_FROM,
+                            date_to: str = Q14_TO) -> str:
+    return f"""
+WITH x AS (
+  SELECT CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+              AS BIGINT) AS cents,
+         (p.p_type = 'PROMO') AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{date_from}'
+    AND l.l_shipdate < TIMESTAMP '{date_to}'
+)
+SELECT
+  CAST(coalesce(sum(cents) FILTER (WHERE is_promo), 0) AS BIGINT)
+    AS promo_cents,
+  CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents,
+  100.0 * CAST(coalesce(sum(cents) FILTER (WHERE is_promo), 0) AS DOUBLE)
+    / CAST(sum(cents) AS DOUBLE) AS promo_share_pct
+FROM x
+""".strip()
