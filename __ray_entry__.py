@@ -4377,6 +4377,35 @@ def _q_part_basket(sf_dir: str):
     return part_basket_pairs(sf_dir)
 
 
+def _q_nb_langid(sf_dir: str):
+    """Multinomial Naive Bayes langid: train on the labeled 4/5 split,
+    argmax-classify the holdout — one count-combiner pass, model
+    broadcast, vectorized lookup + segment-sum scoring."""
+    from fluent_server_ray.stages.textstats import naive_bayes_classify
+
+    return naive_bayes_classify(_docs(sf_dir))
+
+
+def _q_jarque_bera(sf_dir: str):
+    """Per-type Jarque-Bera normality screen — exact shifted integer
+    power sums (python-int / HUGEINT), one declared float tree."""
+    from fluent_server_ray.stages.features import jarque_bera_by_group
+
+    return jarque_bera_by_group(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]))
+
+
+def _q_brown_forsythe(sf_dir: str):
+    """Brown-Forsythe spread-homogeneity test — ANOVA on |value −
+    group lower median|, floored-integer F recipe."""
+    from fluent_server_ray.stages.features import brown_forsythe_by_group
+
+    return brown_forsythe_by_group(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]))
+
+
 def _q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape: per-nation revenue with the customer-supplier
     same-nation constraint — two bucketed fact joins, supplier map
@@ -4734,6 +4763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_q5": _q_local_supplier_volume,
         "returned_item_customers": _q_returned_item_customers,
         "promo_revenue_share": _q_promo_revenue_share,
+        "doc_nb_langid": _q_nb_langid,
+        "events_jarque_bera": _q_jarque_bera,
+        "events_brown_forsythe": _q_brown_forsythe,
     }
 
 
@@ -5527,4 +5559,7 @@ WITH toks AS (
         "nation_revenue_q5": rel.local_supplier_volume_sql(),
         "returned_item_customers": rel.returned_item_customers_sql(),
         "promo_revenue_share": rel.promo_revenue_share_sql(),
+        "doc_nb_langid": textstats.naive_bayes_classify_sql(),
+        "events_jarque_bera": features.jarque_bera_by_group_sql(),
+        "events_brown_forsythe": features.brown_forsythe_by_group_sql(),
     }

@@ -5674,3 +5674,350 @@ SELECT r.g AS "group", s.nd AS n_days,
 FROM rec r JOIN span s ON s.g = r.g AND r.rn = s.nd
 ORDER BY "group"
 """.strip()
+
+
+# ------------------------------------------- Jarque-Bera normality test
+
+def jarque_bera_by_group(ds, value_col: str = "value",
+                         group_col: str = "event_type") -> pa.Table:
+    """Jarque-Bera normality test per group — skewness/kurtosis-based
+    screen for "is this sink's value distribution still Gaussian?"
+    (Jarque & Bera 1980), the omnibus beside the distributional drift
+    checks (PSI/KS).
+
+    Exact/deterministic contract: values go through the house
+    ``_cents`` rule; each group is SHIFTED by its integer floor-mean
+    ``k_g = S_g // n_g`` (central moments are shift-invariant, and the
+    residual mean ``Σd/n < 1`` kills the catastrophic cancellation a
+    raw-moment recipe would hit) and the power sums Σd¹..Σd⁴ are EXACT
+    integers (python ints here, HUGEINT in the mirror — Σd⁴ ≤
+    n·max|d|⁴ stays under 2¹²⁷ to n ≈ 10¹² at cents spreads ≤ 10⁵).
+    The statistic is ONE declared float64 tree over those exact ints
+    (ints enter float64 correctly rounded on both sides — VARCHAR→
+    DOUBLE in the mirror per the measured HUGEINT-cast ulp gotcha)::
+
+        mu = s1/n; m2 = s2/n − mu²
+        m3 = s3/n − 3·mu·(s2/n) + 2·mu³
+        m4 = s4/n − 4·mu·(s3/n) + 6·mu²·(s2/n) − 3·mu⁴
+        skew = m3 / (m2·√m2);  kurt = m4 / m2²
+        jb = n/6 · (skew² + (kurt−3)²/4)
+
+    — every op IEEE with a fixed shape, so the doubles match
+    bit-for-bit. Degenerate groups (m2 ≤ 0: constant value) emit NULL
+    skew/kurt/jb. NULL values/groups excluded.
+
+    Distributed shape: pass 1 = per-group (n, Σc) combiner (bounded
+    group set, driver merge); the k_g map broadcasts; pass 2 = per-
+    block per-group python-int power sums shipped as DECIMAL STRINGS
+    (the pearson_corr device — int64 can't hold a single d⁴ at cents
+    spreads > ~55k). The corpus streams twice, nothing corpus-sized
+    reaches the driver."""
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    ds = ds.select_columns([value_col, group_col]).materialize()
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        v = pc.cast(t[value_col], pa.float64())
+        if len(t) and pc.any(pc.is_nan(v)).as_py():
+            raise ValueError("jarque_bera_by_group: NaN value — filter"
+                             " first")
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "c": _cents(v)})
+
+    base = ds.map_batches(proj, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    per_g = grouped_agg(base, ["g"], [("c", "sum"), ("c", "count")],
+                        final="driver")
+    out_fields = [("group", pa.string()), ("n", pa.int64()),
+                  ("skew", pa.float64()), ("kurt", pa.float64()),
+                  ("jb_stat", pa.float64())]
+    if not per_g.num_rows:
+        return pa.schema(out_fields).empty_table()
+    shift = {g: int(s) // int(n) for g, s, n in zip(
+        per_g["g"].to_pylist(), per_g["c_sum"].to_pylist(),
+        per_g["c_count"].to_pylist())}
+    shift_ref = ray.put(shift)
+
+    def power_sums(t: pa.Table) -> pa.Table:
+        k_of = ray.get(shift_ref)
+        gs = t["g"].to_pylist()
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = np.fromiter((k_of[g] for g in gs), dtype=np.int64,
+                         count=len(gs))
+        d = (c - ks).astype(object)  # python-int lane: d⁴ can pass 2⁶³
+        out: dict[str, list] = {"g": [], "n": [], "s1": [], "s2": [],
+                                "s3": [], "s4": []}
+        import pandas as _pd
+
+        df = _pd.DataFrame({"g": gs, "d": d})
+        for g, sub in df.groupby("g", sort=True):
+            dv = sub["d"].to_numpy()
+            d2 = dv * dv
+            out["g"].append(g)
+            out["n"].append(len(dv))
+            out["s1"].append(str(int(dv.sum())))
+            out["s2"].append(str(int(d2.sum())))
+            out["s3"].append(str(int((d2 * dv).sum())))
+            out["s4"].append(str(int((d2 * d2).sum())))
+        return pa.table({
+            "g": pa.array(out["g"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "s1": pa.array(out["s1"], pa.string()),
+            "s2": pa.array(out["s2"], pa.string()),
+            "s3": pa.array(out["s3"], pa.string()),
+            "s4": pa.array(out["s4"], pa.string()),
+        })
+
+    acc: dict[str, list] = {}
+    for b in base.map_batches(skip_empty(power_sums),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True).iter_batches(
+                                  batch_size=None, batch_format="pyarrow"):
+        for g, n, s1, s2, s3, s4 in zip(
+                b["g"].to_pylist(), b["n"].to_pylist(),
+                b["s1"].to_pylist(), b["s2"].to_pylist(),
+                b["s3"].to_pylist(), b["s4"].to_pylist()):
+            cur = acc.setdefault(g, [0, 0, 0, 0, 0])
+            cur[0] += int(n)
+            cur[1] += int(s1)
+            cur[2] += int(s2)
+            cur[3] += int(s3)
+            cur[4] += int(s4)
+
+    rows = {"group": [], "n": [], "skew": [], "kurt": [], "jb_stat": []}
+    for g in sorted(acc):
+        n, s1, s2, s3, s4 = acc[g]
+        nd = float(n)
+        mu = float(s1) / nd
+        m2 = float(s2) / nd - mu * mu
+        rows["group"].append(g)
+        rows["n"].append(n)
+        if m2 <= 0.0:
+            rows["skew"].append(None)
+            rows["kurt"].append(None)
+            rows["jb_stat"].append(None)
+            continue
+        import math
+
+        m3 = float(s3) / nd - 3.0 * mu * (float(s2) / nd) \
+            + 2.0 * mu * mu * mu
+        m4 = float(s4) / nd - 4.0 * mu * (float(s3) / nd) \
+            + 6.0 * mu * mu * (float(s2) / nd) - 3.0 * mu * mu * mu * mu
+        skew = m3 / (m2 * math.sqrt(m2))
+        kurt = m4 / (m2 * m2)
+        jb = nd / 6.0 * (skew * skew
+                         + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+        rows["skew"].append(skew)
+        rows["kurt"].append(kurt)
+        rows["jb_stat"].append(jb)
+    return pa.table({
+        "group": pa.array(rows["group"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "skew": pa.array(rows["skew"], pa.float64()),
+        "kurt": pa.array(rows["kurt"], pa.float64()),
+        "jb_stat": pa.array(rows["jb_stat"], pa.float64()),
+    })
+
+
+def jarque_bera_by_group_sql(value_col: str = "value",
+                             group_col: str = "event_type",
+                             table: str = "events") -> str:
+    return f"""
+WITH vals AS MATERIALIZED (
+  SELECT {group_col} AS g,
+    CAST(round({value_col} * 100.0) AS HUGEINT) AS c
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+), kk AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n, sum(c) // count(*) AS k
+  FROM vals GROUP BY g
+), sums AS (
+  SELECT v.g, any_value(kk.n) AS n,
+    sum(v.c - kk.k) AS s1,
+    sum((v.c - kk.k) * (v.c - kk.k)) AS s2,
+    sum((v.c - kk.k) * (v.c - kk.k) * (v.c - kk.k)) AS s3,
+    sum((v.c - kk.k) * (v.c - kk.k) * (v.c - kk.k) * (v.c - kk.k)) AS s4
+  FROM vals v JOIN kk ON kk.g = v.g GROUP BY v.g
+), f AS (
+  SELECT g, n,
+    CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd,
+    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3d,
+    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS s4d
+  FROM sums
+), m AS (
+  SELECT g, n, nd, s1d / nd AS mu,
+    s2d / nd - (s1d / nd) * (s1d / nd) AS m2, s2d, s3d, s4d
+  FROM f
+), mm AS (
+  SELECT g, n, nd, m2,
+    s3d / nd - 3.0 * mu * (s2d / nd) + 2.0 * mu * mu * mu AS m3,
+    s4d / nd - 4.0 * mu * (s3d / nd) + 6.0 * mu * mu * (s2d / nd)
+      - 3.0 * mu * mu * mu * mu AS m4
+  FROM m
+), sk AS (
+  SELECT g, n, nd, m2,
+    CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skew,
+    CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) END AS kurt
+  FROM mm
+)
+SELECT g AS "group", CAST(n AS BIGINT) AS n, skew, kurt,
+  CASE WHEN m2 > 0.0 THEN
+    nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+  END AS jb_stat
+FROM sk ORDER BY "group"
+""".strip()
+
+
+# --------------------------------------- Brown-Forsythe variance test
+
+def brown_forsythe_by_group(ds, value_col: str = "value",
+                            group_col: str = "event_type") -> pa.Table:
+    """Brown-Forsythe homogeneity-of-variance test — one-way ANOVA on
+    the absolute deviations from each group's MEDIAN (Brown & Forsythe
+    1974; the robust Levene variant). Flags "do these sinks have
+    different value spreads?" before a pooled-variance method assumes
+    they don't.
+
+    Exact contract: values through the house ``_cents`` rule; the
+    per-group center is the LOWER MEDIAN (ascending rank ``(n+1)//2``
+    — an existing data value, so ``d = |c − med|`` is an exact int64)
+    and the F statistic is the same floored-integer recipe as
+    :func:`anova_by_group` applied to d (between/ssb/ssw/f in
+    millionths — HUGEINT-exact in the mirror, python-int here).
+
+    Distributed shape: pass 1 = per-(group, cents) count combiner
+    (bounded: distinct cents of a 2-decimal bounded column ≤ 10⁵ish
+    per group — the 100 TB variant of an UNBOUNDED value domain swaps
+    the driver selection for the grouped-histogram quantile sketch);
+    driver selects each group's rank-``(n+1)//2`` value from the
+    cumsum; medians broadcast; pass 2 = per-group (n, Σd, Σd²)
+    combiner + the integer F recipe. NULLs excluded; needs ≥2 groups,
+    N > k, and nonzero within-spread."""
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    ds = ds.select_columns([value_col, group_col]).materialize()
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[group_col])))
+        v = pc.cast(t[value_col], pa.float64())
+        if len(t) and pc.any(pc.is_nan(v)).as_py():
+            raise ValueError("brown_forsythe_by_group: NaN value —"
+                             " filter first")
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "c": _cents(v)})
+
+    base = ds.map_batches(proj, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    hist = grouped_agg(base, ["g", "c"], [("c", "count")], final="driver")
+    if not hist.num_rows:
+        raise ValueError("brown_forsythe_by_group: no rows")
+    import pandas as _pd
+
+    hdf = hist.to_pandas().sort_values(["g", "c"])
+    med: dict[str, int] = {}
+    for g, sub in hdf.groupby("g", sort=True):
+        n_g = int(sub["c_count"].sum())
+        target = (n_g + 1) // 2
+        cum = sub["c_count"].cumsum().to_numpy()
+        pos = int(np.searchsorted(cum, target, side="left"))
+        med[g] = int(sub["c"].to_numpy()[pos])
+    med_ref = ray.put(med)
+
+    def dev(t: pa.Table) -> pa.Table:
+        m_of = ray.get(med_ref)
+        gs = t["g"].to_pylist()
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ms = np.fromiter((m_of[g] for g in gs), dtype=np.int64,
+                         count=len(gs))
+        d = np.abs(c - ms)
+        return pa.table({"g": t["g"], "d": pa.array(d, pa.int64()),
+                         "d2": pa.array(d * d, pa.int64())})
+
+    per_g = grouped_agg(
+        base.map_batches(dev, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["g"], [("d", "sum"), ("d", "count"), ("d2", "sum")],
+        final="driver")
+    if per_g.num_rows < 2:
+        raise ValueError("brown_forsythe_by_group: need ≥2 groups")
+    gs = per_g["g"].to_pylist()
+    ns = [int(x) for x in per_g["d_count"].to_pylist()]
+    ss = [int(x) for x in per_g["d_sum"].to_pylist()]
+    q = sum(int(x) for x in per_g["d2_sum"].to_pylist())
+    n_total, k = sum(ns), len(gs)
+    if n_total <= k:
+        raise ValueError("brown_forsythe_by_group: need N > k")
+    between = [(1_000_000 * s * s) // n for s, n in zip(ss, ns)]
+    s_total = sum(ss)
+    ssb_e6 = sum(between) - (1_000_000 * s_total * s_total) // n_total
+    ssw_e6 = 1_000_000 * q - sum(between)
+    if ssw_e6 <= 0:
+        raise ValueError("brown_forsythe_by_group: zero within-group"
+                         " deviation spread")
+    f_e6 = (ssb_e6 * (n_total - k) * 1_000_000) // (ssw_e6 * (k - 1))
+    order = sorted(range(k), key=lambda i: gs[i])
+    return pa.table({
+        "group": pa.array([gs[i] for i in order], pa.string()),
+        "n": pa.array([ns[i] for i in order], pa.int64()),
+        "med_cents": pa.array([med[gs[i]] for i in order], pa.int64()),
+        "sum_dev_cents": pa.array([ss[i] for i in order], pa.int64()),
+        "n_total": pa.array([n_total] * k, pa.int64()),
+        "ssb_millionths": pa.array([ssb_e6] * k, pa.int64()),
+        "ssw_millionths": pa.array([ssw_e6] * k, pa.int64()),
+        "f_millionths": pa.array([f_e6] * k, pa.int64()),
+    })
+
+
+def brown_forsythe_by_group_sql(value_col: str = "value",
+                                group_col: str = "event_type",
+                                table: str = "events") -> str:
+    return f"""
+WITH vals AS MATERIALIZED (
+  SELECT {group_col} AS g,
+    CAST(round({value_col} * 100.0) AS BIGINT) AS c
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+), ranked AS (
+  SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+    count(*) OVER (PARTITION BY g) AS n_g
+  FROM vals
+), med AS (
+  SELECT g, c AS med FROM ranked WHERE rn = (n_g + 1) // 2
+), dev AS (
+  SELECT v.g, CAST(abs(v.c - m.med) AS HUGEINT) AS d
+  FROM vals v JOIN med m ON m.g = v.g
+), per_g AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n_g, sum(d) AS s_g,
+    sum(d * d) AS q_g
+  FROM dev GROUP BY g
+), scal AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k,
+    sum(n_g) AS n_total, sum(s_g) AS s_total, sum(q_g) AS q,
+    sum((1000000 * s_g * s_g) // n_g) AS between_sum
+  FROM per_g
+), ss AS (
+  SELECT k, n_total,
+    between_sum - (1000000 * s_total * s_total) // n_total AS ssb_e6,
+    1000000 * q - between_sum AS ssw_e6
+  FROM scal
+)
+SELECT p.g AS "group", CAST(p.n_g AS BIGINT) AS n,
+  CAST(m.med AS BIGINT) AS med_cents,
+  CAST(p.s_g AS BIGINT) AS sum_dev_cents,
+  CAST(s.n_total AS BIGINT) AS n_total,
+  CAST(s.ssb_e6 AS BIGINT) AS ssb_millionths,
+  CAST(s.ssw_e6 AS BIGINT) AS ssw_millionths,
+  CAST((s.ssb_e6 * (s.n_total - s.k) * 1000000)
+       // (s.ssw_e6 * (s.k - 1)) AS BIGINT) AS f_millionths
+FROM per_g p JOIN med m ON m.g = p.g CROSS JOIN ss s
+ORDER BY "group"
+""".strip()

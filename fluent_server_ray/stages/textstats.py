@@ -4602,3 +4602,230 @@ SELECT COALESCE(CAST({group_col} AS VARCHAR), 'unknown') AS lang,
        AS BIGINT) AS fertility_millionths
 FROM {table} GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+# ------------------------------------------------ Naive Bayes classifier
+
+def naive_bayes_classify(ds, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         label_col: str = "lang",
+                         holdout_mod: int = 5):
+    """Multinomial Naive Bayes text classifier trained on the corpus's
+    own labels — the classic bag-of-words baseline (cf. McCallum &
+    Nigam 1998) as a distributed train→score pipeline: docs with
+    ``id % holdout_mod != 0`` train the model, the holdout slice is
+    scored and argmax-classified. Laplace add-one smoothing over the
+    TRAIN vocabulary; tokens outside that vocabulary are ignored at
+    scoring time (the standard multinomial-NB restriction). Rows with a
+    NULL label never train (SQL ``GROUP BY`` would keep a NULL class
+    whose name can't tie-break deterministically).
+
+    Integer-exact contract (house log-millionths rule, same device as
+    :func:`doc_unigram_logprob`): ``lp(w,c) = floor(1e6·ln((n_cw+1) /
+    (n_c+V)))`` and ``prior(c) = floor(1e6·ln(docs_c/docs))`` are
+    int64; a doc's class score is ``prior + Σ_tokens lp`` — an
+    order-free int64 sum, so partitioning can never flip the argmax;
+    ties break by class name ascending.
+
+    Scale shape: ONE training pass (per-batch (class,term) count
+    combiner with a ``term=''`` sentinel row carrying per-class doc
+    counts — tokens are split-nonempty so the sentinel can't collide)
+    → model-sized driver merge (vocab×classes — a trained classifier
+    is a bounded artifact by definition; a 100 TB vocab would swap the
+    driver merge for ``final='ray'`` + a persisted model sink exactly
+    as doc_tfidf documents) → the dense lp matrix broadcasts ONCE via
+    ``ray.put`` → the scoring pass is one vectorized vocab lookup +
+    segment-sum per batch. Returns a Dataset
+    (``id_col``, pred_<label_col>, score_millionths).
+    """
+    import math
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    pred_col = f"pred_{label_col}"
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        pred_col: pa.array([], pa.string()),
+        "score_millionths": pa.array([], pa.int64()),
+    })
+
+    ds = ds.materialize()  # two consumers: train pass + score pass
+
+    def _flat(t: pa.Table):
+        """(doc-local row index per token, per-row token counts, flat
+        token array) — flat order groups by row in row order."""
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        return np.repeat(np.arange(len(toks)), lens), lens, flat
+
+    def _is_train(col):
+        m = pc.equal(
+            pc.subtract(col, pc.multiply(pc.divide(col, holdout_mod),
+                                         holdout_mod)),
+            0)
+        return pc.invert(m)
+
+    def train_partial(t: pa.Table):
+        t = t.filter(pc.and_(_is_train(t[id_col]),
+                             pc.is_valid(t[label_col])))
+        if not len(t):
+            return
+        labels = t[label_col].to_pylist()
+        _, lens, flat = _flat(t)
+        lab_of = np.repeat(np.asarray(labels, dtype=object), lens)
+        tok = pa.table({
+            "c": pa.array(lab_of, pa.string()),
+            "term": pa.array(flat, pa.string()),
+        })
+        out = tok.group_by(["c", "term"]).aggregate([([], "count_all")])
+        out = out.rename_columns(["c", "term", "n"])
+        # sentinel: per-class doc counts ride the same partial (split()
+        # never yields '' so the key space can't collide)
+        dcnt = pa.table({"c": pa.array(labels, pa.string())}).group_by(
+            ["c"]).aggregate([([], "count_all")])
+        sent = pa.table({
+            "c": dcnt["c"],
+            "term": pa.array([""] * len(dcnt), pa.string()),
+            "n": dcnt["count_all"],
+        })
+        yield pa.concat_tables([out, sent])
+
+    parts = list(ds.map_batches(
+        train_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"))
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return rd.from_arrow(empty)
+    merged = pa.concat_tables(parts).group_by(["c", "term"]).aggregate(
+        [("n", "sum")])
+    is_sent = pc.equal(merged["term"], "")
+    doc_tbl = merged.filter(is_sent)
+    cw_tbl = merged.filter(pc.invert(is_sent))
+
+    classes = sorted(doc_tbl["c"].to_pylist())
+    docs_per = dict(zip(doc_tbl["c"].to_pylist(),
+                        doc_tbl["n_sum"].to_pylist()))
+    n_docs = sum(docs_per.values())
+    prior_m = np.array(
+        [math.floor(math.log(docs_per[c] / n_docs) * 1_000_000)
+         for c in classes], dtype=np.int64)
+
+    vocab = pa.array(sorted(set(cw_tbl["term"].to_pylist())), pa.string())
+    V = len(vocab)
+    C = len(classes)
+    cidx = {c: i for i, c in enumerate(classes)}
+    cnt = np.zeros((V, C), dtype=np.int64)
+    if V:
+        t_idx = pc.index_in(cw_tbl["term"],
+                            value_set=vocab).to_numpy(
+                                zero_copy_only=False).astype("int64")
+        c_idx = np.fromiter((cidx[c] for c in cw_tbl["c"].to_pylist()),
+                            dtype=np.int64, count=len(cw_tbl))
+        cnt[t_idx, c_idx] = cw_tbl["n_sum"].to_numpy(
+            zero_copy_only=False).astype("int64")
+    n_c = cnt.sum(axis=0)  # per-class token totals fold out of cw
+    lp_m = np.floor(np.log((cnt + 1.0) / (n_c + float(V))[None, :])
+                    * 1_000_000).astype(np.int64)
+    model_ref = ray.put((vocab, lp_m, np.array(classes, dtype=object),
+                         prior_m))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(_is_train(t[id_col])))
+        if not len(t):
+            return empty
+        voc, lp, cls, prior = ray.get(model_ref)
+        doc_loc, _, flat = _flat(t)
+        scores = np.tile(prior, (len(t), 1))
+        if len(flat) and len(voc):
+            pos = pc.index_in(pa.array(flat, pa.string()), value_set=voc)
+            # index_in yields nulls for OOV tokens — they are ignored
+            mask = np.asarray(pos.is_valid())
+            if mask.any():
+                ti = np.asarray(
+                    pos.fill_null(0).to_numpy(zero_copy_only=False)
+                ).astype("int64")[mask]
+                di = doc_loc[mask]
+                np.add.at(scores, di, lp[ti])
+        best = np.argmax(scores, axis=1)  # first max = smallest name
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            pred_col: pa.array(cls[best], pa.string()),
+            "score_millionths": pa.array(
+                scores[np.arange(len(best)), best], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def naive_bayes_classify_sql(table: str = "documents",
+                             id_col: str = "doc_id",
+                             label_col: str = "lang",
+                             holdout_mod: int = 5) -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH train AS MATERIALIZED (
+  SELECT {id_col}, {label_col} AS c, text FROM {table}
+  WHERE {id_col} % {holdout_mod} <> 0 AND {label_col} IS NOT NULL
+), hold AS (
+  SELECT {id_col}, text FROM {table} WHERE {id_col} % {holdout_mod} = 0
+), ttoks AS MATERIALIZED (
+  SELECT c,
+    unnest(list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS term
+  FROM train
+), cw AS (
+  SELECT c, term, count(*) AS n FROM ttoks GROUP BY 1, 2
+), vocab AS (
+  SELECT DISTINCT term FROM ttoks
+), nv AS (
+  SELECT count(*) AS v FROM vocab
+), ctot AS (
+  SELECT c, count(*) AS n_c FROM ttoks GROUP BY 1
+), cls AS (
+  SELECT c, count(*) AS docs FROM train GROUP BY 1
+), prior AS (
+  SELECT c, CAST(floor(ln(CAST(docs AS DOUBLE)
+      / (SELECT CAST(sum(docs) AS DOUBLE) FROM cls)) * 1000000)
+    AS BIGINT) AS prior_m
+  FROM cls
+), lp AS MATERIALIZED (
+  SELECT ctot.c, vocab.term,
+    CAST(floor(ln(CAST(coalesce(cw.n, 0) + 1 AS DOUBLE)
+        / CAST(ctot.n_c + nv.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp_m
+  FROM ctot CROSS JOIN vocab CROSS JOIN nv
+  LEFT JOIN cw ON cw.c = ctot.c AND cw.term = vocab.term
+), htoks AS (
+  SELECT {id_col},
+    unnest(list_filter(regexp_split_to_array(text, '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS term
+  FROM hold
+), hsum AS (
+  SELECT h.{id_col}, lp.c, CAST(sum(lp.lp_m) AS BIGINT) AS s
+  FROM htoks h JOIN lp ON lp.term = h.term
+  GROUP BY 1, 2
+), scored AS (
+  SELECT hold.{id_col}, prior.c,
+    prior.prior_m + coalesce(hsum.s, 0) AS score,
+    row_number() OVER (PARTITION BY hold.{id_col}
+      ORDER BY prior.prior_m + coalesce(hsum.s, 0) DESC, prior.c) AS rn
+  FROM hold CROSS JOIN prior
+  LEFT JOIN hsum ON hsum.{id_col} = hold.{id_col} AND hsum.c = prior.c
+)
+SELECT {id_col}, c AS pred_{label_col},
+  CAST(score AS BIGINT) AS score_millionths
+FROM scored WHERE rn = 1 ORDER BY {id_col}
+""".strip()

@@ -192,3 +192,150 @@ def test_promo_revenue_share_matches_duckdb(ray_session):
     con = _duck(SF_SMALL, ["lineitem", "part"])
     want = con.execute(promo_revenue_share_sql()).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -------------------------------------------- Naive Bayes classifier
+
+def test_naive_bayes_hand(ray_session):
+    import math
+
+    import ray.data as rd
+    from fluent_server_ray.stages.textstats import naive_bayes_classify
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 5, 0], pa.int64()),
+        "text": pa.array(["x x y", "x", "y y", "x y z", "zz qq"],
+                         pa.string()),
+        "lang": pa.array(["A", "A", "B", None, None], pa.string()),
+    }))
+    got = naive_bayes_classify(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # model: vocab {x,y} V=2; A: x=3,y=1,n=4; B: y=2,n=2; priors 2/3,1/3
+    lp = {("x", "A"): (3 + 1) / (4 + 2), ("y", "A"): (1 + 1) / (4 + 2),
+          ("x", "B"): (0 + 1) / (2 + 2), ("y", "B"): (2 + 1) / (2 + 2)}
+    m = {k: math.floor(math.log(v) * 1_000_000) for k, v in lp.items()}
+    pa_ = math.floor(math.log(2 / 3) * 1_000_000)
+    pb_ = math.floor(math.log(1 / 3) * 1_000_000)
+    # doc 5 "x y z": z is OOV and ignored
+    sa = pa_ + m[("x", "A")] + m[("y", "A")]
+    sb = pb_ + m[("x", "B")] + m[("y", "B")]
+    assert sa > sb
+    # doc 0 "zz qq": all OOV → prior-only argmax = A
+    want = pd.DataFrame({
+        "doc_id": [0, 5], "pred_lang": ["A", "A"],
+        "score_millionths": [pa_, sa]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_naive_bayes_tie_breaks_by_class_name(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.textstats import naive_bayes_classify
+
+    # perfectly symmetric classes → every holdout score ties → the
+    # lexicographically smallest class must win on both sides
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 0], pa.int64()),
+        "text": pa.array(["x", "x", "x"], pa.string()),
+        "lang": pa.array(["B", "A", None], pa.string()),
+    }))
+    got = naive_bayes_classify(ds).to_pandas()
+    assert got["pred_lang"].tolist() == ["A"]
+
+
+def test_naive_bayes_matches_duckdb(ray_session):
+    import duckdb
+
+    from fluent_server_ray.stages.textstats import (
+        naive_bayes_classify, naive_bayes_classify_sql)
+    from fluent_server_ray.sources.pq import read_parquet_clean
+
+    got = naive_bayes_classify(
+        read_parquet_clean(f"{SF_SMALL}/documents.parquet")
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = _duck(SF_SMALL, ["documents"])
+    want = con.execute(naive_bayes_classify_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ----------------------------------- Jarque-Bera / Brown-Forsythe
+
+def test_jarque_bera_hand(ray_session):
+    import math
+
+    import ray.data as rd
+    from fluent_server_ray.stages.features import jarque_bera_by_group
+
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 4 + ["b"] * 3, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 7.0, 7.0, 7.0]),
+    }))
+    got = jarque_bera_by_group(ds).to_pandas()
+    # group a: cents [100..400], shift k=250, d=[-150,-50,50,150]
+    # s1=0 s2=50000 s3=0 s4=1025000000
+    nd = 4.0
+    m2 = 50000.0 / nd
+    m4 = 1025000000.0 / nd
+    kurt = m4 / (m2 * m2)
+    jb = nd / 6.0 * (0.0 + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    a = got[got["group"] == "a"].iloc[0]
+    assert a["skew"] == 0.0
+    assert a["kurt"] == kurt
+    assert a["jb_stat"] == jb
+    # group b: constant → degenerate → NULLs
+    b = got[got["group"] == "b"].iloc[0]
+    assert pd.isna(b["skew"]) and pd.isna(b["kurt"]) \
+        and pd.isna(b["jb_stat"])
+    assert int(b["n"]) == 3
+
+
+def test_jarque_bera_matches_duckdb(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.features import (
+        jarque_bera_by_group, jarque_bera_by_group_sql)
+
+    got = jarque_bera_by_group(
+        read_parquet_clean(f"{SF_SMALL}/events.parquet",
+                           columns=["event_type", "value"])).to_pandas()
+    con = _duck(SF_SMALL, ["events"])
+    want = con.execute(jarque_bera_by_group_sql()).df()
+    # bit-exact float contract — no tolerance
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_brown_forsythe_hand(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.features import brown_forsythe_by_group
+
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 4 + ["b"] * 3, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 10.0, 30.0]),
+    }))
+    got = brown_forsythe_by_group(ds).to_pandas()
+    # lower medians: a → rank (4+1)//2=2 → 200 cents; b → rank 2 → 1000
+    assert got["med_cents"].tolist() == [200, 1000]
+    # deviations: a [100,0,100,200]; b [0,0,2000]
+    ns, ss = [4, 3], [400, 2000]
+    q = (100**2 + 0 + 100**2 + 200**2) + (0 + 0 + 2000**2)
+    between = [(1_000_000 * s * s) // n for s, n in zip(ss, ns)]
+    s_tot, n_tot, k = sum(ss), sum(ns), 2
+    ssb = sum(between) - (1_000_000 * s_tot * s_tot) // n_tot
+    ssw = 1_000_000 * q - sum(between)
+    f_e6 = (ssb * (n_tot - k) * 1_000_000) // (ssw * (k - 1))
+    assert got["f_millionths"].tolist() == [f_e6, f_e6]
+    assert got["ssb_millionths"].iloc[0] == ssb
+    assert got["ssw_millionths"].iloc[0] == ssw
+
+
+def test_brown_forsythe_matches_duckdb(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.features import (
+        brown_forsythe_by_group, brown_forsythe_by_group_sql)
+
+    got = brown_forsythe_by_group(
+        read_parquet_clean(f"{SF_SMALL}/events.parquet",
+                           columns=["event_type", "value"])).to_pandas()
+    con = _duck(SF_SMALL, ["events"])
+    want = con.execute(brown_forsythe_by_group_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
