@@ -4386,6 +4386,54 @@ def _q_nb_langid(sf_dir: str):
     return naive_bayes_classify(_docs(sf_dir))
 
 
+def _q_gini_splits(sf_dir: str):
+    """Decision-stump screen: top value thresholds for predicting
+    purchase events, by floored-millionths weighted Gini — one
+    histogram combiner pass, driver cumsum scan."""
+    from fluent_server_ray.stages.features import gini_best_splits
+
+    return gini_best_splits(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]))
+
+
+def _q_inclusion_audit(sf_dir: str):
+    """Inclusion-dependency discovery over candidate FK edges —
+    distinct-exchange child side, broadcast dim parents, containment
+    in exact millionths."""
+    import pyarrow.parquet as _pq
+
+    from fluent_server_ray.stages.profile import inclusion_audit
+
+    edges = [
+        ("events.user_id->customer.c_custkey",
+         read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id"]),
+         "user_id",
+         _pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"]), "c_custkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey"]),
+         "l_partkey",
+         _pq.read_table(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey"]), "p_partkey"),
+        ("orders.o_custkey->customer.c_custkey",
+         read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey"]),
+         "o_custkey",
+         _pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"]), "c_custkey"),
+        ("part.p_size->nation.n_nationkey",
+         read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_size"]),
+         "p_size",
+         _pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey"]), "n_nationkey"),
+    ]
+    return inclusion_audit(edges)
+
+
 def _q_jarque_bera(sf_dir: str):
     """Per-type Jarque-Bera normality screen — exact shifted integer
     power sums (python-int / HUGEINT), one declared float tree."""
@@ -4766,6 +4814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_nb_langid": _q_nb_langid,
         "events_jarque_bera": _q_jarque_bera,
         "events_brown_forsythe": _q_brown_forsythe,
+        "events_gini_splits": _q_gini_splits,
+        "inclusion_audit": _q_inclusion_audit,
     }
 
 
@@ -4780,6 +4830,7 @@ def oracle_sql() -> dict[str, str]:
         fields,
         hygiene,
         multimodal,
+        profile,
         sampling,
         similarity,
         textstats,
@@ -5562,4 +5613,6 @@ WITH toks AS (
         "doc_nb_langid": textstats.naive_bayes_classify_sql(),
         "events_jarque_bera": features.jarque_bera_by_group_sql(),
         "events_brown_forsythe": features.brown_forsythe_by_group_sql(),
+        "events_gini_splits": features.gini_best_splits_sql(),
+        "inclusion_audit": profile.inclusion_audit_sql(),
     }

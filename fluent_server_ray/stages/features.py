@@ -6021,3 +6021,121 @@ SELECT p.g AS "group", CAST(p.n_g AS BIGINT) AS n,
 FROM per_g p JOIN med m ON m.g = p.g CROSS JOIN ss s
 ORDER BY "group"
 """.strip()
+
+
+# --------------------------------------- Gini decision-stump scoring
+
+def gini_best_splits(ds, value_col: str = "value",
+                     group_col: str = "event_type",
+                     positive: str = "purchase",
+                     k: int = 10) -> pa.Table:
+    """Decision-stump feature scoring: the top-``k`` single-threshold
+    splits of a 2-decimal numeric column for predicting a binary
+    label, ranked by weighted Gini impurity (CART's split criterion —
+    the univariate "is this feature predictive at all?" screen run
+    before training anything).
+
+    Split semantics: candidate thresholds are the column's DISTINCT
+    cents values; ``x ≤ t`` goes left, ``x > t`` right; thresholds
+    whose right side is empty are not splits. Label = (group ==
+    positive), NULL group → negative (SQL ``COALESCE(g = p, FALSE)``).
+    NULL values excluded.
+
+    Exact-integer contract: for binary labels the weighted impurity
+    ``N·G`` is rational with per-side denominators, so the score is a
+    floored-millionths recipe both engines spell identically::
+
+        wg_e6(t) = (2_000_000·posL·(nL−posL)) // nL
+                 + (2_000_000·posR·(nR−posR)) // nR
+
+    ranked (wg_e6 ASC, threshold ASC) — fully deterministic.
+
+    Distributed shape: ONE combiner pass builds the (cents, label)
+    histogram (distinct cents of a bounded 2-decimal column — the
+    unbounded-domain variant bins through the quantile sketch first);
+    the driver scan is one cumsum over the sorted histogram. The
+    corpus never moves. Output: (threshold_cents, n_left, pos_left,
+    n_right, pos_right, weighted_gini_e6)."""
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        v = pc.cast(t[value_col], pa.float64())
+        if len(t) and pc.any(pc.is_nan(v)).as_py():
+            raise ValueError("gini_best_splits: NaN value — filter first")
+        lab = pc.fill_null(
+            pc.equal(pc.cast(t[group_col], pa.string()), positive), False)
+        return pa.table({"c": _cents(v),
+                         "pos": pc.cast(lab, pa.int64())})
+
+    hist = grouped_agg(
+        ds.select_columns([value_col, group_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["c"], [("pos", "sum"), ("pos", "count")], final="driver")
+    out_fields = [("threshold_cents", pa.int64()), ("n_left", pa.int64()),
+                  ("pos_left", pa.int64()), ("n_right", pa.int64()),
+                  ("pos_right", pa.int64()),
+                  ("weighted_gini_e6", pa.int64())]
+    if hist.num_rows < 2:
+        return pa.schema(out_fields).empty_table()
+    idx = pc.sort_indices(hist, sort_keys=[("c", "ascending")])
+    hist = hist.take(idx)
+    cs = [int(x) for x in hist["c"].to_pylist()]
+    pos = [int(x) for x in hist["pos_sum"].to_pylist()]
+    cnt = [int(x) for x in hist["pos_count"].to_pylist()]
+    n_total, p_total = sum(cnt), sum(pos)
+    cands = []
+    nl = pl = 0
+    for i in range(len(cs) - 1):  # last value: empty right side
+        nl += cnt[i]
+        pl += pos[i]
+        nr = n_total - nl
+        pr = p_total - pl
+        wg = (2_000_000 * pl * (nl - pl)) // nl \
+            + (2_000_000 * pr * (nr - pr)) // nr
+        cands.append((wg, cs[i], nl, pl, nr, pr))
+    cands.sort(key=lambda r: (r[0], r[1]))
+    top = cands[:k]
+    return pa.table({
+        "threshold_cents": pa.array([r[1] for r in top], pa.int64()),
+        "n_left": pa.array([r[2] for r in top], pa.int64()),
+        "pos_left": pa.array([r[3] for r in top], pa.int64()),
+        "n_right": pa.array([r[4] for r in top], pa.int64()),
+        "pos_right": pa.array([r[5] for r in top], pa.int64()),
+        "weighted_gini_e6": pa.array([r[0] for r in top], pa.int64()),
+    })
+
+
+def gini_best_splits_sql(value_col: str = "value",
+                         group_col: str = "event_type",
+                         positive: str = "purchase",
+                         k: int = 10, table: str = "events") -> str:
+    return f"""
+WITH vals AS (
+  SELECT CAST(round({value_col} * 100.0) AS BIGINT) AS c,
+    CASE WHEN coalesce({group_col} = '{positive}', FALSE)
+         THEN 1 ELSE 0 END AS pos
+  FROM {table} WHERE {value_col} IS NOT NULL
+), hist AS (
+  SELECT c, CAST(sum(pos) AS BIGINT) AS p, count(*) AS n
+  FROM vals GROUP BY c
+), cum AS (
+  SELECT c,
+    sum(n) OVER w AS nl, sum(p) OVER w AS pl,
+    (SELECT sum(n) FROM hist) AS n_tot,
+    (SELECT sum(p) FROM hist) AS p_tot
+  FROM hist
+  WINDOW w AS (ORDER BY c ROWS UNBOUNDED PRECEDING)
+), splits AS (
+  SELECT c AS threshold_cents,
+    CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+    CAST(n_tot - nl AS BIGINT) AS n_right,
+    CAST(p_tot - pl AS BIGINT) AS pos_right,
+    CAST((2000000 * pl * (nl - pl)) // nl
+       + (2000000 * (p_tot - pl) * ((n_tot - nl) - (p_tot - pl)))
+         // (n_tot - nl) AS BIGINT) AS weighted_gini_e6
+  FROM cum WHERE n_tot > nl
+)
+SELECT * FROM splits
+ORDER BY weighted_gini_e6, threshold_cents LIMIT {k}
+""".strip()

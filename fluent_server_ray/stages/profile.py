@@ -711,3 +711,109 @@ SELECT id + 1 AS gap_start, nid - 1 AS gap_end,
 FROM nxt WHERE nid - id > 1
 ORDER BY gap_start
 """.strip()
+
+
+# ----------------------------------------- inclusion-dependency audit
+
+def inclusion_audit(edges: list[tuple[str, "ray.data.Dataset", str,
+                                      pa.Table, str]]) -> pa.Table:
+    """Inclusion-dependency discovery: for each candidate (child
+    column ⊆ parent column?) pair, the fraction of the child's
+    DISTINCT values present in the parent — the schema-inference
+    sibling of the row-level ``fk_integrity_audit`` (that one counts
+    VIOLATING ROWS of declared FKs; this one scores candidate edges at
+    distinct-value granularity, the standard IND-discovery metric).
+
+    ``edges``: (name, child Dataset, child_col, parent pa.Table,
+    parent_col) — the parent side is a dim-sized table read
+    driver-side (IND discovery against another fact-sized column
+    would use the distinct-exchange anti-join instead, as
+    fk_integrity_audit's large-parent path does).
+
+    Scale shape per edge: per-batch LOCAL dedup of child values → the
+    distinct values flow through Ray's distributed distinct (only
+    distincts shuffle) → each distinct block counts itself and its
+    broadcast-parent membership (two ints per block). Containment is
+    one floor division in millionths — exact. NULL child values are
+    excluded (SQL IN semantics: NULL is never contained).
+
+    Output: one row per edge (edge, n_distinct, n_contained,
+    containment_e6), sorted by edge name."""
+    import ray
+
+    rows = {"edge": [], "n_distinct": [], "n_contained": [],
+            "containment_e6": []}
+    for name, child, child_col, parent, parent_col in sorted(
+            edges, key=lambda e: e[0]):
+        pvals = pc.unique(pc.cast(parent[parent_col], pa.int64()))
+        pref = ray.put(pvals)
+
+        def local_unique(t: pa.Table, col=child_col) -> pa.Table:
+            v = t[col]
+            v = pc.cast(v.filter(pc.is_valid(v)), pa.int64())
+            return pa.table({"v": pc.unique(v)})
+
+        distinct = child.map_batches(
+            local_unique, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("v").count()
+
+        def contained_partial(t: pa.Table, ref=pref) -> pa.Table:
+            inside = pc.is_in(t["v"], value_set=ray.get(ref))
+            n_in = pc.sum(pc.cast(inside, pa.int64())).as_py() or 0
+            return pa.table({
+                "nd": pa.array([len(t)], pa.int64()),
+                "nc": pa.array([int(n_in)], pa.int64()),
+            })
+
+        nd = nc = 0
+        for b in distinct.map_batches(
+                contained_partial, batch_format="pyarrow",
+                zero_copy_batch=True).iter_batches(
+                    batch_size=None, batch_format="pyarrow"):
+            if b.num_rows:
+                nd += int(pc.sum(b["nd"]).as_py() or 0)
+                nc += int(pc.sum(b["nc"]).as_py() or 0)
+        rows["edge"].append(name)
+        rows["n_distinct"].append(nd)
+        rows["n_contained"].append(nc)
+        rows["containment_e6"].append(
+            (1_000_000 * nc) // nd if nd else None)
+    return pa.table({
+        "edge": pa.array(rows["edge"], pa.string()),
+        "n_distinct": pa.array(rows["n_distinct"], pa.int64()),
+        "n_contained": pa.array(rows["n_contained"], pa.int64()),
+        "containment_e6": pa.array(rows["containment_e6"], pa.int64()),
+    })
+
+
+INCLUSION_EDGES_SQL: list[tuple[str, str, str, str, str]] = [
+    ("events.user_id->customer.c_custkey",
+     "events", "user_id", "customer", "c_custkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("part.p_size->nation.n_nationkey",
+     "part", "p_size", "nation", "n_nationkey"),
+]
+
+
+def inclusion_audit_sql() -> str:
+    parts = []
+    for name, ct, cc, pt, pk in sorted(INCLUSION_EDGES_SQL,
+                                       key=lambda e: e[0]):
+        parts.append(f"""
+SELECT '{name}' AS edge,
+  CAST(count(*) AS BIGINT) AS n_distinct,
+  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_contained,
+  CASE WHEN count(*) > 0 THEN
+    CAST((1000000 * count(*) FILTER (WHERE hit)) // count(*) AS BIGINT)
+  END AS containment_e6
+FROM (
+  -- distinct-to-distinct LEFT JOIN is 1:(0|1): no fan-out
+  SELECT c.v, (p.{pk} IS NOT NULL) AS hit
+  FROM (SELECT DISTINCT CAST({cc} AS BIGINT) AS v FROM {ct}
+        WHERE {cc} IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT {pk} FROM {pt}) p ON p.{pk} = c.v
+)""".strip())
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY edge"

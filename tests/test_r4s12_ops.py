@@ -339,3 +339,63 @@ def test_brown_forsythe_matches_duckdb(ray_session):
     want = con.execute(brown_forsythe_by_group_sql()).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+# ------------------------------------ Gini stump / inclusion audit
+
+def test_gini_best_splits_hand(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.features import gini_best_splits
+
+    # values 1,2,3,4; positives at 3 and 4 → perfect split at t=200
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["x", "x", "purchase", "purchase", None],
+                               pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, None]),
+    }))
+    got = gini_best_splits(ds).to_pandas()
+    best = got.iloc[0]
+    assert best["threshold_cents"] == 200
+    assert best["weighted_gini_e6"] == 0
+    assert best["n_left"] == 2 and best["pos_left"] == 0
+    assert best["n_right"] == 2 and best["pos_right"] == 2
+    # 3 candidate thresholds (100,200,300); 400 has empty right side
+    assert len(got) == 3
+
+
+def test_gini_best_splits_matches_duckdb(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.features import (
+        gini_best_splits, gini_best_splits_sql)
+
+    got = gini_best_splits(
+        read_parquet_clean(f"{SF_SMALL}/events.parquet",
+                           columns=["event_type", "value"])).to_pandas()
+    con = _duck(SF_SMALL, ["events"])
+    want = con.execute(gini_best_splits_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_inclusion_audit_hand(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.profile import inclusion_audit
+
+    child = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3, None], pa.int64())}))
+    parent = pa.table({"p": pa.array([1, 2, 9], pa.int64())})
+    got = inclusion_audit([("e1", child, "k", parent, "p")]).to_pandas()
+    # distinct child = {1,2,3}; contained = {1,2} → 2/3
+    assert got["n_distinct"].tolist() == [3]
+    assert got["n_contained"].tolist() == [2]
+    assert got["containment_e6"].tolist() == [(1_000_000 * 2) // 3]
+
+
+def test_inclusion_audit_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+    from fluent_server_ray.stages.profile import inclusion_audit_sql
+
+    got = entry.queries()["inclusion_audit"](SF_SMALL).to_pandas()
+    con = _duck(SF_SMALL, ["events", "lineitem", "part", "orders",
+                           "customer", "nation"])
+    want = con.execute(inclusion_audit_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
