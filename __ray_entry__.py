@@ -4386,6 +4386,28 @@ def _q_nb_langid(sf_dir: str):
     return naive_bayes_classify(_docs(sf_dir))
 
 
+def _q_phonetic_pairs(sf_dir: str):
+    """Soundex phonetic blocking pairs over the distinct part-name
+    vocabulary (product-name record-linkage blocking) — distributed
+    vocab merge, per-distinct-word code loop, in-code pairing."""
+    from fluent_server_ray.stages.textstats import phonetic_word_pairs
+
+    return phonetic_word_pairs(
+        read_parquet_clean(f"{sf_dir}/part.parquet",
+                           columns=["p_name"]),
+        text_col="p_name")
+
+
+def _q_phash_dupes(sf_dir: str):
+    """Perceptual-hash (aHash) near-dup pairs over the stub-decoded
+    payload thumbnails — 63-bit codes, pigeonhole blocking, exact
+    hamming verify; recall 1 for d < n_blocks so the set equals the
+    all-pairs oracle scan."""
+    from fluent_server_ray.stages.multimodal import phash_dupes
+
+    return phash_dupes(_docs(sf_dir))
+
+
 def _q_gini_splits(sf_dir: str):
     """Decision-stump screen: top value thresholds for predicting
     purchase events, by floored-millionths weighted Gini — one
@@ -4816,6 +4838,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_brown_forsythe": _q_brown_forsythe,
         "events_gini_splits": _q_gini_splits,
         "inclusion_audit": _q_inclusion_audit,
+        "multimodal_phash_dupes": _q_phash_dupes,
+        "part_phonetic_pairs": _q_phonetic_pairs,
     }
 
 
@@ -5615,4 +5639,7 @@ WITH toks AS (
         "events_brown_forsythe": features.brown_forsythe_by_group_sql(),
         "events_gini_splits": features.gini_best_splits_sql(),
         "inclusion_audit": profile.inclusion_audit_sql(),
+        "multimodal_phash_dupes": multimodal.phash_dupes_sql(),
+        "part_phonetic_pairs": textstats.phonetic_word_pairs_sql(
+            table="part", text_col="p_name"),
     }

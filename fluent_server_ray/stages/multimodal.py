@@ -313,3 +313,207 @@ SELECT doc_id,
   CAST(height * {max_side} // GREATEST(width, height) AS BIGINT) AS out_height
 FROM decoded
 """.strip()
+
+
+# ------------------------------------- perceptual-hash (aHash) dedup
+
+def phash_batch(batch: pa.Table, text_col: str = "text",
+                n_bits: int = 63) -> pa.Table:
+    """Deterministic perceptual hash (aHash) over the stub-decoded
+    thumbnail: the payload's codepoint sequence is bucketed into
+    ``n_bits`` equal spans (char i of an L-char payload lands in span
+    ``i·n_bits // L`` — the stand-in for an 8×8 grayscale downsample),
+    each span's pixel is its codepoint sum mod 256, and the hash sets
+    bit k iff ``n_bits·p_k ≥ Σp`` (the integer spelling of
+    "pixel ≥ mean" — no division). 63 bits keep the code in int64 on
+    both engines (the house simhash convention). Payloads with zero
+    codepoints (NULL/'') emit no signature — mirrored by the SQL
+    ``length(text) >= 1`` filter.
+
+    A real image pipeline swaps the span-sum for the decoded-pixel
+    downsample; everything downstream (hamming blocking, verify,
+    pair output) is codec-agnostic."""
+    t = batch.filter(pc.and_(
+        pc.is_valid(batch[text_col]),
+        pc.greater(pc.utf8_length(batch[text_col]), 0)))
+    ids = (t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+           if len(t) else np.array([], dtype=np.int64))
+    texts = t[text_col].to_pylist()
+    # one flat codepoint array + global span ids → ONE scatter-add for
+    # the whole batch (no per-pixel python)
+    lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                       count=len(texts))
+    total = int(lens.sum())
+    cps = np.empty(total, dtype=np.int64)
+    spans = np.empty(total, dtype=np.int64)
+    pos = 0
+    for d, s in enumerate(texts):
+        L = len(s)
+        if not L:
+            continue
+        cp = np.fromiter(map(ord, s), dtype=np.int64, count=L)
+        cps[pos:pos + L] = cp
+        spans[pos:pos + L] = d * n_bits + (np.arange(L) * n_bits) // L
+        pos += L
+    pix = np.zeros(len(texts) * n_bits, dtype=np.int64)
+    np.add.at(pix, spans, cps)
+    pix = (pix % 256).reshape(len(texts), n_bits)
+    s = pix.sum(axis=1, keepdims=True)
+    bits = (n_bits * pix >= s)
+    code = (bits.astype(np.uint64)
+            << np.arange(n_bits, dtype=np.uint64)[None, :]).sum(axis=1)
+    return pa.table({"doc_id": pa.array(ids),
+                     "phash": pa.array(code.astype(np.int64))})
+
+
+def phash_dupes(ds, max_hamming: int = 8, n_blocks: int = 9,
+                n_buckets: int = 64, max_group: int = 4096):
+    """Perceptual-hash near-dup pairs: all (doc_a, doc_b, hamming)
+    whose 63-bit aHash codes differ in ≤ ``max_hamming`` bits — the
+    multimodal sibling of :func:`dedup.simhash_near_dupes`, same
+    pigeonhole plan: 63 bits split into ``n_blocks`` 7-bit blocks
+    (recall 1 for d < n_blocks), one (block, value)-bucket exchange of
+    small-int rows per doc, vectorized in-bucket verify (exact XOR
+    popcount), distributed pair distinct. The hamming distance rides
+    the pair rows out (``distinct_pairs`` carries non-key columns).
+    Returns a Dataset (doc_a, doc_b, hamming)."""
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.dedup import (
+        _empty_pairs_ds, _hamming64, distinct_pairs)
+
+    assert max_hamming < n_blocks, "pigeonhole needs d < n_blocks"
+    n_bits = 63
+    assert n_bits % n_blocks == 0
+    width = n_bits // n_blocks
+
+    def explode_blocks(t: pa.Table) -> pa.Table:
+        sig = phash_batch(t)
+        n = len(sig)
+        ids = sig["doc_id"].to_numpy(zero_copy_only=False)
+        codes = sig["phash"].to_numpy(zero_copy_only=False)
+        u = codes.astype(np.uint64)
+        mask = np.uint64((1 << width) - 1)
+        blocks = np.stack(
+            [(u >> np.uint64(bi * width)) & mask
+             for bi in range(n_blocks)], axis=1)
+        return pa.table({
+            "block_id": pa.array(
+                np.tile(np.arange(n_blocks, dtype=np.int32), n)),
+            "block_val": pa.array(blocks.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, n_blocks)),
+            "phash": pa.array(np.repeat(codes, n_blocks)),
+        })
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bv = t["block_val"].to_numpy(zero_copy_only=False)
+        bi = t["block_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_bucket", pa.array(
+            ((bv * n_blocks + bi) % n_buckets).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = ["block_id", "block_val"]
+        g = g.drop_duplicates(key + ["doc_id"])
+        size = g.groupby(key)["doc_id"].transform("size")
+        g = g[size > 1]
+        empty = pd.DataFrame({
+            "doc_a": np.asarray([], dtype=np.int64),
+            "doc_b": np.asarray([], dtype=np.int64),
+            "hamming": np.asarray([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        size = g.groupby(key)["doc_id"].transform("size")
+        outs = []
+        small = g[size <= max_group]
+        if len(small):
+            m = small.merge(small, on=key)
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            if len(m):
+                x = (m["phash_x"].to_numpy(np.int64).astype(np.uint64)
+                     ^ m["phash_y"].to_numpy(np.int64).astype(np.uint64))
+                ham = _hamming64(x)
+                keep = ham <= max_hamming
+                outs.append(pd.DataFrame({
+                    "doc_a": m["doc_id_x"].to_numpy(np.int64)[keep],
+                    "doc_b": m["doc_id_y"].to_numpy(np.int64)[keep],
+                    "hamming": ham[keep]}))
+        big = g[size > max_group]
+        if len(big):
+            # degenerate code collision: min-id representative pairing
+            reps = (big.sort_values("doc_id")
+                    .groupby(key, as_index=False).first()
+                    [key + ["doc_id", "phash"]]
+                    .rename(columns={"doc_id": "rep_id",
+                                     "phash": "rep_sig"}))
+            m = big.merge(reps, on=key)
+            m = m[m["doc_id"] != m["rep_id"]]
+            if len(m):
+                x = (m["phash"].to_numpy(np.int64).astype(np.uint64)
+                     ^ m["rep_sig"].to_numpy(np.int64).astype(np.uint64))
+                ham = _hamming64(x)
+                keep = ham <= max_hamming
+                ids = m["doc_id"].to_numpy(np.int64)[keep]
+                rep = m["rep_id"].to_numpy(np.int64)[keep]
+                outs.append(pd.DataFrame({
+                    "doc_a": np.minimum(rep, ids),
+                    "doc_b": np.maximum(rep, ids),
+                    "hamming": ham[keep]}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    cand = (ds.map_batches(explode_blocks, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(skip_empty(add_bucket), batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+    out = distinct_pairs(cand, n_buckets=n_buckets).materialize()
+    if out.count() == 0:
+        return _empty_pairs_ds()
+    return out
+
+
+def phash_dupes_sql(max_hamming: int = 8, n_bits: int = 63,
+                    table: str = "documents") -> str:
+    """All-pairs mirror: same span/pixel/mean-bit construction via a
+    correlated ``generate_series`` char explode, then an exact
+    ``bit_count(xor(...))`` hamming scan over every (a < b) pair —
+    recall-1 ground truth for the pigeonhole path (engine recall is 1
+    for d < n_blocks, so the sets must be EQUAL)."""
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text, length(text) AS L FROM {table}
+  WHERE text IS NOT NULL AND length(text) >= 1
+), idx AS (
+  -- correlated series via unnest(generate_series(...)): this DuckDB
+  -- rejects lateral table-function parameters
+  SELECT doc_id, text, L, unnest(generate_series(1, L)) AS i FROM docs
+), chars AS (
+  SELECT doc_id, ((i - 1) * {n_bits}) // L AS k,
+    unicode(substr(text, CAST(i AS INTEGER), 1)) AS cp
+  FROM idx
+), pix0 AS (
+  SELECT doc_id, k, sum(cp) % 256 AS p FROM chars GROUP BY 1, 2
+), grid AS (
+  SELECT d.doc_id, unnest(generate_series(0, {n_bits - 1})) AS k
+  FROM docs d
+), pix AS (
+  SELECT g.doc_id, g.k, coalesce(p.p, 0) AS p
+  FROM grid g LEFT JOIN pix0 p ON p.doc_id = g.doc_id AND p.k = g.k
+), tot AS (
+  SELECT doc_id, sum(p) AS s FROM pix GROUP BY 1
+), code AS MATERIALIZED (
+  SELECT pix.doc_id,
+    CAST(sum(CASE WHEN {n_bits} * p >= t.s
+             THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER)
+             ELSE 0 END) AS BIGINT) AS h
+  FROM pix JOIN tot t ON t.doc_id = pix.doc_id GROUP BY pix.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM code a JOIN code b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+""".strip()

@@ -4829,3 +4829,154 @@ SELECT {id_col}, c AS pred_{label_col},
   CAST(score AS BIGINT) AS score_millionths
 FROM scored WHERE rn = 1 ORDER BY {id_col}
 """.strip()
+
+
+# ------------------------------------------ soundex phonetic blocking
+
+_SOUNDEX_FROM = "AEIOUYBFPVCGJKQSXZDTLMNR"
+_SOUNDEX_TO = "000000111122222222334556"
+_SOUNDEX_MAP = str.maketrans(_SOUNDEX_FROM, _SOUNDEX_TO)
+
+
+def soundex(word: str) -> str:
+    """American Soundex (NARA variant) of an ASCII-alpha word —
+    deterministic chain shared verbatim with the SQL mirror:
+    uppercase → drop H/W (they never separate equal codes) → map
+    letters to digits (vowels→0) → collapse same-digit runs → drop the
+    leading digit when it equals the first letter's code (merged with
+    it) → drop 0s → first letter + first 3 digits zero-padded.
+    Pinned on the classic quartet (Robert→R163, Ashcraft→A261,
+    Tymczak→T522, Pfister→P236)."""
+    import re as _re
+
+    u = word.upper()
+    first = u[0]
+    codes = _re.sub(r"[HW]", "", u).translate(_SOUNDEX_MAP)
+    collapsed = _re.sub(r"(.)\1+", r"\1", codes)
+    fcode = first.translate(_SOUNDEX_MAP)
+    if fcode and fcode in "0123456" and collapsed[:1] == fcode:
+        collapsed = collapsed[1:]
+    digits = collapsed.replace("0", "")
+    return first + (digits + "000")[:3]
+
+
+def phonetic_word_pairs(ds, text_col: str = "text",
+                        min_count: int = 1,
+                        max_bucket: int = 10_000) -> pa.Table:
+    """Phonetic blocking pairs: all (word_a < word_b) pairs of DISTINCT
+    ASCII-alpha corpus words sharing a Soundex code — the
+    record-linkage blocking classic (names that "sound alike"), the
+    phonetic sibling of the edit-distance and SymSpell candidates.
+
+    Scale shape: tokens explode per batch into LOCAL distinct
+    (word, count) partials, merge through the distributed groupby, and
+    only the VOCABULARY (bounded, like doc_tfidf's idf map) reaches the
+    driver, where the per-distinct-word Soundex loop and the in-code
+    pairing run (factorize-then-scatter discipline: the digest loop is
+    per distinct value, never per row). ``min_count`` gates rare words
+    before pairing; a code bucket above ``max_bucket`` raises (an
+    O(m²) blowup is a contract violation, not a slow answer). Words
+    with any non-ASCII-alpha char are excluded (Soundex is defined on
+    letters). Output: (code, word_a, word_b, n_a, n_b) sorted."""
+    import re as _re
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    from fluent_server_ray.stages.hygiene import _flat_tokens
+
+    def words_partial(t: pa.Table):
+        _, flat = _flat_tokens(t[text_col].to_pylist())
+        if not len(flat):
+            return
+        tt = pa.table({"w": pa.array(flat, pa.string())})
+        out = tt.group_by("w").aggregate([([], "count_all")])
+        yield out.rename_columns(["w", "n"])
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    parts = ds.map_batches(words_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = [b for b in parts.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")
+              if b.num_rows]
+    out_fields = [("code", pa.string()), ("word_a", pa.string()),
+                  ("word_b", pa.string()), ("n_a", pa.int64()),
+                  ("n_b", pa.int64())]
+    if not tables:
+        return pa.schema(out_fields).empty_table()
+    vocab = pa.concat_tables(tables).group_by("w").aggregate(
+        [("n", "sum")])
+    alpha = _re.compile(r"^[A-Za-z]+$")
+    rows = [(w, int(n)) for w, n in zip(vocab["w"].to_pylist(),
+                                        vocab["n_sum"].to_pylist())
+            if n >= min_count and alpha.match(w)]
+    by_code: dict[str, list] = {}
+    for w, n in rows:
+        by_code.setdefault(soundex(w), []).append((w, n))
+    out = {"code": [], "word_a": [], "word_b": [], "n_a": [], "n_b": []}
+    for code in sorted(by_code):
+        members = sorted(by_code[code])
+        if len(members) > max_bucket:
+            raise ValueError(
+                f"phonetic_word_pairs: code {code!r} has "
+                f"{len(members)} words (> max_bucket={max_bucket}) — "
+                "gate with min_count or raise max_bucket explicitly")
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                out["code"].append(code)
+                out["word_a"].append(members[i][0])
+                out["word_b"].append(members[j][0])
+                out["n_a"].append(members[i][1])
+                out["n_b"].append(members[j][1])
+    return pa.table({
+        "code": pa.array(out["code"], pa.string()),
+        "word_a": pa.array(out["word_a"], pa.string()),
+        "word_b": pa.array(out["word_b"], pa.string()),
+        "n_a": pa.array(out["n_a"], pa.int64()),
+        "n_b": pa.array(out["n_b"], pa.int64()),
+    })
+
+
+def _soundex_sql(col: str) -> str:
+    """The engine's soundex chain as a SQL expression over ``col``
+    (uppercased ASCII-alpha input). RE2 has no backreferences, so the
+    same-digit run collapse is seven per-digit replaces (equivalent:
+    runs are single-char)."""
+    codes = (f"translate(regexp_replace(upper({col}), '[HW]', '', 'g'),"
+             f" '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')")
+    collapsed = codes
+    for d in "0123456":
+        collapsed = (f"regexp_replace({collapsed}, '{d}{{2,}}',"
+                     f" '{d}', 'g')")
+    first = f"substr(upper({col}), 1, 1)"
+    fcode = f"translate({first}, '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    body = (f"CASE WHEN {fcode} BETWEEN '0' AND '6'"
+            f" AND substr({collapsed}, 1, 1) = {fcode}"
+            f" THEN substr({collapsed}, 2) ELSE {collapsed} END")
+    digits = f"replace({body}, '0', '')"
+    return f"{first} || substr({digits} || '000', 1, 3)"
+
+
+def phonetic_word_pairs_sql(table: str = "documents",
+                            text_col: str = "text",
+                            min_count: int = 1) -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH toks AS (
+  SELECT
+    unnest(list_filter(regexp_split_to_array({text_col},
+                                             '{_PY_WHITESPACE_RE2}'),
+                       x -> x <> '')) AS w
+  FROM {table}
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks
+  WHERE regexp_matches(w, '^[A-Za-z]+$')
+  GROUP BY w HAVING count(*) >= {min_count}
+), coded AS MATERIALIZED (
+  SELECT w, n, {_soundex_sql('w')} AS code FROM vocab
+)
+SELECT a.code, a.w AS word_a, b.w AS word_b, a.n AS n_a, b.n AS n_b
+FROM coded a JOIN coded b ON a.code = b.code AND a.w < b.w
+ORDER BY 1, 2, 3
+""".strip()

@@ -399,3 +399,104 @@ def test_inclusion_audit_matches_duckdb(ray_session):
                            "customer", "nation"])
     want = con.execute(inclusion_audit_sql()).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------- perceptual hash / soundex pairs
+
+def test_phash_batch_hand(ray_session):
+    from fluent_server_ray.stages.multimodal import phash_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["abc", "", None], pa.string()),
+    })
+    got = phash_batch(t)
+    # empty/NULL payloads emit no signature
+    assert got["doc_id"].to_pylist() == [1]
+    # "abc": L=3, spans of chars 0,1,2 = (0·63//3, 1·63//3, 2·63//3)
+    # = (0, 21, 42); pixels = ord mod 256 at those spans, 0 elsewhere
+    p = [0] * 63
+    p[0], p[21], p[42] = ord("a"), ord("b"), ord("c")
+    s = sum(p)
+    code = sum(1 << k for k in range(63) if 63 * p[k] >= s)
+    assert got["phash"].to_pylist() == [code]
+
+
+def test_phash_dupes_identical_texts_pair_at_zero(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.multimodal import phash_dupes
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["hello world", "hello world",
+                          "zzzz completely different qqqq"], pa.string()),
+    }))
+    got = phash_dupes(ds).to_pandas().sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+    pair = got[(got["doc_a"] == 1) & (got["doc_b"] == 2)]
+    assert len(pair) == 1 and pair["hamming"].iloc[0] == 0
+
+
+def test_phash_dupes_matches_duckdb(ray_session):
+    from fluent_server_ray.stages.multimodal import (
+        phash_dupes, phash_dupes_sql)
+    from fluent_server_ray.sources.pq import read_parquet_clean
+
+    got = phash_dupes(
+        read_parquet_clean(f"{SF_SMALL}/documents.parquet")
+    ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    con = _duck(SF_SMALL, ["documents"])
+    want = con.execute(phash_dupes_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_soundex_classics():
+    from fluent_server_ray.stages.textstats import soundex
+
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A261"   # h/w never separate codes
+    assert soundex("Tymczak") == "T522"
+    assert soundex("Pfister") == "P236"    # first-letter code merge
+    assert soundex("Honeyman") == "H555"
+    assert soundex("a") == "A000"          # pad
+
+
+def test_soundex_sql_matches_python(ray_session):
+    import duckdb
+
+    from fluent_server_ray.stages.textstats import _soundex_sql, soundex
+
+    words = ["Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",
+             "Honeyman", "a", "hw", "widget", "rod", "red", "bolt",
+             "steel", "shiny", "aeiou", "bbbbb"]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT " + _soundex_sql("w") + " FROM (SELECT unnest(?) AS w)",
+        [words]).fetchall()
+    assert [r[0] for r in got] == [soundex(w) for w in words]
+
+
+def test_phonetic_word_pairs_hand(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.textstats import phonetic_word_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["robert rupert", "robert x9 bolt"], pa.string()),
+    }))
+    got = phonetic_word_pairs(ds).to_pandas()
+    # x9 excluded (non-alpha); only robert/rupert share R163
+    assert got["word_a"].tolist() == ["robert"]
+    assert got["word_b"].tolist() == ["rupert"]
+    assert got["n_a"].tolist() == [2]  # df of robert carried out
+
+
+def test_phonetic_word_pairs_bucket_cap(ray_session):
+    import pytest
+    import ray.data as rd
+    from fluent_server_ray.stages.textstats import phonetic_word_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["rat rate rati rato ratu"], pa.string())}))
+    with pytest.raises(ValueError, match="max_bucket"):
+        phonetic_word_pairs(ds, max_bucket=3)
