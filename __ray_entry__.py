@@ -4386,6 +4386,31 @@ def _q_nb_langid(sf_dir: str):
     return naive_bayes_classify(_docs(sf_dir))
 
 
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: banded-discount revenue delta — pushed date
+    read, one vectorized mask, 2-int block partials."""
+    from fluent_server_ray.pipelines.relational import forecast_revenue_delta
+
+    return forecast_revenue_delta(sf_dir)
+
+
+def _q_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape: yearly cross-nation shipping volume — broadcast
+    supplier pair map, two bucketed fact joins, bounded partials."""
+    from fluent_server_ray.pipelines.relational import nation_volume_shipping
+
+    return nation_volume_shipping(sf_dir)
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: per-year national market share inside a region
+    on one part type — three broadcast dims, two bucketed joins, one
+    exact float division per year."""
+    from fluent_server_ray.pipelines.relational import nation_market_share
+
+    return nation_market_share(sf_dir)
+
+
 def _q_phonetic_pairs(sf_dir: str):
     """Soundex phonetic blocking pairs over the distinct part-name
     vocabulary (product-name record-linkage blocking) — distributed
@@ -4840,6 +4865,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inclusion_audit": _q_inclusion_audit,
         "multimodal_phash_dupes": _q_phash_dupes,
         "part_phonetic_pairs": _q_phonetic_pairs,
+        "banded_discount_revenue": _q_forecast_revenue,
+        "nation_volume_q7": _q_nation_volume,
+        "nation_market_share_q8": _q_market_share,
     }
 
 
@@ -5642,4 +5670,7 @@ WITH toks AS (
         "multimodal_phash_dupes": multimodal.phash_dupes_sql(),
         "part_phonetic_pairs": textstats.phonetic_word_pairs_sql(
             table="part", text_col="p_name"),
+        "banded_discount_revenue": rel.forecast_revenue_delta_sql(),
+        "nation_volume_q7": rel.nation_volume_shipping_sql(),
+        "nation_market_share_q8": rel.nation_market_share_sql(),
     }

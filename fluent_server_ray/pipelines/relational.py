@@ -2101,3 +2101,377 @@ SELECT
     / CAST(sum(cents) AS DOUBLE) AS promo_share_pct
 FROM x
 """.strip()
+
+
+# ------------------------------------------------ Q6 forecast revenue
+
+Q6_FROM = "1996-01-01 00:00:00"
+Q6_TO = "1997-01-01 00:00:00"
+
+
+def forecast_revenue_delta(sf_dir: str, date_from: str = Q6_FROM,
+                           date_to: str = Q6_TO,
+                           disc_lo: float = 0.03, disc_hi: float = 0.07,
+                           max_qty: float = 25.0) -> pa.Table:
+    """Forecasting-revenue-change screen (TPC-H Q6 shape): the revenue
+    increase if discounts in a band were eliminated — sum of
+    ``extendedprice·discount`` over one shipping year, a discount
+    band, and a quantity cap.
+
+    Scale shape: the date predicate pushes into the read; the
+    discount/quantity predicates are one vectorized mask per batch;
+    each block emits a 2-int partial (cents, rows) and the driver
+    sums. Band compares happen on the stored doubles — identical
+    comparisons both engines."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    f = _dt.datetime.fromisoformat(date_from)
+    to = _dt.datetime.fromisoformat(date_to)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= f)
+        & (pads.field("l_shipdate") < to))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_discount"], disc_lo),
+                    pc.less_equal(t["l_discount"], disc_hi)),
+            pc.less(t["l_quantity"], max_qty))
+        t = t.filter(keep)
+        cents = _cents(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        s = pc.sum(cents).as_py() or 0
+        return pa.table({"rev": pa.array([int(s)], pa.int64()),
+                         "n": pa.array([len(t)], pa.int64())})
+
+    rev = n = 0
+    for b in li.map_batches(skip_empty(partial), batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            rev += int(pc.sum(b["rev"]).as_py() or 0)
+            n += int(pc.sum(b["n"]).as_py() or 0)
+    return pa.table({"revenue_cents": pa.array([rev], pa.int64()),
+                     "n_lines": pa.array([n], pa.int64())})
+
+
+def forecast_revenue_delta_sql(date_from: str = Q6_FROM,
+                               date_to: str = Q6_TO,
+                               disc_lo: float = 0.03,
+                               disc_hi: float = 0.07,
+                               max_qty: float = 25.0) -> str:
+    return f"""
+SELECT
+  CAST(coalesce(sum(CAST(round(l_extendedprice * l_discount * 100.0)
+                         AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_from}'
+  AND l_shipdate < TIMESTAMP '{date_to}'
+  AND l_discount >= {disc_lo} AND l_discount <= {disc_hi}
+  AND l_quantity < {max_qty}
+""".strip()
+
+
+# -------------------------------------------- Q7 volume shipping
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_8"
+
+
+def nation_volume_shipping(sf_dir: str, nation_a: str = Q7_NATION_A,
+                           nation_b: str = Q7_NATION_B,
+                           n_buckets: int = 32) -> pa.Table:
+    """Volume shipping between two nations (TPC-H Q7 shape): yearly
+    revenue on lines where the supplier sits in one named nation and
+    the ordering customer in the other (both directions reported).
+
+    Scale shape: the two nation ids resolve driver-side; the supplier
+    (suppkey → nationkey) map — filtered to the pair — broadcasts once
+    and applies map-side (``index_in`` per batch); customers filter
+    map-side to the pair's nations; the two fact joins
+    (orders⋈customer, →⋈lineitem) are bucketed hash joins; revenue
+    collapses per batch into (supp_nation, cust_nation, year) partials
+    (≤ 2·|years| rows per block) and merges on the driver."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.joins import arrow_schema, bucketed_hash_join
+
+    out_fields = [("supp_nation", pa.string()),
+                  ("cust_nation", pa.string()),
+                  ("l_year", pa.int64()),
+                  ("revenue_cents", pa.int64())]
+
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(pc.cast(nat["n_nationkey"],
+                               pa.int64()).to_pylist(),
+                       nat["n_name"].to_pylist()))
+    key_of = {v: k for k, v in name_of.items()}
+    if nation_a not in key_of or nation_b not in key_of:
+        return pa.schema(out_fields).empty_table()
+    ka, kb = key_of[nation_a], key_of[nation_b]
+    pair_keys = pa.array(sorted({ka, kb}), pa.int64())
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(pc.cast(sup["s_nationkey"], pa.int64()),
+                              value_set=pair_keys))
+    sup_ref = ray.put((
+        pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
+        pc.cast(sup["s_nationkey"], pa.int64()).combine_chunks()))
+    pair_ref = ray.put(pair_keys)
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+
+    def cust_in_pair(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                                 value_set=ray.get(pair_ref)))
+
+    cust = cust.map_batches(cust_in_pair, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    oc = bucketed_hash_join(orders, cust, key="o_custkey",
+                            right_key="c_custkey",
+                            n_buckets=n_buckets).materialize()
+    if arrow_schema(oc) is None:
+        return pa.schema(out_fields).empty_table()
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+    ocl = bucketed_hash_join(oc, li, key="o_orderkey",
+                             right_key="l_orderkey", n_buckets=n_buckets)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        skey, snat = ray.get(sup_ref)
+        pos = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()),
+                          value_set=skey)
+        s_nat = pc.take(snat, pos)
+        c_nat = pc.cast(t["c_nationkey"], pa.int64())
+        # cross pair only: (A,B) or (B,A) — equal nations excluded
+        keep = pc.and_(pc.is_valid(s_nat), pc.not_equal(s_nat, c_nat))
+        t2 = pa.table({
+            "s_nat": s_nat, "c_nat": c_nat,
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "rev_cents": _cents(pc.multiply(
+                t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))),
+        }).filter(keep)
+        if not len(t2):
+            return pa.table({
+                "s_nat": pa.array([], pa.int64()),
+                "c_nat": pa.array([], pa.int64()),
+                "l_year": pa.array([], pa.int64()),
+                "rev_cents": pa.array([], pa.int64())})
+        out = t2.group_by(["s_nat", "c_nat", "l_year"]).aggregate(
+            [("rev_cents", "sum")])
+        return out.rename_columns(["s_nat", "c_nat", "l_year",
+                                   "rev_cents"])
+
+    agg = grouped_agg(
+        ocl.map_batches(rev_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["s_nat", "c_nat", "l_year"], [("rev_cents", "sum")])
+    if not len(agg):
+        return pa.schema(out_fields).empty_table()
+    out = pa.table({
+        "supp_nation": pa.array(
+            [name_of[k] for k in agg["s_nat"].to_pylist()], pa.string()),
+        "cust_nation": pa.array(
+            [name_of[k] for k in agg["c_nat"].to_pylist()], pa.string()),
+        "l_year": pc.cast(agg["l_year"], pa.int64()),
+        "revenue_cents": pc.cast(agg["rev_cents_sum"], pa.int64()),
+    })
+    return out.sort_by([("supp_nation", "ascending"),
+                        ("cust_nation", "ascending"),
+                        ("l_year", "ascending")])
+
+
+def nation_volume_shipping_sql(nation_a: str = Q7_NATION_A,
+                               nation_b: str = Q7_NATION_B) -> str:
+    return f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+      AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM supplier s
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ((ns.n_name = '{nation_a}' AND nc.n_name = '{nation_b}')
+    OR (ns.n_name = '{nation_b}' AND nc.n_name = '{nation_a}'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""".strip()
+
+
+# -------------------------------------------- Q8 national market share
+
+Q8_REGION = "AMERICA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_21"
+
+
+def nation_market_share(sf_dir: str, region: str = Q8_REGION,
+                        p_type: str = Q8_TYPE,
+                        nation: str = Q8_NATION,
+                        n_buckets: int = 32) -> pa.Table:
+    """National market share (TPC-H Q8 shape): per order-year, the
+    share of one region's revenue on one part type that is supplied by
+    one named nation.
+
+    Scale shape: region-nation set, the typed part-key set, and the
+    full supplier (suppkey → nationkey) map broadcast once (all dim
+    tables); customers filter map-side to the region; two bucketed
+    fact joins (orders⋈customer carries o_orderdate; →⋈lineitem); the
+    part filter and supplier lookup are vectorized per batch; each
+    block emits (year, is_target) 2-key partials and the share is ONE
+    float64 division per year over exact integer sums."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.joins import arrow_schema, bucketed_hash_join
+
+    out_fields = [("o_year", pa.int64()), ("target_cents", pa.int64()),
+                  ("total_cents", pa.int64()), ("mkt_share", pa.float64())]
+
+    reg = _pq.read_table(f"{sf_dir}/region.parquet",
+                         columns=["r_regionkey", "r_name"])
+    rkeys = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    region_nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rkeys))
+    if not len(region_nat):
+        return pa.schema(out_fields).empty_table()
+    region_keys = pa.array(sorted(pc.cast(
+        region_nat["n_nationkey"], pa.int64()).to_pylist()), pa.int64())
+    tgt = nat.filter(pc.equal(nat["n_name"], nation))
+    target_key = (pc.cast(tgt["n_nationkey"], pa.int64()).to_pylist()
+                  or [-1])[0]
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    pkeys = pc.cast(part.filter(pc.equal(part["p_type"], p_type))
+                    ["p_partkey"], pa.int64()).combine_chunks()
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    refs = ray.put((
+        region_keys, pkeys,
+        pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
+        pc.cast(sup["s_nationkey"], pa.int64()).combine_chunks()))
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+
+    def cust_in_region(t: pa.Table) -> pa.Table:
+        rk, _, _, _ = ray.get(refs)
+        return t.filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                                 value_set=rk))
+
+    cust = cust.map_batches(cust_in_region, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    oc = bucketed_hash_join(orders, cust, key="o_custkey",
+                            right_key="c_custkey",
+                            n_buckets=n_buckets).materialize()
+    if arrow_schema(oc) is None:
+        return pa.schema(out_fields).empty_table()
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+    ocl = bucketed_hash_join(oc, li, key="o_orderkey",
+                             right_key="l_orderkey", n_buckets=n_buckets)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        _, pk, skey, snat = ray.get(refs)
+        t = t.filter(pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
+                              value_set=pk))
+        empty = pa.table({"o_year": pa.array([], pa.int64()),
+                          "is_target": pa.array([], pa.int64()),
+                          "rev_cents": pa.array([], pa.int64())})
+        if not len(t):
+            return empty
+        pos = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()),
+                          value_set=skey)
+        s_nat = pc.take(snat, pos)
+        t = t.filter(pc.is_valid(s_nat))  # inner join: orphan supplier
+        if not len(t):
+            return empty
+        pos = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()),
+                          value_set=skey)
+        s_nat = pc.take(snat, pos)
+        prep = pa.table({
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "is_target": pc.cast(pc.equal(s_nat, target_key), pa.int64()),
+            "rev_cents": _cents(pc.multiply(
+                t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))),
+        })
+        out = prep.group_by(["o_year", "is_target"]).aggregate(
+            [("rev_cents", "sum")])
+        return out.rename_columns(["o_year", "is_target", "rev_cents"])
+
+    agg = grouped_agg(
+        ocl.map_batches(rev_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["o_year", "is_target"], [("rev_cents", "sum")])
+    if not len(agg):
+        return pa.schema(out_fields).empty_table()
+    acc: dict[int, list[int]] = {}
+    for y, flag, s in zip(agg["o_year"].to_pylist(),
+                          agg["is_target"].to_pylist(),
+                          agg["rev_cents_sum"].to_pylist()):
+        cur = acc.setdefault(int(y), [0, 0])
+        cur[1] += int(s)
+        if flag:
+            cur[0] += int(s)
+    years = sorted(acc)
+    return pa.table({
+        "o_year": pa.array(years, pa.int64()),
+        "target_cents": pa.array([acc[y][0] for y in years], pa.int64()),
+        "total_cents": pa.array([acc[y][1] for y in years], pa.int64()),
+        "mkt_share": pa.array(
+            [float(acc[y][0]) / float(acc[y][1]) if acc[y][1] else None
+             for y in years], pa.float64()),
+    })
+
+
+def nation_market_share_sql(region: str = Q8_REGION,
+                            p_type: str = Q8_TYPE,
+                            nation: str = Q8_NATION) -> str:
+    return f"""
+WITH x AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+         AS BIGINT) AS cents,
+    (ns.n_name = '{nation}') AS is_target
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  WHERE r.r_name = '{region}' AND p.p_type = '{p_type}'
+)
+SELECT o_year,
+  CAST(coalesce(sum(cents) FILTER (WHERE is_target), 0) AS BIGINT)
+    AS target_cents,
+  CAST(sum(cents) AS BIGINT) AS total_cents,
+  CAST(coalesce(sum(cents) FILTER (WHERE is_target), 0) AS DOUBLE)
+    / CAST(sum(cents) AS DOUBLE) AS mkt_share
+FROM x GROUP BY o_year ORDER BY o_year
+""".strip()

@@ -500,3 +500,48 @@ def test_phonetic_word_pairs_bucket_cap(ray_session):
         "text": pa.array(["rat rate rati rato ratu"], pa.string())}))
     with pytest.raises(ValueError, match="max_bucket"):
         phonetic_word_pairs(ds, max_bucket=3)
+
+
+# -------------------------------------------------- Q6 / Q7 / Q8
+
+def test_forecast_revenue_delta_hand(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import forecast_revenue_delta
+
+    pq.write_table(pa.table({
+        "l_extendedprice": pa.array([100.0, 100.0, 100.0, 100.0]),
+        "l_discount": pa.array([0.05, 0.01, 0.05, 0.05]),
+        "l_quantity": pa.array([10.0, 10.0, 30.0, 10.0]),
+        "l_shipdate": pa.array(
+            [_ts("1996-06-01"), _ts("1996-06-01"), _ts("1996-06-01"),
+             _ts("1999-01-01")], pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    got = forecast_revenue_delta(str(tmp_path)).to_pandas()
+    # only row 1 passes (band + qty + year): 100·0.05 = 5.00 → 500
+    assert got["revenue_cents"].iloc[0] == 500
+    assert got["n_lines"].iloc[0] == 1
+
+
+def test_q6_q7_q8_match_duckdb(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        forecast_revenue_delta, forecast_revenue_delta_sql,
+        nation_market_share, nation_market_share_sql,
+        nation_volume_shipping, nation_volume_shipping_sql)
+
+    con = _duck(SF_SMALL, ["lineitem", "orders", "customer", "supplier",
+                           "nation", "region", "part"])
+    for fn, sql in [(forecast_revenue_delta, forecast_revenue_delta_sql),
+                    (nation_volume_shipping, nation_volume_shipping_sql),
+                    (nation_market_share, nation_market_share_sql)]:
+        got = fn(SF_SMALL).to_pandas()
+        want = con.execute(sql()).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+def test_nation_volume_shipping_unknown_nation(ray_session):
+    from fluent_server_ray.pipelines.relational import nation_volume_shipping
+
+    got = nation_volume_shipping(SF_SMALL, nation_a="NO_SUCH")
+    assert got.num_rows == 0
+    assert got.schema.names == ["supp_nation", "cust_nation", "l_year",
+                                "revenue_cents"]
