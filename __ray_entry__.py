@@ -4386,6 +4386,15 @@ def _q_nb_langid(sf_dir: str):
     return naive_bayes_classify(_docs(sf_dir))
 
 
+def _q_mmr_topk(sf_dir: str):
+    """MMR diversified re-ranking of one query's cosine top-pool —
+    distributed relevance scan, bounded driver greedy, unrolled-round
+    SQL mirror."""
+    from fluent_server_ray.stages.similarity import mmr_topk
+
+    return mmr_topk(_embs(sf_dir))
+
+
 def _q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 shape: banded-discount revenue delta — pushed date
     read, one vectorized mask, 2-int block partials."""
@@ -4868,6 +4877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banded_discount_revenue": _q_forecast_revenue,
         "nation_volume_q7": _q_nation_volume,
         "nation_market_share_q8": _q_market_share,
+        "embedding_mmr_topk": _q_mmr_topk,
     }
 
 
@@ -5673,4 +5683,5 @@ WITH toks AS (
         "banded_discount_revenue": rel.forecast_revenue_delta_sql(),
         "nation_volume_q7": rel.nation_volume_shipping_sql(),
         "nation_market_share_q8": rel.nation_market_share_sql(),
+        "embedding_mmr_topk": similarity.mmr_topk_sql(),
     }

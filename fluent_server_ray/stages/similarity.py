@@ -1521,3 +1521,157 @@ def kcenter_sample(ds, k: int = 16, emb_col: str = "embedding",
         id_col: pa.array([s[1] for s in selected], pa.int64()),
         "dist2": pa.array([s[2] for s in selected], pa.float64()),
     })
+
+
+# ------------------------------------------ MMR diversified re-ranking
+
+def mmr_topk(ds, query_id: int = 0, k: int = 10, pool: int = 50,
+             lam: float = 0.7, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> pa.Table:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): the top-``k`` diverse neighbors of one query vector —
+    greedily pick the candidate maximizing ``λ·rel(d) − (1−λ)·max_{s∈
+    selected} sim(d, s)``, ties by id ascending. The
+    relevance-vs-redundancy re-ranker that keeps a retrieval page (or
+    a dedup-aware sampling pool) from filling with near-copies.
+
+    Scale shape: standard MMR practice re-ranks a bounded relevance
+    pool, and that is the distributed contract here — stage 1 is the
+    brute cosine top-``pool`` scan (per-block partial top-pool +
+    O(blocks·pool) driver merge, the ann_topk plan); stage 2 (the
+    greedy loop, inherently sequential) runs on the pool's pool×pool
+    sim matrix driver-side — pool² floats, corpus-independent. The
+    corpus streams exactly once.
+
+    Returns (rank, vec_id) — ranks only, like ann_topk: the float
+    scores are reduction-order-sensitive across engines, the ORDER is
+    stable (argmax gaps ≫ ulp noise on real embeddings)."""
+    import ray
+
+    def grab_query(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t[id_col], query_id))
+
+    qblocks = [b for b in ds.map_batches(
+        grab_query, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows]
+    out_fields = [("rank", pa.int64()), (id_col, pa.int64())]
+    if not qblocks:
+        return pa.schema(out_fields).empty_table()
+    qtab = pa.concat_tables(qblocks)
+    qvec = _normalize(_batch_matrix(qtab, emb_col))[0]
+    qref = ray.put(qvec)
+
+    def local_pool(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids != query_id
+        ids = ids[keep]
+        if not len(ids):
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "rel": pa.array([], pa.float64())})
+        mat = _normalize(_batch_matrix(t, emb_col)[keep])
+        rel = mat @ q
+        order = np.lexsort((ids, -rel))[:pool]
+        return pa.table({"vid": pa.array(ids[order], pa.int64()),
+                         "rel": pa.array(rel[order], pa.float64())})
+
+    parts = pa.concat_tables(
+        ds.map_batches(local_pool, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not len(parts):
+        return pa.schema(out_fields).empty_table()
+    ids = parts["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rel = parts["rel"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -rel))[:pool]
+    pool_ids = ids[order]
+    pool_rel = rel[order]
+
+    # pool-sized vector fetch (one filtered pass) + driver greedy
+    pset = pa.array([int(i) for i in pool_ids], pa.int64())
+
+    def grab_pool(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=pset))
+
+    ptab = pa.concat_tables(
+        ds.map_batches(grab_pool, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    pids = ptab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    pmat = _normalize(_batch_matrix(ptab, emb_col))
+    # align pool order
+    pos = {int(v): i for i, v in enumerate(pids)}
+    pmat = pmat[[pos[int(v)] for v in pool_ids]]
+    sims = pmat @ pmat.T
+
+    n = len(pool_ids)
+    selected: list[int] = []
+    chosen = np.zeros(n, dtype=bool)
+    max_sim = np.full(n, -np.inf)
+    for _ in range(min(k, n)):
+        if not selected:
+            score = pool_rel.copy()
+        else:
+            score = lam * pool_rel - (1.0 - lam) * max_sim
+        score[chosen] = -np.inf
+        # argmax with id-asc tie-break: lexsort on (-score, id)
+        best = int(np.lexsort((pool_ids, -score))[0])
+        selected.append(int(pool_ids[best]))
+        chosen[best] = True
+        max_sim = np.maximum(max_sim, sims[:, best])
+    return pa.table({
+        "rank": pa.array(range(1, len(selected) + 1), pa.int64()),
+        id_col: pa.array(selected, pa.int64()),
+    })
+
+
+def mmr_topk_sql(query_id: int = 0, k: int = 10, pool: int = 50,
+                 lam: float = 0.7, table: str = "embeddings") -> str:
+    """Unrolled-greedy mirror: the same bounded pool (top-``pool`` by
+    cosine), then ``k`` MATERIALIZED selection rounds — each round's
+    argmax is a correlated max over the pairs of already-selected rows
+    (the BPE-oracle unrolled-chain device)."""
+    rounds = []
+    prev = None
+    for r in range(1, k + 1):
+        if r == 1:
+            rounds.append(
+                "sel1 AS MATERIALIZED (SELECT vec_id, 1 AS rank "
+                "FROM cand ORDER BY rel DESC, vec_id LIMIT 1)")
+            prev = "sel1"
+        else:
+            rounds.append(f"""
+pick{r} AS MATERIALIZED (
+  SELECT c.vec_id FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY {lam} * c.rel - (1.0 - {lam}) * (
+      SELECT max(p.sim) FROM pairs p
+      WHERE p.a = c.vec_id
+        AND p.b IN (SELECT vec_id FROM {prev})) DESC,
+    c.vec_id
+  LIMIT 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL SELECT vec_id, {r} FROM pick{r}
+)""".strip())
+            prev = f"sel{r}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH cand AS MATERIALIZED (
+  SELECT c.vec_id,
+    list_cosine_similarity(q.embedding, c.embedding) AS rel
+  FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id = {query_id}
+  ORDER BY rel DESC, c.vec_id LIMIT {pool}
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+    list_cosine_similarity(x.embedding, y.embedding) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN {table} x ON x.vec_id = a.vec_id
+  JOIN {table} y ON y.vec_id = b.vec_id
+),
+{chain}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM {prev} ORDER BY rank
+""".strip()

@@ -545,3 +545,45 @@ def test_nation_volume_shipping_unknown_nation(ray_session):
     assert got.num_rows == 0
     assert got.schema.names == ["supp_nation", "cust_nation", "l_year",
                                 "revenue_cents"]
+
+
+# ------------------------------------------------ MMR re-ranking
+
+def test_mmr_prefers_diversity_over_redundancy(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.similarity import mmr_topk
+
+    # id 1 and 2 are near-dups highly relevant to the query; id 3 is
+    # slightly less relevant but diverse — MMR at λ=0.7 must pick
+    # (1, 3), where pure relevance top-2 would pick (1, 2)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0, 0.0], [0.96, 0.3, 0.0], [0.95, 0.31, 0.0],
+             [0.95, -0.3, 0.0]],
+            pa.list_(pa.float32())),
+    }))
+    got = mmr_topk(ds, query_id=0, k=2, pool=3).to_pandas()
+    assert got["vec_id"].tolist() == [1, 3]
+    assert got["rank"].tolist() == [1, 2]
+
+
+def test_mmr_matches_duckdb(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.similarity import mmr_topk, mmr_topk_sql
+
+    got = mmr_topk(
+        read_parquet_clean(f"{SF_SMALL}/embeddings.parquet")).to_pandas()
+    con = _duck(SF_SMALL, ["embeddings"])
+    want = con.execute(mmr_topk_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mmr_missing_query_returns_typed_empty(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.similarity import mmr_topk
+
+    got = mmr_topk(read_parquet_clean(f"{SF_SMALL}/embeddings.parquet"),
+                   query_id=10**9)
+    assert got.num_rows == 0
+    assert got.schema.names == ["rank", "vec_id"]
