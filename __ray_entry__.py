@@ -4386,6 +4386,34 @@ def _q_nb_langid(sf_dir: str):
     return naive_bayes_classify(_docs(sf_dir))
 
 
+def _q_next_words(sf_dir: str):
+    """Bigram-LM next-word suggestions for the top prefix words — one
+    pair pass, distributed merge, prefix totals folded out."""
+    from fluent_server_ray.stages.textstats import next_word_topk
+
+    return next_word_topk(_docs(sf_dir))
+
+
+def _q_selfjoin_size(sf_dir: str):
+    """Exact F2 self-join size of the user_id key — per-key counts
+    through the distributed merge, python-int moment partials."""
+    from fluent_server_ray.stages.features import selfjoin_size
+
+    return selfjoin_size(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id"]))
+
+
+def _q_max_drawdown(sf_dir: str):
+    """Max drawdown of each type's cumulative daily value curve —
+    daily combiner, bounded-grid driver cumsum/cummax scan."""
+    from fluent_server_ray.stages.features import max_drawdown_by_group
+
+    return max_drawdown_by_group(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value", "ts"]))
+
+
 def _q_mmr_topk(sf_dir: str):
     """MMR diversified re-ranking of one query's cosine top-pool —
     distributed relevance scan, bounded driver greedy, unrolled-round
@@ -4878,6 +4906,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_volume_q7": _q_nation_volume,
         "nation_market_share_q8": _q_market_share,
         "embedding_mmr_topk": _q_mmr_topk,
+        "doc_next_words": _q_next_words,
+        "events_selfjoin_size": _q_selfjoin_size,
+        "events_max_drawdown": _q_max_drawdown,
     }
 
 
@@ -5684,4 +5715,7 @@ WITH toks AS (
         "nation_volume_q7": rel.nation_volume_shipping_sql(),
         "nation_market_share_q8": rel.nation_market_share_sql(),
         "embedding_mmr_topk": similarity.mmr_topk_sql(),
+        "doc_next_words": textstats.next_word_topk_sql(),
+        "events_selfjoin_size": features.selfjoin_size_sql(),
+        "events_max_drawdown": features.max_drawdown_by_group_sql(),
     }

@@ -6139,3 +6139,176 @@ WITH vals AS (
 SELECT * FROM splits
 ORDER BY weighted_gini_e6, threshold_cents LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------- self-join size (F2)
+
+def selfjoin_size(ds, key_col: str = "user_id") -> pa.Table:
+    """Exact second frequency moment F₂ = Σ_k c_k² of a key column —
+    the SELF-JOIN SIZE a planner needs before keying a shuffle on it
+    (AMS's "surprise number"; a skewed key makes F₂ ≫ n and the join
+    explode). Reported with n_rows and the exact distinct count, plus
+    the skew ratio ``f2/n`` (average matches per probe row) as one
+    float division over exact ints.
+
+    Shape: per-key counts through the distributed merge (key space
+    unbounded → ``final='ray'``); each count block collapses to a
+    3-int partial (Σc, Σc², distincts — Σc² in python ints: a hot key
+    of 3·10⁹ rows squares past int64) and the driver sums #blocks
+    rows. NULL keys are excluded (they join nothing)."""
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def proj(t: pa.Table):
+        v = t[key_col]
+        v = v.filter(pc.is_valid(v))
+        if not len(v):
+            return
+        yield pa.table({"k": pc.cast(v, pa.int64())})
+
+    counts = grouped_agg(
+        ds.select_columns([key_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], [("k", "count")], final="ray")
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = t["k_count"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({
+            "n": pa.array([str(int((c).sum()) if len(c) else 0)],
+                          pa.string()),
+            "f2": pa.array([str(int((c * c).sum()) if len(c) else 0)],
+                           pa.string()),
+            "d": pa.array([len(c)], pa.int64()),
+        })
+
+    n = f2 = d = 0
+    for b in counts.map_batches(skip_empty(moments),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(
+                                    batch_size=None,
+                                    batch_format="pyarrow"):
+        for sn, sf, sd in zip(b["n"].to_pylist(), b["f2"].to_pylist(),
+                              b["d"].to_pylist()):
+            n += int(sn)
+            f2 += int(sf)
+            d += int(sd)
+    avg = (float(f2) / float(n)) if n else None
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_keys": pa.array([d], pa.int64()),
+        "f2": pa.array([f2], pa.int64()),
+        "avg_matches_per_row": pa.array([avg], pa.float64()),
+    })
+
+
+def selfjoin_size_sql(key_col: str = "user_id",
+                      table: str = "events") -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n FROM {table}
+  WHERE {key_col} IS NOT NULL GROUP BY {key_col}
+)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(coalesce(sum(n * n), 0) AS BIGINT) AS f2,
+  CAST(sum(n * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+    AS avg_matches_per_row
+FROM c
+""".strip()
+
+
+# ----------------------------------------------- maximum drawdown
+
+def max_drawdown_by_group(ds, group_col: str = "event_type",
+                          value_col: str = "value",
+                          ts_col: str = "ts") -> pa.Table:
+    """Maximum drawdown of each group's cumulative daily value curve —
+    the worst peak-to-trough drop of the running total (the classic
+    equity-curve risk metric, applied to per-sink daily revenue: "how
+    bad did the deepest slump get?").
+
+    Exact contract: daily sums in house cents; the curve is the
+    running cumsum over OBSERVED days ascending, peak the running max,
+    drawdown = peak − cum (all int64); the maximum drawdown and its
+    FIRST attaining day (tie → earliest) are reported. NULL ts/group/
+    value rows are excluded (daily-op contract).
+
+    Shape: ONE (group, day) combiner pass; the bounded daily grid
+    (|groups|·|days|) merges on the driver where the sequential scan
+    is a numpy cumsum/cummax per group — the corpus never moves."""
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.and_(pc.is_valid(t[value_col]), pc.is_valid(t[group_col])),
+            pc.is_valid(t[ts_col])))
+        v = pc.cast(t[value_col], pa.float64())
+        if len(t) and pc.any(pc.is_nan(v)).as_py():
+            raise ValueError("max_drawdown_by_group: NaN value")
+        return pa.table({"g": pc.cast(t[group_col], pa.string()),
+                         "day": _epoch_day(t[ts_col]),
+                         "c": _cents(v)})
+
+    daily = grouped_agg(
+        ds.select_columns([group_col, value_col, ts_col]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["g", "day"], [("c", "sum")], final="driver")
+    out_fields = [("group", pa.string()), ("max_drawdown_cents", pa.int64()),
+                  ("trough_day", pa.int64()), ("n_days", pa.int64())]
+    if not daily.num_rows:
+        return pa.schema(out_fields).empty_table()
+    df = daily.to_pandas().sort_values(["g", "day"])
+    rows = {"group": [], "max_drawdown_cents": [], "trough_day": [],
+            "n_days": []}
+    for g, sub in df.groupby("g", sort=True):
+        cum = sub["c_sum"].to_numpy(dtype=np.int64).cumsum()
+        peak = np.maximum.accumulate(cum)
+        dd = peak - cum
+        i = int(np.argmax(dd))  # first max
+        rows["group"].append(g)
+        rows["max_drawdown_cents"].append(int(dd[i]))
+        rows["trough_day"].append(int(sub["day"].to_numpy()[i]))
+        rows["n_days"].append(len(sub))
+    return pa.table({
+        "group": pa.array(rows["group"], pa.string()),
+        "max_drawdown_cents": pa.array(rows["max_drawdown_cents"],
+                                       pa.int64()),
+        "trough_day": pa.array(rows["trough_day"], pa.int64()),
+        "n_days": pa.array(rows["n_days"], pa.int64()),
+    })
+
+
+def max_drawdown_by_group_sql(group_col: str = "event_type",
+                              value_col: str = "value",
+                              ts_col: str = "ts",
+                              table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(floor(CAST(epoch({ts_col}) AS DOUBLE) / 86400.0) AS BIGINT)
+      AS day,
+    CAST(sum(CAST(round({value_col} * 100.0) AS BIGINT)) AS BIGINT) AS c
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+    AND {ts_col} IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT g, day, sum(c) OVER w AS cum
+  FROM daily
+  WINDOW w AS (PARTITION BY g ORDER BY day ROWS UNBOUNDED PRECEDING)
+), curve AS (
+  SELECT g, day, cum, max(cum) OVER w AS peak
+  FROM cum
+  WINDOW w AS (PARTITION BY g ORDER BY day ROWS UNBOUNDED PRECEDING)
+), dd AS (
+  SELECT g, day, peak - cum AS dd,
+    count(*) OVER (PARTITION BY g) AS n_days
+  FROM curve
+), best AS (
+  SELECT g, dd, day, n_days,
+    row_number() OVER (PARTITION BY g ORDER BY dd DESC, day) AS rn
+  FROM dd
+)
+SELECT g AS "group", CAST(dd AS BIGINT) AS max_drawdown_cents,
+  CAST(day AS BIGINT) AS trough_day, CAST(n_days AS BIGINT) AS n_days
+FROM best WHERE rn = 1 ORDER BY "group"
+""".strip()

@@ -4980,3 +4980,136 @@ SELECT a.code, a.w AS word_a, b.w AS word_b, a.n AS n_a, b.n AS n_b
 FROM coded a JOIN coded b ON a.code = b.code AND a.w < b.w
 ORDER BY 1, 2, 3
 """.strip()
+
+
+# ------------------------------------------- next-word suggestions
+
+def next_word_topk(ds, top_m: int = 20, k: int = 3,
+                   text_col: str = "text") -> pa.Table:
+    """Bigram-LM next-word suggestions: for the ``top_m`` most
+    frequent prefix words (ranked by their count in non-final
+    positions — exactly the LM denominator), the top-``k`` following
+    words by continuation count. The word-level sibling of the
+    char-prefix ``autocomplete_topk`` and the lookup table a
+    suggest-as-you-type service ships. Tokenization = single-space
+    split (the ``string_split`` contract of :func:`bigram_top`).
+
+    Shape: one pair-forming pass (flat token array joined against
+    itself shifted by one, doc-boundary masked — O(tokens), no
+    per-doc loop) → distributed (w1, w2) merge → prefix totals fold
+    out of the merged pair table (no second corpus pass) → per-block
+    partial top-m + driver merge picks the prefixes → the ≤
+    ``top_m``·fanout suggestion rows collect driver-side (bounded by
+    the prefix gate). Ranks tie-break (n DESC, w2 ASC); prefix rank
+    ties (total DESC, w1 ASC). Output (w1, w2, n, rank)."""
+    import numpy as np
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64),
+                             nan=0.0).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        same_doc = pa.array(doc_of[:-1] == doc_of[1:])
+        prep = pa.table({
+            "w1": flat.slice(0, len(flat) - 1),
+            "w2": flat.slice(1),
+        }).filter(same_doc)
+        if not len(prep):
+            return empty
+        out = prep.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return out.rename_columns(["w1", "w2", "n"])
+
+    pairs = grouped_agg(
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["w1", "w2"], [("n", "sum")], final="ray").materialize()
+
+    out_fields = [("w1", pa.string()), ("w2", pa.string()),
+                  ("n", pa.int64()), ("rank", pa.int64())]
+
+    # prefix totals fold out of the pair table (combiner per block)
+    totals = grouped_agg(pairs, ["w1"], [("n_sum", "sum")], final="ray")
+
+    def topm_partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("n_sum_sum", "descending"), ("w1", "ascending")])
+        return t.take(idx[:top_m])
+
+    blocks = [b for b in totals.map_batches(
+        skip_empty(topm_partial), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+        if b.num_rows]
+    if not blocks:
+        return pa.schema(out_fields).empty_table()
+    merged = pa.concat_tables(blocks)
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("n_sum_sum", "descending"), ("w1", "ascending")])
+    prefixes = merged.take(idx[:top_m])["w1"].combine_chunks()
+
+    import ray
+
+    pref_ref = ray.put(prefixes)
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["w1"], value_set=ray.get(pref_ref)))
+
+    rows = [b for b in pairs.map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows]
+    if not rows:
+        return pa.schema(out_fields).empty_table()
+    import pandas as pd
+
+    df = pa.concat_tables(rows).to_pandas()
+    df = df.rename(columns={"n_sum": "n"}).sort_values(
+        ["w1", "n", "w2"], ascending=[True, False, True])
+    df["rank"] = df.groupby("w1").cumcount() + 1
+    df = df[df["rank"] <= k].reset_index(drop=True)
+    return pa.table({
+        "w1": pa.array(df["w1"], pa.string()),
+        "w2": pa.array(df["w2"], pa.string()),
+        "n": pa.array(df["n"].astype("int64"), pa.int64()),
+        "rank": pa.array(df["rank"].astype("int64"), pa.int64()),
+    })
+
+
+def next_word_topk_sql(top_m: int = 20, k: int = 3,
+                       table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM {table} WHERE text IS NOT NULL
+), bigrams AS MATERIALIZED (
+  SELECT t[gs] AS w1, t[gs + 1] AS w2, CAST(count(*) AS BIGINT) AS n
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+  GROUP BY 1, 2
+), prefixes AS (
+  SELECT w1 FROM bigrams GROUP BY w1
+  ORDER BY sum(n) DESC, w1 LIMIT {top_m}
+), ranked AS (
+  SELECT b.w1, b.w2, b.n,
+    row_number() OVER (PARTITION BY b.w1 ORDER BY b.n DESC, b.w2)
+      AS rank
+  FROM bigrams b JOIN prefixes p ON p.w1 = b.w1
+)
+SELECT w1, w2, n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k} ORDER BY w1, rank
+""".strip()

@@ -587,3 +587,86 @@ def test_mmr_missing_query_returns_typed_empty(ray_session):
                    query_id=10**9)
     assert got.num_rows == 0
     assert got.schema.names == ["rank", "vec_id"]
+
+
+# --------------------------- next-word / self-join F2 / drawdown
+
+def test_next_word_topk_hand(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.textstats import next_word_topk
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["a b", "a b", "a c", "b z", "x y"], pa.string()),
+    }))
+    got = next_word_topk(ds, top_m=2, k=2).to_pandas()
+    # prefix totals (non-final positions): a=3, b=1, x=1 → top-2 by
+    # (total DESC, w1 ASC) = a, b
+    a = got[got["w1"] == "a"]
+    assert a["w2"].tolist() == ["b", "c"]  # counts 2, 1
+    assert a["n"].tolist() == [2, 1]
+    assert got[got["w1"] == "b"]["w2"].tolist() == ["z"]
+    assert "x" not in set(got["w1"])
+
+
+def test_next_word_topk_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+    from fluent_server_ray.stages.textstats import next_word_topk_sql
+
+    got = entry.queries()["doc_next_words"](SF_SMALL).to_pandas()
+    con = _duck(SF_SMALL, ["documents"])
+    want = con.execute(next_word_topk_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_selfjoin_size_hand(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.features import selfjoin_size
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, None], pa.int64())}))
+    got = selfjoin_size(ds).to_pandas()
+    assert got["n_rows"].iloc[0] == 6          # NULL excluded
+    assert got["n_keys"].iloc[0] == 3
+    assert got["f2"].iloc[0] == 9 + 4 + 1
+    assert got["avg_matches_per_row"].iloc[0] == 14.0 / 6.0
+
+
+def test_max_drawdown_hand(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.features import max_drawdown_by_group
+
+    # daily cents: +500, -300, +100 → cum 500,200,300; peak 500,500,500
+    # → drawdown 0,300,200 → max 300 on day 1
+    base = pd.Timestamp("2024-01-01")
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 3, pa.string()),
+        "value": pa.array([5.0, -3.0, 1.0]),
+        "ts": pa.array([base, base + pd.Timedelta(days=1),
+                        base + pd.Timedelta(days=2)], pa.timestamp("us")),
+    }))
+    got = max_drawdown_by_group(ds).to_pandas()
+    assert got["max_drawdown_cents"].iloc[0] == 300
+    assert got["trough_day"].iloc[0] == int(
+        (base + pd.Timedelta(days=1)).timestamp() // 86400)
+    assert got["n_days"].iloc[0] == 3
+
+
+def test_f2_and_drawdown_match_duckdb(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.features import (
+        max_drawdown_by_group, max_drawdown_by_group_sql, selfjoin_size,
+        selfjoin_size_sql)
+
+    con = _duck(SF_SMALL, ["events"])
+    got = selfjoin_size(
+        read_parquet_clean(f"{SF_SMALL}/events.parquet",
+                           columns=["user_id"])).to_pandas()
+    want = con.execute(selfjoin_size_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    got = max_drawdown_by_group(
+        read_parquet_clean(f"{SF_SMALL}/events.parquet",
+                           columns=["event_type", "value", "ts"])
+    ).to_pandas()
+    want = con.execute(max_drawdown_by_group_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
