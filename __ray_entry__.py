@@ -4386,6 +4386,26 @@ def _q_nb_langid(sf_dir: str):
     return naive_bayes_classify(_docs(sf_dir))
 
 
+RT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "tag"]
+RT_ADD = {"msg_len": ("len", "text"), "ts_hour": ("hour", "ts"),
+          "tag_head": ("segment", "tag", ".", 0),
+          "role_tool": ("concat", ["role", "tool"], ":")}
+RT_RENAME = {"tool": "tool_name"}
+RT_REMOVE = ["text"]
+
+
+def _q_record_transform(sf_dir: str):
+    """fluentd record_transformer over the routed transcripts:
+    declarative add/rename/remove — one zero-copy map stage generated
+    from the same spec as the SQL mirror."""
+    from fluent_server_ray.pipelines.flagship import build_routed
+    from fluent_server_ray.stages.fields import record_transform
+
+    routed = build_routed(sf_dir, columns=RT_COLS)
+    return record_transform(routed, add=RT_ADD, rename=RT_RENAME,
+                            remove=RT_REMOVE)
+
+
 def _q_next_words(sf_dir: str):
     """Bigram-LM next-word suggestions for the top prefix words — one
     pair pass, distributed merge, prefix totals folded out."""
@@ -4909,6 +4929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_next_words": _q_next_words,
         "events_selfjoin_size": _q_selfjoin_size,
         "events_max_drawdown": _q_max_drawdown,
+        "transcripts_record_transform": _q_record_transform,
     }
 
 
@@ -5718,4 +5739,9 @@ WITH toks AS (
         "doc_next_words": textstats.next_word_topk_sql(),
         "events_selfjoin_size": features.selfjoin_size_sql(),
         "events_max_drawdown": features.max_drawdown_by_group_sql(),
+        "transcripts_record_transform": (
+            oracle.with_pipeline_ctes() + "\nSELECT "
+            + fields.record_transform_select_sql(
+                RT_COLS, add=RT_ADD, rename=RT_RENAME, remove=RT_REMOVE)
+            + " FROM routed"),
     }

@@ -197,7 +197,8 @@ def run_once() -> dict:
                   "token_graph_kcore", "events_mannwhitney_pairs",
                   "user_km_survival", "events_twap",
                   "orders_reconciliation", "user_churn_labels",
-                  "doc_autocomplete_topk"):
+                  "doc_autocomplete_topk", "nation_revenue_q5",
+                  "doc_nb_langid", "multimodal_phash_dupes"):
         # best-of-2: the box shows time-varying hypervisor steal
         # (BASELINE.md "round-4 end-of-round confirm"); the min of
         # two reps estimates the true cost like flagship's min-of-3.

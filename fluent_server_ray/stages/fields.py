@@ -575,3 +575,97 @@ JOIN cnt cb ON cb.day = p.day_b
 LEFT JOIN com ON com.day_a = p.day_a AND com.day_b = p.day_b
 ORDER BY p.day_a
 """.strip()
+
+
+# ------------------------------------- record_transformer (fluentd)
+
+# computed-field mini-language — the vectorizable core of fluentd's
+# filter_record_transformer (reference-adjacent: fluentd's
+# record_transformer templates `${record["x"]}`; here each add is a
+# declared op so both the engine map and the SQL mirror generate from
+# ONE spec):
+#   ("len", col)                 → character length (NULL-propagating)
+#   ("hour", ts_col)             → hour-of-day of a timestamp
+#   ("segment", col, delim, i)   → i-th delim-segment (NULL when absent)
+#   ("concat", [col_a, col_b], sep) → a ∥ sep ∥ b (NULL if either NULL)
+#   ("const", value)             → constant string
+
+def record_transform(ds, add: dict[str, tuple] | None = None,
+                     rename: dict[str, str] | None = None,
+                     remove: list[str] | None = None):
+    """Declarative add/rename/remove record reshaping — fluentd's
+    ``filter_record_transformer`` as ONE zero-copy ``map_batches``
+    stage: every computed field is a vectorized Arrow/pandas kernel,
+    adds append in spec order, renames and removals are pure schema
+    ops. Returns a Dataset."""
+    import pandas as pd
+
+    add = dict(add or {})
+    rename = dict(rename or {})
+    remove = list(remove or [])
+
+    def apply(t: pa.Table) -> pa.Table:
+        for name, spec in add.items():
+            op = spec[0]
+            if op == "len":
+                col = pc.cast(pc.utf8_length(t[spec[1]]), pa.int64())
+            elif op == "hour":
+                col = pc.cast(pc.hour(t[spec[1]]), pa.int64())
+            elif op == "segment":
+                _, src, delim, idx = spec
+                s = t[src].to_pandas().str.split(delim, regex=False).str[idx]
+                col = pa.array(s.where(pd.notna(s), None), pa.string())
+            elif op == "concat":
+                _, srcs, sep = spec
+                col = pc.binary_join_element_wise(
+                    *[pc.cast(t[c], pa.string()) for c in srcs], sep)
+            elif op == "const":
+                col = pa.array([spec[1]] * len(t), pa.string())
+            else:
+                raise ValueError(f"record_transform: unknown op {op!r}")
+            t = t.append_column(name, col)
+        for old, new in rename.items():
+            t = t.rename_columns([new if c == old else c
+                                  for c in t.column_names])
+        if remove:
+            t = t.drop_columns(remove)
+        return t
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def record_transform_select_sql(input_cols: list[str],
+                                add: dict[str, tuple] | None = None,
+                                rename: dict[str, str] | None = None,
+                                remove: list[str] | None = None) -> str:
+    """The SELECT list mirroring :func:`record_transform` over the same
+    input columns — generated from the SAME spec so the two can't
+    drift."""
+    add = dict(add or {})
+    rename = dict(rename or {})
+    remove = set(remove or [])
+    cols = []
+    for c in input_cols:
+        if c in remove:
+            continue
+        cols.append(f"{c} AS {rename[c]}" if c in rename else c)
+    for name, spec in add.items():
+        op = spec[0]
+        if op == "len":
+            expr = f"CAST(length({spec[1]}) AS BIGINT)"
+        elif op == "hour":
+            expr = f"CAST(hour({spec[1]}) AS BIGINT)"
+        elif op == "segment":
+            _, src, delim, idx = spec
+            expr = f"string_split({src}, '{delim}')[{idx + 1}]"
+        elif op == "concat":
+            _, srcs, sep = spec
+            expr = f" || '{sep}' || ".join(
+                f"CAST({c} AS VARCHAR)" for c in srcs)
+        elif op == "const":
+            expr = f"'{spec[1]}'"
+        else:
+            raise ValueError(f"record_transform_select_sql: {op!r}")
+        cols.append(f"{expr} AS {name}")
+    return ", ".join(cols)

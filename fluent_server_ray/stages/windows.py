@@ -1001,7 +1001,9 @@ WITH v AS (
   FROM {table}
 )
 SELECT {id_col}, {key_col},
-  sum(vm) OVER w AS roll_sum_micros,
+  -- CAST: sum(BIGINT) is HUGEINT, which pandas fetches as float64
+  -- ("6550000.0" vs the engine's "6550000" under the CSV hash)
+  CAST(sum(vm) OVER w AS BIGINT) AS roll_sum_micros,
   count(vm) OVER w AS roll_n,
   CAST(sum(vm) OVER w AS DOUBLE) / nullif(count(vm) OVER w, 0)
     AS roll_mean

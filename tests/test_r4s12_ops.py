@@ -670,3 +670,53 @@ def test_f2_and_drawdown_match_duckdb(ray_session):
     ).to_pandas()
     want = con.execute(max_drawdown_by_group_sql()).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------- record_transformer
+
+def test_record_transform_hand(ray_session):
+    import ray.data as rd
+    from fluent_server_ray.stages.fields import record_transform
+
+    ds = rd.from_arrow(pa.table({
+        "tag": pa.array(["a.b.c", "solo", None], pa.string()),
+        "text": pa.array(["hello", None, "x"], pa.string()),
+        "role": pa.array(["user", "agent", "user"], pa.string()),
+        "tool": pa.array(["search", None, "calc"], pa.string()),
+        "ts": pa.array([pd.Timestamp("2024-01-01 13:45"),
+                        pd.Timestamp("2024-01-02 00:05"),
+                        pd.Timestamp("2024-01-03 23:59")],
+                       pa.timestamp("us")),
+    }))
+    got = record_transform(
+        ds,
+        add={"msg_len": ("len", "text"), "ts_hour": ("hour", "ts"),
+             "tag_head": ("segment", "tag", ".", 0),
+             "role_tool": ("concat", ["role", "tool"], ":")},
+        rename={"tool": "tool_name"},
+        remove=["text"],
+    ).to_pandas()
+    assert "text" not in got.columns and "tool" not in got.columns
+    assert got["tool_name"].tolist() == ["search", None, "calc"]
+    assert got["msg_len"].tolist() == [5, None, 1] or \
+        [None if pd.isna(x) else int(x)
+         for x in got["msg_len"]] == [5, None, 1]
+    assert got["ts_hour"].tolist() == [13, 0, 23]
+    assert got["tag_head"].tolist() == ["a", "solo", None]
+    # concat propagates NULL (SQL || semantics)
+    assert got["role_tool"].tolist() == ["user:search", None, "user:calc"]
+
+
+def test_record_transform_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    got = entry.queries()["transcripts_record_transform"](
+        SF_SMALL).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+    con = _duck(SF_SMALL, ["events"])
+    want = con.execute(entry.oracle_sql()[
+        "transcripts_record_transform"]).df().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
