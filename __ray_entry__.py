@@ -4394,6 +4394,26 @@ RT_RENAME = {"tool": "tool_name"}
 RT_REMOVE = ["text"]
 
 
+def _q_late_priority_counts(sf_dir: str):
+    """TPC-H Q4 shape: per-priority count of orders with a line shipped
+    >90 days after the order date — pushed quarter filter, one
+    orderkey-bucketed join, late-filter-then-distinct semi-join."""
+    from fluent_server_ray.pipelines.relational import \
+        late_order_priority_counts
+
+    return late_order_priority_counts(sf_dir)
+
+
+def _q_disjunctive_band_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs brand/size/quantity
+    predicate — part attrs broadcast once, map-side disjunct masks,
+    2-int partials."""
+    from fluent_server_ray.pipelines.relational import \
+        disjunctive_band_revenue
+
+    return disjunctive_band_revenue(sf_dir)
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -4930,6 +4950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_selfjoin_size": _q_selfjoin_size,
         "events_max_drawdown": _q_max_drawdown,
         "transcripts_record_transform": _q_record_transform,
+        "orders_priority_late": _q_late_priority_counts,
+        "lineitem_band_revenue_q19": _q_disjunctive_band_revenue,
     }
 
 
@@ -5744,4 +5766,6 @@ WITH toks AS (
             + fields.record_transform_select_sql(
                 RT_COLS, add=RT_ADD, rename=RT_RENAME, remove=RT_REMOVE)
             + " FROM routed"),
+        "orders_priority_late": rel.late_order_priority_counts_sql(),
+        "lineitem_band_revenue_q19": rel.disjunctive_band_revenue_sql(),
     }

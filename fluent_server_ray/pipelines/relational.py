@@ -2475,3 +2475,186 @@ SELECT o_year,
     / CAST(sum(cents) AS DOUBLE) AS mkt_share
 FROM x GROUP BY o_year ORDER BY o_year
 """.strip()
+
+
+# ------------------------------------------- Q4 order priority checking
+
+Q4_FROM = "1996-01-01 00:00:00"
+Q4_TO = "1996-04-01 00:00:00"
+Q4_LATE_DAYS = 90
+
+
+def late_order_priority_counts(sf_dir: str, date_from: str = Q4_FROM,
+                               date_to: str = Q4_TO,
+                               late_days: int = Q4_LATE_DAYS,
+                               n_buckets: int = 32) -> pa.Table:
+    """Order-priority checking (TPC-H Q4 shape): per-priority count of
+    orders placed in a quarter with at least one line shipped more than
+    ``late_days`` after the order date — the classic EXISTS semi-join.
+
+    Exact-integer predicate: both timestamps cast to int64 microseconds
+    and compared against an integer day offset, so the engine and the
+    SQL mirror (`l_shipdate > o_orderdate + INTERVAL d DAY`) can never
+    disagree at the boundary.
+
+    Scale shape: the quarter predicate pushes into the orders read; ONE
+    orderkey-bucketed hash join co-locates lines with their order; the
+    late filter drops everything else BEFORE the distinct exchange, so
+    the semi-join dedup shuffles only (orderkey, priority) pairs of
+    late rows, pre-collapsed per batch (unbounded keyspace →
+    ``grouped_agg(final='ray')``); the per-priority count is a bounded
+    combiner (≤5 keys)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    grouped_counts,
+                                                    skip_empty)
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    f = _dt.datetime.fromisoformat(date_from)
+    to = _dt.datetime.fromisoformat(date_to)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= f)
+        & (pads.field("o_orderdate") < to))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    joined = bucketed_hash_join(orders, li, key="o_orderkey",
+                                right_key="l_orderkey",
+                                n_buckets=n_buckets)
+    off_us = int(late_days) * 86_400_000_000
+
+    def late_pairs(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        odate = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                        pa.int64())
+        keep = pc.greater(ship, pc.add(odate, off_us))
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderpriority": pc.cast(t["o_orderpriority"], pa.string()),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    pairs = joined.map_batches(skip_empty(late_pairs),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+    distinct = grouped_agg(pairs, ["o_orderkey", "o_orderpriority"],
+                           [("one", "max")], final="ray")
+    out = grouped_counts(distinct, ["o_orderpriority"])
+    out = pa.table({
+        "o_orderpriority": out["o_orderpriority"],
+        "n_late_orders": pc.cast(out["n"], pa.int64()),
+    })
+    return out.sort_by([("o_orderpriority", "ascending")])
+
+
+def late_order_priority_counts_sql(date_from: str = Q4_FROM,
+                                   date_to: str = Q4_TO,
+                                   late_days: int = Q4_LATE_DAYS) -> str:
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{date_from}'
+  AND o.o_orderdate < TIMESTAMP '{date_to}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".strip()
+
+
+# ------------------------------------------ Q19 disjunctive band revenue
+
+Q19_BANDS: tuple[tuple[str, int, int, float, float], ...] = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#1", 1, 15, 1.0, 11.0),
+    ("Brand#2", 1, 25, 10.0, 20.0),
+    ("Brand#3", 1, 35, 20.0, 30.0),
+)
+
+
+def disjunctive_band_revenue(sf_dir: str,
+                             bands=Q19_BANDS) -> pa.Table:
+    """Discounted revenue under an OR-of-ANDs predicate (TPC-H Q19
+    shape): each disjunct constrains part brand, part size band and
+    line quantity band; revenue is summed over lines matching ANY
+    disjunct.
+
+    Scale shape: part is a bounded dim table — its (partkey → brand,
+    size) attributes broadcast ONCE via ``ray.put`` and every disjunct
+    evaluates map-side as a vectorized mask (one ``index_in`` per
+    batch, no join, no shuffle); each block emits a 2-int partial and
+    the driver sums. Quantity compares happen on the stored doubles —
+    identical comparisons both engines."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_size"])
+    part_ref = ray.put((
+        pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+        part["p_brand"].combine_chunks(),
+        pc.cast(part["p_size"], pa.int64()).combine_chunks(),
+    ))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkey, brand, size = ray.get(part_ref)
+        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()),
+                          value_set=pkey)
+        b = pc.take(brand, pos)
+        s = pc.take(size, pos)
+        qty = t["l_quantity"]
+        keep = None
+        for br, lo, hi, qlo, qhi in bands:
+            m = pc.and_(
+                pc.and_(pc.equal(b, br),
+                        pc.and_(pc.greater_equal(s, lo),
+                                pc.less_equal(s, hi))),
+                pc.and_(pc.greater_equal(qty, qlo),
+                        pc.less_equal(qty, qhi)))
+            keep = m if keep is None else pc.or_(keep, m)
+        t = t.filter(pc.fill_null(keep, False))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(1.0, t["l_discount"]))
+        rev = int(pc.sum(_cents(disc)).as_py() or 0)
+        return pa.table({"rev": pa.array([rev], pa.int64()),
+                         "n": pa.array([len(t)], pa.int64())})
+
+    rev = n = 0
+    for blk in li.map_batches(skip_empty(partial), batch_format="pyarrow",
+                              zero_copy_batch=True).iter_batches(
+                                  batch_size=None, batch_format="pyarrow"):
+        if blk.num_rows:
+            rev += int(pc.sum(blk["rev"]).as_py() or 0)
+            n += int(pc.sum(blk["n"]).as_py() or 0)
+    return pa.table({"revenue_cents": pa.array([rev], pa.int64()),
+                     "n_lines": pa.array([n], pa.int64())})
+
+
+def disjunctive_band_revenue_sql(bands=Q19_BANDS) -> str:
+    disj = "\n   OR ".join(
+        f"(p.p_brand = '{br}' AND p.p_size BETWEEN {lo} AND {hi}"
+        f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for br, lo, hi, qlo, qhi in bands)
+    return f"""
+SELECT
+  CAST(coalesce(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+      * 100.0) AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {disj}
+""".strip()

@@ -1,0 +1,121 @@
+"""Hand-computed pins + DuckDB parity for the session-13 TPC-H shapes:
+Q4 late-order priority counts, Q19 disjunctive band revenue."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def _duck(sf_dir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _cmp(ray_df, duck_df):
+    assert sorted(ray_df.columns) == sorted(duck_df.columns)
+    cols = sorted(ray_df.columns)
+    a = ray_df[cols].sort_values(cols).reset_index(drop=True)
+    b = duck_df[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ----------------------------------------------- Q4 late-order counts
+
+def _write_q4(tmp_path):
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array(
+            [_ts("1996-01-10"), _ts("1996-02-01"), _ts("1996-03-01"),
+             _ts("1995-06-01")],  # order 4 outside the window
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "1-URGENT", "5-LOW", "1-URGENT"], pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        # order 1: two late lines (still ONE order); order 2: exactly
+        # 90 days -> NOT late (strict >); order 3: 91 days -> late;
+        # order 4: late but outside the date window.
+        "l_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "l_shipdate": pa.array(
+            [_ts("1996-06-01"), _ts("1997-01-01"), _ts("1996-05-01"),
+             _ts("1996-05-31"), _ts("1999-01-01")],
+            pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def test_q4_hand_pin(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import \
+        late_order_priority_counts
+
+    _write_q4(tmp_path)
+    out = late_order_priority_counts(
+        str(tmp_path), date_from="1996-01-01 00:00:00",
+        date_to="1996-04-01 00:00:00", late_days=90).to_pandas()
+    assert out.to_dict("records") == [
+        {"o_orderpriority": "1-URGENT", "n_late_orders": 1},
+        {"o_orderpriority": "5-LOW", "n_late_orders": 1},
+    ]
+
+
+def test_q4_matches_oracle(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        late_order_priority_counts, late_order_priority_counts_sql)
+
+    ray_df = late_order_priority_counts(SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["orders", "lineitem"]).execute(
+        late_order_priority_counts_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
+
+
+# --------------------------------------------- Q19 disjunctive revenue
+
+def _write_q19(tmp_path):
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#9"],
+                            pa.string()),
+        "p_size": pa.array([5, 30, 1], pa.int64()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        # line 1: brand 1, size 5 in [1,15], qty 11 at band edge -> in;
+        # line 2: brand 1 but qty 12 outside [1,11] -> out;
+        # line 3: brand 2 but size 30 outside [1,25] -> out;
+        # line 4: brand 9 matches no disjunct -> out.
+        "l_partkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_quantity": pa.array([11.0, 12.0, 15.0, 25.0]),
+        "l_extendedprice": pa.array([100.0, 100.0, 100.0, 100.0]),
+        "l_discount": pa.array([0.25, 0.0, 0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def test_q19_hand_pin(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import \
+        disjunctive_band_revenue
+
+    _write_q19(tmp_path)
+    out = disjunctive_band_revenue(str(tmp_path)).to_pandas()
+    # 100 * 0.75 = 75.00 -> 7500 cents, one qualifying line
+    assert out.to_dict("records") == [
+        {"revenue_cents": 7500, "n_lines": 1}]
+
+
+def test_q19_matches_oracle(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        disjunctive_band_revenue, disjunctive_band_revenue_sql)
+
+    ray_df = disjunctive_band_revenue(SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["lineitem", "part"]).execute(
+        disjunctive_band_revenue_sql()).df()
+    assert int(ray_df["n_lines"][0]) > 0
+    _cmp(ray_df, duck_df)
