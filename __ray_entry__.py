@@ -4414,6 +4414,25 @@ def _q_disjunctive_band_revenue(sf_dir: str):
     return disjunctive_band_revenue(sf_dir)
 
 
+def _q_nation_year_profit(sf_dir: str):
+    """TPC-H Q9 shape: per (supplier nation, ship year) profit over
+    name-matched parts — part + supplier maps broadcast once, map-side
+    lookups, bounded (nation, year) combiner."""
+    from fluent_server_ray.pipelines.relational import nation_year_profit
+
+    return nation_year_profit(sf_dir)
+
+
+def _q_part_revenue_important(sf_dir: str):
+    """TPC-H Q11 shape: parts whose revenue exceeds 2x the mean
+    per-part revenue — per-part combiner rollup, integer scalar
+    threshold on the driver."""
+    from fluent_server_ray.pipelines.relational import \
+        part_revenue_important
+
+    return part_revenue_important(sf_dir)
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -4952,6 +4971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_record_transform": _q_record_transform,
         "orders_priority_late": _q_late_priority_counts,
         "lineitem_band_revenue_q19": _q_disjunctive_band_revenue,
+        "nation_year_profit_q9": _q_nation_year_profit,
+        "part_revenue_important": _q_part_revenue_important,
     }
 
 
@@ -5768,4 +5789,6 @@ WITH toks AS (
             + " FROM routed"),
         "orders_priority_late": rel.late_order_priority_counts_sql(),
         "lineitem_band_revenue_q19": rel.disjunctive_band_revenue_sql(),
+        "nation_year_profit_q9": rel.nation_year_profit_sql(),
+        "part_revenue_important": rel.part_revenue_important_sql(),
     }

@@ -2658,3 +2658,175 @@ SELECT
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE {disj}
 """.strip()
+
+
+# ---------------------------------------------- Q9 product-type profit
+
+Q9_NAME_WORD = "widget"
+
+
+def nation_year_profit(sf_dir: str,
+                       name_word: str = Q9_NAME_WORD) -> pa.Table:
+    """Product-type profit measure (TPC-H Q9 shape): per (supplier
+    nation, ship year) profit over parts whose name contains a word,
+    with profit = discounted revenue minus a retail-priced quantity
+    cost (`p_retailprice·l_quantity·0.5` stands in for the missing
+    partsupp supplycost — the testdata schema carries no partsupp).
+
+    Exact-integer money: revenue and cost each round to cents per row
+    with the same float tree as the SQL mirror
+    (``round(ep*(1-d)*100)``, ``round((retail*qty)*50)``), then only
+    integer sums.
+
+    Scale shape: part and supplier are bounded dim tables — the
+    name-matched (partkey → retailprice) map and the (suppkey →
+    nation name) map broadcast ONCE via ``ray.put``; the part filter
+    and both lookups apply map-side (two ``index_in`` per batch, no
+    join, no shuffle); blocks collapse to (nation, year)-keyed partials
+    (≤ |nations|·|years| rows per block) and merge on the driver."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name",
+                                   "p_retailprice"])
+    part = part.filter(pc.match_substring(part["p_name"], name_word))
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    snames = pa.array([name_of[k] for k in
+                       sup["s_nationkey"].to_pylist()], pa.string())
+    bcast = ray.put((
+        pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+        part["p_retailprice"].combine_chunks(),
+        pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks(),
+        snames,
+    ))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkey, retail, skey, snat = ray.get(bcast)
+        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()),
+                          value_set=pkey)
+        keep = pc.is_valid(pos)
+        t = t.filter(keep)
+        pos = pos.filter(keep)
+        r = pc.take(retail, pos)
+        spos = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()),
+                           value_set=skey)
+        nation = pc.take(snat, spos)
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(1.0, t["l_discount"])))
+        cost = pc.cast(
+            pc.round(pc.multiply(pc.multiply(r, t["l_quantity"]), 50.0),
+                     round_mode="half_towards_infinity"), pa.int64())
+        prep = pa.table({
+            "n_name": nation,
+            "o_year": pc.cast(pc.year(pc.cast(t["l_shipdate"],
+                                              pa.timestamp("us"))),
+                              pa.int64()),
+            "profit_cents": pc.subtract(rev, cost),
+        })
+        out = prep.group_by(["n_name", "o_year"]).aggregate(
+            [("profit_cents", "sum")])
+        return out.rename_columns(["n_name", "o_year", "profit_cents"])
+
+    out = grouped_agg(li.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["n_name", "o_year"], [("profit_cents", "sum")])
+    out = pa.table({
+        "n_name": out["n_name"],
+        "o_year": pc.cast(out["o_year"], pa.int64()),
+        "profit_cents": pc.cast(out["profit_cents_sum"], pa.int64()),
+    })
+    return out.sort_by([("n_name", "ascending"),
+                        ("o_year", "descending")])
+
+
+def nation_year_profit_sql(name_word: str = Q9_NAME_WORD) -> str:
+    return f"""
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+  CAST(sum(
+    CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)
+    - CAST(round(p_retailprice * l_quantity * 50.0) AS BIGINT))
+  AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%{name_word}%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+ORDER BY n_name, o_year DESC
+""".strip()
+
+
+# --------------------------------------- Q11 important-part screen
+
+def part_revenue_important(sf_dir: str, num: int = 5,
+                           den: int = 4) -> pa.Table:
+    """Important-part identification (TPC-H Q11 shape): parts whose
+    total discounted revenue exceeds ``num/den``× the mean per-part
+    revenue — a grouped rollup filtered by a global scalar threshold
+    computed from the same rollup.
+
+    The threshold compare is pure integers (``den · n_parts · rev >
+    num · total``), so it is scale-free (unlike Q11's fixed fraction,
+    which degenerates as the part count grows) and can never disagree
+    with the SQL mirror at the boundary.
+
+    Scale shape: one lineitem scan collapsing to per-part partials
+    (part keyspace is dim-bounded, so the merged rollup and the scalar
+    threshold live on the driver); no join, no fact shuffle."""
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        prep = pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "rev": _cents(pc.multiply(t["l_extendedprice"],
+                                      pc.subtract(1.0, t["l_discount"]))),
+        })
+        out = prep.group_by(["l_partkey"]).aggregate([("rev", "sum")])
+        return out.rename_columns(["l_partkey", "rev"])
+
+    rolled = grouped_agg(li.map_batches(partial, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         ["l_partkey"], [("rev", "sum")])
+    revs = rolled["rev_sum"].to_pylist()
+    n_parts = len(revs)
+    total = sum(int(r) for r in revs)  # python ints: no 2^53 ceiling
+    keep = pa.array([den * n_parts * int(r) > num * total for r in revs],
+                    pa.bool_())
+    out = pa.table({
+        "l_partkey": pc.cast(rolled["l_partkey"], pa.int64()),
+        "revenue_cents": pc.cast(rolled["rev_sum"], pa.int64()),
+    }).filter(keep)
+    return out.sort_by([("revenue_cents", "descending"),
+                        ("l_partkey", "ascending")])
+
+
+def part_revenue_important_sql(num: int = 5, den: int = 4) -> str:
+    return f"""
+WITH pr AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+        AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, revenue_cents
+FROM pr
+WHERE {den} * (SELECT count(*) FROM pr) * revenue_cents
+      > {num} * (SELECT sum(revenue_cents) FROM pr)
+ORDER BY revenue_cents DESC, l_partkey
+""".strip()

