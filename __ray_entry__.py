@@ -4433,6 +4433,26 @@ def _q_part_revenue_important(sf_dir: str):
     return part_revenue_important(sf_dir)
 
 
+def _q_part_attr_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) with
+    brand/type and NOT-IN supplier exclusions — broadcast dims,
+    map-side exclusions, dim-bounded distinct exchange."""
+    from fluent_server_ray.pipelines.relational import \
+        part_attr_supplier_counts
+
+    return part_attr_supplier_counts(sf_dir)
+
+
+def _q_excess_share_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers shipping >50% of a name-matched
+    part's yearly quantity — nested-IN with a correlated integer
+    threshold inside one partkey-bucket exchange."""
+    from fluent_server_ray.pipelines.relational import \
+        excess_share_suppliers
+
+    return excess_share_suppliers(sf_dir)
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -4973,6 +4993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_band_revenue_q19": _q_disjunctive_band_revenue,
         "nation_year_profit_q9": _q_nation_year_profit,
         "part_revenue_important": _q_part_revenue_important,
+        "part_supplier_counts_q16": _q_part_attr_supplier_counts,
+        "supplier_excess_share_q20": _q_excess_share_suppliers,
     }
 
 
@@ -5791,4 +5813,6 @@ WITH toks AS (
         "lineitem_band_revenue_q19": rel.disjunctive_band_revenue_sql(),
         "nation_year_profit_q9": rel.nation_year_profit_sql(),
         "part_revenue_important": rel.part_revenue_important_sql(),
+        "part_supplier_counts_q16": rel.part_attr_supplier_counts_sql(),
+        "supplier_excess_share_q20": rel.excess_share_suppliers_sql(),
     }

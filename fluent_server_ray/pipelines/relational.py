@@ -2830,3 +2830,224 @@ WHERE {den} * (SELECT count(*) FROM pr) * revenue_cents
       > {num} * (SELECT sum(revenue_cents) FROM pr)
 ORDER BY revenue_cents DESC, l_partkey
 """.strip()
+
+
+# ----------------------------------- Q16 supplier counts by part attrs
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_EXCL_TYPE = "PROMO"
+Q16_EXCL_BAL = 2000.0
+
+
+def part_attr_supplier_counts(sf_dir: str,
+                              excl_brand: str = Q16_EXCL_BRAND,
+                              excl_type: str = Q16_EXCL_TYPE,
+                              excl_bal: float = Q16_EXCL_BAL) -> pa.Table:
+    """Parts/supplier relationship (TPC-H Q16 shape): how many distinct
+    suppliers shipped parts of each (brand, type, size), excluding one
+    brand, one type, and suppliers below an account-balance floor (the
+    NOT-IN exclusion list — the testdata carries no supplier comments,
+    so the balance stands in for Q16's complaint filter).
+
+    Scale shape: part and the exclusion list are bounded dim tables,
+    broadcast ONCE via ``ray.put``; the attribute lookup, both part
+    exclusions and the supplier NOT-IN apply map-side; each batch
+    pre-collapses to distinct (brand, type, size, suppkey) tuples, the
+    distinct exchange is over that dim×dim-bounded keyspace
+    (``grouped_agg(final='ray')``), and the per-attr count is a bounded
+    combiner."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    grouped_counts,
+                                                    skip_empty)
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_type",
+                                   "p_size"])
+    part = part.filter(pc.and_(
+        pc.not_equal(part["p_brand"], excl_brand),
+        pc.not_equal(part["p_type"], excl_type)))
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+    excl = sup.filter(pc.less(sup["s_acctbal"], excl_bal))
+    bcast = ray.put((
+        pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+        part["p_brand"].combine_chunks(),
+        part["p_type"].combine_chunks(),
+        pc.cast(part["p_size"], pa.int64()).combine_chunks(),
+        pc.cast(excl["s_suppkey"], pa.int64()).combine_chunks(),
+    ))
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        pkey, brand, ptype, size, bad = ray.get(bcast)
+        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()),
+                          value_set=pkey)
+        supp = pc.cast(t["l_suppkey"], pa.int64())
+        keep = pc.and_(pc.is_valid(pos),
+                       pc.invert(pc.is_in(supp, value_set=bad)))
+        pos = pos.filter(keep)
+        supp = supp.filter(keep)
+        prep = pa.table({
+            "p_brand": pc.take(brand, pos),
+            "p_type": pc.take(ptype, pos),
+            "p_size": pc.take(size, pos),
+            "l_suppkey": supp,
+            "one": pa.array(np.ones(len(supp), np.int64)),
+        })
+        out = prep.group_by(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate(
+                [("one", "max")])
+        return out.rename_columns(
+            ["p_brand", "p_type", "p_size", "l_suppkey", "one"])
+
+    pairs = li.map_batches(skip_empty(distinct_partial),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    distinct = grouped_agg(pairs,
+                           ["p_brand", "p_type", "p_size", "l_suppkey"],
+                           [("one", "max")], final="ray")
+    out = grouped_counts(distinct, ["p_brand", "p_type", "p_size"])
+    out = pa.table({
+        "p_brand": out["p_brand"],
+        "p_type": out["p_type"],
+        "p_size": pc.cast(out["p_size"], pa.int64()),
+        "supplier_cnt": pc.cast(out["n"], pa.int64()),
+    })
+    return out.sort_by([("supplier_cnt", "descending"),
+                        ("p_brand", "ascending"),
+                        ("p_type", "ascending"),
+                        ("p_size", "ascending")])
+
+
+def part_attr_supplier_counts_sql(excl_brand: str = Q16_EXCL_BRAND,
+                                  excl_type: str = Q16_EXCL_TYPE,
+                                  excl_bal: float = Q16_EXCL_BAL) -> str:
+    return f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{excl_brand}' AND p_type <> '{excl_type}'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {excl_bal})
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""".strip()
+
+
+# ------------------------------------ Q20 excess-share part shippers
+
+Q20_FROM = "1997-01-01 00:00:00"
+Q20_TO = "1998-01-01 00:00:00"
+
+
+def excess_share_suppliers(sf_dir: str, name_word: str = Q9_NAME_WORD,
+                           date_from: str = Q20_FROM,
+                           date_to: str = Q20_TO,
+                           n_buckets: int = 32) -> pa.Table:
+    """Dominant-shipper screen (TPC-H Q20 shape): suppliers that
+    shipped MORE THAN HALF of some name-matched part's total quantity
+    in a shipping year — the nested-IN with a correlated per-part
+    threshold (Q20's ``availqty > 0.5·sum(qty)`` recast against the
+    shipped side; the testdata carries no partsupp).
+
+    Exact-integer predicate: ``2·supp_part_qty_cents >
+    part_total_qty_cents`` — both int64.
+
+    Scale shape: the year predicate pushes into the read and the
+    name-matched partkey set broadcasts ONCE; each batch pre-collapses
+    to (partkey, suppkey) quantity partials; ONE partkey-bucket
+    exchange co-locates a part's partials so its total and the 50%
+    screen are bucket-local; survivors are distinct suppkeys (dim-
+    bounded → driver dedup + name lookup)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.groups import map_buckets
+    from fluent_server_ray.stages.joins import _with_bucket
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    part = part.filter(pc.match_substring(part["p_name"], name_word))
+    pkeys_ref = ray.put(
+        pc.cast(part["p_partkey"], pa.int64()).combine_chunks())
+
+    f = _dt.datetime.fromisoformat(date_from)
+    to = _dt.datetime.fromisoformat(date_to)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= f)
+        & (pads.field("l_shipdate") < to))
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        pkeys = ray.get(pkeys_ref)
+        keep = pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
+                        value_set=pkeys)
+        t = t.filter(keep)
+        prep = pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "qty_cents": _cents(t["l_quantity"]),
+        })
+        out = prep.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("qty_cents", "sum")])
+        return out.rename_columns(["l_partkey", "l_suppkey",
+                                   "qty_cents"])
+
+    partials = _with_bucket(
+        li.map_batches(skip_empty(qty_partial), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_partkey", n_buckets)
+
+    winner_schema = pa.schema([pa.field("l_suppkey", pa.int64())])
+
+    def dominant(g: pd.DataFrame) -> pd.DataFrame:
+        sp = (g.groupby(["l_partkey", "l_suppkey"])["qty_cents"].sum()
+              .reset_index())
+        tot = sp.groupby("l_partkey")["qty_cents"].transform("sum")
+        win = sp[2 * sp["qty_cents"] > tot]
+        return pd.DataFrame(
+            {"l_suppkey": win["l_suppkey"].unique().astype("int64")})
+
+    winners = map_buckets(partials, dominant, winner_schema)
+    supp_ids = sorted({int(s) for b in winners.iter_batches(
+        batch_size=None, batch_format="pyarrow")
+        for s in b["l_suppkey"].to_pylist()})
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    name_of = dict(zip(pc.cast(sup["s_suppkey"],
+                               pa.int64()).to_pylist(),
+                       sup["s_name"].to_pylist()))
+    return pa.table({
+        "s_suppkey": pa.array(supp_ids, pa.int64()),
+        "s_name": pa.array([name_of[s] for s in supp_ids], pa.string()),
+    })
+
+
+def excess_share_suppliers_sql(name_word: str = Q9_NAME_WORD,
+                               date_from: str = Q20_FROM,
+                               date_to: str = Q20_TO) -> str:
+    return f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+    sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS s
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+    AND p_name LIKE '%{name_word}%'
+  WHERE l_shipdate >= TIMESTAMP '{date_from}'
+    AND l_shipdate < TIMESTAMP '{date_to}'
+  GROUP BY 1, 2
+), pt AS (SELECT l_partkey, sum(s) AS tot FROM sp GROUP BY 1)
+SELECT DISTINCT s_suppkey, s_name
+FROM sp JOIN pt USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE 2 * s > tot
+ORDER BY s_suppkey
+""".strip()

@@ -205,3 +205,93 @@ def test_q11_matches_oracle(ray_session):
         part_revenue_important_sql()).df()
     assert len(ray_df) > 0
     _cmp(ray_df, duck_df)
+
+
+# ------------------------------------- Q16 supplier counts by attrs
+
+def _write_q16(tmp_path):
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#2", "Brand#2", "Brand#1"],
+                            pa.string()),
+        "p_type": pa.array(["SMALL", "PROMO", "SMALL"], pa.string()),
+        "p_size": pa.array([10, 10, 10], pa.int64()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([7, 8, 9], pa.int64()),
+        "s_acctbal": pa.array([5000.0, 100.0, 3000.0]),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        # part 2 excluded (PROMO), part 3 excluded (Brand#1),
+        # supplier 8 excluded (acctbal < 2000); supplier 7 appears
+        # twice for part 1 -> still ONE distinct supplier.
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8, 9, 7, 7], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def test_q16_hand_pin(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import \
+        part_attr_supplier_counts
+
+    _write_q16(tmp_path)
+    out = part_attr_supplier_counts(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [
+        {"p_brand": "Brand#2", "p_type": "SMALL", "p_size": 10,
+         "supplier_cnt": 2}]
+
+
+def test_q16_matches_oracle(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        part_attr_supplier_counts, part_attr_supplier_counts_sql)
+
+    ray_df = part_attr_supplier_counts(SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["lineitem", "part", "supplier"]).execute(
+        part_attr_supplier_counts_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
+
+
+# --------------------------------------- Q20 excess-share suppliers
+
+def _write_q20(tmp_path):
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt"], pa.string()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([7, 8], pa.int64()),
+        "s_name": pa.array(["S7", "S8"], pa.string()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        # part 1 in-window: supp 7 ships 6 of 10 (>50% -> winner),
+        # supp 8 ships 4; supp 8's dominant row is on part 2 (not
+        # name-matched) and a 1998 row is excluded by the window.
+        "l_partkey": pa.array([1, 1, 1, 2, 1], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8, 8, 8], pa.int64()),
+        "l_quantity": pa.array([4.0, 2.0, 4.0, 9.0, 50.0]),
+        "l_shipdate": pa.array(
+            [_ts("1997-02-01"), _ts("1997-06-01"), _ts("1997-08-01"),
+             _ts("1997-03-01"), _ts("1998-03-01")],
+            pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def test_q20_hand_pin(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import \
+        excess_share_suppliers
+
+    _write_q20(tmp_path)
+    out = excess_share_suppliers(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [{"s_suppkey": 7, "s_name": "S7"}]
+
+
+def test_q20_matches_oracle(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        excess_share_suppliers, excess_share_suppliers_sql)
+
+    ray_df = excess_share_suppliers(SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["lineitem", "part", "supplier"]).execute(
+        excess_share_suppliers_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
