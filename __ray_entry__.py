@@ -4453,6 +4453,26 @@ def _q_excess_share_suppliers(sf_dir: str):
     return excess_share_suppliers(sf_dir)
 
 
+def _q_part_min_price_supplier(sf_dir: str):
+    """TPC-H Q2 shape: per-part groupwise-min regional supplier with
+    tie join-back — broadcast regional suppkey set, dim-bounded
+    (part, supplier) min partials, driver join-back."""
+    from fluent_server_ray.pipelines.relational import \
+        part_min_price_supplier
+
+    return part_min_price_supplier(sf_dir)
+
+
+def _q_sole_late_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: per-supplier count of multi-supplier orders
+    where they were the ONLY late shipper — one orderkey join, one
+    orderkey-bucket screen, bounded supplier merge."""
+    from fluent_server_ray.pipelines.relational import \
+        sole_late_supplier_counts
+
+    return sole_late_supplier_counts(sf_dir)
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -4995,6 +5015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_revenue_important": _q_part_revenue_important,
         "part_supplier_counts_q16": _q_part_attr_supplier_counts,
         "supplier_excess_share_q20": _q_excess_share_suppliers,
+        "part_min_price_supplier_q2": _q_part_min_price_supplier,
+        "supplier_sole_late_q21": _q_sole_late_suppliers,
     }
 
 
@@ -5815,4 +5837,6 @@ WITH toks AS (
         "part_revenue_important": rel.part_revenue_important_sql(),
         "part_supplier_counts_q16": rel.part_attr_supplier_counts_sql(),
         "supplier_excess_share_q20": rel.excess_share_suppliers_sql(),
+        "part_min_price_supplier_q2": rel.part_min_price_supplier_sql(),
+        "supplier_sole_late_q21": rel.sole_late_supplier_counts_sql(),
     }

@@ -3051,3 +3051,231 @@ JOIN supplier ON s_suppkey = l_suppkey
 WHERE 2 * s > tot
 ORDER BY s_suppkey
 """.strip()
+
+
+# ------------------------------------ Q2 groupwise-min regional price
+
+Q2_REGION = "ASIA"
+
+
+def part_min_price_supplier(sf_dir: str,
+                            region: str = Q2_REGION) -> pa.Table:
+    """Minimum-cost supplier (TPC-H Q2 shape): for every part, the
+    supplier(s) inside one region offering the lowest observed line
+    price — the classic groupwise-min with a join-back that keeps ALL
+    tying suppliers (the testdata carries no partsupp, so the observed
+    ``min(l_extendedprice)`` per (part, supplier) stands in for the
+    supply cost).
+
+    Scale shape: region→nation→supplier resolves driver-side (bounded
+    dims) and the regional suppkey set broadcasts ONCE; the lineitem
+    scan collapses per batch to (part, supplier) min-price partials —
+    a dim×dim-bounded keyspace — which merge on the driver where the
+    per-part min and the tie join-back are a tiny Arrow pass. No fact
+    shuffle, no join."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    out_fields = [("p_partkey", pa.int64()), ("p_name", pa.string()),
+                  ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                  ("min_price_cents", pa.int64())]
+    reg = _pq.read_table(f"{sf_dir}/region.parquet",
+                         columns=["r_regionkey", "r_name"])
+    rkeys = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_regionkey"])
+    nkeys = nat.filter(pc.is_in(nat["n_regionkey"],
+                                value_set=rkeys))["n_nationkey"]
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=nkeys))
+    if not len(sup):
+        return pa.schema(out_fields).empty_table()
+    skeys_ref = ray.put(
+        pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks())
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_extendedprice"])
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        skeys = ray.get(skeys_ref)
+        keep = pc.is_in(pc.cast(t["l_suppkey"], pa.int64()),
+                        value_set=skeys)
+        t = t.filter(keep)
+        prep = pa.table({
+            "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "price": _cents(t["l_extendedprice"]),
+        })
+        out = prep.group_by(["p_partkey", "s_suppkey"]).aggregate(
+            [("price", "min")])
+        return out.rename_columns(["p_partkey", "s_suppkey", "price"])
+
+    sp = grouped_agg(li.map_batches(skip_empty(min_partial),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["p_partkey", "s_suppkey"], [("price", "min")])
+    if not len(sp):
+        return pa.schema(out_fields).empty_table()
+    pm = sp.group_by(["p_partkey"]).aggregate([("price_min", "min")])
+    pos = pc.index_in(sp["p_partkey"], value_set=pm["p_partkey"])
+    part_min = pc.take(pm["price_min_min"], pos)
+    sp = sp.filter(pc.equal(sp["price_min"], part_min))
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    pname_of = dict(zip(pc.cast(part["p_partkey"],
+                                pa.int64()).to_pylist(),
+                        part["p_name"].to_pylist()))
+    sname_of = dict(zip(pc.cast(sup["s_suppkey"],
+                                pa.int64()).to_pylist(),
+                        sup["s_name"].to_pylist()))
+    out = pa.table({
+        "p_partkey": sp["p_partkey"],
+        "p_name": pa.array([pname_of[k] for k in
+                            sp["p_partkey"].to_pylist()], pa.string()),
+        "s_suppkey": sp["s_suppkey"],
+        "s_name": pa.array([sname_of[k] for k in
+                            sp["s_suppkey"].to_pylist()], pa.string()),
+        "min_price_cents": pc.cast(sp["price_min"], pa.int64()),
+    })
+    return out.sort_by([("p_partkey", "ascending"),
+                        ("s_suppkey", "ascending")])
+
+
+def part_min_price_supplier_sql(region: str = Q2_REGION) -> str:
+    return f"""
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+    min(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS spmin
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{region}'
+  GROUP BY 1, 2
+), pm AS (SELECT l_partkey, min(spmin) AS pmin FROM sp GROUP BY 1)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+  CAST(sp.spmin AS BIGINT) AS min_price_cents
+FROM sp JOIN pm USING (l_partkey)
+JOIN part p ON p.p_partkey = sp.l_partkey
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+WHERE sp.spmin = pm.pmin
+ORDER BY p.p_partkey, s.s_suppkey
+""".strip()
+
+
+# ----------------------------------------- Q21 sole-late supplier blame
+
+Q21_LATE_DAYS = 60
+
+
+def sole_late_supplier_counts(sf_dir: str,
+                              late_days: int = Q21_LATE_DAYS,
+                              n_buckets: int = 32) -> pa.Table:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): for
+    multi-supplier orders where EXACTLY ONE supplier shipped late
+    (> ``late_days`` after the order date), count the orders each such
+    supplier is solely to blame for — the EXISTS(other supplier) AND
+    NOT EXISTS(other late supplier) double correlation.
+
+    Exact-integer predicate: int64-microsecond compare against an
+    integer day offset, identical to the mirror's INTERVAL arithmetic.
+
+    Scale shape: ONE orderkey-bucketed join attaches the order date;
+    each batch pre-collapses to (orderkey, suppkey, any_late)
+    partials; ONE orderkey-bucket exchange co-locates an order's
+    partials so the distinct/sole-late screen is bucket-local and
+    emits per-supplier partial counts (supplier keyspace dim-bounded →
+    driver merge + name lookup)."""
+    import pyarrow.parquet as _pq
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.groups import map_buckets
+    from fluent_server_ray.stages.joins import _with_bucket, \
+        bucketed_hash_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate"])
+    joined = bucketed_hash_join(orders, li, key="o_orderkey",
+                                right_key="l_orderkey",
+                                n_buckets=n_buckets)
+    off_us = int(late_days) * 86_400_000_000
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                       pa.int64())
+        odate = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                        pa.int64())
+        late = pc.cast(pc.greater(ship, pc.add(odate, off_us)),
+                       pa.int64())
+        prep = pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "late": late,
+        })
+        out = prep.group_by(["o_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")])
+        return out.rename_columns(["o_orderkey", "l_suppkey", "late"])
+
+    partials = _with_bucket(
+        joined.map_batches(skip_empty(late_partial),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey", n_buckets)
+
+    blame_schema = pa.schema([pa.field("l_suppkey", pa.int64()),
+                              pa.field("numwait", pa.int64())])
+
+    def sole_blame(g: pd.DataFrame) -> pd.DataFrame:
+        per = (g.groupby(["o_orderkey", "l_suppkey"])["late"].max()
+               .reset_index())
+        stats = per.groupby("o_orderkey").agg(
+            ns=("l_suppkey", "nunique"), nl=("late", "sum"))
+        ok = stats[(stats["ns"] >= 2) & (stats["nl"] == 1)].index
+        hit = per[per["o_orderkey"].isin(ok) & (per["late"] == 1)]
+        if hit.empty:
+            return pd.DataFrame({"l_suppkey": [], "numwait": []})
+        return (hit.groupby("l_suppkey").size()
+                .rename("numwait").reset_index())
+
+    blamed = map_buckets(partials, sole_blame, blame_schema)
+    out = grouped_agg(blamed, ["l_suppkey"], [("numwait", "sum")])
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    name_of = dict(zip(pc.cast(sup["s_suppkey"],
+                               pa.int64()).to_pylist(),
+                       sup["s_name"].to_pylist()))
+    out = pa.table({
+        "s_suppkey": pc.cast(out["l_suppkey"], pa.int64()),
+        "s_name": pa.array([name_of[k] for k in
+                            out["l_suppkey"].to_pylist()], pa.string()),
+        "numwait": pc.cast(out["numwait_sum"], pa.int64()),
+    })
+    return out.sort_by([("numwait", "descending"),
+                        ("s_suppkey", "ascending")])
+
+
+def sole_late_supplier_counts_sql(late_days: int = Q21_LATE_DAYS) -> str:
+    return f"""
+WITH j AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+    (l_shipdate > o_orderdate + INTERVAL {late_days} DAY) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), per AS (
+  SELECT ok, count(DISTINCT sk) AS ns,
+    count(DISTINCT sk) FILTER (WHERE late) AS nl,
+    min(sk) FILTER (WHERE late) AS lsk
+  FROM j GROUP BY ok
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per JOIN supplier ON s_suppkey = lsk
+WHERE ns >= 2 AND nl = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+""".strip()

@@ -295,3 +295,110 @@ def test_q20_matches_oracle(ray_session):
         excess_share_suppliers_sql()).df()
     assert len(ray_df) > 0
     _cmp(ray_df, duck_df)
+
+
+# ---------------------------------------- Q2 groupwise-min supplier
+
+def _write_q2(tmp_path):
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+    }), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_regionkey": pa.array([0, 1], pa.int64()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        # supplier 9 is in EUROPE -> out of region
+        "s_suppkey": pa.array([7, 8, 9], pa.int64()),
+        "s_name": pa.array(["S7", "S8", "S9"], pa.string()),
+        "s_nationkey": pa.array([0, 0, 1], pa.int64()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt"], pa.string()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        # part 1: supp 7 min 5.00, supp 8 min 5.00 -> TIE keeps both;
+        # supp 9's cheaper 1.00 is outside the region. part 2: supp 8
+        # min is 3.00 (its 9.00 row is not the min).
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8, 9, 8, 8], pa.int64()),
+        "l_extendedprice": pa.array([5.0, 6.0, 5.0, 1.0, 9.0, 3.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def test_q2_hand_pin(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import \
+        part_min_price_supplier
+
+    _write_q2(tmp_path)
+    out = part_min_price_supplier(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [
+        {"p_partkey": 1, "p_name": "red widget", "s_suppkey": 7,
+         "s_name": "S7", "min_price_cents": 500},
+        {"p_partkey": 1, "p_name": "red widget", "s_suppkey": 8,
+         "s_name": "S8", "min_price_cents": 500},
+        {"p_partkey": 2, "p_name": "blue bolt", "s_suppkey": 8,
+         "s_name": "S8", "min_price_cents": 300},
+    ]
+
+
+def test_q2_matches_oracle(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        part_min_price_supplier, part_min_price_supplier_sql)
+
+    ray_df = part_min_price_supplier(SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["lineitem", "part", "supplier", "nation",
+                               "region"]).execute(
+        part_min_price_supplier_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
+
+
+# ------------------------------------------ Q21 sole-late suppliers
+
+def _write_q21(tmp_path):
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(
+            [_ts("1996-01-01"), _ts("1996-01-01"), _ts("1996-01-01")],
+            pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([7, 8], pa.int64()),
+        "s_name": pa.array(["S7", "S8"], pa.string()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        # order 1: supp 7 late, supp 8 on time -> blame supp 7;
+        # order 2: both late -> nobody blamed (nl=2);
+        # order 3: single-supplier order, late -> excluded (ns=1).
+        "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([7, 8, 7, 8, 7], pa.int64()),
+        "l_shipdate": pa.array(
+            [_ts("1996-06-01"), _ts("1996-01-15"), _ts("1996-06-01"),
+             _ts("1996-07-01"), _ts("1996-06-01")],
+            pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def test_q21_hand_pin(ray_session, tmp_path):
+    from fluent_server_ray.pipelines.relational import \
+        sole_late_supplier_counts
+
+    _write_q21(tmp_path)
+    out = sole_late_supplier_counts(str(tmp_path)).to_pandas()
+    assert out.to_dict("records") == [
+        {"s_suppkey": 7, "s_name": "S7", "numwait": 1}]
+
+
+def test_q21_matches_oracle(ray_session):
+    from fluent_server_ray.pipelines.relational import (
+        sole_late_supplier_counts, sole_late_supplier_counts_sql)
+
+    ray_df = sole_late_supplier_counts(SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["lineitem", "orders",
+                               "supplier"]).execute(
+        sole_late_supplier_counts_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
