@@ -4473,6 +4473,25 @@ def _q_sole_late_suppliers(sf_dir: str):
     return sole_late_supplier_counts(sf_dir)
 
 
+def _q_gazetteer_tags(sf_dir: str):
+    """Dictionary (gazetteer) tagging: per-doc per-category hit counts
+    against a broadcast term lexicon — batch-local explode + exact
+    per-batch counts, no shuffle."""
+    from fluent_server_ray.stages.textstats import gazetteer_tags
+
+    return gazetteer_tags(_docs(sf_dir))
+
+
+def _q_rank_delta(sf_dir: str):
+    """Window-over-window rank movement of event types (top movers) —
+    one scan, (window, key) combiner, driver-side total-order ranks."""
+    from fluent_server_ray.stages.features import rank_delta_by_window
+
+    return rank_delta_by_window(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -5017,6 +5036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_excess_share_q20": _q_excess_share_suppliers,
         "part_min_price_supplier_q2": _q_part_min_price_supplier,
         "supplier_sole_late_q21": _q_sole_late_suppliers,
+        "doc_gazetteer_tags": _q_gazetteer_tags,
+        "events_rank_delta": _q_rank_delta,
     }
 
 
@@ -5839,4 +5860,6 @@ WITH toks AS (
         "supplier_excess_share_q20": rel.excess_share_suppliers_sql(),
         "part_min_price_supplier_q2": rel.part_min_price_supplier_sql(),
         "supplier_sole_late_q21": rel.sole_late_supplier_counts_sql(),
+        "doc_gazetteer_tags": textstats.gazetteer_tags_sql(),
+        "events_rank_delta": features.rank_delta_by_window_sql(),
     }

@@ -6312,3 +6312,106 @@ SELECT g AS "group", CAST(dd AS BIGINT) AS max_drawdown_cents,
   CAST(day AS BIGINT) AS trough_day, CAST(n_days AS BIGINT) AS n_days
 FROM best WHERE rn = 1 ORDER BY "group"
 """.strip()
+
+
+# ----------------------------------------------- window rank movement
+
+RANKDELTA_FROM = "2024-01-01 00:00:00"
+RANKDELTA_SPLIT = "2024-01-16 00:00:00"
+RANKDELTA_TO = "2024-02-01 00:00:00"
+
+
+def rank_delta_by_window(ds, key: str = "event_type", ts_col: str = "ts",
+                         date_from: str = RANKDELTA_FROM,
+                         split: str = RANKDELTA_SPLIT,
+                         date_to: str = RANKDELTA_TO) -> pa.Table:
+    """Window-over-window rank movement: rank keys by volume in window
+    A (``[date_from, split)``) and window B (``[split, date_to)``) and
+    report each key's rank shift — the "top movers" leaderboard panel.
+
+    Rank contract: ``ROW_NUMBER`` ordered by (count DESC, key ASC) —
+    total order, so ranks can never disagree across engines. Keys
+    missing from either window are dropped (INNER semantics).
+
+    Scale shape: one scan collapsing to (window, key) count partials
+    (≤ 2·|keys| rows per block); the merge, both rankings and the
+    join-back are driver-side over the bounded key set."""
+    import datetime as _dt
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    # naive-timestamp epoch micros, timezone-free (datetime.timestamp()
+    # would reinterpret the naive literal in the host's local zone)
+    def _us(s: str) -> int:
+        return (_dt.datetime.fromisoformat(s) - _dt.datetime(1970, 1, 1)
+                ) // _dt.timedelta(microseconds=1)
+
+    f_us, s_us, t_us = _us(date_from), _us(split), _us(date_to)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, f_us), pc.less(ts, t_us))
+        keep = pc.fill_null(keep, False)
+        t = t.filter(keep)
+        ts = ts.filter(keep)
+        prep = pa.table({
+            "w": pc.if_else(pc.less(ts, s_us), "a", "b"),
+            key: t[key],
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+        out = prep.group_by(["w", key]).aggregate([("one", "sum")])
+        return out.rename_columns(["w", key, "n"])
+
+    merged = grouped_agg(
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["w", key], [("n", "sum")])
+
+    def ranked(w: str) -> dict[str, tuple[int, int]]:
+        part = merged.filter(pc.equal(merged["w"], w)).sort_by(
+            [("n_sum", "descending"), (key, "ascending")])
+        return {k: (i + 1, int(n)) for i, (k, n) in enumerate(
+            zip(part[key].to_pylist(), part["n_sum"].to_pylist()))}
+
+    ra, rb = ranked("a"), ranked("b")
+    keys = sorted(set(ra) & set(rb))
+    return pa.table({
+        key: pa.array(keys, pa.string()),
+        "n_a": pa.array([ra[k][1] for k in keys], pa.int64()),
+        "n_b": pa.array([rb[k][1] for k in keys], pa.int64()),
+        "rank_a": pa.array([ra[k][0] for k in keys], pa.int64()),
+        "rank_b": pa.array([rb[k][0] for k in keys], pa.int64()),
+        "rank_delta": pa.array([ra[k][0] - rb[k][0] for k in keys],
+                               pa.int64()),
+    })
+
+
+def rank_delta_by_window_sql(key: str = "event_type", ts_col: str = "ts",
+                             table: str = "events",
+                             date_from: str = RANKDELTA_FROM,
+                             split: str = RANKDELTA_SPLIT,
+                             date_to: str = RANKDELTA_TO) -> str:
+    return f"""
+WITH c AS (
+  SELECT CASE WHEN {ts_col} < TIMESTAMP '{split}' THEN 'a' ELSE 'b' END
+      AS w,
+    {key}, count(*) AS n
+  FROM {table}
+  WHERE {ts_col} >= TIMESTAMP '{date_from}'
+    AND {ts_col} < TIMESTAMP '{date_to}'
+  GROUP BY 1, 2
+), a AS (
+  SELECT {key}, n,
+    ROW_NUMBER() OVER (ORDER BY n DESC, {key}) AS r
+  FROM c WHERE w = 'a'
+), b AS (
+  SELECT {key}, n,
+    ROW_NUMBER() OVER (ORDER BY n DESC, {key}) AS r
+  FROM c WHERE w = 'b'
+)
+SELECT a.{key}, CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+  CAST(a.r AS BIGINT) AS rank_a, CAST(b.r AS BIGINT) AS rank_b,
+  CAST(a.r - b.r AS BIGINT) AS rank_delta
+FROM a JOIN b USING ({key})
+ORDER BY {key}
+""".strip()

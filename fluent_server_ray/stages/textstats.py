@@ -5113,3 +5113,86 @@ WITH toks AS (
 SELECT w1, w2, n, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k} ORDER BY w1, rank
 """.strip()
+
+
+# ------------------------------------------------ gazetteer tagging
+
+# Deterministic default dictionary over the corpus vocabulary. Terms
+# are single whitespace tokens and must be DISJOINT across categories
+# (a shared term would double-count; `gazetteer_tags` asserts this).
+GAZETTEER: dict[str, tuple[str, ...]] = {
+    "ops": ("join", "merge", "sort", "filter", "agg", "scan", "hash"),
+    "objects": ("row", "column", "table", "batch", "stream", "vector",
+                "window"),
+    "qualifiers": ("big", "small", "fast", "slow"),
+}
+
+
+def gazetteer_tags(ds, gazetteer: dict[str, tuple[str, ...]] | None = None,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Dictionary-based tagging: per document, how many tokens hit each
+    category of a broadcast term dictionary (gazetteer) — the classic
+    multi-pattern annotation stage (PII term lists, topic lexicons,
+    blocklists) a curation pipeline runs before gating.
+
+    Output rows: (id, category, n_hits) for categories with ≥1 hit.
+
+    Scale shape: the gazetteer is driver-small and ships inside the
+    task closure as two Arrow arrays; tokenization, the term lookup
+    (one ``index_in`` per batch) and the per-doc count are all batch-
+    local — a document never spans batches, so the per-batch
+    ``group_by`` is EXACT and the stage needs no shuffle at all."""
+    gaz = GAZETTEER if gazetteer is None else gazetteer
+    terms: list[str] = []
+    cats: list[str] = []
+    for cat in sorted(gaz):
+        for w in gaz[cat]:
+            terms.append(w)
+            cats.append(cat)
+    assert len(set(terms)) == len(terms), \
+        "gazetteer terms must be disjoint across categories"
+    term_arr = pa.array(terms, pa.string())
+    cat_arr = pa.array(cats, pa.string())
+
+    def tag(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        ids = pc.take(pc.cast(t[id_col], pa.int64()), parents)
+        pos = pc.index_in(flat, value_set=term_arr)
+        keep = pc.is_valid(pos)
+        prep = pa.table({
+            id_col: ids.filter(keep),
+            "category": pc.take(cat_arr, pos.filter(keep)),
+        })
+        out = prep.group_by([id_col, "category"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            id_col: out[id_col],
+            "category": out["category"],
+            "n_hits": pc.cast(out["count_all"], pa.int64()),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def gazetteer_tags_sql(gazetteer: dict[str, tuple[str, ...]] | None = None,
+                       table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    gaz = GAZETTEER if gazetteer is None else gazetteer
+    vals = ", ".join(f"('{w}', '{c}')" for c in sorted(gaz)
+                     for w in gaz[c])
+    return f"""
+WITH terms(word, category) AS (VALUES {vals}),
+tok AS (
+  SELECT {id_col},
+    unnest(list_filter(string_split({text_col}, ' '), x -> x <> ''))
+      AS word
+  FROM {table} WHERE {text_col} IS NOT NULL
+)
+SELECT {id_col}, category, CAST(count(*) AS BIGINT) AS n_hits
+FROM tok JOIN terms USING (word)
+GROUP BY 1, 2
+ORDER BY {id_col}, category
+""".strip()

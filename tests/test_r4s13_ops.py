@@ -402,3 +402,82 @@ def test_q21_matches_oracle(ray_session):
         sole_late_supplier_counts_sql()).df()
     assert len(ray_df) > 0
     _cmp(ray_df, duck_df)
+
+
+# ------------------------------------------------- gazetteer tagging
+
+def test_gazetteer_hand_pin(ray_session):
+    import ray
+
+    from fluent_server_ray.stages.textstats import gazetteer_tags
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "join the big table join",   # ops:2 qualifiers:1 objects:1
+            "nothing matches here",      # no hits -> no rows
+            "sort",                      # ops:1
+        ], pa.string()),
+    }))
+    out = gazetteer_tags(ds).to_pandas().sort_values(
+        ["doc_id", "category"]).reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"doc_id": 1, "category": "objects", "n_hits": 1},
+        {"doc_id": 1, "category": "ops", "n_hits": 2},
+        {"doc_id": 1, "category": "qualifiers", "n_hits": 1},
+        {"doc_id": 3, "category": "ops", "n_hits": 1},
+    ]
+
+
+def test_gazetteer_matches_oracle(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.textstats import (gazetteer_tags,
+                                                    gazetteer_tags_sql)
+
+    ds = read_parquet_clean(f"{SF_SMALL}/documents.parquet")
+    ray_df = gazetteer_tags(ds).to_pandas()
+    duck_df = _duck(SF_SMALL, ["documents"]).execute(
+        gazetteer_tags_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
+
+
+# --------------------------------------------- window rank movement
+
+def test_rank_delta_hand_pin(ray_session):
+    import ray
+
+    from fluent_server_ray.stages.features import rank_delta_by_window
+
+    ds = ray.data.from_arrow(pa.table({
+        # window a: x=2, y=1 -> ranks x1 y2; window b: y=3, x=1 ->
+        # ranks y1 x2; z only in b (dropped); one row out of range.
+        "event_type": pa.array(["x", "x", "y", "y", "y", "y", "x", "z",
+                                "x"], pa.string()),
+        "ts": pa.array(
+            [_ts("2024-01-02"), _ts("2024-01-03"), _ts("2024-01-04"),
+             _ts("2024-01-20"), _ts("2024-01-21"), _ts("2024-01-22"),
+             _ts("2024-01-25"), _ts("2024-01-26"), _ts("2024-03-01")],
+            pa.timestamp("us")),
+    }))
+    out = rank_delta_by_window(ds).to_pandas()
+    assert out.to_dict("records") == [
+        {"event_type": "x", "n_a": 2, "n_b": 1, "rank_a": 1,
+         "rank_b": 2, "rank_delta": -1},
+        {"event_type": "y", "n_a": 1, "n_b": 3, "rank_a": 2,
+         "rank_b": 1, "rank_delta": 1},
+    ]
+
+
+def test_rank_delta_matches_oracle(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.features import (
+        rank_delta_by_window, rank_delta_by_window_sql)
+
+    ds = read_parquet_clean(f"{SF_SMALL}/events.parquet",
+                            columns=["event_type", "ts"])
+    ray_df = rank_delta_by_window(ds).to_pandas()
+    duck_df = _duck(SF_SMALL, ["events"]).execute(
+        rank_delta_by_window_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
