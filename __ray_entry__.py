@@ -4492,6 +4492,19 @@ def _q_rank_delta(sf_dir: str):
                            columns=["event_type", "ts"]))
 
 
+def _q_nested_lines(sf_dir: str):
+    """Nested denormalization: one canonical-JSON record per order with
+    its sorted line list — one orderkey-bucket exchange, byte-exact
+    nested payload vs the SQL string_agg mirror."""
+    from fluent_server_ray.stages.assembly import nest_order_lines
+
+    return nest_order_lines(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_linenumber",
+                                    "l_partkey", "l_quantity",
+                                    "l_extendedprice"]))
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -5038,6 +5051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_sole_late_q21": _q_sole_late_suppliers,
         "doc_gazetteer_tags": _q_gazetteer_tags,
         "events_rank_delta": _q_rank_delta,
+        "orders_nested_lines": _q_nested_lines,
     }
 
 
@@ -5862,4 +5876,5 @@ WITH toks AS (
         "supplier_sole_late_q21": rel.sole_late_supplier_counts_sql(),
         "doc_gazetteer_tags": textstats.gazetteer_tags_sql(),
         "events_rank_delta": features.rank_delta_by_window_sql(),
+        "orders_nested_lines": assembly.nest_order_lines_sql(),
     }

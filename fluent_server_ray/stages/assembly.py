@@ -1432,3 +1432,100 @@ FROM {table} d
 JOIN reps r ON md5(COALESCE(d.{text_col}, '')) = r.fp
 ORDER BY d.{id_col}
 """.strip()
+
+
+# -------------------------------------------- nested denormalization
+
+def nest_order_lines(ds, n_buckets: int = 64):
+    """Denormalize lineitem into one NESTED record per order: a
+    canonical compact-JSON array of the order's lines sorted by line
+    number — the document-store / training-record export shape (the
+    inverse of a flatten/explode).
+
+    Canonical-JSON contract: fixed key order (ln, pk, qty_cents,
+    price_cents), integer-only values, compact separators — the string
+    is byte-identical to the SQL mirror's ``string_agg`` rendering, so
+    the nested payload itself is hash-comparable, not just its scalars.
+
+    Scale shape: ONE orderkey-bucket exchange co-locates an order's
+    lines; inside a bucket the per-row JSON fragments are vectorized
+    pandas string concatenation and only the per-order join is a
+    grouped agg. Output: (o_orderkey, lines_json, n_lines,
+    total_price_cents)."""
+    from fluent_server_ray.stages.joins import _with_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "ln": pc.cast(t["l_linenumber"], pa.int64()),
+            "pk": pc.cast(t["l_partkey"], pa.int64()),
+            "qty_cents": pc.cast(
+                pc.round(pc.multiply(t["l_quantity"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+        })
+
+    out_schema = pa.schema([
+        pa.field("o_orderkey", pa.int64()),
+        pa.field("lines_json", pa.string()),
+        pa.field("n_lines", pa.int64()),
+        pa.field("total_price_cents", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # total intra-order sort: the testdata does NOT guarantee
+        # unique (orderkey, linenumber), so the full value tuple is the
+        # tiebreak — fully identical rows then render identically under
+        # any order, keeping the string deterministic on both sides
+        g = g.sort_values(["o_orderkey", "ln", "pk", "qty_cents",
+                           "price_cents"])
+        frag = ('{"ln":' + g["ln"].astype(str)
+                + ',"pk":' + g["pk"].astype(str)
+                + ',"qty_cents":' + g["qty_cents"].astype(str)
+                + ',"price_cents":' + g["price_cents"].astype(str)
+                + '}')
+        grp = frag.groupby(g["o_orderkey"], sort=False)
+        joined = grp.agg(",".join)
+        sums = g.groupby("o_orderkey", sort=False)["price_cents"].sum()
+        return pd.DataFrame({
+            "o_orderkey": joined.index.to_numpy(),
+            "lines_json": "[" + joined.to_numpy() + "]",
+            "n_lines": grp.size().astype("int64").to_numpy(),
+            "total_price_cents": sums.astype("int64").to_numpy(),
+        })
+
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_extendedprice"]
+    bucketed = _with_bucket(
+        ds.select_columns(cols).map_batches(prep, batch_format="pyarrow",
+                                            zero_copy_batch=True),
+        "o_orderkey", n_buckets)
+    from fluent_server_ray.stages.groups import map_buckets
+
+    return map_buckets(bucketed, per_bucket, out_schema)
+
+
+def nest_order_lines_sql() -> str:
+    return """
+SELECT l_orderkey AS o_orderkey,
+  '[' || string_agg(
+    '{"ln":' || CAST(l_linenumber AS BIGINT)
+    || ',"pk":' || l_partkey
+    || ',"qty_cents":' || CAST(round(l_quantity * 100.0) AS BIGINT)
+    || ',"price_cents":'
+    || CAST(round(l_extendedprice * 100.0) AS BIGINT)
+    || '}', ',' ORDER BY l_linenumber, l_partkey,
+      CAST(round(l_quantity * 100.0) AS BIGINT),
+      CAST(round(l_extendedprice * 100.0) AS BIGINT)) || ']'
+    AS lines_json,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+    AS total_price_cents
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+""".strip()

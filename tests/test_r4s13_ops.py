@@ -481,3 +481,54 @@ def test_rank_delta_matches_oracle(ray_session):
         rank_delta_by_window_sql()).df()
     assert len(ray_df) > 0
     _cmp(ray_df, duck_df)
+
+
+# --------------------------------------- nested denormalization
+
+def test_nest_order_lines_hand_pin(ray_session):
+    import ray
+
+    from fluent_server_ray.stages.assembly import nest_order_lines
+
+    ds = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([2, 1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1], pa.int32()),
+        "l_partkey": pa.array([9, 5, 4], pa.int64()),
+        "l_quantity": pa.array([3.0, 1.0, 2.0]),
+        "l_extendedprice": pa.array([30.0, 10.0, 20.5]),
+    }))
+    out = nest_order_lines(ds).to_pandas().sort_values(
+        "o_orderkey").reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"o_orderkey": 1,
+         "lines_json": '[{"ln":1,"pk":4,"qty_cents":200,'
+                       '"price_cents":2050},'
+                       '{"ln":2,"pk":5,"qty_cents":100,'
+                       '"price_cents":1000}]',
+         "n_lines": 2, "total_price_cents": 3050},
+        {"o_orderkey": 2,
+         "lines_json": '[{"ln":1,"pk":9,"qty_cents":300,'
+                       '"price_cents":3000}]',
+         "n_lines": 1, "total_price_cents": 3000},
+    ]
+    # the nested payload is REAL json that round-trips to the flat rows
+    import json
+
+    rows = json.loads(out["lines_json"][0])
+    assert [r["pk"] for r in rows] == [4, 5]
+
+
+def test_nest_order_lines_matches_oracle(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.assembly import (nest_order_lines,
+                                                   nest_order_lines_sql)
+
+    ds = read_parquet_clean(
+        f"{SF_SMALL}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey",
+                 "l_quantity", "l_extendedprice"])
+    ray_df = nest_order_lines(ds).to_pandas()
+    duck_df = _duck(SF_SMALL, ["lineitem"]).execute(
+        nest_order_lines_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
