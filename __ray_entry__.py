@@ -4505,6 +4505,17 @@ def _q_nested_lines(sf_dir: str):
                                     "l_extendedprice"]))
 
 
+def _q_rule_matches(sf_dir: str):
+    """Standing-query rules engine: per-rule match + distinct-user
+    counts for a broadcast conjunctive alert-rule set — vectorized
+    per-rule masks, one bounded distinct exchange."""
+    from fluent_server_ray.stages.features import standing_rule_matches
+
+    return standing_rule_matches(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value", "user_id"]))
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -5052,6 +5063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gazetteer_tags": _q_gazetteer_tags,
         "events_rank_delta": _q_rank_delta,
         "orders_nested_lines": _q_nested_lines,
+        "events_rule_matches": _q_rule_matches,
     }
 
 
@@ -5877,4 +5889,5 @@ WITH toks AS (
         "doc_gazetteer_tags": textstats.gazetteer_tags_sql(),
         "events_rank_delta": features.rank_delta_by_window_sql(),
         "orders_nested_lines": assembly.nest_order_lines_sql(),
+        "events_rule_matches": features.standing_rule_matches_sql(),
     }

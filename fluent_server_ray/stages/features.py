@@ -6415,3 +6415,109 @@ SELECT a.{key}, CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
 FROM a JOIN b USING ({key})
 ORDER BY {key}
 """.strip()
+
+
+# ------------------------------------------------ standing-rule audit
+
+# Deterministic default rule set: (rule_id, event_type or None,
+# value_lo or None, value_hi or None) — conjunctive predicates, the
+# alerting/routing standing-query shape. hi is EXCLUSIVE, lo inclusive.
+STANDING_RULES: tuple[tuple[str, str | None, float | None,
+                            float | None], ...] = (
+    ("big_error", "error", 100.0, None),
+    ("small_purchase", "purchase", None, 10.0),
+    ("mid_click", "click", 20.0, 80.0),
+    ("any_signup", "signup", None, None),
+    ("whale_value", None, 250.0, None),
+)
+
+
+def standing_rule_matches(ds, rules=STANDING_RULES,
+                          key: str = "event_type",
+                          val: str = "value",
+                          user: str = "user_id") -> pa.Table:
+    """Standing-query (rules-engine) audit: evaluate a broadcast set of
+    conjunctive alert rules against every event and report per-rule
+    match and distinct-user counts — the fluentd/alerting "which rules
+    fire how often, on whom" panel. A row can match several rules.
+
+    Scale shape: the rule set is driver-small and ships in the task
+    closure; every rule evaluates as ONE vectorized mask per batch.
+    Match counts collapse to per-rule partials (≤ |rules| rows per
+    block, driver merge); the distinct-user count pre-collapses to
+    (rule, user) pairs per batch and dedups through one distributed
+    exchange (user keyspace unbounded → ``grouped_agg(final='ray')``),
+    then a bounded per-rule combiner."""
+    from fluent_server_ray.stages.aggregate import (grouped_agg,
+                                                    grouped_counts,
+                                                    skip_empty)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        chunks = []
+        for rid, typ, lo, hi in rules:
+            keep = pa.array(np.ones(len(t), bool))
+            if typ is not None:
+                keep = pc.and_(keep, pc.equal(t[key], typ))
+            if lo is not None:
+                keep = pc.and_(keep, pc.greater_equal(t[val], lo))
+            if hi is not None:
+                keep = pc.and_(keep, pc.less(t[val], hi))
+            keep = pc.fill_null(keep, False)
+            u = pc.cast(t[user], pa.int64()).filter(keep)
+            chunks.append(pa.table({
+                "rule_id": pa.array([rid] * len(u), pa.string()),
+                "user_id": u,
+            }))
+        both = pa.concat_tables(chunks)
+        out = both.group_by(["rule_id", "user_id"]).aggregate(
+            [([], "count_all")])
+        return out.rename_columns(["rule_id", "user_id", "n"])
+
+    pairs = ds.map_batches(skip_empty(pair_partial),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: two consumers below — without it each final pass
+    # would re-execute the whole upstream scan (NOTES gotcha)
+    per_pair = grouped_agg(pairs, ["rule_id", "user_id"],
+                           [("n", "sum")], final="ray").materialize()
+    # bounded finals: |rules| rows of matches, |rules| rows of users
+    matches = grouped_agg(per_pair, ["rule_id"], [("n_sum", "sum")])
+    users = grouped_counts(per_pair, ["rule_id"])
+    n_of = dict(zip(matches["rule_id"].to_pylist(),
+                    pc.cast(matches["n_sum_sum"],
+                            pa.int64()).to_pylist()))
+    u_of = dict(zip(users["rule_id"].to_pylist(),
+                    pc.cast(users["n"], pa.int64()).to_pylist()))
+    fired = sorted(n_of)
+    return pa.table({
+        "rule_id": pa.array(fired, pa.string()),
+        "n_matches": pa.array([n_of[r] for r in fired], pa.int64()),
+        "n_users": pa.array([u_of[r] for r in fired], pa.int64()),
+    })
+
+
+def standing_rule_matches_sql(rules=STANDING_RULES,
+                              table: str = "events",
+                              key: str = "event_type",
+                              val: str = "value",
+                              user: str = "user_id") -> str:
+    arms = []
+    for rid, typ, lo, hi in rules:
+        conds = []
+        if typ is not None:
+            conds.append(f"{key} = '{typ}'")
+        if lo is not None:
+            conds.append(f"{val} >= {lo}")
+        if hi is not None:
+            conds.append(f"{val} < {hi}")
+        where = " AND ".join(conds) if conds else "TRUE"
+        arms.append(f"SELECT '{rid}' AS rule_id, {user} AS user_id "
+                    f"FROM {table} WHERE {where}")
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH m AS (
+  {union}
+)
+SELECT rule_id, CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM m GROUP BY 1 ORDER BY rule_id
+""".strip()

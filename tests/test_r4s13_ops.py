@@ -532,3 +532,41 @@ def test_nest_order_lines_matches_oracle(ray_session):
         nest_order_lines_sql()).df()
     assert len(ray_df) > 0
     _cmp(ray_df, duck_df)
+
+
+# ------------------------------------------- standing-rule audit
+
+def test_rule_matches_hand_pin(ray_session):
+    import ray
+
+    from fluent_server_ray.stages.features import standing_rule_matches
+
+    ds = ray.data.from_arrow(pa.table({
+        # user 1 fires big_error twice (n_matches 2, n_users 1);
+        # value 250 fires whale_value (lo inclusive); the 99.99 error
+        # misses big_error's lo; purchase 10.0 misses hi (exclusive)
+        "event_type": pa.array(["error", "error", "error", "purchase",
+                                "purchase", "view"], pa.string()),
+        "value": pa.array([150.0, 200.0, 99.99, 10.0, 9.99, 250.0]),
+        "user_id": pa.array([1, 1, 2, 3, 3, 4], pa.int64()),
+    }))
+    out = standing_rule_matches(ds).to_pandas()
+    assert out.to_dict("records") == [
+        {"rule_id": "big_error", "n_matches": 2, "n_users": 1},
+        {"rule_id": "small_purchase", "n_matches": 1, "n_users": 1},
+        {"rule_id": "whale_value", "n_matches": 1, "n_users": 1},
+    ]
+
+
+def test_rule_matches_matches_oracle(ray_session):
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.features import (
+        standing_rule_matches, standing_rule_matches_sql)
+
+    ds = read_parquet_clean(f"{SF_SMALL}/events.parquet",
+                            columns=["event_type", "value", "user_id"])
+    ray_df = standing_rule_matches(ds).to_pandas()
+    duck_df = _duck(SF_SMALL, ["events"]).execute(
+        standing_rule_matches_sql()).df()
+    assert len(ray_df) > 0
+    _cmp(ray_df, duck_df)
