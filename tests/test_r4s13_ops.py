@@ -570,3 +570,38 @@ def test_rule_matches_matches_oracle(ray_session):
         standing_rule_matches_sql()).df()
     assert len(ray_df) > 0
     _cmp(ray_df, duck_df)
+
+
+# --------------------------------------------------- JSONL round-trip
+
+def test_jsonl_roundtrip_preserves_rows(ray_session, tmp_path):
+    import ray
+
+    from fluent_server_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    t = pa.table({
+        "event_type": pa.array(["a", "b", "a"], pa.string()),
+        "value": pa.array([1.25, 327.53, 0.03]),
+        "user_id": pa.array([7, 8, 7], pa.int64()),
+        "ts": pa.array([_ts("2024-01-01 12:34:56.789"),
+                        _ts("2024-01-02"), _ts("2024-01-03")],
+                       pa.timestamp("us")),
+    })
+    out = str(tmp_path / "jl")
+    write_jsonl(ray.data.from_arrow(t), out)
+    back = read_jsonl(out, ts_cols=("ts",)).to_pandas().sort_values(
+        ["user_id", "event_type", "value"]).reset_index(drop=True)
+    orig = t.to_pandas().sort_values(
+        ["user_id", "event_type", "value"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back[sorted(back.columns)], orig[sorted(orig.columns)],
+        check_dtype=False)
+
+
+def test_jsonl_roundtrip_query_matches_oracle(ray_session):
+    import __ray_entry__ as e
+
+    ray_df = e.queries()["events_jsonl_roundtrip"](SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["events"]).execute(
+        e.oracle_sql()["events_jsonl_roundtrip"]).df()
+    _cmp(ray_df, duck_df)
