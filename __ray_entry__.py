@@ -4563,6 +4563,54 @@ def _q_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV source/sink: events → sharded CSV → read back → per-type
+    count + cents sum. Arrow-native CSV on both sides, so the
+    aggregate equals the straight-off-parquet oracle."""
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.sources.csvsrc import read_csv_dir, \
+        write_csv_dir
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    out = tempfile.mkdtemp(prefix="fsr_csv_")
+    try:
+        write_csv_dir(
+            read_parquet_clean(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value",
+                                        "user_id"]), out)
+        back = read_csv_dir(out)
+
+        def partial(t: _pa.Table) -> _pa.Table:
+            prep = _pa.table({
+                "event_type": t["event_type"],
+                "value_cents": _pc.cast(
+                    _pc.round(_pc.multiply(t["value"], 100.0),
+                              round_mode="half_towards_infinity"),
+                    _pa.int64()),
+                "one": _pa.array([1] * len(t), _pa.int64()),
+            })
+            o = prep.group_by(["event_type"]).aggregate(
+                [("value_cents", "sum"), ("one", "sum")])
+            return o.rename_columns(["event_type", "value_cents", "n"])
+
+        agg = grouped_agg(
+            back.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["event_type"], [("value_cents", "sum"), ("n", "sum")])
+        return _pa.table({
+            "event_type": agg["event_type"],
+            "value_cents": _pc.cast(agg["value_cents_sum"], _pa.int64()),
+            "n": _pc.cast(agg["n_sum"], _pa.int64()),
+        }).sort_by([("event_type", "ascending")])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -5112,7 +5160,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_nested_lines": _q_nested_lines,
         "events_rule_matches": _q_rule_matches,
         "events_jsonl_roundtrip": _q_jsonl_roundtrip,
+        "events_csv_roundtrip": _q_csv_roundtrip,
     }
+
+
+_ROUNDTRIP_AGG_SQL = """
+SELECT event_type,
+  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+    AS value_cents,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY event_type
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5938,11 +5996,6 @@ WITH toks AS (
         "events_rank_delta": features.rank_delta_by_window_sql(),
         "orders_nested_lines": assembly.nest_order_lines_sql(),
         "events_rule_matches": features.standing_rule_matches_sql(),
-        "events_jsonl_roundtrip": """
-SELECT event_type,
-  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
-    AS value_cents,
-  CAST(count(*) AS BIGINT) AS n
-FROM events GROUP BY 1 ORDER BY event_type
-""".strip(),
+        "events_jsonl_roundtrip": _ROUNDTRIP_AGG_SQL,
+        "events_csv_roundtrip": _ROUNDTRIP_AGG_SQL,
     }

@@ -605,3 +605,40 @@ def test_jsonl_roundtrip_query_matches_oracle(ray_session):
     duck_df = _duck(SF_SMALL, ["events"]).execute(
         e.oracle_sql()["events_jsonl_roundtrip"]).df()
     _cmp(ray_df, duck_df)
+
+
+# ----------------------------------------------------- CSV round-trip
+
+def test_csv_roundtrip_preserves_rows(ray_session, tmp_path):
+    import ray
+
+    from fluent_server_ray.sources.csvsrc import (read_csv_dir,
+                                                  write_csv_dir)
+
+    t = pa.table({
+        "event_type": pa.array(["a", "b", "a"], pa.string()),
+        # 0.1 has no exact binary repr: Arrow CSV must round-trip it
+        "value": pa.array([0.1, 327.53, 1e-12]),
+        "user_id": pa.array([7, 8, 7], pa.int64()),
+        "ts": pa.array([_ts("2024-01-01 12:34:56.789012"),
+                        _ts("2024-01-02"), _ts("2024-01-03")],
+                       pa.timestamp("us")),
+    })
+    out = str(tmp_path / "csv")
+    write_csv_dir(ray.data.from_arrow(t), out)
+    back = read_csv_dir(out, ts_cols=("ts",)).to_pandas().sort_values(
+        ["user_id", "event_type", "value"]).reset_index(drop=True)
+    orig = t.to_pandas().sort_values(
+        ["user_id", "event_type", "value"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back[sorted(back.columns)], orig[sorted(orig.columns)],
+        check_dtype=False)
+
+
+def test_csv_roundtrip_query_matches_oracle(ray_session):
+    import __ray_entry__ as e
+
+    ray_df = e.queries()["events_csv_roundtrip"](SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["events"]).execute(
+        e.oracle_sql()["events_csv_roundtrip"]).df()
+    _cmp(ray_df, duck_df)
