@@ -4516,26 +4516,26 @@ def _q_rule_matches(sf_dir: str):
                            columns=["event_type", "value", "user_id"]))
 
 
-def _q_jsonl_roundtrip(sf_dir: str):
-    """JSONL source/sink: events → sharded .json lines → read back →
-    per-type count + cents sum. The aggregate equals the oracle's
-    straight-off-parquet answer ⟺ the JSON round-trip is lossless."""
+def _roundtrip_agg(sf_dir: str, write_fn, read_fn, prefix: str):
+    """Shared body of the format round-trip audits: events → sharded
+    <format> files under a scratch dir → read back → per-type count +
+    cents sum (equals the straight-off-parquet oracle ⟺ the format
+    round-trip is lossless)."""
     import shutil
     import tempfile
 
     import pyarrow as _pa
     import pyarrow.compute as _pc
 
-    from fluent_server_ray.sources.jsonl import read_jsonl, write_jsonl
     from fluent_server_ray.stages.aggregate import grouped_agg
 
-    out = tempfile.mkdtemp(prefix="fsr_jsonl_")
+    out = tempfile.mkdtemp(prefix=prefix)
     try:
-        write_jsonl(
+        write_fn(
             read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value",
                                         "user_id"]), out)
-        back = read_jsonl(out)
+        back = read_fn(out)
 
         def partial(t: _pa.Table) -> _pa.Table:
             prep = _pa.table({
@@ -4561,54 +4561,23 @@ def _q_jsonl_roundtrip(sf_dir: str):
         }).sort_by([("event_type", "ascending")])
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink: events → sharded .json lines → read back →
+    per-type count + cents sum vs the straight-off-parquet oracle."""
+    from fluent_server_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    return _roundtrip_agg(sf_dir, write_jsonl, read_jsonl, "fsr_jsonl_")
 
 
 def _q_csv_roundtrip(sf_dir: str):
-    """CSV source/sink: events → sharded CSV → read back → per-type
-    count + cents sum. Arrow-native CSV on both sides, so the
-    aggregate equals the straight-off-parquet oracle."""
-    import shutil
-    import tempfile
-
-    import pyarrow as _pa
-    import pyarrow.compute as _pc
-
+    """CSV source/sink: same audit through the Arrow-native CSV path."""
     from fluent_server_ray.sources.csvsrc import read_csv_dir, \
         write_csv_dir
-    from fluent_server_ray.stages.aggregate import grouped_agg
 
-    out = tempfile.mkdtemp(prefix="fsr_csv_")
-    try:
-        write_csv_dir(
-            read_parquet_clean(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "value",
-                                        "user_id"]), out)
-        back = read_csv_dir(out)
-
-        def partial(t: _pa.Table) -> _pa.Table:
-            prep = _pa.table({
-                "event_type": t["event_type"],
-                "value_cents": _pc.cast(
-                    _pc.round(_pc.multiply(t["value"], 100.0),
-                              round_mode="half_towards_infinity"),
-                    _pa.int64()),
-                "one": _pa.array([1] * len(t), _pa.int64()),
-            })
-            o = prep.group_by(["event_type"]).aggregate(
-                [("value_cents", "sum"), ("one", "sum")])
-            return o.rename_columns(["event_type", "value_cents", "n"])
-
-        agg = grouped_agg(
-            back.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True),
-            ["event_type"], [("value_cents", "sum"), ("n", "sum")])
-        return _pa.table({
-            "event_type": agg["event_type"],
-            "value_cents": _pc.cast(agg["value_cents_sum"], _pa.int64()),
-            "n": _pc.cast(agg["n_sum"], _pa.int64()),
-        }).sort_by([("event_type", "ascending")])
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    return _roundtrip_agg(sf_dir, write_csv_dir, read_csv_dir,
+                          "fsr_csv_")
 
 
 def _q_record_transform(sf_dir: str):

@@ -198,7 +198,9 @@ def run_once() -> dict:
                   "user_km_survival", "events_twap",
                   "orders_reconciliation", "user_churn_labels",
                   "doc_autocomplete_topk", "nation_revenue_q5",
-                  "doc_nb_langid", "multimodal_phash_dupes"):
+                  "doc_nb_langid", "multimodal_phash_dupes",
+                  "supplier_sole_late_q21", "orders_nested_lines",
+                  "doc_gazetteer_tags", "events_rule_matches"):
         # best-of-2: the box shows time-varying hypervisor steal
         # (BASELINE.md "round-4 end-of-round confirm"); the min of
         # two reps estimates the true cost like flagship's min-of-3.

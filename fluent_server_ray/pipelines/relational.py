@@ -2519,7 +2519,8 @@ def late_order_priority_counts(sf_dir: str, date_from: str = Q4_FROM,
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
         filter=(pads.field("o_orderdate") >= f)
-        & (pads.field("o_orderdate") < to))
+        & (pads.field("o_orderdate") < to),
+        filter_refs=["o_orderdate"])
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_shipdate"])
     joined = bucketed_hash_join(orders, li, key="o_orderkey",

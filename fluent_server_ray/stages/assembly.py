@@ -1452,7 +1452,6 @@ def nest_order_lines(ds, n_buckets: int = 64):
     pandas string concatenation and only the per-order join is a
     grouped agg. Output: (o_orderkey, lines_json, n_lines,
     total_price_cents)."""
-    from fluent_server_ray.stages.joins import _with_bucket
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({

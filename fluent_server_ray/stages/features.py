@@ -6464,24 +6464,32 @@ def standing_rule_matches(ds, rules=STANDING_RULES,
                 keep = pc.and_(keep, pc.less(t[val], hi))
             keep = pc.fill_null(keep, False)
             u = pc.cast(t[user], pa.int64()).filter(keep)
+            # NULL-user rows COUNT as matches but not as users (mirror:
+            # count(*) keeps them, count(DISTINCT user) drops them).
+            # grouped_agg(final='ray') refuses NULL keys, so the null
+            # flag rides as its own key and user_id is zero-filled.
             chunks.append(pa.table({
                 "rule_id": pa.array([rid] * len(u), pa.string()),
-                "user_id": u,
+                "u_null": pc.is_null(u),
+                "user_id": pc.fill_null(u, 0),
             }))
         both = pa.concat_tables(chunks)
-        out = both.group_by(["rule_id", "user_id"]).aggregate(
+        out = both.group_by(["rule_id", "u_null", "user_id"]).aggregate(
             [([], "count_all")])
-        return out.rename_columns(["rule_id", "user_id", "n"])
+        return out.rename_columns(["rule_id", "u_null", "user_id", "n"])
 
     pairs = ds.map_batches(skip_empty(pair_partial),
                            batch_format="pyarrow", zero_copy_batch=True)
     # materialize: two consumers below — without it each final pass
     # would re-execute the whole upstream scan (NOTES gotcha)
-    per_pair = grouped_agg(pairs, ["rule_id", "user_id"],
+    per_pair = grouped_agg(pairs, ["rule_id", "u_null", "user_id"],
                            [("n", "sum")], final="ray").materialize()
     # bounded finals: |rules| rows of matches, |rules| rows of users
     matches = grouped_agg(per_pair, ["rule_id"], [("n_sum", "sum")])
-    users = grouped_counts(per_pair, ["rule_id"])
+    real_users = per_pair.map_batches(
+        skip_empty(lambda t: t.filter(pc.equal(t["u_null"], False))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    users = grouped_counts(real_users, ["rule_id"])
     n_of = dict(zip(matches["rule_id"].to_pylist(),
                     pc.cast(matches["n_sum_sum"],
                             pa.int64()).to_pylist()))
@@ -6491,7 +6499,8 @@ def standing_rule_matches(ds, rules=STANDING_RULES,
     return pa.table({
         "rule_id": pa.array(fired, pa.string()),
         "n_matches": pa.array([n_of[r] for r in fired], pa.int64()),
-        "n_users": pa.array([u_of[r] for r in fired], pa.int64()),
+        "n_users": pa.array([u_of.get(r, 0) for r in fired],
+                            pa.int64()),
     })
 
 

@@ -642,3 +642,32 @@ def test_csv_roundtrip_query_matches_oracle(ray_session):
     duck_df = _duck(SF_SMALL, ["events"]).execute(
         e.oracle_sql()["events_csv_roundtrip"]).df()
     _cmp(ray_df, duck_df)
+
+
+def test_rule_matches_null_user_contract(ray_session, tmp_path):
+    """NULL user_id rows count as matches but not as users — exactly
+    the mirror's count(*) vs count(DISTINCT user_id) split."""
+    import ray
+
+    from fluent_server_ray.stages.features import (
+        standing_rule_matches, standing_rule_matches_sql)
+
+    t = pa.table({
+        "event_type": pa.array(["error", "error", "signup"],
+                               pa.string()),
+        "value": pa.array([150.0, 200.0, 1.0]),
+        "user_id": pa.array([None, 1, None], pa.int64()),
+    })
+    out = standing_rule_matches(ray.data.from_arrow(t)).to_pandas()
+    assert out.to_dict("records") == [
+        {"rule_id": "big_error", "n_matches": 2, "n_users": 1},
+        # all-null-user rule: matches counted, zero distinct users
+        {"rule_id": "any_signup", "n_matches": 1, "n_users": 0},
+    ] or out.to_dict("records") == [
+        {"rule_id": "any_signup", "n_matches": 1, "n_users": 0},
+        {"rule_id": "big_error", "n_matches": 2, "n_users": 1},
+    ]
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    duck_df = _duck(str(tmp_path), ["events"]).execute(
+        standing_rule_matches_sql()).df()
+    _cmp(out, duck_df)
