@@ -4580,6 +4580,15 @@ def _q_csv_roundtrip(sf_dir: str):
                           "fsr_csv_")
 
 
+def _q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: per labeled query vector, the
+    exact cosine top-k DIFFERENT-label neighbors — broadcast query
+    matrix, per-block masked top-k, bounded driver merge."""
+    from fluent_server_ray.stages.similarity import hard_negative_topk
+
+    return hard_negative_topk(_embs(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -5130,6 +5139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rule_matches": _q_rule_matches,
         "events_jsonl_roundtrip": _q_jsonl_roundtrip,
         "events_csv_roundtrip": _q_csv_roundtrip,
+        "embedding_hard_negatives": _q_hard_negatives,
     }
 
 
@@ -5967,4 +5977,6 @@ WITH toks AS (
         "events_rule_matches": features.standing_rule_matches_sql(),
         "events_jsonl_roundtrip": _ROUNDTRIP_AGG_SQL,
         "events_csv_roundtrip": _ROUNDTRIP_AGG_SQL,
+        "embedding_hard_negatives": similarity.hard_negative_topk_sql(
+            ANN_QUERY_IDS, k=ANN_K),
     }

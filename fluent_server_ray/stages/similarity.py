@@ -1675,3 +1675,98 @@ WITH cand AS MATERIALIZED (
 {chain}
 SELECT CAST(rank AS BIGINT) AS rank, vec_id FROM {prev} ORDER BY rank
 """.strip()
+
+
+def hard_negative_topk(ds, query_ids: list[int], k: int = 5,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       label_col: str = "label"):
+    """Contrastive hard-negative mining: for each labeled query vector,
+    the exact cosine top-k neighbors whose label DIFFERS — the pairs a
+    metric-learning / embedding-finetune pipeline trains against.
+
+    Same contract as :func:`ann_topk` (rank 1..k by cosine desc,
+    neighbor_id asc; only ranks are emitted, so the engine/mirror float
+    trees only need to agree on ORDER, the pinned precedent).
+
+    Scale shape: the query matrix (+labels) broadcasts once via
+    ``ray.put``; each block computes a (Q, n) sim matrix, masks
+    same-label columns to −inf and emits its local top-k; the driver
+    merge is |queries|·k-bounded."""
+    import ray
+
+    qset = set(query_ids)
+
+    def grab_queries(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(list(qset)))
+        return t.filter(mask)
+
+    qtab = pa.concat_tables(
+        ds.map_batches(grab_queries, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    qid_np = qtab[id_col].to_numpy()
+    order = np.argsort(qid_np)
+    qids = qid_np[order]
+    qlab = qtab[label_col].to_numpy().astype(np.int64)[order]
+    qmat = _normalize(_batch_matrix(qtab, emb_col)[order])
+    qref = ray.put((qids, qlab, qmat))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids_q, lab_q, mat_q = ray.get(qref)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        labs = t[label_col].to_numpy().astype(np.int64)
+        mat = _normalize(_batch_matrix(t, emb_col))
+        sims = mat_q @ mat.T  # (Q, n)
+        # same-label columns (and the query row itself) are not
+        # negatives — mask them out of the ranking entirely
+        neg = (labs[None, :] != lab_q[:, None]) \
+            & (ids[None, :] != ids_q[:, None])
+        sims = np.where(neg, sims, -np.inf)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(-row, kk - 1)[:kk]
+            for j in top:
+                if np.isfinite(row[j]):
+                    out_q.append(int(ids_q[qi]))
+                    out_n.append(int(ids[j]))
+                    out_s.append(float(row[j]))
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+    partials = pa.concat_tables(
+        ds.map_batches(local_topk, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"],
+        ascending=[True, False, True])
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def hard_negative_topk_sql(query_ids: list[int], k: int = 5,
+                           table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    return f"""
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cosine
+  FROM {table} q JOIN {table} c
+    ON q.vec_id <> c.vec_id AND q.label <> c.label
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()

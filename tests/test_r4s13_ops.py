@@ -671,3 +671,36 @@ def test_rule_matches_null_user_contract(ray_session, tmp_path):
     duck_df = _duck(str(tmp_path), ["events"]).execute(
         standing_rule_matches_sql()).df()
     _cmp(out, duck_df)
+
+
+# --------------------------------------------- hard-negative mining
+
+def test_hard_negatives_hand_pin(ray_session):
+    import ray
+
+    from fluent_server_ray.stages.similarity import hard_negative_topk
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.99, 0.14], [0.0, 1.0], [0.7, 0.7]],
+            pa.list_(pa.float32())),
+        # vec 1 is the closest to query 0 but SHARES its label ->
+        # excluded; nearest negatives are 3 then 2
+        "label": pa.array([0, 0, 1, 1], pa.int32()),
+    })
+    out = hard_negative_topk(ray.data.from_arrow(t), [0], k=2)
+    assert out.to_dict("records") == [
+        {"query_id": 0, "neighbor_id": 3, "rank": 1},
+        {"query_id": 0, "neighbor_id": 2, "rank": 2},
+    ]
+
+
+def test_hard_negatives_matches_oracle(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["embedding_hard_negatives"](SF_SMALL)
+    duck_df = _duck(SF_SMALL, ["embeddings"]).execute(
+        e.oracle_sql()["embedding_hard_negatives"]).df()
+    assert len(out) > 0
+    _cmp(out, duck_df)
