@@ -4589,6 +4589,15 @@ def _q_hard_negatives(sf_dir: str):
     return hard_negative_topk(_embs(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
+def _q_knn_label_audit(sf_dir: str):
+    """kNN label-quality audit: majority-vote predicted label among the
+    exact cosine top-k vs the stored label — rank-contract neighbors,
+    deterministic vote tie-break."""
+    from fluent_server_ray.stages.similarity import knn_classify
+
+    return knn_classify(_embs(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
 def _q_record_transform(sf_dir: str):
     """fluentd record_transformer over the routed transcripts:
     declarative add/rename/remove — one zero-copy map stage generated
@@ -5140,6 +5149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_jsonl_roundtrip": _q_jsonl_roundtrip,
         "events_csv_roundtrip": _q_csv_roundtrip,
         "embedding_hard_negatives": _q_hard_negatives,
+        "embedding_knn_label_audit": _q_knn_label_audit,
     }
 
 
@@ -5978,5 +5988,7 @@ WITH toks AS (
         "events_jsonl_roundtrip": _ROUNDTRIP_AGG_SQL,
         "events_csv_roundtrip": _ROUNDTRIP_AGG_SQL,
         "embedding_hard_negatives": similarity.hard_negative_topk_sql(
+            ANN_QUERY_IDS, k=ANN_K),
+        "embedding_knn_label_audit": similarity.knn_classify_sql(
             ANN_QUERY_IDS, k=ANN_K),
     }

@@ -1770,3 +1770,120 @@ WITH sims AS (
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+def knn_classify(ds, query_ids: list[int], k: int = 5,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 label_col: str = "label"):
+    """kNN label audit: predict each query vector's label by majority
+    vote among its exact cosine top-k neighbors (self excluded) and
+    compare against the stored label — the mislabeled-sample /
+    label-quality screen a curation pipeline runs over embeddings.
+
+    Deterministic contract: neighbors rank by (cosine desc, id asc)
+    — the :func:`ann_topk` precedent — and the vote breaks ties by
+    (count desc, label asc), so prediction is a pure function of the
+    rank order both engines agree on.
+
+    Scale shape: identical to :func:`ann_topk` — broadcast query
+    matrix, per-block local top-k (labels ride along), |queries|·k
+    driver merge + vote."""
+    import ray
+
+    qset = set(query_ids)
+
+    def grab_queries(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(list(qset)))
+        return t.filter(mask)
+
+    qtab = pa.concat_tables(
+        ds.map_batches(grab_queries, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    qid_np = qtab[id_col].to_numpy()
+    order = np.argsort(qid_np)
+    qids = qid_np[order]
+    qlab = qtab[label_col].to_numpy().astype(np.int64)[order]
+    qmat = _normalize(_batch_matrix(qtab, emb_col)[order])
+    qref = ray.put((qids, qmat))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(qref)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        labs = t[label_col].to_numpy().astype(np.int64)
+        mat = _normalize(_batch_matrix(t, emb_col))
+        sims = mat_q @ mat.T
+        out_q, out_n, out_l, out_s = [], [], [], []
+        kk = min(k + 1, sims.shape[1])  # +1 in case self is local
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(-row, kk - 1)[:kk]
+            for j in top:
+                if ids[j] != ids_q[qi]:
+                    out_q.append(int(ids_q[qi]))
+                    out_n.append(int(ids[j]))
+                    out_l.append(int(labs[j]))
+                    out_s.append(float(row[j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "nlabel": pa.array(out_l, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+    partials = pa.concat_tables(
+        ds.map_batches(local_topk, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ).to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"],
+        ascending=[True, False, True])
+    top = partials.groupby("query_id", sort=True).head(k)
+    votes = (top.groupby(["query_id", "nlabel"]).size().rename("n")
+             .reset_index()
+             .sort_values(["query_id", "n", "nlabel"],
+                          ascending=[True, False, True]))
+    pred = votes.groupby("query_id", sort=True).head(1)
+    true_of = dict(zip(qids.tolist(), qlab.tolist()))
+    out = pa.table({
+        "query_id": pa.array(pred["query_id"].astype("int64")),
+        "predicted_label": pa.array(pred["nlabel"].astype("int64")),
+        "true_label": pa.array(
+            [true_of[int(q)] for q in pred["query_id"]], pa.int64()),
+    })
+    return out.append_column(
+        "correct", pc.equal(out["predicted_label"], out["true_label"]))
+
+
+def knn_classify_sql(query_ids: list[int], k: int = 5,
+                     table: str = "embeddings") -> str:
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    return f"""
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS nlabel,
+         list_cosine_similarity(q.embedding, c.embedding) AS cosine
+  FROM {table} q JOIN {table} c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, nlabel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+), votes AS (
+  SELECT query_id, nlabel, count(*) AS n
+  FROM ranked WHERE rank <= {k} GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, nlabel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, nlabel) AS rn
+  FROM votes
+)
+SELECT p.query_id, CAST(p.nlabel AS BIGINT) AS predicted_label,
+  CAST(q.label AS BIGINT) AS true_label,
+  (p.nlabel = q.label) AS correct
+FROM pred p JOIN {table} q ON q.vec_id = p.query_id
+WHERE p.rn = 1
+ORDER BY p.query_id
+""".strip()

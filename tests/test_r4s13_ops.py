@@ -704,3 +704,36 @@ def test_hard_negatives_matches_oracle(ray_session):
         e.oracle_sql()["embedding_hard_negatives"]).df()
     assert len(out) > 0
     _cmp(out, duck_df)
+
+
+# ------------------------------------------------ kNN label audit
+
+def test_knn_classify_hand_pin(ray_session):
+    import ray
+
+    from fluent_server_ray.stages.similarity import knn_classify
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        # query 0 at (1,0): neighbors ranked 1,3,2; k=3 votes are
+        # labels [0, 1, 1] -> majority predicts 1, stored label is 0
+        # -> flagged incorrect (the mislabeled-sample screen).
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.99, 0.14], [0.0, 1.0], [0.7, 0.7]],
+            pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 1], pa.int32()),
+    })
+    out = knn_classify(ray.data.from_arrow(t), [0], k=3).to_pandas()
+    assert out.to_dict("records") == [
+        {"query_id": 0, "predicted_label": 1, "true_label": 0,
+         "correct": False}]
+
+
+def test_knn_classify_matches_oracle(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["embedding_knn_label_audit"](SF_SMALL).to_pandas()
+    duck_df = _duck(SF_SMALL, ["embeddings"]).execute(
+        e.oracle_sql()["embedding_knn_label_audit"]).df()
+    assert len(out) > 0
+    _cmp(out, duck_df)
