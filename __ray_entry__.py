@@ -4789,6 +4789,41 @@ def _q_promo_revenue_share(sf_dir: str):
     return promo_revenue_share(sf_dir)
 
 
+def _q_mann_kendall(sf_dir: str):
+    """Mann-Kendall monotone-trend test per event type over daily
+    cents totals — exact integer S + tie-corrected variance numerator,
+    one shared continuity-corrected z float tree; bounded daily-table
+    driver continuation (the Theil-Sen shape)."""
+    from fluent_server_ray.stages.features import mann_kendall_trend
+
+    return mann_kendall_trend(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
+def _q_mcnemar(sf_dir: str):
+    """McNemar paired marginal-homogeneity test: per-user (did click,
+    did purchase) indicator pairs; discordant-cell chi-square from
+    exact integer cells — distributed per-user indicator merge."""
+    from fluent_server_ray.stages.features import mcnemar_paired
+
+    return mcnemar_paired(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"]))
+
+
+def _q_rolling_median(sf_dir: str):
+    """Per-user rolling 7-row median of cents values in (ts, id)
+    order — the order-statistic rolling frame; one key bucket
+    exchange, C rolling-median kernels per bucket."""
+    from fluent_server_ray.stages.windows import rolling_frame_median
+
+    return rolling_frame_median(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts",
+                                    "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -5150,6 +5185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_csv_roundtrip": _q_csv_roundtrip,
         "embedding_hard_negatives": _q_hard_negatives,
         "embedding_knn_label_audit": _q_knn_label_audit,
+        "events_mann_kendall": _q_mann_kendall,
+        "users_mcnemar_click_purchase": _q_mcnemar,
+        "events_rolling_median": _q_rolling_median,
     }
 
 
@@ -5991,4 +6029,7 @@ WITH toks AS (
             ANN_QUERY_IDS, k=ANN_K),
         "embedding_knn_label_audit": similarity.knn_classify_sql(
             ANN_QUERY_IDS, k=ANN_K),
+        "events_mann_kendall": features.mann_kendall_trend_sql(),
+        "users_mcnemar_click_purchase": features.mcnemar_paired_sql(),
+        "events_rolling_median": windows.rolling_frame_median_sql(),
     }

@@ -6530,3 +6530,235 @@ SELECT rule_id, CAST(count(*) AS BIGINT) AS n_matches,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM m GROUP BY 1 ORDER BY rule_id
 """.strip()
+
+
+# ------------------------------------------- Mann-Kendall trend test
+
+def mann_kendall_trend(ds, group_col: str = "event_type",
+                       ts_col: str = "ts",
+                       value_col: str = "value") -> pa.Table:
+    """Per-group Mann-Kendall trend test over DAILY totals — the
+    nonparametric "is there a monotone trend" hypothesis test that
+    complements :func:`theilsen_trend` (Theil-Sen estimates the slope;
+    Mann-Kendall decides whether ANY monotone drift exists, immune to
+    the level of the series). Mann 1945 / Kendall 1975, the standard
+    trend screen in monitoring pipelines.
+
+    Exact-integer contract: ``S = Σ_{i<j} sign(c_j - c_i)`` over the
+    day-ordered daily-cents series and the tie-corrected variance
+    NUMERATOR ``var_num18 = n(n-1)(2n+5) - Σ_t t(t-1)(2t+5)`` (t = tie
+    group sizes of equal daily cents) are exact integers on both
+    engines; the z statistic is ONE shared float tree
+    ``(S ∓ 1) / sqrt(var_num18 / 18.0)`` (continuity-corrected, 0.0 at
+    S = 0, NULL when the variance is 0 — constant series or n < 2).
+
+    Shape: the corpus collapses in one combiner pass to the bounded
+    (group × day) daily-cents table (days are calendar-bounded); the
+    driver forms the O(days²) sign pairs per group — the same bounded
+    continuation as Theil-Sen. NULL ts/group/value rows are excluded
+    by contract (mirror: ``IS NOT NULL`` × 3). Output: (group, n_days,
+    s_stat, var_num18, z), sorted by group.
+    """
+    import math
+
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.and_(pc.is_valid(t[value_col]),
+                                     pc.is_valid(t[ts_col])),
+                             pc.is_valid(t[group_col])))
+        day = _epoch_day(t[ts_col])
+        return pa.table({group_col: t[group_col], "_day": day,
+                         "cents": _cents(t[value_col])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    daily = grouped_agg(prepped, [group_col, "_day"],
+                        [("cents", "sum")], final="driver").to_pandas()
+
+    rows = []
+    for g, sub in daily.groupby(group_col, dropna=False, sort=True):
+        sub = sub.sort_values("_day")
+        c = sub["cents_sum"].to_numpy(dtype=np.int64)
+        n = len(c)
+        i, j = np.triu_indices(n, k=1)
+        s = int(np.sign(c[j] - c[i]).sum())
+        _, tie_counts = np.unique(c, return_counts=True)
+        t_arr = tie_counts.astype(np.int64)
+        tie_term = int((t_arr * (t_arr - 1) * (2 * t_arr + 5)).sum())
+        var_num18 = n * (n - 1) * (2 * n + 5) - tie_term
+        if var_num18 <= 0:
+            z = None
+        elif s > 0:
+            z = (s - 1) / math.sqrt(var_num18 / 18.0)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var_num18 / 18.0)
+        else:
+            z = 0.0
+        rows.append((g, n, s, var_num18, z))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "s_stat": pa.array([r[2] for r in rows], pa.int64()),
+        "var_num18": pa.array([r[3] for r in rows], pa.int64()),
+        "z": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+def mann_kendall_trend_sql(group_col: str = "event_type",
+                           ts_col: str = "ts",
+                           value_col: str = "value",
+                           table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table} WHERE {value_col} IS NOT NULL
+    AND {ts_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), s AS (
+  SELECT a.g,
+    CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                  WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON b.g = a.g AND b.d > a.d
+  GROUP BY a.g
+), ties AS (
+  SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT g, c, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY g, c) tg
+  GROUP BY g
+), nd AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY g
+)
+SELECT nd.g AS {group_col}, nd.n AS n_days,
+  COALESCE(s.s, 0) AS s_stat,
+  nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term AS var_num18,
+  CASE
+    WHEN nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term <= 0
+      THEN NULL
+    WHEN COALESCE(s.s, 0) > 0 THEN
+      CAST(COALESCE(s.s, 0) - 1 AS DOUBLE)
+      / sqrt(CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term
+                  AS DOUBLE) / 18.0)
+    WHEN COALESCE(s.s, 0) < 0 THEN
+      CAST(COALESCE(s.s, 0) + 1 AS DOUBLE)
+      / sqrt(CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term
+                  AS DOUBLE) / 18.0)
+    ELSE 0.0
+  END AS z
+FROM nd
+LEFT JOIN s ON s.g = nd.g
+LEFT JOIN ties ON ties.g = nd.g
+ORDER BY {group_col}
+""".strip()
+
+
+# ------------------------------------------- McNemar paired test
+
+def mcnemar_paired(ds, type_a: str = "click", type_b: str = "purchase",
+                   user_col: str = "user_id",
+                   type_col: str = "event_type") -> pa.Table:
+    """McNemar's test of marginal homogeneity over PAIRED per-user
+    binary outcomes: did users who emit ``type_a`` also emit
+    ``type_b``?  The paired sibling of the chi-square independence
+    test (:func:`contingency_chi2` compares independent groups;
+    McNemar conditions on the SAME subject appearing in both columns
+    — the discordant cells b/c alone carry the signal). McNemar 1947.
+
+    Exact-integer contract: the 2×2 cells (n_both, n_a_only, n_b_only,
+    n_neither) are exact integer counts; the statistic is ONE shared
+    float tree ``(b - c)² / (b + c)`` — an exact-int squared difference
+    cast once to DOUBLE and divided by the exact-int discordant total
+    (NULL when b + c = 0).
+
+    Shape: per-block combiner collapses to (user, has_a, has_b)
+    indicator maxima; the distributed per-user merge (user keyspace
+    unbounded → ``final='ray'``) feeds a second bounded combiner that
+    counts the four cells — one row per block to the driver. NULL
+    users are excluded by contract (mirror: ``user_id IS NOT NULL``).
+    Output: one row (n_users, n_both, n_a_only, n_b_only, n_neither,
+    mcnemar_chi2).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def indicators(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[user_col]))
+        a = pc.cast(pc.equal(t[type_col], type_a), pa.int64())
+        b = pc.cast(pc.equal(t[type_col], type_b), pa.int64())
+        prep = pa.table({
+            "user": pc.cast(t[user_col], pa.int64()),
+            "a": pc.fill_null(a, 0),
+            "b": pc.fill_null(b, 0),
+        })
+        out = prep.group_by(["user"]).aggregate([("a", "max"),
+                                                 ("b", "max")])
+        return out.rename_columns(["user", "a", "b"])
+
+    per_user = grouped_agg(
+        ds.map_batches(skip_empty(indicators), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["user"], aggs=[("a", "max"), ("b", "max")], final="ray")
+
+    def cells(t: pa.Table) -> pa.Table:
+        a = t["a_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_users": pa.array([len(a)], pa.int64()),
+            "n_both": pa.array([int((a * b).sum())], pa.int64()),
+            "n_a_only": pa.array([int((a * (1 - b)).sum())], pa.int64()),
+            "n_b_only": pa.array([int(((1 - a) * b).sum())], pa.int64()),
+        })
+
+    parts = [t for t in per_user.map_batches(
+        skip_empty(cells), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
+    if parts:
+        merged = pa.concat_tables(parts)
+        n_users = int(pc.sum(merged["n_users"]).as_py() or 0)
+        n_both = int(pc.sum(merged["n_both"]).as_py() or 0)
+        n_a = int(pc.sum(merged["n_a_only"]).as_py() or 0)
+        n_b = int(pc.sum(merged["n_b_only"]).as_py() or 0)
+    else:
+        n_users = n_both = n_a = n_b = 0
+    n_neither = n_users - n_both - n_a - n_b
+    disc = n_a + n_b
+    chi2 = (float((n_a - n_b) * (n_a - n_b)) / float(disc)
+            if disc > 0 else None)
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "n_both": pa.array([n_both], pa.int64()),
+        "n_a_only": pa.array([n_a], pa.int64()),
+        "n_b_only": pa.array([n_b], pa.int64()),
+        "n_neither": pa.array([n_neither], pa.int64()),
+        "mcnemar_chi2": pa.array([chi2], pa.float64()),
+    })
+
+
+def mcnemar_paired_sql(type_a: str = "click", type_b: str = "purchase",
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       table: str = "events") -> str:
+    return f"""
+WITH u AS (
+  SELECT {user_col} AS user_id,
+    max(CASE WHEN {type_col} = '{type_a}' THEN 1 ELSE 0 END) AS a,
+    max(CASE WHEN {type_col} = '{type_b}' THEN 1 ELSE 0 END) AS b
+  FROM {table} WHERE {user_col} IS NOT NULL
+  GROUP BY {user_col}
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+    CAST(COALESCE(sum(a * b), 0) AS BIGINT) AS n_both,
+    CAST(COALESCE(sum(a * (1 - b)), 0) AS BIGINT) AS n_a_only,
+    CAST(COALESCE(sum((1 - a) * b), 0) AS BIGINT) AS n_b_only,
+    CAST(COALESCE(sum((1 - a) * (1 - b)), 0) AS BIGINT) AS n_neither
+  FROM u
+)
+SELECT n_users, n_both, n_a_only, n_b_only, n_neither,
+  CASE WHEN n_a_only + n_b_only > 0 THEN
+    CAST((n_a_only - n_b_only) * (n_a_only - n_b_only) AS DOUBLE)
+    / CAST(n_a_only + n_b_only AS DOUBLE)
+  ELSE NULL END AS mcnemar_chi2
+FROM cells
+""".strip()

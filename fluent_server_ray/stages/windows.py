@@ -2618,3 +2618,94 @@ SELECT CAST(t AS BIGINT) AS n_transitions,
     AS entropy_nats
 FROM agg WHERE t IS NOT NULL AND t > 0
 """.strip()
+
+
+# --------------------------------------------- rolling order statistics
+
+def rolling_frame_median(ds, key_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value",
+                         id_col: str = "event_id",
+                         window_rows: int = 7, n_buckets: int = 64):
+    """Per-key ROLLING MEDIAN over the last ``window_rows`` events in
+    (ts, id) order — the order-statistic member of the rolling-frame
+    family (:func:`rolling_frame_sum` is the additive member; a median
+    can't be expressed as a cumsum difference, it needs the frame's
+    sorted contents). The robust smoother monitoring pipelines run
+    where a rolling mean would chase spikes.
+
+    Exactness contract: values fix to integer CENTS (half-away);
+    the frame median is pandas' skiplist rolling median ≡ DuckDB's
+    windowed ``median()`` — the middle cents value for odd frames
+    (exact int → float64), the interpolated ``(a + b) / 2`` of the two
+    middle ints for even frames (one float add + halve on exactly
+    representable ints — verified bit-equal across engines). NULL
+    value rows are EXCLUDED by contract (mirror ``value IS NOT NULL``)
+    so frame slots and frame values never diverge between the pandas
+    position-window and SQL's NULL-skipping aggregate.
+
+    Shape: one key bucket exchange; inside a bucket every key's series
+    runs through one C-implemented groupby-rolling kernel. NULL key is
+    its own partition. Output: (id, key, cents, rolling_median) sorted
+    by (key, id).
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.features import _cents
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        return pa.table({
+            "id": pc.cast(t[id_col], pa.int64()),
+            "key": pc.cast(t[key_col], pa.string()),
+            "_us": t[ts_col].cast(pa.int64()),
+            "cents": _cents(t[value_col]),
+        })
+
+    schema = pa.schema([
+        pa.field("id", pa.int64()),
+        pa.field("key", pa.string()),
+        pa.field("cents", pa.int64()),
+        pa.field("rolling_median", pa.float64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "_us", "id"])
+        med = (g.groupby("key", sort=False, dropna=False)["cents"]
+               .rolling(window_rows, min_periods=1).median()
+               .reset_index(level=0, drop=True))
+        return pd.DataFrame({
+            "id": g["id"].to_numpy(),
+            "key": g["key"].to_numpy(),
+            "cents": g["cents"].to_numpy(),
+            "rolling_median": med.reindex(g.index).to_numpy(),
+        })
+
+    bucketed = _with_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col])
+        .map_batches(clean, batch_format="pyarrow",
+                     zero_copy_batch=True), "key", n_buckets)
+    return map_buckets(bucketed, per_bucket, schema).sort(
+        ["key", "id"])
+
+
+def rolling_frame_median_sql(key_col: str = "user_id",
+                             ts_col: str = "ts",
+                             value_col: str = "value",
+                             id_col: str = "event_id",
+                             window_rows: int = 7,
+                             table: str = "events") -> str:
+    return f"""
+SELECT CAST({id_col} AS BIGINT) AS id,
+  CAST({key_col} AS VARCHAR) AS key,
+  CAST(round({value_col} * 100.0) AS BIGINT) AS cents,
+  CAST(median(CAST(round({value_col} * 100.0) AS BIGINT))
+       OVER w AS DOUBLE) AS rolling_median
+FROM {table}
+WHERE {value_col} IS NOT NULL
+WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+             ROWS BETWEEN {window_rows - 1} PRECEDING
+             AND CURRENT ROW)
+ORDER BY key, id
+""".strip()
