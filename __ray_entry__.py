@@ -4824,6 +4824,29 @@ def _q_rolling_median(sf_dir: str):
                                     "value"]))
 
 
+def _q_rr_private(sf_dir: str):
+    """Randomized-response local-DP daily counts: deterministic md5
+    flip coin (≡ md5_number_upper), exact channel debias — the privacy
+    release beside the k-anonymity/l-diversity suppression rollups."""
+    from fluent_server_ray.stages.hygiene import rr_private_daily_counts
+
+    return rr_private_daily_counts(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts", "event_type"]))
+
+
+def _q_user_sprt(sf_dir: str):
+    """Per-user Wald SPRT over purchase-vs-click streams: integer
+    LLR-scaled walk, first boundary crossing per user — segmented
+    numpy walks per bucket, 3-row partials."""
+    from fluent_server_ray.stages.features import user_sprt_decisions
+
+    return user_sprt_decisions(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -5188,6 +5211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mann_kendall": _q_mann_kendall,
         "users_mcnemar_click_purchase": _q_mcnemar,
         "events_rolling_median": _q_rolling_median,
+        "events_rr_private_counts": _q_rr_private,
+        "user_sprt_decisions": _q_user_sprt,
     }
 
 
@@ -6032,4 +6057,6 @@ WITH toks AS (
         "events_mann_kendall": features.mann_kendall_trend_sql(),
         "users_mcnemar_click_purchase": features.mcnemar_paired_sql(),
         "events_rolling_median": windows.rolling_frame_median_sql(),
+        "events_rr_private_counts": hygiene.rr_private_daily_counts_sql(),
+        "user_sprt_decisions": features.user_sprt_decisions_sql(),
     }

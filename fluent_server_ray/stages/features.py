@@ -6762,3 +6762,165 @@ SELECT n_users, n_both, n_a_only, n_b_only, n_neither,
   ELSE NULL END AS mcnemar_chi2
 FROM cells
 """.strip()
+
+
+# ------------------------------------------- per-user SPRT decisions
+
+def user_sprt_decisions(ds, success_type: str = "purchase",
+                        failure_type: str = "click",
+                        score_up: int = 7, score_down: int = -4,
+                        bound: int = 29,
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        type_col: str = "event_type",
+                        n_buckets: int = 64) -> pa.Table:
+    """Wald sequential probability ratio test (SPRT, Wald 1945) run
+    PER USER over that user's success/failure stream — the sequential
+    sibling of the batch A/B t-test (:func:`welch_ttest_ab`): instead
+    of one verdict after all the data, each user's stream walks an
+    integer score and stops at the FIRST boundary crossing. The
+    sequential-decision primitive behind early-stopping experiment
+    monitors and per-entity fraud flags.
+
+    Integer-score contract (no logs anywhere): a success step adds
+    ``score_up``, a failure step adds ``score_down`` — the defaults
+    +7/−4 are the 10×-scaled LLR increments for H0: p = 1/4 vs H1:
+    p = 1/2 (ln(p1/p0) = 0.693 → 7, ln((1−p1)/(1−p0)) = −0.405 → −4)
+    — and the decision boundary ``±bound`` (default ±29 ≈ 10·ln 19,
+    α = β = 0.05). The walk, the crossing step and the decision are
+    all exact integers; steps are the user's success/failure events in
+    (ts, id) order.
+
+    Shape: one user-bucket exchange; inside a bucket every user's walk
+    runs as ONE segmented numpy cumsum + first-crossing argmax (no
+    per-user Python). Per-decision partials (≤ 3 rows per bucket)
+    merge on the driver. NULL user/ts rows are excluded by contract.
+    Output: (decision, n_users, sum_crossing_step) — 'accept_h1' /
+    'accept_h0' rows carry the crossing-step mass (avg = sum / n),
+    'continue' rows the users whose stream never crossed.
+    """
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
+
+    def clean(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col]))
+        keep = pc.and_(keep, pc.is_in(
+            t[type_col], value_set=pa.array([success_type,
+                                             failure_type])))
+        t = t.filter(keep)
+        sc = pc.if_else(pc.equal(t[type_col], success_type),
+                        score_up, score_down)
+        return pa.table({
+            "key": pc.cast(t[user_col], pa.string()),
+            "_us": t[ts_col].cast(pa.int64()),
+            "id": pc.cast(t[id_col], pa.int64()),
+            "sc": pc.cast(sc, pa.int64()),
+        })
+
+    schema = pa.schema([
+        pa.field("decision", pa.string()),
+        pa.field("n_users", pa.int64()),
+        pa.field("sum_crossing_step", pa.int64()),
+    ])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "_us", "id"])
+        keys = g["key"].to_numpy()
+        sc = g["sc"].to_numpy(dtype=np.int64)
+        # segmented cumsum: global cumsum minus each segment's base
+        new_seg = np.ones(len(keys), dtype=bool)
+        new_seg[1:] = keys[1:] != keys[:-1]
+        seg_starts = np.nonzero(new_seg)[0]
+        seg_id = np.cumsum(new_seg) - 1
+        gcum = np.cumsum(sc)
+        seg_base = np.zeros(seg_starts.size, dtype=np.int64)
+        seg_base[1:] = gcum[seg_starts[1:] - 1]
+        cum = gcum - seg_base[seg_id]
+        step = np.arange(len(keys), dtype=np.int64) - seg_starts[seg_id] + 1
+        crossed = (cum >= bound) | (cum <= -bound)
+        out_rows = {"accept_h1": [0, 0], "accept_h0": [0, 0],
+                    "continue": [0, 0]}
+        # first crossing per segment: among crossed positions, the
+        # minimum step — vectorized via stable first-occurrence scan
+        n_decided = 0
+        if crossed.any():
+            idx = np.nonzero(crossed)[0]
+            segs = seg_id[idx]
+            first_mask = np.ones(idx.size, dtype=bool)
+            first_mask[1:] = segs[1:] != segs[:-1]
+            fidx = idx[first_mask]
+            h1 = cum[fidx] >= bound
+            out_rows["accept_h1"] = [int(h1.sum()),
+                                     int(step[fidx][h1].sum())]
+            out_rows["accept_h0"] = [int((~h1).sum()),
+                                     int(step[fidx][~h1].sum())]
+            n_decided = fidx.size
+        out_rows["continue"][0] = seg_starts.size - n_decided
+        return pd.DataFrame({
+            "decision": list(out_rows),
+            "n_users": [v[0] for v in out_rows.values()],
+            "sum_crossing_step": [v[1] for v in out_rows.values()],
+        })
+
+    bucketed = _with_bucket(
+        ds.select_columns([user_col, ts_col, id_col, type_col])
+        .map_batches(skip_empty(clean), batch_format="pyarrow",
+                     zero_copy_batch=True), "key", n_buckets)
+    parts = map_buckets(bucketed, per_bucket, schema)
+    agg = grouped_agg(parts, ["decision"],
+                      [("n_users", "sum"), ("sum_crossing_step", "sum")],
+                      final="driver")
+    out = pa.table({
+        "decision": agg["decision"],
+        "n_users": pc.cast(agg["n_users_sum"], pa.int64()),
+        "sum_crossing_step": pc.cast(agg["sum_crossing_step_sum"],
+                                     pa.int64()),
+    }).filter(pc.greater(pc.cast(agg["n_users_sum"], pa.int64()), 0))
+    return out.sort_by([("decision", "ascending")])
+
+
+def user_sprt_decisions_sql(success_type: str = "purchase",
+                            failure_type: str = "click",
+                            score_up: int = 7, score_down: int = -4,
+                            bound: int = 29,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            type_col: str = "event_type",
+                            table: str = "events") -> str:
+    return f"""
+WITH s AS (
+  SELECT {user_col} AS u, {ts_col} AS ts, {id_col} AS id,
+    CASE WHEN {type_col} = '{success_type}' THEN {score_up}
+         ELSE {score_down} END AS sc
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {type_col} IN ('{success_type}', '{failure_type}')
+), c AS (
+  SELECT u,
+    sum(sc) OVER (PARTITION BY u ORDER BY ts, id
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+    row_number() OVER (PARTITION BY u ORDER BY ts, id) AS step
+  FROM s
+), x AS (
+  SELECT u, min(step) AS cross_step
+  FROM c WHERE cum >= {bound} OR cum <= -{bound}
+  GROUP BY u
+), d AS (
+  SELECT x.u, x.cross_step,
+    CASE WHEN c.cum >= {bound} THEN 'accept_h1'
+         ELSE 'accept_h0' END AS decision
+  FROM x JOIN c ON c.u = x.u AND c.step = x.cross_step
+), labeled AS (
+  SELECT au.u, COALESCE(d.decision, 'continue') AS decision,
+    COALESCE(d.cross_step, 0) AS cross_step
+  FROM (SELECT DISTINCT u FROM s) au
+  LEFT JOIN d ON d.u = au.u
+)
+SELECT decision, CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(cross_step) AS BIGINT) AS sum_crossing_step
+FROM labeled GROUP BY decision ORDER BY decision
+""".strip()

@@ -1315,3 +1315,101 @@ FROM (SELECT doc_id FROM {table} WHERE doc_id % {bench_mod} <> 0) t
 LEFT JOIN agg USING (doc_id)
 ORDER BY t.doc_id
 """.strip()
+
+
+# ------------------------------------- randomized-response private counts
+
+def rr_private_daily_counts(ds, sensitive_type: str = "purchase",
+                            ts_col: str = "ts", id_col: str = "event_id",
+                            type_col: str = "event_type") -> pa.Table:
+    """Local-differential-privacy count release via RANDOMIZED RESPONSE
+    (Warner 1965): each event's sensitive bit (``event_type ==
+    sensitive_type``) is reported truthfully with probability 3/4 and
+    FLIPPED with probability 1/4, then the per-day count is debiased —
+    ``estimate = (4·n_reported − n) / 2`` (the unbiased inverse of the
+    flip channel at f = 1/4, ε = ln 3 per event). The privacy sibling
+    of the k-anonymity / l-diversity rollups above: those suppress,
+    this randomizes.
+
+    Determinism contract: the flip coin is ``md5_u64('rr:' ∥ id) % 4
+    == 0`` (≡ DuckDB ``md5_number_upper``), so both engines flip the
+    SAME events and the audit row is strictly checkable — the
+    deterministic coin IS the operator's auditability contract (a
+    production release would draw real entropy; the channel math is
+    identical). The true count rides along so the driver row exhibits
+    estimate-vs-truth directly.
+
+    Shape: one per-batch combiner (day, n, n_true, n_reported) — the
+    md5 coin is the only per-row Python cost, amortized per batch —
+    merged on the bounded calendar-day table. NULL ts/id rows are
+    excluded by contract. Output: (day, n, n_true, n_reported,
+    dp_estimate) sorted by day.
+    """
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.aggregate import grouped_agg
+    from fluent_server_ray.stages.features import _epoch_day
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[id_col])))
+        day = _epoch_day(t[ts_col]).to_numpy(zero_copy_only=False)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = pc.fill_null(
+            pc.cast(pc.equal(t[type_col], sensitive_type), pa.int64()),
+            0).to_numpy(zero_copy_only=False).astype(np.int64)
+        flip = np.fromiter(
+            (md5_u64(f"rr:{i}") % 4 == 0 for i in ids),
+            dtype=bool, count=len(ids))
+        reported = np.where(flip, 1 - x, x)
+        prep = pa.table({
+            "day": pa.array(day, pa.int64()),
+            "n": pa.array(np.ones(len(ids), dtype=np.int64)),
+            "n_true": pa.array(x),
+            "n_reported": pa.array(reported.astype(np.int64)),
+        })
+        out = prep.group_by(["day"]).aggregate(
+            [("n", "sum"), ("n_true", "sum"), ("n_reported", "sum")])
+        return out.rename_columns(["day", "n", "n_true", "n_reported"])
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day"], [("n", "sum"), ("n_true", "sum"),
+                  ("n_reported", "sum")], final="driver")
+    n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rep = agg["n_reported_sum"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    est = (4 * rep - n).astype(np.float64) / 2.0
+    return pa.table({
+        "day": pc.cast(agg["day"], pa.int64()),
+        "n": pa.array(n),
+        "n_true": pc.cast(agg["n_true_sum"], pa.int64()),
+        "n_reported": pa.array(rep),
+        "dp_estimate": pa.array(est, pa.float64()),
+    }).sort_by([("day", "ascending")])
+
+
+def rr_private_daily_counts_sql(sensitive_type: str = "purchase",
+                                ts_col: str = "ts",
+                                id_col: str = "event_id",
+                                type_col: str = "event_type",
+                                table: str = "events") -> str:
+    return f"""
+WITH r AS (
+  SELECT
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CASE WHEN {type_col} = '{sensitive_type}' THEN 1 ELSE 0 END AS x,
+    CASE WHEN md5_number_upper('rr:' || CAST({id_col} AS VARCHAR))
+              % 4 = 0 THEN 1 ELSE 0 END AS flip
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {id_col} IS NOT NULL
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(x) AS BIGINT) AS n_true,
+  CAST(sum(CASE WHEN flip = 1 THEN 1 - x ELSE x END) AS BIGINT)
+    AS n_reported,
+  CAST(4 * sum(CASE WHEN flip = 1 THEN 1 - x ELSE x END) - count(*)
+       AS DOUBLE) / 2.0 AS dp_estimate
+FROM r GROUP BY day ORDER BY day
+""".strip()

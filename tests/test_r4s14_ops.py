@@ -146,3 +146,87 @@ def test_rolling_median_duck_parity(ray_session):
            .to_pandas())
     want = _duck_one(df, rolling_frame_median_sql())
     _cmp(got, want)
+
+
+# ------------------------------------------------ randomized response
+
+def test_rr_private_counts_hand_pin(ray_session):
+    """Debias identity: with the deterministic coin, estimate =
+    (4*reported - n)/2 exactly; reported diverges from true only on
+    flipped events."""
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.hygiene import rr_private_daily_counts
+
+    n = 40
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2024-01-05"),
+        "event_type": ["purchase" if i % 3 == 0 else "view"
+                       for i in range(n)],
+    })
+    out = rr_private_daily_counts(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    x = np.array([1 if i % 3 == 0 else 0 for i in range(n)])
+    flip = np.array([md5_u64(f"rr:{i}") % 4 == 0 for i in range(n)])
+    rep = int(np.where(flip, 1 - x, x).sum())
+    assert row.n == n and row.n_true == x.sum()
+    assert row.n_reported == rep
+    assert row.dp_estimate == (4 * rep - n) / 2.0
+
+
+def test_rr_coin_matches_duckdb(ray_session):
+    from fluent_server_ray.functions.hashing import md5_u64
+
+    con = duckdb.connect()
+    for i in (0, 1, 7, 123456789):
+        want = con.execute(
+            f"SELECT md5_number_upper('rr:' || CAST({i} AS VARCHAR)) "
+            f"% 4").fetchone()[0]
+        assert md5_u64(f"rr:{i}") % 4 == want
+
+
+# ------------------------------------------------ per-user SPRT
+
+def test_sprt_hand_pin(ray_session):
+    """u1: 5 straight purchases -> cum 7,14,21,28,35 crosses +29 at
+    step 5. u2: 8 straight clicks -> cum -4.. -32 crosses -29 at step
+    8. u3: 1 purchase -> never crosses -> continue."""
+    from fluent_server_ray.stages.features import user_sprt_decisions
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(5):
+        rows.append((1, ts + pd.Timedelta(seconds=i), i, "purchase"))
+    for i in range(8):
+        rows.append((2, ts + pd.Timedelta(seconds=i), 100 + i, "click"))
+    rows.append((3, ts, 200, "purchase"))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    out = (user_sprt_decisions(rd.from_pandas(df))
+           .to_pandas().set_index("decision"))
+    assert out.loc["accept_h1"].n_users == 1
+    assert out.loc["accept_h1"].sum_crossing_step == 5
+    assert out.loc["accept_h0"].n_users == 1
+    assert out.loc["accept_h0"].sum_crossing_step == 8
+    assert out.loc["continue"].n_users == 1
+    assert out.loc["continue"].sum_crossing_step == 0
+
+
+def test_sprt_duck_parity(ray_session):
+    from fluent_server_ray.stages.features import (user_sprt_decisions,
+                                                   user_sprt_decisions_sql)
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 5 * 86400, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(
+            ["click", "purchase", "view"], n, p=[0.4, 0.35, 0.25]),
+    })
+    got = user_sprt_decisions(rd.from_pandas(df), n_buckets=4).to_pandas()
+    want = _duck_one(df, user_sprt_decisions_sql())
+    _cmp(got, want)
