@@ -4847,6 +4847,28 @@ def _q_user_sprt(sf_dir: str):
                                     "event_type"]))
 
 
+def _q_wilcoxon(sf_dir: str):
+    """Wilcoxon signed-rank over paired per-user click-vs-purchase
+    cents totals — doubled midranks keep ties integral, one z float
+    tree; distinct-|d| histogram driver continuation."""
+    from fluent_server_ray.stages.features import wilcoxon_signed_rank
+
+    return wilcoxon_signed_rank(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type", "value"]))
+
+
+def _q_peak_concurrency(sf_dir: str):
+    """Per-day peak concurrency of session intervals — sweep-line over
+    per-distinct-timestamp delta sums (tie-order-proof RANGE
+    semantics), day-partitioned."""
+    from fluent_server_ray.stages.windows import peak_concurrency
+
+    return peak_concurrency(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["ts", "event_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -5213,6 +5235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_median": _q_rolling_median,
         "events_rr_private_counts": _q_rr_private,
         "user_sprt_decisions": _q_user_sprt,
+        "users_wilcoxon_signed_rank": _q_wilcoxon,
+        "events_peak_concurrency": _q_peak_concurrency,
     }
 
 
@@ -6059,4 +6083,6 @@ WITH toks AS (
         "events_rolling_median": windows.rolling_frame_median_sql(),
         "events_rr_private_counts": hygiene.rr_private_daily_counts_sql(),
         "user_sprt_decisions": features.user_sprt_decisions_sql(),
+        "users_wilcoxon_signed_rank": features.wilcoxon_signed_rank_sql(),
+        "events_peak_concurrency": windows.peak_concurrency_sql(),
     }

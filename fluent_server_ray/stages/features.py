@@ -6924,3 +6924,155 @@ SELECT decision, CAST(count(*) AS BIGINT) AS n_users,
   CAST(sum(cross_step) AS BIGINT) AS sum_crossing_step
 FROM labeled GROUP BY decision ORDER BY decision
 """.strip()
+
+
+# ------------------------------------------- Wilcoxon signed-rank
+
+def wilcoxon_signed_rank(ds, type_a: str = "click",
+                         type_b: str = "purchase",
+                         user_col: str = "user_id",
+                         type_col: str = "event_type",
+                         value_col: str = "value",
+                         max_distinct: int = 4_000_000) -> pa.Table:
+    """Wilcoxon signed-rank test over PAIRED per-user totals — does
+    the per-user ``type_b`` spend differ from the ``type_a`` spend?
+    The paired-samples member of the rank-test family
+    (:func:`mannwhitney_pairs` compares independent groups; this one
+    ranks each user's own difference). Wilcoxon 1945.
+
+    Exact-integer contract (the Mann-Whitney discipline): per-user
+    difference ``d = Σcents_b - Σcents_a`` (zero-filled sides, zero
+    diffs DROPPED per the classic test), ranks of |d| kept DOUBLED so
+    midranks stay integral (``r2 = 2·cum_before + n_ties + 1``);
+    ``w2_plus = Σ_{d>0} r2`` and the tie-corrected variance NUMERATOR
+    ``var_num12 = 2n(n+1)(2n+1) - Σ_t(t³ - t)`` are exact ints; z is
+    ONE float tree ``(w2_plus - n(n+1)/2) / sqrt(var_num12 / 12.0)``
+    (NULL when the variance is 0 or no nonzero diffs).
+
+    Shape: per-block (user, cents_a, cents_b) combiner → distributed
+    per-user merge (``final='ray'``) → per-block |d| histogram
+    partials → bounded driver merge (≤ one row per DISTINCT |d|,
+    guarded by ``max_distinct``). NULL user/value rows are excluded by
+    contract. Output: one row (n_pairs, w2_plus, mean2, var_num12, z).
+    """
+    import math
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[value_col]))
+        keep = pc.and_(keep, pc.is_in(
+            t[type_col], value_set=pa.array([type_a, type_b])))
+        t = t.filter(keep)
+        cents = _cents(t[value_col])
+        is_a = pc.equal(t[type_col], type_a)
+        prep = pa.table({
+            "user": pc.cast(t[user_col], pa.int64()),
+            "ca": pc.if_else(is_a, cents, pa.scalar(0, pa.int64())),
+            "cb": pc.if_else(is_a, pa.scalar(0, pa.int64()), cents),
+        })
+        out = prep.group_by(["user"]).aggregate([("ca", "sum"),
+                                                 ("cb", "sum")])
+        return out.rename_columns(["user", "ca", "cb"])
+
+    per_user = grouped_agg(
+        ds.map_batches(skip_empty(per_user_partial),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user"], aggs=[("ca", "sum"), ("cb", "sum")], final="ray")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        d = (t["cb_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+             - t["ca_sum"].to_numpy(zero_copy_only=False).astype(
+                 np.int64))
+        d = d[d != 0]
+        if not len(d):
+            return pa.table({"ad": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "cpos": pa.array([], pa.int64())})
+        prep = pa.table({
+            "ad": pa.array(np.abs(d)),
+            "c": pa.array(np.ones(len(d), dtype=np.int64)),
+            "cpos": pa.array((d > 0).astype(np.int64)),
+        })
+        out = prep.group_by(["ad"]).aggregate([("c", "sum"),
+                                               ("cpos", "sum")])
+        return out.rename_columns(["ad", "c", "cpos"])
+
+    hist = grouped_agg(
+        per_user.map_batches(skip_empty(hist_partial),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True),
+        keys=["ad"], aggs=[("c", "sum"), ("cpos", "sum")],
+        final="driver")
+    if len(hist) > max_distinct:
+        raise ValueError(
+            "wilcoxon_signed_rank: distinct |d| histogram exceeds "
+            f"max_distinct={max_distinct}")
+    hp = hist.to_pandas().sort_values("ad")
+    c = hp["c_sum"].to_numpy(dtype=np.int64)
+    cpos = hp["cpos_sum"].to_numpy(dtype=np.int64)
+    n = int(c.sum())
+    cum_before = np.concatenate([[0], np.cumsum(c)[:-1]])
+    r2 = 2 * cum_before + c + 1
+    w2 = int((cpos * r2).sum())
+    mean2 = n * (n + 1) // 2
+    tie_term = int((c.astype(object) ** 3 - c).sum()) if len(c) else 0
+    var_num12 = 2 * n * (n + 1) * (2 * n + 1) - tie_term
+    z = (float(w2 - mean2) / math.sqrt(var_num12 / 12.0)
+         if n > 0 and var_num12 > 0 else None)
+    return pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "w2_plus": pa.array([w2], pa.int64()),
+        "mean2": pa.array([mean2], pa.int64()),
+        "var_num12": pa.array([var_num12], pa.int64()),
+        "z": pa.array([z], pa.float64()),
+    })
+
+
+def wilcoxon_signed_rank_sql(type_a: str = "click",
+                             type_b: str = "purchase",
+                             user_col: str = "user_id",
+                             type_col: str = "event_type",
+                             value_col: str = "value",
+                             table: str = "events") -> str:
+    return f"""
+WITH u AS (
+  SELECT {user_col} AS user_id,
+    SUM(CASE WHEN {type_col} = '{type_b}'
+        THEN CAST(round({value_col} * 100.0) AS BIGINT) ELSE 0 END)
+    - SUM(CASE WHEN {type_col} = '{type_a}'
+        THEN CAST(round({value_col} * 100.0) AS BIGINT) ELSE 0 END)
+      AS d
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {value_col} IS NOT NULL
+    AND {type_col} IN ('{type_a}', '{type_b}')
+  GROUP BY {user_col}
+), nz AS (
+  SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+  FROM u WHERE d != 0
+), h AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS c,
+    CAST(sum(pos) AS BIGINT) AS cpos
+  FROM nz GROUP BY ad
+), r AS (
+  SELECT ad, c, cpos,
+    2 * COALESCE(sum(c) OVER (ORDER BY ad
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    + c + 1 AS r2
+  FROM h
+), agg AS (
+  SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n,
+    CAST(COALESCE(sum(cpos * r2), 0) AS BIGINT) AS w2,
+    CAST(COALESCE(sum(c * c * c - c), 0) AS BIGINT) AS tie_term
+  FROM r
+)
+SELECT n AS n_pairs, w2 AS w2_plus,
+  n * (n + 1) // 2 AS mean2,
+  2 * n * (n + 1) * (2 * n + 1) - tie_term AS var_num12,
+  CASE WHEN n > 0 AND 2 * n * (n + 1) * (2 * n + 1) - tie_term > 0
+    THEN CAST(w2 - n * (n + 1) // 2 AS DOUBLE)
+      / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie_term AS DOUBLE)
+             / 12.0)
+    ELSE NULL END AS z
+FROM agg
+""".strip()

@@ -2709,3 +2709,118 @@ WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
              AND CURRENT ROW)
 ORDER BY key, id
 """.strip()
+
+
+# --------------------------------------------- peak interval concurrency
+
+def peak_concurrency(ds, ts_col: str = "ts", id_col: str = "event_id",
+                     dur_mod: int = 600):
+    """Per-day PEAK CONCURRENCY of activity intervals — the sweep-line
+    question :func:`merge_intervals` doesn't answer (union coverage
+    says how much time was busy; this says how DEEP the busiest moment
+    was — the capacity-planning number). Intervals are the session
+    extents ``[ts, ts + (id % dur_mod) s)`` in integer micros (the
+    :func:`merge_intervals` recipe); each interval belongs to its
+    START day by contract.
+
+    Exactness/order contract: boundary deltas (+1 at start, −1 at end)
+    aggregate PER DISTINCT TIMESTAMP before the running sum — the
+    "after all peers" value, which is what SQL's default RANGE window
+    frame computes — so tie order can never change the result.
+    Zero-length intervals (id % dur_mod = 0) contribute +1 −1 at one
+    timestamp and never count, on both engines. The peak and its
+    FIRST attaining timestamp are exact integers.
+
+    Shape: one combiner pass collapses each block to per-(day,
+    timestamp) delta sums; the distributed per-(day, t) merge bounds
+    the exchange by distinct boundary instants; the per-day sweep
+    (sort + cumsum + argmax) runs in one pandas kernel per day group.
+    The sweep is inherently sequential WITHIN a day — day is the
+    partition key, so depth scales with cluster width across days.
+    NULL ts/id rows are excluded by contract. Output: (day,
+    peak_concurrency, peak_at_us) sorted by day.
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.features import _epoch_day
+
+    def deltas(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                             pc.is_valid(t[id_col])))
+        day = _epoch_day(t[ts_col]).to_numpy(zero_copy_only=False)
+        # explicit us cast: a pandas-born Dataset carries ns precision,
+        # and nanos would silently shrink every interval 1000x
+        s_us = (t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        e_us = s_us + (ids % dur_mod) * 1_000_000
+        prep = pa.table({
+            "day": pa.array(np.concatenate([day, day])),
+            "t": pa.array(np.concatenate([s_us, e_us])),
+            "delta": pa.array(np.concatenate(
+                [np.ones(len(s_us), dtype=np.int64),
+                 -np.ones(len(s_us), dtype=np.int64)])),
+        })
+        out = prep.group_by(["day", "t"]).aggregate([("delta", "sum")])
+        return out.rename_columns(["day", "t", "delta"])
+
+    merged = grouped_agg(
+        ds.map_batches(skip_empty(deltas), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["day", "t"], aggs=[("delta", "sum")], final="ray")
+
+    schema = pa.schema([
+        pa.field("day", pa.int64()),
+        pa.field("peak_concurrency", pa.int64()),
+        pa.field("peak_at_us", pa.int64()),
+    ])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("t")
+        cum = g["delta_sum"].to_numpy(dtype=np.int64).cumsum()
+        peak = int(cum.max())
+        at = int(g["t"].to_numpy()[int(np.argmax(cum))])
+        return pd.DataFrame({"day": [int(g["day"].iloc[0])],
+                             "peak_concurrency": [peak],
+                             "peak_at_us": [at]})
+
+    out = merged.groupby("day").map_groups(sweep, batch_format="pandas")
+    parts = [t for t in out.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")]
+    if not parts:
+        return schema.empty_table()
+    return (pa.concat_tables([t.cast(schema) for t in parts])
+            .sort_by([("day", "ascending")]))
+
+
+def peak_concurrency_sql(ts_col: str = "ts", id_col: str = "event_id",
+                         dur_mod: int = 600,
+                         table: str = "events") -> str:
+    return f"""
+WITH iv AS (
+  SELECT
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    epoch_us({ts_col}) AS s_us,
+    epoch_us({ts_col})
+      + (CAST({id_col} AS BIGINT) % {dur_mod}) * 1000000 AS e_us
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {id_col} IS NOT NULL
+), b AS (
+  SELECT day, s_us AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, e_us AS t, -1 AS delta FROM iv
+), c AS (
+  SELECT day, t,
+    sum(delta) OVER (PARTITION BY day ORDER BY t) AS cum
+  FROM b
+), peaks AS (
+  SELECT day, max(cum) AS peak FROM c GROUP BY day
+)
+SELECT p.day, CAST(p.peak AS BIGINT) AS peak_concurrency,
+  CAST(min(c.t) AS BIGINT) AS peak_at_us
+FROM peaks p JOIN c ON c.day = p.day AND c.cum = p.peak
+GROUP BY p.day, p.peak
+ORDER BY p.day
+""".strip()

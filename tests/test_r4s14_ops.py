@@ -230,3 +230,96 @@ def test_sprt_duck_parity(ray_session):
     got = user_sprt_decisions(rd.from_pandas(df), n_buckets=4).to_pandas()
     want = _duck_one(df, user_sprt_decisions_sql())
     _cmp(got, want)
+
+
+# ------------------------------------------------ Wilcoxon signed-rank
+
+def test_wilcoxon_hand_pin(ray_session):
+    """Diffs (purchase - click cents): u1 +100, u2 -50, u3 +50,
+    u4 0 (dropped). |d| ranks: 50->tie pair (doubled midranks 3,3),
+    100 -> 5 (doubled 2*2+1+1=6? no: cum_before=2, c=1 -> r2=6).
+    w2_plus = r2(100) + r2(50 for u3) = 6 + 3 = 9; n=3, mean2=6."""
+    from fluent_server_ray.stages.features import wilcoxon_signed_rank
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 3, 3, 4, 4],
+        "event_type": ["click", "purchase"] * 4,
+        "value": [1.0, 2.0,    # u1: +100
+                  1.0, 0.5,    # u2: -50
+                  0.5, 1.0,    # u3: +50
+                  2.0, 2.0],   # u4: 0 -> dropped
+    })
+    out = wilcoxon_signed_rank(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.n_pairs == 3
+    # |d| = 50,50,100: midranks (1.5,1.5,3) doubled = (3,3,6)
+    assert out.w2_plus == 3 + 6
+    assert out.mean2 == 3 * 4 // 2
+    # var_num12 = 2*3*4*7 - (2^3-2) = 168 - 6 = 162
+    assert out.var_num12 == 162
+    assert out.z == (9 - 6) / np.sqrt(162 / 12.0)
+
+
+def test_wilcoxon_scipy_formula_parity(ray_session):
+    """Against the closed-form no-ties case: n distinct diffs,
+    var_num12 = 2n(n+1)(2n+1), W+ = classic rank sum."""
+    from fluent_server_ray.stages.features import wilcoxon_signed_rank
+
+    # purchases strictly exceed clicks by distinct amounts: all d > 0,
+    # |d| = 100, 200, ..., 500 -> W+ = 1+2+3+4+5 = 15 (doubled 30)
+    rows = []
+    for u in range(1, 6):
+        rows.append((u, "click", 1.0))
+        rows.append((u, "purchase", 1.0 + u))
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "value"])
+    out = wilcoxon_signed_rank(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.n_pairs == 5 and out.w2_plus == 30
+    assert out.var_num12 == 2 * 5 * 6 * 11
+
+
+# ------------------------------------------------ peak concurrency
+
+def test_peak_concurrency_hand_pin(ray_session):
+    """Three overlapping intervals on one day: [0,10), [5,15), [8,9)
+    (seconds) -> depth 3 in [8,9); a second day with one interval."""
+    from fluent_server_ray.stages.windows import peak_concurrency
+
+    base = pd.Timestamp("2024-01-01")
+    day2 = pd.Timestamp("2024-01-02")
+    df = pd.DataFrame({
+        # durations come from event_id % 600
+        "ts": [base, base + pd.Timedelta(seconds=5),
+               base + pd.Timedelta(seconds=8), day2],
+        "event_id": [10, 610, 1201, 30],  # durations 10, 10, 1, 30
+    })
+    out = peak_concurrency(rd.from_pandas(df)).to_pandas()
+    d1 = out[out.day == (base - pd.Timestamp("1970-01-01")).days].iloc[0]
+    assert d1.peak_concurrency == 3
+    assert d1.peak_at_us == (base + pd.Timedelta(seconds=8)).value // 1000
+    d2 = out[out.day == (day2 - pd.Timestamp("1970-01-01")).days].iloc[0]
+    assert d2.peak_concurrency == 1
+
+
+def test_peak_concurrency_zero_length_never_counts(ray_session):
+    from fluent_server_ray.stages.windows import peak_concurrency
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({"ts": [base], "event_id": [600]})  # dur 0
+    out = peak_concurrency(rd.from_pandas(df)).to_pandas()
+    # +1 and -1 collapse at one instant: peak is 0, never 1
+    assert out.peak_concurrency.tolist() == [0]
+
+
+def test_peak_concurrency_duck_parity(ray_session):
+    from fluent_server_ray.stages.windows import (peak_concurrency,
+                                                  peak_concurrency_sql)
+
+    rng = np.random.default_rng(5)
+    n = 800
+    df = pd.DataFrame({
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 4 * 86400, n), unit="s"),
+        "event_id": rng.integers(0, 100_000, n),
+    })
+    got = peak_concurrency(rd.from_pandas(df)).to_pandas()
+    want = _duck_one(df, peak_concurrency_sql())
+    _cmp(got, want)
