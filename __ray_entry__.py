@@ -4869,6 +4869,32 @@ def _q_peak_concurrency(sf_dir: str):
                            columns=["ts", "event_id"]))
 
 
+def _q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) source/sink: the bit-exact interchange
+    lane — same lossless round-trip audit as the CSV/JSONL paths."""
+    from fluent_server_ray.sources.ipc import read_ipc_dir, write_ipc_dir
+
+    return _roundtrip_agg(sf_dir, write_ipc_dir, read_ipc_dir,
+                          "fsr_ipc_")
+
+
+def _q_token_sssp(sf_dir: str):
+    """Weighted shortest paths over the word-adjacency graph from its
+    most frequent token — synchronous distributed Bellman-Ford with
+    md5-priced edges; cost-capped recursive-CTE mirror."""
+    from fluent_server_ray.stages.graph import (token_adjacency_edges,
+                                                weighted_sssp)
+    from fluent_server_ray.stages.textstats import vocab_top_words
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["text"]).materialize()
+    edges = token_adjacency_edges(docs)
+    source = vocab_top_words(docs, k=1)["word"][0].as_py()
+    # n_buckets=8: per-round fixed exchange cost (the BFS precedent);
+    # raise with the cluster at corpus scale
+    return weighted_sssp(edges, source, n_buckets=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -5237,6 +5263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sprt_decisions": _q_user_sprt,
         "users_wilcoxon_signed_rank": _q_wilcoxon,
         "events_peak_concurrency": _q_peak_concurrency,
+        "events_ipc_roundtrip": _q_ipc_roundtrip,
+        "token_graph_sssp": _q_token_sssp,
     }
 
 
@@ -6085,4 +6113,25 @@ WITH toks AS (
         "user_sprt_decisions": features.user_sprt_decisions_sql(),
         "users_wilcoxon_signed_rank": features.wilcoxon_signed_rank_sql(),
         "events_peak_concurrency": windows.peak_concurrency_sql(),
+        "events_ipc_roundtrip": _ROUNDTRIP_AGG_SQL,
+        "token_graph_sssp": __import__(
+            "fluent_server_ray.stages.graph", fromlist=["x"]
+        ).weighted_sssp_sql("""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), bi AS (
+  SELECT t[gs] AS x, t[gs + 1] AS y
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS u(gs)
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM bi WHERE x <> y
+), wd AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS word
+  FROM documents
+), v AS (
+  SELECT word, count(*) AS n FROM wd GROUP BY word
+  ORDER BY n DESC, word LIMIT 1
+)""", "(SELECT word FROM v)", cost_cap=40),
     }

@@ -1296,3 +1296,195 @@ SELECT h.node, CAST(h.h AS BIGINT) AS hub_millionths,
   CAST(a.a AS BIGINT) AS auth_millionths
 FROM h{n_iters} h JOIN a{n_iters} a ON h.node = a.node
 ORDER BY h.node""")
+
+
+# --------------------------------------------- weighted shortest paths
+
+def weighted_sssp(edges, source: str, a: str = "lo", b: str = "hi",
+                  cost_cap: int = 40, max_rounds: int = 64,
+                  n_buckets: int = 32, max_dense_edges: int = 2_000_000):
+    """Weighted single-source shortest paths (synchronous distributed
+    Bellman-Ford) over an undirected edge Dataset — the weighted
+    sibling of :func:`bfs_distances` (BFS counts hops; this minimizes
+    a path COST, the routing/closeness primitive hop counts can't
+    express).
+
+    Determinism contract: the edge weight is derived from the
+    canonical pair itself — ``w = 1 + md5_u64(lo ∥ U+001F ∥ hi) % 9``
+    (≡ DuckDB ``md5_number_upper``), so both engines price every edge
+    identically with no weight column to ship. Distances are exact
+    int64 cost sums. The mirror is a cost-capped recursive CTE: the
+    ``cost_cap`` prunes the SQL walk, so the OPERATOR's contract is
+    "nodes within ``cost_cap``" — a shortest path's prefix costs never
+    exceed its total, so every node with dist ≤ cap survives pruning
+    with its exact distance on both engines.
+
+    Shape: per round, ONE bucketed hash join (edges ⋈ current
+    distances on src) + a distributed grouped-min merge of the
+    relaxed candidates with the standing distances — nothing
+    node-scaled on the driver; convergence is detected from the
+    bounded (count, sum) signature of the monotone-decreasing
+    distance table and the loop raises past ``max_rounds``.
+    Size-adaptive driver continuation (the :func:`link_prediction_ra`
+    precedent): a distinct-edge set ≤ ``max_dense_edges`` relaxes as
+    one vectorized ``np.minimum.at`` Bellman-Ford on the driver —
+    byte-identical results (parity-pinned in tests); each distributed
+    round costs a fixed executor exchange, which dominates at bounded
+    vocab scale. Returns a pyarrow Table (node, dist ≤ cost_cap)
+    sorted by node.
+    """
+    import ray.data as rd
+
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.joins import bucketed_hash_join
+
+    out_schema = pa.schema([pa.field("node", pa.string()),
+                            pa.field("dist", pa.int64())])
+
+    e0 = _distinct_canonical_edges(edges, a, b).materialize()
+
+    if e0.count() <= max_dense_edges:
+        parts = [t for t in e0.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")]
+        if not parts:
+            return out_schema.empty_table()
+        et = pa.concat_tables(parts)
+        lo = np.asarray(et["lo"].to_pylist(), dtype=object)
+        hi = np.asarray(et["hi"].to_pylist(), dtype=object)
+        w = np.array([1 + md5_u64(f"{x}\x1f{y}") % 9
+                      for x, y in zip(lo, hi)], dtype=np.int64)
+        nodes, codes = np.unique(np.concatenate([lo, hi]),
+                                 return_inverse=True)
+        i, j = codes[:len(lo)], codes[len(lo):]
+        src_idx = np.concatenate([i, j])
+        dst_idx = np.concatenate([j, i])
+        ww = np.concatenate([w, w])
+        INF = np.int64(2 ** 62)
+        dist = np.full(len(nodes), INF, dtype=np.int64)
+        s_pos = np.searchsorted(nodes, source)
+        if s_pos >= len(nodes) or nodes[s_pos] != source:
+            return out_schema.empty_table()
+        dist[s_pos] = 0
+        for _ in range(max_rounds):
+            cand = dist[src_idx] + ww  # INF + w stays < 2^63
+            new = dist.copy()
+            np.minimum.at(new, dst_idx, cand)
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        else:
+            raise ValueError(
+                f"weighted_sssp: no convergence in {max_rounds} rounds")
+        keep = dist <= cost_cap
+        order = np.argsort(nodes[keep])
+        return pa.table({
+            "node": pa.array(nodes[keep][order], pa.string()),
+            "dist": pa.array(dist[keep][order]),
+        })
+
+    def weighted_both(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_pylist()
+        hi = t["hi"].to_pylist()
+        w = np.array([1 + md5_u64(f"{x}\x1f{y}") % 9
+                      for x, y in zip(lo, hi)], dtype=np.int64)
+        return pa.table({
+            "src": pa.concat_arrays([t["lo"].combine_chunks(),
+                                     t["hi"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["hi"].combine_chunks(),
+                                     t["lo"].combine_chunks()]),
+            "w": pa.array(np.concatenate([w, w])),
+        })
+
+    e = e0.map_batches(skip_empty(weighted_both), batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array([source], pa.string()),
+        "dist": pa.array([0], pa.int64()),
+    })).materialize()
+
+    def signature(ds_) -> tuple:
+        n = s = 0
+        for t in ds_.map_batches(
+                skip_empty(lambda t: pa.table({
+                    "n": pa.array([len(t)], pa.int64()),
+                    "s": pa.array([int(pc.sum(t["dist"]).as_py() or 0)],
+                                  pa.int64())})),
+                batch_format="pyarrow",
+                zero_copy_batch=True).iter_rows():
+            n += t["n"]
+            s += t["s"]
+        return n, s
+
+    sig = signature(dist)
+    for _ in range(max_rounds):
+        def rn_dist(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["src", "d"])
+
+        j = bucketed_hash_join(
+            e,
+            dist.map_batches(rn_dist, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            key="src", n_buckets=n_buckets)
+
+        def relax(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["dst"],
+                "dist": pc.add(pc.cast(t["d"], pa.int64()),
+                               pc.cast(t["w"], pa.int64())),
+            })
+
+        cand = j.map_batches(skip_empty(relax), batch_format="pyarrow",
+                             zero_copy_batch=True)
+        merged = grouped_agg(dist.union(cand), keys=["node"],
+                             aggs=[("dist", "min")], final="ray")
+        dist = merged.map_batches(
+            lambda t: t.rename_columns(["node", "dist"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        new_sig = signature(dist)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise ValueError(
+            f"weighted_sssp: no convergence in {max_rounds} rounds")
+
+    parts = [t for t in dist.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+    out_schema = pa.schema([pa.field("node", pa.string()),
+                            pa.field("dist", pa.int64())])
+    if not parts:
+        return out_schema.empty_table()
+    t = pa.concat_tables([p.cast(out_schema) for p in parts])
+    t = t.filter(pc.less_equal(t["dist"], cost_cap))
+    return t.sort_by([("node", "ascending")])
+
+
+def weighted_sssp_sql(edges_cte: str, source_expr: str,
+                      cost_cap: int = 40) -> str:
+    """Cost-capped recursive-CTE mirror. ``edges_cte`` is a complete
+    ``WITH`` chain whose LAST CTE is ``e0`` with CANONICAL distinct
+    columns (a, b); the weighted symmetric edge set and the walk
+    append to it. UNION dedups (node, d) pairs per round; the cost cap
+    bounds the walk at |V|·cap rows."""
+    return f"""
+WITH RECURSIVE {edges_cte.strip().removeprefix("WITH").strip()},
+ew AS MATERIALIZED (
+  SELECT a, b,
+    1 + CAST(md5_number_upper(a || chr(31) || b) % 9 AS BIGINT) AS w
+  FROM e0
+), e AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM ew
+  UNION ALL SELECT b, a, w FROM ew
+),
+walk(node, d) AS (
+  SELECT {source_expr}, CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.d + e.w
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d + e.w <= {cost_cap}
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node
+""".strip()

@@ -323,3 +323,78 @@ def test_peak_concurrency_duck_parity(ray_session):
     got = peak_concurrency(rd.from_pandas(df)).to_pandas()
     want = _duck_one(df, peak_concurrency_sql())
     _cmp(got, want)
+
+
+# ------------------------------------------------ weighted SSSP
+
+def _sssp_weight(x, y):
+    from fluent_server_ray.functions.hashing import md5_u64
+
+    return 1 + md5_u64(f"{x}\x1f{y}") % 9
+
+
+def test_weighted_sssp_hand_pin(ray_session):
+    """Line graph a-b-c plus direct edge a-c: dist(c) must take the
+    cheaper of w(a,c) vs w(a,b)+w(b,c) — md5-derived weights."""
+    from fluent_server_ray.stages.graph import weighted_sssp
+
+    edges = pa.table({"lo": ["a", "a", "b"], "hi": ["b", "c", "c"]})
+    out = weighted_sssp(rd.from_arrow(edges), "a").to_pandas()
+    wab = _sssp_weight("a", "b")
+    wac = _sssp_weight("a", "c")
+    wbc = _sssp_weight("b", "c")
+    d = dict(zip(out.node, out.dist))
+    assert d["a"] == 0 and d["b"] == min(wab, wac + wbc)
+    assert d["c"] == min(wac, wab + wbc)
+
+
+def test_weighted_sssp_dense_vs_distributed_parity(ray_session):
+    from fluent_server_ray.stages.graph import weighted_sssp
+
+    rng = np.random.default_rng(13)
+    names = [f"n{i}" for i in range(14)]
+    los, his = [], []
+    for _ in range(30):
+        x, y = rng.choice(14, 2, replace=False)
+        a, b = sorted((names[x], names[y]))
+        los.append(a); his.append(b)
+    edges = pa.table({"lo": los, "hi": his})
+    dense = weighted_sssp(rd.from_arrow(edges), "n0").to_pandas()
+    dist = weighted_sssp(rd.from_arrow(edges), "n0",
+                         max_dense_edges=0, n_buckets=2).to_pandas()
+    pd.testing.assert_frame_equal(dense.reset_index(drop=True),
+                                  dist.reset_index(drop=True))
+
+
+def test_weighted_sssp_cost_cap_excludes_far_nodes(ray_session):
+    from fluent_server_ray.stages.graph import weighted_sssp
+
+    edges = pa.table({"lo": ["a"], "hi": ["b"]})
+    w = _sssp_weight("a", "b")
+    out = weighted_sssp(rd.from_arrow(edges), "a",
+                        cost_cap=w - 1).to_pandas()
+    assert out.node.tolist() == ["a"]  # b is past the cap
+
+
+# ------------------------------------------------ Arrow IPC round-trip
+
+def test_ipc_roundtrip_bit_exact(ray_session, tmp_path):
+    """IPC keeps schema and values bit-exact — including microsecond
+    timestamps and full-precision doubles (the lossy-text formats
+    can't promise this)."""
+    from fluent_server_ray.sources.ipc import read_ipc_dir, write_ipc_dir
+
+    t = pa.table({
+        "ts": pa.array([1_700_000_000_123_456, 1],
+                       pa.timestamp("us")),
+        "x": pa.array([0.1 + 0.2, 1e-300], pa.float64()),
+        "s": pa.array(["héllo", None], pa.string()),
+    })
+    out = str(tmp_path / "ipc")
+    write_ipc_dir(rd.from_arrow(t), out)
+    back_parts = [b for b in read_ipc_dir(out).iter_batches(
+        batch_size=None, batch_format="pyarrow")]
+    back = pa.concat_tables(back_parts)
+    assert back.schema.equals(t.schema)
+    assert back.sort_by([("ts", "ascending")]).equals(
+        t.sort_by([("ts", "ascending")]))
