@@ -4895,6 +4895,28 @@ def _q_token_sssp(sf_dir: str):
     return weighted_sssp(edges, source, n_buckets=8)
 
 
+def _q_bootstrap_ci(sf_dir: str):
+    """Percentile-bootstrap CI for the mean daily total — md5-indexed
+    deterministic resamples over the bounded daily table; CI bounds
+    are order-statistic picks that EXIST in the resample set."""
+    from fluent_server_ray.stages.features import bootstrap_daily_mean_ci
+
+    return bootstrap_daily_mean_ci(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["ts", "value"]))
+
+
+def _q_cuped(sf_dir: str):
+    """CUPED-adjusted per-variant A/B means over pre/post-split
+    per-user cents — exact integer pooled moments (hi/lo split),
+    one shared float tree for θ and each adjusted mean."""
+    from fluent_server_ray.stages.features import cuped_adjusted_means
+
+    return cuped_adjusted_means(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
@@ -5265,6 +5287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_concurrency": _q_peak_concurrency,
         "events_ipc_roundtrip": _q_ipc_roundtrip,
         "token_graph_sssp": _q_token_sssp,
+        "events_bootstrap_mean_ci": _q_bootstrap_ci,
+        "users_cuped_ab_means": _q_cuped,
     }
 
 
@@ -6134,4 +6158,6 @@ WITH toks AS (
   SELECT word, count(*) AS n FROM wd GROUP BY word
   ORDER BY n DESC, word LIMIT 1
 )""", "(SELECT word FROM v)", cost_cap=40),
+        "events_bootstrap_mean_ci": features.bootstrap_daily_mean_ci_sql(),
+        "users_cuped_ab_means": features.cuped_adjusted_means_sql(),
     }

@@ -7076,3 +7076,309 @@ SELECT n AS n_pairs, w2 AS w2_plus,
     ELSE NULL END AS z
 FROM agg
 """.strip()
+
+
+# ------------------------------------------- deterministic bootstrap CI
+
+def bootstrap_daily_mean_ci(ds, ts_col: str = "ts",
+                            value_col: str = "value",
+                            n_boot: int = 1000,
+                            alpha_millis: int = 25) -> pa.Table:
+    """Percentile-bootstrap confidence interval for the MEAN DAILY
+    TOTAL (Efron 1979) — resampling inference beside the parametric
+    t/z machinery: no normality assumption, the CI comes from the
+    empirical distribution of resampled means.
+
+    Determinism contract: resample ``b`` picks day indices
+    ``md5_u64('bs:b:i') % n_days`` (≡ DuckDB ``md5_number_upper``) —
+    both engines draw the SAME ``n_boot × n_days`` index matrix, so
+    the bootstrap distribution is exactly reproducible (a production
+    run would draw real entropy; the percentile math is identical).
+    Each resample SUM is an exact int; its mean is ONE float division;
+    the CI bounds are ORDER-STATISTIC PICKS of those means (lower =
+    ``ceil(alpha·B)``-th smallest, upper = ``ceil((1-alpha)·B)``-th) —
+    values that EXIST in the resample set, so the float compare is
+    exact. Day indices address the day-ASCENDING daily array on both
+    engines.
+
+    Shape: one combiner pass collapses the corpus to the bounded daily
+    table; the ``B × n_days`` resampling runs on the driver (30k md5
+    draws for a month × 1000 resamples — calendar-bounded, never
+    row-bounded). NULL ts/value rows are excluded by contract. Output:
+    one row (n_days, n_boot, mean_obs, boot_lo, boot_hi).
+    """
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.aggregate import grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value_col]),
+                             pc.is_valid(t[ts_col])))
+        return pa.table({"_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["_day"], [("cents", "sum")], final="driver").to_pandas()
+    daily = daily.sort_values("_day")
+    c = daily["cents_sum"].to_numpy(dtype=np.int64)
+    n = len(c)
+    if n == 0:
+        return pa.table({
+            "n_days": pa.array([0], pa.int64()),
+            "n_boot": pa.array([n_boot], pa.int64()),
+            "mean_obs": pa.array([None], pa.float64()),
+            "boot_lo": pa.array([None], pa.float64()),
+            "boot_hi": pa.array([None], pa.float64()),
+        })
+    idx = np.fromiter(
+        (md5_u64(f"bs:{b}:{i}") % n
+         for b in range(n_boot) for i in range(n)),
+        dtype=np.int64, count=n_boot * n).reshape(n_boot, n)
+    sums = c[idx].sum(axis=1)  # exact: < 2^63 by cents magnitude
+    means = np.sort(sums.astype(np.float64) / n)
+    k_lo = -(-alpha_millis * n_boot // 1000)          # ceil
+    k_hi = -(-(1000 - alpha_millis) * n_boot // 1000)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_boot": pa.array([n_boot], pa.int64()),
+        "mean_obs": pa.array([float(int(c.sum())) / n], pa.float64()),
+        "boot_lo": pa.array([float(means[k_lo - 1])], pa.float64()),
+        "boot_hi": pa.array([float(means[k_hi - 1])], pa.float64()),
+    })
+
+
+def bootstrap_daily_mean_ci_sql(ts_col: str = "ts",
+                                value_col: str = "value",
+                                n_boot: int = 1000,
+                                alpha_millis: int = 25,
+                                table: str = "events") -> str:
+    k_lo = -(-alpha_millis * n_boot // 1000)
+    k_hi = -(-(1000 - alpha_millis) * n_boot // 1000)
+    return f"""
+WITH daily AS (
+  SELECT CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT)
+      AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1
+), d AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS i, c FROM daily
+), nn AS (SELECT count(*) AS n FROM d),
+picks AS (
+  SELECT b.b, dd.c
+  FROM generate_series(0, {n_boot - 1}) AS b(b)
+  CROSS JOIN d idx
+  JOIN d dd ON dd.i = CAST(
+    md5_number_upper('bs:' || CAST(b.b AS VARCHAR) || ':'
+                     || CAST(idx.i AS VARCHAR))
+    % (SELECT n FROM nn) AS BIGINT)
+), rs AS (
+  SELECT b, CAST(sum(c) AS DOUBLE) / (SELECT n FROM nn) AS m
+  FROM picks GROUP BY b
+), ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m) AS r FROM rs
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+  CAST({n_boot} AS BIGINT) AS n_boot,
+  (SELECT CAST(sum(c) AS DOUBLE) / (SELECT n FROM nn) FROM d)
+    AS mean_obs,
+  (SELECT m FROM ranked WHERE r = {k_lo}) AS boot_lo,
+  (SELECT m FROM ranked WHERE r = {k_hi}) AS boot_hi
+""".strip()
+
+
+# ------------------------------------------- CUPED adjusted A/B means
+
+def cuped_adjusted_means(ds, split_date: str = "2024-01-16",
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value") -> pa.Table:
+    """CUPED variance reduction for A/B readouts (Deng et al. 2013):
+    adjust each user's POST-period metric by their PRE-period metric
+    (``y_adj = y - θ(x - x̄)``, θ = cov(x,y)/var(x) pooled) and report
+    per-variant adjusted means — the experimentation-platform
+    primitive that shrinks metric variance without touching the
+    estimand (E[y_adj] = E[y]). Variant assignment is the
+    deterministic ``user_id % 2``.
+
+    Exact-integer contract: per-user pre/post cents sums merge
+    distributed; the pooled moments (n, Σx, Σy, Σxy, Σx² — the xy/x²
+    sums split hi/lo so int64 partials never wrap) and per-variant
+    sums are exact integers reassembled as PYTHON ints (HUGEINT in the
+    mirror — the n·Σxy cross products exceed int64); θ, x̄ and each
+    adjusted mean are ONE shared float tree each:
+    ``θ = (n·Σxy - Σx·Σy) / (n·Σx² - Σx·Σx)``,
+    ``mean_adj = (Σy_v - θ·Σx_v + θ·x̄·n_v) / n_v`` with left-to-right
+    association mirrored exactly. θ is NULL (means unadjusted) when
+    var(x) = 0.
+
+    Shape: per-block (user, pre, post) combiner → distributed per-user
+    merge (``final='ray'``) → one scalar-partials pass per block →
+    driver reassembly. NULL user/ts/value rows are excluded by
+    contract. Output: (variant, n_users, sum_x_cents, sum_y_cents,
+    theta, mean_post, mean_post_adj) sorted by variant.
+    """
+    import datetime as _dt
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    split_us = int(_dt.datetime.fromisoformat(split_date)
+                   .replace(tzinfo=_dt.timezone.utc).timestamp()
+                   * 1_000_000)
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[user_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        cents = _cents(t[value_col])
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        pre = pc.less(us, split_us)
+        prep = pa.table({
+            "user": pc.cast(t[user_col], pa.int64()),
+            "x": pc.if_else(pre, cents, pa.scalar(0, pa.int64())),
+            "y": pc.if_else(pre, pa.scalar(0, pa.int64()), cents),
+        })
+        out = prep.group_by(["user"]).aggregate([("x", "sum"),
+                                                 ("y", "sum")])
+        return out.rename_columns(["user", "x", "y"])
+
+    per_user = grouped_agg(
+        ds.map_batches(skip_empty(per_user_partial),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user"], aggs=[("x", "sum"), ("y", "sum")], final="ray")
+
+    def moments(t: pa.Table) -> pa.Table:
+        u = t["user"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = u % 2
+        if len(x) and max(float(np.abs(x).max()),
+                          float(np.abs(y).max())) >= 2.0 ** 31:
+            raise ValueError(
+                "cuped_adjusted_means: per-user cents sums exceed the "
+                "int64-safe product range — rescale upstream")
+        xy = x * y
+        xx = x * x
+        rows = {"n": [], "sx": [], "sy": [],
+                "sxy_hi": [], "sxy_lo": [], "sxx_hi": [], "sxx_lo": [],
+                "variant": []}
+        for vv in (0, 1):
+            m = v == vv
+            rows["variant"].append(vv)
+            rows["n"].append(int(m.sum()))
+            rows["sx"].append(int(x[m].sum()))
+            rows["sy"].append(int(y[m].sum()))
+            rows["sxy_hi"].append(int((xy[m] // _SS_SPLIT).sum()))
+            rows["sxy_lo"].append(int((xy[m] % _SS_SPLIT).sum()))
+            rows["sxx_hi"].append(int((xx[m] // _SS_SPLIT).sum()))
+            rows["sxx_lo"].append(int((xx[m] % _SS_SPLIT).sum()))
+        return pa.table({k: pa.array(rows[k], pa.int64())
+                         for k in rows})
+
+    parts = [t for t in per_user.map_batches(
+        skip_empty(moments), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
+    agg = {vv: {"n": 0, "sx": 0, "sy": 0, "sxy": 0, "sxx": 0}
+           for vv in (0, 1)}
+    for t in parts:
+        for r in t.to_pylist():
+            a = agg[r["variant"]]
+            a["n"] += r["n"]
+            a["sx"] += r["sx"]
+            a["sy"] += r["sy"]
+            a["sxy"] += r["sxy_hi"] * _SS_SPLIT + r["sxy_lo"]
+            a["sxx"] += r["sxx_hi"] * _SS_SPLIT + r["sxx_lo"]
+    n = agg[0]["n"] + agg[1]["n"]
+    sx = agg[0]["sx"] + agg[1]["sx"]
+    sy = agg[0]["sy"] + agg[1]["sy"]
+    sxy = agg[0]["sxy"] + agg[1]["sxy"]
+    sxx = agg[0]["sxx"] + agg[1]["sxx"]
+    den = n * sxx - sx * sx   # python ints — never wrap
+    num = n * sxy - sx * sy
+    theta = float(num) / float(den) if n > 0 and den != 0 else None
+    xbar = float(sx) / float(n) if n > 0 else None
+
+    out = {"variant": [], "n_users": [], "sum_x_cents": [],
+           "sum_y_cents": [], "theta": [], "mean_post": [],
+           "mean_post_adj": []}
+    for vv in (0, 1):
+        a = agg[vv]
+        if a["n"] == 0:
+            continue
+        nv = a["n"]
+        mean_post = float(a["sy"]) / float(nv)
+        if theta is None:
+            adj = None
+        else:
+            adj = (float(a["sy"]) - theta * float(a["sx"])
+                   + theta * xbar * float(nv)) / float(nv)
+        out["variant"].append(vv)
+        out["n_users"].append(nv)
+        out["sum_x_cents"].append(a["sx"])
+        out["sum_y_cents"].append(a["sy"])
+        out["theta"].append(theta)
+        out["mean_post"].append(mean_post)
+        out["mean_post_adj"].append(adj)
+    return pa.table({
+        "variant": pa.array(out["variant"], pa.int64()),
+        "n_users": pa.array(out["n_users"], pa.int64()),
+        "sum_x_cents": pa.array(out["sum_x_cents"], pa.int64()),
+        "sum_y_cents": pa.array(out["sum_y_cents"], pa.int64()),
+        "theta": pa.array(out["theta"], pa.float64()),
+        "mean_post": pa.array(out["mean_post"], pa.float64()),
+        "mean_post_adj": pa.array(out["mean_post_adj"], pa.float64()),
+    })
+
+
+def cuped_adjusted_means_sql(split_date: str = "2024-01-16",
+                             user_col: str = "user_id",
+                             ts_col: str = "ts",
+                             value_col: str = "value",
+                             table: str = "events") -> str:
+    return f"""
+WITH u AS (
+  SELECT {user_col} AS user_id,
+    SUM(CASE WHEN {ts_col} < TIMESTAMP '{split_date}'
+        THEN CAST(round({value_col} * 100.0) AS BIGINT) ELSE 0 END)
+      AS x,
+    SUM(CASE WHEN {ts_col} >= TIMESTAMP '{split_date}'
+        THEN CAST(round({value_col} * 100.0) AS BIGINT) ELSE 0 END)
+      AS y
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY {user_col}
+), pooled AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM u
+), th AS (
+  SELECT n, sx,
+    CASE WHEN n > 0 AND n * sxx - sx * sx != 0 THEN
+      CAST(n * sxy - sx * sy AS DOUBLE)
+      / CAST(n * sxx - sx * sx AS DOUBLE)
+    ELSE NULL END AS theta,
+    CASE WHEN n > 0 THEN CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+    ELSE NULL END AS xbar
+  FROM pooled
+), pv AS (
+  SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(x) AS BIGINT) AS sum_x_cents,
+    CAST(sum(y) AS BIGINT) AS sum_y_cents
+  FROM u GROUP BY 1
+)
+SELECT pv.variant, pv.n_users, pv.sum_x_cents, pv.sum_y_cents,
+  th.theta,
+  CAST(pv.sum_y_cents AS DOUBLE) / CAST(pv.n_users AS DOUBLE)
+    AS mean_post,
+  (CAST(pv.sum_y_cents AS DOUBLE) - th.theta
+     * CAST(pv.sum_x_cents AS DOUBLE)
+   + th.theta * th.xbar * CAST(pv.n_users AS DOUBLE))
+  / CAST(pv.n_users AS DOUBLE) AS mean_post_adj
+FROM pv, th ORDER BY pv.variant
+""".strip()
