@@ -4878,6 +4878,16 @@ def _q_ipc_roundtrip(sf_dir: str):
                           "fsr_ipc_")
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC source/sink: the Hive-lake interchange lane — same lossless
+    round-trip audit as the CSV/JSONL/IPC paths (int64/double/string
+    columns round-trip bit-exact; ts unit note in sources/orc.py)."""
+    from fluent_server_ray.sources.orc import read_orc_dir, write_orc_dir
+
+    return _roundtrip_agg(sf_dir, write_orc_dir, read_orc_dir,
+                          "fsr_orc_")
+
+
 def _q_token_sssp(sf_dir: str):
     """Weighted shortest paths over the word-adjacency graph from its
     most frequent token — synchronous distributed Bellman-Ford with
@@ -5286,6 +5296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_wilcoxon_signed_rank": _q_wilcoxon,
         "events_peak_concurrency": _q_peak_concurrency,
         "events_ipc_roundtrip": _q_ipc_roundtrip,
+        "events_orc_roundtrip": _q_orc_roundtrip,
         "token_graph_sssp": _q_token_sssp,
         "events_bootstrap_mean_ci": _q_bootstrap_ci,
         "users_cuped_ab_means": _q_cuped,
@@ -6138,6 +6149,7 @@ WITH toks AS (
         "users_wilcoxon_signed_rank": features.wilcoxon_signed_rank_sql(),
         "events_peak_concurrency": windows.peak_concurrency_sql(),
         "events_ipc_roundtrip": _ROUNDTRIP_AGG_SQL,
+        "events_orc_roundtrip": _ROUNDTRIP_AGG_SQL,
         "token_graph_sssp": __import__(
             "fluent_server_ray.stages.graph", fromlist=["x"]
         ).weighted_sssp_sql("""

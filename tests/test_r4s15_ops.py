@@ -155,3 +155,29 @@ def test_cuped_duckdb_parity(ray_session):
     out = cuped_adjusted_means(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, cuped_adjusted_means_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ ORC round-trip
+
+def test_orc_roundtrip_bit_exact(ray_session, tmp_path):
+    """ORC keeps int64/double/string values bit-exact; timestamps read
+    back at ns and re-cast to us via ts_cols (exact — values originate
+    at us)."""
+    from fluent_server_ray.sources.orc import read_orc_dir, write_orc_dir
+
+    t = pa.table({
+        "ts": pa.array([1_700_000_000_123_456, 1],
+                       pa.timestamp("us")),
+        "x": pa.array([0.1 + 0.2, 1e-300], pa.float64()),
+        "s": pa.array(["héllo", None], pa.string()),
+        "i": pa.array([2**62, -5], pa.int64()),
+    })
+    out = str(tmp_path / "orc")
+    write_orc_dir(rd.from_arrow(t), out)
+    back_parts = [b for b in read_orc_dir(out, ts_cols=("ts",))
+                  .iter_batches(batch_size=None, batch_format="pyarrow")]
+    back = pa.concat_tables(back_parts)
+    back = back.select(t.column_names)
+    assert back.schema.equals(t.schema)
+    assert back.sort_by([("i", "ascending")]).equals(
+        t.sort_by([("i", "ascending")]))
