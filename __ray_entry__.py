@@ -4905,6 +4905,86 @@ def _q_token_sssp(sf_dir: str):
     return weighted_sssp(edges, source, n_buckets=8)
 
 
+def _q_periodogram(sf_dir: str):
+    """Weekly-frequency DFT power of the daily cents series per
+    event_type — pinned integer-millionth trig table, exact python-int
+    spectral sums, one shared float tree for the amplitude."""
+    from fluent_server_ray.stages.features import weekly_periodogram
+
+    return weekly_periodogram(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
+def _q_ohlc(sf_dir: str):
+    """Daily OHLC cents bars per event_type — order-statistic
+    open/close re-picked across block partials by the (ts, event_id)
+    tie-break; exact int64 cents."""
+    from fluent_server_ray.stages.windows import ohlc_daily_bars
+
+    return ohlc_daily_bars(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value",
+                                    "event_id"]))
+
+
+def _q_cochran_q(sf_dir: str):
+    """Cochran's Q across matched view/click/purchase binary
+    treatments per user — exact integer numerator/denominator, one
+    float division."""
+    from fluent_server_ray.stages.features import cochran_q
+
+    return cochran_q(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type"]))
+
+
+def _q_clamped_balance(sf_dir: str):
+    """Floor-at-zero running wallet balance per user (purchases
+    credit, clicks debit) — max-plus identity turns the clamp
+    recurrence into two segmented kernels inside one bucket
+    exchange."""
+    from fluent_server_ray.stages.windows import clamped_balance
+
+    return clamped_balance(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "value", "event_id"]))
+
+
+def _q_wilson_ci(sf_dir: str):
+    """Wilson 95% interval per event_type for the high-value-row
+    proportion — exact combiner counts, pinned z literal, one shared
+    float tree."""
+    from fluent_server_ray.stages.features import wilson_proportion_ci
+
+    return wilson_proportion_ci(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"]))
+
+
+def _q_ols_hour_dow(sf_dir: str):
+    """Two-feature OLS (hour, dow → cents) via exact integer normal
+    equations and Cramer's rule — arbitrary-precision determinants,
+    three final float divisions."""
+    from fluent_server_ray.stages.features import ols_hour_dow
+
+    return ols_hour_dow(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["ts", "value"]))
+
+
+def _q_perm_test(sf_dir: str):
+    """Paired sign-flip permutation test over per-user click-vs-
+    purchase cents deltas — 64 md5-bit permutations, exact integer
+    statistics, combiner-decomposable 64-row exchange."""
+    from fluent_server_ray.stages.features import permutation_sign_test
+
+    return permutation_sign_test(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type", "value"]))
+
+
 def _q_bootstrap_ci(sf_dir: str):
     """Percentile-bootstrap CI for the mean daily total — md5-indexed
     deterministic resamples over the bounded daily table; CI bounds
@@ -5300,6 +5380,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_graph_sssp": _q_token_sssp,
         "events_bootstrap_mean_ci": _q_bootstrap_ci,
         "users_cuped_ab_means": _q_cuped,
+        "events_weekly_periodogram": _q_periodogram,
+        "users_permutation_sign_test": _q_perm_test,
+        "events_wilson_ci": _q_wilson_ci,
+        "events_ols_hour_dow": _q_ols_hour_dow,
+        "user_clamped_balance": _q_clamped_balance,
+        "events_ohlc_daily": _q_ohlc,
+        "users_cochran_q": _q_cochran_q,
     }
 
 
@@ -6172,4 +6259,11 @@ WITH toks AS (
 )""", "(SELECT word FROM v)", cost_cap=40),
         "events_bootstrap_mean_ci": features.bootstrap_daily_mean_ci_sql(),
         "users_cuped_ab_means": features.cuped_adjusted_means_sql(),
+        "events_weekly_periodogram": features.weekly_periodogram_sql(),
+        "users_permutation_sign_test": features.permutation_sign_test_sql(),
+        "events_wilson_ci": features.wilson_proportion_ci_sql(),
+        "events_ols_hour_dow": features.ols_hour_dow_sql(),
+        "user_clamped_balance": windows.clamped_balance_sql(),
+        "events_ohlc_daily": windows.ohlc_daily_bars_sql(),
+        "users_cochran_q": features.cochran_q_sql(),
     }

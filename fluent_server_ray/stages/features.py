@@ -7382,3 +7382,641 @@ SELECT pv.variant, pv.n_users, pv.sum_x_cents, pv.sum_y_cents,
   / CAST(pv.n_users AS DOUBLE) AS mean_post_adj
 FROM pv, th ORDER BY pv.variant
 """.strip()
+
+
+# ------------------------------------------- weekly periodogram
+
+# cos/sin(2πk/7) in integer millionths, k = 0..6 — PINNED literals
+# shared with the SQL mirror below so neither engine touches libm for
+# the phase table. Harmonic m addresses the same table at (m·k) % 7.
+_COS7_MILLIS = (1000000, 623490, -222521, -900969,
+                -900969, -222521, 623490)
+_SIN7_MILLIS = (0, 781831, 974928, 433884,
+                -433884, -974928, -781831)
+
+
+def weekly_periodogram(ds, group_col: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       harmonics: int = 3) -> pa.Table:
+    """DFT power of the DAILY cents series at the weekly frequency and
+    its harmonics (periods 7, 7/2, 7/3 days) per group — the spectral
+    "is there a weekly rhythm?" probe beside the time-domain
+    ``seasonal_dow_index``.
+
+    Determinism contract: the phase of epoch-day ``d`` for harmonic
+    ``m`` is ``2π(m·d mod 7)/7`` — only 7 distinct angles, pinned as
+    the integer-millionth literals above (identical in the SQL
+    mirror), so ``S_c(m) = Σ_d c_d·COS7[(m·d)%7]`` and the sine twin
+    are EXACT integers accumulated as python ints (c_d is the exact
+    int64 daily cents total; the 1e6-scaled products stay well under
+    2^63 per day and are summed arbitrary-precision). The only floats
+    are one shared tree per row:
+    ``amplitude = 2·sqrt(float(S_c² + S_s²)) / (n_days · 1e6)``
+    (int→double casts round-to-nearest identically in both engines).
+    Days are epoch-anchored (``d = floor(ts / 86400s)``), so the phase
+    origin is engine-independent; the series is the RAW daily total
+    (no detrend — the m-th bin of a constant offset is nonzero only
+    for partial trailing weeks, which is part of the contract).
+
+    Shape: one combiner pass collapses the corpus to the bounded
+    (group × day) table; the |groups|·harmonics spectral sums run on
+    the driver over that bounded table. NULL group/ts/value rows are
+    excluded by contract. Output: (group, harmonic, s_c, s_s,
+    amplitude) sorted by (group, harmonic); s_c/s_s are the exact
+    millionth-scaled spectral sums (int64 — guarded).
+    """
+    import math
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({"g": t[group_col],
+                         "_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "harmonic": [], "s_c": [], "s_s": [],
+           "amplitude": []}
+    for g, sub in daily.groupby("g", sort=True):
+        d = sub["_day"].to_numpy(dtype=np.int64)
+        c = sub["cents_sum"].to_numpy(dtype=np.int64)
+        n = len(d)
+        for m in range(1, harmonics + 1):
+            k = (m * d) % 7
+            sc = sum(int(ci) * _COS7_MILLIS[ki]
+                     for ci, ki in zip(c, k))
+            ss = sum(int(ci) * _SIN7_MILLIS[ki]
+                     for ci, ki in zip(c, k))
+            if max(abs(sc), abs(ss)) >= 2 ** 63:
+                raise ValueError(
+                    "weekly_periodogram: spectral sum exceeds int64 — "
+                    "rescale value upstream")
+            amp = (2.0 * math.sqrt(float(sc * sc + ss * ss))
+                   / (n * 1e6))
+            out["g"].append(g)
+            out["harmonic"].append(m)
+            out["s_c"].append(sc)
+            out["s_s"].append(ss)
+            out["amplitude"].append(amp)
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "harmonic": pa.array(out["harmonic"], pa.int64()),
+        "s_c": pa.array(out["s_c"], pa.int64()),
+        "s_s": pa.array(out["s_s"], pa.int64()),
+        "amplitude": pa.array(out["amplitude"], pa.float64()),
+    })
+
+
+def weekly_periodogram_sql(group_col: str = "event_type",
+                           ts_col: str = "ts",
+                           value_col: str = "value",
+                           harmonics: int = 3,
+                           table: str = "events") -> str:
+    trig_rows = ",\n    ".join(
+        f"({k}, {_COS7_MILLIS[k]}, {_SIN7_MILLIS[k]})"
+        for k in range(7))
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), trig(k, cosv, sinv) AS (
+  VALUES {trig_rows}
+), sums AS (
+  SELECT d.g, m.m AS harmonic,
+    CAST(sum(CAST(d.c AS HUGEINT) * t.cosv) AS BIGINT) AS s_c,
+    CAST(sum(CAST(d.c AS HUGEINT) * t.sinv) AS BIGINT) AS s_s,
+    count(*) AS n
+  FROM daily d
+  CROSS JOIN generate_series(1, {harmonics}) AS m(m)
+  JOIN trig t ON t.k = (m.m * d.day) % 7
+  GROUP BY 1, 2
+)
+SELECT g AS {group_col}, harmonic, s_c, s_s,
+  2 * sqrt(CAST(CAST(s_c AS HUGEINT) * s_c
+                + CAST(s_s AS HUGEINT) * s_s AS DOUBLE))
+  / (CAST(n AS DOUBLE) * 1000000.0) AS amplitude
+FROM sums ORDER BY g, harmonic
+""".strip()
+
+
+# ------------------------------------------- paired permutation test
+
+def permutation_sign_test(ds, user_col: str = "user_id",
+                          type_col: str = "event_type",
+                          value_col: str = "value",
+                          type_a: str = "click",
+                          type_b: str = "purchase") -> pa.Table:
+    """Paired sign-flip permutation (randomization) test for
+    ``H0: E[a_u − b_u] = 0`` over per-user cents totals — the
+    distribution-free sibling of the t/Wilcoxon machinery: the null
+    distribution is the data's own, under random re-signing of each
+    user's paired delta (Fisher 1935).
+
+    Determinism contract: permutation ``p``'s sign for user ``u`` is
+    BIT ``p`` of ``md5_u64('pt:' || u)`` (≡ DuckDB
+    ``md5_number_upper``) — 64 permutations from ONE hash per user,
+    identical in both engines (production raises B by drawing more
+    hash words). Every statistic is an EXACT integer: per-user delta
+    ``d_u = a_cents − b_cents``; observed ``T = Σ d_u``; permuted
+    ``T_p = Σ (1−2·bit_p(u))·d_u`` accumulated as python ints;
+    ``n_as_extreme = #{p : |T_p| ≥ |T|}``. The only float is the
+    add-one Monte-Carlo p ``(n_as_extreme + 1) / 65.0`` — one
+    division.
+
+    Shape: per-user deltas merge distributed (``final='ray'``); each
+    block then collapses to a 64-row (perm, partial) table — the
+    signs depend only on (p, u), so ``T_p`` is combiner-decomposable
+    and the exchange carries 64 rows per block; a bounded driver
+    merge finishes. Users enter via rows of the two named types with
+    non-NULL user/value. Output: one row (n_users, t_obs_cents,
+    n_perm, n_as_extreme, p_value).
+    """
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[user_col]),
+                               pc.is_valid(t[value_col])),
+                       pc.is_in(t[type_col],
+                                value_set=pa.array([type_a, type_b])))
+        t = t.filter(keep)
+        sign = pc.if_else(pc.equal(t[type_col], type_a),
+                          pa.scalar(1, pa.int64()),
+                          pa.scalar(-1, pa.int64()))
+        prep = pa.table({
+            "user": pc.cast(t[user_col], pa.int64()),
+            "d": pc.multiply_checked(_cents(t[value_col]), sign),
+        })
+        out = prep.group_by(["user"]).aggregate([("d", "sum")])
+        return out.rename_columns(["user", "d"])
+
+    per_user = grouped_agg(
+        ds.map_batches(skip_empty(per_user_partial),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user"], aggs=[("d", "sum")], final="ray")
+
+    def perm_partials(t: pa.Table) -> pa.Table:
+        u = t["user"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) and int(np.abs(d).sum()) >= 2 ** 62:
+            raise ValueError(
+                "permutation_sign_test: block |d| mass exceeds the "
+                "int64-safe range — rescale upstream")
+        h = np.fromiter((md5_u64(f"pt:{x}") for x in u),
+                        dtype=np.uint64, count=len(u))
+        # signs matrix: 64 × n, ±1 from the hash bits
+        bits = ((h[None, :] >> np.arange(64, dtype=np.uint64)[:, None])
+                & np.uint64(1)).astype(np.int64)
+        signs = 1 - 2 * bits
+        tp = signs @ d                      # exact: Σ|d| < 2^62
+        return pa.table({
+            "perm": pa.array(np.arange(64, dtype=np.int64)),
+            "tp": pa.array(tp, pa.int64()),
+            "tobs": pa.array(np.full(64, int(d.sum()), dtype=np.int64)),
+            "n": pa.array(np.full(64, len(d), dtype=np.int64)),
+        })
+
+    parts = grouped_agg(
+        per_user.map_batches(skip_empty(perm_partials),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["perm"], [("tp", "sum"), ("tobs", "sum"), ("n", "sum")],
+        final="driver").to_pandas()
+    if len(parts) == 0:
+        return pa.table({
+            "n_users": pa.array([0], pa.int64()),
+            "t_obs_cents": pa.array([0], pa.int64()),
+            "n_perm": pa.array([64], pa.int64()),
+            "n_as_extreme": pa.array([None], pa.int64()),
+            "p_value": pa.array([None], pa.float64()),
+        })
+    # tobs/n were replicated across the 64 perm rows of each block
+    # partial, so any merged row carries the full corpus sum
+    t_obs = int(parts["tobs_sum"].iloc[0])
+    n_users = int(parts["n_sum"].iloc[0])
+    tp = parts["tp_sum"].astype("int64").to_numpy()
+    n_extreme = int((np.abs(tp) >= abs(t_obs)).sum())
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "t_obs_cents": pa.array([t_obs], pa.int64()),
+        "n_perm": pa.array([64], pa.int64()),
+        "n_as_extreme": pa.array([n_extreme], pa.int64()),
+        "p_value": pa.array([(n_extreme + 1) / 65.0], pa.float64()),
+    })
+
+
+def permutation_sign_test_sql(user_col: str = "user_id",
+                              type_col: str = "event_type",
+                              value_col: str = "value",
+                              type_a: str = "click",
+                              type_b: str = "purchase",
+                              table: str = "events") -> str:
+    return f"""
+WITH u AS (
+  SELECT {user_col} AS user_id,
+    SUM(CASE WHEN {type_col} = '{type_a}'
+        THEN CAST(round({value_col} * 100.0) AS BIGINT)
+        ELSE -CAST(round({value_col} * 100.0) AS BIGINT) END) AS d
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {value_col} IS NOT NULL
+    AND {type_col} IN ('{type_a}', '{type_b}')
+  GROUP BY 1
+), perms AS (
+  SELECT p.p,
+    CAST(sum((1 - 2 * CAST(
+      (md5_number_upper('pt:'
+         || CAST(CAST(u.user_id AS BIGINT) AS VARCHAR)) >> p.p)
+      & 1 AS BIGINT)) * u.d) AS BIGINT) AS tp
+  FROM u CROSS JOIN generate_series(0, 63) AS p(p)
+  GROUP BY 1
+), obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+    CAST(COALESCE(sum(d), 0) AS BIGINT) AS t_obs FROM u
+)
+SELECT o.n_users, o.t_obs AS t_obs_cents,
+  CAST(64 AS BIGINT) AS n_perm,
+  CASE WHEN o.n_users > 0 THEN (
+    SELECT CAST(count(*) AS BIGINT) FROM perms
+    WHERE abs(tp) >= abs(o.t_obs))
+  ELSE NULL END AS n_as_extreme,
+  CASE WHEN o.n_users > 0 THEN
+    (CAST((SELECT count(*) FROM perms
+           WHERE abs(tp) >= abs(o.t_obs)) AS DOUBLE) + 1) / 65.0
+  ELSE NULL END AS p_value
+FROM obs o
+""".strip()
+
+
+# ------------------------------------------- Wilson score intervals
+
+def wilson_proportion_ci(ds, group_col: str = "event_type",
+                         value_col: str = "value",
+                         threshold_cents: int = 5000) -> pa.Table:
+    """Wilson score 95% interval for the per-group proportion of
+    high-value rows (``cents ≥ threshold``) — the proportion-CI
+    primitive (Wilson 1927): unlike the Wald interval it never leaves
+    [0,1] and behaves at k=0/k=n, which is exactly the regime of rare
+    segments in a funnel readout.
+
+    Determinism contract: k and n are exact integer counts merged by
+    combiner; z is the pinned DECIMAL literal ``1.959964`` (parsed to
+    the same double by both engines — no inverse-CDF at runtime). The
+    interval is one shared float tree, mirrored operation-for-
+    operation in the SQL (each intermediate is a double both sides):
+    ``phat=k/n; z2=z·z; denom=1+z2/n;
+    center=(phat + z2/(2n))/denom;
+    half=z·sqrt(phat·(1−phat)/n + z2/(4·(n·n)))/denom``.
+    NULL group/value rows are excluded by contract. Output:
+    (group, n, k, phat, wilson_lo, wilson_hi) sorted by group.
+    """
+    import math
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[group_col]),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        hi = pc.cast(pc.greater_equal(_cents(t[value_col]),
+                                      threshold_cents), pa.int64())
+        return pa.table({"g": t[group_col], "k": hi,
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    agg = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g"], [("k", "sum"), ("one", "sum")],
+        final="driver").to_pandas()
+    z = 1.959964
+    rows = {"g": [], "n": [], "k": [], "phat": [], "lo": [], "hi": []}
+    for _, r in agg.sort_values("g").iterrows():
+        n, k = int(r["one_sum"]), int(r["k_sum"])
+        phat = k / n
+        z2 = z * z
+        denom = 1.0 + z2 / n
+        center = (phat + z2 / (2.0 * n)) / denom
+        half = (z * math.sqrt(phat * (1.0 - phat) / n
+                              + z2 / (4.0 * float(n * n)))
+                / denom)
+        rows["g"].append(r["g"])
+        rows["n"].append(n)
+        rows["k"].append(k)
+        rows["phat"].append(phat)
+        rows["lo"].append(center - half)
+        rows["hi"].append(center + half)
+    return pa.table({
+        group_col: pa.array(rows["g"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "k": pa.array(rows["k"], pa.int64()),
+        "phat": pa.array(rows["phat"], pa.float64()),
+        "wilson_lo": pa.array(rows["lo"], pa.float64()),
+        "wilson_hi": pa.array(rows["hi"], pa.float64()),
+    })
+
+
+def wilson_proportion_ci_sql(group_col: str = "event_type",
+                             value_col: str = "value",
+                             threshold_cents: int = 5000,
+                             table: str = "events") -> str:
+    return f"""
+WITH agg AS (
+  SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN CAST(round({value_col} * 100.0) AS BIGINT)
+        >= {threshold_cents} THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+  GROUP BY 1
+), t AS (
+  SELECT g, n, k,
+    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+    1.959964 * 1.959964 AS z2,
+    1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE) AS denom
+  FROM agg
+), ctr AS (
+  SELECT g, n, k, phat,
+    (phat + z2 / (2.0 * CAST(n AS DOUBLE))) / denom AS center,
+    1.959964 * sqrt(phat * (1.0 - phat) / CAST(n AS DOUBLE)
+      + z2 / (4.0 * CAST(CAST(n AS HUGEINT) * n AS DOUBLE))) / denom
+      AS half
+  FROM t
+)
+SELECT g AS {group_col}, n, k, phat,
+  center - half AS wilson_lo, center + half AS wilson_hi
+FROM ctr ORDER BY g
+""".strip()
+
+
+# ------------------------------------------- two-feature OLS
+
+def ols_hour_dow(ds, ts_col: str = "ts",
+                 value_col: str = "value") -> pa.Table:
+    """Multiple linear regression of cents on (hour-of-day, epoch
+    day-of-week index) via the exact normal equations — the
+    closed-form multivariate sibling of the simple-trend operators:
+    ``y = β0 + β1·hour + β2·dow``.
+
+    Determinism contract: the nine moment sums (n, Σh, Σw, Σh², Σhw,
+    Σw², Σy, Σhy, Σwy) are EXACT integers (hour = ``(us // 3.6e9) %
+    24``, dow = ``(us // 86.4e9) % 7`` — integer floor-divs on the
+    raw microsecond ticks, no calendar/locale path; y in cents),
+    merged as python ints (HUGEINT in the mirror). The 3×3 system
+    solves by CRAMER'S RULE with arbitrary-precision integer
+    determinants; the only floats are the three final divisions
+    ``float(det_i) / float(det)`` (mirrored as
+    ``CAST(det_i AS DOUBLE) / CAST(det AS DOUBLE)``). Singular design
+    (det = 0) yields NULL betas. At oracle scale the HUGEINT
+    determinant holds to n ≈ 1e10 rows; the engine's python ints are
+    unbounded. NULL ts/value rows are excluded by contract.
+    Output: one row (n, beta0, beta_hour, beta_dow).
+    """
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def moments(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[ts_col]), pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _cents(t[value_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = (us // 3_600_000_000) % 24
+        w = (us // 86_400_000_000) % 7
+        vals = {
+            "n": len(y),
+            "sh": int(h.sum()), "sw": int(w.sum()),
+            "shh": int((h * h).sum()), "shw": int((h * w).sum()),
+            "sww": int((w * w).sum()),
+            "sy": int(y.sum()),
+            "shy": int((h * y).sum()), "swy": int((w * y).sum()),
+        }
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in vals.items()})
+
+    parts = [t for t in ds.map_batches(
+        skip_empty(moments), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
+    tot = {k: 0 for k in ("n", "sh", "sw", "shh", "shw", "sww",
+                          "sy", "shy", "swy")}
+    for t in parts:
+        for r in t.to_pylist():
+            for k in tot:
+                tot[k] += r[k]
+    n, sh, sw = tot["n"], tot["sh"], tot["sw"]
+    shh, shw, sww = tot["shh"], tot["shw"], tot["sww"]
+    sy, shy, swy = tot["sy"], tot["shy"], tot["swy"]
+    det = (n * (shh * sww - shw * shw)
+           - sh * (sh * sww - shw * sw)
+           + sw * (sh * shw - shh * sw))
+    if n == 0 or det == 0:
+        b0 = b1 = b2 = None
+    else:
+        d0 = (sy * (shh * sww - shw * shw)
+              - sh * (shy * sww - shw * swy)
+              + sw * (shy * shw - shh * swy))
+        d1 = (n * (shy * sww - shw * swy)
+              - sy * (sh * sww - shw * sw)
+              + sw * (sh * swy - shy * sw))
+        d2 = (n * (shh * swy - shy * shw)
+              - sh * (sh * swy - shy * sw)
+              + sy * (sh * shw - shh * sw))
+        b0 = float(d0) / float(det)
+        b1 = float(d1) / float(det)
+        b2 = float(d2) / float(det)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "beta0": pa.array([b0], pa.float64()),
+        "beta_hour": pa.array([b1], pa.float64()),
+        "beta_dow": pa.array([b2], pa.float64()),
+    })
+
+
+def ols_hour_dow_sql(ts_col: str = "ts", value_col: str = "value",
+                     table: str = "events") -> str:
+    return f"""
+WITH m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(h) AS HUGEINT) AS sh, CAST(sum(w) AS HUGEINT) AS sw,
+    CAST(sum(h * h) AS HUGEINT) AS shh,
+    CAST(sum(h * w) AS HUGEINT) AS shw,
+    CAST(sum(w * w) AS HUGEINT) AS sww,
+    CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(h * y) AS HUGEINT) AS shy,
+    CAST(sum(w * y) AS HUGEINT) AS swy
+  FROM (
+    SELECT (epoch_us({ts_col}) // 3600000000) % 24 AS h,
+      (epoch_us({ts_col}) // 86400000000) % 7 AS w,
+      CAST(round({value_col} * 100.0) AS BIGINT) AS y
+    FROM {table}
+    WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+  )
+), d AS (
+  SELECT n,
+    n * (shh * sww - shw * shw)
+      - sh * (sh * sww - shw * sw)
+      + sw * (sh * shw - shh * sw) AS det,
+    sy * (shh * sww - shw * shw)
+      - sh * (shy * sww - shw * swy)
+      + sw * (shy * shw - shh * swy) AS d0,
+    n * (shy * sww - shw * swy)
+      - sy * (sh * sww - shw * sw)
+      + sw * (sh * swy - shy * sw) AS d1,
+    n * (shh * swy - shy * shw)
+      - sh * (sh * swy - shy * sw)
+      + sy * (sh * shw - shh * sw) AS d2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN n > 0 AND det != 0
+    THEN CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE) END AS beta0,
+  CASE WHEN n > 0 AND det != 0
+    THEN CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE) END AS beta_hour,
+  CASE WHEN n > 0 AND det != 0
+    THEN CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE) END AS beta_dow
+FROM d
+""".strip()
+
+
+# ------------------------------------------- Cochran's Q
+
+def cochran_q(ds, user_col: str = "user_id",
+              type_col: str = "event_type",
+              treatments: tuple = ("view", "click",
+                                   "purchase")) -> pa.Table:
+    """Cochran's Q test for k matched binary treatments (Cochran
+    1950) — the k-treatment generalization of McNemar: did the same
+    users "succeed" at equal rates across the k event types, where
+    success = the user emitted ≥1 event of that type?
+
+    Exact-integer contract: with column totals ``C_j`` (users
+    succeeding at treatment j), row totals ``R_i`` (treatments user i
+    succeeded at) and ``N = ΣC = ΣR``, the statistic reduces to
+    ``Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)`` — numerator and
+    denominator are exact python ints; Q is ONE float division
+    (NULL when the denominator is 0, i.e. every user succeeds at all
+    or none). Users enter via rows of the named types with non-NULL
+    user id.
+
+    Shape: per-block (user × treatment) any-flags → distributed
+    per-user max-merge (``final='ray'``) → per-block scalar partials
+    (ΣC_j, ΣR, ΣR², n) → bounded driver reassembly. Output: one row
+    (n_users, c_<treatment>..., q_num, q_den, q_stat).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    k = len(treatments)
+
+    def flags(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[user_col]),
+                       pc.is_in(t[type_col],
+                                value_set=pa.array(list(treatments))))
+        t = t.filter(keep)
+        cols = {"user": pc.cast(t[user_col], pa.int64())}
+        for tr in treatments:
+            cols[f"t_{tr}"] = pc.cast(pc.equal(t[type_col], tr),
+                                      pa.int64())
+        prep = pa.table(cols)
+        out = prep.group_by(["user"]).aggregate(
+            [(f"t_{tr}", "max") for tr in treatments])
+        return out.rename_columns(["user"]
+                                  + [f"t_{tr}" for tr in treatments])
+
+    per_user = grouped_agg(
+        ds.map_batches(skip_empty(flags), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["user"], aggs=[(f"t_{tr}", "max") for tr in treatments],
+        final="ray")
+
+    def partials(t: pa.Table) -> pa.Table:
+        mats = np.column_stack([
+            t[f"t_{tr}_max"].to_numpy(zero_copy_only=False)
+            .astype(np.int64) for tr in treatments])
+        r = mats.sum(axis=1)
+        vals = {"n": len(mats), "sr": int(r.sum()),
+                "srr": int((r * r).sum())}
+        for j, tr in enumerate(treatments):
+            vals[f"c_{tr}"] = int(mats[:, j].sum())
+        return pa.table({kk: pa.array([v], pa.int64())
+                         for kk, v in vals.items()})
+
+    parts = [t for t in per_user.map_batches(
+        skip_empty(partials), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
+    tot = {kk: 0 for kk in (["n", "sr", "srr"]
+                            + [f"c_{tr}" for tr in treatments])}
+    for t in parts:
+        for r in t.to_pylist():
+            for kk in tot:
+                tot[kk] += r[kk]
+    cs = [tot[f"c_{tr}"] for tr in treatments]
+    n_big = sum(cs)
+    num = (k - 1) * (k * sum(c * c for c in cs) - n_big * n_big)
+    den = k * n_big - tot["srr"]
+    if max(abs(num), abs(den)) >= 2 ** 63:
+        raise ValueError("cochran_q: statistic exceeds int64 — "
+                         "shard the user population upstream")
+    q = float(num) / float(den) if den != 0 else None
+    out = {"n_users": pa.array([tot["n"]], pa.int64())}
+    for tr in treatments:
+        out[f"c_{tr}"] = pa.array([tot[f"c_{tr}"]], pa.int64())
+    out["q_num"] = pa.array([num], pa.int64())
+    out["q_den"] = pa.array([den], pa.int64())
+    out["q_stat"] = pa.array([q], pa.float64())
+    return pa.table(out)
+
+
+def cochran_q_sql(user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  treatments: tuple = ("view", "click", "purchase"),
+                  table: str = "events") -> str:
+    k = len(treatments)
+    in_list = ", ".join(f"'{tr}'" for tr in treatments)
+    flag_cols = ",\n    ".join(
+        f"MAX(CASE WHEN {type_col} = '{tr}' THEN 1 ELSE 0 END)"
+        f" AS t_{tr}" for tr in treatments)
+    c_sums = ",\n    ".join(
+        f"CAST(COALESCE(sum(t_{tr}), 0) AS BIGINT) AS c_{tr}"
+        for tr in treatments)
+    r_expr = " + ".join(f"t_{tr}" for tr in treatments)
+    c_sq = " + ".join(
+        f"CAST(c_{tr} AS HUGEINT) * c_{tr}" for tr in treatments)
+    n_expr = " + ".join(f"c_{tr}" for tr in treatments)
+    c_list = ", ".join(f"c_{tr}" for tr in treatments)
+    return f"""
+WITH u AS (
+  SELECT {user_col} AS user_id,
+    {flag_cols}
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {type_col} IN ({in_list})
+  GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+    {c_sums},
+    CAST(COALESCE(sum(CAST(({r_expr}) AS HUGEINT)
+        * ({r_expr})), 0) AS HUGEINT) AS srr
+  FROM u
+), st AS (
+  SELECT n_users, {c_list}, srr,
+    CAST(({k} - 1) * ({k} * ({c_sq})
+      - CAST(({n_expr}) AS HUGEINT) * ({n_expr})) AS BIGINT) AS q_num,
+    CAST({k} * CAST(({n_expr}) AS HUGEINT) - srr AS BIGINT) AS q_den
+  FROM agg
+)
+SELECT n_users, {c_list}, q_num, q_den,
+  CASE WHEN q_den != 0
+    THEN CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE) END AS q_stat
+FROM st
+""".strip()

@@ -2824,3 +2824,257 @@ FROM peaks p JOIN c ON c.day = p.day AND c.cum = p.peak
 GROUP BY p.day, p.peak
 ORDER BY p.day
 """.strip()
+
+
+def clamped_balance(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    value_col: str = "value",
+                    credit_type: str = "purchase",
+                    debit_type: str = "click",
+                    n_buckets: int = 64):
+    """Floor-at-zero running balance per key — the constrained-scan
+    primitive (prepaid wallets, inventory that can't go negative,
+    rate-limit token buckets): ``b_i = max(0, b_{i-1} + d_i)`` with
+    ``b_0 = 0`` over per-key deltas ordered by (ts, id).
+
+    The clamp recurrence LOOKS sequential but closes under the
+    max-plus identity ``b_i = S_i − min(0, min_{j≤i} S_j)`` (S = plain
+    prefix sum), so it computes from two segmented kernels — a cumsum
+    and an exclusive running min — with no per-row Python. A clamp
+    fires at ``i`` iff ``S_i`` is a strict new prefix minimum below 0
+    (equivalently ``b_{i-1} + d_i < 0``). All arithmetic is exact
+    int64 cents; credits are ``credit_type`` rows (+cents), debits
+    ``debit_type`` rows (−cents); other types are excluded. Tie order
+    within a key is (ts, event_id) — contractual. NULL key/ts/value
+    rows are excluded by contract.
+
+    Shape: ONE key-bucket exchange; each bucket runs the segmented
+    numpy kernels over all its keys at once. Returns per key
+    (key, n_events, final_balance_cents, min_prefix_cents,
+    clamp_count) as a Dataset — never on the driver.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.features import _cents
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.and_(pc.is_valid(t[value_col]),
+                               pc.is_in(t[type_col], value_set=pa.array(
+                                   [credit_type, debit_type]))))
+        t = t.filter(keep)
+        sign = pc.if_else(pc.equal(t[type_col], credit_type),
+                          pa.scalar(1, pa.int64()),
+                          pa.scalar(-1, pa.int64()))
+        return pa.table({
+            key_col: t[key_col],
+            "_us": t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "_id": t["event_id"],
+            "_d": pc.multiply_checked(_cents(t[value_col]), sign),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_us", "_id"], kind="mergesort")
+        k = g[key_col].to_numpy()
+        d = g["_d"].to_numpy(dtype=np.int64)
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new) - 1
+        # segmented cumsum: subtract the running total at each key start
+        cs = np.cumsum(d)
+        base = np.zeros(seg[-1] + 1, dtype=np.int64)
+        starts = np.nonzero(new)[0]
+        base[1:] = cs[starts[1:] - 1]
+        s = cs - base[seg]
+        # segmented running min of s (groupby cummin — C kernel, no
+        # bias trick: a 2^62·seg offset would wrap int64 at seg ≥ 2)
+        runmin = pd.Series(s).groupby(seg).cummin().to_numpy(
+            dtype=np.int64)
+        # exclusive prefix min (min over j < i), empty -> 0-clip later
+        excl = np.empty_like(runmin)
+        excl[1:] = runmin[:-1]
+        excl[new] = np.int64(2 ** 62)          # "no prior" sentinel
+        clamp = s < np.minimum(excl, 0)
+        n = np.bincount(seg)
+        ends = np.nonzero(np.append(new[1:], True))[0]
+        out = pd.DataFrame({
+            key_col: k[starts],
+            "n_events": n.astype("int64"),
+            "final_balance_cents":
+                (s[ends] - np.minimum(runmin[ends], 0)).astype("int64"),
+            "min_prefix_cents": runmin[ends].astype("int64"),
+            "clamp_count": np.bincount(seg, weights=clamp)
+                .astype("int64"),
+        })
+        return out
+
+    cols = ds.select_columns(list(dict.fromkeys(
+        [key_col, ts_col, type_col, value_col, "event_id"])))
+    bucketed = _with_bucket(
+        cols.map_batches(skip_empty(prep), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key_col, n_buckets)
+    return bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def clamped_balance_sql(key_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        value_col: str = "value",
+                        credit_type: str = "purchase",
+                        debit_type: str = "click",
+                        table: str = "events") -> str:
+    return f"""
+WITH d AS (
+  SELECT {key_col}, event_id, {ts_col},
+    CASE WHEN {type_col} = '{credit_type}'
+      THEN CAST(round({value_col} * 100.0) AS BIGINT)
+      ELSE -CAST(round({value_col} * 100.0) AS BIGINT) END AS delta
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+    AND {type_col} IN ('{credit_type}', '{debit_type}')
+), s0 AS (
+  SELECT {key_col}, event_id, {ts_col}, delta,
+    SUM(delta) OVER (PARTITION BY {key_col}
+      ORDER BY {ts_col}, event_id ROWS UNBOUNDED PRECEDING) AS s
+  FROM d
+), s AS (
+  SELECT {key_col}, delta, s,
+    MIN(s) OVER (PARTITION BY {key_col} ORDER BY {ts_col}, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+  FROM s0
+)
+SELECT {key_col}, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(delta) - LEAST(0, min(s)) AS BIGINT)
+    AS final_balance_cents,
+  CAST(min(s) AS BIGINT) AS min_prefix_cents,
+  CAST(sum(CASE WHEN s < LEAST(COALESCE(mprev, 0), 0)
+      THEN 1 ELSE 0 END) AS BIGINT) AS clamp_count
+FROM s GROUP BY {key_col}
+""".strip()
+
+
+def ohlc_daily_bars(ds, group_col: str = "event_type",
+                    ts_col: str = "ts", value_col: str = "value"):
+    """Daily OHLC bars per group — the bar-aggregation primitive
+    (candlesticks, per-day sensor summaries): open = first cents by
+    (ts, event_id), high/low = max/min, close = last, n = row count.
+
+    Open/close are ORDER STATISTICS, not algebraic aggregates, but
+    they still combine: each block emits per (group, day) its own
+    first/last (keyed by the (us, event_id) tie-breaker — contractual,
+    event_id is unique) and min/max/count; the driver merge re-picks
+    first/last across block partials by the same key. The partial
+    table is bounded by |groups|·|days|·blocks. All values exact int64
+    cents. NULL group/ts/value rows are excluded by contract.
+    Output: (group, day, open_cents, high_cents, low_cents,
+    close_cents, n) sorted by (group, day).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.features import _cents, _epoch_day
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        df = pa.table({
+            "g": t[group_col],
+            "day": _epoch_day(t[ts_col]),
+            "us": t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "id": t["event_id"],
+            "c": _cents(t[value_col]),
+        }).to_pandas()
+        df = df.sort_values(["g", "day", "us", "id"], kind="mergesort")
+        grp = df.groupby(["g", "day"], sort=False)
+        head = grp.head(1).rename(columns={
+            "us": "o_us", "id": "o_id", "c": "o_c"})
+        tail = grp.tail(1).rename(columns={
+            "us": "c_us", "id": "c_id", "c": "c_c"})
+        agg = grp["c"].agg(lo="min", hi="max", n="size").reset_index()
+        out = agg.merge(head, on=["g", "day"]).merge(
+            tail, on=["g", "day"])
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out[[
+            "g", "day", "o_us", "o_id", "o_c",
+            "c_us", "c_id", "c_c", "lo", "hi", "n"]],
+            preserve_index=False)
+
+    parts = [t.to_pandas() for t in ds.select_columns(
+        [group_col, ts_col, value_col, "event_id"]).map_batches(
+            skip_empty(partial), batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_size=None,
+                                               batch_format="pyarrow")]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pa.table({
+            group_col: pa.array([], pa.string()),
+            "day": pa.array([], pa.int64()),
+            "open_cents": pa.array([], pa.int64()),
+            "high_cents": pa.array([], pa.int64()),
+            "low_cents": pa.array([], pa.int64()),
+            "close_cents": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })
+    allp = pd.concat(parts, ignore_index=True)
+    opens = (allp.sort_values(["g", "day", "o_us", "o_id"],
+                              kind="mergesort")
+             .groupby(["g", "day"], sort=False).head(1)
+             [["g", "day", "o_c"]])
+    closes = (allp.sort_values(["g", "day", "c_us", "c_id"],
+                               kind="mergesort")
+              .groupby(["g", "day"], sort=False).tail(1)
+              [["g", "day", "c_c"]])
+    aggs = (allp.groupby(["g", "day"], sort=True)
+            .agg(low_cents=("lo", "min"), high_cents=("hi", "max"),
+                 n=("n", "sum")).reset_index())
+    out = aggs.merge(opens, on=["g", "day"]).merge(
+        closes, on=["g", "day"]).sort_values(["g", "day"])
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "day": pa.array(out["day"].astype("int64")),
+        "open_cents": pa.array(out["o_c"].astype("int64")),
+        "high_cents": pa.array(out["high_cents"].astype("int64")),
+        "low_cents": pa.array(out["low_cents"].astype("int64")),
+        "close_cents": pa.array(out["c_c"].astype("int64")),
+        "n": pa.array(out["n"].astype("int64")),
+    })
+
+
+def ohlc_daily_bars_sql(group_col: str = "event_type",
+                        ts_col: str = "ts", value_col: str = "value",
+                        table: str = "events") -> str:
+    return f"""
+WITH d AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    {ts_col} AS ts, event_id,
+    CAST(round({value_col} * 100.0) AS BIGINT) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+), w AS (
+  SELECT g, day, c,
+    row_number() OVER (PARTITION BY g, day
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY g, day
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM d
+)
+SELECT g AS {group_col}, day,
+  CAST(max(CASE WHEN rn_a = 1 THEN c END) AS BIGINT) AS open_cents,
+  CAST(max(c) AS BIGINT) AS high_cents,
+  CAST(min(c) AS BIGINT) AS low_cents,
+  CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close_cents,
+  CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY g, day ORDER BY g, day
+""".strip()

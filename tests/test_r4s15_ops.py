@@ -181,3 +181,381 @@ def test_orc_roundtrip_bit_exact(ray_session, tmp_path):
     assert back.schema.equals(t.schema)
     assert back.sort_by([("i", "ascending")]).equals(
         t.sort_by([("i", "ascending")]))
+
+
+# ------------------------------------------------ weekly periodogram
+
+def test_periodogram_pure_weekly_signal(ray_session):
+    """A daily series that IS cos(2πd/7) (scaled) concentrates power
+    in harmonic 1: amplitude_1 recovers the wave's amplitude, and the
+    exact spectral sums match a hand numpy computation."""
+    from fluent_server_ray.stages.features import (
+        _COS7_MILLIS, _SIN7_MILLIS, weekly_periodogram)
+
+    days = np.arange(28)          # 4 full weeks starting at epoch day 0
+    cents = np.array([10000 + 5000 * _COS7_MILLIS[d % 7] // 1000000
+                      for d in days], dtype=np.int64)
+    ts = pd.to_datetime(days * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": cents / 100.0})
+    out = weekly_periodogram(rd.from_pandas(df)).to_pandas()
+    for m in (1, 2, 3):
+        row = out[out.harmonic == m].iloc[0]
+        k = (m * days) % 7
+        sc = sum(int(c) * _COS7_MILLIS[kk] for c, kk in zip(cents, k))
+        ss = sum(int(c) * _SIN7_MILLIS[kk] for c, kk in zip(cents, k))
+        assert row.s_c == sc and row.s_s == ss
+    # harmonic 1 dominates; amplitude ≈ the 5000-cent wave (50.0 units
+    # in cents scale — amplitude is in cents here)
+    a1 = out[out.harmonic == 1].iloc[0].amplitude
+    a2 = out[out.harmonic == 2].iloc[0].amplitude
+    assert a1 > 10 * max(a2, 1e-9)
+    assert abs(a1 - 5000.0) / 5000.0 < 0.01
+
+
+def test_periodogram_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (
+        weekly_periodogram, weekly_periodogram_sql)
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 30 * 86400, n), unit="s"),
+        "value": rng.integers(-100, 10000, n) / 100.0,
+    })
+    df.loc[0, "value"] = None
+    out = weekly_periodogram(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, weekly_periodogram_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ permutation test
+
+def test_permutation_sign_test_brute_force(ray_session):
+    """Recompute all 64 permuted statistics with a python loop from
+    the same md5 bits; n_as_extreme and p must match exactly."""
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.features import permutation_sign_test
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for u in range(30):
+        for _ in range(rng.integers(1, 4)):
+            rows.append((u, "click", rng.integers(1, 500) / 100.0))
+        if rng.random() < 0.7:
+            rows.append((u, "purchase", rng.integers(1, 900) / 100.0))
+    rows.append((99, "view", 5.0))       # excluded type
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "value"])
+    out = permutation_sign_test(rd.from_pandas(df)).to_pandas().iloc[0]
+
+    d = {}
+    for _, r in df.iterrows():
+        if r.event_type == "click":
+            d[r.user_id] = d.get(r.user_id, 0) + round(r.value * 100)
+        elif r.event_type == "purchase":
+            d[r.user_id] = d.get(r.user_id, 0) - round(r.value * 100)
+    t_obs = sum(d.values())
+    n_ext = 0
+    for p in range(64):
+        tp = sum((1 - 2 * ((md5_u64(f"pt:{u}") >> p) & 1)) * dv
+                 for u, dv in d.items())
+        if abs(tp) >= abs(t_obs):
+            n_ext += 1
+    assert out.n_users == len(d)
+    assert out.t_obs_cents == t_obs
+    assert out.n_as_extreme == n_ext
+    assert out.p_value == (n_ext + 1) / 65.0
+
+
+def test_permutation_sign_test_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (
+        permutation_sign_test, permutation_sign_test_sql)
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n),
+        "event_type": rng.choice(["click", "purchase", "view"], n),
+        "value": rng.integers(-100, 5000, n) / 100.0,
+    })
+    df.loc[2, "user_id"] = None
+    out = permutation_sign_test(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, permutation_sign_test_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ Wilson CI
+
+def test_wilson_ci_hand_pin(ray_session):
+    """k=3 of n=10 at threshold 50.00: classic Wilson numbers; also
+    k=0 stays ≥ 0 and k=n stays ≤ 1 (the Wald interval wouldn't)."""
+    from fluent_server_ray.stages.features import wilson_proportion_ci
+
+    df = pd.DataFrame({
+        "event_type": ["a"] * 10 + ["z"] * 3 + ["f"] * 2,
+        "value": [60.0] * 3 + [10.0] * 7 + [0.5] * 3 + [99.0] * 2,
+    })
+    out = wilson_proportion_ci(rd.from_pandas(df)).to_pandas()
+    a = out[out.event_type == "a"].iloc[0]
+    assert a.n == 10 and a.k == 3 and a.phat == 0.3
+    assert 0.10 < a.wilson_lo < 0.11 and 0.60 < a.wilson_hi < 0.61
+    z = out[out.event_type == "z"].iloc[0]      # k = 0
+    assert z.k == 0 and z.wilson_lo == 0.0 and z.wilson_hi > 0
+    f = out[out.event_type == "f"].iloc[0]      # k = n
+    assert f.k == 2 and f.wilson_hi < 1.0 + 1e-12 and f.wilson_lo < 1.0
+
+
+def test_wilson_ci_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (
+        wilson_proportion_ci, wilson_proportion_ci_sql)
+
+    rng = np.random.default_rng(23)
+    n = 400
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": rng.integers(0, 12000, n) / 100.0,
+    })
+    out = wilson_proportion_ci(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, wilson_proportion_ci_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ OLS hour+dow
+
+def test_ols_recovers_planted_coefficients(ray_session):
+    """Noise-free y = 700 + 3·hour·100 + (-5)·dow·100 cents must be
+    recovered exactly (integer design, exact Cramer solve)."""
+    from fluent_server_ray.stages.features import ols_hour_dow
+
+    rng = np.random.default_rng(2)
+    secs = rng.integers(0, 30 * 86400, 500)
+    us = secs.astype("int64") * 1_000_000
+    h = (us // 3_600_000_000) % 24
+    w = (us // 86_400_000_000) % 7
+    cents = 700 + 300 * h - 500 * w
+    df = pd.DataFrame({"ts": pd.to_datetime(us, unit="us"),
+                       "value": cents / 100.0})
+    out = ols_hour_dow(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.n == 500
+    assert abs(out.beta0 - 700.0) < 1e-6
+    assert abs(out.beta_hour - 300.0) < 1e-8
+    assert abs(out.beta_dow - (-500.0)) < 1e-8
+
+
+def test_ols_singular_design_null(ray_session):
+    """All rows in one hour of one day -> collinear design -> NULLs."""
+    from fluent_server_ray.stages.features import ols_hour_dow
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 05:10:00"] * 5),
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    out = ols_hour_dow(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.n == 5 and pd.isna(out.beta0)
+
+
+def test_ols_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (ols_hour_dow,
+                                                   ols_hour_dow_sql)
+
+    rng = np.random.default_rng(31)
+    n = 600
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 30 * 86400, n), unit="s"),
+        "value": rng.integers(-300, 20000, n) / 100.0,
+    })
+    df.loc[4, "ts"] = None
+    out = ols_hour_dow(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, ols_hour_dow_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ clamped balance
+
+def test_clamped_balance_brute_force(ray_session):
+    """Per-user sequential max(0, b+d) replay must equal the max-plus
+    identity output, including clamp counts."""
+    from fluent_server_ray.stages.windows import clamped_balance
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n),
+        "event_id": np.arange(n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 86400, n), unit="s"),
+        "event_type": rng.choice(["purchase", "click", "view"], n),
+        "value": rng.integers(1, 5000, n) / 100.0,
+    })
+    out = clamped_balance(rd.from_pandas(df)).to_pandas() \
+        .set_index("user_id").sort_index()
+
+    sub = df[df.event_type.isin(["purchase", "click"])].copy()
+    sub["cents"] = (sub.value * 100).round().astype("int64")
+    sub["d"] = np.where(sub.event_type == "purchase",
+                        sub.cents, -sub.cents)
+    for u, g in sub.sort_values(["ts", "event_id"]).groupby("user_id"):
+        b, clamps, mins, s = 0, 0, 0, 0
+        for d in g["d"]:
+            if b + d < 0:
+                clamps += 1
+            b = max(0, b + d)
+            s += d
+            mins = min(mins, s)
+        row = out.loc[u]
+        assert row.final_balance_cents == b, u
+        assert row.clamp_count == clamps, u
+        assert row.n_events == len(g), u
+
+
+def test_clamped_balance_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.windows import (clamped_balance,
+                                                  clamped_balance_sql)
+
+    rng = np.random.default_rng(41)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "event_id": np.arange(n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 7 * 86400, n), unit="s"),
+        "event_type": rng.choice(["purchase", "click", "view"], n),
+        "value": rng.integers(1, 9000, n) / 100.0,
+    })
+    out = clamped_balance(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, clamped_balance_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ OHLC bars
+
+def test_ohlc_hand_pin(ray_session):
+    """One group, one day, known order: open/close follow (ts, id)
+    tie-break including equal timestamps."""
+    from fluent_server_ray.stages.windows import ohlc_daily_bars
+
+    ts = pd.to_datetime(["2024-01-01 01:00", "2024-01-01 01:00",
+                         "2024-01-01 02:00", "2024-01-01 00:30"])
+    df = pd.DataFrame({
+        "event_type": ["a"] * 4,
+        "ts": ts,
+        "event_id": [7, 3, 1, 9],
+        "value": [5.00, 1.00, 2.50, 4.00],
+    })
+    out = ohlc_daily_bars(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.open_cents == 400          # 00:30 first
+    assert out.close_cents == 250         # 02:00 last
+    # equal-ts pair orders by event_id: id 3 (100) before id 7 (500)
+    assert out.low_cents == 100 and out.high_cents == 500
+    assert out.n == 4
+
+
+def test_ohlc_multiblock_merge(ray_session):
+    """Force many blocks so the driver merge re-picks open/close
+    across block partials; compare against a single-frame pandas
+    reference."""
+    from fluent_server_ray.stages.windows import ohlc_daily_bars
+
+    rng = np.random.default_rng(19)
+    n = 600
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 5 * 86400, n), unit="s"),
+        "event_id": np.arange(n),
+        "value": rng.integers(1, 10000, n) / 100.0,
+    })
+    ds = rd.from_pandas(df).repartition(16)
+    out = ohlc_daily_bars(ds).to_pandas()
+
+    ref = df.copy()
+    ref["cents"] = (ref.value * 100).round().astype("int64")
+    ref["day"] = (ref.ts.astype("int64") // (86400 * 10**9))
+    ref = ref.sort_values(["event_type", "day", "ts", "event_id"])
+    g = ref.groupby(["event_type", "day"])
+    exp = pd.DataFrame({
+        "open_cents": g["cents"].first(),
+        "high_cents": g["cents"].max(),
+        "low_cents": g["cents"].min(),
+        "close_cents": g["cents"].last(),
+        "n": g["cents"].size().astype("int64"),
+    }).reset_index()
+    _cmp(out, exp.rename(columns={"day": "day"}))
+
+
+def test_ohlc_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.windows import (ohlc_daily_bars,
+                                                  ohlc_daily_bars_sql)
+
+    rng = np.random.default_rng(29)
+    n = 400
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 4 * 86400, n), unit="s"),
+        "event_id": np.arange(n),
+        "value": rng.integers(-500, 10000, n) / 100.0,
+    })
+    out = ohlc_daily_bars(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, ohlc_daily_bars_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ Cochran's Q
+
+def test_cochran_q_hand_pin(ray_session):
+    """Textbook layout: 4 users with known success patterns across
+    3 treatments; Q from the reduced integer formula."""
+    from fluent_server_ray.stages.features import cochran_q
+
+    # user: (view, click, purchase)
+    patterns = {0: (1, 1, 0), 1: (1, 0, 0), 2: (1, 1, 1), 3: (0, 1, 0)}
+    rows = []
+    for u, (v, c, p) in patterns.items():
+        if v:
+            rows.append((u, "view"))
+        if c:
+            rows.append((u, "click"))
+        if p:
+            rows.append((u, "purchase"))
+        rows.append((u, "error"))          # excluded type
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    out = cochran_q(rd.from_pandas(df)).to_pandas().iloc[0]
+    cs = [3, 3, 1]
+    rs = [2, 1, 3, 1]
+    N = sum(cs)
+    num = 2 * (3 * sum(c * c for c in cs) - N * N)
+    den = 3 * N - sum(r * r for r in rs)
+    assert out.n_users == 4
+    assert [out.c_view, out.c_click, out.c_purchase] == cs
+    assert out.q_num == num and out.q_den == den
+    assert out.q_stat == num / den
+
+
+def test_cochran_q_degenerate_denominator(ray_session):
+    """Every user succeeds at every treatment -> q_den = 0 -> NULL."""
+    from fluent_server_ray.stages.features import cochran_q
+
+    rows = [(u, t) for u in range(3)
+            for t in ("view", "click", "purchase")]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    out = cochran_q(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.q_den == 0 and pd.isna(out.q_stat)
+
+
+def test_cochran_q_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import cochran_q, cochran_q_sql
+
+    rng = np.random.default_rng(37)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n),
+        "event_type": rng.choice(
+            ["view", "click", "purchase", "error"], n),
+    })
+    out = cochran_q(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, cochran_q_sql())
+    _cmp(out, duck)
