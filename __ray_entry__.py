@@ -4916,6 +4916,50 @@ def _q_periodogram(sf_dir: str):
                            columns=["event_type", "ts", "value"]))
 
 
+def _q_pairwise_bh(sf_dir: str):
+    """All type-pair permutation tests + exact integer Benjamini-
+    Hochberg step-up — user-bucket exchange, per-pair md5 sign
+    streams, cross-multiplied rational reject rule."""
+    from fluent_server_ray.stages.features import pairwise_permutation_bh
+
+    return pairwise_permutation_bh(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "event_type", "value"]))
+
+
+def _q_haar(sf_dir: str):
+    """Unnormalized Haar detail-energy ladder over daily cents per
+    event_type — complete-pairs contract, exact integer energies,
+    unrolled dyadic mirror."""
+    from fluent_server_ray.stages.features import haar_energy
+
+    return haar_energy(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
+def _q_daily_motif(sf_dir: str):
+    """Exact-SSD motif pair over the daily cents series per
+    event_type — positional non-overlapping windows, integer SSD,
+    lexicographic tie-break."""
+    from fluent_server_ray.stages.features import daily_motif
+
+    return daily_motif(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
+def _q_allan(sf_dir: str):
+    """Multi-τ Allan variance of the daily cents series per
+    event_type — exact integer block-sum diffs, one float tree per
+    (group, τ)."""
+    from fluent_server_ray.stages.features import allan_variance
+
+    return allan_variance(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
 def _q_ohlc(sf_dir: str):
     """Daily OHLC cents bars per event_type — order-statistic
     open/close re-picked across block partials by the (ts, event_id)
@@ -5387,6 +5431,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_clamped_balance": _q_clamped_balance,
         "events_ohlc_daily": _q_ohlc,
         "users_cochran_q": _q_cochran_q,
+        "events_daily_motif": _q_daily_motif,
+        "events_allan_variance": _q_allan,
+        "events_haar_energy": _q_haar,
+        "events_pairwise_perm_bh": _q_pairwise_bh,
     }
 
 
@@ -6266,4 +6314,8 @@ WITH toks AS (
         "user_clamped_balance": windows.clamped_balance_sql(),
         "events_ohlc_daily": windows.ohlc_daily_bars_sql(),
         "users_cochran_q": features.cochran_q_sql(),
+        "events_daily_motif": features.daily_motif_sql(),
+        "events_allan_variance": features.allan_variance_sql(),
+        "events_haar_energy": features.haar_energy_sql(),
+        "events_pairwise_perm_bh": features.pairwise_permutation_bh_sql(),
     }

@@ -8020,3 +8020,539 @@ SELECT n_users, {c_list}, q_num, q_den,
     THEN CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE) END AS q_stat
 FROM st
 """.strip()
+
+
+# ------------------------------------------- daily-series motif
+
+def daily_motif(ds, group_col: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value", w: int = 7) -> pa.Table:
+    """Time-series motif discovery over the daily cents series (the
+    matrix-profile primitive, Yeh 2016, computed exactly): per group,
+    the pair of non-overlapping length-``w`` windows with the minimum
+    sum of squared differences — "which two weeks looked most alike?".
+
+    Determinism contract: windows index the OBSERVED day-ascending
+    sequence (positional, not calendar — gaps close up, documented);
+    SSD is an exact integer (int64-guarded; HUGEINT in the mirror);
+    the argmin tie-breaks on smallest ``(i, j)`` lexicographically.
+    Groups with fewer than ``2w`` observed days have no valid pair and
+    are absent from the output. NULL group/ts/value rows are excluded
+    by contract.
+
+    Shape: one combiner pass → bounded (group × day) table → per-group
+    O(m²·w) window scan on the driver (m = days − w + 1; calendar-
+    bounded, never row-bounded). Output: (group, n_days, i, j, ssd)
+    sorted by group.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({"g": t[group_col],
+                         "_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "n_days": [], "i": [], "j": [], "ssd": []}
+    for g, sub in daily.groupby("g", sort=True):
+        c = (sub.sort_values("_day")["cents_sum"]
+             .to_numpy(dtype=np.int64))
+        n = len(c)
+        if n < 2 * w:
+            continue
+        m = n - w + 1
+        win = np.lib.stride_tricks.sliding_window_view(c, w)
+        diff = win[:, None, :] - win[None, :, :]     # int64, exact
+        if len(diff) and int(np.abs(diff).max()) > 1_000_000_000:
+            # w·diff² must stay under 2^63 for the exact int64 SSD
+            raise ValueError("daily_motif: daily deltas exceed the "
+                             "int64-exact SSD range — rescale value "
+                             "upstream")
+        ssd = (diff * diff).sum(axis=-1)             # exact int64
+        ii, jj = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+        ssd[jj < ii + w] = np.iinfo(np.int64).max    # mask overlap
+        flat = np.argmin(ssd)              # row-major: min (i, j) ties
+        bi, bj = divmod(int(flat), m)
+        out["g"].append(g)
+        out["n_days"].append(n)
+        out["i"].append(bi)
+        out["j"].append(bj)
+        out["ssd"].append(int(ssd[bi, bj]))
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "n_days": pa.array(out["n_days"], pa.int64()),
+        "i": pa.array(out["i"], pa.int64()),
+        "j": pa.array(out["j"], pa.int64()),
+        "ssd": pa.array(out["ssd"], pa.int64()),
+    })
+
+
+def daily_motif_sql(group_col: str = "event_type", ts_col: str = "ts",
+                    value_col: str = "value", w: int = 7,
+                    table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), d AS (
+  SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) - 1 AS i,
+    c, count(*) OVER (PARTITION BY g) AS n
+  FROM daily
+), pairs AS (
+  SELECT a.g, a.i AS i, b.i AS j, a.n
+  FROM d a JOIN d b ON b.g = a.g AND b.i >= a.i + {w}
+  WHERE a.i + {w} - 1 < a.n AND b.i + {w} - 1 < b.n
+), ssd AS (
+  SELECT p.g, p.i, p.j, p.n,
+    SUM(CAST(x.c - y.c AS HUGEINT) * (x.c - y.c)) AS ssd
+  FROM pairs p
+  CROSS JOIN generate_series(0, {w - 1}) AS t(t)
+  JOIN d x ON x.g = p.g AND x.i = p.i + t.t
+  JOIN d y ON y.g = p.g AND y.i = p.j + t.t
+  GROUP BY 1, 2, 3, 4
+), pick AS (
+  SELECT g, n, i, j, ssd,
+    row_number() OVER (PARTITION BY g ORDER BY ssd, i, j) AS rn
+  FROM ssd
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_days,
+  CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+  CAST(ssd AS BIGINT) AS ssd
+FROM pick WHERE rn = 1 ORDER BY g
+""".strip()
+
+
+# ------------------------------------------- Allan variance
+
+def allan_variance(ds, group_col: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value",
+                   taus: tuple = (1, 2, 4)) -> pa.Table:
+    """Multi-scale Allan variance of the daily cents series (Allan
+    1966) — the stability/noise-floor diagnostic: for averaging span
+    ``τ`` days, ``σ²(τ) = Σ(ȳ_{k+1} − ȳ_k)² / (2(K−1))`` over the
+    K non-overlapping τ-day block means. White noise falls as 1/τ;
+    a flat/rising curve exposes drift — the spectral-family sibling
+    of the periodogram from the time domain.
+
+    Determinism contract: blocks tile the OBSERVED day-ascending
+    sequence positionally (trailing partial block dropped); the engine
+    carries block SUMS ``S_k`` (exact ints, python-int accumulated),
+    so the numerator is the exact integer ``Σ(S_{k+1} − S_k)²`` and
+    the variance is ONE float tree
+    ``float(num) / float(2 · (K−1) · τ · τ)`` (block mean = S/τ pulled
+    out of the square). Groups contribute a τ row only when K ≥ 2.
+    NULL group/ts/value rows are excluded by contract. Output:
+    (group, tau, n_blocks, avar_num, avar) sorted by (group, tau).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({"g": t[group_col],
+                         "_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "tau": [], "k": [], "num": [], "avar": []}
+    for g, sub in daily.groupby("g", sort=True):
+        c = (sub.sort_values("_day")["cents_sum"]
+             .to_numpy(dtype=np.int64))
+        for tau in taus:
+            k = len(c) // tau
+            if k < 2:
+                continue
+            s = c[:k * tau].reshape(k, tau).sum(axis=1)
+            d = np.diff(s)
+            num = sum(int(x) * int(x) for x in d)
+            if num >= 2 ** 63:
+                raise ValueError("allan_variance: numerator exceeds "
+                                 "int64 — rescale value upstream")
+            out["g"].append(g)
+            out["tau"].append(tau)
+            out["k"].append(k)
+            out["num"].append(num)
+            out["avar"].append(
+                float(num) / float(2 * (k - 1) * tau * tau))
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "tau": pa.array(out["tau"], pa.int64()),
+        "n_blocks": pa.array(out["k"], pa.int64()),
+        "avar_num": pa.array(out["num"], pa.int64()),
+        "avar": pa.array(out["avar"], pa.float64()),
+    })
+
+
+def allan_variance_sql(group_col: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       taus: tuple = (1, 2, 4),
+                       table: str = "events") -> str:
+    tau_rows = ", ".join(f"({t})" for t in taus)
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), d AS (
+  SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) - 1 AS i, c
+  FROM daily
+), taus(tau) AS (VALUES {tau_rows}),
+blocks AS (
+  SELECT d.g, t.tau, d.i // t.tau AS k, SUM(d.c) AS s,
+    count(*) AS cnt
+  FROM d CROSS JOIN taus t
+  GROUP BY 1, 2, 3
+), full_blocks AS (
+  SELECT g, tau, k, s FROM blocks WHERE cnt = tau
+), diffs AS (
+  SELECT g, tau, s - lag(s) OVER (PARTITION BY g, tau ORDER BY k)
+    AS dd
+  FROM full_blocks
+), agg AS (
+  SELECT g, tau, CAST(count(dd) AS BIGINT) + 1 AS n_blocks,
+    CAST(SUM(CAST(dd AS HUGEINT) * dd) AS BIGINT) AS avar_num
+  FROM diffs GROUP BY 1, 2
+)
+SELECT g AS {group_col}, CAST(tau AS BIGINT) AS tau, n_blocks,
+  avar_num,
+  CAST(avar_num AS DOUBLE)
+    / CAST(2 * (n_blocks - 1) * tau * tau AS DOUBLE) AS avar
+FROM agg WHERE n_blocks >= 2 ORDER BY g, tau
+""".strip()
+
+
+# ------------------------------------------- Haar wavelet energy
+
+def haar_energy(ds, group_col: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value",
+                max_levels: int = 5) -> pa.Table:
+    """Unnormalized Haar wavelet detail energy per dyadic level over
+    the daily cents series — the multi-resolution decomposition
+    (Haar 1910; Mallat's pyramid): level ℓ's detail coefficients are
+    pairwise differences of level ℓ−1's pairwise sums, so the energy
+    ladder localizes variance by time scale (day-to-day vs
+    fortnightly) — the time-domain complement of the periodogram's
+    frequency bins.
+
+    Determinism contract: the series is the OBSERVED day-ascending
+    daily totals (positional); at EVERY level only complete pairs
+    propagate (an odd trailing element is dropped at that level —
+    contract, mirrored exactly); coefficients are UNNORMALIZED
+    (s = a+b, d = a−b — all exact ints, python-int accumulated; the
+    usual 1/√2 factors would leave the integers). ``energy_ℓ = Σ d²``
+    is an exact int (int64-guarded; HUGEINT in the mirror). NULL
+    group/ts/value rows are excluded by contract. Output:
+    (group, level, n_pairs, energy) sorted by (group, level); a level
+    appears only when it has ≥1 complete pair.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({"g": t[group_col],
+                         "_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "level": [], "n_pairs": [], "energy": []}
+    for g, sub in daily.groupby("g", sort=True):
+        x = [int(v) for v in
+             sub.sort_values("_day")["cents_sum"].to_numpy()]
+        for lvl in range(1, max_levels + 1):
+            m = len(x) // 2
+            if m == 0:
+                break
+            a, b = x[0:2 * m:2], x[1:2 * m:2]
+            energy = sum((ai - bi) * (ai - bi)
+                         for ai, bi in zip(a, b))
+            if energy >= 2 ** 63:
+                raise ValueError("haar_energy: level energy exceeds "
+                                 "int64 — rescale value upstream")
+            out["g"].append(g)
+            out["level"].append(lvl)
+            out["n_pairs"].append(m)
+            out["energy"].append(energy)
+            x = [ai + bi for ai, bi in zip(a, b)]
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "level": pa.array(out["level"], pa.int64()),
+        "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+        "energy": pa.array(out["energy"], pa.int64()),
+    })
+
+
+def haar_energy_sql(group_col: str = "event_type", ts_col: str = "ts",
+                    value_col: str = "value", max_levels: int = 5,
+                    table: str = "events") -> str:
+    ctes = [f"""daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+)""", f"""l0 AS (
+  SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) - 1 AS i,
+    c AS s
+  FROM daily
+)"""]
+    selects = []
+    for k in range(1, max_levels + 1):
+        ctes.append(f"""l{k}r AS (
+  SELECT g, i // 2 AS i, SUM(s) AS s,
+    SUM(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS dd,
+    count(*) AS cnt
+  FROM l{k - 1} GROUP BY 1, 2
+)""")
+        ctes.append(f"l{k} AS (SELECT g, i, s, dd FROM l{k}r "
+                    "WHERE cnt = 2)")
+        selects.append(
+            f"SELECT g, {k} AS level, CAST(count(*) AS BIGINT)"
+            " AS n_pairs,\n  CAST(SUM(CAST(dd AS HUGEINT) * dd)"
+            f" AS BIGINT) AS energy\nFROM l{k} GROUP BY g")
+    union = "\nUNION ALL\n".join(selects)
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT g AS {group_col}, level, n_pairs, energy FROM (\n"
+            f"{union}\n) ORDER BY 1, 2").strip()
+
+
+# ------------------------------------------- pairwise perm + BH
+
+def pairwise_permutation_bh(ds, user_col: str = "user_id",
+                            type_col: str = "event_type",
+                            value_col: str = "value",
+                            q_millis: int = 50,
+                            n_buckets: int = 64) -> pa.Table:
+    """All-pairs paired sign-flip permutation tests across event
+    types, with EXACT Benjamini–Hochberg FDR correction (Benjamini &
+    Hochberg 1995) over the resulting p-values — the multiple-testing
+    composite: every type pair (a < b) gets the 64-permutation test of
+    ``H0: E[a_cents − b_cents] = 0`` over per-user totals, then BH at
+    ``q = q_millis/1000`` decides which pairs survive.
+
+    Determinism contract: permutation p's sign for user u in pair
+    (a, b) is bit p of ``md5_u64('pt2:' || a || ':' || b || ':' || u)``
+    — per-pair hash streams, identical in the mirror. All test
+    statistics are exact ints (python-int accumulated); the exact
+    p-value is the rational ``(ne+1)/65`` and the BH step-up runs on
+    CROSS-MULTIPLIED INTEGERS — rank r survives iff
+    ``(ne_r + 1)·1000·m ≤ r·65·q_millis`` (m = pairs tested; ranks
+    sort by (ne, a, b) — ties in ne share a p so the cutoff is
+    order-independent) — so the reject set is bit-reproducible; the
+    only float is the reported p (one division per pair).
+
+    Shape: per-block (user, type) combiner → distributed per-user-type
+    merge → ONE user-bucket exchange co-locating each user's types →
+    per-bucket partials for every local pair × 64 perms (≤ |pairs|·64
+    rows per bucket) → bounded driver merge + BH. A user missing one
+    side of a pair contributes delta = its present side (other side
+    0) and still counts — contract. NULL user/value rows excluded.
+    Output: (type_a, type_b, n_users, t_obs_cents, n_as_extreme,
+    p_value, bh_reject) sorted by (type_a, type_b).
+    """
+    import pandas as pd
+
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def per_ut(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[user_col]),
+                               pc.is_valid(t[type_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        prep = pa.table({"user": pc.cast(t[user_col], pa.int64()),
+                         "ty": t[type_col],
+                         "c": _cents(t[value_col])})
+        out = prep.group_by(["user", "ty"]).aggregate([("c", "sum")])
+        return out.rename_columns(["user", "ty", "c"])
+
+    per_user_type = grouped_agg(
+        ds.map_batches(skip_empty(per_ut), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["user", "ty"], aggs=[("c", "sum")], final="ray")
+    # materialized once: consumed by the global type-set probe AND the
+    # bucket exchange (the reduced user×type table is the working set)
+    per_user_type = per_user_type.materialize()
+    global_types = sorted(per_user_type.unique("ty"))
+
+    bit_idx = np.arange(64, dtype=np.uint64)[:, None]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        piv = (g.pivot_table(index="user", columns="ty",
+                             values="c_sum", aggfunc="sum")
+               .sort_index()
+               .reindex(columns=global_types))   # GLOBAL pair space —
+        # a bucket missing one side of a pair still contributes its
+        # one-sided users' deltas
+        users = piv.index.to_numpy(dtype=np.int64)
+        types = global_types
+        rows = {"ta": [], "tb": [], "perm": [], "tp": [],
+                "nu": [], "tobs": []}
+        for ai in range(len(types)):
+            for bi in range(ai + 1, len(types)):
+                ta, tb = types[ai], types[bi]
+                ca = piv[ta].to_numpy()
+                cb = piv[tb].to_numpy()
+                has = ~(np.isnan(ca) & np.isnan(cb))
+                if len(has) and max(np.nanmax(np.abs(ca), initial=0),
+                                    np.nanmax(np.abs(cb),
+                                              initial=0)) >= 2.0 ** 53:
+                    raise ValueError(
+                        "pairwise_permutation_bh: per-user cents "
+                        "exceed float64-exact pivot range")
+                d = (np.nan_to_num(ca[has])
+                     - np.nan_to_num(cb[has])).astype(np.int64)
+                uu = users[has]
+                if len(d) == 0:
+                    continue
+                if int(np.abs(d).sum()) >= 2 ** 62:
+                    raise ValueError(
+                        "pairwise_permutation_bh: block delta mass "
+                        "exceeds the int64-safe range")
+                h = np.fromiter(
+                    (md5_u64(f"pt2:{ta}:{tb}:{x}") for x in uu),
+                    dtype=np.uint64, count=len(uu))
+                signs = 1 - 2 * ((h[None, :] >> bit_idx)
+                                 & np.uint64(1)).astype(np.int64)
+                tp = signs @ d
+                rows["ta"].extend([ta] * 64)
+                rows["tb"].extend([tb] * 64)
+                rows["perm"].extend(range(64))
+                rows["tp"].extend(int(x) for x in tp)
+                rows["nu"].extend([len(d)] * 64)
+                rows["tobs"].extend([int(d.sum())] * 64)
+        return pd.DataFrame(rows, columns=["ta", "tb", "perm", "tp",
+                                           "nu", "tobs"])
+
+    bucketed = _with_bucket(per_user_type, "user", n_buckets)
+    parts = grouped_agg(
+        bucketed.groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas"),
+        ["ta", "tb", "perm"],
+        [("tp", "sum"), ("nu", "sum"), ("tobs", "sum")],
+        final="driver").to_pandas()
+
+    cols = ("type_a", "type_b", "n_users", "t_obs_cents",
+            "n_as_extreme", "p_value", "bh_reject")
+    if len(parts) == 0:
+        return pa.table({c: pa.array(
+            [], pa.string() if c.startswith("type") else
+            pa.bool_() if c == "bh_reject" else
+            pa.float64() if c == "p_value" else pa.int64())
+            for c in cols})
+    recs = []
+    for (ta, tb), sub in parts.groupby(["ta", "tb"], sort=True):
+        tobs = int(sub["tobs_sum"].iloc[0])
+        nu = int(sub["nu_sum"].iloc[0])
+        tp = sub["tp_sum"].astype("int64").to_numpy()
+        ne = int((np.abs(tp) >= abs(tobs)).sum())
+        recs.append([ta, tb, nu, tobs, ne])
+    m = len(recs)
+    order = sorted(range(m), key=lambda i: (recs[i][4], recs[i][0],
+                                            recs[i][1]))
+    r_star, ne_star = 0, None
+    for r, i in enumerate(order, start=1):
+        if (recs[i][4] + 1) * 1000 * m <= r * 65 * q_millis:
+            r_star, ne_star = r, recs[i][4]
+    return pa.table({
+        "type_a": pa.array([r[0] for r in recs], pa.string()),
+        "type_b": pa.array([r[1] for r in recs], pa.string()),
+        "n_users": pa.array([r[2] for r in recs], pa.int64()),
+        "t_obs_cents": pa.array([r[3] for r in recs], pa.int64()),
+        "n_as_extreme": pa.array([r[4] for r in recs], pa.int64()),
+        "p_value": pa.array([(r[4] + 1) / 65.0 for r in recs],
+                            pa.float64()),
+        "bh_reject": pa.array(
+            [ne_star is not None and r[4] <= ne_star for r in recs],
+            pa.bool_()),
+    })
+
+
+def pairwise_permutation_bh_sql(user_col: str = "user_id",
+                                type_col: str = "event_type",
+                                value_col: str = "value",
+                                q_millis: int = 50,
+                                table: str = "events") -> str:
+    return f"""
+WITH ut AS (
+  SELECT {user_col} AS u, {type_col} AS ty,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {type_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), types AS (SELECT DISTINCT ty FROM ut),
+pairs AS (
+  SELECT a.ty AS ta, b.ty AS tb
+  FROM types a JOIN types b ON a.ty < b.ty
+), peru AS (
+  SELECT p.ta, p.tb, ut.u,
+    SUM(CASE WHEN ut.ty = p.ta THEN ut.c ELSE -ut.c END) AS d
+  FROM pairs p JOIN ut ON ut.ty IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3
+), perms AS (
+  SELECT ta, tb, pp.p,
+    CAST(sum((1 - 2 * CAST((md5_number_upper(
+      'pt2:' || ta || ':' || tb || ':'
+      || CAST(CAST(u AS BIGINT) AS VARCHAR)) >> pp.p)
+      & 1 AS BIGINT)) * d) AS BIGINT) AS tp
+  FROM peru CROSS JOIN generate_series(0, 63) AS pp(p)
+  GROUP BY 1, 2, 3
+), obs AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(d) AS BIGINT) AS t_obs
+  FROM peru GROUP BY 1, 2
+), ext AS (
+  SELECT o.ta, o.tb, o.n_users, o.t_obs,
+    (SELECT CAST(count(*) AS BIGINT) FROM perms pr
+     WHERE pr.ta = o.ta AND pr.tb = o.tb
+       AND abs(pr.tp) >= abs(o.t_obs)) AS ne
+  FROM obs o
+), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ext),
+ranked AS (
+  SELECT e.*, row_number() OVER (ORDER BY e.ne, e.ta, e.tb) AS rn,
+    (SELECT m FROM mm) AS m
+  FROM ext e
+), rstar AS (
+  SELECT max(rn) AS r FROM ranked
+  WHERE (ne + 1) * 1000 * m <= rn * 65 * {q_millis}
+)
+SELECT ta AS type_a, tb AS type_b, n_users,
+  t_obs AS t_obs_cents, ne AS n_as_extreme,
+  (CAST(ne AS DOUBLE) + 1) / 65.0 AS p_value,
+  COALESCE(ne <= (SELECT ne FROM ranked
+                  WHERE rn = (SELECT r FROM rstar)), FALSE)
+    AS bh_reject
+FROM ranked ORDER BY ta, tb
+""".strip()

@@ -559,3 +559,219 @@ def test_cochran_q_duckdb_parity(ray_session):
     out = cochran_q(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, cochran_q_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ daily motif
+
+def test_daily_motif_planted_pair(ray_session):
+    """Plant an identical week at positions 2 and 14 in an otherwise
+    noisy series: the motif must find exactly that pair with SSD 0."""
+    from fluent_server_ray.stages.features import daily_motif
+
+    rng = np.random.default_rng(9)
+    cents = rng.integers(100, 100000, 24).astype("int64")
+    week = rng.integers(100, 100000, 7).astype("int64")
+    cents[2:9] = week
+    cents[14:21] = week
+    ts = pd.to_datetime(np.arange(24) * 86400 + 1_700_000_000,
+                        unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": cents / 100.0})
+    out = daily_motif(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert (out.i, out.j, out.ssd) == (2, 14, 0)
+    assert out.n_days == 24
+
+
+def test_daily_motif_short_series_absent(ray_session):
+    from fluent_server_ray.stages.features import daily_motif
+
+    ts = pd.to_datetime(np.arange(13) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": np.ones(13)})
+    out = daily_motif(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 0          # needs >= 2w = 14 observed days
+
+
+def test_daily_motif_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (daily_motif,
+                                                   daily_motif_sql)
+
+    rng = np.random.default_rng(43)
+    n = 800
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 25 * 86400, n), unit="s"),
+        "value": rng.integers(-100, 9000, n) / 100.0,
+    })
+    out = daily_motif(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, daily_motif_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ Allan variance
+
+def test_allan_white_noise_scaling_and_pin(ray_session):
+    """Hand series 1,3,2,4 (cents 100,300,200,400): τ=1 num =
+    (2²+(-1)²+2²)·100² = 90000, τ=2 blocks (400, 600) → num = 40000."""
+    from fluent_server_ray.stages.features import allan_variance
+
+    ts = pd.to_datetime(np.arange(4) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": [1.0, 3.0, 2.0, 4.0]})
+    out = allan_variance(rd.from_pandas(df)).to_pandas()
+    t1 = out[out.tau == 1].iloc[0]
+    assert t1.n_blocks == 4 and t1.avar_num == 90000
+    assert t1.avar == 90000 / (2 * 3 * 1 * 1)
+    t2 = out[out.tau == 2].iloc[0]
+    assert t2.n_blocks == 2 and t2.avar_num == 40000
+    assert t2.avar == 40000 / (2 * 1 * 2 * 2)
+    assert (out.tau == 4).sum() == 0      # K < 2 at τ=4
+
+
+def test_allan_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (allan_variance,
+                                                   allan_variance_sql)
+
+    rng = np.random.default_rng(47)
+    n = 700
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 30 * 86400, n), unit="s"),
+        "value": rng.integers(-200, 8000, n) / 100.0,
+    })
+    out = allan_variance(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, allan_variance_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ Haar energy
+
+def test_haar_energy_hand_pin(ray_session):
+    """Series cents (100,300,200,200,500): level 1 pairs (100,300),
+    (200,200) -> energy 40000, leftover 500 dropped; level 2 pairs
+    (400,400) -> energy 0."""
+    from fluent_server_ray.stages.features import haar_energy
+
+    ts = pd.to_datetime(np.arange(5) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": [1.0, 3.0, 2.0, 2.0, 5.0]})
+    out = haar_energy(rd.from_pandas(df)).to_pandas()
+    l1 = out[out.level == 1].iloc[0]
+    assert l1.n_pairs == 2 and l1.energy == 40000
+    l2 = out[out.level == 2].iloc[0]
+    assert l2.n_pairs == 1 and l2.energy == 0
+    assert len(out) == 2          # level 3 has no complete pair
+
+
+def test_haar_total_energy_conservation(ray_session):
+    """Parseval for the unnormalized pyramid: Σ_ℓ energy_ℓ / 2^ℓ +
+    (top sums' energy) / 2^L = Σ x² when n is a power of two."""
+    from fluent_server_ray.stages.features import haar_energy
+
+    rng = np.random.default_rng(3)
+    cents = rng.integers(1, 1000, 16).astype("int64")
+    ts = pd.to_datetime(np.arange(16) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": cents / 100.0})
+    out = haar_energy(rd.from_pandas(df)).to_pandas()
+    assert list(out.level) == [1, 2, 3, 4]
+    # reconstruct the top-level sum to close the Parseval identity
+    tops = cents.copy()
+    for _ in range(4):
+        tops = tops[0::2] + tops[1::2]
+    total = sum(e / 2 ** l for l, e in zip(out.level, out.energy))
+    total += float(tops[0] ** 2) / 2 ** 4
+    assert abs(total - float((cents ** 2).sum())) < 1e-6
+
+
+def test_haar_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (haar_energy,
+                                                   haar_energy_sql)
+
+    rng = np.random.default_rng(53)
+    n = 600
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 29 * 86400, n), unit="s"),
+        "value": rng.integers(-100, 7000, n) / 100.0,
+    })
+    out = haar_energy(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, haar_energy_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ pairwise perm BH
+
+def test_pairwise_bh_brute_force(ray_session):
+    """Recompute every pair's statistic and the BH step-up in plain
+    python from the same md5 bits; the reject set must match."""
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.features import pairwise_permutation_bh
+
+    rng = np.random.default_rng(61)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(["click", "purchase", "view"], n),
+        # big asymmetry so at least one pair rejects
+        "value": np.where(
+            rng.choice(["click", "purchase", "view"], n) == "click",
+            rng.integers(4000, 9000, n),
+            rng.integers(1, 50, n)) / 100.0,
+    })
+    out = (pairwise_permutation_bh(rd.from_pandas(df)).to_pandas()
+           .set_index(["type_a", "type_b"]).sort_index())
+
+    cents = (df.value * 100).round().astype("int64")
+    types = sorted(df.event_type.unique())
+    recs = {}
+    for ai in range(len(types)):
+        for bi in range(ai + 1, len(types)):
+            ta, tb = types[ai], types[bi]
+            d = {}
+            for u, ty, c in zip(df.user_id, df.event_type, cents):
+                if ty == ta:
+                    d[u] = d.get(u, 0) + int(c)
+                elif ty == tb:
+                    d[u] = d.get(u, 0) - int(c)
+            tobs = sum(d.values())
+            ne = 0
+            for p in range(64):
+                tp = sum(
+                    (1 - 2 * ((md5_u64(f"pt2:{ta}:{tb}:{u}") >> p) & 1))
+                    * dv for u, dv in d.items())
+                if abs(tp) >= abs(tobs):
+                    ne += 1
+            recs[(ta, tb)] = (len(d), tobs, ne)
+    m = len(recs)
+    order = sorted(recs, key=lambda k: (recs[k][2], k))
+    ne_star = None
+    for r, key in enumerate(order, start=1):
+        if (recs[key][2] + 1) * 1000 * m <= r * 65 * 50:
+            ne_star = recs[key][2]
+    for key, (nu, tobs, ne) in recs.items():
+        row = out.loc[key]
+        assert row.n_users == nu and row.t_obs_cents == tobs
+        assert row.n_as_extreme == ne
+        assert row.bh_reject == (ne_star is not None and ne <= ne_star)
+
+
+def test_pairwise_bh_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (
+        pairwise_permutation_bh, pairwise_permutation_bh_sql)
+
+    rng = np.random.default_rng(67)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n),
+        "event_type": rng.choice(
+            ["click", "purchase", "view", "error"], n),
+        "value": rng.integers(-100, 9000, n) / 100.0,
+    })
+    df.loc[1, "value"] = None
+    out = pairwise_permutation_bh(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, pairwise_permutation_bh_sql())
+    _cmp(out, duck)
