@@ -4916,6 +4916,39 @@ def _q_periodogram(sf_dir: str):
                            columns=["event_type", "ts", "value"]))
 
 
+def _q_cdc_apply(sf_dir: str):
+    """CDC upsert-apply: replay signup/click/error as
+    insert/update/delete per user — boundary-segmented vectorized
+    replay, last-op-wins, tombstone semantics."""
+    from fluent_server_ray.stages.windows import cdc_apply
+
+    return cdc_apply(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "value", "event_id"]))
+
+
+def _q_sentence_stats(sf_dir: str):
+    """Per-doc sentence segmentation stats under the shared
+    terminator-run split regex — char lengths, no exchange."""
+    from fluent_server_ray.stages.textstats import sentence_stats
+
+    return sentence_stats(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]))
+
+
+def _q_fifo(sf_dir: str):
+    """FIFO lot allocation of click demand against purchase lots per
+    user — closed-form clamp over one segmented supply cumsum."""
+    from fluent_server_ray.stages.windows import fifo_allocation
+
+    return fifo_allocation(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "value", "event_id"]))
+
+
 def _q_pairwise_bh(sf_dir: str):
     """All type-pair permutation tests + exact integer Benjamini-
     Hochberg step-up — user-bucket exchange, per-pair md5 sign
@@ -5435,6 +5468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_allan_variance": _q_allan,
         "events_haar_energy": _q_haar,
         "events_pairwise_perm_bh": _q_pairwise_bh,
+        "user_cdc_apply": _q_cdc_apply,
+        "doc_sentence_stats": _q_sentence_stats,
+        "user_fifo_allocation": _q_fifo,
     }
 
 
@@ -6318,4 +6354,7 @@ WITH toks AS (
         "events_allan_variance": features.allan_variance_sql(),
         "events_haar_energy": features.haar_energy_sql(),
         "events_pairwise_perm_bh": features.pairwise_permutation_bh_sql(),
+        "user_cdc_apply": windows.cdc_apply_sql(),
+        "doc_sentence_stats": textstats.sentence_stats_sql(),
+        "user_fifo_allocation": windows.fifo_allocation_sql(),
     }

@@ -5196,3 +5196,74 @@ FROM tok JOIN terms USING (word)
 GROUP BY 1, 2
 ORDER BY {id_col}, category
 """.strip()
+
+
+_SENT_SPLIT_RE = r"[.!?]+[ \t\r\n]+"
+
+
+def sentence_stats(ds, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Per-document sentence segmentation stats — the text-
+    segmentation primitive under the shared split contract
+    ``[.!?]+[ \\t\\r\\n]+`` (terminator run + whitespace; the final
+    sentence keeps its punctuation; empty segments drop). Lengths are
+    CHARACTERS (``len`` ≡ DuckDB ``length``).
+
+    Embarrassingly parallel: one compiled-regex pass per batch, no
+    exchange. NULL text rows are excluded by contract. Output per doc:
+    (id, n_sentences, total_sentence_chars, max_sentence_chars,
+    min_sentence_chars); a doc whose text is all terminators/space
+    yields n_sentences = 0 with NULL max/min.
+    """
+    import re
+
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    rx = re.compile(_SENT_SPLIT_RE)
+
+    def stats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        ids = t[id_col]
+        n, tot, mx, mn = [], [], [], []
+        for v in t[text_col]:
+            parts = [s for s in rx.split(v.as_py()) if s != ""]
+            lens = [len(s) for s in parts]
+            n.append(len(parts))
+            tot.append(sum(lens))
+            mx.append(max(lens) if lens else None)
+            mn.append(min(lens) if lens else None)
+        return pa.table({
+            id_col: ids,
+            "n_sentences": pa.array(n, pa.int64()),
+            "total_sentence_chars": pa.array(tot, pa.int64()),
+            "max_sentence_chars": pa.array(mx, pa.int64()),
+            "min_sentence_chars": pa.array(mn, pa.int64()),
+        })
+
+    return ds.map_batches(skip_empty(stats), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def sentence_stats_sql(id_col: str = "doc_id", text_col: str = "text",
+                       table: str = "documents") -> str:
+    return f"""
+WITH segs AS (
+  SELECT {id_col},
+    list_filter(regexp_split_to_array({text_col},
+                '{_SENT_SPLIT_RE}'), s -> s <> '') AS parts
+  FROM {table} WHERE {text_col} IS NOT NULL
+), lens AS (
+  SELECT {id_col},
+    list_transform(parts, s -> length(s)) AS ll
+  FROM segs
+)
+SELECT {id_col},
+  CAST(len(ll) AS BIGINT) AS n_sentences,
+  CAST(COALESCE(list_sum(ll), 0) AS BIGINT)
+    AS total_sentence_chars,
+  CAST(list_max(ll) AS BIGINT) AS max_sentence_chars,
+  CAST(list_min(ll) AS BIGINT) AS min_sentence_chars
+FROM lens
+""".strip()

@@ -3078,3 +3078,285 @@ SELECT g AS {group_col}, day,
   CAST(count(*) AS BIGINT) AS n
 FROM w GROUP BY g, day ORDER BY g, day
 """.strip()
+
+
+def cdc_apply(ds, key_col: str = "user_id", ts_col: str = "ts",
+              type_col: str = "event_type", value_col: str = "value",
+              insert_type: str = "signup", update_type: str = "click",
+              delete_type: str = "error", n_buckets: int = 64):
+    """Replay a CDC log onto an (initially empty) keyed table — the
+    upsert-apply primitive of every lakehouse MERGE: per key, ops in
+    (ts, event_id) order with INSERT (upsert: sets the row), UPDATE
+    (sets the value IFF the row currently exists, else a skipped
+    no-op), DELETE (tombstone: removes IFF exists).
+
+    The replay LOOKS sequential, but existence only changes at
+    BOUNDARY ops (insert/delete), so it vectorizes: segment each
+    key's stream at boundaries; an update applies iff its segment
+    opens with an insert; the key exists at the end iff its LAST
+    boundary is an insert; the final value is the last applied
+    set-op's cents. All values exact int64 cents; tie order
+    (ts, event_id) contractual. NULL key/ts/value rows excluded.
+
+    Shape: ONE key-bucket exchange; per bucket the segmentation is
+    pandas C kernels (cumsum / transform-first / tail). Returns only
+    keys EXISTING at end: (key, final_value_cents, n_ops, n_ins,
+    n_upd_applied, n_upd_skipped, n_del) as a Dataset.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.features import _cents
+
+    type_map = {insert_type: "I", update_type: "U", delete_type: "D"}
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.and_(pc.is_valid(t[value_col]),
+                               pc.is_in(t[type_col], value_set=pa.array(
+                                   list(type_map)))))
+        t = t.filter(keep)
+        op = t[type_col].to_pandas().map(type_map).to_numpy()
+        return pa.table({
+            key_col: t[key_col],
+            "_us": t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "_id": t["event_id"],
+            "_op": pa.array(op, pa.string()),
+            "_c": _cents(t[value_col]),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_us", "_id"], kind="mergesort")
+        boundary = g["_op"].isin(["I", "D"])
+        seg = boundary.groupby(g[key_col]).cumsum()
+        # seg increments AT each boundary row, so each seg>0 group's
+        # first row IS its boundary op
+        bop = (g["_op"].where(boundary)
+               .groupby([g[key_col], seg]).transform("first"))
+        applied_u = (g["_op"] == "U") & (bop == "I")
+        is_set = (g["_op"] == "I") | applied_u
+        per = g.groupby(key_col, sort=True)
+        stats = pd.DataFrame({
+            "n_ops": per.size().astype("int64"),
+            "n_ins": (g["_op"] == "I").groupby(g[key_col]).sum()
+                .astype("int64"),
+            "n_upd_applied": applied_u.groupby(g[key_col]).sum()
+                .astype("int64"),
+            "n_upd_skipped": ((g["_op"] == "U") & ~applied_u)
+                .groupby(g[key_col]).sum().astype("int64"),
+            "n_del": (g["_op"] == "D").groupby(g[key_col]).sum()
+                .astype("int64"),
+        })
+        last_bop = bop.groupby(g[key_col]).last()
+        exists = last_bop == "I"
+        finals = (g[is_set.to_numpy()]
+                  .groupby(key_col, sort=True)["_c"].last())
+        out = stats[exists.reindex(stats.index, fill_value=False)]
+        out = out.join(finals.rename("final_value_cents"))
+        out["final_value_cents"] = (out["final_value_cents"]
+                                    .astype("int64"))
+        return out.reset_index().rename(columns={"index": key_col})[
+            [key_col, "final_value_cents", "n_ops", "n_ins",
+             "n_upd_applied", "n_upd_skipped", "n_del"]]
+
+    cols = ds.select_columns(list(dict.fromkeys(
+        [key_col, ts_col, type_col, value_col, "event_id"])))
+    bucketed = _with_bucket(
+        cols.map_batches(skip_empty(prep), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key_col, n_buckets)
+    return bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def cdc_apply_sql(key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  value_col: str = "value",
+                  insert_type: str = "signup",
+                  update_type: str = "click",
+                  delete_type: str = "error",
+                  table: str = "events") -> str:
+    return f"""
+WITH log AS (
+  SELECT {key_col}, {ts_col} AS ts, event_id,
+    CASE {type_col} WHEN '{insert_type}' THEN 'I'
+      WHEN '{update_type}' THEN 'U' ELSE 'D' END AS op,
+    CAST(round({value_col} * 100.0) AS BIGINT) AS c
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+    AND {type_col} IN ('{insert_type}', '{update_type}',
+                       '{delete_type}')
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN op IN ('I', 'D') THEN op END IGNORE NULLS)
+      OVER (PARTITION BY {key_col} ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS last_b
+  FROM log
+), applied AS (
+  SELECT *,
+    (op = 'I' OR (op = 'U' AND last_b = 'I')) AS is_set
+  FROM w
+), finals AS (
+  SELECT {key_col}, c AS final_value_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY {key_col}
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM applied WHERE is_set)
+  WHERE rn = 1
+), stats AS (
+  SELECT {key_col},
+    CAST(count(*) AS BIGINT) AS n_ops,
+    CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_ins,
+    CAST(sum(CASE WHEN op = 'U' AND last_b = 'I' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_upd_applied,
+    CAST(sum(CASE WHEN op = 'U'
+        AND (last_b IS NULL OR last_b != 'I') THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_upd_skipped,
+    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_del,
+    max(CASE WHEN rn_last = 1 THEN last_b END) AS end_b
+  FROM (SELECT *, row_number() OVER (PARTITION BY {key_col}
+          ORDER BY ts DESC, event_id DESC) AS rn_last FROM w)
+  GROUP BY {key_col}
+)
+SELECT s.{key_col}, f.final_value_cents, s.n_ops, s.n_ins,
+  s.n_upd_applied, s.n_upd_skipped, s.n_del
+FROM stats s JOIN finals f USING ({key_col})
+WHERE s.end_b = 'I'
+""".strip()
+
+
+def fifo_allocation(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    value_col: str = "value",
+                    supply_type: str = "purchase",
+                    demand_type: str = "click",
+                    n_buckets: int = 64):
+    """FIFO lot allocation per key — the inventory/cost-matching
+    primitive (FIFO cost basis, credit consumption): supply lots are
+    ``supply_type`` rows in (ts, event_id) order; total demand is the
+    key's ``demand_type`` cents sum; demand consumes lots first-in-
+    first-out. Per-lot consumption has the closed form
+    ``clamp(D − S_{i−1}, 0, lot_i)`` (S = supply prefix sum), so the
+    whole allocation reduces to one segmented cumsum — no sequential
+    replay.
+
+    All quantities exact int64 cents; rows with cents ≤ 0 are
+    excluded on BOTH sides (monotone prefix contract); NULL
+    key/ts/value rows excluded. Keys appear when they have ≥1 supply
+    or demand row. Output per key: (key, n_lots, supply_cents,
+    demand_cents, matched_cents, n_lots_full, partial_lot_cents)
+    where ``n_lots_full = #{i : S_i ≤ D}`` and ``partial_lot_cents =
+    min(D, T) − S_{n_full}`` (the slice taken from the first open
+    lot). Returned as a Dataset via one key-bucket exchange.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.features import _cents
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.and_(pc.is_valid(t[value_col]),
+                               pc.is_in(t[type_col], value_set=pa.array(
+                                   [supply_type, demand_type]))))
+        t = t.filter(keep)
+        c = _cents(t[value_col])
+        t = pa.table({
+            key_col: t[key_col],
+            "_us": t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "_id": t["event_id"],
+            "_sup": pc.equal(t[type_col], supply_type),
+            "_c": c,
+        }).filter(pc.greater(c, 0))
+        return t
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_us", "_id"], kind="mergesort")
+        sup = g[g["_sup"]]
+        dem = g[~g["_sup"]]
+        d_tot = dem.groupby(key_col, sort=True)["_c"].sum()
+        s_cum = sup.groupby(key_col, sort=False)["_c"].cumsum()
+        lots = pd.DataFrame({key_col: sup[key_col], "s": s_cum})
+        keys = sorted(set(g[key_col]))
+        per_sup = sup.groupby(key_col, sort=True)["_c"]
+        out = []
+        s_tot = per_sup.sum()
+        n_lots = per_sup.size()
+        dmap = d_tot.to_dict()
+        grouped_s = {k: v["s"].to_numpy(dtype=np.int64)
+                     for k, v in lots.groupby(key_col, sort=False)}
+        for k in keys:
+            D = int(dmap.get(k, 0))
+            s = grouped_s.get(k, np.empty(0, dtype=np.int64))
+            T = int(s[-1]) if len(s) else 0
+            n_full = int((s <= D).sum())
+            s_full = int(s[n_full - 1]) if n_full else 0
+            matched = min(D, T)
+            out.append((k, len(s), T, D, matched, n_full,
+                        matched - s_full))
+        return pd.DataFrame(out, columns=[
+            key_col, "n_lots", "supply_cents", "demand_cents",
+            "matched_cents", "n_lots_full", "partial_lot_cents"])
+
+    cols = ds.select_columns(list(dict.fromkeys(
+        [key_col, ts_col, type_col, value_col, "event_id"])))
+    bucketed = _with_bucket(
+        cols.map_batches(skip_empty(prep), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key_col, n_buckets)
+    return bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def fifo_allocation_sql(key_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        value_col: str = "value",
+                        supply_type: str = "purchase",
+                        demand_type: str = "click",
+                        table: str = "events") -> str:
+    return f"""
+WITH rows_ AS (
+  SELECT {key_col}, {ts_col} AS ts, event_id,
+    {type_col} = '{supply_type}' AS sup,
+    CAST(round({value_col} * 100.0) AS BIGINT) AS c
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+    AND {type_col} IN ('{supply_type}', '{demand_type}')
+    AND CAST(round({value_col} * 100.0) AS BIGINT) > 0
+), dem AS (
+  SELECT {key_col}, CAST(sum(c) AS BIGINT) AS d
+  FROM rows_ WHERE NOT sup GROUP BY 1
+), lots AS (
+  SELECT {key_col},
+    SUM(c) OVER (PARTITION BY {key_col} ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM rows_ WHERE sup
+), keys AS (SELECT DISTINCT {key_col} FROM rows_),
+sup_agg AS (
+  SELECT k.{key_col},
+    CAST(COALESCE(count(l.s), 0) AS BIGINT) AS n_lots,
+    CAST(COALESCE(max(l.s), 0) AS BIGINT) AS t,
+    CAST(COALESCE(sum(CASE WHEN l.s <= COALESCE(dm.d, 0)
+        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_full,
+    CAST(COALESCE(max(CASE WHEN l.s <= COALESCE(dm.d, 0)
+        THEN l.s END), 0) AS BIGINT) AS s_full,
+    CAST(COALESCE(dm.d, 0) AS BIGINT) AS d
+  FROM keys k
+  LEFT JOIN dem dm USING ({key_col})
+  LEFT JOIN lots l USING ({key_col})
+  GROUP BY k.{key_col}, dm.d
+)
+SELECT {key_col}, n_lots, t AS supply_cents, d AS demand_cents,
+  LEAST(d, t) AS matched_cents, n_full AS n_lots_full,
+  LEAST(d, t) - s_full AS partial_lot_cents
+FROM sup_agg
+""".strip()

@@ -775,3 +775,157 @@ def test_pairwise_bh_duckdb_parity(ray_session):
     out = pairwise_permutation_bh(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, pairwise_permutation_bh_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ CDC apply
+
+def test_cdc_apply_sequential_replay(ray_session):
+    """Brute-force per-user dict replay (insert/update/delete with
+    existence checks) must match the vectorized boundary-segment
+    output exactly."""
+    from fluent_server_ray.stages.windows import cdc_apply
+
+    rng = np.random.default_rng(71)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 86400, n), unit="s"),
+        "event_id": np.arange(n),
+        "event_type": rng.choice(
+            ["signup", "click", "error", "view"], n,
+            p=[0.2, 0.5, 0.2, 0.1]),
+        "value": rng.integers(1, 10000, n) / 100.0,
+    })
+    out = cdc_apply(rd.from_pandas(df)).to_pandas() \
+        .set_index("user_id").sort_index()
+
+    state, stats = {}, {}
+    sub = df[df.event_type.isin(["signup", "click", "error"])]
+    for _, r in sub.sort_values(["ts", "event_id"]).iterrows():
+        u, c = r.user_id, round(r.value * 100)
+        st = stats.setdefault(u, dict(n_ops=0, n_ins=0,
+                                      n_upd_applied=0,
+                                      n_upd_skipped=0, n_del=0))
+        st["n_ops"] += 1
+        if r.event_type == "signup":
+            state[u] = c
+            st["n_ins"] += 1
+        elif r.event_type == "click":
+            if u in state:
+                state[u] = c
+                st["n_upd_applied"] += 1
+            else:
+                st["n_upd_skipped"] += 1
+        else:
+            state.pop(u, None)
+            st["n_del"] += 1
+    assert set(out.index) == set(state)
+    for u, c in state.items():
+        row = out.loc[u]
+        assert row.final_value_cents == c, u
+        for k, v in stats[u].items():
+            assert row[k] == v, (u, k)
+
+
+def test_cdc_apply_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.windows import cdc_apply, cdc_apply_sql
+
+    rng = np.random.default_rng(73)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 5 * 86400, n), unit="s"),
+        "event_id": np.arange(n),
+        "event_type": rng.choice(["signup", "click", "error"], n),
+        "value": rng.integers(1, 8000, n) / 100.0,
+    })
+    out = cdc_apply(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, cdc_apply_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ sentence stats
+
+def test_sentence_stats_hand_pin(ray_session):
+    from fluent_server_ray.stages.textstats import sentence_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["One. Two words! Three?? Done",
+                 "No terminator here",
+                 "!. . "],
+    })
+    out = (sentence_stats(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id").sort_index())
+    r1 = out.loc[1]
+    # split CONSUMES the terminator run: "One"|"Two words"|"Three"|"Done"
+    assert r1.n_sentences == 4
+    assert r1.max_sentence_chars == 9 and r1.min_sentence_chars == 3
+    assert r1.total_sentence_chars == 3 + 9 + 5 + 4
+    assert out.loc[2].n_sentences == 1
+    r3 = out.loc[3]                     # terminators only -> no segments
+    assert r3.n_sentences == 0 and r3.total_sentence_chars == 0
+    assert pd.isna(r3.max_sentence_chars)
+
+
+def test_sentence_stats_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.textstats import (sentence_stats,
+                                                    sentence_stats_sql)
+
+    rng = np.random.default_rng(79)
+    words = ["alpha", "beta", "gamma!", "delta.", "eps?"]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 30)))
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": range(200), "text": texts})
+    out = sentence_stats(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, sentence_stats_sql(), view="documents")
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ FIFO allocation
+
+def test_fifo_allocation_hand_pin(ray_session):
+    """User 1: lots 300, 500, 200; demand 600 -> lot1 full, lot2
+    partial 300, lot3 untouched. User 2: demand only."""
+    from fluent_server_ray.stages.windows import fifo_allocation
+
+    rows = [
+        (1, "2024-01-01 00:00", 0, "purchase", 3.00),
+        (1, "2024-01-01 01:00", 1, "purchase", 5.00),
+        (1, "2024-01-01 02:00", 2, "purchase", 2.00),
+        (1, "2024-01-01 03:00", 3, "click", 6.00),
+        (2, "2024-01-01 00:00", 4, "click", 1.00),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = fifo_allocation(rd.from_pandas(df)).to_pandas() \
+        .set_index("user_id").sort_index()
+    u1 = out.loc[1]
+    assert u1.n_lots == 3 and u1.supply_cents == 1000
+    assert u1.demand_cents == 600 and u1.matched_cents == 600
+    assert u1.n_lots_full == 1 and u1.partial_lot_cents == 300
+    u2 = out.loc[2]
+    assert u2.n_lots == 0 and u2.demand_cents == 100
+    assert u2.matched_cents == 0 and u2.partial_lot_cents == 0
+
+
+def test_fifo_allocation_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.windows import (fifo_allocation,
+                                                  fifo_allocation_sql)
+
+    rng = np.random.default_rng(83)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 3 * 86400, n), unit="s"),
+        "event_id": np.arange(n),
+        "event_type": rng.choice(["purchase", "click", "view"], n),
+        "value": rng.integers(-100, 6000, n) / 100.0,
+    })
+    out = fifo_allocation(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, fifo_allocation_sql())
+    _cmp(out, duck)
