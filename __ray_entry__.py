@@ -4916,6 +4916,49 @@ def _q_periodogram(sf_dir: str):
                            columns=["event_type", "ts", "value"]))
 
 
+def _q_did(sf_dir: str):
+    """2x2 difference-in-differences over user_id%2 variants and a
+    pre/post split — exact per-user cents cells, one shared float
+    tree."""
+    from fluent_server_ray.stages.features import did_estimate
+
+    return did_estimate(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "value"]))
+
+
+def _q_hodges_lehmann(sf_dir: str):
+    """Hodges-Lehmann location of daily cents per event_type — median
+    of Walsh sums with exact order-statistic picks on the bounded
+    daily table."""
+    from fluent_server_ray.stages.features import hodges_lehmann
+
+    return hodges_lehmann(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
+def _q_capture_recapture(sf_dir: str):
+    """Chapman capture-recapture population estimate from two
+    consecutive activity weeks — distributed presence flags, exact
+    counts, one float tree."""
+    from fluent_server_ray.stages.features import capture_recapture
+
+    return capture_recapture(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts"]))
+
+
+def _q_record_days(sf_dir: str):
+    """Strict record-days audit of daily cents per event_type —
+    prefix-max comparison on the bounded daily table."""
+    from fluent_server_ray.stages.features import record_days
+
+    return record_days(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
 def _q_cdc_apply(sf_dir: str):
     """CDC upsert-apply: replay signup/click/error as
     insert/update/delete per user — boundary-segmented vectorized
@@ -5471,6 +5514,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cdc_apply": _q_cdc_apply,
         "doc_sentence_stats": _q_sentence_stats,
         "user_fifo_allocation": _q_fifo,
+        "users_did_estimate": _q_did,
+        "events_hodges_lehmann": _q_hodges_lehmann,
+        "users_capture_recapture": _q_capture_recapture,
+        "events_record_days": _q_record_days,
     }
 
 
@@ -6357,4 +6404,8 @@ WITH toks AS (
         "user_cdc_apply": windows.cdc_apply_sql(),
         "doc_sentence_stats": textstats.sentence_stats_sql(),
         "user_fifo_allocation": windows.fifo_allocation_sql(),
+        "users_did_estimate": features.did_estimate_sql(),
+        "events_hodges_lehmann": features.hodges_lehmann_sql(),
+        "users_capture_recapture": features.capture_recapture_sql(),
+        "events_record_days": features.record_days_sql(),
     }

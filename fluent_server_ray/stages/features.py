@@ -8556,3 +8556,466 @@ SELECT ta AS type_a, tb AS type_b, n_users,
     AS bh_reject
 FROM ranked ORDER BY ta, tb
 """.strip()
+
+
+# ------------------------------------------- difference-in-differences
+
+def did_estimate(ds, split_date: str = "2024-01-16",
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value") -> pa.Table:
+    """Difference-in-differences over the deterministic ``user_id %
+    2`` variant split and a pre/post date split — the 2×2 causal
+    readout beside CUPED: ``DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    (ȳ_ctrl,post − ȳ_ctrl,pre)`` where each cell mean averages
+    PER-USER cents totals (a user enters a cell iff they have ≥1 row
+    in that period).
+
+    Exact-integer contract: per-(user, period) cents totals merge
+    distributed; cell sums and user counts are exact ints; the four
+    means and the DiD are ONE shared float tree (each mean a single
+    division, then the two subtractions — mirrored exactly). NULL
+    user/ts/value rows excluded. Output: one row per cell
+    (variant, period, n_users, sum_cents, mean_cents) plus the
+    summary columns (did) replicated — flat 4-row table sorted by
+    (variant, period).
+    """
+    import datetime as _dt
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    split_us = int(_dt.datetime.fromisoformat(split_date)
+                   .replace(tzinfo=_dt.timezone.utc).timestamp()
+                   * 1_000_000)
+
+    def per_up(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[user_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        prep = pa.table({
+            "user": pc.cast(t[user_col], pa.int64()),
+            "period": pc.cast(pc.greater_equal(us, split_us),
+                              pa.int64()),
+            "c": _cents(t[value_col]),
+        })
+        out = prep.group_by(["user", "period"]).aggregate([("c",
+                                                            "sum")])
+        return out.rename_columns(["user", "period", "c"])
+
+    per_user_period = grouped_agg(
+        ds.map_batches(skip_empty(per_up), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["user", "period"], aggs=[("c", "sum")], final="ray")
+
+    def cells(t: pa.Table) -> pa.Table:
+        u = t["user"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["period"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = u % 2
+        rows = {"variant": [], "period": [], "n": [], "s": []}
+        for vv in (0, 1):
+            for pp in (0, 1):
+                m = (v == vv) & (p == pp)
+                rows["variant"].append(vv)
+                rows["period"].append(pp)
+                rows["n"].append(int(m.sum()))
+                rows["s"].append(int(c[m].sum()))
+        return pa.table({k: pa.array(rows[k], pa.int64())
+                         for k in rows})
+
+    parts = [t for t in per_user_period.map_batches(
+        skip_empty(cells), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
+    agg = {(v, p): {"n": 0, "s": 0} for v in (0, 1) for p in (0, 1)}
+    for t in parts:
+        for r in t.to_pylist():
+            a = agg[(r["variant"], r["period"])]
+            a["n"] += r["n"]
+            a["s"] += r["s"]
+
+    def mean(v, p):
+        a = agg[(v, p)]
+        return (float(a["s"]) / float(a["n"])) if a["n"] else None
+
+    m00, m01 = mean(0, 0), mean(0, 1)
+    m10, m11 = mean(1, 0), mean(1, 1)
+    did = ((m11 - m10) - (m01 - m00)
+           if None not in (m00, m01, m10, m11) else None)
+    out = {"variant": [], "period": [], "n_users": [],
+           "sum_cents": [], "mean_cents": [], "did": []}
+    for v in (0, 1):
+        for p in (0, 1):
+            a = agg[(v, p)]
+            out["variant"].append(v)
+            out["period"].append(p)
+            out["n_users"].append(a["n"])
+            out["sum_cents"].append(a["s"])
+            out["mean_cents"].append(mean(v, p))
+            out["did"].append(did)
+    return pa.table({
+        "variant": pa.array(out["variant"], pa.int64()),
+        "period": pa.array(out["period"], pa.int64()),
+        "n_users": pa.array(out["n_users"], pa.int64()),
+        "sum_cents": pa.array(out["sum_cents"], pa.int64()),
+        "mean_cents": pa.array(out["mean_cents"], pa.float64()),
+        "did": pa.array(out["did"], pa.float64()),
+    })
+
+
+def did_estimate_sql(split_date: str = "2024-01-16",
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     value_col: str = "value",
+                     table: str = "events") -> str:
+    return f"""
+WITH up AS (
+  SELECT {user_col} AS u,
+    CASE WHEN {ts_col} >= TIMESTAMP '{split_date}'
+      THEN 1 ELSE 0 END AS period,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), cells AS (
+  SELECT u % 2 AS variant, period,
+    CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(c) AS BIGINT) AS sum_cents
+  FROM up GROUP BY 1, 2
+), grid AS (
+  SELECT v.v AS variant, p.p AS period,
+    COALESCE(c.n_users, 0) AS n_users,
+    COALESCE(c.sum_cents, 0) AS sum_cents
+  FROM (VALUES (0), (1)) v(v)
+  CROSS JOIN (VALUES (0), (1)) p(p)
+  LEFT JOIN cells c ON c.variant = v.v AND c.period = p.p
+), means AS (
+  SELECT variant, period, n_users, sum_cents,
+    CASE WHEN n_users > 0 THEN
+      CAST(sum_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+    END AS mean_cents
+  FROM grid
+), d AS (
+  SELECT
+    (max(CASE WHEN variant = 1 AND period = 1 THEN mean_cents END)
+     - max(CASE WHEN variant = 1 AND period = 0 THEN mean_cents END))
+    - (max(CASE WHEN variant = 0 AND period = 1 THEN mean_cents END)
+       - max(CASE WHEN variant = 0 AND period = 0
+             THEN mean_cents END)) AS did,
+    CAST(sum(CASE WHEN n_users = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_empty
+  FROM means
+)
+SELECT m.variant, m.period, m.n_users, m.sum_cents, m.mean_cents,
+  CASE WHEN d.n_empty = 0 THEN d.did END AS did
+FROM means m, d ORDER BY m.variant, m.period
+""".strip()
+
+
+# ------------------------------------------- Hodges-Lehmann
+
+def hodges_lehmann(ds, group_col: str = "event_type",
+                   ts_col: str = "ts",
+                   value_col: str = "value") -> pa.Table:
+    """One-sample Hodges–Lehmann location estimate of the daily cents
+    series per group (Hodges & Lehmann 1963) — the median of all
+    Walsh averages ``(c_i + c_j)/2, i ≤ j``: the robust location
+    sibling of the trimmed mean with the efficiency of the Wilcoxon
+    test.
+
+    Determinism contract: work on DOUBLED values — Walsh SUMS
+    ``S = c_i + c_j`` are exact ints; with M = n(n+1)/2 pairs the
+    picks are ORDER STATISTICS ``lo = ceil(M/2)``-th and
+    ``hi = floor(M/2)+1``-th smallest S (equal when M is odd), and
+    the estimate is the uniform float tree ``(S_lo + S_hi) / 4.0`` —
+    values that exist in the sum multiset, so comparisons are exact.
+    NULL group/ts/value rows excluded. Output: (group, n_days,
+    n_pairs, hl2_lo, hl2_hi, hl) sorted by group; the O(days²) pair
+    scan runs on the bounded daily table (calendar-bounded).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({"g": t[group_col],
+                         "_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "n": [], "m": [], "lo": [], "hi": [], "hl": []}
+    for g, sub in daily.groupby("g", sort=True):
+        c = sub["cents_sum"].to_numpy(dtype=np.int64)
+        n = len(c)
+        iu = np.triu_indices(n)
+        sums = np.sort(c[iu[0]] + c[iu[1]])
+        m = len(sums)
+        lo = int(sums[(m + 1) // 2 - 1])
+        hi = int(sums[m // 2])
+        out["g"].append(g)
+        out["n"].append(n)
+        out["m"].append(m)
+        out["lo"].append(lo)
+        out["hi"].append(hi)
+        out["hl"].append((lo + hi) / 4.0)
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "n_days": pa.array(out["n"], pa.int64()),
+        "n_pairs": pa.array(out["m"], pa.int64()),
+        "hl2_lo": pa.array(out["lo"], pa.int64()),
+        "hl2_hi": pa.array(out["hi"], pa.int64()),
+        "hl": pa.array(out["hl"], pa.float64()),
+    })
+
+
+def hodges_lehmann_sql(group_col: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), d AS (
+  SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS i, c
+  FROM daily
+), walsh AS (
+  SELECT a.g, a.c + b.c AS s
+  FROM d a JOIN d b ON b.g = a.g AND b.i >= a.i
+), ranked AS (
+  SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+    count(*) OVER (PARTITION BY g) AS m
+  FROM walsh
+), agg AS (
+  SELECT g, max(m) AS m,
+    max(CASE WHEN rn = (m + 1) // 2 THEN s END) AS lo,
+    max(CASE WHEN rn = m // 2 + 1 THEN s END) AS hi
+  FROM ranked GROUP BY g
+), nn AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY g
+)
+SELECT a.g AS {group_col}, nn.n_days, CAST(a.m AS BIGINT) AS n_pairs,
+  CAST(a.lo AS BIGINT) AS hl2_lo, CAST(a.hi AS BIGINT) AS hl2_hi,
+  (CAST(a.lo AS DOUBLE) + CAST(a.hi AS DOUBLE)) / 4.0 AS hl
+FROM agg a JOIN nn USING (g) ORDER BY a.g
+""".strip()
+
+
+# ------------------------------------------- capture-recapture
+
+def capture_recapture(ds, user_col: str = "user_id",
+                      ts_col: str = "ts") -> pa.Table:
+    """Chapman capture–recapture estimate of the underlying user
+    population from two consecutive calendar weeks of activity
+    (Chapman 1951) — the data-quality/coverage primitive: ``N̂ =
+    (n1+1)(n2+1)/(m+1) − 1`` where n1/n2 are the distinct users seen
+    in each week and m the users seen in both.
+
+    Weeks are epoch-anchored (``week = epoch_day // 7``); week 1 is
+    the EARLIEST week with data, week 2 the next calendar week (zero
+    users if silent). Counts are exact ints merged distributed (per-
+    user presence flags via max — the corpus never gathers); N̂ is
+    the float tree ``float((n1+1)·(n2+1)) / float(m+1) − 1.0``. NULL
+    user/ts rows excluded. Output: one row (week1, n1, n2, m,
+    n_chapman).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def wk_min(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col]))
+        t = t.filter(keep)
+        # epoch days are non-negative here, so truncate == floor;
+        # mirrored by SQL `// 7`
+        wk = pc.divide(_epoch_day(t[ts_col]), 7)
+        return pa.table({"wk": pa.array(
+            [pc.min(wk).as_py()], pa.int64())})
+
+    mins = [r["wk"] for t in ds.map_batches(
+        skip_empty(wk_min), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+        for r in t.to_pylist() if r["wk"] is not None]
+    if not mins:
+        return pa.table({
+            "week1": pa.array([None], pa.int64()),
+            "n1": pa.array([0], pa.int64()),
+            "n2": pa.array([0], pa.int64()),
+            "m": pa.array([0], pa.int64()),
+            "n_chapman": pa.array([None], pa.float64()),
+        })
+    w1 = int(min(mins))
+
+    def flags(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col]))
+        t = t.filter(keep)
+        wk = pc.divide(_epoch_day(t[ts_col]), 7)
+        prep = pa.table({
+            "user": pc.cast(t[user_col], pa.int64()),
+            "in1": pc.cast(pc.equal(wk, w1), pa.int64()),
+            "in2": pc.cast(pc.equal(wk, w1 + 1), pa.int64()),
+        })
+        out = prep.group_by(["user"]).aggregate([("in1", "max"),
+                                                 ("in2", "max")])
+        return out.rename_columns(["user", "in1", "in2"])
+
+    per_user = grouped_agg(
+        ds.map_batches(skip_empty(flags), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["user"], aggs=[("in1", "max"), ("in2", "max")],
+        final="ray")
+
+    def counts(t: pa.Table) -> pa.Table:
+        a = t["in1_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["in2_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n1": pa.array([int(a.sum())], pa.int64()),
+            "n2": pa.array([int(b.sum())], pa.int64()),
+            "m": pa.array([int((a & b).sum())], pa.int64()),
+        })
+
+    n1 = n2 = m = 0
+    for t in per_user.map_batches(
+            skip_empty(counts), batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_size=None,
+                                               batch_format="pyarrow"):
+        for r in t.to_pylist():
+            n1 += r["n1"]
+            n2 += r["n2"]
+            m += r["m"]
+    nhat = float((n1 + 1) * (n2 + 1)) / float(m + 1) - 1.0
+    return pa.table({
+        "week1": pa.array([w1], pa.int64()),
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "m": pa.array([m], pa.int64()),
+        "n_chapman": pa.array([nhat], pa.float64()),
+    })
+
+
+def capture_recapture_sql(user_col: str = "user_id",
+                          ts_col: str = "ts",
+                          table: str = "events") -> str:
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS u,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+      AS wk
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+), w1 AS (SELECT min(wk) AS w1 FROM base),
+flags AS (
+  SELECT u,
+    MAX(CASE WHEN wk = (SELECT w1 FROM w1) THEN 1 ELSE 0 END) AS in1,
+    MAX(CASE WHEN wk = (SELECT w1 FROM w1) + 1 THEN 1 ELSE 0 END)
+      AS in2
+  FROM base GROUP BY u
+), agg AS (
+  SELECT CAST(COALESCE(sum(in1), 0) AS BIGINT) AS n1,
+    CAST(COALESCE(sum(in2), 0) AS BIGINT) AS n2,
+    CAST(COALESCE(sum(in1 * in2), 0) AS BIGINT) AS m
+  FROM flags
+)
+SELECT (SELECT CAST(w1 AS BIGINT) FROM w1) AS week1, n1, n2, m,
+  CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0
+    AS n_chapman
+FROM agg
+""".strip()
+
+
+# ------------------------------------------- record days
+
+def record_days(ds, group_col: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value") -> pa.Table:
+    """Records-process audit of the daily cents series per group: how
+    many days set a STRICT new all-time daily maximum (the first day
+    always does), and when the last record fell — the
+    "are we still growing?" probe (for an i.i.d. series the expected
+    record count is the harmonic number H_n ≈ ln n; far more records
+    means trend).
+
+    Exact contract: records compare exact int64 daily totals against
+    the strict prefix max (day-ascending). NULL group/ts/value rows
+    excluded. Output: (group, n_days, n_records, last_record_day,
+    max_cents) sorted by group; driver scan over the bounded daily
+    table.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({"g": t[group_col],
+                         "_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "n": [], "rec": [], "last": [], "mx": []}
+    for g, sub in daily.groupby("g", sort=True):
+        sub = sub.sort_values("_day")
+        c = sub["cents_sum"].to_numpy(dtype=np.int64)
+        days = sub["_day"].to_numpy(dtype=np.int64)
+        runmax = np.maximum.accumulate(c)
+        is_rec = np.empty(len(c), dtype=bool)
+        is_rec[0] = True
+        is_rec[1:] = c[1:] > runmax[:-1]
+        out["g"].append(g)
+        out["n"].append(len(c))
+        out["rec"].append(int(is_rec.sum()))
+        out["last"].append(int(days[is_rec][-1]))
+        out["mx"].append(int(c.max()))
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "n_days": pa.array(out["n"], pa.int64()),
+        "n_records": pa.array(out["rec"], pa.int64()),
+        "last_record_day": pa.array(out["last"], pa.int64()),
+        "max_cents": pa.array(out["mx"], pa.int64()),
+    })
+
+
+def record_days_sql(group_col: str = "event_type", ts_col: str = "ts",
+                    value_col: str = "value",
+                    table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), w AS (
+  SELECT g, day, c,
+    max(c) OVER (PARTITION BY g ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM daily
+), rec AS (
+  SELECT g, day, c,
+    (prevmax IS NULL OR c > prevmax) AS is_rec
+  FROM w
+)
+SELECT g AS {group_col}, CAST(count(*) AS BIGINT) AS n_days,
+  CAST(sum(CASE WHEN is_rec THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_records,
+  CAST(max(CASE WHEN is_rec THEN day END) AS BIGINT)
+    AS last_record_day,
+  CAST(max(c) AS BIGINT) AS max_cents
+FROM rec GROUP BY g ORDER BY g
+""".strip()

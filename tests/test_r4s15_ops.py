@@ -929,3 +929,168 @@ def test_fifo_allocation_duckdb_parity(ray_session):
     out = fifo_allocation(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, fifo_allocation_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ DiD
+
+def test_did_hand_pin(ray_session):
+    """Control (+100 pre->post), treatment (+300 pre->post):
+    DiD = +200 cents exactly."""
+    from fluent_server_ray.stages.features import did_estimate
+
+    rows = []
+    # users 0,2 control; 1,3 treatment
+    for u, (pre, post) in {0: (100, 200), 2: (300, 400),
+                           1: (100, 400), 3: (500, 800)}.items():
+        rows.append((u, "2024-01-10", pre / 100.0))
+        rows.append((u, "2024-01-20", post / 100.0))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = did_estimate(rd.from_pandas(df),
+                       split_date="2024-01-16").to_pandas()
+    assert len(out) == 4 and (out.did == 200.0).all()
+    cell = out.set_index(["variant", "period"])
+    assert cell.loc[(0, 0)].mean_cents == 200.0
+    assert cell.loc[(1, 1)].mean_cents == 600.0
+
+
+def test_did_empty_cell_null(ray_session):
+    """No treatment users in the pre period -> DiD NULL."""
+    from fluent_server_ray.stages.features import did_estimate
+
+    rows = [(0, "2024-01-10", 1.0), (0, "2024-01-20", 2.0),
+            (1, "2024-01-20", 3.0)]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = did_estimate(rd.from_pandas(df),
+                       split_date="2024-01-16").to_pandas()
+    assert out.did.isna().all()
+
+
+def test_did_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (did_estimate,
+                                                   did_estimate_sql)
+
+    rng = np.random.default_rng(89)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 30 * 86400, n), unit="s"),
+        "value": rng.integers(-100, 9000, n) / 100.0,
+    })
+    out = did_estimate(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, did_estimate_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ Hodges-Lehmann
+
+def test_hodges_lehmann_brute_force(ray_session):
+    """Walsh-average median recomputed with a python double loop."""
+    from fluent_server_ray.stages.features import hodges_lehmann
+
+    rng = np.random.default_rng(97)
+    n_days = 9
+    cents = rng.integers(100, 100000, n_days)
+    ts = pd.to_datetime(np.arange(n_days) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": cents / 100.0})
+    out = hodges_lehmann(rd.from_pandas(df)).to_pandas().iloc[0]
+    sums = sorted(int(cents[i]) + int(cents[j])
+                  for i in range(n_days) for j in range(i, n_days))
+    m = len(sums)
+    lo, hi = sums[(m + 1) // 2 - 1], sums[m // 2]
+    assert out.n_pairs == m and out.hl2_lo == lo and out.hl2_hi == hi
+    assert out.hl == (lo + hi) / 4.0
+    # single-day group degenerates to the value itself
+    df1 = pd.DataFrame({"event_type": "b",
+                        "ts": pd.to_datetime(["2024-01-01"]),
+                        "value": [7.0]})
+    r = hodges_lehmann(rd.from_pandas(df1)).to_pandas().iloc[0]
+    assert r.hl == 700.0 and r.n_pairs == 1
+
+
+def test_hodges_lehmann_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (hodges_lehmann,
+                                                   hodges_lehmann_sql)
+
+    rng = np.random.default_rng(101)
+    n = 600
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 28 * 86400, n), unit="s"),
+        "value": rng.integers(-100, 8000, n) / 100.0,
+    })
+    out = hodges_lehmann(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, hodges_lehmann_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ capture-recapture
+
+def test_capture_recapture_hand_pin(ray_session):
+    """Week 1 users {0,1,2,3}, week 2 users {2,3,4}: n1=4, n2=3, m=2,
+    Chapman = 5*4/3 - 1."""
+    from fluent_server_ray.stages.features import capture_recapture
+
+    rows = []
+    for u in (0, 1, 2, 3):
+        rows.append((u, "2024-01-01"))        # epoch week w
+    for u in (2, 3, 4):
+        rows.append((u, "2024-01-09"))        # next epoch week
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = capture_recapture(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert (out.n1, out.n2, out.m) == (4, 3, 2)
+    assert out.n_chapman == float(5 * 4) / 3.0 - 1.0
+
+
+def test_capture_recapture_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (capture_recapture,
+                                                   capture_recapture_sql)
+
+    rng = np.random.default_rng(103)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 80, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 21 * 86400, n), unit="s"),
+    })
+    out = capture_recapture(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, capture_recapture_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ record days
+
+def test_record_days_hand_pin(ray_session):
+    """Daily cents 300,100,400,400,500: records at days 0,2,4 (ties
+    are NOT records)."""
+    from fluent_server_ray.stages.features import record_days
+
+    cents = [300, 100, 400, 400, 500]
+    ts = pd.to_datetime(np.arange(5) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": np.array(cents) / 100.0})
+    out = record_days(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.n_records == 3
+    assert out.last_record_day == 4 and out.max_cents == 500
+
+
+def test_record_days_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (record_days,
+                                                   record_days_sql)
+
+    rng = np.random.default_rng(107)
+    n = 500
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 30 * 86400, n), unit="s"),
+        "value": rng.integers(-100, 9000, n) / 100.0,
+    })
+    out = record_days(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, record_days_sql())
+    _cmp(out, duck)
