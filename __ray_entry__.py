@@ -4971,6 +4971,39 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_charset_profile(sf_dir: str):
+    """Per-doc codepoint-class census from pinned ASCII classes —
+    charset/noise audit, no exchange."""
+    from fluent_server_ray.stages.textstats import charset_profile
+
+    return charset_profile(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]))
+
+
+def _q_merkle(sf_dir: str):
+    """Two-level Merkle fingerprint of the events table — md5 row
+    hashes, hash-partitioned leaves, bucket-ordered root; mismatches
+    localize to leaves."""
+    from fluent_server_ray.stages.profile import merkle_fingerprint
+
+    return merkle_fingerprint(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "event_type",
+                                    "value"]))
+
+
+def _q_extractive_summary(sf_dir: str):
+    """TF-IDF extractive summary: highest-idf-mass sentence per doc
+    under the shared sentence/token split contracts, earliest-tie
+    pick."""
+    from fluent_server_ray.stages.textstats import extractive_summary
+
+    return extractive_summary(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]))
+
+
 def _q_sentence_stats(sf_dir: str):
     """Per-doc sentence segmentation stats under the shared
     terminator-run split regex — char lengths, no exchange."""
@@ -5513,6 +5546,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pairwise_perm_bh": _q_pairwise_bh,
         "user_cdc_apply": _q_cdc_apply,
         "doc_sentence_stats": _q_sentence_stats,
+        "doc_extractive_summary": _q_extractive_summary,
+        "doc_charset_profile": _q_charset_profile,
+        "events_merkle_fingerprint": _q_merkle,
         "user_fifo_allocation": _q_fifo,
         "users_did_estimate": _q_did,
         "events_hodges_lehmann": _q_hodges_lehmann,
@@ -6403,6 +6439,9 @@ WITH toks AS (
         "events_pairwise_perm_bh": features.pairwise_permutation_bh_sql(),
         "user_cdc_apply": windows.cdc_apply_sql(),
         "doc_sentence_stats": textstats.sentence_stats_sql(),
+        "doc_extractive_summary": textstats.extractive_summary_sql(),
+        "doc_charset_profile": textstats.charset_profile_sql(),
+        "events_merkle_fingerprint": profile.merkle_fingerprint_sql(),
         "user_fifo_allocation": windows.fifo_allocation_sql(),
         "users_did_estimate": features.did_estimate_sql(),
         "events_hodges_lehmann": features.hodges_lehmann_sql(),

@@ -817,3 +817,120 @@ FROM (
   LEFT JOIN (SELECT DISTINCT {pk} FROM {pt}) p ON p.{pk} = c.v
 )""".strip())
     return "\nUNION ALL\n".join(parts) + "\nORDER BY edge"
+
+
+def merkle_fingerprint(ds, id_col: str = "event_id",
+                       type_col: str = "event_type",
+                       value_col: str = "value",
+                       n_buckets: int = 64):
+    """Two-level Merkle fingerprint of a keyed table — the content-
+    addressable integrity audit (replication checks, snapshot diffs):
+    every row hashes to ``md5('r:' || id || ':' || type || ':' ||
+    cents)`` (lowercase hex); rows hash-partition into ``md5_u64('mb:'
+    || id) % n_buckets`` leaves; each leaf digest is the md5 of its
+    row hashes CONCATENATED IN ASCENDING HEX ORDER; the root (bucket
+    −1) is the md5 of the leaf digests concatenated in bucket order.
+    Two replicas agree iff the root agrees, and a mismatch localizes
+    to the differing leaves — O(changed buckets) re-sync, not a full
+    rescan.
+
+    Deterministic by construction (md5 + total orders only); NULL
+    id/type/value rows are excluded by contract. Shape: per-batch row
+    hashing (vectorized md5 loop) → ONE bucket exchange → per-bucket
+    sort + digest → ≤ n_buckets rows to the driver for the root.
+    Output: (bucket, n_rows, digest) with the root as bucket −1,
+    sorted by bucket.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.features import _cents
+
+    def row_hash(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[id_col]),
+                               pc.is_valid(t[type_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        tys = t[type_col].to_pylist()
+        cs = _cents(t[value_col]).to_numpy(zero_copy_only=False)
+        hx = [hashlib.md5(f"r:{i}:{ty}:{c}".encode()).hexdigest()
+              for i, ty, c in zip(ids, tys, cs)]
+        bk = np.fromiter((md5_u64(f"mb:{i}") % n_buckets for i in ids),
+                         dtype=np.int64, count=len(ids))
+        return pa.table({"_bucket": pa.array(bk),
+                         "h": pa.array(hx, pa.string())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_bucket"].iloc[0])
+        hs = sorted(g["h"])
+        return pd.DataFrame({
+            "bucket": [b],
+            "n_rows": [len(hs)],
+            "digest": [hashlib.md5("".join(hs).encode()).hexdigest()],
+        })
+
+    cols = ds.select_columns([id_col, type_col, value_col])
+    leaves = (cols.map_batches(skip_empty(row_hash),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("_bucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+              .to_pandas())          # bounded: <= n_buckets rows
+    if leaves.empty:
+        # all-empty mapped datasets drop columns (pandas gotcha) —
+        # rebuild the typed empty frame before the root digest
+        leaves = pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                               "n_rows": pd.Series([], dtype="int64"),
+                               "digest": pd.Series([], dtype="object")})
+    leaves = leaves.sort_values("bucket").reset_index(drop=True)
+    # empty corpus: NULL root (mirrors string_agg over zero rows)
+    root = (hashlib.md5("".join(leaves["digest"]).encode()).hexdigest()
+            if len(leaves) else None)
+    out = pd.concat([
+        pd.DataFrame({"bucket": [-1],
+                      "n_rows": [int(leaves["n_rows"].sum())],
+                      "digest": [root]}),
+        leaves,
+    ], ignore_index=True).sort_values("bucket")
+    return pa.table({
+        "bucket": pa.array(out["bucket"].astype("int64")),
+        "n_rows": pa.array(out["n_rows"].astype("int64")),
+        "digest": pa.array(out["digest"], pa.string()),
+    })
+
+
+def merkle_fingerprint_sql(id_col: str = "event_id",
+                           type_col: str = "event_type",
+                           value_col: str = "value",
+                           n_buckets: int = 64,
+                           table: str = "events") -> str:
+    return f"""
+WITH rh AS (
+  SELECT CAST(md5_number_upper('mb:' || CAST({id_col} AS VARCHAR))
+      % {n_buckets} AS BIGINT) AS b,
+    md5('r:' || CAST({id_col} AS VARCHAR) || ':' || {type_col} || ':'
+        || CAST(CAST(round({value_col} * 100.0) AS BIGINT)
+                AS VARCHAR)) AS h
+  FROM {table}
+  WHERE {id_col} IS NOT NULL AND {type_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+), bd AS (
+  SELECT b AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+    md5(string_agg(h, '' ORDER BY h)) AS digest
+  FROM rh GROUP BY b
+), root AS (
+  SELECT CAST(-1 AS BIGINT) AS bucket,
+    CAST(COALESCE(sum(n_rows), 0) AS BIGINT) AS n_rows,
+    md5(string_agg(digest, '' ORDER BY bucket)) AS digest
+  FROM bd
+)
+SELECT * FROM bd
+UNION ALL SELECT * FROM root
+ORDER BY bucket
+""".strip()

@@ -5267,3 +5267,262 @@ SELECT {id_col},
   CAST(list_min(ll) AS BIGINT) AS min_sentence_chars
 FROM lens
 """.strip()
+
+
+def extractive_summary(ds, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """TF-IDF extractive summarization — per document, the single
+    sentence with the highest corpus-distinctiveness mass (Luhn 1958
+    ancestry): sentence score = Σ over its token OCCURRENCES of the
+    corpus ``idf_millionths`` (same floored-millionth idf contract as
+    :func:`doc_tfidf`); ties pick the EARLIEST sentence.
+
+    Sentences come from the shared :data:`_SENT_SPLIT_RE` contract;
+    tokens from python ``str.split()`` ≡ the mirror's Unicode-
+    whitespace class. Sentences with zero tokens score 0 (kept);
+    documents with zero sentences produce no row; NULL-text docs
+    count toward N for idf but emit nothing.
+
+    Shape: corpus materialized once; df pass identical to doc_tfidf
+    (vocab-sized driver merge, broadcast via ``ray.put``); the score
+    pass segments per (doc, sentence) with Arrow group_by + one pandas
+    head(1) pick per batch — no cross-batch exchange (a doc's
+    sentences live in its batch). Output: (id, n_sentences, best_idx
+    1-based, best_score_millionths, best_sentence) as a Dataset.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    rx = re.compile(_SENT_SPLIT_RE)
+
+    ds = ds.materialize()
+    n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        toks = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in toks:
+            if w:
+                flat[pos:pos + len(w)] = w
+                pos += len(w)
+        pairs = pa.table({"term": pa.array(flat, type=pa.string()),
+                          "d": pa.array(np.repeat(ids, lens))})
+        uniq = pairs.group_by(["term", "d"]).aggregate([])
+        out = uniq.group_by("term").aggregate([([], "count_all")])
+        return out.rename_columns(["term", "df"])
+
+    tables = list(ds.map_batches(
+        skip_empty(df_partial), batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_size=None,
+                                           batch_format="pyarrow"))
+    if not tables:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_sentences": pa.array([], pa.int64()),
+            "best_idx": pa.array([], pa.int64()),
+            "best_score_millionths": pa.array([], pa.int64()),
+            "best_sentence": pa.array([], pa.string()),
+        }))
+    df_tbl = (pa.concat_tables(tables).group_by("term")
+              .aggregate([("df", "sum")]))
+    terms = df_tbl["term"].combine_chunks()
+    df_np = (df_tbl["df_sum"].to_numpy(zero_copy_only=False)
+             .astype("float64"))
+    idf_m = np.floor(np.log(float(n_docs) / df_np)
+                     * 1_000_000).astype("int64")
+    idf_ref = ray.put((terms, pa.array(idf_m)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        vocab, idf = ray.get(idf_ref)
+        t = t.filter(pc.is_valid(t[text_col]))
+        recs = []          # (doc, si, sentence)
+        for d, txt in zip(
+                t[id_col].to_numpy(zero_copy_only=False),
+                t[text_col].to_pylist()):
+            si = 0
+            for s in rx.split(txt):
+                if s != "":
+                    si += 1
+                    recs.append((int(d), si, s))
+        if not recs:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_sentences": pa.array([], pa.int64()),
+                "best_idx": pa.array([], pa.int64()),
+                "best_score_millionths": pa.array([], pa.int64()),
+                "best_sentence": pa.array([], pa.string()),
+            })
+        sf = pd.DataFrame(recs, columns=["d", "si", "s"])
+        tok_rows = []      # (row_idx, term)
+        for ridx, s in enumerate(sf["s"]):
+            for w in s.split():
+                tok_rows.append((ridx, w))
+        if tok_rows:
+            tt = pa.table({
+                "r": pa.array([r for r, _ in tok_rows], pa.int64()),
+                "term": pa.array([w for _, w in tok_rows],
+                                 pa.string()),
+            })
+            idx = pc.index_in(tt["term"], value_set=vocab)
+            w = pc.take(idf, idx)
+            sc = (pa.table({"r": tt["r"], "w": w}).group_by("r")
+                  .aggregate([("w", "sum")]).to_pandas()
+                  .set_index("r")["w_sum"])
+            sf["score"] = sc.reindex(range(len(sf)),
+                                     fill_value=0).to_numpy()
+        else:
+            sf["score"] = 0
+        sf["score"] = sf["score"].astype("int64")
+        nsent = sf.groupby("d")["si"].max()
+        best = (sf.sort_values(["d", "score", "si"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                .groupby("d", sort=True).head(1))
+        return pa.table({
+            id_col: pa.array(best["d"].to_numpy(), pa.int64()),
+            "n_sentences": pa.array(
+                nsent.loc[best["d"]].to_numpy(), pa.int64()),
+            "best_idx": pa.array(best["si"].to_numpy(), pa.int64()),
+            "best_score_millionths": pa.array(
+                best["score"].to_numpy(), pa.int64()),
+            "best_sentence": pa.array(best["s"], pa.string()),
+        })
+
+    return ds.map_batches(skip_empty(pick), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def extractive_summary_sql(id_col: str = "doc_id",
+                           text_col: str = "text",
+                           table: str = "documents") -> str:
+    from fluent_server_ray.stages.dedup import _PY_WHITESPACE_RE2
+
+    return f"""
+WITH docs AS (
+  SELECT {id_col},
+    list_filter(regexp_split_to_array({text_col},
+                '{_SENT_SPLIT_RE}'), x -> x <> '') AS parts
+  FROM {table} WHERE {text_col} IS NOT NULL
+), sents AS (
+  SELECT {id_col}, g.i AS si, parts[g.i] AS s
+  FROM docs CROSS JOIN unnest(generate_series(1, len(parts)))
+    AS g(i)
+), toks AS (
+  SELECT {id_col},
+    unnest(list_filter(regexp_split_to_array({text_col},
+                       '{_PY_WHITESPACE_RE2}'), x -> x <> '')) AS term
+  FROM {table} WHERE {text_col} IS NOT NULL
+), df AS (
+  SELECT term, count(DISTINCT {id_col}) AS df FROM toks GROUP BY term
+), n AS (SELECT count(*) AS n FROM {table}),
+stoks AS (
+  SELECT {id_col}, si,
+    unnest(list_filter(regexp_split_to_array(s,
+                       '{_PY_WHITESPACE_RE2}'), x -> x <> '')) AS term
+  FROM sents
+), sscore AS (
+  SELECT st.{id_col}, st.si,
+    CAST(sum(CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000)
+             AS BIGINT)) AS BIGINT) AS score
+  FROM stoks st JOIN df USING (term) CROSS JOIN n
+  GROUP BY 1, 2
+), sagg AS (
+  SELECT s.{id_col}, s.si, s.s,
+    COALESCE(sc.score, 0) AS score
+  FROM sents s LEFT JOIN sscore sc
+    ON sc.{id_col} = s.{id_col} AND sc.si = s.si
+), picked AS (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+    ORDER BY score DESC, si) AS rn,
+    count(*) OVER (PARTITION BY {id_col}) AS n_sentences
+  FROM sagg
+)
+SELECT {id_col}, CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(si AS BIGINT) AS best_idx,
+  CAST(score AS BIGINT) AS best_score_millionths,
+  s AS best_sentence
+FROM picked WHERE rn = 1
+""".strip()
+
+
+# explicit codepoint classes — PINNED (no \s/\w: python and RE2
+# disagree on Unicode classes; these literal ASCII classes cannot)
+_CLS_ALPHA = "[A-Za-z]"
+_CLS_DIGIT = "[0-9]"
+_CLS_SPACE = "[ \\t\\r\\n]"
+_CLS_PUNCT = "[!-/:-@\\[-`{-~]"
+
+
+def charset_profile(ds, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Per-document codepoint-class census — the charset/noise audit
+    of a text-curation gate (mojibake, binary spill, non-Latin mixes):
+    counts of ASCII letters, digits, whitespace, ASCII punctuation and
+    OTHER codepoints, from the pinned literal classes above (never
+    ``\\s``/``\\w`` — python and RE2 disagree on their Unicode
+    extents; these ASCII classes are engine-proof).
+
+    Lengths are CHARACTERS. Embarrassingly parallel, no exchange;
+    NULL-text rows excluded. Output per doc: (id, n_chars, n_alpha,
+    n_digit, n_space, n_punct, n_other).
+    """
+    import re
+
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    rxs = [re.compile(p) for p in (_CLS_ALPHA, _CLS_DIGIT,
+                                   _CLS_SPACE, _CLS_PUNCT)]
+
+    def stats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        cols = {"n_chars": [], "n_alpha": [], "n_digit": [],
+                "n_space": [], "n_punct": []}
+        for v in t[text_col].to_pylist():
+            cols["n_chars"].append(len(v))
+            for name, rx in zip(("n_alpha", "n_digit", "n_space",
+                                 "n_punct"), rxs):
+                cols[name].append(len(v) - len(rx.sub("", v)))
+        out = {id_col: t[id_col]}
+        out.update({k: pa.array(vv, pa.int64())
+                    for k, vv in cols.items()})
+        out["n_other"] = pa.array(
+            [c - a - d - s - p for c, a, d, s, p in zip(
+                cols["n_chars"], cols["n_alpha"], cols["n_digit"],
+                cols["n_space"], cols["n_punct"])], pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(skip_empty(stats), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def charset_profile_sql(id_col: str = "doc_id",
+                        text_col: str = "text",
+                        table: str = "documents") -> str:
+    def cnt(cls):
+        return (f"length({text_col}) - length(regexp_replace("
+                f"{text_col}, '{cls}', '', 'g'))")
+
+    return f"""
+SELECT {id_col},
+  CAST(length({text_col}) AS BIGINT) AS n_chars,
+  CAST({cnt(_CLS_ALPHA)} AS BIGINT) AS n_alpha,
+  CAST({cnt(_CLS_DIGIT)} AS BIGINT) AS n_digit,
+  CAST({cnt(_CLS_SPACE)} AS BIGINT) AS n_space,
+  CAST({cnt(_CLS_PUNCT)} AS BIGINT) AS n_punct,
+  CAST(length({text_col}) - ({cnt(_CLS_ALPHA)}) - ({cnt(_CLS_DIGIT)})
+    - ({cnt(_CLS_SPACE)}) - ({cnt(_CLS_PUNCT)}) AS BIGINT) AS n_other
+FROM {table} WHERE {text_col} IS NOT NULL
+""".strip()

@@ -1094,3 +1094,124 @@ def test_record_days_duckdb_parity(ray_session):
     out = record_days(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, record_days_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ extractive summary
+
+def test_extractive_summary_picks_rare_sentence(ray_session):
+    """Corpus where 'zebra quagga' appears once: the sentence holding
+    the rare terms outscores the boilerplate sentence repeated in
+    every doc."""
+    from fluent_server_ray.stages.textstats import extractive_summary
+
+    boiler = "the cat sat"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"{boiler}. zebra quagga here. {boiler}",
+                 f"{boiler}. {boiler}",
+                 f"{boiler}"],
+    })
+    out = (extractive_summary(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1].best_idx == 2
+    assert out.loc[1].best_sentence == "zebra quagga here"
+    assert out.loc[1].n_sentences == 3
+    # all-boilerplate doc: tie on score -> earliest sentence
+    assert out.loc[2].best_idx == 1
+
+
+def test_extractive_summary_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.textstats import (
+        extractive_summary, extractive_summary_sql)
+
+    rng = np.random.default_rng(109)
+    words = ["alpha", "beta", "gamma", "delta", "rare1", "rare2"]
+    texts = []
+    for i in range(150):
+        sents = [" ".join(rng.choice(words[:4], rng.integers(1, 6)))
+                 for _ in range(rng.integers(1, 5))]
+        if i % 17 == 0:
+            sents.append("rare1 rare2")
+        texts.append(". ".join(sents))
+    df = pd.DataFrame({"doc_id": range(150), "text": texts})
+    df.loc[3, "text"] = None
+    out = extractive_summary(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, extractive_summary_sql(), view="documents")
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ charset profile
+
+def test_charset_profile_hand_pin(ray_session):
+    from fluent_server_ray.stages.textstats import charset_profile
+
+    df = pd.DataFrame({"doc_id": [1],
+                       "text": ["Ab1 ?\txZ\n9é€"]})
+    out = charset_profile(rd.from_pandas(df)).to_pandas().iloc[0]
+    # chars: A b 1 SP ? TAB x Z NL 9 é €  -> 12
+    assert out.n_chars == 12
+    assert out.n_alpha == 4          # A b x Z
+    assert out.n_digit == 2          # 1 9
+    assert out.n_space == 3          # SP TAB NL
+    assert out.n_punct == 1          # ?
+    assert out.n_other == 2          # é €
+
+
+def test_charset_profile_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.textstats import (charset_profile,
+                                                    charset_profile_sql)
+
+    rng = np.random.default_rng(113)
+    pool = list("abcXYZ019 \t\n.!?-_éß日本")
+    texts = ["".join(rng.choice(pool, rng.integers(0, 60)))
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": range(200), "text": texts})
+    out = charset_profile(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, charset_profile_sql(), view="documents")
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ Merkle fingerprint
+
+def test_merkle_fingerprint_localizes_change(ray_session):
+    """Same table -> identical digests everywhere; flip ONE row's
+    value -> the root and EXACTLY ONE leaf change."""
+    from fluent_server_ray.stages.profile import merkle_fingerprint
+
+    rng = np.random.default_rng(127)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "event_type": rng.choice(["a", "b"], n),
+        "value": rng.integers(1, 9000, n) / 100.0,
+    })
+    f1 = merkle_fingerprint(rd.from_pandas(df)).to_pandas() \
+        .set_index("bucket")
+    f1b = merkle_fingerprint(rd.from_pandas(df).repartition(7)) \
+        .to_pandas().set_index("bucket")
+    pd.testing.assert_frame_equal(f1, f1b)   # block-layout-proof
+
+    df2 = df.copy()
+    df2.loc[42, "value"] += 0.01
+    f2 = merkle_fingerprint(rd.from_pandas(df2)).to_pandas() \
+        .set_index("bucket")
+    diff = f1["digest"] != f2["digest"]
+    assert diff.loc[-1]                      # root changed
+    assert diff.drop(index=-1).sum() == 1    # exactly one leaf
+
+
+def test_merkle_fingerprint_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.profile import (merkle_fingerprint,
+                                                  merkle_fingerprint_sql)
+
+    rng = np.random.default_rng(131)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": rng.permutation(10000)[:n],
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": rng.integers(-100, 9000, n) / 100.0,
+    })
+    df.loc[5, "value"] = None
+    out = merkle_fingerprint(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, merkle_fingerprint_sql())
+    _cmp(out, duck)
