@@ -4971,6 +4971,37 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_yules_k(sf_dir: str):
+    """Yule's K lexical-richness constant per source — distributed
+    term counts, counts-of-counts collapse, exact integer spectrum."""
+    from fluent_server_ray.stages.textstats import yules_k
+
+    return yules_k(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"]))
+
+
+def _q_kendalls_w(sf_dir: str):
+    """Kendall's W concordance of weekly event-type leaderboards —
+    doubled midranks on the complete week-by-type grid, exact integer
+    num/den."""
+    from fluent_server_ray.stages.features import kendalls_w
+
+    return kendalls_w(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["ts", "event_type", "value"]))
+
+
+def _q_hash_collisions(sf_dir: str):
+    """Truncated-hash surrogate-key collision audit over distinct
+    users — birthday-bound check, fully distributed counts."""
+    from fluent_server_ray.stages.features import hash_collision_audit
+
+    return hash_collision_audit(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id"]))
+
+
 def _q_charset_profile(sf_dir: str):
     """Per-doc codepoint-class census from pinned ASCII classes —
     charset/noise audit, no exchange."""
@@ -5548,6 +5579,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentence_stats": _q_sentence_stats,
         "doc_extractive_summary": _q_extractive_summary,
         "doc_charset_profile": _q_charset_profile,
+        "source_yules_k": _q_yules_k,
+        "events_kendalls_w": _q_kendalls_w,
+        "users_hash_collision_audit": _q_hash_collisions,
         "events_merkle_fingerprint": _q_merkle,
         "user_fifo_allocation": _q_fifo,
         "users_did_estimate": _q_did,
@@ -6441,6 +6475,9 @@ WITH toks AS (
         "doc_sentence_stats": textstats.sentence_stats_sql(),
         "doc_extractive_summary": textstats.extractive_summary_sql(),
         "doc_charset_profile": textstats.charset_profile_sql(),
+        "source_yules_k": textstats.yules_k_sql(),
+        "events_kendalls_w": features.kendalls_w_sql(),
+        "users_hash_collision_audit": features.hash_collision_audit_sql(),
         "events_merkle_fingerprint": profile.merkle_fingerprint_sql(),
         "user_fifo_allocation": windows.fifo_allocation_sql(),
         "users_did_estimate": features.did_estimate_sql(),

@@ -9019,3 +9019,235 @@ SELECT g AS {group_col}, CAST(count(*) AS BIGINT) AS n_days,
   CAST(max(c) AS BIGINT) AS max_cents
 FROM rec GROUP BY g ORDER BY g
 """.strip()
+
+
+# ------------------------------------------- Kendall's W
+
+def kendalls_w(ds, judge_col: str = "ts", item_col: str = "event_type",
+               value_col: str = "value") -> pa.Table:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939) over repeated weekly rankings: each epoch WEEK ranks
+    the event types by total cents — W ∈ [0,1] answers "is the type
+    leaderboard stable across weeks?" (1 = identical rankings).
+
+    Determinism contract: the (week × type) grid is COMPLETE — a type
+    silent in a week ranks with total 0 (contract); ranks are DOUBLED
+    midranks (ties stay integral); with m weeks, n types, doubled rank
+    sums R2_i and per-week tie terms ``T_w = Σ(t³−t)``,
+    ``W = 3·Σ(R2_i − m(n+1))² / (m²(n³−n) − m·ΣT_w)`` — numerator and
+    denominator are exact python ints, W is ONE float division (NULL
+    when the denominator is 0, e.g. all values tied everywhere).
+    NULL item/judge/value rows excluded. Output: one row (n_weeks,
+    n_items, w_num, w_den, kendalls_w).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[item_col]),
+                               pc.is_valid(t[judge_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        wk = pc.divide(_epoch_day(t[judge_col]), 7)
+        return pa.table({"wk": wk, "it": t[item_col],
+                         "cents": _cents(t[value_col])})
+
+    cells = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["wk", "it"], [("cents", "sum")], final="driver").to_pandas()
+    if len(cells) == 0:
+        return pa.table({
+            "n_weeks": pa.array([0], pa.int64()),
+            "n_items": pa.array([0], pa.int64()),
+            "w_num": pa.array([None], pa.int64()),
+            "w_den": pa.array([None], pa.int64()),
+            "kendalls_w": pa.array([None], pa.float64()),
+        })
+    grid = (cells.pivot_table(index="it", columns="wk",
+                              values="cents_sum", aggfunc="sum")
+            .fillna(0).astype("int64").sort_index())
+    n, m = grid.shape
+    r2_sums = np.zeros(n, dtype=object)
+    t_sum = 0
+    for w in grid.columns:
+        c = grid[w].to_numpy()
+        order = np.argsort(c, kind="mergesort")
+        # doubled midranks ascending: 2*rank with ties averaged
+        r2 = np.empty(n, dtype=np.int64)
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and c[order[j + 1]] == c[order[i]]:
+                j += 1
+            # positions i..j (0-based) share doubled midrank (i+j+2)
+            r2[order[i:j + 1]] = i + j + 2
+            t = j - i + 1
+            if t > 1:
+                t_sum += t * t * t - t
+            i = j + 1
+        r2_sums = r2_sums + r2
+    mean2 = m * (n + 1)
+    s2 = sum(int(x - mean2) ** 2 for x in r2_sums)
+    den = m * m * (n ** 3 - n) - m * t_sum
+    num = 3 * s2
+    if max(abs(num), abs(den)) >= 2 ** 63:
+        raise ValueError("kendalls_w: statistic exceeds int64 — "
+                         "reduce the item space upstream")
+    w_val = float(num) / float(den) if den != 0 else None
+    return pa.table({
+        "n_weeks": pa.array([m], pa.int64()),
+        "n_items": pa.array([n], pa.int64()),
+        "w_num": pa.array([num], pa.int64()),
+        "w_den": pa.array([den], pa.int64()),
+        "kendalls_w": pa.array([w_val], pa.float64()),
+    })
+
+
+def kendalls_w_sql(judge_col: str = "ts", item_col: str = "event_type",
+                   value_col: str = "value",
+                   table: str = "events") -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(CAST({judge_col} AS DATE) - DATE '1970-01-01' AS BIGINT)
+      // 7 AS wk,
+    {item_col} AS it,
+    CAST(round({value_col} * 100.0) AS BIGINT) AS c
+  FROM {table}
+  WHERE {item_col} IS NOT NULL AND {judge_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+), cells AS (
+  SELECT wk, it, CAST(sum(c) AS BIGINT) AS c
+  FROM base GROUP BY wk, it
+), weeks AS (SELECT DISTINCT wk FROM cells),
+items AS (SELECT DISTINCT it FROM cells),
+grid AS (
+  SELECT w.wk, i.it, COALESCE(c.c, 0) AS c
+  FROM weeks w CROSS JOIN items i
+  LEFT JOIN cells c ON c.wk = w.wk AND c.it = i.it
+), ranked AS (
+  SELECT wk, it, c,
+    CAST(rank() OVER (PARTITION BY wk ORDER BY c) AS BIGINT) AS rlo,
+    CAST(count(*) OVER (PARTITION BY wk, c) AS BIGINT) AS t
+  FROM grid
+), r2 AS (
+  -- doubled midrank = rlo + (rlo + t - 1) = 2*rlo + t - 1
+  SELECT it, CAST(sum(2 * rlo + t - 1) AS BIGINT) AS r2
+  FROM ranked GROUP BY it
+), ties AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN rn = 1 AND t > 1
+      THEN t * t * t - t ELSE 0 END), 0) AS BIGINT) AS t_sum
+  FROM (SELECT t, row_number() OVER (PARTITION BY wk, c) AS rn
+        FROM ranked)
+), dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM weeks) AS m,
+    (SELECT CAST(count(*) AS BIGINT) FROM items) AS n
+), agg AS (
+  SELECT d.m, d.n,
+    CAST(3 * sum(CAST(r2.r2 - d.m * (d.n + 1) AS HUGEINT)
+                 * (r2.r2 - d.m * (d.n + 1))) AS BIGINT) AS num,
+    CAST(d.m * d.m * (CAST(d.n AS HUGEINT) * d.n * d.n - d.n)
+         - d.m * (SELECT t_sum FROM ties) AS BIGINT) AS den
+  FROM r2, dims d GROUP BY d.m, d.n
+)
+SELECT m AS n_weeks, n AS n_items, num AS w_num, den AS w_den,
+  CASE WHEN den != 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+  END AS kendalls_w
+FROM agg
+""".strip()
+
+
+# ------------------------------------------- hash collision audit
+
+def hash_collision_audit(ds, key_col: str = "user_id",
+                         bits: int = 20) -> pa.Table:
+    """Surrogate-key collision audit: map every distinct key through
+    the truncated hash ``md5_u64('sk:' || key) % 2^bits`` and count
+    collisions — the birthday-bound check a pipeline runs before
+    committing to a b-bit shard/surrogate key (expected collisions ≈
+    k²/2^{bits+1}).
+
+    Exact counts, fully distributed: distinct keys merge via
+    ``final='ray'``; hashed buckets group via a second distributed
+    exchange; the block partials (groups, collided groups, excess
+    keys) are scalar sums. Output: one row (n_keys, n_slots_used,
+    n_colliding_slots, n_excess_keys, slot_bits).
+    """
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    mod = 1 << bits
+
+    def dk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        out = pa.table({"k": pc.cast(t[key_col], pa.int64())}) \
+            .group_by(["k"]).aggregate([([], "count_all")])
+        return out.rename_columns(["k", "one"])
+
+    distinct = grouped_agg(
+        ds.map_batches(skip_empty(dk), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["k"], aggs=[("one", "sum")], final="ray")
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ks = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.fromiter((md5_u64(f"sk:{k}") % mod for k in ks),
+                        dtype=np.int64, count=len(ks))
+        return pa.table({"h": pa.array(h),
+                         "one": pa.array(np.ones(len(ks), np.int64))})
+
+    slots = grouped_agg(
+        distinct.map_batches(skip_empty(hashed),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True),
+        keys=["h"], aggs=[("one", "sum")], final="ray")
+
+    def partials(t: pa.Table) -> pa.Table:
+        c = t["one_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_keys": pa.array([int(c.sum())], pa.int64()),
+            "n_slots": pa.array([len(c)], pa.int64()),
+            "n_coll": pa.array([int((c > 1).sum())], pa.int64()),
+            "n_excess": pa.array([int((c[c > 1] - 1).sum())],
+                                 pa.int64()),
+        })
+
+    tot = {"n_keys": 0, "n_slots": 0, "n_coll": 0, "n_excess": 0}
+    for t in slots.map_batches(
+            skip_empty(partials), batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_size=None,
+                                               batch_format="pyarrow"):
+        for r in t.to_pylist():
+            for k in tot:
+                tot[k] += r[k]
+    return pa.table({
+        "n_keys": pa.array([tot["n_keys"]], pa.int64()),
+        "n_slots_used": pa.array([tot["n_slots"]], pa.int64()),
+        "n_colliding_slots": pa.array([tot["n_coll"]], pa.int64()),
+        "n_excess_keys": pa.array([tot["n_excess"]], pa.int64()),
+        "slot_bits": pa.array([bits], pa.int64()),
+    })
+
+
+def hash_collision_audit_sql(key_col: str = "user_id",
+                             bits: int = 20,
+                             table: str = "events") -> str:
+    mod = 1 << bits
+    return f"""
+WITH dk AS (
+  SELECT DISTINCT {key_col} AS k FROM {table}
+  WHERE {key_col} IS NOT NULL
+), slots AS (
+  SELECT CAST(md5_number_upper('sk:'
+      || CAST(CAST(k AS BIGINT) AS VARCHAR)) % {mod} AS BIGINT) AS h,
+    count(*) AS c
+  FROM dk GROUP BY 1
+)
+SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_keys,
+  CAST(count(*) AS BIGINT) AS n_slots_used,
+  CAST(COALESCE(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_colliding_slots,
+  CAST(COALESCE(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0)
+    AS BIGINT) AS n_excess_keys,
+  CAST({bits} AS BIGINT) AS slot_bits
+FROM slots
+""".strip()

@@ -5526,3 +5526,108 @@ SELECT {id_col},
     - ({cnt(_CLS_SPACE)}) - ({cnt(_CLS_PUNCT)}) AS BIGINT) AS n_other
 FROM {table} WHERE {text_col} IS NOT NULL
 """.strip()
+
+
+def yules_k(ds, group_col: str = "source", text_col: str = "text"):
+    """Yule's characteristic K per group (Yule 1944) — the lexical-
+    richness constant built from the frequency-of-frequencies
+    spectrum: ``K = 10⁴ · (Σ_m m²·V_m − N) / N²`` where ``V_m`` is the
+    number of types occurring exactly m times and N the token count.
+    Unlike type-token ratio it is length-invariant, which makes it the
+    repetitiveness gate for mixed-length corpora.
+
+    Exact contract: tokens are the single-space split (≡ mirror
+    ``string_split``); the (group, term) counts merge DISTRIBUTED
+    (vocab is unbounded — ``final='ray'``); the counts-of-counts
+    collapse is a second bounded exchange; ``Σ m²·V_m`` and N are
+    exact python ints and K is ONE float tree
+    ``10000.0 · float(S − N) / (float(N) · float(N))``. NULL
+    group/text rows excluded. Output: (group, n_tokens, n_types,
+    s_m2vm, yules_k) sorted by group.
+    """
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[group_col]),
+                       pc.is_valid(t[text_col]))
+        t = t.filter(keep)
+        toks = pc.split_pattern(t[text_col], " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype("int64")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        import numpy as np
+
+        grp = t[group_col].take(
+            pa.array(np.repeat(np.arange(len(t)), lens)))
+        tbl = pa.table({"g": grp, "term": flat}).filter(
+            pc.not_equal(flat, ""))
+        out = tbl.group_by(["g", "term"]).aggregate([([],
+                                                      "count_all")])
+        return out.rename_columns(["g", "term", "c"])
+
+    per_term = grouped_agg(
+        ds.map_batches(skip_empty(pairs), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["g", "term"], aggs=[("c", "sum")], final="ray")
+
+    def cof(t: pa.Table) -> pa.Table:
+        out = (t.select(["g", "c_sum"]).group_by(["g", "c_sum"])
+               .aggregate([([], "count_all")]))
+        return out.rename_columns(["g", "m", "vm"])
+
+    hist = grouped_agg(
+        per_term.map_batches(skip_empty(cof), batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["g", "m"], [("vm", "sum")], final="driver").to_pandas()
+
+    rows = {"g": [], "n": [], "ty": [], "s": [], "k": []}
+    for g, sub in hist.groupby("g", sort=True):
+        m = sub["m"].astype("int64")
+        vm = sub["vm_sum"].astype("int64")
+        n = int((m * vm).sum())
+        s = sum(int(mi) * int(mi) * int(vi)
+                for mi, vi in zip(m, vm))
+        rows["g"].append(g)
+        rows["n"].append(n)
+        rows["ty"].append(int(vm.sum()))
+        rows["s"].append(s)
+        rows["k"].append(10000.0 * float(s - n)
+                         / (float(n) * float(n)) if n else None)
+    return pa.table({
+        group_col: pa.array(rows["g"], pa.string()),
+        "n_tokens": pa.array(rows["n"], pa.int64()),
+        "n_types": pa.array(rows["ty"], pa.int64()),
+        "s_m2vm": pa.array(rows["s"], pa.int64()),
+        "yules_k": pa.array(rows["k"], pa.float64()),
+    })
+
+
+def yules_k_sql(group_col: str = "source", text_col: str = "text",
+                table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS g,
+    unnest(list_filter(string_split({text_col}, ' '),
+                       x -> x <> '')) AS term
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {text_col} IS NOT NULL
+), tc AS (
+  SELECT g, term, count(*) AS c FROM toks GROUP BY g, term
+), hist AS (
+  SELECT g, c AS m, count(*) AS vm FROM tc GROUP BY g, c
+), agg AS (
+  SELECT g, CAST(sum(m * vm) AS BIGINT) AS n,
+    CAST(sum(vm) AS BIGINT) AS n_types,
+    CAST(sum(CAST(m AS HUGEINT) * m * vm) AS BIGINT) AS s
+  FROM hist GROUP BY g
+)
+SELECT g AS {group_col}, n AS n_tokens, n_types, s AS s_m2vm,
+  CASE WHEN n > 0 THEN
+    10000.0 * CAST(s - n AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END AS yules_k
+FROM agg ORDER BY g
+""".strip()

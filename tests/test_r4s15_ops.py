@@ -1215,3 +1215,110 @@ def test_merkle_fingerprint_duckdb_parity(ray_session):
     out = merkle_fingerprint(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, merkle_fingerprint_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ Yule's K
+
+def test_yules_k_hand_pin(ray_session):
+    """'a a a b b c' : V_1=1, V_2=1, V_3=1, N=6 ->
+    S = 1+4+9 = 14, K = 10^4 * (14-6)/36."""
+    from fluent_server_ray.stages.textstats import yules_k
+
+    df = pd.DataFrame({"source": ["s", "s"],
+                       "text": ["a a a b", "b c"]})
+    out = yules_k(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.n_tokens == 6 and out.n_types == 3
+    assert out.s_m2vm == 14
+    assert out.yules_k == 10000.0 * 8.0 / 36.0
+
+
+def test_yules_k_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.textstats import yules_k, yules_k_sql
+
+    rng = np.random.default_rng(137)
+    words = [f"w{i}" for i in range(40)]
+    df = pd.DataFrame({
+        "source": rng.choice(["s1", "s2"], 200),
+        "text": [" ".join(rng.choice(words, rng.integers(1, 30)))
+                 for _ in range(200)],
+    })
+    out = yules_k(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, yules_k_sql(), view="documents")
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ Kendall's W
+
+def test_kendalls_w_perfect_concordance(ray_session):
+    """Two weeks with the SAME type ordering -> W = 1; reversing one
+    week's ordering with n=2, m=2 -> W = 0."""
+    from fluent_server_ray.stages.features import kendalls_w
+
+    rows = []
+    for wk_day, vals in ((0, {"a": 1.0, "b": 2.0, "c": 3.0}),
+                         (7, {"a": 10.0, "b": 20.0, "c": 30.0})):
+        for ty, v in vals.items():
+            rows.append((pd.Timestamp("1970-01-01")
+                         + pd.Timedelta(days=wk_day), ty, v))
+    df = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    out = kendalls_w(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.n_weeks == 2 and out.n_items == 3
+    assert out.kendalls_w == 1.0
+
+    rows2 = [(pd.Timestamp("1970-01-01"), "a", 1.0),
+             (pd.Timestamp("1970-01-01"), "b", 2.0),
+             (pd.Timestamp("1970-01-08"), "a", 2.0),
+             (pd.Timestamp("1970-01-08"), "b", 1.0)]
+    df2 = pd.DataFrame(rows2, columns=["ts", "event_type", "value"])
+    out2 = kendalls_w(rd.from_pandas(df2)).to_pandas().iloc[0]
+    assert out2.kendalls_w == 0.0
+
+
+def test_kendalls_w_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (kendalls_w,
+                                                   kendalls_w_sql)
+
+    rng = np.random.default_rng(139)
+    n = 600
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 28 * 86400, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c", "d"], n),
+        "value": rng.integers(-100, 9000, n) / 100.0,
+    })
+    out = kendalls_w(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, kendalls_w_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ hash collisions
+
+def test_hash_collision_audit_brute_force(ray_session):
+    """Tiny slot space (bits=3) forces collisions; recount in
+    python from the same md5 stream."""
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.features import hash_collision_audit
+
+    users = list(range(30))
+    df = pd.DataFrame({"user_id": users * 3})
+    out = hash_collision_audit(rd.from_pandas(df),
+                               bits=3).to_pandas().iloc[0]
+    from collections import Counter
+    cnt = Counter(md5_u64(f"sk:{u}") % 8 for u in users)
+    assert out.n_keys == 30
+    assert out.n_slots_used == len(cnt)
+    assert out.n_colliding_slots == sum(1 for c in cnt.values()
+                                        if c > 1)
+    assert out.n_excess_keys == sum(c - 1 for c in cnt.values()
+                                    if c > 1)
+
+
+def test_hash_collision_audit_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (
+        hash_collision_audit, hash_collision_audit_sql)
+
+    rng = np.random.default_rng(149)
+    df = pd.DataFrame({"user_id": rng.integers(0, 500, 800)})
+    out = hash_collision_audit(rd.from_pandas(df), bits=6).to_pandas()
+    duck = _duck_one(df, hash_collision_audit_sql(bits=6))
+    _cmp(out, duck)
