@@ -4971,6 +4971,29 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_daily_lis(sf_dir: str):
+    """Longest strictly increasing/decreasing subsequences of daily
+    cents per event_type — patience sorting vs a UNION-deduplicated
+    recursive-CTE mirror."""
+    from fluent_server_ray.stages.features import daily_lis
+
+    return daily_lis(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
+def _q_cohort_ltv(sf_dir: str):
+    """Cohort LTV curves: first-activity-week cohorts, per-age
+    purchase revenue, cumulative per-user value — user-bucket cohort
+    assignment, bounded grid."""
+    from fluent_server_ray.stages.windows import cohort_ltv
+
+    return cohort_ltv(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type",
+                                    "value"]))
+
+
 def _q_yules_k(sf_dir: str):
     """Yule's K lexical-richness constant per source — distributed
     term counts, counts-of-counts collapse, exact integer spectrum."""
@@ -5580,6 +5603,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_extractive_summary": _q_extractive_summary,
         "doc_charset_profile": _q_charset_profile,
         "source_yules_k": _q_yules_k,
+        "events_daily_lis": _q_daily_lis,
+        "users_cohort_ltv": _q_cohort_ltv,
         "events_kendalls_w": _q_kendalls_w,
         "users_hash_collision_audit": _q_hash_collisions,
         "events_merkle_fingerprint": _q_merkle,
@@ -6476,6 +6501,8 @@ WITH toks AS (
         "doc_extractive_summary": textstats.extractive_summary_sql(),
         "doc_charset_profile": textstats.charset_profile_sql(),
         "source_yules_k": textstats.yules_k_sql(),
+        "events_daily_lis": features.daily_lis_sql(),
+        "users_cohort_ltv": windows.cohort_ltv_sql(),
         "events_kendalls_w": features.kendalls_w_sql(),
         "users_hash_collision_audit": features.hash_collision_audit_sql(),
         "events_merkle_fingerprint": profile.merkle_fingerprint_sql(),

@@ -9251,3 +9251,102 @@ SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_keys,
   CAST({bits} AS BIGINT) AS slot_bits
 FROM slots
 """.strip()
+
+
+# ------------------------------------------- LIS / LDS
+
+def daily_lis(ds, group_col: str = "event_type", ts_col: str = "ts",
+              value_col: str = "value") -> pa.Table:
+    """Longest strictly increasing and strictly decreasing
+    subsequences of the daily cents series per group — the
+    combinatorial trend-persistence probe (a monotone regime shows as
+    LIS ≈ n; for an i.i.d. series both run ≈ 2√n, Erdős–Szekeres):
+    unlike run/streak stats these see NON-CONTIGUOUS monotone
+    structure.
+
+    Exact contract: strict comparisons on exact int64 daily totals,
+    day-ascending positional order. Engine side is patience sorting
+    (O(n log n)) on the bounded daily table; the mirror walks the same
+    DAG with a UNION-deduplicated recursive CTE (state ≤ n² rows per
+    group — calendar-bounded). NULL group/ts/value rows excluded.
+    Output: (group, n_days, lis, lds) sorted by group.
+    """
+    import bisect
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({"g": t[group_col],
+                         "_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    def lis_len(seq):
+        tails = []
+        for x in seq:
+            i = bisect.bisect_left(tails, x)   # strict increase
+            if i == len(tails):
+                tails.append(x)
+            else:
+                tails[i] = x
+        return len(tails)
+
+    out = {"g": [], "n": [], "lis": [], "lds": []}
+    for g, sub in daily.groupby("g", sort=True):
+        c = [int(v) for v in
+             sub.sort_values("_day")["cents_sum"].to_numpy()]
+        out["g"].append(g)
+        out["n"].append(len(c))
+        out["lis"].append(lis_len(c))
+        out["lds"].append(lis_len([-x for x in c]))
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "n_days": pa.array(out["n"], pa.int64()),
+        "lis": pa.array(out["lis"], pa.int64()),
+        "lds": pa.array(out["lds"], pa.int64()),
+    })
+
+
+def daily_lis_sql(group_col: str = "event_type", ts_col: str = "ts",
+                  value_col: str = "value",
+                  table: str = "events") -> str:
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), d AS (
+  SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS i, c
+  FROM daily
+), up(g, i, len) AS (
+  SELECT g, i, 1 FROM d
+  UNION
+  SELECT b.g, b.i, u.len + 1
+  FROM up u JOIN d a ON a.g = u.g AND a.i = u.i
+  JOIN d b ON b.g = a.g AND b.i > a.i AND b.c > a.c
+), dn(g, i, len) AS (
+  SELECT g, i, 1 FROM d
+  UNION
+  SELECT b.g, b.i, u.len + 1
+  FROM dn u JOIN d a ON a.g = u.g AND a.i = u.i
+  JOIN d b ON b.g = a.g AND b.i > a.i AND b.c < a.c
+), nn AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY g
+)
+SELECT nn.g AS {group_col}, nn.n_days,
+  (SELECT CAST(max(len) AS BIGINT) FROM up WHERE up.g = nn.g) AS lis,
+  (SELECT CAST(max(len) AS BIGINT) FROM dn WHERE dn.g = nn.g) AS lds
+FROM nn ORDER BY nn.g
+""".strip()

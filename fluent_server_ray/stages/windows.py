@@ -3360,3 +3360,138 @@ SELECT {key_col}, n_lots, t AS supply_cents, d AS demand_cents,
   LEAST(d, t) - s_full AS partial_lot_cents
 FROM sup_agg
 """.strip()
+
+
+def cohort_ltv(ds, user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", value_col: str = "value",
+               revenue_type: str = "purchase", n_buckets: int = 64):
+    """Cohort lifetime-value curve — the growth-accounting readout
+    beside retention: users cohort by their FIRST-activity epoch week
+    (any event type); each (cohort, age) cell accumulates the
+    cohort's ``revenue_type`` cents in that age week; the curve is
+    cumulative revenue per cohort user by age.
+
+    Exact contract: cohort membership and revenue are exact int
+    counts/cents (a cohort user with no purchases still dilutes the
+    per-user LTV — contract); ``ltv_per_user`` is ONE float division
+    per row on the driver-side cumulative (the (cohort × age) grid is
+    calendar-bounded). Ages with no revenue but ≥1 active cohort
+    member appear with 0 revenue; fully silent ages are ABSENT
+    (contract — mirrored). NULL user/ts/value rows excluded.
+
+    Shape: per-(user, week) combiner → distributed per-user merge →
+    ONE user-bucket exchange (cohort = min week inside the bucket) →
+    bounded (cohort, age) driver merge + cumsum. Output:
+    (cohort_week, age_weeks, n_users, revenue_cents,
+    cum_revenue_cents, ltv_per_user) sorted by (cohort_week, age).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.features import _cents, _epoch_day
+
+    def per_uw(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[user_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        wk = pc.divide(_epoch_day(t[ts_col]), 7)
+        rev = pc.if_else(pc.equal(t[type_col], revenue_type),
+                         _cents(t[value_col]),
+                         pa.scalar(0, pa.int64()))
+        prep = pa.table({"user": pc.cast(t[user_col], pa.int64()),
+                         "wk": wk, "rev": rev})
+        out = prep.group_by(["user", "wk"]).aggregate([("rev", "sum")])
+        return out.rename_columns(["user", "wk", "rev"])
+
+    per_user_week = grouped_agg(
+        ds.map_batches(skip_empty(per_uw), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["user", "wk"], aggs=[("rev", "sum")], final="ray")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cohort = g.groupby("user")["wk"].transform("min")
+        out = pd.DataFrame({
+            "cohort": cohort.astype("int64"),
+            "age": (g["wk"] - cohort).astype("int64"),
+            "rev": g["rev_sum"].astype("int64"),
+            "new_user": (g["wk"] == cohort).astype("int64"),
+        })
+        return (out.groupby(["cohort", "age"], as_index=False)
+                .agg(rev=("rev", "sum"), new_user=("new_user", "sum")))
+
+    bucketed = _with_bucket(per_user_week, "user", n_buckets)
+    cells = grouped_agg(
+        bucketed.groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas"),
+        ["cohort", "age"], [("rev", "sum"), ("new_user", "sum")],
+        final="driver").to_pandas()
+
+    cells = cells.sort_values(["cohort", "age"]).reset_index(drop=True)
+    rows = {"cohort": [], "age": [], "n": [], "rev": [], "cum": [],
+            "ltv": []}
+    for cohort, sub in cells.groupby("cohort", sort=True):
+        n_users = int(sub[sub["age"] == 0]["new_user_sum"].sum())
+        cum = 0
+        for _, r in sub.iterrows():
+            cum += int(r["rev_sum"])
+            rows["cohort"].append(int(cohort))
+            rows["age"].append(int(r["age"]))
+            rows["n"].append(n_users)
+            rows["rev"].append(int(r["rev_sum"]))
+            rows["cum"].append(cum)
+            rows["ltv"].append(float(cum) / float(n_users)
+                               if n_users else None)
+    return pa.table({
+        "cohort_week": pa.array(rows["cohort"], pa.int64()),
+        "age_weeks": pa.array(rows["age"], pa.int64()),
+        "n_users": pa.array(rows["n"], pa.int64()),
+        "revenue_cents": pa.array(rows["rev"], pa.int64()),
+        "cum_revenue_cents": pa.array(rows["cum"], pa.int64()),
+        "ltv_per_user": pa.array(rows["ltv"], pa.float64()),
+    })
+
+
+def cohort_ltv_sql(user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   value_col: str = "value",
+                   revenue_type: str = "purchase",
+                   table: str = "events") -> str:
+    return f"""
+WITH uw AS (
+  SELECT {user_col} AS u,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+      AS wk,
+    SUM(CASE WHEN {type_col} = '{revenue_type}'
+        THEN CAST(round({value_col} * 100.0) AS BIGINT)
+        ELSE 0 END) AS rev
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), coh AS (
+  SELECT u, wk, rev, min(wk) OVER (PARTITION BY u) AS cohort
+  FROM uw
+), cells AS (
+  SELECT cohort, wk - cohort AS age,
+    CAST(sum(rev) AS BIGINT) AS revenue_cents,
+    CAST(sum(CASE WHEN wk = cohort THEN 1 ELSE 0 END) AS BIGINT)
+      AS new_users
+  FROM coh GROUP BY 1, 2
+), sized AS (
+  SELECT cohort, age, revenue_cents,
+    CAST(sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents,
+    CAST(sum(CASE WHEN age = 0 THEN new_users ELSE 0 END)
+      OVER (PARTITION BY cohort) AS BIGINT) AS n_users
+  FROM cells
+)
+SELECT cohort AS cohort_week, age AS age_weeks, n_users,
+  revenue_cents, cum_revenue_cents,
+  CASE WHEN n_users > 0 THEN
+    CAST(cum_revenue_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+  END AS ltv_per_user
+FROM sized ORDER BY cohort_week, age_weeks
+""".strip()

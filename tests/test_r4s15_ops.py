@@ -1322,3 +1322,85 @@ def test_hash_collision_audit_duckdb_parity(ray_session):
     out = hash_collision_audit(rd.from_pandas(df), bits=6).to_pandas()
     duck = _duck_one(df, hash_collision_audit_sql(bits=6))
     _cmp(out, duck)
+
+
+# ------------------------------------------------ LIS / LDS
+
+def test_daily_lis_hand_pin(ray_session):
+    """Series 1,3,2,4,0 (cents): LIS = 3 (1,3,4 or 1,2,4),
+    LDS = 3 (3,2,0)."""
+    from fluent_server_ray.stages.features import daily_lis
+
+    cents = [100, 300, 200, 400, 0]
+    ts = pd.to_datetime(np.arange(5) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": np.array(cents) / 100.0})
+    out = daily_lis(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out.n_days == 5 and out.lis == 3 and out.lds == 3
+    # monotone series: lis = n, lds = 1
+    df2 = pd.DataFrame({"event_type": "b", "ts": ts,
+                        "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out2 = daily_lis(rd.from_pandas(df2)).to_pandas().iloc[0]
+    assert out2.lis == 5 and out2.lds == 1
+
+
+def test_daily_lis_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import daily_lis, daily_lis_sql
+
+    rng = np.random.default_rng(151)
+    n = 500
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 25 * 86400, n), unit="s"),
+        "value": rng.integers(-100, 9000, n) / 100.0,
+    })
+    out = daily_lis(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, daily_lis_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ cohort LTV
+
+def test_cohort_ltv_hand_pin(ray_session):
+    """Two users in cohort week W (one never purchases — dilutes
+    LTV), one user a week later."""
+    from fluent_server_ray.stages.windows import cohort_ltv
+
+    rows = [
+        (1, "1970-01-01", "purchase", 2.00),   # u1 cohort wk0
+        (1, "1970-01-09", "purchase", 3.00),   # age 1
+        (2, "1970-01-02", "click", 9.00),      # u2 cohort wk0, no rev
+        (3, "1970-01-09", "purchase", 5.00),   # u3 cohort wk1
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type",
+                                     "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = cohort_ltv(rd.from_pandas(df)).to_pandas() \
+        .set_index(["cohort_week", "age_weeks"]).sort_index()
+    c0a0 = out.loc[(0, 0)]
+    assert c0a0.n_users == 2 and c0a0.revenue_cents == 200
+    assert c0a0.ltv_per_user == 100.0
+    c0a1 = out.loc[(0, 1)]
+    assert c0a1.revenue_cents == 300
+    assert c0a1.cum_revenue_cents == 500
+    assert c0a1.ltv_per_user == 250.0
+    c1a0 = out.loc[(1, 0)]
+    assert c1a0.n_users == 1 and c1a0.ltv_per_user == 500.0
+
+
+def test_cohort_ltv_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.windows import cohort_ltv, cohort_ltv_sql
+
+    rng = np.random.default_rng(157)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 28 * 86400, n), unit="s"),
+        "event_type": rng.choice(["purchase", "click", "view"], n),
+        "value": rng.integers(1, 9000, n) / 100.0,
+    })
+    out = cohort_ltv(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, cohort_ltv_sql())
+    _cmp(out, duck)
