@@ -4971,6 +4971,26 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_word_dropout(sf_dir: str):
+    """Deterministic md5-Bernoulli word-dropout augmentation — both
+    engines drop identical tokens; survivors re-join with single
+    spaces."""
+    from fluent_server_ray.stages.hygiene import word_dropout
+
+    return word_dropout(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]))
+
+
+def _q_fd_discovery(sf_dir: str):
+    """All-ordered-pairs functional-dependency discovery over orders'
+    non-float columns — one corpus pass emitting distinct triples for
+    every pair, distributed counts."""
+    from fluent_server_ray.stages.profile import fd_discovery
+
+    return fd_discovery(read_parquet_clean(f"{sf_dir}/orders.parquet"))
+
+
 def _q_daily_lis(sf_dir: str):
     """Longest strictly increasing/decreasing subsequences of daily
     cents per event_type — patience sorting vs a UNION-deduplicated
@@ -5604,6 +5624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_charset_profile": _q_charset_profile,
         "source_yules_k": _q_yules_k,
         "events_daily_lis": _q_daily_lis,
+        "doc_word_dropout": _q_word_dropout,
+        "orders_fd_discovery": _q_fd_discovery,
         "users_cohort_ltv": _q_cohort_ltv,
         "events_kendalls_w": _q_kendalls_w,
         "users_hash_collision_audit": _q_hash_collisions,
@@ -6502,6 +6524,8 @@ WITH toks AS (
         "doc_charset_profile": textstats.charset_profile_sql(),
         "source_yules_k": textstats.yules_k_sql(),
         "events_daily_lis": features.daily_lis_sql(),
+        "doc_word_dropout": hygiene.word_dropout_sql(),
+        "orders_fd_discovery": profile.fd_discovery_sql(),
         "users_cohort_ltv": windows.cohort_ltv_sql(),
         "events_kendalls_w": features.kendalls_w_sql(),
         "users_hash_collision_audit": features.hash_collision_audit_sql(),

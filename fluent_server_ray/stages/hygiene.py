@@ -1413,3 +1413,79 @@ SELECT day, CAST(count(*) AS BIGINT) AS n,
        AS DOUBLE) / 2.0 AS dp_estimate
 FROM r GROUP BY day ORDER BY day
 """.strip()
+
+
+def word_dropout(ds, id_col: str = "doc_id", text_col: str = "text",
+                 p_millis: int = 100):
+    """Deterministic word-dropout augmentation (Iyyer 2015's word
+    dropout, the LM-training regularizer): token at 1-based position
+    ``p`` of doc ``d`` drops iff ``md5_u64('wd:' || d || ':' || p) %
+    1000 < p_millis`` — the md5 stream plays the Bernoulli draw, so
+    both engines drop the SAME tokens (a production run would draw
+    real entropy; the mechanics are identical).
+
+    Tokens are the single-space split (≡ mirror ``string_split``,
+    empties removed); the augmented text re-joins survivors with
+    single spaces. Docs with ≥1 token appear (even if everything
+    dropped — text_aug ''); token-less docs are absent. NULL id/text
+    rows excluded. Embarrassingly parallel. Output: (id, n_tokens,
+    n_dropped, text_aug).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.aggregate import skip_empty
+
+    def aug(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[id_col]), pc.is_valid(t[text_col]))
+        t = t.filter(keep)
+        ids, nt, nd, texts = [], [], [], []
+        for d, txt in zip(t[id_col].to_numpy(zero_copy_only=False),
+                          t[text_col].to_pylist()):
+            toks = [w for w in txt.split(" ") if w != ""]
+            if not toks:
+                continue
+            kept = [w for p, w in enumerate(toks, start=1)
+                    if md5_u64(f"wd:{int(d)}:{p}") % 1000 >= p_millis]
+            ids.append(int(d))
+            nt.append(len(toks))
+            nd.append(len(toks) - len(kept))
+            texts.append(" ".join(kept))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_dropped": pa.array(nd, pa.int64()),
+            "text_aug": pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(skip_empty(aug), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def word_dropout_sql(id_col: str = "doc_id", text_col: str = "text",
+                     p_millis: int = 100,
+                     table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+    list_filter(string_split({text_col}, ' '), x -> x <> '') AS tt
+  FROM {table}
+  WHERE {id_col} IS NOT NULL AND {text_col} IS NOT NULL
+), pos AS (
+  SELECT {id_col}, g.p AS p, tt[g.p] AS term, len(tt) AS n_tokens
+  FROM toks CROSS JOIN unnest(generate_series(1, len(tt))) AS g(p)
+), flagged AS (
+  SELECT *,
+    md5_number_upper('wd:' || CAST({id_col} AS VARCHAR) || ':'
+                     || CAST(p AS VARCHAR)) % 1000 < {p_millis}
+      AS dropped
+  FROM pos
+)
+SELECT {id_col}, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  COALESCE(string_agg(CASE WHEN NOT dropped THEN term END, ' '
+                      ORDER BY p), '') AS text_aug
+FROM flagged GROUP BY {id_col}
+""".strip()

@@ -934,3 +934,112 @@ SELECT * FROM bd
 UNION ALL SELECT * FROM root
 ORDER BY bucket
 """.strip()
+
+
+_FD_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderdate", "o_orderpriority")
+
+
+def fd_discovery(ds, cols: tuple = _FD_COLS):
+    """Pairwise functional-dependency DISCOVERY over a table's
+    non-float columns — the schema-mining sweep behind key detection
+    and normalization advice (the fixed-pair sibling is the
+    orders_fd_audit contract): for every ORDERED pair (A, B),
+    ``A → B`` holds iff every A value maps to exactly one B, i.e.
+    ``|distinct A| = |distinct (A, B)|`` over rows where BOTH are
+    non-NULL (the no-evidence exclusion, shared with fd_audit).
+
+    Shape: ONE pass emits per-block DISTINCT (pair, a, b) triples for
+    all pairs at once (values rendered per-column injectively: ints
+    and epoch-us as decimal strings, strings as-is); a distributed
+    distinct merge, then bounded per-pair counts (triples and distinct
+    lhs) — the corpus moves once, not per pair. Output:
+    (col_a, col_b, n_distinct_a, n_distinct_ab, fd_holds) for all
+    ordered pairs, sorted.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def render(col):
+        if pa.types.is_timestamp(col.type):
+            return pc.cast(pc.cast(col.cast(pa.timestamp("us")),
+                                   pa.int64()), pa.string())
+        if pa.types.is_floating(col.type):
+            raise TypeError("fd_discovery: float columns need the "
+                            "profile render contract — exclude them")
+        return pc.cast(col, pa.string())
+
+    def triples(t: pa.Table) -> pa.Table:
+        rendered = {c: render(t[c]) for c in cols}
+        parts = []
+        for a in cols:
+            for b in cols:
+                if a == b:
+                    continue
+                sub = pa.table({"a": rendered[a], "b": rendered[b]})
+                sub = sub.filter(pc.and_(pc.is_valid(sub["a"]),
+                                         pc.is_valid(sub["b"])))
+                sub = sub.group_by(["a", "b"]).aggregate([])
+                parts.append(pa.table({
+                    "pair": pa.array([f"{a}->{b}"] * len(sub),
+                                     pa.string()),
+                    "a": sub["a"], "b": sub["b"],
+                    "one": pa.array(np.ones(len(sub), np.int64)),
+                }))
+        return pa.concat_tables(parts)
+
+    distinct = grouped_agg(
+        ds.select_columns(list(cols)).map_batches(
+            skip_empty(triples), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=["pair", "a", "b"], aggs=[("one", "sum")], final="ray")
+
+    # distinct triples can be large (~|distinct value pairs|), so the
+    # per-pair counts run as two more DISTRIBUTED groupbys; only the
+    # |pairs|-bounded count tables reach the driver
+    nab = grouped_agg(distinct, ["pair"], [("one_sum", "count")],
+                      final="driver").to_pandas()
+    lhs = grouped_agg(
+        distinct.map_batches(
+            lambda t: t.select(["pair", "a"]).group_by(["pair", "a"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["pair", "a", "c"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        keys=["pair", "a"], aggs=[("c", "count")], final="ray")
+    na = grouped_agg(lhs, ["pair"], [("c_count", "count")],
+                     final="driver").to_pandas()
+
+    merged = (nab.rename(columns={"one_sum_count": "n_ab"})
+              .merge(na.rename(columns={"c_count_count": "n_a"}),
+                     on="pair").sort_values("pair"))
+    ca = merged["pair"].str.split("->").str[0]
+    cb = merged["pair"].str.split("->").str[1]
+    return pa.table({
+        "col_a": pa.array(ca, pa.string()),
+        "col_b": pa.array(cb, pa.string()),
+        "n_distinct_a": pa.array(merged["n_a"].astype("int64")),
+        "n_distinct_ab": pa.array(merged["n_ab"].astype("int64")),
+        "fd_holds": pa.array(
+            (merged["n_a"] == merged["n_ab"]).to_numpy(), pa.bool_()),
+    })
+
+
+def fd_discovery_sql(cols: tuple = _FD_COLS,
+                     table: str = "orders") -> str:
+    selects = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            selects.append(f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+  (SELECT CAST(count(DISTINCT {a}) AS BIGINT) FROM {table}
+   WHERE {a} IS NOT NULL AND {b} IS NOT NULL) AS n_distinct_a,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT DISTINCT {a}, {b} FROM {table}
+      WHERE {a} IS NOT NULL AND {b} IS NOT NULL)) AS n_distinct_ab""")
+    union = "\nUNION ALL\n".join(selects)
+    return (f"SELECT col_a, col_b, n_distinct_a, n_distinct_ab,\n"
+            f"  n_distinct_a = n_distinct_ab AS fd_holds FROM (\n"
+            f"{union}\n) ORDER BY col_a, col_b").strip()

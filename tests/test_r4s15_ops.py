@@ -1404,3 +1404,84 @@ def test_cohort_ltv_duckdb_parity(ray_session):
     out = cohort_ltv(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, cohort_ltv_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ word dropout
+
+def test_word_dropout_brute_force(ray_session):
+    from fluent_server_ray.functions.hashing import md5_u64
+    from fluent_server_ray.stages.hygiene import word_dropout
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "solo",
+                 "   "],
+    })
+    out = (word_dropout(rd.from_pandas(df), p_millis=300).to_pandas()
+           .set_index("doc_id").sort_index())
+    toks = df.loc[0, "text"].split()
+    kept = [w for p, w in enumerate(toks, start=1)
+            if md5_u64(f"wd:1:{p}") % 1000 >= 300]
+    r = out.loc[1]
+    assert r.n_tokens == 6
+    assert r.n_dropped == 6 - len(kept)
+    assert r.text_aug == " ".join(kept)
+    assert out.loc[2].n_tokens == 1
+    assert 3 not in out.index          # token-less doc absent
+
+
+def test_word_dropout_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.hygiene import (word_dropout,
+                                                  word_dropout_sql)
+
+    rng = np.random.default_rng(163)
+    words = ["aa", "bb", "cc", "dd"]
+    df = pd.DataFrame({
+        "doc_id": range(200),
+        "text": [" ".join(rng.choice(words, rng.integers(1, 25)))
+                 for _ in range(200)],
+    })
+    out = word_dropout(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, word_dropout_sql(), view="documents")
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ FD discovery
+
+def test_fd_discovery_planted_dependency(ray_session):
+    """b = f(a) holds; a = f(b) fails (two a's share a b); NULL rows
+    are no evidence."""
+    from fluent_server_ray.stages.profile import fd_discovery
+
+    df = pd.DataFrame({
+        "x": pd.array([1, 1, 2, 3, None], dtype="Int64"),
+        "y": pd.array([10, 10, 20, 20, 99], dtype="Int64"),
+    })
+    out = (fd_discovery(rd.from_pandas(df), cols=("x", "y"))
+           .to_pandas().set_index(["col_a", "col_b"]))
+    xy = out.loc[("x", "y")]
+    assert bool(xy.fd_holds) and xy.n_distinct_a == 3
+    yx = out.loc[("y", "x")]
+    assert not bool(yx.fd_holds)
+    assert yx.n_distinct_a == 2 and yx.n_distinct_ab == 3
+
+
+def test_fd_discovery_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.profile import (fd_discovery,
+                                                  fd_discovery_sql)
+
+    rng = np.random.default_rng(167)
+    n = 400
+    df = pd.DataFrame({
+        "k": np.arange(n),
+        "g": rng.integers(0, 7, n),
+        "s": rng.choice(["p", "q", "r"], n),
+        "t": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 5, n), unit="D"),
+    })
+    cols = ("k", "g", "s", "t")
+    out = fd_discovery(rd.from_pandas(df), cols=cols).to_pandas()
+    duck = _duck_one(df, fd_discovery_sql(cols=cols, table="orders"),
+                     view="orders")
+    _cmp(out, duck)
