@@ -1013,7 +1013,16 @@ def fd_discovery(ds, cols: tuple = _FD_COLS):
 
     merged = (nab.rename(columns={"one_sum_count": "n_ab"})
               .merge(na.rename(columns={"c_count_count": "n_a"}),
-                     on="pair").sort_values("pair"))
+                     on="pair"))
+    # pairs with ZERO co-non-null rows yield no triples at all — the
+    # mirror still emits them (counts 0, fd vacuously TRUE); complete
+    # the grid so both engines return the same row set
+    import pandas as _pd
+
+    all_pairs = _pd.DataFrame(
+        {"pair": [f"{a}->{b}" for a in cols for b in cols if a != b]})
+    merged = (all_pairs.merge(merged, on="pair", how="left")
+              .fillna({"n_a": 0, "n_ab": 0}).sort_values("pair"))
     ca = merged["pair"].str.split("->").str[0]
     cb = merged["pair"].str.split("->").str[1]
     return pa.table({

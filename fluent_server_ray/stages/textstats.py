@@ -5379,8 +5379,12 @@ def extractive_summary(ds, id_col: str = "doc_id",
             sc = (pa.table({"r": tt["r"], "w": w}).group_by("r")
                   .aggregate([("w", "sum")]).to_pandas()
                   .set_index("r")["w_sum"])
-            sf["score"] = sc.reindex(range(len(sf)),
-                                     fill_value=0).to_numpy()
+            # reindex fills MISSING rows; a sentence whose every
+            # token misses the vocab (terminator-stripped forms)
+            # arrives as NaN from the all-null Arrow sum — both mean
+            # "no scored token", which the mirror COALESCEs to 0
+            sf["score"] = (sc.reindex(range(len(sf)), fill_value=0)
+                           .fillna(0).to_numpy())
         else:
             sf["score"] = 0
         sf["score"] = sf["score"].astype("int64")

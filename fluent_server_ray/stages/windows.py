@@ -3286,10 +3286,7 @@ def fifo_allocation(ds, key_col: str = "user_id", ts_col: str = "ts",
         s_cum = sup.groupby(key_col, sort=False)["_c"].cumsum()
         lots = pd.DataFrame({key_col: sup[key_col], "s": s_cum})
         keys = sorted(set(g[key_col]))
-        per_sup = sup.groupby(key_col, sort=True)["_c"]
         out = []
-        s_tot = per_sup.sum()
-        n_lots = per_sup.size()
         dmap = d_tot.to_dict()
         grouped_s = {k: v["s"].to_numpy(dtype=np.int64)
                      for k, v in lots.groupby(key_col, sort=False)}
@@ -3398,7 +3395,11 @@ def cohort_ltv(ds, user_col: str = "user_id", ts_col: str = "ts",
                        pc.is_valid(t[value_col]))
         t = t.filter(keep)
         wk = pc.divide(_epoch_day(t[ts_col]), 7)
-        rev = pc.if_else(pc.equal(t[type_col], revenue_type),
+        # fill_null: NULL event_type is non-revenue (mirror's CASE
+        # WHEN hits the ELSE 0 branch), not a NULL rev that would
+        # poison the cell sum
+        rev = pc.if_else(pc.fill_null(pc.equal(t[type_col],
+                                               revenue_type), False),
                          _cents(t[value_col]),
                          pa.scalar(0, pa.int64()))
         prep = pa.table({"user": pc.cast(t[user_col], pa.int64()),

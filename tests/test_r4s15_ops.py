@@ -1485,3 +1485,60 @@ def test_fd_discovery_duckdb_parity(ray_session):
     duck = _duck_one(df, fd_discovery_sql(cols=cols, table="orders"),
                      view="orders")
     _cmp(out, duck)
+
+
+# ------------------------------------------------ review regressions
+
+def test_extractive_summary_vocab_missing_sentence(ray_session):
+    """Sentence whose only token exists in the vocab solely in its
+    terminator-attached form ('Wow.' vs 'Wow') scores 0, not NaN —
+    engine/mirror parity on the degenerate doc."""
+    from fluent_server_ray.stages.textstats import (
+        extractive_summary, extractive_summary_sql)
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["Wow. It works.", "plain text here"]})
+    out = extractive_summary(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, extractive_summary_sql(), view="documents")
+    _cmp(out, duck)
+    r1 = out[out.doc_id == 1].iloc[0]
+    assert r1.n_sentences == 2
+
+
+def test_cohort_ltv_null_event_type(ray_session):
+    """NULL event_type rows are non-revenue activity, not poison."""
+    from fluent_server_ray.stages.windows import cohort_ltv, cohort_ltv_sql
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": pd.to_datetime(["1970-01-01", "1970-01-02",
+                              "1970-01-09"]),
+        "event_type": [None, "purchase", None],
+        "value": [5.0, 2.0, 3.0],
+    })
+    out = cohort_ltv(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, cohort_ltv_sql())
+    _cmp(out, duck)
+    assert out[(out.cohort_week == 0)
+               & (out.age_weeks == 0)].revenue_cents.iloc[0] == 200
+
+
+def test_fd_discovery_all_null_column(ray_session):
+    """A fully-NULL column has zero co-non-null evidence with every
+    partner: those pairs still appear (counts 0, vacuously TRUE) —
+    same row set as the mirror."""
+    from fluent_server_ray.stages.profile import (fd_discovery,
+                                                  fd_discovery_sql)
+
+    df = pd.DataFrame({
+        "x": pd.array([1, 2, 3], dtype="Int64"),
+        "y": pd.array([None, None, None], dtype="Int64"),
+    })
+    out = fd_discovery(rd.from_pandas(df), cols=("x", "y")).to_pandas()
+    duck = _duck_one(df, fd_discovery_sql(cols=("x", "y"),
+                                          table="orders"),
+                     view="orders")
+    _cmp(out, duck)
+    assert len(out) == 2
+    ny = out.set_index(["col_a", "col_b"]).loc[("y", "x")]
+    assert ny.n_distinct_a == 0 and bool(ny.fd_holds)
