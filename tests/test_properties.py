@@ -682,3 +682,182 @@ def test_twap_matches_brute_integral(ray_session, rows):
             assert r["twap_millicents"] == num * 1000 // span
         else:
             assert pd.isna(r["twap_millicents"])
+
+
+# ---------------- round-4 session-15 operator properties ----------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4),            # user
+                  st.integers(0, 5000),         # seconds offset
+                  st.sampled_from(["purchase", "click", "view"]),
+                  st.integers(1, 500)),         # cents (positive)
+        min_size=1, max_size=80),
+)
+@settings(max_examples=15, deadline=None)
+def test_clamped_balance_matches_sequential_replay(ray_session, rows):
+    """max-plus identity == the obvious per-event max(0, b+d) loop,
+    for any interleaving of credits/debits (equal timestamps break
+    ties by event_id)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import clamped_balance
+
+    df = pd.DataFrame(rows, columns=["user_id", "off", "event_type",
+                                     "cents"])
+    df["event_id"] = np.arange(len(df))
+    df["ts"] = (pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(df["off"], unit="s"))
+    df["value"] = df["cents"] / 100.0
+    got = clamped_balance(
+        rd.from_pandas(df[["user_id", "ts", "event_type", "value",
+                           "event_id"]])).to_pandas()
+    if got.empty:          # all rows excluded -> typed empty frame
+        got = pd.DataFrame(columns=["user_id", "final_balance_cents",
+                                    "clamp_count", "n_events"])
+    got = got.set_index("user_id").sort_index()
+
+    sub = df[df.event_type.isin(["purchase", "click"])]
+    seen = set()
+    for u, g in sub.sort_values(["ts", "event_id"]).groupby("user_id"):
+        seen.add(u)
+        b, clamps = 0, 0
+        for _, r in g.iterrows():
+            d = int(r.cents) if r.event_type == "purchase" \
+                else -int(r.cents)
+            if b + d < 0:
+                clamps += 1
+            b = max(0, b + d)
+        row = got.loc[u]
+        assert row.final_balance_cents == b
+        assert row.clamp_count == clamps
+        assert row.n_events == len(g)
+    assert set(got.index) == seen
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3),
+                  st.integers(0, 3000),
+                  st.sampled_from(["signup", "click", "error"]),
+                  st.integers(1, 300)),
+        min_size=1, max_size=80),
+)
+@settings(max_examples=15, deadline=None)
+def test_cdc_apply_matches_dict_replay(ray_session, rows):
+    """Boundary-segmented vectorized replay == the obvious stateful
+    dict replay with existence checks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import cdc_apply
+
+    df = pd.DataFrame(rows, columns=["user_id", "off", "event_type",
+                                     "cents"])
+    df["event_id"] = np.arange(len(df))
+    df["ts"] = (pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(df["off"], unit="s"))
+    df["value"] = df["cents"] / 100.0
+    got = cdc_apply(
+        rd.from_pandas(df[["user_id", "ts", "event_type", "value",
+                           "event_id"]])).to_pandas()
+    if got.empty:          # no user exists at end -> typed empty frame
+        got = pd.DataFrame(columns=["user_id", "final_value_cents"])
+    got = got.set_index("user_id").sort_index()
+
+    state = {}
+    for _, r in df.sort_values(["ts", "event_id"]).iterrows():
+        u, c = r.user_id, int(r.cents)
+        if r.event_type == "signup":
+            state[u] = c
+        elif r.event_type == "click":
+            if u in state:
+                state[u] = c
+        else:
+            state.pop(u, None)
+    assert set(got.index) == set(state)
+    for u, c in state.items():
+        assert got.loc[u].final_value_cents == c
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3),
+                  st.integers(0, 3000),
+                  st.sampled_from(["purchase", "click"]),
+                  st.integers(1, 400)),
+        min_size=1, max_size=60),
+)
+@settings(max_examples=15, deadline=None)
+def test_fifo_allocation_matches_greedy_loop(ray_session, rows):
+    """Closed-form clamp == the obvious greedy FIFO lot-consumption
+    loop."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.windows import fifo_allocation
+
+    df = pd.DataFrame(rows, columns=["user_id", "off", "event_type",
+                                     "cents"])
+    df["event_id"] = np.arange(len(df))
+    df["ts"] = (pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(df["off"], unit="s"))
+    df["value"] = df["cents"] / 100.0
+    got = fifo_allocation(
+        rd.from_pandas(df[["user_id", "ts", "event_type", "value",
+                           "event_id"]])).to_pandas() \
+        .set_index("user_id").sort_index()
+
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        lots = [int(c) for c, t in zip(g.cents, g.event_type)
+                if t == "purchase"]
+        demand = sum(int(c) for c, t in zip(g.cents, g.event_type)
+                     if t == "click")
+        rem, full, partial = demand, 0, 0
+        for lot in lots:
+            if rem >= lot:
+                rem -= lot
+                full += 1
+            else:
+                partial = rem
+                rem = 0
+                break
+        row = got.loc[u]
+        assert row.n_lots == len(lots)
+        assert row.matched_cents == min(demand, sum(lots))
+        assert row.n_lots_full == full
+        assert row.partial_lot_cents == partial
+
+
+@given(seq=st.lists(st.integers(-100, 100), min_size=1, max_size=25))
+@settings(max_examples=20, deadline=None)
+def test_daily_lis_matches_quadratic_dp(ray_session, seq):
+    """Patience-sort LIS/LDS == the O(n²) DP on arbitrary daily
+    series (duplicates force the strictness contract)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_server_ray.stages.features import daily_lis
+
+    ts = pd.to_datetime(np.arange(len(seq)) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": np.array(seq) / 100.0})
+    got = daily_lis(rd.from_pandas(df)).to_pandas().iloc[0]
+
+    def dp(s, up=True):
+        best = [1] * len(s)
+        for i in range(len(s)):
+            for j in range(i):
+                if (s[j] < s[i]) if up else (s[j] > s[i]):
+                    best[i] = max(best[i], best[j] + 1)
+        return max(best)
+
+    assert got.lis == dp(seq, True)
+    assert got.lds == dp(seq, False)
