@@ -4971,6 +4971,29 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_sn_scale(sf_dir: str):
+    """Rousseeuw-Croux Sn robust scale of daily cents per event_type
+    — nested exact order-statistic picks on the bounded daily
+    table."""
+    from fluent_server_ray.stages.features import sn_scale
+
+    return sn_scale(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
+def _q_burstiness(sf_dir: str):
+    """Goh-Barabási burstiness of within-user inter-event gaps per
+    event type — exact pooled moments via one user-bucket exchange,
+    one float tree."""
+    from fluent_server_ray.stages.features import burstiness
+
+    return burstiness(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "user_id", "ts",
+                                    "event_id"]))
+
+
 def _q_word_dropout(sf_dir: str):
     """Deterministic md5-Bernoulli word-dropout augmentation — both
     engines drop identical tokens; survivors re-join with single
@@ -5625,6 +5648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_yules_k": _q_yules_k,
         "events_daily_lis": _q_daily_lis,
         "doc_word_dropout": _q_word_dropout,
+        "events_sn_scale": _q_sn_scale,
+        "events_burstiness": _q_burstiness,
         "orders_fd_discovery": _q_fd_discovery,
         "users_cohort_ltv": _q_cohort_ltv,
         "events_kendalls_w": _q_kendalls_w,
@@ -6525,6 +6550,8 @@ WITH toks AS (
         "source_yules_k": textstats.yules_k_sql(),
         "events_daily_lis": features.daily_lis_sql(),
         "doc_word_dropout": hygiene.word_dropout_sql(),
+        "events_sn_scale": features.sn_scale_sql(),
+        "events_burstiness": features.burstiness_sql(),
         "orders_fd_discovery": profile.fd_discovery_sql(),
         "users_cohort_ltv": windows.cohort_ltv_sql(),
         "events_kendalls_w": features.kendalls_w_sql(),

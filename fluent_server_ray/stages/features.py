@@ -9350,3 +9350,237 @@ SELECT nn.g AS {group_col}, nn.n_days,
   (SELECT CAST(max(len) AS BIGINT) FROM dn WHERE dn.g = nn.g) AS lds
 FROM nn ORDER BY nn.g
 """.strip()
+
+
+# ------------------------------------------- Rousseeuw-Croux Sn
+
+def sn_scale(ds, group_col: str = "event_type", ts_col: str = "ts",
+             value_col: str = "value") -> pa.Table:
+    """Rousseeuw–Croux Sn robust scale of the daily cents series per
+    group (Rousseeuw & Croux 1993) — the 50%-breakdown scale estimator
+    that, unlike MAD, needs no location estimate and keeps 58%
+    Gaussian efficiency: ``Sn* = lomed_i himed_{j≠i} |x_i − x_j|``.
+
+    Exact contract: the nested medians are ORDER-STATISTIC PICKS on
+    exact int64 daily totals — ``himed`` is the ``(⌊n/2⌋+1)``-th
+    smallest of row i's n−1 absolute differences, ``lomed`` the
+    ``⌊(n+1)/2⌋``-th smallest of those n picks — values that EXIST in
+    the difference multiset, so both engines pick identical integers
+    (the 1.1926 consistency constant is left OFF — contract; apply it
+    downstream). Groups need n ≥ 2. NULL group/ts/value rows excluded.
+    O(n²) on the calendar-bounded daily table. Output:
+    (group, n_days, sn_cents) sorted by group.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({"g": t[group_col],
+                         "_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "n": [], "sn": []}
+    for g, sub in daily.groupby("g", sort=True):
+        c = sub["cents_sum"].to_numpy(dtype=np.int64)
+        n = len(c)
+        if n < 2:
+            continue
+        diffs = np.abs(c[:, None] - c[None, :])
+        picks = []
+        k_hi = n // 2 + 1                   # himed rank among n-1
+        for i in range(n):
+            row = np.delete(diffs[i], i)
+            picks.append(int(np.partition(row, k_hi - 1)[k_hi - 1]))
+        k_lo = (n + 1) // 2
+        sn = int(np.partition(np.asarray(picks), k_lo - 1)[k_lo - 1])
+        out["g"].append(g)
+        out["n"].append(n)
+        out["sn"].append(sn)
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "n_days": pa.array(out["n"], pa.int64()),
+        "sn_cents": pa.array(out["sn"], pa.int64()),
+    })
+
+
+def sn_scale_sql(group_col: str = "event_type", ts_col: str = "ts",
+                 value_col: str = "value",
+                 table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), d AS (
+  SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS i, c,
+    count(*) OVER (PARTITION BY g) AS n
+  FROM daily
+), diffs AS (
+  SELECT a.g, a.i, a.n, abs(a.c - b.c) AS ad
+  FROM d a JOIN d b ON b.g = a.g AND b.i != a.i
+), hi AS (
+  SELECT g, i, max(n) AS n,
+    max(CASE WHEN rn = max_rank THEN ad END) AS himed
+  FROM (SELECT *, row_number() OVER (PARTITION BY g, i ORDER BY ad)
+          AS rn, n // 2 + 1 AS max_rank
+        FROM diffs)
+  GROUP BY g, i
+), lo AS (
+  SELECT g, max(n) AS n,
+    max(CASE WHEN rn = (n + 1) // 2 THEN himed END) AS sn
+  FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY himed, i)
+          AS rn FROM hi)
+  GROUP BY g
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_days,
+  CAST(sn AS BIGINT) AS sn_cents
+FROM lo WHERE n >= 2 ORDER BY g
+""".strip()
+
+
+# ------------------------------------------- burstiness
+
+def burstiness(ds, group_col: str = "event_type",
+               user_col: str = "user_id", ts_col: str = "ts",
+               n_buckets: int = 64) -> pa.Table:
+    """Goh–Barabási burstiness of inter-event times per event type
+    (Goh & Barabási 2008): ``B = (σ − μ)/(σ + μ)`` over the pooled
+    WITHIN-USER gap seconds — B → −1 for clockwork streams, 0 for
+    Poisson, → +1 for extreme bursts. Gaps are computed inside each
+    user's per-type stream (cross-user gaps are meaningless), pooled
+    per type.
+
+    Exact contract: gaps are exact integer seconds (µs floor-div;
+    (ts, event_id) tie order); the pooled moments (n, Σd, Σd² split
+    hi/lo) merge as exact ints; μ, the population variance
+    ``(n·SS − S²)/(n·n)`` and B are ONE shared float tree (B NULL
+    when σ + μ = 0). NULL user/ts rows excluded; users contribute
+    gaps only from their 2nd event per type on.
+
+    Shape: ONE user-bucket exchange; per bucket the lag/diff is a
+    segmented pandas kernel over all (user, type) streams at once;
+    per-type moment partials merge on the driver (|types|·buckets
+    rows). Output: (group, n_gaps, sum_gap_s, mu, sigma, burstiness)
+    sorted by group.
+    """
+    import math
+
+    import pandas as pd
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[user_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[group_col]))
+        t = t.filter(keep)
+        return pa.table({
+            user_col: t[user_col],
+            "g": t[group_col],
+            "_s": pc.divide(
+                t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                1_000_000),
+            "_id": t["event_id"],
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "g", "_s", "_id"],
+                          kind="mergesort")
+        gap = g.groupby([user_col, "g"], sort=False)["_s"].diff()
+        ok = gap.notna()
+        d = gap[ok].astype("int64")
+        ty = g["g"][ok]
+        agg = pd.DataFrame({"ty": ty, "d": d})
+        if agg.empty:
+            return pd.DataFrame(columns=["g", "n", "s",
+                                         "ss_hi", "ss_lo"])
+        # gap ≤ corpus span in seconds, so d² fits int64 comfortably;
+        # only the SUM of squares needs the hi/lo split
+        sq = agg["d"].to_numpy(dtype=np.int64) ** 2
+        agg["ss_hi"] = sq // _SS_SPLIT
+        agg["ss_lo"] = sq % _SS_SPLIT
+        out = (agg.groupby("ty", as_index=False)
+               .agg(n=("d", "size"), s=("d", "sum"),
+                    ss_hi=("ss_hi", "sum"), ss_lo=("ss_lo", "sum")))
+        return out.rename(columns={"ty": "g"})
+
+    cols = ds.select_columns([user_col, group_col, ts_col, "event_id"])
+    bucketed = _with_bucket(
+        cols.map_batches(skip_empty(prep), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        user_col, n_buckets)
+    parts = grouped_agg(
+        bucketed.groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas"),
+        ["g"], [("n", "sum"), ("s", "sum"), ("ss_hi", "sum"),
+                ("ss_lo", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "n": [], "s": [], "mu": [], "sig": [], "b": []}
+    for _, r in parts.sort_values("g").iterrows():
+        n = int(r["n_sum"])
+        s = int(r["s_sum"])
+        ss = int(r["ss_hi_sum"]) * _SS_SPLIT + int(r["ss_lo_sum"])
+        mu = float(s) / float(n)
+        var = float(n * ss - s * s) / float(n * n)
+        sig = math.sqrt(var)
+        b = (sig - mu) / (sig + mu) if sig + mu != 0 else None
+        out["g"].append(r["g"])
+        out["n"].append(n)
+        out["s"].append(s)
+        out["mu"].append(mu)
+        out["sig"].append(sig)
+        out["b"].append(b)
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "n_gaps": pa.array(out["n"], pa.int64()),
+        "sum_gap_s": pa.array(out["s"], pa.int64()),
+        "mu": pa.array(out["mu"], pa.float64()),
+        "sigma": pa.array(out["sig"], pa.float64()),
+        "burstiness": pa.array(out["b"], pa.float64()),
+    })
+
+
+def burstiness_sql(group_col: str = "event_type",
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   table: str = "events") -> str:
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS u, {group_col} AS g,
+    epoch_us({ts_col}) // 1000000 AS s, event_id
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {group_col} IS NOT NULL
+), gaps AS (
+  SELECT g,
+    s - lag(s) OVER (PARTITION BY u, g ORDER BY s, event_id) AS d
+  FROM base
+), agg AS (
+  SELECT g, CAST(count(d) AS BIGINT) AS n,
+    CAST(sum(d) AS BIGINT) AS s,
+    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS ss
+  FROM gaps WHERE d IS NOT NULL GROUP BY g
+), st AS (
+  SELECT g, n, s,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+    sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS sigma
+  FROM agg
+)
+SELECT g AS {group_col}, n AS n_gaps, s AS sum_gap_s, mu, sigma,
+  CASE WHEN sigma + mu != 0
+    THEN (sigma - mu) / (sigma + mu) END AS burstiness
+FROM st ORDER BY g
+""".strip()

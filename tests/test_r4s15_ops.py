@@ -1542,3 +1542,85 @@ def test_fd_discovery_all_null_column(ray_session):
     assert len(out) == 2
     ny = out.set_index(["col_a", "col_b"]).loc[("y", "x")]
     assert ny.n_distinct_a == 0 and bool(ny.fd_holds)
+
+
+# ------------------------------------------------ Sn scale
+
+def test_sn_scale_brute_force(ray_session):
+    """Nested-median picks recomputed with a plain double loop."""
+    from fluent_server_ray.stages.features import sn_scale
+
+    rng = np.random.default_rng(173)
+    n_days = 11
+    cents = rng.integers(100, 50000, n_days)
+    ts = pd.to_datetime(np.arange(n_days) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": cents / 100.0})
+    out = sn_scale(rd.from_pandas(df)).to_pandas().iloc[0]
+    k_hi = n_days // 2 + 1
+    picks = []
+    for i in range(n_days):
+        row = sorted(abs(int(cents[i]) - int(cents[j]))
+                     for j in range(n_days) if j != i)
+        picks.append(row[k_hi - 1])
+    k_lo = (n_days + 1) // 2
+    assert out.sn_cents == sorted(picks)[k_lo - 1]
+    assert out.n_days == n_days
+
+
+def test_sn_scale_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import sn_scale, sn_scale_sql
+
+    rng = np.random.default_rng(179)
+    n = 500
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 28 * 86400, n), unit="s"),
+        "value": rng.integers(-200, 9000, n) / 100.0,
+    })
+    out = sn_scale(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, sn_scale_sql())
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ burstiness
+
+def test_burstiness_clockwork_vs_bursty(ray_session):
+    """Perfectly regular gaps -> sigma=0 -> B = -1; highly dispersed
+    gaps -> B > 0."""
+    from fluent_server_ray.stages.features import burstiness
+
+    rows = []
+    for i in range(20):                      # clockwork: gap = 100 s
+        rows.append((1, "reg", 100 * i, i))
+    bursty = [0, 1, 2, 3, 4, 10000, 10001, 10002, 20000]
+    for k, s in enumerate(bursty):           # bursts
+        rows.append((1, "bur", s, 100 + k))
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "s",
+                                     "event_id"])
+    df["ts"] = pd.to_datetime(df["s"], unit="s")
+    out = (burstiness(rd.from_pandas(
+        df[["user_id", "event_type", "ts", "event_id"]]))
+        .to_pandas().set_index("event_type"))
+    assert out.loc["reg"].burstiness == -1.0
+    assert out.loc["reg"].sigma == 0.0
+    assert out.loc["bur"].burstiness > 0.2
+
+
+def test_burstiness_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (burstiness,
+                                                   burstiness_sql)
+
+    rng = np.random.default_rng(181)
+    n = 700
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 20 * 86400, n), unit="s"),
+        "event_id": np.arange(n),
+    })
+    out = burstiness(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, burstiness_sql())
+    _cmp(out, duck)
