@@ -4971,6 +4971,16 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_hoover(sf_dir: str):
+    """Hoover redistribution index of per-user cents per event_type —
+    exact integer deviation mass |n·x − S|, one division."""
+    from fluent_server_ray.stages.features import hoover_index
+
+    return hoover_index(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "user_id", "value"]))
+
+
 def _q_sn_scale(sf_dir: str):
     """Rousseeuw-Croux Sn robust scale of daily cents per event_type
     — nested exact order-statistic picks on the bounded daily
@@ -5649,6 +5659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_lis": _q_daily_lis,
         "doc_word_dropout": _q_word_dropout,
         "events_sn_scale": _q_sn_scale,
+        "events_hoover_index": _q_hoover,
         "events_burstiness": _q_burstiness,
         "orders_fd_discovery": _q_fd_discovery,
         "users_cohort_ltv": _q_cohort_ltv,
@@ -6551,6 +6562,7 @@ WITH toks AS (
         "events_daily_lis": features.daily_lis_sql(),
         "doc_word_dropout": hygiene.word_dropout_sql(),
         "events_sn_scale": features.sn_scale_sql(),
+        "events_hoover_index": features.hoover_index_sql(),
         "events_burstiness": features.burstiness_sql(),
         "orders_fd_discovery": profile.fd_discovery_sql(),
         "users_cohort_ltv": windows.cohort_ltv_sql(),

@@ -9584,3 +9584,136 @@ SELECT g AS {group_col}, n AS n_gaps, s AS sum_gap_s, mu, sigma,
     THEN (sigma - mu) / (sigma + mu) END AS burstiness
 FROM st ORDER BY g
 """.strip()
+
+
+# ------------------------------------------- Hoover index
+
+def hoover_index(ds, group_col: str = "event_type",
+                 user_col: str = "user_id",
+                 value_col: str = "value") -> pa.Table:
+    """Hoover (Robin Hood) inequality index of per-user cents totals
+    per group — "what share of total value would have to move between
+    users to equalize them": ``H = Σ|x_i − μ| / (2·Σx)``. The
+    redistribution-share complement of the rank-based Gini already in
+    the registry.
+
+    Exact contract: with n users and total S, ``|x_i − μ| = |n·x_i −
+    S| / n``, so the deviation mass ``D = Σ|n·x_i − S|`` is an EXACT
+    integer (hi/lo-split partials; python-int recombine) and
+    ``H = float(D) / float(2·n·S)`` is ONE division (NULL when
+    2·n·S = 0). NULL user/value rows excluded.
+
+    Shape: distributed per-(group, user) merge, materialized once for
+    its two consumers — the bounded (group, n, S) probe and the
+    deviation pass (n/S broadcast via closure). Output:
+    (group, n_users, total_cents, dev_mass, hoover) sorted by group.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def per_gu(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[user_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        prep = pa.table({"g": t[group_col],
+                         "user": pc.cast(t[user_col], pa.int64()),
+                         "c": _cents(t[value_col])})
+        out = prep.group_by(["g", "user"]).aggregate([("c", "sum")])
+        return out.rename_columns(["g", "user", "c"])
+
+    per_gu_ds = grouped_agg(
+        ds.map_batches(skip_empty(per_gu), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["g", "user"], aggs=[("c", "sum")],
+        final="ray").materialize()
+
+    def totals(t: pa.Table) -> pa.Table:
+        sub = pa.table({"g": t["g"], "c": t["c_sum"],
+                        "one": pa.array(np.ones(len(t), np.int64))})
+        out = sub.group_by(["g"]).aggregate([("c", "sum"),
+                                             ("one", "sum")])
+        return out.rename_columns(["g", "s", "n"])
+
+    tot = grouped_agg(
+        per_gu_ds.map_batches(skip_empty(totals),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["g"], [("s", "sum"), ("n", "sum")],
+        final="driver").to_pandas()
+    ns = {r["g"]: (int(r["n_sum"]), int(r["s_sum"]))
+          for _, r in tot.iterrows()}
+
+    def dev(t: pa.Table) -> pa.Table:
+        gs = t["g"].to_pylist()
+        x = t["c_sum"].to_numpy(zero_copy_only=False).astype(object)
+        rows = {"g": [], "hi": [], "lo": []}
+        import pandas as pd
+
+        df = pd.DataFrame({"g": gs, "x": x})
+        for g, sub in df.groupby("g", sort=False):
+            n, s = ns[g]
+            d = sum(abs(n * int(v) - s) for v in sub["x"])
+            rows["g"].append(g)
+            rows["hi"].append(int(d // _SS_SPLIT))
+            rows["lo"].append(int(d % _SS_SPLIT))
+        return pa.table({"g": pa.array(rows["g"], pa.string()),
+                         "hi": pa.array(rows["hi"], pa.int64()),
+                         "lo": pa.array(rows["lo"], pa.int64())})
+
+    parts = grouped_agg(
+        per_gu_ds.map_batches(skip_empty(dev), batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["g"], [("hi", "sum"), ("lo", "sum")],
+        final="driver").to_pandas()
+
+    out = {"g": [], "n": [], "s": [], "d": [], "h": []}
+    for _, r in parts.sort_values("g").iterrows():
+        g = r["g"]
+        n, s = ns[g]
+        d = int(r["hi_sum"]) * _SS_SPLIT + int(r["lo_sum"])
+        if d >= 2 ** 63:
+            raise ValueError("hoover_index: deviation mass exceeds "
+                             "int64 — rescale value upstream")
+        den = 2 * n * s
+        out["g"].append(g)
+        out["n"].append(n)
+        out["s"].append(s)
+        out["d"].append(d)
+        out["h"].append(float(d) / float(den) if den != 0 else None)
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "n_users": pa.array(out["n"], pa.int64()),
+        "total_cents": pa.array(out["s"], pa.int64()),
+        "dev_mass": pa.array(out["d"], pa.int64()),
+        "hoover": pa.array(out["h"], pa.float64()),
+    })
+
+
+def hoover_index_sql(group_col: str = "event_type",
+                     user_col: str = "user_id",
+                     value_col: str = "value",
+                     table: str = "events") -> str:
+    return f"""
+WITH u AS (
+  SELECT {group_col} AS g, {user_col} AS user_id,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {user_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT)
+    AS s
+  FROM u GROUP BY g
+), devs AS (
+  SELECT u.g, CAST(sum(abs(CAST(t.n AS HUGEINT) * u.c - t.s))
+    AS BIGINT) AS d
+  FROM u JOIN tot t USING (g) GROUP BY u.g
+)
+SELECT t.g AS {group_col}, t.n AS n_users, t.s AS total_cents,
+  d.d AS dev_mass,
+  CASE WHEN 2 * CAST(t.n AS HUGEINT) * t.s != 0 THEN
+    CAST(d.d AS DOUBLE)
+    / CAST(2 * CAST(t.n AS HUGEINT) * t.s AS DOUBLE) END AS hoover
+FROM tot t JOIN devs d USING (g) ORDER BY t.g
+""".strip()

@@ -1624,3 +1624,39 @@ def test_burstiness_duckdb_parity(ray_session):
     out = burstiness(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, burstiness_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ Hoover index
+
+def test_hoover_hand_pin(ray_session):
+    """Users with cents 100, 300: mu=200, D=|2*100-400|+|2*300-400| =
+    400, H = 400/(2*2*400) = 0.25 (move 25% of mass to equalize).
+    Perfect equality -> H = 0."""
+    from fluent_server_ray.stages.features import hoover_index
+
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "b", "b"],
+        "user_id": [1, 2, 1, 2],
+        "value": [1.0, 3.0, 2.0, 2.0],
+    })
+    out = (hoover_index(rd.from_pandas(df)).to_pandas()
+           .set_index("event_type"))
+    a = out.loc["a"]
+    assert a.dev_mass == 400 and a.hoover == 0.25
+    assert out.loc["b"].hoover == 0.0
+
+
+def test_hoover_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (hoover_index,
+                                                   hoover_index_sql)
+
+    rng = np.random.default_rng(191)
+    n = 600
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], n),
+        "user_id": rng.integers(0, 50, n),
+        "value": rng.integers(-100, 9000, n) / 100.0,
+    })
+    out = hoover_index(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, hoover_index_sql())
+    _cmp(out, duck)
