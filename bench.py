@@ -200,7 +200,12 @@ def run_once() -> dict:
                   "doc_autocomplete_topk", "nation_revenue_q5",
                   "doc_nb_langid", "multimodal_phash_dupes",
                   "supplier_sole_late_q21", "orders_nested_lines",
-                  "doc_gazetteer_tags", "events_rule_matches"):
+                  "doc_gazetteer_tags", "events_rule_matches",
+                  "events_weekly_periodogram",
+                  "events_pairwise_perm_bh",
+                  "events_merkle_fingerprint", "user_cdc_apply",
+                  "doc_extractive_summary", "users_cohort_ltv",
+                  "source_yules_k", "events_bootstrap_mean_ci"):
         # best-of-2: the box shows time-varying hypervisor steal
         # (BASELINE.md "round-4 end-of-round confirm"); the min of
         # two reps estimates the true cost like flagship's min-of-3.
