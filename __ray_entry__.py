@@ -4971,6 +4971,55 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_verbosity(sf_dir: str):
+    """Per-tenant assistant-vs-user verbosity over the flagship routed
+    path — per-batch char/turn combiner on the fused
+    parse+enrich+route output, tiny final merge, one float tree."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from fluent_server_ray.pipelines.flagship import build_routed
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    routed = build_routed(sf_dir, columns=["tenant", "role", "text"])
+
+    def partial(t: _pa.Table) -> _pa.Table:
+        chars = _pc.utf8_length(_pc.fill_null(t["text"], ""))
+        is_a = _pc.equal(t["role"], "assistant")
+        is_u = _pc.equal(t["role"], "user")
+        z = _pa.scalar(0, _pa.int64())
+        prep = _pa.table({
+            "tenant": t["tenant"],
+            "ac": _pc.if_else(is_a, _pc.cast(chars, _pa.int64()), z),
+            "uc": _pc.if_else(is_u, _pc.cast(chars, _pa.int64()), z),
+            "at": _pc.cast(is_a, _pa.int64()),
+            "ut": _pc.cast(is_u, _pa.int64()),
+        })
+        out = prep.group_by(["tenant"]).aggregate(
+            [("ac", "sum"), ("uc", "sum"), ("at", "sum"),
+             ("ut", "sum")])
+        return out.rename_columns(["tenant", "ac", "uc", "at", "ut"])
+
+    agg = grouped_agg(
+        routed.map_batches(skip_empty(partial), batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["tenant"], [("ac", "sum"), ("uc", "sum"), ("at", "sum"),
+                     ("ut", "sum")], final="driver").to_pandas()
+    agg = agg.sort_values("tenant")
+    ratio = [
+        (float(a) / float(u)) if u > 0 else None
+        for a, u in zip(agg["ac_sum"], agg["uc_sum"])
+    ]
+    return _pa.table({
+        "tenant": _pa.array(agg["tenant"], _pa.string()),
+        "assistant_chars": _pa.array(agg["ac_sum"].astype("int64")),
+        "user_chars": _pa.array(agg["uc_sum"].astype("int64")),
+        "assistant_turns": _pa.array(agg["at_sum"].astype("int64")),
+        "user_turns": _pa.array(agg["ut_sum"].astype("int64")),
+        "verbosity_ratio": _pa.array(ratio, _pa.float64()),
+    })
+
+
 def _q_hoover(sf_dir: str):
     """Hoover redistribution index of per-user cents per event_type —
     exact integer deviation mass |n·x − S|, one division."""
@@ -5660,6 +5709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_dropout": _q_word_dropout,
         "events_sn_scale": _q_sn_scale,
         "events_hoover_index": _q_hoover,
+        "transcripts_verbosity_by_tenant": _q_verbosity,
         "events_burstiness": _q_burstiness,
         "orders_fd_discovery": _q_fd_discovery,
         "users_cohort_ltv": _q_cohort_ltv,
@@ -6563,6 +6613,8 @@ WITH toks AS (
         "doc_word_dropout": hygiene.word_dropout_sql(),
         "events_sn_scale": features.sn_scale_sql(),
         "events_hoover_index": features.hoover_index_sql(),
+        "transcripts_verbosity_by_tenant":
+            oracle.verbosity_by_tenant_sql(),
         "events_burstiness": features.burstiness_sql(),
         "orders_fd_discovery": profile.fd_discovery_sql(),
         "users_cohort_ltv": windows.cohort_ltv_sql(),

@@ -79,3 +79,31 @@ def first_turn_sql() -> str:
         + "\nSELECT conv_id, arg_min(text, turn_idx) AS first_text,"
         " min(turn_idx) AS first_turn FROM routed GROUP BY conv_id"
     )
+
+
+def verbosity_by_tenant_sql() -> str:
+    """Per-tenant role-verbosity panel over ROUTED turns: assistant vs
+    user character mass and turn counts, plus the assistant/user char
+    ratio — the 'who is doing the talking' usage readout (lengths are
+    CHARACTERS ≡ DuckDB ``length``; the ratio is one float division,
+    NULL when the tenant has no user characters)."""
+    return (
+        with_pipeline_ctes()
+        + """
+SELECT tenant,
+  CAST(sum(CASE WHEN role = 'assistant' THEN length(text)
+      ELSE 0 END) AS BIGINT) AS assistant_chars,
+  CAST(sum(CASE WHEN role = 'user' THEN length(text)
+      ELSE 0 END) AS BIGINT) AS user_chars,
+  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+    AS BIGINT) AS assistant_turns,
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+    AS user_turns,
+  CASE WHEN sum(CASE WHEN role = 'user' THEN length(text)
+       ELSE 0 END) > 0 THEN
+    CAST(sum(CASE WHEN role = 'assistant' THEN length(text)
+        ELSE 0 END) AS DOUBLE)
+    / CAST(sum(CASE WHEN role = 'user' THEN length(text)
+        ELSE 0 END) AS DOUBLE) END AS verbosity_ratio
+FROM routed GROUP BY tenant"""
+    )

@@ -1660,3 +1660,25 @@ def test_hoover_duckdb_parity(ray_session):
     out = hoover_index(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, hoover_index_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ verbosity panel
+
+def test_verbosity_by_tenant_oracle(ray_session):
+    """Flagship-path composite: engine combiner vs the pipeline-CTE
+    mirror at sf0.001, plus a ratio sanity check."""
+    import duckdb as _duck
+
+    import __ray_entry__ as entry
+    from fluent_server_ray import oracle
+
+    sf = "/root/testdata/sf0.001"
+    out = entry.queries()["transcripts_verbosity_by_tenant"](sf) \
+        .to_pandas()
+    con = _duck.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    duck = con.execute(oracle.verbosity_by_tenant_sql()).df()
+    _cmp(out, duck)
+    r = out.iloc[0]
+    assert r.verbosity_ratio == r.assistant_chars / r.user_chars
