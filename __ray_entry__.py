@@ -4971,6 +4971,24 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_hour_profile_dist(sf_dir: str):
+    """Pairwise TVD between tenants' hour-of-day profiles over routed
+    turns — exact cross-scaled L1 on the bounded 24-column grid."""
+    from fluent_server_ray.pipelines.flagship import (
+        tenant_hour_profile_distance)
+
+    return tenant_hour_profile_distance(sf_dir)
+
+
+def _q_nation_hhi(sf_dir: str):
+    """Customer-concentration HHI per nation — distributed per-
+    customer totals, broadcast dims, hi/lo-split squared mass, one
+    division."""
+    from fluent_server_ray.pipelines.relational import nation_customer_hhi
+
+    return nation_customer_hhi(sf_dir)
+
+
 def _q_verbosity(sf_dir: str):
     """Per-tenant assistant-vs-user verbosity over the flagship routed
     path — per-batch char/turn combiner on the fused
@@ -5710,6 +5728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sn_scale": _q_sn_scale,
         "events_hoover_index": _q_hoover,
         "transcripts_verbosity_by_tenant": _q_verbosity,
+        "tenant_hour_profile_distance": _q_hour_profile_dist,
+        "nation_customer_hhi": _q_nation_hhi,
         "events_burstiness": _q_burstiness,
         "orders_fd_discovery": _q_fd_discovery,
         "users_cohort_ltv": _q_cohort_ltv,
@@ -6615,6 +6635,10 @@ WITH toks AS (
         "events_hoover_index": features.hoover_index_sql(),
         "transcripts_verbosity_by_tenant":
             oracle.verbosity_by_tenant_sql(),
+        "tenant_hour_profile_distance": __import__(
+            "fluent_server_ray.pipelines.flagship", fromlist=["x"]
+        ).tenant_hour_profile_distance_sql(),
+        "nation_customer_hhi": rel.nation_customer_hhi_sql(),
         "events_burstiness": features.burstiness_sql(),
         "orders_fd_discovery": profile.fd_discovery_sql(),
         "users_cohort_ltv": windows.cohort_ltv_sql(),

@@ -860,3 +860,115 @@ def repair_compaction(out_dir: str) -> dict:
             os.rename(old, live)   # roll back (compacted dir lost)
             fixed += 1
     return {"repaired": fixed}
+
+
+def tenant_hour_profile_distance(source) -> "pa.Table":
+    """Pairwise total-variation distance between tenants' hour-of-day
+    usage profiles over ROUTED turns — the behavioral-fingerprint
+    comparison ("do these two tenants use the product on the same
+    clock?") beside the per-tenant count panels.
+
+    Exact contract: hour = ``(epoch_us // 3.6e9) % 24`` (integer
+    floor-div, no calendar path); per-(tenant, hour) counts are exact
+    ints on the bounded 24-column grid; for pair (a < b) the
+    cross-scaled L1 mass ``D = Σ_h |c_ah·N_b − c_bh·N_a|`` is an exact
+    python int and ``tvd = float(D) / float(2·N_a·N_b)`` is ONE
+    division (TVD ∈ [0, 1]). Hours silent for both tenants contribute
+    0 (grid completion is a no-op — mirrored). Output:
+    (tenant_a, tenant_b, d_cross, tvd) sorted by pair; the |tenants|²
+    pair scan runs on the driver over the bounded grid.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    routed = build_routed(source, columns=["tenant", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["tenant"]),
+                             pc.is_valid(t["ts"])))
+        us = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        hour = pa.array((us // 3_600_000_000) % 24, pa.int64())
+        prep = pa.table({"tenant": t["tenant"], "hour": hour,
+                         "one": pa.array(np.ones(len(t), np.int64))})
+        out = prep.group_by(["tenant", "hour"]).aggregate([("one",
+                                                            "sum")])
+        return out.rename_columns(["tenant", "hour", "n"])
+
+    grid = grouped_agg(
+        routed.map_batches(skip_empty(partial), batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["tenant", "hour"], [("n", "sum")],
+        final="driver").to_pandas()
+
+    piv = (grid.pivot_table(index="tenant", columns="hour",
+                            values="n_sum", aggfunc="sum")
+           .fillna(0).astype("int64").sort_index())
+    tenants = list(piv.index)
+    totals = piv.sum(axis=1).astype("int64")
+    out = {"a": [], "b": [], "d": [], "tvd": []}
+    for i in range(len(tenants)):
+        for j in range(i + 1, len(tenants)):
+            ta, tb = tenants[i], tenants[j]
+            ca = piv.loc[ta].to_numpy()
+            cb = piv.loc[tb].to_numpy()
+            na, nb = int(totals[ta]), int(totals[tb])
+            d = sum(abs(int(x) * nb - int(y) * na)
+                    for x, y in zip(ca, cb))
+            out["a"].append(ta)
+            out["b"].append(tb)
+            out["d"].append(d)
+            out["tvd"].append(float(d) / float(2 * na * nb)
+                              if na and nb else None)
+    return pa.table({
+        "tenant_a": pa.array(out["a"], pa.string()),
+        "tenant_b": pa.array(out["b"], pa.string()),
+        "d_cross": pa.array(out["d"], pa.int64()),
+        "tvd": pa.array(out["tvd"], pa.float64()),
+    })
+
+
+def tenant_hour_profile_distance_sql() -> str:
+    from fluent_server_ray import oracle
+
+    return (
+        oracle.with_pipeline_ctes()
+        + """
+, hr AS (
+  SELECT tenant, (epoch_us(ts) // 3600000000) % 24 AS hour,
+    CAST(count(*) AS BIGINT) AS n
+  FROM routed WHERE ts IS NOT NULL GROUP BY 1, 2
+), tenants AS (SELECT DISTINCT tenant FROM hr),
+hours AS (SELECT DISTINCT hour FROM hr),
+grid AS (
+  SELECT t.tenant, h.hour, COALESCE(hr.n, 0) AS n
+  FROM tenants t CROSS JOIN hours h
+  LEFT JOIN hr ON hr.tenant = t.tenant AND hr.hour = h.hour
+), tot AS (
+  SELECT tenant, CAST(sum(n) AS BIGINT) AS total
+  FROM grid GROUP BY tenant
+), pairs AS (
+  SELECT a.tenant AS ta, b.tenant AS tb
+  FROM tenants a JOIN tenants b ON a.tenant < b.tenant
+), d AS (
+  SELECT p.ta, p.tb,
+    CAST(sum(abs(CAST(ga.n AS HUGEINT) * tb_tot.total
+                 - CAST(gb.n AS HUGEINT) * ta_tot.total))
+      AS BIGINT) AS d_cross,
+    max(ta_tot.total) AS na, max(tb_tot.total) AS nb
+  FROM pairs p
+  JOIN grid ga ON ga.tenant = p.ta
+  JOIN grid gb ON gb.tenant = p.tb AND gb.hour = ga.hour
+  JOIN tot ta_tot ON ta_tot.tenant = p.ta
+  JOIN tot tb_tot ON tb_tot.tenant = p.tb
+  GROUP BY p.ta, p.tb
+)
+SELECT ta AS tenant_a, tb AS tenant_b, d_cross,
+  CASE WHEN na > 0 AND nb > 0 THEN
+    CAST(d_cross AS DOUBLE)
+    / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) END AS tvd
+FROM d ORDER BY ta, tb"""
+    )

@@ -3280,3 +3280,137 @@ WHERE ns >= 2 AND nl = 1
 GROUP BY 1, 2
 ORDER BY numwait DESC, s_suppkey
 """.strip()
+
+
+def nation_customer_hhi(sf_dir: str) -> pa.Table:
+    """Customer-concentration HHI per nation — the antitrust-style
+    market-structure readout: per nation, the Herfindahl–Hirschman
+    index of its customers' order-value shares ``HHI = Σ(x_i/S)² =
+    SS/S²`` (1/n = perfectly even, 1 = one-customer nation) — the
+    squared-share sibling of the Gini/Hoover inequality family.
+
+    Exact contract: per-customer cents totals merge distributed
+    (customer keys are unbounded — ``final='ray'``); the nation lookup
+    broadcasts once (``ray.put``); per-nation SS splits hi/lo so int64
+    partials never wrap; HHI is ONE float division of exact python
+    ints ``float(SS) / float(S·S)`` (NULL when S = 0). Customers with
+    no orders don't enter (contract). The customer dim broadcasts
+    (small-dim path — swap in ``joins.bucketed_hash_join`` above the
+    row threshold, cf. ``orders_by_nation``'s conditional). Output:
+    (n_name, n_customers, total_cents, hhi) sorted by name.
+    """
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.features import _SS_SPLIT
+
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]).take_all()
+    nkeys = pa.array([r["n_nationkey"] for r in nation], pa.int64())
+    nnames = pa.array([r["n_name"] for r in nation], pa.string())
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).take_all()
+    ckeys = pa.array([r["c_custkey"] for r in cust], pa.int64())
+    cnat = pa.array([r["c_nationkey"] for r in cust], pa.int64())
+    dim_ref = ray.put((ckeys, cnat, nkeys, nnames))
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"])
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t["o_custkey"]),
+                       pc.is_valid(t["o_totalprice"]))
+        t = t.filter(keep)
+        prep = pa.table({"cust": pc.cast(t["o_custkey"], pa.int64()),
+                         "c": _cents(t["o_totalprice"])})
+        out = prep.group_by(["cust"]).aggregate([("c", "sum")])
+        return out.rename_columns(["cust", "c"])
+
+    per_customer = grouped_agg(
+        orders.map_batches(skip_empty(per_cust), batch_format="pyarrow",
+                           zero_copy_batch=True),
+        keys=["cust"], aggs=[("c", "sum")], final="ray")
+
+    def nation_partials(t: pa.Table) -> pa.Table:
+        ck, cn, nk, nn = ray.get(dim_ref)
+        idx = pc.index_in(t["cust"], value_set=ck)
+        nat = pc.take(cn, idx)
+        nidx = pc.index_in(nat, value_set=nk)
+        x = t["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and float(np.abs(x).max()) >= 2.0 ** 31:
+            raise ValueError("nation_customer_hhi: per-customer cents "
+                             "exceed the int64-safe square range — "
+                             "rescale upstream")
+        sq = x * x
+        prep = pa.table({
+            "n_name": pc.take(nn, nidx),
+            "s": pa.array(x),
+            "ss_hi": pa.array(sq // _SS_SPLIT),
+            "ss_lo": pa.array(sq % _SS_SPLIT),
+            "one": pa.array(np.ones(len(x), np.int64)),
+        }).filter(pc.is_valid(pc.take(nn, nidx)))   # inner semantics
+        out = prep.group_by(["n_name"]).aggregate(
+            [("s", "sum"), ("ss_hi", "sum"), ("ss_lo", "sum"),
+             ("one", "sum")])
+        return out.rename_columns(["n_name", "s", "ss_hi", "ss_lo",
+                                   "one"])
+
+    agg = grouped_agg(
+        per_customer.map_batches(skip_empty(nation_partials),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True),
+        ["n_name"], [("s", "sum"), ("ss_hi", "sum"), ("ss_lo", "sum"),
+                     ("one", "sum")], final="driver").to_pandas()
+
+    out = {"n": [], "cnt": [], "s": [], "h": []}
+    for _, r in agg.sort_values("n_name").iterrows():
+        s = int(r["s_sum"])
+        ss = int(r["ss_hi_sum"]) * _SS_SPLIT + int(r["ss_lo_sum"])
+        if ss >= 2 ** 63:
+            raise ValueError("nation_customer_hhi: squared mass "
+                             "exceeds the exactly-convertible range")
+        out["n"].append(r["n_name"])
+        out["cnt"].append(int(r["one_sum"]))
+        out["s"].append(s)
+        # (SS/S)/S, not SS/S²: S² can top 2^64 where DuckDB's
+        # hugeint→double cast double-rounds; this tree keeps every
+        # int→double conversion correctly rounded on both engines
+        out["h"].append((float(ss) / float(s)) / float(s)
+                        if s != 0 else None)
+    return pa.table({
+        "n_name": pa.array(out["n"], pa.string()),
+        "n_customers": pa.array(out["cnt"], pa.int64()),
+        "total_cents": pa.array(out["s"], pa.int64()),
+        "hhi": pa.array(out["h"], pa.float64()),
+    })
+
+
+def nation_customer_hhi_sql() -> str:
+    return """
+WITH pc AS (
+  SELECT o_custkey,
+    SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), j AS (
+  SELECT n.n_name, pc.c
+  FROM pc
+  JOIN customer cu ON cu.c_custkey = pc.o_custkey
+  JOIN nation n ON n.n_nationkey = cu.c_nationkey
+), agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+    CAST(sum(c) AS BIGINT) AS total_cents,
+    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+  FROM j GROUP BY 1
+)
+SELECT n_name, n_customers, total_cents,
+  CASE WHEN total_cents != 0 THEN
+    CAST(ss AS DOUBLE) / CAST(total_cents AS DOUBLE)
+    / CAST(total_cents AS DOUBLE)
+  END AS hhi
+FROM agg ORDER BY n_name
+""".strip()

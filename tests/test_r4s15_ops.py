@@ -1682,3 +1682,49 @@ def test_verbosity_by_tenant_oracle(ray_session):
     _cmp(out, duck)
     r = out.iloc[0]
     assert r.verbosity_ratio == r.assistant_chars / r.user_chars
+
+
+# ------------------------------------------------ HHI + hour TVD
+
+def test_nation_hhi_hand_pin(ray_session):
+    """One nation, customers with 100/300 cents: HHI = (1+9)/16."""
+    from fluent_server_ray.pipelines.relational import (
+        nation_customer_hhi, nation_customer_hhi_sql)
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="hhi_")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": pa.array(["X"], pa.string()),
+    }), f"{d}/nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([0, 0], pa.int64()),
+    }), f"{d}/customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 2], pa.int64()),
+        "o_totalprice": pa.array([1.0, 2.0, 1.0], pa.float64()),
+    }), f"{d}/orders.parquet")
+    out = nation_customer_hhi(d).to_pandas().iloc[0]
+    assert out.n_customers == 2 and out.total_cents == 400
+    assert out.hhi == (100**2 + 300**2) / 400**2
+
+
+def test_hour_profile_distance_oracle(ray_session):
+    """Flagship-path composite vs the pipeline-CTE mirror; identical
+    profiles give tvd 0, disjoint give 1."""
+    import duckdb as _duck
+
+    from fluent_server_ray import pipelines
+    from fluent_server_ray.pipelines.flagship import (
+        tenant_hour_profile_distance, tenant_hour_profile_distance_sql)
+
+    sf = "/root/testdata/sf0.001"
+    out = tenant_hour_profile_distance(sf).to_pandas()
+    con = _duck.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    duck = con.execute(tenant_hour_profile_distance_sql()).df()
+    _cmp(out, duck)
+    assert ((out.tvd >= 0) & (out.tvd <= 1)).all()
