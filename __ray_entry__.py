@@ -4971,6 +4971,25 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_threshold_crossing(sf_dir: str):
+    """Per-user first passage over a cumulative-cents threshold —
+    segmented cumsum + first-hit pick inside one bucket exchange."""
+    from fluent_server_ray.stages.windows import threshold_crossing
+
+    return threshold_crossing(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "value",
+                                    "event_id"]))
+
+
+def _q_salt_plan(sf_dir: str):
+    """Hot-key salt planner over routed tenant counts — integer-ceil
+    salt factors for the add_salt machinery."""
+    from fluent_server_ray.pipelines.flagship import tenant_salt_plan
+
+    return tenant_salt_plan(sf_dir, target_rows=200)
+
+
 def _q_hour_profile_dist(sf_dir: str):
     """Pairwise TVD between tenants' hour-of-day profiles over routed
     turns — exact cross-scaled L1 on the bounded 24-column grid."""
@@ -5729,6 +5748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hoover_index": _q_hoover,
         "transcripts_verbosity_by_tenant": _q_verbosity,
         "tenant_hour_profile_distance": _q_hour_profile_dist,
+        "user_threshold_crossing": _q_threshold_crossing,
+        "tenant_salt_plan": _q_salt_plan,
         "nation_customer_hhi": _q_nation_hhi,
         "events_burstiness": _q_burstiness,
         "orders_fd_discovery": _q_fd_discovery,
@@ -6639,6 +6660,10 @@ WITH toks AS (
             "fluent_server_ray.pipelines.flagship", fromlist=["x"]
         ).tenant_hour_profile_distance_sql(),
         "nation_customer_hhi": rel.nation_customer_hhi_sql(),
+        "user_threshold_crossing": windows.threshold_crossing_sql(),
+        "tenant_salt_plan": __import__(
+            "fluent_server_ray.pipelines.flagship", fromlist=["x"]
+        ).tenant_salt_plan_sql(target_rows=200),
         "events_burstiness": features.burstiness_sql(),
         "orders_fd_discovery": profile.fd_discovery_sql(),
         "users_cohort_ltv": windows.cohort_ltv_sql(),

@@ -972,3 +972,50 @@ SELECT ta AS tenant_a, tb AS tenant_b, d_cross,
     / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) END AS tvd
 FROM d ORDER BY ta, tb"""
     )
+
+
+def tenant_salt_plan(source, target_rows: int = 1000) -> "pa.Table":
+    """Hot-key salt planner over ROUTED tenant counts — the
+    shuffle-planning companion of ``aggregate.add_salt``: for every
+    tenant, the salt factor ``ceil(n / target_rows)`` that caps each
+    (tenant, salt) reducer partition at ~target_rows rows, and whether
+    the key is "hot" (salt > 1). Feed the plan into a salted
+    aggregation so one dominant tenant spreads across reducers instead
+    of serializing one.
+
+    Exact contract: counts are exact ints from the per-batch combiner;
+    ``salt_factor = (n + target_rows − 1) // target_rows`` (integer
+    ceil — mirrored). Output: (tenant, n, salt_factor, is_hot) sorted
+    by tenant.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    routed = build_routed(source, columns=["tenant"])
+    counts = grouped_counts(routed, ["tenant"]).to_pandas() \
+        .sort_values("tenant")
+    n = counts["n"].astype("int64")
+    salt = (n + target_rows - 1) // target_rows
+    return pa.table({
+        "tenant": pa.array(counts["tenant"], pa.string()),
+        "n": pa.array(n),
+        "salt_factor": pa.array(salt.astype("int64")),
+        "is_hot": pa.array((salt > 1).to_numpy(), pa.bool_()),
+    })
+
+
+def tenant_salt_plan_sql(target_rows: int = 1000) -> str:
+    from fluent_server_ray import oracle
+
+    return (
+        oracle.with_pipeline_ctes()
+        + f"""
+SELECT tenant, CAST(count(*) AS BIGINT) AS n,
+  CAST((count(*) + {target_rows} - 1) // {target_rows} AS BIGINT)
+    AS salt_factor,
+  (count(*) + {target_rows} - 1) // {target_rows} > 1 AS is_hot
+FROM routed GROUP BY tenant ORDER BY tenant"""
+    )

@@ -3496,3 +3496,133 @@ SELECT cohort AS cohort_week, age AS age_weeks, n_users,
   END AS ltv_per_user
 FROM sized ORDER BY cohort_week, age_weeks
 """.strip()
+
+
+def threshold_crossing(ds, key_col: str = "user_id", ts_col: str = "ts",
+                       value_col: str = "value",
+                       threshold_cents: int = 50000,
+                       n_buckets: int = 64):
+    """First-passage time per key: the earliest event at which the
+    key's CUMULATIVE cents (ordered by (ts, event_id)) reaches the
+    threshold — the credit-limit / lifetime-value-milestone trigger
+    ("when did this account cross $500?").
+
+    Exact contract: the running sum is exact int64 cents; the crossing
+    is the FIRST prefix ≥ threshold (negative values may delay or
+    prevent it — the scan is over the true signed prefix, not a
+    monotone bound); keys that never cross report NULLs but still
+    appear with their totals. Tie order (ts, event_id) contractual;
+    NULL key/ts/value rows excluded.
+
+    Shape: ONE key-bucket exchange; segmented cumsum + first-True
+    argmax per bucket. Output per key: (key, n_events, total_cents,
+    crossed, cross_ts_us, cross_event_id, cross_cum_cents) as a
+    Dataset.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.features import _cents
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[key_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({
+            key_col: t[key_col],
+            "_us": t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "_id": t["event_id"],
+            "_c": _cents(t[value_col]),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_us", "_id"], kind="mergesort")
+        k = g[key_col].to_numpy()
+        c = g["_c"].to_numpy(dtype=np.int64)
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new) - 1
+        cs = np.cumsum(c)
+        starts = np.nonzero(new)[0]
+        base = np.zeros(seg[-1] + 1, dtype=np.int64)
+        base[1:] = cs[starts[1:] - 1]
+        s = cs - base[seg]
+        hit = s >= threshold_cents
+        # first hit per segment: argmax over hit with segment offsets
+        df = pd.DataFrame({"seg": seg, "hit": hit,
+                           "pos": np.arange(len(g))})
+        first = (df[df.hit].groupby("seg")["pos"].min())
+        ends = np.nonzero(np.append(new[1:], True))[0]
+        n = np.bincount(seg)
+        rows = {
+            key_col: k[starts],
+            "n_events": n.astype("int64"),
+            "total_cents": s[ends].astype("int64"),
+        }
+        cross_ts, cross_id, cross_cum, crossed = [], [], [], []
+        for sidx in range(len(starts)):
+            if sidx in first.index:
+                p = int(first.loc[sidx])
+                crossed.append(True)
+                cross_ts.append(int(g["_us"].iloc[p]))
+                cross_id.append(int(g["_id"].iloc[p]))
+                cross_cum.append(int(s[p]))
+            else:
+                crossed.append(False)
+                cross_ts.append(None)
+                cross_id.append(None)
+                cross_cum.append(None)
+        out = pd.DataFrame(rows)
+        out["crossed"] = pd.array(crossed, dtype="boolean")
+        out["cross_ts_us"] = pd.array(cross_ts, dtype="Int64")
+        out["cross_event_id"] = pd.array(cross_id, dtype="Int64")
+        out["cross_cum_cents"] = pd.array(cross_cum, dtype="Int64")
+        return out
+
+    cols = ds.select_columns(list(dict.fromkeys(
+        [key_col, ts_col, value_col, "event_id"])))
+    bucketed = _with_bucket(
+        cols.map_batches(skip_empty(prep), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key_col, n_buckets)
+    return bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def threshold_crossing_sql(key_col: str = "user_id", ts_col: str = "ts",
+                           value_col: str = "value",
+                           threshold_cents: int = 50000,
+                           table: str = "events") -> str:
+    return f"""
+WITH d AS (
+  SELECT {key_col}, epoch_us({ts_col}) AS us, event_id,
+    CAST(round({value_col} * 100.0) AS BIGINT) AS c
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+), s AS (
+  SELECT {key_col}, us, event_id,
+    SUM(c) OVER (PARTITION BY {key_col} ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+), hits AS (
+  SELECT {key_col}, us, event_id, cum,
+    row_number() OVER (PARTITION BY {key_col}
+                       ORDER BY us, event_id) AS rn
+  FROM s WHERE cum >= {threshold_cents}
+), tot AS (
+  SELECT {key_col}, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(c) AS BIGINT) AS total_cents
+  FROM d GROUP BY {key_col}
+)
+SELECT t.{key_col}, t.n_events, t.total_cents,
+  h.rn IS NOT NULL AS crossed,
+  CAST(h.us AS BIGINT) AS cross_ts_us,
+  CAST(h.event_id AS BIGINT) AS cross_event_id,
+  CAST(h.cum AS BIGINT) AS cross_cum_cents
+FROM tot t LEFT JOIN hits h ON h.{key_col} = t.{key_col} AND h.rn = 1
+""".strip()

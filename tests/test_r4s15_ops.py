@@ -1728,3 +1728,77 @@ def test_hour_profile_distance_oracle(ray_session):
     duck = con.execute(tenant_hour_profile_distance_sql()).df()
     _cmp(out, duck)
     assert ((out.tvd >= 0) & (out.tvd <= 1)).all()
+
+
+# ------------------------------------------------ threshold crossing
+
+def test_threshold_crossing_brute_force(ray_session):
+    """First prefix >= threshold recomputed sequentially, including
+    never-crossing and negative-delay cases."""
+    from fluent_server_ray.stages.windows import threshold_crossing
+
+    rng = np.random.default_rng(197)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 86400, n), unit="s"),
+        "event_id": np.arange(n),
+        "value": rng.integers(-200, 900, n) / 100.0,
+    })
+    thr = 2000
+    out = threshold_crossing(rd.from_pandas(df),
+                             threshold_cents=thr).to_pandas() \
+        .set_index("user_id").sort_index()
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        cum, hit = 0, None
+        for _, r in g.iterrows():
+            cum += round(r.value * 100)
+            if hit is None and cum >= thr:
+                hit = (int(r.ts.value // 1000), int(r.event_id), cum)
+        row = out.loc[u]
+        assert row.total_cents == cum
+        if hit is None:
+            assert not row.crossed and pd.isna(row.cross_ts_us)
+        else:
+            assert row.crossed
+            assert (row.cross_ts_us, row.cross_event_id,
+                    row.cross_cum_cents) == hit
+
+
+def test_threshold_crossing_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.windows import (threshold_crossing,
+                                                  threshold_crossing_sql)
+
+    rng = np.random.default_rng(199)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 3 * 86400, n), unit="s"),
+        "event_id": np.arange(n),
+        "value": rng.integers(-100, 800, n) / 100.0,
+    })
+    out = threshold_crossing(rd.from_pandas(df),
+                             threshold_cents=1500).to_pandas()
+    duck = _duck_one(df, threshold_crossing_sql(threshold_cents=1500))
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ salt plan
+
+def test_tenant_salt_plan_oracle(ray_session):
+    import duckdb as _duck
+
+    from fluent_server_ray.pipelines.flagship import (
+        tenant_salt_plan, tenant_salt_plan_sql)
+
+    sf = "/root/testdata/sf0.001"
+    out = tenant_salt_plan(sf, target_rows=50).to_pandas()
+    con = _duck.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    duck = con.execute(tenant_salt_plan_sql(target_rows=50)).df()
+    _cmp(out, duck)
+    assert (out.salt_factor >= 1).all()
+    assert (out.is_hot == (out.salt_factor > 1)).all()
