@@ -4971,6 +4971,25 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_kish_ess(sf_dir: str):
+    """Kish effective sample size per source under token-count
+    weighting — exact hi/lo weight moments, double-rounding-safe
+    float tree."""
+    from fluent_server_ray.stages.textstats import kish_ess
+
+    return kish_ess(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"]))
+
+
+def _q_tag_rollup(sf_dir: str):
+    """Counts at every dotted tag prefix over routed turns — the
+    namespace drill-down via per-batch prefix explode + combiner."""
+    from fluent_server_ray.pipelines.flagship import tag_prefix_rollup
+
+    return tag_prefix_rollup(sf_dir)
+
+
 def _q_threshold_crossing(sf_dir: str):
     """Per-user first passage over a cumulative-cents threshold —
     segmented cumsum + first-hit pick inside one bucket exchange."""
@@ -5749,6 +5768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_verbosity_by_tenant": _q_verbosity,
         "tenant_hour_profile_distance": _q_hour_profile_dist,
         "user_threshold_crossing": _q_threshold_crossing,
+        "source_kish_ess": _q_kish_ess,
+        "transcripts_tag_prefix_rollup": _q_tag_rollup,
         "tenant_salt_plan": _q_salt_plan,
         "nation_customer_hhi": _q_nation_hhi,
         "events_burstiness": _q_burstiness,
@@ -6661,6 +6682,10 @@ WITH toks AS (
         ).tenant_hour_profile_distance_sql(),
         "nation_customer_hhi": rel.nation_customer_hhi_sql(),
         "user_threshold_crossing": windows.threshold_crossing_sql(),
+        "source_kish_ess": textstats.kish_ess_sql(),
+        "transcripts_tag_prefix_rollup": __import__(
+            "fluent_server_ray.pipelines.flagship", fromlist=["x"]
+        ).tag_prefix_rollup_sql(),
         "tenant_salt_plan": __import__(
             "fluent_server_ray.pipelines.flagship", fromlist=["x"]
         ).tenant_salt_plan_sql(target_rows=200),

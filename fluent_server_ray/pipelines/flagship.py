@@ -1019,3 +1019,71 @@ SELECT tenant, CAST(count(*) AS BIGINT) AS n,
   (count(*) + {target_rows} - 1) // {target_rows} > 1 AS is_hot
 FROM routed GROUP BY tenant ORDER BY tenant"""
     )
+
+
+def tag_prefix_rollup(source) -> "pa.Table":
+    """Hierarchical tag-namespace rollup over ROUTED turns: counts at
+    EVERY dotted-prefix level of the tag ('tool.assistant.search'
+    contributes to 'tool', 'tool.assistant' and itself) — the
+    log-analytics namespace drill-down the reference's flat
+    ``map[tag]`` mirror cannot answer without a rescan.
+
+    Exact contract: prefixes split on '.' (levels 1..depth); counts
+    are exact ints from a per-batch explode + combiner (each row emits
+    ≤ depth prefix rows before the tiny final merge — the exchange is
+    |prefixes|-bounded, not row-bounded). Output: (prefix, level, n)
+    sorted by (prefix).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    routed = build_routed(source, columns=["tag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tag"]))
+        prefixes, levels = [], []
+        for tag in t["tag"].to_pylist():
+            parts = tag.split(".")
+            for lvl in range(1, len(parts) + 1):
+                prefixes.append(".".join(parts[:lvl]))
+                levels.append(lvl)
+        prep = pa.table({
+            "prefix": pa.array(prefixes, pa.string()),
+            "level": pa.array(levels, pa.int64()),
+            "one": pa.array(np.ones(len(prefixes), np.int64)),
+        })
+        out = prep.group_by(["prefix", "level"]).aggregate([("one",
+                                                             "sum")])
+        return out.rename_columns(["prefix", "level", "n"])
+
+    agg = grouped_agg(
+        routed.map_batches(skip_empty(partial), batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["prefix", "level"], [("n", "sum")],
+        final="driver").to_pandas().sort_values("prefix")
+    return pa.table({
+        "prefix": pa.array(agg["prefix"], pa.string()),
+        "level": pa.array(agg["level"].astype("int64")),
+        "n": pa.array(agg["n_sum"].astype("int64")),
+    })
+
+
+def tag_prefix_rollup_sql() -> str:
+    from fluent_server_ray import oracle
+
+    return (
+        oracle.with_pipeline_ctes()
+        + """
+, parts AS (
+  SELECT string_split(tag, '.') AS p FROM routed
+), pref AS (
+  SELECT array_to_string(p[1:g.l], '.') AS prefix,
+    CAST(g.l AS BIGINT) AS level
+  FROM parts CROSS JOIN unnest(generate_series(1, len(p))) AS g(l)
+)
+SELECT prefix, level, CAST(count(*) AS BIGINT) AS n
+FROM pref GROUP BY prefix, level ORDER BY prefix"""
+    )

@@ -5635,3 +5635,105 @@ SELECT g AS {group_col}, n AS n_tokens, n_types, s AS s_m2vm,
     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END AS yules_k
 FROM agg ORDER BY g
 """.strip()
+
+
+def kish_ess(ds, group_col: str = "source", text_col: str = "text"):
+    """Kish effective sample size per group under length weighting
+    (Kish 1965) — the survey-statistics diagnostic a data-mixing
+    pipeline reads before trusting a token-weighted blend:
+    ``ESS = (Σw)² / Σw²`` with w = the doc's whitespace token count.
+    ESS ≪ n means a few long docs dominate the mixture.
+
+    Exact contract: token counts are exact ints (single-space split ≡
+    ``string_split``); Σw and the hi/lo-split Σw² merge exactly;
+    ``ess = (float(S) / float(SS)) · float(S)`` — every int→double
+    conversion stays under 2^63 (the S² form would hit DuckDB's
+    HUGEINT→double double-rounding; see NOTES). Zero-token docs carry
+    w = 0 (they dilute n but not the mass). NULL group/text rows
+    excluded. Output: (group, n_docs, sum_w, sum_w2, ess) sorted by
+    group.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.features import _SS_SPLIT
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[group_col]),
+                       pc.is_valid(t[text_col]))
+        t = t.filter(keep)
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        # token count = list length minus empty segments per doc
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(t)), lens)
+        n_empty = np.bincount(doc_of[empty], minlength=len(t)) \
+            if len(doc_of) else np.zeros(len(t), np.int64)
+        w = lens - n_empty.astype(np.int64)
+        sq = w * w
+        prep = pa.table({
+            "g": t[group_col],
+            "w": pa.array(w),
+            "ss_hi": pa.array(sq // _SS_SPLIT),
+            "ss_lo": pa.array(sq % _SS_SPLIT),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+        out = prep.group_by(["g"]).aggregate(
+            [("w", "sum"), ("ss_hi", "sum"), ("ss_lo", "sum"),
+             ("one", "sum")])
+        return out.rename_columns(["g", "w", "ss_hi", "ss_lo", "one"])
+
+    agg = grouped_agg(
+        ds.map_batches(skip_empty(partial), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g"], [("w", "sum"), ("ss_hi", "sum"), ("ss_lo", "sum"),
+                ("one", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "n": [], "s": [], "ss": [], "ess": []}
+    for _, r in agg.sort_values("g").iterrows():
+        s = int(r["w_sum"])
+        ss = int(r["ss_hi_sum"]) * _SS_SPLIT + int(r["ss_lo_sum"])
+        if ss >= 2 ** 63:
+            raise ValueError("kish_ess: Σw² exceeds the exactly-"
+                             "convertible range — rescale weights")
+        out["g"].append(r["g"])
+        out["n"].append(int(r["one_sum"]))
+        out["s"].append(s)
+        out["ss"].append(ss)
+        out["ess"].append((float(s) / float(ss)) * float(s)
+                          if ss else None)
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "n_docs": pa.array(out["n"], pa.int64()),
+        "sum_w": pa.array(out["s"], pa.int64()),
+        "sum_w2": pa.array(out["ss"], pa.int64()),
+        "ess": pa.array(out["ess"], pa.float64()),
+    })
+
+
+def kish_ess_sql(group_col: str = "source", text_col: str = "text",
+                 table: str = "documents") -> str:
+    return f"""
+WITH w AS (
+  SELECT {group_col} AS g,
+    CAST(len(list_filter(string_split({text_col}, ' '),
+                         x -> x <> '')) AS BIGINT) AS w
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {text_col} IS NOT NULL
+), agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(w) AS BIGINT) AS sum_w,
+    CAST(sum(CAST(w AS HUGEINT) * w) AS BIGINT) AS sum_w2
+  FROM w GROUP BY g
+)
+SELECT g AS {group_col}, n_docs, sum_w, sum_w2,
+  CASE WHEN sum_w2 != 0 THEN
+    (CAST(sum_w AS DOUBLE) / CAST(sum_w2 AS DOUBLE))
+    * CAST(sum_w AS DOUBLE) END AS ess
+FROM agg ORDER BY g
+""".strip()

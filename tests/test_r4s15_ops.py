@@ -1802,3 +1802,61 @@ def test_tenant_salt_plan_oracle(ray_session):
     _cmp(out, duck)
     assert (out.salt_factor >= 1).all()
     assert (out.is_hot == (out.salt_factor > 1)).all()
+
+
+# ------------------------------------------------ Kish ESS
+
+def test_kish_ess_hand_pin(ray_session):
+    """Weights 1,1,1,1 -> ESS = n; weights 4,0 -> ESS = 1 (one doc
+    carries all mass)."""
+    from fluent_server_ray.stages.textstats import kish_ess
+
+    df = pd.DataFrame({
+        "source": ["a"] * 4 + ["b"] * 2,
+        "text": ["w"] * 4 + ["x y z q", ""],
+    })
+    out = (kish_ess(rd.from_pandas(df)).to_pandas()
+           .set_index("source"))
+    a = out.loc["a"]
+    assert a.n_docs == 4 and a.sum_w == 4 and a.ess == 4.0
+    b = out.loc["b"]
+    assert b.n_docs == 2 and b.sum_w == 4 and b.sum_w2 == 16
+    assert b.ess == 1.0
+
+
+def test_kish_ess_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.textstats import kish_ess, kish_ess_sql
+
+    rng = np.random.default_rng(211)
+    df = pd.DataFrame({
+        "source": rng.choice(["s1", "s2", "s3"], 300),
+        "text": [" ".join(["w"] * rng.integers(0, 40))
+                 for _ in range(300)],
+    })
+    out = kish_ess(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, kish_ess_sql(), view="documents")
+    _cmp(out, duck)
+
+
+# ------------------------------------------------ tag prefix rollup
+
+def test_tag_prefix_rollup_oracle_and_hierarchy(ray_session):
+    """Level-1 counts must sum to the routed row total; every prefix
+    count >= the sum of its children at the next level."""
+    import duckdb as _duck
+
+    from fluent_server_ray.pipelines.flagship import (
+        tag_prefix_rollup, tag_prefix_rollup_sql)
+
+    sf = "/root/testdata/sf0.001"
+    out = tag_prefix_rollup(sf).to_pandas()
+    con = _duck.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    duck = con.execute(tag_prefix_rollup_sql()).df()
+    _cmp(out, duck)
+    assert out[out.level == 1].n.sum() == 900   # routed rows
+    for _, r in out[out.level == 1].iterrows():
+        kids = out[(out.level == 2)
+                   & out.prefix.str.startswith(r.prefix + ".")]
+        assert kids.n.sum() <= r.n
