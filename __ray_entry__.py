@@ -4971,6 +4971,16 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_return_periods(sf_dir: str):
+    """Weibull empirical return periods of the top extreme days per
+    event_type — exact dense ranks with earlier-day tie-break."""
+    from fluent_server_ray.stages.features import return_periods
+
+    return return_periods(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"]))
+
+
 def _q_kish_ess(sf_dir: str):
     """Kish effective sample size per source under token-count
     weighting — exact hi/lo weight moments, double-rounding-safe
@@ -5769,6 +5779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tenant_hour_profile_distance": _q_hour_profile_dist,
         "user_threshold_crossing": _q_threshold_crossing,
         "source_kish_ess": _q_kish_ess,
+        "events_return_periods": _q_return_periods,
         "transcripts_tag_prefix_rollup": _q_tag_rollup,
         "tenant_salt_plan": _q_salt_plan,
         "nation_customer_hhi": _q_nation_hhi,
@@ -6683,6 +6694,7 @@ WITH toks AS (
         "nation_customer_hhi": rel.nation_customer_hhi_sql(),
         "user_threshold_crossing": windows.threshold_crossing_sql(),
         "source_kish_ess": textstats.kish_ess_sql(),
+        "events_return_periods": features.return_periods_sql(),
         "transcripts_tag_prefix_rollup": __import__(
             "fluent_server_ray.pipelines.flagship", fromlist=["x"]
         ).tag_prefix_rollup_sql(),

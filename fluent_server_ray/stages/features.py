@@ -9717,3 +9717,84 @@ SELECT t.g AS {group_col}, t.n AS n_users, t.s AS total_cents,
     / CAST(2 * CAST(t.n AS HUGEINT) * t.s AS DOUBLE) END AS hoover
 FROM tot t JOIN devs d USING (g) ORDER BY t.g
 """.strip()
+
+
+# ------------------------------------------- empirical return periods
+
+def return_periods(ds, group_col: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value",
+                   k: int = 3) -> pa.Table:
+    """Empirical return periods of the most extreme DAYS per group —
+    the extreme-value-analysis readout (Weibull plotting positions):
+    the day ranked r-th largest among n observed days recurs about
+    every ``T = (n+1)/r`` days. Answers "was Tuesday a once-a-month
+    spike or a once-a-quarter one?" without fitting a tail.
+
+    Exact contract: ranks are dense positions in the exact int64
+    daily-cents order, ties broken by EARLIER day (contract — both
+    engines sort (cents DESC, day ASC)); ``T`` is the single division
+    ``float(n + 1) / float(r)``. Top-``k`` days per group (fewer when
+    n < k). NULL group/ts/value rows excluded. Output: (group, day,
+    cents, rank, n_days, return_period_days) sorted by (group, rank).
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.is_valid(t[group_col]),
+                               pc.is_valid(t[ts_col])),
+                       pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        return pa.table({"g": t[group_col],
+                         "_day": _epoch_day(t[ts_col]),
+                         "cents": _cents(t[value_col])})
+
+    daily = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "_day"], [("cents", "sum")], final="driver").to_pandas()
+
+    out = {"g": [], "day": [], "c": [], "r": [], "n": [], "t": []}
+    for g, sub in daily.groupby("g", sort=True):
+        sub = sub.sort_values(["cents_sum", "_day"],
+                              ascending=[False, True])
+        n = len(sub)
+        for r, (_, row) in enumerate(sub.head(k).iterrows(), start=1):
+            out["g"].append(g)
+            out["day"].append(int(row["_day"]))
+            out["c"].append(int(row["cents_sum"]))
+            out["r"].append(r)
+            out["n"].append(n)
+            out["t"].append(float(n + 1) / float(r))
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "day": pa.array(out["day"], pa.int64()),
+        "cents": pa.array(out["c"], pa.int64()),
+        "rank": pa.array(out["r"], pa.int64()),
+        "n_days": pa.array(out["n"], pa.int64()),
+        "return_period_days": pa.array(out["t"], pa.float64()),
+    })
+
+
+def return_periods_sql(group_col: str = "event_type",
+                       ts_col: str = "ts", value_col: str = "value",
+                       k: int = 3, table: str = "events") -> str:
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS g,
+    CAST(CAST({ts_col} AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    SUM(CAST(round({value_col} * 100.0) AS BIGINT)) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT g, day, c,
+    row_number() OVER (PARTITION BY g ORDER BY c DESC, day) AS r,
+    count(*) OVER (PARTITION BY g) AS n
+  FROM daily
+)
+SELECT g AS {group_col}, day, c AS cents, CAST(r AS BIGINT) AS rank,
+  CAST(n AS BIGINT) AS n_days,
+  CAST(n + 1 AS DOUBLE) / CAST(r AS DOUBLE) AS return_period_days
+FROM ranked WHERE r <= {k} ORDER BY g, r
+""".strip()

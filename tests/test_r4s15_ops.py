@@ -1860,3 +1860,37 @@ def test_tag_prefix_rollup_oracle_and_hierarchy(ray_session):
         kids = out[(out.level == 2)
                    & out.prefix.str.startswith(r.prefix + ".")]
         assert kids.n.sum() <= r.n
+
+
+# ------------------------------------------------ return periods
+
+def test_return_periods_hand_pin(ray_session):
+    """Daily cents 500,300,500,100: rank-1 is the EARLIER 500-day;
+    T = 5/1, 5/2, 5/3."""
+    from fluent_server_ray.stages.features import return_periods
+
+    cents = [500, 300, 500, 100]
+    ts = pd.to_datetime(np.arange(4) * 86400, unit="s")
+    df = pd.DataFrame({"event_type": "a", "ts": ts,
+                       "value": np.array(cents) / 100.0})
+    out = return_periods(rd.from_pandas(df)).to_pandas()
+    assert list(out["rank"]) == [1, 2, 3]
+    assert list(out.day) == [0, 2, 1]
+    assert list(out.return_period_days) == [5.0, 2.5, 5 / 3]
+
+
+def test_return_periods_duckdb_parity(ray_session):
+    from fluent_server_ray.stages.features import (return_periods,
+                                                   return_periods_sql)
+
+    rng = np.random.default_rng(223)
+    n = 500
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 30 * 86400, n), unit="s"),
+        "value": rng.integers(-100, 9000, n) / 100.0,
+    })
+    out = return_periods(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, return_periods_sql())
+    _cmp(out, duck)
