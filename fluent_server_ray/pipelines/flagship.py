@@ -1044,16 +1044,24 @@ def tag_prefix_rollup(source) -> "pa.Table":
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["tag"]))
-        prefixes, levels = [], []
-        for tag in t["tag"].to_pylist():
+        # collapse to distinct tags FIRST (Arrow group_by — tags are
+        # a dozen-ish values); the python prefix explode then runs
+        # over the tiny distinct table, never per routed row
+        tags = (pa.table({"tag": t["tag"]}).group_by(["tag"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["tag", "c"]))
+        prefixes, levels, counts = [], [], []
+        for tag, c in zip(tags["tag"].to_pylist(),
+                          tags["c"].to_pylist()):
             parts = tag.split(".")
             for lvl in range(1, len(parts) + 1):
                 prefixes.append(".".join(parts[:lvl]))
                 levels.append(lvl)
+                counts.append(c)
         prep = pa.table({
             "prefix": pa.array(prefixes, pa.string()),
             "level": pa.array(levels, pa.int64()),
-            "one": pa.array(np.ones(len(prefixes), np.int64)),
+            "one": pa.array(counts, pa.int64()),
         })
         out = prep.group_by(["prefix", "level"]).aggregate([("one",
                                                              "sum")])

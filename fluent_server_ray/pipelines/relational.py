@@ -3304,16 +3304,18 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
     from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
     from fluent_server_ray.stages.features import _SS_SPLIT
 
-    nation = read_parquet_clean(
-        f"{sf_dir}/nation.parquet",
-        columns=["n_nationkey", "n_name"]).take_all()
-    nkeys = pa.array([r["n_nationkey"] for r in nation], pa.int64())
-    nnames = pa.array([r["n_name"] for r in nation], pa.string())
-    cust = read_parquet_clean(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey"]).take_all()
-    ckeys = pa.array([r["c_custkey"] for r in cust], pa.int64())
-    cnat = pa.array([r["c_nationkey"] for r in cust], pa.int64())
+    import pyarrow.parquet as _pq
+
+    # vectorized small-dim load (no python row loops — the
+    # orders_by_nation idiom): driver-local read, Arrow arrays out
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+    nkeys = nation["n_nationkey"].cast(pa.int64()).combine_chunks()
+    nnames = nation["n_name"].combine_chunks()
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    ckeys = cust["c_custkey"].cast(pa.int64()).combine_chunks()
+    cnat = cust["c_nationkey"].cast(pa.int64()).combine_chunks()
     dim_ref = ray.put((ckeys, cnat, nkeys, nnames))
 
     orders = read_parquet_clean(

@@ -9393,9 +9393,16 @@ def sn_scale(ds, group_col: str = "event_type", ts_col: str = "ts",
         n = len(c)
         if n < 2:
             continue
+        k_hi = n // 2 + 1                   # himed rank among n-1
+        if k_hi > n - 1:
+            # n == 2: the himed rank doesn't exist among 1 diff — the
+            # mirror's rank pick comes back NULL; match it
+            out["g"].append(g)
+            out["n"].append(n)
+            out["sn"].append(None)
+            continue
         diffs = np.abs(c[:, None] - c[None, :])
         picks = []
-        k_hi = n // 2 + 1                   # himed rank among n-1
         for i in range(n):
             row = np.delete(diffs[i], i)
             picks.append(int(np.partition(row, k_hi - 1)[k_hi - 1]))
@@ -9505,8 +9512,14 @@ def burstiness(ds, group_col: str = "event_type",
         ty = g["g"][ok]
         agg = pd.DataFrame({"ty": ty, "d": d})
         if agg.empty:
-            return pd.DataFrame(columns=["g", "n", "s",
-                                         "ss_hi", "ss_lo"])
+            # typed empty: dtype-stable partials for the driver merge
+            return pd.DataFrame({
+                "g": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "ss_hi": pd.Series([], dtype="int64"),
+                "ss_lo": pd.Series([], dtype="int64"),
+            })
         # gap ≤ corpus span in seconds, so d² fits int64 comfortably;
         # only the SUM of squares needs the hi/lo split
         sq = agg["d"].to_numpy(dtype=np.int64) ** 2
@@ -9533,8 +9546,16 @@ def burstiness(ds, group_col: str = "event_type",
         n = int(r["n_sum"])
         s = int(r["s_sum"])
         ss = int(r["ss_hi_sum"]) * _SS_SPLIT + int(r["ss_lo_sum"])
+        if ss >= 2 ** 63 or abs(s) >= 2 ** 53:
+            raise ValueError("burstiness: moment exceeds the exactly-"
+                             "convertible range — rescale upstream")
+        # E[d²] − μ² with every int→double under 2^63: the
+        # (n·SS − S²)/n² form's numerator tops 2^64 around sf0.2,
+        # where DuckDB's hugeint→double cast double-rounds (NOTES
+        # gotcha). Clamp: the subtraction can go −ε at σ≈0 and both
+        # engines must take the same max-with-0 branch.
         mu = float(s) / float(n)
-        var = float(n * ss - s * s) / float(n * n)
+        var = max(float(ss) / float(n) - mu * mu, 0.0)
         sig = math.sqrt(var)
         b = (sig - mu) / (sig + mu) if sig + mu != 0 else None
         out["g"].append(r["g"])
@@ -9575,8 +9596,10 @@ WITH base AS (
 ), st AS (
   SELECT g, n, s,
     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-    sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
-         / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS sigma
+    sqrt(GREATEST(
+      CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sigma
   FROM agg
 )
 SELECT g AS {group_col}, n AS n_gaps, s AS sum_gap_s, mu, sigma,

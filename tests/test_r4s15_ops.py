@@ -1894,3 +1894,41 @@ def test_return_periods_duckdb_parity(ray_session):
     out = return_periods(rd.from_pandas(df)).to_pandas()
     duck = _duck_one(df, return_periods_sql())
     _cmp(out, duck)
+
+
+# ------------------------------------------------ review-2 regressions
+
+def test_sn_scale_two_day_group_null(ray_session):
+    """n = 2: the himed rank doesn't exist among one diff — engine and
+    mirror both emit the row with NULL sn_cents."""
+    from fluent_server_ray.stages.features import sn_scale, sn_scale_sql
+
+    df = pd.DataFrame({
+        "event_type": ["b", "b", "a", "a", "a"],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02",
+                              "2024-01-01", "2024-01-02",
+                              "2024-01-03"]),
+        "value": [1.0, 2.0, 3.0, 1.0, 9.0],
+    })
+    out = sn_scale(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, sn_scale_sql())
+    _cmp(out, duck)
+    b = out[out.event_type == "b"].iloc[0]
+    assert b.n_days == 2 and pd.isna(b.sn_cents)
+
+
+def test_burstiness_constant_gaps_no_domain_error(ray_session):
+    """σ = 0 via the clamped E[d²] − μ² tree: the −ε case must clamp,
+    not raise, and still mirror the SQL."""
+    from fluent_server_ray.stages.features import (burstiness,
+                                                   burstiness_sql)
+
+    rows = [(1, "t", 97 * i, i) for i in range(50)]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "s",
+                                     "event_id"])
+    df["ts"] = pd.to_datetime(df["s"], unit="s")
+    df = df[["user_id", "event_type", "ts", "event_id"]]
+    out = burstiness(rd.from_pandas(df)).to_pandas()
+    duck = _duck_one(df, burstiness_sql())
+    _cmp(out, duck)
+    assert out.iloc[0].sigma == 0.0 and out.iloc[0].burstiness == -1.0
