@@ -4971,6 +4971,25 @@ def _q_cdc_apply(sf_dir: str):
                                     "value", "event_id"]))
 
 
+def _q_tool_baskets(sf_dir: str):
+    """Tool co-occurrence baskets per conversation over the routed
+    path — conv-bucket pair explode, exact supports, mirrored lift."""
+    from fluent_server_ray.pipelines.flagship import tool_basket_pairs
+
+    return tool_basket_pairs(sf_dir)
+
+
+def _q_hour_entropy(sf_dir: str):
+    """Circadian Shannon entropy of the 24-hour profile per
+    event_type — floored-log-millionths integer term, one float
+    tree."""
+    from fluent_server_ray.stages.features import hour_entropy
+
+    return hour_entropy(
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts"]))
+
+
 def _q_return_periods(sf_dir: str):
     """Weibull empirical return periods of the top extreme days per
     event_type — exact dense ranks with earlier-day tie-break."""
@@ -5780,6 +5799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_threshold_crossing": _q_threshold_crossing,
         "source_kish_ess": _q_kish_ess,
         "events_return_periods": _q_return_periods,
+        "transcripts_tool_basket_pairs": _q_tool_baskets,
+        "events_hour_entropy": _q_hour_entropy,
         "transcripts_tag_prefix_rollup": _q_tag_rollup,
         "tenant_salt_plan": _q_salt_plan,
         "nation_customer_hhi": _q_nation_hhi,
@@ -6695,6 +6716,10 @@ WITH toks AS (
         "user_threshold_crossing": windows.threshold_crossing_sql(),
         "source_kish_ess": textstats.kish_ess_sql(),
         "events_return_periods": features.return_periods_sql(),
+        "transcripts_tool_basket_pairs": __import__(
+            "fluent_server_ray.pipelines.flagship", fromlist=["x"]
+        ).tool_basket_pairs_sql(),
+        "events_hour_entropy": features.hour_entropy_sql(),
         "transcripts_tag_prefix_rollup": __import__(
             "fluent_server_ray.pipelines.flagship", fromlist=["x"]
         ).tag_prefix_rollup_sql(),

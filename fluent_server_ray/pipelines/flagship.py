@@ -1095,3 +1095,149 @@ def tag_prefix_rollup_sql() -> str:
 SELECT prefix, level, CAST(count(*) AS BIGINT) AS n
 FROM pref GROUP BY prefix, level ORDER BY prefix"""
     )
+
+
+def tool_basket_pairs(source) -> "pa.Table":
+    """Tool co-occurrence baskets over ROUTED turns: for every
+    unordered pair of tools used within the SAME conversation, the
+    number of conversations using both, each alone, and the lift vs
+    independence — the market-basket readout on the tool-call stream
+    ("do search and lookup travel together?").
+
+    Exact contract: baskets are DISTINCT (conv, tool) pairs over
+    routed turns with a non-empty parsed tool; supports are exact
+    ints; ``lift = (float(n_ab)·float(n_convs)) / (float(n_a)·
+    float(n_b))`` mirrored exactly (every operand < 2^53).
+
+    Shape: per-batch distinct-pair combiner → ONE conv-bucket
+    exchange co-locating each conversation's tools (≤ a handful) →
+    per-bucket pair explode → bounded |tools|² merge on the driver.
+    Output: (tool_a, tool_b, n_both, n_a, n_b, n_convs, lift) sorted
+    by pair.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.assembly import _with_bucket
+
+    routed = build_routed(source, columns=["conv_id", "parsed_tool"])
+
+    def distinct_ct(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t["parsed_tool"]),
+                       pc.not_equal(pc.fill_null(t["parsed_tool"], ""),
+                                    ""))
+        t = t.filter(keep)
+        out = (pa.table({"conv_id": t["conv_id"],
+                         "tool": t["parsed_tool"]})
+               .group_by(["conv_id", "tool"]).aggregate([([],
+                                                          "count_all")]))
+        return out.rename_columns(["conv_id", "tool", "c"])
+
+    per_ct = grouped_agg(
+        routed.map_batches(skip_empty(distinct_ct),
+                           batch_format="pyarrow",
+                           zero_copy_batch=True),
+        keys=["conv_id", "tool"], aggs=[("c", "sum")], final="ray")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"ta": [], "tb": [], "n": []}
+        solo = {"tool": [], "n": []}
+        n_convs = 0
+        for _, sub in g.groupby("conv_id", sort=False):
+            tools = sorted(set(sub["tool"]))
+            n_convs += 1
+            for t in tools:
+                solo["tool"].append(t)
+                solo["n"].append(1)
+            for i in range(len(tools)):
+                for j in range(i + 1, len(tools)):
+                    rows["ta"].append(tools[i])
+                    rows["tb"].append(tools[j])
+                    rows["n"].append(1)
+        pairs = (pd.DataFrame(rows).groupby(["ta", "tb"],
+                                            as_index=False).sum()
+                 if rows["ta"] else
+                 pd.DataFrame({"ta": pd.Series([], dtype="object"),
+                               "tb": pd.Series([], dtype="object"),
+                               "n": pd.Series([], dtype="int64")}))
+        solo_df = (pd.DataFrame(solo).groupby("tool",
+                                              as_index=False).sum()
+                   if solo["tool"] else
+                   pd.DataFrame({"tool": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")}))
+        pairs["kind"] = "pair"
+        solo_df = solo_df.rename(columns={"tool": "ta"})
+        solo_df["tb"] = ""
+        solo_df["kind"] = "solo"
+        conv_row = pd.DataFrame({"ta": [""], "tb": [""],
+                                 "n": [n_convs], "kind": ["convs"]})
+        return pd.concat([pairs[["ta", "tb", "n", "kind"]],
+                          solo_df[["ta", "tb", "n", "kind"]],
+                          conv_row], ignore_index=True)
+
+    bucketed = _with_bucket(per_ct, "conv_id", 64)
+    parts = grouped_agg(
+        bucketed.groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas"),
+        ["ta", "tb", "kind"], [("n", "sum")],
+        final="driver").to_pandas()
+
+    n_convs = int(parts[parts.kind == "convs"]["n_sum"].sum())
+    solo = {r["ta"]: int(r["n_sum"])
+            for _, r in parts[parts.kind == "solo"].iterrows()}
+    out = {"a": [], "b": [], "nab": [], "na": [], "nb": [],
+           "nc": [], "lift": []}
+    pr = parts[parts.kind == "pair"].sort_values(["ta", "tb"])
+    for _, r in pr.iterrows():
+        na, nb = solo[r["ta"]], solo[r["tb"]]
+        nab = int(r["n_sum"])
+        out["a"].append(r["ta"])
+        out["b"].append(r["tb"])
+        out["nab"].append(nab)
+        out["na"].append(na)
+        out["nb"].append(nb)
+        out["nc"].append(n_convs)
+        out["lift"].append((float(nab) * float(n_convs))
+                           / (float(na) * float(nb)))
+    return pa.table({
+        "tool_a": pa.array(out["a"], pa.string()),
+        "tool_b": pa.array(out["b"], pa.string()),
+        "n_both": pa.array(out["nab"], pa.int64()),
+        "n_a": pa.array(out["na"], pa.int64()),
+        "n_b": pa.array(out["nb"], pa.int64()),
+        "n_convs": pa.array(out["nc"], pa.int64()),
+        "lift": pa.array(out["lift"], pa.float64()),
+    })
+
+
+def tool_basket_pairs_sql() -> str:
+    from fluent_server_ray import oracle
+
+    return (
+        oracle.with_pipeline_ctes()
+        + """
+, ct AS (
+  SELECT DISTINCT conv_id, parsed_tool AS tool
+  FROM routed WHERE parsed_tool IS NOT NULL AND parsed_tool <> ''
+), nc AS (SELECT count(DISTINCT conv_id) AS n FROM ct),
+solo AS (
+  SELECT tool, CAST(count(*) AS BIGINT) AS n FROM ct GROUP BY tool
+), pairs AS (
+  SELECT a.tool AS tool_a, b.tool AS tool_b,
+    CAST(count(*) AS BIGINT) AS n_both
+  FROM ct a JOIN ct b
+    ON b.conv_id = a.conv_id AND b.tool > a.tool
+  GROUP BY 1, 2
+)
+SELECT p.tool_a, p.tool_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+  CAST((SELECT n FROM nc) AS BIGINT) AS n_convs,
+  (CAST(p.n_both AS DOUBLE) * CAST((SELECT n FROM nc) AS DOUBLE))
+  / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+FROM pairs p
+JOIN solo sa ON sa.tool = p.tool_a
+JOIN solo sb ON sb.tool = p.tool_b
+ORDER BY p.tool_a, p.tool_b"""
+    )

@@ -9821,3 +9821,88 @@ SELECT g AS {group_col}, day, c AS cents, CAST(r AS BIGINT) AS rank,
   CAST(n + 1 AS DOUBLE) / CAST(r AS DOUBLE) AS return_period_days
 FROM ranked WHERE r <= {k} ORDER BY g, r
 """.strip()
+
+
+# ------------------------------------------- circadian hour entropy
+
+def hour_entropy(ds, group_col: str = "event_type",
+                 ts_col: str = "ts") -> pa.Table:
+    """Shannon entropy of the 24-hour activity distribution per group
+    — the circadian-concentration probe (0 = all activity in one
+    hour, ln 24 ≈ 3.178 = uniform around the clock), the entropy
+    sibling of the hour-profile TVD.
+
+    Determinism contract: with hour counts c_h and total n, the
+    engine carries the exact integer ``term = Σ c_h·(L(n) − L(c_h))``
+    under the house floored-log map ``L(x) = floor(1e6·ln(x))``
+    (integer inputs only — same contract as the Markov entropy rate;
+    the 1e-6 floor absorbs last-ulp ln wobble off measure-zero
+    boundaries), and the entropy is the float tree
+    ``(float(term) / float(n)) / 1e6`` nats. Hours are
+    ``(epoch_us // 3.6e9) % 24``. NULL group/ts rows excluded.
+    Output: (group, n, term, entropy_nats) sorted by group.
+    """
+    from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[ts_col]))
+        t = t.filter(keep)
+        us = (t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "g": t[group_col],
+            "h": pa.array((us // 3_600_000_000) % 24, pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    cells = grouped_agg(
+        ds.map_batches(skip_empty(prep), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "h"], [("one", "sum")], final="driver").to_pandas()
+
+    def L(x):
+        return int(np.floor(np.log(float(x)) * 1_000_000))
+
+    out = {"g": [], "n": [], "term": [], "e": []}
+    for g, sub in cells.groupby("g", sort=True):
+        c = sub["one_sum"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        ln_n = L(n)
+        term = sum(int(ch) * (ln_n - L(int(ch))) for ch in c)
+        out["g"].append(g)
+        out["n"].append(n)
+        out["term"].append(term)
+        out["e"].append((float(term) / float(n)) / 1_000_000.0)
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "term": pa.array(out["term"], pa.int64()),
+        "entropy_nats": pa.array(out["e"], pa.float64()),
+    })
+
+
+def hour_entropy_sql(group_col: str = "event_type", ts_col: str = "ts",
+                     table: str = "events") -> str:
+    return f"""
+WITH cells AS (
+  SELECT {group_col} AS g,
+    (epoch_us({ts_col}) // 3600000000) % 24 AS h,
+    CAST(count(*) AS BIGINT) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY g
+), agg AS (
+  SELECT c.g, t.n,
+    CAST(sum(c.c * (CAST(floor(1000000 * ln(t.n)) AS HUGEINT)
+                    - CAST(floor(1000000 * ln(c.c)) AS HUGEINT)))
+      AS BIGINT) AS term
+  FROM cells c JOIN tot t USING (g)
+  GROUP BY c.g, t.n
+)
+SELECT g AS {group_col}, n, term,
+  (CAST(term AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+    AS entropy_nats
+FROM agg ORDER BY g
+""".strip()

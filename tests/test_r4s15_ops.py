@@ -1932,3 +1932,39 @@ def test_burstiness_constant_gaps_no_domain_error(ray_session):
     duck = _duck_one(df, burstiness_sql())
     _cmp(out, duck)
     assert out.iloc[0].sigma == 0.0 and out.iloc[0].burstiness == -1.0
+
+
+# ------------------------------------------------ tool baskets + entropy
+
+def test_tool_basket_pairs_oracle(ray_session):
+    import duckdb as _duck
+
+    from fluent_server_ray.pipelines.flagship import (
+        tool_basket_pairs, tool_basket_pairs_sql)
+
+    sf = "/root/testdata/sf0.001"
+    out = tool_basket_pairs(sf).to_pandas()
+    con = _duck.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    duck = con.execute(tool_basket_pairs_sql()).df()
+    _cmp(out, duck)
+    assert (out.n_both <= out[["n_a", "n_b"]].min(axis=1)).all()
+
+
+def test_hour_entropy_extremes(ray_session):
+    """All events in one hour -> entropy 0; uniform over two hours ->
+    ln 2 (within the 1e-6 floored-log contract)."""
+    from fluent_server_ray.stages.features import (hour_entropy,
+                                                   hour_entropy_sql)
+
+    rows = ([("one", 3600 * 5 + i) for i in range(40)]
+            + [("two", 3600 * (i % 2) + i) for i in range(40)])
+    df = pd.DataFrame(rows, columns=["event_type", "s"])
+    df["ts"] = pd.to_datetime(df["s"], unit="s")
+    out = (hour_entropy(rd.from_pandas(df[["event_type", "ts"]]))
+           .to_pandas().set_index("event_type"))
+    assert out.loc["one"].entropy_nats == 0.0
+    assert abs(out.loc["two"].entropy_nats - np.log(2)) < 1e-5
+    duck = _duck_one(df[["event_type", "ts"]], hour_entropy_sql())
+    _cmp(out.reset_index(), duck)
