@@ -78,6 +78,37 @@ _SS_SPLIT = 1 << 30  # per-block sum-of-squares splits hi/lo so int64
 # partials never overflow (cents^2 ≤ 2.5e15 fits; their per-block SUM
 # does not) — the driver reassembles exact Python ints.
 
+_F_SPLIT = 1 << 62  # big-int → double split radix shared with the SQL
+# mirrors: see _split_float / _split_float_sql.
+
+
+def _split_float(z: int) -> float:
+    """Deterministic big-int → double, mirrored bit-for-bit by
+    ``_split_float_sql``: ``sign · (float(|z| // 2^62)·2^62 +
+    float(|z| % 2^62))``. Each int→double cast is on a value < 2^63
+    (for |z| < 2^125), so both engines round it once and identically —
+    this sidesteps DuckDB's HUGEINT→DOUBLE cast, whose double-rounding
+    above 2^64 is the documented divergence class (NOTES round-4
+    HHI/burstiness). For |z| < 2^62 this IS ``float(z)``. The tree has
+    (up to) three roundings — hi, lo, and the sum — all IEEE
+    round-to-nearest in both engines, hence deterministic parity
+    rather than correctly-rounded floats; operators using it are
+    cross-engine-exact but not last-ulp-true to ``float(z)``."""
+    s = -1.0 if z < 0 else 1.0
+    a = abs(z)
+    return s * (float(a // _F_SPLIT) * 4611686018427387904.0
+                + float(a % _F_SPLIT))
+
+
+def _split_float_sql(expr: str) -> str:
+    """The SQL twin of ``_split_float`` for a HUGEINT expression
+    (|expr| must stay < 2^125 so the hi word fits BIGINT)."""
+    return (f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END * ("
+            f"CAST(CAST(abs({expr}) // 4611686018427387904 AS BIGINT)"
+            f" AS DOUBLE) * 4611686018427387904.0"
+            f" + CAST(CAST(abs({expr}) % 4611686018427387904 AS BIGINT)"
+            f" AS DOUBLE)))")
+
 
 def _epoch_day(col):
     """timestamp → int64 days since 1970-01-01 — the shared day
@@ -7210,8 +7241,10 @@ def cuped_adjusted_means(ds, split_date: str = "2024-01-16",
     adjusted mean are ONE shared float tree each:
     ``θ = (n·Σxy - Σx·Σy) / (n·Σx² - Σx·Σx)``,
     ``mean_adj = (Σy_v - θ·Σx_v + θ·x̄·n_v) / n_v`` with left-to-right
-    association mirrored exactly. θ is NULL (means unadjusted) when
-    var(x) = 0.
+    association mirrored exactly; θ's numerator/denominator pass 2^64
+    at bench scale, so both engines float them via the shared
+    ``_split_float`` tree (never DuckDB's lossy HUGEINT→DOUBLE cast).
+    θ is NULL (means unadjusted) when var(x) = 0.
 
     Shape: per-block (user, pre, post) combiner → distributed per-user
     merge (``final='ray'``) → one scalar-partials pass per block →
@@ -7298,7 +7331,10 @@ def cuped_adjusted_means(ds, split_date: str = "2024-01-16",
     sxx = agg[0]["sxx"] + agg[1]["sxx"]
     den = n * sxx - sx * sx   # python ints — never wrap
     num = n * sxy - sx * sy
-    theta = float(num) / float(den) if n > 0 and den != 0 else None
+    # num/den pass 2^64 at bench scale: use the shared split tree so
+    # the mirror never casts a >2^64 HUGEINT to DOUBLE (lossy class)
+    theta = (_split_float(num) / _split_float(den)
+             if n > 0 and den != 0 else None)
     xbar = float(sx) / float(n) if n > 0 else None
 
     out = {"variant": [], "n_users": [], "sum_x_cents": [],
@@ -7357,15 +7393,19 @@ WITH u AS (
     CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
   FROM u
+), nd AS (
+  SELECT n, sx, sy,
+    n * sxy - sx * sy AS th_num,
+    n * sxx - sx * sx AS th_den
+  FROM pooled
 ), th AS (
   SELECT n, sx,
-    CASE WHEN n > 0 AND n * sxx - sx * sx != 0 THEN
-      CAST(n * sxy - sx * sy AS DOUBLE)
-      / CAST(n * sxx - sx * sx AS DOUBLE)
+    CASE WHEN n > 0 AND th_den != 0 THEN
+      {_split_float_sql('th_num')} / {_split_float_sql('th_den')}
     ELSE NULL END AS theta,
     CASE WHEN n > 0 THEN CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
     ELSE NULL END AS xbar
-  FROM pooled
+  FROM nd
 ), pv AS (
   SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n_users,
     CAST(sum(x) AS BIGINT) AS sum_x_cents,
@@ -7411,8 +7451,12 @@ def weekly_periodogram(ds, group_col: str = "event_type",
     int64 daily cents total; the 1e6-scaled products stay well under
     2^63 per day and are summed arbitrary-precision). The only floats
     are one shared tree per row:
-    ``amplitude = 2·sqrt(float(S_c² + S_s²)) / (n_days · 1e6)``
-    (int→double casts round-to-nearest identically in both engines).
+    ``x = float(S_c)/(n·1e6); y = float(S_s)/(n·1e6);
+    amplitude = 2·sqrt(x² + y²)`` — each cast is on an
+    int64-GUARDED value (< 2^63), so the int→double rounds once and
+    identically in both engines; casting ``S_c²+S_s²`` (which passes
+    2^64 at bench scale) would re-enter DuckDB's HUGEINT→DOUBLE
+    double-rounding class (NOTES round-4 HHI/burstiness).
     Days are epoch-anchored (``d = floor(ts / 86400s)``), so the phase
     origin is engine-independent; the series is the RAW daily total
     (no detrend — the m-th bin of a constant offset is nonzero only
@@ -7459,8 +7503,9 @@ def weekly_periodogram(ds, group_col: str = "event_type",
                 raise ValueError(
                     "weekly_periodogram: spectral sum exceeds int64 — "
                     "rescale value upstream")
-            amp = (2.0 * math.sqrt(float(sc * sc + ss * ss))
-                   / (n * 1e6))
+            x = float(sc) / (float(n) * 1e6)
+            y = float(ss) / (float(n) * 1e6)
+            amp = 2.0 * math.sqrt(x * x + y * y)
             out["g"].append(g)
             out["harmonic"].append(m)
             out["s_c"].append(sc)
@@ -7503,12 +7548,15 @@ WITH daily AS (
   CROSS JOIN generate_series(1, {harmonics}) AS m(m)
   JOIN trig t ON t.k = (m.m * d.day) % 7
   GROUP BY 1, 2
+), amp AS (
+  SELECT g, harmonic, s_c, s_s,
+    CAST(s_c AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS x,
+    CAST(s_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS y
+  FROM sums
 )
 SELECT g AS {group_col}, harmonic, s_c, s_s,
-  2 * sqrt(CAST(CAST(s_c AS HUGEINT) * s_c
-                + CAST(s_s AS HUGEINT) * s_s AS DOUBLE))
-  / (CAST(n AS DOUBLE) * 1000000.0) AS amplitude
-FROM sums ORDER BY g, harmonic
+  2 * sqrt(x * x + y * y) AS amplitude
+FROM amp ORDER BY g, harmonic
 """.strip()
 
 
@@ -7775,8 +7823,10 @@ def ols_hour_dow(ds, ts_col: str = "ts",
     merged as python ints (HUGEINT in the mirror). The 3×3 system
     solves by CRAMER'S RULE with arbitrary-precision integer
     determinants; the only floats are the three final divisions
-    ``float(det_i) / float(det)`` (mirrored as
-    ``CAST(det_i AS DOUBLE) / CAST(det AS DOUBLE)``). Singular design
+    ``_split_float(det_i) / _split_float(det)`` (mirrored by
+    ``_split_float_sql`` — the determinants scale as n³·moments and
+    pass 2^64 near n ≈ 3e5 rows, where DuckDB's HUGEINT→DOUBLE cast
+    double-rounds). Singular design
     (det = 0) yields NULL betas. At oracle scale the HUGEINT
     determinant holds to n ≈ 1e10 rows; the engine's python ints are
     unbounded. NULL ts/value rows are excluded by contract.
@@ -7832,9 +7882,12 @@ def ols_hour_dow(ds, ts_col: str = "ts",
         d2 = (n * (shh * swy - shy * shw)
               - sh * (sh * swy - shy * sw)
               + sy * (sh * shw - shh * sw))
-        b0 = float(d0) / float(det)
-        b1 = float(d1) / float(det)
-        b2 = float(d2) / float(det)
+        # dets scale as n^3·moments and pass 2^64 around n ~ 3e5 rows:
+        # shared split tree, not DuckDB's lossy HUGEINT→DOUBLE cast
+        fdet = _split_float(det)
+        b0 = _split_float(d0) / fdet
+        b1 = _split_float(d1) / fdet
+        b2 = _split_float(d2) / fdet
     return pa.table({
         "n": pa.array([n], pa.int64()),
         "beta0": pa.array([b0], pa.float64()),
@@ -7880,11 +7933,14 @@ WITH m AS (
 )
 SELECT CAST(n AS BIGINT) AS n,
   CASE WHEN n > 0 AND det != 0
-    THEN CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE) END AS beta0,
+    THEN {_split_float_sql('d0')} / {_split_float_sql('det')}
+  END AS beta0,
   CASE WHEN n > 0 AND det != 0
-    THEN CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE) END AS beta_hour,
+    THEN {_split_float_sql('d1')} / {_split_float_sql('det')}
+  END AS beta_hour,
   CASE WHEN n > 0 AND det != 0
-    THEN CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE) END AS beta_dow
+    THEN {_split_float_sql('d2')} / {_split_float_sql('det')}
+  END AS beta_dow
 FROM d
 """.strip()
 

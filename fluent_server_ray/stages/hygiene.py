@@ -1477,7 +1477,8 @@ WITH toks AS (
   FROM toks CROSS JOIN unnest(generate_series(1, len(tt))) AS g(p)
 ), flagged AS (
   SELECT *,
-    md5_number_upper('wd:' || CAST({id_col} AS VARCHAR) || ':'
+    md5_number_upper('wd:' || CAST(CAST({id_col} AS BIGINT) AS VARCHAR)
+                     || ':'
                      || CAST(p AS VARCHAR)) % 1000 < {p_millis}
       AS dropped
   FROM pos

@@ -912,9 +912,11 @@ def merkle_fingerprint_sql(id_col: str = "event_id",
                            table: str = "events") -> str:
     return f"""
 WITH rh AS (
-  SELECT CAST(md5_number_upper('mb:' || CAST({id_col} AS VARCHAR))
+  SELECT CAST(md5_number_upper(
+      'mb:' || CAST(CAST({id_col} AS BIGINT) AS VARCHAR))
       % {n_buckets} AS BIGINT) AS b,
-    md5('r:' || CAST({id_col} AS VARCHAR) || ':' || {type_col} || ':'
+    md5('r:' || CAST(CAST({id_col} AS BIGINT) AS VARCHAR) || ':'
+        || {type_col} || ':'
         || CAST(CAST(round({value_col} * 100.0) AS BIGINT)
                 AS VARCHAR)) AS h
   FROM {table}
