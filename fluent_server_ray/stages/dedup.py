@@ -1901,7 +1901,10 @@ def substring_dupes(ds, window_k: int = 8, id_col: str = "doc_id",
        the corpus, and each pair must share an actual window STRING
        (at trillion-window scale 64-bit hashes collide near the 2^32
        birthday bound, so the exact operator cannot trust raw hashes).
-       Same broadcast-size guard as :func:`minhash_near_dupes`.
+       Texts within ``broadcast_bytes`` ship once via ``ray.put``;
+       beyond it, two bucketed hash joins attach text_a/text_b to the
+       deduped pairs — the same large-side plan as
+       :func:`minhash_near_dupes`.
 
     Returns a **Dataset** (doc_a, doc_b) — distinct verified pairs;
     stays in the object store (pair sets are corpus-scale on
@@ -1960,23 +1963,8 @@ def substring_dupes(ds, window_k: int = 8, id_col: str = "doc_id",
 
     cand_docs = ds.map_batches(grab_texts, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
-    if cand_docs.size_bytes() > broadcast_bytes:  # pragma: no cover
-        # candidate texts beyond broadcast size: attach texts with the
-        # two bucketed joins exactly as minhash_near_dupes' large path
-        # does. The synthetic corpora never get here; guard loudly
-        # rather than silently driver-collect.
-        raise NotImplementedError(
-            "substring_dupes candidate texts exceed broadcast_bytes; "
-            "use the bucketed-join attach path (cf. minhash_near_dupes)")
-    texts_tbl = pa.concat_tables(
-        cand_docs.iter_batches(batch_size=None, batch_format="pyarrow"))
-    texts_ref = ray.put(texts_tbl)
 
-    def verify(t: pa.Table) -> pa.Table:
-        tt = ray.get(texts_ref)
-        ids, texts = tt[id_col], tt[text_col]
-        ta = pc.take(texts, pc.index_in(t["doc_a"], value_set=ids))
-        tb = pc.take(texts, pc.index_in(t["doc_b"], value_set=ids))
+    def verify_rows(pair_a, pair_b, text_a, text_b) -> pa.Table:
         cache: dict = {}
 
         def wset(d, s):
@@ -1985,9 +1973,7 @@ def substring_dupes(ds, window_k: int = 8, id_col: str = "doc_id",
             return cache[d]
 
         keep_a, keep_b = [], []
-        for a, b, sa, sb in zip(t["doc_a"].to_pylist(),
-                                t["doc_b"].to_pylist(),
-                                ta.to_pylist(), tb.to_pylist()):
+        for a, b, sa, sb in zip(pair_a, pair_b, text_a, text_b):
             if wset(a, sa) & wset(b, sb):
                 keep_a.append(a)
                 keep_b.append(b)
@@ -1996,9 +1982,62 @@ def substring_dupes(ds, window_k: int = 8, id_col: str = "doc_id",
             "doc_b": pa.array(np.asarray(keep_b, dtype=np.int64)),
         })
 
-    out = distinct_pairs(
-        cand.map_batches(skip_empty(verify),
-                         batch_format="pyarrow")).materialize()
+    if cand_docs.size_bytes() <= broadcast_bytes:
+        # broadcast path: candidate texts ship once via ray.put; raw
+        # pair rows stream straight into verification
+        texts_tbl = pa.concat_tables(
+            cand_docs.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"))
+        texts_ref = ray.put(texts_tbl)
+
+        def verify(t: pa.Table) -> pa.Table:
+            tt = ray.get(texts_ref)
+            ids, texts = tt[id_col], tt[text_col]
+            ta = pc.take(texts, pc.index_in(t["doc_a"], value_set=ids))
+            tb = pc.take(texts, pc.index_in(t["doc_b"], value_set=ids))
+            return verify_rows(t["doc_a"].to_pylist(),
+                               t["doc_b"].to_pylist(),
+                               ta.to_pylist(), tb.to_pylist())
+
+        verified = cand.map_batches(skip_empty(verify),
+                                    batch_format="pyarrow")
+    else:
+        # candidate texts beyond broadcast size: attach them with two
+        # bucketed hash joins — the same large-side plan as
+        # minhash_near_dupes. Pairs are deduped FIRST (cross-bucket
+        # window collisions repeat pairs; joining first would amplify
+        # text bytes by the duplication factor).
+        from fluent_server_ray.stages.joins import bucketed_hash_join
+
+        pairs = distinct_pairs(cand, n_buckets=n_buckets).materialize()
+
+        def rename(cols: dict):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({new: t[old]
+                                 for old, new in cols.items()})
+            return fn
+
+        docs_a = cand_docs.map_batches(
+            rename({id_col: "doc_a", text_col: "text_a"}),
+            batch_format="pyarrow")
+        docs_b = cand_docs.map_batches(
+            rename({id_col: "doc_b", text_col: "text_b"}),
+            batch_format="pyarrow")
+        j1 = bucketed_hash_join(pairs, docs_a, key="doc_a",
+                                n_buckets=n_buckets).materialize()
+        j2 = bucketed_hash_join(j1, docs_b, key="doc_b",
+                                n_buckets=n_buckets)
+
+        def verify_joined(t: pa.Table) -> pa.Table:
+            return verify_rows(t["doc_a"].to_pylist(),
+                               t["doc_b"].to_pylist(),
+                               t["text_a"].to_pylist(),
+                               t["text_b"].to_pylist())
+
+        verified = j2.map_batches(skip_empty(verify_joined),
+                                  batch_format="pyarrow")
+
+    out = distinct_pairs(verified).materialize()
     if out.count() == 0:
         return _empty_pairs_ds()
     return out

@@ -1039,6 +1039,36 @@ def test_substring_dupes_constructed(ray_session):
     assert (3, 7) in want and (5, 12) in want
 
 
+def test_substring_dupes_join_fallback_parity(ray_session):
+    """broadcast_bytes=1 forces the bucketed-join text-attach path; the
+    verified pair set must equal the broadcast path's (and brute
+    force) bit for bit — the fallback changes the plan, not the
+    contract."""
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import substring_dupes, window_set
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(150)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(24)]
+    texts[9] = texts[2][:]                              # exact dup
+    texts[17] = "pre " + " ".join(texts[6].split()[5:20]) + " post"
+    df = pd.DataFrame({"doc_id": range(24), "text": texts})
+
+    broad = substring_dupes(rd.from_pandas(df), window_k=8).to_pandas()
+    joined = substring_dupes(rd.from_pandas(df), window_k=8,
+                             broadcast_bytes=1).to_pandas()
+    want = set()
+    ws = {r.doc_id: window_set(r.text, 8) for r in df.itertuples()}
+    for a in range(24):
+        for b in range(a + 1, 24):
+            if ws[a] & ws[b]:
+                want.add((a, b))
+    assert set(zip(broad["doc_a"], broad["doc_b"])) == want
+    assert set(zip(joined["doc_a"], joined["doc_b"])) == want
+    assert (2, 9) in want and (6, 17) in want
+
+
 def test_substring_dupes_empty_corpus(ray_session):
     import ray.data as rd
 
