@@ -398,6 +398,27 @@ def _q_ivf(sf_dir: str):
                     n_centroids=16, n_probe=8)
 
 
+def _q_ann_ivf_exact(sf_dir: str):
+    """IVF with ``n_probe = n_centroids`` — every query probes every
+    inverted list, so the plan degenerates to exact brute force and the
+    brute-force SQL oracle applies STRICTLY (the driver row that pins
+    the IVF scoring/merge kernel; the pruned ``ann_ivf_topk`` variant
+    stays rows-only with pytest-pinned recall)."""
+    from fluent_server_ray.stages.similarity import ivf_topk
+
+    return ivf_topk(_embs(sf_dir), ANN_QUERY_IDS, k=ANN_K,
+                    n_centroids=16, n_probe=16)
+
+
+def _q_kmeans_assign_fixed(sf_dir: str):
+    """One spherical-k-means assignment step from pinned corpus
+    centroids (vec_ids 0..7) — strict-oracle coverage for the
+    distance/argmax kernel the iterative kmeans_fit reuses."""
+    from fluent_server_ray.stages.similarity import kmeans_assign_fixed
+
+    return kmeans_assign_fixed(_embs(sf_dir), centroid_ids=tuple(range(8)))
+
+
 def _q_embedding_kmeans(sf_dir: str):
     """Distributed spherical k-means over the embedding corpus
     (cluster-composition summary): driver-side init on a deterministic
@@ -5401,7 +5422,88 @@ def _q_cuped(sf_dir: str):
                            columns=["user_id", "ts", "value"]))
 
 
+# The external driver samples the FIRST 50 entries of queries() each
+# round, and that window had been static since round 2 — 350 of the
+# 400 registered queries never received a driver-side correctness row.
+# This head list ROTATES the window: the three north-rule flagship
+# anchors stay, followed by 47 of the riskiest never-driver-checked
+# queries (the float-contract statistics families where the HUGEINT→
+# DOUBLE divergences were found, the join/window-heavy operators, and
+# the two new strict rows added this round). Everything else keeps its
+# original registration order after the head.
+_DRIVER_WINDOW = [
+    # north-rule anchors (driver-checked every round since r1)
+    "transcripts_parse",
+    "transcripts_route",
+    "transcripts_sink_counts",
+    # new strict rows this round (IVF degenerate-exact; fixed-centroid
+    # k-means assignment)
+    "ann_ivf_exact",
+    "kmeans_assign_fixed_centroids",
+    # float-contract statistics (the HUGEINT/double-rounding class)
+    "events_burstiness",
+    "nation_customer_hhi",
+    "events_sn_scale",
+    "user_km_survival",
+    "events_weekly_periodogram",
+    "users_cuped_ab_means",
+    "events_ols_hour_dow",
+    "events_jarque_bera",
+    "events_bootstrap_mean_ci",
+    "events_pairwise_perm_bh",
+    "events_allan_variance",
+    "events_haar_energy",
+    "events_hodges_lehmann",
+    "events_kendalls_w",
+    "users_cochran_q",
+    "events_hoover_index",
+    "source_kish_ess",
+    "events_mann_kendall",
+    "users_wilcoxon_signed_rank",
+    "events_theilsen_trend",
+    "events_spearman_volumes",
+    "events_kruskal_types",
+    "events_anova_types",
+    "events_brown_forsythe",
+    "events_wilson_ci",
+    "users_permutation_sign_test",
+    "users_did_estimate",
+    "users_capture_recapture",
+    # join / window / data-engineering heavy operators
+    "user_churn_labels",
+    "user_rfm_scores",
+    "orders_reconciliation",
+    "nation_revenue_q5",
+    "nation_year_profit_q9",
+    "supplier_sole_late_q21",
+    "part_min_price_supplier_q2",
+    "user_cdc_apply",
+    "user_fifo_allocation",
+    "user_clamped_balance",
+    "events_ohlc_daily",
+    "events_rolling_median",
+    "events_peak_concurrency",
+    "users_cohort_ltv",
+    "orders_fd_discovery",
+    "events_merkle_fingerprint",
+    "doc_word_dropout",
+    "events_daily_lis",
+    "token_graph_triangles",
+    "token_graph_kcore",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    q = _registry()
+    missing = [n for n in _DRIVER_WINDOW if n not in q]
+    if missing:  # a rename must fail loudly, not silently shrink cover
+        raise KeyError(f"_DRIVER_WINDOW names not registered: {missing}")
+    head = {n: q[n] for n in _DRIVER_WINDOW}
+    head.update((k, v) for k, v in q.items() if k not in head)
+    return head
+
+
+def _registry() -> dict[str, Callable[[str], Any]]:
     from fluent_server_ray.pipelines import relational as rel
 
     return {
@@ -5437,6 +5539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_cosine_topk": _q_ann,
         "ann_ivf_topk": _q_ivf,
+        "ann_ivf_exact": _q_ann_ivf_exact,
+        "kmeans_assign_fixed_centroids": _q_kmeans_assign_fixed,
         "embedding_dupes": _q_embedding_dupes,
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_balanced_sample": _q_embedding_balanced,
@@ -5931,6 +6035,11 @@ GROUP BY event_type ORDER BY event_type
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(max_hamming=3),
         "ann_cosine_topk": similarity.ann_topk_sql(ANN_QUERY_IDS, k=ANN_K),
+        # n_probe = n_centroids degenerates IVF to exact brute force:
+        # the brute-force oracle is strict for it
+        "ann_ivf_exact": similarity.ann_topk_sql(ANN_QUERY_IDS, k=ANN_K),
+        "kmeans_assign_fixed_centroids":
+            similarity.kmeans_assign_fixed_sql(tuple(range(8))),
         "embedding_dupes": similarity.cosine_dupes_sql(COSINE_DUP_T),
         "embedding_dup_clusters": _embedding_dup_clusters_sql(),
         "multimodal_decode": multimodal.decode_documents_sql(),

@@ -40,6 +40,12 @@ import pyarrow.compute as pc
 
 # ---------------------------------------------------------------- exact
 
+# the shared (doc_a, doc_b) candidate-pair block schema — pinned so
+# every per-bucket pair generator (including empty sort partitions)
+# emits identically-typed Arrow blocks (groups.map_buckets)
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     h = pd.util.hash_array(
         np.asarray(batch[text_col].to_pylist(), dtype=object)
@@ -89,12 +95,15 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         return g.groupby(text_col, sort=False, as_index=False,
                          dropna=False).head(1)[[id_col, text_col]]
 
-    return (
+    from fluent_server_ray.stages.groups import map_buckets, ray_schema_types
+
+    types = ray_schema_types(ds, [id_col, text_col])
+    out_schema = pa.schema([pa.field(id_col, types[id_col]),
+                            pa.field(text_col, types[text_col])])
+    return map_buckets(
         ds.map_batches(skip_empty(partial), batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("_b")
-        .map_groups(min_per_text, batch_format="pandas")
-    )
+                       zero_copy_batch=True),
+        min_per_text, out_schema, key="_b")
 
 
 def exact_dedup_sql(table: str = "documents") -> str:
@@ -177,12 +186,12 @@ def prefix_block_dupes(
         )
 
     from fluent_server_ray.stages.assembly import _with_bucket
+    from fluent_server_ray.stages.groups import map_buckets
 
     blocked = ds.map_batches(add_block, batch_format="pyarrow",
                              zero_copy_batch=True)
     bucketed = _with_bucket(blocked, "block", 256)
-    return bucketed.groupby("_bucket").map_groups(per_bucket,
-                                                  batch_format="pandas")
+    return map_buckets(bucketed, per_bucket, _PAIR_SCHEMA, key="_bucket")
 
 
 def prefix_block_dupes_sql(
@@ -457,10 +466,11 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
         zero_copy_batch=True,
         concurrency=pool_limits(),  # signature pass scales with cpus
     )
+    from fluent_server_ray.stages.groups import map_buckets
+
     bucketed = sig.map_batches(skip_empty(add_bucket),
                                batch_format="pyarrow", zero_copy_batch=True)
-    return bucketed.groupby("_bucket").map_groups(per_bucket,
-                                                  batch_format="pandas")
+    return map_buckets(bucketed, per_bucket, _PAIR_SCHEMA, key="_bucket")
 
 
 def _empty_pairs_ds(with_jaccard: bool = False,
@@ -479,17 +489,25 @@ def _empty_pairs_ds(with_jaccard: bool = False,
 
 
 def distinct_pairs(pairs_ds, n_buckets: int = 256,
-                   cols: tuple[str, str] = ("doc_a", "doc_b")):
+                   cols: tuple[str, str] = ("doc_a", "doc_b"),
+                   extra_fields: tuple = ()):
     """Distributed DISTINCT over id-pair rows: one groupby on
     ``siphash(first col) % n_buckets`` (balanced small-int key), each
     bucket deduped with one vectorized ``drop_duplicates`` — never one
     group per pair, never a driver materialization. Columns beyond the
     pair key (e.g. a verified similarity score — identical across
     duplicate discoveries of one pair, so any surviving copy is the
-    same) are carried through."""
+    same) are carried through; callers DECLARE them via
+    ``extra_fields`` ((name, arrow type) tuples) so every output block
+    — including empty sort partitions — keeps one pinned schema
+    (``map_buckets``), killing the empty-schema RefBundle warnings."""
     from fluent_server_ray.stages.aggregate import hash_bucket_array, skip_empty
+    from fluent_server_ray.stages.groups import map_buckets
 
     a_col, b_col = cols
+    out_schema = pa.schema(
+        [pa.field(a_col, pa.int64()), pa.field(b_col, pa.int64())]
+        + [pa.field(n, t) for n, t in extra_fields])
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -497,14 +515,13 @@ def distinct_pairs(pairs_ds, n_buckets: int = 256,
         )
 
     def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates([a_col, b_col]).drop(columns=["_pbucket"])
+        return g.drop_duplicates([a_col, b_col])
 
-    return (
-        pairs_ds.map_batches(skip_empty(add_bucket), batch_format="pyarrow",
-                             zero_copy_batch=True)
-        .groupby("_pbucket")
-        .map_groups(bucket_distinct, batch_format="pandas")
-    )
+    return map_buckets(
+        pairs_ds.map_batches(skip_empty(add_bucket),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True),
+        bucket_distinct, out_schema, key="_pbucket")
 
 
 def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
@@ -662,7 +679,8 @@ def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
     # distributed distinct (cross-batch band duplicates); materialize so
     # the count() guard doesn't force a re-execution for the caller —
     # pair blocks pin in the OBJECT STORE, never on the driver
-    out = distinct_pairs(verified).materialize()
+    out = distinct_pairs(
+        verified, extra_fields=(("jaccard", pa.float64()),)).materialize()
     if out.count() == 0:  # candidates existed but none verified
         return _empty_pairs_ds(with_jaccard=True)
     return out
@@ -899,14 +917,14 @@ def simhash_near_dupes(ds, max_hamming: int = 3, n_blocks: int = 4,
 
     from fluent_server_ray.stages.aggregate import skip_empty
 
-    cand = (
+    from fluent_server_ray.stages.groups import map_buckets
+
+    cand = map_buckets(
         ds.map_batches(explode_blocks, batch_format="pyarrow",
                        zero_copy_batch=True)
         .map_batches(skip_empty(add_bucket), batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+                     zero_copy_batch=True),
+        per_bucket, _PAIR_SCHEMA, key="_bucket")
     out = distinct_pairs(cand, n_buckets=n_buckets).materialize()
     if out.count() == 0:  # no pair within the radius — the common case
         return _empty_pairs_ds()
@@ -1183,7 +1201,10 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
         out = g.groupby("node", as_index=False)["label"].min()
         return out.astype({"node": "int64", "label": "int64"})
 
-    def bucket_reduce(ds, per_bucket):
+    _NODE_SCHEMA = pa.schema([("node", pa.int64()),
+                              ("label", pa.int64())])
+
+    def bucket_reduce(ds, per_bucket, out_schema=_NODE_SCHEMA):
         from fluent_server_ray.stages.aggregate import hash_bucket_array
 
         def add_b(t: pa.Table) -> pa.Table:
@@ -1194,12 +1215,12 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
         def run(g: pd.DataFrame) -> pd.DataFrame:
             return per_bucket(g.drop(columns=["_nb"]))
 
-        return (
+        from fluent_server_ray.stages.groups import map_buckets
+
+        return map_buckets(
             ds.map_batches(skip_empty(add_b), batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby("_nb")
-            .map_groups(run, batch_format="pandas")
-        )
+                           zero_copy_batch=True),
+            run, out_schema, key="_nb")
 
     # initial labels: one row per distinct node (per-block unique →
     # distributed distinct-min, reusing the same bucketed reduction)
@@ -1250,8 +1271,11 @@ def pair_components(pairs_ds, n_buckets: int = 64, max_iters: int = 20,
         marked = labels.map_batches(skip_empty(mark_old),
                                     batch_format="pyarrow",
                                     zero_copy_batch=True)
-        merged = bucket_reduce(cand.union(marked),
-                               min_with_change).materialize()
+        merged = bucket_reduce(
+            cand.union(marked), min_with_change,
+            out_schema=pa.schema([("node", pa.int64()),
+                                  ("label", pa.int64()),
+                                  ("_chg", pa.int8())])).materialize()
 
         def changed_rows(t: pa.Table) -> pa.Table:
             return t.filter(pc.equal(t["_chg"], 1))
@@ -1473,11 +1497,14 @@ def overlap_dupes(ds, min_overlap_millionths: int = 800_000,
                .size().reset_index(name="inter"))
         return out.astype({"inter": "int64"})
 
+    from fluent_server_ray.stages.groups import map_buckets
+
     posted = sh_ds.map_batches(skip_empty(postings), batch_format="pyarrow",
                                zero_copy_batch=True)
-    parts = posted.groupby("_b").map_groups(per_bucket,
-                                            batch_format="pandas"
-                                            ).materialize()
+    parts = map_buckets(
+        posted, per_bucket,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("inter", pa.int64())]), key="_b").materialize()
 
     # size-adaptive continuation (the PMI / cosine-pairs pattern):
     # partials are result-sized — when they fit the driver, one Arrow
@@ -1631,8 +1658,28 @@ def build_text_index(ds, index_dir: str, text_col: str = "text",
     EXTENDS it (new files land in the same hive layout; the
     per-partition-distinct invariant holds because survivors are by
     construction absent from the index).
+
+    Crash safety (the C6-analogue for the wide ops): the INITIAL build
+    writes into ``<dir>.building`` and atomically renames — a SIGKILL
+    mid-build leaves no half-index at the published path, and the
+    re-run starts clean. A crash mid-EXTEND can leave truncated part
+    files inside the live layout (appends are in-place by design);
+    :func:`repair_text_index` drops exactly those (a parquet footer
+    never lands before the stream is complete), after which re-running
+    the SAME extend is idempotent: texts the crashed run did persist
+    dedup the re-sent copies, re-appended survivors are set-semantics
+    duplicates inside one partition (the probe reads a set).
     """
+    import os
+
     from fluent_server_ray.stages.aggregate import skip_empty
+
+    fresh_build = not os.path.isdir(index_dir)
+    dest = index_dir.rstrip("/") + ".building" if fresh_build else index_dir
+    if fresh_build:
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)  # stale crashed build
 
     def part(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[text_col]))
@@ -1649,12 +1696,44 @@ def build_text_index(ds, index_dir: str, text_col: str = "text",
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(text_col)[[text_col, "hpart"]]
 
-    (ds.map_batches(skip_empty(part), batch_format="pyarrow",
-                    zero_copy_batch=True)
-     .groupby("hpart")
-     .map_groups(per_part, batch_format="pandas")
-     .write_parquet(index_dir, partition_cols=["hpart"]))
+    from fluent_server_ray.stages.groups import map_buckets
+
+    _IDX_SCHEMA = pa.schema([(text_col, pa.string()),
+                             ("hpart", pa.int64())])
+    map_buckets(
+        ds.map_batches(skip_empty(part), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        per_part, _IDX_SCHEMA, key="hpart",
+    ).write_parquet(dest, partition_cols=["hpart"])
+    if fresh_build:
+        os.rename(dest, index_dir)
     return index_dir
+
+
+def repair_text_index(index_dir: str) -> dict:
+    """Drop truncated part files left by a crash mid-EXTEND (see
+    :func:`build_text_index`): a parquet file whose footer does not
+    read back was never fully written — the data it held belongs to an
+    extend that will re-run anyway. Also clears a ``.building`` remnant
+    from a crashed INITIAL build. Returns
+    ``{"files_dropped": n, "building_cleared": bool}``."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    dropped = 0
+    for f in _glob.glob(os.path.join(index_dir, "hpart=*", "*.parquet")):
+        try:
+            _pq.read_metadata(f)
+        except Exception:
+            os.remove(f)
+            dropped += 1
+    building = index_dir.rstrip("/") + ".building"
+    had_building = os.path.isdir(building)
+    shutil.rmtree(building, ignore_errors=True)
+    return {"files_dropped": dropped, "building_cleared": had_building}
 
 
 # per-WORKER cache of index bucket text sets: repeated incremental
@@ -1761,10 +1840,15 @@ def dedup_against_index(ds, index_dir: str, id_col: str = "doc_id",
         keep = ~g[text_col].isin(texts)
         return g.loc[keep, [id_col, text_col]]
 
+    from fluent_server_ray.stages.groups import map_buckets, ray_schema_types
+
+    types = ray_schema_types(ds, [id_col, text_col])
     bucketed = ds.map_batches(skip_empty(add_part), batch_format="pyarrow",
                               zero_copy_batch=True)
-    return bucketed.groupby("_b").map_groups(per_bucket,
-                                             batch_format="pandas")
+    return map_buckets(
+        bucketed, per_bucket,
+        pa.schema([pa.field(id_col, types[id_col]),
+                   pa.field(text_col, types[text_col])]), key="_b")
 
 
 def compact_text_index(index_dir: str, text_col: str = "text",
@@ -1805,13 +1889,17 @@ def compact_text_index(index_dir: str, text_col: str = "text",
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(text_col)[[text_col, "hpart"]]
 
+    from fluent_server_ray.stages.groups import map_buckets
+
     tmp = index_dir.rstrip("/") + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
-    (ds.map_batches(skip_empty(part), batch_format="pyarrow",
-                    zero_copy_batch=True)
-     .groupby("hpart")
-     .map_groups(per_part, batch_format="pandas")
-     .write_parquet(tmp, partition_cols=["hpart"]))
+    map_buckets(
+        ds.map_batches(skip_empty(part), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        per_part,
+        pa.schema([(text_col, pa.string()), ("hpart", pa.int64())]),
+        key="hpart",
+    ).write_parquet(tmp, partition_cols=["hpart"])
 
     old = index_dir.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
@@ -1936,12 +2024,12 @@ def substring_dupes(ds, window_k: int = 8, id_col: str = "doc_id",
         out.columns = ["doc_a", "doc_b"]
         return out
 
-    cand = (
+    from fluent_server_ray.stages.groups import map_buckets
+
+    cand = map_buckets(
         ds.map_batches(skip_empty(partial), batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("_b")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    ).materialize()
+                       zero_copy_batch=True),
+        bucket_pairs, _PAIR_SCHEMA, key="_b").materialize()
     if cand.count() == 0:
         return _empty_pairs_ds()
 
@@ -2185,12 +2273,12 @@ def near_dups_against_index(ds, index_dir: str, threshold: float = 0.8):
         out.columns = ["doc_a", "doc_b"]
         return out
 
-    cand = (
+    from fluent_server_ray.stages.groups import map_buckets
+
+    cand = map_buckets(
         ds.map_batches(skip_empty(band_rows), batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("bpart")
-        .map_groups(probe_bucket, batch_format="pandas")
-    )
+                       zero_copy_batch=True),
+        probe_bucket, _PAIR_SCHEMA, key="bpart")
     cand = distinct_pairs(cand).materialize()
     if cand.count() == 0:
         return _empty_pairs_ds(with_jaccard=False).map_batches(
@@ -2243,12 +2331,12 @@ def near_dups_against_index(ds, index_dir: str, threshold: float = 0.8):
         return t.append_column(
             "_spart", pa.array((b % n_parts).astype(np.int64)))
 
-    return (
+    return map_buckets(
         cand.map_batches(add_spart, batch_format="pyarrow",
-                         zero_copy_batch=True)
-        .groupby("_spart")
-        .map_groups(verify_bucket, batch_format="pandas")
-    )
+                         zero_copy_batch=True),
+        verify_bucket,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("est_jaccard", pa.float64())]), key="_spart")
 
 
 def substring_dupes_sql(window_k: int = 8, table: str = "documents") -> str:
@@ -2499,12 +2587,14 @@ def edit_distance_dupes(ds, id_col: str = "doc_id",
             "dist": res[ok].astype(np.int64),
         })
 
-    out = (
+    from fluent_server_ray.stages.groups import map_buckets
+
+    out = map_buckets(
         ds.map_batches(skip_empty(explode_bands), batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("_band")
-        .map_groups(per_band, batch_format="pandas")
-    )
+                       zero_copy_batch=True),
+        per_band,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("dist", pa.int64())]), key="_band")
     return out.sort(["doc_a", "doc_b"])
 
 
@@ -2569,12 +2659,14 @@ def source_dup_rate(ds, group_col: str = "source",
                .reset_index())
         return out[[group_col, "n", "dups"]]
 
-    parts = (
+    from fluent_server_ray.stages.groups import map_buckets
+
+    parts = map_buckets(
         ds.map_batches(skip_empty(fp), batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("_b")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+                       zero_copy_batch=True),
+        per_bucket,
+        pa.schema([(group_col, pa.string()), ("n", pa.int64()),
+                   ("dups", pa.int64())]), key="_b")
     tables = list(parts.iter_batches(batch_size=None,
                                      batch_format="pyarrow"))
     if not tables:
@@ -2689,12 +2781,14 @@ def winnow_pairs(ds, k: int = 8, window: int = 4, min_shared: int = 2,
                .size().rename("n").reset_index())
         return out
 
-    pairs = (
+    from fluent_server_ray.stages.groups import map_buckets
+
+    pairs = map_buckets(
         ds.map_batches(skip_empty(fps), batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("_b")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+                       zero_copy_batch=True),
+        per_bucket,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("n", pa.int64())]), key="_b")
     total = grouped_agg(pairs, keys=["doc_a", "doc_b"],
                         aggs=[("n", "sum")], final="ray")
 

@@ -96,6 +96,30 @@ def map_buckets(
     )
 
 
+def ray_schema_types(ds, names: list[str]) -> dict[str, pa.DataType]:
+    """Arrow types for ``names`` from a Ray ``Dataset.schema()`` —
+    normalizing the pandas-backed case where ``schema().types`` holds
+    numpy dtypes / python classes instead of Arrow DataTypes (object →
+    string, matching Arrow's conversion of text columns)."""
+    sch = ds.schema()
+    out: dict[str, pa.DataType] = {}
+    for name, typ in zip(sch.names, sch.types):
+        if name not in names:
+            continue
+        if isinstance(typ, pa.DataType):
+            out[name] = typ
+        else:
+            try:
+                out[name] = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                out[name] = pa.string()
+    missing = [n for n in names if n not in out]
+    if missing:
+        raise KeyError(f"columns {missing} not in dataset schema "
+                       f"{sch.names}")
+    return out
+
+
 def pandas_fields(df: pd.DataFrame) -> list[pa.Field]:
     """Arrow fields for a prototype pandas frame (used by call sites
     that declare their output schema via an empty typed DataFrame)."""

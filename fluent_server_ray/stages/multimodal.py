@@ -463,13 +463,19 @@ def phash_dupes(ds, max_hamming: int = 8, n_blocks: int = 9,
             return empty
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
-    cand = (ds.map_batches(explode_blocks, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .map_batches(skip_empty(add_bucket), batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("_bucket")
-            .map_groups(per_bucket, batch_format="pandas"))
-    out = distinct_pairs(cand, n_buckets=n_buckets).materialize()
+    from fluent_server_ray.stages.groups import map_buckets
+
+    _HAM_FIELDS = (("hamming", pa.int64()),)
+    cand = map_buckets(
+        ds.map_batches(explode_blocks, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(skip_empty(add_bucket), batch_format="pyarrow",
+                     zero_copy_batch=True),
+        per_bucket,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("hamming", pa.int64())]), key="_bucket")
+    out = distinct_pairs(cand, n_buckets=n_buckets,
+                         extra_fields=_HAM_FIELDS).materialize()
     if out.count() == 0:
         return _empty_pairs_ds()
     return out

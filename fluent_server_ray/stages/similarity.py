@@ -221,8 +221,20 @@ def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
         )
 
     from fluent_server_ray.stages.enrich import pool_limits
+    from fluent_server_ray.stages.groups import map_buckets
 
-    cand = (
+    def combine_key(t: pa.Table) -> pa.Table:
+        # (table_id, bucket) → one int key (bucket < 2^n_planes), so
+        # the schema-stable single-key map_buckets shuffle applies;
+        # the single-table layout has no table_id column (table 0)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        ti = (t["table_id"].to_numpy(zero_copy_only=False)
+              if "table_id" in t.column_names
+              else np.zeros(len(t), dtype=np.int64))
+        tb = ti * (1 << n_planes) + b
+        return t.append_column("_tb", pa.array(tb.astype(np.int64)))
+
+    cand = map_buckets(
         ds.map_batches(
             LSHBucketStage,
             fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
@@ -230,10 +242,11 @@ def cosine_dupes(ds, threshold: float = 0.95, id_col: str = "vec_id",
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=pool_limits(),  # per-vec bucket pass scales with cpus
-        )
-        .groupby(["table_id", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
+        ).map_batches(combine_key, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        bucket_pairs,
+        pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]),
+        key="_tb")
     # distributed distinct over pair rows (same-pair hits from several
     # tables); pairs are verified already, so this is the final result —
     # materialized into the OBJECT STORE (never the driver)
@@ -667,6 +680,85 @@ def kmeans_cluster_sizes(ds, n_clusters: int = 8, n_iter: int = 4,
     })
 
 
+def kmeans_assign_fixed(ds, centroid_ids: tuple = tuple(range(8)),
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> pa.Table:
+    """ONE spherical-k-means assignment step from PINNED centroids —
+    the corpus vectors whose ids are ``centroid_ids`` play the
+    centroids (so the step is fully specified by data + ids and hence
+    SQL-expressible): each vector goes to the centroid of maximum
+    cosine similarity, ties to the LOWEST centroid id (numpy argmax
+    first-max ≡ the mirror's ``row_number() OVER (ORDER BY cos DESC,
+    c)``). This driver-checks the distance/argmax kernel that the
+    iterative :func:`kmeans_fit` (rows-only: recall Lloyd is not
+    SQL-expressible) reuses every round.
+
+    Shape: centroid vectors are driver-resolved (an ``is_in`` filter,
+    tiny) and broadcast via ``ray.put``; assignment is one BLAS matmul
+    per batch; per-cluster counts finish with the house grouped-counts
+    exchange (bounded: ≤ len(centroid_ids) rows). Output:
+    (cluster, n_vecs) sorted by cluster — cluster IS the centroid's
+    vec id.
+    """
+    import ray
+
+    from fluent_server_ray.stages.aggregate import grouped_counts
+
+    cid_sorted = sorted(int(c) for c in centroid_ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[id_col],
+                                 value_set=pa.array(cid_sorted)))
+
+    ctab = pa.concat_tables(
+        ds.map_batches(grab, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    order = np.argsort(ctab[id_col].to_numpy())
+    cids = ctab[id_col].to_numpy()[order].astype(np.int64)
+    cmat = _normalize(_batch_matrix(ctab, emb_col)[order])
+    cref = ray.put((cids, cmat))
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids_c, mat_c = ray.get(cref)
+        mat = _normalize(_batch_matrix(t, emb_col))
+        a = (mat @ mat_c.T).argmax(axis=1)
+        return pa.table({"cluster": pa.array(ids_c[a], pa.int64())})
+
+    out = grouped_counts(
+        ds.map_batches(assign, batch_format="pyarrow",
+                       zero_copy_batch=True), ["cluster"]).to_pandas()
+    out = out.sort_values("cluster").reset_index(drop=True)
+    return pa.table({
+        "cluster": pa.array(out["cluster"].astype("int64")),
+        "n_vecs": pa.array(out["n"].astype("int64")),
+    })
+
+
+def kmeans_assign_fixed_sql(centroid_ids: tuple = tuple(range(8)),
+                            table: str = "embeddings") -> str:
+    ids = ", ".join(str(int(c)) for c in sorted(centroid_ids))
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS c, embedding AS cemb
+  FROM {table} WHERE vec_id IN ({ids})
+), sims AS (
+  SELECT e.vec_id, c.c,
+    list_cosine_similarity(e.embedding, c.cemb) AS cos
+  FROM {table} e CROSS JOIN cents c
+), ranked AS (
+  SELECT vec_id, c,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, c) AS rn
+  FROM sims
+)
+SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n_vecs
+FROM ranked WHERE rn = 1 GROUP BY 1 ORDER BY 1
+""".strip()
+
+
 def cluster_balanced_sample(ds, n_clusters: int = 8, cap: int = 100,
                             n_iter: int = 3, sample_size: int = 512,
                             id_col: str = "vec_id",
@@ -997,13 +1089,15 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int | None = None,
                                dtype=np.int64),
         })
 
+    from fluent_server_ray.stages.groups import map_buckets
+
     pruned = ds.select_columns([id_col, emb_col])
-    out = (
+    out = map_buckets(
         pruned.map_batches(assign, batch_format="pyarrow",
-                           zero_copy_batch=True)
-        .groupby("cluster")
-        .map_groups(survivors, batch_format="pandas")
-    )
+                           zero_copy_batch=True),
+        survivors,
+        pa.schema([(id_col, pa.int64()), ("cluster", pa.int64())]),
+        key="cluster")
     return out.sort(id_col)
 
 
@@ -1274,12 +1368,14 @@ def tfidf_cosine_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                .sum().reset_index())
         return out
 
-    dots = (
+    from fluent_server_ray.stages.groups import map_buckets
+
+    dots = map_buckets(
         w_ds.map_batches(add_bucket, batch_format="pyarrow",
-                         zero_copy_batch=True)
-        .groupby("_b")
-        .map_groups(per_bucket, batch_format="pandas")
-    ).materialize()
+                         zero_copy_batch=True),
+        per_bucket,
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("dot", pa.int64())]), key="_b").materialize()
 
     # size-adaptive continuation (the PMI pattern): the pair partials
     # are result-sized — when they fit the driver, ONE pandas-free

@@ -353,6 +353,212 @@ def test_delete_time_slices_retention(ray_session, tmp_path):
     assert rep3["rows_deleted"] >= rep3["per_sink"].get("errors", 0)
 
 
+def _index_texts(index_dir):
+    """Per-partition distinct text sets of a build_text_index layout."""
+    import glob as _glob
+
+    out = {}
+    for d in sorted(_glob.glob(os.path.join(index_dir, "hpart=*"))):
+        part = os.path.basename(d)
+        texts = set()
+        for f in _glob.glob(os.path.join(d, "*.parquet")):
+            texts |= set(pq.read_table(f, columns=["text"])
+                         ["text"].to_pylist())
+        out[part] = texts
+    return out
+
+
+DRIVER_INDEX_BUILD = """
+import sys, os
+sys.path.insert(0, {repo!r})
+os.chdir({repo!r})
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from fluent_server_ray.sources.pq import read_parquet_clean
+from fluent_server_ray.stages.dedup import build_text_index
+docs = read_parquet_clean({src!r}).select_columns(["doc_id", "text"])
+build_text_index(docs, {idx!r}, n_parts=16)
+ray.shutdown()
+"""
+
+
+def test_sigkill_mid_index_build_then_rebuild(ray_session, tmp_path):
+    """SIGKILL a build_text_index subprocess mid-run: the atomic
+    .building publish means the index path either does not exist or is
+    the COMPLETE index; repair + rebuild from a fresh session yields a
+    probe result identical to a clean one-shot build."""
+    import shutil
+
+    from fluent_server_ray.sources.pq import read_parquet_clean
+    from fluent_server_ray.stages.dedup import (
+        build_text_index,
+        dedup_against_index,
+        repair_text_index,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "idx")
+    building = idx + ".building"
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         DRIVER_INDEX_BUILD.format(repo=REPO, src=src, idx=idx)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    # kill as soon as the builder starts materializing files
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if os.path.isdir(building) or os.path.isdir(idx):
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.05)
+    if proc.poll() is None:
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait()
+
+    # atomic-publish contract: the live path is absent or complete —
+    # never a half-written partial
+    killed_mid_build = not os.path.isdir(idx)
+
+    rep = repair_text_index(idx) if os.path.isdir(idx) else None
+    if killed_mid_build:
+        # the remnant (if any) sits at .building; rebuild from scratch
+        shutil.rmtree(building, ignore_errors=True)
+        docs = read_parquet_clean(src).select_columns(["doc_id", "text"])
+        build_text_index(docs, idx, n_parts=16)
+    else:
+        assert rep == {"files_dropped": 0, "building_cleared": False}
+
+    # index-content equality vs a clean one-shot build (per-partition
+    # distinct text sets), plus probe equality on a novel-row shard
+    clean = str(tmp_path / "clean")
+    docs = read_parquet_clean(src).select_columns(["doc_id", "text"])
+    build_text_index(docs, clean, n_parts=16)
+    assert _index_texts(idx) == _index_texts(clean)
+    probe = pd.DataFrame({"doc_id": [1_000_000],
+                          "text": ["never-indexed sentinel"]})
+    import ray.data as rd
+
+    a = dedup_against_index(rd.from_pandas(probe), idx,
+                            n_parts=16).to_pandas()
+    b = dedup_against_index(rd.from_pandas(probe), clean,
+                            n_parts=16).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert list(a["doc_id"]) == [1_000_000]
+
+
+def test_index_extend_crash_repair_idempotent(ray_session, tmp_path):
+    """A truncated part file (simulated crash mid-EXTEND) is dropped by
+    repair_text_index, and RE-RUNNING the same extend leaves probe
+    results equal to the never-crashed sequence."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (
+        build_text_index,
+        dedup_against_index,
+        repair_text_index,
+    )
+
+    base = pd.DataFrame({"doc_id": range(6),
+                         "text": [f"t{i}" for i in range(6)]})
+    ext = pd.DataFrame({"doc_id": range(10, 16),
+                        "text": [f"t{i}" for i in range(3, 9)]})
+    for name in ("crashed", "clean"):
+        build_text_index(rd.from_pandas(base), str(tmp_path / name),
+                         n_parts=4)
+
+    idx = str(tmp_path / "crashed")
+    # extend, then truncate one of the extend's files mid-byte
+    build_text_index(rd.from_pandas(ext), idx, n_parts=4)
+    files = sorted(_glob.glob(f"{idx}/hpart=*/*.parquet"),
+                   key=os.path.getmtime)
+    victim = files[-1]
+    data = open(victim, "rb").read()
+    open(victim, "wb").write(data[: max(4, len(data) // 2)])
+
+    rep = repair_text_index(idx)
+    assert rep["files_dropped"] == 1
+    # re-run the SAME extend (the at-least-once re-delivery)
+    build_text_index(rd.from_pandas(ext), idx, n_parts=4)
+
+    clean = str(tmp_path / "clean")
+    build_text_index(rd.from_pandas(ext), clean, n_parts=4)
+    assert _index_texts(idx) == _index_texts(clean)
+    # probe: t0..t8 all indexed (drop), one sentinel survives — same
+    # result through the crashed-and-repaired index as the clean one
+    probe = pd.DataFrame(
+        {"doc_id": list(range(100, 109)) + [999],
+         "text": [f"t{i}" for i in range(9)] + ["sentinel"]})
+    a = dedup_against_index(rd.from_pandas(probe), idx,
+                            n_parts=4).to_pandas()
+    b = dedup_against_index(rd.from_pandas(probe), clean,
+                            n_parts=4).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert list(a["doc_id"]) == [999]
+
+
+def test_sigkill_mid_join_query_rerun_identical(ray_session, tmp_path):
+    """SIGKILL a subprocess mid bucketed-hash-join pipeline, then run
+    the same query in THIS session: leftover engine/spill state from
+    the killed run must not leak into the rerun (result equals the
+    DuckDB oracle)."""
+    import duckdb
+
+    driver = """
+import sys, os
+sys.path.insert(0, {repo!r})
+os.chdir({repo!r})
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import importlib.util
+spec = importlib.util.spec_from_file_location("__ray_entry__", os.path.join({repo!r}, "__ray_entry__.py"))
+m = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(m)
+res = m.queries()["anti_join_customers"]("/root/testdata/sf0.001")
+import pandas as pd
+df = res.to_pandas() if hasattr(res, "to_pandas") else res
+print(len(df))
+ray.shutdown()
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", driver.format(repo=REPO)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    time.sleep(2.5)  # mid-pipeline for this corpus size
+    if proc.poll() is None:
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait()
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(REPO, "__ray_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    res = m.queries()["anti_join_customers"]("/root/testdata/sf0.001")
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+    want = con.execute(m.oracle_sql()["anti_join_customers"]).df()
+    cols = sorted(df.columns)
+    assert cols == sorted(want.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_retention_can_empty_store_and_old_named_outdir(
         ray_session, tmp_path):
     """Review regressions: (1) a cutoff that empties every shard must
