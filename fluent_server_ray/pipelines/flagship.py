@@ -872,8 +872,11 @@ def tenant_hour_profile_distance(source) -> "pa.Table":
     floor-div, no calendar path); per-(tenant, hour) counts are exact
     ints on the bounded 24-column grid; for pair (a < b) the
     cross-scaled L1 mass ``D = Σ_h |c_ah·N_b − c_bh·N_a|`` is an exact
-    python int and ``tvd = float(D) / float(2·N_a·N_b)`` is ONE
-    division (TVD ∈ [0, 1]). Hours silent for both tenants contribute
+    python int and ``tvd = float(D) / _split_float(2·N_a·N_b)`` is ONE
+    division (TVD ∈ [0, 1]; the denominator passes 2^64 at scale, so
+    both engines float it via the shared split tree — D itself is
+    BIGINT-guarded in the mirror, so ``float(D)`` matches its cast).
+    Hours silent for both tenants contribute
     0 (grid completion is a no-op — mirrored). Output:
     (tenant_a, tenant_b, d_cross, tvd) sorted by pair; the |tenants|²
     pair scan runs on the driver over the bounded grid.
@@ -883,6 +886,7 @@ def tenant_hour_profile_distance(source) -> "pa.Table":
     import pyarrow.compute as pc
 
     from fluent_server_ray.stages.aggregate import grouped_agg, skip_empty
+    from fluent_server_ray.stages.features import _split_float
 
     routed = build_routed(source, columns=["tenant", "ts"])
 
@@ -921,7 +925,10 @@ def tenant_hour_profile_distance(source) -> "pa.Table":
             out["a"].append(ta)
             out["b"].append(tb)
             out["d"].append(d)
-            out["tvd"].append(float(d) / float(2 * na * nb)
+            # 2·N_a·N_b passes 2^64 at 10^12-turn scale — shared
+            # split tree for the DENOMINATOR only (d is BIGINT-guarded
+            # in the mirror, so float(d) ≡ its correctly-rounded CAST)
+            out["tvd"].append(float(d) / _split_float(2 * na * nb)
                               if na and nb else None)
     return pa.table({
         "tenant_a": pa.array(out["a"], pa.string()),
@@ -933,10 +940,11 @@ def tenant_hour_profile_distance(source) -> "pa.Table":
 
 def tenant_hour_profile_distance_sql() -> str:
     from fluent_server_ray import oracle
+    from fluent_server_ray.stages.features import _split_float_sql
 
     return (
         oracle.with_pipeline_ctes()
-        + """
+        + f"""
 , hr AS (
   SELECT tenant, (epoch_us(ts) // 3600000000) % 24 AS hour,
     CAST(count(*) AS BIGINT) AS n
@@ -969,7 +977,8 @@ grid AS (
 SELECT ta AS tenant_a, tb AS tenant_b, d_cross,
   CASE WHEN na > 0 AND nb > 0 THEN
     CAST(d_cross AS DOUBLE)
-    / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) END AS tvd
+    / {_split_float_sql('2 * CAST(na AS HUGEINT) * nb')}
+  END AS tvd
 FROM d ORDER BY ta, tb"""
     )
 

@@ -1745,12 +1745,19 @@ def repair_text_index(index_dir: str) -> dict:
 from collections import OrderedDict as _OrderedDict
 
 _IDX_CACHE: "_OrderedDict[tuple, tuple[frozenset, int]]" = _OrderedDict()
-_IDX_CACHE_MAX_BYTES = 256 << 20
+# byte cap: env-overridable so the steady-state bench can disable the
+# cache (FSR_IDX_CACHE_BYTES=0) in every worker without code changes
+_IDX_CACHE_MAX_BYTES = int(__import__("os").environ.get(
+    "FSR_IDX_CACHE_BYTES", 256 << 20))
 
 
 def _index_bucket_texts(index_dir: str, k: int, text_col: str):
     """The distinct-text set of index partition ``hpart=k`` via the
-    per-worker LRU (None if the partition has no files)."""
+    per-worker LRU (None if the partition has no files). When
+    ``FSR_IDX_CACHE_LOG`` names a file, each cache MISS appends one
+    ``<bytes-read>`` line (O_APPEND, atomic for short lines) — the
+    aggregate-re-read-bytes probe of the steady-state ingestion bench
+    (BASELINE.md "Index cache affinity")."""
     import glob as _glob
     import os
 
@@ -1765,14 +1772,22 @@ def _index_bucket_texts(index_dir: str, k: int, text_col: str):
     key = (index_dir, k,
            tuple((f, os.path.getsize(f), os.stat(f).st_mtime_ns)
                  for f in fs))
-    hit = _IDX_CACHE.get(key)
-    if hit is not None:
-        _IDX_CACHE.move_to_end(key)
-        return hit[0]
+    if _IDX_CACHE_MAX_BYTES > 0:
+        hit = _IDX_CACHE.get(key)
+        if hit is not None:
+            _IDX_CACHE.move_to_end(key)
+            return hit[0]
+    log = os.environ.get("FSR_IDX_CACHE_LOG")
+    if log:
+        read_bytes = sum(sz for _, sz, _ in key[2])
+        with open(log, "a") as fh:
+            fh.write(f"{read_bytes}\n")
     idx = pa.concat_tables(
         [_pq.read_table(f, columns=[text_col]) for f in fs]
     )
     texts = frozenset(idx[text_col].to_pylist())
+    if _IDX_CACHE_MAX_BYTES <= 0:
+        return texts
     nbytes = sum(len(s) for s in texts) + 80 * len(texts)
     _IDX_CACHE[key] = (texts, nbytes)
     used = sum(b for _, b in _IDX_CACHE.values())

@@ -7757,7 +7757,7 @@ def wilson_proportion_ci(ds, group_col: str = "event_type",
         denom = 1.0 + z2 / n
         center = (phat + z2 / (2.0 * n)) / denom
         half = (z * math.sqrt(phat * (1.0 - phat) / n
-                              + z2 / (4.0 * float(n * n)))
+                              + z2 / (4.0 * _split_float(n * n)))
                 / denom)
         rows["g"].append(r["g"])
         rows["n"].append(n)
@@ -7797,7 +7797,8 @@ WITH agg AS (
   SELECT g, n, k, phat,
     (phat + z2 / (2.0 * CAST(n AS DOUBLE))) / denom AS center,
     1.959964 * sqrt(phat * (1.0 - phat) / CAST(n AS DOUBLE)
-      + z2 / (4.0 * CAST(CAST(n AS HUGEINT) * n AS DOUBLE))) / denom
+      + z2 / (4.0 * {_split_float_sql('CAST(n AS HUGEINT) * n')}))
+      / denom
       AS half
   FROM t
 )
@@ -9758,7 +9759,10 @@ def hoover_index(ds, group_col: str = "event_type",
         out["n"].append(n)
         out["s"].append(s)
         out["d"].append(d)
-        out["h"].append(float(d) / float(den) if den != 0 else None)
+        # den = 2·n·s passes 2^64 at 10^12-turn scale: shared split
+        # tree, never DuckDB's lossy HUGEINT→DOUBLE cast
+        out["h"].append(float(d) / _split_float(den)
+                        if den != 0 else None)
     return pa.table({
         group_col: pa.array(out["g"], pa.string()),
         "n_users": pa.array(out["n"], pa.int64()),
@@ -9793,7 +9797,8 @@ SELECT t.g AS {group_col}, t.n AS n_users, t.s AS total_cents,
   d.d AS dev_mass,
   CASE WHEN 2 * CAST(t.n AS HUGEINT) * t.s != 0 THEN
     CAST(d.d AS DOUBLE)
-    / CAST(2 * CAST(t.n AS HUGEINT) * t.s AS DOUBLE) END AS hoover
+    / {_split_float_sql('2 * CAST(t.n AS HUGEINT) * t.s')}
+  END AS hoover
 FROM tot t JOIN devs d USING (g) ORDER BY t.g
 """.strip()
 
