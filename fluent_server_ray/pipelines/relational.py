@@ -3292,8 +3292,10 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
     Exact contract: per-customer cents totals merge distributed
     (customer keys are unbounded — ``final='ray'``); the nation lookup
     broadcasts once (``ray.put``); per-nation SS splits hi/lo so int64
-    partials never wrap; HHI is ONE float division of exact python
-    ints ``float(SS) / float(S·S)`` (NULL when S = 0). Customers with
+    partials never wrap; HHI is the shared float tree
+    ``(_split_float(SS) / float(S)) / float(S)`` — SS passes 2^63 at
+    sf0.1 scale, so both engines float it via the split tree, and the
+    repeated division avoids S² entirely (NULL when S = 0). Customers with
     no orders don't enter (contract). The customer dim broadcasts
     (small-dim path — swap in ``joins.bucketed_hash_join`` above the
     row threshold, cf. ``orders_by_nation``'s conditional). Output:
@@ -3367,20 +3369,20 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
         ["n_name"], [("s", "sum"), ("ss_hi", "sum"), ("ss_lo", "sum"),
                      ("one", "sum")], final="driver").to_pandas()
 
+    from fluent_server_ray.stages.features import _split_float
+
     out = {"n": [], "cnt": [], "s": [], "h": []}
     for _, r in agg.sort_values("n_name").iterrows():
         s = int(r["s_sum"])
         ss = int(r["ss_hi_sum"]) * _SS_SPLIT + int(r["ss_lo_sum"])
-        if ss >= 2 ** 63:
-            raise ValueError("nation_customer_hhi: squared mass "
-                             "exceeds the exactly-convertible range")
         out["n"].append(r["n_name"])
         out["cnt"].append(int(r["one_sum"]))
         out["s"].append(s)
         # (SS/S)/S, not SS/S²: S² can top 2^64 where DuckDB's
-        # hugeint→double cast double-rounds; this tree keeps every
-        # int→double conversion correctly rounded on both engines
-        out["h"].append((float(ss) / float(s)) / float(s)
+        # hugeint→double cast double-rounds. SS itself passes 2^63 at
+        # sf0.1 (found by the round-5 sf0.1 battery — the old loud
+        # guard), so both engines float it via the shared split tree.
+        out["h"].append((_split_float(ss) / float(s)) / float(s)
                         if s != 0 else None)
     return pa.table({
         "n_name": pa.array(out["n"], pa.string()),
@@ -3391,7 +3393,10 @@ def nation_customer_hhi(sf_dir: str) -> pa.Table:
 
 
 def nation_customer_hhi_sql() -> str:
-    return """
+    from fluent_server_ray.stages.features import _split_float_sql
+
+    ss_f = _split_float_sql("ss")
+    return f"""
 WITH pc AS (
   SELECT o_custkey,
     SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS c
@@ -3411,7 +3416,7 @@ WITH pc AS (
 )
 SELECT n_name, n_customers, total_cents,
   CASE WHEN total_cents != 0 THEN
-    CAST(ss AS DOUBLE) / CAST(total_cents AS DOUBLE)
+    {ss_f} / CAST(total_cents AS DOUBLE)
     / CAST(total_cents AS DOUBLE)
   END AS hhi
 FROM agg ORDER BY n_name
