@@ -632,10 +632,17 @@ def minhash_near_dupes(ds, threshold: float = 0.8, num_perm: int = 64,
     if cand_docs.size_bytes() <= broadcast_bytes:
         # broadcast path: candidate texts ship once; the raw pair rows
         # stream straight into verification (cross-batch band dupes are
-        # dropped in the final result-sized dedup)
+        # dropped in the final result-sized dedup). Texts broadcast as
+        # LARGE_STRING: a dup-heavy pair block's take() can gather
+        # > 2 GB of text, silently wrapping 32-bit string offsets into
+        # garbage (observed as UnicodeDecodeError at 500k-doc scale).
         texts_tbl = pa.concat_tables(
             cand_docs.iter_batches(batch_size=None, batch_format="pyarrow")
         )
+        texts_tbl = pa.table({
+            "doc_id": texts_tbl["doc_id"],
+            "text": texts_tbl["text"].cast(pa.large_string()),
+        })
         texts_ref = ray.put(texts_tbl)
 
         def text_of(t: pa.Table):
@@ -2087,10 +2094,16 @@ def substring_dupes(ds, window_k: int = 8, id_col: str = "doc_id",
 
     if cand_docs.size_bytes() <= broadcast_bytes:
         # broadcast path: candidate texts ship once via ray.put; raw
-        # pair rows stream straight into verification
+        # pair rows stream straight into verification. LARGE_STRING
+        # texts: a dup-heavy pair block's take() can gather > 2 GB and
+        # silently wrap 32-bit string offsets (cf. minhash path).
         texts_tbl = pa.concat_tables(
             cand_docs.iter_batches(batch_size=None,
                                    batch_format="pyarrow"))
+        texts_tbl = pa.table({
+            id_col: texts_tbl[id_col],
+            text_col: texts_tbl[text_col].cast(pa.large_string()),
+        })
         texts_ref = ray.put(texts_tbl)
 
         def verify(t: pa.Table) -> pa.Table:
