@@ -2179,14 +2179,28 @@ def build_minhash_index(ds, index_dir: str, num_perm: int = 64,
     into the same hive dirs). Deterministic for fixed params (the
     probe must be built with the SAME num_perm/bands/seed/shingle_k —
     stored in ``<dir>/params.json`` and checked at probe time).
+
+    Crash safety mirrors :func:`build_text_index`: the INITIAL build
+    writes into ``<dir>.building`` and atomically renames (params.json
+    is written LAST inside the staging dir, so a published index
+    always carries it); a crash mid-EXTEND can leave truncated part
+    files — :func:`repair_minhash_index` drops exactly those, after
+    which re-running the same extend is idempotent (band/sig rows are
+    keyed by doc — duplicates from the re-send collapse in the probe's
+    candidate dedup).
     """
     import json
     import os
+    import shutil
 
     from fluent_server_ray.stages.aggregate import skip_empty
 
     params = {"num_perm": num_perm, "bands": bands, "seed": seed,
               "shingle_k": shingle_k, "n_parts": n_parts}
+    fresh_build = not os.path.isdir(index_dir)
+    dest = index_dir.rstrip("/") + ".building" if fresh_build else index_dir
+    if fresh_build:
+        shutil.rmtree(dest, ignore_errors=True)  # stale crashed build
     pfile = os.path.join(index_dir, "params.json")
     if os.path.exists(pfile):
         stored = json.load(open(pfile))
@@ -2218,15 +2232,42 @@ def build_minhash_index(ds, index_dir: str, num_perm: int = 64,
 
     (ds.map_batches(skip_empty(band_rows), batch_format="pyarrow",
                     zero_copy_batch=True)
-     .write_parquet(os.path.join(index_dir, "bands"),
+     .write_parquet(os.path.join(dest, "bands"),
                     partition_cols=["bpart"]))
     (ds.map_batches(skip_empty(sig_rows), batch_format="pyarrow",
                     zero_copy_batch=True)
-     .write_parquet(os.path.join(index_dir, "sigs"),
+     .write_parquet(os.path.join(dest, "sigs"),
                     partition_cols=["spart"]))
-    if not os.path.exists(pfile):
-        json.dump(params, open(pfile, "w"))
+    if not os.path.exists(os.path.join(dest, "params.json")):
+        json.dump(params, open(os.path.join(dest, "params.json"), "w"))
+    if fresh_build:
+        os.rename(dest, index_dir)
     return index_dir
+
+
+def repair_minhash_index(index_dir: str) -> dict:
+    """Drop truncated band/sig part files left by a crash mid-EXTEND
+    (parquet footer check — cf. :func:`repair_text_index`) and clear a
+    ``.building`` remnant from a crashed initial build."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    dropped = 0
+    for sub, part in (("bands", "bpart"), ("sigs", "spart")):
+        pat = os.path.join(index_dir, sub, f"{part}=*", "*.parquet")
+        for f in _glob.glob(pat):
+            try:
+                _pq.read_metadata(f)
+            except Exception:
+                os.remove(f)
+                dropped += 1
+    building = index_dir.rstrip("/") + ".building"
+    had_building = os.path.isdir(building)
+    shutil.rmtree(building, ignore_errors=True)
+    return {"files_dropped": dropped, "building_cleared": had_building}
 
 
 def near_dups_against_index(ds, index_dir: str, threshold: float = 0.8):

@@ -504,6 +504,65 @@ def test_index_extend_crash_repair_idempotent(ray_session, tmp_path):
     assert list(a["doc_id"]) == [999]
 
 
+def test_minhash_index_extend_crash_repair_idempotent(ray_session, tmp_path):
+    """The minhash-index sibling of the text-index crash test: a
+    truncated band file (simulated mid-EXTEND crash) is dropped by
+    repair_minhash_index, and re-running the same extend leaves probe
+    results equal to the never-crashed sequence."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from fluent_server_ray.stages.dedup import (
+        build_minhash_index,
+        near_dups_against_index,
+        repair_minhash_index,
+    )
+
+    rng = __import__("numpy").random.default_rng(7)
+    vocab = [f"w{i}" for i in range(80)]
+    base = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [" ".join(rng.choice(vocab, size=30)) for _ in range(8)],
+    })
+    ext = pd.DataFrame({
+        "doc_id": range(10, 14),
+        "text": [base["text"][i] + " zz" for i in range(4)],  # near-dups
+    })
+    probe = pd.DataFrame({
+        "doc_id": range(100, 104),
+        "text": [base["text"][i] + " qq" for i in range(4)],
+    })
+
+    for name in ("crashed", "clean"):
+        build_minhash_index(rd.from_pandas(base),
+                            str(tmp_path / name), n_parts=8)
+
+    idx = str(tmp_path / "crashed")
+    build_minhash_index(rd.from_pandas(ext), idx, n_parts=8)
+    files = sorted(_glob.glob(f"{idx}/bands/bpart=*/*.parquet"),
+                   key=os.path.getmtime)
+    victim = files[-1]
+    data = open(victim, "rb").read()
+    open(victim, "wb").write(data[: max(4, len(data) // 2)])
+
+    rep = repair_minhash_index(idx)
+    assert rep["files_dropped"] == 1
+    build_minhash_index(rd.from_pandas(ext), idx, n_parts=8)
+
+    clean = str(tmp_path / "clean")
+    build_minhash_index(rd.from_pandas(ext), clean, n_parts=8)
+    a = near_dups_against_index(rd.from_pandas(probe), idx,
+                                threshold=0.5).to_pandas()
+    b = near_dups_against_index(rd.from_pandas(probe), clean,
+                                threshold=0.5).to_pandas()
+    cols = ["doc_a", "doc_b"]
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # the planted near-dups are found
+
+
 def test_sigkill_mid_join_query_rerun_identical(ray_session, tmp_path):
     """SIGKILL a subprocess mid bucketed-hash-join pipeline, then run
     the same query in THIS session: leftover engine/spill state from
