@@ -2545,7 +2545,7 @@ def _pairwise_levenshtein(A, B, la, lb, P):
 def edit_distance_dupes(ds, id_col: str = "doc_id",
                         text_col: str = "text", prefix_len: int = 64,
                         max_dist: int = 2, band_width: int = 8,
-                        max_band_pairs: int = 5_000_000):
+                        max_band_pairs: int = 200_000_000):
     """Edit-distance near-duplicate pairs: all (a < b) whose first
     ``prefix_len``-CODEPOINT prefixes are within BYTE-level Levenshtein
     distance ``max_dist`` — the typo/suffix-variant dedup family that
@@ -2563,11 +2563,13 @@ def edit_distance_dupes(ds, id_col: str = "doc_id",
     Per-band the DP is vectorized ACROSS pairs (the classic
     ``d[j] = min-accumulate`` trick turns the insertion chain into one
     ``np.minimum.accumulate`` per DP row, so the whole band costs
-    O(P) numpy calls, never a per-pair Python loop). Like
-    :func:`ngram_jaccard_dupes` this is the bounded-verification-pool
-    operator — candidate pairs per band are length-windowed
-    (|Δbytes| ≤ max_dist) and capped at ``max_band_pairs`` (raises);
-    :func:`minhash_near_dupes` is the open-corpus path.
+    O(P) numpy calls, never a per-pair Python loop), and the pair axis
+    is CHUNKED (500k pairs per DP invocation) so a dense band's
+    byte-matrix gathers stay O(chunk·P) memory — a uniform-length
+    corpus can legitimately produce tens of millions of candidates.
+    ``max_band_pairs`` survives only as a runaway-compute backstop
+    (raises loudly); :func:`minhash_near_dupes` is the open-corpus
+    path.
 
     Returns a Dataset (doc_a, doc_b, dist) sorted by (doc_a, doc_b).
     """
@@ -2619,7 +2621,7 @@ def edit_distance_dupes(ds, id_col: str = "doc_id",
             raise ValueError(
                 f"edit_distance_dupes: band with {n} docs generates "
                 f"{total} candidate pairs > max_band_pairs="
-                f"{max_band_pairs} — a degenerate same-length corpus; "
+                f"{max_band_pairs} — a runaway same-length corpus; "
                 "use minhash_near_dupes for open corpora")
         i_idx = np.repeat(np.arange(n), counts)
         starts = np.cumsum(counts) - counts
@@ -2643,18 +2645,32 @@ def edit_distance_dupes(ds, id_col: str = "doc_id",
                     - np.repeat(np.cumsum(lens) - lens, lens))
             mat[rows, cols] = flat
 
-        res = _pairwise_levenshtein(mat[i_idx], mat[j_idx],
-                                    lens[i_idx], lens[j_idx], P)
-        ok = res <= max_dist
-        if not ok.any():
+        # verification CHUNKS the pair axis: the DP gathers a
+        # (pairs, P) int16 matrix per side, so a dense band (uniform
+        # doc lengths at corpus scale — 12M candidates at sf0.1) would
+        # otherwise materialize gigabytes at once. Survivors are few;
+        # peak memory stays O(chunk · P) regardless of band density.
+        chunk = 500_000
+        outs = []
+        ids_np = g[id_col].to_numpy()
+        for s0 in range(0, len(i_idx), chunk):
+            ic = i_idx[s0:s0 + chunk]
+            jc = j_idx[s0:s0 + chunk]
+            res = _pairwise_levenshtein(mat[ic], mat[jc],
+                                        lens[ic], lens[jc], P)
+            ok = res <= max_dist
+            if not ok.any():
+                continue
+            ia = ids_np[ic[ok]]
+            ib = ids_np[jc[ok]]
+            outs.append(pd.DataFrame({
+                "doc_a": np.minimum(ia, ib).astype(np.int64),
+                "doc_b": np.maximum(ia, ib).astype(np.int64),
+                "dist": res[ok].astype(np.int64),
+            }))
+        if not outs:
             return empty
-        ia = g[id_col].to_numpy()[i_idx[ok]]
-        ib = g[id_col].to_numpy()[j_idx[ok]]
-        return pd.DataFrame({
-            "doc_a": np.minimum(ia, ib).astype(np.int64),
-            "doc_b": np.maximum(ia, ib).astype(np.int64),
-            "dist": res[ok].astype(np.int64),
-        })
+        return pd.concat(outs, ignore_index=True)
 
     from fluent_server_ray.stages.groups import map_buckets
 
@@ -2786,7 +2802,7 @@ GROUP BY h.{group_col} ORDER BY h.{group_col}
 
 def winnow_pairs(ds, k: int = 8, window: int = 4, min_shared: int = 2,
                  n_buckets: int = 256,
-                 max_bucket_pairs: int = 5_000_000):
+                 max_bucket_pairs: int = 200_000_000):
     """MOSS-style content-overlap pairs: all (doc_a < doc_b) sharing at
     least ``min_shared`` distinct winnowed rolling-hash fingerprints
     (:func:`~fluent_server_ray.stages.textstats.winnow_fingerprints_batch`
@@ -2796,11 +2812,13 @@ def winnow_pairs(ds, k: int = 8, window: int = 4, min_shared: int = 2,
 
     Shape: per-batch fingerprint explode (fingerprints are distinct
     per doc by construction) → ONE hash-bucket exchange on the
-    fingerprint → per-bucket pair formation with a candidate cap
-    (fingerprints partition disjointly, so per-bucket shared counts
-    sum to the global count) → distributed (doc_a, doc_b) merge →
-    threshold filter. Returns a Dataset (doc_a, doc_b, n_shared)
-    sorted by (doc_a, doc_b).
+    fingerprint → per-bucket CHUNKED pair formation (pairs
+    pre-aggregate to (pair, count) partials every ~2M, so bucket
+    memory is O(chunk + distinct pairs); ``max_bucket_pairs`` is a
+    runaway backstop only; fingerprints partition disjointly, so
+    per-bucket shared counts sum to the global count) → distributed
+    (doc_a, doc_b) merge → threshold filter. Returns a Dataset
+    (doc_a, doc_b, n_shared) sorted by (doc_a, doc_b).
     """
     from fluent_server_ray.stages.aggregate import (grouped_agg,
                                                     hash_bucket_array,
@@ -2831,24 +2849,43 @@ def winnow_pairs(ds, k: int = 8, window: int = 4, min_shared: int = 2,
             raise ValueError(
                 f"winnow_pairs: bucket generates {total} candidate "
                 f"pairs > max_bucket_pairs={max_bucket_pairs} — a "
-                "mass-shared boilerplate fingerprint; pre-dedup exact "
+                "runaway mass-shared fingerprint; pre-dedup exact "
                 "copies or raise the winnow window")
         d = g["doc_id"].to_numpy(dtype="int64")
-        ai = np.empty(total, np.int64)
-        bi = np.empty(total, np.int64)
-        pos = 0
+        # CHUNKED pair accumulation: a popular fingerprint's triu
+        # explosion is pre-aggregated to (pair, count) partials every
+        # ~2M pairs, so peak memory is O(chunk + distinct pairs) even
+        # when the raw candidate count reaches tens of millions
+        # (sf0.1 produces 7.4M); a final local groupby merges partials.
+        chunk = 2_000_000
+        parts, buf_a, buf_b, buffered = [], [], [], 0
+
+        def flush():
+            nonlocal buf_a, buf_b, buffered
+            if not buffered:
+                return
+            df = (pd.DataFrame({"doc_a": np.concatenate(buf_a),
+                                "doc_b": np.concatenate(buf_b)})
+                  .groupby(["doc_a", "doc_b"], sort=False)
+                  .size().rename("n").reset_index())
+            parts.append(df)
+            buf_a, buf_b, buffered = [], [], 0
+
         for s, c in zip(starts, sizes):
             if c < 2:
                 continue
             ii, jj = np.triu_indices(int(c), 1)
-            m = len(ii)
-            ai[pos:pos + m] = d[s + ii]
-            bi[pos:pos + m] = d[s + jj]
-            pos += m
-        out = (pd.DataFrame({"doc_a": ai, "doc_b": bi})
-               .groupby(["doc_a", "doc_b"], sort=False)
-               .size().rename("n").reset_index())
-        return out
+            buf_a.append(d[s + ii])
+            buf_b.append(d[s + jj])
+            buffered += len(ii)
+            if buffered >= chunk:
+                flush()
+        flush()
+        if not parts:
+            return pd.DataFrame(_EMPTY)
+        return (pd.concat(parts, ignore_index=True)
+                .groupby(["doc_a", "doc_b"], sort=False)["n"]
+                .sum().reset_index())
 
     from fluent_server_ray.stages.groups import map_buckets
 
