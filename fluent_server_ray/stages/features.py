@@ -856,8 +856,14 @@ def pearson_corr(ds, x_col: str, y_col: str) -> pa.Table:
     vx_i = n * sxx - sx * sx
     vy_i = n * syy - sy * sy
     if vx_i <= 0 or vy_i <= 0:
-        raise ValueError("pearson_corr: zero variance")
-    corr = float(num_i) / (math.sqrt(float(vx_i)) * math.sqrt(float(vy_i)))
+        # degenerate (constant) column: the mirror's division by
+        # sqrt(0) yields NULL in DuckDB — emit NULL, don't raise (a
+        # REGULAR graph makes assortativity's endpoint degrees
+        # constant at corpus scale; found by the sf0.1 battery)
+        corr = None
+    else:
+        corr = (float(num_i)
+                / (math.sqrt(float(vx_i)) * math.sqrt(float(vy_i))))
     return pa.table({"n": pa.array([n], type=pa.int64()),
                      "corr": pa.array([corr], type=pa.float64())})
 

@@ -2683,7 +2683,7 @@ def test_pack_sequences_n_col(ray_session):
 def test_pearson_corr_exact_and_nulls(ray_session):
     """Pearson from exact int partials: bit-equal to the same float64
     tree computed locally; rows with a NULL on either side excluded;
-    zero variance raises."""
+    zero variance gives NULL corr (mirror semantics)."""
     import math
 
     import pandas as pd
@@ -2706,9 +2706,11 @@ def test_pearson_corr_exact_and_nulls(ray_session):
         math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
     assert got["n"] == [4] and got["corr"] == [want]  # bitwise
 
+    # constant column: NULL corr (the mirror's sqrt(0) division is
+    # NULL in DuckDB; a REGULAR graph hits this in assortativity)
     flat = pd.DataFrame({"x": [5, 5, 5], "y": [1, 2, 3]})
-    with pytest.raises(ValueError, match="zero variance"):
-        pearson_corr(rd.from_pandas(flat), "x", "y")
+    got = pearson_corr(rd.from_pandas(flat), "x", "y").to_pydict()
+    assert got["n"] == [3] and got["corr"][0] is None
 
 
 def test_pearson_corr_overflow_exact(ray_session):
